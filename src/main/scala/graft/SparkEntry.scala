@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Aggregates.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[QueryModule] = Seq(
-    ops.Aggregates
+    ops.Sources, ops.Filters, ops.Joins, ops.Aggregates,
+    ops.Windows, ops.Relational, ops.Scalars, ops.Events, ops.LlmOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / dedup primitives for the LLM-data-pipeline operators
+  * (SURVEY §2.9), composed from Spark built-ins so they stay inside
+  * codegen and require no UDF.
+  *
+  * Scale note: everything here is a per-row expression; the heavy parts
+  * (MinHash banding, shingle explosion) shuffle only on compact keys
+  * (band hashes, shingle strings) — never on pairwise row combinations.
+  */
+object TextFunctions {
+
+  /** Whitespace word tokens, empties dropped. */
+  def wordTokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Distinct character k-shingles of a string. */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => substring_index_safe(text, i, k)))
+
+  private def substring_index_safe(text: Column, i: Column, k: Int): Column =
+    text.substr(i, lit(k))
+
+  /** Distinct word n-shingles (space-joined n-grams of tokens). */
+  def wordShingles(tokens: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*)))
+  }
+
+  /** Stable 64-bit hash of each shingle (xxhash64, fixed seed). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  // deterministic affine-permutation parameters (a odd, b arbitrary)
+  private def perm(i: Int): (Long, Long) =
+    (2L * i + 1L + 104729L * i, 7919L * (i + 1))
+
+  /** MinHash signature: array of `numPerms` minima over affine
+    * permutations of the shingle hashes, all mod 2^31-1 so ANSI-mode
+    * long arithmetic can't overflow.
+    */
+  def minhashSignature(hashes: Column, numPerms: Int): Column = {
+    val positive = transform(hashes, h => pmod(h, lit(MersennePrime)))
+    array((0 until numPerms).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(positive, h =>
+        pmod(h * lit(a % MersennePrime) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** Group a minhash signature into `bands` band-hash values. */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        (1 to rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r)): _*))
+    }: _*)
+
+  /** SimHash-48 of token array: per-bit majority vote of token hashes.
+    * 48 bits (not 64) so the MSB-first fold `acc*2 + bit` can never
+    * overflow a long under ANSI arithmetic checks.
+    */
+  def simhash48(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bitSums = transform(sequence(lit(0), lit(47)), i =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(bit_get(h, i) === 1, 1).otherwise(-1)))
+    aggregate(
+      sequence(lit(47), lit(0), lit(-1)),
+      lit(0L),
+      (acc, i) => acc * 2L + when(element_at(bitSums, i + 1) > 0, 1L).otherwise(0L))
+  }
+
+  /** Karp–Rabin rolling fingerprint of the first `n` chars (base 31,
+    * mod 2^52 — stays inside long under ANSI overflow checks).
+    */
+  def rollingFingerprint(text: Column, n: Int): Column = {
+    val codes = transform(split(substring(text, 1, n), ""), ch => ascii(ch))
+    aggregate(codes, lit(0L),
+      (acc, c) => (acc * 31L + c.cast("long")) % lit(4503599627370496L))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY §2.9 L7): media payloads ride
+  * through the engine as opaque `binary` columns with typed metadata;
+  * decode / feature-extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): `decodeStub` derives a deterministic fake feature vector
+  * from the bytes. Everything around it — schema, batching, partition
+  * parallelism, null handling — is real and unit-tested, so swapping in a
+  * real decoder is a one-function change.
+  *
+  * Scale notes: `mapPartitions` keeps decode batched and pipelined with
+  * the scan (no shuffle); feature vectors are fixed-width arrays so
+  * downstream joins/aggregations are columnar-friendly. At 100 TB the
+  * payload column stays pruned away unless a decode stage needs it.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           features: Array[Float])
+
+  /** Deterministic stand-in for a real image/audio decoder: a 16-bin byte
+    * histogram, L1-normalized. Replace with a codec call in production.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (payload != null && payload.nonEmpty) {
+      payload.foreach(b => bins((b & 0xff) >> 4) += 1f)
+      val total = payload.length.toFloat
+      var i = 0
+      while (i < 16) { bins(i) /= total; i += 1 }
+    }
+    bins
+  }
+
+  /** Batched featurize: binary payload column → fixed-width feature
+    * vector, one pass per partition.
+    */
+  def featurize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      MediaFeatures(r.media_id, r.kind,
+        if (r.payload == null) 0L else r.payload.length.toLong,
+        decodeStub(r.payload))
+    })
+  }
+
+  /** Demo pipeline over `documents`: treat utf-8 text bytes as an opaque
+    * payload (exactly how a real image column would flow).
+    */
+  def documentPayloadFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    featurize(media).toDF()
+  }
+}

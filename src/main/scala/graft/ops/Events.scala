@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.{Det, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.8 — stream-shaped operators in batch over `events.ts`.
+  *
+  * The groupBy(window(...)) shapes are exactly what Structured Streaming
+  * accepts under readStream + withWatermark (see graft.streaming for the
+  * streaming wrappers); batch here makes them oracle-checkable.
+  *
+  * Determinism: window boundaries are emitted as epoch seconds (BIGINT) —
+  * comparing raw window structs across engines is format-fragile.
+  *
+  * Scale notes: tumbling/sliding windows hash-partition by (window, key):
+  * state per partition is bounded by the window count; sessionization uses
+  * a per-user window sort — at 100 TB user_id partitioning keeps sort runs
+  * small, and the streaming variant (session_window) holds only open
+  * sessions in state.
+  */
+object Events extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // E1: tumbling 1h window counts per event_type.
+    "e1_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // E2: sliding 1h window every 15 min — each event lands in 4 windows.
+    "e2_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // E3: sessionization with a 30-minute inactivity gap (lag + running sum).
+    "e3_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          // microsecond-exact gap comparison (truncating to seconds would
+          // move session boundaries differently than the oracle)
+          when(col("prev_ts").isNull ||
+               col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          count(lit(1)).as("n_sessions_check"))
+        .orderBy(col("user_id"))
+    }),
+
+    // E4: late-data policy in batch — drop events more than 1 day behind
+    // the corpus max timestamp (watermark analogue).
+    "e4_late_data" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val withMax = e.withColumn("max_ts", max(col("ts")).over(Window.partitionBy()))
+      withMax
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 DAY"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("event_type"))
+    }),
+
+    // E5: stateful dedup — first event per (user_id, event_type) wins.
+    "e5_dedup_first" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_tumbling" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+         |  event_type, COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "e2_sliding" ->
+      // floor() before casting: DuckDB double->int casts ROUND, Spark floors
+      """WITH slid AS (
+        |  SELECT e.event_type,
+        |    CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900 AS w_start_s
+        |  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT w_start_s AS w_start, event_type, COUNT(*) AS n
+        |FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "e3_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id,
+        |  CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  COUNT(*) AS n_sessions_check
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e4_late_data" ->
+      """SELECT event_type, COUNT(*) AS n_kept
+        |FROM events
+        |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e5_dedup_first" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,236 @@
+package graft.ops
+
+import graft.{Det, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.3 — join operators.
+  *
+  * Scale notes:
+  * - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *   explicitly `broadcast()` so the big fact side never shuffles for them;
+  *   at 100 TB only genuinely large-large joins (orders⋈lineitem) shuffle,
+  *   and those hash-partition both sides on the join key.
+  * - The range join (J7) keeps an equi component (user_id) so Spark plans
+  *   a hash/sort-merge join with the range as residual — never a BNLJ.
+  * - The as-of join (J8) is join + per-key top-1 (window) — shuffle is
+  *   bounded by matches; at 100 TB a sort-merge + last-value formulation
+  *   over bucketed tables avoids re-sorting.
+  */
+object Joins extends QueryModule {
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // J1: inner equi-join, orders ⋈ customer (big⋈small — broadcast dim).
+    "j1_inner" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J2: left outer join with unmatched rows (customers without big orders).
+    "j2_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_big_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_null_rows"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // J2b: full outer join of two filtered sides with non-overlap.
+    "j2b_full_outer" -> ((s, d) => {
+      val lo = Tables.orders(s, d).filter(col("o_totalprice") < 20000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_small"))
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      // using-column full join already coalesces the key into one column
+      lo.join(hi, Seq("o_custkey"), "full")
+        .select(
+          col("o_custkey").as("custkey"),
+          coalesce(col("n_small"), lit(0L)).as("n_small"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    }),
+
+    // J3: left semi join (EXISTS / IN).
+    "j3_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4: left anti join (NOT EXISTS — NOT IN has different null semantics).
+    "j4_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J5: explicit broadcast join (same answer as shuffle join; plan differs).
+    "j5_broadcast" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_size") <= 10)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // J6: cross join (small × small).
+    "j6_cross" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("n_nationkey"),
+          (col("r_regionkey") === col("n_regionkey")).as("is_home"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // J7: range join with equi component — event pairs within 5 minutes for
+    // the same user (hash join on user_id, range as residual predicate).
+    "j7_range" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b,
+          col("user_id") === col("b_user") &&
+          col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // J8: as-of join — for each event, the latest order of the same
+    // customer with o_orderdate <= ts (emulated identically on both sides:
+    // join + row_number, SURVEY §2.3 J8).
+    "j8_asof" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val joined = e.join(o,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J9: six-table star join (TPC-H Q5 shape) — dims broadcast.
+    "j9_star" -> ((s, d) => {
+      val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val su = broadcast(Tables.supplier(s, d))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+                  c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "j1_inner" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j2_left_outer" ->
+      """SELECT c_nationkey, COUNT(*) AS n_rows,
+        |  COUNT(o_orderkey) AS n_big_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "j2b_full_outer" ->
+      """WITH lo AS (SELECT o_custkey, COUNT(*) AS n_small FROM orders
+        |            WHERE o_totalprice < 20000.0 GROUP BY o_custkey),
+        |     hi AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |            WHERE o_totalprice > 450000.0 GROUP BY o_custkey)
+        |SELECT COALESCE(lo.o_custkey, hi.o_custkey) AS custkey,
+        |  COALESCE(n_small, 0) AS n_small, COALESCE(n_big, 0) AS n_big
+        |FROM lo FULL OUTER JOIN hi ON lo.o_custkey = hi.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "j3_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_broadcast" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 10
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "j6_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_regionkey = n_regionkey AS is_home
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "j7_range" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "j8_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_id < 1000) e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+        |       o_orderdate AS asof_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j9_star" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

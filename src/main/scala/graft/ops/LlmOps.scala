@@ -1,0 +1,340 @@
+package graft.ops
+
+import graft.{Det, QueryModule, Tables}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY §2.9 — LLM-data-pipeline operators over `documents` and
+  * `embeddings` (mandated beyond the reference's own surface).
+  *
+  * Scale notes (the 100 TB story, per operator):
+  * - L1 exact dedup: shuffle on a 128-bit content hash only — never on text.
+  * - L2 MinHash/LSH: candidate generation is a groupBy on band hashes
+  *   (shuffle key = 8 bytes); pairwise work happens only inside buckets.
+  * - L3 kNN: query set broadcast; corpus never shuffles. The IVF variant
+  *   prunes to nprobe buckets so scored rows shrink ~#labels/nprobe-fold.
+  * - L4/L5/L8/L9: pure per-row expressions + low-cardinality groupBys.
+  */
+object LlmOps extends QueryModule {
+  import Det._
+
+  private val Stopwords = Seq("the", "a", "of", "to", "in")
+
+  // ---- L3 shared: brute-force top-k cosine neighbors --------------------
+  private def knn(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), VF.cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid").as("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L1: exact dedup by content hash; keeper = min doc_id.
+    "l1_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("text_md5"))
+    }),
+
+    // L2: MinHash + LSH banding near-dup candidates — approx pipeline,
+    // no SQL oracle (rows-only); estimator accuracy is unit-tested.
+    "l2_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TF.minhashSignature(
+            TF.shingleHashes(TF.charShingles(col("text"), 5)), 64).as("sig"))
+      val banded = docs.select(col("doc_id"), col("sig"),
+          posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))
+      val a = banded.select(col("band"), col("bh"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bh"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), (m: org.apache.spark.sql.Column) => m)) / lit(64.0))
+            .as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= 0.35)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // L2b: exact n-gram Jaccard on a bounded subset — the oracle-checkable
+    // ground truth the MinHash estimator approximates.
+    "l2b_jaccard_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id"),
+          array_distinct(TF.wordShingles(TF.wordTokens(col("text")), 3)).as("sh"))
+      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val inter = exploded.as("x").join(exploded.as("y"), Seq("shingle"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.05)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // L2c: SimHash near-dup pairs within language — no oracle (rows-only).
+    "l2c_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TF.simhash48(TF.wordTokens(col("text"))).as("sh"))
+      val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // L3: brute-force top-5 cosine kNN for 10 query vectors (rank output
+    // only — raw float sims are not portable across engines).
+    "l3_knn_cosine" -> ((s, d) => knn(s, d, 5)),
+
+    // L3b: IVF-style ANN — coarse-quantize corpus to per-label centroids,
+    // probe the 2 nearest centroid buckets. Approximate → no oracle.
+    "l3b_knn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // centroids per label (the coarse index)
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("label").as("clabel"), transform(col("pairs"), p => p.getField("cv")).as("cvec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // nprobe=2 nearest centroids per query
+      val probeW = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("clabel"))
+      val probes = queries.crossJoin(broadcast(cent))
+        .select(col("qid"), col("qvec"), col("clabel"),
+          VF.cosine(col("qvec"), col("cvec")).as("csim"))
+        .withColumn("crank", row_number().over(probeW))
+        .filter(col("crank") <= 2)
+        .select(col("qid"), col("qvec"), col("clabel"))
+      // search only vectors in probed buckets
+      val corpus = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("cvec"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      corpus.join(broadcast(probes), col("label") === col("clabel"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), VF.cosine(col("qvec"), col("cvec")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid").as("neighbor_id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // L4: token frequencies — corpus top-20 terms.
+    "l4_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TF.wordTokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+
+    // L5: per-document quality metrics + filter flag.
+    "l5_text_quality" -> ((s, d) => {
+      val toks = TF.wordTokens(col("text"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          col("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+            size(toks)).as("avg_token_len"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"),
+          (size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+            size(toks)).as("stopword_ratio"))
+        .withColumn("quality_pass",
+          col("n_tokens").between(10, 200) && col("stopword_ratio") < 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // L6: per-label centroids. Floats are quantized with
+    // floor(v*1e6 + 0.5) computed in IEEE double — bit-identical on both
+    // engines (decimal casts of floats are NOT: Spark rounds the exact
+    // binary expansion half-up, DuckDB rounds a scaled double half-even,
+    // and they disagree ~1/16000 values).
+    "l6_embedding_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(
+          (sum(floor(col("v").cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
+            .cast(DoubleType) / count(lit(1)) / 1000000.0).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .filter(col("pos") < 8)
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // L7: multimodal/binary column carry-through (decode stubbed — see
+    // graft.multimodal for the batched featurizer plumbing).
+    "l7_multimodal" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          ascii(col("payload").cast("string").substr(1, 1)).as("first_byte"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L8: heuristic language-ID by marker-token overlap, confusion counts.
+    "l8_langid" -> ((s, d) => {
+      val toks = TF.wordTokens(col("text"))
+      def score(markers: Seq[String]) =
+        size(filter(toks, t => t.isin(markers: _*)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          score(Seq("the", "a", "of")).as("s_en"),
+          score(Seq("der", "die", "das")).as("s_de"),
+          score(Seq("el", "los", "una")).as("s_es"),
+          score(Seq("le", "les", "une")).as("s_fr"))
+        .withColumn("predicted",
+          when(col("s_en") > 0 &&
+               col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+            .when(col("s_de") > 0 &&
+               col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+            .when(col("s_es") > 0 && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
+    "l9_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TF.rollingFingerprint(col("text"), 64).as("fp64"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "l1_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "l2b_jaccard_exact" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        |      i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+        |           || ' ' || str_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE source = 'src0'),
+        |exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM exploded x JOIN exploded y ON x.shingle = y.shingle
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  n_common / (sa.n + sb.n - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common / (sa.n + sb.n - n_common) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "l3_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT qid, vec_id AS cid,
+        |    list_cosine_similarity(qvec, embedding) AS sim
+        |  FROM q, embeddings WHERE vec_id != qid),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM sims)
+        |SELECT qid, rank, cid AS neighbor_id FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "l4_tokens" ->
+      """SELECT t.token, COUNT(*) AS cnt
+        |FROM documents, unnest(list_filter(str_split(text, ' '), x -> len(x) > 0)) t(token)
+        |GROUP BY t.token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "l5_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+        |    AS avg_token_len,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','in'], t)))
+        |    AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  len(toks) BETWEEN 10 AND 200
+        |    AND CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','in'], t)))
+        |        AS DOUBLE) / len(toks) < 0.5 AS quality_pass
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "l6_embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM embeddings, generate_series(1, 8) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "l7_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "l8_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(str_split(text,' '), t -> list_contains(['the','a','of'], t))) AS s_en,
+        |    len(list_filter(str_split(text,' '), t -> list_contains(['der','die','das'], t))) AS s_de,
+        |    len(list_filter(str_split(text,' '), t -> list_contains(['el','los','una'], t))) AS s_es,
+        |    len(list_filter(str_split(text,' '), t -> list_contains(['le','les','une'], t))) AS s_fr
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |         WHEN s_de > 0 AND s_de >= greatest(s_es, s_fr) THEN 'de'
+        |         WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, COUNT(*) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "l9_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 4503599627370496) AS fp64
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  )
+}

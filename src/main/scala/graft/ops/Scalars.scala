@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.7 — scalar function families, one grouped verification query
+  * per family, evaluated over real testdata columns.
+  *
+  * Oracle SQL is written defensively around Spark↔DuckDB drift:
+  * regexp_replace needs the 'g' flag in DuckDB, dayofweek differs by one,
+  * list functions are `list_*`, double→string formatting is checked only on
+  * values both engines print identically (shortest round-trip).
+  *
+  * Scale notes: all functions here are codegen'd row-ops inside
+  * WholeStageCodegen — no shuffle except the final sort.
+  */
+object Scalars extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // String family.
+    "sc1_string" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("cat"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_name")).as("name_len"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          trim(lit("  pad  ")).as("trimmed"),
+          regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+          lpad(col("p_brand"), 12, ".").as("brand_pad"),
+          instr(col("p_type"), "BRASS").cast("long").as("brass_pos"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_name").contains("steel").as("has_steel"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(col("p_brand"), 2).as("brand2"),
+          split(col("p_name"), " ").getItem(0).as("first_word"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time family.
+    "sc2_datetime" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow_sunday0"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("plus90d"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_2002"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym_str"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math family (exact ops + correctly-rounded sqrt; libm-dependent
+    // exp/ln rounded to 6dp, far above cross-libm ulp noise).
+    "sc3_math" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          abs(col("c_acctbal")).as("bal_abs"),
+          ceil(col("c_acctbal")).as("bal_ceil"),
+          floor(col("c_acctbal")).as("bal_floor"),
+          signum(col("c_acctbal")).as("bal_sign"),
+          round(sqrt(abs(col("c_acctbal"))), 6).as("bal_sqrt"),
+          round(exp(col("c_acctbal") / 10000.0), 6).as("bal_exp"),
+          round(log(abs(col("c_acctbal")) + 1.0), 6).as("bal_ln"),
+          (col("c_custkey") % 7).as("key_mod7"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Array family over embeddings (higher-order functions).
+    "sc4_array" -> ((s, d) => {
+      Tables.embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding").getItem(0).cast("double").as("first_elem"),
+          element_at(col("embedding"), 64).cast("double").as("last_elem"),
+          slice(col("embedding"), 1, 3).cast("array<double>").as("head3"),
+          array_max(col("embedding")).cast("double").as("vmax"),
+          array_min(col("embedding")).cast("double").as("vmin"),
+          expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+          expr("CAST(sort_array(slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 4)) AS ARRAY<DOUBLE>)").as("sorted4"),
+          array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Map / struct family (built from JSON props).
+    "sc5_map_struct" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k_from_struct"),
+          map_keys(from_json(col("props"), lit("map<string,int>"))).getItem(0).as("first_key"),
+          struct(col("user_id").as("u"), col("event_type").as("t"))
+            .getField("t").as("type_via_struct"))
+        .orderBy(col("event_id"))
+    }),
+
+    // JSON family over events.props.
+    "sc6_json" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          get_json_object(col("props"), "$.missing").as("missing_key"),
+          to_json(struct(col("user_id").as("u"))).as("built_json"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Hash/checksum family (md5/sha2 portable; xxhash64 Spark-native, cross-
+    // checked in unit tests instead).
+    "sc7_hash" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"),
+          sha2(col("text").cast("binary"), 256).as("text_sha256"),
+          md5(concat(col("lang"), lit("|"), col("source")).cast("binary")).as("meta_md5"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sc1_string" ->
+      """SELECT p_partkey,
+        |  p_brand || ':' || p_type AS cat,
+        |  substring(p_name, 1, 5) AS name5,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  trim('  pad  ') AS trimmed,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  lpad(p_brand, 12, '.') AS brand_pad,
+        |  CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  contains(p_name, 'steel') AS has_steel,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat(p_brand, 2) AS brand2,
+        |  str_split(p_name, ' ')[1] AS first_word
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "sc2_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow_sunday0,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 90 DAY AS plus90d,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  strftime(o_orderdate, '%Y-%m') AS ym_str,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "sc3_math" ->
+      """SELECT c_custkey,
+        |  abs(c_acctbal) AS bal_abs,
+        |  ceil(c_acctbal) AS bal_ceil,
+        |  floor(c_acctbal) AS bal_floor,
+        |  CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
+        |  round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+        |  round(exp(c_acctbal / 10000.0), 6) AS bal_exp,
+        |  round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
+        |  c_custkey % 7 AS key_mod7,
+        |  greatest(c_acctbal, 0.0) AS bal_pos,
+        |  least(c_acctbal, 1000.0) AS bal_cap
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+
+    "sc4_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  CAST(embedding[64] AS DOUBLE) AS last_elem,
+        |  CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  list_sort(CAST(list_transform(embedding, x -> CAST(x AS DOUBLE)) AS DOUBLE[])[1:4]) AS sorted4,
+        |  list_contains(embedding, 0.0) AS has_zero
+        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
+    "sc5_map_struct" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_from_struct,
+        |  json_keys(props)[1] AS first_key,
+        |  event_type AS type_via_struct
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "sc6_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS missing_key,
+        |  '{"u":' || CAST(user_id AS VARCHAR) || '}' AS built_json
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "sc7_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS text_md5,
+        |  sha256(text) AS text_sha256,
+        |  md5(lang || '|' || source) AS meta_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+  )
+}

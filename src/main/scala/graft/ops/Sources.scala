@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.{Det, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** SURVEY §2.1 — scans, sources, sinks.
+  *
+  * Round-trip queries write a deterministic derivation of a driver table to
+  * a scratch dir in the requested format, read it back through the real
+  * source path, and produce an oracle-checkable result — exercising writer
+  * + reader + schema handling end-to-end.
+  *
+  * Scale notes: the partitioned layout (S6) is the 100 TB pattern —
+  * directory-partition on a low-cardinality column so partition pruning
+  * skips data before any I/O; `.explain` shows PartitionFilters. CSV/JSON
+  * reads use explicit schemas (no inference pass over the data).
+  */
+object Sources extends QueryModule {
+  import Det._
+
+  private def scratch(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S1: parquet scan with pushed filter + pruned columns.
+    "s1_parquet_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // S2: CSV round-trip (write region as CSV, read back with schema).
+    "s2_csv_roundtrip" -> ((s, d) => {
+      val out = scratch("graft_csv")
+      Tables.region(s, d).orderBy(col("r_regionkey"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // S3: JSONL round-trip (write nation as JSON lines, read back).
+    "s3_json_roundtrip" -> ((s, d) => {
+      val out = scratch("graft_json")
+      Tables.nation(s, d).orderBy(col("n_nationkey"))
+        .coalesce(1).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).json(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // S4: parquet sink — write an aggregate, read it back.
+    "s4_parquet_sink" -> ((s, d) => {
+      val out = scratch("graft_sink")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy(col("o_orderstatus"))
+    }),
+
+    // S6: directory-partitioned layout — write orders partitioned by
+    // status, read the tree back, filter one partition (pruning).
+    "s6_partitioned_scan" -> ((s, d) => {
+      val out = scratch("graft_part")
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_parquet_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "s2_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "s3_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "s4_parquet_sink" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "s6_partitioned_scan" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

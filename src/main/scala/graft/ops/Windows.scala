@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY §2.5 — window functions.
+  *
+  * Determinism: window ORDER BY always ends on a unique key; windowed sums
+  * of doubles go through an exact-decimal cast (same rationale as Det.dsum —
+  * DuckDB evaluates running sums with a segment tree, Spark incrementally,
+  * so double accumulation order differs between engines).
+  *
+  * Scale notes: `partitionBy` keys are high-cardinality (custkey, user_id)
+  * so window state stays small per partition; a window without partitionBy
+  * would single-task at 100 TB and is never declared here.
+  */
+object Windows extends QueryModule {
+
+  private def wsum(c: org.apache.spark.sql.Column) = c.cast(DecimalType(30, 6))
+
+  val queries: Map[String, Q] = Map(
+    // W1: ranking family over orders per customer.
+    "w1_ranking" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // ranks cast to long: DuckDB window ranks are BIGINT, Spark's are int
+      Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // W2: lag / lead over each user's event timeline.
+    "w2_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lag(col("event_id"), 2, -1L).over(w).as("prev2_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W3: running aggregate, unbounded-preceding → current row.
+    "w3_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(wsum(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"),
+          count(lit(1)).over(w).as("running_orders"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // W4: RANGE frame over a numeric ordering column (SQL frame syntax so
+    // the int literal bounds coerce against the double ordering column).
+    "w4_range_frame" -> ((s, d) => {
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+        .selectExpr("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          """count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n_within_5""",
+          """CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS DOUBLE) AS qty_within_5""")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+    }),
+
+    // W5: first_value / last_value / nth_value with explicit full frame.
+    "w5_value_fns" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 3).over(w).as("third_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W6: top-k per group (window + rank filter).
+    "w6_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w1_ranking" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "w2_lag_lead" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  lag(event_id, 2, -1) OVER w AS prev2_id
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w3_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS running_spend,
+        |  COUNT(*) OVER w AS running_orders
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  COUNT(*) OVER w AS n_within_5,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER w AS DOUBLE) AS qty_within_5
+        |FROM lineitem WHERE l_orderkey < 200
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        |             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+
+    "w5_value_fns" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 3) OVER w AS third_type
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w6_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rn, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin
+  )
+}
