@@ -24,7 +24,7 @@ object LlmOps extends QueryModule {
   private val Stopwords = Seq("the", "a", "of", "to", "in")
 
   // ---- L3 shared: brute-force top-k cosine neighbors --------------------
-  private def knn(s: SparkSession, d: String, k: Int): DataFrame = {
+  def knn(s: SparkSession, d: String, k: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy bounds for the approx operators that (by design) have no SQL
+  * oracle — SURVEY §2.4 A3/A7b, §5.3.
+  */
+class ApproxSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("approx_count_distinct within rsd of exact (A3)") {
+    val e = Tables.events(spark, sf)
+    val exact = e.select(countDistinct($"user_id")).as[Long].head().toDouble
+    val approx = e.select(approx_count_distinct($"user_id", 0.02)).as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact <= 0.06,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile close to exact percentile (A7b)") {
+    val o = Tables.orders(spark, sf)
+    val exact = o.selectExpr("percentile(o_totalprice, 0.5)").as[Double].head()
+    val approx = o.selectExpr("approx_percentile(o_totalprice, 0.5, 1000)").as[Double].head()
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("sample returns roughly the requested fraction (O9)") {
+    val n = Tables.lineitem(spark, sf).count().toDouble
+    val s10 = Tables.lineitem(spark, sf).sample(withReplacement = false, 0.1, 42).count().toDouble
+    assert(s10 / n > 0.05 && s10 / n < 0.15, s"fraction=${s10 / n}")
+  }
+
+  test("IVF ANN recall vs brute force on clustered data (L3b)") {
+    // The driver embeddings are RANDOM unit vectors (labels carry no
+    // geometry — verified), where coarse quantization cannot work by
+    // construction. Build genuinely clustered data with the same schema
+    // and point the same query functions at it.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 200).map { i =>
+      val label = i % 5
+      val v = centers(label).map(c => c + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, label)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = ops.LlmOps.knn(spark, dir, 5)
+      .select($"qid", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = ops.LlmOps.queries("l3b_knn_ivf")(spark, dir)
+      .select($"qid", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.95, s"IVF recall $recall on clustered data")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** SURVEY §5.2 — semantic edge cases: outer-join nulls, NOT IN null
+  * semantics, session boundaries, empty inputs.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("left join emits null rows for unmatched keys") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val right = Seq((1, 10.0)).toDF("k", "w")
+    val out = left.join(right, Seq("k"), "left").orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(0).getDouble(2) == 10.0)
+    assert(out(1).isNullAt(2) && out(2).isNullAt(2))
+  }
+
+  test("anti join differs from NOT IN when nulls present (J4)") {
+    val left = Seq(1, 2, 3).toDF("k")
+    val right = Seq(Some(1), None).toDF("k")
+    // NOT EXISTS / anti-join: rows 2 and 3 survive
+    val anti = left.join(right, Seq("k"), "left_anti").orderBy("k")
+      .as[Int].collect()
+    assert(anti.sameElements(Array(2, 3)))
+    // NOT IN with a null in the list matches NOTHING (three-valued logic)
+    left.createOrReplaceTempView("edge_l")
+    right.createOrReplaceTempView("edge_r")
+    val notIn = spark.sql(
+      "SELECT k FROM edge_l WHERE k NOT IN (SELECT k FROM edge_r)").collect()
+    assert(notIn.isEmpty)
+  }
+
+  test("sessionization boundary: gap exactly 30min stays in-session (E3)") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, 1L, t0), (2L, 1L, plus(30)),          // exactly 30min -> same session
+      (3L, 1L, plus(61)),                        // 31min gap -> new session
+      (4L, 2L, t0)
+    ).toDF("event_id", "user_id", "ts")
+    events.createOrReplaceTempView("edge_events")
+    val sessions = spark.sql(
+      """SELECT user_id, SUM(new_session) AS n FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_session
+        |  FROM edge_events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin).collect()
+    assert(sessions(0).getLong(1) == 2) // user 1: {e1,e2}, {e3}
+    assert(sessions(1).getLong(1) == 1) // user 2: {e4}
+  }
+
+  test("dedup-first keeps earliest by (ts, event_id) tiebreak (E5)") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((5L, 1L, "click", t), (2L, 1L, "click", t), (9L, 1L, "view", t))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val first = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1).select($"event_type", $"event_id")
+      .orderBy($"event_type").as[(String, Long)].collect()
+    assert(first.sameElements(Array(("click", 2L), ("view", 9L))))
+  }
+
+  test("aggregation over empty input yields no groups / null global aggs") {
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(empty.groupBy("k").agg(sum("v")).collect().isEmpty)
+    val global = empty.agg(sum("v"), count(lit(1))).collect()(0)
+    assert(global.isNullAt(0) && global.getLong(1) == 0L)
+  }
+
+  test("try_cast yields null on failure instead of ANSI error (F4)") {
+    val out = Seq("12", "x", "").toDF("s")
+      .selectExpr("try_cast(s AS INT) AS i").as[Option[Int]].collect()
+    assert(out.sameElements(Array(Some(12), None, None)))
+  }
+
+  test("Det.dsum is exact for 2-dp money and order-independent") {
+    val vals = (1 to 1000).map(i => i * 0.01)
+    val a = vals.toDF("v").repartition(7).agg(Det.dsum($"v")).as[Double].head()
+    val b = vals.reverse.toDF("v").repartition(3).agg(Det.dsum($"v")).as[Double].head()
+    assert(a == b && a == 5005.0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming wrappers produce the same answers as the batch
+  * §2.8 operators on the same data (SURVEY §2.8 upgrade-path contract).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+class StreamingSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def ts(min: Int) =
+    new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+
+  private val sample = Seq(
+    Ev(1, ts(0), 1, "click"), Ev(2, ts(10), 1, "click"),
+    Ev(3, ts(70), 1, "view"), Ev(4, ts(75), 2, "click"),
+    Ev(2, ts(10), 1, "click") // duplicate event_id for dedup test
+  )
+
+  test("streaming tumbling counts == batch tumbling counts (E1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample)
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_tumbling")
+      .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")
+      .orderBy("w", "event_type").as[(Long, String, Long)].collect()
+    val batch = sample.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")
+      .orderBy("w", "event_type").as[(Long, String, Long)].collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming dedup drops duplicate ids within watermark (E5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample)
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("t_dedup").count() == 4) // 5 rows, one dup id
+  }
+
+  test("streaming session windows group by 30-minute gaps (E3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample.distinct)
+    val q = EventStreams.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("t_sessions")
+      .select($"user_id", $"n_events").orderBy($"user_id", $"n_events")
+      .as[(Long, Long)].collect()
+    // user 1: {e1,e2} then {e3}; user 2: {e4}
+    assert(out.sameElements(Array((1L, 1L), (1L, 2L), (2L, 1L))))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Unit + property coverage for the dedup primitives (SURVEY §5.3):
+  * MinHash estimates track exact Jaccard, SimHash hamming tracks edit
+  * similarity, fingerprints are stable.
+  */
+class TextFunctionsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def jaccardExact(a: String, b: String, k: Int): Double = {
+    val sa = a.sliding(k).toSet
+    val sb = b.sliding(k).toSet
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private def minhashEstimate(a: String, b: String): (Double, Double) = {
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select($"id", TF.minhashSignature(
+        TF.shingleHashes(TF.charShingles($"text", 5)), 64).as("sig"))
+    val sigs = df.orderBy("id").as[(Long, Seq[Long])].collect()
+    val est = sigs(0)._2.zip(sigs(1)._2).count { case (x, y) => x == y } / 64.0
+    (est, jaccardExact(a, b, 5))
+  }
+
+  test("charShingles produces distinct k-grams") {
+    val sh = Seq("abcdef").toDF("t")
+      .select(TF.charShingles($"t", 3)).as[Seq[String]].head()
+    assert(sh == Seq("abc", "bcd", "cde", "def"))
+  }
+
+  test("wordShingles builds space-joined n-grams") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TF.wordShingles(TF.wordTokens($"t"), 2)).as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhash: identical docs estimate 1.0") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val (est, _) = minhashEstimate(text, text)
+    assert(est == 1.0)
+  }
+
+  test("minhash estimate within 0.2 of exact Jaccard (property, L2)") {
+    val base = "spark engines shuffle partitions and aggregate columnar batches " * 3
+    val variants = Seq(
+      base,
+      base.replace("shuffle", "exchange"),
+      base.take(base.length / 2) + " totally different suffix content here",
+      "completely unrelated text about cooking recipes and gardens")
+    for (v <- variants) {
+      val (est, exact) = minhashEstimate(base, v)
+      assert(math.abs(est - exact) <= 0.2,
+        s"est=$est exact=$exact for variant=${v.take(30)}")
+    }
+  }
+
+  test("simhash48: identical text collides, near text is hamming-close") {
+    val a = "spark data pipelines process columnar batches at scale every day"
+    val b = "spark data pipelines process columnar batches at scale every night"
+    val c = "unrelated words entirely different domain vocabulary cooking"
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "t")
+      .select($"id", TF.simhash48(TF.wordTokens($"t")).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
+  test("rollingFingerprint: stable, prefix-sensitive") {
+    val df = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcdeg")).toDF("id", "t")
+      .select($"id", TF.rollingFingerprint($"t", 64).as("fp"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+}
