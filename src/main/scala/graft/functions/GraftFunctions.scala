@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registry for the engine's native expressions. Declared queries call
+  * `register(spark)` themselves (idempotent), so the harness sessions need
+  * no extra configuration; `GraftExtensions` injects the same set for
+  * sessions configured with spark.sql.extensions.
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarityExpression].getName, "cosine_sim"),
+      (e: Seq[Expression]) => CosineSimilarityExpression(e(0), e(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "minhash_sig"),
+      (e: Seq[Expression]) => MinHashSignatureExpression(e(0), 64)),
+    (FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[SimHash48Expression].getName, "simhash48"),
+      (e: Seq[Expression]) => SimHash48Expression(e(0))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  // Column-API entry points (require register() on the session first).
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def minhashSig(hashes: Column): Column = call_function("minhash_sig", hashes)
+  def simhash48(hashes: Column): Column = call_function("simhash48", hashes)
+}

@@ -69,8 +69,10 @@ object Events extends QueryModule {
     // the corpus max timestamp (watermark analogue).
     "e4_late_data" -> ((s, d) => {
       val e = Tables.events(s, d)
-      val withMax = e.withColumn("max_ts", max(col("ts")).over(Window.partitionBy()))
-      withMax
+      // global max via tiny agg + broadcast cross join — a window over an
+      // empty partitionBy would funnel every row through one task at scale
+      val mx = e.agg(max(col("ts")).as("max_ts"))
+      e.crossJoin(broadcast(mx))
         .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 DAY"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_kept"))

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, QueryModule, Tables}
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{CosineSimilarityExpression, GraftFunctions => GF, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -25,13 +25,17 @@ object LlmOps extends QueryModule {
 
   // ---- L3 shared: brute-force top-k cosine neighbors --------------------
   def knn(s: SparkSession, d: String, k: Int): DataFrame = {
+    // native codegen'd cosine (bit-identical to VF.cosine, ~5x less
+    // expression overhead in the scoring loop)
+    CosineSimilarityExpression.register(s)
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), VF.cosine(col("qvec"), col("cvec")).as("sim"))
+      .select(col("qid"), col("cid"),
+        CosineSimilarityExpression.cosineSim(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -51,10 +55,11 @@ object LlmOps extends QueryModule {
     // L2: MinHash + LSH banding near-dup candidates — approx pipeline,
     // no SQL oracle (rows-only); estimator accuracy is unit-tested.
     "l2_minhash_lsh" -> ((s, d) => {
+      GF.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
-          TF.minhashSignature(
-            TF.shingleHashes(TF.charShingles(col("text"), 5)), 64).as("sig"))
+          GF.minhashSig(
+            TF.shingleHashes(TF.charShingles(col("text"), 5))).as("sig"))
       val banded = docs.select(col("doc_id"), col("sig"),
           posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))
       val a = banded.select(col("band"), col("bh"),
@@ -74,18 +79,19 @@ object LlmOps extends QueryModule {
     // L2b: exact n-gram Jaccard on a bounded subset — the oracle-checkable
     // ground truth the MinHash estimator approximates.
     "l2b_jaccard_exact" -> ((s, d) => {
+      // carry |shingles(doc)| through the explode so intersection counts
+      // and union sizes come out of ONE self-join (no extra size joins)
       val docs = Tables.documents(s, d).filter(col("source") === "src0")
         .select(col("doc_id"),
           array_distinct(TF.wordShingles(TF.wordTokens(col("text")), 3)).as("sh"))
-      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val inter = exploded.as("x").join(exploded.as("y"), Seq("shingle"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val exploded = docs.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      val x = exploded.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))
+      val y = exploded.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("nb"))
+      x.join(y, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
         .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
         .filter(col("jaccard") >= 0.05)
@@ -94,9 +100,10 @@ object LlmOps extends QueryModule {
 
     // L2c: SimHash near-dup pairs within language — no oracle (rows-only).
     "l2c_simhash" -> ((s, d) => {
+      GF.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          TF.simhash48(TF.wordTokens(col("text"))).as("sh"))
+          GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
       val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
@@ -202,10 +209,12 @@ object LlmOps extends QueryModule {
 
     // L8: heuristic language-ID by marker-token overlap, confusion counts.
     "l8_langid" -> ((s, d) => {
-      val toks = TF.wordTokens(col("text"))
+      // tokenize ONCE into a column, then score marker overlaps against it
+      // (inlining the split into each score quadruples the interpreted work)
       def score(markers: Seq[String]) =
-        size(filter(toks, t => t.isin(markers: _*)))
+        size(filter(col("toks"), t => t.isin(markers: _*)))
       Tables.documents(s, d)
+        .withColumn("toks", TF.wordTokens(col("text")))
         .select(col("doc_id"), col("lang"),
           score(Seq("the", "a", "of")).as("s_en"),
           score(Seq("der", "die", "das")).as("s_de"),

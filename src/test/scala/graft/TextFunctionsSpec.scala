@@ -69,6 +69,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
   }
 
+  test("native sketch expressions == higher-order reference implementations") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val hashes = TF.shingleHashes(TF.charShingles($"text", 5))
+    val cmp = docs.select(
+      graft.functions.GraftFunctions.minhashSig(hashes).as("native_mh"),
+      TF.minhashSignature(hashes, 64).as("hof_mh"),
+      graft.functions.GraftFunctions.simhash48(TF.shingleHashes(TF.wordTokens($"text"))).as("native_sh"),
+      TF.simhash48(TF.wordTokens($"text")).as("hof_sh"))
+    assert(cmp.filter($"native_mh" =!= $"hof_mh" || $"native_sh" =!= $"hof_sh").count() == 0)
+  }
+
+  test("native cosine_sim == higher-order cosine bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(100)
+      .select($"embedding".as("a"), org.apache.spark.sql.functions.reverse($"embedding").as("b"))
+    val diff = e.select(
+      graft.functions.GraftFunctions.cosineSim($"a", $"b").as("native"),
+      graft.functions.VectorFunctions.cosine($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("rollingFingerprint: stable, prefix-sensitive") {
     val df = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcdeg")).toDF("id", "t")
       .select($"id", TF.rollingFingerprint($"t", 64).as("fp"))
