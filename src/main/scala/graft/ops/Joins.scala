@@ -60,6 +60,16 @@ object Joins extends QueryModule {
         .orderBy(col("custkey"))
     }),
 
+    // J2c: right outer join (dim side right of the fact).
+    "j2c_right_outer" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      val c = Tables.customer(s, d)
+      big.join(c, big("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // J3: left semi join (EXISTS / IN).
     "j3_semi" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -178,6 +188,12 @@ object Joins extends QueryModule {
         |  COALESCE(n_small, 0) AS n_small, COALESCE(n_big, 0) AS n_big
         |FROM lo FULL OUTER JOIN hi ON lo.o_custkey = hi.o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "j2c_right_outer" ->
+      """SELECT c_nationkey, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_big_orders
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |RIGHT JOIN customer ON o.o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "j3_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

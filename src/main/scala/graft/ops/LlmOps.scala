@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, QueryModule, Tables}
-import graft.functions.{CosineSimilarityExpression, GraftFunctions => GF, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{CentroidAggregator, CosineSimilarityExpression, GraftFunctions => GF, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -194,6 +194,21 @@ object LlmOps extends QueryModule {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // L6b: same centroids through the typed Aggregator UDAF (§2.10) —
+    // quantized-long buffers make it order-independent and oracle-equal.
+    "l6b_centroid_udaf" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(CentroidAggregator.centroid(col("embedding")).as("cent"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), posexplode(col("cent")).as(Seq("pos", "centroid")),
+          col("n_vecs"))
+        .filter(col("pos") < 8)
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("centroid"), col("n_vecs"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // L7: multimodal/binary column carry-through (decode stubbed — see
     // graft.multimodal for the batched featurizer plumbing).
     "l7_multimodal" -> ((s, d) => {
@@ -306,6 +321,14 @@ object LlmOps extends QueryModule {
         |FROM base ORDER BY doc_id""".stripMargin,
 
     "l6_embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM embeddings, generate_series(1, 8) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "l6b_centroid_udaf" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
         |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
         |    AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
