@@ -9,6 +9,10 @@ import java.sql.Timestamp
 class EdgeCaseSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
+  test("driver smoke contract: SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("left join emits null rows for unmatched keys") {
     val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val right = Seq((1, 10.0)).toDF("k", "w")
