@@ -21,7 +21,20 @@ object GraftFunctions {
       (e: Seq[Expression]) => MinHashSignatureExpression(e(0), 64)),
     (FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expression].getName, "simhash48"),
-      (e: Seq[Expression]) => SimHash48Expression(e(0))))
+      (e: Seq[Expression]) => SimHash48Expression(e(0))),
+    (FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[CharShinglesExpression].getName, "char_shingles"),
+      (e: Seq[Expression]) => CharShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
+      (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))))
+
+  private def litInt(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"expected foldable int literal, got $other")
+    }
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>
@@ -32,4 +45,8 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def minhashSig(hashes: Column): Column = call_function("minhash_sig", hashes)
   def simhash48(hashes: Column): Column = call_function("simhash48", hashes)
+  def charShingles(text: Column, k: Int): Column =
+    call_function("char_shingles", text, org.apache.spark.sql.functions.lit(k))
+  def wordShingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
 }

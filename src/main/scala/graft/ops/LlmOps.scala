@@ -59,7 +59,7 @@ object LlmOps extends QueryModule {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           GF.minhashSig(
-            TF.shingleHashes(TF.charShingles(col("text"), 5))).as("sig"))
+            TF.shingleHashes(GF.charShingles(col("text"), 5))).as("sig"))
       val banded = docs.select(col("doc_id"), col("sig"),
           posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))
       val a = banded.select(col("band"), col("bh"),
@@ -81,9 +81,10 @@ object LlmOps extends QueryModule {
     "l2b_jaccard_exact" -> ((s, d) => {
       // carry |shingles(doc)| through the explode so intersection counts
       // and union sizes come out of ONE self-join (no extra size joins)
+      GF.register(s)
       val docs = Tables.documents(s, d).filter(col("source") === "src0")
         .select(col("doc_id"),
-          array_distinct(TF.wordShingles(TF.wordTokens(col("text")), 3)).as("sh"))
+          GF.wordShingles(TF.wordTokens(col("text")), 3).as("sh"))
       val exploded = docs.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       val x = exploded.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))

@@ -81,6 +81,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter($"native_mh" =!= $"hof_mh" || $"native_sh" =!= $"hof_sh").count() == 0)
   }
 
+  test("native shingle kernels == higher-order reference implementations") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.{GraftFunctions => GF}
+    val docs = Tables.documents(spark, sf).limit(50)
+    val cmp = docs.select(
+      GF.charShingles($"text", 5).as("native_cs"),
+      TF.charShingles($"text", 5).as("hof_cs"),
+      GF.wordShingles(TF.wordTokens($"text"), 3).as("native_ws"),
+      TF.wordShingles(TF.wordTokens($"text"), 3).as("hof_ws"))
+    assert(cmp.filter($"native_cs" =!= $"hof_cs" || $"native_ws" =!= $"hof_ws").count() == 0)
+  }
+
   test("native cosine_sim == higher-order cosine bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(100)
