@@ -92,6 +92,21 @@ object Scalars extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // String family, part 2: Presto-flavored functions.
+    "sc1b_string_extras" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          ascii(col("p_name")).as("first_cp"),
+          expr("char(65 + p_partkey % 26)").as("letter"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("lowered_vowels"),
+          locate("a", col("p_name")).cast("long").as("a_pos"),
+          expr("left(p_name, 4)").as("head4"),
+          expr("right(p_name, 3)").as("tail3"),
+          expr("split_part(p_name, ' ', 2)").as("second_word"),
+          levenshtein(col("p_brand"), lit("Brand#1")).as("lev_to_b1"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Map / struct family (built from JSON props).
     "sc5_map_struct" -> ((s, d) => {
       Tables.events(s, d).filter(col("event_id") < 500)
@@ -144,6 +159,30 @@ object Scalars extends QueryModule {
         |  reverse(p_brand) AS brand_rev,
         |  repeat(p_brand, 2) AS brand2,
         |  str_split(p_name, ' ')[1] AS first_word
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "sc1b_string_extras" ->
+      """SELECT p_partkey,
+        |  CAST(ascii(p_name) AS INT) AS first_cp,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+        |  left(p_name, 4) AS head4,
+        |  right(p_name, 3) AS tail3,
+        |  split_part(p_name, ' ', 2) AS second_word,
+        |  CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_to_b1
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "sc1b_string_extras" ->
+      """SELECT p_partkey,
+        |  CAST(ascii(p_name) AS INT) AS first_cp,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+        |  left(p_name, 4) AS head4,
+        |  right(p_name, 3) AS tail3,
+        |  split_part(p_name, ' ', 2) AS second_word,
+        |  CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_to_b1
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
 
     "sc2_datetime" ->

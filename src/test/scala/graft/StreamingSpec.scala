@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming sliding counts == batch sliding counts (E2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample.distinct)
+    val q = EventStreams.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_sliding")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_sliding")
+      .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")
+      .orderBy("w", "event_type").as[(Long, String, Long)].collect()
+    val batch = sample.distinct.toDF()
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")
+      .orderBy("w", "event_type").as[(Long, String, Long)].collect()
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming dedup drops duplicate ids within watermark (E5)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
