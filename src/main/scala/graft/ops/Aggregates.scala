@@ -137,6 +137,18 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_orderkey"))
     }),
 
+    // A11: map_agg (Presto) — emitted as a sorted entry list so the
+    // result is order-deterministic and arrow-comparable on both engines.
+    "a11_map_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(
+          col("event_type").as("k"), col("event_id").as("v")))).as("entries"))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), expr("slice(entries, 1, 3)").as("first3"))
+        .orderBy(col("user_id"))
+    }),
+
     // A9: min_by / max_by (argmin/argmax).
     "a9_min_max_by" -> ((s, d) => {
       Tables.orders(s, d)
@@ -224,6 +236,18 @@ object Aggregates extends QueryModule {
         |  list_sort(list(DISTINCT l_returnflag)) AS flags
         |FROM lineitem WHERE l_orderkey < 50
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "a11_map_agg" ->
+      """SELECT user_id,
+        |  list_sort(list(struct_pack(k := event_type, v := event_id)))[1:3] AS first3
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a11_map_agg" ->
+      """SELECT user_id,
+        |  list_sort(list(struct_pack(k := event_type, v := event_id)))[1:3] AS first3
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a9_min_max_by" ->
       // DuckDB arg_max can't order by a struct — emulate the lexicographic

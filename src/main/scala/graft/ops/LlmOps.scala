@@ -122,13 +122,11 @@ object LlmOps extends QueryModule {
     // probe the 2 nearest centroid buckets. Approximate → no oracle.
     "l3b_knn_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // centroids per label (the coarse index)
-      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("cv"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-        .select(col("label").as("clabel"), transform(col("pairs"), p => p.getField("cv")).as("cvec"))
+      // coarse index: per-label centroid via the typed UDAF (single
+      // aggregation pass — no explode/re-collect round trip)
+      val cent = e.groupBy(col("label"))
+        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+        .select(col("label").as("clabel"), col("cvec"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       // nprobe=2 nearest centroids per query
