@@ -13,6 +13,7 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,6 +33,28 @@ object PlanAudit {
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+
+    // Bucketed co-located join: both sides pre-bucketed on the join key →
+    // the sort-merge join should show NO Exchange on either input (the
+    // 100 TB pattern for repeated big-big joins).
+    println("\n================ bucketed orders⋈lineitem ================")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // stale files from a previous audit run break saveAsTable (the
+    // in-memory catalog forgot the table but its location persists)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/tmp/graft-warehouse")).deleteRecursively()
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables.lineitem(spark, sfDir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    // disable auto-broadcast so the plan shows what a big-big join does
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bucketed = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    println(bucketed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }
