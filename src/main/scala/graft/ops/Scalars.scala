@@ -58,6 +58,38 @@ object Scalars extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Date/time family, part 2.
+    "sc2b_datetime_extras" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("as_date"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_first"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          (hour(col("o_orderdate")) + minute(col("o_orderdate"))).as("hm_zero"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math family, part 2: logs, trig, bitwise.
+    "sc3b_math_extras" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          round(log10(abs(col("c_acctbal")) + 1.0), 6).as("lg10"),
+          round(log2(abs(col("c_acctbal")) + 1.0), 6).as("lg2"),
+          round(cbrt(abs(col("c_acctbal"))), 6).as("curt"),
+          round(sin(col("c_custkey") * 0.1), 6).as("sin_k"),
+          round(atan2(col("c_acctbal"), lit(100.0)), 6).as("at2"),
+          round(degrees(col("c_custkey") * 0.01), 6).as("deg"),
+          (col("c_custkey").bitwiseAND(lit(255L))).as("band"),
+          (col("c_custkey").bitwiseOR(lit(16L))).as("bor"),
+          (col("c_custkey").bitwiseXOR(lit(85L))).as("bxor"),
+          shiftleft(col("c_custkey"), 3).as("shl3"),
+          bit_count(col("c_custkey")).cast("long").as("popcount"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Math family (exact ops + correctly-rounded sqrt; libm-dependent
     // exp/ln rounded to 6dp, far above cross-libm ulp noise).
     "sc3_math" -> ((s, d) => {
@@ -198,6 +230,32 @@ object Scalars extends QueryModule {
         |  strftime(o_orderdate, '%Y-%m') AS ym_str,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr
         |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "sc2b_datetime_extras" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS as_date,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(hour(o_orderdate) + minute(o_orderdate) AS INT) AS hm_zero
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "sc3b_math_extras" ->
+      """SELECT c_custkey,
+        |  round(log10(abs(c_acctbal) + 1.0), 6) AS lg10,
+        |  round(log2(abs(c_acctbal) + 1.0), 6) AS lg2,
+        |  round(cbrt(abs(c_acctbal)), 6) AS curt,
+        |  round(sin(c_custkey * 0.1), 6) AS sin_k,
+        |  round(atan2(c_acctbal, 100.0), 6) AS at2,
+        |  round(degrees(c_custkey * 0.01), 6) AS deg,
+        |  c_custkey & 255 AS band,
+        |  c_custkey | 16 AS bor,
+        |  xor(c_custkey, 85) AS bxor,
+        |  c_custkey << 3 AS shl3,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS popcount
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
 
     "sc3_math" ->
       """SELECT c_custkey,
