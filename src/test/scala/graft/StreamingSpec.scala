@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("t_dedup").count() == 4) // 5 rows, one dup id
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap (E3 custom state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.SessionInput]
+    // user 1: two events 10min apart (one session), then a 61-min gap
+    // opens a second session; a later event advances the watermark far
+    // enough to time the open sessions out.
+    stream.addData(Seq(
+      EventStreams.SessionInput(1L, ts(0)), EventStreams.SessionInput(1L, ts(10)),
+      EventStreams.SessionInput(1L, ts(71)), EventStreams.SessionInput(2L, ts(75))))
+    val q = EventStreams.sessionizeWithState(stream.toDS())
+      .writeStream.format("memory").queryName("t_state_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq(EventStreams.SessionInput(9L, ts(600))))
+      q.processAllAvailable()
+      // one more batch so timed-out state from the previous watermark flushes
+      stream.addData(Seq(EventStreams.SessionInput(9L, ts(601))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_state_sessions")
+      .select($"user_id", $"n_events", $"duration_s")
+      .orderBy($"user_id", $"n_events")
+      .as[(Long, Long, Long)].collect()
+    // user 1 session {e1,e2} closed by the 61-min gap inline; sessions
+    // {e3} and user-2 {e4} closed by event-time timeout
+    assert(out.contains((1L, 2L, 600L)))
+    assert(out.contains((1L, 1L, 0L)) && out.contains((2L, 1L, 0L)))
+  }
+
   test("streaming session windows group by 30-minute gaps (E3)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
