@@ -5,7 +5,7 @@ import graft.functions.{CentroidAggregator, CosineSimilarityExpression, GraftFun
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY §2.9 — LLM-data-pipeline operators over `documents` and
   * `embeddings` (mandated beyond the reference's own surface).
