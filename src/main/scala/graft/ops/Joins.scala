@@ -125,21 +125,24 @@ object Joins extends QueryModule {
     }),
 
     // J8: as-of join — for each event, the latest order of the same
-    // customer with o_orderdate <= ts (emulated identically on both sides:
-    // join + row_number, SURVEY §2.3 J8).
+    // customer with o_orderdate <= ts. Scale formulation: pre-reduce the
+    // right side to one row per (custkey, date) — max orderkey, matching
+    // the (date DESC, orderkey DESC) tie-break — then take the lexicographic
+    // max struct per event with a partial-aggregating groupBy instead of a
+    // full window sort over all matches.
     "j8_asof" -> ((s, d) => {
       val e = Tables.events(s, d).filter(col("event_id") < 1000)
         .select(col("event_id"), col("user_id"), col("ts"))
-      val o = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      val joined = e.join(o,
-        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"),
-          col("o_orderdate").as("asof_orderdate"))
+      val oRed = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      e.join(oRed,
+          col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("user_id"),
+          col("m.o_orderkey").as("asof_orderkey"),
+          col("m.o_orderdate").as("asof_orderdate"))
         .orderBy(col("event_id"))
     }),
 

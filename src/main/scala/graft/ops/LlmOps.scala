@@ -60,8 +60,15 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"),
           GF.minhashSig(
             TF.shingleHashes(GF.charShingles(col("text"), 5))).as("sig"))
-      val banded = docs.select(col("doc_id"), col("sig"),
+      val bandedAll = docs.select(col("doc_id"), col("sig"),
           posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))
+      // bucket-size guard: a degenerate bucket (e.g. a boilerplate band all
+      // docs share) would otherwise produce O(bucket²) pairs; docs in such
+      // buckets still pair up through their other 15 bands
+      val smallBuckets = bandedAll.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 500)
+        .select(col("band"), col("bh"))
+      val banded = bandedAll.join(smallBuckets, Seq("band", "bh"))
       val a = banded.select(col("band"), col("bh"),
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = banded.select(col("band"), col("bh"),
