@@ -69,16 +69,20 @@ object LlmOps extends QueryModule {
         .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 500)
         .select(col("band"), col("bh"))
       val banded = bandedAll.join(smallBuckets, Seq("band", "bh"))
-      val a = banded.select(col("band"), col("bh"),
-        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band"), col("bh"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      // dedupe candidate PAIRS before scoring — a near-dup pair co-occurs
+      // in many bands and the 64-wide signature compare should run once
+      val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+      val pairs = a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => x === y), (m: org.apache.spark.sql.Column) => m)) / lit(64.0))
             .as("est_jaccard"))
-        .distinct()
         .filter(col("est_jaccard") >= 0.35)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
