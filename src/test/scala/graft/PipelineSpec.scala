@@ -57,4 +57,14 @@ class PipelineSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
   }
+
+  test("contract consistency: no module declares a duplicate query name") {
+    val allKeys = Seq(
+      ops.Sources, ops.Filters, ops.Joins, ops.Aggregates, ops.Windows,
+      ops.Relational, ops.Scalars, ops.Events, ops.LlmOps)
+      .flatMap(_.queries.keys)
+    val dupes = allKeys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
+    assert(allKeys.size == SparkEntry.queries.size)
+  }
 }
