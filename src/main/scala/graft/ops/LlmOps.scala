@@ -258,6 +258,19 @@ object LlmOps extends QueryModule {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // L10: deterministic train/val/test split — assignment is a pure
+    // function of content (rolling-hash fingerprint mod 10: 8/1/1), so
+    // the split is stable across runs, partitionings, and engines.
+    "l10_train_split" -> ((s, d) => {
+      val bucket = pmod(TF.rollingFingerprint(col("text"), 64), lit(10L))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -371,6 +384,19 @@ object LlmOps extends QueryModule {
         |  FROM scored)
         |SELECT lang, predicted, COUNT(*) AS n
         |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "l10_train_split" ->
+      """WITH assigned AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(
+        |      list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 10 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM assigned GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "l9_fingerprint" ->
       """SELECT doc_id,
