@@ -70,6 +70,20 @@ object Relational extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // O5b: NOT IN with a null in the subquery — three-valued logic makes
+    // the predicate never-true (contrast with J4's NOT EXISTS).
+    "o5b_not_in_nulls" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 3) FROM orders)) AS n_not_in_with_null,
+          |  (SELECT COUNT(*) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+          |                           AND o_totalprice > 400000.0)) AS n_not_in_clean
+          |""".stripMargin)
+    }),
+
     // O6: CTE chain (WITH ... ) over temp views.
     "o6_cte" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -152,6 +166,15 @@ object Relational extends QueryModule {
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |              AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "o5b_not_in_nulls" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 3) FROM orders)) AS n_not_in_with_null,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+        |                           AND o_totalprice > 400000.0)) AS n_not_in_clean
+        |""".stripMargin,
 
     "o6_cte" ->
       """WITH nat AS (

@@ -139,6 +139,20 @@ object Scalars extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // Array family, part 2: set-ish array operations.
+    "sc4b_array_extras" -> ((s, d) => {
+      Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          array_position(col("embedding"), array_max(col("embedding"))).as("argmax_pos"),
+          expr("CAST(sort_array(array_intersect(slice(embedding, 1, 8), slice(embedding, 5, 8))) AS ARRAY<DOUBLE>)").as("inter_overlap"),
+          arrays_overlap(slice(col("embedding"), 1, 8), slice(col("embedding"), 5, 8)).as("has_overlap"),
+          expr("CAST(array_remove(slice(embedding, 1, 4), element_at(embedding, 2)) AS ARRAY<DOUBLE>)").as("removed2"),
+          expr("CAST(concat(slice(embedding, 1, 2), slice(embedding, 63, 2)) AS ARRAY<DOUBLE>)").as("ends"),
+          expr("CAST(flatten(array(slice(embedding, 1, 2), slice(embedding, 3, 2))) AS ARRAY<DOUBLE>)").as("flat4"),
+          expr("CAST(element_at(reverse(embedding), 1) AS DOUBLE)").as("last_via_reverse"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Map / struct family (built from JSON props).
     "sc5_map_struct" -> ((s, d) => {
       Tables.events(s, d).filter(col("event_id") < 500)
@@ -283,6 +297,17 @@ object Scalars extends QueryModule {
         |  list_sort(CAST(list_transform(embedding, x -> CAST(x AS DOUBLE)) AS DOUBLE[])[1:4]) AS sorted4,
         |  list_contains(embedding, 0.0) AS has_zero
         |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
+    "sc4b_array_extras" ->
+      """SELECT vec_id,
+        |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+        |  CAST(list_sort(list_intersect(embedding[1:8], embedding[5:12])) AS DOUBLE[]) AS inter_overlap,
+        |  list_has_any(embedding[1:8], embedding[5:12]) AS has_overlap,
+        |  CAST(list_filter(embedding[1:4], x -> x != embedding[2]) AS DOUBLE[]) AS removed2,
+        |  CAST(list_concat(embedding[1:2], embedding[63:64]) AS DOUBLE[]) AS ends,
+        |  CAST(flatten([embedding[1:2], embedding[3:4]]) AS DOUBLE[]) AS flat4,
+        |  CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_via_reverse
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
 
     "sc5_map_struct" ->
       """SELECT event_id,

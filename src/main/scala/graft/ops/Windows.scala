@@ -36,6 +36,18 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // W1b: distribution ranks — percent_rank/cume_dist are exact rational
+    // arithmetic on row counts, so doubles agree across engines.
+    "w1b_dist_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // W2: lag / lead over each user's event timeline.
     "w2_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -106,6 +118,13 @@ object Windows extends QueryModule {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "w1b_dist_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "w2_lag_lead" ->
       """SELECT user_id, event_id, event_type,
