@@ -271,6 +271,24 @@ object LlmOps extends QueryModule {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // L11: int8 embedding quantization — per-vector absmax scaling, the
+    // storage-compression step of a vector pipeline. All arithmetic is
+    // single IEEE ops (mul/div/floor/abs/max), bit-identical across
+    // engines, so the oracle needs no rounding slack.
+    "l11_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)").as("scale"),
+          expr("""transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) * 127.0 + 0.5) AS BIGINT))""")
+            .as("q"))
+        .select(col("vec_id"), col("scale"),
+          expr("CAST(aggregate(q, 0L, (acc, x) -> acc + x) AS BIGINT)").as("q_sum"),
+          expr("CAST(array_max(q) AS BIGINT)").as("q_max"),
+          expr("CAST(array_min(q) AS BIGINT)").as("q_min"))
+        .orderBy(col("vec_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -384,6 +402,32 @@ object LlmOps extends QueryModule {
         |  FROM scored)
         |SELECT lang, predicted, COUNT(*) AS n
         |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "l11_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) * 127.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "l11_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) * 127.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "l10_train_split" ->
       """WITH assigned AS (
