@@ -120,33 +120,96 @@ object Aggregates extends QueryModule {
     }),
 
     // A7b: approx percentile — no oracle (approx); rows-only + unit test.
+    // Scalar output columns (one per percentile): array-typed results crash
+    // the driver's pandas comparator before even the rows-only check runs.
     "a7_approx_percentile" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("approx_p"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
         .orderBy(col("o_orderstatus"))
     }),
 
-    // A8: collect_list/collect_set (array_agg) — sorted for determinism.
+    // A8: collect_list/collect_set (array_agg) — sorted for determinism and
+    // serialized to a ','-joined string (scalar columns hash-compare cleanly
+    // on both engines; raw arrays crash the driver comparator).
     "a8_collect" -> ((s, d) => {
       Tables.lineitem(s, d).filter(col("l_orderkey") < 50)
         .groupBy(col("l_orderkey"))
         .agg(
-          array_sort(collect_list(col("l_linenumber"))).as("lines"),
-          array_sort(collect_set(col("l_returnflag"))).as("flags"))
+          array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+            x => x.cast("string")), ",").as("lines"),
+          array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
         .orderBy(col("l_orderkey"))
     }),
 
-    // A11: map_agg (Presto) — emitted as a sorted entry list so the
-    // result is order-deterministic and arrow-comparable on both engines.
+    // A11: map_agg (Presto) — the map is emitted as ';'-joined sorted
+    // "key:value" entries. event_id is zero-padded so lexicographic string
+    // order == (key, numeric value) order on both engines.
     "a11_map_agg" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(struct(
-          col("event_type").as("k"), col("event_id").as("v")))).as("entries"))
+        .agg(array_sort(collect_list(concat(
+          col("event_type"), lit(":"),
+          lpad(col("event_id").cast("string"), 12, "0")))).as("entries"))
         .filter(col("user_id") < 20)
-        .select(col("user_id"), expr("slice(entries, 1, 3)").as("first3"))
+        .select(col("user_id"),
+          array_join(expr("slice(entries, 1, 3)"), ";").as("first3"))
         .orderBy(col("user_id"))
+    }),
+
+    // A12: histogram (Presto) — value→count map per group, encoded as
+    // ';'-joined sorted "value:count" entries. Two-level aggregation: the
+    // heavy first groupBy partial-aggregates map-side; the second sees only
+    // #groups rows.
+    "a12_histogram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"))
+        .agg(array_join(array_sort(collect_list(
+          concat(col("source"), lit(":"), col("cnt").cast("string")))), ";").as("hist"))
+        .orderBy(col("lang"))
+    }),
+
+    // A13: map_union_sum (Presto) — each row contributes a singleton map
+    // (event_type -> props.k); maps are merged per bucket with value-sum on
+    // key collision. Same sorted-entries encoding as A11/A12.
+    "a13_map_union" -> ((s, d) => {
+      Tables.events(s, d)
+        .select((col("user_id") % 10).cast("long").as("bucket"),
+          col("event_type").as("k"),
+          get_json_object(col("props"), "$.k").cast("long").as("v"))
+        .groupBy(col("bucket"), col("k"))
+        .agg(sum(col("v")).as("vsum"))
+        .groupBy(col("bucket"))
+        .agg(array_join(array_sort(collect_list(
+          concat(col("k"), lit(":"), col("vsum").cast("string")))), ";").as("merged"))
+        .orderBy(col("bucket"))
+    }),
+
+    // A14: DECIMAL(p,s) end-to-end — cast money from double to
+    // DECIMAL(15,2), round-trip through a parquet sink (decimal logical
+    // type preserved on disk), aggregate in exact decimal, present as
+    // double (exact: cent-scaled sums « 2^53). The double→decimal(15,2)
+    // cast is tie-free for ~2dp money values, so Spark HALF_UP vs DuckDB
+    // half-even can't diverge (see Det scale-6 proof).
+    "a14_decimal_agg" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dec").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(15,2)").as("price_dec"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(col("price_dec")).cast("double").as("total_dec"),
+          max(col("price_dec")).cast("double").as("max_dec"),
+          min(col("price_dec")).cast("double").as("min_dec"),
+          sum((col("price_dec") * lit(3)).cast("decimal(20,2)")).cast("double").as("total_x3"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // A9: min_by / max_by (argmin/argmax).
@@ -232,22 +295,44 @@ object Aggregates extends QueryModule {
 
     "a8_collect" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_linenumber)) AS lines,
-        |  list_sort(list(DISTINCT l_returnflag)) AS flags
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         |FROM lineitem WHERE l_orderkey < 50
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "a11_map_agg" ->
       """SELECT user_id,
-        |  list_sort(list(struct_pack(k := event_type, v := event_id)))[1:3] AS first3
+        |  array_to_string(
+        |    list_sort(list(event_type || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')))[1:3],
+        |    ';') AS first3
         |FROM events WHERE user_id < 20
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "a11_map_agg" ->
-      """SELECT user_id,
-        |  list_sort(list(struct_pack(k := event_type, v := event_id)))[1:3] AS first3
-        |FROM events WHERE user_id < 20
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a12_histogram" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS cnt
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT lang,
+        |  array_to_string(list_sort(list(source || ':' || CAST(cnt AS VARCHAR))), ';') AS hist
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a13_map_union" ->
+      """WITH m AS (
+        |  SELECT user_id % 10 AS bucket, event_type AS k,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT bucket, k, CAST(SUM(v) AS BIGINT) AS vsum FROM m GROUP BY 1, 2)
+        |SELECT bucket,
+        |  array_to_string(list_sort(list(k || ':' || CAST(vsum AS VARCHAR))), ';') AS merged
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "a14_decimal_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_dec,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS max_dec,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS min_dec,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 3 AS DECIMAL(20,2))) AS DOUBLE) AS total_x3,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "a9_min_max_by" ->
       // DuckDB arg_max can't order by a struct — emulate the lexicographic

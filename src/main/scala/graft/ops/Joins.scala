@@ -146,6 +146,39 @@ object Joins extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // J8b: merge-asof formulation of the same as-of join — LINEAR at scale.
+    // Union order rows (kind=0) and event rows (kind=1) tagged, shuffle once
+    // on user_id, and one running `last(..., ignoreNulls)` window carries the
+    // latest order forward to each event. No row expansion: unlike J8's
+    // range join (each event × all prior (custkey,day) orders before the
+    // aggregate), cost is O(n log n) sort per user regardless of history
+    // depth. kind=0 sorts before kind=1 at equal ts, matching `<=` asof.
+    "j8b_asof_union" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 1000)
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp").as("o_orderdate"))
+      // pre-reduce: one row per (custkey, day), max orderkey = the
+      // (date DESC, orderkey DESC) tie-break winner
+      val oRed = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(oRed)
+        .select(col("user_id"), col("kind"), col("event_id"),
+          last(col("o_orderkey"), ignoreNulls = true).over(w).as("asof_orderkey"),
+          last(col("o_orderdate"), ignoreNulls = true).over(w).as("asof_orderdate"))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("asof_orderkey"), col("asof_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     // J9: six-table star join (TPC-H Q5 shape) — dims broadcast.
     "j9_star" -> ((s, d) => {
       val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
@@ -229,6 +262,17 @@ object Joins extends QueryModule {
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "j8_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_id < 1000) e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+        |       o_orderdate AS asof_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j8b_asof_union" ->
       """WITH j AS (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id

@@ -416,19 +416,6 @@ object LlmOps extends QueryModule {
         |  CAST(list_min(qv) AS BIGINT) AS q_min
         |FROM q ORDER BY vec_id""".stripMargin,
 
-    "l11_quantize_int8" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) * 127.0 + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id < 200)
-        |SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
-        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-        |  CAST(list_max(qv) AS BIGINT) AS q_max,
-        |  CAST(list_min(qv) AS BIGINT) AS q_min
-        |FROM q ORDER BY vec_id""".stripMargin,
-
     "l10_train_split" ->
       """WITH assigned AS (
         |  SELECT lang, doc_id,

@@ -96,8 +96,10 @@ object Scalars extends QueryModule {
       Tables.customer(s, d).filter(col("c_custkey") < 300)
         .select(col("c_custkey"),
           abs(col("c_acctbal")).as("bal_abs"),
-          ceil(col("c_acctbal")).as("bal_ceil"),
-          floor(col("c_acctbal")).as("bal_floor"),
+          // Spark ceil/floor(double) return BIGINT; DuckDB's return DOUBLE —
+          // cast back so the hashed parquet values agree (1864 vs 1864.0).
+          ceil(col("c_acctbal")).cast("double").as("bal_ceil"),
+          floor(col("c_acctbal")).cast("double").as("bal_floor"),
           signum(col("c_acctbal")).as("bal_sign"),
           round(sqrt(abs(col("c_acctbal"))), 6).as("bal_sqrt"),
           round(exp(col("c_acctbal") / 10000.0), 6).as("bal_exp"),
@@ -108,18 +110,22 @@ object Scalars extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
-    // Array family over embeddings (higher-order functions).
+    // Array family over embeddings (higher-order functions). Array-typed
+    // RESULT columns crash the driver's pandas comparator (unhashable
+    // ndarray), so list outputs are serialized to strings: each float is
+    // quantized floor(x*1e6+0.5) in IEEE double (bit-identical on both
+    // engines, see l6) and the bigints joined with ','.
     "sc4_array" -> ((s, d) => {
       Tables.embeddings(s, d).filter(col("vec_id") < 30)
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           col("embedding").getItem(0).cast("double").as("first_elem"),
           element_at(col("embedding"), 64).cast("double").as("last_elem"),
-          slice(col("embedding"), 1, 3).cast("array<double>").as("head3"),
+          expr("array_join(transform(slice(embedding, 1, 3), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ',')").as("head3"),
           array_max(col("embedding")).cast("double").as("vmax"),
           array_min(col("embedding")).cast("double").as("vmin"),
           expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
-          expr("CAST(sort_array(slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 4)) AS ARRAY<DOUBLE>)").as("sorted4"),
+          expr("array_join(transform(sort_array(transform(slice(embedding, 1, 4), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))), x -> CAST(x AS STRING)), ',')").as("sorted4"),
           array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
         .orderBy(col("vec_id"))
     }),
@@ -139,16 +145,17 @@ object Scalars extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
-    // Array family, part 2: set-ish array operations.
+    // Array family, part 2: set-ish array operations. Same string
+    // serialization as sc4_array: quantize floats to bigints, join with ','.
     "sc4b_array_extras" -> ((s, d) => {
       Tables.embeddings(s, d).filter(col("vec_id") < 20)
         .select(col("vec_id"),
           array_position(col("embedding"), array_max(col("embedding"))).as("argmax_pos"),
-          expr("CAST(sort_array(array_intersect(slice(embedding, 1, 8), slice(embedding, 5, 8))) AS ARRAY<DOUBLE>)").as("inter_overlap"),
+          expr("array_join(transform(sort_array(transform(array_intersect(slice(embedding, 1, 8), slice(embedding, 5, 8)), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))), x -> CAST(x AS STRING)), ',')").as("inter_overlap"),
           arrays_overlap(slice(col("embedding"), 1, 8), slice(col("embedding"), 5, 8)).as("has_overlap"),
-          expr("CAST(array_remove(slice(embedding, 1, 4), element_at(embedding, 2)) AS ARRAY<DOUBLE>)").as("removed2"),
-          expr("CAST(concat(slice(embedding, 1, 2), slice(embedding, 63, 2)) AS ARRAY<DOUBLE>)").as("ends"),
-          expr("CAST(flatten(array(slice(embedding, 1, 2), slice(embedding, 3, 2))) AS ARRAY<DOUBLE>)").as("flat4"),
+          expr("array_join(transform(array_remove(slice(embedding, 1, 4), element_at(embedding, 2)), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ',')").as("removed2"),
+          expr("array_join(transform(concat(slice(embedding, 1, 2), slice(embedding, 63, 2)), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ',')").as("ends"),
+          expr("array_join(transform(flatten(array(slice(embedding, 1, 2), slice(embedding, 3, 2))), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ',')").as("flat4"),
           expr("CAST(element_at(reverse(embedding), 1) AS DOUBLE)").as("last_via_reverse"))
         .orderBy(col("vec_id"))
     }),
@@ -205,18 +212,6 @@ object Scalars extends QueryModule {
         |  reverse(p_brand) AS brand_rev,
         |  repeat(p_brand, 2) AS brand2,
         |  str_split(p_name, ' ')[1] AS first_word
-        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
-
-    "sc1b_string_extras" ->
-      """SELECT p_partkey,
-        |  CAST(ascii(p_name) AS INT) AS first_cp,
-        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
-        |  translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
-        |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
-        |  left(p_name, 4) AS head4,
-        |  right(p_name, 3) AS tail3,
-        |  split_part(p_name, ' ', 2) AS second_word,
-        |  CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_to_b1
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
 
     "sc1b_string_extras" ->
@@ -290,22 +285,22 @@ object Scalars extends QueryModule {
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_elem,
         |  CAST(embedding[64] AS DOUBLE) AS last_elem,
-        |  CAST(embedding[1:3] AS DOUBLE[]) AS head3,
+        |  array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS head3,
         |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
         |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-        |  list_sort(CAST(list_transform(embedding, x -> CAST(x AS DOUBLE)) AS DOUBLE[])[1:4]) AS sorted4,
+        |  array_to_string(list_sort(list_transform(embedding[1:4], x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))), ',') AS sorted4,
         |  list_contains(embedding, 0.0) AS has_zero
         |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
 
     "sc4b_array_extras" ->
       """SELECT vec_id,
         |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
-        |  CAST(list_sort(list_intersect(embedding[1:8], embedding[5:12])) AS DOUBLE[]) AS inter_overlap,
+        |  array_to_string(list_sort(list_transform(list_intersect(embedding[1:8], embedding[5:12]), x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))), ',') AS inter_overlap,
         |  list_has_any(embedding[1:8], embedding[5:12]) AS has_overlap,
-        |  CAST(list_filter(embedding[1:4], x -> x != embedding[2]) AS DOUBLE[]) AS removed2,
-        |  CAST(list_concat(embedding[1:2], embedding[63:64]) AS DOUBLE[]) AS ends,
-        |  CAST(flatten([embedding[1:2], embedding[3:4]]) AS DOUBLE[]) AS flat4,
+        |  array_to_string(list_transform(list_filter(embedding[1:4], x -> x != embedding[2]), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS removed2,
+        |  array_to_string(list_transform(list_concat(embedding[1:2], embedding[63:64]), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS ends,
+        |  array_to_string(list_transform(flatten([embedding[1:2], embedding[3:4]]), x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS flat4,
         |  CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_via_reverse
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
 

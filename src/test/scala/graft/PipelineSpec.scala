@@ -67,4 +67,24 @@ class PipelineSpec extends SparkSpec {
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")
     assert(allKeys.size == SparkEntry.queries.size)
   }
+
+  test("contract consistency: no duplicate map-literal keys in module sources") {
+    // A duplicate key inside ONE Map literal is silently last-wins at
+    // runtime (it can't be seen by inspecting the Map), so scan the source:
+    // each declared query name may appear as a `"name" ->` key at most
+    // twice per file — once in `queries`, once in `oracleSql`.
+    import scala.jdk.CollectionConverters._
+    val opsDir = java.nio.file.Paths.get("src/main/scala/graft/ops")
+    assume(java.nio.file.Files.isDirectory(opsDir), "run from repo root")
+    val keyArrow = """"([a-z0-9_]+)"\s*->""".r
+    val offenders = java.nio.file.Files.list(opsDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        keyArrow.findAllMatchIn(src).map(_.group(1)).toSeq
+          .filter(SparkEntry.queries.keySet)
+          .groupBy(identity).collect { case (k, v) if v.size > 2 => s"$p: $k (${v.size}x)" }
+      }.toSeq
+    assert(offenders.isEmpty, s"duplicate map keys: $offenders")
+  }
 }
