@@ -157,7 +157,9 @@ object Joins extends QueryModule {
       val e = Tables.events(s, d).filter(col("event_id") < 1000)
         .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
           lit(null).cast("long").as("o_orderkey"),
-          lit(null).cast("timestamp").as("o_orderdate"))
+          // NTZ to match the parquet-read o_orderdate type — an LTZ null
+          // here would coerce the whole union column and change the schema
+          lit(null).cast("timestamp_ntz").as("o_orderdate"))
       // pre-reduce: one row per (custkey, day), max orderkey = the
       // (date DESC, orderkey DESC) tie-break winner
       val oRed = Tables.orders(s, d)

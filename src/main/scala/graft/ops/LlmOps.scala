@@ -111,14 +111,32 @@ object LlmOps extends QueryModule {
     }),
 
     // L2c: SimHash near-dup pairs within language — no oracle (rows-only).
+    // Hamming-LSH banding (Manku et al., WWW'07 shape): split the 48-bit
+    // fingerprint into 12 bands of 4 bits; two fingerprints within hamming
+    // distance 11 (≥ our 10 threshold) must share at least one exact band
+    // (pigeonhole), so the band-equality join generates candidates with
+    // PERFECT recall and the exact popcount restores precision. Candidate
+    // join key is (lang, band, bval) — never an all-pairs self-join.
+    // Scale note: at this loose threshold (10/48 bits) a 4-bit band is a
+    // weak random-collision filter; the production config is a 64-bit
+    // fingerprint with k=3 → 4×16-bit bands, where each band prunes
+    // ~65536× and the same pigeonhole recall argument holds.
     "l2c_simhash" -> ((s, d) => {
       GF.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
-      val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
+        posexplode(expr("transform(sequence(0, 11), i -> (sh >> (i * 4)) & 15)"))
+          .as(Seq("band", "bval")))
+      val a = banded.select(col("lang"), col("band"), col("bval"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("lang"), col("band"), col("bval"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+        .distinct() // a pair co-occurs in up to 12 bands; score once
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 10)

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.{GraftFunctions => GF, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape guarantees: the linear/bucketed reformulations must return
+  * EXACTLY the same rows as their quadratic/expanding reference forms, and
+  * their physical plans must not contain the node the reformulation removed.
+  */
+class ScaleShapeSpec extends SparkSpec {
+
+  test("l2c Hamming-LSH banding ≡ brute-force all-pairs (recall-exact by pigeonhole)") {
+    val viaLsh = ops.LlmOps.queries("l2c_simhash")(spark, sf)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    GF.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(brute.nonEmpty, "testdata should contain at least one near-dup pair")
+    assert(viaLsh == brute,
+      s"LSH missed: ${brute.diff(viaLsh).take(5)}; extra: ${viaLsh.diff(brute).take(5)}")
+  }
+
+  test("l2c banded plan joins on band keys, not an all-pairs self-join") {
+    val plan = ops.LlmOps.queries("l2c_simhash")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("band"), plan.take(2000))
+  }
+
+  test("j8b merge-asof ≡ j8 range-join as-of, with a join-free plan") {
+    val viaUnion = ops.Joins.queries("j8b_asof_union")(spark, sf).collect().map(_.toSeq)
+    val viaRange = ops.Joins.queries("j8_asof")(spark, sf).collect().map(_.toSeq)
+    assert(viaUnion.nonEmpty)
+    assert(viaUnion.toSeq == viaRange.toSeq)
+
+    val plan = ops.Joins.queries("j8b_asof_union")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"merge-asof must not expand via a join:\n${plan.take(2000)}")
+  }
+}
