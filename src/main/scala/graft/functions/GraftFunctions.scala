@@ -27,13 +27,27 @@ object GraftFunctions {
       (e: Seq[Expression]) => CharShinglesExpression(e(0), litInt(e(1)))),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
-      (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))))
+      (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("try_eval"),
+      new ExpressionInfo(classOf[TryEvalExpression].getName, "try_eval"),
+      (e: Seq[Expression]) => TryEvalExpression(e(0))),
+    (FunctionIdentifier("normalize_str"),
+      new ExpressionInfo(classOf[NormalizeExpression].getName, "normalize_str"),
+      (e: Seq[Expression]) =>
+        NormalizeExpression(e(0), if (e.size > 1) litStr(e(1)) else "NFC")))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {
       case i: Int => i
       case other => throw new IllegalArgumentException(
         s"expected foldable int literal, got $other")
+    }
+
+  private def litStr(e: Expression): String =
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"expected foldable string literal, got $other")
     }
 
   def register(spark: SparkSession): Unit =
@@ -49,4 +63,7 @@ object GraftFunctions {
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(k))
   def wordShingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+  def tryEval(e: Column): Column = call_function("try_eval", e)
+  def normalizeStr(s: Column, form: String = "NFC"): Column =
+    call_function("normalize_str", s, org.apache.spark.sql.functions.lit(form))
 }

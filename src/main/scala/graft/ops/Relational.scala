@@ -124,6 +124,21 @@ object Relational extends QueryModule {
       Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // O10: multi-array zip UNNEST WITH ORDINALITY — two parallel slices
+    // zipped positionally (arrays_zip) and exploded with a 1-based ordinal.
+    // Floats quantized as in sc4 so values hash-match the oracle.
+    "o10_unnest_multi" -> ((s, d) => {
+      Tables.embeddings(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          posexplode(arrays_zip(
+            expr("slice(embedding, 1, 4)"),
+            expr("slice(embedding, 33, 4)"))).as(Seq("pos", "z")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("ord"),
+          expr("CAST(floor(CAST(z['0'] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("v1_q"),
+          expr("CAST(floor(CAST(z['1'] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("v2_q"))
+        .orderBy(col("vec_id"), col("ord"))
     })
   )
 
@@ -202,6 +217,14 @@ object Relational extends QueryModule {
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
         |FROM events WHERE user_id < 25
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // no WITH ORDINALITY in DuckDB 1.0 — generate_series + list indexing
+    "o10_unnest_multi" ->
+      """SELECT vec_id, CAST(i AS BIGINT) AS ord,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v1_q,
+        |  CAST(floor(CAST(embedding[32 + i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v2_q
+        |FROM embeddings, generate_series(1, 4) t(i)
+        |WHERE vec_id < 5 ORDER BY vec_id, ord""".stripMargin
   )
 }

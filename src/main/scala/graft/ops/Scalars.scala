@@ -182,6 +182,61 @@ object Scalars extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Generalized TRY(expr) — Presto semantics: NULL on runtime evaluation
+    // error. Session ANSI mode is ON, so the wrapped cast / integer
+    // division / out-of-bounds element_at genuinely throw without it.
+    "sc8_try" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          // 'Brand#13' → 13; 'Brand#5' → '#5' → error → NULL
+          expr("try_eval(CAST(right(p_brand, 2) AS INT))").as("maybe_int"),
+          // p_partkey % 3 == 0 → ANSI divide-by-zero → NULL
+          expr("try_eval(p_partkey div (p_partkey % 3))").as("maybe_div"),
+          // never a valid date → NULL on every row (pure catch path)
+          expr("try_eval(CAST(p_brand AS DATE))").as("maybe_date"),
+          // ANSI element_at beyond array length throws → NULL
+          expr("try_eval(element_at(split(p_name, ' '), 99))").as("maybe_elem"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // URL family (Presto url_extract_* / url_encode) via parse_url +
+    // url_encode over deterministic synthetic URLs.
+    "sc9_url" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/page?id="),
+          col("doc_id").cast("string"), lit("&ref=home")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("qs"),
+          expr("parse_url(url, 'QUERY', 'id')").as("qid"),
+          expr("url_encode(lang || ' ' || source)").as("enc"),
+          expr("url_decode(url_encode(lang || ' ' || source))").as("roundtrip"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode normalization (Presto normalize(s, NFC...)) — custom codegen
+    // expression over java.text.Normalizer; composed vs precomposed accents
+    // built portably from chr() so the check is meaningful on ASCII testdata.
+    "sc10_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // 'e' + U+0301 combining acute, appended to real ASCII data. (Spark's
+      // chr() is byte-mod-256, unusable for codepoints — literals instead.)
+      Tables.part(s, d).filter(col("p_partkey") < 100)
+        .withColumn("decomposed", concat(col("p_name"), lit(" caf"), lit("e\u0301")))
+        .select(col("p_partkey"),
+          expr("normalize_str(decomposed, 'NFC')").as("nfc"),
+          length(expr("normalize_str(decomposed, 'NFC')")).as("nfc_len"),
+          length(col("decomposed")).as("raw_len"),
+          (expr("normalize_str(decomposed, 'NFC')") ===
+            concat(col("p_name"), lit(" caf\u00e9"))).as("composed_eq"),
+          // NFD round-trip restores the decomposed original (ASCII + e+́)
+          expr("normalize_str(normalize_str(decomposed, 'NFC'), 'NFD')").as("nfd"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Hash/checksum family (md5/sha2 portable; xxhash64 Spark-native, cross-
     // checked in unit tests instead).
     "sc7_hash" -> ((s, d) => {
@@ -318,6 +373,43 @@ object Scalars extends QueryModule {
         |  json_extract_string(props, '$.missing') AS missing_key,
         |  '{"u":' || CAST(user_id AS VARCHAR) || '}' AS built_json
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "sc8_try" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(right(p_brand, 2) AS INT) AS maybe_int,
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |       ELSE CAST(p_partkey // (p_partkey % 3) AS BIGINT) END AS maybe_div,
+        |  TRY_CAST(p_brand AS DATE) AS maybe_date,
+        |  str_split(p_name, ' ')[99] AS maybe_elem
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "sc9_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, source,
+        |    'https://' || source || '.example.com/' || lang || '/page?id='
+        |      || CAST(doc_id AS VARCHAR) || '&ref=home' AS url
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS qs,
+        |  regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid,
+        |  replace(lang || ' ' || source, ' ', '+') AS enc,
+        |  lang || ' ' || source AS roundtrip
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "sc10_normalize" ->
+      """WITH u AS (
+        |  SELECT p_partkey, p_name,
+        |    p_name || ' caf' || chr(101) || chr(769) AS decomposed
+        |  FROM part WHERE p_partkey < 100)
+        |SELECT p_partkey,
+        |  nfc_normalize(decomposed) AS nfc,
+        |  CAST(length(nfc_normalize(decomposed)) AS INT) AS nfc_len,
+        |  CAST(length(decomposed) AS INT) AS raw_len,
+        |  nfc_normalize(decomposed) = p_name || ' caf' || chr(233) AS composed_eq,
+        |  decomposed AS nfd
+        |FROM u ORDER BY p_partkey""".stripMargin,
 
     "sc7_hash" ->
       """SELECT doc_id,

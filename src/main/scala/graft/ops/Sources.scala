@@ -72,6 +72,32 @@ object Sources extends QueryModule {
       s.read.parquet(out).orderBy(col("o_orderstatus"))
     }),
 
+    // S7: JDBC source/sink round-trip through embedded Derby (the one JDBC
+    // driver on Spark's classpath; zero-egress container rules out fetching
+    // H2/SQLite). Write via the JDBC sink, read back as a PARTITIONED jdbc
+    // source (4 range-partitions on the key — the 100 TB-side pattern for
+    // parallel ingest from an RDBMS). Derby uppercases identifiers, so the
+    // read side re-aliases to the declared lowercase schema.
+    "s7_jdbc_roundtrip" -> ((s, d) => {
+      val dir = scratch("graft_jdbc")
+      System.setProperty("derby.system.home", dir) // keep derby.log out of CWD
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      Tables.nation(s, d).write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "nation")
+        .option("driver", driver).save()
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation").option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+        .select(col("N_NATIONKEY").as("n_nationkey"),
+          col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -105,6 +131,9 @@ object Sources extends QueryModule {
     "s6_partitioned_scan" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders WHERE o_orderstatus = 'F'
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "s7_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 }

@@ -51,4 +51,38 @@ class PrestoFunctionsSpec extends SparkSpec {
     val agg = Seq(1, 2, 2).toDF("v").select(array_sort(P.array_agg($"v"))).as[Seq[Int]].head()
     assert(agg == Seq(1, 2, 2))
   }
+
+  test("try_eval: NULL on runtime error, value otherwise, errors not leaked") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = Seq(("12", 2), ("xy", 0), ("7", 1)).toDF("s", "n")
+      .select(
+        expr("try_eval(CAST(s AS INT))").as("i"),
+        expr("try_eval(10 div n)").as("d"))
+      .as[(Option[Int], Option[Long])].collect().toSeq
+    assert(out == Seq((Some(12), Some(5L)), (None, None), (Some(7), Some(10L))))
+  }
+
+  test("try_eval preserves child type and does not swallow analysis errors") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(1).toDF("x").select(expr("try_eval(x + 1)"))
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.IntegerType)
+    intercept[Exception] { // unresolved column is an ANALYSIS error → throws
+      Seq(1).toDF("x").select(expr("try_eval(no_such_col)")).collect()
+    }
+  }
+
+  test("normalize_str: NFC composes, NFD decomposes, idempotent on ASCII") {
+    graft.functions.GraftFunctions.register(spark)
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed = "caf\u00e9"    // precomposed
+    val out = Seq((decomposed, composed, "plain")).toDF("d", "c", "a")
+      .select(
+        expr("normalize_str(d, 'NFC')"), expr("normalize_str(c, 'NFD')"),
+        expr("normalize_str(a, 'NFC')"), expr("normalize_str(d)"))
+      .as[(String, String, String, String)].head()
+    assert(out._1 == composed)
+    assert(out._2 == decomposed)
+    assert(out._3 == "plain")
+    assert(out._4 == composed) // default form NFC
+  }
 }
