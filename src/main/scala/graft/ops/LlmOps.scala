@@ -147,34 +147,63 @@ object LlmOps extends QueryModule {
     // only — raw float sims are not portable across engines).
     "l3_knn_cosine" -> ((s, d) => knn(s, d, 5)),
 
-    // L3b: IVF-style ANN — coarse-quantize corpus to per-label centroids,
-    // probe the 2 nearest centroid buckets. Approximate → no oracle.
+    // L3b: IVF ANN — coarse index = k-means centroids (label-bucket seed +
+    // 2 Lloyd iterations), probe the 2 nearest centroid buckets.
+    // Approximate → no oracle; recall vs brute force unit-tested.
+    //
+    // Scale shape: assignment is MAP-SIDE — the k centroids travel as one
+    // broadcast array row and each vector takes an argmax over it inside
+    // whole-stage codegen (cosine_sim kernel); the corpus never shuffles
+    // to be assigned. Recompute is a groupBy on k keys with partial agg
+    // (the quantized-long UDAF keeps it order-independent). Each Lloyd
+    // round is one broadcast + one k-key shuffle — the canonical
+    // distributed k-means; centroid frames are tiny and persisted.
     "l3b_knn_ivf" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
       val e = Tables.embeddings(s, d)
-      // coarse index: per-label centroid via the typed UDAF (single
-      // aggregation pass — no explode/re-collect round trip)
-      val cent = e.groupBy(col("label"))
+
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.groupBy(col("cid"))
+          .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+
+      def assign(cent: DataFrame): DataFrame = {
+        val centArr = cent.agg(array_sort(collect_list(struct(
+          col("cid"), col("cvec").cast("array<float>").as("cf")))).as("cents"))
+        e.crossJoin(broadcast(centArr))
+          .withColumn("cid", expr(
+            """aggregate(
+              |  transform(cents, c -> named_struct('cid', c.cid, 's', cosine_sim(embedding, c.cf))),
+              |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
+              |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
+          .select(col("vec_id"), col("embedding"), col("cid"))
+      }
+
+      var cent = e.groupBy(col("label").cast("long").as("cid"))
         .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-        .select(col("label").as("clabel"), col("cvec"))
+      for (_ <- 1 to 2) cent = recompute(assign(cent)).persist()
+      val corpus = assign(cent).select(col("vec_id").as("cand_id"),
+        col("embedding").as("cemb"), col("cid").as("bucket"))
+
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      // nprobe=2 nearest centroids per query
-      val probeW = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("clabel"))
-      val probes = queries.crossJoin(broadcast(cent))
-        .select(col("qid"), col("qvec"), col("clabel"),
-          VF.cosine(col("qvec"), col("cvec")).as("csim"))
+      val centF = cent.select(col("cid"),
+        col("cvec").cast("array<float>").as("cf"))
+      val probeW = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(centF))
+        .select(col("qid"), col("qvec"), col("cid"),
+          CosineSimilarityExpression.cosineSim(col("qvec"), col("cf")).as("csim"))
         .withColumn("crank", row_number().over(probeW))
         .filter(col("crank") <= 2)
-        .select(col("qid"), col("qvec"), col("clabel"))
+        .select(col("qid"), col("qvec"), col("cid").as("probe_bucket"))
       // search only vectors in probed buckets
-      val corpus = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("cvec"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-      corpus.join(broadcast(probes), col("label") === col("clabel"))
-        .filter(col("cid") =!= col("qid"))
-        .select(col("qid"), col("cid"), VF.cosine(col("qvec"), col("cvec")).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand_id"))
+      corpus.join(broadcast(probes), col("bucket") === col("probe_bucket"))
+        .filter(col("cand_id") =!= col("qid"))
+        .select(col("qid"), col("cand_id"),
+          CosineSimilarityExpression.cosineSim(col("qvec"), col("cemb")).as("sim"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("cid").as("neighbor_id"))
+        .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"))
         .orderBy(col("qid"), col("rank"))
     }),
 
