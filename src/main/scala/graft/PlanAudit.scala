@@ -26,7 +26,12 @@ object PlanAudit {
       "a1_pricing_summary",   // expect partial+final HashAggregate
       "l3_knn_cosine",        // expect BroadcastNestedLoopJoin w/ tiny bcast side
       "l2_minhash_lsh",       // expect shuffle only on band keys
-      "s6_partitioned_scan"   // expect PartitionFilters
+      "s6_partitioned_scan",  // expect PartitionFilters
+      "l2c_simhash",          // r2: expect join keyed on (lang, band, bval)
+      "j8b_asof_union",       // r2: expect Window over union — NO join node
+      "l3b_knn_ivf",          // r2: expect broadcast centroid array, no corpus shuffle to assign
+      "s7_jdbc_roundtrip",    // r2: expect JDBCRelation scan with 4 partitions
+      "a14_decimal_agg"       // r2: expect decimal(25,2) sum in partial agg
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
