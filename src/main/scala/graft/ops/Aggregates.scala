@@ -212,6 +212,34 @@ object Aggregates extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // A15: boolean + bitwise aggregates (Presto bool_and/bool_or,
+    // bitwise_and_agg/bitwise_or_agg; Spark adds bit_xor).
+    "a15_bool_bit_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0.0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          expr("bit_and(l_linenumber)").cast("long").as("agg_band"),
+          expr("bit_or(l_linenumber)").cast("long").as("agg_bor"),
+          expr("bit_xor(l_linenumber)").cast("long").as("agg_bxor"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A16: multimap_agg (Presto) — key → ALL values map, encoded as sorted
+    // "k:[v1,v2,v3]" entries (values sorted, capped at 3 for the check).
+    "a16_multimap_agg" -> ((s, d) => {
+      Tables.events(s, d).filter(col("user_id") < 10)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(array_join(transform(
+          expr("slice(array_sort(collect_list(event_id)), 1, 3)"),
+          x => x.cast("string")), ",").as("vals"))
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_list(concat(
+          col("event_type"), lit(":["), col("vals"), lit("]")))), ";").as("mm"))
+        .orderBy(col("user_id"))
+    }),
+
     // A9: min_by / max_by (argmin/argmax).
     "a9_min_max_by" -> ((s, d) => {
       Tables.orders(s, d)
@@ -307,6 +335,24 @@ object Aggregates extends QueryModule {
         |    ';') AS first3
         |FROM events WHERE user_id < 20
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a15_bool_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0.0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS agg_band,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS agg_bor,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS agg_bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a16_multimap_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    array_to_string(list_sort(list(event_id))[1:3], ',') AS vals
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2)
+        |SELECT user_id,
+        |  array_to_string(list_sort(list(event_type || ':[' || vals || ']')), ';') AS mm
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a12_histogram" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS cnt

@@ -182,6 +182,34 @@ object Scalars extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Regex family (Presto regexp_like/count/extract_all/position).
+    "sc11_regex" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          col("p_name").rlike("w.dget").as("has_wdget"),
+          expr("regexp_count(p_name, '[aeiou]')").cast("long").as("n_vowels"),
+          expr("regexp_substr(p_name, '[a-z]+')").as("first_word_re"),
+          expr("regexp_instr(p_name, 'o.')").cast("long").as("o_pos"),
+          expr("array_join(regexp_extract_all(p_type, '[A-Z]+', 0), ',')").as("caps_runs"),
+          split(col("p_name"), "\\s+").getItem(1).as("second_tok"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time parsing family (Presto date_parse/format_datetime/
+    // from_unixtime): string → timestamp/date round-trips.
+    "sc12_datetime_parse" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") < 300)
+        .withColumn("dstr", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .select(col("o_orderkey"),
+          to_timestamp(col("dstr"), "yyyy-MM-dd").as("parsed_ts"),
+          to_date(col("dstr"), "yyyy-MM-dd").as("parsed_date"),
+          unix_millis(to_timestamp(col("dstr"), "yyyy-MM-dd")).as("epoch_ms"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          make_timestamp(year(col("o_orderdate")), month(col("o_orderdate")),
+            dayofmonth(col("o_orderdate")), lit(0), lit(0), lit(0)).as("made_ts"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Generalized TRY(expr) — Presto semantics: NULL on runtime evaluation
     // error. Session ANSI mode is ON, so the wrapped cast / integer
     // division / out-of-bounds element_at genuinely throw without it.
@@ -373,6 +401,33 @@ object Scalars extends QueryModule {
         |  json_extract_string(props, '$.missing') AS missing_key,
         |  '{"u":' || CAST(user_id AS VARCHAR) || '}' AS built_json
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "sc11_regex" ->
+      """SELECT p_partkey,
+        |  regexp_matches(p_name, 'w.dget') AS has_wdget,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_extract(p_name, '[a-z]+') AS first_word_re,
+        |  CASE WHEN regexp_matches(p_name, 'o.')
+        |       THEN CAST(strpos(p_name, regexp_extract(p_name, 'o.')) AS BIGINT)
+        |       ELSE 0 END AS o_pos,
+        |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps_runs,
+        |  regexp_split_to_array(p_name, '\s+')[2] AS second_tok
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "sc12_datetime_parse" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS dstr
+        |  FROM orders WHERE o_orderkey < 300)
+        |SELECT o_orderkey,
+        |  strptime(dstr, '%Y-%m-%d') AS parsed_ts,
+        |  CAST(strptime(dstr, '%Y-%m-%d') AS DATE) AS parsed_date,
+        |  epoch_ms(strptime(dstr, '%Y-%m-%d')) AS epoch_ms,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+        |    CAST(month(o_orderdate) AS BIGINT), CAST(day(o_orderdate) AS BIGINT),
+        |    0, 0, 0.0) AS made_ts
+        |FROM u ORDER BY o_orderkey""".stripMargin,
 
     "sc8_try" ->
       """SELECT p_partkey,
