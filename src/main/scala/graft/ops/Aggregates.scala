@@ -228,6 +228,24 @@ object Aggregates extends QueryModule {
 
     // A16: multimap_agg (Presto) — key → ALL values map, encoded as sorted
     // "k:[v1,v2,v3]" entries (values sorted, capped at 3 for the check).
+    // A17: order-independent row checksum aggregate (Presto `checksum`):
+    // hash each row to a 60-bit int (15 hex digits of md5 — fits int64),
+    // combine with XOR (order/partitioning-independent by construction)
+    // plus a modular sum as a second independent digest. At 100 TB this is
+    // THE cheap table-equality/drift check: one narrow shuffle of #groups
+    // rows, no sort anywhere.
+    "a17_checksum" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("h",
+          conv(substring(md5(concat(col("event_id").cast("string"), lit("|"),
+            col("event_type")).cast("binary")), 1, 15), 16, 10).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(expr("bit_xor(h)").as("xor_sum"),
+          sum(col("h") % lit(1000000007L)).as("mod_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     "a16_multimap_agg" -> ((s, d) => {
       Tables.events(s, d).filter(col("user_id") < 10)
         .groupBy(col("user_id"), col("event_type"))
@@ -344,6 +362,15 @@ object Aggregates extends QueryModule {
         |  CAST(bit_or(l_linenumber) AS BIGINT) AS agg_bor,
         |  CAST(bit_xor(l_linenumber) AS BIGINT) AS agg_bxor
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a17_checksum" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || '|' || event_type), 1, 15)) AS BIGINT) AS h
+        |  FROM events)
+        |SELECT event_type, bit_xor(h) AS xor_sum,
+        |  SUM(h % 1000000007) AS mod_sum, COUNT(*) AS n
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a16_multimap_agg" ->
       """WITH g AS (

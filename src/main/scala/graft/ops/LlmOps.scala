@@ -143,6 +143,30 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // L2d: embedding-cosine near-dup — the vector-space dedup family
+    // (pairs with cosine ≥ τ are duplicate candidates). Exact within one
+    // label partition as the oracle-checkable baseline (mirrors l2b's
+    // bounded-subset pattern); the 100 TB path reuses the IVF machinery
+    // below — assign vectors to coarse buckets map-side, pair only within
+    // a bucket — so candidate generation is a bucket-key shuffle, never an
+    // all-pairs join. Similarity is quantized to 1e-6 (floor(x·1e6+0.5))
+    // AFTER an accumulation both engines perform identically: sequential
+    // double dot products and dot/(√nx·√ny), verified bit-identical vs
+    // DuckDB list_dot_product over DOUBLE[] on this data.
+    "l2d_embedding_neardup" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val sub = Tables.embeddings(s, d).filter(col("label") === 0)
+      val a = sub.select(col("vec_id").as("vid_a"), col("embedding").as("emb_a"))
+      val b = sub.select(col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("vid_a") < col("vid_b"))
+        .select(col("vid_a"), col("vid_b"),
+          floor(CosineSimilarityExpression.cosineSim(col("emb_a"), col("emb_b")) *
+            lit(1e6) + lit(0.5)).cast("long").as("sim_q6"))
+        .filter(col("sim_q6") >= 250000L)
+        .orderBy(col("vid_a"), col("vid_b"))
+    }),
+
     // L3: brute-force top-5 cosine kNN for 10 query vectors (rank output
     // only — raw float sims are not portable across engines).
     "l3_knn_cosine" -> ((s, d) => knn(s, d, 5)),
@@ -350,6 +374,20 @@ object LlmOps extends QueryModule {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "l2d_embedding_neardup" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE label = 0)
+        |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+        |  CAST(floor(list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |    * 1e6 + 0.5) AS BIGINT) AS sim_q6
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE floor(list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |    * 1e6 + 0.5) >= 250000
+        |ORDER BY vid_a, vid_b""".stripMargin,
 
     "l2b_jaccard_exact" ->
       """WITH docs AS (

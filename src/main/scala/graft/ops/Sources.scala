@@ -98,6 +98,17 @@ object Sources extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // S8: ORC round-trip — Presto's other first-class columnar format
+    // (hive connector reads ORC as readily as parquet). Spark has a native
+    // vectorized ORC reader; the round-trip exercises writer + reader +
+    // type mapping (int/string/double/timestamp survive).
+    "s8_orc_roundtrip" -> ((s, d) => {
+      val out = scratch("graft_orc")
+      Tables.supplier(s, d).orderBy(col("s_suppkey"))
+        .coalesce(1).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("s_suppkey"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -134,6 +145,9 @@ object Sources extends QueryModule {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "s7_jdbc_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "s8_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
   )
 }

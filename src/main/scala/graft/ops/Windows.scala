@@ -59,6 +59,20 @@ object Windows extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // W2b: IGNORE NULLS variants — lag/last_value skipping null gaps
+    // (Presto window-function IGNORE NULLS clause). The null pattern is
+    // deterministic (value < 10 → null), so gap-carry is oracle-checkable.
+    "w2b_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .withColumn("v", when(col("value") >= 10.0, col("value")))
+        .select(col("user_id"), col("event_id"), col("v"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+          last(col("v"), ignoreNulls = true).over(wf).as("carried_v"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // W3: running aggregate, unbounded-preceding → current row.
     "w3_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -131,6 +145,17 @@ object Windows extends QueryModule {
         |  lag(event_type, 1) OVER w AS prev_type,
         |  lead(event_type, 1) OVER w AS next_type,
         |  lag(event_id, 2, -1) OVER w AS prev2_id
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w2b_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN value >= 10.0 THEN value END AS v,
+        |  lag(CASE WHEN value >= 10.0 THEN value END, 1 IGNORE NULLS) OVER w AS prev_v,
+        |  last_value(CASE WHEN value >= 10.0 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_v
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
