@@ -153,6 +153,26 @@ object Joins extends QueryModule {
     // range join (each event × all prior (custkey,day) orders before the
     // aggregate), cost is O(n log n) sort per user regardless of history
     // depth. kind=0 sorts before kind=1 at equal ts, matching `<=` asof.
+    // J8c: the same as-of join through the OWNED physical operator
+    // (plans/AsOfJoin.scala — LogicalPlan + Strategy + merge SparkPlan):
+    // one shuffle per side on the by key, in-partition sort, linear merge.
+    // Same answer as j8/j8b; the plan has no range-expansion join and no
+    // window over the unioned stream.
+    "j8c_asof_custom" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val oRed = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.plans.AsOfJoin.asof(s, e, oRed,
+          leftBy = "user_id", rightBy = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     "j8b_asof_union" -> ((s, d) => {
       val e = Tables.events(s, d).filter(col("event_id") < 1000)
         .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
@@ -264,6 +284,17 @@ object Joins extends QueryModule {
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "j8_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_id < 1000) e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+        |       o_orderdate AS asof_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j8c_asof_custom" ->
       """WITH j AS (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id

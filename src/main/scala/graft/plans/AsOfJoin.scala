@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** As-of join as a first-class plan operator (SURVEY §2.3 J8, the "custom
+  * needed" path (c): LogicalPlan node → Strategy → SparkPlan, registered
+  * via SparkSessionExtensions / experimental.extraStrategies).
+  *
+  * Semantics: left outer as-of — for each left row, the LAST right row of
+  * the same `by` group whose `ts` is <= the left row's `ts` (ties among
+  * equal right ts resolved by the right sort's trailing `tiebreak`
+  * columns: last one wins). Unmatched left rows null-extend.
+  *
+  * 100 TB story — this is the reason to own the physical operator: the
+  * expression-level rewrites (j8: range join + max-struct re-aggregate;
+  * j8b: union + last_value window over the merged stream) either expand
+  * each left row by its whole right history before reducing, or sort the
+  * union. This operator declares ClusteredDistribution on the `by` keys
+  * and per-partition (by, ts) ordering, so Catalyst plans exactly one
+  * hash shuffle per side + an in-partition sort, and the merge itself is
+  * a single forward pass: O(|L| + |R|) per partition, zero expansion,
+  * zero extra shuffle. Skewed `by` keys behave like any SMJ key (salting
+  * utilities in ops/Skew.scala apply unchanged).
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftBy: Expression, rightBy: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTiebreak: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lb, rb, lt, rt, tb) =>
+      AsOfJoinExec(lb, rb, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftBy: Expression, rightBy: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTiebreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the by key (same contract as SortMergeJoin)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+
+  // in-partition merge order; right carries the tiebreak suffix so "last
+  // row <= ts" is deterministic under duplicate right timestamps
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightBy, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lByExprs = Seq(leftBy)
+    val rByExprs = Seq(rightBy)
+    val byTypes = lByExprs.map(_.dataType)
+    val tsType = leftTs.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lByProj = UnsafeProjection.create(lByExprs, leftOut)
+      val rByProj = UnsafeProjection.create(rByExprs, rightOut)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), leftOut)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), rightOut)
+      val byOrd = RowOrdering.createNaturalAscendingOrdering(byTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+      // bind against nullable right attrs: unmatched rows flow nullRight
+      // through this projection, and a non-nullable BoundReference would
+      // skip its null check and read garbage zeros instead of NULL
+      val resultProj = UnsafeProjection.create(output,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      val rBuf = rIter.buffered
+
+      new Iterator[InternalRow] {
+        // last right row (copied) whose key matches heldKey and ts <= the
+        // left ts seen when it was advanced past
+        private var heldKey: UnsafeRow = _
+        private var heldRow: InternalRow = _
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lByProj(lRow)
+          val lTs = lTsProj(lRow).copy()
+          // advance right up to and including the last row of lKey's group
+          // with ts <= lTs; groups before lKey are drained without holding
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rByProj(rBuf.head)
+            val c = byOrd.compare(rKey, lKey)
+            if (c < 0) { heldKey = null; heldRow = null; rBuf.next() }
+            else if (c == 0 && tsOrd.compare(rTsProj(rBuf.head), lTs) <= 0) {
+              val r = rBuf.next()
+              heldRow = r.copy()
+              if (heldKey == null || !heldKey.equals(lKey)) heldKey = lKey.copy()
+            } else advancing = false
+          }
+          val matched = heldRow != null && heldKey != null && heldKey.equals(lKey)
+          resultProj(joined(lRow, if (matched) heldRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Idempotent strategy registration for plain sessions (the extensions
+    * class injects it for `spark.sql.extensions`-configured ones). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** left-outer as-of: latest `right` row per `by` group with
+    * rightTs <= leftTs joined onto each left row. Columns are referenced
+    * by name and resolved against each side's analyzed output. */
+  def asof(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
+      leftBy: String, rightBy: String, leftTs: String, rightTs: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    register(spark)
+    val lPlan = GraftShim.analyzed(leftDf)
+    val rPlan = GraftShim.analyzed(rightDf)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
+    GraftShim.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, leftBy), attr(rPlan, rightBy),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      tiebreak.map(attr(rPlan, _))))
+  }
+}

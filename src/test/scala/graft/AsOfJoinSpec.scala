@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.Joins
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.functions._
+
+/** The owned as-of join operator (plans/AsOfJoin.scala): answer parity
+  * with the expression-level formulations on real testdata, left-outer
+  * null extension, and the plan-shape guarantees that justify owning the
+  * operator (no range-expansion join, no window over a unioned stream).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize any adaptive re-planning before reading the plan
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+  }
+
+  test("j8c matches the j8 max-struct formulation row-for-row") {
+    val custom = Joins.queries("j8c_asof_custom")(spark, sf).collect().toSeq
+    val oracle = Joins.queries("j8_asof")(spark, sf).collect().toSeq
+    assert(custom == oracle)
+  }
+
+  test("left rows with no prior right row null-extend") {
+    // drop every third user's orders from the right side — their events
+    // have no as-of match and must null-extend, not carry a stale row
+    // from the previous right group the merge drained
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val lateOrders = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 3 =!= 0)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val res = AsOfJoin.asof(spark, e, lateOrders,
+      leftBy = "user_id", rightBy = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate")
+    val unmatched = res.filter(col("o_orderkey").isNull).count()
+    val matched = res.filter(col("o_orderkey").isNotNull).count()
+    assert(unmatched > 0 && matched > 0)
+    // null-extension must agree with the expression-level formulation
+    val viaExpr = e.join(lateOrders,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .filter(col("m.o_orderkey").isNull).count()
+    assert(unmatched == viaExpr)
+  }
+
+  test("plan is the merge exec — no expansion join, no window") {
+    val p = planString(Joins.queries("j8c_asof_custom")(spark, sf))
+    assert(p.contains("AsOfJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("Window"))
+  }
+
+  test("tiebreak: last right row in (ts, tiebreak) order wins") {
+    // un-reduced orders (multiple per (custkey, day)) with an o_orderkey
+    // tiebreak must reproduce the winner the pre-reduced path picks
+    val e = Tables.events(spark, sf).filter(col("event_id") < 200)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    val viaTb = AsOfJoin.asof(spark, e, o,
+        leftBy = "user_id", rightBy = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate", tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+      .collect().toSeq
+    val oRed = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val viaReduce = AsOfJoin.asof(spark, e, oRed,
+        leftBy = "user_id", rightBy = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate")
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+      .collect().toSeq
+    assert(viaTb == viaReduce)
+  }
+}
