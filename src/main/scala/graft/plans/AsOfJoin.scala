@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.GraftShim
 
@@ -39,6 +40,27 @@ case class AsOfJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Catalyst stops predicate pushdown at nodes it doesn't know, so without
+  * this rule a `filter` above an as-of join scans both sides in full. A
+  * LEFT-side conjunct commutes with the join (each left row's as-of match
+  * is independent of other left rows), so it pushes below the node — and
+  * from there Catalyst's own rules carry it into the parquet scan
+  * (PushedFilters). RIGHT-side conjuncts must NOT push: they'd change
+  * which right row is "last ≤ ts" and break null-extension semantics.
+  */
+object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinNode) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(leftOnly.reduce(And), a.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
@@ -131,12 +153,16 @@ case class AsOfJoinExec(
 }
 
 object AsOfJoin {
-  /** Idempotent strategy registration for plain sessions (the extensions
-    * class injects it for `spark.sql.extensions`-configured ones). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent strategy + rule registration for plain sessions (the
+    * extensions class injects both for `spark.sql.extensions` ones). */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
+  }
 
   /** left-outer as-of: latest `right` row per `by` group with
     * rightTs <= leftTs joined onto each left row. Columns are referenced

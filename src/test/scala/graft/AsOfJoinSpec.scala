@@ -56,6 +56,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("left-side filter pushes through the node into the parquet scan") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val oRed = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val df = AsOfJoin.asof(spark, e, oRed,
+        leftBy = "user_id", rightBy = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate")
+      .filter(col("user_id") < 5 && col("o_orderkey").isNotNull)
+    val p = planString(df)
+    // the left conjunct reached the events scan as a data filter...
+    assert(p.contains("LessThan(user_id,5)"))
+    // ...and the right conjunct stayed above the join (IsNotNull on the
+    // as-of output would be wrong to push into orders)
+    assert(p.contains("AsOfJoin"))
+    // answer parity with filtering before the join manually
+    val manual = AsOfJoin.asof(spark, e.filter(col("user_id") < 5), oRed,
+        leftBy = "user_id", rightBy = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate")
+      .filter(col("o_orderkey").isNotNull)
+      .orderBy(col("event_id")).collect().toSeq
+    val auto = df.orderBy(col("event_id")).collect().toSeq
+    assert(auto == manual)
+  }
+
   test("tiebreak: last right row in (ts, tiebreak) order wins") {
     // un-reduced orders (multiple per (custkey, day)) with an o_orderkey
     // tiebreak must reproduce the winner the pre-reduced path picks
