@@ -31,7 +31,8 @@ object PlanAudit {
       "j8b_asof_union",       // r2: expect Window over union — NO join node
       "l3b_knn_ivf",          // r2: expect broadcast centroid array, no corpus shuffle to assign
       "s7_jdbc_roundtrip",    // r2: expect JDBCRelation scan with 4 partitions
-      "a14_decimal_agg"       // r2: expect decimal(25,2) sum in partial agg
+      "a14_decimal_agg",      // r2: expect decimal(25,2) sum in partial agg
+      "j8c_asof_custom"       // r2: expect AsOfJoin exec, 1 Exchange+Sort per side
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
