@@ -228,6 +228,38 @@ object Aggregates extends QueryModule {
 
     // A16: multimap_agg (Presto) — key → ALL values map, encoded as sorted
     // "k:[v1,v2,v3]" entries (values sorted, capped at 3 for the check).
+    // A18: heavy hitters via the Misra–Gries sketch UDAF (Presto
+    // `approx_most_frequent`). Approx + merge-order-dependent counts →
+    // rows-only check (like A3/L2); the guarantee (every key with
+    // frequency > n/(capacity+1) is tracked) is unit-tested, and the
+    // exact companion a18b anchors ground truth with a full oracle.
+    "a18_heavy_hitters" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(graft.functions.HeavyHittersAggregator
+          .heavyHitters(col("source"), 8).as("hh"))
+        .select(col("lang"),
+          array_join(expr("slice(hh, 1, 3)"), ";").as("top3"),
+          size(col("hh")).as("n_tracked"))
+        .orderBy(col("lang"))
+    }),
+
+    // A18b: exact frequency top-3 per group — the oracle-checked anchor
+    // for the sketch above.
+    "a18b_topk_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("source"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("rn").cast("long").as("rn"),
+          col("source"), col("cnt"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // A17: order-independent row checksum aggregate (Presto `checksum`):
     // hash each row to a 60-bit int (15 hex digits of md5 — fits int64),
     // combine with XOR (order/partitioning-independent by construction)
@@ -362,6 +394,17 @@ object Aggregates extends QueryModule {
         |  CAST(bit_or(l_linenumber) AS BIGINT) AS agg_bor,
         |  CAST(bit_xor(l_linenumber) AS BIGINT) AS agg_bxor
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a18b_topk_exact" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS cnt
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, source, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rn
+        |  FROM c)
+        |SELECT lang, rn, source, cnt FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
 
     "a17_checksum" ->
       """WITH h AS (

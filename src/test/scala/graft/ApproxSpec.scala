@@ -30,6 +30,25 @@ class ApproxSpec extends SparkSpec {
     assert(s10 / n > 0.05 && s10 / n < 0.15, s"fraction=${s10 / n}")
   }
 
+  test("Misra–Gries guarantee: keys above n/(capacity+1) always surface (A18)") {
+    // skewed synthetic stream: key "hot" = 40% of 5000 rows, "warm" = 20%,
+    // the rest spread over 500 rare keys; capacity 8 → threshold n/9 ≈ 11%
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map { i =>
+      val r = rnd.nextDouble()
+      if (r < 0.4) "hot" else if (r < 0.6) "warm" else s"rare${rnd.nextInt(500)}"
+    }
+    val df = rows.toDF("k").repartition(8) // force multi-partition merges
+    val hh = df.agg(graft.functions.HeavyHittersAggregator
+        .heavyHitters($"k", 8).as("hh"))
+      .selectExpr("transform(hh, e -> split_part(e, ':', 1)) AS ks")
+      .as[Seq[String]].head()
+    assert(hh.contains("hot") && hh.contains("warm"), s"sketch=$hh")
+    assert(hh.size <= 8)
+    // sketch top-1 agrees with the exact top-1 under this much skew
+    assert(hh.head == "hot")
+  }
+
   test("IVF ANN recall vs brute force on clustered data (L3b)") {
     // The driver embeddings are RANDOM unit vectors (labels carry no
     // geometry — verified), where coarse quantization cannot work by
