@@ -260,6 +260,19 @@ object Aggregates extends QueryModule {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // A19: fixed-width numeric histogram (Presto `numeric_histogram` /
+    // `width_bucket`): bucket index is pure row arithmetic, then a
+    // low-cardinality count groupBy — the 100 TB histogram pattern (the
+    // shuffle carries #buckets rows per partition).
+    "a19_numeric_histogram" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(width_bucket(col("l_extendedprice"),
+          lit(0.0), lit(100000.0), lit(20)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // A17: order-independent row checksum aggregate (Presto `checksum`):
     // hash each row to a 60-bit int (15 hex digits of md5 — fits int64),
     // combine with XOR (order/partitioning-independent by construction)
@@ -405,6 +418,11 @@ object Aggregates extends QueryModule {
         |  FROM c)
         |SELECT lang, rn, source, cnt FROM r WHERE rn <= 3
         |ORDER BY lang, rn""".stripMargin,
+
+    "a19_numeric_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) + 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "a17_checksum" ->
       """WITH h AS (

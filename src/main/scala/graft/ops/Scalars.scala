@@ -197,6 +197,21 @@ object Scalars extends QueryModule {
 
     // Date/time parsing family (Presto date_parse/format_datetime/
     // from_unixtime): string → timestamp/date round-trips.
+    // sc13: array-construction family (Presto sequence / repeat / zip):
+    // generated arrays stay inside codegen; serialized to scalars for the
+    // hash compare (harness rule).
+    "sc13_sequence" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          array_join(transform(sequence(lit(1), col("p_size")),
+            x => x * x), ",").as("squares"),
+          size(sequence(lit(1), col("p_size"))).cast("long").as("seq_len"),
+          repeat(col("p_brand"), 2).as("brand2x"),
+          array_join(zip_with(sequence(lit(1), lit(3)), sequence(lit(4), lit(6)),
+            (x, y) => x * lit(10) + y), ";").as("zipped"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "sc12_datetime_parse" -> ((s, d) => {
       Tables.orders(s, d).filter(col("o_orderkey") < 300)
         .withColumn("dstr", date_format(col("o_orderdate"), "yyyy-MM-dd"))
@@ -413,6 +428,15 @@ object Scalars extends QueryModule {
         |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps_runs,
         |  regexp_split_to_array(p_name, '\s+')[2] AS second_tok
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "sc13_sequence" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(generate_series(1, p_size), x -> x * x), ',') AS squares,
+        |  len(generate_series(1, p_size)) AS seq_len,
+        |  repeat(p_brand, 2) AS brand2x,
+        |  array_to_string(list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)),
+        |    p -> p[1] * 10 + p[2]), ';') AS zipped
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
 
     "sc12_datetime_parse" ->
       """WITH u AS (

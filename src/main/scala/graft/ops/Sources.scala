@@ -109,6 +109,31 @@ object Sources extends QueryModule {
       s.read.orc(out).orderBy(col("s_suppkey"))
     }),
 
+    // S9: dynamic partition overwrite — THE incremental-ETL write pattern
+    // (Presto `INSERT OVERWRITE` partitions): rewrite only the partitions
+    // present in the incoming batch, leave the rest untouched. Here the
+    // 'F' partition is replaced with re-derived rows (prices doubled);
+    // the read-back proves non-targeted partitions survived.
+    "s9_partition_overwrite" -> ((s, d) => {
+      val out = scratch("graft_povr")
+      val o = Tables.orders(s, d)
+      o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        o.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -148,6 +173,11 @@ object Sources extends QueryModule {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "s8_orc_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "s9_partition_overwrite" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0 ELSE o_totalprice END")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
