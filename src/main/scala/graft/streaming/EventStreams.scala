@@ -44,6 +44,21 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** E6-streaming: stream-static enrichment join — events enriched with a
+    * customer dimension, then windowed per-segment counts. The static side
+    * is re-read per micro-batch by Spark (dimension updates are picked up)
+    * and broadcast when small — the canonical streaming-ETL dim join: the
+    * stream never shuffles for the dimension.
+    */
+  def enrichedCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+
   // ---- custom state: flatMapGroupsWithState sessionization -------------
 
   case class SessionInput(user_id: Long, ts: Timestamp)

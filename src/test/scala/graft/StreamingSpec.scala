@@ -71,6 +71,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("t_dedup").count() == 4) // 5 rows, one dup id
   }
 
+  test("stream-static enrichment join == batch join (E6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Tables.customer(spark, sf)
+    val stream = MemoryStream[Ev]
+    stream.addData(sample.distinct)
+    val q = EventStreams.enrichedCounts(stream.toDF(), customers)
+      .writeStream.format("memory").queryName("t_enriched")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_enriched")
+      .select(unix_timestamp($"window.start").as("w"), $"segment", $"n")
+      .orderBy("w", "segment").as[(Long, String, Long)].collect()
+    val batch = sample.distinct.toDF()
+      .join(broadcast(customers.select($"c_custkey", $"c_mktsegment")),
+        $"user_id" === $"c_custkey", "left")
+      .groupBy(window($"ts", "1 hour"),
+        coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("w"), $"segment", $"n")
+      .orderBy("w", "segment").as[(Long, String, Long)].collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap (E3 custom state)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.SessionInput]
