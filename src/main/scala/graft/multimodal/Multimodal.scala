@@ -50,6 +50,53 @@ object Multimodal {
     })
   }
 
+  case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long,
+                      features: Array[Float])
+
+  /** Video-shaped generator op: split a payload into fixed-size frames and
+    * keep every `every`-th one (frame sampling), featurizing each kept
+    * frame. One input row fans out to ⌈frames/every⌉ rows — the UDTF shape
+    * for media — while staying inside one mapPartitions pass (batched, no
+    * shuffle; at 100 TB the fan-out multiplies rows, not bytes moved,
+    * because sampling drops (every-1)/every of the payload immediately).
+    * The per-frame decode is the same labeled stub as `decodeStub`.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int,
+      every: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && every > 0)
+    media.mapPartitions(_.flatMap { r =>
+      val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+      val nFrames = (payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames).iterator.filter(_ % every == 0).map { i =>
+        val frame = payload.slice(i * frameBytes,
+          math.min((i + 1) * frameBytes, payload.length))
+        FrameRow(r.media_id, i, frame.length.toLong, decodeStub(frame))
+      }
+    })
+  }
+
+  /** Image-resize metadata op (stub codec): "decode" deterministic fake
+    * (width, height) from the payload header bytes, then compute the
+    * aspect-preserving thumbnail dims for a max edge — the metadata
+    * calculation is real, the dimension extraction is the labeled stub.
+    */
+  def thumbnailDims(media: Dataset[MediaRow], maxEdge: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null || r.payload.length < 2)
+        Array[Byte](1, 1) else r.payload
+      // stub: fake dims derived from the first bytes (stand-in for a real
+      // header parse); strictly positive
+      val w = 64 + (p(0) & 0xff) * 8
+      val h = 64 + (p(1) & 0xff) * 8
+      val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+      (r.media_id, r.kind, w, h,
+        math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+    }).toDF("media_id", "kind", "width", "height", "thumb_w", "thumb_h")
+  }
+
   /** Demo pipeline over `documents`: treat utf-8 text bytes as an opaque
     * payload (exactly how a real image column would flow).
     */

@@ -360,6 +360,22 @@ object LlmOps extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // L7b: frame sampling (multimodal generator shape) — payload split
+    // into 64-byte frames, every 3rd kept, featurized per frame; the
+    // per-media aggregate (frame count, sampled bytes) is pure byte
+    // arithmetic, so DuckDB oracles it exactly without blob functions.
+    "l7b_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+          col("text").cast("binary").as("payload"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.frameSample(media, 64, 3)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("n_bytes")).as("sampled_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -374,6 +390,17 @@ object LlmOps extends QueryModule {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "l7b_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS L
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT media_id, L, CAST(ceil(L / 64.0) AS BIGINT) AS nf FROM m)
+        |SELECT media_id,
+        |  (nf - 1) // 3 + 1 AS n_frames,
+        |  ((nf - 1) // 3 + 1) * 64
+        |    - CASE WHEN (nf - 1) % 3 = 0 THEN nf * 64 - L ELSE 0 END AS sampled_bytes
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "l2d_embedding_neardup" ->
       """WITH s AS (

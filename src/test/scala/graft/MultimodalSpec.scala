@@ -18,6 +18,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(Array.emptyByteArray).forall(_ == 0f))
   }
 
+  test("frameSample: exact fan-out, sampled indices, tail frame size (L7b)") {
+    // 1000-byte payload, 256-byte frames → frames 0..3 (tail = 232 bytes);
+    // every=2 keeps frames 0 and 2
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val media = Seq(Multimodal.MediaRow(7L, "video", payload)).toDS()
+    val frames = Multimodal.frameSample(media, 256, 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).sameElements(Array(0, 2)))
+    assert(frames.forall(_.n_bytes == 256))
+    // frame content determinism: features equal a direct stub call on the slice
+    assert(frames(1).features.sameElements(
+      Multimodal.decodeStub(payload.slice(512, 768))))
+    // null payload → zero frames, not a crash
+    val empty = Multimodal.frameSample(
+      Seq(Multimodal.MediaRow(8L, "video", null)).toDS(), 256, 2).count()
+    assert(empty == 0)
+  }
+
+  test("thumbnailDims: aspect-preserving, bounded by max edge (L7c)") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](100, 10)),
+      Multimodal.MediaRow(2L, "image", Array[Byte](0, 0)),
+      Multimodal.MediaRow(3L, "image", null)).toDS()
+    val dims = Multimodal.thumbnailDims(media, 128)
+      .select($"media_id", $"width", $"height", $"thumb_w", $"thumb_h")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    dims.foreach { case (_, w, h, tw, th) =>
+      assert(tw <= 128 && th <= 128 && tw >= 1 && th >= 1)
+      // aspect ratio preserved within rounding
+      assert(math.abs(tw.toDouble / th - w.toDouble / h) < 0.05 ||
+        (tw == 128 || th == 128))
+    }
+    // an image already smaller than maxEdge is not upscaled
+    val small = dims.find(_._1 == 2L).get
+    assert(small._4 == small._2 && small._5 == small._3)
+  }
+
   test("featurize pipeline: schema, batch shape, byte counts (L7)") {
     val out = Multimodal.documentPayloadFeatures(spark, sf)
     assert(out.columns.sameElements(Array("media_id", "kind", "n_bytes", "features")))
