@@ -109,6 +109,56 @@ object Relational extends QueryModule {
     }),
 
     // O8: PIVOT event counts by type per user.
+    // O8b: UNPIVOT — wide columns to (attr, val) rows (Presto/Trino and
+    // DuckDB UNPIVOT; the inverse of O8). Pipelined row-local expansion,
+    // no shuffle.
+    "o8b_unpivot" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))
+    }),
+
+    // O11: keyed upsert (MERGE shape without a row-level-ops catalog):
+    // updates override base rows by key, inserts pass through. The
+    // union + per-key priority pick is the engine-agnostic merge — one
+    // shuffle on the key; at 100 TB this is the dynamic-partition-
+    // overwrite companion for unpartitioned keyed tables.
+    "o11_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          lit(0).as("is_upd"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000 && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit(1).as("is_upd"))
+      base.unionByName(updates)
+        .groupBy(col("o_orderkey"))
+        .agg(max(struct(col("is_upd"), col("o_totalprice"), col("o_orderstatus"))).as("m"))
+        .select(col("o_orderkey"), col("m.o_totalprice").as("o_totalprice"),
+          col("m.o_orderstatus").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // O9b: deterministic stratified sampling — per-stratum fixed-size
+    // sample keyed by a content hash (not a RNG), so the sample is stable
+    // across engines, partitionings, and reruns: the training-data way to
+    // subsample. One window per stratum; at scale this is a per-group
+    // top-k (WindowGroupLimit prunes before the shuffle).
+    "o9b_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     "o8_pivot" -> ((s, d) => {
       Tables.events(s, d).filter(col("user_id") < 25)
         .groupBy(col("user_id"))
@@ -208,6 +258,29 @@ object Relational extends QueryModule {
         |FROM embeddings, generate_series(1, 8) t(i)
         |WHERE vec_id < 5
         |ORDER BY vec_id, pos""".stripMargin,
+
+    "o8b_unpivot" ->
+      """SELECT p_partkey, attr, val
+        |FROM (UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+        |                      CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |               FROM part WHERE p_partkey < 300)
+        |      ON p_size, p_retailprice INTO NAME attr VALUE val)
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    "o11_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "o9b_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
 
     "o8_pivot" ->
       """SELECT user_id,
