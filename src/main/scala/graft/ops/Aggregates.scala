@@ -260,6 +260,35 @@ object Aggregates extends QueryModule {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // A20: listagg / string_agg + set_agg (distinct list) — ordered string
+    // concatenation per group (Presto `listagg`, `set_agg`). Explicit sort
+    // before the join keeps it deterministic under any partitioning.
+    "a20_listagg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), "|").as("names"),
+          array_join(array_sort(collect_set(col("n_name"))), "|").as("distinct_names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // A21: mergeable HLL sketches (Spark DataSketches `hll_sketch_agg` /
+    // `hll_union_agg`) — the re-aggregatable-rollup pattern: per-(lang,
+    // source) sketches merge into per-lang estimates WITHOUT re-reading
+    // rows. At 100 TB this is how you precompute distinct-count cubes:
+    // fine-grained sketches persist once; any coarser rollup is a cheap
+    // sketch union. Approx → rows-only; accuracy unit-tested (ApproxSpec).
+    "a21_hll_merge" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+        .groupBy(col("lang"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_docs"),
+          count(lit(1)).as("n_sketches"))
+        .orderBy(col("lang"))
+    }),
+
     // A19: fixed-width numeric histogram (Presto `numeric_histogram` /
     // `width_bucket`): bucket index is pure row arithmetic, then a
     // low-cardinality count groupBy — the 100 TB histogram pattern (the
@@ -418,6 +447,13 @@ object Aggregates extends QueryModule {
         |  FROM c)
         |SELECT lang, rn, source, cnt FROM r WHERE rn <= 3
         |ORDER BY lang, rn""".stripMargin,
+
+    "a20_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS names,
+        |  string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS distinct_names,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "a19_numeric_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) + 1 AS BIGINT) AS bucket,

@@ -30,6 +30,23 @@ class ApproxSpec extends SparkSpec {
     assert(s10 / n > 0.05 && s10 / n < 0.15, s"fraction=${s10 / n}")
   }
 
+  test("merged HLL sketches estimate within tolerance of exact (A21)") {
+    // sketch per (lang, source), union to per-lang — the rollup must agree
+    // with a direct exact distinct count within HLL tolerance
+    val d = Tables.documents(spark, sf)
+    val merged = d.groupBy($"lang", $"source")
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+      .groupBy($"lang")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .orderBy($"lang").as[(String, Long)].collect().toMap
+    val exact = d.groupBy($"lang").agg(countDistinct($"doc_id").as("n"))
+      .orderBy($"lang").as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, n) =>
+      val est = merged(lang).toDouble
+      assert(math.abs(est - n) / n <= 0.1, s"$lang est=$est exact=$n")
+    }
+  }
+
   test("Misra–Gries guarantee: keys above n/(capacity+1) always surface (A18)") {
     // skewed synthetic stream: key "hot" = 40% of 5000 rows, "warm" = 20%,
     // the rest spread over 500 rare keys; capacity 8 → threshold n/9 ≈ 11%
