@@ -37,6 +37,29 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("band"), plan.take(2000))
   }
 
+  test("o9b stratified sample plan prunes per-partition before the shuffle") {
+    val plan = ops.Relational.queries("o9b_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // rn <= 3 must trigger the group-limit prune so each input partition
+    // forwards at most 3 rows per stratum into the window shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("a19 histogram aggregates map-side (partial+final)") {
+    val plan = ops.Aggregates.queries("a19_numeric_histogram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(1000))
+    assert(plan.contains("width_bucket") || plan.contains("FLOOR"), plan.take(1000))
+  }
+
+  test("l2d embedding near-dup broadcasts the pair side, corpus never shuffles") {
+    val plan = ops.LlmOps.queries("l2d_embedding_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("j8b merge-asof ≡ j8 range-join as-of, with a join-free plan") {
     val viaUnion = ops.Joins.queries("j8b_asof_union")(spark, sf).collect().map(_.toSeq)
     val viaRange = ops.Joins.queries("j8_asof")(spark, sf).collect().map(_.toSeq)
