@@ -159,6 +159,43 @@ object Relational extends QueryModule {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // O12: recursive CTE (Spark 4 WITH RECURSIVE) — date-spine gap fill,
+    // the ETL pattern for zero-filling sparse time series: recursion
+    // generates the complete month spine driver-side-free, orders
+    // left-join onto it.
+    "o12_recursive_spine" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE spine(m) AS (
+          |  SELECT CAST('1995-01-01' AS DATE)
+          |  UNION ALL
+          |  SELECT add_months(m, 1) FROM spine WHERE m < CAST('1995-12-01' AS DATE)),
+          |per_month AS (
+          |  SELECT date_format(o_orderdate, 'yyyy-MM') AS ym, COUNT(*) AS n
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT date_format(m, 'yyyy-MM') AS ym, COALESCE(n, 0) AS n
+          |FROM spine LEFT JOIN per_month ON date_format(m, 'yyyy-MM') = ym
+          |ORDER BY ym""".stripMargin)
+        .select(col("ym"), col("n"))
+    }),
+
+    // O13: LATERAL correlated subquery — per-key top-k without a window
+    // (Presto/Trino LATERAL): the inner query re-evaluates per outer row.
+    "o13_lateral_topk" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c_custkey < 100
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     "o8_pivot" -> ((s, d) => {
       Tables.events(s, d).filter(col("user_id") < 25)
         .groupBy(col("user_id"))
@@ -258,6 +295,30 @@ object Relational extends QueryModule {
         |FROM embeddings, generate_series(1, 8) t(i)
         |WHERE vec_id < 5
         |ORDER BY vec_id, pos""".stripMargin,
+
+    "o12_recursive_spine" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < CAST('1995-12-01' AS DATE)),
+        |per_month AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT strftime(m, '%Y-%m') AS ym, COALESCE(n, 0) AS n
+        |FROM spine LEFT JOIN per_month ON strftime(m, '%Y-%m') = ym
+        |ORDER BY ym""".stripMargin,
+
+    "o13_lateral_topk" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "o8b_unpivot" ->
       """SELECT p_partkey, attr, val
