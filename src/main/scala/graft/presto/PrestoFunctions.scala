@@ -78,4 +78,55 @@ object PrestoFunctions {
   // ---- conditional -----------------------------------------------------
   /** Presto if(cond, t, f). */
   def if_(cond: Column, t: Column, f: Column): Column = when(cond, t).otherwise(f)
+
+  // ---- url (r2) --------------------------------------------------------
+  /** Presto url_extract_host / _path / _query / _protocol. */
+  def url_extract_host(u: Column): Column = parse_url(u, lit("HOST"))
+  def url_extract_path(u: Column): Column = parse_url(u, lit("PATH"))
+  def url_extract_query(u: Column): Column = parse_url(u, lit("QUERY"))
+  def url_extract_protocol(u: Column): Column = parse_url(u, lit("PROTOCOL"))
+  /** Presto url_encode / url_decode. */
+  def url_encode_(u: Column): Column = url_encode(u)
+  def url_decode_(u: Column): Column = url_decode(u)
+
+  // ---- try / error capture (r2) ---------------------------------------
+  /** Presto TRY(expr) — null instead of runtime error (engine-native
+    * expression; register GraftFunctions on the session first). */
+  def try_(c: Column): Column = graft.functions.GraftFunctions.tryEval(c)
+
+  // ---- more aggregates (r2) -------------------------------------------
+  /** Presto checksum(col) — order-independent digest (a17_checksum is the
+    * declared query shape). */
+  def checksum(c: Column): Column =
+    call_function("bit_xor",
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long"))
+  /** Presto listagg(col, sep) — deterministic (sorted) variant. */
+  def listagg(c: Column, sep: String): Column =
+    concat_ws(sep, array_sort(collect_list(c)))
+  /** Presto set_agg(col) — deterministic (sorted) variant. */
+  def set_agg(c: Column): Column = array_sort(collect_set(c))
+  /** Presto approx_most_frequent(buckets, col) → "key:count" entries. */
+  def approx_most_frequent(c: Column, buckets: Int): Column =
+    graft.functions.HeavyHittersAggregator.heavyHitters(c, buckets)
+  /** Presto approx_set / merge / cardinality — mergeable HLL sketches. */
+  def approx_set(c: Column): Column = call_function("hll_sketch_agg", c)
+  def merge_hll(c: Column): Column = call_function("hll_union_agg", c)
+  def cardinality_hll(c: Column): Column =
+    call_function("hll_sketch_estimate", c)
+  /** Presto geometric_mean(col). */
+  def geometric_mean(c: Column): Column = exp(avg(log(c)))
+  /** Presto width_bucket(x, lo, hi, n). */
+  def width_bucket_(x: Column, lo: Double, hi: Double, n: Int): Column =
+    width_bucket(x, lit(lo), lit(hi), lit(n))
+
+  // ---- string extras (r2) ---------------------------------------------
+  /** Presto levenshtein_distance. */
+  def levenshtein_distance(a: Column, b: Column): Column =
+    levenshtein(a, b).cast("long")
+  /** Presto normalize(string, NFC|NFD|NFKC|NFKD). */
+  def normalize_(s: Column, form: String = "NFC"): Column =
+    graft.functions.GraftFunctions.normalizeStr(s, form)
+  /** Presto split_part(string, delim, index) — 1-based. */
+  def split_part_(s: Column, delim: Column, idx: Column): Column =
+    call_function("split_part", s, delim, idx)
 }

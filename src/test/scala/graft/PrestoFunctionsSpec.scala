@@ -71,6 +71,27 @@ class PrestoFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("r2 facade names: checksum order-independent, listagg sorted, url, hh") {
+    val df = Seq("b", "a", "c").toDF("s")
+    // checksum is order-independent: same digest under any row order
+    val c1 = df.agg(P.checksum($"s")).as[Long].head()
+    val c2 = Seq("c", "b", "a").toDF("s").agg(P.checksum($"s")).as[Long].head()
+    assert(c1 == c2)
+    assert(df.agg(P.listagg($"s", "|")).as[String].head() == "a|b|c")
+    assert(df.agg(P.set_agg($"s")).as[Seq[String]].head() == Seq("a", "b", "c"))
+    val url = Seq("https://example.com/p/q?x=1").toDF("u")
+      .select(P.url_extract_host($"u"), P.url_extract_path($"u"))
+      .as[(String, String)].head()
+    assert(url == (("example.com", "/p/q")))
+    val hh = df.agg(P.approx_most_frequent($"s", 4)).as[Seq[String]].head()
+    assert(hh.size == 3 && hh.forall(_.endsWith(":1")))
+    // sketch per-group, then merge — aggregates can't nest in one step
+    val est = df.withColumn("g", substring($"s", 1, 1))
+      .groupBy($"g").agg(P.approx_set($"s").as("sk"))
+      .agg(P.cardinality_hll(P.merge_hll($"sk"))).as[Long].head()
+    assert(est == 3L)
+  }
+
   test("normalize_str: NFC composes, NFD decomposes, idempotent on ASCII") {
     graft.functions.GraftFunctions.register(spark)
     val decomposed = "cafe\u0301" // e + combining acute
