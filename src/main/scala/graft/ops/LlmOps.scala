@@ -242,6 +242,22 @@ object LlmOps extends QueryModule {
     }),
 
     // L5: per-document quality metrics + filter flag.
+    // L4b: BPE-ish token counting — a GPT-style pre-tokenizer regex
+    // (letter runs | digit runs | single non-alnum) as the cheap token-
+    // budget estimator next to whitespace words. Pure per-row regex in
+    // codegen; the pattern is portable Java-regex/RE2 so DuckDB oracles it.
+    "l4b_token_count" -> ((s, d) => {
+      val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).cast("long")
+            .as("n_bpe_tokens"))
+        .withColumn("bpe_per_word",
+          floor(col("n_bpe_tokens") * lit(1000.0) / col("n_ws_tokens")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     "l5_text_quality" -> ((s, d) => {
       val toks = TF.wordTokens(col("text"))
       Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -390,6 +406,16 @@ object LlmOps extends QueryModule {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "l4b_token_count" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+        |  CAST(floor(n_bpe_tokens * 1000.0 / n_ws_tokens) AS BIGINT) AS bpe_per_word
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "l7b_frame_sample" ->
       """WITH m AS (
