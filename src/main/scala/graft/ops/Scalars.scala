@@ -197,6 +197,27 @@ object Scalars extends QueryModule {
 
     // Date/time parsing family (Presto date_parse/format_datetime/
     // from_unixtime): string → timestamp/date round-trips.
+    // sc14: map higher-order functions (Presto transform_values /
+    // map_filter / map_concat / map_from_entries): maps built from row
+    // columns, transformed, filtered, merged — serialized as sorted
+    // "k=v" entries for the hash compare (map column order is undefined).
+    "sc14_map_hof" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .withColumn("m", map_concat(
+          map(lit("price"), col("o_totalprice")),
+          map(lit("key"), col("o_orderkey").cast("double"))))
+        .withColumn("m2", transform_values(col("m"), (_, v) => v * 2.0))
+        .withColumn("big", map_filter(col("m2"), (_, v) => v > 1000.0))
+        .select(col("o_orderkey"),
+          array_join(array_sort(transform(map_entries(col("m2")),
+            e => concat(e.getField("key"), lit("="),
+              floor(e.getField("value") * 100.0 + 0.5).cast("long").cast("string")))),
+            ";").as("doubled"),
+          size(col("big")).cast("long").as("n_big"),
+          array_join(array_sort(map_keys(col("big"))), ",").as("big_keys"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // sc13: array-construction family (Presto sequence / repeat / zip):
     // generated arrays stay inside codegen; serialized to scalars for the
     // hash compare (harness rule).
@@ -428,6 +449,19 @@ object Scalars extends QueryModule {
         |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps_runs,
         |  regexp_split_to_array(p_name, '\s+')[2] AS second_tok
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "sc14_map_hof" ->
+      """SELECT o_orderkey,
+        |  'key=' || CAST(CAST(floor(o_orderkey * 2.0 * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+        |    || ';price=' || CAST(CAST(floor(o_totalprice * 2.0 * 100.0 + 0.5) AS BIGINT) AS VARCHAR) AS doubled,
+        |  CAST(CASE WHEN o_orderkey * 2.0 > 1000.0 THEN 1 ELSE 0 END
+        |   + CASE WHEN o_totalprice * 2.0 > 1000.0 THEN 1 ELSE 0 END AS BIGINT) AS n_big,
+        |  CASE
+        |    WHEN o_orderkey * 2.0 > 1000.0 AND o_totalprice * 2.0 > 1000.0 THEN 'key,price'
+        |    WHEN o_totalprice * 2.0 > 1000.0 THEN 'price'
+        |    WHEN o_orderkey * 2.0 > 1000.0 THEN 'key'
+        |    ELSE '' END AS big_keys
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
 
     "sc13_sequence" ->
       """SELECT p_partkey,
