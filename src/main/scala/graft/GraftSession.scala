@@ -29,6 +29,7 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     functions.GraftFunctions.register(spark)
+    plans.AsOfJoin.register(spark)
     spark
   }
 }

@@ -82,6 +82,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(auto == manual)
   }
 
+  test("entirely empty right side null-extends every left row") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val none = Tables.orders(spark, sf).filter(lit(false))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    val res = AsOfJoin.asof(spark, e, none,
+      leftBy = "user_id", rightBy = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate")
+    assert(res.count() == e.count())
+    assert(res.filter(col("o_orderkey").isNotNull).count() == 0)
+  }
+
   test("tiebreak: last right row in (ts, tiebreak) order wins") {
     // un-reduced orders (multiple per (custkey, day)) with an o_orderkey
     // tiebreak must reproduce the winner the pre-reduced path picks
