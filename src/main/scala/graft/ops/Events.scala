@@ -79,6 +79,34 @@ object Events extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // E7: event-sequence / funnel matching (the Trino MATCH_RECOGNIZE
+    // use-case, composed from conditional sequential mins): per user,
+    // the first view, the first click AFTER that view, the first purchase
+    // AFTER that click. One hash-aggregate pass per step — each step is a
+    // filtered min over the previous step's timestamp, so the plan is
+    // three broadcast-joined per-user aggregates, no per-row state
+    // machine. Epoch-micros output keeps the compare engine-neutral.
+    "e7_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+      val step1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("t_view"))
+      val step2 = e.filter(col("event_type") === "click")
+        .join(step1, "user_id").filter(col("tsu") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view")).agg(min(col("tsu")).as("t_click"))
+      val step3 = e.filter(col("event_type") === "purchase")
+        .join(step2, "user_id").filter(col("tsu") > col("t_click"))
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(col("tsu")).as("t_purchase"))
+      step3
+        .withColumn("funnel_s",
+          ((col("t_purchase") - col("t_view")) / lit(1000000L)).cast("long"))
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("funnel_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -93,6 +121,21 @@ object Events extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e7_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |s1 AS (SELECT user_id, min(tsu) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, t_view, min(tsu) AS t_click
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tsu > t_view GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, t_view, t_click, min(tsu) AS t_purchase
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tsu > t_click GROUP BY 1, 2, 3)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST((t_purchase - t_view) // 1000000 AS BIGINT) AS funnel_s
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
     "e1_tumbling" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
          |  event_type, COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_value
