@@ -82,6 +82,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(auto == manual)
   }
 
+  test("answer is invariant to input partitioning") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val oRed = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    def run(lParts: Int, rParts: Int) =
+      AsOfJoin.asof(spark, e.repartition(lParts), oRed.repartition(rParts),
+          leftBy = "user_id", rightBy = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate")
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy(col("event_id")).collect().toSeq
+    val base = run(1, 1)
+    assert(base == run(7, 3))
+    assert(base == run(2, 8))
+  }
+
   test("entirely empty right side null-extends every left row") {
     val e = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
