@@ -77,6 +77,20 @@ object Filters extends QueryModule {
         .select(col("l_returnflag"), col("l_linestatus"))
         .distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F6: null-safe equality (<=> / IS NOT DISTINCT FROM) — NULL <=> NULL
+    // is TRUE, NULL <=> x is FALSE; the join/dedup-safe comparison the
+    // three-valued `=` cannot express. Nulls synthesized via NULLIF.
+    "f6_null_safe_eq" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .withColumn("a", nullif(col("o_orderstatus"), lit("P")))
+        .withColumn("b", nullif(col("o_orderpriority").substr(1, 1), lit("1")))
+        .select(col("o_orderkey"),
+          (col("a") <=> col("b")).as("ns_eq"),
+          (col("a") <=> lit(null)).as("a_is_null"),
+          (col("a") === col("b")).as("three_valued_eq"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -123,6 +137,17 @@ object Filters extends QueryModule {
 
     "f5_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f6_null_safe_eq" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS a,
+        |    NULLIF(substring(o_orderpriority, 1, 1), '1') AS b
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey,
+        |  a IS NOT DISTINCT FROM b AS ns_eq,
+        |  a IS NOT DISTINCT FROM NULL AS a_is_null,
+        |  a = b AS three_valued_eq
+        |FROM t ORDER BY o_orderkey""".stripMargin
   )
 }
