@@ -392,6 +392,52 @@ object LlmOps extends QueryModule {
         .orderBy(col("media_id"))
     }),
 
+    // L12: dedup cluster assignment — connected components over near-dup
+    // pairs (the step that turns pairwise dups into keep/drop decisions:
+    // one keeper per component). HashMin label propagation: every node
+    // starts labeled with its own id; each round takes the min label over
+    // itself and its neighbors; converges in O(component diameter) rounds.
+    // Each round is one join + one min-aggregate — the canonical
+    // distributed CC (Pregel shape) with no driver-side data, only a
+    // convergence count per round. Oracle: DuckDB recursive CTE computes
+    // min-reachable-label over the same edge set.
+    "l12_dup_clusters" -> ((s, d) => {
+      GF.register(s)
+      val docs = Tables.documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id"),
+          GF.wordShingles(TF.wordTokens(col("text")), 3).as("sh"))
+      val exploded = docs.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      val x = exploded.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))
+      val y = exploded.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("nb"))
+      val pairs = x.join(y, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("nc"))
+        .filter(col("nc") / (col("na") + col("nb") - col("nc")) >= 0.01)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val nbr = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        val next = labels.unionByName(nbr)
+          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl")).persist()
+        changed = next.join(labels.select(col("doc_id"), col("lbl").as("prev")), "doc_id")
+          .filter(col("lbl") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -406,6 +452,32 @@ object LlmOps extends QueryModule {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "l12_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        |      i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+        |           || ' ' || str_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE source = 'src0'),
+        |exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM exploded x JOIN exploded y ON x.shingle = y.shingle
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.01),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src)
+        |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "l4b_token_count" ->
       """WITH t AS (
