@@ -56,6 +56,20 @@ def main():
         if exp.num_rows != got.num_rows:
             results[name] = f"ROWS exp={exp.num_rows} got={got.num_rows}"
             continue
+        # The driver's compare hashes TYPED values (a DECIMAL oracle column
+        # vs a BIGINT Spark column fails even when values are equal — the
+        # r2 a17 failure mode), so mismatched arrow types are a FAIL here
+        # too, modulo representation-only differences.
+        def norm_type(t):
+            s = str(t)
+            return {"large_string": "string", "timestamp[ns]": "timestamp[us]"}.get(s, s)
+        badtypes = [
+            (c, str(exp.schema.field(c).type), str(got.schema.field(c).type))
+            for c in exp.column_names
+            if norm_type(exp.schema.field(c).type) != norm_type(got.schema.field(c).type)]
+        if badtypes:
+            results[name] = f"TYPES (driver hash would fail) {badtypes}"
+            continue
         ge, gg = exp.to_pylist(), got.to_pylist()
         bad = [(i, e, g) for i, (e, g) in enumerate(zip(ge, gg))
                if {k: canon(v) for k, v in e.items()} != {k: canon(v) for k, v in g.items()}]

@@ -196,7 +196,7 @@ object Aggregates extends QueryModule {
     // cast is tie-free for ~2dp money values, so Spark HALF_UP vs DuckDB
     // half-even can't diverge (see Det scale-6 proof).
     "a14_decimal_agg" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_dec").toString
+      val out = Sources.scratch("graft_dec")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(15,2)").as("price_dec"))
@@ -456,7 +456,7 @@ object Aggregates extends QueryModule {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "a19_numeric_histogram" ->
-      """SELECT CAST(floor(l_extendedprice / 5000.0) + 1 AS BIGINT) AS bucket,
+      """SELECT LEAST(CAST(floor(l_extendedprice / 5000.0) + 1 AS BIGINT), 21) AS bucket,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
@@ -466,7 +466,7 @@ object Aggregates extends QueryModule {
         |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || '|' || event_type), 1, 15)) AS BIGINT) AS h
         |  FROM events)
         |SELECT event_type, bit_xor(h) AS xor_sum,
-        |  SUM(h % 1000000007) AS mod_sum, COUNT(*) AS n
+        |  CAST(SUM(h % 1000000007) AS BIGINT) AS mod_sum, COUNT(*) AS n
         |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a16_multimap_agg" ->

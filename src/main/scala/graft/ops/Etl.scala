@@ -22,7 +22,7 @@ object Etl extends QueryModule {
   val queries: Map[String, Q] = Map(
     "p1_pipeline_etl" -> ((s, d) => {
       Tables.registerAll(s, d)
-      val out = java.nio.file.Files.createTempDirectory("graft_p1").toString
+      val out = Sources.scratch("graft_p1")
       Pipeline.run(s, Seq(
         Pipeline.sqlStep("cust_spend",
           s"""SELECT c_custkey, c_mktsegment,

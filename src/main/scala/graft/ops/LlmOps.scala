@@ -23,6 +23,57 @@ object LlmOps extends QueryModule {
 
   private val Stopwords = Seq("the", "a", "of", "to", "in")
 
+  // ---- L12 shared: distributed connected components ---------------------
+  /** HashMin label propagation (Pregel shape): each round every vertex
+    * takes the min label over itself and its neighbors — one join + one
+    * min-aggregate, no driver-side data beyond a convergence scalar.
+    * Converges in graph-diameter rounds.
+    *
+    * @param vertices single-column frame of vertex ids (col `id`)
+    * @param pairs    undirected edges (cols `a`, `b`); symmetrized here
+    * @return (id, cluster_id) where cluster_id = min vertex id reachable
+    *
+    * 100 TB notes: `localCheckpoint` per round truncates the logical plan
+    * — without it round k re-analyzes a k-deep union/agg lineage and the
+    * loop goes superlinear (measured 118 s → ~10 s at sf0.1). Convergence
+    * uses the label SUM as a monotone witness (labels only ever decrease),
+    * computed in decimal(38,0): a bigint sum would overflow past ~10⁹
+    * vertices with 64-bit ids. Exhausting maxRounds without convergence
+    * throws rather than silently returning half-propagated labels —
+    * diameter > maxRounds is a caller error, not an answer.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    def witness(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = witness(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbr = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = witness(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxRounds rounds " +
+        "(graph diameter exceeds the round cap; raise maxRounds)")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- L3 shared: brute-force top-k cosine neighbors --------------------
   def knn(s: SparkSession, d: String, k: Int): DataFrame = {
     // native codegen'd cosine (bit-identical to VF.cosine, ~5x less
@@ -204,7 +255,15 @@ object LlmOps extends QueryModule {
 
       var cent = e.groupBy(col("label").cast("long").as("cid"))
         .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-      for (_ <- 1 to 2) cent = recompute(assign(cent)).persist()
+      for (_ <- 1 to 2) {
+        // materialize the new centroids (k rows) before releasing the
+        // previous round's cache — repeated invocations would otherwise
+        // accumulate one persisted frame per Lloyd round per call
+        val next = recompute(assign(cent)).persist()
+        next.count()
+        cent.unpersist()
+        cent = next
+      }
       val corpus = assign(cent).select(col("vec_id").as("cand_id"),
         col("embedding").as("cemb"), col("cid").as("bucket"))
 
@@ -416,33 +475,10 @@ object LlmOps extends QueryModule {
         .agg(count(lit(1)).as("nc"))
         .filter(col("nc") / (col("na") + col("nb") - col("nc")) >= 0.01)
         .select(col("doc_a"), col("doc_b"))
-      // localCheckpoint per round truncates the logical plan — without it
-      // the k-th round re-analyzes a k-deep union/agg lineage and the loop
-      // goes superlinear (measured 118 s → ~10 s at sf0.1). Convergence is
-      // detected from the label sum: labels only ever decrease, so the sum
-      // is strictly monotone while anything changes — one cheap aggregate
-      // per round instead of a join.
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-        .localCheckpoint()
-      var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val nbr = labels.join(edges, col("doc_id") === col("src"))
-          .select(col("dst").as("doc_id"), col("lbl"))
-        val next = labels.unionByName(nbr)
-          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val s = next.agg(sum(col("lbl"))).first().getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        labels = next
-        rounds += 1
-      }
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }),
 

@@ -21,7 +21,7 @@ import java.nio.file.Files
 object Sources extends QueryModule {
   import Det._
 
-  private def scratch(prefix: String): String = {
+  private[graft] def scratch(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
     dir.toFile.deleteOnExit()
     dir.toString

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Cast, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -127,18 +128,33 @@ case class AsOfJoinExec(
           val lRow = lIter.next()
           val lKey = lByProj(lRow)
           val lTs = lTsProj(lRow).copy()
+          // SQL null semantics: a null left key or ts can never satisfy the
+          // (null-rejecting) by-equality / ts-inequality, so the row
+          // null-extends without consuming any right rows. Nulls sort
+          // first, so not advancing here cannot starve later left rows.
+          if (lKey.isNullAt(0) || lTs.isNullAt(0))
+            return resultProj(joined(lRow, nullRight))
           // advance right up to and including the last row of lKey's group
-          // with ts <= lTs; groups before lKey are drained without holding
+          // with ts <= lTs; groups before lKey are drained without holding;
+          // right rows with null key/ts are skipped (they'd otherwise act
+          // as -infinity under the natural nulls-first ordering)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rKey = rByProj(rBuf.head)
-            val c = byOrd.compare(rKey, lKey)
-            if (c < 0) { heldKey = null; heldRow = null; rBuf.next() }
-            else if (c == 0 && tsOrd.compare(rTsProj(rBuf.head), lTs) <= 0) {
-              val r = rBuf.next()
-              heldRow = r.copy()
-              if (heldKey == null || !heldKey.equals(lKey)) heldKey = lKey.copy()
-            } else advancing = false
+            if (rKey.isNullAt(0)) { rBuf.next() }
+            else {
+              val c = byOrd.compare(rKey, lKey)
+              if (c < 0) { heldKey = null; heldRow = null; rBuf.next() }
+              else if (c == 0) {
+                val rTs = rTsProj(rBuf.head)
+                if (rTs.isNullAt(0)) { rBuf.next() }
+                else if (tsOrd.compare(rTs, lTs) <= 0) {
+                  val r = rBuf.next()
+                  heldRow = r.copy()
+                  if (heldKey == null || !heldKey.equals(lKey)) heldKey = lKey.copy()
+                } else advancing = false
+              } else advancing = false
+            }
           }
           val matched = heldRow != null && heldKey != null && heldKey.equals(lKey)
           resultProj(joined(lRow, if (matched) heldRow else nullRight))
@@ -164,6 +180,35 @@ object AsOfJoin {
         spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
   }
 
+  private def timestampLike(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType || t == DateType
+
+  /** The merge compares LEFT-typed and RIGHT-typed one-field projections
+    * with a single RowOrdering built from the left types, so mismatched
+    * physical encodings (INT vs BIGINT, DATE days vs TIMESTAMP micros)
+    * would silently compare garbage. Align by up-casting the narrower
+    * side (both keys are compare-only, never output), and fail analysis
+    * loudly for incomparable pairs. TIMESTAMP vs TIMESTAMP_NTZ (both
+    * micros-backed) converts via the session time zone (UTC here). */
+  private def aligned(spark: SparkSession, l: Expression, r: Expression,
+      what: String): (Expression, Expression) = {
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    if (l.dataType == r.dataType) (l, r)
+    // canUpCast admits any-atomic→string; a bigint ts "aligned" to a string
+    // ts would compare lexicographically, so string never aligns with
+    // a non-string — only identical string types compare (handled above)
+    else if (l.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] ||
+             r.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      throw new IllegalArgumentException(
+        s"asof: $what types are incompatible: ${l.dataType} vs ${r.dataType}")
+    else if (Cast.canUpCast(r.dataType, l.dataType)) (l, Cast(r, l.dataType, tz))
+    else if (Cast.canUpCast(l.dataType, r.dataType)) (Cast(l, r.dataType, tz), r)
+    else if (timestampLike(l.dataType) && timestampLike(r.dataType))
+      (l, Cast(r, l.dataType, tz))
+    else throw new IllegalArgumentException(
+      s"asof: $what types are incompatible: ${l.dataType} vs ${r.dataType}")
+  }
+
   /** left-outer as-of: latest `right` row per `by` group with
     * rightTs <= leftTs joined onto each left row. Columns are referenced
     * by name and resolved against each side's analyzed output. */
@@ -177,9 +222,11 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asof: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
+    val (lBy, rBy) =
+      aligned(spark, attr(lPlan, leftBy), attr(rPlan, rightBy), "by-key")
+    val (lTs, rTs) =
+      aligned(spark, attr(lPlan, leftTs), attr(rPlan, rightTs), "ts")
     GraftShim.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftBy), attr(rPlan, rightBy),
-      attr(lPlan, leftTs), attr(rPlan, rightTs),
-      tiebreak.map(attr(rPlan, _))))
+      lBy, rBy, lTs, rTs, tiebreak.map(attr(rPlan, _))))
   }
 }

@@ -135,4 +135,43 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().toSeq
     assert(viaTb == viaReduce)
   }
+
+  test("null right ts / by-key rows never match; null left ts null-extends") {
+    import SparkSpec.spark.implicits._
+    // right side: (key, ts, v). Null ts and null key rows would sort first
+    // and previously acted as -infinity matches.
+    val right = Seq(
+      (Some(1L), Some(10L), "k1t10"),
+      (Some(1L), None, "k1null"),
+      (None, Some(5L), "nullkey")
+    ).toDF("k", "t", "v")
+    val left = Seq(
+      (1L, Some(12L), 1),   // matches k1t10
+      (1L, Some(9L), 2),    // no right row <= 9 with non-null ts → null
+      (2L, Some(50L), 3),   // no key-2 rows (nullkey must not match) → null
+      (1L, None, 4)         // null left ts → null-extend
+    ).toDF("lk", "lt", "id")
+    val res = AsOfJoin.asof(spark, left, right,
+        leftBy = "lk", rightBy = "k", leftTs = "lt", rightTs = "t")
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(res == Map(1 -> Some("k1t10"), 2 -> None, 3 -> None, 4 -> None))
+  }
+
+  test("mismatched key/ts types up-cast when lossless, else fail loudly") {
+    import SparkSpec.spark.implicits._
+    // INT right key vs BIGINT left key: must align (previously compared
+    // raw physical encodings) — k=1 INT must match k=1L BIGINT
+    val right = Seq((1, 10L, "m")).toDF("k", "t", "v")
+    val left = Seq((1L, 20L, 7)).toDF("lk", "lt", "id")
+    val res = AsOfJoin.asof(spark, left, right,
+      leftBy = "lk", rightBy = "k", leftTs = "lt", rightTs = "t")
+    assert(res.select("v").collect().map(_.getString(0)).toSeq == Seq("m"))
+    // incomparable pair (string ts vs bigint ts) must throw at analysis
+    val badRight = Seq((1L, "2020-01-01", "m")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(spark, left, badRight,
+        leftBy = "lk", rightBy = "k", leftTs = "lt", rightTs = "t")
+    }
+  }
 }

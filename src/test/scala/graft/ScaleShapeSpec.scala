@@ -31,6 +31,30 @@ class ScaleShapeSpec extends SparkSpec {
       s"LSH missed: ${brute.diff(viaLsh).take(5)}; extra: ${viaLsh.diff(brute).take(5)}")
   }
 
+  test("connectedComponents labels a 50-deep chain correctly (diameter > old 20-round cap)") {
+    import SparkSpec.spark.implicits._
+    // path graph 0-1-2-…-50 plus an isolated vertex and a separate triangle:
+    // one component needs 50 propagation rounds worth of diameter
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("a", "b")
+    val vertices = ((0L to 50L) ++ Seq(99L, 100L, 101L, 102L)).toDF("id")
+    val got = ops.LlmOps.connectedComponents(vertices, pairs, maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 50L).foreach(i => assert(got(i) == 0L, s"chain vertex $i"))
+    assert(got(99L) == 99L && got(100L) == 100L &&
+      got(101L) == 100L && got(102L) == 100L)
+  }
+
+  test("connectedComponents throws loudly when the round cap truncates propagation") {
+    import SparkSpec.spark.implicits._
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val vertices = (0L to 30L).toDF("id")
+    intercept[IllegalStateException] {
+      ops.LlmOps.connectedComponents(vertices, pairs, maxRounds = 3)
+    }
+  }
+
   test("l2c banded plan joins on band keys, not an all-pairs self-join") {
     val plan = ops.LlmOps.queries("l2c_simhash")(spark, sf)
       .queryExecution.optimizedPlan.toString
