@@ -39,6 +39,27 @@ object Etl extends QueryModule {
           dependsOn = Seq("cust_spend"),
           sink = Some(Pipeline.ParquetSink(out, coalesce = Some(1))))))
       s.read.parquet(out).orderBy(col("c_mktsegment"))
+    }),
+
+    // P2: the Presto-SQL dialect entry point under the oracle gate — the
+    // statement below is PRESTO dialect (double-quoted identifiers,
+    // strpos, unit-form date_diff, literal-delimiter split,
+    // json_extract_scalar), translated by PrestoSql and planned by
+    // Catalyst like any native query. This is what a presto-etl-tool user
+    // actually submits: SQL text, not a Scala DSL.
+    "p2_presto_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "user_id",
+          |  COUNT(*) AS n_events,
+          |  SUM(CAST(json_extract_scalar("props", '$.k') AS BIGINT)) AS k_sum,
+          |  MAX(date_diff('hour', date_trunc('day', "ts"), "ts")) AS hh_max,
+          |  MAX(strpos("event_type", 'c')) AS cpos_max,
+          |  MAX(CAST(cardinality(split("event_type", 'i')) AS BIGINT)) AS parts_max
+          |FROM events
+          |WHERE "user_id" < 20 AND strpos("event_type", 'e') > 0
+          |GROUP BY "user_id"
+          |ORDER BY "user_id"""".stripMargin)
     })
   )
 
@@ -53,6 +74,18 @@ object Etl extends QueryModule {
          |  CAST(SUM(CAST(spend AS DECIMAL(30,6))) AS DOUBLE) AS total_spend,
          |  CAST(SUM(n_orders) AS BIGINT) AS total_orders, COUNT(*) AS n_customers
          |FROM cust_spend WHERE n_orders >= 2
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "p2_presto_sql" ->
+      """SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  MAX(date_diff('hour', date_trunc('day', ts), ts)) AS hh_max,
+        |  MAX(strpos(event_type, 'c')) AS cpos_max,
+        |  MAX(CAST(len(str_split(event_type, 'i')) AS BIGINT)) AS parts_max
+        |FROM events
+        |WHERE user_id < 20 AND strpos(event_type, 'e') > 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,150 @@
+package graft.presto
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Presto/Trino SQL **text** entry point (SURVEY §0: the reference is an
+  * ETL tool whose users submit Presto SQL statements, not Scala). This is
+  * the missing half of `PrestoFunctions` (the Scala-level facade): accept
+  * a Presto-dialect statement, translate the dialect differences, and run
+  * it through `spark.sql` so Catalyst plans it like any native query.
+  *
+  * Two translation mechanisms, chosen per construct:
+  *
+  * 1. **SQL-defined functions** (`CREATE OR REPLACE TEMPORARY FUNCTION …
+  *    RETURN expr`) for Presto names Spark lacks where the argument
+  *    shapes match (`strpos`, `json_extract_scalar`, `to_unixtime`,
+  *    `url_extract_*`). Catalyst INLINES SQL-function bodies into the
+  *    calling plan, so these are pure name adapters that stay inside
+  *    whole-stage codegen — not UDF walls.
+  * 2. **Text rewrites** for constructs a function can't express: double-
+  *    quoted identifiers → backticks, unit-string `date_diff('hour', a,
+  *    b)` → `timestampdiff(hour, a, b)`, `TRY(x)` → the native try_eval
+  *    expression, regex-vs-literal `split` semantics, and a few pure
+  *    renames (`approx_distinct` → `approx_count_distinct`). The rewriter
+  *    is literal-aware: single-quoted strings pass through untouched, so
+  *    a value like 'from_unixtime(' can never be rewritten.
+  *
+  * Dialect pieces that need NO translation (verified by PrestoSqlSpec):
+  * `||` concat, 1-based `substr`, `cardinality`, `element_at`,
+  * `array_agg`, `approx_percentile`, `bool_and/bool_or`, `TRY_CAST`,
+  * `date_trunc`, `UNNEST` (→ LATERAL VIEW handled by Spark's own
+  * `... FROM t, LATERAL ...` support), grouping sets, window frames.
+  *
+  * Known limits (documented, not silent): SQL comments are passed
+  * through verbatim (a quote character inside a comment would confuse
+  * segmentation); no DDL translation; `AT TIME ZONE` maps via sc15's
+  * convert-timezone functions rather than the parser.
+  */
+object PrestoSql {
+
+  /** Run one Presto-dialect statement on Spark. */
+  def sql(spark: SparkSession, prestoSql: String): DataFrame = {
+    registerDialect(spark)
+    spark.sql(translate(prestoSql))
+  }
+
+  /** SQL-function adapters: inlined by Catalyst, codegen-transparent.
+    * (In `presto_split`, '\\Q'/'\\E' reach Java regex as \Q…\E literal
+    * quoting — Presto split is literal, Spark split is regex.) */
+  private val dialectFns = Seq(
+    "strpos(s STRING, sub STRING) RETURNS BIGINT" +
+      " RETURN CAST(locate(sub, s) AS BIGINT)",
+    "json_extract_scalar(j STRING, p STRING) RETURNS STRING" +
+      " RETURN get_json_object(j, p)",
+    "to_unixtime(ts TIMESTAMP) RETURNS DOUBLE RETURN CAST(ts AS DOUBLE)",
+    "presto_split(s STRING, d STRING) RETURNS ARRAY<STRING>" +
+      " RETURN split(s, concat('\\\\Q', d, '\\\\E'))",
+    "url_extract_host(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
+    "url_extract_path(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
+    "url_extract_query(u STRING) RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    "url_extract_protocol(u STRING) RETURNS STRING" +
+      " RETURN parse_url(u, 'PROTOCOL')")
+
+  def registerDialect(spark: SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark) // try_eval etc.
+    dialectFns.foreach(f =>
+      spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
+  }
+
+  /** Rewrites applied OUTSIDE string literals / quoted identifiers.
+    * Pure renames keep Presto's argument order (verified per function
+    * against published Trino docs and Spark's FunctionRegistry). */
+  private val codeRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
+    // date_diff('hour', a, b) = b - a in hours; timestampdiff(hour, a, b)
+    // has the same operand order and semantics (same for date_add).
+    ("""(?i)\bdate_diff\s*\(\s*'(\w+)'\s*,""".r, "timestampdiff($1,"),
+    ("""(?i)\bdate_add\s*\(\s*'(\w+)'\s*,""".r, "timestampadd($1,"),
+    ("""(?i)\bapprox_distinct\s*\(""".r, "approx_count_distinct("),
+    ("""(?i)\barbitrary\s*\(""".r, "any_value("),
+    // Presto from_unixtime returns TIMESTAMP; Spark's same-named builtin
+    // returns a formatted STRING — map to the timestamp-typed builtin.
+    ("""(?i)\bfrom_unixtime\s*\(""".r, "timestamp_seconds("),
+    // Presto split is a literal delimiter; Spark split is a regex.
+    // (\bsplit\( does not match split_part / str_split.)
+    ("""(?i)\bsplit\s*\(""".r, "presto_split("),
+    // TRY(expr) → engine-native null-on-runtime-error expression.
+    ("""(?i)\btry\s*\(""".r, "try_eval("),
+    // Spark rejects length-less VARCHAR in casts.
+    ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
+    ("""(?i)\bas\s+real\s*\)""".r, "AS FLOAT)"))
+
+  /** Literal-aware dialect translation. Splits the statement into
+    * single-quoted literals (kept verbatim, '' escapes respected),
+    * double-quoted identifiers (→ backticks, "" → "), and code segments
+    * (rewritten); unit-form date_diff/date_add spans code + literal, so
+    * it is matched on the code segment with its trailing quoted unit
+    * consumed by the regex BEFORE segmentation (see translate body).
+    */
+  def translate(prestoSql: String): String = {
+    val out = new StringBuilder
+    val s = prestoSql
+    var i = 0
+    var code = new StringBuilder
+    def flushCode(): Unit = {
+      var seg = code.toString
+      codeRewrites.foreach { case (re, repl) => seg = re.replaceAllIn(seg, repl) }
+      out.append(seg)
+      code = new StringBuilder
+    }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          // the unit-form date functions need their quoted unit visible to
+          // the code-segment regex: peek whether the tail of `code` ends
+          // with date_diff(/date_add( and, if so, pull the literal into
+          // the code segment (it is a \w+ unit name, never user data)
+          val tail = code.toString
+          val unitCtx = """(?i)\bdate_(diff|add)\s*\(\s*$""".r
+            .findFirstIn(tail).isDefined
+          var j = i + 1
+          val lit = new StringBuilder("'")
+          var closed = false
+          while (j < s.length && !closed) {
+            if (s.charAt(j) == '\'' && j + 1 < s.length && s.charAt(j + 1) == '\'') {
+              lit.append("''"); j += 2
+            } else if (s.charAt(j) == '\'') { lit.append('\''); closed = true; j += 1 }
+            else { lit.append(s.charAt(j)); j += 1 }
+          }
+          if (unitCtx) code.append(lit) else { flushCode(); out.append(lit) }
+          i = j
+        case '"' =>
+          flushCode()
+          var j = i + 1
+          val ident = new StringBuilder
+          var closed = false
+          while (j < s.length && !closed) {
+            if (s.charAt(j) == '"' && j + 1 < s.length && s.charAt(j + 1) == '"') {
+              ident.append('"'); j += 2
+            } else if (s.charAt(j) == '"') { closed = true; j += 1 }
+            else { ident.append(s.charAt(j)); j += 1 }
+          }
+          out.append('`').append(ident).append('`')
+          i = j
+        case c =>
+          code.append(c); i += 1
+      }
+    }
+    flushCode()
+    out.toString
+  }
+}
