@@ -107,6 +107,32 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E8: general row-pattern matching (MATCH_RECOGNIZE shape) — the
+    // pattern operator E7 special-cases. Pattern over contiguous per-user
+    // rows: view, (¬click ∧ ¬purchase)*, click, (¬purchase)*, purchase,
+    // within 24h — i.e. a strict funnel where a purchase arriving before
+    // any click aborts the attempt from that view. Oracle covers the
+    // first match per user (match_no = 1); multi-match SKIP PAST LAST ROW
+    // behavior is property-tested in RowPatternSpec against a reference
+    // matcher.
+    "e8_match_recognize" -> ((s, d) => {
+      import RowPattern._
+      val m = RowPattern.matches(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+        steps = Seq(
+          Step("view", col("event_type") === "view"),
+          Step("gap1", col("event_type") =!= "click" &&
+            col("event_type") =!= "purchase", star),
+          Step("click", col("event_type") === "click"),
+          Step("gap2", col("event_type") =!= "purchase", star),
+          Step("purchase", col("event_type") === "purchase")),
+        withinUs = Some(24L * 3600 * 1000000))
+      m.filter(col("match_no") === 1)
+        .select(col("user_id"), col("match_no"), col("start_us"),
+          col("end_us"), col("n_rows"))
+        .orderBy(col("user_id"))
+    }),
+
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -135,6 +161,33 @@ object Events extends QueryModule {
         |SELECT user_id, t_view, t_click, t_purchase,
         |  CAST((t_purchase - t_view) // 1000000 AS BIGINT) AS funnel_s
         |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "e8_match_recognize" ->
+      // first pattern match per user. A match from view v requires: the
+      // first click-or-purchase after v is a click (gap1 excludes both,
+      // so greedy matching lands on whichever comes first), and a
+      // purchase follows within 24h of v; its end is the first purchase
+      // after v. n_rows spans the contiguous (ts, event_id) row range.
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(c.ts) FROM e c WHERE c.user_id = v.user_id
+        |       AND c.event_type = 'click' AND c.ts > v.ts) AS nc,
+        |    (SELECT min(p.ts) FROM e p WHERE p.user_id = v.user_id
+        |       AND p.event_type = 'purchase' AND p.ts > v.ts) AS np
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (
+        |  SELECT user_id, vts, np FROM cand
+        |  WHERE nc IS NOT NULL AND np IS NOT NULL AND nc < np
+        |    AND epoch_us(np) - epoch_us(vts) <= 86400000000),
+        |first AS (SELECT user_id, min(vts) AS vts FROM ok GROUP BY user_id)
+        |SELECT f.user_id, CAST(1 AS BIGINT) AS match_no,
+        |  epoch_us(f.vts) AS start_us, epoch_us(o.np) AS end_us,
+        |  (SELECT COUNT(*) FROM e x WHERE x.user_id = f.user_id
+        |     AND x.ts >= f.vts AND x.ts <= o.np) AS n_rows
+        |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
+        |ORDER BY f.user_id""".stripMargin,
 
     "e1_tumbling" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,

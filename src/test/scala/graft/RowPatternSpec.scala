@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.{Events, RowPattern}
+import graft.ops.RowPattern._
+import org.apache.spark.sql.functions._
+
+/** RowPattern (MATCH_RECOGNIZE shape): quantifier semantics on synthetic
+  * streams, full multi-match parity against an INDEPENDENT reference
+  * (java.util.regex over per-user char-encoded streams — same greedy /
+  * reluctant / leftmost-match / skip-past-last-row rules by construction),
+  * and the e7 special-case equivalence the operator generalizes.
+  */
+class RowPatternSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def streamDf(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_id", col("us"))
+
+  test("exactly-one and plus quantifiers over contiguous rows") {
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "c"),
+      (1L, 5L, "a"), (1L, 6L, "c"), // no b between -> no match
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c")))
+    val m = RowPattern.matches(df, "user_id", "ts", "event_id", Seq(
+      Step("a", col("event_type") === "a"),
+      Step("b", col("event_type") === "b", plus),
+      Step("c", col("event_type") === "c")))
+      .select("user_id", "match_no", "start_us", "end_us", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // user 1: a(1) b(2) b(3) c(4) matches; a(5) c(6) has no b so B+ fails.
+    // user 2: a(1) b(2) c(3).
+    assert(m == Set((1L, 1L, 1L, 4L, 4L), (2L, 1L, 1L, 3L, 3L)))
+  }
+
+  test("greedy vs reluctant star select different ends") {
+    // stream: a x c x c — greedy (a (¬c)* then …) vs reluctant differ on
+    // pattern a .* c: greedy takes the LAST c, reluctant the FIRST
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "x"), (1L, 3L, "c"), (1L, 4L, "x"), (1L, 5L, "c")))
+    def run(q: Quant) = RowPattern.matches(df, "user_id", "ts", "event_id", Seq(
+        Step("a", col("event_type") === "a"),
+        Step("any", lit(true), q),
+        Step("c", col("event_type") === "c")))
+      .select("end_us").collect().map(_.getLong(0)).toSeq
+    assert(run(star) == Seq(5L))
+    assert(run(starReluctant) == Seq(3L))
+  }
+
+  test("within post-filter rejects long matches but later starts still match") {
+    val df = streamDf(Seq(
+      (1L, 0L, "a"), (1L, 1000L, "c"),           // span 1000us
+      (1L, 2000L, "a"), (1L, 2100L, "c")))       // span 100us
+    val m = RowPattern.matches(df, "user_id", "ts", "event_id", Seq(
+        Step("a", col("event_type") === "a"),
+        Step("c", col("event_type") === "c")),
+      withinUs = Some(500L))
+      .select("start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // note steps are contiguous: a then c immediately — first pair fails
+    // within, second passes
+    assert(m == Seq((2000L, 2100L)))
+  }
+
+  /** Independent reference: per-user char stream + java.util.regex, with
+    * the same leftmost-match, skip-past-last-row, within-retry rules. */
+  private def refMatches(types: IndexedSeq[Char], ts: IndexedSeq[Long],
+      regex: String, withinUs: Long): Seq[(Long, Long, Long, Long)] = {
+    val s = new String(types.toArray)
+    val pat = java.util.regex.Pattern.compile(regex)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var from = 0
+    var no = 0L
+    val m = pat.matcher(s)
+    while (from < s.length && m.find(from)) {
+      val st = m.start; val en = m.end - 1
+      if (ts(en) - ts(st) <= withinUs) {
+        no += 1
+        acc += ((no, ts(st), ts(en), (en - st + 1).toLong))
+        from = en + 1
+      } else from = st + 1
+    }
+    acc.toSeq
+  }
+
+  test("full multi-match output matches the regex reference on real events") {
+    val e = Tables.events(spark, sf)
+    val got = RowPattern.matches(e, "user_id", "ts", "event_id", Seq(
+        Step("view", col("event_type") === "view"),
+        Step("gap1", col("event_type") =!= "click" && col("event_type") =!= "purchase", star),
+        Step("click", col("event_type") === "click"),
+        Step("gap2", col("event_type") =!= "purchase", star),
+        Step("purchase", col("event_type") === "purchase")),
+      withinUs = Some(24L * 3600 * 1000000))
+      .select("user_id", "match_no", "start_us", "end_us", "n_rows")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    val rows = e.select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = rows.flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._4))
+      val types = sorted.map(t => t._3 match {
+        case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'; case _ => 'x'
+      }).toIndexedSeq
+      val ts = sorted.map(_._2).toIndexedSeq
+      refMatches(types, ts, "v[^cp]*c[^p]*p", 24L * 3600 * 1000000)
+        .map { case (no, s, en, n) => (uid, no, s, en, n) }
+    }.toSet
+    assert(expected.nonEmpty, "fixture should contain at least one match")
+    assert(got == expected,
+      s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+  }
+
+  test("reluctant skip-form first match reproduces the e7 funnel") {
+    val e = Tables.events(spark, sf)
+    val viaPattern = RowPattern.matches(e, "user_id", "ts", "event_id", Seq(
+        Step("view", col("event_type") === "view"),
+        Step("skip1", lit(true), starReluctant),
+        Step("click", col("event_type") === "click"),
+        Step("skip2", lit(true), starReluctant),
+        Step("purchase", col("event_type") === "purchase")))
+      .filter(col("match_no") === 1)
+      .select(col("user_id"), col("start_us"), col("end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFunnel = Events.queries("e7_funnel")(spark, sf)
+      .select(col("user_id"), col("t_view"), col("t_purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaFunnel.nonEmpty)
+    assert(viaPattern == viaFunnel)
+  }
+}
