@@ -289,6 +289,27 @@ object Aggregates extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // A22: mergeable percentile rollup (t-digest) — the re-aggregatable
+    // companion to A21's HLL union: per-(lang, source) sketches of n_chars
+    // merge into per-lang p50/p90 WITHOUT re-reading rows. At 100 TB,
+    // fine-grained sketches persist once; any coarser percentile is a
+    // sketch merge. Approx + merge-order-dependent → rows-only; accuracy
+    // and rollup-vs-exact are property-tested (ApproxSpec).
+    "a22_tdigest_rollup" -> ((s, d) => {
+      import graft.functions.QuantileSketchAggregator._
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(tdigestAgg(col("n_chars").cast("double")).as("sk"))
+        .groupBy(col("lang"))
+        .agg(tdigestMergeAgg(col("sk")).as("merged"),
+          count(lit(1)).as("n_sketches"))
+        .select(col("lang"),
+          round(tdigestQuantile(col("merged"), 0.5), 2).as("p50"),
+          round(tdigestQuantile(col("merged"), 0.9), 2).as("p90"),
+          col("n_sketches"))
+        .orderBy(col("lang"))
+    }),
+
     // A19: fixed-width numeric histogram (Presto `numeric_histogram` /
     // `width_bucket`): bucket index is pure row arithmetic, then a
     // low-cardinality count groupBy — the 100 TB histogram pattern (the

@@ -89,4 +89,39 @@ class ApproxSpec extends SparkSpec {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.95, s"IVF recall $recall on clustered data")
   }
+
+  test("t-digest quantiles close to exact, on raw data and kernel-level (A22)") {
+    import graft.functions.QuantileSketchAggregator._
+    // kernel-level: lognormal sample, compare sketch quantiles to exact
+    val rnd = new scala.util.Random(23)
+    val xs = Array.fill(20000)(math.exp(rnd.nextGaussian()))
+    val (m, w) = compress(xs, Array.fill(xs.length)(1.0))
+    assert(m.length <= 2.5 * Delta, s"centroid count ${m.length} should be O(delta)")
+    val sorted = xs.sorted
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val exact = sorted(math.min(xs.length - 1, (q * xs.length).toInt))
+      val est = quantile(m, w, q)
+      assert(math.abs(est - exact) / exact <= 0.05, s"q=$q est=$est exact=$exact")
+    }
+  }
+
+  test("t-digest rollup of partial sketches matches whole-data sketch tolerance (A22)") {
+    import graft.functions.QuantileSketchAggregator._
+    // the mergeability contract: sketch-per-source merged == direct
+    // quantile within tolerance (what pre-aggregated percentile cubes need)
+    val d = Tables.documents(spark, sf)
+    val rolled = d.groupBy($"lang", $"source")
+      .agg(tdigestAgg($"n_chars".cast("double")).as("sk"))
+      .groupBy($"lang")
+      .agg(tdigestMergeAgg($"sk").as("merged"))
+      .select($"lang", tdigestQuantile($"merged", 0.5).as("p50"))
+      .as[(String, Double)].collect().toMap
+    val exact = d.groupBy($"lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (lang, ex) =>
+      val est = rolled(lang)
+      assert(math.abs(est - ex) / ex <= 0.08, s"$lang est=$est exact=$ex")
+    }
+  }
 }
