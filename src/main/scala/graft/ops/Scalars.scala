@@ -233,6 +233,28 @@ object Scalars extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // sc15: AT TIME ZONE family (Presto `x AT TIME ZONE tz` /
+    // `with_timezone` / `to_unixtime`): named-zone wall-clock rendering,
+    // zone-local field extraction, and the inverse conversion round-trip.
+    // Pure per-row exprs inside codegen; zone rules come from the JVM tz
+    // db on executors — no shuffle implications at any scale.
+    "sc15_timezone" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_id") < 5000)
+        .withColumn("t", col("ts").cast("timestamp"))
+        .select(col("event_id"),
+          date_format(from_utc_timestamp(col("t"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+          hour(from_utc_timestamp(col("t"), "Asia/Tokyo"))
+            .cast("long").as("tokyo_hour"),
+          date_format(from_utc_timestamp(col("t"), "Europe/Paris"),
+            "yyyy-MM-dd").as("paris_date"),
+          unix_seconds(to_utc_timestamp(
+            from_utc_timestamp(col("t"), "America/Los_Angeles"),
+            "America/Los_Angeles")).as("la_roundtrip_s"),
+          unix_seconds(col("t")).as("to_unixtime_s"))
+        .orderBy(col("event_id"))
+    }),
+
     "sc12_datetime_parse" -> ((s, d) => {
       Tables.orders(s, d).filter(col("o_orderkey") < 300)
         .withColumn("dstr", date_format(col("o_orderdate"), "yyyy-MM-dd"))
@@ -344,6 +366,18 @@ object Scalars extends QueryModule {
         |  split_part(p_name, ' ', 2) AS second_word,
         |  CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_to_b1
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "sc15_timezone" ->
+      // session-TZ-independent: timezone('UTC', naive) pins the instant,
+      // outer timezone(tz, tstz) renders zone wall time — equivalent to
+      // Spark's from_utc_timestamp under the pinned-UTC session contract.
+      """SELECT event_id,
+        |  strftime(timezone('America/New_York', timezone('UTC', ts::TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS ny_wall,
+        |  CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts::TIMESTAMP))) AS BIGINT) AS tokyo_hour,
+        |  strftime(timezone('Europe/Paris', timezone('UTC', ts::TIMESTAMP)), '%Y-%m-%d') AS paris_date,
+        |  epoch_us(ts::TIMESTAMP) // 1000000 AS la_roundtrip_s,
+        |  epoch_us(ts::TIMESTAMP) // 1000000 AS to_unixtime_s
+        |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
 
     "sc2_datetime" ->
       """SELECT o_orderkey,
