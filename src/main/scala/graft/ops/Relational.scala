@@ -143,6 +143,54 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // O11b: keyed copy-on-write MERGE into a partitioned parquet table —
+    // the persisted half of O11 (which merges in-memory only) built on
+    // S9's dynamic partition overwrite. The Delta/Iceberg-style COW loop:
+    // (1) plan: touched partitions = old partitions holding updated keys
+    // (left-semi against the broadcast update batch) ∪ partitions of
+    // inserts — a metadata-plane list (≤ #distinct statuses; the one
+    // driver-side collect is over partition NAMES, never rows); (2) read
+    // ONLY those partitions (static PartitionFilters via isin — pruned
+    // scan), merge updates by key, append inserts; (3) dynamic overwrite
+    // rewrites exactly the touched partitions. The full read-back is the
+    // proof: untouched partitions must have survived byte-for-byte. At
+    // 100 TB cost scales with touched data, not table size.
+    "o11b_merge_cow" -> ((s, d) => {
+      val out = Sources.scratch("graft_cow")
+      val base = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("new_price"))
+      val ins = Tables.region(s, d).select(
+        (lit(9000000L) + col("r_regionkey")).as("o_orderkey"),
+        (lit(100.0) + col("r_regionkey")).as("o_totalprice"),
+        lit("N").as("o_orderstatus"))
+      val tbl = s.read.parquet(out)
+      val touched = tbl.join(broadcast(upd), Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderstatus")).distinct()
+        .unionByName(ins.select(col("o_orderstatus")).distinct()).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val merged = tbl.filter(col("o_orderstatus").isin(touched: _*))
+        .join(broadcast(upd), Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionByName(ins)
+        // break lineage from `out` so overwriting the dir we read is legal
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // O9b: deterministic stratified sampling — per-stratum fixed-size
     // sample keyed by a content hash (not a RNG), so the sample is stable
     // across engines, partitionings, and reruns: the training-data way to
@@ -342,6 +390,15 @@ object Relational extends QueryModule {
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "o11b_merge_cow" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey < 2000
+        |UNION ALL
+        |SELECT CAST(9000000 + r_regionkey AS BIGINT), 100.0 + r_regionkey, 'N' FROM region
+        |ORDER BY o_orderkey""".stripMargin,
 
     "o9b_stratified_sample" ->
       """WITH r AS (
