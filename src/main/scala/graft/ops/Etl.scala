@@ -60,6 +60,41 @@ object Etl extends QueryModule {
           |WHERE "user_id" < 20 AND strpos("event_type", 'e') > 0
           |GROUP BY "user_id"
           |ORDER BY "user_id"""".stripMargin)
+    }),
+
+    // P3: the LLM-pipeline flagship — end-to-end dedup as one DAG under
+    // the oracle gate: exact near-dup candidate edges → connected
+    // components (HashMin label propagation) → keeper selection →
+    // persisted keep/drop table. HashMin labels components by their min
+    // doc_id, so keeper == cluster_id and the verdict is a pure
+    // projection. The keep/drop step runs as SQL over the CC view and
+    // materializes through the parquet sink — the exact artifact a
+    // training-data pipeline feeds downstream. At 100 TB the candidate
+    // step swaps to LSH banding (l2) while every later step is unchanged.
+    "p3_dedup_pipeline" -> ((s, d) => {
+      val out = Sources.scratch("graft_p3")
+      Pipeline.run(s, Seq(
+        Pipeline.dfStep("dup_clusters") { sp =>
+          val docs = LlmOps.shingledDocs(sp, d)
+          LlmOps.connectedComponents(
+              docs.select(col("doc_id").as("id")),
+              LlmOps.exactDupPairs(docs, 0.01)
+                .select(col("doc_a").as("a"), col("doc_b").as("b")))
+            .select(col("id").as("doc_id"), col("cluster_id"))
+        },
+        Pipeline.sqlStep("keep_drop",
+          """SELECT c.doc_id, c.cluster_id, z.n_in_cluster,
+            |  CASE WHEN c.doc_id = c.cluster_id THEN 'keep' ELSE 'drop' END AS verdict
+            |FROM dup_clusters c
+            |JOIN (SELECT cluster_id, COUNT(*) AS n_in_cluster
+            |      FROM dup_clusters GROUP BY cluster_id) z
+            |  USING (cluster_id)""".stripMargin,
+          dependsOn = Seq("dup_clusters"),
+          sink = Some(Pipeline.ParquetSink(out, coalesce = Some(1))))))
+      s.read.parquet(out)
+        .select(col("doc_id"), col("cluster_id"), col("n_in_cluster"),
+          col("verdict"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -86,6 +121,40 @@ object Etl extends QueryModule {
         |FROM events
         |WHERE user_id < 20 AND strpos(event_type, 'e') > 0
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "p3_dedup_pipeline" ->
+      // same edge construction + min-reachable-label CC as the l12 oracle,
+      // extended with cluster size and the keep/drop verdict
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        |      i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+        |           || ' ' || str_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE source = 'src0'),
+        |exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM exploded x JOIN exploded y ON x.shingle = y.shingle
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.01),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src),
+        |labels AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+        |SELECT l.doc_id, l.cluster_id, z.n_in_cluster,
+        |  CASE WHEN l.doc_id = l.cluster_id THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM labels l
+        |JOIN (SELECT cluster_id, COUNT(*) AS n_in_cluster
+        |      FROM labels GROUP BY cluster_id) z USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin
   )
 }

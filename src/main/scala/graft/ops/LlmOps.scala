@@ -74,6 +74,32 @@ object LlmOps extends QueryModule {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  // ---- L12/p3 shared: exact 3-gram duplicate edges over one source ------
+  /** Docs of `src0` with their word-3-shingle sets (the bounded exact
+    * correctness anchor; the scale path generates candidates via LSH). */
+  private[ops] def shingledDocs(s: SparkSession, d: String): DataFrame = {
+    GF.register(s)
+    Tables.documents(s, d).filter(col("source") === "src0")
+      .select(col("doc_id"),
+        GF.wordShingles(TF.wordTokens(col("text")), 3).as("sh"))
+  }
+
+  /** Exact-Jaccard duplicate pairs (doc_a < doc_b) at `threshold`: one
+    * shingle self-join carries both set sizes, so intersection and union
+    * come out of a single aggregation. */
+  private[ops] def exactDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val exploded = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val x = exploded.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val y = exploded.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    x.join(y, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("nc"))
+      .filter(col("nc") / (col("na") + col("nb") - col("nc")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   // ---- L3 shared: brute-force top-k cosine neighbors --------------------
   def knn(s: SparkSession, d: String, k: Int): DataFrame = {
     // native codegen'd cosine (bit-identical to VF.cosine, ~5x less
@@ -461,23 +487,11 @@ object LlmOps extends QueryModule {
     // convergence count per round. Oracle: DuckDB recursive CTE computes
     // min-reachable-label over the same edge set.
     "l12_dup_clusters" -> ((s, d) => {
-      GF.register(s)
-      val docs = Tables.documents(s, d).filter(col("source") === "src0")
-        .select(col("doc_id"),
-          GF.wordShingles(TF.wordTokens(col("text")), 3).as("sh"))
-      val exploded = docs.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
-      val x = exploded.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))
-      val y = exploded.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("nb"))
-      val pairs = x.join(y, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("nc"))
-        .filter(col("nc") / (col("na") + col("nb") - col("nc")) >= 0.01)
-        .select(col("doc_a"), col("doc_b"))
+      val docs = shingledDocs(s, d)
       connectedComponents(
           docs.select(col("doc_id").as("id")),
-          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+          exactDupPairs(docs, 0.01)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }),
