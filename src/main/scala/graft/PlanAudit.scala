@@ -32,7 +32,9 @@ object PlanAudit {
       "l3b_knn_ivf",          // r2: expect broadcast centroid array, no corpus shuffle to assign
       "s7_jdbc_roundtrip",    // r2: expect JDBCRelation scan with 4 partitions
       "a14_decimal_agg",      // r2: expect decimal(25,2) sum in partial agg
-      "j8c_asof_custom"       // r2: expect AsOfJoin exec, 1 Exchange+Sort per side
+      "j8c_asof_custom",      // r2: expect AsOfJoin exec, 1 Exchange+Sort per side
+      "e8_match_recognize"    // r3: expect codegen'd step predicates pre-shuffle,
+                              //     one Exchange(user_id) + Sort, MapGroups
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
