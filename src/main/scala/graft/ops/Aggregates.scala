@@ -108,6 +108,23 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A6b: linear-regression aggregate family (Presto/ANSI regr_*) —
+    // single-pass merged-moments aggregates; same partial+final shape as
+    // A6, so the shuffle carries one fixed-size moment tuple per group.
+    "a6b_regression" -> ((s, d) => {
+      val (y, x) = (col("l_extendedprice"), col("l_quantity"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(y, x), 6).as("slope"),
+          round(regr_intercept(y, x), 6).as("icept"),
+          round(regr_r2(y, x), 6).as("r2"),
+          regr_count(y, x).as("n_pairs"),
+          round(regr_avgx(y, x), 6).as("avgx"),
+          round(regr_avgy(y, x), 6).as("avgy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A7a: exact percentiles (interpolating, MEDIAN-style).
     "a7_percentile" -> ((s, d) => {
       Tables.orders(s, d)
@@ -425,6 +442,16 @@ object Aggregates extends QueryModule {
         |  ROUND(var_samp(l_quantity), 6) AS var_qty,
         |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |  ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a6b_regression" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+        |  ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a7_percentile" ->

@@ -182,6 +182,29 @@ object Scalars extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // sc6b: JSON arrays + nested objects (Presto json_array_length /
+    // json_array_get / json_extract / json_parse + CAST AS ARRAY):
+    // constructed per-row JSON exercises array length, path indexing,
+    // parse-to-typed-array + fold, key listing, and nested extraction.
+    "sc6b_json_arrays" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .withColumn("jarr", concat(lit("["), col("p_size"), lit(","),
+          col("p_size") * 2, lit(","), col("p_partkey") % 7, lit("]")))
+        .withColumn("jobj", to_json(struct(col("p_size").as("a"),
+          struct(col("p_brand").as("b")).as("nest"))))
+        .select(col("p_partkey"),
+          json_array_length(col("jarr")).cast("long").as("arr_len"),
+          get_json_object(col("jarr"), "$[1]").cast("long").as("second"),
+          aggregate(
+            from_json(col("jarr"),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType)),
+            lit(0L), (acc, x) => acc + x).as("arr_sum"),
+          array_join(json_object_keys(col("jobj")), ",").as("keys"),
+          get_json_object(col("jobj"), "$.nest.b").as("nested_b"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -471,6 +494,21 @@ object Scalars extends QueryModule {
         |  json_extract_string(props, '$.missing') AS missing_key,
         |  '{"u":' || CAST(user_id AS VARCHAR) || '}' AS built_json
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "sc6b_json_arrays" ->
+      """WITH j AS (
+        |  SELECT p_partkey,
+        |    '[' || p_size || ',' || (p_size * 2) || ',' || (p_partkey % 7) || ']' AS jarr,
+        |    '{"a":' || p_size || ',"nest":{"b":"' || p_brand || '"}}' AS jobj,
+        |    p_size, p_brand
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT p_partkey,
+        |  CAST(json_array_length(jarr) AS BIGINT) AS arr_len,
+        |  CAST(json_extract(jarr, '$[1]') AS BIGINT) AS second,
+        |  CAST(p_size + p_size * 2 + p_partkey % 7 AS BIGINT) AS arr_sum,
+        |  array_to_string(json_keys(jobj), ',') AS keys,
+        |  json_extract_string(jobj, '$.nest.b') AS nested_b
+        |FROM j ORDER BY p_partkey""".stripMargin,
 
     "sc11_regex" ->
       """SELECT p_partkey,
