@@ -62,6 +62,27 @@ object Etl extends QueryModule {
           |ORDER BY "user_id"""".stripMargin)
     }),
 
+    // P2b: second Presto-dialect statement covering the round-3 adapter
+    // surface: ISO day_of_week/doy, AT TIME ZONE, MySQL-format
+    // date_parse, to_hex/bitwise_and, sign-aware truncate, 0-indexed
+    // json_array_get — each a construct a migrating Presto user types
+    // verbatim.
+    "p2b_presto_sql_extras" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "event_id",
+          |  day_of_week(CAST("ts" AS TIMESTAMP)) AS dow,
+          |  day_of_year(CAST("ts" AS TIMESTAMP)) AS doy,
+          |  to_hex(bitwise_and("event_id", 255)) AS hex_low,
+          |  truncate("value" * 10) AS trunc10,
+          |  json_array_get('[1,2,3]', 1) AS arr1,
+          |  CAST(hour("ts" AT TIME ZONE 'Asia/Tokyo') AS BIGINT) AS tokyo_hour,
+          |  date_parse('2024-03-05 12:30:45', '%Y-%m-%d %H:%i:%s') AS parsed
+          |FROM events
+          |WHERE "event_id" < 2000
+          |ORDER BY "event_id"""".stripMargin)
+    }),
+
     // P3: the LLM-pipeline flagship — end-to-end dedup as one DAG under
     // the oracle gate: exact near-dup candidate edges → connected
     // components (HashMin label propagation) → keeper selection →
@@ -122,6 +143,17 @@ object Etl extends QueryModule {
         |WHERE user_id < 20 AND strpos(event_type, 'e') > 0
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "p2b_presto_sql_extras" ->
+      """SELECT event_id,
+        |  isodow(ts::TIMESTAMP) AS dow,
+        |  dayofyear(ts::TIMESTAMP) AS doy,
+        |  hex(event_id & 255) AS hex_low,
+        |  trunc(value * 10) AS trunc10,
+        |  json_extract_string('[1,2,3]', '$[1]') AS arr1,
+        |  CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts::TIMESTAMP))) AS BIGINT) AS tokyo_hour,
+        |  strptime('2024-03-05 12:30:45', '%Y-%m-%d %H:%M:%S')::TIMESTAMP AS parsed
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
 
     "p3_dedup_pipeline" ->
       // same edge construction + min-reachable-label CC as the l12 oracle,

@@ -32,8 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Known limits (documented, not silent): SQL comments are passed
   * through verbatim (a quote character inside a comment would confuse
-  * segmentation); no DDL translation; `AT TIME ZONE` maps via sc15's
-  * convert-timezone functions rather than the parser.
+  * segmentation); no DDL translation; `AT TIME ZONE` accepts an
+  * identifier / qualified name / non-nested call WITHOUT string-literal
+  * arguments as its operand (wrap anything fancier in a subquery alias);
+  * `date_parse` maps the common MySQL %-specifiers (%Y %m %d %H %i %s
+  * %T) only.
   */
 object PrestoSql {
 
@@ -58,7 +61,31 @@ object PrestoSql {
     "url_extract_path(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
     "url_extract_query(u STRING) RETURNS STRING RETURN parse_url(u, 'QUERY')",
     "url_extract_protocol(u STRING) RETURNS STRING" +
-      " RETURN parse_url(u, 'PROTOCOL')")
+      " RETURN parse_url(u, 'PROTOCOL')",
+    // Presto json_array_get is 0-indexed, like JsonPath subscripts.
+    "json_array_get(j STRING, i BIGINT) RETURNS STRING" +
+      " RETURN get_json_object(j, concat('$[', CAST(i AS STRING), ']'))",
+    // Presto truncate(double) rounds toward zero (sign-aware).
+    "truncate(x DOUBLE) RETURNS DOUBLE RETURN CAST(CAST(x AS BIGINT) AS DOUBLE)",
+    "bitwise_and(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "bitwise_or(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+    "bitwise_xor(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    // Presto day_of_week is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1,
+    // so adapt via weekday (Mon=0). dow/doy/week are Presto aliases.
+    "day_of_week(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekday(t) + 1 AS BIGINT)",
+    "dow(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekday(t) + 1 AS BIGINT)",
+    "day_of_year(t TIMESTAMP) RETURNS BIGINT RETURN CAST(dayofyear(t) AS BIGINT)",
+    "doy(t TIMESTAMP) RETURNS BIGINT RETURN CAST(dayofyear(t) AS BIGINT)",
+    "week_of_year(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekofyear(t) AS BIGINT)",
+    "week(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekofyear(t) AS BIGINT)",
+    // Presto date_parse uses MySQL %-format; map the common specifiers to
+    // the Java pattern. The replace chain runs on the (almost always
+    // literal) format argument, so Catalyst constant-folds it and
+    // to_timestamp sees a foldable pattern.
+    "presto_date_parse(s STRING, f STRING) RETURNS TIMESTAMP" +
+      " RETURN to_timestamp(s, replace(replace(replace(replace(replace(" +
+      "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
+      " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))")
 
   def registerDialect(spark: SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark) // try_eval etc.
@@ -70,6 +97,20 @@ object PrestoSql {
     * Pure renames keep Presto's argument order (verified per function
     * against published Trino docs and Spark's FunctionRegistry). */
   private val codeRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
+    // x AT TIME ZONE 'Z' → from_utc_timestamp (the pinned-UTC contract
+    // makes the instant-in-UTC reading exact). Operand limited to an
+    // identifier / qualified name / non-nested call — documented limit;
+    // wrap anything fancier in a subquery alias first.
+    ("""(?i)((?:`[^`]+`|[\w.]+)(?:\([^()]*\))?)\s+AT\s+TIME\s+ZONE\s+'([^']+)'""".r,
+      "from_utc_timestamp($1, '$2')"),
+    ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
+    ("""(?i)\bis_nan\s*\(""".r, "isnan("),
+    ("""(?i)\bto_hex\s*\(""".r, "hex("),
+    ("""(?i)\bfrom_hex\s*\(""".r, "unhex("),
+    // Joda (format_datetime) and Java (date_format) patterns agree on the
+    // common yyyy/MM/dd/HH/mm/ss tokens.
+    ("""(?i)\bformat_datetime\s*\(""".r, "date_format("),
+    ("""(?i)\bdate_parse\s*\(""".r, "presto_date_parse("),
     // date_diff('hour', a, b) = b - a in hours; timestampdiff(hour, a, b)
     // has the same operand order and semantics (same for date_add).
     ("""(?i)\bdate_diff\s*\(\s*'(\w+)'\s*,""".r, "timestampdiff($1,"),
@@ -114,7 +155,9 @@ object PrestoSql {
           // with date_diff(/date_add( and, if so, pull the literal into
           // the code segment (it is a \w+ unit name, never user data)
           val tail = code.toString
-          val unitCtx = """(?i)\bdate_(diff|add)\s*\(\s*$""".r
+          // contexts where the upcoming literal must stay visible to the
+          // code-segment regexes: unit-form date fns and AT TIME ZONE
+          val unitCtx = """(?i)(\bdate_(diff|add)\s*\(\s*|\bAT\s+TIME\s+ZONE\s*)$""".r
             .findFirstIn(tail).isDefined
           var j = i + 1
           val lit = new StringBuilder("'")
@@ -128,7 +171,10 @@ object PrestoSql {
           if (unitCtx) code.append(lit) else { flushCode(); out.append(lit) }
           i = j
         case '"' =>
-          flushCode()
+          // backticked identifiers stay IN the code segment so operand-
+          // context rewrites (AT TIME ZONE) still see them; function-name
+          // rewrites can't false-positive on them (they require a
+          // following '(' and identifiers are never called)
           var j = i + 1
           val ident = new StringBuilder
           var closed = false
@@ -138,7 +184,7 @@ object PrestoSql {
             } else if (s.charAt(j) == '"') { closed = true; j += 1 }
             else { ident.append(s.charAt(j)); j += 1 }
           }
-          out.append('`').append(ident).append('`')
+          code.append('`').append(ident).append('`')
           i = j
         case c =>
           code.append(c); i += 1

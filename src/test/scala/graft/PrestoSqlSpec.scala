@@ -72,4 +72,33 @@ class PrestoSqlSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan.take(1500))
     assert(plan.contains("WholeStageCodegen") || plan.contains("locate") || plan.contains("Locate"))
   }
+
+  test("AT TIME ZONE rewrites for bare, quoted, and call operands; literals survive") {
+    assert(PrestoSql.translate("SELECT ts AT TIME ZONE 'Asia/Tokyo' FROM t")
+      == "SELECT from_utc_timestamp(ts, 'Asia/Tokyo') FROM t")
+    assert(PrestoSql.translate("""SELECT "ts" AT TIME ZONE 'UTC' FROM t""")
+      == "SELECT from_utc_timestamp(`ts`, 'UTC') FROM t")
+    assert(PrestoSql.translate("SELECT coalesce(a, b) AT TIME ZONE 'Z' FROM t")
+      == "SELECT from_utc_timestamp(coalesce(a, b), 'Z') FROM t")
+    // a literal mentioning the keyword is untouched
+    assert(PrestoSql.translate("SELECT 'ts AT TIME ZONE spam' FROM t")
+      == "SELECT 'ts AT TIME ZONE spam' FROM t")
+  }
+
+  test("r3 adapters: ISO dow, date_parse %-format, hex/bitwise, truncate, json_array_get") {
+    PrestoSql.registerDialect(spark)
+    val r = PrestoSql.sql(spark,
+      """SELECT day_of_week(CAST('2024-03-05' AS TIMESTAMP)) AS dw,
+        |  dow(CAST('2024-03-10' AS TIMESTAMP)) AS dw_sun,
+        |  date_parse('2024-03-05 12:30:45', '%Y-%m-%d %H:%i:%s') AS ts,
+        |  to_hex(bitwise_and(255, 12)) AS h,
+        |  truncate(-1.9) AS tr,
+        |  json_array_get('[10,20,30]', 2) AS jg""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L)  // 2024-03-05 is a Tuesday (ISO 2)
+    assert(r.getLong(1) == 7L)  // 2024-03-10 is a Sunday (ISO 7)
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-05 12:30:45"))
+    assert(r.getString(3) == "C")
+    assert(r.getDouble(4) == -1.0)  // toward zero, not floor
+    assert(r.getString(5) == "30")  // 0-indexed
+  }
 }
