@@ -496,6 +496,30 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L13: document chunking — overlapping token windows (size 32, stride
+    // 24), the training-data windowing op that turns long documents into
+    // model-length sequences. Pure per-row generate: tokenize once, emit
+    // ceil((n−size)/stride)+1 chunks via sequence+transform+posexplode —
+    // no shuffle at all until the consumer aggregates, so at 100 TB this
+    // is scan-stage work that scales with output bytes.
+    "l13_chunking" -> ((s, d) => {
+      val size = 32
+      val stride = 24
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("nt", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("nt"),
+          posexplode(transform(
+            sequence(lit(0L),
+              greatest(ceil((col("nt") - lit(size)) / lit(stride.toDouble)).cast("long"), lit(0L))),
+            i => struct(
+              array_join(slice(col("toks"), (i * stride + 1).cast("int"), lit(size)), " ").as("txt"),
+              least(lit(size.toLong), col("nt") - i * stride).as("ntoks")))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col.txt").as("chunk_text"), col("col.ntoks").as("n_chunk_toks"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -536,6 +560,18 @@ object LlmOps extends QueryModule {
         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src)
         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "l13_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 200),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        |c AS (SELECT doc_id, nt, toks,
+        |        unnest(generate_series(0, greatest(CAST(ceil((nt - 32) / 24.0) AS BIGINT), 0))) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+        |  least(CAST(32 AS BIGINT), nt - chunk_id*24) AS n_chunk_toks
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "l4b_token_count" ->
       """WITH t AS (
