@@ -49,6 +49,63 @@ object RowPattern extends Serializable {
   final case class PatternMatch(
       key: Long, match_no: Long, start_us: Long, end_us: Long, n_rows: Long)
 
+  /** Core matcher over one key's sorted buffer: leftmost-first with
+    * bounded backtracking, SKIP PAST LAST ROW, `within` post-filter.
+    * Returns (startIdx, endIdx) spans in stream order. Shared by the
+    * batch operator below and the streaming form
+    * (streaming.EventStreams.patternMatchesWithState).
+    */
+  private[graft] def matchSpans(ts: Array[Long], preds: Array[Array[Boolean]],
+      quants: Array[Quant], withinUs: Option[Long]): Seq[(Int, Int)] = {
+    val n = quants.length
+    val len = ts.length
+    // backtracking regex over the row sequence; returns the inclusive
+    // end index of the first match anchored at `pos`, or -1
+    def go(pos: Int, step: Int): Int = {
+      if (step == n) return pos - 1
+      val q = quants(step)
+      var p = pos
+      var taken = 0
+      while (taken < q.min) {
+        if (p < len && preds(p)(step)) { p += 1; taken += 1 }
+        else return -1
+      }
+      if (!q.unbounded) go(p, step + 1)
+      else if (q.greedy) {
+        var maxP = p
+        while (maxP < len && preds(maxP)(step)) maxP += 1
+        var tryP = maxP
+        while (tryP >= p) {
+          val r = go(tryP, step + 1)
+          if (r >= 0) return r
+          tryP -= 1
+        }
+        -1
+      } else {
+        var tryP = p
+        while (true) {
+          val r = go(tryP, step + 1)
+          if (r >= 0) return r
+          if (tryP < len && preds(tryP)(step)) tryP += 1
+          else return -1
+        }
+        -1
+      }
+    }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    while (start < len) {
+      val end = go(start, 0)
+      val okWithin = end >= start &&
+        withinUs.forall(w => ts(end) - ts(start) <= w)
+      if (okWithin) {
+        acc += ((start, end))
+        start = end + 1 // SKIP PAST LAST ROW
+      } else start += 1
+    }
+    acc.toSeq
+  }
+
   /** Match `steps` over `df` per `keyCol`, ordered by (`tsCol`,
     * `tiebreakCol`). Key and tiebreak must be integral; ts must be (or
     * cast to) a timestamp. Returns one row per match.
@@ -85,54 +142,11 @@ object RowPattern extends Serializable {
           }
           i += 1
         }
-        // backtracking regex over the row sequence; returns the inclusive
-        // end index of the first match anchored at `pos`, or -1
-        def go(pos: Int, step: Int): Int = {
-          if (step == n) return pos - 1
-          val q = quants(step)
-          var p = pos
-          var taken = 0
-          while (taken < q.min) {
-            if (p < len && preds(p)(step)) { p += 1; taken += 1 }
-            else return -1
-          }
-          if (!q.unbounded) go(p, step + 1)
-          else if (q.greedy) {
-            var maxP = p
-            while (maxP < len && preds(maxP)(step)) maxP += 1
-            var tryP = maxP
-            while (tryP >= p) {
-              val r = go(tryP, step + 1)
-              if (r >= 0) return r
-              tryP -= 1
-            }
-            -1
-          } else {
-            var tryP = p
-            while (true) {
-              val r = go(tryP, step + 1)
-              if (r >= 0) return r
-              if (tryP < len && preds(tryP)(step)) tryP += 1
-              else return -1
-            }
-            -1
-          }
-        }
-        val acc = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
-        var start = 0
-        var matchNo = 0L
-        while (start < len) {
-          val end = go(start, 0)
-          val okWithin = end >= start &&
-            withinUs.forall(w => ts(end) - ts(start) <= w)
-          if (okWithin) {
-            matchNo += 1
-            acc += PatternMatch(k, matchNo, ts(start), ts(end),
+        matchSpans(ts, preds, quants, withinUs).zipWithIndex.map {
+          case ((start, end), idx) =>
+            PatternMatch(k, idx.toLong + 1, ts(start), ts(end),
               (end - start + 1).toLong)
-            start = end + 1 // SKIP PAST LAST ROW
-          } else start += 1
         }
-        acc
       }
     out.withColumnRenamed("key", keyCol)
   }

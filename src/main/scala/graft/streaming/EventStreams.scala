@@ -59,6 +59,82 @@ object EventStreams {
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n"))
 
+  // ---- custom state: streaming row-pattern matching (E8) ----------------
+
+  /** One pre-evaluated event for the streaming pattern matcher: step
+    * predicates are computed as Catalyst boolean columns BEFORE the
+    * keyed shuffle (see [[patternRows]]), exactly like the batch
+    * operator — state never stores payloads, only (ts, tiebreak, bits).
+    */
+  case class PatternRow(user_id: Long, ts: Timestamp, tb: Long, p: Seq[Boolean])
+  case class PatternBufState(us: Seq[Long], tb: Seq[Long],
+                             p: Seq[Seq[Boolean]])
+  case class PatternOut(user_id: Long, match_no: Long, start_us: Long,
+                        end_us: Long, n_rows: Long)
+
+  /** Project a stream into [[PatternRow]]s for `steps` (same step-
+    * predicate pre-evaluation as the batch RowPattern operator). */
+  def patternRows(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, steps: Seq[graft.ops.RowPattern.Step]): Dataset[PatternRow] = {
+    import events.sparkSession.implicits._
+    events.select(
+      col(keyCol).cast("long").as("user_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(tiebreakCol).cast("long").as("tb"),
+      array(steps.map(st => coalesce(st.pred.cast("boolean"), lit(false))): _*).as("p")
+    ).as[PatternRow]
+  }
+
+  /** E8-streaming: MATCH_RECOGNIZE over an unbounded keyed stream with
+    * EXPLICIT state. Correctness rests on the finite `within` window:
+    * per-key events buffer until the watermark passes `last event +
+    * within`; at that point NO future event can begin or extend a match
+    * that satisfies the window (any later ts exceeds every buffered
+    * start by more than `within`), so the buffer is flushed through the
+    * same matchSpans core as the batch operator and the state removed.
+    * match_no is per flushed window (documented divergence from the
+    * batch operator's per-key lifetime numbering).
+    *
+    * Scale notes: state per key = events inside one `within` window ×
+    * (16 bytes + #steps bits) — bounded by key activity, partitioned by
+    * key; late rows beyond the watermark are dropped upstream.
+    */
+  def patternMatchesWithState(rows: Dataset[PatternRow],
+      quants: Seq[graft.ops.RowPattern.Quant], withinUs: Long,
+      watermarkDelay: String = "2 hours"): Dataset[PatternOut] = {
+    import rows.sparkSession.implicits._
+    val quantArr = quants.toArray
+    rows
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternBufState, PatternOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[PatternRow], state: GroupState[PatternBufState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val order = st.us.indices.sortBy(i => (st.us(i), st.tb(i)))
+            val ts = order.map(st.us).toArray
+            val preds = order.map(i => st.p(i).toArray).toArray
+            graft.ops.RowPattern.matchSpans(ts, preds, quantArr, Some(withinUs))
+              .zipWithIndex.map { case ((s0, e0), idx) =>
+                PatternOut(uid, idx.toLong + 1, ts(s0), ts(e0), (e0 - s0 + 1).toLong)
+              }.iterator
+          } else {
+            val incoming = it.toSeq
+            val prev = state.getOption.getOrElse(PatternBufState(Nil, Nil, Nil))
+            val next = PatternBufState(
+              prev.us ++ incoming.map(r => r.ts.getTime * 1000L),
+              prev.tb ++ incoming.map(_.tb),
+              prev.p ++ incoming.map(_.p))
+            state.update(next)
+            // flush once nothing can extend a within-window match
+            state.setTimeoutTimestamp(next.us.max / 1000L + withinUs / 1000L + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization -------------
 
   case class SessionInput(user_id: Long, ts: Timestamp)

@@ -124,6 +124,52 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((1L, 1L, 0L)) && out.contains((2L, 1L, 0L)))
   }
 
+  test("streaming row-pattern matching == batch RowPattern on flushed windows (E8)") {
+    import graft.ops.RowPattern
+    import graft.ops.RowPattern._
+    implicit val sqlCtx = spark.sqlContext
+    val withinUs = 30L * 60 * 1000000 // 30 min
+    val steps = Seq(
+      Step("view", col("event_type") === "view"),
+      Step("gap", col("event_type") =!= "purchase", star),
+      Step("purchase", col("event_type") === "purchase"))
+    // user 1: view(0) click(5) purchase(10) → match; view(20) with no
+    // purchase inside the window → no match. user 2: purchase before any
+    // view → no match, then view(3) purchase(8) → match.
+    val data = Seq(
+      Ev(1, ts(0), 1, "view"), Ev(2, ts(5), 1, "click"),
+      Ev(3, ts(10), 1, "purchase"), Ev(4, ts(20), 1, "view"),
+      Ev(5, ts(1), 2, "purchase"), Ev(6, ts(3), 2, "view"),
+      Ev(7, ts(8), 2, "purchase"))
+    val stream = MemoryStream[Ev]
+    stream.addData(data)
+    val q = EventStreams.patternMatchesWithState(
+        EventStreams.patternRows(stream.toDF(), "user_id", "ts", "event_id", steps),
+        steps.map(_.quant), withinUs)
+      .writeStream.format("memory").queryName("t_pattern")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every buffered timeout, then one
+      // more batch so the timed-out state flushes
+      stream.addData(Seq(Ev(90, ts(600), 9, "click")))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(91, ts(601), 9, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_pattern")
+      .filter($"user_id" < 9)
+      .select($"user_id", $"match_no", $"start_us", $"end_us", $"n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = RowPattern.matches(data.toDF(), "user_id", "ts", "event_id",
+        steps, Some(withinUs))
+      .select($"user_id", $"match_no", $"start_us", $"end_us", $"n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${batch.diff(streamed)} extra=${streamed.diff(batch)}")
+  }
+
   test("streaming session windows group by 30-minute gaps (E3)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
