@@ -94,4 +94,35 @@ class ScaleShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"merge-asof must not expand via a join:\n${plan.take(2000)}")
   }
+
+  test("runtime bloom filter prunes the fact scan of a selective dim join (§4)") {
+    // the big-big-join scale path when broadcast is off the table: the
+    // selectively-filtered creation side injects a bloom filter into the
+    // fact side's scan stage, so shuffled fact rows are pre-pruned. The
+    // answer must be identical with the filter on and off.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def q = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"expected an injected runtime bloom filter:\n${plan.take(2000)}")
+      val withFilter = q.collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = q.collect().map(_.toSeq).toSeq
+      assert(withFilter.nonEmpty && withFilter == without)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
