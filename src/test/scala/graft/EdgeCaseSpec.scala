@@ -88,4 +88,44 @@ class EdgeCaseSpec extends SparkSpec {
     val b = vals.reverse.toDF("v").repartition(3).agg(Det.dsum($"v")).as[Double].head()
     assert(a == b && a == 5005.0)
   }
+
+  test("RowPattern edges: null predicates never match; no-match keys emit nothing (E8)") {
+    import graft.ops.RowPattern, RowPattern._
+    // null pred (null event_type comparison) must behave as false, and a
+    // key with zero matches must be absent from the output entirely
+    val df = Seq(
+      (1L, 1L, Some("a")), (1L, 2L, None), (1L, 3L, Some("b")),
+      (2L, 1L, Some("x"))).toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros($"us"))
+      .withColumn("event_id", $"us")
+    val m = RowPattern.matches(df, "user_id", "ts", "event_id", Seq(
+        Step("a", $"event_type" === "a"),
+        Step("any", lit(true), star),
+        Step("b", $"event_type" === "b")))
+      .select($"user_id", $"n_rows").as[(Long, Long)].collect().toSet
+    assert(m == Set((1L, 3L))) // null row crossed by the star, key 2 absent
+  }
+
+  test("t-digest edges: empty input is NaN-safe, single value exact (A22)") {
+    import graft.functions.QuantileSketchAggregator._
+    val (m0, w0) = compress(Array.empty[Double], Array.empty[Double])
+    assert(m0.isEmpty && quantile(m0, w0, 0.5).isNaN)
+    val (m1, w1) = compress(Array(42.0), Array(1.0))
+    assert(quantile(m1, w1, 0.0) == 42.0 && quantile(m1, w1, 1.0) == 42.0)
+    // weights are respected: {1×1, 9×100} median interpolates to ≈9
+    // (midpoint interpolation pulls slightly toward the light centroid)
+    val (m2, w2) = compress(Array(1.0, 9.0), Array(1.0, 100.0))
+    assert(quantile(m2, w2, 0.5) > 8.5)
+  }
+
+  test("chunking edges: short doc yields one chunk covering all tokens (L13)") {
+    // any doc shorter than the window must yield exactly one chunk whose
+    // token count is the doc's token count
+    val out = ops.LlmOps.queries("l13_chunking")(spark, sf)
+      .groupBy($"doc_id")
+      .agg(max($"chunk_id").as("max_c"), min($"n_chunk_toks").as("min_t"))
+      .filter($"max_c" === 0)
+      .select($"min_t").as[Long].collect()
+    assert(out.forall(_ >= 1))
+  }
 }
