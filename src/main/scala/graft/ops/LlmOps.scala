@@ -520,6 +520,47 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // L14: PII scrubbing — regex redaction of emails / URLs / SSN-shaped
+    // ids, the mandatory pre-training cleanup pass. documents.text is
+    // synthetic bag-of-words, so deterministic PII is appended per row
+    // first; the interesting part is the scrub itself: per-row codegen
+    // regexp_replace chain, scan-stage at any scale.
+    "l14_pii_scrub" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .withColumn("dirty", concat(col("text"),
+          lit(" user"), col("doc_id"), lit("@example.com"),
+          lit(" http://ex.com/p/"), col("doc_id"),
+          lit(" ssn "), lpad(col("doc_id") % 1000, 3, "0"), lit("-42-6789")))
+      dirty.select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://[^\\s]+", "<URL>"),
+            "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>").as("scrubbed"))
+        .withColumn("n_redacted",
+          (size(split(col("scrubbed"), "<EMAIL>|<URL>|<SSN>")) - 1).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L15: benchmark decontamination — flag corpus docs sharing word-3-gram
+    // shingles with an eval set (here: src1 as the "benchmark", src0 as
+    // the corpus). The 100 TB shape: the benchmark shingle set is tiny and
+    // broadcasts; the corpus side explodes shingles in the scan stage and
+    // semi-joins map-side — contamination checking never shuffles the
+    // corpus text.
+    "l15_contamination" -> ((s, d) => {
+      GF.register(s)
+      def sh(src: String) = Tables.documents(s, d).filter(col("source") === src)
+        .select(col("doc_id"),
+          explode(GF.wordShingles(TF.wordTokens(col("text")), 3)).as("shingle"))
+      val bench = broadcast(sh("src1").select(col("shingle")).distinct())
+      sh("src0")
+        .join(bench, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -560,6 +601,37 @@ object LlmOps extends QueryModule {
         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src)
         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "l14_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' user' || doc_id || '@example.com'
+        |    || ' http://ex.com/p/' || doc_id
+        |    || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-42-6789' AS d
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(d,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed
+        |  FROM dirty)
+        |SELECT doc_id, scrubbed,
+        |  CAST(len(regexp_extract_all(scrubbed, '<EMAIL>|<URL>|<SSN>')) AS BIGINT) AS n_redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "l15_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        |      i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+        |           || ' ' || str_split(text,' ')[i+2]))) AS shingle
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src1'),
+        |c AS (SELECT doc_id, shingle FROM sh WHERE source = 'src0')
+        |SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared
+        |FROM c JOIN b USING (shingle)
+        |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.shingle) >= 3
+        |ORDER BY c.doc_id""".stripMargin,
 
     "l13_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
