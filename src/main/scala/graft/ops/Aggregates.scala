@@ -370,6 +370,32 @@ object Aggregates extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // A9b: Presto's 3-arg min_by/max_by(x, y, n) — top-n argmin/argmax
+    // returning ordered lists. Spark has no n-ary form; the scalable
+    // emulation is a per-group window rank filtered to n, then an
+    // order-preserving collect (sort the (rank, key) structs, project the
+    // keys). WindowGroupLimit prunes each partition to n rows before the
+    // shuffle, so this costs the same as any top-k per group.
+    "a9b_minmax_by_n" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wD = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      val wA = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      def ranked(w: org.apache.spark.sql.expressions.WindowSpec, rn: String) =
+        row_number().over(w).as(rn)
+      def picked(rn: String) = array_join(transform(
+        array_sort(collect_list(when(col(rn) <= 3,
+          struct(col(rn), col("o_orderkey").as("k"))))),
+        e => e.getField("k").cast("string")), ",")
+      Tables.orders(s, d)
+        .withColumn("rd", ranked(wD, "rd"))
+        .withColumn("ra", ranked(wA, "ra"))
+        .groupBy(col("o_orderstatus"))
+        .agg(picked("rd").as("top3_by_price"), picked("ra").as("bot3_by_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // A9: min_by / max_by (argmin/argmax).
     "a9_min_max_by" -> ((s, d) => {
       Tables.orders(s, d)
@@ -551,6 +577,19 @@ object Aggregates extends QueryModule {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 3 AS DECIMAL(20,2))) AS DOUBLE) AS total_x3,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a9b_minmax_by_n" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  string_agg(CASE WHEN rd <= 3 THEN CAST(o_orderkey AS VARCHAR) END, ',' ORDER BY rd) AS top3_by_price,
+        |  string_agg(CASE WHEN ra <= 3 THEN CAST(o_orderkey AS VARCHAR) END, ',' ORDER BY ra) AS bot3_by_price
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "a9_min_max_by" ->
       // DuckDB arg_max can't order by a struct — emulate the lexicographic
