@@ -224,6 +224,30 @@ object Scalars extends QueryModule {
     // map_filter / map_concat / map_from_entries): maps built from row
     // columns, transformed, filtered, merged — serialized as sorted
     // "k=v" entries for the hash compare (map column order is undefined).
+    // sc14b: the rest of the map surface (Presto map_zip_with /
+    // transform_keys / split_to_map / map_from_entries) — per-row codegen
+    // map ops, serialized scalar-wise for the hash compare like sc14.
+    "sc14b_map_extras" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .withColumn("sm", expr(
+          "str_to_map(concat('a:', p_size, ',b:', p_partkey % 7, ',c:9'), ',', ':')"))
+        .withColumn("m1", map(lit("x"), col("p_size").cast("double"),
+          lit("y"), col("p_retailprice")))
+        .withColumn("m2", map(lit("x"), lit(2.0), lit("y"), lit(3.0)))
+        .select(col("p_partkey"),
+          element_at(col("sm"), "b").cast("long").as("sm_b"),
+          array_join(array_sort(map_keys(
+            transform_keys(col("sm"), (k, _) => upper(k)))), ",").as("tk_keys"),
+          array_join(array_sort(transform(map_entries(
+            map_zip_with(col("m1"), col("m2"), (_, v1, v2) => v1 * v2)),
+            e => concat(e.getField("key"), lit("="),
+              floor(e.getField("value") * 100.0 + 0.5).cast("long").cast("string")))),
+            ";").as("zipped"),
+          element_at(map_from_entries(array(struct(lit("k").as("key"),
+            col("p_size").as("value")))), "k").cast("long").as("fe_roundtrip"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "sc14_map_hof" -> ((s, d) => {
       Tables.orders(s, d).filter(col("o_orderkey") < 500)
         .withColumn("m", map_concat(
@@ -520,6 +544,15 @@ object Scalars extends QueryModule {
         |       ELSE 0 END AS o_pos,
         |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps_runs,
         |  regexp_split_to_array(p_name, '\s+')[2] AS second_tok
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "sc14b_map_extras" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey % 7 AS BIGINT) AS sm_b,
+        |  'A,B,C' AS tk_keys,
+        |  'x=' || CAST(CAST(floor(p_size * 2.0 * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+        |    || ';y=' || CAST(CAST(floor(p_retailprice * 3.0 * 100.0 + 0.5) AS BIGINT) AS VARCHAR) AS zipped,
+        |  CAST(p_size AS BIGINT) AS fe_roundtrip
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
 
     "sc14_map_hof" ->
