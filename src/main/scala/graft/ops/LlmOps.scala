@@ -133,10 +133,17 @@ object LlmOps extends QueryModule {
     // no SQL oracle (rows-only); estimator accuracy is unit-tested.
     "l2_minhash_lsh" -> ((s, d) => {
       GF.register(s)
+      // materialize signatures ONCE: the sig pipeline fans out to four
+      // plan branches (banding ×2 via the bucket-size guard + both pair
+      // sides), and without the checkpoint each branch recomputes the
+      // 64-perm kernel over every shingle. This mirrors the real
+      // pipeline, which persists a signatures table and reads it for
+      // banding and verification; at 100 TB that is #docs × ~520 B.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           GF.minhashSig(
             TF.shingleHashes(GF.charShingles(col("text"), 5))).as("sig"))
+        .localCheckpoint()
       val bandedAll = docs.select(col("doc_id"), col("sig"),
           posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))
       // bucket-size guard: a degenerate bucket (e.g. a boilerplate band all
@@ -200,9 +207,12 @@ object LlmOps extends QueryModule {
     // ~65536× and the same pigeonhole recall argument holds.
     "l2c_simhash" -> ((s, d) => {
       GF.register(s)
+      // materialize fingerprints once (same reasoning as l2: both sides
+      // of the band self-join would otherwise recompute the kernel)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
+        .localCheckpoint()
       val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
         posexplode(expr("transform(sequence(0, 11), i -> (sh >> (i * 4)) & 15)"))
           .as(Seq("band", "bval")))
