@@ -370,6 +370,28 @@ object Aggregates extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // A23: distribution aggregates Spark lacks natively — Presto
+    // `entropy()` (Shannon, base 2, over a categorical distribution) and
+    // `geometric_mean()`. Both compose from existing codegen aggregates:
+    // H = log2(T) − Σ c·log2(c) / T over per-category counts (two-level
+    // hash agg, category counts shuffle, never rows), geometric mean =
+    // exp(avg(ln x)) (single-pass).
+    "a23_entropy_geomean" -> ((s, d) => {
+      val counts = Tables.events(s, d).filter(col("user_id") < 50)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val entropy = counts.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("t"),
+          sum(col("c") * log2(col("c"))).as("s"))
+        .select(col("user_id"),
+          round(log2(col("t")) - col("s") / col("t"), 6).as("h"))
+      val geo = Tables.events(s, d).filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(round(exp(avg(log(abs(col("value")) + 1.0))), 6).as("gm"))
+      entropy.join(geo, Seq("user_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // A9b: Presto's 3-arg min_by/max_by(x, y, n) — top-n argmin/argmax
     // returning ordered lists. Spark has no n-ary form; the scalable
     // emulation is a per-group window rank filtered to n, then an
@@ -577,6 +599,13 @@ object Aggregates extends QueryModule {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 3 AS DECIMAL(20,2))) AS DOUBLE) AS total_x3,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a23_entropy_geomean" ->
+      """SELECT user_id,
+        |  ROUND(entropy(event_type), 6) AS h,
+        |  ROUND(exp(avg(ln(abs(value) + 1.0))), 6) AS gm
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a9b_minmax_by_n" ->
       """WITH r AS (
