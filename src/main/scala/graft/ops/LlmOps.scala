@@ -222,11 +222,15 @@ object LlmOps extends QueryModule {
         col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "band", "bval"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-        .distinct() // a pair co-occurs in up to 12 bands; score once
+        // popcount BEFORE the dedup: bit_count is one codegen instruction,
+        // so scoring a pair once per co-occurring band costs nothing next
+        // to shuffling every candidate for distinct — the ≤10 filter
+        // shrinks the distinct input from all band collisions to actual
+        // near-dups (r3; same result set, pair-distinct preserved)
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 10)
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

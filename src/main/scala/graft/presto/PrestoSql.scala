@@ -87,10 +87,19 @@ object PrestoSql {
       "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
       " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))")
 
+  // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
+  // otherwise (temporary functions are session-scoped, so key by session)
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerDialect(spark: SparkSession): Unit = {
-    graft.functions.GraftFunctions.register(spark) // try_eval etc.
-    dialectFns.foreach(f =>
-      spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
+    if (!registered.containsKey(spark)) {
+      graft.functions.GraftFunctions.register(spark) // try_eval etc.
+      dialectFns.foreach(f =>
+        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
+      registered.put(spark, java.lang.Boolean.TRUE)
+    }
   }
 
   /** Rewrites applied OUTSIDE string literals / quoted identifiers.
