@@ -59,4 +59,51 @@ class PropertySpec extends SparkSpec {
       assert(sigs(0)._2 == sigs(2)._2) // identical text -> identical signature
     }
   }
+
+  test("RowPattern.matchSpans ≡ java.util.regex on random streams × random patterns (E8)") {
+    import graft.ops.RowPattern._
+    // step alphabet: equality or negation over {a,b,c,x}; quantifiers over
+    // the full set; at least one min≥1 step so zero-length matches (which
+    // the operator defines away) can't occur. The reference is the JDK
+    // regex engine, which shares leftmost-first backtracking semantics by
+    // construction. Pure-core test: 200 cases, no Spark jobs.
+    val chars = "abcx"
+    val rnd = new scala.util.Random(7)
+    val quantSyms = Seq(once -> "", plus -> "+", star -> "*",
+      plusReluctant -> "+?", starReluctant -> "*?")
+    (1 to 200).foreach { _ =>
+      val stream = Array.fill(rnd.nextInt(30) + 1)(chars(rnd.nextInt(4)))
+      val nSteps = rnd.nextInt(3) + 1
+      val steps = (0 until nSteps).map { _ =>
+        val c = chars(rnd.nextInt(3)) // predicate char from {a,b,c}
+        val neg = rnd.nextBoolean()
+        val (q, qs) = quantSyms(rnd.nextInt(quantSyms.size))
+        (c, neg, q, qs)
+      }
+      val fixed = // force at least one min>=1 quantifier
+        if (steps.exists(_._3.min >= 1)) steps
+        else steps.updated(0, steps.head.copy(_3 = once, _4 = ""))
+      val regex = fixed.map { case (c, neg, _, qs) =>
+        (if (neg) s"[^$c]" else c.toString) + qs
+      }.mkString
+      val preds = stream.map(ch => fixed.map { case (c, neg, _, _) =>
+        if (neg) ch != c else ch == c
+      }.toArray)
+      val quants = fixed.map(_._3).toArray
+      val ts = stream.indices.map(_.toLong).toArray
+      val got = matchSpans(ts, preds, quants, None)
+
+      // reference: find leftmost matches, skip past last row
+      val s = new String(stream)
+      val m = java.util.regex.Pattern.compile(regex).matcher(s)
+      val exp = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var from = 0
+      while (from < s.length && m.find(from)) {
+        exp += ((m.start, m.end - 1))
+        from = m.end
+      }
+      assert(got == exp.toSeq,
+        s"stream=$s regex=$regex got=$got exp=${exp.toSeq}")
+    }
+  }
 }
