@@ -83,6 +83,26 @@ object Etl extends QueryModule {
           |ORDER BY "event_id"""".stripMargin)
     }),
 
+    // P4: a Presto-dialect SCRIPT (semicolon-separated statements — the
+    // form an ETL tool's SQL files actually take): a view definition in
+    // Presto syntax feeding a final aggregate, run through
+    // PrestoSql.script.
+    "p4_presto_script" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """CREATE VIEW pos_cust AS
+          |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg,
+          |    strpos("c_name", '0') AS z
+          |  FROM customer WHERE "c_acctbal" > 0.0;
+          |
+          |SELECT seg, COUNT(*) AS n,
+          |  CAST(MIN(k) AS BIGINT) AS min_k,
+          |  CAST(MAX(z) AS BIGINT) AS max_zpos
+          |FROM pos_cust
+          |GROUP BY seg
+          |ORDER BY seg""".stripMargin)
+    }),
+
     // P3: the LLM-pipeline flagship — end-to-end dedup as one DAG under
     // the oracle gate: exact near-dup candidate edges → connected
     // components (HashMin label propagation) → keeper selection →
@@ -154,6 +174,15 @@ object Etl extends QueryModule {
         |  CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts::TIMESTAMP))) AS BIGINT) AS tokyo_hour,
         |  strptime('2024-03-05 12:30:45', '%Y-%m-%d %H:%M:%S')::TIMESTAMP AS parsed
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "p4_presto_script" ->
+      """WITH pos_cust AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, strpos(c_name, '0') AS z
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT seg, COUNT(*) AS n,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(z) AS BIGINT) AS max_zpos
+        |FROM pos_cust GROUP BY seg ORDER BY seg""".stripMargin,
 
     "p3_dedup_pipeline" ->
       // same edge construction + min-reachable-label CC as the l12 oracle,

@@ -46,6 +46,56 @@ object PrestoSql {
     spark.sql(translate(prestoSql))
   }
 
+  /** Run a Presto-dialect SCRIPT — semicolon-separated statements, the
+    * form an ETL tool's SQL files take. Statements split outside string
+    * literals / quoted identifiers and run in order; the LAST statement's
+    * result is returned. `CREATE [OR REPLACE] VIEW` maps to a TEMPORARY
+    * view (this entry point is a session-scoped script runner, not a
+    * catalog DDL surface — documented semantic, like the other limits).
+    */
+  def script(spark: SparkSession, prestoScript: String): DataFrame = {
+    val stmts = splitStatements(prestoScript)
+      .map(_.trim).filter(_.nonEmpty)
+      .map { st =>
+        """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b""".r
+          .replaceFirstIn(st, "CREATE OR REPLACE TEMPORARY VIEW ")
+      }
+    require(stmts.nonEmpty, "empty script")
+    stmts.init.foreach(sql(spark, _))
+    sql(spark, stmts.last)
+  }
+
+  /** Split on ';' outside single-quoted literals ('' escapes respected)
+    * and double-quoted identifiers. */
+  private[graft] def splitStatements(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inLit = false
+    var inIdent = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) {
+        cur.append(c)
+        if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inLit = true; cur.append(c)
+        case '"' => inIdent = true; cur.append(c)
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   /** SQL-function adapters: inlined by Catalyst, codegen-transparent.
     * (In `presto_split`, '\\Q'/'\\E' reach Java regex as \Q…\E literal
     * quoting — Presto split is literal, Spark split is regex.) */

@@ -85,6 +85,24 @@ class PrestoSqlSpec extends SparkSpec {
       == "SELECT 'ts AT TIME ZONE spam' FROM t")
   }
 
+  test("script splitting respects literals and quoted identifiers") {
+    assert(PrestoSql.splitStatements("SELECT 'a;b'; SELECT \"x;y\"; SELECT 1")
+      == Seq("SELECT 'a;b'", " SELECT \"x;y\"", " SELECT 1"))
+    assert(PrestoSql.splitStatements("SELECT 'it''s;ok'")
+      == Seq("SELECT 'it''s;ok'"))
+  }
+
+  test("script runs statements in order; CREATE VIEW becomes a temp view") {
+    Tables.registerAll(spark, sf)
+    val df = PrestoSql.script(spark,
+      """CREATE VIEW v_small AS SELECT "r_regionkey" AS k FROM region;
+        |SELECT COUNT(*) AS n FROM v_small""".stripMargin)
+    assert(df.collect().head.getLong(0) == 5L)
+    // temp-scoped, not catalog DDL
+    assert(spark.catalog.tableExists("v_small"))
+    spark.catalog.dropTempView("v_small")
+  }
+
   test("r3 adapters: ISO dow, date_parse %-format, hex/bitwise, truncate, json_array_get") {
     PrestoSql.registerDialect(spark)
     val r = PrestoSql.sql(spark,
