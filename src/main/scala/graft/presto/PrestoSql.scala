@@ -162,6 +162,12 @@ object PrestoSql {
     // wrap anything fancier in a subquery alias first.
     ("""(?i)((?:`[^`]+`|[\w.]+)(?:\([^()]*\))?)\s+AT\s+TIME\s+ZONE\s+'([^']+)'""".r,
       "from_utc_timestamp($1, '$2')"),
+    // lambda-taking functions can't be SQL-function adapters (no lambda
+    // params); these are exact semantic matches by rename. Spark accepts
+    // Presto's `x -> expr` lambda syntax unchanged.
+    ("""(?i)\bany_match\s*\(""".r, "exists("),
+    ("""(?i)\ball_match\s*\(""".r, "forall("),
+    ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),
     ("""(?i)\bto_hex\s*\(""".r, "hex("),

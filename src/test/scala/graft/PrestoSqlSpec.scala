@@ -85,6 +85,16 @@ class PrestoSqlSpec extends SparkSpec {
       == "SELECT 'ts AT TIME ZONE spam' FROM t")
   }
 
+  test("lambda-function renames: any_match/all_match/reduce with Presto lambda syntax") {
+    PrestoSql.registerDialect(spark)
+    val r = PrestoSql.sql(spark,
+      """SELECT any_match(sequence(1, 5), x -> x > 4) AS a,
+        |  all_match(sequence(1, 5), x -> x > 0) AS b,
+        |  reduce(sequence(1, 4), 0, (s, x) -> s + x, s -> s * 10) AS c""".stripMargin)
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getInt(2) == 100)
+  }
+
   test("script splitting respects literals and quoted identifiers") {
     assert(PrestoSql.splitStatements("SELECT 'a;b'; SELECT \"x;y\"; SELECT 1")
       == Seq("SELECT 'a;b'", " SELECT \"x;y\"", " SELECT 1"))
