@@ -37,7 +37,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      val median = times.sorted.apply(times.size / 2)
+      // lower-middle median: for odd reps the true median; for even reps
+      // (e.g. REPS=2) the FASTER sample — the upper-middle would charge
+      // rep-1 JIT warm-up as the result, the very noise the median exists
+      // to discard
+      val median = times.sorted.apply((times.size - 1) / 2)
       System.err.println(
         f"[bench] $name%-24s median $median%6.2f s  " +
           times.map(t => f"$t%.2f").mkString("[", " ", "]"))

@@ -116,24 +116,51 @@ object QuantileSketchAggregator {
     (m, w)
   }
 
-  case class Buf(var means: Array[Double], var weights: Array[Double])
+  /** Aggregation buffer: `n` live entries in possibly-larger backing
+    * arrays, so the per-row hot path appends in amortized O(1) and
+    * mutates in place (the Aggregator contract permits returning the
+    * mutated buffer) instead of copying the whole buffer per row. */
+  case class Buf(var means: Array[Double], var weights: Array[Double], var n: Int)
 
-  private def compactIfNeeded(b: Buf): Buf = {
-    if (b.means.length > BufferCap) {
-      val (m, w) = compress(b.means, b.weights)
-      Buf(m, w)
-    } else b
+  /** Ensure ≥1 free slot: compress live entries when the cap is hit
+    * (keeps ~Delta centroids), else double capacity. */
+  private def ensureSlot(b: Buf): Unit = {
+    if (b.n == b.means.length) {
+      if (b.n >= BufferCap) {
+        val (m, w) = compress(b.means.take(b.n), b.weights.take(b.n))
+        b.means = java.util.Arrays.copyOf(m, BufferCap)
+        b.weights = java.util.Arrays.copyOf(w, BufferCap)
+        b.n = m.length
+      } else {
+        val cap = math.max(16, b.means.length * 2)
+        b.means = java.util.Arrays.copyOf(b.means, cap)
+        b.weights = java.util.Arrays.copyOf(b.weights, cap)
+      }
+    }
   }
+
+  private def append(b: Buf, m: Double, w: Double): Buf = {
+    ensureSlot(b)
+    b.means(b.n) = m; b.weights(b.n) = w; b.n += 1
+    b
+  }
+
+  private def appendAll(b: Buf, m: Array[Double], w: Array[Double], k: Int): Buf = {
+    var i = 0
+    while (i < k) { append(b, m(i), w(i)); i += 1 }
+    b
+  }
+
+  private def finishBuf(b: Buf): Seq[Double] =
+    serialize(compress(b.means.take(b.n), b.weights.take(b.n)))
 
   /** Level 1: rows → sketch. */
   val sketchAgg: Aggregator[Double, Buf, Seq[Double]] =
     new Aggregator[Double, Buf, Seq[Double]] {
-      def zero: Buf = Buf(Array.empty, Array.empty)
-      def reduce(b: Buf, x: Double): Buf =
-        compactIfNeeded(Buf(b.means :+ x, b.weights :+ 1.0))
-      def merge(x: Buf, y: Buf): Buf =
-        compactIfNeeded(Buf(x.means ++ y.means, x.weights ++ y.weights))
-      def finish(b: Buf): Seq[Double] = serialize(compress(b.means, b.weights))
+      def zero: Buf = Buf(Array.empty, Array.empty, 0)
+      def reduce(b: Buf, x: Double): Buf = append(b, x, 1.0)
+      def merge(x: Buf, y: Buf): Buf = appendAll(x, y.means, y.weights, y.n)
+      def finish(b: Buf): Seq[Double] = finishBuf(b)
       def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       def outputEncoder: Encoder[Seq[Double]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
@@ -142,14 +169,13 @@ object QuantileSketchAggregator {
   /** Level 2: sketches → merged sketch (the rollup path). */
   val mergeAgg: Aggregator[Seq[Double], Buf, Seq[Double]] =
     new Aggregator[Seq[Double], Buf, Seq[Double]] {
-      def zero: Buf = Buf(Array.empty, Array.empty)
+      def zero: Buf = Buf(Array.empty, Array.empty, 0)
       def reduce(b: Buf, sk: Seq[Double]): Buf = {
         val (m, w) = deserialize(sk)
-        compactIfNeeded(Buf(b.means ++ m, b.weights ++ w))
+        appendAll(b, m, w, m.length)
       }
-      def merge(x: Buf, y: Buf): Buf =
-        compactIfNeeded(Buf(x.means ++ y.means, x.weights ++ y.weights))
-      def finish(b: Buf): Seq[Double] = serialize(compress(b.means, b.weights))
+      def merge(x: Buf, y: Buf): Buf = appendAll(x, y.means, y.weights, y.n)
+      def finish(b: Buf): Seq[Double] = finishBuf(b)
       def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       def outputEncoder: Encoder[Seq[Double]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()

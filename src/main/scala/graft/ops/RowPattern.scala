@@ -125,7 +125,10 @@ object RowPattern extends Serializable {
 
     implicit val keyEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[PatternMatch]
-    val out = prep.groupByKey(_.getLong(0))
+    // SQL grouping semantics: null keys (or keys the long-cast nulls out)
+    // never participate — and would otherwise NPE in the key extractor
+    val out = prep.filter(col("__k").isNotNull)
+      .groupByKey(_.getLong(0))
       .flatMapSortedGroups(col("__ts"), col("__tb")) { (k, it) =>
         val rows = it.toArray
         val len = rows.length

@@ -295,9 +295,13 @@ object Scalars extends QueryModule {
             .cast("long").as("tokyo_hour"),
           date_format(from_utc_timestamp(col("t"), "Europe/Paris"),
             "yyyy-MM-dd").as("paris_date"),
+          // fixed-offset zone: the from/to inverse is identity by
+          // construction (a DST zone's repeated fall-back hour would make
+          // the round-trip lossy and the oracle's identity brittle to any
+          // fixture date change)
           unix_seconds(to_utc_timestamp(
-            from_utc_timestamp(col("t"), "America/Los_Angeles"),
-            "America/Los_Angeles")).as("la_roundtrip_s"),
+            from_utc_timestamp(col("t"), "UTC+05:30"),
+            "UTC+05:30")).as("offset_roundtrip_s"),
           unix_seconds(col("t")).as("to_unixtime_s"))
         .orderBy(col("event_id"))
     }),
@@ -422,7 +426,7 @@ object Scalars extends QueryModule {
         |  strftime(timezone('America/New_York', timezone('UTC', ts::TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS ny_wall,
         |  CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts::TIMESTAMP))) AS BIGINT) AS tokyo_hour,
         |  strftime(timezone('Europe/Paris', timezone('UTC', ts::TIMESTAMP)), '%Y-%m-%d') AS paris_date,
-        |  epoch_us(ts::TIMESTAMP) // 1000000 AS la_roundtrip_s,
+        |  epoch_us(ts::TIMESTAMP) // 1000000 AS offset_roundtrip_s,
         |  epoch_us(ts::TIMESTAMP) // 1000000 AS to_unixtime_s
         |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
 

@@ -36,7 +36,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identifier / qualified name / non-nested call WITHOUT string-literal
   * arguments as its operand (wrap anything fancier in a subquery alias);
   * `date_parse` maps the common MySQL %-specifiers (%Y %m %d %H %i %s
-  * %T) only.
+  * %T) only; **array subscripts `arr[n]` pass through untranslated and
+  * Spark's `[]` is 0-based where Presto's is 1-based** — migrating SQL
+  * should use `element_at(arr, n)` (1-based in BOTH engines) for
+  * positional access, which is also Presto's recommended form.
   */
 object PrestoSql {
 

@@ -95,15 +95,22 @@ object EventStreams {
     * match_no is per flushed window (documented divergence from the
     * batch operator's per-key lifetime numbering).
     *
-    * Scale notes: state per key = events inside one `within` window ×
-    * (16 bytes + #steps bits) — bounded by key activity, partitioned by
-    * key; late rows beyond the watermark are dropped upstream.
+    * Scale notes: state per key = events since the key's last
+    * within-window quiet gap × (16 bytes + #steps bits), partitioned by
+    * key; a key that NEVER goes quiet accumulates until
+    * `maxBufferedRows`, where the operator fails loudly instead of
+    * silently OOMing. Late rows beyond the watermark drop upstream.
     */
   def patternMatchesWithState(rows: Dataset[PatternRow],
       quants: Seq[graft.ops.RowPattern.Quant], withinUs: Long,
-      watermarkDelay: String = "2 hours"): Dataset[PatternOut] = {
+      watermarkDelay: String = "2 hours",
+      maxBufferedRows: Int = 100000): Dataset[PatternOut] = {
     import rows.sparkSession.implicits._
     val quantArr = quants.toArray
+    // Timestamp → epoch micros WITHOUT truncating to ms: getTime carries
+    // whole millis, getNanos the full fractional part
+    def epochUs(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     rows
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -124,9 +131,18 @@ object EventStreams {
             val incoming = it.toSeq
             val prev = state.getOption.getOrElse(PatternBufState(Nil, Nil, Nil))
             val next = PatternBufState(
-              prev.us ++ incoming.map(r => r.ts.getTime * 1000L),
+              prev.us ++ incoming.map(r => epochUs(r.ts)),
               prev.tb ++ incoming.map(_.tb),
               prev.p ++ incoming.map(_.p))
+            // the quiet-key flush re-arms on every batch, so a key that
+            // never goes quiet for `within` accumulates state; fail loudly
+            // at the cap (the connectedComponents precedent) rather than
+            // silently OOMing an executor — raise the cap or shrink
+            // `within` for such keys
+            if (next.us.size > maxBufferedRows) throw new IllegalStateException(
+              s"patternMatchesWithState: key $uid buffered ${next.us.size} " +
+                s"events without a within-window quiet gap; raise " +
+                s"maxBufferedRows or reduce withinUs")
             state.update(next)
             // flush once nothing can extend a within-window match
             state.setTimeoutTimestamp(next.us.max / 1000L + withinUs / 1000L + 1L)
