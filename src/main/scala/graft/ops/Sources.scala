@@ -134,6 +134,45 @@ object Sources extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // S10: parquet schema evolution — an older batch lacks a column a
+    // newer batch carries; mergeSchema unions the schemas at read time
+    // and back-fills nulls. THE long-lived-table ETL reality: producers
+    // add columns, history doesn't rewrite.
+    "s10_merge_schema" -> ((s, d) => {
+      val out = scratch("graft_evo")
+      Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("o_orderstatus"), lit("?")).as("status"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S2b: malformed-row policy — DROPMALFORMED discards rows that fail
+    // the declared schema (bad int, wrong arity) instead of nulling or
+    // failing the job; the ingest-dirty-feeds ETL policy. Corrupt lines
+    // are injected into an otherwise-clean CSV, and the read-back must
+    // equal the clean table.
+    "s2b_csv_malformed" -> ((s, d) => {
+      val out = scratch("graft_badcsv")
+      val lines = Tables.nation(s, d)
+        .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        .unionByName(s.range(1)
+          .select(lit("badrow,EXTRA,9,too,many,columns").as("value")))
+        .unionByName(s.range(1)
+          .select(lit("notanint,PARSEFAIL,7").as("value")))
+      lines.coalesce(1).write.mode("overwrite").text(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "DROPMALFORMED").csv(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -156,6 +195,15 @@ object Sources extends QueryModule {
 
     "s2_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "s10_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey < 1000 THEN '?' ELSE o_orderstatus END AS status
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "s2b_csv_malformed" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "s3_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
