@@ -133,6 +133,20 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E9: interval join (attribution): views joined to same-user purchases
+    // within [0, 1h]. The SAME function is the streaming stream-stream
+    // join (EventStreams.viewPurchaseJoin — withWatermark is a no-op in
+    // batch), so the oracle gate covers the streaming operator's logic
+    // and StreamingSpec proves batch/stream parity.
+    "e9_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.EventStreams.viewPurchaseJoin(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -230,6 +244,17 @@ object Events extends QueryModule {
         |FROM events
         |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e9_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
+        | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |  AND p.event_type = 'purchase'
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
 
     "e5_dedup_first" ->
       """WITH ranked AS (

@@ -59,6 +59,29 @@ object EventStreams {
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n"))
 
+  /** E9-streaming: stream-stream interval join — views joined to the
+    * same user's purchases within [0, 1h] of the view, both sides
+    * watermarked so Spark can bound the join state: a buffered view can
+    * be dropped once the purchase-side watermark passes view.ts + 1h,
+    * and vice versa. The canonical attribution join; state per side is
+    * (watermark delay + interval) of rows, partitioned by key.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   // ---- custom state: streaming row-pattern matching (E8) ----------------
 
   /** One pre-evaluated event for the streaming pattern matcher: step

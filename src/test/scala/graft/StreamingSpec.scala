@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
       s"missing=${batch.diff(streamed)} extra=${streamed.diff(batch)}")
   }
 
+  test("stream-stream interval join == batch interval join (E9)") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: view(0) with purchases at +10min (in window) and +70min
+    // (outside); user 2: purchase before its view never matches
+    val viewRows = Seq(Ev(10, ts(0), 1, "view"), Ev(11, ts(30), 2, "view"))
+    val purchRows = Seq(Ev(20, ts(10), 1, "purchase"),
+      Ev(21, ts(70), 1, "purchase"), Ev(22, ts(5), 2, "purchase"))
+    val vs = MemoryStream[Ev]; val ps = MemoryStream[Ev]
+    vs.addData(viewRows); ps.addData(purchRows)
+    val q = EventStreams.viewPurchaseJoin(vs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_ssjoin")
+      .select($"user_id", $"view_id", $"purchase_id", $"lag_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStreams.viewPurchaseJoin(
+        viewRows.toDF(), purchRows.toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the in-window pair and ONLY it: (1, view 10, purchase 20)
+    assert(streamed.map(t => (t._1, t._2, t._3)) == Set((1L, 10L, 20L)))
+  }
+
   test("streaming session windows group by 30-minute gaps (E3)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
