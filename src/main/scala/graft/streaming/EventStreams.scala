@@ -82,6 +82,39 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 
+  /** E10-streaming: incremental keyed upsert SINK via foreachBatch —
+    * each micro-batch reduces to one row per key (last-write-wins by
+    * (ts, event_id)) and merges into a parquet table: the streaming half
+    * of the keyed-merge story (o11_upsert's priority pick per batch; a
+    * partitioned target at scale would reuse o11b's touched-partition
+    * COW planning instead of the full-table rewrite used here).
+    * foreachBatch gives exactly-once table contents per epoch: replays
+    * re-run the same idempotent merge.
+    */
+  def upsertSink(events: DataFrame, tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val incoming = latestPerKey(batch.toDF())
+        val merged =
+          if (new java.io.File(tableDir).exists())
+            latestPerKey(s.read.parquet(tableDir).unionByName(incoming))
+          else incoming
+        // break lineage from tableDir before overwriting it
+        merged.localCheckpoint().write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+      .start()
+  }
+
   // ---- custom state: streaming row-pattern matching (E8) ----------------
 
   /** One pre-evaluated event for the streaming pattern matcher: step

@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(t => (t._1, t._2, t._3)) == Set((1L, 10L, 20L)))
   }
 
+  test("foreachBatch upsert sink: last write per key wins across micro-batches (E10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val tableDir = s"$dir/table"
+    val ckDir = s"$dir/ck"
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.upsertSink(stream.toDF(), tableDir, ckDir)
+    try {
+      stream.addData(Seq(Ev(1, ts(0), 1, "view"), Ev(2, ts(1), 2, "view")))
+      q.processAllAvailable()
+      // batch 2 updates user 1 (later ts) and inserts user 3; the stale
+      // user-1 row in the same batch must lose to the newer one
+      stream.addData(Seq(Ev(3, ts(10), 1, "click"),
+        Ev(4, ts(5), 1, "view"), Ev(5, ts(2), 3, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(tableDir)
+      .select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 3L, "click"), (2L, 2L, "view"), (3L, 5L, "purchase")))
+  }
+
   test("streaming session windows group by 30-minute gaps (E3)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
