@@ -103,6 +103,26 @@ object Etl extends QueryModule {
           |ORDER BY seg""".stripMargin)
     }),
 
+    // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
+    // actual user interface: a declarative JSON document of named SQL
+    // steps + deps + sinks, no host-language code. The spec below compiles
+    // to the same lazy-view DAG as p1 (Catalyst optimizes across steps)
+    // and its sink/read-back lands under the oracle gate.
+    "p5_pipeline_spec" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val out = Sources.scratch("graft_p5")
+      val spec =
+        s"""{ "steps": [
+           |  { "name": "evt_hourly",
+           |    "sql": "SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n, ${dsumSql("value")} AS v FROM events GROUP BY event_type, date_trunc('hour', ts)" },
+           |  { "name": "typ_stats",
+           |    "depends_on": ["evt_hourly"],
+           |    "sql": "SELECT event_type, COUNT(*) AS n_hours, CAST(MAX(n) AS BIGINT) AS peak_n, ${dsumSql("v")} AS total_v FROM evt_hourly GROUP BY event_type",
+           |    "sink": { "format": "parquet", "path": "$out", "coalesce": 1 } } ] }""".stripMargin
+      graft.pipeline.PipelineSpec.run(s, spec)
+      s.read.parquet(out).orderBy(col("event_type"))
+    }),
+
     // P3: the LLM-pipeline flagship — end-to-end dedup as one DAG under
     // the oracle gate: exact near-dup candidate edges → connected
     // components (HashMin label propagation) → keeper selection →
@@ -183,6 +203,15 @@ object Etl extends QueryModule {
         |  CAST(MIN(k) AS BIGINT) AS min_k,
         |  CAST(MAX(z) AS BIGINT) AS max_zpos
         |FROM pos_cust GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "p5_pipeline_spec" ->
+      s"""WITH evt_hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         |    ${dsumSql("value")} AS v
+         |  FROM events GROUP BY event_type, date_trunc('hour', ts))
+         |SELECT event_type, COUNT(*) AS n_hours, CAST(MAX(n) AS BIGINT) AS peak_n,
+         |  ${dsumSql("v")} AS total_v
+         |FROM evt_hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "p3_dedup_pipeline" ->
       // same edge construction + min-reachable-label CC as the l12 oracle,

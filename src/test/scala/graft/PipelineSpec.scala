@@ -58,6 +58,63 @@ class PipelineSpec extends SparkSpec {
     assert(q.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("JSON spec parses to steps, runs the DAG, and honors sinks") {
+    import graft.pipeline.PipelineSpec
+    val out = java.nio.file.Files.createTempDirectory("graft_spec").toString
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "g").createOrReplaceTempView("spec_src")
+    val r = PipelineSpec.run(spark,
+      s"""{ "steps": [
+         |  { "name": "agg_g",
+         |    "sql": "SELECT g, COUNT(*) AS n FROM spec_src GROUP BY g",
+         |    "depends_on": [],
+         |    "sink": { "format": "parquet", "path": "$out/agg",
+         |              "partition_by": ["g"], "coalesce": 1 } },
+         |  { "name": "only_a",
+         |    "sql": "SELECT n FROM agg_g WHERE g = 'a'",
+         |    "depends_on": ["agg_g"] } ] }""".stripMargin)
+    assert(r.order == Seq("agg_g", "only_a"))
+    assert(r.views("only_a").as[Long].collect().toSeq == Seq(2L))
+    // partitioned sink wrote hive-style directories
+    val back = spark.read.parquet(s"$out/agg")
+    assert(back.count() == 2 &&
+      back.columns.toSet == Set("g", "n") &&
+      new java.io.File(s"$out/agg/g=a").isDirectory)
+  }
+
+  test("JSON spec parser is strict: typo'd fields and bad shapes throw") {
+    import graft.pipeline.PipelineSpec
+    // unknown step field (typo of depends_on)
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1", "dependson": [] } ] }""")
+    }
+    // unknown sink field
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1",
+          |  "sink": { "path": "/tmp/x", "coalesce_to": 1 } } ] }""".stripMargin)
+    }
+    // missing sql
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse("""{ "steps": [ { "name": "x" } ] }""")
+    }
+    // unsupported sink format
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1",
+          |  "sink": { "format": "avro", "path": "/tmp/x" } } ] }""".stripMargin)
+    }
+    // no steps array
+    intercept[IllegalArgumentException] { PipelineSpec.parse("""{ "pipeline": [] }""") }
+    // dependency cycle still caught by Pipeline.run's Kahn sort
+    intercept[IllegalArgumentException] {
+      PipelineSpec.run(spark,
+        """{ "steps": [
+          |  { "name": "a", "sql": "SELECT * FROM b", "depends_on": ["b"] },
+          |  { "name": "b", "sql": "SELECT * FROM a", "depends_on": ["a"] } ] }""".stripMargin)
+    }
+  }
+
   test("contract consistency: no module declares a duplicate query name") {
     val allKeys = Seq(
       ops.Sources, ops.Filters, ops.Joins, ops.Aggregates, ops.Windows,
