@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable MinHash set digest (Presto `make_set_digest` /
+  * `merge_set_digest` / `jaccard_index` — Broder's MinHash, public
+  * algorithm): the set-SIMILARITY companion to A21's HLL (cardinality) and
+  * A22's t-digest (quantiles). A group's digest is the per-permutation
+  * minimum of the same `SketchKernels` permutation family the L2 LSH path
+  * uses, so digest positions are directly comparable with l2 signatures.
+  *
+  * The digest of a UNION of sets is the element-wise min of their digests
+  * — merging is exact (not just bounded-error), associative, and
+  * commutative, so partial aggregation, shuffle-merge, and later rollups
+  * all produce THE identical digest a single pass over the union would
+  * (property-tested in ApproxSpec). `jaccard_index(d1, d2)` estimates set
+  * similarity as the fraction of agreeing positions (unbiased; stderr
+  * ≈ √(J(1−J)/k) ≈ 0.044 at k = 128).
+  *
+  * 100 TB pattern: per-(partition, group) digests are computed once in the
+  * scan stage and persist as `array<long>` columns; any coarser grouping
+  * (per-source → per-corpus) and any cross-group similarity matrix is then
+  * arithmetic over k-long arrays — the raw text is never re-read and never
+  * shuffles. Input is the per-doc `shingle_hashes` array, so the aggregate
+  * consumes doc-level rows: no explode, partials combine map-side.
+  */
+object SetDigestAggregator {
+
+  /** Permutation count: 2× the L2 signature for a tighter similarity
+    * stderr; positions 0..63 coincide with l2's signature positions. */
+  final val NumPerms = 128
+
+  /** Empty-set sentinel (no element seen for that permutation). Kept as
+    * the merge identity; `jaccardIndex` treats sentinel-vs-sentinel
+    * agreement like any other (J(∅,∅) reported as 1). */
+  final val Empty: Long = Long.MaxValue
+
+  import SketchKernels.{minhashA, minhashB, Mersenne}
+
+  case class Buf(var mins: Array[Long])
+
+  private def zeroBuf: Buf = Buf(Array.fill(NumPerms)(Empty))
+
+  /** Fold one element hash into the digest: one permuted value per slot. */
+  private def addHash(b: Buf, h: Long): Unit = {
+    val hm = java.lang.Math.floorMod(h, Mersenne)
+    var j = 0
+    while (j < NumPerms) {
+      val v = java.lang.Math.floorMod(hm * minhashA(j) + minhashB(j), Mersenne)
+      if (v < b.mins(j)) b.mins(j) = v
+      j += 1
+    }
+  }
+
+  private def mergeInto(x: Buf, y: Array[Long], n: Int): Buf = {
+    var j = 0
+    while (j < n) { if (y(j) < x.mins(j)) x.mins(j) = y(j); j += 1 }
+    x
+  }
+
+  private val seqLongEnc: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  /** Level 1: rows of element-hash arrays → digest. */
+  val digestAgg: Aggregator[Seq[Long], Buf, Seq[Long]] =
+    new Aggregator[Seq[Long], Buf, Seq[Long]] {
+      def zero: Buf = zeroBuf
+      def reduce(b: Buf, hashes: Seq[Long]): Buf = {
+        if (hashes != null) hashes.foreach(addHash(b, _))
+        b
+      }
+      def merge(x: Buf, y: Buf): Buf = mergeInto(x, y.mins, NumPerms)
+      def finish(b: Buf): Seq[Long] = b.mins.toSeq
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Seq[Long]] = seqLongEnc
+    }
+
+  /** Level 2: digests → merged digest (the rollup path; exact). */
+  val mergeDigestAgg: Aggregator[Seq[Long], Buf, Seq[Long]] =
+    new Aggregator[Seq[Long], Buf, Seq[Long]] {
+      def zero: Buf = zeroBuf
+      def reduce(b: Buf, d: Seq[Long]): Buf = {
+        if (d != null) {
+          var j = 0
+          while (j < NumPerms && j < d.length) {
+            if (d(j) < b.mins(j)) b.mins(j) = d(j); j += 1
+          }
+        }
+        b
+      }
+      def merge(x: Buf, y: Buf): Buf = mergeInto(x, y.mins, NumPerms)
+      def finish(b: Buf): Seq[Long] = b.mins.toSeq
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Seq[Long]] = seqLongEnc
+    }
+
+  /** Jaccard estimate between two digests: fraction of agreeing slots.
+    * Pure kernel shared by the Column form and the tests. */
+  def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0
+    var j = 0
+    while (j < NumPerms) { if (a(j) == b(j)) eq += 1; j += 1 }
+    eq.toDouble / NumPerms
+  }
+
+  /** Column forms. `jaccardIndex` runs on #group-pairs rows (never the
+    * raw-data path), so a Scala UDF is fine — the data-volume work is all
+    * inside the codegen'd partial+final aggregation. */
+  def setDigestAgg(hashes: Column): Column = udaf(digestAgg).apply(hashes)
+  def setDigestMergeAgg(digest: Column): Column = udaf(mergeDigestAgg).apply(digest)
+  def jaccardIndex(a: Column, b: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (x: Seq[Long], y: Seq[Long]) =>
+      jaccard(x, y)
+    }
+    f(a, b)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, QueryModule, Tables}
-import graft.functions.{CentroidAggregator, CosineSimilarityExpression, GraftFunctions => GF, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{CentroidAggregator, CosineSimilarityExpression, GraftFunctions => GF, SetDigestAggregator => SD, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -473,6 +473,34 @@ object LlmOps extends QueryModule {
           expr("CAST(array_max(q) AS BIGINT)").as("q_max"),
           expr("CAST(array_min(q) AS BIGINT)").as("q_min"))
         .orderBy(col("vec_id"))
+    }),
+
+    // L16: mergeable MinHash set digests (Presto make_set_digest /
+    // merge_set_digest / jaccard_index) — corpus-level similarity without
+    // pairwise doc work: per-(source, lang) digests computed in one pass,
+    // rolled up to per-source digests by EXACT element-wise-min merge (the
+    // two-level A21 rollup pattern), then the full cross-source similarity
+    // matrix is arithmetic over 128-long arrays. Output quantizes the
+    // estimate to the agreeing-slot COUNT (an exact integer), so the
+    // result is deterministic; approx estimator → rows-only, with
+    // mergeability (exact) + accuracy property-tested in ApproxSpec.
+    "l16_setdigest_jaccard" -> ((s, d) => {
+      GF.register(s)
+      val fine = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("source"), col("lang"),
+          TF.shingleHashes(GF.charShingles(col("text"), 5)).as("hs"))
+        .groupBy(col("source"), col("lang"))
+        .agg(SD.setDigestAgg(col("hs")).as("digest"))
+      val perSource = fine.groupBy(col("source"))
+        .agg(SD.setDigestMergeAgg(col("digest")).as("digest"))
+      val a = perSource.select(col("source").as("src_a"), col("digest").as("da"))
+      val b = perSource.select(col("source").as("src_b"), col("digest").as("db"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          floor(SD.jaccardIndex(col("da"), col("db")) * SD.NumPerms + 0.5)
+            .cast("long").as("n_agree"))
+        .orderBy(col("src_a"), col("src_b"))
     }),
 
     // L7b: frame sampling (multimodal generator shape) — payload split

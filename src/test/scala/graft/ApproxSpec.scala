@@ -124,4 +124,55 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(est - ex) / ex <= 0.08, s"$lang est=$est exact=$ex")
     }
   }
+
+  test("set digest merge is EXACT: digest(A ∪ B) == merge(digest(A), digest(B)) (L16)") {
+    val SD = graft.functions.SetDigestAggregator
+    // deterministic pseudo-random element sets with partial overlap
+    def set(seed: Long, n: Int): Seq[Long] =
+      (0 until n).map(i => (seed * 2654435761L + i * 40503L) % 10000)
+    val a = set(1, 300); val b = set(7, 250)
+    val dfA = Seq(a).toDF("hs"); val dfB = Seq(b).toDF("hs")
+    val dfU = Seq(a ++ b).toDF("hs")
+    def digestOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(SD.setDigestAgg($"hs").as("d")).as[Seq[Long]].head()
+    val merged = Seq((digestOf(dfA), 1), (digestOf(dfB), 2)).toDF("d", "i")
+      .agg(SD.setDigestMergeAgg($"d").as("m")).as[Seq[Long]].head()
+    assert(merged == digestOf(dfU))
+  }
+
+  test("set digest jaccard estimate tracks exact Jaccard (L16)") {
+    val SD = graft.functions.SetDigestAggregator
+    // three overlap levels; stderr ≈ √(J(1−J)/128) ≈ 0.044 → assert 3σ
+    for ((shared, only) <- Seq((400, 100), (250, 250), (50, 450))) {
+      val common = (0 until shared).map(i => 1000000L + i * 7919L)
+      val sa = common ++ (0 until only).map(i => 2000000L + i * 104729L)
+      val sb = common ++ (0 until only).map(i => 3000000L + i * 15485863L)
+      val exact = shared.toDouble / (shared + 2 * only)
+      val da = Seq(sa).toDF("hs").agg(SD.setDigestAgg($"hs")).as[Seq[Long]].head()
+      val db = Seq(sb).toDF("hs").agg(SD.setDigestAgg($"hs")).as[Seq[Long]].head()
+      val est = SD.jaccard(da, db)
+      assert(math.abs(est - exact) <= 0.14, s"exact=$exact est=$est")
+    }
+  }
+
+  test("set digest rollup on documents: fine→merged equals direct digest (L16)") {
+    import graft.functions.{GraftFunctions => GF, TextFunctions => TF}
+    val SD = graft.functions.SetDigestAggregator
+    GF.register(spark)
+    val hs = Tables.documents(spark, sf)
+      .select($"source", $"lang",
+        TF.shingleHashes(GF.charShingles($"text", 5)).as("hs"))
+    val direct = hs.groupBy($"source")
+      .agg(SD.setDigestAgg($"hs").as("d"))
+      .as[(String, Seq[Long])].collect().toMap
+    val rolled = hs.groupBy($"source", $"lang")
+      .agg(SD.setDigestAgg($"hs").as("d"))
+      .groupBy($"source")
+      .agg(SD.setDigestMergeAgg($"d").as("d"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(direct.keySet == rolled.keySet)
+    direct.foreach { case (src, d) =>
+      assert(rolled(src) == d, s"rollup digest diverged for $src")
+    }
+  }
 }
