@@ -603,6 +603,38 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L17: repetition / boilerplate filter (the Gopher-style repetition
+    // signals: distinct-word ratio, duplicate-bigram fraction, top-word
+    // dominance). All three are per-row array arithmetic — scan-stage,
+    // shuffle-free at any scale. The top-word count here is the O(n²)
+    // list-comprehension form (exactly mirrorable in the DuckDB oracle);
+    // for multi-KB docs at 100 TB the same signal computes as
+    // explode → count per (doc, word) → max, one extra map-side-combined
+    // aggregation. Ratios are quantized (floor(x·1e6 + 0.5), the house
+    // float-parity rule) so the byte-hash compare is exact.
+    "l17_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("bg", expr(
+          """transform(sequence(0, greatest(size(w) - 2, 0)),
+            |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))"""
+            .stripMargin))
+      docs.select(col("doc_id"), col("n_words"),
+          floor(size(array_distinct(col("w"))).cast("double")
+            / col("n_words") * 1e6 + 0.5).cast("long").as("distinct_word_q"),
+          floor((lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+            / size(col("bg"))) * 1e6 + 0.5).cast("long").as("dup_bigram_q"),
+          floor(expr(
+            """array_max(transform(array_distinct(w),
+              |  x -> size(filter(w, y -> y = x))))""".stripMargin).cast("double")
+            / col("n_words") * 1e6 + 0.5).cast("long").as("top_word_q"))
+        .withColumn("verdict",
+          when(col("distinct_word_q") >= 300000 and col("dup_bigram_q") <= 500000
+            and col("top_word_q") <= 200000, "keep").otherwise("drop"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -852,6 +884,26 @@ object LlmOps extends QueryModule {
         |  list_reduce(
         |    list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 4503599627370496) AS fp64
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "l17_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, len(w) AS n_words,
+        |    list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1])) AS bg
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(floor(len(list_distinct(w)) / n_words * 1e6 + 0.5) AS BIGINT) AS distinct_word_q,
+        |    CAST(floor((1.0 - len(list_distinct(bg)) / len(bg)) * 1e6 + 0.5) AS BIGINT) AS dup_bigram_q,
+        |    CAST(floor(list_max(list_transform(list_distinct(w),
+        |        x -> len(list_filter(w, y -> y = x)))) / n_words * 1e6 + 0.5) AS BIGINT) AS top_word_q
+        |  FROM b)
+        |SELECT doc_id, n_words, distinct_word_q, dup_bigram_q, top_word_q,
+        |  CASE WHEN distinct_word_q >= 300000 AND dup_bigram_q <= 500000
+        |            AND top_word_q <= 200000 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 }
