@@ -635,6 +635,48 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L18: deterministic mixture sampling — downsample each language to a
+    // target rate (the data-mixing step that rebalances a corpus toward a
+    // training recipe). The uniform draw is a CONTENT hash (rolling
+    // fingerprint mod 1000), not an RNG, so the sample is reproducible
+    // across engines, partitionings, and reruns — same property as l10's
+    // split. The weights config is a tiny inline dim that BROADCASTS;
+    // sampling itself is a scan-stage predicate, so at 100 TB this is one
+    // pass with a map-side join and a low-cardinality aggregate.
+    "l18_mixture_sample" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 900L), ("de", 600L), ("es", 600L),
+        ("fr", 300L), ("zh", 300L)).toDF("lang", "rate_pm")
+      Tables.documents(s, d)
+        .withColumn("u", pmod(TF.rollingFingerprint(col("text"), 64), lit(1000L)))
+        .join(broadcast(rates), Seq("lang"))
+        .groupBy(col("lang"), col("rate_pm"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("u") < col("rate_pm"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("u") < col("rate_pm"), col("doc_id"))).as("first_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // L19: sequence packing — concatenate documents per source in a
+    // deterministic order and cut fixed token-budget training blocks
+    // (size 2048): each doc gets the block id and offset where its tokens
+    // land. One running-sum window per source partition — the packing
+    // plan is pure window arithmetic over (doc_id, n_toks), never over
+    // text; at 100 TB the text column stays in the scan until the actual
+    // concat job reads the plan.
+    "l19_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          expr("cum_before div 2048").as("block_id"),
+          (col("cum_before") % 2048).as("block_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -885,6 +927,35 @@ object LlmOps extends QueryModule {
         |    list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 4503599627370496) AS fp64
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "l18_mixture_sample" ->
+      """WITH rates AS (
+        |  SELECT * FROM (VALUES ('en', 900), ('de', 600), ('es', 600),
+        |    ('fr', 300), ('zh', 300)) t(lang, rate_pm)),
+        |u AS (
+        |  SELECT d.lang, d.doc_id, CAST(r.rate_pm AS BIGINT) AS rate_pm,
+        |    list_reduce(
+        |      list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 1000 AS u
+        |  FROM documents d JOIN rates r ON d.lang = r.lang)
+        |SELECT lang, rate_pm, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN u < rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN u < rate_pm THEN doc_id END) AS first_kept
+        |FROM u GROUP BY lang, rate_pm ORDER BY lang""".stripMargin,
+
+    "l19_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(str_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_toks,
+        |  cum_before // 2048 AS block_id,
+        |  cum_before % 2048 AS block_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "l17_repetition" ->
       """WITH w AS (
