@@ -22,6 +22,9 @@ object GraftFunctions {
     (FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expression].getName, "simhash48"),
       (e: Seq[Expression]) => SimHash48Expression(e(0))),
+    (FunctionIdentifier("rhp_sig64"),
+      new ExpressionInfo(classOf[RhpSignatureExpression].getName, "rhp_sig64"),
+      (e: Seq[Expression]) => RhpSignatureExpression(e(0))),
     (FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShinglesExpression].getName, "char_shingles"),
       (e: Seq[Expression]) => CharShinglesExpression(e(0), litInt(e(1)))),
@@ -59,6 +62,7 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def minhashSig(hashes: Column): Column = call_function("minhash_sig", hashes)
   def simhash48(hashes: Column): Column = call_function("simhash48", hashes)
+  def rhpSig64(vec: Column): Column = call_function("rhp_sig64", vec)
   def charShingles(text: Column, k: Int): Column =
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(k))
   def wordShingles(tokens: Column, n: Int): Column =

@@ -43,6 +43,51 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** splitmix64 finalizer — deterministic pseudo-random bits from an index. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rademacher ±1 hyperplane components for random-hyperplane LSH
+    * (Charikar, STOC 2002): sign(bit, j) is a pure function of the
+    * indices, so every executor derives the identical hyperplanes with no
+    * broadcast state. Pre-tabulated for dims ≤ 256 (covers the 64-dim
+    * embeddings with headroom); larger dims fall back to the mix. */
+  private val RhpTableDims = 256
+  private val rhpSigns: Array[Double] = Array.tabulate(64 * RhpTableDims) { i =>
+    if ((mix64((i / RhpTableDims).toLong * 8191L + (i % RhpTableDims)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** 64-bit random-hyperplane signature of a float vector: bit b =
+    * sign(v · h_b) with Rademacher h_b. P[bit agrees] = 1 − θ/π for
+    * vectors at angle θ, which LSH banding turns into a cosine
+    * candidate filter. */
+  def rhpSig64(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      var dot = 0.0
+      var j = 0
+      if (n <= RhpTableDims) {
+        val base = bit * RhpTableDims
+        while (j < n) { dot += vec.getFloat(j) * rhpSigns(base + j); j += 1 }
+      } else {
+        while (j < n) {
+          dot += vec.getFloat(j) *
+            (if ((mix64(bit.toLong * 8191L + j) & 1L) == 0L) 1.0 else -1.0)
+          j += 1
+        }
+      }
+      if (dot > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
   def simhash48(hashes: ArrayData): Long = {
     val n = hashes.numElements()
     var value = 0L
@@ -81,6 +126,23 @@ case class MinHashSignatureExpression(child: Expression, numPerms: Int = 64)
 }
 
 /** `simhash48(array<long>)` → long (per-bit majority vote, 48 bits). */
+/** `rhp_sig64(array<float>)` → 64-bit random-hyperplane signature. */
+case class RhpSignatureExpression(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_sig64"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.rhpSig64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.rhpSig64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignatureExpression =
+    copy(child = newChild)
+}
+
 case class SimHash48Expression(child: Expression)
   extends UnaryExpression {
 

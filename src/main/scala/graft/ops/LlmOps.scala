@@ -260,6 +260,50 @@ object LlmOps extends QueryModule {
 
     // L3: brute-force top-5 cosine kNN for 10 query vectors (rank output
     // only — raw float sims are not portable across engines).
+    // L2e: random-hyperplane LSH over embeddings (Charikar sign-LSH) —
+    // the label-free scale path for vector near-dup where l2d is the
+    // exact anchor: 64-bit sign signature per vector (one codegen
+    // expression in the scan stage), banded 8×8 bits, candidate pairs
+    // only within matching band buckets, then exact-cosine verification
+    // on candidates alone. Shuffle key is (band, 8-bit bucket) — the
+    // full vectors ride along only to score candidates; nothing is ever
+    // all-pairs. Sign-LSH is a HIGH-cosine filter (P[band match] =
+    // (1−θ/π)^8), and the synthetic corpus maxes out at cos 0.51, so the
+    // query PLANTS deterministic near-duplicates (ε-perturbed copies,
+    // cos ≈ 0.987, banding recall ≈ 0.9998) and recovers them — the
+    // contamination-injection shape real dedup evals use. Candidate
+    // membership is signature-algorithm-specific → rows-only; recall and
+    // the planted-pair guarantee are property-tested in ApproxSpec.
+    "l2e_embedding_rhp_lsh" -> ((s, d) => {
+      GF.register(s)
+      CosineSimilarityExpression.register(s)
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+        expr("""transform(embedding,
+              |  (x, i) -> CAST(x + CASE WHEN i % 2 = 0 THEN 0.02 ELSE -0.02 END AS FLOAT))"""
+          .stripMargin).as("embedding"))
+      val sigs = base.unionByName(planted)
+        .select(col("vec_id"), col("embedding"),
+          GF.rhpSig64(col("embedding")).as("sig"))
+        .localCheckpoint()
+      val banded = sigs.select(col("vec_id"), col("embedding"),
+        posexplode(expr("transform(sequence(0, 7), i -> (sig >> (i * 8)) & 255)"))
+          .as(Seq("band", "bval")))
+      val a = banded.select(col("band"), col("bval"),
+        col("vec_id").as("vid_a"), col("embedding").as("emb_a"))
+      val b = banded.select(col("band"), col("bval"),
+        col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("vid_a") < col("vid_b"))
+        .select(col("vid_a"), col("vid_b"),
+          floor(CosineSimilarityExpression.cosineSim(col("emb_a"), col("emb_b")) *
+            lit(1e6) + lit(0.5)).cast("long").as("sim_q6"))
+        .filter(col("sim_q6") >= 900000L)
+        .distinct()
+        .orderBy(col("vid_a"), col("vid_b"))
+    }),
+
     "l3_knn_cosine" -> ((s, d) => knn(s, d, 5)),
 
     // L3b: IVF ANN — coarse index = k-means centroids (label-bucket seed +

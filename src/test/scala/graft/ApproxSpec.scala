@@ -125,6 +125,46 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("random-hyperplane LSH recovers planted near-duplicates (L2e)") {
+    import graft.functions.{CosineSimilarityExpression, GraftFunctions => GF}
+    GF.register(spark)
+    CosineSimilarityExpression.register(spark)
+    val found = SparkEntry.queries("l2e_embedding_rhp_lsh")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // every surviving pair must actually be ≥ 0.9 (the verification
+    // filter guarantees precision)…
+    assert(found.forall(_._3 >= 900000L))
+    // …and since the un-planted corpus maxes out at cos 0.51, every found
+    // pair must be a planted (orig, orig+10000) pair — and banding recall
+    // (1 − (1 − p^8)^8 ≈ 0.9998 at cos 0.987) should recover nearly all 100
+    val planted = found.filter { case (a, b, _) => b == a + 10000L }
+    assert(planted.length == found.length, "false positive above cos 0.9")
+    assert(planted.length >= 95, s"recall too low: ${planted.length}/100")
+  }
+
+  test("rhp signature bit-agreement tracks 1 − θ/π (L2e kernel)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.SketchKernels
+    // identical vectors → identical signature; orthogonal-ish random
+    // unit vectors → ~half the bits agree (loose 3σ bound: 64·0.5 ± 12)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val a = vec(1)
+    assert(SketchKernels.rhpSig64(new GenericArrayData(a)) ==
+      SketchKernels.rhpSig64(new GenericArrayData(a.clone())))
+    val agreements = (2 to 21).map { s =>
+      val x = SketchKernels.rhpSig64(new GenericArrayData(vec(s)))
+      val y = SketchKernels.rhpSig64(new GenericArrayData(vec(s + 100)))
+      64 - java.lang.Long.bitCount(x ^ y)
+    }
+    val mean = agreements.sum.toDouble / agreements.size
+    assert(mean > 20 && mean < 44, s"mean bit agreement $mean not ~32")
+  }
+
   test("set digest merge is EXACT: digest(A ∪ B) == merge(digest(A), digest(B)) (L16)") {
     val SD = graft.functions.SetDigestAggregator
     // deterministic pseudo-random element sets with partial overlap
