@@ -376,6 +376,26 @@ object Aggregates extends QueryModule {
     // H = log2(T) − Σ c·log2(c) / T over per-category counts (two-level
     // hash agg, category counts shuffle, never rows), geometric mean =
     // exp(avg(ln x)) (single-pass).
+    // A24: reduce_agg — Presto's generic user-defined reduction, as a
+    // typed Aggregator factory (functions/ReduceAggregator.scala). The
+    // instance here is a modular product (state = one long; exact integer
+    // arithmetic, commutative mod p, so partial-merge order cannot change
+    // the answer — the determinism rule for oracle-gated reductions).
+    // DuckDB oracles it with list_reduce over the same fold.
+    "a24_reduce_agg" -> ((s, d) => {
+      import graft.functions.ReduceAggregator.reduceAgg
+      implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      val p = 1000003L
+      val modProd = reduceAgg[Long, Long](1L)((s, x) => s * x % p)((a, b) => a * b % p) _
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (floor(col("l_quantity")).cast("long") % p).as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(modProd(col("q")).as("mod_prod"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "a23_entropy_geomean" -> ((s, d) => {
       val counts = Tables.events(s, d).filter(col("user_id") < 50)
         .groupBy(col("user_id"), col("event_type"))
@@ -599,6 +619,13 @@ object Aggregates extends QueryModule {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 3 AS DECIMAL(20,2))) AS DOUBLE) AS total_x3,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a24_reduce_agg" ->
+      """SELECT l_returnflag,
+        |  list_reduce(list(CAST(floor(l_quantity) AS BIGINT) % 1000003),
+        |    (a, b) -> (a * b) % 1000003) AS mod_prod,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a23_entropy_geomean" ->
       """SELECT user_id,

@@ -383,6 +383,23 @@ object Scalars extends QueryModule {
           sha2(col("text").cast("binary"), 256).as("text_sha256"),
           md5(concat(col("lang"), lit("|"), col("source")).cast("binary")).as("meta_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // sc16: binary/encoding family (Presto to_base64/from_base64,
+    // to_hex/from_hex, bit_length/octet_length and shifts) — per-row
+    // codegen expressions, scan-stage at any scale.
+    "sc16_binary" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string").as("b64_roundtrip"),
+          hex(col("c_name").cast("binary")).as("name_hex"),
+          unhex(hex(col("c_name").cast("binary"))).cast("string").as("hex_roundtrip"),
+          bit_length(col("c_name")).cast("long").as("bits"),
+          octet_length(col("c_name")).cast("long").as("octets"),
+          shiftleft(col("c_custkey"), 3).as("shl3"),
+          shiftright(col("c_custkey"), 2).as("shr2"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -638,6 +655,18 @@ object Scalars extends QueryModule {
         |  md5(text) AS text_md5,
         |  sha256(text) AS text_sha256,
         |  md5(lang || '|' || source) AS meta_md5
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "sc16_binary" ->
+      """SELECT c_custkey,
+        |  base64(c_name::BLOB) AS b64,
+        |  CAST(from_base64(base64(c_name::BLOB)) AS VARCHAR) AS b64_roundtrip,
+        |  hex(c_name) AS name_hex,
+        |  CAST(unhex(hex(c_name)) AS VARCHAR) AS hex_roundtrip,
+        |  CAST(bit_length(c_name) AS BIGINT) AS bits,
+        |  CAST(octet_length(c_name::BLOB) AS BIGINT) AS octets,
+        |  c_custkey << 3 AS shl3,
+        |  c_custkey >> 2 AS shr2
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
   )
 }

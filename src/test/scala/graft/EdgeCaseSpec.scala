@@ -118,6 +118,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(quantile(m2, w2, 0.5) > 8.5)
   }
 
+  test("reduce_agg is partition-invariant for an assoc+comm fold (A24)") {
+    import graft.functions.ReduceAggregator.reduceAgg
+    // gcd is associative + commutative with identity 0 — the algebra the
+    // reduce_agg contract demands; 1 vs 13 partitions must agree exactly
+    // iterative lambda, not a class method — the fold ships to executors
+    val gcd: (Long, Long) => Long = (a0, b0) => {
+      var a = math.abs(a0); var b = math.abs(b0)
+      while (b != 0) { val t = a % b; a = b; b = t }
+      a
+    }
+    val gcdAgg = reduceAgg[Long, Long](0L)(gcd)(gcd) _
+    val data = (1 to 500).map(i => (i % 7, i.toLong * 12))
+    def run(parts: Int): Map[Int, Long] =
+      data.toDF("g", "x").repartition(parts)
+        .groupBy($"g").agg(gcdAgg($"x").as("r"))
+        .as[(Int, Long)].collect().toMap
+    val one = run(1)
+    assert(one == run(13))
+    assert(one.values.forall(_ % 12 == 0))
+  }
+
   test("chunking edges: short doc yields one chunk covering all tokens (L13)") {
     // any doc shorter than the window must yield exactly one chunk whose
     // token count is the doc's token count
