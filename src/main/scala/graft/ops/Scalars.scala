@@ -385,6 +385,33 @@ object Scalars extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // sc4c: array set operations (Presto array_union/array_except/
+    // array_position/slice/array_compact). Set results serialize
+    // sorted-quantized (the sc4b idiom) so the byte-hash compare is
+    // order-insensitive; dedup happens on exact float bits in BOTH
+    // engines before quantization.
+    "sc4c_array_setops" -> ((s, d) => {
+      Tables.embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"),
+          expr("""array_join(transform(array_sort(transform(
+                |  array_union(slice(embedding, 1, 6), slice(embedding, 4, 6)),
+                |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))),
+                |  x -> CAST(x AS STRING)), ',')""".stripMargin).as("union_sq"),
+          expr("""array_join(transform(array_sort(transform(
+                |  array_except(slice(embedding, 1, 8), slice(embedding, 5, 12)),
+                |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))),
+                |  x -> CAST(x AS STRING)), ',')""".stripMargin).as("except_sq"),
+          expr("""array_join(transform(slice(embedding, 5, 3),
+                |  x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS STRING)), ',')"""
+            .stripMargin).as("mid3"),
+          expr("""CAST(size(array_compact(array(
+                |  element_at(embedding, 1), CAST(NULL AS FLOAT),
+                |  element_at(embedding, 2)))) AS BIGINT)""".stripMargin).as("compact_n"),
+          expr("CAST(array_position(embedding, array_min(embedding)) AS BIGINT)")
+            .as("argmin_pos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // sc16: binary/encoding family (Presto to_base64/from_base64,
     // to_hex/from_hex, bit_length/octet_length and shifts) — per-row
     // codegen expressions, scan-stage at any scale.
@@ -656,6 +683,20 @@ object Scalars extends QueryModule {
         |  sha256(text) AS text_sha256,
         |  md5(lang || '|' || source) AS meta_md5
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "sc4c_array_setops" ->
+      """SELECT vec_id,
+        |  array_to_string(list_sort(list_transform(
+        |    list_distinct(list_concat(embedding[1:6], embedding[4:9])),
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))), ',') AS union_sq,
+        |  array_to_string(list_sort(list_transform(
+        |    list_distinct(list_filter(embedding[1:8], x -> NOT list_contains(embedding[5:16], x))),
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))), ',') AS except_sq,
+        |  array_to_string(list_transform(embedding[5:7],
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), ',') AS mid3,
+        |  CAST(len(list_filter([embedding[1], NULL, embedding[2]], x -> x IS NOT NULL)) AS BIGINT) AS compact_n,
+        |  CAST(list_position(embedding, list_min(embedding)) AS BIGINT) AS argmin_pos
+        |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
 
     "sc16_binary" ->
       """SELECT c_custkey,
