@@ -47,6 +47,34 @@ object Relational extends QueryModule {
     }),
 
     // O4: INTERSECT / EXCEPT (distinct semantics).
+    // O4b: INTERSECT ALL / EXCEPT ALL — the multiset (bag) semantics the
+    // distinct forms in o4 don't exercise: intersect keeps
+    // min(multiplicity), except keeps max(0, m₁−m₂). Spark plans both as
+    // an aggregate over counts, not a join explosion — scale-safe.
+    "o4b_intersect_except_all" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val errorers = e.filter(col("event_type") === "error").select(col("user_id"))
+      val both = buyers.intersectAll(errorers).withColumn("relation", lit("both_ms"))
+      val onlyBuy = buyers.exceptAll(errorers).withColumn("relation", lit("buy_ms"))
+      both.unionAll(onlyBuy)
+        .orderBy(col("relation"), col("user_id"))
+    }),
+
+    // O14: VALUES inline-table constructor (Presto `VALUES` / inline dim):
+    // a literal mapping table joined against a real table — the config-dim
+    // pattern (cf. l18's broadcast weights) in pure SQL.
+    "o14_values" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT r.r_name, m.tier
+          |FROM region r
+          |JOIN (VALUES (0, 'core'), (1, 'core'), (2, 'growth'), (3, 'growth'),
+          |             (4, 'frontier')) AS m(rk, tier)
+          |  ON r.r_regionkey = m.rk
+          |ORDER BY r.r_name""".stripMargin)
+    }),
+
     "o4_intersect_except" -> ((s, d) => {
       val e = Tables.events(s, d)
       val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
@@ -316,6 +344,24 @@ object Relational extends QueryModule {
         |SELECT user_id, 'buy_only' AS relation FROM
         |  (SELECT * FROM buyers EXCEPT SELECT * FROM errorers)
         |ORDER BY relation, user_id""".stripMargin,
+
+    "o4b_intersect_except_all" ->
+      """WITH buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |     errorers AS (SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'both_ms' AS relation FROM
+        |  (SELECT * FROM buyers INTERSECT ALL SELECT * FROM errorers)
+        |UNION ALL
+        |SELECT user_id, 'buy_ms' AS relation FROM
+        |  (SELECT * FROM buyers EXCEPT ALL SELECT * FROM errorers)
+        |ORDER BY relation, user_id""".stripMargin,
+
+    "o14_values" ->
+      """SELECT r.r_name, m.tier
+        |FROM region r
+        |JOIN (VALUES (0, 'core'), (1, 'core'), (2, 'growth'), (3, 'growth'),
+        |             (4, 'frontier')) AS m(rk, tier)
+        |  ON r.r_regionkey = m.rk
+        |ORDER BY r.r_name""".stripMargin,
 
     "o5_subqueries" ->
       """SELECT c_custkey, c_acctbal,
