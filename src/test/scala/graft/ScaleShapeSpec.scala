@@ -95,6 +95,37 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"merge-asof must not expand via a join:\n${plan.take(2000)}")
   }
 
+  test("l2e RHP-LSH plan joins on band buckets with cosine as join residual") {
+    val plan = ops.LlmOps.queries("l2e_embedding_rhp_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // candidates come from a (band, bval) key join — never a cross join —
+    // and the exact cosine runs inside the join as a residual condition
+    assert(plan.contains("band"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("cosine_sim"), plan.take(2000))
+  }
+
+  test("l19 packing plan shuffles only narrow planning columns, never text") {
+    val plan = ops.LlmOps.queries("l19_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the running-sum window partitions by source; the scan must prune
+    // `text` away before the Exchange (only doc_id/source/n_toks flow)
+    assert(plan.contains("Window"), plan.take(2000))
+    val exchangeOn = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    assert(exchangeOn.contains("source"), plan.take(2000))
+    assert(!exchangeOn.contains("text"), exchangeOn)
+  }
+
+  test("l16 set digest aggregates two-level with map-side partials") {
+    val plan = ops.LlmOps.queries("l16_setdigest_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both aggregation levels must be ObjectHashAggregate partial+final —
+    // the digest buffers combine map-side before any shuffle
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_"), plan.take(2000))
+    assert(plan.contains("In(source"), plan.take(2000)) // pushdown to scan
+  }
+
   test("runtime bloom filter prunes the fact scan of a selective dim join (§4)") {
     // the big-big-join scale path when broadcast is off the table: the
     // selectively-filtered creation side injects a bloom filter into the
