@@ -31,6 +31,23 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** E11-streaming: mergeable sketches computed INSIDE streaming state —
+    * per tumbling window × type, an HLL user sketch (binary, Spark
+    * DataSketches) and a t-digest value sketch (A22's aggregator). The
+    * output rows are SKETCHES, not numbers: a streaming job continuously
+    * produces the fine-grained sketch table, and any batch consumer rolls
+    * it up later (`hll_union_agg` / `tdigestMergeAgg`) without re-reading
+    * events — the lambda-architecture-free pre-aggregation pattern.
+    * Buffers live in the state store and merge per micro-batch
+    * (partial+final semantics carry over; parity tested in StreamingSpec).
+    */
+  def sketchProfile(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_hll"),
+        graft.functions.QuantileSketchAggregator.tdigestAgg(col("value")).as("value_td"))
+
   /** E3-streaming: session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -9,6 +9,7 @@ import java.sql.Timestamp
   * §2.8 operators on the same data (SURVEY §2.8 upgrade-path contract).
   */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+case class EvV(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 class StreamingSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
@@ -214,6 +215,42 @@ class StreamingSpec extends SparkSpec {
       .select($"user_id", $"event_id", $"event_type")
       .as[(Long, Long, String)].collect().toSet
     assert(out == Set((1L, 3L, "click"), (2L, 2L, "view"), (3L, 5L, "purchase")))
+  }
+
+  test("streaming sketch profile rolls up to batch-equal estimates (E11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.QuantileSketchAggregator.{tdigestMergeAgg, tdigestQuantile}
+    // 600 deterministic events across 3 hours × 2 types; value is a
+    // skewed deterministic series so the median is non-trivial
+    val evs = (0 until 600).map { i =>
+      EvV(ts(i % 180), i.toLong % 97, if (i % 3 == 0) "click" else "view",
+        (i % 50) * (i % 50) / 10.0)
+    }
+    val stream = MemoryStream[EvV]
+    stream.addData(evs)
+    val q = EventStreams.sketchProfile(stream.toDF())
+      .writeStream.format("memory").queryName("t_sketch")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // the streamed output is per-window SKETCHES; roll them up per type in
+    // batch and compare against exact batch answers on the same data
+    val rolled = spark.table("t_sketch")
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"user_hll")).as("du"),
+        tdigestQuantile(tdigestMergeAgg($"value_td"), 0.5).as("p50"))
+      .as[(String, Long, Double)].collect()
+      .map { case (t, du, p) => t -> ((du, p)) }.toMap
+    val exact = evs.toDF()
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").cast("long").as("du"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .as[(String, Long, Double)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (typ, du, p50) =>
+      val (duEst, p50Est) = rolled(typ)
+      assert(math.abs(duEst - du).toDouble / du <= 0.05, s"$typ du=$du est=$duEst")
+      assert(math.abs(p50Est - p50) / (p50 + 1.0) <= 0.10, s"$typ p50=$p50 est=$p50Est")
+    }
   }
 
   test("streaming session windows group by 30-minute gaps (E3)") {
