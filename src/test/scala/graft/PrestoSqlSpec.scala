@@ -30,6 +30,27 @@ class PrestoSqlSpec extends SparkSpec {
       == "SELECT approx_count_distinct(x), any_value(y), timestamp_seconds(e), try_eval(1/z), CAST(w AS STRING)")
   }
 
+  test("renames: to_base64/from_base64, codepoint, array_agg, VARBINARY cast") {
+    assert(PrestoSql.translate(
+      "SELECT to_base64(CAST(x AS VARBINARY)), from_base64(y), codepoint(c), array_agg(v)")
+      == "SELECT base64(CAST(x AS BINARY)), unbase64(y), ascii(c), collect_list(v)")
+  }
+
+  test("ngrams/array_sum/array_average/nan adapters evaluate correctly") {
+    PrestoSql.registerDialect(spark)
+    val r = spark.sql(
+      """SELECT size(ngrams(array('a','b','c','d'), 2)) AS n2,
+        |  ngrams(array('a','b','c'), 2)[0] AS first_gram,
+        |  array_sum(array(1.0D, 2.5D, 3.5D)) AS s,
+        |  array_average(array(2.0D, 4.0D)) AS m,
+        |  isnan(nan()) AS nn,
+        |  infinity() > 1e308 AS inf""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getSeq[String](1) == Seq("a", "b"))
+    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 3.0)
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
+
   test("split is literal-delimiter (Presto), not regex (Spark); split_part untouched") {
     val df = PrestoSql.sql(spark, "SELECT split('a.b.c', '.') AS parts, split_part('a.b.c', '.', 2) AS p2")
     val r = df.collect()(0)
