@@ -97,12 +97,18 @@ object SetDigestAggregator {
     }
 
   /** Jaccard estimate between two digests: fraction of agreeing slots.
-    * Pure kernel shared by the Column form and the tests. */
+    * Pure kernel shared by the Column form and the tests. Digests must be
+    * the same length, but the length may be any perm count ≤ 128 — a
+    * 64-long l2 `minhash_sig` pair compares fine (positions 0..63 use the
+    * same permutation family), with correspondingly wider stderr. */
   def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    require(a.length == b.length,
+      s"digest length mismatch: ${a.length} vs ${b.length}")
+    val n = a.length
     var eq = 0
     var j = 0
-    while (j < NumPerms) { if (a(j) == b(j)) eq += 1; j += 1 }
-    eq.toDouble / NumPerms
+    while (j < n) { if (a(j) == b(j)) eq += 1; j += 1 }
+    eq.toDouble / n
   }
 
   /** Column forms. `jaccardIndex` runs on #group-pairs rows (never the

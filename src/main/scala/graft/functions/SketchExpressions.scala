@@ -125,7 +125,6 @@ case class MinHashSignatureExpression(child: Expression, numPerms: Int = 64)
     copy(child = newChild)
 }
 
-/** `simhash48(array<long>)` → long (per-bit majority vote, 48 bits). */
 /** `rhp_sig64(array<float>)` → 64-bit random-hyperplane signature. */
 case class RhpSignatureExpression(child: Expression)
   extends UnaryExpression {
@@ -143,6 +142,7 @@ case class RhpSignatureExpression(child: Expression)
     copy(child = newChild)
 }
 
+/** `simhash48(array<long>)` → long (per-bit majority vote, 48 bits). */
 case class SimHash48Expression(child: Expression)
   extends UnaryExpression {
 

@@ -370,12 +370,6 @@ object Aggregates extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
-    // A23: distribution aggregates Spark lacks natively — Presto
-    // `entropy()` (Shannon, base 2, over a categorical distribution) and
-    // `geometric_mean()`. Both compose from existing codegen aggregates:
-    // H = log2(T) − Σ c·log2(c) / T over per-category counts (two-level
-    // hash agg, category counts shuffle, never rows), geometric mean =
-    // exp(avg(ln x)) (single-pass).
     // A24: reduce_agg — Presto's generic user-defined reduction, as a
     // typed Aggregator factory (functions/ReduceAggregator.scala). The
     // instance here is a modular product (state = one long; exact integer
@@ -396,6 +390,12 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A23: distribution aggregates Spark lacks natively — Presto
+    // `entropy()` (Shannon, base 2, over a categorical distribution) and
+    // `geometric_mean()`. Both compose from existing codegen aggregates:
+    // H = log2(T) − Σ c·log2(c) / T over per-category counts (two-level
+    // hash agg, category counts shuffle, never rows), geometric mean =
+    // exp(avg(ln x)) (single-pass).
     "a23_entropy_geomean" -> ((s, d) => {
       val counts = Tables.events(s, d).filter(col("user_id") < 50)
         .groupBy(col("user_id"), col("event_type"))

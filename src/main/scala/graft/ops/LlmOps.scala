@@ -661,8 +661,11 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n_words", size(col("w")).cast("long"))
         .withColumn("bg", expr(
+          // try_element_at: a 1-word doc still emits one clamped "bigram"
+          // (index 2 is past the end → NULL, concat_ws skips it) — plain
+          // element_at would THROW under Spark 4's default ANSI mode
           """transform(sequence(0, greatest(size(w) - 2, 0)),
-            |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))"""
+            |  i -> concat_ws(' ', try_element_at(w, i + 1), try_element_at(w, i + 2)))"""
             .stripMargin))
       docs.select(col("doc_id"), col("n_words"),
           floor(size(array_distinct(col("w"))).cast("double")

@@ -45,17 +45,29 @@ object PipelineSpec {
   def run(spark: org.apache.spark.sql.SparkSession, json: String): Pipeline.Result =
     Pipeline.run(spark, parse(json))
 
+  /** Strictness helper: wrong TYPES must throw like unknown fields do —
+    * Jackson's lenient accessors (`elements()` on a scalar → empty,
+    * `asInt()` on text → 0) would otherwise turn a malformed field into a
+    * silently different pipeline. */
+  private def stringArray(ctx: String, n: JsonNode): Seq[String] = {
+    require(n.isArray && n.elements().asScala.forall(_.isTextual),
+      s"$ctx must be an array of strings")
+    n.elements().asScala.map(_.asText()).toSeq
+  }
+
   private def parseStep(n: JsonNode): Pipeline.Step = {
     val unknown = n.fieldNames().asScala.toSet -- stepFields
     require(unknown.isEmpty, s"unknown step field(s): ${unknown.mkString(", ")}")
     require(n.has("name") && n.get("name").isTextual, "step needs a string \"name\"")
     val name = n.get("name").asText()
     require(n.has("sql") && n.get("sql").isTextual, s"step '$name' needs a string \"sql\"")
+    require(!n.has("cache") || n.get("cache").isBoolean,
+      s"step '$name': \"cache\" must be a boolean")
     Pipeline.Step(
       name = name,
       dependsOn =
         if (n.has("depends_on"))
-          n.get("depends_on").elements().asScala.map(_.asText()).toSeq
+          stringArray(s"step '$name': \"depends_on\"", n.get("depends_on"))
         else Nil,
       sql = Some(n.get("sql").asText()),
       sink = if (n.has("sink")) Some(parseSink(name, n.get("sink"))) else None,
@@ -68,16 +80,24 @@ object PipelineSpec {
       s"step '$step': unknown sink field(s): ${unknown.mkString(", ")}")
     require(n.has("path") && n.get("path").isTextual,
       s"step '$step': sink needs a string \"path\"")
+    require(!n.has("format") || n.get("format").isTextual,
+      s"step '$step': sink \"format\" must be a string")
     val path = n.get("path").asText()
     n.path("format").asText("parquet") match {
-      case "parquet" => Pipeline.ParquetSink(
-        path,
-        partitionBy =
-          if (n.has("partition_by"))
-            n.get("partition_by").elements().asScala.map(_.asText()).toSeq
-          else Nil,
-        coalesce = if (n.has("coalesce")) Some(n.get("coalesce").asInt()) else None)
-      case "csv" => Pipeline.CsvSink(path, header = n.path("header").asBoolean(true))
+      case "parquet" =>
+        require(!n.has("coalesce") || n.get("coalesce").isIntegralNumber,
+          s"step '$step': sink \"coalesce\" must be an integer")
+        Pipeline.ParquetSink(
+          path,
+          partitionBy =
+            if (n.has("partition_by"))
+              stringArray(s"step '$step': sink \"partition_by\"", n.get("partition_by"))
+            else Nil,
+          coalesce = if (n.has("coalesce")) Some(n.get("coalesce").asInt()) else None)
+      case "csv" =>
+        require(!n.has("header") || n.get("header").isBoolean,
+          s"step '$step': sink \"header\" must be a boolean")
+        Pipeline.CsvSink(path, header = n.path("header").asBoolean(true))
       case other => throw new IllegalArgumentException(
         s"step '$step': unsupported sink format '$other'")
     }

@@ -144,10 +144,20 @@ object PrestoSql {
     "ngrams(a ARRAY<STRING>, n INT) RETURNS ARRAY<ARRAY<STRING>>" +
       " RETURN transform(sequence(1, greatest(size(a) - n + 1, 1))," +
       " i -> slice(a, i, n))",
+    // Trino array_sum/array_average skip NULL elements and return NULL
+    // when no non-null element exists (also avoids ANSI DIVIDE_BY_ZERO on
+    // the empty-array average).
     "array_sum(a ARRAY<DOUBLE>) RETURNS DOUBLE" +
-      " RETURN aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x)",
+      " RETURN CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0" +
+      " THEN CAST(NULL AS DOUBLE)" +
+      " ELSE aggregate(filter(a, x -> x IS NOT NULL)," +
+      " CAST(0.0 AS DOUBLE), (s, x) -> s + x) END",
     "array_average(a ARRAY<DOUBLE>) RETURNS DOUBLE" +
-      " RETURN aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x) / size(a)",
+      " RETURN CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0" +
+      " THEN CAST(NULL AS DOUBLE)" +
+      " ELSE aggregate(filter(a, x -> x IS NOT NULL)," +
+      " CAST(0.0 AS DOUBLE), (s, x) -> s + x)" +
+      " / size(filter(a, x -> x IS NOT NULL)) END",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)")
 

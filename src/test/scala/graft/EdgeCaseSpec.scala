@@ -118,6 +118,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(quantile(m2, w2, 0.5) > 8.5)
   }
 
+  test("l17 bigram construction survives 1-word docs under ANSI mode (L17)") {
+    // the clamped window indexes past the end for a 1-word doc;
+    // try_element_at yields NULL (skipped by concat_ws) where plain
+    // element_at would throw INVALID_ARRAY_INDEX under Spark 4 ANSI
+    val bg = Seq("solo", "two words").toDF("text")
+      .select(expr(
+        """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),
+          |  i -> concat_ws(' ', try_element_at(split(text, ' '), i + 1),
+          |                      try_element_at(split(text, ' '), i + 2)))"""
+          .stripMargin).as("bg"))
+      .as[Seq[String]].collect()
+    assert(bg(0) == Seq("solo") && bg(1) == Seq("two words"))
+  }
+
   test("reduce_agg is partition-invariant for an assoc+comm fold (A24)") {
     import graft.functions.ReduceAggregator.reduceAgg
     // gcd is associative + commutative with identity 0 — the algebra the

@@ -106,6 +106,26 @@ class PipelineSpec extends SparkSpec {
     }
     // no steps array
     intercept[IllegalArgumentException] { PipelineSpec.parse("""{ "pipeline": [] }""") }
+    // wrong TYPES throw too (Jackson's lenient accessors must not coerce:
+    // a string depends_on would silently become Nil and break the DAG)
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1", "depends_on": "y" } ] }""")
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1",
+          |  "sink": { "path": "/tmp/x", "coalesce": "four" } } ] }""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1",
+          |  "sink": { "path": "/tmp/x", "partition_by": "g" } } ] }""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """{ "steps": [ { "name": "x", "sql": "SELECT 1", "cache": "yes" } ] }""")
+    }
     // dependency cycle still caught by Pipeline.run's Kahn sort
     intercept[IllegalArgumentException] {
       PipelineSpec.run(spark,

@@ -49,6 +49,15 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getSeq[String](1) == Seq("a", "b"))
     assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 3.0)
     assert(r.getBoolean(4) && r.getBoolean(5))
+    // Trino null/empty semantics: nulls are skipped; all-null/empty → NULL
+    // (and no ANSI divide-by-zero on the empty average)
+    val n = spark.sql(
+      """SELECT array_sum(array(1.0D, CAST(NULL AS DOUBLE))) AS s1,
+        |  array_sum(CAST(array() AS ARRAY<DOUBLE>)) AS s0,
+        |  array_average(CAST(array() AS ARRAY<DOUBLE>)) AS a0,
+        |  array_average(array(CAST(NULL AS DOUBLE))) AS an""".stripMargin).head()
+    assert(n.getDouble(0) == 1.0)
+    assert(n.isNullAt(1) && n.isNullAt(2) && n.isNullAt(3))
   }
 
   test("split is literal-delimiter (Presto), not regex (Spark); split_part untouched") {
