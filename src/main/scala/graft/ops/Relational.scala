@@ -47,6 +47,24 @@ object Relational extends QueryModule {
     }),
 
     // O4: INTERSECT / EXCEPT (distinct semantics).
+    // O15: SCD Type-2 history build — the warehouse-ETL operator that
+    // turns a change stream into a versioned dimension: each (key,
+    // effective-date) version gets valid_from/valid_to (next version's
+    // start) and an is_current flag. One lead() window per key — at
+    // 100 TB this shuffles only (key, date, attribute) triples.
+    "o15_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val far = lit("2199-12-31 00:00:00").cast("timestamp")
+      Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"), col("o_totalprice"))
+        .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w), far))
+        .withColumn("is_current", col("valid_to") === far)
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
     // O4b: INTERSECT ALL / EXCEPT ALL — the multiset (bag) semantics the
     // distinct forms in o4 don't exercise: intersect keeps
     // min(multiplicity), except keeps max(0, m₁−m₂). Spark plans both as
@@ -344,6 +362,17 @@ object Relational extends QueryModule {
         |SELECT user_id, 'buy_only' AS relation FROM
         |  (SELECT * FROM buyers EXCEPT SELECT * FROM errorers)
         |ORDER BY relation, user_id""".stripMargin,
+
+    "o15_scd2_history" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, o_totalprice,
+        |    COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |      TIMESTAMP '2199-12-31 00:00:00') AS valid_to
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT o_custkey, o_orderkey, valid_from, o_totalprice, valid_to,
+        |  valid_to = TIMESTAMP '2199-12-31 00:00:00' AS is_current
+        |FROM v ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "o4b_intersect_except_all" ->
       """WITH buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

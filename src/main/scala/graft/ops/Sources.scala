@@ -158,6 +158,25 @@ object Sources extends QueryModule {
     // failing the job; the ingest-dirty-feeds ETL policy. Corrupt lines
     // are injected into an otherwise-clean CSV, and the read-back must
     // equal the clean table.
+    // S3b: malformed-JSON policy — the JSONL twin of s2b: truncated JSON
+    // and a type-mismatched field are injected, DROPMALFORMED discards
+    // both whole rows, and the read-back must equal the clean table.
+    "s3b_json_malformed" -> ((s, d) => {
+      val out = scratch("graft_badjson")
+      val lines = Tables.nation(s, d)
+        .select(to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))).as("value"))
+        .unionByName(s.range(1)
+          .select(lit("""{"n_nationkey": 99, "n_name": "TRUNC""").as("value")))
+        .unionByName(s.range(1)
+          .select(lit("""{"n_nationkey": "notanint", "n_name": "BADTYPE", "n_regionkey": 7}""")
+            .as("value")))
+      lines.coalesce(1).write.mode("overwrite").text(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "DROPMALFORMED").json(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
     "s2b_csv_malformed" -> ((s, d) => {
       val out = scratch("graft_badcsv")
       val lines = Tables.nation(s, d)
@@ -202,6 +221,10 @@ object Sources extends QueryModule {
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "s2b_csv_malformed" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "s3b_json_malformed" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
