@@ -111,6 +111,25 @@ object Windows extends QueryModule {
     }),
 
     // W6: top-k per group (window + rank filter).
+    // W7: named WINDOW clause — one window definition shared by several
+    // functions (the SQL-standard form Presto users write); Spark plans
+    // ONE Window operator for all functions over the same spec, so the
+    // shared definition also means a single sort, not one per function.
+    "w7_named_window" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(row_number() OVER w AS BIGINT) AS rn,
+          |  CAST(rank() OVER w AS BIGINT) AS rk,
+          |  lead(o_orderkey) OVER w AS next_key,
+          |  CAST(count(*) OVER w2 AS BIGINT) AS n_so_far
+          |FROM orders WHERE o_custkey < 50
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY o_custkey, rn""".stripMargin)
+    }),
+
     "w6_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -187,6 +206,18 @@ object Windows extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "w7_named_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CAST(count(*) OVER w2 AS BIGINT) AS n_so_far
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, rn""".stripMargin,
 
     "w6_topk_per_group" ->
       """WITH ranked AS (
