@@ -104,6 +104,7 @@ object SetDigestAggregator {
   def jaccard(a: Seq[Long], b: Seq[Long]): Double = {
     require(a.length == b.length,
       s"digest length mismatch: ${a.length} vs ${b.length}")
+    require(a.nonEmpty, "empty digests (0/0 would be NaN, not a similarity)")
     val n = a.length
     var eq = 0
     var j = 0

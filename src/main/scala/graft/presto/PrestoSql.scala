@@ -39,7 +39,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * %T) only; **array subscripts `arr[n]` pass through untranslated and
   * Spark's `[]` is 0-based where Presto's is 1-based** — migrating SQL
   * should use `element_at(arr, n)` (1-based in BOTH engines) for
-  * positional access, which is also Presto's recommended form.
+  * positional access, which is also Presto's recommended form;
+  * `array_agg` passes through to Spark's same-named aggregate, which
+  * DROPS null elements where Trino retains them (and the `ORDER BY`
+  * intra-aggregate form is not translated — sort the result instead).
   */
 object PrestoSql {
 
@@ -140,24 +143,24 @@ object PrestoSql {
       "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
       " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",
     // Trino ngrams(array, n): all n-element sliding windows (≥1 window
-    // even for short inputs, matching word-shingle clamping).
+    // even for short inputs, matching word-shingle clamping); NULL input
+    // propagates NULL (greatest() would otherwise swallow the NULL size).
     "ngrams(a ARRAY<STRING>, n INT) RETURNS ARRAY<ARRAY<STRING>>" +
-      " RETURN transform(sequence(1, greatest(size(a) - n + 1, 1))," +
-      " i -> slice(a, i, n))",
+      " RETURN CASE WHEN a IS NULL THEN CAST(NULL AS ARRAY<ARRAY<STRING>>)" +
+      " ELSE transform(sequence(1, greatest(size(a) - n + 1, 1))," +
+      " i -> slice(a, i, n)) END",
     // Trino array_sum/array_average skip NULL elements and return NULL
     // when no non-null element exists (also avoids ANSI DIVIDE_BY_ZERO on
-    // the empty-array average).
+    // the empty-array average). Single traversal: fold into a (sum, count)
+    // struct and finish with the null/zero guard.
     "array_sum(a ARRAY<DOUBLE>) RETURNS DOUBLE" +
-      " RETURN CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0" +
-      " THEN CAST(NULL AS DOUBLE)" +
-      " ELSE aggregate(filter(a, x -> x IS NOT NULL)," +
-      " CAST(0.0 AS DOUBLE), (s, x) -> s + x) END",
+      " RETURN aggregate(a, named_struct('s', CAST(0.0 AS DOUBLE), 'n', 0L)," +
+      " (acc, x) -> IF(x IS NULL, acc, named_struct('s', acc.s + x, 'n', acc.n + 1))," +
+      " acc -> IF(acc.n = 0L, CAST(NULL AS DOUBLE), acc.s))",
     "array_average(a ARRAY<DOUBLE>) RETURNS DOUBLE" +
-      " RETURN CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0" +
-      " THEN CAST(NULL AS DOUBLE)" +
-      " ELSE aggregate(filter(a, x -> x IS NOT NULL)," +
-      " CAST(0.0 AS DOUBLE), (s, x) -> s + x)" +
-      " / size(filter(a, x -> x IS NOT NULL)) END",
+      " RETURN aggregate(a, named_struct('s', CAST(0.0 AS DOUBLE), 'n', 0L)," +
+      " (acc, x) -> IF(x IS NULL, acc, named_struct('s', acc.s + x, 'n', acc.n + 1))," +
+      " acc -> IF(acc.n = 0L, CAST(NULL AS DOUBLE), acc.s / acc.n))",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)")
 
@@ -214,15 +217,12 @@ object PrestoSql {
     ("""(?i)\bsplit\s*\(""".r, "presto_split("),
     // TRY(expr) → engine-native null-on-runtime-error expression.
     ("""(?i)\btry\s*\(""".r, "try_eval("),
-    // Spark rejects length-less VARCHAR in casts.
     ("""(?i)\bto_base64\s*\(""".r, "base64("),
     ("""(?i)\bfrom_base64\s*\(""".r, "unbase64("),
     // Presto codepoint(varchar(1)) — ascii() matches for the BMP/ASCII
     // range the fixtures use.
     ("""(?i)\bcodepoint\s*\(""".r, "ascii("),
-    // plain array_agg (the ORDER BY form is not translated — Spark's
-    // collect_list has no intra-group ordering; sort the result instead)
-    ("""(?i)\barray_agg\s*\(""".r, "collect_list("),
+    // Spark rejects length-less VARCHAR/VARBINARY/REAL in casts.
     ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
     ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),
     ("""(?i)\bas\s+real\s*\)""".r, "AS FLOAT)"))

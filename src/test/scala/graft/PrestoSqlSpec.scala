@@ -30,10 +30,10 @@ class PrestoSqlSpec extends SparkSpec {
       == "SELECT approx_count_distinct(x), any_value(y), timestamp_seconds(e), try_eval(1/z), CAST(w AS STRING)")
   }
 
-  test("renames: to_base64/from_base64, codepoint, array_agg, VARBINARY cast") {
+  test("renames: to_base64/from_base64, codepoint, VARBINARY cast; array_agg untouched") {
     assert(PrestoSql.translate(
       "SELECT to_base64(CAST(x AS VARBINARY)), from_base64(y), codepoint(c), array_agg(v)")
-      == "SELECT base64(CAST(x AS BINARY)), unbase64(y), ascii(c), collect_list(v)")
+      == "SELECT base64(CAST(x AS BINARY)), unbase64(y), ascii(c), array_agg(v)")
   }
 
   test("ngrams/array_sum/array_average/nan adapters evaluate correctly") {
@@ -58,6 +58,13 @@ class PrestoSqlSpec extends SparkSpec {
         |  array_average(array(CAST(NULL AS DOUBLE))) AS an""".stripMargin).head()
     assert(n.getDouble(0) == 1.0)
     assert(n.isNullAt(1) && n.isNullAt(2) && n.isNullAt(3))
+    // NULL array propagates NULL through ngrams (not [NULL]); Spark's
+    // native array_agg is accepted verbatim
+    val z = spark.sql(
+      """SELECT ngrams(CAST(NULL AS ARRAY<STRING>), 3) AS ng,
+        |  (SELECT array_agg(v) FROM VALUES (1), (2) AS t(v)) AS ag""".stripMargin).head()
+    assert(z.isNullAt(0))
+    assert(z.getSeq[Int](1).sorted == Seq(1, 2))
   }
 
   test("split is literal-delimiter (Presto), not regex (Spark); split_part untouched") {
