@@ -724,6 +724,30 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L20: incremental dedup — the steady-state ingestion shape: a new
+    // crawl batch lands and only docs whose content hash is NOT already
+    // in the corpus may enter. The batch here is half genuinely-new docs,
+    // half re-crawled copies of corpus text under fresh ids (as real
+    // crawls deliver). One hash anti-join: the corpus side reduces to its
+    // 128-bit hash set (at 100 TB: a bucketed hash index table, or a
+    // bloom pre-filter feeding the exact anti-join); text never shuffles.
+    "l20_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val recrawled = corpus.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"))
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(recrawled)
+      val corpusHashes = corpus
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      batch.withColumn("h", md5(col("text").cast("binary")))
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_new"))
+        .orderBy(col("lang"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -1003,6 +1027,18 @@ object LlmOps extends QueryModule {
         |  cum_before // 2048 AS block_id,
         |  cum_before % 2048 AS block_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "l20_incremental_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM corpus WHERE doc_id % 4 = 0),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+        |SELECT lang, COUNT(*) AS n_new, MIN(doc_id) AS first_new
+        |FROM batch
+        |WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = md5(batch.text))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "l17_repetition" ->
       """WITH w AS (

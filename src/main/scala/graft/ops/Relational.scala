@@ -154,6 +154,18 @@ object Relational extends QueryModule {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // O7b: UNNEST a MAP → (key, value) rows (Presto UNNEST over map
+    // columns): the props JSON promotes to map<string,int> and explodes
+    // row-locally — pipelined, no shuffle, like O7.
+    "o7b_unnest_map" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          from_json(col("props"), lit("map<string,int>")).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("k", "v")))
+        .select(col("event_id"), col("k"), col("v").cast("long").as("v"))
+        .orderBy(col("event_id"), col("k"))
+    }),
+
     // O8: PIVOT event counts by type per user.
     // O8b: UNPIVOT — wide columns to (attr, val) rows (Presto/Trino and
     // DuckDB UNPIVOT; the inverse of O8). Pipelined row-local expansion,
@@ -362,6 +374,12 @@ object Relational extends QueryModule {
         |SELECT user_id, 'buy_only' AS relation FROM
         |  (SELECT * FROM buyers EXCEPT SELECT * FROM errorers)
         |ORDER BY relation, user_id""".stripMargin,
+
+    "o7b_unnest_map" ->
+      """SELECT event_id, k, CAST(json_extract(props, '$.' || k) AS BIGINT) AS v
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+        |      FROM events WHERE event_id < 500)
+        |ORDER BY event_id, k""".stripMargin,
 
     "o15_scd2_history" ->
       """WITH v AS (
