@@ -412,6 +412,22 @@ object Scalars extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // sc17: ANSI-safe arithmetic — Spark 4 runs with ANSI mode ON, where
+    // division by zero and numeric overflow THROW; the try_* family is
+    // the null-on-error escape hatch (Presto's TRY(expr) per-operator).
+    // Oracle: DuckDB returns NULL/overflows differently, so each case is
+    // mirrored with explicit CASE guards.
+    "sc17_try_arith" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          try_divide(col("c_acctbal"), col("c_custkey") % 5).as("div_maybe0"),
+          try_divide(lit(1L), col("c_custkey") - col("c_custkey")).as("div_by0"),
+          try_add(lit(Long.MaxValue), col("c_custkey")).as("add_overflow"),
+          try_multiply(lit(Long.MaxValue / 2), col("c_custkey") % 4).as("mul_maybe_overflow"),
+          try_subtract(col("c_custkey"), lit(10L)).as("sub_ok"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // sc16: binary/encoding family (Presto to_base64/from_base64,
     // to_hex/from_hex, bit_length/octet_length and shifts) — per-row
     // codegen expressions, scan-stage at any scale.
@@ -697,6 +713,18 @@ object Scalars extends QueryModule {
         |  CAST(len(list_filter([embedding[1], NULL, embedding[2]], x -> x IS NOT NULL)) AS BIGINT) AS compact_n,
         |  CAST(list_position(embedding, list_min(embedding)) AS BIGINT) AS argmin_pos
         |FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""".stripMargin,
+
+    "sc17_try_arith" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |       ELSE c_acctbal / (c_custkey % 5) END AS div_maybe0,
+        |  CAST(NULL AS DOUBLE) AS div_by0,
+        |  CASE WHEN c_custkey = 0 THEN 9223372036854775807
+        |       ELSE CAST(NULL AS BIGINT) END AS add_overflow,
+        |  CASE WHEN c_custkey % 4 >= 3 THEN NULL
+        |       ELSE 4611686018427387903 * (c_custkey % 4) END AS mul_maybe_overflow,
+        |  c_custkey - 10 AS sub_ok
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
 
     "sc16_binary" ->
       """SELECT c_custkey,
