@@ -748,6 +748,28 @@ object LlmOps extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // L21: character-entropy quality signal — low-entropy text (repeated
+    // chars, binary junk, boilerplate) is a classic pre-training drop
+    // heuristic. H = log2(T) − Σ c·log2(c)/T over per-char counts; each
+    // c·log2(c) term is QUANTIZED to a long before the sum so the only
+    // float aggregation is replaced by exact integer addition (the a23
+    // formula hardened to the house float-parity rule). Two-level hash
+    // agg; only (doc_id, char, count) triples shuffle.
+    "l21_char_entropy" -> ((s, d) => {
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          sum(col("c")).as("t"),
+          sum(floor(col("c") * log2(col("c")) * 1e6 + 0.5).cast("long")).as("qs"))
+        .select(col("doc_id"), col("n_distinct_chars"),
+          floor((log2(col("t")) - col("qs").cast("double") / 1e6 / col("t")) * 1e4 + 0.5)
+            .cast("long").as("entropy_q4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -1027,6 +1049,21 @@ object LlmOps extends QueryModule {
         |  cum_before // 2048 AS block_id,
         |  cum_before % 2048 AS block_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "l21_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(str_split(text, '')) AS ch FROM documents),
+        |counts AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch != ''
+        |  GROUP BY doc_id, ch),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_distinct_chars,
+        |    CAST(SUM(c) AS BIGINT) AS t,
+        |    CAST(SUM(CAST(floor(c * log2(c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id, n_distinct_chars,
+        |  CAST(floor((log2(t) - qs / 1e6 / t) * 1e4 + 0.5) AS BIGINT) AS entropy_q4
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "l20_incremental_dedup" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),

@@ -158,6 +158,26 @@ object Sources extends QueryModule {
     // failing the job; the ingest-dirty-feeds ETL policy. Corrupt lines
     // are injected into an otherwise-clean CSV, and the read-back must
     // equal the clean table.
+    // S11: compression-codec control — the storage knob an ETL tool
+    // exposes per table (hot data snappy, cold data zstd). Write the same
+    // slice under both codecs, read both back through the vectorized
+    // reader; the join proves byte-identical values. At 100 TB codec
+    // choice changes scan cost 2–3×, not semantics — which is the point.
+    "s11_codec_roundtrip" -> ((s, d) => {
+      val out = scratch("graft_codec")
+      val src = Tables.customer(s, d).filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      src.write.mode("overwrite").option("compression", "zstd").parquet(s"$out/z")
+      src.write.mode("overwrite").option("compression", "snappy").parquet(s"$out/s")
+      val z = s.read.parquet(s"$out/z")
+      val sn = s.read.parquet(s"$out/s")
+        .withColumnRenamed("c_name", "n2").withColumnRenamed("c_acctbal", "b2")
+      z.join(sn, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          (col("c_name") === col("n2") && col("c_acctbal") === col("b2")).as("codecs_agree"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // S3b: malformed-JSON policy — the JSONL twin of s2b: truncated JSON
     // and a type-mismatched field are injected, DROPMALFORMED discards
     // both whole rows, and the read-back must equal the clean table.
@@ -227,6 +247,10 @@ object Sources extends QueryModule {
     "s3b_json_malformed" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "s11_codec_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS codecs_agree
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
 
     "s3_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
