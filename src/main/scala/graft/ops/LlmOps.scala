@@ -770,6 +770,35 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L23: TF-IDF top terms per document — the classic salient-term
+    // extractor (keyword tagging, topic features for mixture balancing).
+    // tf is an exact count; idf = ln((N+1)/(df+1)) is one float op per
+    // TERM (smoothed); the per-(doc, term) score quantizes immediately
+    // (floor(tf·idf·1e6 + 0.5)) so ranking and output are integer-exact.
+    // Shape: two hash aggs (doc-term tf, term df) + a broadcast-size term
+    // dim joined back + one window top-k — at 100 TB the term dim is the
+    // vocabulary (small), and WindowGroupLimit prunes the top-k shuffle.
+    "l23_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sub = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val nDocs = sub.count() // corpus size: one scalar, metadata-scale
+      val terms = sub
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("w"))
+        .select(col("doc_id"), col("w"),
+          floor(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)) * 1e6 + 0.5)
+            .cast("long").as("tfidf_q6"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_q6").desc, col("w"))
+      scored.withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tfidf_q6"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // L9: document fingerprint (Karp–Rabin rolling hash, first 64 chars).
     "l9_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
@@ -1049,6 +1078,25 @@ object LlmOps extends QueryModule {
         |  cum_before // 2048 AS block_id,
         |  cum_before % 2048 AS block_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "l23_tfidf" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |n AS (SELECT COUNT(*) AS nd FROM sub),
+        |terms AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM sub),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms WHERE w != ''
+        |       GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT doc_id, tf.w,
+        |    CAST(floor(tf * ln((nd + 1.0) / (df + 1.0)) * 1e6 + 0.5) AS BIGINT) AS tfidf_q6
+        |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, w, tfidf_q6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf_q6 DESC, w) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w, tfidf_q6
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "l21_char_entropy" ->
       """WITH chars AS (
