@@ -202,6 +202,26 @@ object Joins extends QueryModule {
     }),
 
     // J9: six-table star join (TPC-H Q5 shape) — dims broadcast.
+    // J10: eager aggregation below a join — the Presto-CBO rewrite
+    // (partial aggregation pushdown) written explicitly: lineitem reduces
+    // to per-orderkey partials BEFORE joining orders, so the join input
+    // shrinks from |lineitem| to |orders| rows. At 100 TB this is the
+    // difference between shuffling the fact table and shuffling one row
+    // per order — the single most valuable manual rewrite in warehouse
+    // ETL when the optimizer doesn't do it for you.
+    "j10_preagg_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice")).as("rev"),
+          count(lit(1)).as("n_items"))
+      Tables.orders(s, d)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("rev")).as("rev"),
+          sum(col("n_items")).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "j9_star" -> ((s, d) => {
       val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
       val n = broadcast(Tables.nation(s, d))
@@ -315,6 +335,17 @@ object Joins extends QueryModule {
         |SELECT event_id, user_id, o_orderkey AS asof_orderkey,
         |       o_orderdate AS asof_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j10_preagg_join" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, ${dsumSql("l_extendedprice")} AS rev,
+         |    COUNT(*) AS n_items
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("rev")} AS rev,
+         |  CAST(SUM(n_items) AS BIGINT) AS n_items
+         |FROM orders JOIN li ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "j9_star" ->
       s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
