@@ -106,4 +106,50 @@ class PropertySpec extends SparkSpec {
         s"stream=$s regex=$regex got=$got exp=${exp.toSeq}")
     }
   }
+
+  test("l19 packing invariants: offsets in range, blocks contiguous, totals preserved (L19)") {
+    val out = ops.LlmOps.queries("l19_pack_sequences")(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every offset is inside the block budget
+    assert(out.forall { case (_, _, _, _, off) => off >= 0 && off < 2048 })
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      // cumulative-token identity: block_id*2048 + offset is the exact
+      // running sum of preceding docs' tokens (packing loses nothing)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, blk, off) =>
+        assert(blk * 2048 + off == cum)
+        cum += n
+      }
+      // block ids never decrease along the packing order
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+    }
+  }
+
+  test("l18 mixture sampling: kept counts respect bounds and determinism (L18)") {
+    val run1 = ops.LlmOps.queries("l18_mixture_sample")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val run2 = ops.LlmOps.queries("l18_mixture_sample")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(run1.sameElements(run2)) // content-hash draw → exact rerun equality
+    run1.foreach { case (lang, ratePm, total, kept, _) =>
+      assert(kept >= 0 && kept <= total, s"$lang kept=$kept total=$total")
+      // 4σ binomial envelope around the target rate
+      val p = ratePm / 1000.0
+      val sigma = math.sqrt(total * p * (1 - p))
+      assert(math.abs(kept - total * p) <= 4 * sigma + 1,
+        s"$lang kept=$kept expected≈${total * p}")
+    }
+  }
+
+  test("l20 incremental dedup rejects every re-crawled copy (L20)") {
+    // first_new ids must all come from the genuinely-new range (>= 400,
+    // < 100000): a planted re-crawl surviving the anti-join would surface
+    // as a first_new >= 100000
+    val out = ops.LlmOps.queries("l20_incremental_dedup")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, first) => first >= 400 && first < 100000 })
+  }
 }
