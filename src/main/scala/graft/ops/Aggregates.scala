@@ -370,6 +370,20 @@ object Aggregates extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // A25: set_union — Presto's array-union aggregate (distinct union of
+    // ARRAY column values per group). collect_list order is partition-
+    // dependent, so the union is canonicalized distinct→sort→join before
+    // it leaves the query (the A8/A20 serialization rule).
+    "a25_set_union" -> ((s, d) => {
+      Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_brand"), split(col("p_type"), " ").as("words"))
+        .groupBy(col("p_brand"))
+        .agg(array_join(array_sort(array_distinct(flatten(
+            collect_list(col("words"))))), ",").as("type_words"),
+          count(lit(1)).as("n_parts"))
+        .orderBy(col("p_brand"))
+    }),
+
     // A24: reduce_agg — Presto's generic user-defined reduction, as a
     // typed Aggregator factory (functions/ReduceAggregator.scala). The
     // instance here is a modular product (state = one long; exact integer
@@ -619,6 +633,20 @@ object Aggregates extends QueryModule {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 3 AS DECIMAL(20,2))) AS DOUBLE) AS total_x3,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a25_set_union" ->
+      """WITH w AS (
+        |  SELECT p_brand, unnest(str_split(p_type, ' ')) AS word
+        |  FROM part WHERE p_partkey < 500),
+        |u AS (
+        |  SELECT p_brand,
+        |    array_to_string(list_sort(list(DISTINCT word)), ',') AS type_words
+        |  FROM w GROUP BY p_brand),
+        |c AS (
+        |  SELECT p_brand, COUNT(*) AS n_parts
+        |  FROM part WHERE p_partkey < 500 GROUP BY p_brand)
+        |SELECT u.p_brand, type_words, n_parts
+        |FROM u JOIN c USING (p_brand) ORDER BY p_brand""".stripMargin,
 
     "a24_reduce_agg" ->
       """SELECT l_returnflag,
