@@ -147,6 +147,32 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // E12: cohort retention — the classic product-analytics rollup a
+    // Presto ETL tool serves daily: users cohorted by first `signup` day,
+    // then per (cohort-week, weeks-since-signup) distinct active users.
+    // Week buckets are computed from epoch-day arithmetic (engine-neutral;
+    // date_trunc('week') anchors differ across engines/locales).
+    // Scale: one keyed agg for cohorts, a distinct on (user, day) that
+    // collapses the fact table BEFORE the join, then a user_id-keyed join
+    // and a final small agg — every shuffle is on user_id or the tiny
+    // (week, offset) pair, nothing widens.
+    "e12_retention_cohorts" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day"))
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val active = e.select(col("user_id"), col("day")).distinct()
+      active.join(cohort, "user_id")
+        .filter(col("day") >= col("cohort_day"))
+        .select(floor(col("cohort_day") / 7.0).cast("long").as("cohort_week"),
+          floor((col("day") - col("cohort_day")) / 7.0).cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -255,6 +281,22 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e12_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT CAST(floor(cohort_day / 7.0) AS BIGINT) AS cohort_week,
+        |  CAST(floor((day - cohort_day) / 7.0) AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE day >= cohort_day
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "e5_dedup_first" ->
       """WITH ranked AS (

@@ -443,6 +443,21 @@ object Scalars extends QueryModule {
           shiftleft(col("c_custkey"), 3).as("shl3"),
           shiftright(col("c_custkey"), 2).as("shr2"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // sc18: bitwise family (Presto bitwise_and/or/xor/not, bit_count,
+    // bit extraction) — pure per-row codegen arithmetic, scan-stage at
+    // any scale. Complements sc16's shifts.
+    "sc18_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+          col("l_orderkey").bitwiseOR(col("l_partkey")).as("bor"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+          bitwise_not(col("l_orderkey")).as("bnot"),
+          bit_count(col("l_orderkey")).as("nbits"),
+          shiftright(col("l_orderkey"), 3).bitwiseAND(lit(1L)).as("bit3"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -736,6 +751,17 @@ object Scalars extends QueryModule {
         |  CAST(octet_length(c_name::BLOB) AS BIGINT) AS octets,
         |  c_custkey << 3 AS shl3,
         |  c_custkey >> 2 AS shr2
-        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "sc18_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & l_partkey AS band,
+        |  l_orderkey | l_partkey AS bor,
+        |  xor(l_orderkey, l_partkey) AS bxor,
+        |  ~l_orderkey AS bnot,
+        |  CAST(bit_count(l_orderkey) AS INT) AS nbits,
+        |  (l_orderkey >> 3) & 1 AS bit3
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -212,6 +212,34 @@ object Sources extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // S12: binary-file source — THE multimodal landing pattern: raw
+    // image/audio/doc payloads live as individual objects, and
+    // `binaryFile` ingests them as (path, length, content) rows with
+    // pathGlobFilter/recursiveFileLookup pruning at the listing stage.
+    // The write side is a distributed foreachPartition (each task writes
+    // its own rows' files — no driver collect); the read side checksums
+    // the bytes so the oracle proves content integrity end-to-end
+    // (md5 of UTF-8 text bytes matches DuckDB's md5 over the same text).
+    "s12_binary_files" -> ((s, d) => {
+      val out = scratch("graft_bin")
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -258,6 +286,12 @@ object Sources extends QueryModule {
     "s4_parquet_sink" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "s12_binary_files" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "s6_partitioned_scan" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
