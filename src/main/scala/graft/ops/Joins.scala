@@ -222,6 +222,52 @@ object Joins extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // J11: stats-driven join reordering (the ANALYZE TABLE surface —
+    // VERDICT r2 missing item 6, declared-query form of CboSpec).
+    // Managed tables live in a scratch-located database (the session's
+    // default warehouse dir must stay untouched); ANALYZE TABLE writes
+    // rowCount/NDV into the catalog, and with CBO + joinReorder enabled
+    // the optimizer re-orders the deliberately fact-first join text below
+    // using those stats. Result is oracle-checked; the plan-level reorder
+    // evidence (estimated rowCount propagation, shrunken join cardinality)
+    // is asserted in CboSpec. At 100 TB this is the difference between
+    // shuffling the fact table against an unfiltered dimension and
+    // broadcast-pruning it first.
+    "j11_cbo_reorder" -> ((s, d) => {
+      val loc = Sources.scratch("graft_cbodb")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$loc'")
+      Seq("ord", "cust", "nat").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cbo.$t"))
+      Tables.orders(s, d).write.saveAsTable("graft_cbo.ord")
+      Tables.customer(s, d).write.saveAsTable("graft_cbo.cust")
+      Tables.nation(s, d).write.saveAsTable("graft_cbo.nat")
+      Seq("ord", "cust", "nat").foreach(t =>
+        s.sql(s"ANALYZE TABLE graft_cbo.$t COMPUTE STATISTICS"))
+      s.sql("ANALYZE TABLE graft_cbo.ord COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      s.sql("ANALYZE TABLE graft_cbo.cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
+      s.sql("ANALYZE TABLE graft_cbo.nat COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
+      val prev = (s.conf.get("spark.sql.cbo.enabled", "false"),
+        s.conf.get("spark.sql.cbo.joinReorder.enabled", "false"))
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try
+        // localCheckpoint is EAGER: the join is planned and executed while
+        // the CBO flags are on; lazily returning the raw frame would defer
+        // planning past the finally-restore below
+        s.sql(
+          s"""SELECT c_mktsegment, COUNT(*) AS n, ${Det.dsumSql("o_totalprice")} AS total
+             |FROM graft_cbo.ord
+             |JOIN graft_cbo.cust ON o_custkey = c_custkey
+             |JOIN graft_cbo.nat ON c_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+          .localCheckpoint()
+      finally {
+        s.conf.set("spark.sql.cbo.enabled", prev._1)
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", prev._2)
+      }
+    }),
+
     "j9_star" -> ((s, d) => {
       val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
       val n = broadcast(Tables.nation(s, d))
@@ -247,6 +293,13 @@ object Joins extends QueryModule {
     "j1_inner" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j11_cbo_reorder" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "j2_left_outer" ->

@@ -805,6 +805,66 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"),
           TF.rollingFingerprint(col("text"), 64).as("fp64"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L22: benchmark decontamination by pairwise Jaccard — the GPT-3-style
+    // "drop training docs that fuzzily overlap an eval set" pass, as an
+    // EXACT inverted-index algorithm (so it sits under the oracle gate,
+    // unlike the MinHash approximation l2 demonstrates). Candidates are
+    // generated by the shared-4-shingle join — the standard inverted-index
+    // shape: shuffle keys are shingle strings, never doc pairs; a train
+    // doc only ever meets the bench docs it actually shares a shingle
+    // with. Sizes ride through the explode so Jaccard needs no extra
+    // joins. At 100 TB the one refinement is df-capping (drop shingles in
+    // > T docs, as l2's banding does) — the fixture's vocabulary is
+    // synthetic and skew-free, so the uncapped join is the honest demo.
+    "l22_decontaminate" -> ((s, d) => {
+      GF.register(s)
+      def side(src: String, id: String, n: String) =
+        Tables.documents(s, d).filter(col("source") === src)
+          .select(col("doc_id").as(id),
+            GF.wordShingles(TF.wordTokens(col("text")), 4).as("sh"))
+          .select(col(id), size(col("sh")).as(n), explode(col("sh")).as("shingle"))
+      val train = side("src0", "train_id", "na")
+      val bench = side("src1", "bench_id", "nb")
+      train.join(bench, Seq("shingle"))
+        .groupBy(col("train_id"), col("bench_id"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jq6",
+          floor(col("n_common") / (col("na") + col("nb") - col("n_common"))
+            * 1e6 + 0.5).cast("long"))
+        .filter(col("jq6") >= 350000L)
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_bench_hits"), max(col("jq6")).as("max_jq6"))
+        .orderBy(col("train_id"))
+    }),
+
+    // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
+    // a global single-partition sort (the row_number()-over-everything
+    // trap). Two-phase zipWithIndex shape, DataFrame-only: range-partition
+    // on the order key, number rows per partition in parallel, then shift
+    // each partition by the exclusive prefix sum of partition counts — a
+    // P-row aggregate broadcast back. localCheckpoint pins ONE evaluated
+    // partitioning so the offsets branch and the join branch cannot see
+    // different range boundaries. At 100 TB: the only serial work is the
+    // P-row cumsum; everything else is per-partition.
+    "l24_stable_ids" -> ((s, d) => {
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .repartitionByRange(8, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("doc_id"))).cast("long"))
+        .localCheckpoint()
+      val offsets = ranked.groupBy(col("pid")).agg(max(col("rn")).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      ranked.join(broadcast(offsets), "pid")
+        .select(col("doc_id"),
+          (col("offset") + col("rn") - 1).as("stable_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1143,6 +1203,37 @@ object LlmOps extends QueryModule {
         |SELECT doc_id, n_words, distinct_word_q, dup_bigram_q, top_word_q,
         |  CASE WHEN distinct_word_q >= 300000 AND dup_bigram_q <= 500000
         |            AND top_word_q <= 200000 THEN 'keep' ELSE 'drop' END AS verdict
-        |FROM q ORDER BY doc_id""".stripMargin
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "l22_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+        |    t.n AS na, b.n AS nb, COUNT(*) AS n_common
+        |  FROM ex t JOIN ex b USING (shingle)
+        |  WHERE t.source = 'src0' AND b.source = 'src1'
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT train_id,
+        |    CAST(floor(n_common / (na + nb - n_common) * 1e6 + 0.5) AS BIGINT) AS jq6
+        |  FROM pairs)
+        |SELECT train_id, COUNT(*) AS n_bench_hits, MAX(jq6) AS max_jq6
+        |FROM scored WHERE jq6 >= 350000
+        |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "l24_stable_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS stable_id,
+        |  source
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
