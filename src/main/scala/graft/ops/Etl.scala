@@ -102,6 +102,26 @@ object Etl extends QueryModule {
           |ORDER BY "doc_id"""".stripMargin)
     }),
 
+    // P2d: fourth Presto-dialect statement — the r3-session-3 surface a
+    // migrating user types verbatim: ARRAY[...] literals (bracket-matched
+    // translation), contains(), MySQL-%-format date_format (the
+    // Java-pattern trap), printf-style format(), array-building repeat(),
+    // starts_with, json_parse→json_extract chains.
+    "p2d_presto_sql_misc" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "event_id",
+          |  date_format("ts", '%Y-%m-%d %H:%i:%s') AS ts_str,
+          |  contains(ARRAY['view', 'click', 'purchase'], "event_type") AS is_funnel_type,
+          |  format('%s:%02d', "event_type", hour("ts")) AS tag,
+          |  CAST(cardinality(repeat("event_type", 3)) AS BIGINT) AS rep3,
+          |  starts_with("event_type", 'c') AS c_prefix,
+          |  json_extract(json_parse("props"), '$.k') AS k_raw
+          |FROM events
+          |WHERE "event_id" < 1500
+          |ORDER BY "event_id"""".stripMargin)
+    }),
+
     // P4: a Presto-dialect SCRIPT (semicolon-separated statements — the
     // form an ETL tool's SQL files actually take): a view definition in
     // Presto syntax feeding a final aggregate, run through
@@ -228,6 +248,16 @@ object Etl extends QueryModule {
         |  CAST(list_sum(wl) AS DOUBLE) / nw AS avg_wlen,
         |  isnan(CAST('NaN' AS DOUBLE)) AS nan_check
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "p2d_presto_sql_misc" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  event_type IN ('view', 'click', 'purchase') AS is_funnel_type,
+        |  printf('%s:%02d', event_type, hour(ts)) AS tag,
+        |  CAST(3 AS BIGINT) AS rep3,
+        |  event_type LIKE 'c%' AS c_prefix,
+        |  json_extract_string(props, '$.k') AS k_raw
+        |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin,
 
     "p4_presto_script" ->
       """WITH pos_cust AS (

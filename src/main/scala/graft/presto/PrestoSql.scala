@@ -42,7 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * positional access, which is also Presto's recommended form;
   * `array_agg` passes through to Spark's same-named aggregate, which
   * DROPS null elements where Trino retains them (and the `ORDER BY`
-  * intra-aggregate form is not translated — sort the result instead).
+  * intra-aggregate form is not translated — sort the result instead);
+  * the `map(ARRAY[…], ARRAY[…])` constructor and Presto type syntax in
+  * casts (`ARRAY(T)`, `MAP(K,V)`) are not translated (use
+  * `map_from_arrays` and Spark type names); Presto's varbinary-returning
+  * digests (md5/sha256) differ from Spark's hex-string returns.
   */
 object PrestoSql {
 
@@ -162,7 +166,25 @@ object PrestoSql {
       " (acc, x) -> IF(x IS NULL, acc, named_struct('s', acc.s + x, 'n', acc.n + 1))," +
       " acc -> IF(acc.n = 0L, CAST(NULL AS DOUBLE), acc.s / acc.n))",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
-    "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)")
+    "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)",
+    // Presto date_format uses MySQL %-specifiers where Spark's same-named
+    // builtin takes a Java pattern — a silent-wrong-answer trap for
+    // migrating SQL, so the Presto name is adapted through the same
+    // constant-foldable %-token replace chain as date_parse.
+    "presto_date_format(t TIMESTAMP, f STRING) RETURNS STRING" +
+      " RETURN date_format(t, replace(replace(replace(replace(replace(" +
+      "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
+      " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",
+    // ISO-8601 ingestion (Presto from_iso8601_*): Spark's to_timestamp /
+    // to_date parse ISO forms by default.
+    "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
+    "from_iso8601_date(s STRING) RETURNS DATE RETURN to_date(s)",
+    // Presto json_parse/json_format convert VARCHAR↔JSON; Spark's JSON
+    // functions operate on JSON text directly, so both are identities —
+    // they exist so extraction chains (json_extract(json_parse(x), p))
+    // run unmodified.
+    "json_parse(j STRING) RETURNS STRING RETURN j",
+    "json_format(j STRING) RETURNS STRING RETURN j")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -222,10 +244,75 @@ object PrestoSql {
     // Presto codepoint(varchar(1)) — ascii() matches for the BMP/ASCII
     // range the fixtures use.
     ("""(?i)\bcodepoint\s*\(""".r, "ascii("),
+    // Presto date_format is MySQL-%-format (see presto_date_format above);
+    // rewriting the NAME keeps Spark's own date_format unreachable from
+    // the Presto dialect, where its Java-pattern reading would be wrong.
+    ("""(?i)\bdate_format\s*\(""".r, "presto_date_format("),
+    // parse_datetime takes a Joda pattern — compatible with Java patterns
+    // on the shared yyyy/MM/dd/HH/mm/ss tokens (same note as
+    // format_datetime above).
+    ("""(?i)\bparse_datetime\s*\(""".r, "to_timestamp("),
+    // Exact-semantics renames (argument order verified against Trino docs
+    // and Spark's FunctionRegistry).
+    ("""(?i)\bcontains\s*\(""".r, "array_contains("),
+    ("""(?i)\bstarts_with\s*\(""".r, "startswith("),
+    ("""(?i)\bzip\s*\(""".r, "arrays_zip("),
+    // Presto repeat(element, count) builds an ARRAY (string repetition
+    // doesn't exist under that name in the dialect).
+    ("""(?i)\brepeat\s*\(""".r, "array_repeat("),
+    ("""(?i)\bformat\s*\(""".r, "format_string("),
+    ("""(?i)\blast_day_of_month\s*\(""".r, "last_day("),
+    ("""(?i)\bjson_extract\s*\(""".r, "get_json_object("),
+    ("""(?i)\bchr\s*\(""".r, "char("),
     // Spark rejects length-less VARCHAR/VARBINARY/REAL in casts.
     ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
     ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),
     ("""(?i)\bas\s+real\s*\)""".r, "AS FLOAT)"))
+
+  /** Presto `ARRAY[a, b, c]` literals → Spark `array(a, b, c)`.
+    * Literal-aware bracket-matching scanner (regex can't pair nested
+    * brackets): `ARRAY[` opens an array-literal frame whose matching `]`
+    * becomes `)`; any other `[` (subscripts) opens a passthrough frame.
+    * Nested forms (`ARRAY[ARRAY[1], ARRAY[2]]`) work by the stack.
+    */
+  private[graft] def rewriteArrayLiterals(s: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack.empty[Boolean]
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) {
+        out.append(c)
+        if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inLit = true; out.append(c)
+        case '"' => inIdent = true; out.append(c)
+        case '[' =>
+          """(?i)\barray\s*$""".r.findFirstIn(out.toString) match {
+            case Some(kw) =>
+              out.setLength(out.length - kw.length)
+              out.append("array(")
+              stack.push(true)
+            case None =>
+              out.append('[')
+              stack.push(false)
+          }
+        case ']' =>
+          if (stack.nonEmpty && stack.pop()) out.append(')') else out.append(']')
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
 
   /** Literal-aware dialect translation. Splits the statement into
     * single-quoted literals (kept verbatim, '' escapes respected),
@@ -236,7 +323,7 @@ object PrestoSql {
     */
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = prestoSql
+    val s = rewriteArrayLiterals(prestoSql)
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -166,4 +166,51 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getDouble(4) == -1.0)  // toward zero, not floor
     assert(r.getString(5) == "30")  // 0-indexed
   }
+
+  test("ARRAY[...] literals translate with nesting, subscripts, and literal protection") {
+    assert(PrestoSql.rewriteArrayLiterals("SELECT ARRAY[1, 2, 3]")
+      == "SELECT array(1, 2, 3)")
+    assert(PrestoSql.rewriteArrayLiterals("SELECT ARRAY[ARRAY[1], ARRAY[2, 3]]")
+      == "SELECT array(array(1), array(2, 3))")
+    // subscripts keep their brackets, including inside an array literal
+    assert(PrestoSql.rewriteArrayLiterals("SELECT ARRAY[a[1], b[2]][1]")
+      == "SELECT array(a[1], b[2])[1]")
+    // 'ARRAY[' inside a string literal is data, not syntax; MY_ARRAY is
+    // an identifier, not the keyword
+    assert(PrestoSql.rewriteArrayLiterals("SELECT 'ARRAY[1]', MY_ARRAY[1]")
+      == "SELECT 'ARRAY[1]', MY_ARRAY[1]")
+    val got = PrestoSql.sql(spark,
+      "SELECT ARRAY['a', 'b'] || ARRAY['c'] AS arr").collect().head.getSeq[String](0)
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("date_format takes MySQL %-format in the Presto dialect (the Java-pattern trap)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT date_format(CAST('2024-03-05 12:30:45' AS TIMESTAMP),
+        |  '%Y-%m-%d %H:%i:%s') AS s,
+        |  format_datetime(CAST('2024-03-05' AS TIMESTAMP), 'yyyy/MM/dd') AS j
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "2024-03-05 12:30:45")
+    assert(r.getString(1) == "2024/03/05")  // Joda path stays Joda
+  }
+
+  test("r3 session-3 renames: contains/starts_with/zip/repeat/format/json_parse chain") {
+    val r = PrestoSql.sql(spark,
+      """SELECT contains(ARRAY[1, 2], 2) AS c,
+        |  starts_with('presto', 'pre') AS sw,
+        |  zip(ARRAY[1, 2], ARRAY['a', 'b'])[1].`1` AS z,
+        |  repeat('x', 3) AS rep,
+        |  format('%02d/%s', 7, 'ok') AS f,
+        |  json_extract(json_parse('{"a": {"b": 5}}'), '$.a.b') AS je,
+        |  last_day_of_month(CAST('2024-02-10' AS TIMESTAMP)) AS ld,
+        |  from_iso8601_date('2024-03-05') AS isod""".stripMargin).collect().head
+    assert(r.getBoolean(0))
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "b")
+    assert(r.getSeq[String](3) == Seq("x", "x", "x"))
+    assert(r.getString(4) == "07/ok")
+    assert(r.getString(5) == "5")
+    assert(r.getDate(6).toString == "2024-02-29")
+    assert(r.getDate(7).toString == "2024-03-05")
+  }
 }

@@ -156,4 +156,27 @@ class ScaleShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("l24 stable ids are dense 0..N-1 in doc_id order (no global sort bottleneck)") {
+    val rows = ops.LlmOps.queries("l24_stable_ids")(spark, sf)
+      .select("doc_id", "stable_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // dense and contiguous
+    assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+    // order-preserving: sorting by doc_id sorts by stable_id
+    val byDoc = rows.sortBy(_._1).map(_._2).toSeq
+    assert(byDoc == byDoc.sorted, "ids must follow doc_id order")
+    // (plan shape: the per-partition row_number sits behind the eager
+    // localCheckpoint — only the 8-row offsets cumsum is a global window,
+    // and its input is the tiny per-pid Aggregate, never the scan)
+  }
+
+  test("l22 decontamination joins on shingles, never a cartesian/BNLJ pair blowup") {
+    val qe = ops.LlmOps.queries("l22_decontaminate")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must ride the shingle equi-join:\n${plan.take(2000)}")
+  }
 }
