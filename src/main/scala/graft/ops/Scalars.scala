@@ -445,6 +445,23 @@ object Scalars extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // sc19: VARIANT semi-structured type (Spark 4) — parse_json into the
+    // binary VARIANT encoding, typed extraction via variant_get, NULL
+    // taxonomy (malformed input under try_parse_json vs JSON null), and
+    // schema_of_variant introspection. At 100 TB VARIANT beats JSON
+    // strings: parsing happens once at ingest, extraction reads the
+    // binary encoding (and parquet shredding prunes it like columns).
+    "sc19_variant" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_id") < 1500)
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k_big"),
+          variant_get(parse_json(col("props")), "$.k", "string").as("k_str"),
+          variant_get(try_parse_json(lit("{broken")), "$.k", "bigint").as("bad_json"),
+          is_variant_null(parse_json(lit("null"))).as("json_null"),
+          schema_of_variant(parse_json(col("props"))).as("schema"))
+        .orderBy(col("event_id"))
+    }),
+
     // sc18: bitwise family (Presto bitwise_and/or/xor/not, bit_count,
     // bit extraction) — pure per-row codegen arithmetic, scan-stage at
     // any scale. Complements sc16's shifts.
@@ -752,6 +769,15 @@ object Scalars extends QueryModule {
         |  c_custkey << 3 AS shl3,
         |  c_custkey >> 2 AS shr2
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "sc19_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(NULL AS BIGINT) AS bad_json,
+        |  TRUE AS json_null,
+        |  'OBJECT<k: BIGINT>' AS schema
+        |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin,
 
     "sc18_bitwise" ->
       """SELECT l_orderkey, l_linenumber,

@@ -240,6 +240,21 @@ object Sources extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // S13: XML round-trip — Spark 4's built-in XML source (the remaining
+    // text format an ETL tool ingests: feeds, configs, legacy exports).
+    // Writer emits one <nation> row element per record; reader parses
+    // with an explicit schema (no inference pass, same policy as S2/S3).
+    "s13_xml_roundtrip" -> ((s, d) => {
+      val out = scratch("graft_xml")
+      Tables.nation(s, d).orderBy(col("n_nationkey"))
+        .coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").format("xml").save(out)
+      s.read.format("xml").option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -286,6 +301,9 @@ object Sources extends QueryModule {
     "s4_parquet_sink" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "s13_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "s12_binary_files" ->
       """SELECT doc_id,
