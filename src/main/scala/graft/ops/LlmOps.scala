@@ -807,6 +807,37 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L25: unigram log-probability scoring — the CCNet-style "language
+    // model perplexity" quality proxy with the LM reduced to corpus
+    // unigram frequencies: score(doc) = mean_w ln p(w), p(w) = cnt(w)/T.
+    // Corpus statistics feed per-doc scoring: one word-keyed aggregate
+    // builds the frequency dim, a 1-row total broadcasts, and each doc's
+    // score is an exact integer sum of per-WORD quantized ln values
+    // (l21's determinism pattern: quantize each term at 1e6 BEFORE
+    // summing, re-quantize the final mean at 1e4 so a last-ulp libm
+    // disagreement cannot flip the output). At 100 TB the frequency dim
+    // is word-keyed (shuffle on the word string, standard vocabulary
+    // skew handling: df-cap or salt the head words).
+    "l25_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.wordTokens(col("text"))).as("w"))
+      val freq = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ql", floor(log(col("cnt")) * 1e6 + 0.5).cast("long"))
+      val total = freq.agg(sum(col("cnt")).as("t"))
+        .select(floor(log(col("t")) * 1e6 + 0.5).cast("long").as("qt"))
+      val dc = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("dc"))
+      dc.join(freq, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dc")).as("n_toks"), sum(col("dc") * col("ql")).as("sum_ql"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_toks"),
+          floor((col("sum_ql").cast("double") / 1e6 / col("n_toks")
+            - col("qt").cast("double") / 1e6) * 1e4 + 0.5)
+            .cast("long").as("logprob_q4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L22: benchmark decontamination by pairwise Jaccard — the GPT-3-style
     // "drop training docs that fuzzily overlap an eval set" pass, as an
     // EXACT inverted-index algorithm (so it sits under the oracle gate,
@@ -1229,6 +1260,24 @@ object LlmOps extends QueryModule {
         |SELECT train_id, COUNT(*) AS n_bench_hits, MAX(jq6) AS max_jq6
         |FROM scored WHERE jq6 >= 350000
         |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "l25_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |freq AS (
+        |  SELECT w, COUNT(*) AS cnt,
+        |    CAST(floor(ln(COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS ql
+        |  FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(floor(ln(SUM(cnt)) * 1e6 + 0.5) AS BIGINT) AS qt FROM freq),
+        |dc AS (SELECT doc_id, w, COUNT(*) AS dc FROM toks GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_toks,
+        |  CAST(floor((SUM(dc * ql) / 1e6 / SUM(dc) - MAX(qt) / 1e6) * 1e4 + 0.5)
+        |    AS BIGINT) AS logprob_q4
+        |FROM dc JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "l24_stable_ids" ->
       """SELECT doc_id,
