@@ -122,6 +122,40 @@ object Etl extends QueryModule {
           |ORDER BY "event_id"""".stripMargin)
     }),
 
+    // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
+    // one parameterized statement (named :run_day placeholder, bound as a
+    // typed literal after dialect translation) executed once per day,
+    // each run writing ONLY its day partition via dynamic partition
+    // overwrite. Day 2 runs TWICE to prove idempotence: the rerun
+    // replaces its partition instead of duplicating it. At 100 TB this
+    // is the pattern that keeps reprocessing cost ∝ one day's data.
+    "p6_daily_incremental" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val out = Sources.scratch("graft_p6")
+      val stmt =
+        """SELECT CAST("ts" AS DATE) AS day, "event_type",
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(floor("value" * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v_q6
+          |FROM events WHERE CAST("ts" AS DATE) = :run_day
+          |GROUP BY 1, 2""".stripMargin
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        Seq("2024-01-03", "2024-01-04", "2024-01-04").foreach { day =>
+          graft.presto.PrestoSql
+            .sql(s, stmt, Map("run_day" -> java.sql.Date.valueOf(day)))
+            .write.mode("overwrite").partitionBy("day").parquet(out)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n"), col("v_q6"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // P4: a Presto-dialect SCRIPT (semicolon-separated statements — the
     // form an ETL tool's SQL files actually take): a view definition in
     // Presto syntax feeding a final aggregate, run through
@@ -258,6 +292,17 @@ object Etl extends QueryModule {
         |  event_type LIKE 'c%' AS c_prefix,
         |  json_extract_string(props, '$.k') AS k_raw
         |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin,
+
+    "p6_daily_incremental" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v_q6
+        |FROM events
+        |-- OR, not IN: DuckDB 1.0.0's IN-list over a casted parquet
+        |-- timestamp column mis-optimizes to zero rows
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        |   OR CAST(ts AS DATE) = DATE '2024-01-04'
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "p4_presto_script" ->
       """WITH pos_cust AS (

@@ -173,6 +173,24 @@ object Events extends QueryModule {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // E13: time-series gap filling — the calendar-spine pattern every
+    // reporting pipeline needs: a dense (hour × event_type) spine
+    // (sequence-generated, 24×5 rows — metadata scale) left-joined to the
+    // actual hourly counts, absent cells zero-filled. The spine side is
+    // generated, never scanned; the fact side is one partial+final agg.
+    "e13_gap_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(to_date(col("ts")) === lit("2024-01-05"))
+      val counts = e.groupBy(hour(col("ts")).as("hh"), col("event_type"))
+        .agg(count(lit(1)).as("n_raw"))
+      val spine = s.range(0, 24).select(col("id").cast("int").as("hh"))
+        .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+      spine.join(counts, Seq("hh", "event_type"), "left")
+        .select(col("hh").cast("long").as("hh"), col("event_type"),
+          coalesce(col("n_raw"), lit(0L)).as("n"))
+        .orderBy(col("hh"), col("event_type"))
+    }),
+
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -281,6 +299,20 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e13_gap_fill" ->
+      """WITH e AS (
+        |  SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'),
+        |counts AS (
+        |  SELECT hour(ts) AS hh, event_type, COUNT(*) AS n_raw
+        |  FROM e GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |spine AS (SELECT unnest(generate_series(0, 23)) AS hh)
+        |SELECT CAST(s.hh AS BIGINT) AS hh, t.event_type,
+        |  COALESCE(n_raw, 0) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hh = s.hh AND c.event_type = t.event_type
+        |ORDER BY hh, t.event_type""".stripMargin,
 
     "e12_retention_cohorts" ->
       """WITH e AS (

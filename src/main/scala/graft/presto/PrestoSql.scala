@@ -56,6 +56,23 @@ object PrestoSql {
     spark.sql(translate(prestoSql))
   }
 
+  /** Parameterized form — named `:param` placeholders (how an ETL tool
+    * drives the same statement across dates/tenants). Values bind as
+    * typed literals AFTER dialect translation, so parameter CONTENT can
+    * never be rewritten by the translator or injected as syntax. */
+  def sql(spark: SparkSession, prestoSql: String,
+          params: Map[String, Any]): DataFrame = {
+    registerDialect(spark)
+    spark.sql(translate(prestoSql), params)
+  }
+
+  /** Positional `?` placeholders (the JDBC/PreparedStatement form Presto
+    * clients submit). Same post-translation literal binding. */
+  def sql(spark: SparkSession, prestoSql: String, params: Array[_]): DataFrame = {
+    registerDialect(spark)
+    spark.sql(translate(prestoSql), params)
+  }
+
   /** Run a Presto-dialect SCRIPT — semicolon-separated statements, the
     * form an ETL tool's SQL files take. Statements split outside string
     * literals / quoted identifiers and run in order; the LAST statement's

@@ -194,6 +194,22 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(1) == "2024/03/05")  // Joda path stays Joda
   }
 
+  test("parameterized statements: named :params and positional ? bind after translation") {
+    val named = PrestoSql.sql(spark,
+      "SELECT strpos(:hay, :needle) AS p, :n + 1 AS m",
+      Map("hay" -> "abcdef", "needle" -> "cd", "n" -> 41)).collect().head
+    assert(named.getLong(0) == 3L && named.getInt(1) == 42)
+    val positional = PrestoSql.sql(spark,
+      "SELECT approx_distinct(x) AS d FROM (VALUES (1), (2), (?)) AS t(x)",
+      Array(2)).collect().head
+    assert(positional.getLong(0) == 2L)
+    // parameter VALUES are data, not syntax: a dialect-function name in a
+    // bound string must survive unrewritten
+    val inj = PrestoSql.sql(spark, "SELECT :s AS s",
+      Map("s" -> "split(a, b)")).collect().head
+    assert(inj.getString(0) == "split(a, b)")
+  }
+
   test("r3 session-3 renames: contains/starts_with/zip/repeat/format/json_parse chain") {
     val r = PrestoSql.sql(spark,
       """SELECT contains(ARRAY[1, 2], 2) AS c,
