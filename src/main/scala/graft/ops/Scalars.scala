@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.7 — scalar function families, one grouped verification query
@@ -445,6 +445,24 @@ object Scalars extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // sc20: collations (Spark 4) — case-insensitive comparison semantics
+    // as a TYPE property (UTF8_LCASE) instead of scattered lower() calls:
+    // distinct-counting and equality both honor the collation. The
+    // union plants an upper-cased twin of every name, so exact-distinct
+    // sees 2 per key while collated-distinct sees 1.
+    "sc20_collation" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      def side(f: Column => Column) = c.select(
+        (col("c_custkey") % 50).as("g"), f(col("c_name")).as("nm"))
+      side(identity).unionByName(side(upper))
+        .groupBy(col("g"))
+        .agg(countDistinct(col("nm")).as("n_exact"),
+          countDistinct(collate(col("nm"), "UTF8_LCASE")).as("n_ci"),
+          count_if(collate(col("nm"), "UTF8_LCASE") === upper(col("nm")))
+            .as("n_ci_eq"))
+        .orderBy(col("g"))
+    }),
+
     // sc19: VARIANT semi-structured type (Spark 4) — parse_json into the
     // binary VARIANT encoding, typed extraction via variant_get, NULL
     // taxonomy (malformed input under try_parse_json vs JSON null), and
@@ -769,6 +787,16 @@ object Scalars extends QueryModule {
         |  c_custkey << 3 AS shl3,
         |  c_custkey >> 2 AS shr2
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "sc20_collation" ->
+      """WITH names AS (
+        |  SELECT c_custkey % 50 AS g, c_name AS nm FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey % 50, upper(c_name) FROM customer)
+        |SELECT g, COUNT(DISTINCT nm) AS n_exact,
+        |  COUNT(DISTINCT lower(nm)) AS n_ci,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ci_eq
+        |FROM names GROUP BY g ORDER BY g""".stripMargin,
 
     "sc19_variant" ->
       """SELECT event_id,

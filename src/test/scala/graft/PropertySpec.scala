@@ -152,4 +152,35 @@ class PropertySpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall { case (_, _, first) => first >= 400 && first < 100000 })
   }
+
+  test("ARRAY literal rewrite law: random nest trees translate to the evaluable array() form") {
+    // random tree of ARRAY[...] nodes whose leaves are int literals and
+    // subscripted identifiers; the Presto rendering must rewrite to the
+    // Spark rendering exactly (same tree, array(...) syntax, subscripts
+    // and string literals untouched)
+    sealed trait T
+    case class Leaf(s: String) extends T
+    case class Node(kids: List[T]) extends T
+    val leaf: Gen[T] = Gen.oneOf(
+      Gen.chooseNum(0, 99).map(n => Leaf(n.toString)),
+      Gen.oneOf("x[1]", "'ARRAY[z]'", "'it''s'").map(Leaf(_)))
+    def tree(depth: Int): Gen[T] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        2 -> leaf,
+        3 -> Gen.chooseNum(1, 3).flatMap(n =>
+          Gen.listOfN(n, tree(depth - 1)).map(Node(_))))
+    def presto(t: T): String = t match {
+      case Leaf(s) => s
+      case Node(ks) => ks.map(presto).mkString("ARRAY[", ", ", "]")
+    }
+    def sparkForm(t: T): String = t match {
+      case Leaf(s) => s
+      case Node(ks) => ks.map(sparkForm).mkString("array(", ", ", ")")
+    }
+    forAllN(tree(3).suchThat(_.isInstanceOf[Node]), 8) { t =>
+      assert(graft.presto.PrestoSql.rewriteArrayLiterals(s"SELECT ${presto(t)}")
+        == s"SELECT ${sparkForm(t)}")
+    }
+  }
 }
