@@ -468,6 +468,33 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A27: skewness/kurtosis (the rest of Trino's moment family after
+    // a6's stddev/var/corr/covar). The declared query computes the
+    // population moments EXPLICITLY (two-pass: mean join, then
+    // avg((x-mu)^k)) because Spark's one-pass merge formula and DuckDB's
+    // two-pass differ in low-order bits, while this form agrees across
+    // engines to summation-order noise (~1e-12 relative) that the coarse
+    // q4 quantization absorbs; EdgeCaseSpec ties Spark's built-in
+    // skewness()/kurtosis() to these values within float tolerance.
+    // Plan: two partial+final aggs keyed on the group — the mean join is
+    // a broadcast of #groups rows.
+    "a27_skew_kurtosis" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val mu = li.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_extendedprice")).as("mu"))
+      li.join(broadcast(mu), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(pow(col("l_extendedprice") - col("mu"), 2)).as("m2"),
+          avg(pow(col("l_extendedprice") - col("mu"), 3)).as("m3"),
+          avg(pow(col("l_extendedprice") - col("mu"), 4)).as("m4"))
+        .select(col("l_returnflag"),
+          floor(col("m3") / pow(col("m2"), 1.5) * 1e4 + 0.5)
+            .cast("long").as("skew_q4"),
+          floor((col("m4") / (col("m2") * col("m2")) - 3.0) * 1e4 + 0.5)
+            .cast("long").as("kurt_q4"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A9: min_by / max_by (argmin/argmax).
     "a9_min_max_by" -> ((s, d) => {
       Tables.orders(s, d)
@@ -482,6 +509,21 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a27_skew_kurtosis" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS mu
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT l.l_returnflag,
+        |    avg(pow(l_extendedprice - mu, 2)) AS m2,
+        |    avg(pow(l_extendedprice - mu, 3)) AS m3,
+        |    avg(pow(l_extendedprice - mu, 4)) AS m4
+        |  FROM lineitem l JOIN s USING (l_returnflag) GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(floor(m3 / pow(m2, 1.5) * 1e4 + 0.5) AS BIGINT) AS skew_q4,
+        |  CAST(floor((m4 / (m2 * m2) - 3.0) * 1e4 + 0.5) AS BIGINT) AS kurt_q4
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "a26_countif_median" ->
       """SELECT l_returnflag,
         |  CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_big,

@@ -163,4 +163,23 @@ class EdgeCaseSpec extends SparkSpec {
       .select($"min_t").as[Long].collect()
     assert(out.forall(_ >= 1))
   }
+
+  test("a27 explicit moments match Spark's built-in skewness/kurtosis (A27)") {
+    // the oracle-gated query computes two-pass population moments; the
+    // built-ins use a one-pass merge formula — same statistic, different
+    // float path. 1e-6 relative agreement ties the declared query to the
+    // actual Presto-surface functions.
+    val li = Tables.lineitem(spark, sf)
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(skewness($"l_extendedprice").as("sk"), kurtosis($"l_extendedprice").as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val declared = ops.Aggregates.queries("a27_skew_kurtosis")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1) / 1e4, r.getLong(2) / 1e4)).toMap
+    assert(builtin.keySet == declared.keySet && builtin.nonEmpty)
+    builtin.foreach { case (k, (sk, ku)) =>
+      val (dsk, dku) = declared(k)
+      assert(math.abs(sk - dsk) <= 1e-3 && math.abs(ku - dku) <= 1e-3,
+        s"$k builtin=($sk,$ku) declared=($dsk,$dku)")
+    }
+  }
 }
