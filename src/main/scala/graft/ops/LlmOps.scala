@@ -849,6 +849,10 @@ object LlmOps extends QueryModule {
     // joins. At 100 TB the one refinement is df-capping (drop shingles in
     // > T docs, as l2's banding does) — the fixture's vocabulary is
     // synthetic and skew-free, so the uncapped join is the honest demo.
+    // Threshold note: the fixture is contamination-FREE (max cross-source
+    // 4-shingle Jaccard ≈ 0.012), so the gate threshold sits at the noise
+    // floor (0.01) to keep the pair arithmetic non-vacuously under test;
+    // a production pass uses 0.3–0.8.
     "l22_decontaminate" -> ((s, d) => {
       GF.register(s)
       def side(src: String, id: String, n: String) =
@@ -864,7 +868,7 @@ object LlmOps extends QueryModule {
         .withColumn("jq6",
           floor(col("n_common") / (col("na") + col("nb") - col("n_common"))
             * 1e6 + 0.5).cast("long"))
-        .filter(col("jq6") >= 350000L)
+        .filter(col("jq6") >= 10000L)
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("n_bench_hits"), max(col("jq6")).as("max_jq6"))
         .orderBy(col("train_id"))
@@ -1258,7 +1262,7 @@ object LlmOps extends QueryModule {
         |    CAST(floor(n_common / (na + nb - n_common) * 1e6 + 0.5) AS BIGINT) AS jq6
         |  FROM pairs)
         |SELECT train_id, COUNT(*) AS n_bench_hits, MAX(jq6) AS max_jq6
-        |FROM scored WHERE jq6 >= 350000
+        |FROM scored WHERE jq6 >= 10000
         |GROUP BY train_id ORDER BY train_id""".stripMargin,
 
     "l25_unigram_logprob" ->
