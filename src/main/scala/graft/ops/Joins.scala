@@ -179,6 +179,25 @@ object Joins extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // J8d: FORWARD as-of through the owned operator — per event, the
+    // FIRST order of that customer on/after the event (merge_asof
+    // direction='forward': lead-time attribution, next-restock lookup).
+    // Same single-shuffle merge plan as j8c, mirrored comparison.
+    "j8d_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val oRed = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.plans.AsOfJoin.asof(s, e, oRed,
+          leftBy = "user_id", rightBy = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate", direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("next_orderkey"),
+          col("o_orderdate").as("next_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     "j8b_asof_union" -> ((s, d) => {
       val e = Tables.events(s, d).filter(col("event_id") < 1000)
         .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
@@ -388,6 +407,20 @@ object Joins extends QueryModule {
         |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, o_orderkey AS asof_orderkey,
         |       o_orderdate AS asof_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j8d_asof_forward" ->
+      // mirror of j8c's oracle with the comparison and rank order
+      // flipped: first day >= ts; the max orderkey that day matches the
+      // operator's pre-reduced right side
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_id < 1000) e
+        |  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS next_orderkey,
+        |       o_orderdate AS next_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "j8b_asof_union" ->

@@ -35,7 +35,8 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftBy: Expression, rightBy: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightTiebreak: Seq[Expression]) extends BinaryNode {
+    rightTiebreak: Seq[Expression],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -66,8 +67,8 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lb, rb, lt, rt, tb) =>
-      AsOfJoinExec(lb, rb, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lb, rb, lt, rt, tb, fwd) =>
+      AsOfJoinExec(lb, rb, lt, rt, tb, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -76,6 +77,7 @@ case class AsOfJoinExec(
     leftBy: Expression, rightBy: Expression,
     leftTs: Expression, rightTs: Expression,
     rightTiebreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -134,10 +136,14 @@ case class AsOfJoinExec(
           // first, so not advancing here cannot starve later left rows.
           if (lKey.isNullAt(0) || lTs.isNullAt(0))
             return resultProj(joined(lRow, nullRight))
-          // advance right up to and including the last row of lKey's group
-          // with ts <= lTs; groups before lKey are drained without holding;
-          // right rows with null key/ts are skipped (they'd otherwise act
-          // as -infinity under the natural nulls-first ordering)
+          // BACKWARD: advance right up to and including the last row of
+          // lKey's group with ts <= lTs (held as the match); FORWARD:
+          // drain rows strictly before lTs so the buffered head, if it is
+          // still lKey's group, is the FIRST row with ts >= lTs (peeked,
+          // never consumed — later left rows may share it). Groups before
+          // lKey are drained without holding; right rows with null key/ts
+          // are skipped (they'd otherwise act as -infinity under the
+          // natural nulls-first ordering).
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rKey = rByProj(rBuf.head)
@@ -148,7 +154,10 @@ case class AsOfJoinExec(
               else if (c == 0) {
                 val rTs = rTsProj(rBuf.head)
                 if (rTs.isNullAt(0)) { rBuf.next() }
-                else if (tsOrd.compare(rTs, lTs) <= 0) {
+                else if (forward) {
+                  if (tsOrd.compare(rTs, lTs) < 0) rBuf.next()
+                  else advancing = false
+                } else if (tsOrd.compare(rTs, lTs) <= 0) {
                   val r = rBuf.next()
                   heldRow = r.copy()
                   if (heldKey == null || !heldKey.equals(lKey)) heldKey = lKey.copy()
@@ -156,8 +165,16 @@ case class AsOfJoinExec(
               } else advancing = false
             }
           }
-          val matched = heldRow != null && heldKey != null && heldKey.equals(lKey)
-          resultProj(joined(lRow, if (matched) heldRow else nullRight))
+          if (forward) {
+            val ok = rBuf.hasNext && {
+              val rKey = rByProj(rBuf.head)
+              !rKey.isNullAt(0) && byOrd.compare(rKey, lKey) == 0
+            }
+            resultProj(joined(lRow, if (ok) rBuf.head else nullRight))
+          } else {
+            val matched = heldRow != null && heldKey != null && heldKey.equals(lKey)
+            resultProj(joined(lRow, if (matched) heldRow else nullRight))
+          }
         }
       }
     }
@@ -209,12 +226,16 @@ object AsOfJoin {
       s"asof: $what types are incompatible: ${l.dataType} vs ${r.dataType}")
   }
 
-  /** left-outer as-of: latest `right` row per `by` group with
-    * rightTs <= leftTs joined onto each left row. Columns are referenced
-    * by name and resolved against each side's analyzed output. */
+  /** left-outer as-of: per left row, the latest `right` row of its `by`
+    * group with rightTs <= leftTs (direction="backward", the default) or
+    * the EARLIEST with rightTs >= leftTs (direction="forward", pandas
+    * merge_asof's forward mode). Columns are referenced by name and
+    * resolved against each side's analyzed output. */
   def asof(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftBy: String, rightBy: String, leftTs: String, rightTs: String,
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil, direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof: unknown direction '$direction'")
     register(spark)
     val lPlan = GraftShim.analyzed(leftDf)
     val rPlan = GraftShim.analyzed(rightDf)
@@ -227,6 +248,7 @@ object AsOfJoin {
     val (lTs, rTs) =
       aligned(spark, attr(lPlan, leftTs), attr(rPlan, rightTs), "ts")
     GraftShim.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      lBy, rBy, lTs, rTs, tiebreak.map(attr(rPlan, _))))
+      lBy, rBy, lTs, rTs, tiebreak.map(attr(rPlan, _)),
+      forward = direction == "forward"))
   }
 }

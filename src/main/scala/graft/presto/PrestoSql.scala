@@ -201,7 +201,12 @@ object PrestoSql {
     // they exist so extraction chains (json_extract(json_parse(x), p))
     // run unmodified.
     "json_parse(j STRING) RETURNS STRING RETURN j",
-    "json_format(j STRING) RETURNS STRING RETURN j")
+    "json_format(j STRING) RETURNS STRING RETURN j",
+    // Presto split_to_map delimiters are LITERAL; Spark str_to_map takes
+    // regexes — \Q…\E quoting makes them literal (same fix as presto_split)
+    "split_to_map(s STRING, ed STRING, kd STRING) RETURNS MAP<STRING, STRING>" +
+      " RETURN str_to_map(s, concat('\\\\Q', ed, '\\\\E')," +
+      " concat('\\\\Q', kd, '\\\\E'))")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)

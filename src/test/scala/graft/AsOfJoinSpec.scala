@@ -174,4 +174,41 @@ class AsOfJoinSpec extends SparkSpec {
         leftBy = "lk", rightBy = "k", leftTs = "lt", rightTs = "t")
     }
   }
+
+  test("forward direction matches the expression formulation row-for-row (j8d)") {
+    val e = Tables.events(spark, sf).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val oRed = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val viaOp = AsOfJoin.asof(spark, e, oRed,
+        leftBy = "user_id", rightBy = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate", direction = "forward")
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy(col("event_id")).collect().toSeq
+    val viaExpr = e.join(oRed,
+        col("user_id") === col("o_custkey") && col("o_orderdate") >= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(min_by(col("o_orderkey"),
+        struct(col("o_orderdate"), -col("o_orderkey"))).as("o_orderkey"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(viaOp.nonEmpty && viaOp == viaExpr)
+  }
+
+  test("forward: one right row serves many left rows; past-the-end null-extends") {
+    import SparkSpec.spark.implicits._
+    val right = Seq((1L, 100L, "r100"), (1L, 200L, "r200")).toDF("k", "t", "v")
+    val left = Seq(
+      (1L, 10L, 1), (1L, 50L, 2), (1L, 100L, 3),   // all → r100 (shared head)
+      (1L, 101L, 4),                               // → r200
+      (1L, 201L, 5)                                // past the end → null
+    ).toDF("lk", "lt", "id")
+    val res = AsOfJoin.asof(spark, left, right,
+        leftBy = "lk", rightBy = "k", leftTs = "lt", rightTs = "t",
+        direction = "forward")
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(res == Map(1 -> Some("r100"), 2 -> Some("r100"),
+      3 -> Some("r100"), 4 -> Some("r200"), 5 -> None))
+  }
 }

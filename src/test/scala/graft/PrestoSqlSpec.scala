@@ -229,4 +229,11 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getDate(6).toString == "2024-02-29")
     assert(r.getDate(7).toString == "2024-03-05")
   }
+
+  test("split_to_map delimiters are literal (regex metachars are data)") {
+    val m = PrestoSql.sql(spark,
+      "SELECT split_to_map('a=1|b=2', '|', '=') AS m")
+      .collect().head.getMap[String, String](0)
+    assert(m == Map("a" -> "1", "b" -> "2"))
+  }
 }
