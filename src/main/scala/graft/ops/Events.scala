@@ -173,6 +173,25 @@ object Events extends QueryModule {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // E14: NATIVE session windows — Spark's session_window operator (the
+    // state-backed streaming form, sort-based in batch), vs E3's manual
+    // lag+running-sum construction. Boundary semantics differ at exactly
+    // gap distance: session_window's window end is last_ts + gap and the
+    // end is EXCLUSIVE (an event at exactly prev+30min starts a new
+    // session, where E3's `>` merges it) — the oracle mirrors the
+    // operator's >= split. Shuffle is one hash partition on user_id.
+    "e14_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_total"))
+        .orderBy(col("user_id"))
+    }),
+
     // E13: time-series gap filling — the calendar-spine pattern every
     // reporting pipeline needs: a dense (hour × event_type) spine
     // (sequence-generated, 24×5 rows — metadata scale) left-joined to the
@@ -299,6 +318,27 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e14_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e13_gap_fill" ->
       """WITH e AS (
