@@ -27,6 +27,12 @@ object Sources extends QueryModule {
     dir.toString
   }
 
+  // s14 setup cache: sf-dir whose bucketed tables are already built in a
+  // given session (same pattern as Joins.cboBuilt)
+  private val bucketedBuilt =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   val queries: Map[String, Q] = Map(
     // S1: parquet scan with pushed filter + pruned columns.
     "s1_parquet_scan" -> ((s, d) => {
@@ -255,6 +261,35 @@ object Sources extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // S14: bucketed tables + co-located join — THE repeated-big-big-join
+    // pattern: both fact tables bucketed (and sorted) on the join key at
+    // write time, so every subsequent join on that key plans as a
+    // SortMergeJoin with ZERO pre-join Exchange (plan evidence in
+    // PlanAudit/PLANS.md; this query puts the read-side ANSWER under the
+    // oracle gate). Tables live in a scratch-located database; setup is
+    // cached per (session, sf-dir) like j11's.
+    "s14_bucketed_join" -> ((s, d) => {
+      if (bucketedBuilt.get(s) != d) {
+        val loc = scratch("graft_bktdb")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
+        Seq("ord_b", "li_b").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS graft_bkt.$t"))
+        Tables.orders(s, d).write
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_bkt.ord_b")
+        Tables.lineitem(s, d).write
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_bkt.li_b")
+        bucketedBuilt.put(s, d)
+      }
+      s.table("graft_bkt.ord_b")
+        .join(s.table("graft_bkt.li_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // S6: directory-partitioned layout — write orders partitioned by
     // status, read the tree back, filter one partition (pruning).
     "s6_partitioned_scan" -> ((s, d) => {
@@ -304,6 +339,11 @@ object Sources extends QueryModule {
 
     "s13_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "s14_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "s12_binary_files" ->
       """SELECT doc_id,

@@ -172,6 +172,27 @@ class ScaleShapeSpec extends SparkSpec {
     // and its input is the tiny per-pid Aggregate, never the scan)
   }
 
+  test("s14 bucketed join plans with zero pre-join Exchange") {
+    // force the SMJ path: at spec scale the dim side broadcasts (which
+    // ignores bucketing); at 100 TB both sides are fact tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = ops.Sources.queries("s14_bucketed_join")(spark, sf)
+      df.collect() // finalize adaptive planning
+      val full = df.queryExecution.executedPlan.toString
+      // keep only the final AQE plan — the echoed "Initial Plan" section
+      // below it still shows pre-AQE Exchanges
+      val planStr = full.split("== Initial Plan ==").head
+      val joinIdx = planStr.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a SortMergeJoin:\n${planStr.take(800)}")
+      // everything below the join is its children: bucketed scans may
+      // sort in-partition but must NOT shuffle
+      assert(!planStr.substring(joinIdx).contains("Exchange"),
+        planStr.substring(joinIdx).take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("l22 decontamination joins on shingles, never a cartesian/BNLJ pair blowup") {
     val qe = ops.LlmOps.queries("l22_decontaminate")(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
