@@ -495,6 +495,23 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A28: share-of-total — the percent-of-total report column, in its
+    // SCALABLE form: aggregate once, 1-row grand total cross-joined back
+    // (broadcast). The tempting `sum() OVER ()` window is the
+    // anti-pattern — an empty PARTITION BY funnels every row through one
+    // task. Division happens in double after exact decimal sums and is
+    // quantized.
+    "a28_share_of_total" -> ((s, d) => {
+      val agg = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      val total = agg.agg(sum(col("rev")).as("total"))
+      agg.crossJoin(broadcast(total))
+        .select(col("o_orderpriority"), col("n"), col("rev"),
+          floor(col("rev").cast("double") / col("total").cast("double")
+            * 1e6 + 0.5).cast("long").as("share_q6"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A9: min_by / max_by (argmin/argmax).
     "a9_min_max_by" -> ((s, d) => {
       Tables.orders(s, d)
@@ -509,6 +526,15 @@ object Aggregates extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a28_share_of_total" ->
+      s"""WITH a AS (
+         |  SELECT o_orderpriority, ${dsumSql("o_totalprice")} AS rev, COUNT(*) AS n
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(SUM(rev) AS DOUBLE) AS total FROM a)
+         |SELECT o_orderpriority, n, rev,
+         |  CAST(floor(CAST(rev AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) AS share_q6
+         |FROM a CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
+
     "a27_skew_kurtosis" ->
       """WITH s AS (
         |  SELECT l_returnflag, avg(l_extendedprice) AS mu

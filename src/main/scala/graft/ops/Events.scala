@@ -210,6 +210,19 @@ object Events extends QueryModule {
         .orderBy(col("hh"), col("event_type"))
     }),
 
+    // E9b: LEFT OUTER stream-stream interval join — unattributed views
+    // survive with null purchase columns (Spark emits them when the
+    // watermark passes view.ts + interval; in batch it's a plain left
+    // join, the same code path as e9's inner form).
+    "e9b_interval_left" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.EventStreams.viewPurchaseJoin(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "purchase"), "left_outer")
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -369,6 +382,18 @@ object Events extends QueryModule {
         |FROM active JOIN cohort USING (user_id)
         |WHERE day >= cohort_day
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "e9b_interval_left" ->
+      // NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS LAST
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+        |FROM events v LEFT JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
+        | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""".stripMargin,
 
     "e5_dedup_first" ->
       """WITH ranked AS (

@@ -83,7 +83,8 @@ object EventStreams {
     * and vice versa. The canonical attribution join; state per side is
     * (watermark delay + interval) of rows, partitioned by key.
     */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
       .withWatermark("v_ts", "2 hours")
@@ -93,7 +94,8 @@ object EventStreams {
     v.join(p,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("v_user").as("user_id"), col("view_id"),
         col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
