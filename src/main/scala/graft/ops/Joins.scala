@@ -258,7 +258,12 @@ object Joins extends QueryModule {
     // is asserted in CboSpec. At 100 TB this is the difference between
     // shuffling the fact table against an unfiltered dimension and
     // broadcast-pruning it first.
-    "j11_cbo_reorder" -> ((s, d) => {
+    // the whole body is serialized per process: the setup is
+    // check-then-act on cboBuilt, and the CBO flags are session-global
+    // conf mutated around planning — a concurrent second invocation
+    // could otherwise double-create tables or capture the in-flight
+    // 'true' as the restore value
+    "j11_cbo_reorder" -> ((s, d) => cboBuilt.synchronized {
       // table setup is idempotent per (session, sf-dir): repeated bench
       // reps re-plan the join (the part under test) without re-writing
       // and re-ANALYZE-ing the inputs every rep
@@ -297,7 +302,7 @@ object Joins extends QueryModule {
         s.conf.set("spark.sql.cbo.enabled", prev._1)
         s.conf.set("spark.sql.cbo.joinReorder.enabled", prev._2)
       }
-    }),
+    }: DataFrame),
 
     "j9_star" -> ((s, d) => {
       val r = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))

@@ -269,18 +269,21 @@ object Sources extends QueryModule {
     // oracle gate). Tables live in a scratch-located database; setup is
     // cached per (session, sf-dir) like j11's.
     "s14_bucketed_join" -> ((s, d) => {
-      if (bucketedBuilt.get(s) != d) {
-        val loc = scratch("graft_bktdb")
-        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
-        Seq("ord_b", "li_b").foreach(t =>
-          s.sql(s"DROP TABLE IF EXISTS graft_bkt.$t"))
-        Tables.orders(s, d).write
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("graft_bkt.ord_b")
-        Tables.lineitem(s, d).write
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("graft_bkt.li_b")
-        bucketedBuilt.put(s, d)
+      // serialized check-then-act (same rationale as j11's cboBuilt lock)
+      bucketedBuilt.synchronized {
+        if (bucketedBuilt.get(s) != d) {
+          val loc = scratch("graft_bktdb")
+          s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
+          Seq("ord_b", "li_b").foreach(t =>
+            s.sql(s"DROP TABLE IF EXISTS graft_bkt.$t"))
+          Tables.orders(s, d).write
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("graft_bkt.ord_b")
+          Tables.lineitem(s, d).write
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("graft_bkt.li_b")
+          bucketedBuilt.put(s, d)
+        }
       }
       s.table("graft_bkt.ord_b")
         .join(s.table("graft_bkt.li_b"),

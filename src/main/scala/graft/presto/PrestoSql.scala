@@ -35,8 +35,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * segmentation); no DDL translation; `AT TIME ZONE` accepts an
   * identifier / qualified name / non-nested call WITHOUT string-literal
   * arguments as its operand (wrap anything fancier in a subquery alias);
-  * `date_parse` maps the common MySQL %-specifiers (%Y %m %d %H %i %s
-  * %T) only; **array subscripts `arr[n]` pass through untranslated and
+  * `date_parse` AND `date_format` map the MySQL %-specifiers listed in
+  * `MysqlFormatTokens` only (unlisted specifiers and literal alphabetic
+  * text inside format strings pass through into the Java pattern, where
+  * letters are reserved — keep formats to listed tokens + punctuation);
+  * **array subscripts `arr[n]` pass through untranslated and
   * Spark's `[]` is 0-based where Presto's is 1-based** — migrating SQL
   * should use `element_at(arr, n)` (1-based in BOTH engines) for
   * positional access, which is also Presto's recommended form;
@@ -123,6 +126,25 @@ object PrestoSql {
     out.toSeq
   }
 
+  /** MySQL %-specifier → Java/Joda pattern tokens (date_parse AND
+    * date_format route through this). Tokens are matched case-sensitively
+    * and literally; any %-specifier NOT listed here (locale/era exotica:
+    * %D %U %u %V %v %X %x %r %k %l %%) passes through untranslated —
+    * a documented limit. Month/weekday NAMES assume the en-US session
+    * locale (MySQL's own output language). */
+  private val MysqlFormatTokens = Seq(
+    "%T" -> "HH:mm:ss", "%Y" -> "yyyy", "%y" -> "yy", "%M" -> "MMMM",
+    "%b" -> "MMM", "%m" -> "MM", "%c" -> "M", "%W" -> "EEEE", "%a" -> "EEE",
+    "%d" -> "dd", "%e" -> "d", "%j" -> "DDD", "%H" -> "HH", "%h" -> "hh",
+    "%p" -> "a", "%i" -> "mm", "%s" -> "ss", "%f" -> "SSSSSS")
+
+  /** Nested-replace SQL over `arg` applying every MysqlFormatTokens pair
+    * (constant-folded by Catalyst when the format is a literal). */
+  private def mysqlFormatChain(arg: String): String =
+    MysqlFormatTokens.foldLeft(arg) { case (acc, (k, v)) =>
+      s"replace($acc, '$k', '$v')"
+    }
+
   /** SQL-function adapters: inlined by Catalyst, codegen-transparent.
     * (In `presto_split`, '\\Q'/'\\E' reach Java regex as \Q…\E literal
     * quoting — Presto split is literal, Spark split is regex.) */
@@ -155,14 +177,12 @@ object PrestoSql {
     "doy(t TIMESTAMP) RETURNS BIGINT RETURN CAST(dayofyear(t) AS BIGINT)",
     "week_of_year(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekofyear(t) AS BIGINT)",
     "week(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekofyear(t) AS BIGINT)",
-    // Presto date_parse uses MySQL %-format; map the common specifiers to
-    // the Java pattern. The replace chain runs on the (almost always
-    // literal) format argument, so Catalyst constant-folds it and
-    // to_timestamp sees a foldable pattern.
+    // Presto date_parse uses MySQL %-format; map the specifiers in
+    // `MysqlFormatTokens` to the Java pattern. The replace chain runs on
+    // the (almost always literal) format argument, so Catalyst
+    // constant-folds it and to_timestamp sees a foldable pattern.
     "presto_date_parse(s STRING, f STRING) RETURNS TIMESTAMP" +
-      " RETURN to_timestamp(s, replace(replace(replace(replace(replace(" +
-      "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
-      " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",
+      s" RETURN to_timestamp(s, ${mysqlFormatChain("f")})",
     // Trino ngrams(array, n): all n-element sliding windows (≥1 window
     // even for short inputs, matching word-shingle clamping); NULL input
     // propagates NULL (greatest() would otherwise swallow the NULL size).
@@ -189,9 +209,7 @@ object PrestoSql {
     // migrating SQL, so the Presto name is adapted through the same
     // constant-foldable %-token replace chain as date_parse.
     "presto_date_format(t TIMESTAMP, f STRING) RETURNS STRING" +
-      " RETURN date_format(t, replace(replace(replace(replace(replace(" +
-      "replace(replace(f, '%T', 'HH:mm:ss'), '%Y', 'yyyy'), '%m', 'MM')," +
-      " '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",
+      s" RETURN date_format(t, ${mysqlFormatChain("f")})",
     // ISO-8601 ingestion (Presto from_iso8601_*): Spark's to_timestamp /
     // to_date parse ISO forms by default.
     "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
@@ -200,6 +218,13 @@ object PrestoSql {
     // functions operate on JSON text directly, so both are identities —
     // they exist so extraction chains (json_extract(json_parse(x), p))
     // run unmodified.
+    // Trino chr(n) is the full Unicode code point; Spark's builtin
+    // chr/char wrap at n % 256 (and the builtin name can't be replaced
+    // by a SQL function) — build the character from its UTF-32BE
+    // encoding instead (exact for any code point) under an adapter name
+    // the rewriter maps chr( onto.
+    "presto_chr(n BIGINT) RETURNS STRING" +
+      " RETURN decode(unhex(lpad(hex(n), 8, '0')), 'UTF-32')",
     "json_parse(j STRING) RETURNS STRING RETURN j",
     "json_format(j STRING) RETURNS STRING RETURN j",
     // Presto split_to_map delimiters are LITERAL; Spark str_to_map takes
@@ -243,6 +268,14 @@ object PrestoSql {
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),
     ("""(?i)\bto_hex\s*\(""".r, "hex("),
     ("""(?i)\bfrom_hex\s*\(""".r, "unhex("),
+    // Presto date_format is MySQL-%-format (see presto_date_format in
+    // dialectFns); rewriting the NAME keeps Spark's own date_format
+    // unreachable from the Presto dialect, where its Java-pattern
+    // reading would be wrong. MUST precede the format_datetime rule
+    // below: that rule's output is a genuine Java-pattern date_format
+    // call which would otherwise be re-rewritten through the %-token
+    // chain (corrupting quoted literals like '%Y' in Joda patterns).
+    ("""(?i)\bdate_format\s*\(""".r, "presto_date_format("),
     // Joda (format_datetime) and Java (date_format) patterns agree on the
     // common yyyy/MM/dd/HH/mm/ss tokens.
     ("""(?i)\bformat_datetime\s*\(""".r, "date_format("),
@@ -266,10 +299,6 @@ object PrestoSql {
     // Presto codepoint(varchar(1)) — ascii() matches for the BMP/ASCII
     // range the fixtures use.
     ("""(?i)\bcodepoint\s*\(""".r, "ascii("),
-    // Presto date_format is MySQL-%-format (see presto_date_format above);
-    // rewriting the NAME keeps Spark's own date_format unreachable from
-    // the Presto dialect, where its Java-pattern reading would be wrong.
-    ("""(?i)\bdate_format\s*\(""".r, "presto_date_format("),
     // parse_datetime takes a Joda pattern — compatible with Java patterns
     // on the shared yyyy/MM/dd/HH/mm/ss tokens (same note as
     // format_datetime above).
@@ -285,7 +314,8 @@ object PrestoSql {
     ("""(?i)\bformat\s*\(""".r, "format_string("),
     ("""(?i)\blast_day_of_month\s*\(""".r, "last_day("),
     ("""(?i)\bjson_extract\s*\(""".r, "get_json_object("),
-    ("""(?i)\bchr\s*\(""".r, "char("),
+    // Spark's builtin chr wraps at n % 256; Trino's is full Unicode.
+    ("""(?i)\bchr\s*\(""".r, "presto_chr("),
     // Spark rejects length-less VARCHAR/VARBINARY/REAL in casts.
     ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
     ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),
@@ -318,14 +348,23 @@ object PrestoSql {
         case '\'' => inLit = true; out.append(c)
         case '"' => inIdent = true; out.append(c)
         case '[' =>
-          """(?i)\barray\s*$""".r.findFirstIn(out.toString) match {
-            case Some(kw) =>
-              out.setLength(out.length - kw.length)
-              out.append("array(")
-              stack.push(true)
-            case None =>
-              out.append('[')
-              stack.push(false)
+          // bounded look-back (a full-buffer regex here is O(n²) over the
+          // statement): skip trailing whitespace, then take the maximal
+          // word run — it must be exactly `array` with a non-word char
+          // (or start-of-string) before it
+          var j = out.length - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          val wordEnd = j
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+          val isArrayKw = wordEnd - j == 5 &&
+            out.substring(j + 1, wordEnd + 1).equalsIgnoreCase("array")
+          if (isArrayKw) {
+            out.setLength(j + 1)
+            out.append("array(")
+            stack.push(true)
+          } else {
+            out.append('[')
+            stack.push(false)
           }
         case ']' =>
           if (stack.nonEmpty && stack.pop()) out.append(')') else out.append(']')

@@ -167,8 +167,9 @@ class EdgeCaseSpec extends SparkSpec {
   test("a27 explicit moments match Spark's built-in skewness/kurtosis (A27)") {
     // the oracle-gated query computes two-pass population moments; the
     // built-ins use a one-pass merge formula — same statistic, different
-    // float path. 1e-6 relative agreement ties the declared query to the
-    // actual Presto-surface functions.
+    // float path. The declared values are q4-quantized (granularity
+    // 1e-4), so the assertion bound is 1e-3 absolute: one quantization
+    // step of slack on top of the float-path disagreement.
     val li = Tables.lineitem(spark, sf)
     val builtin = li.groupBy($"l_returnflag")
       .agg(skewness($"l_extendedprice").as("sk"), kurtosis($"l_extendedprice").as("ku"))

@@ -188,10 +188,32 @@ class PrestoSqlSpec extends SparkSpec {
     val r = PrestoSql.sql(spark,
       """SELECT date_format(CAST('2024-03-05 12:30:45' AS TIMESTAMP),
         |  '%Y-%m-%d %H:%i:%s') AS s,
-        |  format_datetime(CAST('2024-03-05' AS TIMESTAMP), 'yyyy/MM/dd') AS j
+        |  format_datetime(CAST('2024-03-05' AS TIMESTAMP), 'yyyy/MM/dd') AS j,
+        |  date_format(CAST('2024-03-05 14:30:45' AS TIMESTAMP), '%h:%i %p') AS h12,
+        |  date_format(CAST('2024-02-29' AS TIMESTAMP), '%W, %b %e %y') AS names
         |""".stripMargin).collect().head
     assert(r.getString(0) == "2024-03-05 12:30:45")
     assert(r.getString(1) == "2024/03/05")  // Joda path stays Joda
+    assert(r.getString(2) == "02:30 PM")
+    assert(r.getString(3) == "Thursday, Feb 29 24")
+  }
+
+  test("format_datetime output is NOT re-rewritten through the %-token chain") {
+    // a Joda pattern with a QUOTED literal containing %Y: the rule order
+    // (date_format→presto_date_format BEFORE format_datetime→date_format)
+    // must leave the literal intact
+    val r = PrestoSql.sql(spark,
+      "SELECT format_datetime(CAST('2024-03-05' AS TIMESTAMP), '''%Y'' yyyy') AS s")
+      .collect().head
+    assert(r.getString(0) == "%Y 2024")
+  }
+
+  test("chr is full Unicode, not Spark's % 256 wrap") {
+    val r = PrestoSql.sql(spark,
+      "SELECT chr(955) AS lam, chr(65) AS a, chr(128512) AS emoji").collect().head
+    assert(r.getString(0) == "λ")
+    assert(r.getString(1) == "A")
+    assert(r.getString(2) == new String(Character.toChars(128512)))
   }
 
   test("parameterized statements: named :params and positional ? bind after translation") {
