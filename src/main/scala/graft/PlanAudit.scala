@@ -33,8 +33,13 @@ object PlanAudit {
       "s7_jdbc_roundtrip",    // r2: expect JDBCRelation scan with 4 partitions
       "a14_decimal_agg",      // r2: expect decimal(25,2) sum in partial agg
       "j8c_asof_custom",      // r2: expect AsOfJoin exec, 1 Exchange+Sort per side
-      "e8_match_recognize"    // r3: expect codegen'd step predicates pre-shuffle,
+      "e8_match_recognize",   // r3: expect codegen'd step predicates pre-shuffle,
                               //     one Exchange(user_id) + Sort, MapGroups
+      "j8d_asof_forward",     // r3s3: expect AsOfJoin exec (forward), same layout as j8c
+      "l22_decontaminate",    // r3s3: expect shingle-keyed hash join, no BNLJ
+      "l24_stable_ids",       // r3s3: expect range Exchange + per-pid Window + P-row cumsum
+      "l25_unigram_logprob",  // r3s3: expect word-keyed partial+final aggs + 1-row bcast total
+      "e12_retention_cohorts" // r3s3: expect distinct-then-join on user_id
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
