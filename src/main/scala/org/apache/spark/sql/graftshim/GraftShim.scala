@@ -16,4 +16,10 @@ object GraftShim {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Deliver all queued listener events (`listenerBus` is
+    * private[spark]); graft.Metrics needs a drained bus before reading
+    * task totals. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

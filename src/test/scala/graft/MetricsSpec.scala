@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quantitative scale evidence (the measured counterpart of PLANS.md's
+  * plan-shape audit): task-level input/shuffle byte totals prove that
+  * partition pruning skips I/O, pre-aggregation shrinks shuffles, and
+  * hash-dedup never shuffles payloads. Byte thresholds are deliberately
+  * loose (2× headroom) — they assert the mechanism, not the exact size.
+  */
+class MetricsSpec extends SparkSpec {
+
+  test("partition pruning reads a fraction of the unpruned table (S6)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_mprune").toString
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val full = Metrics.measure(spark, spark.read.parquet(out))
+    val pruned = Metrics.measure(spark,
+      spark.read.parquet(out).filter(col("o_orderstatus") === "P"))
+    // 'P' is the smallest status partition (~2% of orders): the pruned
+    // scan must read far less than the full table, not filter post-hoc
+    assert(pruned.inputBytes > 0)
+    assert(pruned.inputBytes * 2 < full.inputBytes,
+      s"pruned=${pruned.inputBytes}B full=${full.inputBytes}B")
+    assert(pruned.inputRecords * 2 < full.inputRecords)
+  }
+
+  test("pre-aggregation below the join shrinks the shuffle (J10 mechanism)") {
+    val li = Tables.lineitem(spark, sf)
+    val naive = Metrics.measure(spark,
+      Tables.orders(spark, sf)
+        .join(li.repartition(col("l_orderkey")), // force li through a shuffle
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_extendedprice"))))
+    val preagg = Metrics.measure(spark,
+      Tables.orders(spark, sf)
+        .join(li.groupBy(col("l_orderkey"))
+            .agg(sum(col("l_extendedprice")).as("rev")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("rev"))))
+    assert(preagg.shuffleWriteRecords < naive.shuffleWriteRecords,
+      s"preagg=${preagg.shuffleWriteRecords} naive=${naive.shuffleWriteRecords}")
+  }
+
+  test("exact dedup shuffles hashes, never document text (L1 mechanism)") {
+    val docs = Tables.documents(spark, sf)
+    val viaHash = Metrics.measure(spark,
+      docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n")))
+    // the naive formulation groups on the raw text — the whole payload
+    // crosses the wire; the hash form must shuffle a small fraction
+    val viaText = Metrics.measure(spark,
+      docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n")))
+    assert(viaHash.shuffleWriteBytes > 0 && viaText.shuffleWriteBytes > 0)
+    assert(viaHash.shuffleWriteBytes * 2 < viaText.shuffleWriteBytes,
+      s"hash=${viaHash.shuffleWriteBytes}B text=${viaText.shuffleWriteBytes}B")
+  }
+}
