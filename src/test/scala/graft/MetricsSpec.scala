@@ -57,4 +57,35 @@ class MetricsSpec extends SparkSpec {
     assert(viaHash.shuffleWriteBytes * 2 < viaText.shuffleWriteBytes,
       s"hash=${viaHash.shuffleWriteBytes}B text=${viaText.shuffleWriteBytes}B")
   }
+
+  test("bucketed join shuffles a fraction of the unbucketed equivalent (S14 mechanism)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // s14's declared query builds (or reuses) the bucketed tables
+      val bucketed = Metrics.measure(spark,
+        ops.Sources.queries("s14_bucketed_join")(spark, sf))
+      val unbucketed = Metrics.measure(spark,
+        Tables.orders(spark, sf)
+          .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("rev")))
+      // bucketed: only post-join agg partials shuffle; unbucketed: both
+      // fact tables cross the wire on the join key first
+      assert(bucketed.shuffleWriteRecords * 2 < unbucketed.shuffleWriteRecords,
+        s"bucketed=${bucketed.shuffleWriteRecords} unbucketed=${unbucketed.shuffleWriteRecords}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("broadcast dim join never shuffles the fact table (J1 mechanism)") {
+    val orders = Tables.orders(spark, sf)
+    val factRows = orders.count()
+    val m = Metrics.measure(spark,
+      orders.join(broadcast(Tables.customer(spark, sf)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")))
+    // only the per-partition agg partials shuffle (#segments × #tasks)
+    assert(m.shuffleWriteRecords * 10 < factRows,
+      s"shuffled=${m.shuffleWriteRecords} factRows=$factRows")
+  }
 }
