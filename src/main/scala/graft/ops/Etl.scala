@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Det, QueryModule, Tables}
+import graft.functions.{GraftFunctions => GF, TextFunctions => TF}
 import graft.pipeline.Pipeline
 import org.apache.spark.sql.functions._
 
@@ -205,6 +206,82 @@ object Etl extends QueryModule {
     // materializes through the parquet sink — the exact artifact a
     // training-data pipeline feeds downstream. At 100 TB the candidate
     // step swaps to LSH banding (l2) while every later step is unchanged.
+    // P7: the COMPLETE training-data preprocessing pipeline as one
+    // declared DAG — every stage is an operator already verified on its
+    // own, composed here the way a production corpus build runs them:
+    //   quality gate (token-count window, L5's signal)
+    //   → exact dedup keeper selection (L1: md5 keys, text never shuffles)
+    //   → benchmark decontamination (L22: inverted-index 4-shingle
+    //     Jaccard vs the src1 eval set, fixture noise-floor threshold)
+    //   → stable contiguous ids (L24: two-phase numbering, no global sort)
+    //   → content-hash train/val/test split (L10)
+    //   → per-(split, lang) corpus summary, persisted + read back.
+    // Catalyst optimizes across step views; the sink is the only
+    // materialization. At 100 TB every stage keeps its audited shape
+    // (hash/shingle-keyed shuffles only; the P-row id cumsum is the
+    // single serial point).
+    "p7_preprocess_pipeline" -> ((s, d) => {
+      val out = Sources.scratch("graft_p7")
+      GF.register(s)
+      Tables.registerAll(s, d)
+      Pipeline.run(s, Seq(
+        Pipeline.dfStep("p7_quality") { sp =>
+          Tables.documents(sp, d)
+            .withColumn("n_tokens",
+              size(TF.wordTokens(col("text"))).cast("long"))
+            .filter(col("n_tokens").between(10, 200))
+        },
+        Pipeline.sqlStep("p7_keepers",
+          """SELECT doc_id, text, lang, n_tokens FROM (
+            |  SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+            |  FROM p7_quality q WHERE source <> 'src1') t
+            |WHERE doc_id = keeper_id""".stripMargin,
+          dependsOn = Seq("p7_quality")),
+        Pipeline.dfStep("p7_decontaminated", dependsOn = Seq("p7_keepers")) { sp =>
+          def sh(df: org.apache.spark.sql.DataFrame, id: String, n: String) = df
+            .select(col("doc_id").as(id),
+              GF.wordShingles(TF.wordTokens(col("text")), 4).as("sh"))
+            .select(col(id), size(col("sh")).as(n), explode(col("sh")).as("shingle"))
+          val train = sh(sp.table("p7_keepers"), "train_id", "na")
+          val bench = sh(Tables.documents(sp, d)
+            .filter(col("source") === "src1"), "bench_id", "nb")
+          val flagged = train.join(bench, Seq("shingle"))
+            .groupBy(col("train_id"), col("bench_id"), col("na"), col("nb"))
+            .agg(count(lit(1)).as("n_common"))
+            .filter(floor(col("n_common") / (col("na") + col("nb") - col("n_common"))
+              * 1e6 + 0.5).cast("long") >= 10000L)
+            .select(col("train_id").as("doc_id")).distinct()
+          sp.table("p7_keepers").join(flagged, Seq("doc_id"), "left_anti")
+        },
+        Pipeline.dfStep("p7_summary", dependsOn = Seq("p7_decontaminated"),
+            sink = Some(Pipeline.ParquetSink(out, coalesce = Some(1)))) { sp =>
+          import org.apache.spark.sql.expressions.Window
+          val ranked = sp.table("p7_decontaminated")
+            .repartitionByRange(8, col("doc_id"))
+            .withColumn("pid", spark_partition_id())
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("pid")).orderBy(col("doc_id"))).cast("long"))
+            .localCheckpoint()
+          val offsets = ranked.groupBy(col("pid")).agg(max(col("rn")).as("cnt"))
+            .withColumn("offset", coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("pid"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("pid"), col("offset"))
+          val bucket = pmod(TF.rollingFingerprint(col("text"), 64), lit(10L))
+          ranked.join(broadcast(offsets), "pid")
+            .withColumn("stable_id", col("offset") + col("rn") - 1)
+            .withColumn("split",
+              when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+            .groupBy(col("split"), col("lang"))
+            .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("total_tokens"),
+              min(col("stable_id")).as("first_id"))
+        }))
+      s.read.parquet(out)
+        .select(col("split"), col("lang"), col("n"), col("total_tokens"),
+          col("first_id"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     "p3_dedup_pipeline" -> ((s, d) => {
       val out = Sources.scratch("graft_p3")
       Pipeline.run(s, Seq(
@@ -292,6 +369,58 @@ object Etl extends QueryModule {
         |  event_type LIKE 'c%' AS c_prefix,
         |  json_extract_string(props, '$.k') AS k_raw
         |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin,
+
+    "p7_preprocess_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |quality AS (SELECT * FROM toks WHERE n_tokens BETWEEN 10 AND 200),
+        |keepers AS (
+        |  SELECT doc_id, text, lang, n_tokens FROM (
+        |    SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+        |    FROM quality q WHERE source <> 'src1') t
+        |  WHERE doc_id = keeper_id),
+        |shw AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS w,
+        |    'train' AS side FROM keepers
+        |  UNION ALL
+        |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0), 'bench'
+        |  FROM documents WHERE source = 'src1'),
+        |sh AS (
+        |  SELECT doc_id, side, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sh
+        |  FROM shw),
+        |ex AS (SELECT doc_id, side, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |flagged AS (
+        |  SELECT DISTINCT train_id FROM (
+        |    SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+        |      t.n AS na, b.n AS nb, COUNT(*) AS c
+        |    FROM ex t JOIN ex b USING (shingle)
+        |    WHERE t.side = 'train' AND b.side = 'bench'
+        |    GROUP BY 1, 2, 3, 4) p
+        |  WHERE CAST(floor(c / (na + nb - c) * 1e6 + 0.5) AS BIGINT) >= 10000),
+        |survivors AS (
+        |  SELECT * FROM keepers
+        |  WHERE doc_id NOT IN (SELECT train_id FROM flagged)),
+        |ids AS (
+        |  SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS stable_id
+        |  FROM survivors),
+        |assigned AS (
+        |  SELECT *, CASE
+        |    WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT *, list_reduce(
+        |      list_transform(str_split(substring(text, 1, 64), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 10 AS bucket
+        |    FROM ids) z)
+        |SELECT split, lang, COUNT(*) AS n,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(stable_id) AS first_id
+        |FROM assigned GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "p6_daily_incremental" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
