@@ -47,13 +47,20 @@ object Metrics {
         }
       }
     }
+    // flush events queued by PRIOR jobs first — async delivery would
+    // otherwise route a just-finished job's TaskEnds to this listener
+    // and inflate the measured totals
+    org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     val rows =
       try df.count()
       finally {
-        // deliver queued TaskEnd events before detaching
-        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
-        spark.sparkContext.removeSparkListener(listener)
+        // deliver queued TaskEnd events before detaching; a drain timeout
+        // must neither mask the action's own failure nor leak the
+        // listener into subsequent jobs
+        try org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
+        catch { case _: Throwable => () }
+        finally spark.sparkContext.removeSparkListener(listener)
       }
     lock.synchronized {
       RunMetrics(rows, inputBytes, inputRecords, shuffleBytes, shuffleRecords, tasks)

@@ -25,7 +25,7 @@ object MetricsAudit {
         f"shuffle=${m.shuffleWriteBytes}%10dB (${m.shuffleWriteRecords}%8d rows)")
 
     // 1. partition pruning
-    val out = java.nio.file.Files.createTempDirectory("graft_maud").toString
+    val out = ops.Sources.scratch("graft_maud")
     Tables.orders(spark, sfDir)
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     row("scan: full", Metrics.measure(spark, spark.read.parquet(out)))

@@ -22,6 +22,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events extends QueryModule {
 
+  // shared by e9 (inner) / e9b (left outer): views joined to same-user
+  // purchases within [0, 1h] via the streaming interval-join function
+  // (withWatermark is a no-op in batch, so the oracle gate covers the
+  // streaming operator's logic)
+  private def intervalJoin(s: SparkSession, d: String,
+      joinType: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("user_id") < 100)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.streaming.EventStreams.viewPurchaseJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"), joinType)
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // E1: tumbling 1h window counts per event_type.
     "e1_tumbling" -> ((s, d) => {
@@ -138,14 +152,7 @@ object Events extends QueryModule {
     // join (EventStreams.viewPurchaseJoin — withWatermark is a no-op in
     // batch), so the oracle gate covers the streaming operator's logic
     // and StreamingSpec proves batch/stream parity.
-    "e9_interval_join" -> ((s, d) => {
-      val e = Tables.events(s, d).filter(col("user_id") < 100)
-        .withColumn("ts", col("ts").cast("timestamp"))
-      graft.streaming.EventStreams.viewPurchaseJoin(
-          e.filter(col("event_type") === "view"),
-          e.filter(col("event_type") === "purchase"))
-        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
-    }),
+    "e9_interval_join" -> ((s, d) => intervalJoin(s, d, "inner")),
 
     // E12: cohort retention — the classic product-analytics rollup a
     // Presto ETL tool serves daily: users cohorted by first `signup` day,
@@ -214,14 +221,7 @@ object Events extends QueryModule {
     // survive with null purchase columns (Spark emits them when the
     // watermark passes view.ts + interval; in batch it's a plain left
     // join, the same code path as e9's inner form).
-    "e9b_interval_left" -> ((s, d) => {
-      val e = Tables.events(s, d).filter(col("user_id") < 100)
-        .withColumn("ts", col("ts").cast("timestamp"))
-      graft.streaming.EventStreams.viewPurchaseJoin(
-          e.filter(col("event_type") === "view"),
-          e.filter(col("event_type") === "purchase"), "left_outer")
-        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
-    }),
+    "e9b_interval_left" -> ((s, d) => intervalJoin(s, d, "left_outer")),
 
     // E5: stateful dedup — first event per (user_id, event_type) wins.
     "e5_dedup_first" -> ((s, d) => {

@@ -22,10 +22,12 @@ object Joins extends QueryModule {
   import Det._
 
   // j11 setup cache: sf-dir whose graft_cbo tables are already built +
-  // ANALYZE'd in a given session (weak-keyed so sessions can be GC'd)
+  // ANALYZE'd. Keyed by SparkContext, not SparkSession — the tables are
+  // catalog state shared by every session of the context (a per-session
+  // key would make a sibling session DROP tables a peer is reading).
   private val cboBuilt =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
   val queries: Map[String, Q] = Map(
     // J1: inner equi-join, orders ⋈ customer (big⋈small — broadcast dim).
@@ -267,7 +269,7 @@ object Joins extends QueryModule {
       // table setup is idempotent per (session, sf-dir): repeated bench
       // reps re-plan the join (the part under test) without re-writing
       // and re-ANALYZE-ing the inputs every rep
-      if (cboBuilt.get(s) != d) {
+      if (cboBuilt.get(s.sparkContext) != d) {
         val loc = Sources.scratch("graft_cbodb")
         s.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$loc'")
         Seq("ord", "cust", "nat").foreach(t =>
@@ -280,7 +282,7 @@ object Joins extends QueryModule {
         s.sql("ANALYZE TABLE graft_cbo.ord COMPUTE STATISTICS FOR COLUMNS o_custkey")
         s.sql("ANALYZE TABLE graft_cbo.cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
         s.sql("ANALYZE TABLE graft_cbo.nat COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
-        cboBuilt.put(s, d)
+        cboBuilt.put(s.sparkContext, d)
       }
       val prev = (s.conf.get("spark.sql.cbo.enabled", "false"),
         s.conf.get("spark.sql.cbo.joinReorder.enabled", "false"))

@@ -27,11 +27,12 @@ object Sources extends QueryModule {
     dir.toString
   }
 
-  // s14 setup cache: sf-dir whose bucketed tables are already built in a
-  // given session (same pattern as Joins.cboBuilt)
+  // s14 setup cache: sf-dir whose bucketed tables are already built.
+  // Keyed by SparkContext (same rationale as Joins.cboBuilt: the tables
+  // are catalog state shared by every session of the context).
   private val bucketedBuilt =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
   val queries: Map[String, Q] = Map(
     // S1: parquet scan with pushed filter + pruned columns.
@@ -271,7 +272,7 @@ object Sources extends QueryModule {
     "s14_bucketed_join" -> ((s, d) => {
       // serialized check-then-act (same rationale as j11's cboBuilt lock)
       bucketedBuilt.synchronized {
-        if (bucketedBuilt.get(s) != d) {
+        if (bucketedBuilt.get(s.sparkContext) != d) {
           val loc = scratch("graft_bktdb")
           s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
           Seq("ord_b", "li_b").foreach(t =>
@@ -282,7 +283,7 @@ object Sources extends QueryModule {
           Tables.lineitem(s, d).write
             .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
             .saveAsTable("graft_bkt.li_b")
-          bucketedBuilt.put(s, d)
+          bucketedBuilt.put(s.sparkContext, d)
         }
       }
       s.table("graft_bkt.ord_b")

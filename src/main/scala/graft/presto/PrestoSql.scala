@@ -221,10 +221,15 @@ object PrestoSql {
     // Trino chr(n) is the full Unicode code point; Spark's builtin
     // chr/char wrap at n % 256 (and the builtin name can't be replaced
     // by a SQL function) — build the character from its UTF-32BE
-    // encoding instead (exact for any code point) under an adapter name
-    // the rewriter maps chr( onto.
+    // encoding instead, under an adapter name the rewriter maps chr(
+    // onto. Out-of-range code points fail loudly like Trino's
+    // "Not a valid Unicode code point" (lpad would silently TRUNCATE
+    // hex(n) past 8 digits and decode garbage).
     "presto_chr(n BIGINT) RETURNS STRING" +
-      " RETURN decode(unhex(lpad(hex(n), 8, '0')), 'UTF-32')",
+      " RETURN CASE WHEN n BETWEEN 0 AND 1114111" +
+      " THEN decode(unhex(lpad(hex(n), 8, '0')), 'UTF-32')" +
+      " ELSE raise_error(concat('Not a valid Unicode code point: '," +
+      " CAST(n AS STRING))) END",
     "json_parse(j STRING) RETURNS STRING RETURN j",
     "json_format(j STRING) RETURNS STRING RETURN j",
     // Presto split_to_map delimiters are LITERAL; Spark str_to_map takes

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class MetricsSpec extends SparkSpec {
 
   test("partition pruning reads a fraction of the unpruned table (S6)") {
-    val out = java.nio.file.Files.createTempDirectory("graft_mprune").toString
+    val out = ops.Sources.scratch("graft_mprune")
     Tables.orders(spark, sf)
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     val full = Metrics.measure(spark, spark.read.parquet(out))

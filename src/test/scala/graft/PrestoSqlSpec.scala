@@ -214,6 +214,12 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(0) == "λ")
     assert(r.getString(1) == "A")
     assert(r.getString(2) == new String(Character.toChars(128512)))
+    // out-of-range code points fail loudly (Trino parity), never emit
+    // truncated-hex garbage
+    val e = intercept[Exception] {
+      PrestoSql.sql(spark, "SELECT chr(4294967296)").collect()
+    }
+    assert(e.getMessage.contains("Not a valid Unicode code point"))
   }
 
   test("parameterized statements: named :params and positional ? bind after translation") {
