@@ -46,10 +46,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `array_agg` passes through to Spark's same-named aggregate, which
   * DROPS null elements where Trino retains them (and the `ORDER BY`
   * intra-aggregate form is not translated — sort the result instead);
-  * the `map(ARRAY[…], ARRAY[…])` constructor and Presto type syntax in
-  * casts (`ARRAY(T)`, `MAP(K,V)`) are not translated (use
-  * `map_from_arrays` and Spark type names); Presto's varbinary-returning
-  * digests (md5/sha256) differ from Spark's hex-string returns.
+  * the `MAP(ARRAY[…], ARRAY[…])` constructor translates (other map()
+  * argument shapes and Presto type syntax in casts — `ARRAY(T)`,
+  * `MAP(K,V)` — do not; use Spark type names); `ROW(…)` translates to
+  * struct with positional col1/col2 field names (named-row casts are
+  * not supported); Presto's varbinary-returning digests (md5/sha256)
+  * differ from Spark's hex-string returns.
   */
 object PrestoSql {
 
@@ -321,6 +323,15 @@ object PrestoSql {
     ("""(?i)\bjson_extract\s*\(""".r, "get_json_object("),
     // Spark's builtin chr wraps at n % 256; Trino's is full Unicode.
     ("""(?i)\bchr\s*\(""".r, "presto_chr("),
+    // Presto MAP(ARRAY[...], ARRAY[...]) constructor. Runs AFTER the
+    // array-literal pre-pass (so the inner form is already `array(`),
+    // and the required `(array(` suffix keeps MAP type syntax in casts
+    // (`MAP(VARCHAR, ...)`) untouched.
+    ("""(?i)\bmap\s*\(\s*array\s*\(""".r, "map_from_arrays(array("),
+    // Presto ROW(a, b) literal → struct(a, b) (fields become col1/col2 in
+    // Spark vs Presto's field1/field2 — positional access works the same;
+    // named-row casts are a documented limit).
+    ("""(?i)\brow\s*\(""".r, "struct("),
     // Spark rejects length-less VARCHAR/VARBINARY/REAL in casts.
     ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
     ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),

@@ -258,6 +258,17 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getDate(7).toString == "2024-03-05")
   }
 
+  test("MAP(ARRAY[...], ARRAY[...]) and ROW(...) constructors translate") {
+    val r = PrestoSql.sql(spark,
+      """SELECT MAP(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS mv,
+        |  ROW(7, 'x').col1 AS rv""".stripMargin).collect().head
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 7)
+    // MAP type syntax in casts must NOT be rewritten
+    assert(PrestoSql.translate("SELECT CAST(m AS MAP(VARCHAR, BIGINT))")
+      == "SELECT CAST(m AS MAP(VARCHAR, BIGINT))")
+  }
+
   test("split_to_map delimiters are literal (regex metachars are data)") {
     val m = PrestoSql.sql(spark,
       "SELECT split_to_map('a=1|b=2', '|', '=') AS m")
