@@ -258,6 +258,43 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getDate(7).toString == "2024-03-05")
   }
 
+  test("documented passthroughs really do run unmodified") {
+    // the scaladoc's "need NO translation" list — one probe each, so a
+    // Spark upgrade that renames/changes any of them fails here instead
+    // of silently breaking migrated SQL
+    val r = PrestoSql.sql(spark,
+      """SELECT cardinality(ARRAY[1, 2, 3]) AS card,
+        |  element_at(ARRAY['a', 'b'], 2) AS el,
+        |  element_at(ARRAY['a', 'b'], -1) AS el_neg,
+        |  TRY_CAST('xyz' AS INTEGER) AS tc,
+        |  bool_and(true) AS ba,
+        |  substr('presto', 1, 3) AS sub,
+        |  'a' || 'b' AS cat,
+        |  split_part('a,b,c', ',', 2) AS sp,
+        |  regexp_like('abc123', '[0-9]+') AS rl,
+        |  array_join(ARRAY['x', 'y'], '-') AS aj,
+        |  slice(ARRAY[1, 2, 3, 4], 2, 2) AS sl,
+        |  array_sort(ARRAY[3, 1, 2], (l, r) -> CASE WHEN l < r THEN -1
+        |    WHEN l > r THEN 1 ELSE 0 END) AS asrt,
+        |  map_keys(MAP(ARRAY['k'], ARRAY[1])) AS mk,
+        |  greatest(1, 2, 3) AS g,
+        |  typeof(1.5e0) AS ty""".stripMargin).collect().head
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "b" && r.getString(2) == "b")
+    assert(r.isNullAt(3))
+    assert(r.getBoolean(4))
+    assert(r.getString(5) == "pre")
+    assert(r.getString(6) == "ab")
+    assert(r.getString(7) == "b")
+    assert(r.getBoolean(8))
+    assert(r.getString(9) == "x-y")
+    assert(r.getSeq[Int](10) == Seq(2, 3))
+    assert(r.getSeq[Int](11) == Seq(1, 2, 3))
+    assert(r.getSeq[String](12) == Seq("k"))
+    assert(r.getInt(13) == 3)
+    assert(r.getString(14) == "double")
+  }
+
   test("MAP(ARRAY[...], ARRAY[...]) and ROW(...) constructors translate") {
     val r = PrestoSql.sql(spark,
       """SELECT MAP(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS mv,
