@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry: times every declared query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line on stdout.
@@ -12,8 +12,70 @@ import org.apache.spark.sql.SparkSession
   * a single cold rep charged ~30 s of JIT noise to individual queries.
   * Per-query medians (and each raw rep) go to stderr; stdout stays pure
   * JSON for the driver.
+  *
+  * Failure policy (r3 verdict "what's wrong" #1): a query that throws is
+  * RECORDED, not swallowed — its message lands in an `"errors"` array in
+  * the JSON line and the process exits nonzero, so breakage can never
+  * bench as a ~0 s "fast" query. The correctness gate catches breakage
+  * independently; the bench must not reward it.
   */
 object Bench {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Time every query (name order); returns per-query medians plus one
+    * error string per (query, rep) that threw. Exposed package-private so
+    * BenchSpec can prove a deliberately-broken query fails loudly. */
+  private[graft] def run(
+      spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      reps: Int): (Seq[(String, Double)], Seq[String]) = {
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("")
+              .takeWhile(_ != '\n').take(200)
+            errors += s"$name: ${e.getClass.getSimpleName}: $msg"
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // lower-middle median: for odd reps the true median; for even reps
+      // (e.g. REPS=2) the FASTER sample — the upper-middle would charge
+      // rep-1 JIT warm-up as the result, the very noise the median exists
+      // to discard
+      val median = times.sorted.apply((times.size - 1) / 2)
+      System.err.println(
+        f"[bench] $name%-24s median $median%6.2f s  " +
+          times.map(t => f"$t%.2f").mkString("[", " ", "]"))
+      name -> median
+    }
+    (results, errors.toSeq.distinct)
+  }
+
+  /** The JSON line: `"errors"` appears only when something threw, so the
+    * driver's existing parse of clean runs is unchanged. */
+  private[graft] def jsonLine(results: Seq[(String, Double)],
+      errors: Seq[String], sfDir: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.map(e => "\"" + jsonEscape(e) + "\"")
+        .mkString(",\"errors\":[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,26 +93,13 @@ object Bench {
         org.apache.spark.sql.functions.col("r_regionkey") ===
         org.apache.spark.sql.functions.col("n_regionkey"))
       .groupBy("r_name").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // lower-middle median: for odd reps the true median; for even reps
-      // (e.g. REPS=2) the FASTER sample — the upper-middle would charge
-      // rep-1 JIT warm-up as the result, the very noise the median exists
-      // to discard
-      val median = times.sorted.apply((times.size - 1) / 2)
-      System.err.println(
-        f"[bench] $name%-24s median $median%6.2f s  " +
-          times.map(t => f"$t%.2f").mkString("[", " ", "]"))
-      name -> median
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (results, errors) = run(spark, sfDir, SparkEntry.queries, reps)
+    println(jsonLine(results, errors, sfDir))
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} query error(s):")
+      errors.foreach(e => System.err.println(s"[bench]   $e"))
+      sys.exit(1)
+    }
   }
 }

@@ -52,14 +52,18 @@ object Metrics {
     // and inflate the measured totals
     org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
+    var actionFailed = false
     val rows =
       try df.count()
+      catch { case e: Throwable => actionFailed = true; throw e }
       finally {
-        // deliver queued TaskEnd events before detaching; a drain timeout
-        // must neither mask the action's own failure nor leak the
-        // listener into subsequent jobs
+        // deliver queued TaskEnd events before detaching. A drain failure
+        // is only swallowed when the ACTION threw (the original exception
+        // must not be masked); on a successful action it propagates —
+        // undelivered TaskEnds mean the totals are silently undercounted,
+        // which must fail loudly rather than flake a byte-bound assertion
         try org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
-        catch { case _: Throwable => () }
+        catch { case _: Throwable if actionFailed => () }
         finally spark.sparkContext.removeSparkListener(listener)
       }
     lock.synchronized {
