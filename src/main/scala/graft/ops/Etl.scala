@@ -177,6 +177,35 @@ object Etl extends QueryModule {
           |ORDER BY seg""".stripMargin)
     }),
 
+    // P4b: the DDL statement surface an ETL tool's rendered SQL actually
+    // contains (r3 verdict #1): DROP TABLE IF EXISTS → CREATE TABLE AS
+    // SELECT → INSERT INTO … SELECT → read back. Tables are managed
+    // parquet in the scratch-located graft_ddl database; the script is
+    // idempotent across bench reps because it begins with the DROP. The
+    // CTAS takes positive-balance customers, the INSERT appends the rest,
+    // so the final aggregate must equal a plain full-table rollup.
+    "p4b_presto_ddl" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS cust_flat;
+          |
+          |CREATE TABLE cust_flat AS
+          |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg,
+          |    strpos("c_name", '1') AS one_pos
+          |  FROM customer WHERE "c_acctbal" > 0.0;
+          |
+          |INSERT INTO cust_flat
+          |  SELECT "c_custkey", "c_mktsegment", strpos("c_name", '1')
+          |  FROM customer WHERE "c_acctbal" <= 0.0;
+          |
+          |SELECT seg, COUNT(*) AS n,
+          |  CAST(SUM(k) AS BIGINT) AS sum_k,
+          |  CAST(MAX(one_pos) AS BIGINT) AS max_1pos
+          |FROM cust_flat
+          |GROUP BY seg
+          |ORDER BY seg""".stripMargin)
+    }),
+
     // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
     // actual user interface: a declarative JSON document of named SQL
     // steps + deps + sinks, no host-language code. The spec below compiles
@@ -441,6 +470,14 @@ object Etl extends QueryModule {
         |  CAST(MIN(k) AS BIGINT) AS min_k,
         |  CAST(MAX(z) AS BIGINT) AS max_zpos
         |FROM pos_cust GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "p4b_presto_ddl" ->
+      // CTAS(balance>0) + INSERT(balance<=0) partition the table exactly,
+      // so the read-back rollup equals a full-table aggregate
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_k,
+        |  CAST(MAX(strpos(c_name, '1')) AS BIGINT) AS max_1pos
+        |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

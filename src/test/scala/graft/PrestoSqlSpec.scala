@@ -150,6 +150,55 @@ class PrestoSqlSpec extends SparkSpec {
     spark.catalog.dropTempView("v_small")
   }
 
+  test("script DDL: CTAS + INSERT INTO + DROP TABLE over the scratch database") {
+    Tables.registerAll(spark, sf)
+    val df = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS ddl_t;
+        |CREATE TABLE ddl_t AS
+        |  SELECT "r_regionkey" AS k, "r_name" AS nm FROM region WHERE "r_regionkey" < 3;
+        |INSERT INTO ddl_t
+        |  SELECT "r_regionkey", "r_name" FROM region WHERE "r_regionkey" >= 3;
+        |SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk FROM ddl_t""".stripMargin)
+    val r = df.collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 10L) // 0+1+2+3+4
+    // the table is a managed table in graft_ddl, NOT in the default db
+    assert(spark.catalog.tableExists("graft_ddl.ddl_t"))
+    assert(!spark.catalog.tableExists("default.ddl_t"))
+    // current database is restored after the script
+    assert(spark.catalog.currentDatabase == "default")
+    // DROP TABLE works as a script statement too (and is idempotent)
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS ddl_t; SELECT 1 AS one")
+    assert(!spark.catalog.tableExists("graft_ddl.ddl_t"))
+  }
+
+  test("script DDL is rerun-safe: leading DROP IF EXISTS makes CTAS idempotent") {
+    Tables.registerAll(spark, sf)
+    val scriptText =
+      """DROP TABLE IF EXISTS ddl_r;
+        |CREATE TABLE ddl_r AS SELECT "r_regionkey" AS k FROM region;
+        |SELECT COUNT(*) AS n FROM ddl_r""".stripMargin
+    val first = PrestoSql.script(spark, scriptText).collect().head.getLong(0)
+    val second = PrestoSql.script(spark, scriptText).collect().head.getLong(0)
+    assert(first == 5L && second == 5L)
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS ddl_r; SELECT 1 AS one")
+  }
+
+  test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
+    // Presto scripts may double-quote table names; the catalog still
+    // requires [A-Za-z0-9_] names (Spark SessionCatalog.validateName), so
+    // quoting affects parsing only. IF NOT EXISTS must survive the
+    // USING-PARQUET injection: the second CTAS below is a silent no-op.
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS "ddl_q";
+        |CREATE TABLE IF NOT EXISTS "ddl_q" AS SELECT 1 AS one;
+        |CREATE TABLE IF NOT EXISTS "ddl_q" AS SELECT 2 AS one;
+        |SELECT * FROM "ddl_q"""".stripMargin).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1)) // second CTAS was a no-op
+    PrestoSql.script(spark, """DROP TABLE IF EXISTS "ddl_q"; SELECT 1 AS one""")
+  }
+
   test("r3 adapters: ISO dow, date_parse %-format, hex/bitwise, truncate, json_array_get") {
     PrestoSql.registerDialect(spark)
     val r = PrestoSql.sql(spark,
