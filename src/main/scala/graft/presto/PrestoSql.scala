@@ -51,7 +51,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `MAP(K,V)` — do not; use Spark type names); `ROW(…)` translates to
   * struct with positional col1/col2 field names (named-row casts are
   * not supported); Presto's varbinary-returning digests (md5/sha256)
-  * differ from Spark's hex-string returns.
+  * differ from Spark's hex-string returns; `zip` pairs elements exactly
+  * but the result-struct FIELD NAMES differ (Spark: source names or
+  * '0'/'1'; Trino: anonymous positional fields) — consume positionally;
+  * the SQL/JSON path trio (`json_exists`/`json_value`/`json_query`, and
+  * `json_extract` which maps onto json_query) accepts the `$.a.b[i]`
+  * path subset with an optional stripped `lax`/`strict` prefix, and
+  * always behaves lax-ish on structural errors (NULL/false, never an
+  * error).
   */
 object PrestoSql {
 
@@ -293,7 +300,34 @@ object PrestoSql {
     // regexes — \Q…\E quoting makes them literal (same fix as presto_split)
     "split_to_map(s STRING, ed STRING, kd STRING) RETURNS MAP<STRING, STRING>" +
       " RETURN str_to_map(s, concat('\\\\Q', ed, '\\\\E')," +
-      " concat('\\\\Q', kd, '\\\\E'))")
+      " concat('\\\\Q', kd, '\\\\E'))",
+    // SQL:2016 JSON path trio (json_exists / json_value / json_query — the
+    // standard surface Trino ships; r3 verdict missing #2), built on
+    // Spark 4 VARIANT: try_variant_get distinguishes a MISSING member
+    // (SQL NULL) from a JSON null (variant null: non-NULL, serializes as
+    // 'null'), which matches the standard's EXISTS semantics exactly.
+    // The optional 'lax '/'strict ' mode prefix is stripped (constant-
+    // folded for literal paths); structural-error behavior is always
+    // lax-ish (missing → NULL/false, never an error) — a documented limit.
+    "json_exists(j STRING, p STRING) RETURNS BOOLEAN RETURN" +
+      " try_variant_get(try_parse_json(j)," +
+      " regexp_replace(trim(p), '^(?i:lax|strict)\\\\s+', '')) IS NOT NULL",
+    // json_value: scalar-as-varchar, quotes stripped; arrays/objects →
+    // NULL (the standard's NULL ON ERROR default), JSON null → NULL.
+    // Non-scalars are detected by their serialized first char — a JSON
+    // string scalar always serializes starting with '\"', never '[' or '{'.
+    "json_value(j STRING, p STRING) RETURNS STRING RETURN" +
+      " CASE WHEN substr(to_json(try_variant_get(try_parse_json(j)," +
+      " regexp_replace(trim(p), '^(?i:lax|strict)\\\\s+', ''))), 1, 1)" +
+      " IN ('[', '{') THEN CAST(NULL AS STRING)" +
+      " ELSE try_variant_get(try_parse_json(j)," +
+      " regexp_replace(trim(p), '^(?i:lax|strict)\\\\s+', ''), 'string') END",
+    // json_query: JSON text preserved — string scalars KEEP their quotes,
+    // JSON null returns the text 'null', objects/arrays return minified
+    // JSON. Also the JSON-preserving target for the json_extract rename.
+    "json_query(j STRING, p STRING) RETURNS STRING RETURN" +
+      " to_json(try_variant_get(try_parse_json(j)," +
+      " regexp_replace(trim(p), '^(?i:lax|strict)\\\\s+', '')))")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -369,13 +403,20 @@ object PrestoSql {
     // and Spark's FunctionRegistry).
     ("""(?i)\bcontains\s*\(""".r, "array_contains("),
     ("""(?i)\bstarts_with\s*\(""".r, "startswith("),
+    // NEAR-exact: element pairing matches, but result struct FIELD NAMES
+    // differ (Spark uses source column names or '0'/'1'; Trino rows have
+    // anonymous positional fields) — positional consumption (unnest,
+    // cardinality) is fine; named field access is a documented limit.
     ("""(?i)\bzip\s*\(""".r, "arrays_zip("),
     // Presto repeat(element, count) builds an ARRAY (string repetition
     // doesn't exist under that name in the dialect).
     ("""(?i)\brepeat\s*\(""".r, "array_repeat("),
     ("""(?i)\bformat\s*\(""".r, "format_string("),
     ("""(?i)\blast_day_of_month\s*\(""".r, "last_day("),
-    ("""(?i)\bjson_extract\s*\(""".r, "get_json_object("),
+    // Trino json_extract returns JSON text (string scalars keep quotes,
+    // JSON null → 'null') — json_query preserves that; get_json_object
+    // would strip quotes and fold JSON null to SQL NULL (ADVICE r3).
+    ("""(?i)\bjson_extract\s*\(""".r, "json_query("),
     // Spark's builtin chr wraps at n % 256; Trino's is full Unicode.
     ("""(?i)\bchr\s*\(""".r, "presto_chr("),
     // Presto MAP(ARRAY[...], ARRAY[...]) constructor. Runs AFTER the

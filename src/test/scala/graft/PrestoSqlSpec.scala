@@ -199,6 +199,32 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, """DROP TABLE IF EXISTS "ddl_q"; SELECT 1 AS one""")
   }
 
+  test("SQL/JSON path trio: missing vs JSON null, quote handling, mode prefixes") {
+    PrestoSql.registerDialect(spark)
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  json_exists('{"n":null}', '$.n') AS null_exists,
+        |  json_exists('{"n":null}', '$.missing') AS missing_exists,
+        |  json_exists('not json', '$.a') AS bad_exists,
+        |  json_value('{"s":"hi"}', 'lax $.s') AS v_str,
+        |  json_value('{"a":[1,2]}', '$.a') AS v_nonscalar,
+        |  json_value('{"n":null}', '$.n') AS v_null,
+        |  json_query('{"s":"hi"}', '$.s') AS q_str,
+        |  json_query('{"n":null}', 'strict $.n') AS q_null,
+        |  json_query('{"a":{"b":[1,2]}}', '$.a.b[1]') AS q_idx,
+        |  json_extract('{"s":"hi"}', '$.s') AS je_str
+        |""".stripMargin).collect().head
+    assert(r.getBoolean(0), "JSON null member EXISTS (Trino semantics)")
+    assert(!r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getString(3) == "hi")           // json_value strips quotes
+    assert(r.isNullAt(4), "json_value of a non-scalar is NULL")
+    assert(r.isNullAt(5), "json_value of JSON null is NULL")
+    assert(r.getString(6) == "\"hi\"")       // json_query keeps quotes
+    assert(r.getString(7) == "null")         // JSON null → the text 'null'
+    assert(r.getString(8) == "2")
+    assert(r.getString(9) == "\"hi\"", "json_extract maps to json_query (JSON-preserving)")
+  }
+
   test("r3 adapters: ISO dow, date_parse %-format, hex/bitwise, truncate, json_array_get") {
     PrestoSql.registerDialect(spark)
     val r = PrestoSql.sql(spark,
