@@ -147,6 +147,30 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E8b: pattern ALTERNATION (r3 verdict missing #3) — `view gap*
+    // (purchase | signup)` as two ordered branches sharing the gap step
+    // (gap excludes BOTH terminators, so the branch that wins names
+    // whichever terminator arrives first after the view). Output carries
+    // the 1-based winning-branch index; oracle covers the first match per
+    // user analytically (union-of-funnels equivalence); multi-match,
+    // optional steps (`?`), and PERMUTE parity live in RowPatternSpec's
+    // regex-reference harness.
+    "e8b_pattern_alternation" -> ((s, d) => {
+      import RowPattern._
+      def view = Step("view", col("event_type") === "view")
+      val gap = Step("gap", col("event_type") =!= "purchase" &&
+        col("event_type") =!= "signup", star)
+      val m = RowPattern.matchesAlt(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+        branches = Seq(
+          Seq(view, gap, Step("purchase", col("event_type") === "purchase")),
+          Seq(view, gap, Step("signup", col("event_type") === "signup"))))
+      m.filter(col("match_no") === 1)
+        .select(col("user_id"), col("branch"), col("start_us"),
+          col("end_us"), col("n_rows"))
+        .orderBy(col("user_id"))
+    }),
+
     // E9: interval join (attribution): views joined to same-user purchases
     // within [0, 1h]. The SAME function is the streaming stream-stream
     // join (EventStreams.viewPurchaseJoin — withWatermark is a no-op in
@@ -276,6 +300,33 @@ object Events extends QueryModule {
         |  epoch_us(f.vts) AS start_us, epoch_us(o.np) AS end_us,
         |  (SELECT COUNT(*) FROM e x WHERE x.user_id = f.user_id
         |     AND x.ts >= f.vts AND x.ts <= o.np) AS n_rows
+        |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
+        |ORDER BY f.user_id""".stripMargin,
+
+    "e8b_pattern_alternation" ->
+      // first match per user: earliest view with ANY terminator
+      // (purchase|signup) after it; the branch is named by which
+      // terminator comes first (gap excludes both, so the matcher's
+      // greedy gap lands exactly on the first terminator); end is that
+      // terminator's ts. (user_id, ts) is unique in the fixture, so
+      // ts-equality joins are exact.
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(t.ts) FROM e t WHERE t.user_id = v.user_id
+        |       AND t.event_type IN ('purchase', 'signup')
+        |       AND t.ts > v.ts) AS nt
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (SELECT user_id, vts, nt FROM cand WHERE nt IS NOT NULL),
+        |first AS (SELECT user_id, min(vts) AS vts FROM ok GROUP BY user_id)
+        |SELECT f.user_id,
+        |  CAST(CASE WHEN (SELECT min(x.event_type) FROM e x
+        |                  WHERE x.user_id = f.user_id AND x.ts = o.nt)
+        |            = 'purchase' THEN 1 ELSE 2 END AS BIGINT) AS branch,
+        |  epoch_us(f.vts) AS start_us, epoch_us(o.nt) AS end_us,
+        |  (SELECT COUNT(*) FROM e x WHERE x.user_id = f.user_id
+        |     AND x.ts >= f.vts AND x.ts <= o.nt) AS n_rows
         |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
         |ORDER BY f.user_id""".stripMargin,
 

@@ -10,101 +10,155 @@ import org.apache.spark.sql.functions._
   * Semantics (the subset a funnel/sequence analysis needs, defined
   * precisely rather than maximally):
   * - Pattern = sequence of steps; each step has a row predicate and a
-  *   quantifier (exactly-one, `+`, `*`, each greedy or reluctant) over
-  *   CONTIGUOUS rows in (ts, tiebreak) order within a key — matching is
-  *   over consecutive rows like MATCH_RECOGNIZE, not subsequences; use a
-  *   permissive `star` step ("anything but X") to skip irrelevant rows.
-  * - ONE ROW PER MATCH output: (key, match_no, start_us, end_us, n_rows).
+  *   quantifier (exactly-one, `?`, `+`, `*`, each greedy or reluctant)
+  *   over CONTIGUOUS rows in (ts, tiebreak) order within a key — matching
+  *   is over consecutive rows like MATCH_RECOGNIZE, not subsequences; use
+  *   a permissive `star` step ("anything but X") to skip irrelevant rows.
+  * - ALTERNATION (`matchesAlt`): a pattern may be a list of BRANCHES
+  *   (each a linear step sequence — `(B|C)` inside a sequence expands to
+  *   one branch per choice, `PERMUTE(A,B)` via the `permute` helper to
+  *   its lexicographic-order alternation, exactly Trino's PERMUTE
+  *   definition). At each anchor row, branches are tried IN LISTED ORDER
+  *   and the first that matches (and satisfies `within` — a branch whose
+  *   match violates the window does NOT hide later branches) wins; the
+  *   output carries the 1-based winning branch index.
+  * - ONE ROW PER MATCH output: (key, match_no, [branch,] start_us,
+  *   end_us, n_rows).
   * - AFTER MATCH SKIP PAST LAST ROW: matches never overlap; match_no is
   *   1-based per key in stream order.
   * - `within`: a max (end.ts - start.ts) in microseconds, applied as a
   *   post-filter on the match the quantifiers select (documented choice:
   *   backtracking does not re-explore shorter alternatives to satisfy
-  *   the window).
+  *   the window — but alternation DOES move on to the next branch).
   *
   * Execution is Spark-first: step predicates are evaluated as ordinary
   * Catalyst boolean columns (codegen'd, pushdown-eligible) BEFORE the
   * shuffle; the only non-codegen piece is the per-key linear scan with
   * bounded backtracking, run via `groupByKey.flatMapSortedGroups` — one
   * hash shuffle on the key, per-partition sort, no driver involvement.
-  * At 100 TB the shape is the same as any keyed window: shuffle carries
-  * (key, ts, tiebreak, one boolean per step), NOT the full rows, and
-  * each key's buffer is its own event count (salt long keys upstream if
-  * a single key's history cannot fit an executor).
+  * Distinct steps are deduplicated BY NAME across branches, so an
+  * alternation of k funnel variants still shuffles one boolean per
+  * distinct step, not per branch-position. At 100 TB the shape is the
+  * same as any keyed window: shuffle carries (key, ts, tiebreak, one
+  * boolean per distinct step), NOT the full rows, and each key's buffer
+  * is its own event count (salt long keys upstream if a single key's
+  * history cannot fit an executor).
   */
 // Serializable: the flatMapSortedGroups closure's local helper defs
 // compile to methods on this object, so tasks capture it.
 object RowPattern extends Serializable {
 
-  /** min occurrences, unbounded upper, greedy vs reluctant expansion. */
-  final case class Quant(min: Int, unbounded: Boolean, greedy: Boolean)
-  val once: Quant = Quant(1, unbounded = false, greedy = true)
-  val plus: Quant = Quant(1, unbounded = true, greedy = true)
-  val star: Quant = Quant(0, unbounded = true, greedy = true)
-  val plusReluctant: Quant = Quant(1, unbounded = true, greedy = false)
-  val starReluctant: Quant = Quant(0, unbounded = true, greedy = false)
+  /** Occurrence bounds [min, max] (max = Int.MaxValue → unbounded) and
+    * greedy vs reluctant expansion. */
+  final case class Quant(min: Int, max: Int, greedy: Boolean) {
+    require(min >= 0 && max >= min, s"bad quantifier bounds [$min,$max]")
+  }
+  val once: Quant = Quant(1, 1, greedy = true)
+  val opt: Quant = Quant(0, 1, greedy = true)            // B?
+  val optReluctant: Quant = Quant(0, 1, greedy = false)  // B??
+  val plus: Quant = Quant(1, Int.MaxValue, greedy = true)
+  val star: Quant = Quant(0, Int.MaxValue, greedy = true)
+  val plusReluctant: Quant = Quant(1, Int.MaxValue, greedy = false)
+  val starReluctant: Quant = Quant(0, Int.MaxValue, greedy = false)
 
   final case class Step(name: String, pred: Column, quant: Quant = once)
+
+  /** PERMUTE(s1, …, sk) → its alternation expansion in lexicographic
+    * order of the listed arguments (Trino's PERMUTE definition). k! grows
+    * fast — patterns with k > 6 are rejected rather than silently built. */
+  def permute(steps: Seq[Step]): Seq[Seq[Step]] = {
+    require(steps.size <= 6, s"PERMUTE over ${steps.size} steps (max 6)")
+    steps.permutations.toSeq
+  }
 
   final case class PatternMatch(
       key: Long, match_no: Long, start_us: Long, end_us: Long, n_rows: Long)
 
+  final case class PatternMatchAlt(
+      key: Long, match_no: Long, branch: Long, start_us: Long, end_us: Long,
+      n_rows: Long)
+
+  /** One branch = (step-id per position → preds column, quantifier per
+    * position). */
+  private type Branch = (Array[Int], Array[Quant])
+
   /** Core matcher over one key's sorted buffer: leftmost-first with
-    * bounded backtracking, SKIP PAST LAST ROW, `within` post-filter.
-    * Returns (startIdx, endIdx) spans in stream order. Shared by the
-    * batch operator below and the streaming form
+    * bounded backtracking, ordered-branch alternation, SKIP PAST LAST
+    * ROW, `within` post-filter per branch attempt. Returns
+    * (startIdx, endIdx, branchIdx) spans in stream order. Shared by the
+    * batch operators below and the streaming form
     * (streaming.EventStreams.patternMatchesWithState).
     */
-  private[graft] def matchSpans(ts: Array[Long], preds: Array[Array[Boolean]],
-      quants: Array[Quant], withinUs: Option[Long]): Seq[(Int, Int)] = {
-    val n = quants.length
+  private[graft] def matchSpansBranches(ts: Array[Long],
+      preds: Array[Array[Boolean]], branches: Array[Branch],
+      withinUs: Option[Long]): Seq[(Int, Int, Int)] = {
     val len = ts.length
     // backtracking regex over the row sequence; returns the inclusive
     // end index of the first match anchored at `pos`, or -1
-    def go(pos: Int, step: Int): Int = {
-      if (step == n) return pos - 1
+    def go(pos: Int, step: Int, ids: Array[Int], quants: Array[Quant]): Int = {
+      if (step == quants.length) return pos - 1
       val q = quants(step)
+      val id = ids(step)
       var p = pos
       var taken = 0
       while (taken < q.min) {
-        if (p < len && preds(p)(step)) { p += 1; taken += 1 }
+        if (p < len && preds(p)(id)) { p += 1; taken += 1 }
         else return -1
       }
-      if (!q.unbounded) go(p, step + 1)
+      val budget = q.max - q.min // extra reps beyond the mandatory min
+      if (budget == 0) go(p, step + 1, ids, quants)
       else if (q.greedy) {
         var maxP = p
-        while (maxP < len && preds(maxP)(step)) maxP += 1
+        var extra = 0
+        while (maxP < len && extra < budget && preds(maxP)(id)) {
+          maxP += 1; extra += 1
+        }
         var tryP = maxP
         while (tryP >= p) {
-          val r = go(tryP, step + 1)
+          val r = go(tryP, step + 1, ids, quants)
           if (r >= 0) return r
           tryP -= 1
         }
         -1
       } else {
         var tryP = p
+        var extra = 0
         while (true) {
-          val r = go(tryP, step + 1)
+          val r = go(tryP, step + 1, ids, quants)
           if (r >= 0) return r
-          if (tryP < len && preds(tryP)(step)) tryP += 1
-          else return -1
+          if (tryP < len && extra < budget && preds(tryP)(id)) {
+            tryP += 1; extra += 1
+          } else return -1
         }
         -1
       }
     }
-    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     var start = 0
     while (start < len) {
-      val end = go(start, 0)
-      val okWithin = end >= start &&
-        withinUs.forall(w => ts(end) - ts(start) <= w)
-      if (okWithin) {
-        acc += ((start, end))
-        start = end + 1 // SKIP PAST LAST ROW
-      } else start += 1
+      var matched = false
+      var b = 0
+      while (!matched && b < branches.length) {
+        val (ids, quants) = branches(b)
+        val end = go(start, 0, ids, quants)
+        if (end >= start && withinUs.forall(w => ts(end) - ts(start) <= w)) {
+          acc += ((start, end, b))
+          start = end + 1 // SKIP PAST LAST ROW
+          matched = true
+        } else b += 1
+      }
+      if (!matched) start += 1
     }
     acc.toSeq
   }
+
+  /** Single-branch form (kept for the batch `matches` operator and the
+    * streaming matcher): identity step mapping, spans only. */
+  private[graft] def matchSpans(ts: Array[Long], preds: Array[Array[Boolean]],
+      quants: Array[Quant], withinUs: Option[Long]): Seq[(Int, Int)] =
+    matchSpansBranches(ts, preds,
+      Array((Array.tabulate(quants.length)(identity), quants)), withinUs)
+      .map { case (s, e, _) => (s, e) }
 
   /** Match `steps` over `df` per `keyCol`, ordered by (`tsCol`,
     * `tiebreakCol`). Key and tiebreak must be integral; ts must be (or
@@ -149,6 +203,61 @@ object RowPattern extends Serializable {
           case ((start, end), idx) =>
             PatternMatch(k, idx.toLong + 1, ts(start), ts(end),
               (end - start + 1).toLong)
+        }
+      }
+    out.withColumnRenamed("key", keyCol)
+  }
+
+  /** Alternation form: match the first branch (in listed order) at each
+    * anchor. Steps are deduplicated BY NAME across branches — a name
+    * identifies one predicate (the first definition wins; quantifiers
+    * stay per-position, so `B` in one branch and `B?` in another share a
+    * shuffled boolean). Output adds a 1-based `branch` column naming the
+    * winning alternative. `permute(steps)` builds the PERMUTE expansion.
+    */
+  def matchesAlt(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, branches: Seq[Seq[Step]],
+      withinUs: Option[Long] = None): DataFrame = {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty),
+      "empty alternation or empty branch")
+    val distinct = scala.collection.mutable.LinkedHashMap.empty[String, Step]
+    branches.flatten.foreach(st => distinct.getOrElseUpdate(st.name, st))
+    val steps = distinct.values.toSeq
+    val idOf = distinct.keys.zipWithIndex.toMap
+    val n = steps.size
+    val branchArr: Array[Branch] = branches.map(b =>
+      (b.map(st => idOf(st.name)).toArray, b.map(_.quant).toArray)).toArray
+    val prep = df.select(
+      col(keyCol).cast("long").as("__k") +:
+      unix_micros(col(tsCol).cast("timestamp")).as("__ts") +:
+      col(tiebreakCol).cast("long").as("__tb") +:
+      steps.zipWithIndex.map { case (st, i) =>
+        st.pred.cast("boolean").as(s"__p$i") }: _*)
+
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[PatternMatchAlt]
+    val out = prep.filter(col("__k").isNotNull)
+      .groupByKey(_.getLong(0))
+      .flatMapSortedGroups(col("__ts"), col("__tb")) { (k, it) =>
+        val rows = it.toArray
+        val len = rows.length
+        val ts = new Array[Long](len)
+        val preds = Array.ofDim[Boolean](len, n)
+        var i = 0
+        while (i < len) {
+          val r = rows(i)
+          ts(i) = r.getLong(1)
+          var s = 0
+          while (s < n) {
+            preds(i)(s) = !r.isNullAt(3 + s) && r.getBoolean(3 + s)
+            s += 1
+          }
+          i += 1
+        }
+        matchSpansBranches(ts, preds, branchArr, withinUs).zipWithIndex.map {
+          case ((start, end, b), idx) =>
+            PatternMatchAlt(k, idx.toLong + 1, b.toLong + 1, ts(start),
+              ts(end), (end - start + 1).toLong)
         }
       }
     out.withColumnRenamed("key", keyCol)

@@ -117,6 +117,128 @@ class RowPatternSpec extends SparkSpec {
       s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
   }
 
+  test("optional quantifier: bounded max, greedy vs reluctant") {
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "c"),                               // a b? c: b absent
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),                // b present
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "b"), (3L, 4L, "c")) // bb exceeds max=1
+    )
+    val m = RowPattern.matches(df, "user_id", "ts", "event_id", Seq(
+        Step("a", col("event_type") === "a"),
+        Step("b", col("event_type") === "b", opt),
+        Step("c", col("event_type") === "c")))
+      .select("user_id", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 2L), (2L, 3L)), "user 3 must NOT match: b? admits at most one b")
+
+    // greedy optional consumes the extra row; reluctant stops without it
+    val tail = streamDf(Seq((1L, 1L, "a"), (1L, 2L, "x")))
+    def run(q: Quant) = RowPattern.matches(tail, "user_id", "ts", "event_id", Seq(
+        Step("a", col("event_type") === "a"),
+        Step("any", lit(true), q))).select("n_rows").collect().head.getLong(0)
+    assert(run(opt) == 2L)
+    assert(run(optReluctant) == 1L)
+  }
+
+  test("alternation: ordered branch preference and branch labeling") {
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "p"),   // both branches could anchor; branch 1 wins
+      (2L, 1L, "a"), (2L, 2L, "s"),   // only branch 2 matches
+      (3L, 1L, "s")))                 // no anchor
+    val m = RowPattern.matchesAlt(df, "user_id", "ts", "event_id", Seq(
+        Seq(Step("a", col("event_type") === "a"), Step("p", col("event_type") === "p")),
+        Seq(Step("a", col("event_type") === "a"), Step("s", col("event_type") === "s"))))
+      .select("user_id", "branch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("alternation: a within-violating branch falls through to the next") {
+    val df = streamDf(Seq((1L, 0L, "a"), (1L, 10L, "y"), (1L, 10000L, "z")))
+    val m = RowPattern.matchesAlt(df, "user_id", "ts", "event_id", Seq(
+        Seq(Step("a", col("event_type") === "a"),
+          Step("any", col("event_type") =!= "z", star),
+          Step("z", col("event_type") === "z")),
+        Seq(Step("a", col("event_type") === "a"),
+          Step("y", col("event_type") === "y"))),
+      withinUs = Some(100L))
+      .select("branch", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(m == Seq((2L, 10L)), "branch 1 spans 10000us > within; branch 2 must win")
+  }
+
+  test("PERMUTE expands lexicographically and matches any order") {
+    val branches = RowPattern.permute(Seq(
+      Step("a", col("event_type") === "a"),
+      Step("b", col("event_type") === "b"),
+      Step("c", col("event_type") === "c")))
+    assert(branches.size == 6)
+    // b a c is the 3rd permutation of (a, b, c): abc, acb, bac, ...
+    val df = streamDf(Seq(
+      (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "c"),
+      (2L, 1L, "c"), (2L, 2L, "b"), (2L, 3L, "a"),  // cba: 6th
+      (3L, 1L, "a"), (3L, 2L, "c"), (3L, 3L, "b"),  // acb: 2nd
+      (4L, 1L, "a"), (4L, 2L, "a"), (4L, 3L, "b"))) // no full permutation
+    val m = RowPattern.matchesAlt(df, "user_id", "ts", "event_id", branches)
+      .select("user_id", "branch", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m == Set((1L, 3L, 3L), (2L, 6L, 3L), (3L, 2L, 3L)))
+  }
+
+  /** Alternation reference: java.util.regex with one capture group per
+    * branch — find() is leftmost-first then alternative-order, the same
+    * preference rule as matchSpansBranches. */
+  private def refMatchesAlt(types: IndexedSeq[Char], ts: IndexedSeq[Long],
+      branchRegexes: Seq[String]): Seq[(Long, Long, Long, Long, Long)] = {
+    val pat = java.util.regex.Pattern.compile(
+      branchRegexes.map(r => s"($r)").mkString("|"))
+    val s = new String(types.toArray)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var from = 0
+    var no = 0L
+    val m = pat.matcher(s)
+    while (from < s.length && m.find(from)) {
+      val st = m.start; val en = m.end - 1
+      val branch = (1 to branchRegexes.size).find(g => m.group(g) != null).get
+      no += 1
+      acc += ((no, branch.toLong, ts(st), ts(en), (en - st + 1).toLong))
+      from = en + 1
+    }
+    acc.toSeq
+  }
+
+  test("alternation multi-match parity vs the regex reference on real events") {
+    val e = Tables.events(spark, sf)
+    val got = RowPattern.matchesAlt(e, "user_id", "ts", "event_id", Seq(
+        Seq(Step("view", col("event_type") === "view"),
+          Step("gap", col("event_type") =!= "purchase" && col("event_type") =!= "signup", star),
+          Step("purchase", col("event_type") === "purchase")),
+        Seq(Step("view", col("event_type") === "view"),
+          Step("gap", col("event_type") =!= "purchase" && col("event_type") =!= "signup", star),
+          Step("signup", col("event_type") === "signup"))))
+      .select("user_id", "match_no", "branch", "start_us", "end_us", "n_rows")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+
+    val rows = e.select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = rows.flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._4))
+      val types = sorted.map(t => t._3 match {
+        case "view" => 'v'; case "purchase" => 'p'; case "signup" => 's'; case _ => 'x'
+      }).toIndexedSeq
+      val ts = sorted.map(_._2).toIndexedSeq
+      refMatchesAlt(types, ts, Seq("v[^ps]*p", "v[^ps]*s"))
+        .map { case (no, b, s0, en, n) => (uid, no, b, s0, en, n) }
+    }.toSet
+    assert(expected.nonEmpty, "fixture should contain at least one match")
+    assert(got == expected,
+      s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+  }
+
   test("reluctant skip-form first match reproduces the e7 funnel") {
     val e = Tables.events(spark, sf)
     val viaPattern = RowPattern.matches(e, "user_id", "ts", "event_id", Seq(
