@@ -21,6 +21,38 @@ object Windows extends QueryModule {
 
   private def wsum(c: org.apache.spark.sql.Column) = c.cast(DecimalType(30, 6))
 
+  /** GROUPS-mode frame [lo PRECEDING, hi FOLLOWING] over `ordCol` peer
+    * groups with every EXCLUDE variant, for a LONG value column (see the
+    * w8 comment for the rewrite derivation and NULL semantics). Output:
+    * idCol, partCol, grp_idx, gsum_1p1f (inclusive frame sum),
+    * gsum_xgroup / gsum_xcur / gsum_xties (EXCLUDE GROUP / CURRENT ROW /
+    * TIES), gcnt_1p1f (inclusive frame row count). */
+  private[graft] def groupsFrame(df: DataFrame, idCol: String,
+      partCol: String, ordCol: String, vqCol: String,
+      lo: Int, hi: Int): DataFrame = {
+    val grp = df.groupBy(partCol, ordCol)
+      .agg(sum(vqCol).as("gsum"), count(lit(1)).as("gcnt"))
+    // dense_rank over the ROLLUP equals dense_rank over the rows: same
+    // distinct (partition, order-value) set, one row each
+    val idx = grp.withColumn("grp_idx",
+      dense_rank().over(Window.partitionBy(partCol).orderBy(ordCol))
+        .cast("long"))
+    val wf = Window.partitionBy(partCol).orderBy("grp_idx")
+      .rangeBetween(-lo, hi)
+    val framed = idx
+      .withColumn("fsum", sum("gsum").over(wf))
+      .withColumn("fcnt", sum("gcnt").over(wf))
+    df.join(broadcast(framed), Seq(partCol, ordCol))
+      .select(col(idCol), col(partCol), col("grp_idx"),
+        col("fsum").as("gsum_1p1f"),
+        when(col("fcnt") === col("gcnt"), lit(null))
+          .otherwise(col("fsum") - col("gsum")).as("gsum_xgroup"),
+        when(col("fcnt") === 1, lit(null))
+          .otherwise(col("fsum") - col(vqCol)).as("gsum_xcur"),
+        (col("fsum") - col("gsum") + col(vqCol)).as("gsum_xties"),
+        col("fcnt").as("gcnt_1p1f"))
+  }
+
   val queries: Map[String, Q] = Map(
     // W1: ranking family over orders per customer.
     "w1_ranking" -> ((s, d) => {
@@ -130,6 +162,34 @@ object Windows extends QueryModule {
           |ORDER BY o_custkey, rn""".stripMargin)
     }),
 
+    // W8: GROUPS frame mode + the EXCLUDE clause (r3 verdict missing #4)
+    // — Trino/SQL-standard forms Spark lacks natively, rewritten
+    // declaratively: GROUPS-distance over rows ≡ RANGE-distance over the
+    // dense_rank() peer-group index, so (1) index each row's peer group,
+    // (2) aggregate once per (partition, group) — the frame table is one
+    // row per DISTINCT order value, far smaller than the input — (3) run
+    // the frame window over group aggregates, (4) join back. EXCLUDE
+    // variants are algebra on the inclusive frame: GROUP subtracts the
+    // row's whole peer-group aggregate, CURRENT ROW subtracts the row,
+    // TIES subtracts peers-except-self; empty-after-exclusion frames are
+    // NULL (SQL semantics), detected by the excluded-count hitting zero.
+    // Integer-quantized values keep every sum exact across engines.
+    // NO per-row window anywhere: dense_rank AND the frame window both
+    // run over the per-(partition, order-value) rollup — one row per
+    // distinct day — so at 100 TB this is one map-side-combined shuffle
+    // for the rollup plus a BROADCAST join back (the framed table is
+    // #distinct-order-values rows), where a native GROUPS window would
+    // single-task each low-cardinality partition.
+    "w8_groups_frame" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+      groupsFrame(e, idCol = "event_id", partCol = "event_type",
+        ordCol = "day", vqCol = "vq", lo = 1, hi = 1)
+        .orderBy(col("event_id"))
+    }),
+
     "w6_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -218,6 +278,36 @@ object Windows extends QueryModule {
         |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "w8_groups_frame" ->
+      // DuckDB 1.0 lacks GROUPS mode but ships native EXCLUDE for RANGE
+      // frames, and GROUPS-distance ≡ RANGE-distance over the dense_rank
+      // peer-group index BY DEFINITION — so the oracle checks the Spark
+      // rewrite against DuckDB's independent native EXCLUDE execution.
+      """WITH e AS (
+        |  SELECT event_id, event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (
+        |  SELECT *, dense_rank() OVER
+        |    (PARTITION BY event_type ORDER BY day) AS grp_idx
+        |  FROM e)
+        |SELECT event_id, event_type, CAST(grp_idx AS BIGINT) AS grp_idx,
+        |  CAST(SUM(vq) OVER w AS BIGINT) AS gsum_1p1f,
+        |  CAST(SUM(vq) OVER (PARTITION BY event_type ORDER BY grp_idx
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)
+        |    AS BIGINT) AS gsum_xgroup,
+        |  CAST(SUM(vq) OVER (PARTITION BY event_type ORDER BY grp_idx
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+        |    AS BIGINT) AS gsum_xcur,
+        |  CAST(SUM(vq) OVER (PARTITION BY event_type ORDER BY grp_idx
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)
+        |    AS BIGINT) AS gsum_xties,
+        |  COUNT(*) OVER w AS gcnt_1p1f
+        |FROM g
+        |WINDOW w AS (PARTITION BY event_type ORDER BY grp_idx
+        |  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
 
     "w6_topk_per_group" ->
       """WITH ranked AS (

@@ -13,6 +13,45 @@ class EdgeCaseSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("w8 GROUPS/EXCLUDE rewrite: edge frames match SQL-standard semantics") {
+    // values: part "p" has groups g1={10,20}, g2={40}; part "q" has the
+    // single group g1={5,7} — frames are GROUPS 1 PRECEDING..1 FOLLOWING.
+    // Expected values hand-derived from the standard (and cross-checked
+    // against DuckDB's native RANGE+EXCLUDE on the dense_rank index).
+    val df = Seq(
+      ("p", 1L, 1, 10L), ("p", 2L, 1, 20L), ("p", 3L, 2, 40L),
+      ("q", 4L, 1, 5L), ("q", 5L, 1, 7L))
+      .toDF("part", "id", "day", "vq")
+    val out = graft.ops.Windows
+      .groupsFrame(df, "id", "part", "day", "vq", lo = 1, hi = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("gsum_1p1f")),
+        if (r.isNullAt(r.fieldIndex("gsum_xgroup"))) None
+        else Some(r.getLong(r.fieldIndex("gsum_xgroup"))),
+        if (r.isNullAt(r.fieldIndex("gsum_xcur"))) None
+        else Some(r.getLong(r.fieldIndex("gsum_xcur"))),
+        r.getLong(r.fieldIndex("gsum_xties")),
+        r.getLong(r.fieldIndex("gcnt_1p1f")))).toSeq
+    assert(out == Seq(
+      // id 1 (p,g1,v=10): frame {10,20,40}; xgroup {40}; xcur {20,40}; xties {10,40}
+      (1L, 70L, Some(40L), Some(60L), 50L, 3L),
+      (2L, 70L, Some(40L), Some(50L), 60L, 3L),
+      // id 3 (p,g2,v=40): frame {10,20,40}; xgroup {10,20}; xties = xcur+self
+      (3L, 70L, Some(30L), Some(30L), 70L, 3L),
+      // q: one group only — EXCLUDE GROUP empties the frame -> NULL
+      (4L, 12L, None, Some(7L), 5L, 2L),
+      (5L, 12L, None, Some(5L), 7L, 2L)))
+
+    // a 1-row single-group partition also empties under EXCLUDE CURRENT ROW
+    val solo = graft.ops.Windows.groupsFrame(
+      Seq(("s", 9L, 1, 3L)).toDF("part", "id", "day", "vq"),
+      "id", "part", "day", "vq", lo = 1, hi = 1).collect().head
+    assert(solo.isNullAt(solo.fieldIndex("gsum_xgroup")))
+    assert(solo.isNullAt(solo.fieldIndex("gsum_xcur")))
+    assert(solo.getLong(solo.fieldIndex("gsum_xties")) == 3L)
+  }
+
   test("left join emits null rows for unmatched keys") {
     val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val right = Seq((1, 10.0)).toDF("k", "w")
