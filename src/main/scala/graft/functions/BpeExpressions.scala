@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True byte-pair-encoding token counting (r3 verdict missing #6 — l4b's
+  * regex pre-tokenizer is only a budget estimator). The algorithm is the
+  * standard rank-ordered merge loop of public BPE encoders (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"): per whitespace word, start from single characters and
+  * repeatedly (a) find the LOWEST-RANK adjacent symbol pair present in
+  * the merges table, (b) merge every left-to-right non-overlapping
+  * occurrence of that pair, until no adjacent pair is in the table. The
+  * token count is the surviving symbol count summed over words.
+  *
+  * The merges table is a rank-ordered pair list bound at PLAN time (a
+  * foldable literal / constructor argument), carried into generated code
+  * as a codegen reference object — per-row work is one static call inside
+  * whole-stage codegen, no UDF, no per-row table parse.
+  */
+object BpeCore {
+  // a space never occurs inside a symbol (words are whitespace-split
+  // before the merge loop), so it is a safe pair-key separator
+  def pairKey(left: String, right: String): String = left + " " + right
+
+  def buildRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      // first (lowest) rank wins on duplicates, like real merges files
+      m.putIfAbsent(pairKey(l, r), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Token count over all whitespace-separated words of `text`. Called
+    * from generated code (static forwarder) and from nullSafeEval. */
+  def countTokens(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): Long = {
+    val s = text.toString
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      var j = i
+      while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+      if (j > i) total += wordTokenCount(s, i, j, ranks)
+      i = j
+    }
+    total
+  }
+
+  /** BPE merge loop over one word (s[from, until)). */
+  private def wordTokenCount(s: String, from: Int, until: Int,
+      ranks: java.util.HashMap[String, Integer]): Int = {
+    val len = until - from
+    if (len <= 1) return len
+    var syms = new java.util.ArrayList[String](len)
+    var k = from
+    while (k < until) { syms.add(String.valueOf(s.charAt(k))); k += 1 }
+    var done = false
+    while (!done && syms.size > 1) {
+      // (a) lowest-rank adjacent pair present in the table
+      var bestIdx = -1
+      var bestRank = Integer.MAX_VALUE
+      var idx = 0
+      while (idx < syms.size - 1) {
+        val r = ranks.get(pairKey(syms.get(idx), syms.get(idx + 1)))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestIdx = idx
+        }
+        idx += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        // (b) merge every left-to-right non-overlapping occurrence
+        val l = syms.get(bestIdx)
+        val r = syms.get(bestIdx + 1)
+        val merged = l + r
+        val out = new java.util.ArrayList[String](syms.size)
+        var p = 0
+        while (p < syms.size) {
+          if (p < syms.size - 1 && syms.get(p) == l && syms.get(p + 1) == r) {
+            out.add(merged); p += 2
+          } else {
+            out.add(syms.get(p)); p += 1
+          }
+        }
+        syms = out
+      }
+    }
+    syms.size
+  }
+}
+
+/** `bpe_count(text, 'l r,l r,…')` — token count under the given
+  * rank-ordered merges table (pairs comma-separated, symbols space-
+  * separated, rank = list position). */
+case class BpeCountExpression(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  @transient private lazy val ranks = BpeCore.buildRanks(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCore.countTokens(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCore.countTokens($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeCountExpression = copy(child = newChild)
+}
+
+object BpeCountExpression {
+  /** Parse the merges-literal form: pairs comma-separated, the two
+    * symbols of a pair space-separated (the layout of public merges.txt
+    * files, flattened to one line). */
+  def parseMerges(spec: String): Seq[(String, String)] =
+    spec.split(',').toSeq.filter(_.nonEmpty).map { p =>
+      val parts = p.trim.split(' ')
+      require(parts.length == 2, s"bad merge pair '$p' (want 'left right')")
+      (parts(0), parts(1))
+    }
+}

@@ -37,7 +37,11 @@ object GraftFunctions {
     (FunctionIdentifier("normalize_str"),
       new ExpressionInfo(classOf[NormalizeExpression].getName, "normalize_str"),
       (e: Seq[Expression]) =>
-        NormalizeExpression(e(0), if (e.size > 1) litStr(e(1)) else "NFC")))
+        NormalizeExpression(e(0), if (e.size > 1) litStr(e(1)) else "NFC")),
+    (FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpression].getName, "bpe_count"),
+      (e: Seq[Expression]) =>
+        BpeCountExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {
@@ -70,4 +74,7 @@ object GraftFunctions {
   def tryEval(e: Column): Column = call_function("try_eval", e)
   def normalizeStr(s: Column, form: String = "NFC"): Column =
     call_function("normalize_str", s, org.apache.spark.sql.functions.lit(form))
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_count", text, org.apache.spark.sql.functions.lit(
+      merges.map { case (l, r) => s"$l $r" }.mkString(",")))
 }

@@ -10,6 +10,82 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
+  /** Independent BPE reference: immutable-list functional form of the
+    * documented semantics (lowest-rank adjacent pair; merge all its
+    * left-to-right non-overlapping occurrences; repeat), written without
+    * sharing code with BpeCore's imperative loop. */
+  private def refBpeWord(word: String, merges: Seq[(String, String)]): Int = {
+    val rank = merges.zipWithIndex.toMap
+    @annotation.tailrec
+    def loop(syms: List[String]): Int = {
+      val pairs = syms.zip(syms.drop(1))
+      val present = pairs.filter(rank.contains)
+      if (present.isEmpty) syms.length
+      else {
+        val best = present.minBy(rank)
+        def mergeAll(rest: List[String]): List[String] = rest match {
+          case l :: r :: tail if (l, r) == best => (l + r) :: mergeAll(tail)
+          case h :: tail => h :: mergeAll(tail)
+          case Nil => Nil
+        }
+        loop(mergeAll(syms))
+      }
+    }
+    loop(word.map(_.toString).toList)
+  }
+
+  private def refBpe(text: String, merges: Seq[(String, String)]): Long =
+    text.split("\\s+").filter(_.nonEmpty).map(refBpeWord(_, merges).toLong).sum
+
+  test("bpe_count matches the functional reference on multi-level merge chains") {
+    import graft.functions.{BpeCore, BpeCountExpression}
+    // chained merges: t+h -> th, th+e -> the, e+r -> er, er+s -> ers —
+    // rank order decides ambiguous words like 'ther' (th before er)
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "r", "er" -> "s",
+      "a" -> "a", "aa" -> "aa")
+    val ranks = BpeCore.buildRanks(merges)
+    val cases = Seq(
+      "the", "ther", "thers", "ttthhh", "aaaa", "aaaaa", "aaaaaaaa",
+      "ers the thers", "", "x", "therapy masses", "erer erser")
+    cases.foreach { s =>
+      val got = BpeCore.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), ranks)
+      assert(got == refBpe(s, merges), s"mismatch on '$s'")
+    }
+    // randomized sweep over a small alphabet where collisions are dense
+    val rnd = new scala.util.Random(42)
+    val alpha = "abct"
+    (1 to 300).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val nPairs = 1 + rnd.nextInt(5)
+      val pool = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "a",
+        "ab" -> "c", "t" -> "a", "bc" -> "a", "ab" -> "ab")
+      val ms = rnd.shuffle(pool).take(nPairs)
+      val got = BpeCore.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w),
+        BpeCore.buildRanks(ms))
+      assert(got == refBpe(w, ms), s"mismatch on '$w' with $ms")
+    }
+    // the parse round-trip used by the SQL registration
+    assert(BpeCountExpression.parseMerges("t h,th e") == Seq("t" -> "h", "th" -> "e"))
+  }
+
+  test("bpe_count evaluates identically in codegen and in a DataFrame plan") {
+    import graft.functions.{GraftFunctions => GF}
+    GF.register(spark)
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "r")
+    val df = Seq((1L, "the thermal truth"), (2L, "er er er"), (3L, " "))
+      .toDF("id", "text")
+      .select($"id", GF.bpeCount($"text", merges).as("n"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val expected = Seq(
+      (1L, refBpe("the thermal truth", merges)),
+      (2L, refBpe("er er er", merges)),
+      (3L, 0L))
+    assert(df == expected)
+  }
+
   private def jaccardExact(a: String, b: String, k: Int): Double = {
     val sa = a.sliding(k).toSet
     val sb = b.sliding(k).toSet
