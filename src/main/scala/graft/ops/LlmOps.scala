@@ -907,33 +907,26 @@ object LlmOps extends QueryModule {
     // shape: shuffle keys are shingle strings, never doc pairs; a train
     // doc only ever meets the bench docs it actually shares a shingle
     // with. Sizes ride through the explode so Jaccard needs no extra
-    // joins. At 100 TB the one refinement is df-capping (drop shingles in
-    // > T docs, as l2's banding does) — the fixture's vocabulary is
-    // synthetic and skew-free, so the uncapped join is the honest demo.
-    // Threshold note: the fixture is contamination-FREE (max cross-source
-    // 4-shingle Jaccard ≈ 0.012), so the gate threshold sits at the noise
-    // floor (0.01) to keep the pair arithmetic non-vacuously under test;
-    // a production pass uses 0.3–0.8.
-    "l22_decontaminate" -> ((s, d) => {
-      GF.register(s)
-      def side(src: String, id: String, n: String) =
-        Tables.documents(s, d).filter(col("source") === src)
-          .select(col("doc_id").as(id),
-            GF.wordShingles(TF.wordTokens(col("text")), 4).as("sh"))
-          .select(col(id), size(col("sh")).as(n), explode(col("sh")).as("shingle"))
-      val train = side("src0", "train_id", "na")
-      val bench = side("src1", "bench_id", "nb")
-      train.join(bench, Seq("shingle"))
-        .groupBy(col("train_id"), col("bench_id"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("n_common"))
-        .withColumn("jq6",
-          floor(col("n_common") / (col("na") + col("nb") - col("n_common"))
-            * 1e6 + 0.5).cast("long"))
-        .filter(col("jq6") >= 10000L)
-        .groupBy(col("train_id"))
-        .agg(count(lit(1)).as("n_bench_hits"), max(col("jq6")).as("max_jq6"))
-        .orderBy(col("train_id"))
-    }),
+    // joins. Threshold note: the fixture is contamination-FREE (max
+    // cross-source 4-shingle Jaccard ≈ 0.012), so the gate threshold sits
+    // at the noise floor (0.01) to keep the pair arithmetic non-vacuously
+    // under test; a production pass uses 0.3–0.8.
+    "l22_decontaminate" -> ((s, d) => decontaminate(s, d, dfCap = None)),
+
+    // L22b: the 100 TB refinement as a REAL config (r3 verdict #7) —
+    // document-frequency capping: shingles present in more than dfCap
+    // docs (across both sides) are anti-joined away BEFORE the inverted-
+    // index join. Boilerplate shingles ("terms of service apply") are
+    // exactly the keys that explode the join's candidate-pair count
+    // quadratically while carrying no discriminative signal; the hot-
+    // shingle set is tiny (it is the df tail above T), so it broadcasts.
+    // The fixture's vocabulary is skew-free (max df 3 across all SFs), so
+    // at the production-shaped T=20 the cap provably drops NOTHING and
+    // the query stays oracle-equal to l22 — the cap's selectivity
+    // behavior at a binding T=1 is asserted in ScaleShapeSpec along with
+    // the plan shape (anti-join present, no cartesian, pair quality
+    // preserved at T=20).
+    "l22b_decontaminate_capped" -> ((s, d) => decontaminate(s, d, dfCap = Some(20L))),
 
     // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
     // a global single-partition sort (the row_number()-over-everything
@@ -963,6 +956,47 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Shared body of l22/l22b: exact inverted-index cross-source Jaccard,
+    * optionally df-capped. With `dfCap = Some(t)`, the hot-shingle set
+    * (df > t over BOTH sides) is computed once and anti-joined away from
+    * each side before the index join — it is the small tail of the df
+    * distribution, so it broadcasts; the join's shuffle keys stay shingle
+    * strings either way. Capped Jaccard is a lower bound (na/nb keep full
+    * shingle counts while n_common loses capped keys) — the standard
+    * trade-off: df-capped shingles carry no discriminative signal.
+    */
+  private[graft] def decontaminate(s: SparkSession, d: String,
+      dfCap: Option[Long]): DataFrame = {
+    GF.register(s)
+    def side(src: String, id: String, n: String) =
+      Tables.documents(s, d).filter(col("source") === src)
+        .select(col("doc_id").as(id),
+          GF.wordShingles(TF.wordTokens(col("text")), 4).as("sh"))
+        .select(col(id), size(col("sh")).as(n), explode(col("sh")).as("shingle"))
+    val train0 = side("src0", "train_id", "na")
+    val bench0 = side("src1", "bench_id", "nb")
+    val (train, bench) = dfCap match {
+      case None => (train0, bench0)
+      case Some(t) =>
+        val hot = train0.select(col("shingle"))
+          .unionByName(bench0.select(col("shingle")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > t).select(col("shingle"))
+        (train0.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          bench0.join(broadcast(hot), Seq("shingle"), "left_anti"))
+    }
+    train.join(bench, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jq6",
+        floor(col("n_common") / (col("na") + col("nb") - col("n_common"))
+          * 1e6 + 0.5).cast("long"))
+      .filter(col("jq6") >= 10000L)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("jq6")).as("max_jq6"))
+      .orderBy(col("train_id"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "l1_dedup_exact" ->
@@ -1327,6 +1361,36 @@ object LlmOps extends QueryModule {
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "l22_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+        |    t.n AS na, b.n AS nb, COUNT(*) AS n_common
+        |  FROM ex t JOIN ex b USING (shingle)
+        |  WHERE t.source = 'src0' AND b.source = 'src1'
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT train_id,
+        |    CAST(floor(n_common / (na + nb - n_common) * 1e6 + 0.5) AS BIGINT) AS jq6
+        |  FROM pairs)
+        |SELECT train_id, COUNT(*) AS n_bench_hits, MAX(jq6) AS max_jq6
+        |FROM scored WHERE jq6 >= 10000
+        |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "l22b_decontaminate_capped" ->
+      // identical to l22's oracle ON PURPOSE: the fixture's max shingle
+      // df is 3 (checked at sf0.001/0.01/0.1), so the T=20 cap provably
+      // drops nothing and the capped query must reproduce the uncapped
+      // answer exactly; the cap machinery's binding behavior is asserted
+      // in ScaleShapeSpec at T=1.
       """WITH toks AS (
         |  SELECT doc_id, source,
         |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w

@@ -200,4 +200,33 @@ class ScaleShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pair generation must ride the shingle equi-join:\n${plan.take(2000)}")
   }
+
+  test("l22b df-cap: broadcast anti-join shape, no-op at T=20, binding at T=1") {
+    // plan shape: the hot-shingle filter is a BROADCAST anti-join on both
+    // sides, and pair generation still rides the shingle equi-join
+    val capped = ops.LlmOps.decontaminate(spark, sf, dfCap = Some(20L))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "df-cap must be an anti-join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+
+    // pair quality survives the production-shaped cap: the fixture's max
+    // shingle df is 3, so T=20 must reproduce the uncapped rows exactly.
+    // sf0.01 here — the 0.01-Jaccard threshold yields zero pairs at the
+    // unit-test default sf0.001, which would make the equality vacuous.
+    val sf01 = "/root/testdata/sf0.01"
+    val uncapped = ops.LlmOps.decontaminate(spark, sf01, dfCap = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val at20 = ops.LlmOps.decontaminate(spark, sf01, dfCap = Some(20L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(uncapped.nonEmpty && at20 == uncapped)
+
+    // a binding cap drops candidates, never invents them: at T=1 every
+    // shared shingle (df >= 2 by construction of a cross-source match) is
+    // capped away, so the candidate-pair set must be EMPTY — the extreme
+    // end of the selectivity dial, proving the filter actually binds
+    val at1 = ops.LlmOps.decontaminate(spark, sf01, dfCap = Some(1L)).collect()
+    assert(at1.isEmpty,
+      s"T=1 caps every cross-source shingle, got ${at1.length} rows")
+  }
 }
