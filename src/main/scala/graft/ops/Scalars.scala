@@ -237,6 +237,31 @@ object Scalars extends QueryModule {
           |ORDER BY "event_id"""".stripMargin)
     }),
 
+    // sc21: geospatial starter family (r3 verdict missing #5) — haversine
+    // great-circle distance + bounding-box containment over lat/lon
+    // doubles synthesized deterministically from customer keys (integer-
+    // derived, so both engines see bit-identical inputs). Distances are
+    // q6-quantized; the Spark expression tree and the oracle SQL mirror
+    // each other operation-for-operation (see functions/GeoFunctions).
+    "sc21_geo" -> ((s, d) => {
+      import graft.functions.GeoFunctions._
+      val pts = Tables.customer(s, d).filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 120 - 60 + lit(0.25)).as("lat"),
+          (col("c_custkey") * 7 % 360 - 180 + lit(0.5)).as("lon"))
+      pts.select(col("c_custkey"), col("lat"), col("lon"),
+        floor(haversineKm(col("lat"), col("lon"),
+          lit(48.8566), lit(2.3522)) * 1e6 + 0.5).cast("long")
+          .as("d_paris_q6"),
+        floor(haversineKm(col("lat"), col("lon"),
+          lit(35.6762), lit(139.6503)) * 1e6 + 0.5).cast("long")
+          .as("d_tokyo_q6"),
+        inBbox(col("lat"), col("lon"), 35.0, -10.0, 60.0, 30.0)
+          .as("in_europe_box"),
+        (col("lat") >= -23.5 && col("lat") <= 23.5).as("in_tropics"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -690,6 +715,31 @@ object Scalars extends QueryModule {
         |  CAST(json_extract(j, '$.meta') AS VARCHAR) AS q_meta,
         |  CAST(json_extract(j, '$.nope') AS VARCHAR) AS q_missing
         |FROM src ORDER BY event_id""".stripMargin,
+
+    "sc21_geo" -> {
+      // operation-for-operation mirror of GeoFunctions.haversineKm: same
+      // constants (shortest-round-trip doubles), same association order,
+      // so both engines round identically at every step
+      val k = s"CAST(${math.Pi / 180.0} AS DOUBLE)"
+      val twoR = s"CAST(${2 * graft.functions.GeoFunctions.EarthRadiusKm} AS DOUBLE)"
+      def hav(latRef: String, lonRef: String): String = {
+        val sdp = s"sin(((CAST($latRef AS DOUBLE) * $k) - (lat * $k)) / 2)"
+        val sdl = s"sin(((CAST($lonRef AS DOUBLE) * $k) - (lon * $k)) / 2)"
+        val a = s"$sdp * $sdp + cos(lat * $k) * cos(CAST($latRef AS DOUBLE) * $k) * $sdl * $sdl"
+        s"$twoR * asin(sqrt(least($a, 1.0)))"
+      }
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         |    CAST(c_custkey * 7 % 360 - 180 + 0.5 AS DOUBLE) AS lon
+         |  FROM customer WHERE c_custkey < 500)
+         |SELECT c_custkey, lat, lon,
+         |  CAST(floor(${hav("48.8566", "2.3522")} * 1e6 + 0.5) AS BIGINT) AS d_paris_q6,
+         |  CAST(floor(${hav("35.6762", "139.6503")} * 1e6 + 0.5) AS BIGINT) AS d_tokyo_q6,
+         |  lat >= 35.0 AND lat <= 60.0 AND lon >= -10.0 AND lon <= 30.0 AS in_europe_box,
+         |  lat >= -23.5 AND lat <= 23.5 AS in_tropics
+         |FROM pts ORDER BY c_custkey""".stripMargin
+    },
 
     "sc6b_json_arrays" ->
       """WITH j AS (
