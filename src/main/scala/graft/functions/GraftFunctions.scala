@@ -41,7 +41,10 @@ object GraftFunctions {
     (FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCountExpression].getName, "bpe_count"),
       (e: Seq[Expression]) =>
-        BpeCountExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))))
+        BpeCountExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
+    (FunctionIdentifier("image_stats"),
+      new ExpressionInfo(classOf[ImageStatsExpression].getName, "image_stats"),
+      (e: Seq[Expression]) => ImageStatsExpression(e(0))))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {
@@ -77,4 +80,5 @@ object GraftFunctions {
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_count", text, org.apache.spark.sql.functions.lit(
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
+  def imageStats(bytes: Column): Column = call_function("image_stats", bytes)
 }

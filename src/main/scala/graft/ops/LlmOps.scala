@@ -42,6 +42,38 @@ private[graft] object BpeFixture {
     s"(length(replace($textExpr, ' ', '')) - ${occSql(textExpr)})"
 }
 
+/** Deterministic PNG fixture for l7c: pixel (x, y) of image `id` is the
+  * closed-form RGB below, so the DuckDB oracle can recompute the decoded
+  * channel sums analytically (generate_series over the pixel grid)
+  * without ever seeing a PNG. PNG is lossless, so ImageIO must hand the
+  * formula back bit-exactly.
+  */
+private[graft] object ImageFixture {
+  def width(id: Long): Int = 8 + (id % 9).toInt
+  def height(id: Long): Int = 8 + (id % 7).toInt
+
+  def writePng(dir: String, id: Long): Unit = {
+    val w = width(id)
+    val h = height(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((x + y + id) % 256).toInt
+        val b = ((x * y + id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    javax.imageio.ImageIO.write(img, "png",
+      new java.io.File(dir, s"img_$id.png"))
+  }
+}
+
 object LlmOps extends QueryModule {
   import Det._
 
@@ -624,6 +656,38 @@ object LlmOps extends QueryModule {
         .orderBy(col("media_id"))
     }),
 
+    // L7c: REAL image decode (r3 verdict missing #7) — deterministic PNGs
+    // written by the s12-style distributed binary path (foreachPartition,
+    // no driver collect), read back through the binaryFile source, and
+    // decoded by the image_stats codegen expression (JDK ImageIO, no new
+    // dependency). The decode emits exact per-channel pixel SUMS, which
+    // the oracle recomputes analytically from the fixture's pixel formula
+    // over a generate_series grid — DuckDB never sees a PNG, so a decoder
+    // bug cannot cancel out.
+    "l7c_image_decode" -> ((s, d) => {
+      GF.register(s)
+      val out = Sources.scratch("graft_png")
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach(r => ImageFixture.writePng(out, r.getLong(0)))
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          GF.imageStats(col("content")).as("st"))
+        .select(col("doc_id"),
+          col("st.width").cast("long").as("img_w"),
+          col("st.height").cast("long").as("img_h"),
+          col("st.rsum").as("rsum"),
+          col("st.gsum").as("gsum"),
+          col("st.bsum").as("bsum"))
+        .withColumn("mean_r_q4",
+          expr("(rsum * 10000) div (img_w * img_h)"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L12: dedup cluster assignment — connected components over near-dup
     // pairs (the step that turns pairwise dups into keep/drop decisions:
     // one keeper per component). HashMin label propagation: every node
@@ -1072,6 +1136,32 @@ object LlmOps extends QueryModule {
         |  array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
         |  least(CAST(32 AS BIGINT), nt - chunk_id*24) AS n_chunk_toks
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "l7c_image_decode" ->
+      // the pixel formula of ImageFixture, re-derived analytically over
+      // the (x, y) grid — no image bytes involved on the oracle side
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS img_w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS img_h
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, d.img_w, d.img_h, xs.x, ys.y
+        |  FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.img_w - 1)) AS x) xs,
+        |  LATERAL (SELECT unnest(generate_series(0, d.img_h - 1)) AS y) ys),
+        |sums AS (
+        |  SELECT doc_id, img_w, img_h,
+        |    SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS rsum,
+        |    SUM((x + y + doc_id) % 256) AS gsum,
+        |    SUM((x * y + doc_id) % 256) AS bsum
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, img_w, img_h,
+        |  CAST(rsum AS BIGINT) AS rsum, CAST(gsum AS BIGINT) AS gsum,
+        |  CAST(bsum AS BIGINT) AS bsum,
+        |  CAST((rsum * 10000) // (img_w * img_h) AS BIGINT) AS mean_r_q4
+        |FROM sums ORDER BY doc_id""".stripMargin,
 
     "l4b_token_count" ->
       """WITH t AS (

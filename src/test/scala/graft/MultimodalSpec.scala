@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
+  test("image_stats decodes a known PNG exactly and NULLs undecodable bytes") {
+    import graft.functions.{GraftFunctions => GF}
+    GF.register(spark)
+    // 2x3 image with known pixels: r = 10x+y, g = 100+x, b = 200+y
+    val img = new java.awt.image.BufferedImage(
+      2, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 2)
+      img.setRGB(x, y, ((10 * x + y) << 16) | ((100 + x) << 8) | (200 + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val out = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+      .select($"id", GF.imageStats($"bytes").as("st"))
+      .orderBy("id").collect()
+    val st = out(0).getStruct(1)
+    assert(st.getInt(0) == 2 && st.getInt(1) == 3)
+    // rsum = sum(10x+y) = (0+1+2)+(10+11+12) = 36; gsum = 3*100+3*101 = 603
+    // bsum = 2*(200+201+202) = 1206
+    assert(st.getLong(2) == 36L && st.getLong(3) == 603L && st.getLong(4) == 1206L)
+    assert(out(1).isNullAt(1), "non-image bytes must decode to NULL")
+  }
+
   test("decodeStub: deterministic L1-normalized 16-bin histogram") {
     val f = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     assert(f.length == 16)
