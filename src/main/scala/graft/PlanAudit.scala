@@ -39,7 +39,12 @@ object PlanAudit {
       "l22_decontaminate",    // r3s3: expect shingle-keyed hash join, no BNLJ
       "l24_stable_ids",       // r3s3: expect range Exchange + per-pid Window + P-row cumsum
       "l25_unigram_logprob",  // r3s3: expect word-keyed partial+final aggs + 1-row bcast total
-      "e12_retention_cohorts" // r3s3: expect distinct-then-join on user_id
+      "e12_retention_cohorts", // r3s3: expect distinct-then-join on user_id
+      "w8_groups_frame",       // r4: expect rollup agg + window over rollup + broadcast join back — NO per-row Window
+      "e8b_pattern_alternation", // r4: expect same minimal-width shuffle as e8 (dedup'd step booleans)
+      "l4c_bpe_tokens",        // r4: expect bpe_count inside scan-stage WholeStageCodegen
+      "l22b_decontaminate_capped", // r4: expect broadcast LeftAnti on both sides pre-join
+      "l7c_image_decode"       // r4: expect image_stats in the binaryFile scan project
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
