@@ -290,6 +290,36 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // L2c2: the PRODUCTION band configuration (r3 verdict "what's wrong"
+    // #2 — PLANS.md documented it but no declared query ran it): wide
+    // bands + tight threshold, where banding is a STRONG collision
+    // filter. 4 bands × 12 bits at hamming ≤ 3: three flipped bits touch
+    // at most 3 bands, so ≥ 1 of 4 bands survives intact — recall is
+    // exact by pigeonhole, and each band key prunes ~4096× (vs ~16× for
+    // l2c's demo 4-bit bands). Same plan shape as l2c; ScaleShapeSpec
+    // asserts pair-set equality vs the within-lang brute force.
+    "l2c2_simhash_bands" -> ((s, d) => {
+      GF.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
+        .localCheckpoint()
+      val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
+        posexplode(expr("transform(sequence(0, 3), i -> (sh >> (i * 12)) & 4095)"))
+          .as(Seq("band", "bval")))
+      val a = banded.select(col("lang"), col("band"), col("bval"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("lang"), col("band"), col("bval"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // L2d: embedding-cosine near-dup — the vector-space dedup family
     // (pairs with cosine ≥ τ are duplicate candidates). Exact within one
     // label partition as the oracle-checkable baseline (mirrors l2b's

@@ -193,6 +193,29 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("l2c2 production bands (4×12-bit, hamming ≤ 3) ≡ brute force") {
+    val viaBands = ops.LlmOps.queries("l2c2_simhash_bands")(spark, sf)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    GF.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(brute.nonEmpty, "testdata should contain at least one tight pair")
+    assert(viaBands == brute,
+      s"pigeonhole recall must be exact at ≤3 over 4 bands: " +
+        s"missing=${brute.diff(viaBands).take(3)} extra=${viaBands.diff(brute).take(3)}")
+  }
+
   test("l22 decontamination joins on shingles, never a cartesian/BNLJ pair blowup") {
     val qe = ops.LlmOps.queries("l22_decontaminate")(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
