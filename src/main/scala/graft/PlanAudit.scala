@@ -44,7 +44,8 @@ object PlanAudit {
       "e8b_pattern_alternation", // r4: expect same minimal-width shuffle as e8 (dedup'd step booleans)
       "l4c_bpe_tokens",        // r4: expect bpe_count inside scan-stage WholeStageCodegen
       "l22b_decontaminate_capped", // r4: expect broadcast LeftAnti on both sides pre-join
-      "l7c_image_decode"       // r4: expect image_stats in the binaryFile scan project
+      "l7c_image_decode",      // r4: expect image_stats in the binaryFile scan project
+      "j12_geo_distance_join"  // r4: expect cell-id equi-join + haversine residual, no BNLJ
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")

@@ -324,6 +324,50 @@ object Joins extends QueryModule {
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // J12: geo distance join (ST_DWithin shape) — all point pairs within
+    // R km, bucketed by GRID CELLS so candidate generation is an
+    // equi-join on cell ids, never an all-pairs product (the spatial
+    // analogue of LSH banding). Cell sizes are chosen so any pair within
+    // R spans at most adjacent cells (lat: R ≤ 111.19·Δφ ⇒ Δφ ≤ 2.698° <
+    // 2.75°; lon at |φ| ≤ 59.75°: haversine algebra gives Δλ ≤ 5.356° <
+    // 5.4°), one side explodes to its 3×3 neighborhood and the other
+    // stays in its home cell — every qualifying pair meets EXACTLY once
+    // (at the right side's home cell), so no distinct is needed. Exact
+    // haversine runs only on cell-collision candidates as the join
+    // residual. Synthesized lon stays in [-149.5, 149.5], so no pair
+    // straddles the antimeridian; a production grid closes the wrap by
+    // taking lon cell indices modulo the cell count. The DuckDB oracle is
+    // the BRUTE-FORCE pair join (IEJoin on a lat band + full haversine),
+    // so the bucketing's completeness is oracle-verified, not assumed.
+    "j12_geo_distance_join" -> ((s, d) => {
+      import graft.functions.GeoFunctions._
+      val cellLat = 2.75
+      val cellLon = 5.4
+      val pts = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 120 - 60 + lit(0.25)).as("lat"),
+          (col("c_custkey") * 7 % 300 - 150 + lit(0.5)).as("lon"))
+        .withColumn("ci", floor(col("lat") / cellLat).cast("int"))
+        .withColumn("cj", floor(col("lon") / cellLon).cast("int"))
+      val offsets = array((for (di <- -1 to 1; dj <- -1 to 1)
+        yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
+      val a = pts.select(col("c_custkey").as("key_a"),
+          col("lat").as("lat_a"), col("lon").as("lon_a"),
+          explode(offsets).as("o"), col("ci"), col("cj"))
+        .select(col("key_a"), col("lat_a"), col("lon_a"),
+          (col("ci") + col("o.di")).as("ci"), (col("cj") + col("o.dj")).as("cj"))
+      val b = pts.select(col("c_custkey").as("key_b"),
+        col("lat").as("lat_b"), col("lon").as("lon_b"), col("ci"), col("cj"))
+      a.join(b, Seq("ci", "cj"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("d_km", haversineKm(col("lat_a"), col("lon_a"),
+          col("lat_b"), col("lon_b")))
+        .filter(col("d_km") <= 300.0)
+        .select(col("key_a"), col("key_b"),
+          floor(col("d_km") * 1e6 + 0.5).cast("long").as("dist_q6"))
+        .orderBy(col("key_a"), col("key_b"))
     })
   )
 
@@ -463,6 +507,34 @@ object Joins extends QueryModule {
          |WHERE r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "j12_geo_distance_join" -> {
+      // BRUTE-FORCE oracle (IEJoin on the lat band + full haversine) —
+      // independently proves the grid-cell bucketing loses no pair. The
+      // formula mirrors GeoFunctions.haversineKm operation-for-operation
+      // (same constants, same association order) so both engines round
+      // identically; see sc21_geo for the derivation.
+      val k = s"CAST(${math.Pi / 180.0} AS DOUBLE)"
+      val twoR = s"CAST(${2 * graft.functions.GeoFunctions.EarthRadiusKm} AS DOUBLE)"
+      val sdp = s"sin(((b.lat * $k) - (a.lat * $k)) / 2)"
+      val sdl = s"sin(((b.lon * $k) - (a.lon * $k)) / 2)"
+      val hav = s"$twoR * asin(sqrt(least(" +
+        s"$sdp * $sdp + cos(a.lat * $k) * cos(b.lat * $k) * $sdl * $sdl, 1.0)))"
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         |    CAST(c_custkey * 7 % 300 - 150 + 0.5 AS DOUBLE) AS lon
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, $hav AS d_km
+         |  FROM pts a JOIN pts b
+         |    ON a.c_custkey < b.c_custkey
+         |    AND b.lat BETWEEN a.lat - 2.75 AND a.lat + 2.75)
+         |SELECT key_a, key_b,
+         |  CAST(floor(d_km * 1e6 + 0.5) AS BIGINT) AS dist_q6
+         |FROM pairs WHERE d_km <= 300.0
+         |ORDER BY key_a, key_b""".stripMargin
+    }
   )
 }
