@@ -225,7 +225,11 @@ object Scalars extends QueryModule {
           |  json_query(j, '$.tags') AS q_tags,
           |  json_query(j, '$.tags[0]') AS q_tag0,
           |  json_query(j, '$.meta') AS q_meta,
-          |  json_query(j, '$.nope') AS q_missing
+          |  json_query(j, '$.nope') AS q_missing,
+          |  json_size(j, '$.tags') AS sz_tags,
+          |  json_size(j, '$.meta') AS sz_meta,
+          |  json_size(j, '$.id') AS sz_scalar,
+          |  json_size(j, '$.nope') AS sz_missing
           |FROM (
           |  SELECT "event_id",
           |    '{"id":' || CAST("event_id" AS VARCHAR) ||
@@ -713,7 +717,11 @@ object Scalars extends QueryModule {
         |  CAST(json_extract(j, '$.tags') AS VARCHAR) AS q_tags,
         |  CAST(json_extract(j, '$.tags[0]') AS VARCHAR) AS q_tag0,
         |  CAST(json_extract(j, '$.meta') AS VARCHAR) AS q_meta,
-        |  CAST(json_extract(j, '$.nope') AS VARCHAR) AS q_missing
+        |  CAST(json_extract(j, '$.nope') AS VARCHAR) AS q_missing,
+        |  CAST(json_array_length(j, '$.tags') AS BIGINT) AS sz_tags,
+        |  CAST(len(json_keys(j, '$.meta')) AS BIGINT) AS sz_meta,
+        |  CAST(0 AS BIGINT) AS sz_scalar,
+        |  CAST(NULL AS BIGINT) AS sz_missing
         |FROM src ORDER BY event_id""".stripMargin,
 
     "sc21_geo" -> {

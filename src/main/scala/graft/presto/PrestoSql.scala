@@ -327,7 +327,17 @@ object PrestoSql {
     // JSON. Also the JSON-preserving target for the json_extract rename.
     "json_query(j STRING, p STRING) RETURNS STRING RETURN" +
       " to_json(try_variant_get(try_parse_json(j)," +
-      " regexp_replace(trim(p), '^(?i:lax|strict)\\\\s+', '')))")
+      " regexp_replace(trim(p), '^(?i:lax|strict)\\\\s+', '')))",
+    // Trino json_size: member count for an object/array at the path,
+    // 0 for a scalar, NULL for a missing path. Defined AFTER json_query
+    // in this list — SQL-function bodies may reference earlier ones.
+    "json_size(j STRING, p STRING) RETURNS BIGINT RETURN" +
+      " CASE WHEN json_query(j, p) IS NULL THEN CAST(NULL AS BIGINT)" +
+      " WHEN startswith(json_query(j, p), '[')" +
+      " THEN CAST(json_array_length(json_query(j, p)) AS BIGINT)" +
+      " WHEN startswith(json_query(j, p), '{')" +
+      " THEN CAST(size(json_object_keys(json_query(j, p))) AS BIGINT)" +
+      " ELSE CAST(0 AS BIGINT) END")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)

@@ -212,7 +212,11 @@ class PrestoSqlSpec extends SparkSpec {
         |  json_query('{"s":"hi"}', '$.s') AS q_str,
         |  json_query('{"n":null}', 'strict $.n') AS q_null,
         |  json_query('{"a":{"b":[1,2]}}', '$.a.b[1]') AS q_idx,
-        |  json_extract('{"s":"hi"}', '$.s') AS je_str
+        |  json_extract('{"s":"hi"}', '$.s') AS je_str,
+        |  json_size('{"a":[1,2,3]}', '$.a') AS sz_arr,
+        |  json_size('{"a":{"x":1,"y":2}}', '$.a') AS sz_obj,
+        |  json_size('{"a":7}', '$.a') AS sz_scalar,
+        |  json_size('{"a":7}', '$.nope') AS sz_missing
         |""".stripMargin).collect().head
     assert(r.getBoolean(0), "JSON null member EXISTS (Trino semantics)")
     assert(!r.getBoolean(1) && !r.getBoolean(2))
@@ -223,6 +227,9 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(7) == "null")         // JSON null → the text 'null'
     assert(r.getString(8) == "2")
     assert(r.getString(9) == "\"hi\"", "json_extract maps to json_query (JSON-preserving)")
+    assert(r.getLong(10) == 3L && r.getLong(11) == 2L)   // array/object sizes
+    assert(r.getLong(12) == 0L, "json_size of a scalar is 0 (Trino)")
+    assert(r.isNullAt(13), "json_size of a missing path is NULL")
   }
 
   test("r3 adapters: ISO dow, date_parse %-format, hex/bitwise, truncate, json_array_get") {
