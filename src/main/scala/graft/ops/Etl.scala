@@ -206,6 +206,32 @@ object Etl extends QueryModule {
           |ORDER BY seg""".stripMargin)
     }),
 
+    // P4c: row-level DELETE in the script runner — Trino's DELETE FROM
+    // as a staged copy-on-write swap (survivors CTAS into a stage table,
+    // DROP + RENAME; the stage materializes before the drop, so failure
+    // leaves the original intact). The three-valued WHERE semantics are
+    // exercised: DELETE removes only pred-TRUE rows, so NULL-pred rows
+    // survive (none here — o_orderstatus is non-null — the spec covers
+    // the NULL case on synthetic rows).
+    "p4c_presto_delete" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS ord_del;
+          |
+          |CREATE TABLE ord_del AS
+          |  SELECT "o_orderkey" AS k, "o_orderstatus" AS st,
+          |    "o_totalprice" AS price
+          |  FROM orders WHERE "o_orderkey" < 4000;
+          |
+          |DELETE FROM ord_del WHERE st = 'F';
+          |
+          |SELECT st, COUNT(*) AS n, CAST(MIN(k) AS BIGINT) AS min_k,
+          |  CAST(MAX(k) AS BIGINT) AS max_k
+          |FROM ord_del
+          |GROUP BY st
+          |ORDER BY st""".stripMargin)
+    }),
+
     // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
     // actual user interface: a declarative JSON document of named SQL
     // steps + deps + sinks, no host-language code. The spec below compiles
@@ -478,6 +504,14 @@ object Etl extends QueryModule {
         |  CAST(SUM(c_custkey) AS BIGINT) AS sum_k,
         |  CAST(MAX(strpos(c_name, '1')) AS BIGINT) AS max_1pos
         |FROM customer GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "p4c_presto_delete" ->
+      """SELECT o_orderstatus AS st, COUNT(*) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders
+        |WHERE o_orderkey < 4000 AND o_orderstatus <> 'F'
+        |GROUP BY st ORDER BY st""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

@@ -108,6 +108,14 @@ object PrestoSql {
     *  - `DROP TABLE [IF EXISTS] t` → native drop. Scripts should DROP
     *    IF EXISTS + CTAS rather than rely on CREATE failing, same as a
     *    production Presto ETL run.
+    *  - `DELETE FROM t [WHERE pred]` → staged copy-on-write swap:
+    *    survivors (`NOT pred OR pred IS NULL` — DELETE removes only
+    *    pred-TRUE rows) CTAS into `t__stage`, then DROP + RENAME. The
+    *    stage materializes eagerly before the drop, so a failure mid-
+    *    statement leaves the original table intact. Row-level deletes
+    *    on parquet cost a table rewrite by design — partition-pruned
+    *    deletes belong to the o11b COW-merge path.
+    *  - `TRUNCATE TABLE t` → Spark's native TRUNCATE.
     * Column-list `CREATE TABLE t (c TYPE, …)` (Presto type syntax) is NOT
     * translated — ETL scripts are CTAS-shaped; use CTAS. Table names may
     * be double-quoted but must stay `[A-Za-z0-9_]` (Spark's
@@ -116,10 +124,26 @@ object PrestoSql {
   def script(spark: SparkSession, prestoScript: String): DataFrame = {
     val ctasRe =
       """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.]+)\s+AS\b""".r
+    val deleteRe =
+      """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
     val ddlRe =
-      """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE)\b""".r
+      """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
     val stmts = splitStatements(prestoScript)
       .map(_.trim).filter(_.nonEmpty)
+      .flatMap {
+        case deleteRe(tbl, pred) =>
+          // catalog names are [A-Za-z0-9_], so quoting is only syntax
+          val t = tbl.stripPrefix("\"").stripSuffix("\"")
+          val keep = Option(pred)
+            .map(p => s"WHERE NOT ($p) OR ($p) IS NULL")
+            .getOrElse("WHERE 1 = 0")
+          Seq(
+            s"DROP TABLE IF EXISTS ${t}__stage",
+            s"CREATE TABLE ${t}__stage AS SELECT * FROM $t $keep",
+            s"DROP TABLE $t",
+            s"ALTER TABLE ${t}__stage RENAME TO $t")
+        case st => Seq(st)
+      }
       .map { st =>
         val viewed = """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b""".r
           .replaceFirstIn(st, "CREATE OR REPLACE TEMPORARY VIEW ")

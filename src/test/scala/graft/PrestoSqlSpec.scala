@@ -184,6 +184,37 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS ddl_r; SELECT 1 AS one")
   }
 
+  test("script DELETE: pred-TRUE rows removed, NULL-pred rows survive; TRUNCATE empties") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS del_t;
+        |CREATE TABLE del_t AS
+        |  SELECT * FROM (VALUES (1, 10), (2, NULL), (3, 30), (4, 40)) AS t(id, v);
+        |DELETE FROM del_t WHERE v > 15;
+        |SELECT id FROM del_t ORDER BY id""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    // v > 15 is TRUE for 30/40 (deleted), FALSE for 10, NULL for row 2 —
+    // three-valued DELETE keeps both
+    assert(out == Seq(1, 2))
+    // the stage table must not linger after the swap
+    assert(!spark.catalog.tableExists("graft_ddl.del_t__stage"))
+
+    // unconditioned DELETE empties; TRUNCATE TABLE passes through native
+    val n1 = PrestoSql.script(spark,
+      "DELETE FROM del_t; SELECT COUNT(*) AS n FROM del_t")
+      .collect().head.getLong(0)
+    assert(n1 == 0L)
+    PrestoSql.script(spark,
+      """INSERT INTO del_t VALUES (9, 9);
+        |TRUNCATE TABLE del_t;
+        |SELECT COUNT(*) AS n FROM del_t""".stripMargin)
+      .collect().head.getLong(0) match {
+      case 0L => ()
+      case n => fail(s"TRUNCATE left $n rows")
+    }
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS del_t; SELECT 1 AS one")
+  }
+
   test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
     // Presto scripts may double-quote table names; the catalog still
     // requires [A-Za-z0-9_] names (Spark SessionCatalog.validateName), so
