@@ -393,6 +393,9 @@ object PrestoSql {
     // Presto's `x -> expr` lambda syntax unchanged.
     ("""(?i)\bany_match\s*\(""".r, "exists("),
     ("""(?i)\ball_match\s*\(""".r, "forall("),
+    // none_match = NOT any_match, including its NULL propagation (NOT
+    // preserves NULL), so the prefix rewrite is exact
+    ("""(?i)\bnone_match\s*\(""".r, "not exists("),
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),

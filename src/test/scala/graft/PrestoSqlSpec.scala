@@ -127,9 +127,12 @@ class PrestoSqlSpec extends SparkSpec {
     val r = PrestoSql.sql(spark,
       """SELECT any_match(sequence(1, 5), x -> x > 4) AS a,
         |  all_match(sequence(1, 5), x -> x > 0) AS b,
-        |  reduce(sequence(1, 4), 0, (s, x) -> s + x, s -> s * 10) AS c""".stripMargin)
+        |  reduce(sequence(1, 4), 0, (s, x) -> s + x, s -> s * 10) AS c,
+        |  none_match(sequence(1, 5), x -> x > 9) AS d,
+        |  none_match(sequence(1, 5), x -> x > 4) AS e""".stripMargin)
       .collect().head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getInt(2) == 100)
+    assert(r.getBoolean(3) && !r.getBoolean(4))
   }
 
   test("script splitting respects literals and quoted identifiers") {
