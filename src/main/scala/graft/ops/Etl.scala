@@ -232,6 +232,32 @@ object Etl extends QueryModule {
           |ORDER BY st""".stripMargin)
     }),
 
+    // P4d: row-level UPDATE in the script runner — multi-column SET with
+    // expressions over the row's OLD values and a predicate, resolved at
+    // run time against a table the same script created. Negative-balance
+    // customers get doubled balances and lowercased segments, so the
+    // read-back rollup splits into mixed-case groups the oracle must
+    // reproduce exactly.
+    "p4d_presto_update" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS cust_upd;
+          |
+          |CREATE TABLE cust_upd AS
+          |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg,
+          |    "c_acctbal" AS bal
+          |  FROM customer WHERE "c_custkey" < 3000;
+          |
+          |UPDATE cust_upd SET bal = bal * 2, seg = lower(seg)
+          |WHERE bal < 0.0;
+          |
+          |SELECT seg, COUNT(*) AS n,
+          |  CAST(SUM(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_q2
+          |FROM cust_upd
+          |GROUP BY seg
+          |ORDER BY seg""".stripMargin)
+    }),
+
     // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
     // actual user interface: a declarative JSON document of named SQL
     // steps + deps + sinks, no host-language code. The spec below compiles
@@ -512,6 +538,18 @@ object Etl extends QueryModule {
         |FROM orders
         |WHERE o_orderkey < 4000 AND o_orderstatus <> 'F'
         |GROUP BY st ORDER BY st""".stripMargin,
+
+    "p4d_presto_update" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_acctbal < 0.0 THEN lower(c_mktsegment)
+        |         ELSE c_mktsegment END AS seg,
+        |    CASE WHEN c_acctbal < 0.0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey < 3000)
+        |SELECT seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_q2
+        |FROM t GROUP BY seg ORDER BY seg""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

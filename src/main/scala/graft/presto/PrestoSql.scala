@@ -115,6 +115,14 @@ object PrestoSql {
     *    statement leaves the original table intact. Row-level deletes
     *    on parquet cost a table rewrite by design — partition-pruned
     *    deletes belong to the o11b COW-merge path.
+    *  - `UPDATE t SET c = expr[, …] [WHERE pred]` → the same staged
+    *    swap, with each assigned column rewritten as `CASE WHEN pred
+    *    THEN CAST(expr AS <col type>) ELSE col END` (NULL-pred rows keep
+    *    their value, per the standard; the CAST pins the table schema so
+    *    later INSERTs still fit). Assignment expressions may reference
+    *    the row's OLD column values, like Presto. Resolved at RUN time
+    *    against the live catalog, so a script may UPDATE a table it
+    *    created two statements earlier.
     *  - `TRUNCATE TABLE t` → Spark's native TRUNCATE.
     * Column-list `CREATE TABLE t (c TYPE, …)` (Presto type syntax) is NOT
     * translated — ETL scripts are CTAS-shaped; use CTAS. Table names may
@@ -127,7 +135,7 @@ object PrestoSql {
     val deleteRe =
       """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
     val ddlRe =
-      """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
+      """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|UPDATE|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
     val stmts = splitStatements(prestoScript)
       .map(_.trim).filter(_.nonEmpty)
       .flatMap {
@@ -161,10 +169,90 @@ object PrestoSql {
       spark.sql("USE graft_ddl")
       Some(prev)
     } else None
+    // UPDATE resolves against the live catalog (the table may have been
+    // created earlier in this very script), so it dispatches at RUN time
+    // rather than in the text pre-pass above
+    def exec(st: String): DataFrame = st match {
+      case UpdateRe(tbl, setList, pred) =>
+        runUpdate(spark, tbl, setList, Option(pred))
+      case _ => sql(spark, st)
+    }
     try {
-      stmts.init.foreach(sql(spark, _))
-      sql(spark, stmts.last)
+      stmts.init.foreach(exec)
+      exec(stmts.last)
     } finally prevDb.foreach(db => spark.sql(s"USE `$db`"))
+  }
+
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+("[^"]+"|[\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$""".r
+
+  /** Split on `sep` at zero paren/bracket depth outside string literals /
+    * quoted identifiers (assignment expressions contain commas inside
+    * function calls). */
+  private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) {
+        cur.append(c)
+        if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inLit = true; cur.append(c)
+        case '"' => inIdent = true; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  private def runUpdate(spark: SparkSession, tblRaw: String,
+      setList: String, pred: Option[String]): DataFrame = {
+    val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+    val assignRe = """(?s)^\s*("[^"]+"|\w+)\s*=\s*(.+?)\s*$""".r
+    val assigns = splitTopLevel(setList, ',').map {
+      case assignRe(c, e) =>
+        c.stripPrefix("\"").stripSuffix("\"").toLowerCase -> e
+      case bad => throw new IllegalArgumentException(
+        s"bad UPDATE assignment '$bad' (want col = expr)")
+    }.toMap
+    val schema = spark.table(t).schema
+    val known = schema.fields.map(_.name.toLowerCase).toSet
+    val unknown = assigns.keySet.diff(known)
+    require(unknown.isEmpty, s"UPDATE $t: unknown column(s) $unknown")
+    val sel = schema.fields.map { f =>
+      assigns.get(f.name.toLowerCase) match {
+        case Some(e) =>
+          val updated = s"CAST(($e) AS ${f.dataType.sql})"
+          pred match {
+            case Some(p) =>
+              s"CASE WHEN ($p) THEN $updated ELSE `${f.name}` END AS `${f.name}`"
+            case None => s"$updated AS `${f.name}`"
+          }
+        case None => s"`${f.name}`"
+      }
+    }.mkString(", ")
+    Seq(
+      s"DROP TABLE IF EXISTS ${t}__stage",
+      s"CREATE TABLE ${t}__stage USING PARQUET AS SELECT $sel FROM $t",
+      s"DROP TABLE $t",
+      s"ALTER TABLE ${t}__stage RENAME TO $t")
+      .map(sql(spark, _)).last
   }
 
   // DDL-database setup cache, keyed by SparkContext: the catalog is

@@ -218,6 +218,36 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS del_t; SELECT 1 AS one")
   }
 
+  test("script UPDATE: old-value refs, NULL-pred rows keep values, schema pinned") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS upd_t;
+        |CREATE TABLE upd_t AS
+        |  SELECT * FROM (VALUES (1, 10, 'a'), (2, NULL, 'b'), (3, 30, 'c')) AS t(id, v, tag);
+        |UPDATE upd_t SET v = v + id, tag = concat(tag, 'x') WHERE v >= 20;
+        |SELECT id, v, tag FROM upd_t ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getString(2))).toSeq
+    // row 1: pred FALSE -> unchanged; row 2: pred NULL -> unchanged
+    // (standard three-valued UPDATE); row 3: both columns updated, the
+    // v assignment reading the row's OLD id value
+    assert(out == Seq((1, Some(10), "a"), (2, None, "b"), (3, Some(33), "cx")))
+    // schema stays pinned (CAST to the old column type), so INSERT fits
+    PrestoSql.script(spark,
+      "INSERT INTO upd_t VALUES (4, 40, 'd'); SELECT 1 AS one")
+    assert(!spark.catalog.tableExists("graft_ddl.upd_t__stage"))
+    // unconditioned UPDATE rewrites every row
+    val all = PrestoSql.script(spark,
+      "UPDATE upd_t SET v = 0; SELECT CAST(SUM(v) AS BIGINT) AS s FROM upd_t")
+      .collect().head.getLong(0)
+    assert(all == 0L)
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark, "UPDATE upd_t SET nope = 1; SELECT 1 AS one")
+    }
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS upd_t; SELECT 1 AS one")
+  }
+
   test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
     // Presto scripts may double-quote table names; the catalog still
     // requires [A-Za-z0-9_] names (Spark SessionCatalog.validateName), so
