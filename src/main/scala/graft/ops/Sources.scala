@@ -305,6 +305,38 @@ object Sources extends QueryModule {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // S15: small-file COMPACTION — the table-maintenance pass every
+    // long-running 100 TB lake needs (streaming/incremental writers leave
+    // hundreds of small files per partition; scan cost and namenode
+    // pressure grow with file count, not bytes). A 40-task partitioned
+    // write fabricates the problem, then the compaction pass clusters by
+    // the partition key (`repartition(partitionCol)`) so every partition
+    // directory collapses to exactly ONE file — each key hashes to one
+    // shuffle task regardless of AQE coalescing. The result proves BOTH
+    // halves: content identical to the source rollup (oracle), layout at
+    // the target (n_files = distinct input_file_name per partition = 1).
+    "s15_compaction" -> ((s, d) => {
+      val small = scratch("graft_small")
+      val compacted = scratch("graft_compacted")
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .repartition(40)
+        .write.partitionBy("event_type").mode("overwrite").parquet(small)
+      s.read.parquet(small)
+        .repartition(col("event_type"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(compacted)
+      s.read.parquet(compacted)
+        // project the file name first — nondeterministic expressions may
+        // not appear inside aggregate arguments
+        .withColumn("fname", input_file_name())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("vq")).as("v_q6"),
+          countDistinct(col("fname")).cast("long").as("n_files"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -369,6 +401,14 @@ object Sources extends QueryModule {
     "s9_partition_overwrite" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0 ELSE o_totalprice END")} AS total
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "s15_compaction" ->
+      // content equality vs the raw source + the post-compaction layout
+      // invariant (exactly one file per partition directory)
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v_q6,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
