@@ -52,11 +52,42 @@ object BpeCore {
     total
   }
 
+  /** Per-word symbol sequences after the merge loop, as the nested
+    * `array<array<string>>` Catalyst value (word boundaries preserved —
+    * BPE training must never count a pair spanning two words). */
+  def segmentWords(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val n = s.length
+    val words = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      var j = i
+      while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+      if (j > i) {
+        val syms = mergeWord(s, i, j, ranks)
+        val arr = new Array[AnyRef](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          arr(k) = UTF8String.fromString(syms.get(k)); k += 1
+        }
+        words.add(new org.apache.spark.sql.catalyst.util.GenericArrayData(arr))
+      }
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      words.toArray(new Array[AnyRef](words.size)))
+  }
+
   /** BPE merge loop over one word (s[from, until)). */
   private def wordTokenCount(s: String, from: Int, until: Int,
-      ranks: java.util.HashMap[String, Integer]): Int = {
+      ranks: java.util.HashMap[String, Integer]): Int =
+    mergeWord(s, from, until, ranks).size
+
+  private def mergeWord(s: String, from: Int, until: Int,
+      ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     val len = until - from
-    if (len <= 1) return len
     var syms = new java.util.ArrayList[String](len)
     var k = from
     while (k < until) { syms.add(String.valueOf(s.charAt(k))); k += 1 }
@@ -91,8 +122,38 @@ object BpeCore {
         syms = out
       }
     }
-    syms.size
+    syms
   }
+}
+
+/** `bpe_segment(text, 'l r,l r,…')` — per-word symbol sequences after
+  * applying the merges table: `array<array<string>>`, one inner array
+  * per whitespace word. The nested shape keeps WORD BOUNDARIES visible
+  * to consumers (BPE training must never count a pair spanning two
+  * words). Same merge loop as bpe_count, same plan-time binding. */
+case class BpeSegmentExpression(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  @transient private lazy val ranks = BpeCore.buildRanks(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCore.segmentWords(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCore.segmentWords($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeSegmentExpression = copy(child = newChild)
 }
 
 /** `bpe_count(text, 'l r,l r,…')` — token count under the given

@@ -44,7 +44,11 @@ object GraftFunctions {
         BpeCountExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
     (FunctionIdentifier("image_stats"),
       new ExpressionInfo(classOf[ImageStatsExpression].getName, "image_stats"),
-      (e: Seq[Expression]) => ImageStatsExpression(e(0))))
+      (e: Seq[Expression]) => ImageStatsExpression(e(0))),
+    (FunctionIdentifier("bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegmentExpression].getName, "bpe_segment"),
+      (e: Seq[Expression]) =>
+        BpeSegmentExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {
@@ -81,4 +85,7 @@ object GraftFunctions {
     call_function("bpe_count", text, org.apache.spark.sql.functions.lit(
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
   def imageStats(bytes: Column): Column = call_function("image_stats", bytes)
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_segment", text, org.apache.spark.sql.functions.lit(
+      merges.map { case (l, r) => s"$l $r" }.mkString(",")))
 }

@@ -524,6 +524,25 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L4d: BPE TRAINING as a declared query — learn 6 merges from the
+    // sf corpus slice and emit the rank-ordered merges table with pair
+    // counts. Deterministic (lexicographic tie-break) but an iterative
+    // multi-job loop DuckDB SQL cannot express — pre-registered
+    // no-oracle; TextFunctionsSpec proves exact equality against an
+    // independent single-machine reference trainer on both a
+    // hand-computable synthetic corpus and the real fixture slice.
+    "l4d_bpe_train" -> ((s, d) => {
+      GF.register(s)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("text"))
+      val learned = bpeTrain(docs, col("text"), 6)
+      import s.implicits._
+      learned.zipWithIndex
+        .map { case ((l, r, n), i) => (i.toLong, l, r, n) }
+        .toDF("rank", "left", "right", "n_pairs")
+        .orderBy(col("rank"))
+    }),
+
     "l5_text_quality" -> ((s, d) => {
       val toks = TF.wordTokens(col("text"))
       Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -1050,6 +1069,45 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Distributed BPE TRAINING (the operator that produces what l4c's
+    * bpe_count consumes): Sennrich-style greedy merge learning. Each
+    * round (1) re-segments every word under the merges learned so far —
+    * scan-stage `bpe_segment` codegen expression, word boundaries kept by
+    * the nested array shape so no pair ever spans words, (2) counts
+    * adjacent symbol pairs via arrays_zip over the symbol arrays (the
+    * standard overlapping zip count), one partial+final aggregation, and
+    * (3) takes the most frequent pair (ties broken lexicographically for
+    * determinism) as the next merge. Driver state is ONE (pair, count)
+    * row per round — the k-means-centroid pattern; the corpus never
+    * leaves the executors and is re-read, not cached, because each
+    * round's segmentation expression differs. Stops early when no pair
+    * repeats (count < 2 learns nothing, like real trainers).
+    */
+  private[graft] def bpeTrain(docs: DataFrame, textCol: org.apache.spark.sql.Column,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && learned.size < numMerges) {
+      val merges = learned.map(m => (m._1, m._2)).toSeq
+      val top = docs
+        .select(explode(GF.bpeSegment(textCol, merges)).as("w"))
+        .select(explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+        .select(col("p.0").as("l"), col("p.1").as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        learned += ((row.getString(0), row.getString(1), row.getLong(2)))
+      }
+    }
+    learned.toSeq
+  }
 
   /** Shared body of l22/l22b: exact inverted-index cross-source Jaccard,
     * optionally df-capped. With `dfCap = Some(t)`, the hot-shingle set

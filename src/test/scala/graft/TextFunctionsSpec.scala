@@ -14,13 +14,14 @@ class TextFunctionsSpec extends SparkSpec {
     * documented semantics (lowest-rank adjacent pair; merge all its
     * left-to-right non-overlapping occurrences; repeat), written without
     * sharing code with BpeCore's imperative loop. */
-  private def refBpeWord(word: String, merges: Seq[(String, String)]): Int = {
+  private def refSegmentWord(word: String,
+      merges: Seq[(String, String)]): List[String] = {
     val rank = merges.zipWithIndex.toMap
     @annotation.tailrec
-    def loop(syms: List[String]): Int = {
+    def loop(syms: List[String]): List[String] = {
       val pairs = syms.zip(syms.drop(1))
       val present = pairs.filter(rank.contains)
-      if (present.isEmpty) syms.length
+      if (present.isEmpty) syms
       else {
         val best = present.minBy(rank)
         def mergeAll(rest: List[String]): List[String] = rest match {
@@ -32,6 +33,32 @@ class TextFunctionsSpec extends SparkSpec {
       }
     }
     loop(word.map(_.toString).toList)
+  }
+
+  private def refBpeWord(word: String, merges: Seq[(String, String)]): Int =
+    refSegmentWord(word, merges).length
+
+  /** Independent greedy trainer: count adjacent pairs over the current
+    * segmentation (overlapping zip count), take the most frequent
+    * (lexicographic tie-break), repeat; stop when no pair repeats. */
+  private def refTrain(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var learned = Vector.empty[(String, String, Long)]
+    var done = false
+    while (!done && learned.size < k) {
+      val merges = learned.map(m => (m._1, m._2))
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (t <- texts; w <- t.split("\\s+") if w.nonEmpty) {
+        val syms = refSegmentWord(w, merges)
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1)
+      }
+      val cands = counts.filter(_._2 >= 2)
+      if (cands.isEmpty) done = true
+      else {
+        val ((l, r), n) = cands.minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+        learned :+= ((l, r, n))
+      }
+    }
+    learned
   }
 
   private def refBpe(text: String, merges: Seq[(String, String)]): Long =
@@ -69,6 +96,37 @@ class TextFunctionsSpec extends SparkSpec {
     }
     // the parse round-trip used by the SQL registration
     assert(BpeCountExpression.parseMerges("t h,th e") == Seq("t" -> "h", "th" -> "e"))
+  }
+
+  test("bpe_segment keeps word boundaries and matches the reference segmentation") {
+    import graft.functions.{GraftFunctions => GF}
+    GF.register(spark)
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val out = Seq((1L, "the ther x"))
+      .toDF("id", "text")
+      .select(GF.bpeSegment($"text", merges).as("w"))
+      .collect().head.getSeq[scala.collection.Seq[String]](0)
+    assert(out.map(_.toList).toList == List(List("the"), List("the", "r"), List("x")))
+    assert(out.map(_.toList).toList == "the ther x".split(" ")
+      .map(refSegmentWord(_, merges)).toList)
+  }
+
+  test("distributed BPE training equals the reference trainer") {
+    import graft.ops.LlmOps
+    // hand-computable corpus: 'ab' occurs 3x (2 in abab + 1 in ab) ->
+    // first merge; second round: (ab,ab) appears once only -> stop
+    val tiny = Seq("abab", "ab b")
+    val tinyDf = tiny.toDF("text")
+    assert(LlmOps.bpeTrain(tinyDf, col("text"), 5) == Seq(("a", "b", 3L)))
+    assert(refTrain(tiny, 5) == Seq(("a", "b", 3L)))
+
+    // the real fixture slice: exact sequence equality incl. counts
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+      .select(col("text"))
+    val got = LlmOps.bpeTrain(docs, col("text"), 6)
+    val want = refTrain(docs.collect().map(_.getString(0)).toSeq, 6)
+    assert(got == want, s"got=$got want=$want")
+    assert(got.size == 6, "fixture slice should support 6 merges")
   }
 
   test("bpe_count evaluates identically in codegen and in a DataFrame plan") {
