@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *   output carries the 1-based winning branch index.
   * - ONE ROW PER MATCH output: (key, match_no, [branch,] start_us,
   *   end_us, n_rows).
-  * - AFTER MATCH SKIP PAST LAST ROW: matches never overlap; match_no is
-  *   1-based per key in stream order.
+  * - AFTER MATCH SKIP PAST LAST ROW (default): matches never overlap;
+  *   match_no is 1-based per key in stream order. SKIP TO NEXT ROW
+  *   (Trino's overlapping mode) restarts one row after the previous
+  *   match's START instead.
   * - `within`: a max (end.ts - start.ts) in microseconds, applied as a
   *   post-filter on the match the quantifiers select (documented choice:
   *   backtracking does not re-explore shorter alternatives to satisfy
@@ -82,6 +84,13 @@ object RowPattern extends Serializable {
     * position). */
   private type Branch = (Array[Int], Array[Quant])
 
+  /** AFTER MATCH SKIP policy: PAST LAST ROW (default — matches never
+    * overlap) or TO NEXT ROW (the Trino overlapping-matches mode: the
+    * next attempt starts one row after the previous match's START). */
+  sealed trait AfterMatch
+  case object SkipPastLastRow extends AfterMatch
+  case object SkipToNextRow extends AfterMatch
+
   /** Core matcher over one key's sorted buffer: leftmost-first with
     * bounded backtracking, ordered-branch alternation, SKIP PAST LAST
     * ROW, `within` post-filter per branch attempt. Returns
@@ -91,7 +100,8 @@ object RowPattern extends Serializable {
     */
   private[graft] def matchSpansBranches(ts: Array[Long],
       preds: Array[Array[Boolean]], branches: Array[Branch],
-      withinUs: Option[Long]): Seq[(Int, Int, Int)] = {
+      withinUs: Option[Long],
+      afterMatch: AfterMatch = SkipPastLastRow): Seq[(Int, Int, Int)] = {
     val len = ts.length
     // backtracking regex over the row sequence; returns the inclusive
     // end index of the first match anchored at `pos`, or -1
@@ -143,7 +153,10 @@ object RowPattern extends Serializable {
         val end = go(start, 0, ids, quants)
         if (end >= start && withinUs.forall(w => ts(end) - ts(start) <= w)) {
           acc += ((start, end, b))
-          start = end + 1 // SKIP PAST LAST ROW
+          start = afterMatch match {
+            case SkipPastLastRow => end + 1 // matches never overlap
+            case SkipToNextRow => start + 1 // overlapping matches allowed
+          }
           matched = true
         } else b += 1
       }
@@ -166,7 +179,8 @@ object RowPattern extends Serializable {
     */
   def matches(df: DataFrame, keyCol: String, tsCol: String,
       tiebreakCol: String, steps: Seq[Step],
-      withinUs: Option[Long] = None): DataFrame = {
+      withinUs: Option[Long] = None,
+      afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
     require(steps.nonEmpty, "empty pattern")
     val n = steps.size
     val quants = steps.map(_.quant).toArray
@@ -199,7 +213,10 @@ object RowPattern extends Serializable {
           }
           i += 1
         }
-        matchSpans(ts, preds, quants, withinUs).zipWithIndex.map {
+        matchSpansBranches(ts, preds,
+          Array((Array.tabulate(quants.length)(identity), quants)),
+          withinUs, afterMatch)
+          .map { case (s0, e0, _) => (s0, e0) }.zipWithIndex.map {
           case ((start, end), idx) =>
             PatternMatch(k, idx.toLong + 1, ts(start), ts(end),
               (end - start + 1).toLong)
@@ -217,7 +234,8 @@ object RowPattern extends Serializable {
     */
   def matchesAlt(df: DataFrame, keyCol: String, tsCol: String,
       tiebreakCol: String, branches: Seq[Seq[Step]],
-      withinUs: Option[Long] = None): DataFrame = {
+      withinUs: Option[Long] = None,
+      afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
     require(branches.nonEmpty && branches.forall(_.nonEmpty),
       "empty alternation or empty branch")
     val distinct = scala.collection.mutable.LinkedHashMap.empty[String, Step]
@@ -254,7 +272,8 @@ object RowPattern extends Serializable {
           }
           i += 1
         }
-        matchSpansBranches(ts, preds, branchArr, withinUs).zipWithIndex.map {
+        matchSpansBranches(ts, preds, branchArr, withinUs, afterMatch)
+          .zipWithIndex.map {
           case ((start, end, b), idx) =>
             PatternMatchAlt(k, idx.toLong + 1, b.toLong + 1, ts(start),
               ts(end), (end - start + 1).toLong)

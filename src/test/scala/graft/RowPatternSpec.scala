@@ -239,6 +239,60 @@ class RowPatternSpec extends SparkSpec {
       s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
   }
 
+  test("AFTER MATCH SKIP TO NEXT ROW yields overlapping matches") {
+    // pattern a a on stream a a a: skip-past gives one match (rows 1-2);
+    // skip-to-next gives two (1-2 and 2-3)
+    val df = streamDf(Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a")))
+    val steps = Seq(
+      Step("a1", col("event_type") === "a"),
+      Step("a2", col("event_type") === "a"))
+    def spans(m: org.apache.spark.sql.DataFrame) =
+      m.select("start_us", "end_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spans(RowPattern.matches(df, "user_id", "ts", "event_id", steps))
+      == Set((1L, 2L)))
+    assert(spans(RowPattern.matches(df, "user_id", "ts", "event_id", steps,
+        afterMatch = RowPattern.SkipToNextRow))
+      == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("SKIP TO NEXT ROW parity vs the regex reference on real events") {
+    val e = Tables.events(spark, sf)
+    val steps = Seq(
+      Step("view", col("event_type") === "view"),
+      Step("gap", col("event_type") =!= "purchase", star),
+      Step("purchase", col("event_type") === "purchase"))
+    val got = RowPattern.matches(e, "user_id", "ts", "event_id", steps,
+        afterMatch = RowPattern.SkipToNextRow)
+      .select("user_id", "start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val rows = e.select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = rows.flatMap { case (uid, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._4))
+      val types = sorted.map(t => t._3 match {
+        case "view" => 'v'; case "purchase" => 'p'; case _ => 'x'
+      }).toIndexedSeq
+      val ts = sorted.map(_._2).toIndexedSeq
+      val pat = java.util.regex.Pattern.compile("v[^p]*p")
+      val m = pat.matcher(new String(types.toArray))
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var from = 0
+      while (from < types.length && m.find(from)) {
+        acc += ((uid, ts(m.start), ts(m.end - 1)))
+        from = m.start + 1 // skip to next row: restart after match START
+      }
+      acc
+    }.toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+  }
+
   test("reluctant skip-form first match reproduces the e7 funnel") {
     val e = Tables.events(spark, sf)
     val viaPattern = RowPattern.matches(e, "user_id", "ts", "event_id", Seq(
