@@ -258,6 +258,40 @@ object Etl extends QueryModule {
           |ORDER BY seg""".stripMargin)
     }),
 
+    // P4e: MERGE INTO in the script runner — the flagship warehouse DML:
+    // an aggregate base table absorbs a delta batch, matched keys
+    // accumulate (UPDATE reading both sides' old values), unmatched keys
+    // append (INSERT). The base deliberately excludes one segment so the
+    // NOT MATCHED branch really fires at the gate SFs; the oracle is the
+    // equivalent single-pass aggregate over the union of both slices.
+    "p4e_presto_merge" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS seg_tot;
+          |
+          |CREATE TABLE seg_tot AS
+          |  SELECT "c_mktsegment" AS seg,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM("c_custkey") AS BIGINT) AS sk
+          |  FROM customer
+          |  WHERE "c_custkey" < 2000 AND "c_mktsegment" <> 'BUILDING'
+          |  GROUP BY 1;
+          |
+          |CREATE VIEW seg_delta AS
+          |  SELECT "c_mktsegment" AS seg,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM("c_custkey") AS BIGINT) AS sk
+          |  FROM customer
+          |  WHERE "c_custkey" >= 2000 AND "c_custkey" < 4000
+          |  GROUP BY 1;
+          |
+          |MERGE INTO seg_tot AS t USING seg_delta AS d ON t.seg = d.seg
+          |WHEN MATCHED THEN UPDATE SET n = t.n + d.n, sk = t.sk + d.sk
+          |WHEN NOT MATCHED THEN INSERT (seg, n, sk) VALUES (d.seg, d.n, d.sk);
+          |
+          |SELECT seg, n, sk FROM seg_tot ORDER BY seg""".stripMargin)
+    }),
+
     // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
     // actual user interface: a declarative JSON document of named SQL
     // steps + deps + sinks, no host-language code. The spec below compiles
@@ -550,6 +584,16 @@ object Etl extends QueryModule {
         |SELECT seg, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_q2
         |FROM t GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "p4e_presto_merge" ->
+      // the merged state = one aggregate over the union of the base
+      // slice (minus BUILDING) and the delta slice
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sk
+        |FROM customer
+        |WHERE (c_custkey < 2000 AND c_mktsegment <> 'BUILDING')
+        |   OR (c_custkey >= 2000 AND c_custkey < 4000)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

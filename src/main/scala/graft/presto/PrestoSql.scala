@@ -123,6 +123,19 @@ object PrestoSql {
     *    the row's OLD column values, like Presto. Resolved at RUN time
     *    against the live catalog, so a script may UPDATE a table it
     *    created two statements earlier.
+    *  - `MERGE INTO t [AS a] USING s [AS b] ON cond` with at most ONE
+    *    `WHEN MATCHED THEN UPDATE SET …` OR `WHEN MATCHED THEN DELETE`,
+    *    plus an optional `WHEN NOT MATCHED THEN INSERT (cols) VALUES
+    *    (exprs)` → one staged rewrite: matched rows update (or drop) via
+    *    a LEFT JOIN against the marker-tagged source, unmatched source
+    *    rows append via NOT EXISTS, all in a single stage CTAS then
+    *    swap. References in cond/SET/VALUES use the declared aliases
+    *    (defaulting to the table names). The source must be a table or
+    *    view name — CREATE VIEW a subquery first (this runner supports
+    *    that). Like o11's upsert, a target row matching MULTIPLE source
+    *    rows is a caller error (the standard makes it one; this rewrite
+    *    would duplicate the row instead — document, not detect, at this
+    *    layer).
     *  - `TRUNCATE TABLE t` → Spark's native TRUNCATE.
     * Column-list `CREATE TABLE t (c TYPE, …)` (Presto type syntax) is NOT
     * translated — ETL scripts are CTAS-shaped; use CTAS. Table names may
@@ -135,7 +148,7 @@ object PrestoSql {
     val deleteRe =
       """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
     val ddlRe =
-      """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|UPDATE|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
+      """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|UPDATE|MERGE\s+INTO|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
     val stmts = splitStatements(prestoScript)
       .map(_.trim).filter(_.nonEmpty)
       .flatMap {
@@ -173,6 +186,7 @@ object PrestoSql {
     // created earlier in this very script), so it dispatches at RUN time
     // rather than in the text pre-pass above
     def exec(st: String): DataFrame = st match {
+      case m if MergeHeadRe.findFirstIn(m).isDefined => runMerge(spark, m)
       case UpdateRe(tbl, setList, pred) =>
         runUpdate(spark, tbl, setList, Option(pred))
       case _ => sql(spark, st)
@@ -185,6 +199,111 @@ object PrestoSql {
 
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+("[^"]+"|[\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$""".r
+
+  private val MergeHeadRe = """(?is)^\s*MERGE\s+INTO\b""".r
+  private val MergeIntoRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+("[^"]+"|[\w.]+)""" +
+      """(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
+      """\s+USING\s+("[^"]+"|[\w.]+)""" +
+      """(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?""" +
+      """\s+ON\s+(.+)$""").r
+  private val MergeUpdateRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+  private val MergeDeleteRe = """(?is)^DELETE\s*$""".r
+  private val MergeInsertRe =
+    """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$""".r
+
+  private def runMerge(spark: SparkSession, stmt: String): DataFrame = {
+    // split into the head (MERGE INTO … ON cond) and the WHEN clauses
+    val clauseRe = """(?i)\bWHEN\s+(NOT\s+)?MATCHED\s+THEN\b""".r
+    val marks = clauseRe.findAllMatchIn(stmt).toSeq
+    require(marks.nonEmpty, "MERGE needs at least one WHEN clause")
+    val head = stmt.substring(0, marks.head.start)
+    val clauses = marks.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < marks.size) marks(i + 1).start else stmt.length
+      (m.group(1) != null, stmt.substring(m.end, end).trim)
+    }
+    val (tRaw, tAliasOpt, sRaw, sAliasOpt, cond) = head match {
+      case MergeIntoRe(t, ta, s0, sa, c) => (t, Option(ta), s0, Option(sa), c.trim)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported MERGE head: ${head.take(120)}")
+    }
+    def bare(n: String) = n.stripPrefix("\"").stripSuffix("\"")
+    val t = bare(tRaw)
+    val src = bare(sRaw)
+    val ta = tAliasOpt.getOrElse(t.split('.').last)
+    val sa = sAliasOpt.getOrElse(src.split('.').last)
+
+    var updateSet: Option[Map[String, String]] = None
+    var deleteMatched = false
+    var insertClause: Option[(Seq[String], Seq[String])] = None
+    clauses.foreach {
+      case (false, MergeUpdateRe(setList)) =>
+        require(updateSet.isEmpty && !deleteMatched,
+          "at most one WHEN MATCHED clause is supported")
+        val assignRe = """(?s)^\s*("[^"]+"|\w+)\s*=\s*(.+?)\s*$""".r
+        updateSet = Some(splitTopLevel(setList, ',').map {
+          case assignRe(c, e) => bare(c).toLowerCase -> e
+          case badA => throw new IllegalArgumentException(
+            s"bad MERGE assignment '$badA'")
+        }.toMap)
+      case (false, cl) if MergeDeleteRe.findFirstIn(cl).isDefined =>
+        require(updateSet.isEmpty && !deleteMatched,
+          "at most one WHEN MATCHED clause is supported")
+        deleteMatched = true
+      case (true, MergeInsertRe(cols, vals)) =>
+        require(insertClause.isEmpty,
+          "at most one WHEN NOT MATCHED clause is supported")
+        insertClause = Some((
+          splitTopLevel(cols, ',').map(c => bare(c.trim).toLowerCase),
+          splitTopLevel(vals, ',').map(_.trim)))
+      case (neg, cl) => throw new IllegalArgumentException(
+        s"unsupported MERGE clause (not=$neg): ${cl.take(120)}")
+    }
+
+    val schema = spark.table(t).schema
+    val known = schema.fields.map(_.name.toLowerCase).toSet
+    updateSet.foreach(m => require(m.keySet.subsetOf(known),
+      s"MERGE $t: unknown column(s) ${m.keySet.diff(known)}"))
+    insertClause.foreach { case (cols, vals) =>
+      require(cols.toSet.subsetOf(known),
+        s"MERGE $t: unknown insert column(s) ${cols.toSet.diff(known)}")
+      require(cols.size == vals.size,
+        s"MERGE $t: ${cols.size} insert columns vs ${vals.size} values")
+    }
+
+    // survivors-and-updates branch over target LEFT JOIN marker-tagged src
+    val matchedBranch = {
+      val sel = schema.fields.map { f =>
+        updateSet.flatMap(_.get(f.name.toLowerCase)) match {
+          case Some(e) =>
+            s"CASE WHEN `$sa`.__m THEN CAST(($e) AS ${f.dataType.sql})" +
+              s" ELSE `$ta`.`${f.name}` END AS `${f.name}`"
+          case None => s"`$ta`.`${f.name}` AS `${f.name}`"
+        }
+      }.mkString(", ")
+      val base = s"SELECT $sel FROM $t AS `$ta` LEFT JOIN" +
+        s" (SELECT *, true AS __m FROM $src) AS `$sa` ON $cond"
+      if (deleteMatched) s"$base WHERE `$sa`.__m IS NULL" else base
+    }
+    val insertBranch = insertClause.map { case (cols, vals) =>
+      val byCol = cols.zip(vals).toMap
+      val sel = schema.fields.map { f =>
+        byCol.get(f.name.toLowerCase) match {
+          case Some(e) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
+          case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+        }
+      }.mkString(", ")
+      s" UNION ALL SELECT $sel FROM $src AS `$sa` WHERE NOT EXISTS" +
+        s" (SELECT 1 FROM $t AS `$ta` WHERE $cond)"
+    }.getOrElse("")
+
+    Seq(
+      s"DROP TABLE IF EXISTS ${t}__stage",
+      s"CREATE TABLE ${t}__stage USING PARQUET AS $matchedBranch$insertBranch",
+      s"DROP TABLE $t",
+      s"ALTER TABLE ${t}__stage RENAME TO $t")
+      .map(sql(spark, _)).last
+  }
 
   /** Split on `sep` at zero paren/bracket depth outside string literals /
     * quoted identifiers (assignment expressions contain commas inside

@@ -135,6 +135,26 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getBoolean(3) && !r.getBoolean(4))
   }
 
+  test("fuzz: hostile literal content survives translation byte-for-byte") {
+    // literal content that LOOKS like every rewrite trigger the
+    // translator has — function names, ARRAY brackets, semicolons,
+    // escaped quotes, %-format tokens, path prefixes — must come back
+    // exactly as written after the full script pipeline
+    val hostile = Seq("split(", "ARRAY[1,2]", "a;b", "it's", "x]",
+      "date_diff('hour'", "\"q\"", "map(array(", "%Y-%m-%d", "lax $.k",
+      "try(", "chr(", "json_extract(", "'';--", "AT TIME ZONE")
+    val rnd = new scala.util.Random(7)
+    (1 to 40).foreach { _ =>
+      val content = (1 to (1 + rnd.nextInt(3)))
+        .map(_ => hostile(rnd.nextInt(hostile.size))).mkString(" ")
+      val lit = content.replace("'", "''")
+      val got = PrestoSql.script(spark,
+        s"SELECT 1 AS warm; SELECT '$lit' AS c")
+        .collect().head.getString(0)
+      assert(got == content, s"literal corrupted: <$content> -> <$got>")
+    }
+  }
+
   test("script splitting respects literals and quoted identifiers") {
     assert(PrestoSql.splitStatements("SELECT 'a;b'; SELECT \"x;y\"; SELECT 1")
       == Seq("SELECT 'a;b'", " SELECT \"x;y\"", " SELECT 1"))
@@ -246,6 +266,36 @@ class PrestoSqlSpec extends SparkSpec {
       PrestoSql.script(spark, "UPDATE upd_t SET nope = 1; SELECT 1 AS one")
     }
     PrestoSql.script(spark, "DROP TABLE IF EXISTS upd_t; SELECT 1 AS one")
+  }
+
+  test("script MERGE: update-matched + insert-unmatched, and the delete form") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS mrg_t;
+        |CREATE TABLE mrg_t AS
+        |  SELECT * FROM (VALUES (1, 10, 'keep'), (2, 20, 'old'), (3, 30, 'old')) AS t(k, v, tag);
+        |CREATE VIEW mrg_src AS
+        |  SELECT * FROM (VALUES (2, 200), (3, 300), (9, 900)) AS s(k, nv);
+        |MERGE INTO mrg_t AS tg USING mrg_src AS sr ON tg.k = sr.k
+        |WHEN MATCHED THEN UPDATE SET v = sr.nv, tag = 'upd'
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.nv);
+        |SELECT k, v, tag FROM mrg_t ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    // row 1 untouched; 2 and 3 updated; 9 inserted with NULL-filled tag
+    assert(out == Seq((1, 10, "keep"), (2, 200, "upd"), (3, 300, "upd"),
+      (9, 900, null)))
+    assert(!spark.catalog.tableExists("graft_ddl.mrg_t__stage"))
+
+    // WHEN MATCHED THEN DELETE: drop rows that appear in the source
+    val afterDelete = PrestoSql.script(spark,
+      """MERGE INTO mrg_t AS tg USING mrg_src AS sr ON tg.k = sr.k
+        |WHEN MATCHED THEN DELETE;
+        |SELECT k FROM mrg_t ORDER BY k""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(afterDelete == Seq(1))
+    spark.catalog.dropTempView("mrg_src")
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS mrg_t; SELECT 1 AS one")
   }
 
   test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
