@@ -135,6 +135,18 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getBoolean(3) && !r.getBoolean(4))
   }
 
+  test("EXPLAIN / DESCRIBE / SHOW pass through the script runner") {
+    Tables.registerAll(spark, sf)
+    val explain = PrestoSql.script(spark,
+      """EXPLAIN SELECT "r_regionkey" FROM region WHERE "r_regionkey" > 2""")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(explain.contains("Filter") || explain.contains("PushedFilters"))
+    val desc = PrestoSql.script(spark, "DESCRIBE region")
+      .collect().map(_.getString(0))
+    assert(desc.contains("r_regionkey") && desc.contains("r_name"))
+    assert(PrestoSql.script(spark, "SHOW TABLES").columns.nonEmpty)
+  }
+
   test("fuzz: hostile literal content survives translation byte-for-byte") {
     // literal content that LOOKS like every rewrite trigger the
     // translator has — function names, ARRAY brackets, semicolons,
