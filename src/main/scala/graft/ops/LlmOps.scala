@@ -1067,6 +1067,92 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"),
           (col("offset") + col("rn") - 1).as("stable_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L26: SemDeDup — semantic deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540): k-means-cluster the embeddings, then drop, WITHIN
+    // each cluster only, every vector that has a higher-priority neighbor
+    // above a cosine threshold (priority = smaller vec_id here, where the
+    // paper keeps an arbitrary representative per duplicate group). The
+    // clusters bound candidate generation — pairs are generated per
+    // cluster bucket, never all-pairs, so at 100 TB the pair count is
+    // sum(|cluster|²) with k chosen to keep clusters executor-sized
+    // (the same IVF shape as l3b; assignment is map-side over broadcast
+    // centroids, the corpus never shuffles to be clustered).
+    //
+    // The query PLANTS ε-scaled near-duplicate copies (float(1.01·x)
+    // per element → cosine ≈ 1.0 with the original; the natural corpus
+    // maxes out near cos 0.51, far from the τ=0.95 threshold), and the
+    // oracle encodes the planted ground truth: every planted copy is
+    // dropped (its original has a smaller id and cosine ≥ τ, and scaling
+    // preserves the argmax centroid so both land in the same cluster) and
+    // every natural vector survives. Cluster ids are algorithm-internal
+    // and not exposed; the prune-rule MATH is independently re-derived by
+    // the l26b oracle below.
+    "l26_semdedup" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val planted = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 1.01D AS FLOAT))").as("embedding"),
+          col("label"))
+      val all = e.unionByName(planted).localCheckpoint()
+
+      // label-seeded k-means, one Lloyd refinement (l3b shape): SemDeDup
+      // only needs clusters that keep near-dups together, which any
+      // converged-enough k-means does — cosine is scale-invariant, so a
+      // planted copy shares its original's nearest centroid.
+      def assign(cent: DataFrame): DataFrame = {
+        val centArr = cent.agg(array_sort(collect_list(struct(
+          col("cid"), col("cvec").cast("array<float>").as("cf")))).as("cents"))
+        all.crossJoin(broadcast(centArr))
+          .withColumn("cid", expr(
+            """aggregate(
+              |  transform(cents, c -> named_struct('cid', c.cid, 's', cosine_sim(embedding, c.cf))),
+              |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
+              |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
+          .select(col("vec_id"), col("embedding"), col("cid"))
+      }
+      val seed = all.groupBy(col("label").cast("long").as("cid"))
+        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+      val cent = assign(seed).groupBy(col("cid"))
+        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+      val assigned = assign(cent).localCheckpoint()
+
+      val a = assigned.select(col("cid"), col("vec_id").as("vid_a"), col("embedding").as("emb_a"))
+      val b = assigned.select(col("cid"), col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+      val drops = a.join(b, Seq("cid"))
+        .filter(col("vid_a") < col("vid_b"))
+        .filter(CosineSimilarityExpression.cosineSim(col("emb_a"), col("emb_b")) >= 0.95)
+        .select(col("vid_b").as("vec_id")).distinct()
+      assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dropped").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // L26b: the prune-rule correctness anchor — same dominance prune with
+    // `label` as the (given) cluster, so the DuckDB oracle can re-derive
+    // every pairwise cosine and the kept set independently. Quantized at
+    // 1e6 like l2d (proven bit-exact vs DuckDB's double accumulation).
+    "l26b_semdedup_exact" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val planted = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 1.01D AS FLOAT))").as("embedding"),
+          col("label"))
+      val all = e.unionByName(planted)
+      val a = all.select(col("label"), col("vec_id").as("vid_a"), col("embedding").as("emb_a"))
+      val b = all.select(col("label"), col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
+      val drops = a.join(b, Seq("label"))
+        .filter(col("vid_a") < col("vid_b"))
+        .filter(floor(CosineSimilarityExpression.cosineSim(col("emb_a"), col("emb_b")) *
+          lit(1e6) + lit(0.5)).cast("long") >= 950000L)
+        .select(col("vid_b").as("vec_id")).distinct()
+      all.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select(col("label").cast("long").as("cluster"), col("vec_id"),
+          col("dropped").isNull.as("kept"))
+        .orderBy(col("cluster"), col("vec_id"))
     })
   )
 
@@ -1615,6 +1701,43 @@ object LlmOps extends QueryModule {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS stable_id,
         |  source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // l26: the oracle encodes the planted-duplicate ground truth — the
+    // k-means clustering is algorithm-internal, but the KEPT SET is fully
+    // determined (every planted ε-copy has its original, at cosine ≈ 1.0
+    // ≥ τ, with a smaller id in the same cluster; no natural pair reaches
+    // τ = 0.95, corpus max ≈ 0.51). 100% recall + zero false positives,
+    // end to end.
+    "l26_semdedup" ->
+      """WITH univ AS (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, vec_id < 100000 AS kept
+        |FROM univ ORDER BY vec_id""".stripMargin,
+
+    // l26b: full independent re-derivation of the dominance prune — DuckDB
+    // recomputes every within-cluster pairwise cosine (l2d's proven-exact
+    // double-accumulation quantized at 1e6) and the kept set from scratch.
+    "l26b_semdedup_exact" ->
+      """WITH univ AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, label,
+        |    CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(x * 1.01 AS FLOAT)) AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 100),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM univ a JOIN univ b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE floor(list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |      * 1e6 + 0.5) >= 950000)
+        |SELECT CAST(u.label AS BIGINT) AS cluster, u.vec_id,
+        |  d.vec_id IS NULL AS kept
+        |FROM univ u LEFT JOIN drops d ON u.vec_id = d.vec_id
+        |ORDER BY cluster, u.vec_id""".stripMargin
   )
 }

@@ -105,6 +105,25 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("cosine_sim"), plan.take(2000))
   }
 
+  test("l26 SemDeDup recovers the planted ground truth through internal k-means clusters") {
+    val df = ops.LlmOps.queries("l26_semdedup")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(rows.exists(_._1 >= 100000L), "planted ε-copies must be present")
+    // every planted copy (id ≥ 100000) has its original at cosine ≈ 1.0 in
+    // the same cluster and must be pruned; every natural vector survives
+    // (corpus max pairwise cosine ≈ 0.51 < τ = 0.95)
+    val wrong = rows.filter { case (id, kept) => kept != (id < 100000L) }
+    assert(wrong.isEmpty, s"mislabelled: ${wrong.take(5).mkString(",")}")
+
+    val plan = df.queryExecution.executedPlan.toString
+    // pair generation joins on the cluster id — never all-pairs; the only
+    // nested-loop shape allowed is the 1-row broadcast centroid frame
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val pairJoin = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("cid")).mkString
+    assert(pairJoin.nonEmpty, plan.take(3000))
+  }
+
   test("l19 packing plan shuffles only narrow planning columns, never text") {
     val plan = ops.LlmOps.queries("l19_pack_sequences")(spark, sf)
       .queryExecution.executedPlan.toString
