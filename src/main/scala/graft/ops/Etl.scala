@@ -292,6 +292,44 @@ object Etl extends QueryModule {
           |SELECT seg, n, sk FROM seg_tot ORDER BY seg""".stripMargin)
     }),
 
+    // P4f: column-list CREATE TABLE (Presto type syntax → Spark DDL) plus
+    // the ALTER TABLE column surface: ADD COLUMN (parquet schema
+    // evolution — pre-existing rows read NULL until the UPDATE fills
+    // them), RENAME COLUMN and DROP COLUMN (staged CTAS-swap; Spark's v1
+    // parquet catalog supports neither in place). The array(varchar)
+    // column proves nested Presto types create correctly and is then
+    // dropped, so the read-back compares only oracle-expressible columns.
+    "p4f_presto_schema_ddl" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS nat_typed;
+          |
+          |CREATE TABLE nat_typed (
+          |  nkey bigint,
+          |  nname varchar,
+          |  rkey integer NOT NULL,
+          |  tags array(varchar),
+          |  score decimal(12,2)
+          |);
+          |
+          |INSERT INTO nat_typed
+          |  SELECT "n_nationkey", "n_name", CAST("n_regionkey" AS integer),
+          |    ARRAY[lower("n_name")],
+          |    CAST("n_nationkey" * 25 + 7 AS decimal(12,2))
+          |  FROM nation;
+          |
+          |ALTER TABLE nat_typed ADD COLUMN name_len integer;
+          |
+          |UPDATE nat_typed SET name_len = length(nname);
+          |
+          |ALTER TABLE nat_typed RENAME COLUMN nname TO nation_name;
+          |
+          |ALTER TABLE nat_typed DROP COLUMN tags;
+          |
+          |SELECT nkey, nation_name, rkey, score, name_len
+          |FROM nat_typed ORDER BY nkey""".stripMargin)
+    }),
+
     // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
     // actual user interface: a declarative JSON document of named SQL
     // steps + deps + sinks, no host-language code. The spec below compiles
@@ -594,6 +632,18 @@ object Etl extends QueryModule {
         |WHERE (c_custkey < 2000 AND c_mktsegment <> 'BUILDING')
         |   OR (c_custkey >= 2000 AND c_custkey < 4000)
         |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "p4f_presto_schema_ddl" ->
+      // the schema DDL round-trip nets out to a typed projection of
+      // nation: INSERT casts pin every column to the declared type, the
+      // UPDATE fills the evolved column on all rows, RENAME relabels,
+      // DROP removes the array column from the final read-back
+      """SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+        |  n_name AS nation_name,
+        |  CAST(n_regionkey AS INTEGER) AS rkey,
+        |  CAST(n_nationkey * 25 + 7 AS DECIMAL(12,2)) AS score,
+        |  CAST(length(n_name) AS INTEGER) AS name_len
+        |FROM nation ORDER BY nkey""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

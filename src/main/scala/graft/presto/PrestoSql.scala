@@ -137,10 +137,22 @@ object PrestoSql {
     *    would duplicate the row instead — document, not detect, at this
     *    layer).
     *  - `TRUNCATE TABLE t` → Spark's native TRUNCATE.
-    * Column-list `CREATE TABLE t (c TYPE, …)` (Presto type syntax) is NOT
-    * translated — ETL scripts are CTAS-shaped; use CTAS. Table names may
-    * be double-quoted but must stay `[A-Za-z0-9_]` (Spark's
-    * SessionCatalog name restriction for managed tables).
+    *  - `CREATE TABLE [IF NOT EXISTS] t (c TYPE, …)` — column-list DDL
+    *    with PRESTO type syntax (`varchar`, `real`, `array(T)`,
+    *    `map(K,V)`, `row(n T, …)`, `decimal(p,s)`, …) → the types are
+    *    translated to Spark DDL (`translateType`) and the table lands as
+    *    empty managed parquet. `NOT NULL` markers are accepted and
+    *    DROPPED (parquet tables don't enforce them; a documented limit).
+    *  - `ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c TYPE` → Spark
+    *    `ADD COLUMNS`; existing rows read NULL for the new column
+    *    (parquet schema evolution), same as Trino on hive tables.
+    *  - `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` → Spark's
+    *    v1 parquet catalog supports neither in place, so both run as the
+    *    same staged CTAS-swap as DELETE/UPDATE (projection renames or
+    *    omits the column), resolved at RUN time against the live schema.
+    *  - `ALTER TABLE t RENAME TO t2` → native passthrough.
+    * Table names may be double-quoted but must stay `[A-Za-z0-9_]`
+    * (Spark's SessionCatalog name restriction for managed tables).
     */
   def script(spark: SparkSession, prestoScript: String): DataFrame = {
     val ctasRe =
@@ -149,9 +161,23 @@ object PrestoSql {
       """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
     val ddlRe =
       """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|UPDATE|MERGE\s+INTO|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
+    // column-list CREATE TABLE: name directly followed by a paren (a CTAS
+    // has AS between name and any paren, so the two forms can't collide)
+    val createColsRe =
+      """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.]+)\s*\((.+)\)\s*$""".r
     val stmts = splitStatements(prestoScript)
       .map(_.trim).filter(_.nonEmpty)
       .flatMap {
+        case createColsRe(ine, tbl, cols) =>
+          val t = tbl.stripPrefix("\"").stripSuffix("\"")
+          val defs = splitTopLevel(cols, ',').map(_.trim).map { cd0 =>
+            val cd = cd0.replaceAll("(?is)\\s+NOT\\s+NULL\\s*$", "")
+            val (name, tpe) = cd.span(!_.isWhitespace)
+            require(tpe.trim.nonEmpty, s"bad column definition '$cd0'")
+            s"`${name.stripPrefix("\"").stripSuffix("\"")}` ${translateType(tpe)}"
+          }
+          val ifNot = if (ine == null) "" else "IF NOT EXISTS "
+          Seq(s"CREATE TABLE $ifNot$t (${defs.mkString(", ")}) USING PARQUET")
         case deleteRe(tbl, pred) =>
           // catalog names are [A-Za-z0-9_], so quoting is only syntax
           val t = tbl.stripPrefix("\"").stripSuffix("\"")
@@ -189,6 +215,28 @@ object PrestoSql {
       case m if MergeHeadRe.findFirstIn(m).isDefined => runMerge(spark, m)
       case UpdateRe(tbl, setList, pred) =>
         runUpdate(spark, tbl, setList, Option(pred))
+      case AlterAddColRe(tbl, c, tpe) =>
+        val t = tbl.stripPrefix("\"").stripSuffix("\"")
+        val col = c.stripPrefix("\"").stripSuffix("\"")
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (`$col` ${translateType(tpe)})")
+      case AlterRenameColRe(tbl, a, b) =>
+        val t = tbl.stripPrefix("\"").stripSuffix("\"")
+        val from = a.stripPrefix("\"").stripSuffix("\"")
+        val to = b.stripPrefix("\"").stripSuffix("\"")
+        val names = spark.table(t).schema.fieldNames
+        require(names.exists(_.equalsIgnoreCase(from)),
+          s"ALTER $t: no column '$from'")
+        restage(spark, t, names.map(f =>
+          if (f.equalsIgnoreCase(from)) s"`$f` AS `$to`" else s"`$f`"))
+      case AlterDropColRe(tbl, c) =>
+        val t = tbl.stripPrefix("\"").stripSuffix("\"")
+        val col = c.stripPrefix("\"").stripSuffix("\"")
+        val names = spark.table(t).schema.fieldNames
+        require(names.exists(_.equalsIgnoreCase(col)),
+          s"ALTER $t: no column '$col'")
+        val kept = names.filterNot(_.equalsIgnoreCase(col))
+        require(kept.nonEmpty, s"ALTER $t: cannot drop the only column")
+        restage(spark, t, kept.map(f => s"`$f`"))
       case _ => sql(spark, st)
     }
     try {
@@ -199,6 +247,73 @@ object PrestoSql {
 
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+("[^"]+"|[\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$""".r
+
+  private val AlterAddColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+ADD\s+COLUMN\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?("[^"]+"|\w+)\s+(.+?)\s*$""").r
+  private val AlterRenameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+RENAME\s+COLUMN\s+""" +
+      """("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$""").r
+  private val AlterDropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+DROP\s+COLUMN\s+""" +
+      """(?:IF\s+EXISTS\s+)?("[^"]+"|\w+)\s*$""").r
+
+  /** Staged CTAS-swap: rewrite table `t` as `SELECT <projection> FROM t`
+    * (the same stage-materializes-before-drop shape as DELETE/UPDATE, so
+    * mid-statement failure leaves the original intact). */
+  private def restage(spark: SparkSession, t: String,
+      projection: Seq[String]): DataFrame =
+    Seq(
+      s"DROP TABLE IF EXISTS ${t}__stage",
+      s"CREATE TABLE ${t}__stage USING PARQUET AS" +
+        s" SELECT ${projection.mkString(", ")} FROM $t",
+      s"DROP TABLE $t",
+      s"ALTER TABLE ${t}__stage RENAME TO $t")
+      .map(spark.sql(_)).last
+
+  /** Presto/Trino type syntax → Spark SQL DDL type, recursively through
+    * `array(T)` / `map(K,V)` / `row(name T, …)`. `varchar`/`char` widths
+    * collapse to STRING (Presto enforces them loosely too), `real` maps
+    * to FLOAT, `json`/`uuid` carry as STRING, `timestamp with time zone`
+    * lands on Spark's session-zoned TIMESTAMP. Unknown types throw —
+    * silent passthrough would defer the error to a less readable place. */
+  private[graft] def translateType(t: String): String = {
+    val s = t.trim
+    val paramRe = """(?is)^(\w+)\s*\((.*)\)$""".r
+    s match {
+      case paramRe(name, args) => name.toLowerCase match {
+        case "array" => s"ARRAY<${translateType(args)}>"
+        case "map" =>
+          val kv = splitTopLevel(args, ',').map(_.trim)
+          require(kv.size == 2, s"map needs two type args: '$s'")
+          s"MAP<${translateType(kv.head)}, ${translateType(kv(1))}>"
+        case "row" =>
+          val fields = splitTopLevel(args, ',').map(_.trim).map { f =>
+            val (n, ft) = f.span(!_.isWhitespace)
+            require(ft.trim.nonEmpty, s"row field needs a type: '$f'")
+            s"`${n.stripPrefix("\"").stripSuffix("\"")}`: ${translateType(ft)}"
+          }
+          s"STRUCT<${fields.mkString(", ")}>"
+        case "decimal" => s"DECIMAL($args)"
+        case "varchar" | "char" => "STRING"
+        case other => throw new IllegalArgumentException(
+          s"unsupported Presto type '$s' ($other)")
+      }
+      case _ => s.toLowerCase.replaceAll("\\s+", " ") match {
+        case "varchar" | "char" | "json" | "uuid" => "STRING"
+        case "varbinary" => "BINARY"
+        case "real" => "FLOAT"
+        case "double" | "double precision" => "DOUBLE"
+        case "integer" | "int" => "INT"
+        case "tinyint" | "smallint" | "bigint" | "boolean" | "date" =>
+          s.toUpperCase
+        case "decimal" => "DECIMAL(10, 0)"
+        case "timestamp" | "timestamp with time zone" => "TIMESTAMP"
+        case other => throw new IllegalArgumentException(
+          s"unsupported Presto type '$other'")
+      }
+    }
+  }
 
   private val MergeHeadRe = """(?is)^\s*MERGE\s+INTO\b""".r
   private val MergeIntoRe =

@@ -207,6 +207,53 @@ class PrestoSqlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_ddl.ddl_t"))
   }
 
+  test("translateType: Presto type syntax maps to Spark DDL, recursively") {
+    assert(PrestoSql.translateType("varchar") == "STRING")
+    assert(PrestoSql.translateType("varchar(20)") == "STRING")
+    assert(PrestoSql.translateType("real") == "FLOAT")
+    assert(PrestoSql.translateType("double precision") == "DOUBLE")
+    assert(PrestoSql.translateType("decimal(12, 2)") == "DECIMAL(12, 2)")
+    assert(PrestoSql.translateType("array(varchar)") == "ARRAY<STRING>")
+    assert(PrestoSql.translateType("map(varchar, integer)") ==
+      "MAP<STRING, INT>")
+    assert(PrestoSql.translateType("row(a bigint, b array(real))") ==
+      "STRUCT<`a`: BIGINT, `b`: ARRAY<FLOAT>>")
+    assert(PrestoSql.translateType("map(varchar, row(x double, y date))") ==
+      "MAP<STRING, STRUCT<`x`: DOUBLE, `y`: DATE>>")
+    intercept[IllegalArgumentException](PrestoSql.translateType("ipaddress"))
+  }
+
+  test("script schema DDL: column-list CREATE TABLE + the ALTER COLUMN surface") {
+    Tables.registerAll(spark, sf)
+    val df = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS sch_t;
+        |CREATE TABLE sch_t (
+        |  k bigint,
+        |  nm varchar NOT NULL,
+        |  attrs map(varchar, integer),
+        |  pt row(x double, y double)
+        |);
+        |INSERT INTO sch_t
+        |  SELECT "r_regionkey", "r_name",
+        |    MAP(ARRAY['len'], ARRAY[CAST(length("r_name") AS integer)]),
+        |    ROW(1.5, 2.5)
+        |  FROM region;
+        |ALTER TABLE sch_t ADD COLUMN grade varchar;
+        |UPDATE sch_t SET grade = upper(substr(nm, 1, 1));
+        |ALTER TABLE sch_t RENAME COLUMN nm TO region_name;
+        |ALTER TABLE sch_t DROP COLUMN attrs;
+        |SELECT k, region_name, pt.x AS px, grade FROM sch_t ORDER BY k""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(df.columns.toSeq == Seq("k", "region_name", "px", "grade"))
+    assert(rows.forall(_.getDouble(2) == 1.5))
+    assert(rows.forall(r => r.getString(3) == r.getString(1).take(1).toUpperCase))
+    // rename + drop really landed in the catalog schema, order preserved
+    val schema = spark.table("graft_ddl.sch_t").schema.fieldNames.toSeq
+    assert(schema == Seq("k", "region_name", "pt", "grade"), schema.mkString(","))
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS sch_t; SELECT 1 AS one")
+  }
+
   test("script DDL is rerun-safe: leading DROP IF EXISTS makes CTAS idempotent") {
     Tables.registerAll(spark, sf)
     val scriptText =
