@@ -1153,6 +1153,48 @@ object LlmOps extends QueryModule {
         .select(col("label").cast("long").as("cluster"), col("vec_id"),
           col("dropped").isNull.as("kept"))
         .orderBy(col("cluster"), col("vec_id"))
+    }),
+
+    // L27: duplicate-SPAN removal with document reassembly — the C4/Dolma
+    // shape ("discard repeated three-sentence spans" / paragraph dedup):
+    // dedup at sub-document granularity and rebuild the surviving text,
+    // instead of dropping whole documents. The corpus has no newline
+    // structure, so the span unit is a non-overlapping 8-word block
+    // (documented stand-in for a paragraph; ~175 natural duplicate blocks
+    // at sf0.01 — no planting needed). First occurrence wins globally,
+    // ordered by (doc_id, position).
+    //
+    // Scale shape: blocks are born in the scan stage (split + sequence +
+    // transform + posexplode, no shuffle); the first-occurrence reduction
+    // is ONE shuffle keyed by block text with a map-side partial
+    // min(struct(doc_id, pos)) — corpus-wide duplicate blocks collapse
+    // BEFORE the wire, so shuffle volume is O(distinct blocks), and the
+    // keeper set needs no join-back (the min-struct IS the kept
+    // instance). Reassembly is a second shuffle keyed by doc_id carrying
+    // only kept blocks. At 100 TB one would key the reduction by
+    // md5(block) and re-join text; here block text rides the agg directly.
+    "l27_span_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val blocks = docs.select(col("doc_id"), posexplode(expr(
+        """transform(
+          |  sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))"""
+          .stripMargin)))
+        .toDF("doc_id", "pos", "blk")
+      val kept = blocks.groupBy(col("blk"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("blk"))
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_sort(collect_list(struct(col("pos"), col("blk")))).as("parts"))
+        .select(col("doc_id"), col("n_kept"),
+          concat_ws(" ", expr("transform(parts, p -> p.blk)")).as("text_dedup"))
+      docs.select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1738,6 +1780,27 @@ object LlmOps extends QueryModule {
         |SELECT CAST(u.label AS BIGINT) AS cluster, u.vec_id,
         |  d.vec_id IS NULL AS kept
         |FROM univ u LEFT JOIN drops d ON u.vec_id = d.vec_id
-        |ORDER BY cluster, u.vec_id""".stripMargin
+        |ORDER BY cluster, u.vec_id""".stripMargin,
+
+    // l27: DuckDB re-derives the block decomposition, the global
+    // (doc_id, pos)-lexicographic first-occurrence rule, and the ordered
+    // reassembly from scratch
+    "l27_span_dedup" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(ws, (i - 1) * 8 + 1, i * 8), ' ') AS blk
+        |  FROM w, LATERAL unnest(
+        |    generate_series(1, CAST(ceil(len(ws) / 8.0) AS INT))) AS t(i)),
+        |kept AS (
+        |  SELECT doc_id, pos, blk FROM (
+        |    SELECT doc_id, pos, blk,
+        |      row_number() OVER (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+        |    FROM blocks) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  CAST(count(k.blk) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(k.blk, ' ' ORDER BY k.pos), '') AS text_dedup
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   )
 }

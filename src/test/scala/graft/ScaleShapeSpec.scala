@@ -124,6 +124,28 @@ class ScaleShapeSpec extends SparkSpec {
     assert(pairJoin.nonEmpty, plan.take(3000))
   }
 
+  test("l27 span dedup reduces first-occurrence via partial min-struct, not a window") {
+    val df = ops.LlmOps.queries("l27_span_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus-wide duplicate blocks must collapse MAP-SIDE: a partial
+    // min(struct(doc_id, pos)) runs before the blk-keyed Exchange — not
+    // the oracle's row_number window (which would sort every block group)
+    assert(plan.contains("partial_min"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+
+    // every document survives (possibly empty), and the kept-block total
+    // is exactly the distinct-block count of the same decomposition
+    val docs = Tables.documents(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == docs.count())
+    val distinctBlocks = docs.select(posexplode(expr(
+      """transform(
+        |  sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))"""
+        .stripMargin))).select("col").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == distinctBlocks)
+  }
+
   test("l19 packing plan shuffles only narrow planning columns, never text") {
     val plan = ops.LlmOps.queries("l19_pack_sequences")(spark, sf)
       .queryExecution.executedPlan.toString
