@@ -330,6 +330,37 @@ object Etl extends QueryModule {
           |FROM nat_typed ORDER BY nkey""".stripMargin)
     }),
 
+    // P4g: the table-properties CTAS an ETL tool renders for every
+    // partitioned landing table — WITH (format, partitioned_by) maps to
+    // Spark's USING/PARTITIONED BY CTAS clauses. The INSERT appends into
+    // existing partitions (dynamic by value, like Presto), and the final
+    // rollup reads across all partitions; partition pruning on the
+    // created layout is asserted in PrestoSqlSpec.
+    "p4g_presto_ctas_partitioned" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS ord_part;
+          |
+          |CREATE TABLE ord_part WITH (
+          |  format = 'PARQUET',
+          |  partitioned_by = ARRAY['prio']
+          |) AS
+          |  SELECT "o_orderkey" AS k, "o_totalprice" AS price,
+          |    "o_orderpriority" AS prio
+          |  FROM orders WHERE "o_orderkey" < 3000;
+          |
+          |INSERT INTO ord_part
+          |  SELECT "o_orderkey", "o_totalprice", "o_orderpriority"
+          |  FROM orders WHERE "o_orderkey" >= 3000 AND "o_orderkey" < 6000;
+          |
+          |SELECT prio, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+          |  CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |    AS price_q2
+          |FROM ord_part
+          |GROUP BY prio
+          |ORDER BY prio""".stripMargin)
+    }),
+
     // P5: the CONFIG-FILE pipeline form (PipelineSpec) — the reference's
     // actual user interface: a declarative JSON document of named SQL
     // steps + deps + sinks, no host-language code. The spec below compiles
@@ -632,6 +663,16 @@ object Etl extends QueryModule {
         |WHERE (c_custkey < 2000 AND c_mktsegment <> 'BUILDING')
         |   OR (c_custkey >= 2000 AND c_custkey < 4000)
         |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "p4g_presto_ctas_partitioned" ->
+      // partitioned CTAS + dynamic-partition INSERT nets out to one
+      // aggregate over the union of both key slices
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS price_q2
+        |FROM orders WHERE o_orderkey < 6000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     "p4f_presto_schema_ddl" ->
       // the schema DDL round-trip nets out to a typed projection of

@@ -102,6 +102,13 @@ object PrestoSql {
     *    to script-created tables while registered temp views (the base
     *    tables) still win name resolution — script table names must not
     *    collide with registered input views, a documented limit.
+    *  - `CREATE TABLE t WITH (format = '…', partitioned_by = ARRAY[…],
+    *    bucketed_by = ARRAY[…], bucket_count = n) AS SELECT …` — Presto
+    *    table properties map onto Spark's datasource CTAS clauses
+    *    (`USING fmt PARTITIONED BY (…) CLUSTERED BY (…) INTO n
+    *    BUCKETS`). NOTE Spark moves partition columns to the END of the
+    *    CTAS schema (Presto keeps select order) — read back by name, not
+    *    position. Unknown properties throw rather than silently drop.
     *  - `INSERT INTO t SELECT …` / `INSERT INTO t VALUES …` → Spark's
     *    native INSERT against those managed tables (append semantics,
     *    like Presto).
@@ -165,9 +172,53 @@ object PrestoSql {
     // has AS between name and any paren, so the two forms can't collide)
     val createColsRe =
       """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.]+)\s*\((.+)\)\s*$""".r
+    // Presto table-properties CTAS: WITH (format=…, partitioned_by=…,
+    // bucketed_by=…, bucket_count=…) between the name and AS — the form
+    // a partition-managing ETL tool renders for every landing table
+    val ctasWithRe =
+      """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.]+)\s+WITH\s*\((.*?)\)\s+AS\b(.*)$""".r
     val stmts = splitStatements(prestoScript)
       .map(_.trim).filter(_.nonEmpty)
       .flatMap {
+        case ctasWithRe(ine, tbl, props, rest) =>
+          val t = tbl.stripPrefix("\"").stripSuffix("\"")
+          var fmt = "PARQUET"
+          var partCols, bucketCols = Seq.empty[String]
+          var nBuckets = -1
+          val arrRe = """(?is)^ARRAY\s*\[(.*)\]$""".r
+          def strList(v: String): Seq[String] = v.trim match {
+            case arrRe(items) => splitTopLevel(items, ',')
+              .map(_.trim.stripPrefix("'").stripSuffix("'"))
+            case other => throw new IllegalArgumentException(
+              s"expected ARRAY['…'] property value, got '$other'")
+          }
+          splitTopLevel(props, ',').map(_.trim).filter(_.nonEmpty).foreach { p =>
+            val eq = p.indexOf('=')
+            require(eq > 0, s"bad table property '$p'")
+            (p.substring(0, eq).trim.toLowerCase, p.substring(eq + 1).trim) match {
+              case ("format", v) =>
+                fmt = v.stripPrefix("'").stripSuffix("'").toUpperCase
+              case ("partitioned_by", v) => partCols = strList(v)
+              case ("bucketed_by", v) => bucketCols = strList(v)
+              case ("bucket_count", v) => nBuckets = v.toInt
+              case (other, _) => throw new IllegalArgumentException(
+                s"unsupported table property '$other'")
+            }
+          }
+          require(Set("PARQUET", "ORC", "JSON", "CSV")(fmt),
+            s"unsupported format '$fmt'")
+          val ifNot = if (ine == null) "" else "IF NOT EXISTS "
+          val part =
+            if (partCols.isEmpty) ""
+            else partCols.mkString(" PARTITIONED BY (", ", ", ")")
+          val buck =
+            if (bucketCols.isEmpty) ""
+            else {
+              require(nBuckets > 0, "bucketed_by needs bucket_count")
+              bucketCols.mkString(" CLUSTERED BY (", ", ",
+                s") INTO $nBuckets BUCKETS")
+            }
+          Seq(s"CREATE TABLE $ifNot$t USING $fmt$part$buck AS$rest")
         case createColsRe(ine, tbl, cols) =>
           val t = tbl.stripPrefix("\"").stripSuffix("\"")
           val defs = splitTopLevel(cols, ',').map(_.trim).map { cd0 =>

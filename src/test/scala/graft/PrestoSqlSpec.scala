@@ -254,6 +254,46 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS sch_t; SELECT 1 AS one")
   }
 
+  test("WITH-properties CTAS: partitioned_by lands a partitioned table that prunes") {
+    Tables.registerAll(spark, sf)
+    PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS pt_t;
+        |CREATE TABLE pt_t WITH (
+        |  format = 'PARQUET', partitioned_by = ARRAY['seg']
+        |) AS
+        |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg FROM customer;
+        |SELECT COUNT(*) AS n FROM pt_t""".stripMargin)
+    // the layout is really partitioned by seg…
+    val parts = spark.sql("SHOW PARTITIONS graft_ddl.pt_t").collect()
+    assert(parts.length >= 2, parts.mkString(","))
+    assert(parts.forall(_.getString(0).startsWith("seg=")))
+    // …and Spark moves the partition column to the END of the schema
+    // (documented divergence from Presto's select-order schema)
+    assert(spark.table("graft_ddl.pt_t").schema.fieldNames.last == "seg")
+    // a seg-filtered scan prunes to one partition directory
+    val scanned = spark.sql(
+      """SELECT DISTINCT input_file_name() FROM graft_ddl.pt_t
+        |WHERE seg = 'BUILDING'""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains("seg=BUILDING")),
+      scanned.take(3).mkString(","))
+    // bucketed_by + bucket_count and unknown properties
+    PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS bk_t;
+        |CREATE TABLE bk_t WITH (bucketed_by = ARRAY['k'], bucket_count = 4) AS
+        |  SELECT "c_custkey" AS k FROM customer;
+        |SELECT COUNT(*) AS n FROM bk_t""".stripMargin)
+    val ddl = spark.sql("SHOW CREATE TABLE graft_ddl.bk_t").collect()
+      .head.getString(0)
+    assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark,
+        "CREATE TABLE bad_t WITH (sorted_by = ARRAY['k']) AS SELECT 1 AS k")
+    }
+    PrestoSql.script(spark,
+      "DROP TABLE IF EXISTS pt_t; DROP TABLE IF EXISTS bk_t; SELECT 1 AS one")
+  }
+
   test("script DDL is rerun-safe: leading DROP IF EXISTS makes CTAS idempotent") {
     Tables.registerAll(spark, sf)
     val scriptText =
