@@ -95,11 +95,14 @@ object PrestoSql {
     *  - `CREATE [OR REPLACE] VIEW` → TEMPORARY view (session-scoped
     *    script runner, not a catalog DDL surface).
     *  - `CREATE TABLE [IF NOT EXISTS] t AS SELECT …` → a managed PARQUET
-    *    table in the scratch-located `graft_ddl` database (the session's
-    *    default warehouse stays untouched). The script's CURRENT database
-    *    is switched to `graft_ddl` for its duration (restored in a
-    *    finally), so unqualified table names in later statements resolve
-    *    to script-created tables while registered temp views (the base
+    *    table in a scratch-located, RUN-UNIQUE `graft_ddl_<uuid>`
+    *    database (one per SparkContext — tables persist across script()
+    *    calls within a session, but a fresh JVM can never resurrect a
+    *    previous run's metastore/warehouse state; the session's default
+    *    warehouse stays untouched). The script's CURRENT database is
+    *    switched there for its duration (restored in a finally), so
+    *    unqualified table names in later statements resolve to
+    *    script-created tables while registered temp views (the base
     *    tables) still win name resolution — script table names must not
     *    collide with registered input views, a documented limit.
     *  - `CREATE TABLE t WITH (format = '…', partitioned_by = ARRAY[…],
@@ -121,7 +124,11 @@ object PrestoSql {
     *    stage materializes eagerly before the drop, so a failure mid-
     *    statement leaves the original table intact. Row-level deletes
     *    on parquet cost a table rewrite by design — partition-pruned
-    *    deletes belong to the o11b COW-merge path.
+    *    deletes belong to the o11b COW-merge path. EVERY staged rewrite
+    *    (DELETE/UPDATE/MERGE/RENAME/DROP COLUMN) replays the target's
+    *    format, partitioning and bucketing from the live catalog, so a
+    *    table created WITH (format/partitioned_by/bucketed_by) keeps
+    *    its layout across DML.
     *  - `UPDATE t SET c = expr[, …] [WHERE pred]` → the same staged
     *    swap, with each assigned column rewritten as `CASE WHEN pred
     *    THEN CAST(expr AS <col type>) ELSE col END` (NULL-pred rows keep
@@ -152,7 +159,9 @@ object PrestoSql {
     *    DROPPED (parquet tables don't enforce them; a documented limit).
     *  - `ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c TYPE` → Spark
     *    `ADD COLUMNS`; existing rows read NULL for the new column
-    *    (parquet schema evolution), same as Trino on hive tables.
+    *    (parquet schema evolution), same as Trino on hive tables. The
+    *    IF NOT EXISTS marker is honored: a no-op when the column is
+    *    already there.
     *  - `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` → Spark's
     *    v1 parquet catalog supports neither in place, so both run as the
     *    same staged CTAS-swap as DELETE/UPDATE (projection renames or
@@ -164,8 +173,6 @@ object PrestoSql {
   def script(spark: SparkSession, prestoScript: String): DataFrame = {
     val ctasRe =
       """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.]+)\s+AS\b""".r
-    val deleteRe =
-      """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
     val ddlRe =
       """(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|DELETE\s+FROM|UPDATE|MERGE\s+INTO|TRUNCATE\s+TABLE|ALTER\s+TABLE)\b""".r
     // column-list CREATE TABLE: name directly followed by a paren (a CTAS
@@ -229,17 +236,6 @@ object PrestoSql {
           }
           val ifNot = if (ine == null) "" else "IF NOT EXISTS "
           Seq(s"CREATE TABLE $ifNot$t (${defs.mkString(", ")}) USING PARQUET")
-        case deleteRe(tbl, pred) =>
-          // catalog names are [A-Za-z0-9_], so quoting is only syntax
-          val t = tbl.stripPrefix("\"").stripSuffix("\"")
-          val keep = Option(pred)
-            .map(p => s"WHERE NOT ($p) OR ($p) IS NULL")
-            .getOrElse("WHERE 1 = 0")
-          Seq(
-            s"DROP TABLE IF EXISTS ${t}__stage",
-            s"CREATE TABLE ${t}__stage AS SELECT * FROM $t $keep",
-            s"DROP TABLE $t",
-            s"ALTER TABLE ${t}__stage RENAME TO $t")
         case st => Seq(st)
       }
       .map { st =>
@@ -254,9 +250,9 @@ object PrestoSql {
     require(stmts.nonEmpty, "empty script")
     val usesDdl = stmts.exists(st => ddlRe.findFirstIn(st).isDefined)
     val prevDb = if (usesDdl) {
-      ensureDdlDatabase(spark)
+      val db = ddlDatabase(spark)
       val prev = spark.catalog.currentDatabase
-      spark.sql("USE graft_ddl")
+      spark.sql(s"USE `$db`")
       Some(prev)
     } else None
     // UPDATE resolves against the live catalog (the table may have been
@@ -266,10 +262,22 @@ object PrestoSql {
       case m if MergeHeadRe.findFirstIn(m).isDefined => runMerge(spark, m)
       case UpdateRe(tbl, setList, pred) =>
         runUpdate(spark, tbl, setList, Option(pred))
-      case AlterAddColRe(tbl, c, tpe) =>
+      case DeleteRe(tbl, pred) =>
+        // catalog names are [A-Za-z0-9_], so quoting is only syntax
+        val t = tbl.stripPrefix("\"").stripSuffix("\"")
+        val keep = Option(pred)
+          .map(p => s"WHERE NOT ($p) OR ($p) IS NULL")
+          .getOrElse("WHERE 1 = 0")
+        stageSwap(spark, t, s"SELECT * FROM $t $keep")
+      case AlterAddColRe(tbl, ine, c, tpe) =>
         val t = tbl.stripPrefix("\"").stripSuffix("\"")
         val col = c.stripPrefix("\"").stripSuffix("\"")
-        spark.sql(s"ALTER TABLE $t ADD COLUMNS (`$col` ${translateType(tpe)})")
+        val exists = spark.table(t).schema.fieldNames
+          .exists(_.equalsIgnoreCase(col))
+        // IF NOT EXISTS is parsed AND honored: no-op when present (r4
+        // ADVICE — stripping the marker but still throwing broke it)
+        if (exists && ine != null) spark.emptyDataFrame
+        else spark.sql(s"ALTER TABLE $t ADD COLUMNS (`$col` ${translateType(tpe)})")
       case AlterRenameColRe(tbl, a, b) =>
         val t = tbl.stripPrefix("\"").stripSuffix("\"")
         val from = a.stripPrefix("\"").stripSuffix("\"")
@@ -277,8 +285,10 @@ object PrestoSql {
         val names = spark.table(t).schema.fieldNames
         require(names.exists(_.equalsIgnoreCase(from)),
           s"ALTER $t: no column '$from'")
-        restage(spark, t, names.map(f =>
-          if (f.equalsIgnoreCase(from)) s"`$f` AS `$to`" else s"`$f`"))
+        val proj = names.map(f =>
+          if (f.equalsIgnoreCase(from)) s"`$f` AS `$to`" else s"`$f`")
+        stageSwap(spark, t, s"SELECT ${proj.mkString(", ")} FROM $t",
+          renames = Map(from.toLowerCase -> to))
       case AlterDropColRe(tbl, c) =>
         val t = tbl.stripPrefix("\"").stripSuffix("\"")
         val col = c.stripPrefix("\"").stripSuffix("\"")
@@ -287,7 +297,9 @@ object PrestoSql {
           s"ALTER $t: no column '$col'")
         val kept = names.filterNot(_.equalsIgnoreCase(col))
         require(kept.nonEmpty, s"ALTER $t: cannot drop the only column")
-        restage(spark, t, kept.map(f => s"`$f`"))
+        stageSwap(spark, t,
+          s"SELECT ${kept.map(f => s"`$f`").mkString(", ")} FROM $t",
+          dropped = Set(col.toLowerCase))
       case _ => sql(spark, st)
     }
     try {
@@ -299,9 +311,12 @@ object PrestoSql {
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+("[^"]+"|[\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$""".r
 
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
+
   private val AlterAddColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+ADD\s+COLUMN\s+""" +
-      """(?:IF\s+NOT\s+EXISTS\s+)?("[^"]+"|\w+)\s+(.+?)\s*$""").r
+      """(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|\w+)\s+(.+?)\s*$""").r
   private val AlterRenameColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+RENAME\s+COLUMN\s+""" +
       """("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*$""").r
@@ -309,18 +324,86 @@ object PrestoSql {
     ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+DROP\s+COLUMN\s+""" +
       """(?:IF\s+EXISTS\s+)?("[^"]+"|\w+)\s*$""").r
 
-  /** Staged CTAS-swap: rewrite table `t` as `SELECT <projection> FROM t`
-    * (the same stage-materializes-before-drop shape as DELETE/UPDATE, so
-    * mid-statement failure leaves the original intact). */
-  private def restage(spark: SparkSession, t: String,
-      projection: Seq[String]): DataFrame =
-    Seq(
-      s"DROP TABLE IF EXISTS ${t}__stage",
-      s"CREATE TABLE ${t}__stage USING PARQUET AS" +
-        s" SELECT ${projection.mkString(", ")} FROM $t",
-      s"DROP TABLE $t",
-      s"ALTER TABLE ${t}__stage RENAME TO $t")
-      .map(spark.sql(_)).last
+  /** Staged CTAS-swap shared by every copy-on-write rewrite (DELETE,
+    * UPDATE, MERGE, RENAME/DROP COLUMN): materialize `selectBody` into
+    * `t__stage`, then DROP + RENAME — the stage materializes before the
+    * drop, so mid-statement failure leaves the original intact.
+    *
+    * The stage CTAS REPLAYS the target's layout from the live catalog
+    * (r4 ADVICE medium: a plain `USING PARQUET` stage silently lost the
+    * format / partitioning / bucketing of tables created WITH
+    * (format=…, partitioned_by=…, bucketed_by=…), breaking partition
+    * pruning and SHOW PARTITIONS after any DML). `renames` maps
+    * lowercased old → new column names so a RENAME COLUMN of a
+    * partition/bucket column carries the spec along; DROPPING a
+    * partition or bucket column is rejected loudly (Trino errors there
+    * too — silently flattening the layout is the one wrong answer). */
+  private def stageSwap(spark: SparkSession, t: String, selectBody: String,
+      renames: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    def mapped(cols: Seq[String], what: String): Seq[String] = {
+      val hit = cols.find(c => dropped.contains(c.toLowerCase))
+      require(hit.isEmpty,
+        s"ALTER $t: cannot drop $what column '${hit.getOrElse("")}'")
+      cols.map(c => renames.getOrElse(c.toLowerCase, c))
+    }
+    val using = meta.provider.filterNot(_.equalsIgnoreCase("hive"))
+      .getOrElse("PARQUET")
+    val part = mapped(meta.partitionColumnNames, "partition") match {
+      case Seq() => ""
+      case cs => cs.map(c => s"`$c`").mkString(" PARTITIONED BY (", ", ", ")")
+    }
+    val buck = meta.bucketSpec.map { b =>
+      val cols = mapped(b.bucketColumnNames, "bucket")
+        .map(c => s"`$c`").mkString(", ")
+      val sort = mapped(b.sortColumnNames, "sort") match {
+        case Seq() => ""
+        case cs => cs.map(c => s"`$c`").mkString(" SORTED BY (", ", ", ")")
+      }
+      s" CLUSTERED BY ($cols)$sort INTO ${b.numBuckets} BUCKETS"
+    }.getOrElse("")
+    // the translating sql() path everywhere below: selectBody may carry
+    // Presto-dialect expressions (UPDATE SET / MERGE branches embed user
+    // text verbatim)
+    val stmts: Seq[String] =
+      if (meta.partitionColumnNames.isEmpty)
+        // unpartitioned (incl. bucketed-only): stage + DROP + RENAME.
+        // Bucketing survives the rename (table-level metadata, one dir
+        // move); per-PARTITION catalog locations would NOT — renaming a
+        // managed partitioned table strands them on the old path (reads
+        // silently return 0 rows), hence the branches below.
+        Seq(
+          s"DROP TABLE IF EXISTS ${t}__stage",
+          s"CREATE TABLE ${t}__stage USING $using$buck AS $selectBody",
+          s"DROP TABLE $t",
+          s"ALTER TABLE ${t}__stage RENAME TO $t")
+      else if (renames.isEmpty && dropped.isEmpty)
+        // partitioned, schema-preserving (DELETE/UPDATE/MERGE): stage the
+        // survivors as plain parquet, then INSERT OVERWRITE the target in
+        // place — the table's identity, layout, and partition metadata
+        // never move, so nothing can go stale. Static overwrite replaces
+        // every partition, which IS the rewrite's semantics.
+        Seq(
+          s"DROP TABLE IF EXISTS ${t}__stage",
+          s"CREATE TABLE ${t}__stage USING PARQUET AS $selectBody",
+          s"INSERT OVERWRITE TABLE $t SELECT * FROM ${t}__stage",
+          s"DROP TABLE ${t}__stage")
+      else
+        // partitioned + schema-changing (RENAME/DROP COLUMN): the target
+        // must be recreated under the new schema — stage the full data
+        // first (it materializes before any drop; mid-failure leaves the
+        // data recoverable in the stage), then rebuild the table with its
+        // layout replayed and the stage cleaned up.
+        Seq(
+          s"DROP TABLE IF EXISTS ${t}__stage",
+          s"CREATE TABLE ${t}__stage USING PARQUET AS $selectBody",
+          s"DROP TABLE $t",
+          s"CREATE TABLE $t USING $using$part$buck AS SELECT * FROM ${t}__stage",
+          s"DROP TABLE ${t}__stage")
+    stmts.map(sql(spark, _)).last
+  }
 
   /** Presto/Trino type syntax → Spark SQL DDL type, recursively through
     * `array(T)` / `map(K,V)` / `row(name T, …)`. `varchar`/`char` widths
@@ -463,12 +546,7 @@ object PrestoSql {
         s" (SELECT 1 FROM $t AS `$ta` WHERE $cond)"
     }.getOrElse("")
 
-    Seq(
-      s"DROP TABLE IF EXISTS ${t}__stage",
-      s"CREATE TABLE ${t}__stage USING PARQUET AS $matchedBranch$insertBranch",
-      s"DROP TABLE $t",
-      s"ALTER TABLE ${t}__stage RENAME TO $t")
-      .map(sql(spark, _)).last
+    stageSwap(spark, t, s"$matchedBranch$insertBranch")
   }
 
   /** Split on `sep` at zero paren/bracket depth outside string literals /
@@ -532,27 +610,36 @@ object PrestoSql {
         case None => s"`${f.name}`"
       }
     }.mkString(", ")
-    Seq(
-      s"DROP TABLE IF EXISTS ${t}__stage",
-      s"CREATE TABLE ${t}__stage USING PARQUET AS SELECT $sel FROM $t",
-      s"DROP TABLE $t",
-      s"ALTER TABLE ${t}__stage RENAME TO $t")
-      .map(sql(spark, _)).last
+    stageSwap(spark, t, s"SELECT $sel FROM $t")
   }
 
-  // DDL-database setup cache, keyed by SparkContext: the catalog is
-  // context-shared state (same rationale as Joins.cboBuilt), and CREATE
-  // DATABASE IF NOT EXISTS keeps the first scratch location anyway.
+  // DDL-database cache, keyed by SparkContext: the catalog is
+  // context-shared state (same rationale as Joins.cboBuilt). The name is
+  // RUN-UNIQUE (r4 verdict #1 — the driver's one red row, p4f, was a
+  // state-sensitivity): a fixed `graft_ddl` name + CREATE DATABASE IF NOT
+  // EXISTS let a persisted metastore (derby metastore_db survives across
+  // JVM runs) resurrect a PREVIOUS run's database entry — possibly
+  // pointing at a stale or reaped scratch location with leftover table
+  // files — so scripts were hermetic only on a clean warehouse. A fresh
+  // `graft_ddl_<uuid>` per context can never collide with anything a
+  // prior run left behind, while scripts within one context still share
+  // the database (tables persist across script() calls, the warehouse
+  // contract an ETL tool's users rely on).
   private val ddlDbBuilt =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
-  private def ensureDdlDatabase(spark: SparkSession): Unit =
+  /** The run-unique scratch database scripts execute in (created on first
+    * use; exposed for tests that assert on catalog state). */
+  private[graft] def ddlDatabase(spark: SparkSession): String =
     ddlDbBuilt.synchronized {
-      if (!ddlDbBuilt.containsKey(spark.sparkContext)) {
+      Option(ddlDbBuilt.get(spark.sparkContext)).getOrElse {
+        val db = "graft_ddl_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
         val loc = graft.ops.Sources.scratch("graft_ddldb")
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$loc'")
-        ddlDbBuilt.put(spark.sparkContext, java.lang.Boolean.TRUE)
+        spark.sql(s"CREATE DATABASE `$db` LOCATION '$loc'")
+        ddlDbBuilt.put(spark.sparkContext, db)
+        db
       }
     }
 
@@ -766,9 +853,11 @@ object PrestoSql {
     // Presto's `x -> expr` lambda syntax unchanged.
     ("""(?i)\bany_match\s*\(""".r, "exists("),
     ("""(?i)\ball_match\s*\(""".r, "forall("),
-    // none_match = NOT any_match, including its NULL propagation (NOT
-    // preserves NULL), so the prefix rewrite is exact
-    ("""(?i)\bnone_match\s*\(""".r, "not exists("),
+    // none_match is handled by wrapNoneMatch (a bracket-matching pre-pass,
+    // not a prefix rename): `NOT exists(…)` is an operator over a call,
+    // so as an OPERAND (`x = none_match(…)`) it needs its own parens —
+    // r4 ADVICE. A SQL temp function can't do it (lambdas can't be
+    // SQL-function parameters), hence the scanner.
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),
@@ -843,6 +932,61 @@ object PrestoSql {
     ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),
     ("""(?i)\bas\s+real\s*\)""".r, "AS FLOAT)"))
 
+  /** `none_match(a, f)` → `(not exists(a, f))` with the closing parens
+    * placed by bracket matching (the call's argument list may contain
+    * literals and nested calls, so a regex can't pair them). The outer
+    * parens keep the rewrite atomic in operand position: `x =
+    * none_match(…)` must not become `x = not exists(…)`, which Spark
+    * parses as `(x = not exists(…))`'s ill-formed NOT-operand (r4
+    * ADVICE). NULL propagation is exact: none_match = NOT any_match and
+    * NOT preserves NULL. */
+  private[graft] def wrapNoneMatch(s: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack.empty[Boolean]
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) {
+        out.append(c)
+        if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inLit = true; out.append(c)
+        case '"' => inIdent = true; out.append(c)
+        case '(' =>
+          // same bounded look-back as rewriteArrayLiterals: skip trailing
+          // whitespace, take the maximal word run, require a non-word
+          // char (or start) before it
+          var j = out.length - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          val wordEnd = j
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+          val isNoneMatch = wordEnd - j == 10 &&
+            out.substring(j + 1, wordEnd + 1).equalsIgnoreCase("none_match")
+          if (isNoneMatch) {
+            out.setLength(j + 1)
+            out.append("(not exists(")
+            stack.push(true)
+          } else {
+            out.append('(')
+            stack.push(false)
+          }
+        case ')' =>
+          if (stack.nonEmpty && stack.pop()) out.append("))") else out.append(')')
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   /** Presto `ARRAY[a, b, c]` literals → Spark `array(a, b, c)`.
     * Literal-aware bracket-matching scanner (regex can't pair nested
     * brackets): `ARRAY[` opens an array-literal frame whose matching `]`
@@ -906,7 +1050,7 @@ object PrestoSql {
     */
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = rewriteArrayLiterals(prestoSql)
+    val s = wrapNoneMatch(rewriteArrayLiterals(prestoSql))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

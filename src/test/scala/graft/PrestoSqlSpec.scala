@@ -197,14 +197,16 @@ class PrestoSqlSpec extends SparkSpec {
     val r = df.collect().head
     assert(r.getLong(0) == 5L)
     assert(r.getLong(1) == 10L) // 0+1+2+3+4
-    // the table is a managed table in graft_ddl, NOT in the default db
-    assert(spark.catalog.tableExists("graft_ddl.ddl_t"))
+    // the table is a managed table in the run-unique scratch db, NOT in
+    // the default db
+    val ddb = PrestoSql.ddlDatabase(spark)
+    assert(spark.catalog.tableExists(s"$ddb.ddl_t"))
     assert(!spark.catalog.tableExists("default.ddl_t"))
     // current database is restored after the script
     assert(spark.catalog.currentDatabase == "default")
     // DROP TABLE works as a script statement too (and is idempotent)
     PrestoSql.script(spark, "DROP TABLE IF EXISTS ddl_t; SELECT 1 AS one")
-    assert(!spark.catalog.tableExists("graft_ddl.ddl_t"))
+    assert(!spark.catalog.tableExists(s"$ddb.ddl_t"))
   }
 
   test("translateType: Presto type syntax maps to Spark DDL, recursively") {
@@ -249,7 +251,8 @@ class PrestoSqlSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) == 1.5))
     assert(rows.forall(r => r.getString(3) == r.getString(1).take(1).toUpperCase))
     // rename + drop really landed in the catalog schema, order preserved
-    val schema = spark.table("graft_ddl.sch_t").schema.fieldNames.toSeq
+    val schema = spark.table(s"${PrestoSql.ddlDatabase(spark)}.sch_t")
+      .schema.fieldNames.toSeq
     assert(schema == Seq("k", "region_name", "pt", "grade"), schema.mkString(","))
     PrestoSql.script(spark, "DROP TABLE IF EXISTS sch_t; SELECT 1 AS one")
   }
@@ -264,16 +267,17 @@ class PrestoSqlSpec extends SparkSpec {
         |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg FROM customer;
         |SELECT COUNT(*) AS n FROM pt_t""".stripMargin)
     // the layout is really partitioned by seg…
-    val parts = spark.sql("SHOW PARTITIONS graft_ddl.pt_t").collect()
+    val ddb = PrestoSql.ddlDatabase(spark)
+    val parts = spark.sql(s"SHOW PARTITIONS $ddb.pt_t").collect()
     assert(parts.length >= 2, parts.mkString(","))
     assert(parts.forall(_.getString(0).startsWith("seg=")))
     // …and Spark moves the partition column to the END of the schema
     // (documented divergence from Presto's select-order schema)
-    assert(spark.table("graft_ddl.pt_t").schema.fieldNames.last == "seg")
+    assert(spark.table(s"$ddb.pt_t").schema.fieldNames.last == "seg")
     // a seg-filtered scan prunes to one partition directory
     val scanned = spark.sql(
-      """SELECT DISTINCT input_file_name() FROM graft_ddl.pt_t
-        |WHERE seg = 'BUILDING'""".stripMargin)
+      s"""SELECT DISTINCT input_file_name() FROM $ddb.pt_t
+         |WHERE seg = 'BUILDING'""".stripMargin)
       .collect().map(_.getString(0)).toSet
     assert(scanned.nonEmpty && scanned.forall(_.contains("seg=BUILDING")),
       scanned.take(3).mkString(","))
@@ -283,7 +287,7 @@ class PrestoSqlSpec extends SparkSpec {
         |CREATE TABLE bk_t WITH (bucketed_by = ARRAY['k'], bucket_count = 4) AS
         |  SELECT "c_custkey" AS k FROM customer;
         |SELECT COUNT(*) AS n FROM bk_t""".stripMargin)
-    val ddl = spark.sql("SHOW CREATE TABLE graft_ddl.bk_t").collect()
+    val ddl = spark.sql(s"SHOW CREATE TABLE $ddb.bk_t").collect()
       .head.getString(0)
     assert(ddl.contains("CLUSTERED BY") && ddl.contains("4 BUCKETS"), ddl)
     intercept[IllegalArgumentException] {
@@ -319,7 +323,8 @@ class PrestoSqlSpec extends SparkSpec {
     // three-valued DELETE keeps both
     assert(out == Seq(1, 2))
     // the stage table must not linger after the swap
-    assert(!spark.catalog.tableExists("graft_ddl.del_t__stage"))
+    assert(!spark.catalog.tableExists(
+      s"${PrestoSql.ddlDatabase(spark)}.del_t__stage"))
 
     // unconditioned DELETE empties; TRUNCATE TABLE passes through native
     val n1 = PrestoSql.script(spark,
@@ -354,7 +359,8 @@ class PrestoSqlSpec extends SparkSpec {
     // schema stays pinned (CAST to the old column type), so INSERT fits
     PrestoSql.script(spark,
       "INSERT INTO upd_t VALUES (4, 40, 'd'); SELECT 1 AS one")
-    assert(!spark.catalog.tableExists("graft_ddl.upd_t__stage"))
+    assert(!spark.catalog.tableExists(
+      s"${PrestoSql.ddlDatabase(spark)}.upd_t__stage"))
     // unconditioned UPDATE rewrites every row
     val all = PrestoSql.script(spark,
       "UPDATE upd_t SET v = 0; SELECT CAST(SUM(v) AS BIGINT) AS s FROM upd_t")
@@ -384,7 +390,8 @@ class PrestoSqlSpec extends SparkSpec {
     // row 1 untouched; 2 and 3 updated; 9 inserted with NULL-filled tag
     assert(out == Seq((1, 10, "keep"), (2, 200, "upd"), (3, 300, "upd"),
       (9, 900, null)))
-    assert(!spark.catalog.tableExists("graft_ddl.mrg_t__stage"))
+    assert(!spark.catalog.tableExists(
+      s"${PrestoSql.ddlDatabase(spark)}.mrg_t__stage"))
 
     // WHEN MATCHED THEN DELETE: drop rows that appear in the source
     val afterDelete = PrestoSql.script(spark,
@@ -606,5 +613,118 @@ class PrestoSqlSpec extends SparkSpec {
       "SELECT split_to_map('a=1|b=2', '|', '=') AS m")
       .collect().head.getMap[String, String](0)
     assert(m == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("none_match stays atomic in operand position (parenthesized wrap)") {
+    // prefix-renaming to `not exists(` broke precedence when the call was
+    // an operand; the bracket-matching wrap keeps it one expression
+    assert(PrestoSql.wrapNoneMatch("x = none_match(a, f)")
+      == "x = (not exists(a, f))")
+    // nested calls and literals with parens inside the args
+    assert(PrestoSql.wrapNoneMatch("none_match(split(s, '('), w -> w = ')')")
+      == "(not exists(split(s, '('), w -> w = ')'))")
+    val r = PrestoSql.sql(spark,
+      """SELECT (false = none_match(sequence(1, 5), x -> x > 9)) AS eq_f,
+        |  (true = none_match(sequence(1, 5), x -> x > 4)) AS eq_t""".stripMargin)
+      .collect().head
+    assert(!r.getBoolean(0) && !r.getBoolean(1))
+    // a none_match-looking identifier (no call parens) is untouched
+    assert(PrestoSql.wrapNoneMatch("SELECT my_none_match(a), none_match_x")
+      == "SELECT my_none_match(a), none_match_x")
+  }
+
+  test("ADD COLUMN IF NOT EXISTS is honored (no-op when present)") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS addc_t;
+        |CREATE TABLE addc_t AS SELECT "r_regionkey" AS k FROM region;
+        |ALTER TABLE addc_t ADD COLUMN IF NOT EXISTS k bigint;
+        |ALTER TABLE addc_t ADD COLUMN IF NOT EXISTS extra varchar;
+        |SELECT k, extra FROM addc_t ORDER BY k""".stripMargin)
+    assert(out.columns.toSeq == Seq("k", "extra"))
+    assert(out.collect().length == 5)
+    // without the marker, a duplicate column still fails loudly
+    intercept[Exception] {
+      PrestoSql.script(spark,
+        "ALTER TABLE addc_t ADD COLUMN k bigint; SELECT 1 AS one")
+    }
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS addc_t; SELECT 1 AS one")
+  }
+
+  test("staged DML preserves table layout: partitioning, bucketing, format") {
+    Tables.registerAll(spark, sf)
+    val ddb = PrestoSql.ddlDatabase(spark)
+    PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS lay_t;
+        |CREATE TABLE lay_t WITH (
+        |  format = 'PARQUET',
+        |  partitioned_by = ARRAY['seg'],
+        |  bucketed_by = ARRAY['k'], bucket_count = 4
+        |) AS
+        |  SELECT "c_custkey" AS k, "c_acctbal" AS bal, "c_mktsegment" AS seg
+        |  FROM customer;
+        |UPDATE lay_t SET bal = bal * 2 WHERE bal < 0.0;
+        |DELETE FROM lay_t WHERE k % 10 = 3;
+        |SELECT COUNT(*) AS n FROM lay_t""".stripMargin)
+    // partitions survive both staged rewrites — SHOW PARTITIONS works and
+    // the layout still prunes
+    val parts = spark.sql(s"SHOW PARTITIONS $ddb.lay_t").collect()
+    assert(parts.length >= 2 && parts.forall(_.getString(0).startsWith("seg=")),
+      parts.mkString(","))
+    val ddl = spark.sql(s"SHOW CREATE TABLE $ddb.lay_t").collect()
+      .head.getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("CLUSTERED BY")
+      && ddl.contains("4 BUCKETS"), ddl)
+    // renaming a partition column carries the partition spec along
+    PrestoSql.script(spark,
+      "ALTER TABLE lay_t RENAME COLUMN seg TO segment; SELECT 1 AS one")
+    val parts2 = spark.sql(s"SHOW PARTITIONS $ddb.lay_t").collect()
+    assert(parts2.forall(_.getString(0).startsWith("segment=")),
+      parts2.take(3).mkString(","))
+    // dropping a partition or bucket column is rejected loudly
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark,
+        "ALTER TABLE lay_t DROP COLUMN segment; SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark,
+        "ALTER TABLE lay_t DROP COLUMN k; SELECT 1 AS one")
+    }
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS lay_t; SELECT 1 AS one")
+  }
+
+  test("p4 family is hermetic: dirty warehouse + double-run in one session") {
+    // simulate the driver-box pollution that made p4f red in r4: a
+    // LEGACY fixed-name graft_ddl database with a conflicting stale
+    // nat_typed, plus a conflicting table in the default db — the
+    // run-unique script database must never see either
+    Tables.registerAll(spark, sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl.nat_typed")
+    spark.sql(
+      "CREATE TABLE graft_ddl.nat_typed USING PARQUET AS SELECT 99 AS stale")
+    spark.sql("DROP TABLE IF EXISTS default.nat_typed")
+    spark.sql(
+      "CREATE TABLE default.nat_typed USING PARQUET AS SELECT -1 AS wrong")
+    try {
+      def run() = graft.ops.Etl.queries("p4f_presto_schema_ddl")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getDecimal(3).toPlainString, r.getInt(4))).toSeq
+      val first = run()
+      val second = run() // back-to-back: the leading DROP makes it rerun-safe
+      assert(first == second)
+      assert(first.size == 25)
+      assert(first.map(_._1) == (0L until 25L))
+      assert(first.forall { case (k, nm, _, score, len) =>
+        score == s"${k * 25 + 7}.00" && len == nm.length })
+      // the polluted tables were never touched
+      assert(spark.table("graft_ddl.nat_typed").collect()
+        .map(_.getInt(0)).toSeq == Seq(99))
+      assert(spark.table("default.nat_typed").collect()
+        .map(_.getInt(0)).toSeq == Seq(-1))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS default.nat_typed")
+      spark.sql("DROP DATABASE IF EXISTS graft_ddl CASCADE")
+    }
   }
 }
