@@ -44,7 +44,11 @@ object ImageCore {
       }
       InternalRow(w, h, rs, gs, bs)
     } catch {
-      case _: java.io.IOException => null
+      // NonFatal, not just IOException: ImageIO decoders throw
+      // RuntimeExceptions (CMMException, ArrayIndexOutOfBounds,
+      // NegativeArraySize) on malformed/truncated payloads, and the
+      // TRY()-like contract is NULL for hostile bytes, not a crash
+      case scala.util.control.NonFatal(_) => null
     }
   }
 }

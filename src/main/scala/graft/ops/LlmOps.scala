@@ -500,7 +500,12 @@ object LlmOps extends QueryModule {
       GF.register(s)
       Tables.documents(s, d).filter(col("doc_id") < 300)
         .select(col("doc_id"),
-          length(regexp_replace(col("text"), " ", "")).cast("long")
+          // \s, not ' ': BpeCore breaks words on EVERY whitespace char
+          // and drops it from the token count, so n_chars must strip
+          // tabs/newlines too or n_merges silently breaks on non-space
+          // whitespace (r4 ADVICE; ASCII whitespace — the corpus's —
+          // agrees across Java/DuckDB \s and Character.isWhitespace)
+          length(regexp_replace(col("text"), "\\s", "")).cast("long")
             .as("n_chars"),
           GF.bpeCount(col("text"), BpeFixture.merges).as("n_bpe_tokens"))
         .withColumn("n_merges", col("n_chars") - col("n_bpe_tokens"))
@@ -1392,7 +1397,7 @@ object LlmOps extends QueryModule {
     "l4c_bpe_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars,
          |    CAST(${BpeFixture.occSql("text")} AS BIGINT) AS n_merges
          |  FROM documents WHERE doc_id < 300)
          |SELECT doc_id, n_chars, n_chars - n_merges AS n_bpe_tokens,

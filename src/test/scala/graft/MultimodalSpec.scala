@@ -30,6 +30,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(1), "non-image bytes must decode to NULL")
   }
 
+  test("image_stats NULLs hostile bytes that make the decoder throw") {
+    import graft.functions.ImageCore
+    // A valid PNG, truncated mid-stream: the reader is selected from the
+    // intact signature, then crashes inside the decode — depending on the
+    // JDK this surfaces as IOException OR RuntimeException, and the
+    // TRY()-like contract is NULL either way, never a crash
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val hostile = Seq(
+      png.take(png.length / 2),              // truncated mid-IDAT
+      png.take(24),                          // signature + partial IHDR
+      png.updated(25, 0x7f.toByte),          // corrupted IHDR fields
+      (png.take(16) ++ Array.fill[Byte](32)(-1)).toArray)
+    hostile.zipWithIndex.foreach { case (bytes, i) =>
+      assert(ImageCore.stats(bytes) == null, s"hostile payload $i must be NULL")
+    }
+  }
+
   test("decodeStub: deterministic L1-normalized 16-bin histogram") {
     val f = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     assert(f.length == 16)

@@ -98,6 +98,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(BpeCountExpression.parseMerges("t h,th e") == Seq("t" -> "h", "th" -> "e"))
   }
 
+  test("bpe_count word-break definition agrees with the \\s strip l4c uses") {
+    import graft.functions.{BpeCore, GraftFunctions => GF}
+    GF.register(spark)
+    // l4c derives n_merges = n_chars - n_bpe_tokens where n_chars strips
+    // \s — that identity only holds if BpeCore's word-break chars are
+    // exactly the stripped set. With zero merges every non-whitespace
+    // char is a token, so countTokens == length(regexp_replace(t,'\s',''))
+    // must hold for every ASCII whitespace mix, not just ' '
+    val texts = Seq("a\tb\nc  d\r\ne", "tab\tsep", "nl\nnl\nnl", " lead",
+      "trail\t\n", "\r\n", "mixed \t\r\n x", "")
+    val noMerges = BpeCore.buildRanks(Seq.empty)
+    texts.foreach { t =>
+      val viaBpe = BpeCore.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), noMerges)
+      val viaStrip = t.replaceAll("\\s", "").length.toLong
+      assert(viaBpe == viaStrip, s"disagree on ${t.replace("\n", "\\n")}")
+    }
+    // and through the SQL path l4c actually runs
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id",
+        length(regexp_replace($"text", "\\s", "")).cast("long").as("n_chars"),
+        GF.bpeCount($"text", Seq.empty).as("n_tok"))
+      .filter($"n_chars" =!= $"n_tok").count()
+    assert(df == 0)
+  }
+
   test("bpe_segment keeps word boundaries and matches the reference segmentation") {
     import graft.functions.{GraftFunctions => GF}
     GF.register(spark)
