@@ -123,6 +123,47 @@ object Etl extends QueryModule {
           |ORDER BY "event_id"""".stripMargin)
     }),
 
+    // P2e: 1-based array subscripts — the single most common
+    // silent-wrong-answer trap for migrated Presto SQL (Spark's raw []
+    // is 0-based). The translator rewrites every recognizable target to
+    // element_at (r4 verdict missing #1); this statement exercises
+    // subscript-of-call, computed index, literal-array subscript, and
+    // the explicit element_at form side by side, checked against
+    // DuckDB's natively 1-based list indexing.
+    "p2e_presto_sql_subscripts" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "doc_id",
+          |  split("text", ' ')[1] AS first_word,
+          |  split("text", ' ')[3] AS third_word,
+          |  split("text", ' ')[cardinality(split("text", ' '))] AS last_word,
+          |  element_at(split("text", ' '), 2) AS second_word,
+          |  ARRAY['lo', 'mid', 'hi'][2] AS arr2
+          |FROM documents
+          |WHERE "doc_id" < 300
+          |ORDER BY "doc_id"""".stripMargin)
+    }),
+
+    // P2f: array_agg with intra-aggregate ORDER BY — real Presto ETL SQL
+    // uses `array_agg(x ORDER BY y)` constantly and Spark has no syntax
+    // for it (r4 verdict missing #2). Exercises DESC, multi-key with a
+    // deterministic tie-break, and null-element retention (Trino keeps
+    // nulls, Spark's raw aggregate drops them), against DuckDB's native
+    // list(x ORDER BY y).
+    "p2f_presto_array_agg" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "lang",
+          |  array_join(array_agg("doc_id" ORDER BY "doc_id" DESC), ',') AS ids_desc,
+          |  array_join(array_agg(CASE WHEN "doc_id" % 7 = 0 THEN NULL ELSE "doc_id" END
+          |    ORDER BY "doc_id"), ',', 'NULL') AS with_nulls,
+          |  array_join(array_agg("source" ORDER BY length("source") ASC, "doc_id" DESC), ',') AS srcs
+          |FROM documents
+          |WHERE "doc_id" < 120
+          |GROUP BY "lang"
+          |ORDER BY "lang"""".stripMargin)
+    }),
+
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
     // one parameterized statement (named :run_day placeholder, bound as a
     // typed literal after dialect translation) executed once per day,
@@ -553,6 +594,29 @@ object Etl extends QueryModule {
         |  event_type LIKE 'c%' AS c_prefix,
         |  json_extract_string(props, '$.k') AS k_raw
         |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin,
+
+    "p2e_presto_sql_subscripts" ->
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  ws[1] AS first_word,
+        |  ws[3] AS third_word,
+        |  ws[len(ws)] AS last_word,
+        |  ws[2] AS second_word,
+        |  'mid' AS arr2
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "p2f_presto_array_agg" ->
+      """SELECT lang,
+        |  array_to_string(list(doc_id ORDER BY doc_id DESC), ',') AS ids_desc,
+        |  array_to_string(list_transform(
+        |    list(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END
+        |      ORDER BY doc_id),
+        |    x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') AS with_nulls,
+        |  array_to_string(list(source ORDER BY length(source) ASC, doc_id DESC), ',') AS srcs
+        |FROM documents WHERE doc_id < 120
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p7_preprocess_pipeline" ->
       """WITH toks AS (

@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Dialect pieces that need NO translation (verified by PrestoSqlSpec):
   * `||` concat, 1-based `substr`, `cardinality`, `element_at`,
-  * `array_agg`, `approx_percentile`, `bool_and/bool_or`, `TRY_CAST`,
+  * `approx_percentile`, `bool_and/bool_or`, `TRY_CAST`,
   * `date_trunc`, `UNNEST` (→ LATERAL VIEW handled by Spark's own
   * `... FROM t, LATERAL ...` support), grouping sets, window frames.
   *
@@ -39,13 +39,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `MysqlFormatTokens` only (unlisted specifiers and literal alphabetic
   * text inside format strings pass through into the Java pattern, where
   * letters are reserved — keep formats to listed tokens + punctuation);
-  * **array subscripts `arr[n]` pass through untranslated and
-  * Spark's `[]` is 0-based where Presto's is 1-based** — migrating SQL
-  * should use `element_at(arr, n)` (1-based in BOTH engines) for
-  * positional access, which is also Presto's recommended form;
-  * `array_agg` passes through to Spark's same-named aggregate, which
-  * DROPS null elements where Trino retains them (and the `ORDER BY`
-  * intra-aggregate form is not translated — sort the result instead);
+  * array subscripts `arr[n]` translate to `element_at(arr, n)` (1-based
+  * in both engines where Spark's raw `[]` would be 0-based; identical to
+  * `[]` for map keys) for every recognizable target — identifier,
+  * qualified/quoted name, call, paren group, chained subscripts — except
+  * a direct `CASE…END[n]`, which passes through (wrap it in parens);
+  * `array_agg` translates to a null-RETAINING collect (Trino keeps null
+  * elements; Spark's raw aggregate drops them) and the intra-aggregate
+  * `ORDER BY` form — multi-key, ASC/DESC, NULLS FIRST/LAST with Presto
+  * defaults — translates to an explicit-comparator array_sort
+  * (`FILTER (WHERE …)` on the ORDER BY form is not supported);
   * the `MAP(ARRAY[…], ARRAY[…])` constructor translates (other map()
   * argument shapes and Presto type syntax in casts — `ARRAY(T)`,
   * `MAP(K,V)` — do not; use Spark type names); `ROW(…)` translates to
@@ -987,15 +990,268 @@ object PrestoSql {
     out.toString
   }
 
-  /** Presto `ARRAY[a, b, c]` literals → Spark `array(a, b, c)`.
-    * Literal-aware bracket-matching scanner (regex can't pair nested
-    * brackets): `ARRAY[` opens an array-literal frame whose matching `]`
-    * becomes `)`; any other `[` (subscripts) opens a passthrough frame.
-    * Nested forms (`ARRAY[ARRAY[1], ARRAY[2]]`) work by the stack.
+  /** Index of the `)` matching the `(` at `open`, literal-aware; -1 when
+    * unbalanced. */
+  private def matchingClose(s: String, open: Int): Int = {
+    var depth = 0
+    var inLit = false
+    var inIdent = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 else inLit = false
+        }
+      } else if (inIdent) { if (c == '"') inIdent = false }
+      else c match {
+        case '\'' => inLit = true
+        case '"' => inIdent = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Trino `array_agg` differs from Spark's in two ways a migrating user
+    * hits constantly: Trino RETAINS null elements where Spark's drops
+    * them, and Trino supports the intra-aggregate `ORDER BY` form
+    * (`array_agg(x ORDER BY y DESC)`), which Spark has no syntax for.
+    * Both close with one shape: collect `named_struct('o1', k1, …, 'v',
+    * x)` (a struct is never NULL, so null values survive the aggregate),
+    * `array_sort` with an explicit comparator implementing per-key
+    * ASC/DESC + Presto null placement (ASC → NULLS LAST, DESC → NULLS
+    * FIRST, explicit `NULLS FIRST/LAST` honored), then `transform` back
+    * to the bare values. The plain no-ORDER-BY form gets the same wrap
+    * minus the sort, fixing null retention. All pieces are builtin
+    * codegen'd functions, so the aggregate stays whole-stage-codegen
+    * friendly. `DISTINCT` is carried through (distinct-over-struct ≡
+    * distinct-over-value here since the struct holds exactly the keyed
+    * value). `FILTER (WHERE …)` after the call still attaches to the
+    * inner aggregate's enclosing expression and is NOT supported on the
+    * ORDER BY form — documented limit. */
+  private[graft] def rewriteArrayAgg(s: String): String = {
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+        i += 1
+      } else if (inIdent) {
+        out.append(c); if (c == '"') inIdent = false
+        i += 1
+      } else if (c == '\'') { inLit = true; out.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; out.append(c); i += 1 }
+      else if (c == '(') {
+        // look back for the bare word array_agg (same bounded look-back
+        // as wrapNoneMatch)
+        var j = out.length - 1
+        while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+        val wordEnd = j
+        while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+        val isArrayAgg = wordEnd - j == 9 &&
+          out.substring(j + 1, wordEnd + 1).equalsIgnoreCase("array_agg")
+        val close = if (isArrayAgg) matchingClose(s, i) else -1
+        if (isArrayAgg && close > i) {
+          out.setLength(j + 1)
+          out.append(buildArrayAgg(rewriteArrayAgg(s.substring(i + 1, close))))
+          i = close + 1
+        } else { out.append('('); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** One parsed ORDER BY key: expression, descending?, nulls-first?. */
+  private case class AggOrderKey(expr: String, desc: Boolean, nullsFirst: Boolean)
+
+  private def buildArrayAgg(innerRaw: String): String = {
+    var inner = innerRaw.trim
+    val distinct = inner.take(9).equalsIgnoreCase("distinct ") || {
+      val m = """(?is)^distinct\s""".r.findFirstIn(inner)
+      m.isDefined
+    }
+    if (distinct) inner = inner.substring(8).trim
+
+    // locate a top-level ORDER BY (depth 0, outside literals)
+    var depth = 0
+    var inLit = false
+    var inIdent = false
+    var obAt = -1
+    var k = 0
+    while (k < inner.length && obAt < 0) {
+      val c = inner.charAt(k)
+      if (inLit) {
+        if (c == '\'') {
+          if (k + 1 < inner.length && inner.charAt(k + 1) == '\'') k += 1 else inLit = false
+        }
+      } else if (inIdent) { if (c == '"') inIdent = false }
+      else c match {
+        case '\'' => inLit = true
+        case '"' => inIdent = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case 'o' | 'O' if depth == 0 =>
+          val boundedBefore = k == 0 || !(inner.charAt(k - 1).isLetterOrDigit ||
+            inner.charAt(k - 1) == '_')
+          if (boundedBefore &&
+              """(?is)^order\s+by\s""".r.findFirstIn(inner.substring(k)).isDefined)
+            obAt = k
+        case _ =>
+      }
+      k += 1
+    }
+
+    def distPrefix = if (distinct) "DISTINCT " else ""
+    if (obAt < 0) {
+      // plain form: wrap for null retention only
+      s"transform(array_agg($distPrefix" +
+        s"named_struct('v', ${inner.trim})), s -> s.v)"
+    } else {
+      val valueExpr = inner.substring(0, obAt).trim
+      val spec = """(?is)^order\s+by\s""".r
+        .replaceFirstIn(inner.substring(obAt), "")
+      val keys = splitTopLevel(spec, ',').map(parseAggOrderKey)
+      val structArgs = keys.zipWithIndex
+        .map { case (key, n) => s"'o${n + 1}', ${key.expr}" }
+        .mkString("", ", ", s", 'v', $valueExpr")
+      val cmp = keys.zipWithIndex.foldRight("0") { case ((key, n), rest) =>
+        val f = s"o${n + 1}"
+        val (lt, gt) = if (key.desc) ("1", "-1") else ("-1", "1")
+        val (nl, nr) = if (key.nullsFirst) ("-1", "1") else ("1", "-1")
+        s"CASE WHEN l.$f IS NULL AND r.$f IS NULL THEN $rest" +
+          s" WHEN l.$f IS NULL THEN $nl WHEN r.$f IS NULL THEN $nr" +
+          s" WHEN l.$f < r.$f THEN $lt WHEN l.$f > r.$f THEN $gt" +
+          s" ELSE $rest END"
+      }
+      s"transform(array_sort(array_agg(${distPrefix}named_struct($structArgs))," +
+        s" (l, r) -> $cmp), s -> s.v)"
+    }
+  }
+
+  private def parseAggOrderKey(item: String): AggOrderKey = {
+    var e = item.trim
+    var nullsFirst: Option[Boolean] = None
+    val nullsRe = """(?is)^(.*?)\s+nulls\s+(first|last)$""".r
+    e match {
+      case nullsRe(rest, dir) =>
+        nullsFirst = Some(dir.equalsIgnoreCase("first")); e = rest.trim
+      case _ =>
+    }
+    val dirRe = """(?is)^(.*?)\s+(asc|desc)$""".r
+    val (expr, desc) = e match {
+      case dirRe(rest, d) => (rest.trim, d.equalsIgnoreCase("desc"))
+      case _ => (e, false)
+    }
+    // Presto default null placement: ASC → NULLS LAST, DESC → NULLS FIRST
+    AggOrderKey(expr, desc, nullsFirst.getOrElse(desc))
+  }
+
+  // rewriteArrayLiterals frame kinds
+  private final val FramePassthrough = 0 // unrecognized target: keep [ ]
+  private final val FrameArrayLit = 1    // ARRAY[…] → array(…)
+  private final val FrameSubscript = 2   // tgt[i] → element_at(tgt, i)
+
+  /** Start index in `buf` of the primary expression a subscript applies
+    * to (identifier, "quoted", call or (paren) group — plus `.` qualifier
+    * chains), or -1 when unrecognizable. Backward scan is literal-aware:
+    * quotes toggle with `''`/`""` escape pairs consumed, so parens inside
+    * string literals (`split(s, '(')[1]`) never unbalance the match.
+    */
+  private def subscriptTargetStart(buf: StringBuilder): Int = {
+    def skipQuoted(close: Int, q: Char): Int = {
+      var k = close - 1
+      while (k >= 0) {
+        if (buf.charAt(k) == q) {
+          if (k > 0 && buf.charAt(k - 1) == q) k -= 2 // escaped pair, still inside
+          else return k
+        } else k -= 1
+      }
+      -1
+    }
+    // one identifier segment ending at `end` (inclusive) → its start, -1 if none
+    def segStart(end: Int): Int = {
+      if (end < 0) return -1
+      if (buf.charAt(end) == '"') skipQuoted(end, '"')
+      else if (buf.charAt(end).isLetterOrDigit || buf.charAt(end) == '_') {
+        var w = end
+        while (w >= 0 && (buf.charAt(w).isLetterOrDigit || buf.charAt(w) == '_')) w -= 1
+        w + 1
+      } else -1
+    }
+    // extend left over `.`-qualifier chains: t.arr[1], s."col"[1]
+    def withQualifiers(start: Int): Int = {
+      var st = start
+      while (st > 0 && buf.charAt(st - 1) == '.') {
+        val prev = segStart(st - 2)
+        if (prev < 0) return st
+        st = prev
+      }
+      st
+    }
+    var j = buf.length - 1
+    while (j >= 0 && buf.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return -1
+    buf.charAt(j) match {
+      case ')' =>
+        var depth = 1
+        var k = j - 1
+        while (k >= 0 && depth > 0) {
+          buf.charAt(k) match {
+            case '\'' => k = skipQuoted(k, '\''); if (k < 0) return -1
+            case '"' => k = skipQuoted(k, '"'); if (k < 0) return -1
+            case ')' => depth += 1
+            case '(' => depth -= 1
+            case _ =>
+          }
+          k -= 1
+        }
+        if (depth > 0) -1
+        else {
+          // include a function name directly before the '(' (call target);
+          // a bare paren group starts at the '(' itself
+          val ws = segStart(k)
+          if (ws < 0) k + 1 else withQualifiers(ws)
+        }
+      case '"' =>
+        val open = skipQuoted(j, '"')
+        if (open < 0) -1 else withQualifiers(open)
+      case c if c.isLetterOrDigit || c == '_' =>
+        val ws = segStart(j)
+        // CASE…END[i] can't be rewritten by look-back (END is not the
+        // expression start) — fall back to passthrough, documented limit
+        if (ws >= 0 && buf.substring(ws, j + 1).equalsIgnoreCase("end")) -1
+        else if (ws < 0) -1
+        else withQualifiers(ws)
+      case _ => -1
+    }
+  }
+
+  /** Presto `ARRAY[a, b, c]` literals → Spark `array(a, b, c)`, and
+    * 1-based subscripts `tgt[i]` → `element_at(tgt, i)` (Presto `[]` is
+    * 1-based on arrays where Spark's is 0-based; element_at is 1-based in
+    * both engines, and identical to `[]` for map keys, so the rewrite is
+    * uniformly safe). Literal-aware bracket-matching scanner (regex can't
+    * pair nested brackets): `ARRAY[` opens an array-literal frame whose
+    * matching `]` becomes `)`; any other `[` opens a subscript frame that
+    * wraps its target via look-back (`m[1][2]`, `split(s, ',')[2]`,
+    * `(expr)[1]`, `t."col"[1]` all resolve; an unrecognizable target —
+    * e.g. `CASE…END[i]` — passes through unchanged as before). Nested
+    * forms (`ARRAY[ARRAY[1], ARRAY[2]]`) work by the stack.
     */
   private[graft] def rewriteArrayLiterals(s: String): String = {
     val out = new StringBuilder
-    val stack = scala.collection.mutable.Stack.empty[Boolean]
+    val stack = scala.collection.mutable.Stack.empty[Int]
     var inLit = false
     var inIdent = false
     var i = 0
@@ -1027,13 +1283,21 @@ object PrestoSql {
           if (isArrayKw) {
             out.setLength(j + 1)
             out.append("array(")
-            stack.push(true)
+            stack.push(FrameArrayLit)
           } else {
-            out.append('[')
-            stack.push(false)
+            val ts = subscriptTargetStart(out)
+            if (ts >= 0) {
+              out.insert(ts, "element_at(")
+              out.append(", ")
+              stack.push(FrameSubscript)
+            } else {
+              out.append('[')
+              stack.push(FramePassthrough)
+            }
           }
         case ']' =>
-          if (stack.nonEmpty && stack.pop()) out.append(')') else out.append(']')
+          if (stack.nonEmpty && stack.pop() != FramePassthrough) out.append(')')
+          else out.append(']')
         case _ => out.append(c)
       }
       i += 1
@@ -1050,7 +1314,7 @@ object PrestoSql {
     */
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = wrapNoneMatch(rewriteArrayLiterals(prestoSql))
+    val s = wrapNoneMatch(rewriteArrayAgg(rewriteArrayLiterals(prestoSql)))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

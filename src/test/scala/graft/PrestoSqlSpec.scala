@@ -16,7 +16,7 @@ class PrestoSqlSpec extends SparkSpec {
 
   test("function names inside string literals are never rewritten") {
     assert(PrestoSql.translate("SELECT 'split(' || split(x, ',')[1] FROM t")
-      == "SELECT 'split(' || presto_split(x, ',')[1] FROM t")
+      == "SELECT 'split(' || element_at(presto_split(x, ','), 1) FROM t")
   }
 
   test("unit-form date_diff/date_add map to timestampdiff/timestampadd") {
@@ -30,10 +30,11 @@ class PrestoSqlSpec extends SparkSpec {
       == "SELECT approx_count_distinct(x), any_value(y), timestamp_seconds(e), try_eval(1/z), CAST(w AS STRING)")
   }
 
-  test("renames: to_base64/from_base64, codepoint, VARBINARY cast; array_agg untouched") {
+  test("renames: to_base64/from_base64, codepoint, VARBINARY cast; array_agg wrapped") {
     assert(PrestoSql.translate(
       "SELECT to_base64(CAST(x AS VARBINARY)), from_base64(y), codepoint(c), array_agg(v)")
-      == "SELECT base64(CAST(x AS BINARY)), unbase64(y), ascii(c), array_agg(v)")
+      == "SELECT base64(CAST(x AS BINARY)), unbase64(y), ascii(c), " +
+        "transform(array_agg(named_struct('v', v)), s -> s.v)")
   }
 
   test("ngrams/array_sum/array_average/nan adapters evaluate correctly") {
@@ -474,16 +475,48 @@ class PrestoSqlSpec extends SparkSpec {
       == "SELECT array(1, 2, 3)")
     assert(PrestoSql.rewriteArrayLiterals("SELECT ARRAY[ARRAY[1], ARRAY[2, 3]]")
       == "SELECT array(array(1), array(2, 3))")
-    // subscripts keep their brackets, including inside an array literal
+    // subscripts become 1-based element_at, including inside and ON an
+    // array literal
     assert(PrestoSql.rewriteArrayLiterals("SELECT ARRAY[a[1], b[2]][1]")
-      == "SELECT array(a[1], b[2])[1]")
+      == "SELECT element_at(array(element_at(a, 1), element_at(b, 2)), 1)")
     // 'ARRAY[' inside a string literal is data, not syntax; MY_ARRAY is
-    // an identifier, not the keyword
+    // an identifier, not the keyword — so its [1] is a subscript
     assert(PrestoSql.rewriteArrayLiterals("SELECT 'ARRAY[1]', MY_ARRAY[1]")
-      == "SELECT 'ARRAY[1]', MY_ARRAY[1]")
+      == "SELECT 'ARRAY[1]', element_at(MY_ARRAY, 1)")
     val got = PrestoSql.sql(spark,
       "SELECT ARRAY['a', 'b'] || ARRAY['c'] AS arr").collect().head.getSeq[String](0)
     assert(got == Seq("a", "b", "c"))
+  }
+
+  test("1-based subscripts rewrite to element_at for every target shape") {
+    // chained subscripts
+    assert(PrestoSql.rewriteArrayLiterals("SELECT m[1][2]")
+      == "SELECT element_at(element_at(m, 1), 2)")
+    // subscript of a call whose args contain commas, parens, and quotes
+    assert(PrestoSql.rewriteArrayLiterals("SELECT split(s, '(')[2] FROM t")
+      == "SELECT element_at(split(s, '('), 2) FROM t")
+    // qualified + double-quoted targets
+    assert(PrestoSql.rewriteArrayLiterals("""SELECT t."my col"[1], a.b.c[2]""")
+      == """SELECT element_at(t."my col", 1), element_at(a.b.c, 2)""")
+    // parenthesized expression target
+    assert(PrestoSql.rewriteArrayLiterals("SELECT (a || b)[1]")
+      == "SELECT element_at((a || b), 1)")
+    // expression index, nested subscript in the index
+    assert(PrestoSql.rewriteArrayLiterals("SELECT arr[idx[1] + 1]")
+      == "SELECT element_at(arr, element_at(idx, 1) + 1)")
+    // map string-key access is element_at in both engines
+    assert(PrestoSql.rewriteArrayLiterals("SELECT m['k'] FROM t")
+      == "SELECT element_at(m, 'k') FROM t")
+    // CASE…END target is the documented passthrough fallback
+    assert(PrestoSql.rewriteArrayLiterals("SELECT CASE WHEN c THEN a ELSE b END[1]")
+      == "SELECT CASE WHEN c THEN a ELSE b END[1]")
+    // end-to-end 1-based semantics through spark.sql
+    val r = PrestoSql.sql(spark,
+      """SELECT split('a,b,c', ',')[1] AS first_el,
+        |  ARRAY[10, 20, 30][3] AS third,
+        |  MAP(ARRAY['x', 'y'], ARRAY[1, 2])['y'] AS yval""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "a" && r.getInt(1) == 30 && r.getInt(2) == 2)
   }
 
   test("date_format takes MySQL %-format in the Presto dialect (the Java-pattern trap)") {
@@ -552,12 +585,58 @@ class PrestoSqlSpec extends SparkSpec {
         |  from_iso8601_date('2024-03-05') AS isod""".stripMargin).collect().head
     assert(r.getBoolean(0))
     assert(r.getBoolean(1))
-    assert(r.getString(2) == "b")
+    // [1] is 1-based per Presto (first pair) now that subscripts
+    // translate to element_at — this used to assert "b" under the
+    // 0-based passthrough
+    assert(r.getString(2) == "a")
     assert(r.getSeq[String](3) == Seq("x", "x", "x"))
     assert(r.getString(4) == "07/ok")
     assert(r.getString(5) == "5")
     assert(r.getDate(6).toString == "2024-02-29")
     assert(r.getDate(7).toString == "2024-03-05")
+  }
+
+  test("array_agg retains nulls and honors intra-aggregate ORDER BY") {
+    // translation shape of the plain form (null-retaining wrap)
+    assert(PrestoSql.rewriteArrayAgg("SELECT array_agg(x) FROM t")
+      == "SELECT transform(array_agg(named_struct('v', x)), s -> s.v) FROM t")
+    // literal protection: 'array_agg(' as data is untouched
+    assert(PrestoSql.rewriteArrayAgg("SELECT 'array_agg(x)' FROM t")
+      == "SELECT 'array_agg(x)' FROM t")
+    // null retention end-to-end (Spark's raw array_agg drops the NULL)
+    val r1 = PrestoSql.sql(spark,
+      "SELECT sort_array(array_agg(v)) AS vs FROM (VALUES (1), (NULL), (3)) AS t(v)")
+      .collect().head.getSeq[Any](0)
+    assert(r1 == Seq(null, 1, 3), s"null must be retained, got $r1")
+    // single-key DESC
+    val r2 = PrestoSql.sql(spark,
+      """SELECT array_agg(v ORDER BY k DESC) AS vs
+        |FROM (VALUES (1, 'a'), (3, 'c'), (2, 'b')) AS t(k, v)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(r2 == Seq("c", "b", "a"))
+    // multi-key with mixed directions: g ASC then k DESC inside groups
+    val r3 = PrestoSql.sql(spark,
+      """SELECT array_agg(v ORDER BY g ASC, k DESC) AS vs
+        |FROM (VALUES (2, 1, 'd'), (1, 2, 'b'), (1, 7, 'a'), (2, 3, 'c'))
+        |  AS t(g, k, v)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(r3 == Seq("a", "b", "c", "d"))
+    // Presto null placement: ASC → NULLS LAST, DESC → NULLS FIRST,
+    // explicit NULLS FIRST honored
+    def keys(sql: String): Seq[String] =
+      PrestoSql.sql(spark, sql).collect().head.getSeq[String](0)
+    val src = "FROM (VALUES (1, 'a'), (NULL, 'n'), (2, 'b')) AS t(k, v)"
+    assert(keys(s"SELECT array_agg(v ORDER BY k) AS vs $src")
+      == Seq("a", "b", "n"))
+    assert(keys(s"SELECT array_agg(v ORDER BY k DESC) AS vs $src")
+      == Seq("n", "b", "a"))
+    assert(keys(s"SELECT array_agg(v ORDER BY k ASC NULLS FIRST) AS vs $src")
+      == Seq("n", "a", "b"))
+    // DISTINCT carries through
+    val r4 = PrestoSql.sql(spark,
+      "SELECT array_agg(DISTINCT v ORDER BY v) AS vs FROM (VALUES (2), (1), (2)) AS t(v)")
+      .collect().head.getSeq[Int](0)
+    assert(r4 == Seq(1, 2))
   }
 
   test("documented passthroughs really do run unmodified") {

@@ -157,7 +157,7 @@ class PropertySpec extends SparkSpec {
     // random tree of ARRAY[...] nodes whose leaves are int literals and
     // subscripted identifiers; the Presto rendering must rewrite to the
     // Spark rendering exactly (same tree, array(...) syntax, subscripts
-    // and string literals untouched)
+    // → 1-based element_at, string literals untouched)
     sealed trait T
     case class Leaf(s: String) extends T
     case class Node(kids: List[T]) extends T
@@ -175,6 +175,8 @@ class PropertySpec extends SparkSpec {
       case Node(ks) => ks.map(presto).mkString("ARRAY[", ", ", "]")
     }
     def sparkForm(t: T): String = t match {
+      // subscript leaves rewrite to 1-based element_at (r5)
+      case Leaf("x[1]") => "element_at(x, 1)"
       case Leaf(s) => s
       case Node(ks) => ks.map(sparkForm).mkString("array(", ", ", ")")
     }
