@@ -171,6 +171,69 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E8c: AFTER MATCH SKIP TO NEXT ROW — Trino's overlapping-matches
+    // mode, promoted from spec-only to the oracle gate (r4 verdict wrong
+    // #2). Pattern `view gap* purchase` restarts one row after each
+    // match's START, so EVERY view with a later same-user purchase
+    // anchors its own match (gap excludes purchase, so each match ends
+    // at the first purchase after its view) — exactly enumerable in SQL.
+    "e8c_pattern_skip_to_next" -> ((s, d) => {
+      import RowPattern._
+      RowPattern.matches(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+        steps = Seq(
+          Step("view", col("event_type") === "view"),
+          Step("gap", col("event_type") =!= "purchase", star),
+          Step("purchase", col("event_type") === "purchase")),
+        afterMatch = SkipToNextRow)
+        .select(col("user_id"), col("match_no"), col("start_us"),
+          col("end_us"), col("n_rows"))
+        .orderBy(col("user_id"), col("match_no"))
+    }),
+
+    // E8d: ALL ROWS PER MATCH — one output row per matched input row
+    // with Trino's CLASSIFIER() step name and the row's position in its
+    // match. First match per user (leftmost anchor) keeps the oracle
+    // analytic: its rows are the contiguous [view, first-purchase] span,
+    // classified by position.
+    "e8d_pattern_all_rows" -> ((s, d) => {
+      import RowPattern._
+      RowPattern.matchesAllRows(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+        steps = Seq(
+          Step("view", col("event_type") === "view"),
+          Step("gap", col("event_type") =!= "purchase", star),
+          Step("purchase", col("event_type") === "purchase")))
+        .filter(col("match_no") === 1)
+        .select(col("user_id"), col("row_in_match"), col("classifier"),
+          col("ts_us"))
+        .orderBy(col("user_id"), col("row_in_match"))
+    }),
+
+    // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
+    // missing #5) — the foreachBatch keyed-upsert sink run as a real
+    // Structured Streaming query over a file source (one file per
+    // micro-batch; no driver-side data movement). The per-batch merge is
+    // last-write-wins by max(struct(ts, event_id, type)) per user —
+    // associative and commutative — so the final table equals the batch
+    // answer REGARDLESS of how files batch up, which is what makes a
+    // streaming execution oracle-checkable.
+    "e10_stream_upsert" -> ((s, d) => {
+      val batch = Tables.events(s, d)
+      val base = Sources.scratch("graft_e10")
+      val srcDir = s"$base/src"
+      // pre-split into 6 files so the stream runs ~6 micro-batches
+      batch.repartition(6).write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.EventStreams.upsertSink(
+        stream, s"$base/table", s"$base/ck")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/table")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
     // E9: interval join (attribution): views joined to same-user purchases
     // within [0, 1h]. The SAME function is the streaming stream-stream
     // join (EventStreams.viewPurchaseJoin — withWatermark is a no-op in
@@ -329,6 +392,64 @@ object Events extends QueryModule {
         |     AND x.ts >= f.vts AND x.ts <= o.nt) AS n_rows
         |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
         |ORDER BY f.user_id""".stripMargin,
+
+    "e10_stream_upsert" ->
+      // last-write-wins row per user: the streaming upsert's final table
+      // must equal the batch answer however the micro-batches split
+      """SELECT user_id, ts, event_id, event_type FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC, event_type DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "e8c_pattern_skip_to_next" ->
+      // every view with a later same-user purchase is its own
+      // (overlapping) match; end = first purchase after the view;
+      // match_no numbers anchors in stream order ((user_id, ts) is
+      // unique in the fixture)
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(p.ts) FROM e p WHERE p.user_id = v.user_id
+        |       AND p.event_type = 'purchase' AND p.ts > v.ts) AS np
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (SELECT user_id, vts, np FROM cand WHERE np IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vts)
+        |    AS BIGINT) AS match_no,
+        |  epoch_us(vts) AS start_us, epoch_us(np) AS end_us,
+        |  (SELECT COUNT(*) FROM e x WHERE x.user_id = ok.user_id
+        |     AND x.ts >= vts AND x.ts <= np) AS n_rows
+        |FROM ok ORDER BY user_id, match_no""".stripMargin,
+
+    "e8d_pattern_all_rows" ->
+      // rows of the first match per user: the contiguous span from the
+      // earliest qualifying view to its first purchase, classified by
+      // endpoint position (interior rows are all gap by construction)
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(p.ts) FROM e p WHERE p.user_id = v.user_id
+        |       AND p.event_type = 'purchase' AND p.ts > v.ts) AS np
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (SELECT user_id, vts, np FROM cand WHERE np IS NOT NULL),
+        |first AS (SELECT user_id, min(vts) AS vts FROM ok GROUP BY user_id),
+        |fm AS (
+        |  SELECT f.user_id, f.vts, o.np FROM first f
+        |  JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts)
+        |SELECT m.user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY x.ts)
+        |    AS BIGINT) AS row_in_match,
+        |  CASE WHEN x.ts = m.vts THEN 'view'
+        |       WHEN x.ts = m.np THEN 'purchase'
+        |       ELSE 'gap' END AS classifier,
+        |  epoch_us(x.ts) AS ts_us
+        |FROM fm m JOIN e x
+        |  ON x.user_id = m.user_id AND x.ts >= m.vts AND x.ts <= m.np
+        |ORDER BY m.user_id, row_in_match""".stripMargin,
 
     "e1_tumbling" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,

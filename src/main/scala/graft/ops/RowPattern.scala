@@ -80,16 +80,29 @@ object RowPattern extends Serializable {
       key: Long, match_no: Long, branch: Long, start_us: Long, end_us: Long,
       n_rows: Long)
 
+  /** ALL ROWS PER MATCH output row: one per matched input row, with the
+    * step name the row was mapped to (Trino's CLASSIFIER()) and its
+    * 1-based position in the match. */
+  final case class PatternRowAll(
+      key: Long, match_no: Long, row_in_match: Long, classifier: String,
+      ts_us: Long)
+
   /** One branch = (step-id per position → preds column, quantifier per
     * position). */
   private type Branch = (Array[Int], Array[Quant])
 
   /** AFTER MATCH SKIP policy: PAST LAST ROW (default — matches never
-    * overlap) or TO NEXT ROW (the Trino overlapping-matches mode: the
-    * next attempt starts one row after the previous match's START). */
+    * overlap), TO NEXT ROW (the Trino overlapping-matches mode: the next
+    * attempt starts one row after the previous match's START), or TO
+    * FIRST/LAST `<step>` (resume AT the first/last row the named step
+    * matched). Per Trino, TO FIRST/LAST throws when the named step
+    * matched no row in the match, and when the skip target IS the match
+    * start (which would loop forever). */
   sealed trait AfterMatch
   case object SkipPastLastRow extends AfterMatch
   case object SkipToNextRow extends AfterMatch
+  final case class SkipToFirst(step: String) extends AfterMatch
+  final case class SkipToLast(step: String) extends AfterMatch
 
   /** Core matcher over one key's sorted buffer: leftmost-first with
     * bounded backtracking, ordered-branch alternation, SKIP PAST LAST
@@ -101,8 +114,26 @@ object RowPattern extends Serializable {
   private[graft] def matchSpansBranches(ts: Array[Long],
       preds: Array[Array[Boolean]], branches: Array[Branch],
       withinUs: Option[Long],
-      afterMatch: AfterMatch = SkipPastLastRow): Seq[(Int, Int, Int)] = {
+      afterMatch: AfterMatch = SkipPastLastRow): Seq[(Int, Int, Int)] =
+    matchSpansBranchesFull(ts, preds, branches, withinUs, afterMatch)
+      .map { case (s, e, b, _) => (s, e, b) }
+
+  /** Full form: each match also carries the step POSITION (index into the
+    * winning branch) each matched row was consumed by, as a slice aligned
+    * to rows start..end. The assignment array is written at every row
+    * consumption, and within an accepted span each row's LAST write is by
+    * the step that kept it (later steps overwrite failed longer attempts
+    * of earlier ones), so the slice is exactly the accepted path.
+    * `branchNames` (parallel to `branches`, step name per position) is
+    * required for the SKIP TO FIRST/LAST policies only. */
+  private[graft] def matchSpansBranchesFull(ts: Array[Long],
+      preds: Array[Array[Boolean]], branches: Array[Branch],
+      withinUs: Option[Long],
+      afterMatch: AfterMatch = SkipPastLastRow,
+      branchNames: Array[Array[String]] = null)
+      : Seq[(Int, Int, Int, Array[Int])] = {
     val len = ts.length
+    val asg = new Array[Int](len)
     // backtracking regex over the row sequence; returns the inclusive
     // end index of the first match anchored at `pos`, or -1
     def go(pos: Int, step: Int, ids: Array[Int], quants: Array[Quant]): Int = {
@@ -112,7 +143,7 @@ object RowPattern extends Serializable {
       var p = pos
       var taken = 0
       while (taken < q.min) {
-        if (p < len && preds(p)(id)) { p += 1; taken += 1 }
+        if (p < len && preds(p)(id)) { asg(p) = step; p += 1; taken += 1 }
         else return -1
       }
       val budget = q.max - q.min // extra reps beyond the mandatory min
@@ -121,7 +152,7 @@ object RowPattern extends Serializable {
         var maxP = p
         var extra = 0
         while (maxP < len && extra < budget && preds(maxP)(id)) {
-          maxP += 1; extra += 1
+          asg(maxP) = step; maxP += 1; extra += 1
         }
         var tryP = maxP
         while (tryP >= p) {
@@ -137,13 +168,13 @@ object RowPattern extends Serializable {
           val r = go(tryP, step + 1, ids, quants)
           if (r >= 0) return r
           if (tryP < len && extra < budget && preds(tryP)(id)) {
-            tryP += 1; extra += 1
+            asg(tryP) = step; tryP += 1; extra += 1
           } else return -1
         }
         -1
       }
     }
-    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
     var start = 0
     while (start < len) {
       var matched = false
@@ -152,10 +183,15 @@ object RowPattern extends Serializable {
         val (ids, quants) = branches(b)
         val end = go(start, 0, ids, quants)
         if (end >= start && withinUs.forall(w => ts(end) - ts(start) <= w)) {
-          acc += ((start, end, b))
+          val path = java.util.Arrays.copyOfRange(asg, start, end + 1)
+          acc += ((start, end, b, path))
           start = afterMatch match {
             case SkipPastLastRow => end + 1 // matches never overlap
             case SkipToNextRow => start + 1 // overlapping matches allowed
+            case SkipToFirst(name) => skipTarget(name, first = true,
+              start, path, branchNames(b))
+            case SkipToLast(name) => skipTarget(name, first = false,
+              start, path, branchNames(b))
           }
           matched = true
         } else b += 1
@@ -163,6 +199,27 @@ object RowPattern extends Serializable {
       if (!matched) start += 1
     }
     acc.toSeq
+  }
+
+  /** Resume index for SKIP TO FIRST/LAST `name`: the first/last row of
+    * the match whose step name matches, per Trino — errors when the step
+    * matched no row or when resuming at the match start (infinite loop). */
+  private def skipTarget(name: String, first: Boolean, start: Int,
+      path: Array[Int], names: Array[String]): Int = {
+    require(names != null, "SKIP TO FIRST/LAST needs step names")
+    var found = -1
+    var off = 0
+    while (off < path.length && (found < 0 || !first)) {
+      if (names(path(off)) == name) found = off
+      off += 1
+    }
+    if (found < 0) throw new IllegalStateException(
+      s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} $name: " +
+        "step matched no row in the match")
+    if (found == 0) throw new IllegalStateException(
+      s"AFTER MATCH SKIP TO $name would resume at the match start " +
+        "(infinite loop)")
+    start + found
   }
 
   /** Single-branch form (kept for the batch `matches` operator and the
@@ -184,6 +241,7 @@ object RowPattern extends Serializable {
     require(steps.nonEmpty, "empty pattern")
     val n = steps.size
     val quants = steps.map(_.quant).toArray
+    val stepNames = steps.map(_.name).toArray
     val prep = df.select(
       col(keyCol).cast("long").as("__k") +:
       unix_micros(col(tsCol).cast("timestamp")).as("__ts") +:
@@ -213,14 +271,70 @@ object RowPattern extends Serializable {
           }
           i += 1
         }
-        matchSpansBranches(ts, preds,
+        matchSpansBranchesFull(ts, preds,
           Array((Array.tabulate(quants.length)(identity), quants)),
-          withinUs, afterMatch)
-          .map { case (s0, e0, _) => (s0, e0) }.zipWithIndex.map {
+          withinUs, afterMatch, Array(stepNames))
+          .map { case (s0, e0, _, _) => (s0, e0) }.zipWithIndex.map {
           case ((start, end), idx) =>
             PatternMatch(k, idx.toLong + 1, ts(start), ts(end),
               (end - start + 1).toLong)
         }
+      }
+    out.withColumnRenamed("key", keyCol)
+  }
+
+  /** ALL ROWS PER MATCH form of `matches`: one output row per MATCHED
+    * input row, carrying the match number, the row's 1-based position in
+    * its match, and the step name it was consumed by (Trino's
+    * CLASSIFIER()). Unmatched rows are omitted (Trino's ALL ROWS PER
+    * MATCH default; the WITH UNMATCHED ROWS variant is not implemented).
+    * Same scale shape as `matches` — the shuffle carries one boolean per
+    * step, and the fan-out to matched rows happens after the per-key
+    * scan, never wider than the input. */
+  def matchesAllRows(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, steps: Seq[Step],
+      withinUs: Option[Long] = None,
+      afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+    require(steps.nonEmpty, "empty pattern")
+    val n = steps.size
+    val quants = steps.map(_.quant).toArray
+    val stepNames = steps.map(_.name).toArray
+    val prep = df.select(
+      col(keyCol).cast("long").as("__k") +:
+      unix_micros(col(tsCol).cast("timestamp")).as("__ts") +:
+      col(tiebreakCol).cast("long").as("__tb") +:
+      steps.zipWithIndex.map { case (st, i) =>
+        st.pred.cast("boolean").as(s"__p$i") }: _*)
+
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[PatternRowAll]
+    val out = prep.filter(col("__k").isNotNull)
+      .groupByKey(_.getLong(0))
+      .flatMapSortedGroups(col("__ts"), col("__tb")) { (k, it) =>
+        val rows = it.toArray
+        val len = rows.length
+        val ts = new Array[Long](len)
+        val preds = Array.ofDim[Boolean](len, n)
+        var i = 0
+        while (i < len) {
+          val r = rows(i)
+          ts(i) = r.getLong(1)
+          var s = 0
+          while (s < n) {
+            preds(i)(s) = !r.isNullAt(3 + s) && r.getBoolean(3 + s)
+            s += 1
+          }
+          i += 1
+        }
+        matchSpansBranchesFull(ts, preds,
+          Array((Array.tabulate(quants.length)(identity), quants)),
+          withinUs, afterMatch, Array(stepNames))
+          .zipWithIndex.flatMap { case ((start, end, _, path), idx) =>
+            (start to end).map { p =>
+              PatternRowAll(k, idx.toLong + 1, (p - start + 1).toLong,
+                stepNames(path(p - start)), ts(p))
+            }
+          }
       }
     out.withColumnRenamed("key", keyCol)
   }
@@ -245,6 +359,8 @@ object RowPattern extends Serializable {
     val n = steps.size
     val branchArr: Array[Branch] = branches.map(b =>
       (b.map(st => idOf(st.name)).toArray, b.map(_.quant).toArray)).toArray
+    val branchNameArr: Array[Array[String]] =
+      branches.map(_.map(_.name).toArray).toArray
     val prep = df.select(
       col(keyCol).cast("long").as("__k") +:
       unix_micros(col(tsCol).cast("timestamp")).as("__ts") +:
@@ -272,9 +388,10 @@ object RowPattern extends Serializable {
           }
           i += 1
         }
-        matchSpansBranches(ts, preds, branchArr, withinUs, afterMatch)
+        matchSpansBranchesFull(ts, preds, branchArr, withinUs, afterMatch,
+          branchNameArr)
           .zipWithIndex.map {
-          case ((start, end, b), idx) =>
+          case ((start, end, b, _), idx) =>
             PatternMatchAlt(k, idx.toLong + 1, b.toLong + 1, ts(start),
               ts(end), (end - start + 1).toLong)
         }

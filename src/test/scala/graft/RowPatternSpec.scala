@@ -293,6 +293,78 @@ class RowPatternSpec extends SparkSpec {
       s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
   }
 
+  test("ALL ROWS PER MATCH: classifier names, row positions, omitted non-matches") {
+    // stream: a b b c x a c — pattern a b* c. Match 1 = rows 1-4
+    // (a,b,b,c); the x never appears; match 2 = rows 6-7 (a,c with b*
+    // empty)
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "c"),
+      (1L, 5L, "x"), (1L, 6L, "a"), (1L, 7L, "c")))
+    val rows = RowPattern.matchesAllRows(df, "user_id", "ts", "event_id", Seq(
+        Step("A", col("event_type") === "a"),
+        Step("B", col("event_type") === "b", star),
+        Step("C", col("event_type") === "c")))
+      .select("match_no", "row_in_match", "classifier", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(
+      (1L, 1L, "A", 1L), (1L, 2L, "B", 2L), (1L, 3L, "B", 3L), (1L, 4L, "C", 4L),
+      (2L, 1L, "A", 6L), (2L, 2L, "C", 7L)))
+  }
+
+  test("ALL ROWS PER MATCH classifier survives backtracking") {
+    // greedy B = anything-but-nothing: B* would eat the c, then backtrack.
+    // pattern a B* c on a x x c: B takes rows 2-3 only; classifier must
+    // reflect the accepted path, not the failed greedy overreach
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "x"), (1L, 3L, "x"), (1L, 4L, "c")))
+    val rows = RowPattern.matchesAllRows(df, "user_id", "ts", "event_id", Seq(
+        Step("A", col("event_type") === "a"),
+        Step("ANY", lit(true), star), // greedily eats through the c, must back off
+        Step("C", col("event_type") === "c")))
+      .select("row_in_match", "classifier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "A"), (2L, "ANY"), (3L, "ANY"), (4L, "C")))
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST resumes at the named step's row") {
+    // stream: a b a b a — pattern a b a. SKIP PAST LAST ROW: one match
+    // (rows 1-3; restart at 4 finds b, no anchor until row 5's bare a).
+    // SKIP TO LAST A resumes AT row 3's a → second match rows 3-5.
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"), (1L, 5L, "a")))
+    val steps = Seq(
+      Step("A1", col("event_type") === "a"),
+      Step("B", col("event_type") === "b"),
+      Step("A2", col("event_type") === "a"))
+    def spans(am: RowPattern.AfterMatch) =
+      RowPattern.matches(df, "user_id", "ts", "event_id", steps, afterMatch = am)
+        .select("start_us", "end_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spans(RowPattern.SkipPastLastRow) == Set((1L, 3L)))
+    assert(spans(RowPattern.SkipToLast("A2")) == Set((1L, 3L), (3L, 5L)))
+    // SKIP TO FIRST B resumes at row 2 — no anchor there; next anchor is
+    // row 3, matching rows 3-5
+    assert(spans(RowPattern.SkipToFirst("B")) == Set((1L, 3L), (3L, 5L)))
+    // SKIP TO FIRST A1 would resume at the match start → loop → error
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spans(RowPattern.SkipToFirst("A1"))
+    }
+    assert(e1.getMessage.contains("infinite loop") ||
+      Option(e1.getCause).exists(_.getMessage.contains("infinite loop")))
+    // a step that matched no row (optional, zero reps) → error per Trino
+    val optSteps = Seq(
+      Step("A1", col("event_type") === "a"),
+      Step("Z", col("event_type") === "z", opt),
+      Step("B", col("event_type") === "b"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      RowPattern.matches(df, "user_id", "ts", "event_id", optSteps,
+        afterMatch = RowPattern.SkipToLast("Z")).collect()
+    }
+    assert(e2.getMessage.contains("matched no row") ||
+      Option(e2.getCause).exists(_.getMessage.contains("matched no row")))
+  }
+
   test("reluctant skip-form first match reproduces the e7 funnel") {
     val e = Tables.events(spark, sf)
     val viaPattern = RowPattern.matches(e, "user_id", "ts", "event_id", Seq(
