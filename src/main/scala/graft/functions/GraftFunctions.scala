@@ -48,7 +48,16 @@ object GraftFunctions {
     (FunctionIdentifier("bpe_segment"),
       new ExpressionInfo(classOf[BpeSegmentExpression].getName, "bpe_segment"),
       (e: Seq[Expression]) =>
-        BpeSegmentExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))))
+        BpeSegmentExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
+    (FunctionIdentifier("st_contains"),
+      new ExpressionInfo(classOf[StContainsExpression].getName, "st_contains"),
+      (e: Seq[Expression]) => StContainsExpression(e(0), e(1), e(2))),
+    (FunctionIdentifier("st_x"),
+      new ExpressionInfo(classOf[StPointCoordExpression].getName, "st_x"),
+      (e: Seq[Expression]) => StPointCoordExpression(e(0), 0)),
+    (FunctionIdentifier("st_y"),
+      new ExpressionInfo(classOf[StPointCoordExpression].getName, "st_y"),
+      (e: Seq[Expression]) => StPointCoordExpression(e(0), 1)))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {
@@ -88,4 +97,8 @@ object GraftFunctions {
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_segment", text, org.apache.spark.sql.functions.lit(
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
+  def stContains(polyWkt: Column, x: Column, y: Column): Column =
+    call_function("st_contains", polyWkt, x, y)
+  def stX(pointWkt: Column): Column = call_function("st_x", pointWkt)
+  def stY(pointWkt: Column): Column = call_function("st_y", pointWkt)
 }

@@ -368,6 +368,55 @@ object Joins extends QueryModule {
         .select(col("key_a"), col("key_b"),
           floor(col("d_km") * 1e6 + 0.5).cast("long").as("dist_q6"))
         .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // J13: polygon containment join (geometry v2, r4 verdict missing
+    // #4): WKT diamond polygons synthesized from nation, points from
+    // customer; candidate pairs by grid cell (each polygon replicated to
+    // the cells its bbox covers, each point hashed to ONE cell — a pair
+    // meets at most once, no dedup needed), exact ray-cast st_contains
+    // on candidates only. The polygon side is tiny → broadcast; the
+    // point side never shuffles. The DuckDB oracle re-derives
+    // containment from the diamond's closed form |dx|+|dy| < r — an
+    // INDEPENDENT check that the WKT parse + ray cast + bucketing lose
+    // no pair (data synthesized with a >=0.45 margin from every edge so
+    // both predicates agree exactly).
+    "j13_polygon_join" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      val cell = 8.0
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      val polys = Tables.nation(s, d).select(
+          col("n_nationkey"),
+          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+          ((col("n_nationkey") % 5).cast("double") + lit(3.3)).as("r"))
+        .withColumn("wkt", concat(
+          lit("POLYGON (("),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") + col("r")), lit(", "),
+          dstr(col("cx") - col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") - col("r")), lit(", "),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy")), lit("))")))
+        .withColumn("ci", explode(sequence(
+          floor((col("cx") - col("r")) / cell).cast("int"),
+          floor((col("cx") + col("r")) / cell).cast("int"))))
+        .withColumn("cj", explode(sequence(
+          floor((col("cy") - col("r")) / cell).cast("int"),
+          floor((col("cy") + col("r")) / cell).cast("int"))))
+        .select(col("n_nationkey"), col("wkt"), col("ci"), col("cj"))
+      val pts = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 120 - 60 + lit(0.25)).as("lat"),
+          (col("c_custkey") * 7 % 300 - 150 + lit(0.5)).as("lon"))
+        .withColumn("ci", floor(col("lon") / cell).cast("int"))
+        .withColumn("cj", floor(col("lat") / cell).cast("int"))
+      pts.join(broadcast(polys), Seq("ci", "cj"))
+        .filter(GF.stContains(col("wkt"), col("lon"), col("lat")))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_inside"),
+          sum(col("c_custkey")).as("sum_keys"))
+        .orderBy(col("n_nationkey"))
     })
   )
 
@@ -535,6 +584,27 @@ object Joins extends QueryModule {
          |  CAST(floor(d_km * 1e6 + 0.5) AS BIGINT) AS dist_q6
          |FROM pairs WHERE d_km <= 300.0
          |ORDER BY key_a, key_b""".stripMargin
-    }
+    },
+
+    "j13_polygon_join" ->
+      // closed-form diamond containment |dx|+|dy| < r — independent of
+      // the WKT/ray-cast/grid machinery under test; fractions are
+      // engineered so boundary equality never occurs
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+        |    CAST(c_custkey * 7 % 300 - 150 + 0.5 AS DOUBLE) AS lon
+        |  FROM customer),
+        |polys AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r
+        |  FROM nation)
+        |SELECT n_nationkey, COUNT(*) AS n_inside,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+        |FROM polys p JOIN pts t
+        |  ON abs(t.lon - p.cx) + abs(t.lat - p.cy) < p.r
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
   )
 }

@@ -266,6 +266,33 @@ object Scalars extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // sc21b: WKT text geometry — POINT round-trip through st_x/st_y and
+    // literal-polygon st_contains (diamond + rectangle, both evaluated
+    // by the generic ray cast; the oracle uses their closed forms).
+    // Coordinates are (x=lon, y=lat) per WKT convention. Fractions are
+    // engineered so no point lands on an edge (point fracs .5/.25 vs
+    // polygon fracs .3).
+    "sc21b_wkt" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      val pts = Tables.customer(s, d).filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 120 - 60 + lit(0.25)).as("lat"),
+          (col("c_custkey") * 7 % 360 - 180 + lit(0.5)).as("lon"))
+        .withColumn("wkt", concat(lit("POINT ("), col("lon").cast("string"),
+          lit(" "), col("lat").cast("string"), lit(")")))
+      val diamond =
+        "POLYGON ((50.3 0, 0 50.3, -50.3 0, 0 -50.3, 50.3 0))"
+      val rect = "POLYGON ((-150.3 -60.3, 150.3 -60.3, 150.3 60.3, " +
+        "-150.3 60.3, -150.3 -60.3))"
+      pts.select(col("c_custkey"),
+          GF.stX(col("wkt")).as("x"),
+          GF.stY(col("wkt")).as("y"),
+          GF.stContains(lit(diamond), col("lon"), col("lat")).as("in_diamond"),
+          GF.stContains(lit(rect), col("lon"), col("lat")).as("in_rect"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -723,6 +750,24 @@ object Scalars extends QueryModule {
         |  CAST(0 AS BIGINT) AS sz_scalar,
         |  CAST(NULL AS BIGINT) AS sz_missing
         |FROM src ORDER BY event_id""".stripMargin,
+
+    "sc21b_wkt" ->
+      // closed-form mirrors of the diamond (|x|+|y| < 50.3) and
+      // rectangle (strict bbox) the Spark side tests via generic WKT
+      // parse + ray cast; x/y are the POINT round-trip, exact because
+      // double→string→double is shortest-repr lossless on both sides
+      """SELECT c_custkey,
+        |  CAST(c_custkey * 7 % 360 - 180 + 0.5 AS DOUBLE) AS x,
+        |  CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE) AS y,
+        |  abs(CAST(c_custkey * 7 % 360 - 180 + 0.5 AS DOUBLE)) +
+        |    abs(CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE)) < 50.3
+        |    AS in_diamond,
+        |  CAST(c_custkey * 7 % 360 - 180 + 0.5 AS DOUBLE)
+        |    BETWEEN -150.3 AND 150.3
+        |  AND CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE)
+        |    BETWEEN -60.3 AND 60.3 AS in_rect
+        |FROM customer WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

