@@ -1,6 +1,7 @@
 package graft.presto
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Presto/Trino SQL **text** entry point (SURVEY §0: the reference is an
   * ETL tool whose users submit Presto SQL statements, not Scala). This is
@@ -251,7 +252,13 @@ object PrestoSql {
             "$1$2 USING PARQUET AS")
       }
     require(stmts.nonEmpty, "empty script")
-    val usesDdl = stmts.exists(st => ddlRe.findFirstIn(st).isDefined)
+    // introspection statements read the script catalog too — a script of
+    // only SHOW STATS / SHOW CREATE TABLE / information_schema queries
+    // must still resolve against the run-unique DDL database
+    val usesDdl = stmts.exists(st => ddlRe.findFirstIn(st).isDefined ||
+      ShowStatsRe.findFirstIn(st).isDefined ||
+      ShowCreateRe.findFirstIn(st).isDefined ||
+      InfoSchemaRe.findFirstIn(st).isDefined)
     val prevDb = if (usesDdl) {
       val db = ddlDatabase(spark)
       val prev = spark.catalog.currentDatabase
@@ -303,12 +310,153 @@ object PrestoSql {
         stageSwap(spark, t,
           s"SELECT ${kept.map(f => s"`$f`").mkString(", ")} FROM $t",
           dropped = Set(col.toLowerCase))
+      case ShowStatsRe(tbl) => runShowStats(spark, tbl)
+      case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
+      case q if InfoSchemaRe.findFirstIn(q).isDefined =>
+        runInfoSchema(spark, q)
       case _ => sql(spark, st)
     }
     try {
       stmts.init.foreach(exec)
       exec(stmts.last)
     } finally prevDb.foreach(db => spark.sql(s"USE `$db`"))
+  }
+
+  private val ShowStatsRe =
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s+("[^"]+"|[\w.]+)\s*$""".r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+("[^"]+"|[\w.]+)\s*$""".r
+  private val InfoSchemaRe = """(?i)\binformation_schema\s*\.""".r
+
+  /** `SHOW STATS FOR t` → Trino's stats table shape (one row per column
+    * + a summary row carrying row_count), computed on demand via
+    * Spark's ANALYZE … FOR ALL COLUMNS — the same CBO stats j11 uses,
+    * rendered the way a Presto ETL tool's validation step expects.
+    * Catalog tables only (temp views have no catalog stats). */
+  private def runShowStats(spark: SparkSession, tblRaw: String): DataFrame = {
+    val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val stats = meta.stats.getOrElse(
+      throw new IllegalStateException(s"ANALYZE left no stats for $t"))
+    val rowCount = stats.rowCount.map(_.toDouble)
+    val fields = spark.table(t).schema.fields.toSeq
+    val rows = fields.map { f =>
+      val cs = stats.colStats.get(f.name)
+      val dataSize = for {
+        c <- cs; avg <- c.avgLen; n <- rowCount
+      } yield avg.toDouble * n
+      val nullsFrac = for {
+        c <- cs; nulls <- c.nullCount; n <- rowCount; if n > 0
+      } yield nulls.toDouble / n
+      org.apache.spark.sql.Row(f.name, dataSize.orNull,
+        cs.flatMap(_.distinctCount).map(_.toDouble).orNull,
+        nullsFrac.orNull, null,
+        cs.flatMap(_.min).orNull, cs.flatMap(_.max).orNull)
+    } :+ org.apache.spark.sql.Row(null, null, null, null,
+      rowCount.orNull, null, null)
+    val schema = StructType(Seq(
+      StructField("column_name", StringType),
+      StructField("data_size", DoubleType),
+      StructField("distinct_values_count", DoubleType),
+      StructField("nulls_fraction", DoubleType),
+      StructField("row_count", DoubleType),
+      StructField("low_value", StringType),
+      StructField("high_value", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** `SHOW CREATE TABLE t` → Presto-shaped DDL (column list in PRESTO
+    * type syntax + a WITH (format/partitioned_by/bucketed_by/
+    * bucket_count) properties block re-derived from the live catalog),
+    * one row, one `create_table` column — what an ETL tool renders for
+    * table-definition validation. */
+  private def runShowCreate(spark: SparkSession, tblRaw: String): DataFrame = {
+    val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val cols = meta.schema.fields
+      .map(f => s"   ${f.name} ${toPrestoType(f.dataType)}")
+    val props = scala.collection.mutable.ArrayBuffer(
+      s"format = '${meta.provider.getOrElse("parquet").toUpperCase}'")
+    if (meta.partitionColumnNames.nonEmpty)
+      props += meta.partitionColumnNames
+        .mkString("partitioned_by = ARRAY['", "', '", "']")
+    meta.bucketSpec.foreach { bs =>
+      props += bs.bucketColumnNames
+        .mkString("bucketed_by = ARRAY['", "', '", "']")
+      props += s"bucket_count = ${bs.numBuckets}"
+    }
+    val ddl = s"CREATE TABLE ${ident.unquotedString} (\n" +
+      cols.mkString(",\n") + "\n)\nWITH (\n   " +
+      props.mkString(",\n   ") + "\n)"
+    import spark.implicits._
+    Seq(ddl).toDF("create_table")
+  }
+
+  /** Presto rendering of a Spark type (inverse of translateType, for
+    * SHOW CREATE TABLE / information_schema.columns). */
+  private[graft] def toPrestoType(dt: DataType): String = dt match {
+    case StringType => "varchar"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case ShortType => "smallint"
+    case ByteType => "tinyint"
+    case FloatType => "real"
+    case DoubleType => "double"
+    case BooleanType => "boolean"
+    case BinaryType => "varbinary"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case a: ArrayType => s"array(${toPrestoType(a.elementType)})"
+    case m: MapType =>
+      s"map(${toPrestoType(m.keyType)}, ${toPrestoType(m.valueType)})"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name} ${toPrestoType(f.dataType)}")
+        .mkString("row(", ", ", ")")
+    case other => other.sql.toLowerCase
+  }
+
+  /** `information_schema.tables` / `.columns` queries: both relations
+    * are materialized from the live catalog (current database's tables
+    * + session temp views) as temp views in Presto's column shape, the
+    * statement text is rewritten to reference them, and the query runs
+    * through the normal dialect path. */
+  private def runInfoSchema(spark: SparkSession, stmt: String): DataFrame = {
+    import spark.implicits._
+    val db = spark.catalog.currentDatabase
+    val tables = spark.catalog.listTables().collect().toSeq
+    tables.map { tb =>
+      ("spark", Option(tb.database).getOrElse("session"), tb.name,
+        if (tb.tableType == "VIEW" || tb.tableType == "TEMPORARY") "VIEW"
+        else "BASE TABLE")
+    }.toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("graft_info_schema_tables")
+    tables.flatMap { tb =>
+      val qualified =
+        if (tb.database == null) tb.name else s"${tb.database}.${tb.name}"
+      spark.table(qualified).schema.fields.zipWithIndex.map { case (f, i) =>
+        ("spark", Option(tb.database).getOrElse("session"), tb.name,
+          f.name, (i + 1).toLong, null.asInstanceOf[String],
+          if (f.nullable) "YES" else "NO", toPrestoType(f.dataType))
+      }
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "column_default", "is_nullable", "data_type")
+      .createOrReplaceTempView("graft_info_schema_columns")
+    val rewritten = stmt
+      .replaceAll("(?i)\\binformation_schema\\s*\\.\\s*tables\\b",
+        "graft_info_schema_tables")
+      .replaceAll("(?i)\\binformation_schema\\s*\\.\\s*columns\\b",
+        "graft_info_schema_columns")
+    require(!InfoSchemaRe.findFirstIn(rewritten).isDefined,
+      s"unsupported information_schema relation in: $stmt " +
+        "(tables and columns are implemented)")
+    val _ = db
+    sql(spark, rewritten)
   }
 
   private val UpdateRe =

@@ -772,6 +772,54 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS lay_t; SELECT 1 AS one")
   }
 
+  test("SHOW STATS / SHOW CREATE TABLE render Trino-shaped introspection") {
+    Tables.registerAll(spark, sf)
+    val stats = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS stats_demo;
+        |CREATE TABLE stats_demo WITH (format = 'PARQUET',
+        |  partitioned_by = ARRAY['n_regionkey']) AS
+        |  SELECT "n_nationkey", "n_name", "n_regionkey" FROM nation;
+        |SHOW STATS FOR stats_demo""".stripMargin)
+    assert(stats.columns.toSeq == Seq("column_name", "data_size",
+      "distinct_values_count", "nulls_fraction", "row_count",
+      "low_value", "high_value"))
+    val rows = stats.collect()
+    // one row per column + the summary row carrying row_count
+    assert(rows.length == 4)
+    val summary = rows.find(_.isNullAt(0)).get
+    assert(summary.getDouble(4) == 25.0)
+    val nkey = rows.find(r => !r.isNullAt(0) && r.getString(0) == "n_nationkey").get
+    assert(nkey.getDouble(2) == 25.0) // distinct_values_count
+    assert(nkey.getDouble(3) == 0.0)  // nulls_fraction
+    assert(nkey.getString(5) == "0" && nkey.getString(6) == "24") // low/high
+
+    val ddl = PrestoSql.script(spark, "SHOW CREATE TABLE stats_demo")
+      .collect().head.getString(0)
+    // Presto-shaped: column list in Presto types + WITH properties block
+    assert(ddl.contains("n_nationkey integer"))
+    assert(ddl.contains("n_name varchar"))
+    assert(ddl.contains("format = 'PARQUET'"))
+    assert(ddl.contains("partitioned_by = ARRAY['n_regionkey']"))
+  }
+
+  test("information_schema.tables and .columns answer catalog queries") {
+    Tables.registerAll(spark, sf)
+    val tbls = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS info_demo;
+        |CREATE TABLE info_demo (k bigint, v varchar);
+        |SELECT table_name, table_type FROM information_schema.tables
+        |WHERE table_name IN ('info_demo', 'nation')
+        |ORDER BY table_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tbls == Seq(("info_demo", "BASE TABLE"), ("nation", "VIEW")))
+    val cols = PrestoSql.script(spark,
+      """SELECT column_name, ordinal_position, data_type
+        |FROM information_schema.columns
+        |WHERE table_name = 'info_demo' ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(cols == Seq(("k", 1L, "bigint"), ("v", 2L, "varchar")))
+  }
+
   test("p4 family is hermetic: dirty warehouse + double-run in one session") {
     // simulate the driver-box pollution that made p4f red in r4: a
     // LEGACY fixed-name graft_ddl database with a conflicting stale
