@@ -210,6 +210,27 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("row_in_match"))
     }),
 
+    // E8e: MEASURES with RUNNING/FINAL semantics — every output row of
+    // the first match per user carries the measured value (event_id, an
+    // exact integer), its RUNNING prefix sum, the FINAL whole-match sum,
+    // and FINAL count(*) as n_rows; the oracle recomputes both as window
+    // aggregates over the analytically-derived match span.
+    "e8e_pattern_measures" -> ((s, d) => {
+      import RowPattern._
+      RowPattern.matchesAllRowsMeasures(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+        steps = Seq(
+          Step("view", col("event_type") === "view"),
+          Step("gap", col("event_type") =!= "purchase", star),
+          Step("purchase", col("event_type") === "purchase")),
+        measure = col("event_id"))
+        .filter(col("match_no") === 1)
+        .select(col("user_id"), col("row_in_match"), col("n_rows"),
+          col("classifier"), col("ts_us"), col("m"), col("running_sum"),
+          col("final_sum"))
+        .orderBy(col("user_id"), col("row_in_match"))
+    }),
+
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
     // missing #5) — the foreachBatch keyed-upsert sink run as a real
     // Structured Streaming query over a file source (one file per
@@ -449,6 +470,39 @@ object Events extends QueryModule {
         |  epoch_us(x.ts) AS ts_us
         |FROM fm m JOIN e x
         |  ON x.user_id = m.user_id AND x.ts >= m.vts AND x.ts <= m.np
+        |ORDER BY m.user_id, row_in_match""".stripMargin,
+
+    "e8e_pattern_measures" ->
+      // same first-match span as e8d; RUNNING sum = prefix window, FINAL
+      // sum / count = whole-partition windows (DuckDB SUM(BIGINT) is
+      // HUGEINT → cast back)
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(p.ts) FROM e p WHERE p.user_id = v.user_id
+        |       AND p.event_type = 'purchase' AND p.ts > v.ts) AS np
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (SELECT user_id, vts, np FROM cand WHERE np IS NOT NULL),
+        |first AS (SELECT user_id, min(vts) AS vts FROM ok GROUP BY user_id),
+        |fm AS (
+        |  SELECT f.user_id, f.vts, o.np FROM first f
+        |  JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts)
+        |SELECT m.user_id,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_in_match,
+        |  CAST(COUNT(*) OVER (PARTITION BY m.user_id) AS BIGINT) AS n_rows,
+        |  CASE WHEN x.ts = m.vts THEN 'view'
+        |       WHEN x.ts = m.np THEN 'purchase'
+        |       ELSE 'gap' END AS classifier,
+        |  epoch_us(x.ts) AS ts_us,
+        |  x.event_id AS m,
+        |  CAST(SUM(x.event_id) OVER (PARTITION BY m.user_id ORDER BY x.ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum,
+        |  CAST(SUM(x.event_id) OVER (PARTITION BY m.user_id) AS BIGINT)
+        |    AS final_sum
+        |FROM fm m JOIN e x
+        |  ON x.user_id = m.user_id AND x.ts >= m.vts AND x.ts <= m.np
+        |WINDOW w AS (PARTITION BY m.user_id ORDER BY x.ts)
         |ORDER BY m.user_id, row_in_match""".stripMargin,
 
     "e1_tumbling" ->

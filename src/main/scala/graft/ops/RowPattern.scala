@@ -87,6 +87,16 @@ object RowPattern extends Serializable {
       key: Long, match_no: Long, row_in_match: Long, classifier: String,
       ts_us: Long)
 
+  /** ALL ROWS PER MATCH + MEASURES output row: adds the measured value
+    * and its RUNNING (prefix up to and including this row) and FINAL
+    * (whole-match) sums — Trino's `RUNNING sum(m)` / `FINAL sum(m)`
+    * semantics; `row_in_match` is `RUNNING count(*)` and `n_rows` is
+    * `FINAL count(*)`. */
+  final case class PatternRowMeasure(
+      key: Long, match_no: Long, row_in_match: Long, n_rows: Long,
+      classifier: String, ts_us: Long, m: Long, running_sum: Long,
+      final_sum: Long)
+
   /** One branch = (step-id per position → preds column, quantifier per
     * position). */
   private type Branch = (Array[Int], Array[Quant])
@@ -333,6 +343,71 @@ object RowPattern extends Serializable {
             (start to end).map { p =>
               PatternRowAll(k, idx.toLong + 1, (p - start + 1).toLong,
                 stepNames(path(p - start)), ts(p))
+            }
+          }
+      }
+    out.withColumnRenamed("key", keyCol)
+  }
+
+  /** MEASURES form of [[matchesAllRows]]: `measure` (any integral-valued
+    * column — quantize doubles upstream for cross-engine exactness) is
+    * carried through the keyed shuffle alongside the step booleans, and
+    * every output row reports Trino's RUNNING sum (prefix up to this
+    * row) and FINAL sum (whole match) of it, plus FINAL count(*) as
+    * n_rows. Same scale shape: the shuffle row grows by one long; the
+    * per-match sums are computed inside the per-key scan, no extra
+    * shuffle or window. */
+  def matchesAllRowsMeasures(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, steps: Seq[Step], measure: Column,
+      withinUs: Option[Long] = None,
+      afterMatch: AfterMatch = SkipPastLastRow): DataFrame = {
+    require(steps.nonEmpty, "empty pattern")
+    val n = steps.size
+    val quants = steps.map(_.quant).toArray
+    val stepNames = steps.map(_.name).toArray
+    val prep = df.select(
+      col(keyCol).cast("long").as("__k") +:
+      unix_micros(col(tsCol).cast("timestamp")).as("__ts") +:
+      col(tiebreakCol).cast("long").as("__tb") +:
+      measure.cast("long").as("__m") +:
+      steps.zipWithIndex.map { case (st, i) =>
+        st.pred.cast("boolean").as(s"__p$i") }: _*)
+
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[PatternRowMeasure]
+    val out = prep.filter(col("__k").isNotNull)
+      .groupByKey(_.getLong(0))
+      .flatMapSortedGroups(col("__ts"), col("__tb")) { (k, it) =>
+        val rows = it.toArray
+        val len = rows.length
+        val ts = new Array[Long](len)
+        val ms = new Array[Long](len)
+        val preds = Array.ofDim[Boolean](len, n)
+        var i = 0
+        while (i < len) {
+          val r = rows(i)
+          ts(i) = r.getLong(1)
+          ms(i) = if (r.isNullAt(3)) 0L else r.getLong(3)
+          var s = 0
+          while (s < n) {
+            preds(i)(s) = !r.isNullAt(4 + s) && r.getBoolean(4 + s)
+            s += 1
+          }
+          i += 1
+        }
+        matchSpansBranchesFull(ts, preds,
+          Array((Array.tabulate(quants.length)(identity), quants)),
+          withinUs, afterMatch, Array(stepNames))
+          .zipWithIndex.flatMap { case ((start, end, _, path), idx) =>
+            var total = 0L
+            var p = start
+            while (p <= end) { total += ms(p); p += 1 }
+            var running = 0L
+            (start to end).map { q =>
+              running += ms(q)
+              PatternRowMeasure(k, idx.toLong + 1, (q - start + 1).toLong,
+                (end - start + 1).toLong, stepNames(path(q - start)), ts(q),
+                ms(q), running, total)
             }
           }
       }

@@ -365,6 +365,33 @@ class RowPatternSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("matched no row")))
   }
 
+  test("MEASURES: RUNNING prefix sum vs FINAL whole-match sum per row") {
+    // stream (measure in parens): a(10) b(20) b(30) c(40), x(99), a(5) c(6)
+    val df = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (1L, 3L, "b", 30L),
+      (1L, 4L, "c", 40L), (1L, 5L, "x", 99L), (1L, 6L, "a", 5L),
+      (1L, 7L, "c", 6L))
+      .toDF("user_id", "us", "event_type", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_id", col("us"))
+    val rows = RowPattern.matchesAllRowsMeasures(df, "user_id", "ts",
+        "event_id", Seq(
+          Step("A", col("event_type") === "a"),
+          Step("B", col("event_type") === "b", star),
+          Step("C", col("event_type") === "c")),
+        measure = col("v"))
+      .select("match_no", "row_in_match", "n_rows", "m", "running_sum",
+        "final_sum")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(
+      (1L, 1L, 4L, 10L, 10L, 100L), (1L, 2L, 4L, 20L, 30L, 100L),
+      (1L, 3L, 4L, 30L, 60L, 100L), (1L, 4L, 4L, 40L, 100L, 100L),
+      (2L, 1L, 2L, 5L, 5L, 11L), (2L, 2L, 2L, 6L, 11L, 11L)))
+  }
+
   test("reluctant skip-form first match reproduces the e7 funnel") {
     val e = Tables.events(spark, sf)
     val viaPattern = RowPattern.matches(e, "user_id", "ts", "event_id", Seq(

@@ -105,6 +105,18 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("cosine_sim"), plan.take(2000))
   }
 
+  test("j13 polygon join broadcasts the replicated polygons and joins on grid cells") {
+    val df = ops.Joins.queries("j13_polygon_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // candidates come from the (ci, cj) cell-key equi-join with the tiny
+    // replicated polygon side broadcast; the exact ray cast runs as a
+    // residual/post-join filter, never as a cross product over all
+    // (point, polygon) pairs
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("st_contains"), plan.take(3000))
+  }
+
   test("l26 SemDeDup recovers the planted ground truth through internal k-means clusters") {
     val df = ops.LlmOps.queries("l26_semdedup")(spark, sf)
     val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1)))
