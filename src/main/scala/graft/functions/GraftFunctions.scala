@@ -57,7 +57,13 @@ object GraftFunctions {
       (e: Seq[Expression]) => StPointCoordExpression(e(0), 0)),
     (FunctionIdentifier("st_y"),
       new ExpressionInfo(classOf[StPointCoordExpression].getName, "st_y"),
-      (e: Seq[Expression]) => StPointCoordExpression(e(0), 1)))
+      (e: Seq[Expression]) => StPointCoordExpression(e(0), 1)),
+    (FunctionIdentifier("st_area"),
+      new ExpressionInfo(classOf[StAreaExpression].getName, "st_area"),
+      (e: Seq[Expression]) => StAreaExpression(e(0))),
+    (FunctionIdentifier("st_length"),
+      new ExpressionInfo(classOf[StLengthExpression].getName, "st_length"),
+      (e: Seq[Expression]) => StLengthExpression(e(0))))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {
@@ -101,4 +107,6 @@ object GraftFunctions {
     call_function("st_contains", polyWkt, x, y)
   def stX(pointWkt: Column): Column = call_function("st_x", pointWkt)
   def stY(pointWkt: Column): Column = call_function("st_y", pointWkt)
+  def stArea(polyWkt: Column): Column = call_function("st_area", polyWkt)
+  def stLength(lineWkt: Column): Column = call_function("st_length", lineWkt)
 }

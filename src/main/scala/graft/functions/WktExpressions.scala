@@ -112,6 +112,62 @@ object WktCore {
 
   /** Codegen entry: POINT coordinate extraction (0 = x, 1 = y). */
   def pointCoord(wkt: UTF8String, idx: Int): Double = parsePoint(wkt.toString)(idx)
+
+  /** Parse `LINESTRING (x y, x y, …)` into flat [x0,y0,x1,y1,…]. */
+  def parseLineString(s: String): Array[Double] = {
+    val t = s.trim
+    require(t.regionMatches(true, 0, "LINESTRING", 0, 10),
+      s"not a LINESTRING: $t")
+    val open = t.indexOf('(', 10)
+    val close = if (open < 0) -1 else t.indexOf(')', open + 1)
+    require(open >= 0 && close > open, s"bad LINESTRING syntax: $t")
+    val parts = t.substring(open + 1, close).split(',')
+    require(parts.length >= 2, s"LINESTRING needs >= 2 points: $t")
+    val out = new Array[Double](parts.length * 2)
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i).trim
+      val sp = p.indexOf(' ')
+      require(sp > 0, s"bad LINESTRING point '$p'")
+      out(2 * i) = java.lang.Double.parseDouble(p.substring(0, sp))
+      out(2 * i + 1) = java.lang.Double.parseDouble(p.substring(sp + 1).trim)
+      i += 1
+    }
+    out
+  }
+
+  /** Codegen entry: st_area(polygonWkt) — planar shoelace area of the
+    * outer ring. Term and accumulation order are FIXED (i ascending,
+    * left-associated sum) so an oracle can mirror the arithmetic
+    * operation-for-operation. */
+  def area(poly: UTF8String): Double = {
+    val c = polygonCoords(poly)
+    val n = c.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      s += c(2 * i) * c(2 * j + 1) - c(2 * j) * c(2 * i + 1)
+      i += 1
+    }
+    math.abs(s) / 2
+  }
+
+  /** Codegen entry: st_length(lineWkt) — planar length, segment
+    * hypots accumulated in point order (same mirroring contract). */
+  def length(line: UTF8String): Double = {
+    val c = parseLineString(line.toString)
+    val n = c.length / 2
+    var s = 0.0
+    var i = 1
+    while (i < n) {
+      val dx = c(2 * i) - c(2 * (i - 1))
+      val dy = c(2 * i + 1) - c(2 * i - 1)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    s
+  }
 }
 
 /** `st_contains(polygon_wkt, x, y)` → boolean (even-odd ray cast on the
@@ -153,4 +209,38 @@ case class StPointCoordExpression(child: Expression, idx: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): StPointCoordExpression = copy(child = newChild)
+}
+
+/** `st_area(polygon_wkt)` → double (planar shoelace, outer ring). */
+case class StAreaExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_area"
+
+  override def nullSafeEval(input: Any): Any =
+    WktCore.area(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WktCore.area($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StAreaExpression = copy(child = newChild)
+}
+
+/** `st_length(linestring_wkt)` → double (planar segment-sum). */
+case class StLengthExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_length"
+
+  override def nullSafeEval(input: Any): Any =
+    WktCore.length(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WktCore.length($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StLengthExpression = copy(child = newChild)
 }

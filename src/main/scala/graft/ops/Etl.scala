@@ -164,6 +164,21 @@ object Etl extends QueryModule {
           |ORDER BY "lang"""".stripMargin)
     }),
 
+    // P2g: CROSS JOIN UNNEST WITH ORDINALITY — the Presto idiom for
+    // exploding an array with positions (Spark has no UNNEST; the
+    // translator emits a correlated LATERAL posexplode with pos+1
+    // closing the 0- vs 1-based gap). Oracle = DuckDB unnest +
+    // generate_subscripts.
+    "p2g_presto_unnest" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "doc_id", w AS word, CAST(o AS BIGINT) AS pos
+          |FROM documents
+          |CROSS JOIN UNNEST(split("text", ' ')) WITH ORDINALITY AS u(w, o)
+          |WHERE "doc_id" < 40
+          |ORDER BY "doc_id", pos""".stripMargin)
+    }),
+
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
     // one parameterized statement (named :run_day placeholder, bound as a
     // typed literal after dialect translation) executed once per day,
@@ -369,6 +384,29 @@ object Etl extends QueryModule {
           |
           |SELECT nkey, nation_name, rkey, score, name_len
           |FROM nat_typed ORDER BY nkey""".stripMargin)
+    }),
+
+    // P4h: introspection statements a real ETL tool renders for
+    // validation — information_schema.columns over a script-created
+    // table (SHOW STATS / SHOW CREATE TABLE output shapes are asserted
+    // in PrestoSqlSpec; this puts the catalog-backed columns relation
+    // under the oracle gate with a closed-form expected set).
+    "p4h_presto_introspection" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS intro_demo;
+          |
+          |CREATE TABLE intro_demo (
+          |  id bigint,
+          |  name varchar,
+          |  score double,
+          |  tags array(varchar)
+          |);
+          |
+          |SELECT column_name, ordinal_position, data_type, is_nullable
+          |FROM information_schema.columns
+          |WHERE table_name = 'intro_demo'
+          |ORDER BY ordinal_position""".stripMargin)
     }),
 
     // P4g: the table-properties CTAS an ETL tool renders for every
@@ -607,6 +645,12 @@ object Etl extends QueryModule {
         |  'mid' AS arr2
         |FROM w ORDER BY doc_id""".stripMargin,
 
+    "p2g_presto_unnest" ->
+      """SELECT doc_id, unnest(str_split(text, ' ')) AS word,
+        |  CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT) AS pos
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "p2f_presto_array_agg" ->
       """SELECT lang,
         |  array_to_string(list(doc_id ORDER BY doc_id DESC), ',') AS ids_desc,
@@ -749,6 +793,17 @@ object Etl extends QueryModule {
         |  CAST(n_nationkey * 25 + 7 AS DECIMAL(12,2)) AS score,
         |  CAST(length(n_name) AS INTEGER) AS name_len
         |FROM nation ORDER BY nkey""".stripMargin,
+
+    "p4h_presto_introspection" ->
+      // closed-form expected column metadata for the created table (the
+      // run-unique schema name is deliberately not selected)
+      """SELECT * FROM (VALUES
+        |  ('id', CAST(1 AS BIGINT), 'bigint', 'YES'),
+        |  ('name', CAST(2 AS BIGINT), 'varchar', 'YES'),
+        |  ('score', CAST(3 AS BIGINT), 'double', 'YES'),
+        |  ('tags', CAST(4 AS BIGINT), 'array(varchar)', 'YES'))
+        |  AS t(column_name, ordinal_position, data_type, is_nullable)
+        |ORDER BY ordinal_position""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

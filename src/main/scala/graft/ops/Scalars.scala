@@ -293,6 +293,38 @@ object Scalars extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // sc21c: ST_Area / ST_Length over synthesized WKT — planar shoelace
+    // and segment-sum with FIXED term/accumulation order, so the DuckDB
+    // oracle mirrors the arithmetic operation-for-operation on the same
+    // round-trip-exact vertex doubles (the sc21 contract), q6-quantized.
+    "sc21c_wkt_measure" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      val g = Tables.nation(s, d).select(
+        col("n_nationkey"),
+        (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+        (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+        ((col("n_nationkey") % 5).cast("double") + lit(3.3)).as("r"))
+      g.withColumn("poly", concat(
+          lit("POLYGON (("),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") + col("r")), lit(", "),
+          dstr(col("cx") - col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") - col("r")), lit("))")))
+        .withColumn("line", concat(
+          lit("LINESTRING ("),
+          dstr(col("cx")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy") + col("r")),
+          lit(", "),
+          dstr(col("cx") + col("r") + col("r")), lit(" "), dstr(col("cy")),
+          lit(")")))
+        .select(col("n_nationkey"),
+          floor(GF.stArea(col("poly")) * 1e6 + 0.5).cast("long").as("area_q6"),
+          floor(GF.stLength(col("line")) * 1e6 + 0.5).cast("long").as("len_q6"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -768,6 +800,35 @@ object Scalars extends QueryModule {
         |    BETWEEN -60.3 AND 60.3 AS in_rect
         |FROM customer WHERE c_custkey < 500
         |ORDER BY c_custkey""".stripMargin,
+
+    "sc21c_wkt_measure" ->
+      // vertex doubles recomputed identically (string round-trip on the
+      // Spark side is shortest-repr lossless); shoelace terms and segment
+      // hypots mirrored in the exact accumulation order of WktCore
+      """WITH g AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r
+        |  FROM nation),
+        |v AS (
+        |  SELECT n_nationkey,
+        |    cx + r AS x0, cy AS y0,
+        |    cx AS x1, cy + r AS y1,
+        |    cx - r AS x2, cy AS y2,
+        |    cx AS x3, cy - r AS y3,
+        |    cx AS p0x, cy AS p0y,
+        |    cx + r AS p1x, cy + r AS p1y,
+        |    cx + r + r AS p2x, cy AS p2y
+        |  FROM g)
+        |SELECT n_nationkey,
+        |  CAST(floor(abs((x0*y1 - x1*y0) + (x1*y2 - x2*y1)
+        |    + (x2*y3 - x3*y2) + (x3*y0 - x0*y3)) / 2 * 1e6 + 0.5)
+        |    AS BIGINT) AS area_q6,
+        |  CAST(floor((sqrt((p1x-p0x)*(p1x-p0x) + (p1y-p0y)*(p1y-p0y))
+        |    + sqrt((p2x-p1x)*(p2x-p1x) + (p2y-p1y)*(p2y-p1y))) * 1e6 + 0.5)
+        |    AS BIGINT) AS len_q6
+        |FROM v ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

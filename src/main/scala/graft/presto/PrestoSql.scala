@@ -28,8 +28,10 @@ import org.apache.spark.sql.types._
   * Dialect pieces that need NO translation (verified by PrestoSqlSpec):
   * `||` concat, 1-based `substr`, `cardinality`, `element_at`,
   * `approx_percentile`, `bool_and/bool_or`, `TRY_CAST`,
-  * `date_trunc`, `UNNEST` (→ LATERAL VIEW handled by Spark's own
-  * `... FROM t, LATERAL ...` support), grouping sets, window frames.
+  * `date_trunc`, grouping sets, window frames. `CROSS JOIN UNNEST(x)
+  * [WITH ORDINALITY] AS t(…)` translates to Spark's correlated-LATERAL
+  * explode/posexplode (1-based ordinality preserved; multi-argument
+  * UNNEST(a, b) is a documented limit — zip first).
   *
   * Known limits (documented, not silent): SQL comments are passed
   * through verbatim (a quote character inside a comment would confuse
@@ -1091,6 +1093,57 @@ object PrestoSql {
     * parses as `(x = not exists(…))`'s ill-formed NOT-operand (r4
     * ADVICE). NULL propagation is exact: none_match = NOT any_match and
     * NOT preserves NULL. */
+  /** Presto `map_agg(k, v)` → `map_from_entries(collect_list(struct(k,
+    * v)))` with the two extra closing parens placed by bracket matching
+    * (same scanner as wrapNoneMatch). collect_list rather than the
+    * dialect's null-retaining array_agg wrap: a struct entry is never
+    * NULL, and map_from_entries throws on NULL keys exactly like
+    * Trino's map_agg. DISTINCT is not supported in this form
+    * (map_agg(DISTINCT …) is not Presto syntax either). */
+  private[graft] def wrapMapAgg(s: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack.empty[Boolean]
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) {
+        out.append(c)
+        if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inLit = true; out.append(c)
+        case '"' => inIdent = true; out.append(c)
+        case '(' =>
+          var j = out.length - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          val wordEnd = j
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+          val isMapAgg = wordEnd - j == 7 &&
+            out.substring(j + 1, wordEnd + 1).equalsIgnoreCase("map_agg")
+          if (isMapAgg) {
+            out.setLength(j + 1)
+            out.append("map_from_entries(collect_list(struct(")
+            stack.push(true)
+          } else {
+            out.append('(')
+            stack.push(false)
+          }
+        case ')' =>
+          if (stack.nonEmpty && stack.pop()) out.append(")))") else out.append(')')
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   private[graft] def wrapNoneMatch(s: String): String = {
     val out = new StringBuilder
     val stack = scala.collection.mutable.Stack.empty[Boolean]
@@ -1162,6 +1215,84 @@ object PrestoSql {
       i += 1
     }
     -1
+  }
+
+  /** Presto `CROSS JOIN UNNEST(expr) [WITH ORDINALITY] [AS] t(c1[, c2[,
+    * c3]])` → Spark's correlated-LATERAL table-function form:
+    *  - array, no ordinality: `, LATERAL (SELECT col AS c1 FROM
+    *    explode(expr)) t`
+    *  - map (2 aliases): key/value via explode
+    *  - WITH ORDINALITY: posexplode, with `pos + 1` closing the 0- vs
+    *    1-based gap (ordinality is the LAST alias, per Presto)
+    * Multi-argument `UNNEST(a, b)` (parallel zip) is not translated —
+    * documented limit (zip the arrays first). The alias column list is
+    * REQUIRED, as it is in real Presto ETL SQL. */
+  private[graft] def rewriteUnnest(s0: String): String = {
+    val head = """(?is)\b(CROSS|LEFT(?:\s+OUTER)?)\s+JOIN\s+UNNEST\s*\(""".r
+    val tailRe =
+      ("""(?is)^\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?("[^"]+"|\w+)""" +
+        """\s*\(\s*([^()]*?)\s*\)(\s+ON\s+TRUE)?""").r
+    // a match inside a string literal has an odd number of quotes before
+    // it (doubled '' escapes keep parity even)
+    def inLiteral(upTo: Int, s: String): Boolean =
+      s.substring(0, upTo).count(_ == '\'') % 2 == 1
+    var s = s0
+    var guard = 0
+    var m = head.findAllMatchIn(s).find(mm => !inLiteral(mm.start, s))
+    while (m.isDefined && guard < 100) {
+      val mm = m.get
+      val open = mm.end - 1
+      val close = matchingClose(s, open)
+      require(close > open, s"unbalanced parens in UNNEST: ${s.substring(mm.start)}")
+      val expr = s.substring(open + 1, close)
+      require(splitTopLevel(expr, ',').size == 1,
+        "multi-argument UNNEST(a, b) is not supported — zip the arrays first")
+      val tail = s.substring(close + 1)
+      val tm = tailRe.findPrefixMatchOf(tail).getOrElse(
+        throw new IllegalArgumentException(
+          "UNNEST requires an alias column list: " +
+            s.substring(mm.start, close + 1).take(80)))
+      val left = mm.group(1).toLowerCase.startsWith("left")
+      val ord = tm.group(1) != null
+      val alias = tm.group(2).stripPrefix("\"").stripSuffix("\"")
+      val cols = tm.group(3).split(',')
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      // Presto's LEFT JOIN UNNEST requires ON TRUE; rows with an empty
+      // or NULL collection survive null-extended
+      require(!left || tm.group(4) != null,
+        "LEFT JOIN UNNEST requires ON TRUE")
+      // ARRAY exprs are hoisted into a projection BEFORE the generator:
+      // Spark rejects SQL-function adapters (presto_split, strpos, …)
+      // directly inside a Generate, but a plain column reference is
+      // fine. MAP exprs use the direct form instead — a correlated
+      // map-typed reference can't be decorrelated through the hoist
+      // (so a map-RETURNING adapter inside UNNEST is a documented
+      // limit; map columns and native map constructors work).
+      val hoist = s"FROM (SELECT ($expr) AS __graft_un), LATERAL"
+      val inner = (ord, cols.length) match {
+        case (false, 1) =>
+          s"SELECT col AS `${cols(0)}` $hoist explode(__graft_un)"
+        case (false, 2) =>
+          s"SELECT key AS `${cols(0)}`, value AS `${cols(1)}` " +
+            s"FROM explode($expr)"
+        case (true, 2) =>
+          s"SELECT col AS `${cols(0)}`, pos + 1 AS `${cols(1)}` " +
+            s"$hoist posexplode(__graft_un)"
+        case (true, 3) =>
+          s"SELECT key AS `${cols(0)}`, value AS `${cols(1)}`, " +
+            s"pos + 1 AS `${cols(2)}` FROM posexplode($expr)"
+        case (o, n) => throw new IllegalArgumentException(
+          s"unsupported UNNEST alias arity $n (ordinality=$o): single " +
+            "array or map, optional ordinality")
+      }
+      val joined =
+        if (left) s" LEFT JOIN LATERAL ($inner) $alias ON true"
+        else s", LATERAL ($inner) $alias"
+      s = s.substring(0, mm.start) + joined + tail.substring(tm.end)
+      guard += 1
+      m = head.findAllMatchIn(s).find(mm2 => !inLiteral(mm2.start, s))
+    }
+    s
   }
 
   /** Trino `array_agg` differs from Spark's in two ways a migrating user
@@ -1462,7 +1593,8 @@ object PrestoSql {
     */
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = wrapNoneMatch(rewriteArrayAgg(rewriteArrayLiterals(prestoSql)))
+    val s = wrapNoneMatch(wrapMapAgg(
+      rewriteArrayAgg(rewriteArrayLiterals(rewriteUnnest(prestoSql)))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

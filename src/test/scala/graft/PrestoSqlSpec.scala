@@ -639,6 +639,61 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r4 == Seq(1, 2))
   }
 
+  test("CROSS JOIN UNNEST translates to LATERAL explode, ordinality 1-based") {
+    // array form
+    val r1 = PrestoSql.sql(spark,
+      """SELECT b, x FROM (VALUES (1, ARRAY[5, 6])) AS t(b, a)
+        |CROSS JOIN UNNEST(a) AS u(x) ORDER BY x""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(r1 == Seq((1, 5), (1, 6)))
+    // WITH ORDINALITY: 1-based, ordinality is the LAST alias
+    val r2 = PrestoSql.sql(spark,
+      """SELECT x, o FROM (VALUES (ARRAY['p', 'q', 'r'])) AS t(a)
+        |CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o) ORDER BY o""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(r2 == Seq(("p", 1), ("q", 2), ("r", 3)))
+    // map form: two aliases → key, value
+    val r3 = PrestoSql.sql(spark,
+      """SELECT k, v FROM (VALUES (MAP(ARRAY['a', 'b'], ARRAY[1, 2]))) AS t(m)
+        |CROSS JOIN UNNEST(m) AS u(k, v) ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(r3 == Seq(("a", 1), ("b", 2)))
+    // 'CROSS JOIN UNNEST(' inside a string literal is data
+    assert(PrestoSql.translate("SELECT 'CROSS JOIN UNNEST(x) AS t(c)' FROM t")
+      == "SELECT 'CROSS JOIN UNNEST(x) AS t(c)' FROM t")
+    // LEFT JOIN UNNEST … ON TRUE: empty arrays survive null-extended
+    val r4 = PrestoSql.sql(spark,
+      """SELECT b, x FROM (VALUES (1, ARRAY[5]), (2, ARRAY[])) AS t(b, a)
+        |LEFT JOIN UNNEST(a) AS u(x) ON TRUE ORDER BY b""".stripMargin)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(r4 == Seq((1, 5), (2, -1)))
+    // LEFT without ON TRUE is a loud error, like Presto
+    intercept[IllegalArgumentException] {
+      PrestoSql.translate("SELECT * FROM t LEFT JOIN UNNEST(a) AS u(x)")
+    }
+    // multi-argument UNNEST is a loud error, not silent wrong answers
+    intercept[IllegalArgumentException] {
+      PrestoSql.translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)")
+    }
+  }
+
+  test("map_agg translates to map_from_entries over collected entries") {
+    assert(PrestoSql.wrapMapAgg("SELECT map_agg(k, v) FROM t")
+      == "SELECT map_from_entries(collect_list(struct(k, v))) FROM t")
+    // literal protection + nested call args
+    assert(PrestoSql.wrapMapAgg("SELECT 'map_agg(k, v)', map_agg(f(a, b), g(c))")
+      == "SELECT 'map_agg(k, v)', " +
+        "map_from_entries(collect_list(struct(f(a, b), g(c))))")
+    val r = PrestoSql.sql(spark,
+      """SELECT g, map_agg(k, v) AS m
+        |FROM (VALUES (1, 'a', 10), (1, 'b', 20), (2, 'c', 30)) AS t(g, k, v)
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getMap[String, Int](1))).toSeq
+    assert(r.map(_._1) == Seq(1, 2))
+    assert(r(0)._2 == Map("a" -> 10, "b" -> 20) && r(1)._2 == Map("c" -> 30))
+  }
+
   test("documented passthroughs really do run unmodified") {
     // the scaladoc's "need NO translation" list — one probe each, so a
     // Spark upgrade that renames/changes any of them fails here instead

@@ -51,6 +51,25 @@ class WktSpec extends SparkSpec {
     }
   }
 
+  test("st_area and st_length compute closed-form values on known shapes") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // diamond r=5 → area 2r² = 50; axis rect 6×4 → 24; concave L → 3
+    assert(WktCore.area(u("POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))")) == 50.0)
+    assert(WktCore.area(u("POLYGON ((-3 -2, 3 -2, 3 2, -3 2, -3 -2))")) == 24.0)
+    assert(WktCore.area(u("POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")) == 3.0)
+    // 3-4-5 triangle legs then hypotenuse back
+    assert(WktCore.length(u("LINESTRING (0 0, 3 0, 3 4, 0 0)")) == 12.0)
+    intercept[IllegalArgumentException] {
+      WktCore.parseLineString("LINESTRING (1 2)")
+    }
+    // SQL path, codegen'd
+    GF.register(spark)
+    val r = Seq(1).toDF("i").select(
+      GF.stArea(lit("POLYGON ((0 0, 4 0, 0 3, 0 0))")).as("a"),
+      GF.stLength(lit("LINESTRING (0 0, 0 7)")).as("l")).collect().head
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 7.0)
+  }
+
   test("st_contains/st_x/st_y evaluate identically in a codegen'd plan") {
     GF.register(spark)
     val poly = "POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))"
