@@ -1080,6 +1080,13 @@ object PrestoSql {
     // Spark vs Presto's field1/field2 — positional access works the same;
     // named-row casts are a documented limit).
     ("""(?i)\brow\s*\(""".r, "struct("),
+    // Presto TABLESAMPLE BERNOULLI(p)/SYSTEM(p) take a percentage;
+    // Spark's equivalent forms are TABLESAMPLE (p PERCENT) (row-level
+    // Bernoulli) and the same for SYSTEM — Spark has no block sampling
+    // on parquet, so SYSTEM maps to the row-level form (a documented
+    // approximation; both are nondeterministic samples).
+    ("""(?i)\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)""".r,
+      "TABLESAMPLE ($1 PERCENT)"),
     // Spark rejects length-less VARCHAR/VARBINARY/REAL in casts.
     ("""(?i)\bas\s+varchar\s*\)""".r, "AS STRING)"),
     ("""(?i)\bas\s+varbinary\s*\)""".r, "AS BINARY)"),

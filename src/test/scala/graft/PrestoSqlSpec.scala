@@ -678,6 +678,18 @@ class PrestoSqlSpec extends SparkSpec {
     }
   }
 
+  test("TABLESAMPLE BERNOULLI/SYSTEM translate to percent sampling") {
+    assert(PrestoSql.translate("SELECT * FROM t TABLESAMPLE BERNOULLI (10)")
+      == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(PrestoSql.translate("SELECT * FROM t TABLESAMPLE SYSTEM (2.5)")
+      == "SELECT * FROM t TABLESAMPLE (2.5 PERCENT)")
+    Tables.registerAll(spark, sf)
+    val total = spark.table("nation").count()
+    val sampled = PrestoSql.sql(spark,
+      "SELECT * FROM nation TABLESAMPLE BERNOULLI (50)").count()
+    assert(sampled <= total)
+  }
+
   test("map_agg translates to map_from_entries over collected entries") {
     assert(PrestoSql.wrapMapAgg("SELECT map_agg(k, v) FROM t")
       == "SELECT map_from_entries(collect_list(struct(k, v))) FROM t")
