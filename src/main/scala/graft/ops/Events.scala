@@ -231,6 +231,31 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("row_in_match"))
     }),
 
+    // E1b: a second STREAMING-EXECUTED result under the gate — the
+    // watermarked tumbling-count aggregate run as a real streaming query
+    // (file source, one file per micro-batch, complete output mode into
+    // a memory sink). Complete mode re-emits the full aggregate each
+    // epoch, so the final table equals the batch GROUP BY no matter how
+    // the files batch; the sink holds only the tiny windowed aggregate,
+    // never event data.
+    "e1b_stream_tumbling" -> ((s, d) => {
+      val batch = Tables.events(s, d)
+      val base = Sources.scratch("graft_e1b")
+      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val qn = "graft_e1b_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.tumblingCounts(stream)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
     // missing #5) — the foreachBatch keyed-upsert sink run as a real
     // Structured Streaming query over a file source (one file per
@@ -413,6 +438,13 @@ object Events extends QueryModule {
         |     AND x.ts >= f.vts AND x.ts <= o.nt) AS n_rows
         |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
         |ORDER BY f.user_id""".stripMargin,
+
+    "e1b_stream_tumbling" ->
+      // the streaming complete-mode aggregate must equal the batch
+      // GROUP BY regardless of micro-batch composition
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "e10_stream_upsert" ->
       // last-write-wins row per user: the streaming upsert's final table

@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   * `date_trunc`, grouping sets, window frames. `CROSS JOIN UNNEST(x)
   * [WITH ORDINALITY] AS t(…)` translates to Spark's correlated-LATERAL
   * explode/posexplode (1-based ordinality preserved; multi-argument
-  * UNNEST(a, b) is a documented limit — zip first).
+  * UNNEST(a, b, …) zips positionally with NULL padding, like Presto).
   *
   * Known limits (documented, not silent): SQL comments are passed
   * through verbatim (a quote character inside a comment would confuse
@@ -1231,9 +1231,9 @@ object PrestoSql {
     *  - map (2 aliases): key/value via explode
     *  - WITH ORDINALITY: posexplode, with `pos + 1` closing the 0- vs
     *    1-based gap (ordinality is the LAST alias, per Presto)
-    * Multi-argument `UNNEST(a, b)` (parallel zip) is not translated —
-    * documented limit (zip the arrays first). The alias column list is
-    * REQUIRED, as it is in real Presto ETL SQL. */
+    * Multi-argument `UNNEST(a, b, …)` zips positionally with NULL
+    * padding to the longest array (Presto semantics). The alias column
+    * list is REQUIRED, as it is in real Presto ETL SQL. */
   private[graft] def rewriteUnnest(s0: String): String = {
     val head = """(?is)\b(CROSS|LEFT(?:\s+OUTER)?)\s+JOIN\s+UNNEST\s*\(""".r
     val tailRe =
@@ -1252,8 +1252,7 @@ object PrestoSql {
       val close = matchingClose(s, open)
       require(close > open, s"unbalanced parens in UNNEST: ${s.substring(mm.start)}")
       val expr = s.substring(open + 1, close)
-      require(splitTopLevel(expr, ',').size == 1,
-        "multi-argument UNNEST(a, b) is not supported — zip the arrays first")
+      val args = splitTopLevel(expr, ',').map(_.trim)
       val tail = s.substring(close + 1)
       val tm = tailRe.findPrefixMatchOf(tail).getOrElse(
         throw new IllegalArgumentException(
@@ -1275,8 +1274,32 @@ object PrestoSql {
       // map-typed reference can't be decorrelated through the hoist
       // (so a map-RETURNING adapter inside UNNEST is a documented
       // limit; map columns and native map constructors work).
-      val hoist = s"FROM (SELECT ($expr) AS __graft_un), LATERAL"
+      // Multi-argument UNNEST(a, b, …) zips positionally with NULL
+      // padding to the longest array (Presto semantics), via a
+      // try_element_at struct build over sequence(1, greatest(sizes)).
+      val hoist = s"FROM (SELECT (${args.head}) AS __graft_un), LATERAL"
+      val k = args.length
+      def multiZip(withOrd: Boolean): String = {
+        require(cols.length == k + (if (withOrd) 1 else 0),
+          s"UNNEST over $k arrays needs ${k + (if (withOrd) 1 else 0)} " +
+            s"alias columns, got ${cols.length}")
+        val gs = args.indices.map(i => s"__g$i")
+        val proj = args.zipWithIndex
+          .map { case (a, i) => s"($a) AS __g$i" }.mkString(", ")
+        val sizes = gs.map(g => s"size($g)").mkString("greatest(", ", ", ")")
+        val fields = gs.zipWithIndex
+          .map { case (g, i) => s"try_element_at($g, i) AS __f$i" }
+          .mkString(", ")
+        val gen = s"transform(sequence(1, $sizes), i -> struct($fields))"
+        val outCols = (0 until k)
+          .map(i => s"col.__f$i AS `${cols(i)}`") ++
+          (if (withOrd) Seq(s"pos + 1 AS `${cols(k)}`") else Nil)
+        val exploder = if (withOrd) "posexplode" else "explode"
+        s"SELECT ${outCols.mkString(", ")} FROM (SELECT $proj), " +
+          s"LATERAL $exploder($gen)"
+      }
       val inner = (ord, cols.length) match {
+        case _ if k >= 2 => multiZip(ord)
         case (false, 1) =>
           s"SELECT col AS `${cols(0)}` $hoist explode(__graft_un)"
         case (false, 2) =>
@@ -1350,8 +1373,23 @@ object PrestoSql {
         val close = if (isArrayAgg) matchingClose(s, i) else -1
         if (isArrayAgg && close > i) {
           out.setLength(j + 1)
-          out.append(buildArrayAgg(rewriteArrayAgg(s.substring(i + 1, close))))
-          i = close + 1
+          // a trailing FILTER (WHERE …) clause belongs on the INNER
+          // aggregate, not on the transform/array_sort wrappers — detect
+          // it after the close paren and move it inside
+          val filterRe = """(?is)^\s*FILTER\s*\(""".r
+          val afterClose = s.substring(close + 1)
+          val (filterClause, consumedTo) =
+            filterRe.findPrefixMatchOf(afterClose) match {
+              case Some(fm) =>
+                val fOpen = close + 1 + fm.end - 1
+                val fClose = matchingClose(s, fOpen)
+                require(fClose > fOpen, "unbalanced FILTER parens")
+                (Some(s.substring(fOpen + 1, fClose)), fClose + 1)
+              case None => (None, close + 1)
+            }
+          out.append(buildArrayAgg(
+            rewriteArrayAgg(s.substring(i + 1, close)), filterClause))
+          i = consumedTo
         } else { out.append('('); i += 1 }
       } else { out.append(c); i += 1 }
     }
@@ -1361,7 +1399,10 @@ object PrestoSql {
   /** One parsed ORDER BY key: expression, descending?, nulls-first?. */
   private case class AggOrderKey(expr: String, desc: Boolean, nullsFirst: Boolean)
 
-  private def buildArrayAgg(innerRaw: String): String = {
+  private def buildArrayAgg(innerRaw: String,
+      filterClause: Option[String] = None): String = {
+    def withFilter(agg: String): String =
+      filterClause.map(f => s"$agg FILTER ($f)").getOrElse(agg)
     var inner = innerRaw.trim
     val distinct = inner.take(9).equalsIgnoreCase("distinct ") || {
       val m = """(?is)^distinct\s""".r.findFirstIn(inner)
@@ -1401,8 +1442,8 @@ object PrestoSql {
     def distPrefix = if (distinct) "DISTINCT " else ""
     if (obAt < 0) {
       // plain form: wrap for null retention only
-      s"transform(array_agg($distPrefix" +
-        s"named_struct('v', ${inner.trim})), s -> s.v)"
+      s"transform(${withFilter(s"array_agg($distPrefix" +
+        s"named_struct('v', ${inner.trim}))")}, s -> s.v)"
     } else {
       val valueExpr = inner.substring(0, obAt).trim
       val spec = """(?is)^order\s+by\s""".r
@@ -1420,7 +1461,8 @@ object PrestoSql {
           s" WHEN l.$f < r.$f THEN $lt WHEN l.$f > r.$f THEN $gt" +
           s" ELSE $rest END"
       }
-      s"transform(array_sort(array_agg(${distPrefix}named_struct($structArgs))," +
+      s"transform(array_sort(${withFilter(
+          s"array_agg(${distPrefix}named_struct($structArgs))")}," +
         s" (l, r) -> $cmp), s -> s.v)"
     }
   }

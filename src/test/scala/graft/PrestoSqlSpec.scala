@@ -637,6 +637,18 @@ class PrestoSqlSpec extends SparkSpec {
       "SELECT array_agg(DISTINCT v ORDER BY v) AS vs FROM (VALUES (2), (1), (2)) AS t(v)")
       .collect().head.getSeq[Int](0)
     assert(r4 == Seq(1, 2))
+    // FILTER (WHERE …) moves onto the inner aggregate — both plain and
+    // ORDER BY forms
+    val r5 = PrestoSql.sql(spark,
+      """SELECT array_agg(v ORDER BY v DESC) FILTER (WHERE v > 1) AS vs
+        |FROM (VALUES (1), (3), (2)) AS t(v)""".stripMargin)
+      .collect().head.getSeq[Int](0)
+    assert(r5 == Seq(3, 2))
+    val r6 = PrestoSql.sql(spark,
+      """SELECT sort_array(array_agg(v) FILTER (WHERE v % 2 = 0)) AS vs
+        |FROM (VALUES (1), (2), (4)) AS t(v)""".stripMargin)
+      .collect().head.getSeq[Int](0)
+    assert(r6 == Seq(2, 4))
   }
 
   test("CROSS JOIN UNNEST translates to LATERAL explode, ordinality 1-based") {
@@ -672,10 +684,25 @@ class PrestoSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PrestoSql.translate("SELECT * FROM t LEFT JOIN UNNEST(a) AS u(x)")
     }
-    // multi-argument UNNEST is a loud error, not silent wrong answers
+    // multi-argument UNNEST zips positionally, NULL-padded to the
+    // longest (Presto semantics), with optional ordinality
+    val r5 = PrestoSql.sql(spark,
+      """SELECT x, y, o FROM (VALUES (ARRAY[5, 6, 7], ARRAY['a'])) AS t(p, q)
+        |CROSS JOIN UNNEST(p, q) WITH ORDINALITY AS u(x, y, o)
+        |ORDER BY o""".stripMargin)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) "-" else r.getString(1), r.getInt(2))).toSeq
+    assert(r5 == Seq((5, "a", 1), (6, "-", 2), (7, "-", 3)))
+    // wrong alias arity for the arg count is loud
     intercept[IllegalArgumentException] {
-      PrestoSql.translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)")
+      PrestoSql.translate("SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x)")
     }
+    // two-argument UNNEST without ordinality: positional zip
+    val rz = PrestoSql.sql(spark,
+      """SELECT x, y FROM (VALUES (ARRAY[1, 2], ARRAY['p', 'q'])) AS t(a, b)
+        |CROSS JOIN UNNEST(a, b) AS u(x, y) ORDER BY x""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rz == Seq((1, "p"), (2, "q")))
   }
 
   test("TABLESAMPLE BERNOULLI/SYSTEM translate to percent sampling") {
