@@ -1080,6 +1080,22 @@ object PrestoSql {
     // Spark vs Presto's field1/field2 — positional access works the same;
     // named-row casts are a documented limit).
     ("""(?i)\brow\s*\(""".r, "struct("),
+    // Presto HLL pipeline idiom: approx_set builds per-group sketches,
+    // merge unions them in a later rollup, cardinality reads the
+    // estimate. Spark 4's DataSketches trio is the semantic equivalent
+    // (different binary format — sketches are engine-internal state, not
+    // interchange data). The composed cardinality(merge|approx_set(…))
+    // forms rewrite FIRST (cardinality alone is array-length and stays
+    // untouched — `cardinality(hll_column)` on a STORED sketch column is
+    // a documented limit, write hll_sketch_estimate directly). Presto's
+    // merge() also covers qdigest/tdigest state — here it maps to the
+    // HLL union, the overwhelmingly common ETL use.
+    ("""(?i)\bcardinality\s*\(\s*merge\s*\(""".r,
+      "hll_sketch_estimate(hll_union_agg("),
+    ("""(?i)\bcardinality\s*\(\s*approx_set\s*\(""".r,
+      "hll_sketch_estimate(hll_sketch_agg("),
+    ("""(?i)\bapprox_set\s*\(""".r, "hll_sketch_agg("),
+    ("""(?i)\bmerge\s*\(""".r, "hll_union_agg("),
     // Presto TABLESAMPLE BERNOULLI(p)/SYSTEM(p) take a percentage;
     // Spark's equivalent forms are TABLESAMPLE (p PERCENT) (row-level
     // Bernoulli) and the same for SYSTEM — Spark has no block sampling

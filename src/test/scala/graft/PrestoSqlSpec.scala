@@ -705,6 +705,30 @@ class PrestoSqlSpec extends SparkSpec {
     assert(rz == Seq((1, "p"), (2, "q")))
   }
 
+  test("approx_set/merge/cardinality HLL pipeline maps to DataSketches") {
+    assert(PrestoSql.translate("SELECT cardinality(merge(s)) FROM hourly")
+      == "SELECT hll_sketch_estimate(hll_union_agg(s)) FROM hourly")
+    assert(PrestoSql.translate("SELECT approx_set(u) AS s FROM t GROUP BY h")
+      == "SELECT hll_sketch_agg(u) AS s FROM t GROUP BY h")
+    assert(PrestoSql.translate("SELECT cardinality(approx_set(u)) FROM t")
+      == "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t")
+    // plain cardinality stays array-length
+    assert(PrestoSql.translate("SELECT cardinality(arr) FROM t")
+      == "SELECT cardinality(arr) FROM t")
+    // executed two-level rollup: hourly sketches → merged daily estimate,
+    // within HLL tolerance of the exact distinct count
+    Tables.registerAll(spark, sf)
+    val est = PrestoSql.sql(spark,
+      """SELECT cardinality(merge(s)) AS du FROM (
+        |  SELECT hour("ts") AS h, approx_set("user_id") AS s
+        |  FROM events GROUP BY hour("ts")) t""".stripMargin)
+      .collect().head.getLong(0).toDouble
+    val exact = spark.sql("SELECT COUNT(DISTINCT user_id) FROM events")
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"estimate $est vs exact $exact")
+  }
+
   test("TABLESAMPLE BERNOULLI/SYSTEM translate to percent sampling") {
     assert(PrestoSql.translate("SELECT * FROM t TABLESAMPLE BERNOULLI (10)")
       == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
