@@ -1037,9 +1037,12 @@ object PrestoSql {
     // Presto from_unixtime returns TIMESTAMP; Spark's same-named builtin
     // returns a formatted STRING — map to the timestamp-typed builtin.
     ("""(?i)\bfrom_unixtime\s*\(""".r, "timestamp_seconds("),
-    // Presto split is a literal delimiter; Spark split is a regex.
-    // (\bsplit\( does not match split_part / str_split.)
-    ("""(?i)\bsplit\s*\(""".r, "presto_split("),
+    // Presto split is a literal delimiter; Spark split is a regex —
+    // handled by inlineSplit (a bracket-matching pre-pass that wraps the
+    // delimiter in \Q…\E), NOT a rename to the presto_split SQL adapter:
+    // the inline form is a native codegen expression, so split works
+    // inside Generate (UNNEST/LATERAL VIEW) where Spark rejects SQL
+    // functions, and plans stay whole-stage-codegen.
     // TRY(expr) → engine-native null-on-runtime-error expression.
     ("""(?i)\btry\s*\(""".r, "try_eval("),
     ("""(?i)\bto_base64\s*\(""".r, "base64("),
@@ -1116,6 +1119,54 @@ object PrestoSql {
     * parses as `(x = not exists(…))`'s ill-formed NOT-operand (r4
     * ADVICE). NULL propagation is exact: none_match = NOT any_match and
     * NOT preserves NULL. */
+  /** Presto `split(s, d[, limit])` has a LITERAL delimiter where Spark's
+    * same-named builtin takes a regex — inline the `\Q…\E` quoting
+    * around the delimiter expression by bracket matching. Inlining
+    * (vs the former presto_split SQL-function adapter) keeps split a
+    * native codegen expression, which Spark requires inside Generate
+    * (the UNNEST path) and which keeps plans in whole-stage codegen.
+    * The limit argument passes through: both engines put the remainder
+    * in the last element. */
+  private[graft] def inlineSplit(s: String): String = {
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+        i += 1
+      } else if (inIdent) { out.append(c); if (c == '"') inIdent = false; i += 1 }
+      else if (c == '\'') { inLit = true; out.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; out.append(c); i += 1 }
+      else if (c == '(') {
+        var j = out.length - 1
+        while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+        val wordEnd = j
+        while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+        val isSplit = wordEnd - j == 5 &&
+          out.substring(j + 1, wordEnd + 1).equalsIgnoreCase("split")
+        val close = if (isSplit) matchingClose(s, i) else -1
+        if (isSplit && close > i) {
+          val args = splitTopLevel(s.substring(i + 1, close), ',')
+            .map(a => inlineSplit(a.trim))
+          require(args.size == 2 || args.size == 3,
+            s"split takes 2 or 3 arguments, got ${args.size}")
+          val limit = if (args.size == 3) s", ${args(2)}" else ""
+          out.append(
+            s"(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E')$limit)")
+          i = close + 1
+        } else { out.append('('); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Presto `map_agg(k, v)` → `map_from_entries(collect_list(struct(k,
     * v)))` with the two extra closing parens placed by bracket matching
     * (same scanner as wrapNoneMatch). collect_list rather than the
@@ -1283,58 +1334,63 @@ object PrestoSql {
       // or NULL collection survive null-extended
       require(!left || tm.group(4) != null,
         "LEFT JOIN UNNEST requires ON TRUE")
-      // ARRAY exprs are hoisted into a projection BEFORE the generator:
-      // Spark rejects SQL-function adapters (presto_split, strpos, …)
-      // directly inside a Generate, but a plain column reference is
-      // fine. MAP exprs use the direct form instead — a correlated
-      // map-typed reference can't be decorrelated through the hoist
-      // (so a map-RETURNING adapter inside UNNEST is a documented
-      // limit; map columns and native map constructors work).
+      // Emission is PURE LATERAL VIEW Generates — never a correlated
+      // subquery: Spark decorrelates `, LATERAL (SELECT … FROM
+      // explode(e))` into a DISTINCT-domain join keyed on the exploded
+      // expression (measured: a full re-scan + text-keyed shuffle +
+      // join-back on p2g), which is a scale-killer at 100 TB. LATERAL
+      // VIEW plans as a Generate in the same stage. Derived columns the
+      // VIEW clause itself can't express (the 1-based ordinality, the
+      // zip-struct fields) are produced by chained single-element
+      // explodes — `LATERAL VIEW explode(array(x)) a AS c` adds column
+      // c = x with no join and no extra shuffle. Consequence: with
+      // ordinality or multi-array zip, the alias-QUALIFIED form
+      // `u.<col>` resolves per generated view; bare column references
+      // (the overwhelming norm) always work — documented.
       // Multi-argument UNNEST(a, b, …) zips positionally with NULL
       // padding to the longest array (Presto semantics), via a
       // try_element_at struct build over sequence(1, greatest(sizes)).
-      val hoist = s"FROM (SELECT (${args.head}) AS __graft_un), LATERAL"
+      // LEFT JOIN UNNEST … ON TRUE → LATERAL VIEW OUTER (empty/NULL
+      // collections survive null-extended).
       val k = args.length
-      def multiZip(withOrd: Boolean): String = {
-        require(cols.length == k + (if (withOrd) 1 else 0),
-          s"UNNEST over $k arrays needs ${k + (if (withOrd) 1 else 0)} " +
-            s"alias columns, got ${cols.length}")
-        val gs = args.indices.map(i => s"__g$i")
-        val proj = args.zipWithIndex
-          .map { case (a, i) => s"($a) AS __g$i" }.mkString(", ")
-        val sizes = gs.map(g => s"size($g)").mkString("greatest(", ", ", ")")
-        val fields = gs.zipWithIndex
-          .map { case (g, i) => s"try_element_at($g, i) AS __f$i" }
-          .mkString(", ")
-        val gen = s"transform(sequence(1, $sizes), i -> struct($fields))"
-        val outCols = (0 until k)
-          .map(i => s"col.__f$i AS `${cols(i)}`") ++
-          (if (withOrd) Seq(s"pos + 1 AS `${cols(k)}`") else Nil)
-        val exploder = if (withOrd) "posexplode" else "explode"
-        s"SELECT ${outCols.mkString(", ")} FROM (SELECT $proj), " +
-          s"LATERAL $exploder($gen)"
-      }
+      val lv = if (left) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+      def col1(name: String, from: String, aliasName: String): String =
+        s" LATERAL VIEW explode(array($from)) $aliasName AS `$name`"
       val inner = (ord, cols.length) match {
-        case _ if k >= 2 => multiZip(ord)
+        case _ if k >= 2 =>
+          require(cols.length == k + (if (ord) 1 else 0),
+            s"UNNEST over $k arrays needs ${k + (if (ord) 1 else 0)} " +
+              s"alias columns, got ${cols.length}")
+          val sizes = args.map(a => s"size(($a))")
+            .mkString("greatest(", ", ", ")")
+          val fields = args.zipWithIndex
+            .map { case (a, i) => s"try_element_at(($a), i) AS __f$i" }
+            .mkString(", ")
+          val gen = s"transform(sequence(1, $sizes), i -> struct($fields))"
+          val base = s" $lv posexplode($gen) ${alias}__g AS __graft_pos, __graft_z"
+          val colViews = (0 until k).map { i =>
+            col1(cols(i), s"__graft_z.__f$i",
+              if (!ord && i == k - 1) alias else s"${alias}__c$i")
+          }.mkString
+          val ordView =
+            if (ord) col1(cols(k), "__graft_pos + 1", alias) else ""
+          base + colViews + ordView
         case (false, 1) =>
-          s"SELECT col AS `${cols(0)}` $hoist explode(__graft_un)"
+          s" $lv explode($expr) $alias AS `${cols(0)}`"
         case (false, 2) =>
-          s"SELECT key AS `${cols(0)}`, value AS `${cols(1)}` " +
-            s"FROM explode($expr)"
+          s" $lv explode($expr) $alias AS `${cols(0)}`, `${cols(1)}`"
         case (true, 2) =>
-          s"SELECT col AS `${cols(0)}`, pos + 1 AS `${cols(1)}` " +
-            s"$hoist posexplode(__graft_un)"
+          s" $lv posexplode($expr) ${alias}__g AS __graft_pos, `${cols(0)}`" +
+            col1(cols(1), "__graft_pos + 1", alias)
         case (true, 3) =>
-          s"SELECT key AS `${cols(0)}`, value AS `${cols(1)}`, " +
-            s"pos + 1 AS `${cols(2)}` FROM posexplode($expr)"
+          s" $lv posexplode($expr) ${alias}__g AS __graft_pos, " +
+            s"`${cols(0)}`, `${cols(1)}`" +
+            col1(cols(2), "__graft_pos + 1", alias)
         case (o, n) => throw new IllegalArgumentException(
           s"unsupported UNNEST alias arity $n (ordinality=$o): single " +
             "array or map, optional ordinality")
       }
-      val joined =
-        if (left) s" LEFT JOIN LATERAL ($inner) $alias ON true"
-        else s", LATERAL ($inner) $alias"
-      s = s.substring(0, mm.start) + joined + tail.substring(tm.end)
+      s = s.substring(0, mm.start) + inner + tail.substring(tm.end)
       guard += 1
       m = head.findAllMatchIn(s).find(mm2 => !inLiteral(mm2.start, s))
     }
@@ -1658,8 +1714,8 @@ object PrestoSql {
     */
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = wrapNoneMatch(wrapMapAgg(
-      rewriteArrayAgg(rewriteArrayLiterals(rewriteUnnest(prestoSql)))))
+    val s = wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
+      rewriteArrayLiterals(rewriteUnnest(inlineSplit(prestoSql))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

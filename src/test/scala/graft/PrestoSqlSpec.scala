@@ -15,8 +15,11 @@ class PrestoSqlSpec extends SparkSpec {
   }
 
   test("function names inside string literals are never rewritten") {
+    // split inlines its \Q…\E literal-delimiter quoting (native codegen
+    // expression, Generate-safe) rather than renaming to a SQL adapter
     assert(PrestoSql.translate("SELECT 'split(' || split(x, ',')[1] FROM t")
-      == "SELECT 'split(' || element_at(presto_split(x, ','), 1) FROM t")
+      == "SELECT 'split(' || element_at(split(x, " +
+        "concat('\\\\Q', ',', '\\\\E')), 1) FROM t")
   }
 
   test("unit-form date_diff/date_add map to timestampdiff/timestampadd") {

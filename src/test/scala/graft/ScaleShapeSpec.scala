@@ -117,6 +117,18 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("st_contains"), plan.take(3000))
   }
 
+  test("p2g translated UNNEST plans as pure Generates — no decorrelation join") {
+    // the correlated-LATERAL form decorrelates into a DISTINCT-domain
+    // join keyed on the exploded expression (full re-scan + text-keyed
+    // shuffle at 100 TB); the LATERAL VIEW emission must stay a chain
+    // of Generates over one scan with the filter pushed down
+    val plan = ops.Etl.queries("p2g_presto_unnest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id)"), plan.take(3000))
+  }
+
   test("l26 SemDeDup recovers the planted ground truth through internal k-means clusters") {
     val df = ops.LlmOps.queries("l26_semdedup")(spark, sf)
     val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1)))
