@@ -62,9 +62,11 @@ object Bench {
     (results, errors.toSeq.distinct)
   }
 
-  /** The JSON line: `"errors"` appears only when something threw, so the
-    * driver's existing parse of clean runs is unchanged. */
-  private[graft] def jsonLine(results: Seq[(String, Double)],
+  /** Full per-query JSON (every median, full precision) — goes to stderr
+    * and `bench_detail.json`, NOT stdout: the driver keeps only the last
+    * 2000 characters of output, and BENCH_r01–r05 all show `parsed: null`
+    * because a 200+-entry map (~7 KB) can never survive that tail buffer. */
+  private[graft] def fullJson(results: Seq[(String, Double)],
       errors: Seq[String], sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -74,6 +76,36 @@ object Bench {
       else errors.map(e => "\"" + jsonEscape(e) + "\"")
         .mkString(",\"errors\":[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+  }
+
+  /** The ONE stdout JSON line, guaranteed complete inside the driver's
+    * 2000-char tail: total + as many SLOWEST-first per-query entries as fit
+    * a fixed character budget (3-decimal values), `"queries_n"` making the
+    * subset explicit, and `"errors"` only when something threw. The full
+    * map is in `bench_detail.json` / stderr. */
+  private[graft] def jsonLine(results: Seq[(String, Double)],
+      errors: Seq[String], sfDir: String, budget: Int = 1500): String = {
+    val total = BigDecimal(results.map(_._2).sum)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.map(e => "\"" + jsonEscape(e).take(160) + "\"")
+        .mkString(",\"errors\":[", ",", "]")
+    val tailPart = s"""},"queries_n":${results.size},"detail":"bench_detail.json"$errField,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
+    val fixed = head.length + tailPart.length
+    val entries = results.sortBy(-_._2).iterator
+      .map { case (k, v) =>
+        val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        s"\"$k\":$r"
+      }
+    var used = fixed
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (e <- entries if used + e.length + 1 <= budget) {
+      used += e.length + 1
+      kept += e
+    }
+    head + kept.mkString(",") + tailPart
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,6 +126,13 @@ object Bench {
         org.apache.spark.sql.functions.col("n_regionkey"))
       .groupBy("r_name").count().count()
     val (results, errors) = run(spark, sfDir, SparkEntry.queries, reps)
+    val full = fullJson(results, errors, sfDir)
+    System.err.println(s"[bench] full: $full")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      full.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_detail.json: $e") }
     println(jsonLine(results, errors, sfDir))
     spark.stop()
     if (errors.nonEmpty) {

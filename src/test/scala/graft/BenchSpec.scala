@@ -35,4 +35,26 @@ class BenchSpec extends SparkSpec {
     assert(!line.contains("\n"))
     assert(line.contains("\\\\x"))
   }
+
+  test("stdout line fits the driver's 2000-char tail at 250+ queries") {
+    // BENCH_r01–r05 all show parsed:null — the full 215-entry map is ~7 KB
+    // against a 2000-char output tail. The compact line must stay complete.
+    val many = (1 to 250).map(i => f"q$i%03d_some_operator_name" -> i * 0.01)
+    val line = Bench.jsonLine(many, Nil, sf)
+    assert(line.length <= 1600, s"line too long: ${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    assert(line.endsWith(s""","sf":"$sf"}"""))
+    assert(line.contains("\"queries_n\":250"))
+    // slowest query is always present; total is the sum over ALL queries
+    assert(line.contains("\"q250_some_operator_name\":2.5"))
+    val expectedTotal = many.map(_._2).sum
+    val value = line.split("\"value\":")(1).split(",")(0).toDouble
+    assert(math.abs(value - expectedTotal) < 0.01)
+  }
+
+  test("full detail JSON keeps every query at full precision") {
+    val many = (1 to 250).map(i => f"q$i%03d" -> i * 0.01)
+    val full = Bench.fullJson(many, Nil, sf)
+    assert(many.forall { case (k, _) => full.contains("\"" + k + "\":") })
+  }
 }
