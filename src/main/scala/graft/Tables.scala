@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md,
   * FIXTURES.md). Schemas come from the parquet footers — no inference.
@@ -8,6 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale note: `spark.read.parquet` gives Catalyst a pruned, filter-pushed
   * columnar scan; at 100 TB the same call over a partitioned directory
   * layout picks up partition pruning for free (see Sources.S6).
+  *
+  * Drift-proofing: upstream writers are free to change the physical
+  * encoding of timestamp columns between regenerations — observed
+  * encodings so far are parquet TIMESTAMP(NANOS) (round ≤5 data) and
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 6+ data). A real ETL
+  * tool reads whatever the writer produced, so every loader here
+  * type-dispatches on the schema Spark actually loaded and normalizes
+  * timestamp-like columns to session-TZ [[TimestampType]]:
+  *
+  *   - `LongType` (raw ns via the `nanosAsLong` legacy flag, or a plain
+  *     INT64 epoch column): integer-divide to μs, `timestamp_micros`.
+  *   - `TimestampNTZType` (μs, not UTC-adjusted): `cast("timestamp")` —
+  *     wall-clock reinterpreted in the session zone (UTC here), which
+  *     matches DuckDB's view of the same column.
+  *   - `TimestampType`: already what we want — passthrough.
+  *
+  * The normalization is applied to EVERY column of the table (not just
+  * `events.ts`), so `o_orderdate` / `l_shipdate` keep a stable output
+  * type regardless of writer encoding.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -16,16 +37,37 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else normalizeTimestamps(read(spark, s"$sfDir/$name.parquet"))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read it as raw nanos (legacy flag) and convert to microseconds — the
-    * driver data is μs-granular (all ns remainders are 0, verified), so
-    * the conversion is lossless and matches DuckDB's view of the column.
+  /** Read with the nanos legacy flag on: harmless for μs data, and the
+    * only way Spark 4 loads parquet TIMESTAMP(NANOS) at all (as raw
+    * longs, which [[normalizeTimestamps]] then converts).
     */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  private def read(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    spark.read.parquet(path)
+  }
+
+  /** Normalize one column to session-TZ TimestampType per the dispatch
+    * table above; non-timestamp columns pass through untouched. `isTs`
+    * gates which LongType columns are treated as ns-epochs (a raw long
+    * is only a timestamp if the column is known to be one — here, `ts`).
+    */
+  private def normalizeColumn(f: StructField, isTs: Boolean): Column = f.dataType match {
+    // integer division — `/` would go through double and lose precision
+    // on ns-epoch magnitudes (~1.7e18 > 2^53)
+    case LongType if isTs   => timestamp_micros(expr(s"`${f.name}` div 1000")).as(f.name)
+    case TimestampNTZType   => col(f.name).cast(TimestampType).as(f.name)
+    case _                  => col(f.name)
+  }
+
+  private val knownEpochColumns = Set("ts")
+
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val needsWork = df.schema.exists(f =>
+      f.dataType == TimestampNTZType || (f.dataType == LongType && knownEpochColumns(f.name)))
+    if (!needsWork) df
+    else df.select(df.schema.map(f => normalizeColumn(f, knownEpochColumns(f.name))): _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
@@ -35,14 +77,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    val raw = eventsRaw(s, d)
-    // integer division — `/` would go through double and lose precision
-    // on ns-epoch magnitudes (~1.7e18 > 2^53)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTimestamps(read(s, s"$d/events.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-  }
+
+  /** Loader used by TablesSpec for arbitrary fixture paths — same
+    * normalization as the named tables. */
+  def eventsAt(s: SparkSession, path: String): DataFrame =
+    normalizeTimestamps(read(s, path))
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -348,6 +348,41 @@ object Etl extends QueryModule {
           |SELECT seg, n, sk FROM seg_tot ORDER BY seg""".stripMargin)
     }),
 
+    // P4e2: conditional MULTI-CLAUSE MERGE (Trino ordered-clause
+    // semantics: per row, the FIRST matched clause whose AND-condition
+    // holds wins). The delta varies each key's balance by key-mod-3 so
+    // all four clauses genuinely fire: negative deltas DELETE, raises
+    // take the delta row wholesale, residual matches average, and only
+    // positive-balance new keys INSERT. Oracle = the equivalent CASE
+    // cascade over base LEFT JOIN delta in DuckDB.
+    "p4e2_presto_merge_multi" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS seg_bal;
+          |
+          |CREATE TABLE seg_bal AS
+          |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg,
+          |    "c_acctbal" AS bal
+          |  FROM customer WHERE "c_custkey" < 2000;
+          |
+          |CREATE VIEW bal_delta AS
+          |  SELECT "c_custkey" AS k, lower("c_mktsegment") AS seg,
+          |    "c_acctbal" + 2000.0 * (mod("c_custkey", 3) - 1) AS bal
+          |  FROM customer
+          |  WHERE "c_custkey" >= 1000 AND "c_custkey" < 3000;
+          |
+          |MERGE INTO seg_bal AS t USING bal_delta AS d ON t.k = d.k
+          |WHEN MATCHED AND d.bal < 0.0 THEN DELETE
+          |WHEN MATCHED AND d.bal >= t.bal THEN UPDATE SET bal = d.bal, seg = d.seg
+          |WHEN MATCHED THEN UPDATE SET bal = (t.bal + d.bal) / 2
+          |WHEN NOT MATCHED AND d.bal > 0.0 THEN
+          |  INSERT (k, seg, bal) VALUES (d.k, d.seg, d.bal);
+          |
+          |SELECT seg, COUNT(*) AS n,
+          |  CAST(SUM(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_q2
+          |FROM seg_bal GROUP BY seg ORDER BY seg""".stripMargin)
+    }),
+
     // P4f: column-list CREATE TABLE (Presto type syntax → Spark DDL) plus
     // the ALTER TABLE column surface: ADD COLUMN (parquet schema
     // evolution — pre-existing rows read NULL until the UPDATE fills
@@ -407,6 +442,22 @@ object Etl extends QueryModule {
           |FROM information_schema.columns
           |WHERE table_name = 'intro_demo'
           |ORDER BY ordinal_position""".stripMargin)
+    }),
+
+    // P4i: EXPLAIN ANALYZE — runtime stats off the executed plan's
+    // SQLMetrics, rendered as (operator class, node count, rows out).
+    // Both join inputs carry explicit predicates so the filter row
+    // totals are closed-form; the oracle recomputes each operator's
+    // semantically-determined row count in DuckDB.
+    "p4i_presto_explain_analyze" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """EXPLAIN ANALYZE
+          |SELECT o."o_orderpriority" AS prio, COUNT(*) AS n
+          |FROM (SELECT * FROM orders WHERE "o_orderkey" < 6000) o
+          |JOIN (SELECT * FROM customer WHERE "c_acctbal" > 0.0) c
+          |  ON o."o_custkey" = c."c_custkey"
+          |GROUP BY o."o_orderpriority"""".stripMargin)
     }),
 
     // P4g: the table-properties CTAS an ETL tool renders for every
@@ -772,6 +823,35 @@ object Etl extends QueryModule {
         |   OR (c_custkey >= 2000 AND c_custkey < 4000)
         |GROUP BY seg ORDER BY seg""".stripMargin,
 
+    "p4e2_presto_merge_multi" ->
+      // the ordered MERGE clause cascade as an explicit CASE cascade:
+      // matched rows — delete wins first, then take-delta, then average;
+      // unmatched delta keys insert only when positive
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey < 2000),
+        |delta AS (
+        |  SELECT c_custkey AS k, lower(c_mktsegment) AS seg,
+        |    c_acctbal + 2000.0 * (mod(c_custkey, 3) - 1) AS bal
+        |  FROM customer WHERE c_custkey >= 1000 AND c_custkey < 3000),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN d.k IS NOT NULL AND NOT (d.bal < 0.0)
+        |              AND d.bal >= b.bal
+        |         THEN d.seg ELSE b.seg END AS seg,
+        |    CASE WHEN d.k IS NULL THEN b.bal
+        |         WHEN d.bal >= b.bal THEN d.bal
+        |         ELSE (b.bal + d.bal) / 2 END AS bal
+        |  FROM base b LEFT JOIN delta d ON b.k = d.k
+        |  WHERE d.k IS NULL OR NOT (d.bal < 0.0)
+        |  UNION ALL
+        |  SELECT d.seg, d.bal FROM delta d
+        |  WHERE d.bal > 0.0
+        |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.k = d.k))
+        |SELECT seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_q2
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
+
     "p4g_presto_ctas_partitioned" ->
       // partitioned CTAS + dynamic-partition INSERT nets out to one
       // aggregate over the union of both key slices
@@ -804,6 +884,27 @@ object Etl extends QueryModule {
         |  ('tags', CAST(4 AS BIGINT), 'array(varchar)', 'YES'))
         |  AS t(column_name, ordinal_position, data_type, is_nullable)
         |ORDER BY ordinal_position""".stripMargin,
+
+    "p4i_presto_explain_analyze" ->
+      // each operator's runtime row count recomputed semantically: the
+      // two filters sum, the join and the 5-group aggregate stand alone
+      """SELECT * FROM (
+        |  SELECT 'aggregate' AS op, CAST(1 AS BIGINT) AS n_nodes,
+        |    (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+        |     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE o.o_orderkey < 6000 AND c.c_acctbal > 0.0) AS rows_out
+        |  UNION ALL
+        |  SELECT 'filter', CAST(2 AS BIGINT),
+        |    (SELECT CAST(
+        |      (SELECT COUNT(*) FROM orders WHERE o_orderkey < 6000)
+        |      + (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        |     AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'join', CAST(1 AS BIGINT),
+        |    (SELECT CAST(COUNT(*) AS BIGINT)
+        |     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE o.o_orderkey < 6000 AND c.c_acctbal > 0.0))
+        |ORDER BY op""".stripMargin,
 
     "p5_pipeline_spec" ->
       s"""WITH evt_hourly AS (

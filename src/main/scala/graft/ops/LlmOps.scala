@@ -570,14 +570,17 @@ object LlmOps extends QueryModule {
     // binary expansion half-up, DuckDB rounds a scaled double half-even,
     // and they disagree ~1/16000 values).
     "l6_embedding_centroids" -> ((s, d) => {
+      // slice to the 8 reported dims BEFORE the explode: the exploded
+      // (and shuffled) row count is 8× smaller than exploding all 64
+      // dims and filtering after the aggregate
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"),
+          posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(
           (sum(floor(col("v").cast(DoubleType) * 1000000.0 + 0.5).cast("long"))
             .cast(DoubleType) / count(lit(1)) / 1000000.0).as("centroid"),
           count(lit(1)).as("n_vecs"))
-        .filter(col("pos") < 8)
         .orderBy(col("label"), col("pos"))
     }),
 

@@ -314,6 +314,7 @@ object PrestoSql {
           dropped = Set(col.toLowerCase))
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
       case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
+      case ExplainAnalyzeRe(q) => runExplainAnalyze(spark, q)
       case q if InfoSchemaRe.findFirstIn(q).isDefined =>
         runInfoSchema(spark, q)
       case _ => sql(spark, st)
@@ -322,6 +323,56 @@ object PrestoSql {
       stmts.init.foreach(exec)
       exec(stmts.last)
     } finally prevDb.foreach(db => spark.sql(s"USE `$db`"))
+  }
+
+  private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
+
+  /** Trino-style `EXPLAIN ANALYZE <query>`: EXECUTE the query, then read
+    * the per-operator runtime SQLMetrics off the physical plan and render
+    * them as a relation — `(op, n_nodes, rows_out)`, one row per operator
+    * class (filter/join/aggregate). Row counts are the semantically
+    * determined runtime stats (deterministic for a fixed query+data, so
+    * oracle-gateable); byte/time metrics vary by codec and host and are
+    * asserted as bounds in MetricsSpec instead, via the
+    * [[graft.Metrics]] task-metrics listener.
+    *
+    * Grouping by operator CLASS (summing rows across nodes) makes the
+    * output invariant to join-side planning order. AQE is disabled for
+    * the measured run: its materialized query stages are leaf nodes that
+    * hide their subtree from a plan walk, and runtime re-planning could
+    * change which operators exist at all.
+    */
+  private def runExplainAnalyze(spark: SparkSession, query: String): DataFrame = {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    val df =
+      try { spark.conf.set(aqeKey, "false"); val d = sql(spark, query); d.collect(); d }
+      finally spark.conf.set(aqeKey, prevAqe)
+    def rowsOut(p: SparkPlan): Long =
+      p.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    // a partial aggregate's row count depends on the physical partition
+    // layout; only the FINAL (or Complete) aggregate is semantically
+    // determined. Group-by-only aggregates (no agg expressions) mark
+    // finality via the required child distribution.
+    def isFinalAgg(a: BaseAggregateExec): Boolean =
+      a.aggregateExpressions.headOption match {
+        case Some(e) => e.mode == Final || e.mode == Complete
+        case None => a.requiredChildDistributionExpressions.isDefined
+      }
+    val nodes = df.queryExecution.executedPlan.collect {
+      case f: FilterExec => ("filter", rowsOut(f))
+      case j: BaseJoinExec => ("join", rowsOut(j))
+      case a: BaseAggregateExec if isFinalAgg(a) => ("aggregate", rowsOut(a))
+    }
+    val out = nodes.groupBy(_._1).toSeq
+      .map { case (op, xs) => (op, xs.size.toLong, xs.map(_._2).sum) }
+      .sortBy(_._1)
+    val s2 = spark; import s2.implicits._
+    out.toDF("op", "n_nodes", "rows_out")
   }
 
   private val ShowStatsRe =
@@ -614,15 +665,62 @@ object PrestoSql {
   private val MergeInsertRe =
     """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$""".r
 
+  /** One `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` clause; `update`
+    * None means DELETE. Clauses apply in declaration order (Trino
+    * semantics: first clause whose condition holds wins per row). */
+  private case class MatchedClause(cond: Option[String],
+                                   update: Option[Map[String, String]])
+  private case class InsertClause(cond: Option[String],
+                                  byCol: Map[String, String])
+
+  /** Index of the first top-level (outside parens/brackets/literals/
+    * quoted identifiers) case-insensitive THEN keyword, or -1. Lets a
+    * clause condition contain `CASE … THEN … END` as long as it is
+    * parenthesized, which Trino requires in practice too. */
+  private def firstTopLevelThen(s: String): Int = {
+    var depth = 0; var inLit = false; var inIdent = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false }
+      else if (inIdent) { if (c == '"') inIdent = false }
+      else c match {
+        case '\'' => inLit = true
+        case '"' => inIdent = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case 'T' | 't' if depth == 0 &&
+          i + 4 <= s.length && s.substring(i, i + 4).equalsIgnoreCase("THEN") &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+          (i + 4 == s.length || !Character.isLetterOrDigit(s.charAt(i + 4))) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   private def runMerge(spark: SparkSession, stmt: String): DataFrame = {
-    // split into the head (MERGE INTO … ON cond) and the WHEN clauses
-    val clauseRe = """(?i)\bWHEN\s+(NOT\s+)?MATCHED\s+THEN\b""".r
+    // split into the head (MERGE INTO … ON cond) and the WHEN clauses;
+    // each clause is `WHEN [NOT] MATCHED [AND <cond>] THEN <action>`
+    val clauseRe = """(?i)\bWHEN\s+(NOT\s+)?MATCHED\b""".r
     val marks = clauseRe.findAllMatchIn(stmt).toSeq
     require(marks.nonEmpty, "MERGE needs at least one WHEN clause")
     val head = stmt.substring(0, marks.head.start)
     val clauses = marks.zipWithIndex.map { case (m, i) =>
       val end = if (i + 1 < marks.size) marks(i + 1).start else stmt.length
-      (m.group(1) != null, stmt.substring(m.end, end).trim)
+      val body = stmt.substring(m.end, end).trim
+      val thenAt = firstTopLevelThen(body)
+      require(thenAt >= 0, s"MERGE clause missing THEN: ${body.take(120)}")
+      val pre = body.substring(0, thenAt).trim
+      val condOpt =
+        if (pre.isEmpty) None
+        else {
+          require(pre.toUpperCase.startsWith("AND"),
+            s"unexpected text before THEN in MERGE clause: ${pre.take(120)}")
+          Some(pre.substring(3).trim)
+        }
+      (m.group(1) != null, condOpt, body.substring(thenAt + 4).trim)
     }
     val (tRaw, tAliasOpt, sRaw, sAliasOpt, cond) = head match {
       case MergeIntoRe(t, ta, s0, sa, c) => (t, Option(ta), s0, Option(sa), c.trim)
@@ -635,69 +733,89 @@ object PrestoSql {
     val ta = tAliasOpt.getOrElse(t.split('.').last)
     val sa = sAliasOpt.getOrElse(src.split('.').last)
 
-    var updateSet: Option[Map[String, String]] = None
-    var deleteMatched = false
-    var insertClause: Option[(Seq[String], Seq[String])] = None
+    val assignRe = """(?s)^\s*("[^"]+"|\w+)\s*=\s*(.+?)\s*$""".r
+    val matched = scala.collection.mutable.ArrayBuffer.empty[MatchedClause]
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[InsertClause]
     clauses.foreach {
-      case (false, MergeUpdateRe(setList)) =>
-        require(updateSet.isEmpty && !deleteMatched,
-          "at most one WHEN MATCHED clause is supported")
-        val assignRe = """(?s)^\s*("[^"]+"|\w+)\s*=\s*(.+?)\s*$""".r
-        updateSet = Some(splitTopLevel(setList, ',').map {
-          case assignRe(c, e) => bare(c).toLowerCase -> e
+      case (false, c, MergeUpdateRe(setList)) =>
+        matched += MatchedClause(c, Some(splitTopLevel(setList, ',').map {
+          case assignRe(cn, e) => bare(cn).toLowerCase -> e
           case badA => throw new IllegalArgumentException(
             s"bad MERGE assignment '$badA'")
-        }.toMap)
-      case (false, cl) if MergeDeleteRe.findFirstIn(cl).isDefined =>
-        require(updateSet.isEmpty && !deleteMatched,
-          "at most one WHEN MATCHED clause is supported")
-        deleteMatched = true
-      case (true, MergeInsertRe(cols, vals)) =>
-        require(insertClause.isEmpty,
-          "at most one WHEN NOT MATCHED clause is supported")
-        insertClause = Some((
-          splitTopLevel(cols, ',').map(c => bare(c.trim).toLowerCase),
-          splitTopLevel(vals, ',').map(_.trim)))
-      case (neg, cl) => throw new IllegalArgumentException(
+        }.toMap))
+      case (false, c, cl) if MergeDeleteRe.findFirstIn(cl).isDefined =>
+        matched += MatchedClause(c, None)
+      case (true, c, MergeInsertRe(cols, vals)) =>
+        val cs = splitTopLevel(cols, ',').map(x => bare(x.trim).toLowerCase)
+        val vs = splitTopLevel(vals, ',').map(_.trim)
+        require(cs.size == vs.size,
+          s"MERGE $t: ${cs.size} insert columns vs ${vs.size} values")
+        inserts += InsertClause(c, cs.zip(vs).toMap)
+      case (neg, _, cl) => throw new IllegalArgumentException(
         s"unsupported MERGE clause (not=$neg): ${cl.take(120)}")
     }
 
     val schema = spark.table(t).schema
     val known = schema.fields.map(_.name.toLowerCase).toSet
-    updateSet.foreach(m => require(m.keySet.subsetOf(known),
-      s"MERGE $t: unknown column(s) ${m.keySet.diff(known)}"))
-    insertClause.foreach { case (cols, vals) =>
-      require(cols.toSet.subsetOf(known),
-        s"MERGE $t: unknown insert column(s) ${cols.toSet.diff(known)}")
-      require(cols.size == vals.size,
-        s"MERGE $t: ${cols.size} insert columns vs ${vals.size} values")
-    }
+    matched.foreach(_.update.foreach(m => require(m.keySet.subsetOf(known),
+      s"MERGE $t: unknown column(s) ${m.keySet.diff(known)}")))
+    inserts.foreach(c => require(c.byCol.keySet.subsetOf(known),
+      s"MERGE $t: unknown insert column(s) ${c.byCol.keySet.diff(known)}"))
+
+    // Ordered-clause semantics (Trino): per matched row, the FIRST
+    // matched clause whose condition holds applies; rows with no
+    // applicable clause survive unchanged. `__applied` = 1-based index
+    // of the winning clause, 0 = none. Inlined (not a subquery) so
+    // update expressions keep both aliases in scope; Catalyst CSEs the
+    // repeated CASE during codegen.
+    val appliedM =
+      if (matched.isEmpty) "0"
+      else "CASE " + matched.zipWithIndex.map { case (mc, i) =>
+        val p = s"`$sa`.__m" + mc.cond.map(x => s" AND ($x)").getOrElse("")
+        s"WHEN $p THEN ${i + 1}"
+      }.mkString(" ") + " ELSE 0 END"
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (MatchedClause(_, None), i) => i + 1 }
 
     // survivors-and-updates branch over target LEFT JOIN marker-tagged src
     val matchedBranch = {
       val sel = schema.fields.map { f =>
-        updateSet.flatMap(_.get(f.name.toLowerCase)) match {
-          case Some(e) =>
-            s"CASE WHEN `$sa`.__m THEN CAST(($e) AS ${f.dataType.sql})" +
-              s" ELSE `$ta`.`${f.name}` END AS `${f.name}`"
-          case None => s"`$ta`.`${f.name}` AS `${f.name}`"
+        val arms = matched.zipWithIndex.collect {
+          case (MatchedClause(_, Some(set)), i)
+              if set.contains(f.name.toLowerCase) =>
+            s"WHEN ${i + 1} THEN" +
+              s" CAST((${set(f.name.toLowerCase)}) AS ${f.dataType.sql})"
         }
+        if (arms.isEmpty) s"`$ta`.`${f.name}` AS `${f.name}`"
+        else s"CASE ($appliedM) ${arms.mkString(" ")}" +
+          s" ELSE `$ta`.`${f.name}` END AS `${f.name}`"
       }.mkString(", ")
       val base = s"SELECT $sel FROM $t AS `$ta` LEFT JOIN" +
         s" (SELECT *, true AS __m FROM $src) AS `$sa` ON $cond"
-      if (deleteMatched) s"$base WHERE `$sa`.__m IS NULL" else base
+      if (deleteIdx.isEmpty) base
+      else s"$base WHERE ($appliedM) NOT IN (${deleteIdx.mkString(", ")})"
     }
-    val insertBranch = insertClause.map { case (cols, vals) =>
-      val byCol = cols.zip(vals).toMap
-      val sel = schema.fields.map { f =>
-        byCol.get(f.name.toLowerCase) match {
-          case Some(e) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
-          case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
-        }
-      }.mkString(", ")
-      s" UNION ALL SELECT $sel FROM $src AS `$sa` WHERE NOT EXISTS" +
-        s" (SELECT 1 FROM $t AS `$ta` WHERE $cond)"
-    }.getOrElse("")
+    // insert branch: unmatched source rows, first NOT MATCHED clause
+    // whose condition holds supplies the values; none → row not inserted
+    val insertBranch =
+      if (inserts.isEmpty) ""
+      else {
+        val appliedI = "CASE " + inserts.zipWithIndex.map { case (ic, i) =>
+          s"WHEN ${ic.cond.map(x => s"($x)").getOrElse("true")} THEN ${i + 1}"
+        }.mkString(" ") + " ELSE 0 END"
+        val sel = schema.fields.map { f =>
+          val arms = inserts.zipWithIndex.collect {
+            case (ic, i) if ic.byCol.contains(f.name.toLowerCase) =>
+              s"WHEN ${i + 1} THEN" +
+                s" CAST((${ic.byCol(f.name.toLowerCase)}) AS ${f.dataType.sql})"
+          }
+          if (arms.isEmpty) s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+          else s"CASE ($appliedI) ${arms.mkString(" ")}" +
+            s" ELSE CAST(NULL AS ${f.dataType.sql}) END AS `${f.name}`"
+        }.mkString(", ")
+        s" UNION ALL SELECT $sel FROM $src AS `$sa` WHERE NOT EXISTS" +
+          s" (SELECT 1 FROM $t AS `$ta` WHERE $cond) AND ($appliedI) <> 0"
+      }
 
     stageSwap(spark, t, s"$matchedBranch$insertBranch")
   }
@@ -1366,7 +1484,11 @@ object PrestoSql {
           val fields = args.zipWithIndex
             .map { case (a, i) => s"try_element_at(($a), i) AS __f$i" }
             .mkString(", ")
-          val gen = s"transform(sequence(1, $sizes), i -> struct($fields))"
+          // sequence(1, 0) is [1, 0] in Spark (step inferred -1), so an
+          // all-empty zip must short-circuit to an empty array, not a
+          // descending 2-row sequence
+          val gen = s"transform(CASE WHEN $sizes > 0 THEN sequence(1, $sizes)" +
+            s" ELSE CAST(array() AS array<int>) END, i -> struct($fields))"
           val base = s" $lv posexplode($gen) ${alias}__g AS __graft_pos, __graft_z"
           val colViews = (0 until k).map { i =>
             col1(cols(i), s"__graft_z.__f$i",

@@ -408,6 +408,28 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS mrg_t; SELECT 1 AS one")
   }
 
+  test("script MERGE: conditional multi-clause with ordered-first-wins semantics") {
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS mmc_t;
+        |CREATE TABLE mmc_t AS
+        |  SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30), (4, 40)) AS t(k, v);
+        |CREATE VIEW mmc_src AS
+        |  SELECT * FROM (VALUES (1, -1), (2, 25), (3, 5), (8, 80), (9, -9)) AS s(k, nv);
+        |MERGE INTO mmc_t AS tg USING mmc_src AS sr ON tg.k = sr.k
+        |WHEN MATCHED AND sr.nv < 0 THEN DELETE
+        |WHEN MATCHED AND sr.nv >= tg.v THEN UPDATE SET v = sr.nv
+        |WHEN MATCHED THEN UPDATE SET v = tg.v + sr.nv
+        |WHEN NOT MATCHED AND sr.nv > 0 THEN INSERT (k, v) VALUES (sr.k, sr.nv);
+        |SELECT k, v FROM mmc_t ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // k=1 deleted (nv<0, first clause wins); k=2 takes nv=25 (>= 20);
+    // k=3 falls to the residual clause (30+5); k=4 untouched (no source
+    // row); k=8 inserted (nv>0); k=9 NOT inserted (nv<=0)
+    assert(out == Seq((2, 25), (3, 35), (4, 40), (8, 80)))
+    spark.catalog.dropTempView("mmc_src")
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS mmc_t; SELECT 1 AS one")
+  }
+
   test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
     // Presto scripts may double-quote table names; the catalog still
     // requires [A-Za-z0-9_] names (Spark SessionCatalog.validateName), so
