@@ -1207,32 +1207,42 @@ object LlmOps extends QueryModule {
   )
 
   /** Distributed BPE TRAINING (the operator that produces what l4c's
-    * bpe_count consumes): Sennrich-style greedy merge learning. Each
-    * round (1) re-segments every word under the merges learned so far —
-    * scan-stage `bpe_segment` codegen expression, word boundaries kept by
-    * the nested array shape so no pair ever spans words, (2) counts
-    * adjacent symbol pairs via arrays_zip over the symbol arrays (the
-    * standard overlapping zip count), one partial+final aggregation, and
-    * (3) takes the most frequent pair (ties broken lexicographically for
-    * determinism) as the next merge. Driver state is ONE (pair, count)
-    * row per round — the k-means-centroid pattern; the corpus never
-    * leaves the executors and is re-read, not cached, because each
-    * round's segmentation expression differs. Stops early when no pair
-    * repeats (count < 2 learns nothing, like real trainers).
+    * bpe_count consumes): Sennrich-style greedy merge learning over the
+    * WORD HISTOGRAM, exactly like the reference learn_bpe trainers. Pair
+    * counting never crosses a word boundary, so the corpus reduces ONCE
+    * to (word, count) — a Zipf vocabulary that is orders of magnitude
+    * smaller than the corpus and essentially independent of corpus scale
+    * — and every training round re-segments only the distinct words,
+    * weighting each adjacent pair by the word's frequency (bit-identical
+    * totals to counting over the raw corpus; TextFunctionsSpec pins the
+    * parity against an independent single-machine trainer). The
+    * histogram word list comes from `bpe_segment` itself (empty merges →
+    * per-word char arrays, rejoined), so the word-splitting contract has
+    * a single owner. Each round: scan-stage `bpe_segment` codegen over
+    * the checkpointed histogram, arrays_zip adjacent-pair explode, one
+    * partial+final weighted aggregation, ONE collected (pair, count) row
+    * (the k-means-centroid pattern). At 100 TB the corpus pass happens
+    * once; rounds cost ∝ |vocabulary|. Stops early when no pair repeats
+    * (count < 2 learns nothing, like real trainers).
     */
   private[graft] def bpeTrain(docs: DataFrame, textCol: org.apache.spark.sql.Column,
       numMerges: Int): Seq[(String, String, Long)] = {
+    val wordHist = docs
+      .select(explode(GF.bpeSegment(textCol, Seq.empty)).as("w0"))
+      .select(array_join(col("w0"), "").as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     while (!done && learned.size < numMerges) {
       val merges = learned.map(m => (m._1, m._2)).toSeq
-      val top = docs
-        .select(explode(GF.bpeSegment(textCol, merges)).as("w"))
-        .select(explode(arrays_zip(
+      val top = wordHist
+        .select(col("wn"), explode(GF.bpeSegment(col("word"), merges)).as("w"))
+        .select(col("wn"), explode(arrays_zip(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
-        .select(col("p.0").as("l"), col("p.1").as("r"))
-        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+        .select(col("wn"), col("p.0").as("l"), col("p.1").as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("wn")).as("n"))
         .filter(col("n") >= 2)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()

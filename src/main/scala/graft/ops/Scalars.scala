@@ -600,6 +600,35 @@ object Scalars extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // sc22: TIMESTAMP (session-TZ) vs TIMESTAMP_NTZ semantics — Presto
+    // distinguishes `timestamp` (wall clock, no zone) from `timestamp
+    // with time zone`; Spark 4's TIMESTAMP_NTZ is the wall-clock type
+    // and the testdata now ships NTZ-encoded columns, so the mapping is
+    // load-bearing. The query round-trips an NTZ column through parquet
+    // (Spark writes isAdjustedToUTC=false; the read-back must preserve
+    // the wall clock bit-exactly — the oracle compares against DuckDB's
+    // naive-timestamp view of the ORIGINAL data, so any drift in the
+    // round-trip breaks the hash), then shows the semantic split: the
+    // same wall clock pinned as UTC vs interpreted in a DST zone yields
+    // different instants, offset by the zone's date-dependent UTC offset.
+    "sc22_timestamp_ntz" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_sc22")
+        .toString + "/ntz.parquet"
+      Tables.events(s, d).filter(col("event_id") < 5000)
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ntz"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("event_id"),
+          date_format(col("ntz"), "yyyy-MM-dd HH:mm:ss").as("ntz_wall"),
+          unix_seconds(to_utc_timestamp(col("ntz").cast("timestamp"), "UTC"))
+            .as("as_utc_s"),
+          unix_seconds(to_utc_timestamp(col("ntz").cast("timestamp"),
+            "America/New_York")).as("as_ny_s"))
+        .withColumn("ny_offset_h",
+          expr("(as_ny_s - as_utc_s) div 3600"))
+        .orderBy(col("event_id"))
+    }),
+
     // sc18: bitwise family (Presto bitwise_and/or/xor/not, bit_count,
     // bit extraction) — pure per-row codegen arithmetic, scan-stage at
     // any scale. Complements sc16's shifts.
@@ -617,6 +646,19 @@ object Scalars extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sc22_timestamp_ntz" ->
+      // ts::TIMESTAMP is DuckDB's naive wall clock — epoch_us pins it as
+      // UTC; timezone(tz, naive) interprets it as zone-local (ICU),
+      // giving the instant the NY wall clock names on that date
+      """SELECT event_id,
+        |  strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS ntz_wall,
+        |  epoch_us(ts::TIMESTAMP) // 1000000 AS as_utc_s,
+        |  epoch_us(timezone('America/New_York', ts::TIMESTAMP)) // 1000000
+        |    AS as_ny_s,
+        |  (epoch_us(timezone('America/New_York', ts::TIMESTAMP)) // 1000000
+        |   - epoch_us(ts::TIMESTAMP) // 1000000) // 3600 AS ny_offset_h
+        |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
+
     "sc1_string" ->
       """SELECT p_partkey,
         |  p_brand || ':' || p_type AS cat,

@@ -22,6 +22,20 @@ class PrestoSqlSpec extends SparkSpec {
         "concat('\\\\Q', ',', '\\\\E')), 1) FROM t")
   }
 
+  test("4-arg reduce (init, merge lambda, finish lambda) maps to aggregate") {
+    // the Presto lambda-reduce idiom published ETL snippets use:
+    // reduce(arr, 0, (s, x) -> s + x, s -> s) — Spark's aggregate shares
+    // the lambda syntax, so the rename is the whole translation
+    assert(PrestoSql.translate("SELECT reduce(a, 0, (s, x) -> s + x, s -> s)")
+      == "SELECT aggregate(a, 0, (s, x) -> s + x, s -> s)")
+    val r = PrestoSql.sql(spark,
+      """SELECT reduce(ARRAY[1, 2, 3, 4], 0, (s, x) -> s + x, s -> s * 10) AS v,
+        |  reduce(ARRAY[2.5, 3.5], CAST(0.0 AS DOUBLE), (s, x) -> s + x,
+        |    s -> s / 2) AS avg2""".stripMargin).collect().head
+    assert(r.getInt(0) == 100)
+    assert(r.getDouble(1) == 3.0)
+  }
+
   test("unit-form date_diff/date_add map to timestampdiff/timestampadd") {
     assert(PrestoSql.translate("SELECT date_diff('hour', a, b), date_add('day', 1, c)")
       == "SELECT timestampdiff(hour, a, b), timestampadd(day, 1, c)")
