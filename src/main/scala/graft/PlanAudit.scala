@@ -45,7 +45,8 @@ object PlanAudit {
       "l4c_bpe_tokens",        // r4: expect bpe_count inside scan-stage WholeStageCodegen
       "l22b_decontaminate_capped", // r4: expect broadcast LeftAnti on both sides pre-join
       "l7c_image_decode",      // r4: expect image_stats in the binaryFile scan project
-      "j12_geo_distance_join"  // r4: expect cell-id equi-join + haversine residual, no BNLJ
+      "j12_geo_distance_join", // r4: expect cell-id equi-join + haversine residual, no BNLJ
+      "l6_embedding_centroids" // r7: expect Generate over slice(embedding,1,8) — explode width 8, not 64
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")

@@ -315,6 +315,7 @@ object PrestoSql {
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
       case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
       case ExplainAnalyzeRe(q) => runExplainAnalyze(spark, q)
+      case ExplainRe(q) => runExplain(spark, q)
       case q if InfoSchemaRe.findFirstIn(q).isDefined =>
         runInfoSchema(spark, q)
       case _ => sql(spark, st)
@@ -326,6 +327,25 @@ object PrestoSql {
   }
 
   private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
+  // plain EXPLAIN [(TYPE …/FORMAT …)] — Trino options are accepted and
+  // ignored (every type maps to Spark's formatted physical plan). Must
+  // stay BELOW the ANALYZE case in the dispatch.
+  private val ExplainRe =
+    """(?is)^\s*EXPLAIN\s+(?:\(\s*[^)]*\)\s*)?(?!ANALYZE\b)(.+)$""".r
+
+  /** Trino `EXPLAIN <query>`: plan WITHOUT executing — one row, one
+    * `query_plan` column carrying Spark's formatted physical plan (the
+    * honest rendering: this engine plans with Catalyst, and pretending
+    * to emit a Trino plan tree would be fiction). Plan text is
+    * engine-specific, so this surfaces via PrestoSqlSpec, not the
+    * DuckDB oracle gate. */
+  private def runExplain(spark: SparkSession, query: String): DataFrame = {
+    val df = sql(spark, query)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val s2 = spark; import s2.implicits._
+    Seq(plan).toDF("query_plan")
+  }
 
   /** Trino-style `EXPLAIN ANALYZE <query>`: EXECUTE the query, then read
     * the per-operator runtime SQLMetrics off the physical plan and render

@@ -444,6 +444,53 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS mmc_t; SELECT 1 AS one")
   }
 
+  test("script MERGE: multiple DELETE clauses and a trailing unconditional UPDATE") {
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS mdd_t;
+        |CREATE TABLE mdd_t AS
+        |  SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30), (4, 40)) AS t(k, v);
+        |CREATE VIEW mdd_src AS
+        |  SELECT * FROM (VALUES (1, 'drop'), (2, 'zap'), (3, 'keep'), (4, 'keep')) AS s(k, act);
+        |MERGE INTO mdd_t AS tg USING mdd_src AS sr ON tg.k = sr.k
+        |WHEN MATCHED AND sr.act = 'drop' THEN DELETE
+        |WHEN MATCHED AND sr.act = 'zap' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = tg.v + 1;
+        |SELECT k, v FROM mdd_t ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out == Seq((3, 31), (4, 41)))
+    spark.catalog.dropTempView("mdd_src")
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS mdd_t; SELECT 1 AS one")
+  }
+
+  test("EXPLAIN ANALYZE groups runtime row counts by operator class") {
+    // UNION ALL of two filtered aggregates over a real scan (a VALUES
+    // filter constant-folds into the LocalRelation and leaves no
+    // FilterExec): 2 final aggregates, 2 filters over 25-row nation
+    Tables.registerAll(spark, sf)
+    val rows = PrestoSql.script(spark,
+      """EXPLAIN ANALYZE
+        |SELECT 'lo' AS tag, COUNT(*) AS n FROM nation WHERE "n_regionkey" < 2
+        |UNION ALL
+        |SELECT 'hi', COUNT(*) FROM nation WHERE "n_regionkey" >= 2""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("aggregate") == (2L, 2L)) // two 1-row global aggregates
+    assert(rows("filter")._1 == 2L)       // one FilterExec per branch
+    assert(rows("filter")._2 == 25L)      // 10 + 15 surviving rows
+  }
+
+  test("plain EXPLAIN plans without executing and renders the physical plan") {
+    val r = PrestoSql.script(spark,
+      "EXPLAIN SELECT x, COUNT(*) FROM (VALUES 1, 1, 2) AS t(x) GROUP BY x")
+      .collect()
+    assert(r.length == 1)
+    val plan = r.head.getString(0)
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+    // Trino option list form is accepted (and ignored)
+    val r2 = PrestoSql.script(spark,
+      "EXPLAIN (TYPE DISTRIBUTED) SELECT 1 AS one").collect()
+    assert(r2.length == 1 && r2.head.getString(0).nonEmpty)
+  }
+
   test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
     // Presto scripts may double-quote table names; the catalog still
     // requires [A-Za-z0-9_] names (Spark SessionCatalog.validateName), so
