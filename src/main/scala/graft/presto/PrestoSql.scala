@@ -260,6 +260,8 @@ object PrestoSql {
     val usesDdl = stmts.exists(st => ddlRe.findFirstIn(st).isDefined ||
       ShowStatsRe.findFirstIn(st).isDefined ||
       ShowCreateRe.findFirstIn(st).isDefined ||
+      ShowTablesRe.findFirstIn(st).isDefined ||
+      ShowColumnsRe.findFirstIn(st).isDefined ||
       InfoSchemaRe.findFirstIn(st).isDefined)
     val prevDb = if (usesDdl) {
       val db = ddlDatabase(spark)
@@ -314,6 +316,23 @@ object PrestoSql {
           dropped = Set(col.toLowerCase))
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
       case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
+      case ShowSchemasRe() => runShowSchemas(spark)
+      case ShowTablesRe(db, like) =>
+        runShowTables(spark, Option(db), Option(like))
+      case ShowColumnsRe(tbl) => runShowColumns(spark, tbl)
+      case SetSessionRe(k, v) =>
+        // accepted and RECORDED (namespaced conf key a caller can read
+        // back), not mapped: Trino session properties govern a different
+        // engine's knobs; silently changing Spark behavior from them
+        // would be a lie. Scripts with SET SESSION lines must still run.
+        spark.conf.set(s"graft.presto.session.$k",
+          v.stripPrefix("'").stripSuffix("'"))
+        locally { val s2 = spark; import s2.implicits._
+          Seq("SET SESSION").toDF("result") }
+      case ResetSessionRe(k) =>
+        spark.conf.unset(s"graft.presto.session.$k")
+        locally { val s2 = spark; import s2.implicits._
+          Seq("RESET SESSION").toDF("result") }
       case ExplainAnalyzeRe(q) => runExplainAnalyze(spark, q)
       case ExplainRe(q) => runExplain(spark, q)
       case q if InfoSchemaRe.findFirstIn(q).isDefined =>
@@ -468,6 +487,53 @@ object PrestoSql {
       props.mkString(",\n   ") + "\n)"
     import spark.implicits._
     Seq(ddl).toDF("create_table")
+  }
+
+  private val ShowSchemasRe =
+    """(?is)^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+[\w.]+)?\s*$""".r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+("[^"]+"|[\w.]+))?(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowColumnsRe =
+    """(?is)^\s*(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+("[^"]+"|[\w.]+)\s*$""".r
+  private val SetSessionRe =
+    """(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$""".r
+  private val ResetSessionRe = """(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*$""".r
+
+  /** `SHOW SCHEMAS` → one `Schema` column (Trino's output shape). */
+  private def runShowSchemas(spark: SparkSession): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    spark.catalog.listDatabases().collect().map(_.name)
+      .sorted.toSeq.toDF("Schema")
+  }
+
+  /** `SHOW TABLES [FROM schema] [LIKE 'pat']` → one `Table` column;
+    * the LIKE pattern uses SQL wildcards (% and _), per Trino. */
+  private def runShowTables(spark: SparkSession, db: Option[String],
+      like: Option[String]): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val names = db.map(d => spark.catalog.listTables(
+        d.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(spark.catalog.listTables())
+      .collect().map(_.name).toSeq
+    val kept = like match {
+      case None => names
+      case Some(p) =>
+        val re = java.util.regex.Pattern.quote(p)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q").r
+        names.filter(n => re.pattern.matcher(n).matches())
+    }
+    kept.sorted.toDF("Table")
+  }
+
+  /** `SHOW COLUMNS FROM t` / `DESCRIBE t` → Trino's four-column shape
+    * (Column, Type, Extra, Comment) with Presto type rendering. */
+  private def runShowColumns(spark: SparkSession, tblRaw: String): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+    spark.table(t).schema.fields.toSeq
+      .map(f => (f.name, toPrestoType(f.dataType), "",
+        f.getComment().getOrElse("")))
+      .toDF("Column", "Type", "Extra", "Comment")
   }
 
   /** Presto rendering of a Spark type (inverse of translateType, for

@@ -478,6 +478,40 @@ class PrestoSqlSpec extends SparkSpec {
     assert(rows("filter")._2 == 25L)      // 10 + 15 surviving rows
   }
 
+  test("SHOW TABLES/SCHEMAS/COLUMNS and DESCRIBE render Trino output shapes") {
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS intro_t;
+        |CREATE TABLE intro_t AS SELECT 1 AS id, 'x' AS name, 2.5 AS score;
+        |SHOW TABLES LIKE 'intro%'""".stripMargin)
+    assert(out.columns.toSeq == Seq("Table"))
+    assert(out.collect().map(_.getString(0)).contains("intro_t"))
+
+    val cols = PrestoSql.script(spark, "DESCRIBE intro_t")
+    assert(cols.columns.toSeq == Seq("Column", "Type", "Extra", "Comment"))
+    val byName = cols.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("id") == "integer" && byName("name") == "varchar")
+
+    val viaShow = PrestoSql.script(spark, "SHOW COLUMNS FROM intro_t")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaShow == Seq("id", "name", "score"))
+
+    val schemas = PrestoSql.script(spark, "SHOW SCHEMAS")
+    assert(schemas.columns.toSeq == Seq("Schema") && schemas.count() >= 1)
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS intro_t; SELECT 1 AS one")
+  }
+
+  test("SET SESSION is accepted, recorded, and resettable; scripts keep running") {
+    val out = PrestoSql.script(spark,
+      """SET SESSION query_max_run_time = '2h';
+        |SELECT 40 + 2 AS answer""".stripMargin)
+      .collect().head.getInt(0)
+    assert(out == 42)
+    assert(spark.conf.get("graft.presto.session.query_max_run_time") == "2h")
+    PrestoSql.script(spark,
+      "RESET SESSION query_max_run_time; SELECT 1 AS one")
+    assert(spark.conf.getOption("graft.presto.session.query_max_run_time").isEmpty)
+  }
+
   test("plain EXPLAIN plans without executing and renders the physical plan") {
     val r = PrestoSql.script(spark,
       "EXPLAIN SELECT x, COUNT(*) FROM (VALUES 1, 1, 2) AS t(x) GROUP BY x")
