@@ -19,6 +19,11 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "minhash_sig"),
       (e: Seq[Expression]) => MinHashSignatureExpression(e(0), 64)),
+    (FunctionIdentifier("minhash_text_sig"),
+      new ExpressionInfo(
+        classOf[MinHashTextSignatureExpression].getName, "minhash_text_sig"),
+      (e: Seq[Expression]) =>
+        MinHashTextSignatureExpression(e(0), litInt(e(1)), 64)),
     (FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expression].getName, "simhash48"),
       (e: Seq[Expression]) => SimHash48Expression(e(0))),
@@ -87,6 +92,8 @@ object GraftFunctions {
   // Column-API entry points (require register() on the session first).
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def minhashSig(hashes: Column): Column = call_function("minhash_sig", hashes)
+  def minhashTextSig(text: Column, k: Int): Column =
+    call_function("minhash_text_sig", text, org.apache.spark.sql.functions.lit(k))
   def simhash48(hashes: Column): Column = call_function("simhash48", hashes)
   def rhpSig64(vec: Column): Column = call_function("rhp_sig64", vec)
   def charShingles(text: Column, k: Int): Column =

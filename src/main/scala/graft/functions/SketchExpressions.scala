@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd sketch kernels for the dedup pipeline (SURVEY §2.9 L2).
   *
@@ -26,21 +27,81 @@ object SketchKernels {
   def minhash(hashes: ArrayData, numPerms: Int): GenericArrayData = {
     val n = hashes.numElements()
     val out = new Array[Long](numPerms)
+    if (n == 0) return new GenericArrayData(out)
+    // hoist the input normalization out of the perm loop (it is
+    // perm-invariant; the naive nesting re-mods every hash 64×)
+    val hm = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hm(i) = java.lang.Math.floorMod(hashes.getLong(i), Mersenne); i += 1
+    }
     var j = 0
     while (j < numPerms) {
       val a = minhashA(j); val b = minhashB(j)
       var min = Long.MaxValue
-      var i = 0
+      i = 0
       while (i < n) {
-        val h = java.lang.Math.floorMod(hashes.getLong(i), Mersenne)
-        val v = java.lang.Math.floorMod(h * a + b, Mersenne)
+        val v = java.lang.Math.floorMod(hm(i) * a + b, Mersenne)
         if (v < min) min = v
         i += 1
       }
-      out(j) = if (n == 0) 0L else min
+      out(j) = min
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Fused text → MinHash signature: hashes each char-k-window of the
+    * UTF8 bytes IN PLACE (xxhash64 of the byte slice ≡ xxhash64 of the
+    * substring — same bytes, same seed 42) and feeds the perm minima
+    * directly, skipping the three per-doc materializations of the
+    * composed pipeline (shingle UTF8Strings + dedup set + hash array).
+    * Shingle dedup is dropped deliberately: a min over a multiset equals
+    * the min over its set, so the signature is BIT-IDENTICAL to
+    * `minhash(shingle_hashes(char_shingles(text, k)))` (parity-pinned in
+    * TextFunctionsSpec). Window semantics mirror charShingles exactly:
+    * max(numChars-k+1, 1) windows, the tail windows clamped, an empty
+    * string contributing the hash of zero bytes. */
+  def minhashTextSig(text: UTF8String, k: Int, numPerms: Int): GenericArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val nChars = text.numChars()
+    // char-start byte offsets (UTF-8 is variable-width; windows are CHAR
+    // windows, exactly like substringSQL in the composed pipeline)
+    val offsets = new Array[Int](nChars + 1)
+    var c = 0
+    var b = 0
+    while (c < nChars) {
+      offsets(c) = b
+      b += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      c += 1
+    }
+    offsets(nChars) = nBytes
+    val as = new Array[Long](numPerms)
+    val bs = new Array[Long](numPerms)
+    var j = 0
+    while (j < numPerms) { as(j) = minhashA(j); bs(j) = minhashB(j); j += 1 }
+    val mins = new Array[Long](numPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val nWin = math.max(nChars - (k - 1), 1)
+    var w = 0
+    while (w < nWin) {
+      val endC = math.min(w + k, nChars)
+      val bo = offsets(w)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + bo, offsets(endC) - bo, 42L)
+      val hm = java.lang.Math.floorMod(h, Mersenne)
+      j = 0
+      while (j < numPerms) {
+        val v = java.lang.Math.floorMod(hm * as(j) + bs(j), Mersenne)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
   }
 
   /** splitmix64 finalizer — deterministic pseudo-random bits from an index. */
@@ -123,6 +184,27 @@ case class MinHashSignatureExpression(child: Expression, numPerms: Int = 64)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpression =
     copy(child = newChild)
+}
+
+/** `minhash_text_sig(text, k)` → `array<long>` of `numPerms` minima,
+  * fused over the char k-windows of the text (see
+  * [[SketchKernels.minhashTextSig]]). */
+case class MinHashTextSignatureExpression(child: Expression, k: Int,
+    numPerms: Int = 64) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashTextSig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.minhashTextSig($c, $k, $numPerms)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashTextSignatureExpression = copy(child = newChild)
 }
 
 /** `rhp_sig64(array<float>)` → 64-bit random-hyperplane signature. */

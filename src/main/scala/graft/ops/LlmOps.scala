@@ -195,10 +195,13 @@ object LlmOps extends QueryModule {
       // 64-perm kernel over every shingle. This mirrors the real
       // pipeline, which persists a signatures table and reads it for
       // banding and verification; at 100 TB that is #docs × ~520 B.
+      // fused text→signature kernel: hashes char windows in place —
+      // bit-identical to minhash_sig(shingle_hashes(char_shingles)) (a
+      // multiset min equals the set min, so skipping shingle dedup and
+      // the two intermediate arrays changes nothing; parity pinned in
+      // TextFunctionsSpec)
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          GF.minhashSig(
-            TF.shingleHashes(GF.charShingles(col("text"), 5))).as("sig"))
+        .select(col("doc_id"), GF.minhashTextSig(col("text"), 5).as("sig"))
         .localCheckpoint()
       val bandedAll = docs.select(col("doc_id"), col("sig"),
           posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))

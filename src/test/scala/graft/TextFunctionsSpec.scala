@@ -242,6 +242,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter($"native_mh" =!= $"hof_mh" || $"native_sh" =!= $"hof_sh").count() == 0)
   }
 
+  test("fused minhash_text_sig == composed minhash(shingle_hashes(char_shingles))") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.{GraftFunctions => GF}
+    // real docs plus the window-clamp edge cases: empty text, text
+    // shorter than k, exactly k, and multi-byte UTF-8 (char windows must
+    // track byte offsets)
+    val edge = Seq("", "ab", "abcde", "abcdef", "héllo wörld ünïcode",
+      "aaaaaaa", "日本語のテキスト例").toDF("text")
+    val docs = Tables.documents(spark, sf).limit(80).select($"text")
+      .unionByName(edge)
+    val cmp = docs.select(
+      GF.minhashTextSig($"text", 5).as("fused"),
+      GF.minhashSig(TF.shingleHashes(GF.charShingles($"text", 5))).as("composed"))
+    assert(cmp.filter($"fused" =!= $"composed").count() == 0)
+  }
+
   test("native shingle kernels == higher-order reference implementations") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.{GraftFunctions => GF}
