@@ -151,16 +151,23 @@ object SketchKernels {
 
   def simhash48(hashes: ArrayData): Long = {
     val n = hashes.numElements()
+    // elements outer so each hash is fetched once (bits-outer re-read
+    // every element 48×); per-bit counters accumulate ±1 votes
+    val cnt = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var bit = 0
+      while (bit < 48) {
+        if (((h >>> bit) & 1L) == 1L) cnt(bit) += 1 else cnt(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
     var value = 0L
     var bit = 0
     while (bit < 48) {
-      var cnt = 0
-      var i = 0
-      while (i < n) {
-        if (((hashes.getLong(i) >>> bit) & 1L) == 1L) cnt += 1 else cnt -= 1
-        i += 1
-      }
-      if (cnt > 0) value |= (1L << bit)
+      if (cnt(bit) > 0) value |= (1L << bit)
       bit += 1
     }
     value

@@ -262,6 +262,7 @@ object PrestoSql {
       ShowCreateRe.findFirstIn(st).isDefined ||
       ShowTablesRe.findFirstIn(st).isDefined ||
       ShowColumnsRe.findFirstIn(st).isDefined ||
+      ExecuteRe.findFirstIn(st).isDefined ||
       InfoSchemaRe.findFirstIn(st).isDefined)
     val prevDb = if (usesDdl) {
       val db = ddlDatabase(spark)
@@ -320,6 +321,28 @@ object PrestoSql {
       case ShowTablesRe(db, like) =>
         runShowTables(spark, Option(db), Option(like))
       case ShowColumnsRe(tbl) => runShowColumns(spark, tbl)
+      case PrepareRe(name, body) =>
+        spark.conf.set(s"graft.presto.prepared.$name", body.trim)
+        locally { val s2 = spark; import s2.implicits._
+          Seq("PREPARE").toDF("result") }
+      case ExecuteRe(name, using) =>
+        val key = s"graft.presto.prepared.$name"
+        val text = spark.conf.getOption(key).getOrElse(
+          throw new IllegalArgumentException(s"no prepared statement '$name'"))
+        val params: Array[Any] = Option(using) match {
+          case None => Array.empty
+          case Some(u) =>
+            // each USING operand is a literal expression — evaluate it
+            // through the engine so every literal form (typed, CAST,
+            // arithmetic) binds as the correctly-typed value
+            splitTopLevel(u, ',').map(_.trim).map(e =>
+              sql(spark, s"SELECT $e").collect().head.get(0)).toArray
+        }
+        if (params.isEmpty) sql(spark, text) else sql(spark, text, params)
+      case DeallocateRe(name) =>
+        spark.conf.unset(s"graft.presto.prepared.$name")
+        locally { val s2 = spark; import s2.implicits._
+          Seq("DEALLOCATE").toDF("result") }
       case SetSessionRe(k, v) =>
         // accepted and RECORDED (namespaced conf key a caller can read
         // back), not mapped: Trino session properties govern a different
@@ -495,6 +518,20 @@ object PrestoSql {
     """(?is)^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+("[^"]+"|[\w.]+))?(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowColumnsRe =
     """(?is)^\s*(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+("[^"]+"|[\w.]+)\s*$""".r
+  // Trino prepared statements. PREPARE stores the statement TEXT under a
+  // session conf key; EXECUTE binds the USING literals positionally into
+  // the `?` placeholders via Spark's parameterized sql (post-translation
+  // literal binding — a `?` inside a string literal is never a
+  // placeholder, and parameter content can't be rewritten or injected).
+  // Supported prepared surface = what parameterized spark.sql runs
+  // (SELECT / INSERT); the staged-rewrite DML forms (UPDATE/MERGE) are
+  // script statements, not prepared ones, same as a JDBC client.
+  private val PrepareRe = """(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$""".r
+  private val ExecuteRe =
+    """(?is)^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*$""".r
+  private val DeallocateRe =
+    """(?is)^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$""".r
+
   private val SetSessionRe =
     """(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val ResetSessionRe = """(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*$""".r

@@ -500,6 +500,24 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS intro_t; SELECT 1 AS one")
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE bind USING literals positionally") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """PREPARE nq FROM SELECT "n_name" AS nm FROM nation
+        |  WHERE "n_nationkey" = ? OR "n_name" = ? ORDER BY 1;
+        |EXECUTE nq USING 0, 'NATION_3'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("NATION_0", "NATION_3"))
+    // re-execute with different params, no re-prepare
+    val again = PrestoSql.script(spark, "EXECUTE nq USING 1, 'NATION_5'")
+      .collect().map(_.getString(0)).toSeq
+    assert(again == Seq("NATION_1", "NATION_5"))
+    PrestoSql.script(spark, "DEALLOCATE PREPARE nq; SELECT 1 AS one")
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark, "EXECUTE nq USING 2, 'x'")
+    }
+  }
+
   test("SET SESSION is accepted, recorded, and resettable; scripts keep running") {
     val out = PrestoSql.script(spark,
       """SET SESSION query_max_run_time = '2h';
