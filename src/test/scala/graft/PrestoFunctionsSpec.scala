@@ -38,6 +38,19 @@ class PrestoFunctionsSpec extends SparkSpec {
     assert(days == 60 && hours == 1452 && months == 2)
   }
 
+  test("to_iso8601 renders ms-precision T-form; array_position/arrays_overlap pass through") {
+    val r = graft.presto.PrestoSql.sql(spark,
+      """SELECT to_iso8601(TIMESTAMP '2024-03-01 12:30:45.125') AS iso,
+        |  array_position(ARRAY[7, 8, 9], 9) AS found,
+        |  array_position(ARRAY[7, 8, 9], 4) AS missing,
+        |  arrays_overlap(ARRAY[1, 2], ARRAY[2, 3]) AS ov,
+        |  arrays_overlap(ARRAY[1, 2], ARRAY[5, 6]) AS nov""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "2024-03-01T12:30:45.125")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+  }
+
   test("element_at_safe: null out-of-bounds instead of ANSI error") {
     val out = Seq(Seq(1, 2, 3)).toDF("a")
       .select(P.element_at_safe($"a", 10)).as[Option[Int]].head()
