@@ -1,6 +1,7 @@
 package graft.presto
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Presto/Trino SQL **text** entry point (SURVEY §0: the reference is an
@@ -263,6 +264,7 @@ object PrestoSql {
       ShowTablesRe.findFirstIn(st).isDefined ||
       ShowColumnsRe.findFirstIn(st).isDefined ||
       ExecuteRe.findFirstIn(st).isDefined ||
+      ShowPartitionsRe.findFirstIn(st).isDefined ||
       InfoSchemaRe.findFirstIn(st).isDefined)
     val prevDb = if (usesDdl) {
       val db = ddlDatabase(spark)
@@ -318,6 +320,7 @@ object PrestoSql {
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
       case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
       case ShowSchemasRe() => runShowSchemas(spark)
+      case ShowPartitionsRe(tbl) => runShowPartitions(spark, tbl)
       case ShowTablesRe(db, like) =>
         runShowTables(spark, Option(db), Option(like))
       case ShowColumnsRe(tbl) => runShowColumns(spark, tbl)
@@ -535,6 +538,35 @@ object PrestoSql {
   private val SetSessionRe =
     """(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val ResetSessionRe = """(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*$""".r
+
+  private val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+(?:FROM\s+|IN\s+)?("[^"]+"|[\w.]+)\s*$""".r
+
+  /** Classic-Presto `SHOW PARTITIONS [FROM] t` — one row per partition,
+    * one column per partition key (values as strings, the encoding
+    * Spark's partition listing carries; Trino types them — documented
+    * difference). Backed by Spark's own SHOW PARTITIONS, so it reflects
+    * exactly what partition pruning sees. */
+  private def runShowPartitions(spark: SparkSession, tblRaw: String): DataFrame = {
+    val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val partCols = spark.sessionState.catalog
+      .getTableMetadata(ident).partitionColumnNames
+    require(partCols.nonEmpty, s"SHOW PARTITIONS $t: table is not partitioned")
+    val rows = spark.sql(s"SHOW PARTITIONS $t").collect().map { r =>
+      val byKey = r.getString(0).split('/').map { kv =>
+        val eq = kv.indexOf('=')
+        kv.substring(0, eq) -> java.net.URLDecoder
+          .decode(kv.substring(eq + 1), "UTF-8")
+      }.toMap
+      org.apache.spark.sql.Row(partCols.map(byKey): _*)
+    }
+    val schema = StructType(partCols.map(c => StructField(c, StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), schema)
+      .orderBy(partCols.map(col): _*)
+  }
 
   /** `SHOW SCHEMAS` → one `Schema` column (Trino's output shape). */
   private def runShowSchemas(spark: SparkSession): DataFrame = {

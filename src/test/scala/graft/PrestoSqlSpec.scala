@@ -500,6 +500,26 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS intro_t; SELECT 1 AS one")
   }
 
+  test("SHOW PARTITIONS lists one typed-column row per partition") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS part_show;
+        |CREATE TABLE part_show WITH (partitioned_by = ARRAY['seg']) AS
+        |  SELECT "c_custkey" AS k, "c_mktsegment" AS seg
+        |  FROM customer WHERE "c_custkey" < 200;
+        |SHOW PARTITIONS FROM part_show""".stripMargin)
+    assert(out.columns.toSeq == Seq("seg"))
+    val segs = out.collect().map(_.getString(0)).toSeq
+    assert(segs.nonEmpty && segs == segs.sorted && segs.distinct == segs)
+    assert(segs.forall(_.nonEmpty))
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark,
+        "DROP TABLE IF EXISTS unpart_t; CREATE TABLE unpart_t AS SELECT 1 AS one; SHOW PARTITIONS unpart_t")
+    }
+    PrestoSql.script(spark,
+      "DROP TABLE IF EXISTS part_show; DROP TABLE IF EXISTS unpart_t; SELECT 1 AS one")
+  }
+
   test("PREPARE/EXECUTE/DEALLOCATE bind USING literals positionally") {
     Tables.registerAll(spark, sf)
     val out = PrestoSql.script(spark,
