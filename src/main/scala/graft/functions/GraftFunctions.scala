@@ -27,6 +27,10 @@ object GraftFunctions {
     (FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expression].getName, "simhash48"),
       (e: Seq[Expression]) => SimHash48Expression(e(0))),
+    (FunctionIdentifier("simhash48_text"),
+      new ExpressionInfo(
+        classOf[SimHash48TextExpression].getName, "simhash48_text"),
+      (e: Seq[Expression]) => SimHash48TextExpression(e(0))),
     (FunctionIdentifier("rhp_sig64"),
       new ExpressionInfo(classOf[RhpSignatureExpression].getName, "rhp_sig64"),
       (e: Seq[Expression]) => RhpSignatureExpression(e(0))),
@@ -95,6 +99,7 @@ object GraftFunctions {
   def minhashTextSig(text: Column, k: Int): Column =
     call_function("minhash_text_sig", text, org.apache.spark.sql.functions.lit(k))
   def simhash48(hashes: Column): Column = call_function("simhash48", hashes)
+  def simhash48Text(text: Column): Column = call_function("simhash48_text", text)
   def rhpSig64(vec: Column): Column = call_function("rhp_sig64", vec)
   def charShingles(text: Column, k: Int): Column =
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(k))

@@ -104,6 +104,47 @@ object SketchKernels {
     new GenericArrayData(mins)
   }
 
+  /** Fused text → 48-bit SimHash: tokenizes on the literal space byte
+    * (0x20 — exactly `split(text, " ")` + drop-empties, and a space byte
+    * can never occur inside a UTF-8 multibyte sequence), hashes each
+    * token slice in place (xxhash64 of the bytes ≡ xxhash64 of the
+    * substring, seed 42) and accumulates the bit votes directly —
+    * bit-identical to `simhash48(shingle_hashes(word_tokens(text)))`
+    * (parity-pinned in TextFunctionsSpec) without materializing the
+    * token array or the hash array. Note other whitespace (\n, \t)
+    * stays INSIDE tokens, exactly like the composed form. */
+  def simhash48Text(text: UTF8String): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nBytes = text.numBytes()
+    val cnt = new Array[Int](48)
+    var i = 0
+    while (i < nBytes) {
+      while (i < nBytes &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) i += 1
+      var j = i
+      while (j < nBytes &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + j) != 0x20) j += 1
+      if (j > i) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + i, j - i, 42L)
+        var bit = 0
+        while (bit < 48) {
+          if (((h >>> bit) & 1L) == 1L) cnt(bit) += 1 else cnt(bit) -= 1
+          bit += 1
+        }
+      }
+      i = j
+    }
+    var value = 0L
+    var bit = 0
+    while (bit < 48) {
+      if (cnt(bit) > 0) value |= (1L << bit)
+      bit += 1
+    }
+    value
+  }
+
   /** splitmix64 finalizer — deterministic pseudo-random bits from an index. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -191,6 +232,25 @@ case class MinHashSignatureExpression(child: Expression, numPerms: Int = 64)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpression =
     copy(child = newChild)
+}
+
+/** `simhash48_text(text)` → 48-bit SimHash fused over the space-split
+  * tokens of the text (see [[SketchKernels.simhash48Text]]). */
+case class SimHash48TextExpression(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48_text"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash48Text(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.simhash48Text($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash48TextExpression = copy(child = newChild)
 }
 
 /** `minhash_text_sig(text, k)` → `array<long>` of `numPerms` minima,

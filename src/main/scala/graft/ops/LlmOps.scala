@@ -270,7 +270,7 @@ object LlmOps extends QueryModule {
       // of the band self-join would otherwise recompute the kernel)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
+          GF.simhash48Text(col("text")).as("sh"))
         .localCheckpoint()
       val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
         posexplode(expr("transform(sequence(0, 11), i -> (sh >> (i * 4)) & 15)"))
@@ -305,7 +305,7 @@ object LlmOps extends QueryModule {
       GF.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          GF.simhash48(TF.shingleHashes(TF.wordTokens(col("text")))).as("sh"))
+          GF.simhash48Text(col("text")).as("sh"))
         .localCheckpoint()
       val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), i -> (sh >> (i * 12)) & 4095)"))

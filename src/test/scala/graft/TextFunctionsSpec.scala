@@ -258,6 +258,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter($"fused" =!= $"composed").count() == 0)
   }
 
+  test("fused simhash48_text == composed simhash48(shingle_hashes(word_tokens))") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.{GraftFunctions => GF}
+    // edge cases: empty, all-spaces, consecutive/leading/trailing spaces,
+    // non-space whitespace INSIDE tokens, multi-byte UTF-8
+    val edge = Seq("", "   ", "  a  b ", "a\tb\nc d", "héllo  wörld",
+      "日本語 テキスト").toDF("text")
+    val docs = Tables.documents(spark, sf).limit(80).select($"text")
+      .unionByName(edge)
+    val cmp = docs.select(
+      GF.simhash48Text($"text").as("fused"),
+      GF.simhash48(TF.shingleHashes(TF.wordTokens($"text"))).as("composed"))
+    assert(cmp.filter($"fused" =!= $"composed").count() == 0)
+  }
+
   test("native shingle kernels == higher-order reference implementations") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.{GraftFunctions => GF}
