@@ -52,6 +52,29 @@ object BpeCore {
     total
   }
 
+  /** The whitespace-split words themselves (the same
+    * `Character.isWhitespace` walk as [[segmentWords]], so the word SET
+    * is identical), each word a substring of the original text — unlike
+    * rejoining segment symbols, this keeps supplementary-plane
+    * characters intact (single-char symbols are lone UTF-16 surrogates,
+    * which UTF8String encodes as '?'). Feeds BPE training's word
+    * histogram. */
+  def wsWords(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val n = s.length
+    val words = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      var j = i
+      while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+      if (j > i) words.add(UTF8String.fromString(s.substring(i, j)))
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      words.toArray(new Array[AnyRef](words.size)))
+  }
+
   /** Per-word symbol sequences after the merge loop, as the nested
     * `array<array<string>>` Catalyst value (word boundaries preserved —
     * BPE training must never count a pair spanning two words). */
@@ -89,8 +112,17 @@ object BpeCore {
       ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     val len = until - from
     var syms = new java.util.ArrayList[String](len)
+    // initial alphabet = CODE POINTS, not UTF-16 units: a supplementary
+    // char must be one symbol, or the symbol strings are lone surrogates
+    // that cannot round-trip through UTF-8 (UTF8String encodes them as
+    // '?', which would corrupt learned merges tables and any engine
+    // boundary). Matches Spark's length()/numChars character notion.
     var k = from
-    while (k < until) { syms.add(String.valueOf(s.charAt(k))); k += 1 }
+    while (k < until) {
+      val cc = Character.charCount(s.codePointAt(k))
+      syms.add(s.substring(k, k + cc))
+      k += cc
+    }
     var done = false
     while (!done && syms.size > 1) {
       // (a) lowest-rank adjacent pair present in the table
@@ -124,6 +156,25 @@ object BpeCore {
     }
     syms
   }
+}
+
+/** `ws_words(text)` — the whitespace-split words of the text (the BPE
+  * trainers' word-histogram input; same split as bpe_segment). */
+case class WsWordsExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "ws_words"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCore.wsWords(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCore.wsWords($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WsWordsExpression = copy(child = newChild)
 }
 
 /** `bpe_segment(text, 'l r,l r,…')` — per-word symbol sequences after

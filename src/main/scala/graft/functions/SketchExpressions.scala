@@ -23,6 +23,8 @@ object SketchKernels {
 
   def minhashA(j: Int): Long = (104731L * j + 1L) % Mersenne
   def minhashB(j: Int): Long = 7919L * (j + 1)
+  private val as64: Array[Long] = Array.tabulate(64)(minhashA)
+  private val bs64: Array[Long] = Array.tabulate(64)(minhashB)
 
   def minhash(hashes: ArrayData, numPerms: Int): GenericArrayData = {
     val n = hashes.numElements()
@@ -79,10 +81,11 @@ object SketchKernels {
       c += 1
     }
     offsets(nChars) = nBytes
-    val as = new Array[Long](numPerms)
-    val bs = new Array[Long](numPerms)
-    var j = 0
-    while (j < numPerms) { as(j) = minhashA(j); bs(j) = minhashB(j); j += 1 }
+    // perm parameters are row-invariant — the static 64-wide tables cover
+    // the only numPerms in use (same pattern as rhpSigns above)
+    val (as, bs) =
+      if (numPerms == 64) (as64, bs64)
+      else (Array.tabulate(numPerms)(minhashA), Array.tabulate(numPerms)(minhashB))
     val mins = new Array[Long](numPerms)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val nWin = math.max(nChars - (k - 1), 1)
@@ -93,7 +96,7 @@ object SketchKernels {
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(base, off + bo, offsets(endC) - bo, 42L)
       val hm = java.lang.Math.floorMod(h, Mersenne)
-      j = 0
+      var j = 0
       while (j < numPerms) {
         val v = java.lang.Math.floorMod(hm * as(j) + bs(j), Mersenne)
         if (v < mins(j)) mins(j) = v

@@ -1219,9 +1219,12 @@ object LlmOps extends QueryModule {
     * weighting each adjacent pair by the word's frequency (bit-identical
     * totals to counting over the raw corpus; TextFunctionsSpec pins the
     * parity against an independent single-machine trainer). The
-    * histogram word list comes from `bpe_segment` itself (empty merges →
-    * per-word char arrays, rejoined), so the word-splitting contract has
-    * a single owner. Each round: scan-stage `bpe_segment` codegen over
+    * histogram words come from `ws_words` — the same
+    * Character.isWhitespace walk bpe_segment uses, but keeping each word
+    * as a SUBSTRING of the original text (rejoining segment symbols
+    * would mangle supplementary-plane chars: single-char symbols are
+    * lone UTF-16 surrogates, which encode as '?'). Each round:
+    * scan-stage `bpe_segment` codegen over
     * the checkpointed histogram, arrays_zip adjacent-pair explode, one
     * partial+final weighted aggregation, ONE collected (pair, count) row
     * (the k-means-centroid pattern). At 100 TB the corpus pass happens
@@ -1230,9 +1233,9 @@ object LlmOps extends QueryModule {
     */
   private[graft] def bpeTrain(docs: DataFrame, textCol: org.apache.spark.sql.Column,
       numMerges: Int): Seq[(String, String, Long)] = {
+    GF.register(docs.sparkSession)
     val wordHist = docs
-      .select(explode(GF.bpeSegment(textCol, Seq.empty)).as("w0"))
-      .select(array_join(col("w0"), "").as("word"))
+      .select(explode(GF.wsWords(textCol)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wn"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]

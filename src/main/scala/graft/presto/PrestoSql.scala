@@ -326,8 +326,7 @@ object PrestoSql {
       case ShowColumnsRe(tbl) => runShowColumns(spark, tbl)
       case PrepareRe(name, body) =>
         spark.conf.set(s"graft.presto.prepared.$name", body.trim)
-        locally { val s2 = spark; import s2.implicits._
-          Seq("PREPARE").toDF("result") }
+        statusDf(spark, "PREPARE")
       case ExecuteRe(name, using) =>
         val key = s"graft.presto.prepared.$name"
         val text = spark.conf.getOption(key).getOrElse(
@@ -335,17 +334,18 @@ object PrestoSql {
         val params: Array[Any] = Option(using) match {
           case None => Array.empty
           case Some(u) =>
-            // each USING operand is a literal expression — evaluate it
-            // through the engine so every literal form (typed, CAST,
-            // arithmetic) binds as the correctly-typed value
-            splitTopLevel(u, ',').map(_.trim).map(e =>
-              sql(spark, s"SELECT $e").collect().head.get(0)).toArray
+            // the USING operands are literal expressions — evaluate them
+            // through the engine (ONE single-row query for all of them)
+            // so every literal form (typed, CAST, arithmetic) binds as
+            // the correctly-typed value
+            val exprs = splitTopLevel(u, ',').map(_.trim)
+            val row = sql(spark, exprs.mkString("SELECT ", ", ", "")).collect().head
+            Array.tabulate[Any](exprs.size)(row.get)
         }
         if (params.isEmpty) sql(spark, text) else sql(spark, text, params)
       case DeallocateRe(name) =>
         spark.conf.unset(s"graft.presto.prepared.$name")
-        locally { val s2 = spark; import s2.implicits._
-          Seq("DEALLOCATE").toDF("result") }
+        statusDf(spark, "DEALLOCATE")
       case SetSessionRe(k, v) =>
         // accepted and RECORDED (namespaced conf key a caller can read
         // back), not mapped: Trino session properties govern a different
@@ -353,12 +353,10 @@ object PrestoSql {
         // would be a lie. Scripts with SET SESSION lines must still run.
         spark.conf.set(s"graft.presto.session.$k",
           v.stripPrefix("'").stripSuffix("'"))
-        locally { val s2 = spark; import s2.implicits._
-          Seq("SET SESSION").toDF("result") }
+        statusDf(spark, "SET SESSION")
       case ResetSessionRe(k) =>
         spark.conf.unset(s"graft.presto.session.$k")
-        locally { val s2 = spark; import s2.implicits._
-          Seq("RESET SESSION").toDF("result") }
+        statusDf(spark, "RESET SESSION")
       case ExplainAnalyzeRe(q) => runExplainAnalyze(spark, q)
       case ExplainRe(q) => runExplain(spark, q)
       case q if InfoSchemaRe.findFirstIn(q).isDefined =>
@@ -381,13 +379,17 @@ object PrestoSql {
   /** Trino `EXPLAIN <query>`: plan WITHOUT executing — one row, one
     * `query_plan` column carrying Spark's formatted physical plan (the
     * honest rendering: this engine plans with Catalyst, and pretending
-    * to emit a Trino plan tree would be fiction). Plan text is
-    * engine-specific, so this surfaces via PrestoSqlSpec, not the
-    * DuckDB oracle gate. */
+    * to emit a Trino plan tree would be fiction). The plan is built via
+    * a raw QueryExecution with command execution SKIPPED — wrapping in a
+    * Dataset (spark.sql) eagerly RUNS commands, so `EXPLAIN INSERT …`
+    * would insert. Plan text is engine-specific, so this surfaces via
+    * PrestoSqlSpec, not the DuckDB oracle gate. */
   private def runExplain(spark: SparkSession, query: String): DataFrame = {
-    val df = sql(spark, query)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    registerDialect(spark)
+    val parsed = spark.sessionState.sqlParser.parsePlan(translate(query))
+    val qe = spark.sessionState.executePlan(parsed,
+      org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+    val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
     val s2 = spark; import s2.implicits._
     Seq(plan).toDF("query_plan")
   }
@@ -521,6 +523,13 @@ object PrestoSql {
     """(?is)^\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+("[^"]+"|[\w.]+))?(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowColumnsRe =
     """(?is)^\s*(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+("[^"]+"|[\w.]+)\s*$""".r
+  /** One-row status result for command-style statements (PREPARE,
+    * DEALLOCATE, SET/RESET SESSION). */
+  private def statusDf(spark: SparkSession, label: String): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    Seq(label).toDF("result")
+  }
+
   // Trino prepared statements. PREPARE stores the statement TEXT under a
   // session conf key; EXECUTE binds the USING literals positionally into
   // the `?` placeholders via Spark's parameterized sql (post-translation
@@ -556,8 +565,10 @@ object PrestoSql {
     val rows = spark.sql(s"SHOW PARTITIONS $t").collect().map { r =>
       val byKey = r.getString(0).split('/').map { kv =>
         val eq = kv.indexOf('=')
-        kv.substring(0, eq) -> java.net.URLDecoder
-          .decode(kv.substring(eq + 1), "UTF-8")
+        // Hive path escaping (%xx for reserved chars only) — NOT URL
+        // encoding: URLDecoder would corrupt a literal '+' into a space
+        kv.substring(0, eq) -> org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(kv.substring(eq + 1))
       }.toMap
       org.apache.spark.sql.Row(partCols.map(byKey): _*)
     }
@@ -916,6 +927,27 @@ object PrestoSql {
       s"MERGE $t: unknown column(s) ${m.keySet.diff(known)}")))
     inserts.foreach(c => require(c.byCol.keySet.subsetOf(known),
       s"MERGE $t: unknown insert column(s) ${c.byCol.keySet.diff(known)}"))
+
+    // Trino's cardinality rule: a target row matched by MORE than one
+    // source row is a runtime error ("MERGE target row matched more than
+    // once"), never silent duplication — the LEFT-JOIN rewrite below
+    // would otherwise emit one surviving copy per matching source row.
+    // Checked with one keyed aggregation over a row-id-tagged target
+    // (same cost shape as the merge join itself).
+    if (matched.nonEmpty || inserts.nonEmpty) {
+      import org.apache.spark.sql.functions.monotonically_increasing_id
+      val guardView = s"graft_merge_guard_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      spark.table(t).withColumn("__graft_rid", monotonically_increasing_id())
+        .createOrReplaceTempView(guardView)
+      try {
+        val dup = spark.sql(
+          s"SELECT 1 FROM $guardView AS `$ta` JOIN $src AS `$sa` ON $cond" +
+            s" GROUP BY `$ta`.__graft_rid HAVING count(*) > 1 LIMIT 1")
+          .collect()
+        if (dup.nonEmpty) throw new IllegalStateException(
+          s"MERGE INTO $t: a target row matched more than one source row")
+      } finally spark.catalog.dropTempView(guardView)
+    }
 
     // Ordered-clause semantics (Trino): per matched row, the FIRST
     // matched clause whose condition holds applies; rows with no

@@ -444,6 +444,41 @@ class PrestoSqlSpec extends SparkSpec {
     PrestoSql.script(spark, "DROP TABLE IF EXISTS mmc_t; SELECT 1 AS one")
   }
 
+  test("MERGE errors when a target row matches more than one source row (Trino rule)") {
+    PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS mgt_t;
+        |CREATE TABLE mgt_t AS SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(k, v);
+        |CREATE VIEW mgt_src AS
+        |  SELECT * FROM (VALUES (1, 100), (1, 200), (2, 300)) AS s(k, nv);
+        |SELECT 1 AS one""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      PrestoSql.script(spark,
+        """MERGE INTO mgt_t AS tg USING mgt_src AS sr ON tg.k = sr.k
+          |WHEN MATCHED THEN UPDATE SET v = sr.nv;
+          |SELECT 1 AS one""".stripMargin)
+    }
+    assert(e.getMessage.contains("matched more than one source row"))
+    // table untouched by the failed MERGE (the DROP of an unrelated name
+    // routes this read-back script to the DDL catalog)
+    val v = PrestoSql.script(spark,
+      "DROP TABLE IF EXISTS mgt_none; SELECT v FROM mgt_t WHERE k = 1")
+      .collect().head.getInt(0)
+    assert(v == 10)
+    spark.catalog.dropTempView("mgt_src")
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS mgt_t; SELECT 1 AS one")
+  }
+
+  test("plain EXPLAIN of INSERT plans without inserting") {
+    val before = PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS expl_t;
+        |CREATE TABLE expl_t AS SELECT 1 AS x;
+        |EXPLAIN INSERT INTO expl_t SELECT 2 AS x;
+        |SELECT COUNT(*) AS n FROM expl_t""".stripMargin)
+      .collect().head.getLong(0)
+    assert(before == 1L, "EXPLAIN INSERT must not insert")
+    PrestoSql.script(spark, "DROP TABLE IF EXISTS expl_t; SELECT 1 AS one")
+  }
+
   test("script MERGE: multiple DELETE clauses and a trailing unconditional UPDATE") {
     val out = PrestoSql.script(spark,
       """DROP TABLE IF EXISTS mdd_t;

@@ -32,7 +32,20 @@ class TextFunctionsSpec extends SparkSpec {
         loop(mergeAll(syms))
       }
     }
-    loop(word.map(_.toString).toList)
+    loop(codePoints(word))
+  }
+
+  /** Code-point split (BPE's initial alphabet — one symbol per code
+    * point, so supplementary-plane chars stay whole). */
+  private def codePoints(w: String): List[String] = {
+    val b = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + cc)
+      i += cc
+    }
+    b.result()
   }
 
   private def refBpeWord(word: String, merges: Seq[(String, String)]): Int =
@@ -146,6 +159,17 @@ class TextFunctionsSpec extends SparkSpec {
     val tinyDf = tiny.toDF("text")
     assert(LlmOps.bpeTrain(tinyDf, col("text"), 5) == Seq(("a", "b", 3L)))
     assert(refTrain(tiny, 5) == Seq(("a", "b", 3L)))
+
+    // supplementary-plane corpus: the word histogram must carry the
+    // original words (rejoined segment symbols would mangle surrogate
+    // pairs to '?'), so distributed == reference beyond the BMP too.
+    // Failure message deliberately avoids printing the surrogate chars
+    // (the forked test harness's output encoder rejects them).
+    val emoji = Seq("😀😀 x", "😀😀")
+    val gotE = LlmOps.bpeTrain(emoji.toDF("text"), col("text"), 3)
+    val wantE = refTrain(emoji, 3)
+    assert(gotE == wantE,
+      s"supplementary-plane corpus diverged: ${gotE.size} vs ${wantE.size} merges")
 
     // the real fixture slice: exact sequence equality incl. counts
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
