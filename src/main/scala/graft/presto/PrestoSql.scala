@@ -72,8 +72,14 @@ object PrestoSql {
   /** Run one Presto-dialect statement on Spark. */
   def sql(spark: SparkSession, prestoSql: String): DataFrame = {
     registerDialect(spark)
-    spark.sql(translate(prestoSql))
+    spark.sql(prepare(spark, prestoSql))
   }
+
+  /** Full text pipeline for one statement: dialect translation plus the
+    * session-dependent rewrites (approx_most_frequent needs a UDAF
+    * registered for its capacity, so it cannot be a pure string pass). */
+  private def prepare(spark: SparkSession, prestoSql: String): String =
+    rewriteApproxMostFrequent(spark, translate(prestoSql))
 
   /** Parameterized form — named `:param` placeholders (how an ETL tool
     * drives the same statement across dates/tenants). Values bind as
@@ -82,14 +88,14 @@ object PrestoSql {
   def sql(spark: SparkSession, prestoSql: String,
           params: Map[String, Any]): DataFrame = {
     registerDialect(spark)
-    spark.sql(translate(prestoSql), params)
+    spark.sql(prepare(spark, prestoSql), params)
   }
 
   /** Positional `?` placeholders (the JDBC/PreparedStatement form Presto
     * clients submit). Same post-translation literal binding. */
   def sql(spark: SparkSession, prestoSql: String, params: Array[_]): DataFrame = {
     registerDialect(spark)
-    spark.sql(translate(prestoSql), params)
+    spark.sql(prepare(spark, prestoSql), params)
   }
 
   /** Run a Presto-dialect SCRIPT — semicolon-separated statements, the
@@ -1525,6 +1531,74 @@ object PrestoSql {
         case _ => out.append(c)
       }
       i += 1
+    }
+    out.toString
+  }
+
+  /** Trino `approx_most_frequent(buckets, value, capacity)` → the
+    * Misra–Gries heavy-hitters UDAF (graft.functions
+    * .HeavyHittersAggregator — the same mergeable sketch a18 declares),
+    * sliced to `buckets` entries and rebuilt into Trino's map(value →
+    * count) shape. The capacity argument parameterizes the UDAF, so one
+    * is registered per distinct capacity per session (on first use, by a
+    * bracket-matching scan — same scanner family as wrapNoneMatch).
+    * Values are aggregated as varchar (the sketch's key type); a bigint
+    * input comes back with varchar keys — documented difference. Buckets
+    * and capacity must be integer literals (they shape the aggregate,
+    * like Trino requires). */
+  private val registeredAmf =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  private[graft] def rewriteApproxMostFrequent(
+      spark: SparkSession, s: String): String = {
+    if (!s.toLowerCase.contains("approx_most_frequent")) return s
+    val name = "approx_most_frequent"
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+        i += 1
+      } else if (inIdent) { out.append(c); if (c == '"') inIdent = false; i += 1 }
+      else if (c == '\'') { inLit = true; out.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; out.append(c); i += 1 }
+      else if (s.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_'))) {
+        var p = i + name.length
+        while (p < s.length && s.charAt(p).isWhitespace) p += 1
+        if (p < s.length && s.charAt(p) == '(') {
+          val close = matchingClose(s, p)
+          require(close > p, "unbalanced approx_most_frequent(")
+          val args = splitTopLevel(s.substring(p + 1, close), ',').map(_.trim)
+          require(args.size == 3,
+            s"approx_most_frequent takes (buckets, value, capacity), got ${args.size}")
+          def intLit(a: String, what: String): Int =
+            a.toIntOption.getOrElse(throw new IllegalArgumentException(
+              s"approx_most_frequent $what must be an integer literal, got '$a'"))
+          val buckets = intLit(args(0), "buckets")
+          val cap = intLit(args(2), "capacity")
+          require(buckets > 0 && cap > 0,
+            "approx_most_frequent buckets and capacity must be positive")
+          val fn = s"graft_amf_$cap"
+          if (registeredAmf.add(System.identityHashCode(spark) + ":" + fn))
+            spark.udf.register(fn, org.apache.spark.sql.functions.udaf(
+              graft.functions.HeavyHittersAggregator.of(cap)))
+          val value = rewriteApproxMostFrequent(spark, args(1))
+          val re = "'^(.*):([0-9]+)$'"
+          out.append(
+            s"map_from_entries(transform(slice($fn(CAST(($value) AS STRING))," +
+              s" 1, $buckets), e_amf -> struct(regexp_extract(e_amf, $re, 1)," +
+              s" CAST(regexp_extract(e_amf, $re, 2) AS BIGINT))))")
+          i = close + 1
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
     }
     out.toString
   }

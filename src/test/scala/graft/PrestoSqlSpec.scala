@@ -573,6 +573,25 @@ class PrestoSqlSpec extends SparkSpec {
     }
   }
 
+  test("approx_most_frequent maps onto the Misra-Gries UDAF in Trino's map shape") {
+    // capacity >= distinct values -> exact counts; buckets slices top-2
+    val m = PrestoSql.sql(spark,
+      """SELECT approx_most_frequent(2, x, 10) AS m
+        |FROM (VALUES 'a', 'a', 'a', 'b', 'b', 'c') AS t(x)""".stripMargin)
+      .collect().head.getMap[String, Long](0)
+    assert(m == Map("a" -> 3L, "b" -> 2L))
+    // grouped form over a real table, bigint input casts to varchar keys
+    val grouped = PrestoSql.sql(spark,
+      """SELECT "n_regionkey" AS rk, approx_most_frequent(1, "n_regionkey", 5) AS m
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect()
+    assert(grouped.length == 5)
+    grouped.foreach { r =>
+      val mm = r.getMap[String, Long](1)
+      assert(mm == Map(r.getInt(0).toString -> 5L))
+    }
+  }
+
   test("SET SESSION is accepted, recorded, and resettable; scripts keep running") {
     val out = PrestoSql.script(spark,
       """SET SESSION query_max_run_time = '2h';
