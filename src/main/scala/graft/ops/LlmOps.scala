@@ -1206,6 +1206,33 @@ object LlmOps extends QueryModule {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("text_dedup"), lit("")).as("text_dedup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L28: DYNAMIC per-group quality gate — "keep the top half of each
+    // source by quality", the relative-threshold form every corpus
+    // curation pipeline needs next to l5's absolute thresholds. Exact
+    // percent_rank (integer score, doc_id tie-break) keeps it
+    // oracle-gateable. Scale: one window shuffle keyed by source; a
+    // pathologically hot source is the classic skew case — at 100 TB
+    // swap the exact rank for approx thresholds (percentile_approx per
+    // source, broadcast back as a semi-join filter), which turns the
+    // window into a pre-aggregated 2-pass map-side filter with the same
+    // keep-set up to sketch error.
+    "l28_quality_gate_dynamic" -> ((s, d) => {
+      val toks = TF.wordTokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_toks"))
+      val pr = percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_toks"), col("doc_id")))
+      scored.withColumn("pr", pr)
+        .filter(col("pr") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          min(col("n_toks")).as("min_toks"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1303,6 +1330,24 @@ object LlmOps extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "l28_quality_gate_dynamic" ->
+      // percent_rank = (rank-1)/(n-1): identical IEEE division in both
+      // engines, so the 0.5 boundary compares consistently; integer
+      // score + doc_id tie-break make the ranking total
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, percent_rank() OVER
+        |    (PARTITION BY source ORDER BY n_toks, doc_id) AS pr
+        |  FROM scored)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(MIN(n_toks) AS BIGINT) AS min_toks
+        |FROM ranked WHERE pr >= 0.5
+        |GROUP BY source ORDER BY source""".stripMargin,
     "l1_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies

@@ -61,6 +61,32 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("band"), plan.take(2000))
   }
 
+  test("fused sketch kernels sit in the scan-stage plan, not behind HOF chains") {
+    // the signature frames are localCheckpointed inside the queries, so
+    // pin the kernel placement on the pre-checkpoint select directly
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val mh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashTextSig(col("text"), 5).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(mh.contains("minhash_text_sig") && !mh.contains("transform("),
+      mh.take(2000))
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash48Text(col("text")).as("sh"))
+      .queryExecution.executedPlan.toString
+    assert(sh.contains("simhash48_text") && !sh.contains("lambdafunction"),
+      sh.take(2000))
+  }
+
+  test("l28 dynamic quality gate is one source-keyed window, no self-join") {
+    val plan = ops.LlmOps.queries("l28_quality_gate_dynamic")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("percent_rank") && !plan.toLowerCase.contains("join"),
+      plan.take(2000))
+  }
+
   test("o9b stratified sample plan prunes per-partition before the shuffle") {
     val plan = ops.Relational.queries("o9b_stratified_sample")(spark, sf)
       .queryExecution.executedPlan.toString
