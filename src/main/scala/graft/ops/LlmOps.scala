@@ -1233,6 +1233,40 @@ object LlmOps extends QueryModule {
           sum(col("doc_id")).cast("long").as("id_sum"),
           min(col("n_toks")).as("min_toks"))
         .orderBy(col("source"))
+    }),
+
+    // L29: TOKEN-BUDGET mixture — the data-dependent form of l18: keep
+    // rates are COMPUTED from per-source token totals, per-source
+    // weights, and a global token budget (half the corpus here), so the
+    // sampled mixture hits the target token proportions in expectation.
+    // All-integer arithmetic (ppm rates via integer division, the l18
+    // rolling-hash uniform) keeps it oracle-exact. Plan shape: one
+    // corpus pass for the scores, a 1-row + #sources-row aggregate pair
+    // broadcast back onto the scan — the two-pass "aggregate →
+    // broadcast thresholds → map-side filter" pattern that replaces
+    // per-group windows at 100 TB. (The ppm multiply bounds t_all below
+    // ~9e12 tokens per long overflow; beyond that make `alloc` a
+    // DECIMAL(38,0).)
+    "l29_token_budget_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TF.wordTokens(col("text"))).cast("long").as("n_toks"),
+        pmod(TF.rollingFingerprint(col("text"), 64), lit(1000000L)).as("u"))
+      val perSrc = docs.groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("t_src"))
+        .withColumn("w",
+          lit(1L) + pmod(expr("CAST(substring(source, 4, 8) AS LONG)"), lit(3L)))
+      val glob = perSrc.agg(sum(col("t_src")).as("t_all"), sum(col("w")).as("w_all"))
+      val rates = perSrc.crossJoin(broadcast(glob))
+        .withColumn("alloc", expr("(t_all div 2) * w div w_all"))
+        .withColumn("f_ppm",
+          least(lit(1000000L), expr("alloc * 1000000 div t_src")))
+      docs.join(broadcast(rates.select(col("source"), col("f_ppm"))), Seq("source"))
+        .groupBy(col("source"), col("f_ppm"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("u") < col("f_ppm"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("u") < col("f_ppm"), col("n_toks"))), lit(0L))
+            .as("kept_toks"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1639,6 +1673,39 @@ object LlmOps extends QueryModule {
         |    list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 4503599627370496) AS fp64
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "l29_token_budget_mixture" ->
+      // same integer pipeline: ppm rate = floor(floor(budget*w/Σw) *
+      // 1e6 / t_src) capped at 1e6; uniform = the l18 rolling hash mod
+      // 1e6; integer division everywhere so both engines agree exactly
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks,
+        |    list_reduce(
+        |      list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 1000000 AS u
+        |  FROM documents),
+        |per_src AS (
+        |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS t_src,
+        |    1 + CAST(substring(source, 4) AS BIGINT) % 3 AS w
+        |  FROM docs GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(t_src) AS BIGINT) AS t_all,
+        |    CAST(SUM(w) AS BIGINT) AS w_all FROM per_src),
+        |rates AS (
+        |  SELECT source,
+        |    least(1000000, ((t_all // 2) * w // w_all) * 1000000 // t_src)
+        |      AS f_ppm
+        |  FROM per_src, tot)
+        |SELECT d.source, CAST(r.f_ppm AS BIGINT) AS f_ppm,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN d.u < r.f_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN d.u < r.f_ppm THEN d.n_toks END), 0)
+        |    AS BIGINT) AS kept_toks
+        |FROM docs d JOIN rates r ON d.source = r.source
+        |GROUP BY d.source, r.f_ppm ORDER BY d.source""".stripMargin,
 
     "l18_mixture_sample" ->
       """WITH rates AS (
