@@ -29,26 +29,36 @@ object Bench {
       case c => c.toString
     }
 
-  /** Time every query (name order); returns per-query medians plus one
-    * error string per (query, rep) that threw. Exposed package-private so
-    * BenchSpec can prove a deliberately-broken query fails loudly. */
+  /** Time every query; returns per-query medians plus one error string
+    * per (query, rep) that threw. Reps are interleaved ROUND-ROBIN (all
+    * queries rep 1, then all rep 2, …), not back-to-back per query: on a
+    * contended host a load burst spans minutes, and back-to-back reps put
+    * all three samples of one query inside it — the r7 driver bench
+    * measured unrelated queries uniformly 4–13× slower that way. With
+    * interleaving, a burst shorter than a full pass inflates at most one
+    * sample per query and the median discards it. Exposed package-private
+    * so BenchSpec can prove a deliberately-broken query fails loudly. */
   private[graft] def run(
       spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       reps: Int): (Seq[(String, Double)], Seq[String]) = {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse("")
-              .takeWhile(_ != '\n').take(200)
-            errors += s"$name: ${e.getClass.getSimpleName}: $msg"
-        }
-        (System.nanoTime() - t0) / 1e9
+    val ordered = queries.toSeq.sortBy(_._1)
+    val samples =
+      scala.collection.mutable.LinkedHashMap.from(
+        ordered.map { case (name, _) => name -> Vector.empty[Double] })
+    for (_ <- 1 to reps; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("")
+            .takeWhile(_ != '\n').take(200)
+          errors += s"$name: ${e.getClass.getSimpleName}: $msg"
       }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    val results = samples.toSeq.map { case (name, times) =>
       // lower-middle median: for odd reps the true median; for even reps
       // (e.g. REPS=2) the FASTER sample — the upper-middle would charge
       // rep-1 JIT warm-up as the result, the very noise the median exists

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, Time
   * timestamp-like columns to session-TZ [[TimestampType]]:
   *
   *   - `LongType` (raw ns via the `nanosAsLong` legacy flag, or a plain
-  *     INT64 epoch column): integer-divide to μs, `timestamp_micros`.
+  *     INT64 epoch column): unit decided by magnitude sampling
+  *     ([[epochUnitOf]] — ns/µs/ms bands, loud failure outside them),
+  *     then converted via `timestamp_micros`.
   *   - `TimestampNTZType` (μs, not UTC-adjusted): `cast("timestamp")` —
   *     wall-clock reinterpreted in the session zone (UTC here), which
   *     matches DuckDB's view of the same column.
@@ -53,21 +55,57 @@ object Tables {
     * gates which LongType columns are treated as ns-epochs (a raw long
     * is only a timestamp if the column is known to be one — here, `ts`).
     */
-  private def normalizeColumn(f: StructField, isTs: Boolean): Column = f.dataType match {
-    // integer division — `/` would go through double and lose precision
-    // on ns-epoch magnitudes (~1.7e18 > 2^53)
-    case LongType if isTs   => timestamp_micros(expr(s"`${f.name}` div 1000")).as(f.name)
-    case TimestampNTZType   => col(f.name).cast(TimestampType).as(f.name)
-    case _                  => col(f.name)
-  }
+  private def normalizeColumn(f: StructField, epochUnit: Option[String]): Column =
+    (f.dataType, epochUnit) match {
+      // integer division — `/` would go through double and lose precision
+      // on ns-epoch magnitudes (~1.7e18 > 2^53)
+      case (LongType, Some("ns")) =>
+        timestamp_micros(expr(s"`${f.name}` div 1000")).as(f.name)
+      case (LongType, Some("us")) => timestamp_micros(col(f.name)).as(f.name)
+      case (LongType, Some("ms")) =>
+        timestamp_micros(expr(s"`${f.name}` * 1000L")).as(f.name)
+      case (TimestampNTZType, _)  => col(f.name).cast(TimestampType).as(f.name)
+      case _                      => col(f.name)
+    }
 
   private val knownEpochColumns = Set("ts")
+
+  /** A raw INT64 epoch column carries no unit annotation (the nanosAsLong
+    * flag strips it, and a writer could emit a plain INT64 of µs or ms).
+    * Dispatch on the magnitude of one sampled value — plausible epochs sit
+    * ~3 decimal orders apart per unit (ns ≈ 1.7e18, µs ≈ 1.7e15,
+    * ms ≈ 1.7e12 for 2020s dates), so the bands below stay unambiguous for
+    * any date between 1973 and 2500. Anything outside them fails loudly
+    * rather than loading instants silently wrong by 1000×. One-row scan,
+    * only paid when a raw-long ts column is actually present.
+    */
+  private def epochUnitOf(df: DataFrame, name: String): String = {
+    val sample = df.select(col(name)).where(col(name).isNotNull).limit(1)
+      .collect().headOption.map(_.getLong(0))
+    sample match {
+      case None => "ns" // empty table: divisor is moot, pick the observed encoding
+      case Some(v) =>
+        val a = math.abs(v)
+        if (a >= 1e17.toLong) "ns"
+        else if (a >= 1e14.toLong) "us"
+        else if (a >= 1e11.toLong) "ms"
+        else throw new IllegalStateException(
+          s"epoch column '$name': sampled value $v matches no known unit " +
+            "(expected ns/us/ms magnitudes) — refusing to guess a divisor")
+    }
+  }
 
   private def normalizeTimestamps(df: DataFrame): DataFrame = {
     val needsWork = df.schema.exists(f =>
       f.dataType == TimestampNTZType || (f.dataType == LongType && knownEpochColumns(f.name)))
     if (!needsWork) df
-    else df.select(df.schema.map(f => normalizeColumn(f, knownEpochColumns(f.name))): _*)
+    else {
+      val units: Map[String, String] = df.schema.collect {
+        case f if f.dataType == LongType && knownEpochColumns(f.name) =>
+          f.name -> epochUnitOf(df, f.name)
+      }.toMap
+      df.select(df.schema.map(f => normalizeColumn(f, units.get(f.name))): _*)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -65,7 +65,11 @@ object HeavyHittersAggregator {
       }
 
       def reduce(b: Buf, k: String): Buf = {
-        val m = toMap(b); offer(m, k, 1L); fromMap(m)
+        // NULL inputs are ignored, matching Trino's aggregate-function
+        // convention (a null key would otherwise surface as a literal
+        // "null" entry in the approx_most_frequent map).
+        if (k == null) b
+        else { val m = toMap(b); offer(m, k, 1L); fromMap(m) }
       }
 
       def merge(x: Buf, y: Buf): Buf = {

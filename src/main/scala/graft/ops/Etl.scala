@@ -417,7 +417,9 @@ object Etl extends QueryModule {
           |
           |ALTER TABLE nat_typed DROP COLUMN tags;
           |
-          |SELECT nkey, nation_name, rkey, score, name_len
+          |SELECT nkey, nation_name, rkey,
+          |  CAST(score * 100 AS bigint) AS score_q2,
+          |  name_len
           |FROM nat_typed ORDER BY nkey""".stripMargin)
     }),
 
@@ -866,11 +868,15 @@ object Etl extends QueryModule {
       // the schema DDL round-trip nets out to a typed projection of
       // nation: INSERT casts pin every column to the declared type, the
       // UPDATE fills the evolved column on all rows, RENAME relabels,
-      // DROP removes the array column from the final read-back
+      // DROP removes the array column from the final read-back. The
+      // DECIMAL(12,2) score leaves the gate as exact BIGINT cents — the
+      // value is integral by construction, and raw DECIMAL is the one
+      // type the gate's hasher canonicalizes differently per engine
       """SELECT CAST(n_nationkey AS BIGINT) AS nkey,
         |  n_name AS nation_name,
         |  CAST(n_regionkey AS INTEGER) AS rkey,
-        |  CAST(n_nationkey * 25 + 7 AS DECIMAL(12,2)) AS score,
+        |  CAST(CAST(n_nationkey * 25 + 7 AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS score_q2,
         |  CAST(length(n_name) AS INTEGER) AS name_len
         |FROM nation ORDER BY nkey""".stripMargin,
 

@@ -233,17 +233,20 @@ object Events extends QueryModule {
 
     // E1b: a second STREAMING-EXECUTED result under the gate — the
     // watermarked tumbling-count aggregate run as a real streaming query
-    // (file source, one file per micro-batch, complete output mode into
+    // (file source, two files per micro-batch, complete output mode into
     // a memory sink). Complete mode re-emits the full aggregate each
     // epoch, so the final table equals the batch GROUP BY no matter how
     // the files batch; the sink holds only the tiny windowed aggregate,
-    // never event data.
+    // never event data. 4 files / trigger 2 = two micro-batches — the
+    // multi-batch argument is batching-independent (that's its point),
+    // and each extra micro-batch is pure trigger-scheduling latency
+    // (22% of the whole r7 bench went to these two streaming proofs).
     "e1b_stream_tumbling" -> ((s, d) => {
       val batch = Tables.events(s, d)
       val base = Sources.scratch("graft_e1b")
       batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
       val stream = s.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
       val qn = "graft_e1b_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.EventStreams.tumblingCounts(stream)
@@ -268,10 +271,13 @@ object Events extends QueryModule {
       val batch = Tables.events(s, d)
       val base = Sources.scratch("graft_e10")
       val srcDir = s"$base/src"
-      // pre-split into 6 files so the stream runs ~6 micro-batches
+      // pre-split into 6 files, two per micro-batch → ~3 micro-batches:
+      // still a genuine multi-epoch run (last-write-wins is commutative,
+      // so the answer is batching-independent) at half the per-trigger
+      // scheduling latency of one-file-per-batch
       batch.repartition(6).write.mode("overwrite").parquet(srcDir)
       val stream = s.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
       val q = graft.streaming.EventStreams.upsertSink(
         stream, s"$base/table", s"$base/ck")
       try q.processAllAvailable() finally q.stop()

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Scalars extends QueryModule {
 
+  // per-JVM scratch discriminator for queries that round-trip through a
+  // tmpdir file (sc22): stable within a run, distinct across runs
+  private val runToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   val queries: Map[String, Q] = Map(
     // String family.
     "sc1_string" -> ((s, d) => {
@@ -612,9 +617,12 @@ object Scalars extends QueryModule {
     // same wall clock pinned as UTC vs interpreted in a DST zone yields
     // different instants, offset by the zone's date-dependent UTC offset.
     "sc22_timestamp_ntz" -> ((s, d) => {
-      // stable overwritten scratch location (a fresh temp dir per call
-      // would accumulate across bench reps / rounds)
-      val out = System.getProperty("java.io.tmpdir") + "/graft_sc22/ntz.parquet"
+      // scratch location unique per RUN (one UUID per JVM), overwritten
+      // within it: repeated bench reps in one run don't accumulate, and
+      // two concurrent runs on one host can't clobber each other's file
+      // mid-read (a fixed shared path did exactly that)
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_sc22_$runToken/ntz.parquet"
       Tables.events(s, d).filter(col("event_id") < 5000)
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ntz"))
         .write.mode("overwrite").parquet(out)

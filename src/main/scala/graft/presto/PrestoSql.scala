@@ -392,7 +392,9 @@ object PrestoSql {
     * PrestoSqlSpec, not the DuckDB oracle gate. */
   private def runExplain(spark: SparkSession, query: String): DataFrame = {
     registerDialect(spark)
-    val parsed = spark.sessionState.sqlParser.parsePlan(translate(query))
+    // prepare(), not translate(): the AMF rewrite registers/renders its
+    // UDAF, without which EXPLAIN over approx_most_frequent can't resolve.
+    val parsed = spark.sessionState.sqlParser.parsePlan(prepare(spark, query))
     val qe = spark.sessionState.executePlan(parsed,
       org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
     val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
@@ -422,8 +424,18 @@ object PrestoSql {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey)
+    // Execute by draining the compiled plan's own RDD on the executors:
+    // the SQLMetric accumulators flow back exactly as under collect(),
+    // but no result row ever crosses to the driver — EXPLAIN ANALYZE
+    // over a large SELECT stays scale-safe. (A noop-sink write would
+    // build a SEPARATE QueryExecution and leave these metrics empty.)
     val df =
-      try { spark.conf.set(aqeKey, "false"); val d = sql(spark, query); d.collect(); d }
+      try {
+        spark.conf.set(aqeKey, "false")
+        val d = sql(spark, query)
+        d.queryExecution.toRdd.foreach(_ => ())
+        d
+      }
       finally spark.conf.set(aqeKey, prevAqe)
     def rowsOut(p: SparkPlan): Long =
       p.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
@@ -946,7 +958,12 @@ object PrestoSql {
       spark.table(t).withColumn("__graft_rid", monotonically_increasing_id())
         .createOrReplaceTempView(guardView)
       try {
-        val dup = spark.sql(
+        // Through the translating sql() path, like the merge branches:
+        // the embedded ON condition and source name are raw Presto text
+        // (double-quoted identifiers, dialect functions) and must get the
+        // same rewrite here or a statement that merges fine would fail
+        // its own guard.
+        val dup = sql(spark,
           s"SELECT 1 FROM $guardView AS `$ta` JOIN $src AS `$sa` ON $cond" +
             s" GROUP BY `$ta`.__graft_rid HAVING count(*) > 1 LIMIT 1")
           .collect()
@@ -1546,8 +1563,6 @@ object PrestoSql {
     * input comes back with varchar keys — documented difference. Buckets
     * and capacity must be integer literals (they shape the aggregate,
     * like Trino requires). */
-  private val registeredAmf =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
   private[graft] def rewriteApproxMostFrequent(
       spark: SparkSession, s: String): String = {
@@ -1587,7 +1602,10 @@ object PrestoSql {
           require(buckets > 0 && cap > 0,
             "approx_most_frequent buckets and capacity must be positive")
           val fn = s"graft_amf_$cap"
-          if (registeredAmf.add(System.identityHashCode(spark) + ":" + fn))
+          // The live catalog is the session-accurate registry (a JVM-wide
+          // cache keyed on identityHashCode could collide, or go stale
+          // after a session is stopped and recreated at the same address).
+          if (!spark.catalog.functionExists(fn))
             spark.udf.register(fn, org.apache.spark.sql.functions.udaf(
               graft.functions.HeavyHittersAggregator.of(cap)))
           val value = rewriteApproxMostFrequent(spark, args(1))

@@ -1166,14 +1166,15 @@ class PrestoSqlSpec extends SparkSpec {
     try {
       def run() = graft.ops.Etl.queries("p4f_presto_schema_ddl")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
-          r.getDecimal(3).toPlainString, r.getInt(4))).toSeq
+          r.getLong(3), r.getInt(4))).toSeq
       val first = run()
       val second = run() // back-to-back: the leading DROP makes it rerun-safe
       assert(first == second)
       assert(first.size == 25)
       assert(first.map(_._1) == (0L until 25L))
-      assert(first.forall { case (k, nm, _, score, len) =>
-        score == s"${k * 25 + 7}.00" && len == nm.length })
+      // score_q2 = DECIMAL(12,2) score in exact BIGINT cents
+      assert(first.forall { case (k, nm, _, scoreQ2, len) =>
+        scoreQ2 == (k * 25 + 7) * 100 && len == nm.length })
       // the polluted tables were never touched
       assert(spark.table("graft_ddl.nat_typed").collect()
         .map(_.getInt(0)).toSeq == Seq(99))
