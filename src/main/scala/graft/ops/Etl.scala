@@ -179,6 +179,40 @@ object Etl extends QueryModule {
           |ORDER BY "doc_id", pos""".stripMargin)
     }),
 
+    // P2h: MATCH_RECOGNIZE as real Trino SQL text — the dialect parses
+    // the e8-shape clause (PARTITION BY / ORDER BY / MEASURES / ONE ROW
+    // PER MATCH / AFTER MATCH SKIP / PATTERN / DEFINE) and plans it onto
+    // the owned RowPattern operator, so a migrating script runs
+    // unmodified. Same funnel as e8 (view → first click before any
+    // purchase → purchase) without the within-window; the oracle is the
+    // e8 correlated-subquery derivation minus its 24h condition, with
+    // FIRST/LAST(ts) surfacing as timestamps like Trino's measures.
+    "p2h_match_recognize" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT user_id, match_no, start_ts, end_ts, n_rows
+          |FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES
+          |    MATCH_NUMBER() AS match_no,
+          |    FIRST(ts) AS start_ts,
+          |    LAST(ts) AS end_ts,
+          |    COUNT(*) AS n_rows
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (V G1* C G2* P)
+          |  DEFINE
+          |    V AS event_type = 'view',
+          |    G1 AS event_type <> 'click' AND event_type <> 'purchase',
+          |    C AS event_type = 'click',
+          |    G2 AS event_type <> 'purchase',
+          |    P AS event_type = 'purchase'
+          |)
+          |WHERE match_no = 1
+          |ORDER BY user_id""".stripMargin)
+    }),
+
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
     // one parameterized statement (named :run_day placeholder, bound as a
     // typed literal after dialect translation) executed once per day,
@@ -703,6 +737,32 @@ object Etl extends QueryModule {
         |  CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT) AS pos
         |FROM documents WHERE doc_id < 40
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "p2h_match_recognize" ->
+      // the e8 correlated-subquery derivation of the first pattern match
+      // per user, minus the 24h window (Trino MATCH_RECOGNIZE has no
+      // WITHIN clause): the first view whose next click-or-purchase is a
+      // click and that is eventually followed by a purchase; measures
+      // FIRST/LAST(ts) surface as timestamps
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(c.ts) FROM e c WHERE c.user_id = v.user_id
+        |       AND c.event_type = 'click' AND c.ts > v.ts) AS nc,
+        |    (SELECT min(p.ts) FROM e p WHERE p.user_id = v.user_id
+        |       AND p.event_type = 'purchase' AND p.ts > v.ts) AS np
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (
+        |  SELECT user_id, vts, np FROM cand
+        |  WHERE nc IS NOT NULL AND np IS NOT NULL AND nc < np),
+        |first AS (SELECT user_id, min(vts) AS vts FROM ok GROUP BY user_id)
+        |SELECT f.user_id, CAST(1 AS BIGINT) AS match_no,
+        |  f.vts AS start_ts, o.np AS end_ts,
+        |  (SELECT COUNT(*) FROM e x WHERE x.user_id = f.user_id
+        |     AND x.ts >= f.vts AND x.ts <= o.np) AS n_rows
+        |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
+        |ORDER BY f.user_id""".stripMargin,
 
     "p2f_presto_array_agg" ->
       """SELECT lang,

@@ -1218,22 +1218,8 @@ object LlmOps extends QueryModule {
     // source, broadcast back as a semi-join filter), which turns the
     // window into a pre-aggregated 2-pass map-side filter with the same
     // keep-set up to sketch error.
-    "l28_quality_gate_dynamic" -> ((s, d) => {
-      val toks = TF.wordTokens(col("text"))
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(toks).cast("long").as("n_toks"))
-      val pr = percent_rank().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("n_toks"), col("doc_id")))
-      scored.withColumn("pr", pr)
-        .filter(col("pr") >= 0.5)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("doc_id")).cast("long").as("id_sum"),
-          min(col("n_toks")).as("min_toks"))
-        .orderBy(col("source"))
-    }),
+    "l28_quality_gate_dynamic" -> ((s, d) =>
+      qualityGateDynamic(s, d, skewSafe = false)),
 
     // L29: TOKEN-BUDGET mixture — the data-dependent form of l18: keep
     // rates are COMPUTED from per-source token totals, per-source
@@ -1320,6 +1306,71 @@ object LlmOps extends QueryModule {
       }
     }
     learned.toSeq
+  }
+
+  /** l28 body — dynamic per-source quality gate ("keep the top half of
+    * each source by quality") in two answer-equal plan shapes:
+    *
+    * `skewSafe = false` (the declared query): exact `percent_rank` over a
+    * source-keyed window with (n_toks, doc_id) tie-break — one window
+    * shuffle, per-source sort. The right plan while no single source
+    * dominates a partition.
+    *
+    * `skewSafe = true` (the hot-source fallback, r7 verdict #6 —
+    * previously documented prose, now code): NO window anywhere. The
+    * per-source keep threshold is computed as a sketch aggregate
+    * (`percentile_approx` over a composite `n_toks·2²⁴ + doc_id` key that
+    * reproduces the window's exact total order), broadcast back, and
+    * applied as a map-side filter — the "aggregate → broadcast →
+    * map-side filter" pattern (l29's shape). A pathologically hot source
+    * costs O(sketch) memory instead of a single-task sort.
+    *
+    * Answer equality is EXACT, not approximate, at test scale: with
+    * accuracy 1e5 the sketch retains every sample for sources below 100k
+    * docs, and `percentile_approx(k, 0.5)` then returns precisely the
+    * key at rank ⌈n/2⌉; `pr ≥ 0.5` keeps ranks ⌊n/2⌋+1‥n, which equals
+    * {k ≥ t} for odd n and {k > t} for even n (k is unique), with the
+    * n = 1 group dropped to match percent_rank's pr = 0 convention. At
+    * true 100 TB per-source cardinalities, lower the accuracy — the
+    * keep-set then drifts only within sketch error at the boundary.
+    * Both plan shapes are pinned in ScaleShapeSpec.
+    */
+  private[graft] def qualityGateDynamic(s: SparkSession, d: String,
+      skewSafe: Boolean): DataFrame = {
+    val toks = TF.wordTokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"))
+    val kept =
+      if (!skewSafe) {
+        val pr = percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_toks"), col("doc_id")))
+        scored.withColumn("pr", pr).filter(col("pr") >= 0.5)
+      } else {
+        // doc_id < 2²⁴ keeps the composite key's order exact; the
+        // assert_true filter fails the job rather than silently
+        // corrupting the ranking (coalesce(null-on-pass, true) keeps it
+        // un-prunable and always-true)
+        val keyed = scored
+          .filter(coalesce(
+            assert_true(col("doc_id") < lit(1L << 24),
+              lit("l28 skewSafe: doc_id exceeds 2^24 — widen the composite rank key"))
+              .cast("boolean"), lit(true)))
+          .withColumn("k", col("n_toks") * lit(1L << 24) + col("doc_id"))
+        val thr = keyed.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("k"), lit(0.5), lit(100000)).as("t"))
+        keyed.join(broadcast(thr), Seq("source"))
+          .filter(col("n") > 1 &&
+            when(col("n") % 2 === 1, col("k") >= col("t"))
+              .otherwise(col("k") > col("t")))
+      }
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        min(col("n_toks")).as("min_toks"))
+      .orderBy(col("source"))
   }
 
   /** Shared body of l22/l22b: exact inverted-index cross-source Jaccard,

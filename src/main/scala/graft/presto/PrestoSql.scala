@@ -77,9 +77,13 @@ object PrestoSql {
 
   /** Full text pipeline for one statement: dialect translation plus the
     * session-dependent rewrites (approx_most_frequent needs a UDAF
-    * registered for its capacity, so it cannot be a pure string pass). */
+    * registered for its capacity, and MATCH_RECOGNIZE plans through the
+    * owned row-pattern operator, so neither can be a pure string pass).
+    * MATCH_RECOGNIZE rewrites FIRST, on the raw Presto text — its DEFINE
+    * predicates are dialect-translated individually inside. */
   private def prepare(spark: SparkSession, prestoSql: String): String =
-    rewriteApproxMostFrequent(spark, translate(prestoSql))
+    rewriteApproxMostFrequent(spark,
+      translate(rewriteMatchRecognize(spark, prestoSql)))
 
   /** Parameterized form — named `:param` placeholders (how an ETL tool
     * drives the same statement across dates/tenants). Values bind as
@@ -105,8 +109,15 @@ object PrestoSql {
     *
     * Statement surface beyond queries (the forms an ETL tool's rendered
     * SQL files actually contain — r3 verdict "missing" #1):
-    *  - `CREATE [OR REPLACE] VIEW` → TEMPORARY view (session-scoped
-    *    script runner, not a catalog DDL surface).
+    *  - `CREATE [OR REPLACE] VIEW` → PERSISTENT catalog view in the
+    *    script's DDL database (views defined once, referenced across
+    *    runs — a later session over the same warehouse reads them;
+    *    `SHOW CREATE VIEW` renders the recorded Presto definition). A
+    *    view over TEMP inputs (the registered base tables) cannot be
+    *    persistent in Spark and falls back to a session view.
+    *  - `START TRANSACTION` / `COMMIT` / `ROLLBACK` → recorded no-ops
+    *    (autocommit engine, like Presto over hive connectors).
+    *  - `SHOW CATALOGS` / `SHOW FUNCTIONS` → Trino-shaped listings.
     *  - `CREATE TABLE [IF NOT EXISTS] t AS SELECT …` → a managed PARQUET
     *    table in a scratch-located, RUN-UNIQUE `graft_ddl_<uuid>`
     *    database (one per SparkContext — tables persist across script()
@@ -252,11 +263,9 @@ object PrestoSql {
         case st => Seq(st)
       }
       .map { st =>
-        val viewed = """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b""".r
-          .replaceFirstIn(st, "CREATE OR REPLACE TEMPORARY VIEW ")
         // inject the datasource so CTAS never routes to a Hive provider
         // (group 2 may be a "quoted" identifier → translate() backticks it)
-        ctasRe.replaceFirstIn(viewed,
+        ctasRe.replaceFirstIn(st,
           java.util.regex.Matcher.quoteReplacement("CREATE TABLE ") +
             "$1$2 USING PARQUET AS")
       }
@@ -271,7 +280,14 @@ object PrestoSql {
       ShowColumnsRe.findFirstIn(st).isDefined ||
       ExecuteRe.findFirstIn(st).isDefined ||
       ShowPartitionsRe.findFirstIn(st).isDefined ||
-      InfoSchemaRe.findFirstIn(st).isDefined)
+      CreateViewRe.findFirstIn(st).isDefined ||
+      ShowCreateViewRe.findFirstIn(st).isDefined ||
+      """(?is)^\s*DROP\s+VIEW\b""".r.findFirstIn(st).isDefined ||
+      InfoSchemaRe.findFirstIn(st).isDefined) ||
+      // once the DDL database exists, EVERY script resolves against it:
+      // a SELECT-only script must still read tables/views an earlier
+      // script created (temp views keep winning name resolution)
+      ddlDbBuilt.synchronized(ddlDbBuilt.containsKey(spark.sparkContext))
     val prevDb = if (usesDdl) {
       val db = ddlDatabase(spark)
       val prev = spark.catalog.currentDatabase
@@ -323,6 +339,40 @@ object PrestoSql {
         stageSwap(spark, t,
           s"SELECT ${kept.map(f => s"`$f`").mkString(", ")} FROM $t",
           dropped = Set(col.toLowerCase))
+      case CreateViewRe(nameRaw, body) =>
+        // PERSISTENT (catalog-backed) view first — views a real ETL tool
+        // defines once and references across runs; it lands in the
+        // script's DDL database and a later session over the same
+        // warehouse reads it. Views over TEMP inputs (the registered base
+        // tables) cannot be persistent in Spark by design — those fall
+        // back to a session view, preserving the historical behavior.
+        val v = nameRaw.stripPrefix("\"").stripSuffix("\"")
+        try {
+          val r = sql(spark, s"CREATE OR REPLACE VIEW $v AS $body")
+          spark.conf.set(s"graft.presto.viewdef.${v.split('.').last}", body.trim)
+          r
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getMessage).exists(_.toLowerCase.contains("temporary")) =>
+            sql(spark, s"CREATE OR REPLACE TEMPORARY VIEW $v AS $body")
+        }
+      case ShowCreateViewRe(v0) =>
+        val v = v0.stripPrefix("\"").stripSuffix("\"")
+        val s2 = spark; import s2.implicits._
+        val body = spark.conf
+          .getOption(s"graft.presto.viewdef.${v.split('.').last}")
+          .getOrElse(throw new IllegalArgumentException(
+            s"SHOW CREATE VIEW $v: no persistent view definition recorded"))
+        Seq(s"CREATE VIEW $v AS\n$body").toDF("Create View")
+      case TxnRe(t) =>
+        // Presto/Trino transaction statements accepted as no-ops: this
+        // engine (like Presto over hive connectors) runs each statement
+        // autocommit; scripts carrying BEGIN/COMMIT/ROLLBACK lines for
+        // other backends must still run unmodified.
+        statusDf(spark,
+          t.trim.split("\\s+").take(2).mkString(" ").toUpperCase)
+      case ShowCatalogsRe(like) => runShowCatalogs(spark, Option(like))
+      case ShowFunctionsRe(like) => runShowFunctions(spark, Option(like))
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
       case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
       case ShowSchemasRe() => runShowSchemas(spark)
@@ -565,6 +615,53 @@ object PrestoSql {
   private val SetSessionRe =
     """(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val ResetSessionRe = """(?is)^\s*RESET\s+SESSION\s+([\w.]+)\s*$""".r
+
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+("[^"]+"|[\w.]+)\s+AS\s+(.+)$""".r
+  private val ShowCreateViewRe =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+("[^"]+"|[\w.]+)\s*$""".r
+  // START TRANSACTION [READ ONLY/WRITE, ISOLATION LEVEL …] / COMMIT /
+  // ROLLBACK [WORK] — accepted as no-ops (autocommit engine)
+  private val TxnRe =
+    """(?is)^\s*(START\s+TRANSACTION(?:\s+.+)?|BEGIN|COMMIT(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*$""".r
+  private val ShowCatalogsRe =
+    """(?is)^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowFunctionsRe =
+    """(?is)^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+
+  private def likeFilter(names: Seq[String], like: Option[String]): Seq[String] =
+    like match {
+      case None => names
+      case Some(p) =>
+        val re = java.util.regex.Pattern.quote(p)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q").r
+        names.filter(n => re.pattern.matcher(n).matches())
+    }
+
+  /** `SHOW CATALOGS [LIKE …]` → Trino's one `Catalog` column. Spark has a
+    * catalog-plugin namespace of its own; this lists it faithfully
+    * (normally just `spark_catalog`). */
+  private def runShowCatalogs(spark: SparkSession, like: Option[String]): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val names = spark.sql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq
+    likeFilter(names, like).sorted.toDF("Catalog")
+  }
+
+  /** `SHOW FUNCTIONS [LIKE …]` → Trino's column shape (Function, Return
+    * Type, Argument Types, Function Type, Deterministic, Description),
+    * filled from Spark's registry. Signatures aren't enumerable from
+    * Spark's catalog API, so type columns render empty — the name list
+    * (what migration scripts grep for) is the faithful part. */
+  private def runShowFunctions(spark: SparkSession, like: Option[String]): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val fns = spark.catalog.listFunctions().collect()
+      .map(f => (f.name, Option(f.description).getOrElse("")))
+      .toMap
+    likeFilter(fns.keys.toSeq, like).sorted
+      .map(n => (n, "", "", "", true, fns(n)))
+      .toDF("Function", "Return Type", "Argument Types", "Function Type",
+        "Deterministic", "Description")
+  }
 
   private val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+(?:FROM\s+|IN\s+)?("[^"]+"|[\w.]+)\s*$""".r
@@ -1321,6 +1418,22 @@ object PrestoSql {
       graft.functions.GraftFunctions.register(spark) // try_eval etc.
       dialectFns.foreach(f =>
         spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
+      // Trino qdigest family onto the mergeable t-digest kernel (a22's
+      // QuantileSketchAggregator): qdigest_agg builds per-group sketches,
+      // merge() rolls them up, value(s)_at_quantile(s) read estimates.
+      // Extraction UDFs run on #groups rows, never the raw-data path.
+      import org.apache.spark.sql.functions.{udaf, udf}
+      import graft.functions.{QuantileSketchAggregator => QS}
+      spark.udf.register("graft_qdigest_agg", udaf(QS.sketchAgg))
+      spark.udf.register("graft_qdigest_merge", udaf(QS.mergeAgg))
+      spark.udf.register("graft_value_at_quantile",
+        udf { (flat: Seq[Double], q: Double) =>
+          val (m, w) = QS.deserialize(flat); QS.quantile(m, w, q)
+        })
+      spark.udf.register("graft_values_at_quantiles",
+        udf { (flat: Seq[Double], qs: Seq[Double]) =>
+          val (m, w) = QS.deserialize(flat); qs.map(QS.quantile(m, w, _))
+        })
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
@@ -1427,6 +1540,18 @@ object PrestoSql {
     // a documented limit, write hll_sketch_estimate directly). Presto's
     // merge() also covers qdigest/tdigest state — here it maps to the
     // HLL union, the overwhelmingly common ETL use.
+    // Presto qdigest pipeline: composed value(s)_at_quantile(s)(merge(…))
+    // forms rewrite BEFORE the generic merge→HLL rule so the rollup's
+    // merge binds to the t-digest union; a standalone merge() still maps
+    // to the HLL union (type-polymorphic in Trino, text-level here — the
+    // composed forms are how published qdigest rollups are written).
+    ("""(?i)\bvalue_at_quantile\s*\(\s*merge\s*\(""".r,
+      "graft_value_at_quantile(graft_qdigest_merge("),
+    ("""(?i)\bvalues_at_quantiles\s*\(\s*merge\s*\(""".r,
+      "graft_values_at_quantiles(graft_qdigest_merge("),
+    ("""(?i)\bvalue_at_quantile\s*\(""".r, "graft_value_at_quantile("),
+    ("""(?i)\bvalues_at_quantiles\s*\(""".r, "graft_values_at_quantiles("),
+    ("""(?i)\bqdigest_agg\s*\(""".r, "graft_qdigest_agg("),
     ("""(?i)\bcardinality\s*\(\s*merge\s*\(""".r,
       "hll_sketch_estimate(hll_union_agg("),
     ("""(?i)\bcardinality\s*\(\s*approx_set\s*\(""".r,
@@ -1619,6 +1744,199 @@ object PrestoSql {
       } else { out.append(c); i += 1 }
     }
     out.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // MATCH_RECOGNIZE — the Trino row-pattern clause, planned onto the
+  // owned RowPattern operator (ops/RowPattern.scala; e8 family). Scope is
+  // the e8 shape (the subset covering published usage): PARTITION BY one
+  // key / ORDER BY ts [, tiebreak] / MEASURES over MATCH_NUMBER(),
+  // COUNT(*), FIRST/LAST(<order column>) / ONE ROW PER MATCH / AFTER
+  // MATCH SKIP PAST LAST ROW | TO NEXT ROW / linear PATTERN with
+  // ?,+,*,{m,n} quantifiers (greedy and reluctant) / DEFINE without
+  // PREV/NEXT navigation. Anything outside the subset fails loudly with
+  // the construct named — never a silent wrong answer.
+  //
+  // Mechanically: the `<table> MATCH_RECOGNIZE (...)` table factor is
+  // cut out, executed as a RowPattern plan (step predicates become
+  // codegen'd boolean columns before the one keyed shuffle — the same
+  // 100 TB shape as e8), registered as a run-unique temp view, and the
+  // view name spliced back so the surrounding query translates normally.
+  // ---------------------------------------------------------------------
+  private val MrBlockRe =
+    ("""(?is)^\s*PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+(.+?)\s+""" +
+      """(?:MEASURES\s+(.+?)\s+)?""" +
+      """(?:(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?""" +
+      """(?:AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?""" +
+      """PATTERN\s*\(([^)]*)\)\s*DEFINE\s+(.+?)\s*$""").r
+
+  private[graft] def rewriteMatchRecognize(
+      spark: SparkSession, s: String): String = {
+    val kw = "match_recognize"
+    val at = {
+      val lower = s.toLowerCase
+      var i = lower.indexOf(kw)
+      // keyword must stand alone (not part of an identifier)
+      while (i >= 0 && ((i > 0 && (lower.charAt(i - 1).isLetterOrDigit ||
+          lower.charAt(i - 1) == '_')) ||
+          (i + kw.length < lower.length &&
+            (lower.charAt(i + kw.length).isLetterOrDigit ||
+              lower.charAt(i + kw.length) == '_'))))
+        i = lower.indexOf(kw, i + 1)
+      i
+    }
+    if (at < 0) return s
+
+    // the table factor before the keyword: scan back over an identifier
+    // (possibly qualified/quoted), which must follow FROM
+    var e = at - 1
+    while (e >= 0 && s.charAt(e).isWhitespace) e -= 1
+    require(e >= 0, "MATCH_RECOGNIZE without a preceding table")
+    var b = e
+    while (b >= 0 && (s.charAt(b).isLetterOrDigit || s.charAt(b) == '_' ||
+      s.charAt(b) == '.' || s.charAt(b) == '"')) b -= 1
+    val table = s.substring(b + 1, e + 1).stripPrefix("\"").stripSuffix("\"")
+    require(table.nonEmpty, "MATCH_RECOGNIZE: could not parse table name")
+    val beforeTable = s.substring(0, b + 1)
+    require("""(?is).*\bFROM\s*$""".r.matches(beforeTable),
+      s"MATCH_RECOGNIZE table factor must follow FROM, got '...${beforeTable.takeRight(30)}'")
+
+    var p = at + kw.length
+    while (p < s.length && s.charAt(p).isWhitespace) p += 1
+    require(p < s.length && s.charAt(p) == '(',
+      "MATCH_RECOGNIZE must be followed by (...)")
+    val close = matchingClose(s, p)
+    require(close > p, "unbalanced MATCH_RECOGNIZE (")
+    val body = s.substring(p + 1, close)
+
+    val m = MrBlockRe.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported MATCH_RECOGNIZE shape — expected PARTITION BY … " +
+          "ORDER BY … [MEASURES …] [ONE ROW PER MATCH] [AFTER MATCH SKIP …] " +
+          "PATTERN (…) DEFINE … (SUBSET and grouped patterns are not " +
+          s"supported): ${body.take(200)}"))
+    require(m.group(4) == null || m.group(4).toLowerCase.startsWith("one"),
+      "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+
+    def bareId(x: String) = x.trim.stripPrefix("\"").stripSuffix("\"")
+    val partCols = splitTopLevel(m.group(1), ',').map(bareId)
+    require(partCols.size == 1,
+      s"MATCH_RECOGNIZE: exactly one PARTITION BY column supported, got $partCols")
+    val orderCols = splitTopLevel(m.group(2), ',').map { oc =>
+      val t = oc.trim
+      require(!t.toLowerCase.endsWith(" desc"),
+        s"MATCH_RECOGNIZE: descending ORDER BY not supported: '$t'")
+      bareId(t.stripSuffix(" ASC").stripSuffix(" asc").trim)
+    }
+    require(orderCols.size <= 2, "MATCH_RECOGNIZE: ORDER BY takes at most " +
+      s"(timestamp, tiebreak), got $orderCols")
+    val tsCol = orderCols.head
+    val tbCol = orderCols.lift(1).getOrElse(tsCol)
+
+    val afterMatch = Option(m.group(5)).map(_.toLowerCase) match {
+      case Some(x) if x.startsWith("to") => graft.ops.RowPattern.SkipToNextRow
+      case _ => graft.ops.RowPattern.SkipPastLastRow
+    }
+
+    // PATTERN: linear variable sequence with quantifiers
+    val tokRe = """([A-Za-z_]\w*)(\*\?|\+\?|\?\?|\*|\+|\?|\{\d+(?:,\d*)?\})?""".r
+    val patText = m.group(6).trim
+    require(!patText.contains("|") && !patText.contains("("),
+      s"MATCH_RECOGNIZE: alternation/grouping not supported in PATTERN ($patText)")
+    val toks = tokRe.findAllMatchIn(patText).toSeq
+    require(toks.nonEmpty, s"MATCH_RECOGNIZE: empty PATTERN ($patText)")
+    require(toks.map(_.matched).mkString(" ").replaceAll("\\s+", " ") ==
+      patText.replaceAll("\\s+", " "),
+      s"MATCH_RECOGNIZE: could not parse PATTERN ($patText)")
+    import graft.ops.RowPattern._
+    def quantOf(q: String): Quant = q match {
+      case null | "" => once
+      case "?" => opt
+      case "??" => optReluctant
+      case "+" => plus
+      case "+?" => plusReluctant
+      case "*" => star
+      case "*?" => starReluctant
+      case bounded =>
+        val inner = bounded.stripPrefix("{").stripSuffix("}")
+        val parts = inner.split(",", -1)
+        if (parts.length == 1) Quant(parts(0).toInt, parts(0).toInt, greedy = true)
+        else Quant(parts(0).toInt,
+          if (parts(1).isEmpty) Int.MaxValue else parts(1).toInt, greedy = true)
+    }
+
+    // DEFINE: name AS predicate (predicate gets the dialect translation;
+    // self-qualification `V.col` is stripped; PREV/NEXT/FIRST/LAST
+    // navigation is out of scope and rejected)
+    val defRe = """(?s)^\s*("[^"]+"|\w+)\s+[Aa][Ss]\s+(.+?)\s*$""".r
+    val defs: Map[String, String] =
+      splitTopLevel(m.group(7), ',').map {
+        case defRe(n, pred) => bareId(n).toUpperCase -> pred
+        case bad => throw new IllegalArgumentException(
+          s"bad DEFINE entry '${bad.take(120)}'")
+      }.toMap
+    val varNames = toks.map(_.group(1).toUpperCase)
+    defs.values.foreach(pred => require(
+      !"""(?i)\b(PREV|NEXT|FIRST|LAST|CLASSIFIER|MATCH_NUMBER)\s*\(""".r
+        .findFirstIn(pred).isDefined,
+      s"MATCH_RECOGNIZE: navigation/measure functions in DEFINE are not " +
+        s"supported: ${pred.take(120)}"))
+    val selfQual = ("""(?i)\b(""" + varNames.distinct.mkString("|") +
+      """)\.""").r
+    def stepPred(v: String): org.apache.spark.sql.Column =
+      defs.get(v) match {
+        case None => org.apache.spark.sql.functions.lit(true) // undefined var: always matches (SQL standard)
+        case Some(pred) =>
+          org.apache.spark.sql.functions.expr(
+            translate(selfQual.replaceAllIn(pred, "")))
+      }
+    val steps = toks.map(t =>
+      Step(t.group(1).toUpperCase, stepPred(t.group(1).toUpperCase),
+        quantOf(t.group(2))))
+
+    val matched = graft.ops.RowPattern.matches(
+      spark.table(table), keyCol = partCols.head, tsCol = tsCol,
+      tiebreakCol = tbCol, steps = steps, afterMatch = afterMatch)
+
+    // ONE ROW PER MATCH output: partition column + measures, per Trino
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val mnRe = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r
+    val cntRe = """(?i)^\s*COUNT\s*\(\s*\*?\s*\)\s*$""".r
+    val firstRe = """(?i)^\s*FIRST\s*\(\s*("?[\w.]+"?)\s*\)\s*$""".r
+    val lastRe = """(?i)^\s*LAST\s*\(\s*("?[\w.]+"?)\s*\)\s*$""".r
+    val measRe = """(?s)^\s*(.+?)\s+[Aa][Ss]\s+("[^"]+"|\w+)\s*$""".r
+    def ordCol(x: String): Unit = {
+      val c = bareId(selfQual.replaceAllIn(x, ""))
+      require(c.equalsIgnoreCase(tsCol),
+        s"MATCH_RECOGNIZE: FIRST/LAST measures support only the ORDER BY " +
+          s"column '$tsCol', got '$c'")
+    }
+    val measures: Seq[org.apache.spark.sql.Column] =
+      Option(m.group(3)).toSeq.flatMap(splitTopLevel(_, ',')).map {
+        case measRe(e2, alias) =>
+          val a = bareId(alias)
+          (e2.trim match {
+            case mnRe() => col("match_no")
+            case cntRe() => col("n_rows")
+            case firstRe(c) => ordCol(c); timestamp_micros(col("start_us"))
+            case lastRe(c) => ordCol(c); timestamp_micros(col("end_us"))
+            case other => throw new IllegalArgumentException(
+              "MATCH_RECOGNIZE: unsupported measure (supported: " +
+                s"MATCH_NUMBER(), COUNT(*), FIRST/LAST($tsCol)): '$other'")
+          }).as(a)
+        case bad => throw new IllegalArgumentException(
+          s"bad MEASURES entry (want expr AS alias): '${bad.take(120)}'")
+      }
+    val view = "graft_mr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // matches() already surfaces the partition key under its own name
+    matched.select(col(partCols.head) +: measures: _*)
+      .createOrReplaceTempView(view)
+
+    // splice: `<table> MATCH_RECOGNIZE ( … )` → view name; any trailing
+    // alias survives untouched. Recurse for further clauses.
+    rewriteMatchRecognize(spark,
+      s.substring(0, b + 1) + view + s.substring(close + 1))
   }
 
   private[graft] def wrapNoneMatch(s: String): String = {

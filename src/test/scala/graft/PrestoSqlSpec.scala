@@ -1150,6 +1150,160 @@ class PrestoSqlSpec extends SparkSpec {
     assert(cols == Seq(("k", 1L, "bigint"), ("v", 2L, "varchar")))
   }
 
+  test("CREATE VIEW is catalog-backed: a second script call reads it; txn no-ops; SHOW CATALOGS/FUNCTIONS") {
+    Tables.registerAll(spark, sf)
+    // script 1: a catalog table + a persistent view over it, wrapped in
+    // transaction statements that must be accepted as no-ops
+    PrestoSql.script(spark,
+      """START TRANSACTION;
+        |DROP TABLE IF EXISTS pv_base;
+        |CREATE TABLE pv_base AS
+        |  SELECT "n_nationkey" AS k, "n_name" AS name FROM nation;
+        |CREATE OR REPLACE VIEW pv_top AS
+        |  SELECT k, name FROM pv_base WHERE k < 5;
+        |COMMIT""".stripMargin)
+    // the view is persistent: listed in the DDL database's catalog, not
+    // the temp-view registry
+    val ddlDb = PrestoSql.ddlDatabase(spark)
+    val vMeta = spark.catalog.listTables(ddlDb).collect()
+      .find(_.name == "pv_top")
+    assert(vMeta.exists(t => t.tableType == "VIEW" && !t.isTemporary),
+      s"pv_top should be a catalog view in $ddlDb: $vMeta")
+    assert(spark.sessionState.catalog.getTempView("pv_top").isEmpty)
+    // script 2: a separate script call reads the view + its definition
+    val viaView = PrestoSql.script(spark,
+      "SELECT COUNT(*) AS n FROM pv_top").collect().head.getLong(0)
+    assert(viaView == 5)
+    val ddlText = PrestoSql.script(spark, "SHOW CREATE VIEW pv_top")
+      .collect().head.getString(0)
+    assert(ddlText.startsWith("CREATE VIEW pv_top AS"))
+    assert(ddlText.contains("k < 5"))
+    // views over TEMP base tables still work (session-view fallback)
+    PrestoSql.script(spark,
+      """CREATE OR REPLACE VIEW tmp_backed AS
+        |  SELECT "n_name" FROM nation WHERE "n_nationkey" = 0;
+        |SELECT COUNT(*) AS n FROM tmp_backed""".stripMargin)
+      .collect().head.getLong(0) match { case n => assert(n == 1) }
+    // listings
+    val cats = PrestoSql.script(spark, "SHOW CATALOGS").collect().map(_.getString(0))
+    assert(cats.contains("spark_catalog"))
+    val fns = PrestoSql.script(spark, "SHOW FUNCTIONS LIKE 'array%'").collect()
+    assert(fns.map(_.getString(0)).contains("array_contains"))
+    assert(fns.head.schema.fieldNames.toSeq == Seq("Function", "Return Type",
+      "Argument Types", "Function Type", "Deterministic", "Description"))
+    PrestoSql.script(spark,
+      "DROP VIEW IF EXISTS pv_top; DROP TABLE IF EXISTS pv_base")
+  }
+
+  test("qdigest family: translation + grouped sketches + rollup accuracy") {
+    assert(PrestoSql.translate(
+      "SELECT value_at_quantile(merge(d), 0.5) FROM sketches")
+      == "SELECT graft_value_at_quantile(graft_qdigest_merge(d), 0.5) FROM sketches")
+    assert(PrestoSql.translate(
+      "SELECT qdigest_agg(x) AS d, values_at_quantiles(qdigest_agg(x), ARRAY[0.5, 0.9]) FROM t")
+      == "SELECT graft_qdigest_agg(x) AS d, graft_values_at_quantiles(" +
+        "graft_qdigest_agg(x), array(0.5, 0.9)) FROM t")
+    // two-level rollup over lineitem prices: per-returnflag sketches,
+    // merged to a global sketch; estimates within t-digest tolerance of
+    // exact percentiles (approx by design — no DuckDB oracle, same
+    // pre-registered policy as a22)
+    Tables.registerAll(spark, sf)
+    val perGroup = PrestoSql.sql(spark,
+      """SELECT "l_returnflag" AS g, qdigest_agg("l_extendedprice") AS d
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    perGroup.createOrReplaceTempView("li_sketches")
+    val est = PrestoSql.sql(spark,
+      """SELECT value_at_quantile(merge(d), 0.5) AS p50,
+        |  values_at_quantiles(merge(d), ARRAY[0.1, 0.9]) AS p10_90
+        |FROM li_sketches""".stripMargin).collect().head
+    val exact = spark.sql(
+      """SELECT percentile(l_extendedprice, 0.1) AS p10,
+        |  percentile(l_extendedprice, 0.5) AS p50,
+        |  percentile(l_extendedprice, 0.9) AS p90 FROM lineitem""".stripMargin)
+      .collect().head
+    val spread = spark.sql(
+      "SELECT max(l_extendedprice) - min(l_extendedprice) FROM lineitem")
+      .collect().head.getDouble(0)
+    def close(got: Double, want: Double): Unit =
+      assert(math.abs(got - want) <= 0.05 * spread,
+        s"estimate $got too far from exact $want (spread $spread)")
+    close(est.getDouble(0), exact.getDouble(1))
+    val arr = est.getSeq[Double](1)
+    close(arr(0), exact.getDouble(0))
+    close(arr(1), exact.getDouble(2))
+  }
+
+  test("MATCH_RECOGNIZE plans onto RowPattern and matches the direct call") {
+    Tables.registerAll(spark, sf)
+    val viaSql = PrestoSql.sql(spark,
+      """SELECT user_id, match_no, start_ts, end_ts, n_rows
+        |FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS match_no, FIRST(ts) AS start_ts,
+        |    LAST(ts) AS end_ts, COUNT(*) AS n_rows
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V G* P)
+        |  DEFINE V AS event_type = 'view',
+        |    G AS event_type <> 'purchase',
+        |    P AS event_type = 'purchase'
+        |)
+        |ORDER BY user_id, match_no""".stripMargin).collect()
+    import graft.ops.RowPattern
+    import graft.ops.RowPattern._
+    import org.apache.spark.sql.functions._
+    val direct = RowPattern.matches(Tables.events(spark, sf),
+      keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+      steps = Seq(
+        Step("V", col("event_type") === "view"),
+        Step("G", col("event_type") =!= "purchase", star),
+        Step("P", col("event_type") === "purchase")))
+      .select(col("user_id"), col("match_no"),
+        timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"), col("n_rows"))
+      .orderBy(col("user_id"), col("match_no")).collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql.toSeq == direct.toSeq)
+  }
+
+  test("MATCH_RECOGNIZE SKIP TO NEXT ROW and undefined vars work; out-of-scope constructs fail loudly") {
+    Tables.registerAll(spark, sf)
+    // undefined pattern variable (G) defaults to always-true per the
+    // standard; SKIP TO NEXT ROW yields overlapping matches ⇒ at least
+    // as many as PAST LAST ROW
+    def count(skip: String): Long = PrestoSql.sql(spark,
+      s"""SELECT user_id, match_no
+         |FROM events MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES MATCH_NUMBER() AS match_no
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP $skip
+         |  PATTERN (V G*? P)
+         |  DEFINE V AS event_type = 'view',
+         |    P AS event_type = 'purchase'
+         |)""".stripMargin).count()
+    val past = count("PAST LAST ROW")
+    val next = count("TO NEXT ROW")
+    assert(past > 0 && next >= past)
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](PrestoSql.sql(spark, sql).collect())
+      assert(e.getMessage != null && e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    val base =
+      """SELECT user_id FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  %s
+        |  PATTERN (%s)
+        |  DEFINE V AS event_type = 'view')""".stripMargin
+    fails(base.format("ALL ROWS PER MATCH", "V"), "ONE ROW PER MATCH")
+    fails(base.format("ONE ROW PER MATCH", "V | W"), "alternation")
+    fails(base.format("ONE ROW PER MATCH", "V").replace(
+      "event_type = 'view'", "PREV(event_type) = 'view'"), "navigation")
+  }
+
   test("p4 family is hermetic: dirty warehouse + double-run in one session") {
     // simulate the driver-box pollution that made p4f red in r4: a
     // LEGACY fixed-name graft_ddl database with a conflicting stale

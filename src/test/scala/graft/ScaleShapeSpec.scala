@@ -87,6 +87,22 @@ class ScaleShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("l28 skewSafe fallback: window-free broadcast-threshold plan, answer-equal") {
+    val exact = ops.LlmOps.qualityGateDynamic(spark, sf, skewSafe = false)
+    val safe = ops.LlmOps.qualityGateDynamic(spark, sf, skewSafe = true)
+    // plan shape: the fallback must contain NO window operator at all —
+    // its threshold is a sketch aggregate broadcast back onto the scan
+    val safePlan = safe.queryExecution.executedPlan.toString
+    assert(!safePlan.contains("Window"), safePlan.take(2000))
+    assert(safePlan.contains("BroadcastHashJoin") ||
+      safePlan.contains("BroadcastNestedLoop"), safePlan.take(2000))
+    assert(safePlan.contains("approx_percentile") ||
+      safePlan.contains("percentile_approx"), safePlan.take(2000))
+    // keep-set equality is exact at this scale (sketch retains every
+    // sample; odd/even boundary algebra matches percent_rank ≥ 0.5)
+    assert(exact.collect().toSeq == safe.collect().toSeq)
+  }
+
   test("o9b stratified sample plan prunes per-partition before the shuffle") {
     val plan = ops.Relational.queries("o9b_stratified_sample")(spark, sf)
       .queryExecution.executedPlan.toString
