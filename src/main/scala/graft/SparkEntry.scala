@@ -16,7 +16,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     ops.Sources, ops.Filters, ops.Joins, ops.Aggregates,
     ops.Windows, ops.Relational, ops.Scalars, ops.Events, ops.LlmOps,
-    ops.Etl
+    ops.Etl, ops.Graph
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

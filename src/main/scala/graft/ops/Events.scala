@@ -372,6 +372,37 @@ object Events extends QueryModule {
         .select(col("user_id"), col("event_type"),
           col("event_id").as("first_event_id"), col("ts").as("first_ts"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // E15: rolling z-score anomaly detection — the monitoring primitive
+    // every metrics pipeline runs: per event_type, each event's value is
+    // scored against the trailing-50-event mean/stddev (frame excludes
+    // the current row — the score must not see itself) and flagged when
+    // |z| > 3. The entire test is INTEGER arithmetic: values quantize to
+    // cents up front, and z² > 9 rewrites to (n·v − S)² > 9(nQ − S²)
+    // over bigint running sums — no float mean/stddev ever exists, so
+    // the oracle is exact (no cross-engine stddev-algorithm drift).
+    // Warm-up guard n ≥ 20 keeps tiny-sample noise out. Magnitudes:
+    // v ≤ ~5·10⁴ cents, n ≤ 50 ⇒ every term ≤ ~2.5·10¹³ « 2⁶³.
+    // Scale: ONE event_type-keyed window shuffle; state per partition is
+    // a 50-row ring — the same shape a streaming deployment would hold
+    // in flatMapGroupsWithState.
+    "e15_anomaly_zscore" -> ((s, d) => {
+      val fr = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-50, -1)
+      Tables.events(s, d)
+        .withColumn("vc", round(col("value") * 100).cast("long"))
+        .withColumn("n", count(lit(1)).over(fr))
+        .withColumn("sm", sum(col("vc")).over(fr))
+        .withColumn("qm", sum(col("vc") * col("vc")).over(fr))
+        .filter(col("n") >= 20 &&
+          (col("n") * col("vc") - col("sm")) * (col("n") * col("vc") - col("sm"))
+            > lit(9L) * (col("n") * col("qm") - col("sm") * col("sm")))
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("vc").as("value_cents"),
+          col("n").as("n_window"), col("sm").as("window_sum_cents"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -667,6 +698,25 @@ object Events extends QueryModule {
         |  FROM events)
         |SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
         |FROM ranked WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "e15_anomaly_zscore" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, ts, vc,
+        |    count(*)   OVER fr AS n,
+        |    sum(vc)    OVER fr AS sm,
+        |    sum(vc*vc) OVER fr AS qm
+        |  FROM v
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, epoch_us(ts) // 1000000 AS ts_epoch,
+        |  vc AS value_cents, n AS n_window, CAST(sm AS BIGINT) AS window_sum_cents
+        |FROM w
+        |WHERE n >= 20 AND (n*vc - sm)*(n*vc - sm) > 9*(n*qm - sm*sm)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship graphs derived from the relational
+  * tables (SURVEY §2.9 lists the other distributed-graph operator, L12's
+  * connected components; PageRank is its ranking sibling — the
+  * link-analysis quality signal real curation pipelines run over web /
+  * citation / interaction graphs).
+  *
+  * Determinism design: the entire iteration is FIXED-POINT INTEGER
+  * arithmetic (rank mass carried as 10¹²-scaled bigints, damping 0.85
+  * applied as ·85 div 100, every division an integer floor). Both engines
+  * execute the identical integer recurrence, so a 3-iteration PageRank is
+  * hash-exact under the oracle gate — no float summation-order or
+  * stddev-algorithm drift, the same trick as l25/l29's ppm arithmetic.
+  *
+  * Scale notes (100 TB): each iteration is ONE join of the rank vector
+  * against the edge list (both keyed by vertex — co-partitioned after the
+  * first round) plus ONE destination-keyed sum; work is O(E) per round
+  * with driver-side state of exactly one scalar (the vertex count for
+  * the teleport term; the loop is a fixed 3-round unroll, so there is
+  * no per-round convergence witness either). The final
+  * top-k is TakeOrdered (per-partition heaps + driver merge of k rows),
+  * never a global sort.
+  */
+object Graph extends QueryModule {
+
+  /** Rank-mass scale: 10¹² micro-units = 1.0 of total rank. Headroom:
+    * Σ contributions ≤ SCALE, ·85 ⇒ ≤ 8.5·10¹³ « 2⁶³. */
+  private val Scale = 1000000000000L
+
+  /** One damped PageRank round over an undirected edge list.
+    *
+    * @param ranks (id, pr) current integer rank vector
+    * @param edges (src, dst) symmetrized edges with (src, deg) available
+    * @param nVert vertex count (for the teleport term)
+    */
+  private def prRound(ranks: DataFrame, edges: DataFrame, nVert: Long): DataFrame = {
+    val base = ((Scale / nVert) * 15L) / 100L
+    val contrib = ranks.join(edges, col("id") === col("src"))
+      .select(col("dst").as("id"), expr("pr div deg").as("c"))
+    contrib.groupBy(col("id"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("id"), (lit(base) + expr("s * 85 div 100")).as("pr"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // G1: 3-iteration PageRank over the customer↔supplier interaction
+    // graph: an undirected edge per DISTINCT (custkey, suppkey) pair
+    // that co-occurs on an order (orders ⋈ lineitem ⋈ customer's key).
+    // Bipartite ids disambiguate by parity (cust·2, supp·2+1). Output:
+    // top-40 vertices by rank — "which suppliers/customers sit at the
+    // center of the trade graph", the interaction-ranking shape of
+    // web-graph quality scoring.
+    "g1_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(deg, "src").localCheckpoint()
+
+      val verts = edgesD.select(col("src").as("id")).distinct()
+      val nVert = verts.count()
+      var ranks = verts.select(col("id"), lit(Scale / nVert).as("pr"))
+      for (_ <- 1 to 3) ranks = prRound(ranks, edgesD, nVert)
+
+      ranks
+        .select(
+          when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("id div 2").as("entity_key"), col("pr"))
+        .orderBy(col("pr").desc, col("kind"), col("entity_key"))
+        .limit(40)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "g1_pagerank" -> {
+      // the identical integer recurrence, iterations unrolled as CTEs
+      def round(prev: String, next: String) =
+        s"""$next AS (
+           |  SELECT e.dst AS id,
+           |    base.b + CAST(SUM(p.pr // e.deg) AS BIGINT) * 85 // 100 AS pr
+           |  FROM $prev p JOIN edges e ON p.id = e.src CROSS JOIN base
+           |  GROUP BY e.dst, base.b)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |sym AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+         |edges AS (
+         |  SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+         |nv AS (SELECT COUNT(DISTINCT src) AS n FROM sym),
+         |base AS (SELECT ((1000000000000 // n) * 15) // 100 AS b FROM nv),
+         |pr0 AS (
+         |  SELECT src AS id, 1000000000000 // n AS pr
+         |  FROM (SELECT DISTINCT src FROM sym), nv),
+         |${round("pr0", "pr1")},
+         |${round("pr1", "pr2")},
+         |${round("pr2", "pr3")}
+         |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  id // 2 AS entity_key, CAST(pr AS BIGINT) AS pr
+         |FROM pr3
+         |ORDER BY pr DESC, kind, entity_key
+         |LIMIT 40""".stripMargin
+    }
+  )
+}

@@ -74,6 +74,21 @@ private[graft] object ImageFixture {
   }
 }
 
+/** Domain lexicons for l30 — three pairwise-disjoint keyword sets over
+  * the corpus vocabulary, standing in for the 10⁴–10⁶-term lexicons a
+  * production domain tagger would broadcast. Disjointness keeps the
+  * oracle's tie-break reasoning simple; the operator itself doesn't
+  * require it.
+  */
+private[graft] object DomainLexicons {
+  val storage: Seq[String] = Seq("table", "column", "row", "part", "key", "hash")
+  val compute: Seq[String] = Seq("spark", "batch", "stream", "vector", "window", "merge")
+  val query: Seq[String] = Seq("join", "scan", "filter", "sort", "group", "agg", "order")
+
+  /** DuckDB list literal for a lexicon. */
+  def sqlList(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
+}
+
 object LlmOps extends QueryModule {
   import Det._
 
@@ -1253,6 +1268,83 @@ object LlmOps extends QueryModule {
           coalesce(sum(when(col("u") < col("f_ppm"), col("n_toks"))), lit(0L))
             .as("kept_toks"))
         .orderBy(col("source"))
+    }),
+
+    // L30: lexicon domain classification — the keyword-scoring curation
+    // stage (domain/topic tagging before mixture weighting, the cheap
+    // precursor to a fastText domain classifier). Each doc scores one
+    // count per lexicon hit (with multiplicity) per domain; the winner
+    // is the max score with alphabetical tie-break, zero-everywhere →
+    // 'unclassified'. The lexicons are PLAN CONSTANTS: the three
+    // size(filter(tokens, …)) projections fold into whole-stage codegen,
+    // so classification is a pure scan-stage map — zero shuffles until
+    // the tiny (source × domain) rollup. At 100 TB a real lexicon
+    // (10⁴–10⁶ terms) moves from an array literal to a broadcast map
+    // lookup; the plan shape (scan-stage score, small final agg) holds.
+    "l30_domain_classify" -> ((s, d) => {
+      val toks = TF.wordTokens(col("text"))
+      def score(words: Seq[String]) =
+        size(filter(toks, t => array_contains(
+          array(words.map(lit): _*), t))).cast("long")
+      val sStorage = score(DomainLexicons.storage)
+      val sCompute = score(DomainLexicons.compute)
+      val sQuery = score(DomainLexicons.query)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          sStorage.as("s_storage"), sCompute.as("s_compute"),
+          sQuery.as("s_query"))
+        .withColumn("domain",
+          when(col("s_compute") === 0 && col("s_query") === 0 &&
+            col("s_storage") === 0, "unclassified")
+          .when(col("s_compute") >= col("s_query") &&
+            col("s_compute") >= col("s_storage"), "compute")
+          .when(col("s_query") >= col("s_storage"), "query")
+          .otherwise("storage"))
+        .withColumn("score",
+          greatest(col("s_compute"), col("s_query"), col("s_storage")))
+        .groupBy(col("source"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("score_sum"))
+        .orderBy(col("source"), col("domain"))
+    }),
+
+    // L31: length-bucketed batch packing — the pad-to-max batching form
+    // of sequence packing (l19 concatenates into fixed budgets; this one
+    // builds fixed-COUNT batches of 8 and pays padding to the batch
+    // max, the Transformer-trainer shape). Two strategies, same
+    // arithmetic, out the bottom as one 2-row scorecard:
+    //  - length_bucketed: batches form inside n_toks÷8 buckets ordered
+    //    by (n_toks, doc_id) — padding is bounded by the bucket width,
+    //    and the window parallelizes per bucket (NO global sort; the
+    //    same reason real loaders bucket by length).
+    //  - arrival_order: batches form per source in doc_id order — the
+    //    do-nothing baseline whose padding the bucketing removes.
+    // All-integer (token counts), so the oracle is exact. Text never
+    // enters either shuffle; only (doc_id, source, n_toks) moves.
+    "l31_length_bucket_pack" -> ((s, d) => {
+      val B = 8
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TF.wordTokens(col("text"))).cast("long").as("n_toks"))
+
+      def packed(strategy: String, part: org.apache.spark.sql.Column,
+          ord: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy(part).orderBy(ord: _*)
+        docs.withColumn("part_key", part)
+          .withColumn("batch",
+            ((row_number().over(w) - 1) / B).cast("long"))
+          .groupBy(col("part_key"), col("batch"))
+          .agg(count(lit(1)).as("n_in_batch"), max(col("n_toks")).as("mx"),
+            sum(col("n_toks")).as("sm"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("mx") * col("n_in_batch") - col("sm")).as("total_pad"),
+            sum(col("sm")).as("total_toks"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("total_pad"), col("total_toks"))
+      }
+
+      packed("length_bucketed", (col("n_toks") / B).cast("long"),
+          Seq(col("n_toks"), col("doc_id")))
+        .unionByName(packed("arrival_order", col("source"), Seq(col("doc_id"))))
+        .orderBy(col("strategy"))
     })
   )
 
@@ -1988,6 +2080,68 @@ object LlmOps extends QueryModule {
         |  CAST(count(k.blk) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(k.blk, ' ' ORDER BY k.pos), '') AS text_dedup
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "l30_domain_classify" ->
+      s"""WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> list_contains(${DomainLexicons.sqlList(DomainLexicons.storage)}, x))) AS BIGINT) AS s_storage,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> list_contains(${DomainLexicons.sqlList(DomainLexicons.compute)}, x))) AS BIGINT) AS s_compute,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> list_contains(${DomainLexicons.sqlList(DomainLexicons.query)}, x))) AS BIGINT) AS s_query
+        |  FROM documents),
+        |lab AS (
+        |  SELECT source,
+        |    CASE WHEN s_compute = 0 AND s_query = 0 AND s_storage = 0
+        |           THEN 'unclassified'
+        |         WHEN s_compute >= s_query AND s_compute >= s_storage
+        |           THEN 'compute'
+        |         WHEN s_query >= s_storage THEN 'query'
+        |         ELSE 'storage' END AS domain,
+        |    greatest(s_compute, s_query, s_storage) AS score
+        |  FROM sc)
+        |SELECT source, domain, COUNT(*) AS n_docs,
+        |  CAST(SUM(score) AS BIGINT) AS score_sum
+        |FROM lab GROUP BY source, domain ORDER BY source, domain""".stripMargin,
+
+    "l31_length_bucket_pack" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents),
+        |lb AS (
+        |  SELECT n_toks,
+        |    (row_number() OVER (PARTITION BY n_toks // 8
+        |                        ORDER BY n_toks, doc_id) - 1) // 8 AS batch,
+        |    n_toks // 8 AS pk
+        |  FROM docs),
+        |lbb AS (
+        |  SELECT pk, batch, COUNT(*) AS n_in_batch,
+        |    MAX(n_toks) AS mx, CAST(SUM(n_toks) AS BIGINT) AS sm
+        |  FROM lb GROUP BY pk, batch),
+        |ao AS (
+        |  SELECT n_toks, source,
+        |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 8
+        |      AS batch
+        |  FROM docs),
+        |aob AS (
+        |  SELECT source, batch, COUNT(*) AS n_in_batch,
+        |    MAX(n_toks) AS mx, CAST(SUM(n_toks) AS BIGINT) AS sm
+        |  FROM ao GROUP BY source, batch),
+        |combined AS (
+        |  SELECT 'length_bucketed' AS strategy, COUNT(*) AS n_batches,
+        |    CAST(SUM(mx * n_in_batch - sm) AS BIGINT) AS total_pad,
+        |    CAST(SUM(sm) AS BIGINT) AS total_toks
+        |  FROM lbb
+        |  UNION ALL
+        |  SELECT 'arrival_order' AS strategy, COUNT(*) AS n_batches,
+        |    CAST(SUM(mx * n_in_batch - sm) AS BIGINT) AS total_pad,
+        |    CAST(SUM(sm) AS BIGINT) AS total_toks
+        |  FROM aob)
+        |SELECT strategy, n_batches, total_pad, total_toks
+        |FROM combined ORDER BY strategy""".stripMargin
   )
 }
