@@ -1345,6 +1345,112 @@ object LlmOps extends QueryModule {
           Seq(col("n_toks"), col("doc_id")))
         .unionByName(packed("arrival_order", col("source"), Seq(col("doc_id"))))
         .orderBy(col("strategy"))
+    }),
+
+    // L32: Product Quantization ANN (Jégou et al. 2011, FAISS IndexPQ
+    // shape): 64-dim vectors compress to M=8 one-byte codes — each
+    // 8-dim subspace gets a 16-centroid codebook (k-means, 2 Lloyd
+    // rounds, seeded from the first 16 vectors' subvectors) and a
+    // vector stores only its nearest-centroid index per subspace, a
+    // 32× memory cut. Queries score candidates ASYMMETRICALLY (ADC):
+    // exact query subvector vs the candidate's reconstructed centroid,
+    // summed across subspaces — codes never decompress. ADC keeps a
+    // top-20 shortlist; an exact re-rank of the shortlist (FAISS's
+    // refine stage — raw vectors fetched for 20 rows per query, never
+    // the corpus) yields the final top-5 by (exact L2², cand_id).
+    // No oracle BY DESIGN (pre-registered): k-means training is a
+    // multi-job iterative loop like l4d; PqSpec pins recall@5 vs the
+    // exact L2 top-5, the 8-byte code shape, and run-to-run
+    // determinism (CentroidAggregator's quantized-long sums make
+    // training order-independent; every argmin tie-breaks on index).
+    // Scale notes: training aggregates subvectors by (m, k) — at
+    // 100 TB you train on a bounded SAMPLE (codebooks are 128 tiny
+    // vectors; sample size is accuracy-, not scale-bound) and the
+    // corpus is touched twice, scan-stage both times: once to encode
+    // (codebook broadcast, argmin in codegen), once to ADC-score
+    // (queries + codebook broadcast; the scan reads 8-byte codes, not
+    // 256-byte vectors — the whole point). Composing with l3b's IVF
+    // coarse pruning (probe 2 of 10 cells) is the standard IVF-PQ
+    // stack; kept separate here so each mechanism is pinned alone.
+    "l32_pq_adc" -> ((s, d) => {
+      val K = 16
+      val e = Tables.embeddings(s, d)
+      val subs = e.select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 7), m -> slice(embedding, m * 8 + 1, 8))")))
+        .toDF("vec_id", "m", "sub")
+
+      def centArr(c: DataFrame) = c.agg(array_sort(collect_list(struct(
+        col("m"), col("k"), col("cf")))).as("cents"))
+      // nearest codebook entry for subspace `m` (strict < keeps the
+      // lowest k on exact ties; cents is (m, k)-sorted)
+      val assignK =
+        """aggregate(
+          |  transform(filter(cents, c -> c.m = m),
+          |    c -> named_struct('k', c.k, 'd',
+          |      aggregate(zip_with(sub, c.cf,
+          |          (x, y) -> (double(x) - y) * (double(x) - y)),
+          |        0D, (a, v) -> a + v))),
+          |  named_struct('k', -1, 'd', cast('Infinity' as double)),
+          |  (acc, x) -> if(x.d < acc.d, x, acc)).k""".stripMargin
+      def assign(c: DataFrame): DataFrame =
+        subs.crossJoin(broadcast(centArr(c)))
+          .select(col("vec_id"), col("m"), col("sub"), expr(assignK).as("k"))
+
+      var cents = subs.filter(col("vec_id") < K)
+        .select(col("m"), col("vec_id").cast("int").as("k"),
+          expr("transform(sub, x -> double(x))").as("cf"))
+      for (_ <- 1 to 2) {
+        val next = assign(cents).groupBy(col("m"), col("k"))
+          .agg(CentroidAggregator.centroid(col("sub")).as("cf"))
+          .persist()
+        next.count()
+        cents.unpersist(false)
+        cents = next
+      }
+
+      val codes = assign(cents).groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("k")))).as("mk"))
+        .select(col("vec_id").as("cand_id"),
+          expr("transform(mk, x -> x.k)").as("codes"))
+
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val adc =
+        """aggregate(sequence(0, 7), 0D, (acc, m) ->
+          |  acc + aggregate(
+          |    zip_with(slice(qvec, m * 8 + 1, 8),
+          |      element_at(filter(cents,
+          |        c -> c.m = m AND c.k = element_at(codes, m + 1)), 1).cf,
+          |      (x, y) -> (double(x) - y) * (double(x) - y)),
+          |    0D, (a, v) -> a + v))""".stripMargin
+      // ADC shortlist (top-20 by approx distance), then EXACT re-rank of
+      // the shortlist only — the FAISS refine stage: raw vectors are
+      // fetched for 20 candidates per query, never the full corpus, so
+      // the scan stays code-sized and the answer quality comes back.
+      val wa = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("cand_id"))
+      val shortlist = codes.crossJoin(broadcast(centArr(cents)))
+        .crossJoin(broadcast(queries))
+        .filter(col("cand_id") =!= col("qid"))
+        .select(col("qid"), col("qvec"), col("cand_id"), expr(adc).as("adist"))
+        .withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= 20)
+        .select(col("qid"), col("qvec"), col("cand_id"))
+      val exactD =
+        """aggregate(zip_with(qvec, cvec,
+          |    (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+          |  0D, (a, v) -> a + v)""".stripMargin
+      val we = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cand_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cvec")), Seq("cand_id"))
+        .select(col("qid"), col("cand_id"), expr(exactD).as("dist"))
+        .withColumn("rank", row_number().over(we).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"),
+          floor(col("dist") * 1e6 + 0.5).cast("long").as("dist_q6"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 

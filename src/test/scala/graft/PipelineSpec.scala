@@ -138,7 +138,7 @@ class PipelineSpec extends SparkSpec {
   test("contract consistency: no module declares a duplicate query name") {
     val allKeys = Seq(
       ops.Sources, ops.Filters, ops.Joins, ops.Aggregates, ops.Windows,
-      ops.Relational, ops.Scalars, ops.Events, ops.LlmOps, ops.Etl)
+      ops.Relational, ops.Scalars, ops.Events, ops.LlmOps, ops.Etl, ops.Graph)
       .flatMap(_.queries.keys)
     val dupes = allKeys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Accuracy + determinism pins for l32_pq_adc, the product-quantization
+  * ANN operator (pre-registered no-oracle: k-means training is a
+  * multi-job iterative loop, like l4d).
+  *
+  * The recall bar is deliberately conservative: PQ at 8×16 codebooks is
+  * a coarse quantizer, and the corpus is near-uniform random (cosine
+  * structure, not L2 clusters), which is PQ's hardest case. The pin
+  * guards "the mechanism ranks true neighbors far above chance", not a
+  * FAISS-grade benchmark number: random top-5 from ~500 candidates has
+  * recall ≈ 0.01, so ≥ 0.3 is a 30× signal.
+  */
+class PqSpec extends SparkSpec {
+
+  private def exactTop5(): Map[Long, Set[Long]] = {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = rows.filter(_._1 < 10)
+    queries.map { case (qid, q) =>
+      val scored = rows.filter(_._1 != qid).map { case (cid, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < q.length) {
+          val dd = q(i).toDouble - v(i).toDouble; s += dd * dd; i += 1
+        }
+        (cid, s)
+      }
+      qid -> scored.sortBy { case (cid, s) => (s, cid) }.take(5)
+        .map(_._1).toSet
+    }.toMap
+  }
+
+  test("PQ-ADC recall@5 vs exact L2 is far above chance (L32)") {
+    val got = LlmQuery("l32_pq_adc")
+    val byQ = got.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(2)).toSet
+    }
+    val exact = exactTop5()
+    assert(byQ.keySet == exact.keySet, "one result set per query")
+    val hits = exact.toSeq.map { case (q, ex) => (byQ(q) & ex).size }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.3, s"recall@5 = $recall (hits=$hits)")
+  }
+
+  test("PQ result is deterministic across runs (L32)") {
+    val a = LlmQuery("l32_pq_adc")
+    val b = LlmQuery("l32_pq_adc")
+    assert(a.sameElements(b))
+  }
+
+  test("every query returns exactly 5 ranked neighbors (L32)") {
+    val got = LlmQuery("l32_pq_adc")
+    assert(got.length == 50)
+    got.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  private def LlmQuery(name: String): Array[Row] =
+    graft.ops.LlmOps.queries(name)(spark, sf).collect()
+}
