@@ -359,4 +359,39 @@ class ScaleShapeSpec extends SparkSpec {
     assert(at1.isEmpty,
       s"T=1 caps every cross-source shingle, got ${at1.length} rows")
   }
+
+  test("l31 packing windows are per-bucket/per-source — no single-partition sort (L31)") {
+    // the anti-pattern a naive global row_number would introduce is a
+    // Window with an EMPTY partition spec (all rows to one task); both
+    // strategies here partition their windows (length bucket / source).
+    // The plan-level check is exact: every Window node must carry a
+    // non-empty partitionSpec. (The final 2-row scorecard aggregate DOES
+    // legitimately collapse to one partition — that's a partial+final
+    // global agg over 2 rows, not a data-sized sort.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = ops.LlmOps.queries("l31_length_bucket_pack")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window-based batch numbering")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window: $w"))
+  }
+
+  test("g1 PageRank plan is join+agg only — no cartesian, no global sort before top-k (G1)") {
+    val df = ops.Graph.queries("g1_pagerank")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // top-40 must be TakeOrdered (per-partition heaps), not Sort+Limit
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("l32 ADC scan reads codes, not vectors: corpus embedding appears in one upstream scan only (L32)") {
+    // the scoring stage joins (cand_id, codes) with broadcast queries +
+    // codebook; raw embeddings re-enter only via the 20-row-per-query
+    // refine join — so the plan must contain NO cartesian product and the
+    // shortlist join must be on cand_id (an equi-join, not a loop)
+    val plan = ops.LlmOps.queries("l32_pq_adc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
