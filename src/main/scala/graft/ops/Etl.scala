@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
 object Etl extends QueryModule {
   import Det._
 
+  /** Run-unique schema name for p4j (fixed name + persisted metastore =
+    * the p4f-history resurrection trap; see the p4j comment). */
+  private lazy val p4jSchema = "graft_p4j_" +
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   val queries: Map[String, Q] = Map(
     "p1_pipeline_etl" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -211,6 +216,33 @@ object Etl extends QueryModule {
           |)
           |WHERE match_no = 1
           |ORDER BY user_id""".stripMargin)
+    }),
+
+    // P2i: the r8 dialect-function batch under the gate — split_part
+    // (Trino's literal-delimiter, NULL-past-end reading), hamming
+    // _distance, and the Wilson score bounds, all over the documents
+    // corpus. The wilson SQL-function body is ONE fixed expression
+    // tree; the oracle mirrors it operation-for-operation (IEEE
+    // doubles are deterministic given the same association order), and
+    // everything leaves the gate q6-quantized. checksum / histogram /
+    // multimap_agg / geometric_mean / normal_cdf are spec-evidenced
+    // (engine-specific renderings or sketch-free approx) in
+    // PrestoSqlSpec.
+    "p2i_presto_fn_extras" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "source", COUNT(*) AS n,
+          |  CAST(SUM(hamming_distance("lang", 'en')) AS BIGINT) AS hd_sum,
+          |  MIN(split_part("lang" || '-' || "source", '-', 2)) AS part2,
+          |  CAST(floor(wilson_interval_lower(
+          |      SUM(CASE WHEN "lang" = 'en' THEN 1 ELSE 0 END),
+          |      COUNT(*), 1.96) * 1e6 + 0.5) AS BIGINT) AS en_wl_q6,
+          |  CAST(floor(wilson_interval_upper(
+          |      SUM(CASE WHEN "lang" = 'en' THEN 1 ELSE 0 END),
+          |      COUNT(*), 1.96) * 1e6 + 0.5) AS BIGINT) AS en_wu_q6
+          |FROM documents
+          |GROUP BY "source"
+          |ORDER BY "source"""".stripMargin)
     }),
 
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
@@ -496,6 +528,41 @@ object Etl extends QueryModule {
           |GROUP BY o."o_orderpriority"""".stripMargin)
     }),
 
+    // P4j: schema-management statements a migrating Trino script carries
+    // verbatim — CREATE SCHEMA / USE / COMMENT ON TABLE + COLUMN /
+    // ANALYZE / DROP SCHEMA map onto Spark databases, catalog comment
+    // storage, and stats collection. The schema name is RUN-UNIQUE (a
+    // fixed name + IF NOT EXISTS on a persisted metastore could
+    // resurrect a previous run's database at a reaped scratch location —
+    // the p4f-history failure mode). The final SELECT reads the table
+    // through its qualified name, proving the schema round-trip; the
+    // comments and stats are asserted in PrestoSqlSpec (engine-shaped
+    // output, not oracle-expressible).
+    "p4j_presto_schema_mgmt" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        s"""CREATE SCHEMA IF NOT EXISTS $p4jSchema;
+           |
+           |USE $p4jSchema;
+           |
+           |DROP TABLE IF EXISTS seg_stats;
+           |
+           |CREATE TABLE seg_stats AS
+           |  SELECT "c_mktsegment" AS seg, COUNT(*) AS n,
+           |    CAST(SUM(CAST(floor("c_acctbal" * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS bal_q2
+           |  FROM customer GROUP BY 1;
+           |
+           |COMMENT ON TABLE seg_stats IS 'per-segment account rollup';
+           |
+           |COMMENT ON COLUMN seg_stats.bal_q2 IS 'balance in cents';
+           |
+           |ANALYZE seg_stats;
+           |
+           |SELECT seg, n, bal_q2 FROM $p4jSchema.seg_stats
+           |ORDER BY seg""".stripMargin)
+    }),
+
     // P4g: the table-properties CTAS an ETL tool renders for every
     // partitioned landing table — WITH (format, partitioned_by) maps to
     // Spark's USING/PARTITIONED BY CTAS clauses. The INSERT appends into
@@ -738,6 +805,28 @@ object Etl extends QueryModule {
         |FROM documents WHERE doc_id < 40
         |ORDER BY doc_id, pos""".stripMargin,
 
+    "p2i_presto_fn_extras" ->
+      // the Wilson bounds mirror the SQL-function body operation-for-
+      // operation (z enters as CAST(1.96 AS DOUBLE) — both engines
+      // parse the bare literal as DECIMAL, the function parameter
+      // coercion is what makes it a double); hamming_distance is
+      // DuckDB's hamming
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(hamming(lang, 'en')) AS BIGINT) AS hd_sum,
+        |    MIN(split_part(lang || '-' || source, '-', 2)) AS part2,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s,
+        |    CAST(1.96 AS DOUBLE) AS z
+        |  FROM documents GROUP BY source)
+        |SELECT source, n, hd_sum, part2,
+        |  CAST(floor(((s + z * z / 2) / n - z / n *
+        |      sqrt(s * (CAST(n AS DOUBLE) - s) / n + z * z / 4)) /
+        |    (1 + z * z / n) * 1e6 + 0.5) AS BIGINT) AS en_wl_q6,
+        |  CAST(floor(((s + z * z / 2) / n + z / n *
+        |      sqrt(s * (CAST(n AS DOUBLE) - s) / n + z * z / 4)) /
+        |    (1 + z * z / n) * 1e6 + 0.5) AS BIGINT) AS en_wu_q6
+        |FROM g ORDER BY source""".stripMargin,
+
     "p2h_match_recognize" ->
       // the e8 correlated-subquery derivation of the first pattern match
       // per user, minus the 24h window (Trino MATCH_RECOGNIZE has no
@@ -939,6 +1028,15 @@ object Etl extends QueryModule {
         |    AS score_q2,
         |  CAST(length(n_name) AS INTEGER) AS name_len
         |FROM nation ORDER BY nkey""".stripMargin,
+
+    "p4j_presto_schema_mgmt" ->
+      // the schema round-trip nets out to the segment rollup itself —
+      // CREATE SCHEMA / USE / COMMENT / ANALYZE change catalog state,
+      // never data
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS bal_q2
+        |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
 
     "p4h_presto_introspection" ->
       // closed-form expected column metadata for the created table (the

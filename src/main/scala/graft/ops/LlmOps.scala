@@ -1451,6 +1451,50 @@ object LlmOps extends QueryModule {
         .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"),
           floor(col("dist") * 1e6 + 0.5).cast("long").as("dist_q6"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // L33: token-balanced output sharding — the write-side sibling of
+    // l19/l31: a preprocessed corpus lands in S output shards whose
+    // TOKEN totals (not file counts) are near-equal, so every
+    // downstream reader (tokenizer worker, training data-loader rank)
+    // gets the same amount of work. Deterministic construction:
+    // boustrophedon striping over the size-descending global rank
+    // (rank r → pass r div S; even passes stripe left-to-right, odd
+    // ones right-to-left), the classic LPT-flavored round-robin that
+    // needs NO driver state and NO greedy sequential pass.
+    //
+    // Scale design: the global rank is the l24 two-phase construction —
+    // range-repartition the (doc_id, n_toks) PAIRS (text never
+    // shuffles), per-partition row_number behind an eager
+    // localCheckpoint, P-row offsets aggregate broadcast back. The
+    // only global window runs over P rows. Balance quality is part of
+    // the contract: the oracle re-derives every shard's exact token
+    // total, and the spec pins max−min spread ≤ the largest document
+    // (the LPT bound's shape) at sf0.01.
+    "l33_shard_balance" -> ((s, d) => {
+      val S = 16
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .repartitionByRange(8, col("n_toks").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("n_toks").desc, col("doc_id"))).cast("long"))
+        .localCheckpoint()
+      val offsets = ranked.groupBy(col("pid")).agg(max(col("rn")).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      ranked.join(broadcast(offsets), "pid")
+        .withColumn("rk", col("offset") + col("rn") - 1)
+        .withColumn("shard",
+          when(expr(s"rk div $S") % 2 === 0, col("rk") % S)
+            .otherwise(lit(S - 1) - col("rk") % S))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -1984,6 +2028,25 @@ object LlmOps extends QueryModule {
         |  cum_before // 2048 AS block_id,
         |  cum_before % 2048 AS block_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "l33_shard_balance" ->
+      // the boustrophedon stripe re-derived over DuckDB's global
+      // row_number — same rank keys, same integer arithmetic
+      """WITH t AS (
+        |  SELECT doc_id, len(str_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_toks,
+        |    row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS rk
+        |  FROM t),
+        |a AS (
+        |  SELECT doc_id, n_toks,
+        |    CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+        |         ELSE 15 - rk % 16 END AS shard
+        |  FROM r)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tok_sum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     "l23_tfidf" ->
       """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

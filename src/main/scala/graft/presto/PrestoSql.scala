@@ -283,6 +283,14 @@ object PrestoSql {
       CreateViewRe.findFirstIn(st).isDefined ||
       ShowCreateViewRe.findFirstIn(st).isDefined ||
       """(?is)^\s*DROP\s+VIEW\b""".r.findFirstIn(st).isDefined ||
+      // schema-management statements change the current database (USE) or
+      // touch ddl-database tables (COMMENT/ANALYZE) — capture + restore
+      CreateSchemaRe.findFirstIn(st).isDefined ||
+      DropSchemaRe.findFirstIn(st).isDefined ||
+      UseSchemaRe.findFirstIn(st).isDefined ||
+      CommentTableRe.findFirstIn(st).isDefined ||
+      CommentColumnRe.findFirstIn(st).isDefined ||
+      AnalyzeTableRe.findFirstIn(st).isDefined ||
       InfoSchemaRe.findFirstIn(st).isDefined) ||
       // once the DDL database exists, EVERY script resolves against it:
       // a SELECT-only script must still read tables/views an earlier
@@ -413,6 +421,58 @@ object PrestoSql {
       case ResetSessionRe(k) =>
         spark.conf.unset(s"graft.presto.session.$k")
         statusDf(spark, "RESET SESSION")
+      case CreateSchemaRe(ine, nameRaw) =>
+        val db = schemaName(nameRaw)
+        val ifNot = if (ine != null) "IF NOT EXISTS " else ""
+        // scratch location: a rerun with IF NOT EXISTS on a persisted
+        // metastore must not resurrect a repo-dir warehouse path
+        val loc = graft.ops.Sources.scratch(s"graft_schema_$db")
+        spark.sql(s"CREATE DATABASE $ifNot`$db` LOCATION '$loc'")
+        statusDf(spark, "CREATE SCHEMA")
+      case DropSchemaRe(ife, nameRaw, mode) =>
+        val db = schemaName(nameRaw)
+        val ifEx = if (ife != null) "IF EXISTS " else ""
+        // Trino's default is RESTRICT (fail when non-empty) — Spark's too
+        val cascade =
+          if (Option(mode).exists(_.trim.equalsIgnoreCase("CASCADE")))
+            " CASCADE"
+          else ""
+        spark.sql(s"DROP DATABASE $ifEx`$db`$cascade")
+        statusDf(spark, "DROP SCHEMA")
+      case UseSchemaRe(nameRaw) =>
+        spark.sql(s"USE `${schemaName(nameRaw)}`")
+        statusDf(spark, "USE")
+      case CommentTableRe(tblRaw, txt, nul) =>
+        val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+        if (nul != null)
+          spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('comment')")
+        else
+          spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('comment' = '$txt')")
+        statusDf(spark, "COMMENT")
+      case CommentColumnRe(pathRaw, txt, nul) =>
+        // the last dot-segment is the column; everything before it the table
+        val path = pathRaw.stripPrefix("\"").stripSuffix("\"")
+        val cut = path.lastIndexOf('.')
+        require(cut > 0, s"COMMENT ON COLUMN needs table.column, got '$path'")
+        val (t, c) = (path.substring(0, cut), path.substring(cut + 1))
+        // Spark has no column-comment UNSET; NULL maps to '' — documented
+        val body = if (nul != null) "''" else s"'$txt'"
+        spark.sql(s"ALTER TABLE $t ALTER COLUMN `$c` COMMENT $body")
+        statusDf(spark, "COMMENT")
+      case AnalyzeTableRe(tblRaw) =>
+        val t = tblRaw.stripPrefix("\"").stripSuffix("\"")
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        statusDf(spark, "ANALYZE")
+      case ShowSessionRe() =>
+        // the properties SET SESSION recorded (Name, Value, Default,
+        // Type, Description — Trino's column shape; defaults/types are
+        // foreign-engine metadata and render empty)
+        val s2 = spark; import s2.implicits._
+        val prefix = "graft.presto.session."
+        spark.conf.getAll.toSeq
+          .filter(_._1.startsWith(prefix)).sortBy(_._1)
+          .map { case (k, v) => (k.stripPrefix(prefix), v, "", "", "") }
+          .toDF("Name", "Value", "Default", "Type", "Description")
       case ExplainAnalyzeRe(q) => runExplainAnalyze(spark, q)
       case ExplainRe(q) => runExplain(spark, q)
       case q if InfoSchemaRe.findFirstIn(q).isDefined =>
@@ -628,6 +688,40 @@ object PrestoSql {
     """(?is)^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowFunctionsRe =
     """(?is)^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+
+  // Trino schema management → Spark databases (schema ≡ database in
+  // Spark's single-catalog model; an optional `catalog.` qualifier is
+  // accepted and dropped — documented, there is one catalog here). A
+  // created schema lands at a scratch LOCATION so reruns never collide
+  // with repo-dir warehouse state (the p4f-history lesson). WITH (...)
+  // properties on CREATE SCHEMA are connector-specific — rejected loudly.
+  private val CreateSchemaRe =
+    """(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[\w.]+)\s*$""".r
+  private val DropSchemaRe =
+    """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?("[^"]+"|[\w.]+)(\s+CASCADE|\s+RESTRICT)?\s*$""".r
+  private val UseSchemaRe =
+    """(?is)^\s*USE\s+("[^"]+"|[\w.]+)\s*$""".r
+  // COMMENT ON TABLE/COLUMN … IS '…' | NULL — Trino's documentation
+  // statements, mapped onto Spark's catalog comment storage (table
+  // comments live in TBLPROPERTIES('comment'); column comments in the
+  // schema metadata SHOW COLUMNS / DESCRIBE read back).
+  private val CommentTableRe =
+    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+("[^"]+"|[\w.]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*$""".r
+  private val CommentColumnRe =
+    """(?is)^\s*COMMENT\s+ON\s+COLUMN\s+("[^"]+"|[\w.]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*$""".r
+  // Trino `ANALYZE t` (stats collection; what SHOW STATS reads). The
+  // single-identifier form can't collide with Spark's own
+  // `ANALYZE TABLE t COMPUTE …`, which stays a passthrough.
+  private val AnalyzeTableRe =
+    """(?is)^\s*ANALYZE\s+("[^"]+"|[\w.]+)\s*$""".r
+  private val ShowSessionRe = """(?is)^\s*SHOW\s+SESSION\s*$""".r
+
+  /** Trino schema name → Spark database name: strip quoting and any
+    * catalog qualifier (keep the last dot-segment). */
+  private def schemaName(raw: String): String = {
+    val n = raw.stripPrefix("\"").stripSuffix("\"")
+    n.split('.').last
+  }
 
   private def likeFilter(names: Seq[String], like: Option[String]): Seq[String] =
     like match {
@@ -1405,7 +1499,55 @@ object PrestoSql {
       " THEN CAST(json_array_length(json_query(j, p)) AS BIGINT)" +
       " WHEN startswith(json_query(j, p), '{')" +
       " THEN CAST(size(json_object_keys(json_query(j, p))) AS BIGINT)" +
-      " ELSE CAST(0 AS BIGINT) END")
+      " ELSE CAST(0 AS BIGINT) END",
+    // Trino split_part: LITERAL delimiter (\Q…\E, like presto_split),
+    // 1-based, NULL when the index exceeds the field count (Spark's
+    // native split_part returns '' there — the silent-divergence trap),
+    // loud error on index < 1 like Trino.
+    "presto_split_part(s STRING, d STRING, n BIGINT) RETURNS STRING" +
+      " RETURN CASE WHEN n <= 0 THEN" +
+      " raise_error('split_part: index must be greater than zero')" +
+      " ELSE try_element_at(split(s, concat('\\\\Q', d, '\\\\E'))," +
+      " CAST(n AS INT)) END",
+    // Trino hamming_distance(a, b): positions with differing code
+    // points; equal length required (loud error, matching Trino's).
+    "hamming_distance(a STRING, b STRING) RETURNS BIGINT RETURN" +
+      " CASE WHEN length(a) <> length(b) THEN raise_error(" +
+      "'The input strings to hamming_distance function must have the same length')" +
+      " ELSE aggregate(zip_with(split(a, ''), split(b, '')," +
+      " (x, y) -> IF(x = y, 0L, 1L)), 0L, (acc, v) -> acc + v) END",
+    // Trino wilson_interval_lower/upper(successes, trials, z): the
+    // Wilson score bounds, written as ONE fixed expression tree so a
+    // DuckDB oracle can mirror the float arithmetic operation-for-
+    // operation (IEEE doubles are deterministic given the same
+    // association order).
+    "wilson_interval_lower(s BIGINT, n BIGINT, z DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN n <= 0 OR s < 0 OR s > n THEN raise_error(" +
+      "'wilson_interval: requires 0 <= successes <= trials, trials > 0')" +
+      " ELSE ((s + z * z / 2) / n - z / n *" +
+      " sqrt(s * (CAST(n AS DOUBLE) - s) / n + z * z / 4)) /" +
+      " (1 + z * z / n) END",
+    "wilson_interval_upper(s BIGINT, n BIGINT, z DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN n <= 0 OR s < 0 OR s > n THEN raise_error(" +
+      "'wilson_interval: requires 0 <= successes <= trials, trials > 0')" +
+      " ELSE ((s + z * z / 2) / n + z / n *" +
+      " sqrt(s * (CAST(n AS DOUBLE) - s) / n + z * z / 4)) /" +
+      " (1 + z * z / n) END",
+    // erf via Abramowitz–Stegun 7.1.26 (|error| ≤ 1.5e-7) — Spark has no
+    // builtin erf; the Horner chain keeps it one codegen expression.
+    "graft_erf(x DOUBLE) RETURNS DOUBLE RETURN" +
+      " (CASE WHEN x >= 0 THEN 1.0D ELSE -1.0D END) *" +
+      " (1 - (((((1.061405429 * (1 / (1 + 0.3275911 * abs(x)))" +
+      " - 1.453152027) * (1 / (1 + 0.3275911 * abs(x)))" +
+      " + 1.421413741) * (1 / (1 + 0.3275911 * abs(x)))" +
+      " - 0.284496736) * (1 / (1 + 0.3275911 * abs(x)))" +
+      " + 0.254829592) * (1 / (1 + 0.3275911 * abs(x))) * exp(-x * x)))",
+    // Trino normal_cdf(mean, sd, value) — Φ((v−m)/σ) via graft_erf
+    // (defined above; bodies may reference earlier list entries).
+    "normal_cdf(m DOUBLE, sd DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
+      " CASE WHEN sd > 0 THEN" +
+      " 0.5 * (1 + graft_erf((v - m) / (sd * sqrt(2))))" +
+      " ELSE raise_error('normal_cdf: standardDeviation must be > 0') END")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -1434,6 +1576,13 @@ object PrestoSql {
         udf { (flat: Seq[Double], qs: Seq[Double]) =>
           val (m, w) = QS.deserialize(flat); qs.map(QS.quantile(m, w, _))
         })
+      // Presto aggregate names Spark lacks: checksum / histogram /
+      // multimap_agg (mergeable kernels in DialectAggregators; the
+      // wrapDialectAggs pre-pass CAST-wraps arguments to varchar)
+      import graft.functions.{DialectAggregators => DA}
+      spark.udf.register("graft_checksum", udaf(DA.checksumAgg))
+      spark.udf.register("graft_histogram", udaf(DA.histogramAgg))
+      spark.udf.register("graft_multimap_agg", udaf(DA.multimapAgg))
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
@@ -1460,6 +1609,11 @@ object PrestoSql {
     // SQL-function parameters), hence the scanner.
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
+    // Trino split_part returns NULL past the last field and errors on
+    // index < 1; Spark's native builtin returns '' / supports negative
+    // indexes — the adapter pins Trino's reading (and its \Q…\E literal
+    // delimiter, like presto_split).
+    ("""(?i)\bsplit_part\s*\(""".r, "presto_split_part("),
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),
     ("""(?i)\bto_hex\s*\(""".r, "hex("),
     ("""(?i)\bfrom_hex\s*\(""".r, "unhex("),
@@ -1624,6 +1778,78 @@ object PrestoSql {
       } else { out.append(c); i += 1 }
     }
     out.toString
+  }
+
+  /** Generic bracket-matching call rewriter (scanner family of
+    * wrapNoneMatch): finds `name(args)` outside string literals and
+    * quoted identifiers — word-boundary checked, so `histogram` never
+    * fires inside `numeric_histogram` — and replaces the whole call via
+    * `build(args)`. Arguments are rewritten recursively first, so
+    * nested same-name calls translate too. */
+  private def rewriteCall(s: String, name: String)(
+      build: Seq[String] => String): String = {
+    if (!s.toLowerCase.contains(name)) return s
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+        i += 1
+      } else if (inIdent) { out.append(c); if (c == '"') inIdent = false; i += 1 }
+      else if (c == '\'') { inLit = true; out.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; out.append(c); i += 1 }
+      else if (s.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) &&
+          (i + name.length >= s.length ||
+            !(s.charAt(i + name.length).isLetterOrDigit ||
+              s.charAt(i + name.length) == '_'))) {
+        var p = i + name.length
+        while (p < s.length && s.charAt(p).isWhitespace) p += 1
+        if (p < s.length && s.charAt(p) == '(') {
+          val close = matchingClose(s, p)
+          require(close > p, s"unbalanced $name(")
+          val args = splitTopLevel(s.substring(p + 1, close), ',')
+            .map(a => rewriteCall(a.trim, name)(build))
+          out.append(build(args))
+          i = close + 1
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Presto aggregate functions Spark lacks under these names —
+    * `checksum` / `histogram` / `multimap_agg` route to the mergeable
+    * kernels registerDialect registers (arguments CAST to varchar, the
+    * documented key/value representation, same convention as
+    * approx_most_frequent); `geometric_mean` is pure algebra
+    * (exp∘avg∘ln, the a23 construction) so it inlines to builtins. */
+  private[graft] def wrapDialectAggs(s: String): String = {
+    var r = s
+    r = rewriteCall(r, "multimap_agg") { args =>
+      require(args.size == 2, s"multimap_agg takes (key, value), got ${args.size}")
+      s"graft_multimap_agg(CAST((${args(0)}) AS STRING), CAST((${args(1)}) AS STRING))"
+    }
+    r = rewriteCall(r, "histogram") { args =>
+      require(args.size == 1, s"histogram takes one argument, got ${args.size}")
+      s"graft_histogram(CAST((${args(0)}) AS STRING))"
+    }
+    r = rewriteCall(r, "checksum") { args =>
+      require(args.size == 1, s"checksum takes one argument, got ${args.size}")
+      s"graft_checksum(CAST((${args(0)}) AS STRING))"
+    }
+    r = rewriteCall(r, "geometric_mean") { args =>
+      require(args.size == 1, s"geometric_mean takes one argument, got ${args.size}")
+      s"exp(avg(ln(${args(0)})))"
+    }
+    r
   }
 
   /** Presto `map_agg(k, v)` → `map_from_entries(collect_list(struct(k,
@@ -2439,8 +2665,8 @@ object PrestoSql {
     */
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
-      rewriteArrayLiterals(rewriteUnnest(inlineSplit(prestoSql))))))
+    val s = wrapDialectAggs(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
+      rewriteArrayLiterals(rewriteUnnest(inlineSplit(prestoSql)))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -85,7 +85,9 @@ class PrestoSqlSpec extends SparkSpec {
     assert(z.getSeq[Int](1).sorted == Seq(1, 2))
   }
 
-  test("split is literal-delimiter (Presto), not regex (Spark); split_part untouched") {
+  test("split is literal-delimiter (Presto), not regex (Spark); split_part adapted") {
+    // split_part routes through the presto_split_part adapter (r8):
+    // Trino returns NULL past the last field where Spark returns ''
     val df = PrestoSql.sql(spark, "SELECT split('a.b.c', '.') AS parts, split_part('a.b.c', '.', 2) AS p2")
     val r = df.collect()(0)
     assert(r.getSeq[String](0) == Seq("a", "b", "c"))
@@ -1193,6 +1195,150 @@ class PrestoSqlSpec extends SparkSpec {
       "Argument Types", "Function Type", "Deterministic", "Description"))
     PrestoSql.script(spark,
       "DROP VIEW IF EXISTS pv_top; DROP TABLE IF EXISTS pv_base")
+  }
+
+  test("split_part / hamming_distance follow Trino semantics") {
+    assert(PrestoSql.translate("SELECT split_part(s, '.', 2)")
+      == "SELECT presto_split_part(s, '.', 2)")
+    val r = PrestoSql.sql(spark,
+      """SELECT split_part('a.b.c', '.', 2) AS mid,
+        |  split_part('a.b.c', '.', 9) AS oob,
+        |  split_part('a|b', '|', 2) AS meta,
+        |  hamming_distance('karolin', 'kathrin') AS hd,
+        |  hamming_distance('', '') AS hd0""".stripMargin).collect().head
+    assert(r.getString(0) == "b")
+    assert(r.isNullAt(1)) // Trino: NULL past the last field (Spark: '')
+    assert(r.getString(2) == "b") // '|' is a literal delimiter, not regex
+    assert(r.getLong(3) == 3)
+    assert(r.getLong(4) == 0)
+    val err = intercept[Exception] {
+      PrestoSql.sql(spark, "SELECT split_part('a.b', '.', 0)").collect()
+    }
+    assert(err.getMessage.contains("greater than zero"))
+    val lenErr = intercept[Exception] {
+      PrestoSql.sql(spark, "SELECT hamming_distance('ab', 'abc')").collect()
+    }
+    assert(lenErr.getMessage.contains("same length"))
+  }
+
+  test("wilson intervals and normal_cdf evaluate to the published values") {
+    val r = PrestoSql.sql(spark,
+      """SELECT wilson_interval_lower(250, 1000, 1.96) AS wl,
+        |  wilson_interval_upper(250, 1000, 1.96) AS wu,
+        |  normal_cdf(0.0, 1.0, 0.0) AS phi0,
+        |  normal_cdf(0.0, 1.0, 1.96) AS phi196,
+        |  normal_cdf(10.0, 2.0, 12.0) AS phi1""".stripMargin).collect().head
+    // Wilson bounds for 250/1000 at z=1.96: ≈ [0.224153, 0.277756]
+    assert(math.abs(r.getDouble(0) - 0.224153) < 1e-4, r.getDouble(0))
+    assert(math.abs(r.getDouble(1) - 0.277756) < 1e-4, r.getDouble(1))
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-6) // A&S 7.1.26: |err| ≤ 1.5e-7
+    assert(math.abs(r.getDouble(3) - 0.9750021) < 1e-5, r.getDouble(3))
+    assert(math.abs(r.getDouble(4) - 0.8413447) < 1e-5, r.getDouble(4))
+  }
+
+  test("checksum / histogram / multimap_agg / geometric_mean aggregate forms") {
+    assert(PrestoSql.wrapDialectAggs("SELECT geometric_mean(x) FROM t")
+      == "SELECT exp(avg(ln(x))) FROM t")
+    // numeric_histogram must NOT fire the histogram rewrite
+    assert(PrestoSql.wrapDialectAggs("SELECT numeric_histogram(10, x)")
+      == "SELECT numeric_histogram(10, x)")
+    Tables.registerAll(spark, sf)
+    // histogram: exact value→count map (varchar keys — documented)
+    val h = PrestoSql.sql(spark,
+      """SELECT histogram("n_regionkey") AS h FROM nation""")
+      .collect().head.getMap[String, Long](0)
+    assert((0 to 4).forall(k => h(k.toString) == 5L))
+    // multimap_agg: key → all values, grouped run
+    val mm = PrestoSql.sql(spark,
+      """SELECT "n_regionkey" AS rk, multimap_agg("n_regionkey", "n_name") AS m
+        |FROM nation WHERE "n_regionkey" <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(mm.length == 2)
+    val m0 = mm.head.getMap[String, scala.collection.Seq[String]](1)
+    assert(m0("0").size == 5 && m0("0") == m0("0").sorted)
+    // checksum: order-insensitive (same digest under opposite input
+    // orders), value-sensitive (digest changes when one row changes)
+    val c1 = PrestoSql.sql(spark,
+      """SELECT checksum("n_name") AS c
+        |FROM (SELECT * FROM nation ORDER BY "n_nationkey")""".stripMargin)
+      .collect().head.getString(0)
+    val c2 = PrestoSql.sql(spark,
+      """SELECT checksum("n_name") AS c
+        |FROM (SELECT * FROM nation ORDER BY "n_nationkey" DESC)""".stripMargin)
+      .collect().head.getString(0)
+    val c3 = PrestoSql.sql(spark,
+      """SELECT checksum(concat("n_name", '!')) AS c FROM nation""")
+      .collect().head.getString(0)
+    assert(c1 == c2)
+    assert(c1 != c3)
+    // geometric_mean end-to-end equals the exp∘avg∘ln construction
+    val gm = PrestoSql.sql(spark,
+      """SELECT geometric_mean("c_acctbal" + 10000.0) AS g FROM customer""")
+      .collect().head.getDouble(0)
+    val direct = spark.sql(
+      "SELECT exp(avg(ln(c_acctbal + 10000.0))) FROM customer")
+      .collect().head.getDouble(0)
+    assert(gm == direct)
+  }
+
+  test("schema management: CREATE/USE/DROP SCHEMA, COMMENT ON, ANALYZE, SHOW SESSION") {
+    Tables.registerAll(spark, sf)
+    val sch = "graft_spec_schema_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    // CREATE SCHEMA + USE + a table inside it + comments + stats
+    val r = PrestoSql.script(spark,
+      s"""CREATE SCHEMA IF NOT EXISTS $sch;
+         |USE $sch;
+         |DROP TABLE IF EXISTS cm_demo;
+         |CREATE TABLE cm_demo AS
+         |  SELECT "n_nationkey" AS k, "n_name" AS name FROM nation;
+         |COMMENT ON TABLE cm_demo IS 'nation copy';
+         |COMMENT ON COLUMN cm_demo.k IS 'nation key';
+         |ANALYZE cm_demo;
+         |SELECT COUNT(*) AS n FROM $sch.cm_demo""".stripMargin)
+    assert(r.collect().head.getLong(0) == 25)
+    // the schema is a real database; the table landed inside it
+    assert(spark.catalog.databaseExists(sch))
+    assert(spark.catalog.tableExists(s"$sch.cm_demo"))
+    // table comment via catalog properties, column comment via schema
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"$sch.cm_demo"))
+    assert(meta.comment.contains("nation copy") ||
+      meta.properties.get("comment").contains("nation copy"))
+    val kField = spark.table(s"$sch.cm_demo").schema("k")
+    assert(kField.getComment().contains("nation key"))
+    // SHOW COLUMNS (Trino shape) surfaces the column comment
+    val cols = PrestoSql.script(spark, s"SHOW COLUMNS FROM $sch.cm_demo")
+      .collect().map(row => row.getString(0) -> row.getString(3)).toMap
+    assert(cols("k") == "nation key")
+    // ANALYZE fed the stats SHOW STATS reads
+    val stats = PrestoSql.script(spark, s"SHOW STATS FOR $sch.cm_demo")
+      .collect()
+    val kRow = stats.find(row => row.getString(0) == "k").get
+    assert(kRow.getDouble(2) == 25.0) // distinct_values_count
+    // the current database was restored after the script's USE
+    assert(spark.catalog.currentDatabase != sch)
+    // catalog qualifiers are accepted and dropped on USE
+    PrestoSql.script(spark,
+      s"USE spark_catalog.$sch; SELECT COUNT(*) AS n FROM cm_demo")
+      .collect().head.getLong(0) match { case n => assert(n == 25) }
+    // SHOW SESSION renders recorded SET SESSION properties
+    val sess = PrestoSql.script(spark,
+      """SET SESSION query_max_run_time = '2h';
+        |SHOW SESSION""".stripMargin).collect()
+    assert(sess.head.schema.fieldNames.toSeq ==
+      Seq("Name", "Value", "Default", "Type", "Description"))
+    assert(sess.exists(row => row.getString(0) == "query_max_run_time" &&
+      row.getString(1) == "2h"))
+    PrestoSql.script(spark, "RESET SESSION query_max_run_time")
+    // DROP SCHEMA: RESTRICT (default) fails on a non-empty schema,
+    // CASCADE removes it
+    val restrictErr = intercept[Exception] {
+      PrestoSql.script(spark, s"DROP SCHEMA $sch")
+    }
+    assert(restrictErr.getMessage != null)
+    PrestoSql.script(spark, s"DROP SCHEMA IF EXISTS $sch CASCADE")
+    assert(!spark.catalog.databaseExists(sch))
   }
 
   test("qdigest family: translation + grouped sketches + rollup accuracy") {

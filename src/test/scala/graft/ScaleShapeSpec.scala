@@ -279,6 +279,27 @@ class ScaleShapeSpec extends SparkSpec {
     // and its input is the tiny per-pid Aggregate, never the scan)
   }
 
+  test("l33 shard totals are balanced within the LPT-shaped bound") {
+    val shards = ops.LlmOps.queries("l33_shard_balance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shards.length == 16)
+    assert(shards.map(_._1).sorted.toSeq == (0L until 16L).toSeq)
+    // every document is in exactly one shard
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(count(lit(1)), sum(col("n"))).collect().head
+    assert(shards.map(_._2).sum == docs.getLong(0))
+    assert(shards.map(_._3).sum == docs.getLong(1))
+    // balance: the boustrophedon stripe over the size-descending rank
+    // keeps the max−min token spread within the largest single document
+    // (the LPT-style bound — one misplaced largest item is the worst
+    // case); at sf0.01 the real spread is far tighter
+    val maxDoc = Tables.documents(spark, sf)
+      .select(max(size(split(col("text"), " ")).cast("long"))).collect().head.getLong(0)
+    val spread = shards.map(_._3).max - shards.map(_._3).min
+    assert(spread <= maxDoc, s"spread $spread > largest doc $maxDoc")
+  }
+
   test("s14 bucketed join plans with zero pre-join Exchange") {
     // force the SMJ path: at spec scale the dim side broadcasts (which
     // ignores bucketing); at 100 TB both sides are fact tables
