@@ -245,6 +245,24 @@ object Etl extends QueryModule {
           |ORDER BY "source"""".stripMargin)
     }),
 
+    // P2j: SQL:2016 LISTAGG — the standard ordered-string-concat syntax
+    // Trino ships (and the form migration scripts carry); translates
+    // onto the ordered array_agg comparator machinery + array_join
+    // (which skips NULLs exactly like LISTAGG). Oracle = DuckDB's
+    // string_agg(x, sep ORDER BY …).
+    "p2j_presto_listagg" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_regionkey" AS rk,
+          |  LISTAGG("n_name", '|') WITHIN GROUP (ORDER BY "n_name") AS names,
+          |  LISTAGG("n_name", ',' ON OVERFLOW ERROR)
+          |    WITHIN GROUP (ORDER BY "n_nationkey" DESC) AS by_key_desc,
+          |  COUNT(*) AS n
+          |FROM nation
+          |GROUP BY "n_regionkey"
+          |ORDER BY rk""".stripMargin)
+    }),
+
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
     // one parameterized statement (named :run_day placeholder, bound as a
     // typed literal after dialect translation) executed once per day,
@@ -804,6 +822,13 @@ object Etl extends QueryModule {
         |  CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT) AS pos
         |FROM documents WHERE doc_id < 40
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "p2j_presto_listagg" ->
+      """SELECT n_regionkey AS rk,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS names,
+        |  string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS by_key_desc,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
 
     "p2i_presto_fn_extras" ->
       // the Wilson bounds mirror the SQL-function body operation-for-

@@ -279,6 +279,7 @@ object PrestoSql {
       ShowTablesRe.findFirstIn(st).isDefined ||
       ShowColumnsRe.findFirstIn(st).isDefined ||
       ExecuteRe.findFirstIn(st).isDefined ||
+      DescribeOutputRe.findFirstIn(st).isDefined ||
       ShowPartitionsRe.findFirstIn(st).isDefined ||
       CreateViewRe.findFirstIn(st).isDefined ||
       ShowCreateViewRe.findFirstIn(st).isDefined ||
@@ -410,6 +411,8 @@ object PrestoSql {
       case DeallocateRe(name) =>
         spark.conf.unset(s"graft.presto.prepared.$name")
         statusDf(spark, "DEALLOCATE")
+      case DescribeOutputRe(name) => runDescribeOutput(spark, name)
+      case DescribeInputRe(name) => runDescribeInput(spark, name)
       case SetSessionRe(k, v) =>
         // accepted and RECORDED (namespaced conf key a caller can read
         // back), not mapped: Trino session properties govern a different
@@ -671,6 +674,84 @@ object PrestoSql {
     """(?is)^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*$""".r
   private val DeallocateRe =
     """(?is)^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$""".r
+  private val DescribeOutputRe =
+    """(?is)^\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*$""".r
+  private val DescribeInputRe =
+    """(?is)^\s*DESCRIBE\s+INPUT\s+(\w+)\s*$""".r
+
+  /** Replace each `?` placeholder outside string literals / quoted
+    * identifiers with `repl` (planning-only substitution). */
+  private def substituteParams(s: String, repl: String): String = {
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) { out.append(c); if (c == '"') inIdent = false }
+      else c match {
+        case '\'' => inLit = true; out.append(c)
+        case '"' => inIdent = true; out.append(c)
+        case '?' => out.append(repl)
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** `DESCRIBE OUTPUT name` — Trino's prepared-statement output shape
+    * (Column Name, Catalog, Schema, Table, Type, Type Size, Aliased).
+    * The statement is PLANNED, never executed: `?` parameters bind as
+    * NULL for analysis. Column provenance (catalog/schema/table) is not
+    * tracked through Spark's resolved plan → rendered empty; Type Size
+    * is -1 for variable-width types, both documented. */
+  private def runDescribeOutput(spark: SparkSession, name: String): DataFrame = {
+    val text = spark.conf.getOption(s"graft.presto.prepared.$name").getOrElse(
+      throw new IllegalArgumentException(s"no prepared statement '$name'"))
+    val schema = spark.sql(prepare(spark, substituteParams(text, "NULL"))).schema
+    val s2 = spark; import s2.implicits._
+    schema.fields.toSeq
+      .map(f => (f.name, "", "", "", toPrestoType(f.dataType), -1L, true))
+      .toDF("Column Name", "Catalog", "Schema", "Table", "Type",
+        "Type Size", "Aliased")
+  }
+
+  /** `DESCRIBE INPUT name` — one row per `?` parameter (Position, Type).
+    * Parameter types are not inferred (Trino itself reports `unknown`
+    * for undetermined parameters); positions are 0-based like Trino. */
+  private def runDescribeInput(spark: SparkSession, name: String): DataFrame = {
+    val text = spark.conf.getOption(s"graft.presto.prepared.$name").getOrElse(
+      throw new IllegalArgumentException(s"no prepared statement '$name'"))
+    var n = 0
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inLit) {
+        if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+          else inLit = false
+        }
+      } else if (inIdent) { if (c == '"') inIdent = false }
+      else c match {
+        case '\'' => inLit = true
+        case '"' => inIdent = true
+        case '?' => n += 1
+        case _ =>
+      }
+      i += 1
+    }
+    val s2 = spark; import s2.implicits._
+    (0 until n).map(p => (p.toLong, "unknown")).toDF("Position", "Type")
+  }
 
   private val SetSessionRe =
     """(?is)^\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*$""".r
@@ -1780,6 +1861,75 @@ object PrestoSql {
     out.toString
   }
 
+  /** SQL:2016 `LISTAGG(x [, 'sep' [ON OVERFLOW ERROR]]) WITHIN GROUP
+    * (ORDER BY …)` (Trino ships it) → `array_join` over the ordered
+    * array_agg rewrite — which already handles multi-key ASC / DESC /
+    * NULLS FIRST/LAST comparators — so this pass only consumes the
+    * WITHIN GROUP suffix and re-emits the inner aggregate; it must run
+    * BEFORE rewriteArrayAgg in the translate chain. NULL values drop
+    * out in array_join exactly like LISTAGG skips them. ON OVERFLOW
+    * TRUNCATE is rejected loudly (this engine never truncates). */
+  private[graft] def rewriteListagg(s: String): String = {
+    if (!s.toLowerCase.contains("listagg")) return s
+    val name = "listagg"
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+        i += 1
+      } else if (inIdent) { out.append(c); if (c == '"') inIdent = false; i += 1 }
+      else if (c == '\'') { inLit = true; out.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; out.append(c); i += 1 }
+      else if (s.regionMatches(true, i, name, 0, name.length) &&
+          (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) && {
+            var p = i + name.length
+            while (p < s.length && s.charAt(p).isWhitespace) p += 1
+            p < s.length && s.charAt(p) == '('
+          }) {
+        var p = i + name.length
+        while (s.charAt(p).isWhitespace) p += 1
+        val close = matchingClose(s, p)
+        require(close > p, "unbalanced listagg(")
+        val args = splitTopLevel(s.substring(p + 1, close), ',').map(_.trim)
+        require(args.nonEmpty && args.size <= 2,
+          s"listagg takes (value [, separator]), got ${args.size} arguments")
+        val value = rewriteListagg(args(0))
+        val sep =
+          if (args.size == 2) {
+            val sp = args(1)
+            require("""(?is)\bON\s+OVERFLOW\s+TRUNCATE\b""".r
+              .findFirstIn(sp).isEmpty,
+              "LISTAGG ON OVERFLOW TRUNCATE is not supported (results are never truncated)")
+            """(?is)\s+ON\s+OVERFLOW\s+ERROR\s*$""".r.replaceFirstIn(sp, "")
+          } else "''"
+        var q = close + 1
+        while (q < s.length && s.charAt(q).isWhitespace) q += 1
+        val wg = """(?is)^WITHIN\s+GROUP\s*""".r
+          .findFirstIn(s.substring(q))
+          .getOrElse(throw new IllegalArgumentException(
+            "LISTAGG requires WITHIN GROUP (ORDER BY …)"))
+        q += wg.length
+        require(q < s.length && s.charAt(q) == '(',
+          "LISTAGG WITHIN GROUP needs (ORDER BY …)")
+        val wgClose = matchingClose(s, q)
+        val spec = s.substring(q + 1, wgClose).trim
+        require("""(?is)^ORDER\s+BY\s""".r.findFirstIn(spec).isDefined,
+          "LISTAGG WITHIN GROUP needs ORDER BY")
+        out.append(s"array_join(array_agg($value $spec), $sep)")
+        i = wgClose + 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Generic bracket-matching call rewriter (scanner family of
     * wrapNoneMatch): finds `name(args)` outside string literals and
     * quoted identifiers — word-boundary checked, so `histogram` never
@@ -2666,7 +2816,8 @@ object PrestoSql {
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
     val s = wrapDialectAggs(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
-      rewriteArrayLiterals(rewriteUnnest(inlineSplit(prestoSql)))))))
+      rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
+        inlineSplit(prestoSql))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

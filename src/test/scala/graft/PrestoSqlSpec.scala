@@ -1281,6 +1281,54 @@ class PrestoSqlSpec extends SparkSpec {
     assert(gm == direct)
   }
 
+  test("LISTAGG WITHIN GROUP translates onto ordered array_agg + array_join") {
+    assert(PrestoSql.rewriteListagg(
+      "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY y DESC) FROM t")
+      == "SELECT array_join(array_agg(x ORDER BY y DESC), ',') FROM t")
+    // separator defaults to '' and ON OVERFLOW ERROR is accepted
+    assert(PrestoSql.rewriteListagg(
+      "SELECT listagg(x) WITHIN GROUP (ORDER BY y)")
+      == "SELECT array_join(array_agg(x ORDER BY y), '')")
+    val truncErr = intercept[IllegalArgumentException] {
+      PrestoSql.rewriteListagg(
+        "SELECT listagg(x, ',' ON OVERFLOW TRUNCATE) WITHIN GROUP (ORDER BY y)")
+    }
+    assert(truncErr.getMessage.contains("TRUNCATE"))
+    val noWg = intercept[IllegalArgumentException] {
+      PrestoSql.rewriteListagg("SELECT listagg(x, ',') FROM t")
+    }
+    assert(noWg.getMessage.contains("WITHIN GROUP"))
+    // end to end: NULL values are skipped, multi-char separators work
+    Tables.registerAll(spark, sf)
+    val r = PrestoSql.sql(spark,
+      """SELECT LISTAGG(CASE WHEN "n_nationkey" % 2 = 0 THEN "n_name" END, ' ~ ')
+        |    WITHIN GROUP (ORDER BY "n_nationkey") AS evens
+        |FROM nation WHERE "n_regionkey" = 0""".stripMargin).collect().head
+    val evens = r.getString(0).split(" ~ ").toSeq
+    assert(evens.nonEmpty && !evens.contains("null"))
+  }
+
+  test("DESCRIBE OUTPUT / DESCRIBE INPUT render prepared-statement metadata") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """PREPARE d1 FROM SELECT "n_name" AS nm, COUNT(*) AS n
+        |  FROM nation WHERE "n_regionkey" = ? GROUP BY "n_name";
+        |DESCRIBE OUTPUT d1""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getString(4))).toSeq ==
+      Seq(("nm", "varchar"), ("n", "bigint")))
+    assert(out.head.schema.fieldNames.toSeq == Seq("Column Name", "Catalog",
+      "Schema", "Table", "Type", "Type Size", "Aliased"))
+    val in = PrestoSql.script(spark,
+      """PREPARE d2 FROM SELECT * FROM nation
+        |  WHERE "n_regionkey" = ? AND "n_name" <> '?' AND "n_nationkey" < ?;
+        |DESCRIBE INPUT d2""".stripMargin).collect()
+    // two real parameters; the '?' inside the literal is data, not a param
+    assert(in.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(in.forall(_.getString(1) == "unknown"))
+    PrestoSql.script(spark,
+      "DEALLOCATE PREPARE d1; DEALLOCATE PREPARE d2")
+  }
+
   test("schema management: CREATE/USE/DROP SCHEMA, COMMENT ON, ANALYZE, SHOW SESSION") {
     Tables.registerAll(spark, sf)
     val sch = "graft_spec_schema_" +
