@@ -135,7 +135,13 @@ object Bench {
         org.apache.spark.sql.functions.col("r_regionkey") ===
         org.apache.spark.sql.functions.col("n_regionkey"))
       .groupBy("r_name").count().count()
-    val (results, errors) = run(spark, sfDir, SparkEntry.queries, reps)
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so the gate always benches the full set
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val (results, errors) = run(spark, sfDir, picked, reps)
     val full = fullJson(results, errors, sfDir)
     System.err.println(s"[bench] full: $full")
     try java.nio.file.Files.write(

@@ -259,6 +259,36 @@ object Events extends QueryModule {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // E16: SESSION WINDOWS under a real streaming execution (the third
+    // gated streaming proof next to e1b's tumbling aggregate and e10's
+    // upsert sink): EventStreams.sessionCounts runs as a genuine
+    // multi-micro-batch query — sessions MERGE across micro-batches in
+    // the session-window state store (two files per trigger over a
+    // random 4-way split, so most sessions see events from different
+    // triggers) — and the per-user rollup of the final table must equal
+    // the batch session_window answer (e14's oracle) under ANY
+    // batching. Complete mode keeps all session state, which is what
+    // makes the cross-batch merge oracle-exact.
+    "e16_stream_session" -> ((s, d) => {
+      val batch = Tables.events(s, d)
+      val base = Sources.scratch("graft_e16")
+      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val qn = "graft_e16_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.sessionCounts(stream)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_total"))
+        .orderBy(col("user_id"))
+    }),
+
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
     // missing #5) — the foreachBatch keyed-upsert sink run as a real
     // Structured Streaming query over a file source (one file per
@@ -626,6 +656,29 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e16_stream_session" ->
+      // identical derivation to e14's oracle — the streaming execution
+      // must land on the batch session answer under any micro-batching
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e14_session_window" ->
       """WITH flagged AS (

@@ -1375,9 +1375,15 @@ object LlmOps extends QueryModule {
     "l32_pq_adc" -> ((s, d) => {
       val K = 16
       val e = Tables.embeddings(s, d)
+      // materialized ONCE: three assign passes (2 Lloyd rounds + the
+      // final encode) would otherwise each re-scan and re-explode the
+      // corpus — at 100 TB this is the "write the training sample out
+      // first" step, here a localCheckpoint of the (id, m, subvector)
+      // pairs
       val subs = e.select(col("vec_id"), posexplode(expr(
           "transform(sequence(0, 7), m -> slice(embedding, m * 8 + 1, 8))")))
         .toDF("vec_id", "m", "sub")
+        .localCheckpoint()
 
       def centArr(c: DataFrame) = c.agg(array_sort(collect_list(struct(
         col("m"), col("k"), col("cf")))).as("cents"))

@@ -1690,6 +1690,18 @@ object PrestoSql {
     // SQL-function parameters), hence the scanner.
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
+    // ANSI FETCH FIRST/NEXT n ROWS ONLY → LIMIT (Trino ships both
+    // spellings; Spark only LIMIT). OFFSET passes through (Spark 3.4+).
+    // WITH TIES is rejected loudly in translate() — silently dropping
+    // the ties clause would change results.
+    // Trino clause order is OFFSET-then-FETCH; Spark's is LIMIT-then-
+    // OFFSET — the combined forms swap, then the standalone ones map.
+    ("""(?i)\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r,
+      "LIMIT $2 OFFSET $1"),
+    ("""(?i)\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+ROWS?\s+ONLY""".r,
+      "LIMIT 1 OFFSET $1"),
+    ("""(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r, "LIMIT $1"),
+    ("""(?i)\bFETCH\s+(?:FIRST|NEXT)\s+ROWS?\s+ONLY""".r, "LIMIT 1"),
     // Trino split_part returns NULL past the last field and errors on
     // index < 1; Spark's native builtin returns '' / supports negative
     // indexes — the adapter pins Trino's reading (and its \Q…\E literal
@@ -2814,6 +2826,14 @@ object PrestoSql {
     * consumed by the regex BEFORE segmentation (see translate body).
     */
   def translate(prestoSql: String): String = {
+    // FETCH FIRST … WITH TIES has no LIMIT equivalent — rewriting to a
+    // plain LIMIT would silently drop ties; fail loudly instead. (The
+    // scan is textual, so the phrase inside a string literal also
+    // trips it — documented limit, rename the literal.)
+    require("""(?i)\bFETCH\s+(?:FIRST|NEXT)\b[\s\S]*?\bWITH\s+TIES\b""".r
+      .findFirstIn(prestoSql).isEmpty,
+      "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
+        "use a rank() window filter)")
     val out = new StringBuilder
     val s = wrapDialectAggs(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
       rewriteListagg(rewriteArrayLiterals(rewriteUnnest(

@@ -991,7 +991,11 @@ class PrestoSqlSpec extends SparkSpec {
         |    WHEN l > r THEN 1 ELSE 0 END) AS asrt,
         |  map_keys(MAP(ARRAY['k'], ARRAY[1])) AS mk,
         |  greatest(1, 2, 3) AS g,
-        |  typeof(1.5e0) AS ty""".stripMargin).collect().head
+        |  typeof(1.5e0) AS ty,
+        |  translate('abcba', 'ab', 'xy') AS tr,
+        |  soundex('Robert') AS sx,
+        |  concat_ws('-', 'a', 'b', 'c') AS cw,
+        |  every(true) AS ev""".stripMargin).collect().head
     assert(r.getInt(0) == 3)
     assert(r.getString(1) == "b" && r.getString(2) == "b")
     assert(r.isNullAt(3))
@@ -1006,6 +1010,27 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getSeq[String](12) == Seq("k"))
     assert(r.getInt(13) == 3)
     assert(r.getString(14) == "double")
+    assert(r.getString(15) == "xycyx")
+    assert(r.getString(16) == "R163")
+    assert(r.getString(17) == "a-b-c")
+    assert(r.getBoolean(18))
+  }
+
+  test("FETCH FIRST maps to LIMIT; WITH TIES fails loudly; OFFSET passes through") {
+    assert(PrestoSql.translate("SELECT * FROM t FETCH FIRST 5 ROWS ONLY")
+      == "SELECT * FROM t LIMIT 5")
+    assert(PrestoSql.translate("SELECT * FROM t OFFSET 2 FETCH NEXT ROW ONLY")
+      == "SELECT * FROM t LIMIT 1 OFFSET 2")
+    val ties = intercept[IllegalArgumentException] {
+      PrestoSql.translate("SELECT * FROM t FETCH FIRST 5 ROWS WITH TIES")
+    }
+    assert(ties.getMessage.contains("WITH TIES"))
+    Tables.registerAll(spark, sf)
+    val rows = PrestoSql.sql(spark,
+      """SELECT "n_nationkey" AS k FROM nation
+        |ORDER BY "n_nationkey" OFFSET 3 FETCH FIRST 2 ROWS ONLY""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(3, 4))
   }
 
   test("MAP(ARRAY[...], ARRAY[...]) and ROW(...) constructors translate") {
