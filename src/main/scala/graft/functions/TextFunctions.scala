@@ -86,4 +86,29 @@ object TextFunctions {
     aggregate(codes, lit(0L),
       (acc, c) => (acc * 31L + c.cast("long")) % lit(4503599627370496L))
   }
+
+  /** Polynomial hash (base 31, mod 2⁵²) of every k-word gram of `words`
+    * — ≥ 1 gram even for short inputs (the charShingles clamp). Engine-
+    * portable: DuckDB's list_reduce over the same arithmetic folds to
+    * identical values (l9's equivalence: a first-element fold equals a
+    * 0-initialized one under this hash). */
+  def kgramHashes(words: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      i => aggregate(
+        split(array_join(slice(words, i, lit(k)), " "), ""),
+        lit(0L),
+        (acc, c) => (acc * 31L + ascii(c).cast("long")) %
+          lit(4503599627370496L)))
+
+  /** Winnowing selection (Schleimer, Wilkerson, Aiken 2003): the min
+    * hash of every w-wide window, deduped and sorted — any shared run
+    * of ≥ k+w−1 tokens between two documents shares ≥ 1 selected
+    * fingerprint, at ~2/(w+1) density. Leftmost-min tie-break (robust
+    * winnowing's rightmost rule is a documented divergence; the
+    * guarantee holds for any fixed rule). */
+  def winnow(hashes: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      j => array_min(slice(hashes, j, lit(w))))))
 }

@@ -1459,6 +1459,39 @@ object LlmOps extends QueryModule {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // L34: winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    // the MOSS algorithm): per document, hash every 4-word k-gram with
+    // the repo's engine-portable polynomial rolling hash, then keep the
+    // MINIMUM hash of every 4-gram window — the winnowing guarantee is
+    // that any match of ≥ k+w−1 tokens between two documents shares at
+    // least one selected fingerprint, at a fixed ~2/(w+1) sampling
+    // density. The selected set (sorted, deduped) is THE near-dup /
+    // plagiarism index real pipelines build; l22's shingle
+    // decontamination is the dense-index cousin, this is the sampled
+    // one.
+    //
+    // Scale design: the whole operator is ONE scan-stage projection —
+    // tokens, k-gram hashes, and window minima are per-row array
+    // expressions inside whole-stage codegen; nothing shuffles until a
+    // consumer groups by fingerprint. Exact by construction (integer
+    // polynomial hash mod 2⁵², mirrored operation-for-operation in
+    // DuckDB), so the full fingerprint SETS are under the hash gate,
+    // not just counts. Leftmost-min tie-break (Schleimer's robust
+    // winnowing picks rightmost; any fixed rule gives the guarantee —
+    // documented).
+    "l34_winnowing" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 120)
+        .withColumn("ws", TF.wordTokens(col("text")))
+        .withColumn("hs", TF.kgramHashes(col("ws"), 4))
+        .withColumn("fps", TF.winnow(col("hs"), 4))
+        .select(col("doc_id"),
+          size(col("hs")).cast("long").as("n_grams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          expr("array_join(transform(fps, x -> cast(x as string)), ',')")
+            .as("fp_list"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L33: token-balanced output sharding — the write-side sibling of
     // l19/l31: a preprocessed corpus lands in S output shards whose
     // TOKEN totals (not file counts) are near-equal, so every
@@ -2034,6 +2067,33 @@ object LlmOps extends QueryModule {
         |  cum_before // 2048 AS block_id,
         |  cum_before % 2048 AS block_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "l34_winnowing" ->
+      // the same k-gram polynomial hash and window-min selection,
+      // mirrored in DuckDB list functions (list_reduce folds from the
+      // first element — identical to aggregate's 0-init under this
+      // hash, the l9 equivalence)
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE doc_id < 120),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(ws) - 3, 1)), i ->
+        |      list_reduce(list_transform(
+        |          str_split(array_to_string(list_slice(ws, i, i + 3), ' '), ''),
+        |          c -> CAST(ascii(c) AS BIGINT)),
+        |        (a, b) -> (a * 31 + b) % 4503599627370496)) AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+        |    list_sort(list_distinct(
+        |      list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |        j -> list_min(list_slice(hs, j, j + 3))))) AS fps
+        |  FROM h)
+        |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  array_to_string(fps, ',') AS fp_list
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "l33_shard_balance" ->
       // the boustrophedon stripe re-derived over DuckDB's global

@@ -326,4 +326,29 @@ class TextFunctionsSpec extends SparkSpec {
     val m = df.as[(Long, Long)].collect().toMap
     assert(m(1L) == m(2L) && m(1L) != m(3L))
   }
+
+  test("winnowing guarantee: a shared k+w-1 token run shares a fingerprint (L34)") {
+    // k = 4, w = 4 ⇒ any shared run of ≥ 7 tokens must intersect
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing"  // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two $shared three four five six seven"),
+      (3L, "entirely different words with no overlap at all here today"))
+      .toDF("id", "t")
+      .select($"id",
+        TF.winnow(TF.kgramHashes(TF.wordTokens($"t"), 4), 4).as("fps"))
+    val m = docs.as[(Long, Seq[Long])].collect().toMap
+    assert((m(1L).toSet & m(2L).toSet).nonEmpty,
+      "docs sharing a 7-token run must share a fingerprint")
+    assert((m(1L).toSet & m(3L).toSet).isEmpty,
+      "no shared grams, no shared fingerprints")
+    // density: selected ≤ grams, and both docs selected at least one
+    assert(m.values.forall(_.nonEmpty))
+    // determinism across evaluation
+    val m2 = Seq((9L, s"alpha beta gamma $shared delta epsilon")).toDF("id", "t")
+      .select($"id",
+        TF.winnow(TF.kgramHashes(TF.wordTokens($"t"), 4), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().head._2
+    assert(m2 == m(1L))
+  }
 }
