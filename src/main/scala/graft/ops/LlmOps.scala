@@ -1459,6 +1459,145 @@ object LlmOps extends QueryModule {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // L35: IVF-PQ — the composed FAISS IndexIVFPQ stack (Jégou et al.
+    // 2011) that l3b (coarse IVF) and l32 (PQ-ADC) each pin alone:
+    // a label-seeded coarse quantizer routes every vector to one of ~10
+    // cells; PQ codebooks are trained on the RESIDUALS (x − cell
+    // centroid — the residual trick is what makes 8-byte codes usable
+    // at cell granularity); queries probe their 2 nearest cells, ADC-
+    // score the probed cells' CODES against the per-cell query
+    // residual, and the top-20 shortlist re-ranks exactly (raw vectors
+    // fetched for 20 rows per query, never the corpus).
+    //
+    // Scale design, composed from the parents': coarse assignment and
+    // encoding are scan-stage over broadcast centroids/codebooks (the
+    // corpus never shuffles to be clustered or encoded); the search
+    // reads 8-byte codes for 2/10ths of the corpus per query; exact
+    // re-rank touches 20 rows per query. No oracle BY DESIGN
+    // (two nested k-means loops — the l4d/l32 policy); PqSpec pins
+    // recall@5 vs exact L2, probe locality, and determinism.
+    "l35_ivfpq" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val e = Tables.embeddings(s, d)
+
+      // ---- coarse quantizer: l3b's label-seeded k-means, 2 rounds ----
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.groupBy(col("cid"))
+          .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+      def assignCoarse(cent: DataFrame): DataFrame = {
+        val centArr = cent.agg(array_sort(collect_list(struct(
+          col("cid"), col("cvec").cast("array<float>").as("cf")))).as("cents"))
+        e.crossJoin(broadcast(centArr))
+          .withColumn("cid", expr(
+            """aggregate(
+              |  transform(cents, c -> named_struct('cid', c.cid, 's', cosine_sim(embedding, c.cf))),
+              |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
+              |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
+          .select(col("vec_id"), col("embedding"), col("cid"))
+      }
+      var cent = e.groupBy(col("label").cast("long").as("cid"))
+        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+      for (_ <- 1 to 2) {
+        val next = recompute(assignCoarse(cent)).persist()
+        next.count()
+        cent.unpersist()
+        cent = next
+      }
+      val centF = cent.select(col("cid"),
+        col("cvec").cast("array<float>").as("cf"))
+
+      // ---- residuals, exploded into 8 subspaces (l32's shape) ----
+      val subs = assignCoarse(cent).join(broadcast(centF), "cid")
+        .select(col("vec_id"), col("cid"),
+          expr("zip_with(embedding, cf, (x, y) -> x - y)").as("rvec"))
+        .select(col("vec_id"), col("cid"), posexplode(expr(
+          "transform(sequence(0, 7), m -> slice(rvec, m * 8 + 1, 8))")))
+        .toDF("vec_id", "cid", "m", "sub")
+        .localCheckpoint()
+
+      // ---- PQ codebooks on residuals: 8 × 16, 2 Lloyd rounds ----
+      val K = 16
+      def pqArr(c: DataFrame) = c.agg(array_sort(collect_list(struct(
+        col("m"), col("k"), col("pf")))).as("pqcents"))
+      val assignK =
+        """aggregate(
+          |  transform(filter(pqcents, c -> c.m = m),
+          |    c -> named_struct('k', c.k, 'd',
+          |      aggregate(zip_with(sub, c.pf,
+          |          (x, y) -> (double(x) - y) * (double(x) - y)),
+          |        0D, (a, v) -> a + v))),
+          |  named_struct('k', -1, 'd', cast('Infinity' as double)),
+          |  (acc, x) -> if(x.d < acc.d, x, acc)).k""".stripMargin
+      def assignPq(c: DataFrame): DataFrame =
+        subs.crossJoin(broadcast(pqArr(c)))
+          .select(col("vec_id"), col("cid"), col("m"), col("sub"),
+            expr(assignK).as("k"))
+      var pq = subs.filter(col("vec_id") < K)
+        .select(col("m"), col("vec_id").cast("int").as("k"),
+          expr("transform(sub, x -> double(x))").as("pf"))
+      for (_ <- 1 to 2) {
+        val next = assignPq(pq).groupBy(col("m"), col("k"))
+          .agg(CentroidAggregator.centroid(col("sub")).as("pf"))
+          .persist()
+        next.count()
+        pq.unpersist(false)
+        pq = next
+      }
+      val codes = assignPq(pq).groupBy(col("vec_id"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("m"), col("k")))).as("mk"))
+        .select(col("vec_id").as("cand_id"), col("cid").as("bucket"),
+          expr("transform(mk, x -> x.k)").as("codes"))
+
+      // ---- probe 2 cells per query, query residual per probed cell ----
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val probeW = Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(centF))
+        .select(col("qid"), col("qvec"), col("cid"),
+          CosineSimilarityExpression.cosineSim(col("qvec"), col("cf")).as("csim"))
+        .withColumn("crank", row_number().over(probeW))
+        .filter(col("crank") <= 2)
+        .select(col("qid"), col("qvec"), col("cid").as("probe_bucket"))
+        .join(broadcast(centF), col("probe_bucket") === col("cid"))
+        .select(col("qid"), col("qvec"), col("probe_bucket"),
+          expr("zip_with(qvec, cf, (x, y) -> x - y)").as("qres"))
+
+      // ---- ADC over probed cells' codes + exact re-rank of top-20 ----
+      val adc =
+        """aggregate(sequence(0, 7), 0D, (acc, m) ->
+          |  acc + aggregate(
+          |    zip_with(slice(qres, m * 8 + 1, 8),
+          |      element_at(filter(pqcents,
+          |        c -> c.m = m AND c.k = element_at(codes, m + 1)), 1).pf,
+          |      (x, y) -> (double(x) - y) * (double(x) - y)),
+          |    0D, (a, v) -> a + v))""".stripMargin
+      val wa = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("cand_id"))
+      val shortlist = codes.join(broadcast(probes),
+          col("bucket") === col("probe_bucket"))
+        .crossJoin(broadcast(pqArr(pq)))
+        .filter(col("cand_id") =!= col("qid"))
+        .select(col("qid"), col("qvec"), col("cand_id"), expr(adc).as("adist"))
+        .withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= 20)
+        .select(col("qid"), col("qvec"), col("cand_id"))
+      val exactD =
+        """aggregate(zip_with(qvec, cvec2,
+          |    (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+          |  0D, (a, v) -> a + v)""".stripMargin
+      val we = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cand_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cvec2")), Seq("cand_id"))
+        .select(col("qid"), col("cand_id"), expr(exactD).as("dist"))
+        .withColumn("rank", row_number().over(we).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // L34: winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —
     // the MOSS algorithm): per document, hash every 4-word k-gram with
     // the repo's engine-portable polynomial rolling hash, then keep the

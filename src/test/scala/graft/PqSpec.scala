@@ -61,6 +61,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ recall@5 vs exact L2 is far above chance (L35)") {
+    // probing 2/10 cells bounds attainable recall below plain PQ's —
+    // the pin still demands a strong signal over the 0.01 chance level
+    val got = LlmQuery("l35_ivfpq")
+    val byQ = got.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(2)).toSet
+    }
+    val exact = exactTop5()
+    assert(byQ.keySet == exact.keySet, "one result set per query")
+    val hits = exact.toSeq.map { case (q, ex) => (byQ(q) & ex).size }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.2, s"recall@5 = $recall (hits=$hits)")
+  }
+
+  test("IVF-PQ is deterministic and returns 5 ranked neighbors per query (L35)") {
+    val a = LlmQuery("l35_ivfpq")
+    val b = LlmQuery("l35_ivfpq")
+    assert(a.sameElements(b))
+    assert(a.length == 50)
+    a.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
   private def LlmQuery(name: String): Array[Row] =
     graft.ops.LlmOps.queries(name)(spark, sf).collect()
 }
