@@ -289,6 +289,70 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E17: the flatMapGroupsWithState CUSTOM-STATE sessionizer under the
+    // oracle gate (the fourth gated streaming proof, and the one that
+    // exercises the arbitrary-state API rather than a built-in
+    // operator). What makes an FMGWS run oracle-exact, unlike the
+    // built-in operators' batching-independent aggregates, is
+    // ORDERING + FLUSH discipline:
+    //  - micro-batches must be time-ordered (the sessionizer merges an
+    //    out-of-order cross-batch event into whatever session is open)
+    //    → the source files are written as time QUARTILES in ascending
+    //    modification-time order, and FileStreamSource schedules oldest
+    //    files first;
+    //  - a one-year watermark delay keeps every real event un-late
+    //    across batches (the corpus spans weeks);
+    //  - open sessions at stream end never emit in append mode → after
+    //    draining the real files, a SENTINEL batch (one event per user,
+    //    +90 days) arrives in a later trigger, closing every real
+    //    trailing session; sentinel sessions themselves stay open and
+    //    unemitted.
+    // The rollup of emitted sessions then equals the batch derivation
+    // exactly (oracle mirrors the sessionizer's strict `> gap` split).
+    "e17_stream_state_sessions" -> ((s, d) => {
+      import s.implicits._
+      val batch = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val base = Sources.scratch("graft_e17")
+      val src = s"$base/src"
+      // time-quartile files, written oldest range first (ascending
+      // modTime ⇒ FileStreamSource processes them in time order)
+      val mm = batch.agg(min(col("ts")), max(col("ts"))).collect().head
+      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val step = math.max((hi - lo) / 4 + 1, 1L)
+      for (i <- 0 until 4) {
+        val (a, b) = (lo + i * step, lo + (i + 1) * step)
+        batch.filter(unix_millis(col("ts")) >= a &&
+            unix_millis(col("ts")) < b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/q$i")
+      }
+      // one file per trigger ⇒ four genuine time-ordered micro-batches
+      // (FileStreamSource schedules oldest modification time first)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val qn = "graft_e17_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.sessionizeWithState(
+          stream.as[graft.streaming.EventStreams.SessionInput],
+          watermarkDelay = "365 days")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // sentinel batch: +90 days per user — closes trailing sessions
+        batch.select(col("user_id")).distinct()
+          .withColumn("ts",
+            timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)))
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/sentinel")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_total"))
+        .orderBy(col("user_id"))
+    }),
+
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
     // missing #5) — the foreachBatch keyed-upsert sink run as a real
     // Structured Streaming query over a file source (one file per
@@ -656,6 +720,30 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e17_stream_state_sessions" ->
+      // mirrors the FMGWS sessionizer's STRICT split rule (new session
+      // iff ts > prev + gap; the built-in session_window's boundary is
+      // end-exclusive `>=` — e14/e16 mirror that one)
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, sid, COUNT(*) AS n
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n) AS max_session_events,
+        |  CAST(SUM(n) AS BIGINT) AS n_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e16_stream_session" ->
       // identical derivation to e14's oracle — the streaming execution

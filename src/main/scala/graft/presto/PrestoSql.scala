@@ -1628,7 +1628,36 @@ object PrestoSql {
     "normal_cdf(m DOUBLE, sd DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
       " CASE WHEN sd > 0 THEN" +
       " 0.5 * (1 + graft_erf((v - m) / (sd * sqrt(2))))" +
-      " ELSE raise_error('normal_cdf: standardDeviation must be > 0') END")
+      " ELSE raise_error('normal_cdf: standardDeviation must be > 0') END",
+    // Trino cosine_similarity over SPARSE vectors as map(varchar,
+    // double) — the dot product walks the smaller-is-better a-side
+    // entries probing b by key; zero-norm inputs yield NaN via the
+    // IEEE 0/0, matching Trino.
+    "cosine_similarity(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>)" +
+      " RETURNS DOUBLE RETURN" +
+      " aggregate(map_entries(a), 0D," +
+      " (acc, e) -> acc + e.value * coalesce(element_at(b, e.key), 0D)) /" +
+      " (sqrt(aggregate(map_values(a), 0D, (acc, v) -> acc + v * v)) *" +
+      " sqrt(aggregate(map_values(b), 0D, (acc, v) -> acc + v * v)))",
+    // Trino map_top_n family: top-n entries by value (DESC), key-ASC
+    // tie-break (Trino leaves ties unspecified; a fixed rule is the
+    // deterministic choice a hash-compared pipeline needs).
+    "graft_map_top_entries(m MAP<STRING, DOUBLE>, n BIGINT)" +
+      " RETURNS ARRAY<STRUCT<key: STRING, value: DOUBLE>> RETURN" +
+      " slice(array_sort(map_entries(m)," +
+      " (l, r) -> CASE WHEN l.value > r.value THEN -1" +
+      " WHEN l.value < r.value THEN 1" +
+      " WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1" +
+      " ELSE 0 END), 1, CAST(n AS INT))",
+    "map_top_n(m MAP<STRING, DOUBLE>, n BIGINT)" +
+      " RETURNS MAP<STRING, DOUBLE> RETURN" +
+      " map_from_entries(graft_map_top_entries(m, n))",
+    "map_top_n_keys(m MAP<STRING, DOUBLE>, n BIGINT)" +
+      " RETURNS ARRAY<STRING> RETURN" +
+      " transform(graft_map_top_entries(m, n), e -> e.key)",
+    "map_top_n_values(m MAP<STRING, DOUBLE>, n BIGINT)" +
+      " RETURNS ARRAY<DOUBLE> RETURN" +
+      " transform(graft_map_top_entries(m, n), e -> e.value)")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)

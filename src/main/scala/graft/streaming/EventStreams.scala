@@ -240,7 +240,8 @@ object EventStreams {
     * Scale note: state per user is three longs — 1e9 users ≈ 24 GB across
     * the cluster, partitioned by user; the timeout bounds lifetime.
     */
-  def sessionizeWithState(events: Dataset[SessionInput]): Dataset[SessionOut] = {
+  def sessionizeWithState(events: Dataset[SessionInput],
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
 
@@ -248,7 +249,7 @@ object EventStreams {
       SessionOut(uid, new Timestamp(st.start), st.n, (st.last - st.start) / 1000)
 
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

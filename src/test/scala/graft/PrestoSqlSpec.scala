@@ -1354,6 +1354,28 @@ class PrestoSqlSpec extends SparkSpec {
       "DEALLOCATE PREPARE d1; DEALLOCATE PREPARE d2")
   }
 
+  test("sparse-vector cosine_similarity and map_top_n family") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  cosine_similarity(MAP(ARRAY['a', 'b'], ARRAY[1.0, 2.0]),
+        |                    MAP(ARRAY['a', 'b'], ARRAY[1.0, 2.0])) AS self,
+        |  cosine_similarity(MAP(ARRAY['a'], ARRAY[1.0]),
+        |                    MAP(ARRAY['b'], ARRAY[1.0])) AS orth,
+        |  cosine_similarity(MAP(ARRAY['x', 'y'], ARRAY[3.0, 4.0]),
+        |                    MAP(ARRAY['y'], ARRAY[2.0])) AS part,
+        |  map_top_n(MAP(ARRAY['a', 'b', 'c'], ARRAY[1.0, 3.0, 2.0]), 2) AS t2,
+        |  map_top_n_keys(MAP(ARRAY['a', 'b', 'c'], ARRAY[1.0, 3.0, 2.0]), 2) AS tk,
+        |  map_top_n_values(MAP(ARRAY['a', 'b', 'c'], ARRAY[1.0, 3.0, 2.0]), 2) AS tv
+        |""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    // (3,4)·(0,2) = 8; |a| = 5, |b| = 2 → 0.8
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-12)
+    assert(r.getMap[String, Double](3) == Map("b" -> 3.0, "c" -> 2.0))
+    assert(r.getSeq[String](4) == Seq("b", "c"))
+    assert(r.getSeq[Double](5) == Seq(3.0, 2.0))
+  }
+
   test("schema management: CREATE/USE/DROP SCHEMA, COMMENT ON, ANALYZE, SHOW SESSION") {
     Tables.registerAll(spark, sf)
     val sch = "graft_spec_schema_" +
