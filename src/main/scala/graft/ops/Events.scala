@@ -353,6 +353,53 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E18: the stream-stream interval join run as a REAL dual-stream
+    // query (e9 gates the same function's logic in batch mode; this
+    // gates the streaming EXECUTION — two independent file sources,
+    // symmetric join state, append-mode emission). Why the emitted set
+    // is oracle-exact: an INNER stream-stream join emits a pair in the
+    // micro-batch where the later side arrives — emission never waits
+    // on the watermark (only state EVICTION does) — so the result is
+    // batching-independent as long as no buffered row is evicted
+    // before its last possible partner arrives. That is guaranteed by
+    // construction: each side is written as two time-HALVES split at
+    // the same midpoint in ascending modTime order (FileStreamSource
+    // schedules oldest first), and the global watermark is the MIN
+    // across both sources (default multipleWatermarkPolicy) minus the
+    // 2h delay — after batch 1 the watermark sits ≥2h below the
+    // midpoint, while any cross-batch match pair spans ≤1h, so both
+    // partners are always still resident when the later one arrives.
+    // Scale: join state per side is bounded by (delay + interval) of
+    // rows hash-partitioned by user_id — the same keyed-state shape
+    // that holds at 1000 executors.
+    "e18_stream_stream_join" -> ((s, d) => {
+      val batch = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val base = Sources.scratch("graft_e18")
+      val mm = batch.agg(min(unix_millis(col("ts"))),
+        max(unix_millis(col("ts")))).collect().head
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
+           (half, cond) <- Seq(
+             "h0" -> (unix_millis(col("ts")) < mid),
+             "h1" -> (unix_millis(col("ts")) >= mid)))
+        batch.filter(col("event_type") === tpe && cond)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/$side/$half")
+      def src(side: String) = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/$side/*")
+      val qn = "graft_e18_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .viewPurchaseJoin(src("views"), src("purchases"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("lag_us"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
     // missing #5) — the foreachBatch keyed-upsert sink run as a real
     // Structured Streaming query over a file source (one file per
@@ -711,6 +758,19 @@ object Events extends QueryModule {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e9_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
+        | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |  AND p.event_type = 'purchase'
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e18_stream_stream_join" ->
+      // identical derivation to e9's oracle — the dual-stream execution
+      // must land on the batch interval-join answer under any batching
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
         |FROM events v JOIN events p

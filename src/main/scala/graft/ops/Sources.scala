@@ -337,8 +337,59 @@ object Sources extends QueryModule {
           sum(col("vq")).as("v_q6"),
           countDistinct(col("fname")).cast("long").as("n_files"))
         .orderBy(col("event_type"))
+    }),
+
+    // S16: Z-ORDER (Morton-curve) layout for MULTI-dimensional data
+    // skipping — the OPTIMIZE ZORDER story every lakehouse ETL tool
+    // ships: a table queried by 2-D box predicates is rewritten sorted
+    // by the bit-interleaved z-value of the two filter columns, so each
+    // output file covers a small z-curve segment ≈ a small rectangle in
+    // (partkey, suppkey) space and its parquet min/max stats prune
+    // whole files/row-groups for ANY box on EITHER dimension — a single
+    // -column sort can only ever prune on its leading column.
+    // 31 bits per dimension (62-bit z-value) so the interleave stays
+    // order-correct for key domains up to 2^31 — the layout decision
+    // survives the 100 TB key space, not just the test SF's.
+    // ZOrderSpec proves the skipping claim from the written footers:
+    // strictly fewer files overlap the box under z-layout than under a
+    // same-file-count single-column sort. The gate here checks content:
+    // the rewritten table answers the box query byte-identically.
+    "s16_zorder_layout" -> ((s, d) => {
+      val zdir = scratch("graft_s16z")
+      writeZOrdered(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice")),
+        "l_partkey", "l_suppkey", 16, zdir)
+      s.read.parquet(zdir)
+        .filter(col("l_partkey").between(10, 40) &&
+          col("l_suppkey").between(2, 7))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_q2"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("price_q2"))
+        .orderBy(col("l_suppkey"))
     })
   )
+
+  /** Rewrite `df` as `nFiles` parquet files range-partitioned and sorted
+    * by the interleaved 62-bit z-value of two long columns. The z-value
+    * is computed in one higher-order-function expression (no UDF) and
+    * dropped before the write — it exists only to steer the layout.
+    */
+  private[graft] def writeZOrdered(df: DataFrame, dim1: String, dim2: String,
+      nFiles: Int, dir: String): Unit = {
+    val zval = expr(
+      s"""aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, i) ->
+         |  acc + shiftleft(shiftright(`$dim1`, i) & 1, 2 * i)
+         |      + shiftleft(shiftright(`$dim2`, i) & 1, 2 * i + 1))"""
+        .stripMargin)
+    df.withColumn("__graft_z", zval)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(dir)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s1_parquet_scan" ->
@@ -409,6 +460,18 @@ object Sources extends QueryModule {
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v_q6,
         |  CAST(1 AS BIGINT) AS n_files
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s16_zorder_layout" ->
+      // content equality through the z-ordered rewrite: the layout may
+      // only change WHERE rows live, never what the box query answers
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qty_q2,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS price_q2
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 2 AND 7
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

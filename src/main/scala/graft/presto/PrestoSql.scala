@@ -1539,6 +1539,32 @@ object PrestoSql {
       " CAST(n AS STRING))) END",
     "json_parse(j STRING) RETURNS STRING RETURN j",
     "json_format(j STRING) RETURNS STRING RETURN j",
+    // Trino from_base/to_base radix conversion onto Spark's conv():
+    // conv treats a negative input as unsigned 64-bit and renders digits
+    // UPPERCASE, so both adapters handle the sign explicitly and to_base
+    // lowercases (Trino renders lowercase). Invalid digits: conv yields
+    // 0/NULL where Trino raises — documented divergence, never silent
+    // garbage for valid inputs.
+    "from_base(s STRING, r INT) RETURNS BIGINT" +
+      " RETURN IF(startswith(s, '-')," +
+      " -CAST(conv(substring(s, 2), r, 10) AS BIGINT)," +
+      " CAST(conv(s, r, 10) AS BIGINT))",
+    "to_base(n BIGINT, r INT) RETURNS STRING" +
+      " RETURN IF(n < 0, concat('-', lower(conv(-n, 10, r)))," +
+      " lower(conv(n, 10, r)))",
+    // Trino cosine_distance(array<double>, array<double>) = 1 − cosine
+    // similarity; a zero-norm side is NaN, matching Trino (guarded
+    // explicitly — under ANSI mode a bare 0/0 raises DIVIDE_BY_ZERO).
+    // One single-pass fold — stays in codegen, no UDF.
+    "cosine_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE" +
+      " RETURN aggregate(" +
+      " zip_with(a, b, (x, y) -> named_struct('xy', x * y, 'xx', x * x," +
+      " 'yy', y * y))," +
+      " named_struct('d', 0D, 'na', 0D, 'nb', 0D)," +
+      " (s, e) -> named_struct('d', s.d + e.xy, 'na', s.na + e.xx," +
+      " 'nb', s.nb + e.yy)," +
+      " s -> IF(s.na * s.nb = 0D, CAST('NaN' AS DOUBLE)," +
+      " 1.0D - s.d / sqrt(s.na * s.nb)))",
     // Presto split_to_map delimiters are LITERAL; Spark str_to_map takes
     // regexes — \Q…\E quoting makes them literal (same fix as presto_split)
     "split_to_map(s STRING, ed STRING, kd STRING) RETURNS MAP<STRING, STRING>" +
@@ -1719,6 +1745,10 @@ object PrestoSql {
     // SQL-function parameters), hence the scanner.
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
+    // Trino with_timezone(ts, zone): the naive wall clock reinterpreted
+    // IN the zone → an instant. Under the pinned-UTC session contract an
+    // instant IS its UTC wall clock, so to_utc_timestamp is exact.
+    ("""(?i)\bwith_timezone\s*\(""".r, "to_utc_timestamp("),
     // ANSI FETCH FIRST/NEXT n ROWS ONLY → LIMIT (Trino ships both
     // spellings; Spark only LIMIT). OFFSET passes through (Spark 3.4+).
     // WITH TIES is rejected loudly in translate() — silently dropping
@@ -2854,6 +2884,26 @@ object PrestoSql {
     * it is matched on the code segment with its trailing quoted unit
     * consumed by the regex BEFORE segmentation (see translate body).
     */
+  /** Trino's 2-argument `regexp_extract[_all](s, p)` returns the FULL
+    * match (group 0); Spark's same-named builtins default to group 1 —
+    * a silent-wrong-answer migration trap whenever the pattern contains
+    * a group. Pin Trino's reading by appending `, 0` to the 2-argument
+    * forms; explicit 3-argument calls agree between engines and pass
+    * through. (rewriteCall's word-boundary check keeps `regexp_extract`
+    * from firing inside `regexp_extract_all`.)
+    */
+  private[graft] def fixRegexpGroupDefaults(s: String): String = {
+    var r = s
+    for (fn <- Seq("regexp_extract_all", "regexp_extract"))
+      r = rewriteCall(r, fn) { args =>
+        require(args.size == 2 || args.size == 3,
+          s"$fn takes 2 or 3 arguments, got ${args.size}")
+        val a = if (args.size == 2) args :+ "0" else args
+        a.mkString(s"$fn(", ", ", ")")
+      }
+    r
+  }
+
   def translate(prestoSql: String): String = {
     // FETCH FIRST … WITH TIES has no LIMIT equivalent — rewriting to a
     // plain LIMIT would silently drop ties; fail loudly instead. (The
@@ -2864,9 +2914,9 @@ object PrestoSql {
       "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
         "use a rank() window filter)")
     val out = new StringBuilder
-    val s = wrapDialectAggs(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
-      rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
-        inlineSplit(prestoSql))))))))
+    val s = fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(wrapMapAgg(
+      rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
+        inlineSplit(prestoSql)))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

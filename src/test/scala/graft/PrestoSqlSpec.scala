@@ -1580,4 +1580,49 @@ class PrestoSqlSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_ddl CASCADE")
     }
   }
+
+  test("2-arg regexp_extract[_all] pins Trino's group-0 default") {
+    // Trino's 2-arg form returns the FULL match; Spark's defaults to
+    // group 1 — with a grouped pattern the un-pinned translation would
+    // silently return the group instead of the match
+    assert(PrestoSql.translate("SELECT regexp_extract(s, '(a)b')")
+      == "SELECT regexp_extract(s, '(a)b', 0)")
+    assert(PrestoSql.translate("SELECT regexp_extract_all(s, 'x(y)')")
+      == "SELECT regexp_extract_all(s, 'x(y)', 0)")
+    // explicit group indexes agree between engines and pass through
+    assert(PrestoSql.translate("SELECT regexp_extract(s, '(a)b', 1)")
+      == "SELECT regexp_extract(s, '(a)b', 1)")
+    val r = PrestoSql.sql(spark,
+      """SELECT regexp_extract('ab123cd', '([a-z]+)([0-9]+)') AS full,
+        |  regexp_extract('ab123cd', '([a-z]+)([0-9]+)', 2) AS grp,
+        |  regexp_extract_all('a1 b2', '([a-z])([0-9])') AS alls
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "ab123")
+    assert(r.getString(1) == "123")
+    assert(r.getSeq[String](2) == Seq("a1", "b2"))
+  }
+
+  test("with_timezone / from_base / to_base / cosine_distance map to Trino semantics") {
+    assert(PrestoSql.translate("SELECT with_timezone(t, 'America/New_York')")
+      == "SELECT to_utc_timestamp(t, 'America/New_York')")
+    val r = PrestoSql.sql(spark,
+      """SELECT with_timezone(TIMESTAMP '2021-06-01 12:00:00',
+        |    'America/New_York') AS inst,
+        |  from_base('ff', 16) AS fb,
+        |  from_base('-ff', 16) AS fbn,
+        |  to_base(255, 16) AS tb,
+        |  to_base(-255, 16) AS tbn,
+        |  cosine_distance(ARRAY[1.0, 0.0], ARRAY[0.0, 1.0]) AS orth,
+        |  cosine_distance(ARRAY[1.0, 2.0], ARRAY[1.0, 2.0]) AS same,
+        |  is_nan(cosine_distance(ARRAY[0.0, 0.0], ARRAY[1.0, 0.0])) AS zn
+        |""".stripMargin).collect().head
+    // noon EDT (UTC-4) = 16:00 UTC — the instant under the pinned-UTC
+    // session renders as its UTC wall clock
+    assert(r.getTimestamp(0).toString == "2021-06-01 16:00:00.0")
+    assert(r.getLong(1) == 255L && r.getLong(2) == -255L)
+    assert(r.getString(3) == "ff" && r.getString(4) == "-ff")
+    assert(r.getDouble(5) == 1.0)
+    assert(math.abs(r.getDouble(6)) < 1e-12)
+    assert(r.getBoolean(7))
+  }
 }
