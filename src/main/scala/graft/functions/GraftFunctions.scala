@@ -75,7 +75,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => StAreaExpression(e(0))),
     (FunctionIdentifier("st_length"),
       new ExpressionInfo(classOf[StLengthExpression].getName, "st_length"),
-      (e: Seq[Expression]) => StLengthExpression(e(0))))
+      (e: Seq[Expression]) => StLengthExpression(e(0))),
+    (FunctionIdentifier("word_stem"),
+      new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
+      (e: Seq[Expression]) => WordStemExpression(e(0))))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {

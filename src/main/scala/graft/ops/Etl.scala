@@ -555,7 +555,11 @@ object Etl extends QueryModule {
     // the p4f-history failure mode). The final SELECT reads the table
     // through its qualified name, proving the schema round-trip; the
     // comments and stats are asserted in PrestoSqlSpec (engine-shaped
-    // output, not oracle-expressible).
+    // output, not oracle-expressible). seg_stats is referenced SCHEMA-
+    // QUALIFIED throughout: an unqualified DROP TABLE resolves a
+    // same-named session TEMP VIEW first in Spark (p1's pipeline step
+    // registers one), so on a repeated run the drop would remove the
+    // view and leave the catalog table to collide with the CTAS.
     "p4j_presto_schema_mgmt" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.script(s,
@@ -563,19 +567,19 @@ object Etl extends QueryModule {
            |
            |USE $p4jSchema;
            |
-           |DROP TABLE IF EXISTS seg_stats;
+           |DROP TABLE IF EXISTS $p4jSchema.seg_stats;
            |
-           |CREATE TABLE seg_stats AS
+           |CREATE TABLE $p4jSchema.seg_stats AS
            |  SELECT "c_mktsegment" AS seg, COUNT(*) AS n,
            |    CAST(SUM(CAST(floor("c_acctbal" * 100 + 0.5) AS BIGINT))
            |      AS BIGINT) AS bal_q2
            |  FROM customer GROUP BY 1;
            |
-           |COMMENT ON TABLE seg_stats IS 'per-segment account rollup';
+           |COMMENT ON TABLE $p4jSchema.seg_stats IS 'per-segment account rollup';
            |
-           |COMMENT ON COLUMN seg_stats.bal_q2 IS 'balance in cents';
+           |COMMENT ON COLUMN $p4jSchema.seg_stats.bal_q2 IS 'balance in cents';
            |
-           |ANALYZE seg_stats;
+           |ANALYZE $p4jSchema.seg_stats;
            |
            |SELECT seg, n, bal_q2 FROM $p4jSchema.seg_stats
            |ORDER BY seg""".stripMargin)

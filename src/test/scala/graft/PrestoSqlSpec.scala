@@ -1581,6 +1581,25 @@ class PrestoSqlSpec extends SparkSpec {
     }
   }
 
+  test("p4j reruns under a shadowing temp view (the bench-rep failure mode)") {
+    // p1's pipeline registers a TEMP VIEW named seg_stats; an
+    // unqualified DROP TABLE resolves the view first in Spark, so
+    // rep 2 of the bench left the catalog table in place and the CTAS
+    // collided. The schema-qualified script must rerun cleanly with
+    // the view present and leave the view itself untouched.
+    Tables.registerAll(spark, sf)
+    spark.sql("SELECT 42 AS sentinel").createOrReplaceTempView("seg_stats")
+    try {
+      def run() = graft.ops.Etl.queries("p4j_presto_schema_mgmt")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val first = run()
+      val second = run()
+      assert(first == second && first.size == 5)
+      assert(spark.table("seg_stats").collect()
+        .map(_.getInt(0)).toSeq == Seq(42))
+    } finally spark.catalog.dropTempView("seg_stats")
+  }
+
   test("2-arg regexp_extract[_all] pins Trino's group-0 default") {
     // Trino's 2-arg form returns the FULL match; Spark's defaults to
     // group 1 — with a grouped pattern the un-pinned translation would

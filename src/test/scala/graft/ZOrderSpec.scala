@@ -77,17 +77,22 @@ class ZOrderSpec extends SparkSpec {
     assert(zHit < zTot, s"z-layout pruned nothing ($zHit/$zTot)")
   }
 
-  test("s16: z-value interleave preserves 2-D locality (same cell => adjacent z)") {
-    // the z-value of (p, s) and (p, s+1) within an aligned 2×2 cell
-    // differ only in bit 1 — spot-check the bit interleave itself via
-    // the same expression the writer uses
-    val df = spark.range(1).select(
-      expr("""aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, i) ->
-             |  acc + shiftleft(shiftright(6, i) & 1, 2 * i)
-             |      + shiftleft(shiftright(5, i) & 1, 2 * i + 1))"""
-        .stripMargin).as("z"))
-    // p=6 (binary 110), s=5 (binary 101): interleaved (s_i p_i) pairs
-    // from high to low: (1,1)(0,1)(1,0) = 11 01 10 = 0x36 = 54
-    assert(df.collect().head.getLong(0) === 54L)
+  test("s16: z-value interleave matches the reference bit-by-bit definition") {
+    // the writer's mask-doubling spread vs the direct per-bit
+    // definition z = Σ d1_i·2^(2i) + d2_i·2^(2i+1), over values that
+    // exercise high bits (up to 2^31 − 1)
+    val vals = Seq((6L, 5L), (0L, 0L), (1L, 0L), (0L, 1L),
+      (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (12345L, 67890L),
+      (0x55555555L, 0x2AAAAAAAL))
+    def ref(a: Long, b: Long): Long =
+      (0 until 31).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      ).reduce(_ | _)
+    val df = spark.createDataFrame(vals).toDF("a", "b")
+      .select(ops.Sources.zValue(col("a"), col("b")).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map { case (a, b) => ref(a, b) })
+    // p=6 (binary 110), s=5 (binary 101): interleaved = 11 01 10 = 54
+    assert(got.head === 54L)
   }
 }
