@@ -78,7 +78,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => StLengthExpression(e(0))),
     (FunctionIdentifier("word_stem"),
       new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
-      (e: Seq[Expression]) => WordStemExpression(e(0))))
+      (e: Seq[Expression]) => WordStemExpression(e(0))),
+    (FunctionIdentifier("multi_count"),
+      new ExpressionInfo(classOf[MultiCountExpression].getName, "multi_count"),
+      (e: Seq[Expression]) => MultiCountExpression(e(0), e.tail.map(litStr))))
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {

@@ -1673,6 +1673,32 @@ object LlmOps extends QueryModule {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
         .orderBy(col("shard"))
+    }),
+
+    // L36: blocklist filtering — flag documents containing any of K
+    // banned phrases and count total hits, the safety/keyword screen
+    // every corpus pipeline runs before training. The kernel is ONE
+    // Aho-Corasick pass per document (functions/MultiPatternExpression):
+    // at 100 TB a K-phrase blocklist scanned per-pattern costs K passes
+    // over the corpus; the automaton costs one, independent of K, and
+    // is built once at plan time and shipped as a reference object.
+    // The oracle recomputes each pattern's count via the replace-length
+    // identity — equal to the automaton's all-occurrences count because
+    // every pattern here is border-free (no proper prefix = suffix, so
+    // occurrences cannot self-overlap; phrases span word boundaries to
+    // prove substring semantics).
+    "l36_blocklist_filter" -> ((s, d) => {
+      GF.register(s)
+      val pats = Seq("stream", "filter", "slow", "batch scan", "dup")
+      val quoted = pats.map(p => s"'$p'").mkString(", ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr(s"multi_count(text, $quoted)").as("hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("hits")).as("n_hits"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2516,6 +2542,24 @@ object LlmOps extends QueryModule {
         |    CAST(SUM(sm) AS BIGINT) AS total_toks
         |  FROM aob)
         |SELECT strategy, n_batches, total_pad, total_toks
-        |FROM combined ORDER BY strategy""".stripMargin
+        |FROM combined ORDER BY strategy""".stripMargin,
+
+    "l36_blocklist_filter" ->
+      // per-pattern occurrence count via the replace-length identity:
+      // (len(t) - len(replace(t, p, ''))) / len(p) — equals the
+      // automaton's all-occurrences count for border-free patterns
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |      (length(text) - length(replace(text, 'stream', ''))) / 6
+        |    + (length(text) - length(replace(text, 'filter', ''))) / 6
+        |    + (length(text) - length(replace(text, 'slow', ''))) / 4
+        |    + (length(text) - length(replace(text, 'batch scan', ''))) / 10
+        |    + (length(text) - length(replace(text, 'dup', ''))) / 3 AS hits
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM h GROUP BY source ORDER BY source""".stripMargin
   )
 }
