@@ -1699,6 +1699,52 @@ object LlmOps extends QueryModule {
           sum(col("hits")).as("n_hits"),
           sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"))
         .orderBy(col("source"))
+    }),
+
+    // L37: BM25 relevance scoring (Robertson/Sparck Jones; k1=1.2,
+    // b=0.75, Lucene's +1 idf) — the IR ranking sibling of l23's
+    // TF-IDF, used for query-driven corpus selection ("keep documents
+    // relevant to X"). Exact-token tf/df counts and bigint length sums
+    // keep the inputs integral; the double formula is written in the
+    // IDENTICAL operation order in both engines (IEEE ·, /, + are
+    // exactly rounded; ln parity is the established a23/l23 libm
+    // agreement) and quantized to 1e4 before the top-20 cut, with
+    // doc_id breaking quantized ties. Scale: one corpus pass for
+    // per-doc (dl, tf), a 1-row stats aggregate broadcast back (the
+    // l29 pattern), score map-side, TakeOrdered top-20 — no shuffle
+    // wider than the stats row.
+    "l37_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t != '')").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          expr("cast(size(filter(ws, t -> t = 'stream')) as bigint)")
+            .as("tf1"),
+          expr("cast(size(filter(ws, t -> t = 'filter')) as bigint)")
+            .as("tf2"))
+        .localCheckpoint()
+      val stats = docs.agg(
+        count(lit(1)).cast("long").as("nd"),
+        sum(col("dl")).as("sdl"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+      def term(tf: String, df: String): String =
+        s"ln((cast(nd as double) - $df + 0.5) / ($df + 0.5) + 1.0)" +
+          s" * ($tf * 2.2) / ($tf + 1.2 *" +
+          s" (0.25 + 0.75 * (cast(dl as double) * nd) / sdl))"
+      // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+      // 20-row heaps + one merge — never a global-window single
+      // partition); rank assigned on the 20-row result
+      val top = docs.crossJoin(broadcast(stats))
+        .withColumn("score_q4",
+          floor((expr(term("tf1", "df1")) + expr(term("tf2", "df2")))
+            * 1e4 + 0.5).cast("long"))
+        .orderBy(col("score_q4").desc, col("doc_id"))
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score_q4").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("score_q4"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -2560,6 +2606,38 @@ object LlmOps extends QueryModule {
         |  CAST(SUM(hits) AS BIGINT) AS n_hits,
         |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged
-        |FROM h GROUP BY source ORDER BY source""".stripMargin
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "l37_bm25" ->
+      // the identical double-formula text, operation for operation
+      // (ln, not log — DuckDB's log is log10), quantized before the cut
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> x != ''))
+        |      AS BIGINT) AS dl,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> x = 'stream'))
+        |      AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> x = 'filter'))
+        |      AS BIGINT) AS tf2
+        |  FROM documents),
+        |s AS (
+        |  SELECT COUNT(*) AS nd, SUM(dl) AS sdl,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, CAST(floor((
+        |      ln((CAST(nd AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |        * (tf1 * 2.2) / (tf1 + 1.2
+        |        * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * nd) / sdl))
+        |    + ln((CAST(nd AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |        * (tf2 * 2.2) / (tf2 + 1.2
+        |        * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * nd) / sdl))
+        |    ) * 1e4 + 0.5) AS BIGINT) AS score_q4
+        |  FROM t, s)
+        |SELECT CAST(row_number() OVER (ORDER BY score_q4 DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, score_q4
+        |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin
   )
 }
