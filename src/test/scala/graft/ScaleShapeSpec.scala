@@ -415,4 +415,47 @@ class ScaleShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("l36 multi_count evaluates in the scan-stage codegen Project — one pass, no join/explode (L36)") {
+    val df = ops.LlmOps.queries("l36_blocklist_filter")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the automaton runs per-row in the scan stage: no Generate (explode),
+    // no join against a patterns table, exactly the one aggregation
+    // shuffle for the per-source rollup
+    assert(plan.contains("multi_count"), plan.take(2000))
+    assert(!plan.contains("Generate") && !plan.contains("Join"),
+      plan.take(2000))
+  }
+
+  test("l37 BM25 top-20 is TakeOrdered — never a global-window single partition (L37)") {
+    val df = ops.LlmOps.queries("l37_bm25")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-partition 20-row heaps + merge for the cut; the only Window
+    // runs AFTER the 20-row limit (rank assignment on the result)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("s16 z-order read-back pushes BOTH box dimensions to the parquet scan (S16)") {
+    val dir = ops.Sources.scratch("graft_s16pin")
+    ops.Sources.writeZOrdered(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity")),
+      "l_partkey", "l_suppkey", 4, dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(10, 40) &&
+        col("l_suppkey").between(2, 7))
+    // both dims must reach PushedFilters so footer stats prune files —
+    // the entire point of the layout. Read the scan node's metadata
+    // (the rendered plan string truncates the filter list).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_partkey,10)") &&
+      pushed.contains("LessThanOrEqual(l_partkey,40)") &&
+      pushed.contains("GreaterThanOrEqual(l_suppkey,2)") &&
+      pushed.contains("LessThanOrEqual(l_suppkey,7)"), pushed)
+  }
 }
