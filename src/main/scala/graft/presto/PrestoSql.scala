@@ -57,8 +57,10 @@ import org.apache.spark.sql.types._
   * argument shapes and Presto type syntax in casts — `ARRAY(T)`,
   * `MAP(K,V)` — do not; use Spark type names); `ROW(…)` translates to
   * struct with positional col1/col2 field names (named-row casts are
-  * not supported); Presto's varbinary-returning digests (md5/sha256)
-  * differ from Spark's hex-string returns; `zip` pairs elements exactly
+  * not supported); Presto's varbinary-returning digests
+  * (md5/sha1/sha256/sha512) are matched exactly — each wraps in
+  * unhex() so `to_hex(md5(x))` and friends compose as in Trino;
+  * `zip` pairs elements exactly
   * but the result-struct FIELD NAMES differ (Spark: source names or
   * '0'/'1'; Trino: anonymous positional fields) — consume positionally;
   * the SQL/JSON path trio (`json_exists`/`json_value`/`json_query`, and
@@ -2884,6 +2886,28 @@ object PrestoSql {
     * it is matched on the code segment with its trailing quoted unit
     * consumed by the regex BEFORE segmentation (see translate body).
     */
+  /** Presto's digests return VARBINARY; Spark's same-named builtins
+    * return HEX STRINGS — so a migrated `to_hex(md5(x))` would hex the
+    * hex (silent garbage). Wrap each digest in unhex() so the dialect's
+    * value IS the binary digest: to_hex/from_hex/length/comparisons all
+    * compose exactly as in Trino (the algorithms are standard, so the
+    * bytes agree). sha256/sha512 additionally map onto Spark's sha2.
+    */
+  private[graft] def wrapDigests(s: String): String = {
+    var r = s
+    for ((fn, inner) <- Seq(
+        "md5" -> None, "sha1" -> None,
+        "sha256" -> Some(("sha2", "256")), "sha512" -> Some(("sha2", "512"))))
+      r = rewriteCall(r, fn) { args =>
+        require(args.size == 1, s"$fn takes one argument, got ${args.size}")
+        inner match {
+          case Some((g, bits)) => s"unhex($g((${args.head}), $bits))"
+          case None => s"unhex($fn(${args.head}))"
+        }
+      }
+    r
+  }
+
   /** Trino's 2-argument `regexp_extract[_all](s, p)` returns the FULL
     * match (group 0); Spark's same-named builtins default to group 1 —
     * a silent-wrong-answer migration trap whenever the pattern contains
@@ -2914,9 +2938,9 @@ object PrestoSql {
       "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
         "use a rank() window filter)")
     val out = new StringBuilder
-    val s = fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(wrapMapAgg(
-      rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
-        inlineSplit(prestoSql)))))))))
+    val s = wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(
+      wrapMapAgg(rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(
+        rewriteUnnest(inlineSplit(prestoSql))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -1600,6 +1600,24 @@ class PrestoSqlSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("seg_stats")
   }
 
+  test("digests return binary like Trino: to_hex(md5(x)) is the digest, not double-hexed") {
+    assert(PrestoSql.translate("SELECT md5(x)") == "SELECT unhex(md5(x))")
+    assert(PrestoSql.translate("SELECT sha256(x)")
+      == "SELECT unhex(sha2((x), 256))")
+    val r = PrestoSql.sql(spark,
+      """SELECT to_hex(md5(CAST('abc' AS VARBINARY))) AS m,
+        |  to_hex(sha256(CAST('abc' AS VARBINARY))) AS s2,
+        |  to_hex(sha1(CAST('abc' AS VARBINARY))) AS s1,
+        |  length(md5(CAST('abc' AS VARBINARY))) AS mlen
+        |""".stripMargin).collect().head
+    // published digests of 'abc' (RFC 1321 / FIPS 180 test vectors)
+    assert(r.getString(0) == "900150983CD24FB0D6963F7D28E17F72")
+    assert(r.getString(1) ==
+      "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD")
+    assert(r.getString(2) == "A9993E364706816ABA3E25717850C26C9CD0D89D")
+    assert(r.getInt(3) == 16) // binary length, not the 32-char hex
+  }
+
   test("2-arg regexp_extract[_all] pins Trino's group-0 default") {
     // Trino's 2-arg form returns the FULL match; Spark's defaults to
     // group 1 — with a grouped pattern the un-pinned translation would
