@@ -2886,6 +2886,48 @@ object PrestoSql {
     * it is matched on the code segment with its trailing quoted unit
     * consumed by the regex BEFORE segmentation (see translate body).
     */
+  /** Trino `normalize(s[, NFC|NFD|NFKC|NFKD])` onto the native codegen
+    * NormalizeExpression (registered as normalize_str — Spark has no
+    * builtin under either name): Trino passes the form as a BARE
+    * keyword, which becomes the expression's string-literal argument.
+    */
+  private[graft] def wrapNormalize(s: String): String =
+    rewriteCall(s, "normalize") { args =>
+      require(args.size == 1 || args.size == 2,
+        s"normalize takes 1 or 2 arguments, got ${args.size}")
+      if (args.size == 1) s"normalize_str(${args.head})"
+      else {
+        val form = args(1).trim.stripPrefix("'").stripSuffix("'")
+          .toUpperCase(java.util.Locale.ROOT)
+        require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+          s"normalize: unknown form '${args(1)}'")
+        s"normalize_str(${args.head}, '$form')"
+      }
+    }
+
+  /** Trino's 3-argument `strpos(s, sub, instance)` — position of the
+    * n-th occurrence (negative n counts from the end; 0 errors, as in
+    * Trino). Inlined as a HOF over candidate positions — O(|s|) per
+    * row, the dialect-compat trade-off; the hot 2-argument form keeps
+    * its locate() adapter (the SQL function in dialectFns).
+    */
+  private[graft] def wrapStrpos(s: String): String =
+    rewriteCall(s, "strpos") { args =>
+      require(args.size == 2 || args.size == 3,
+        s"strpos takes 2 or 3 arguments, got ${args.size}")
+      if (args.size == 2) s"strpos(${args(0)}, ${args(1)})"
+      else {
+        val (a, b, n) = (args(0), args(1), args(2))
+        // greatest(…, 1) keeps sequence() ascending when s is shorter
+        // than sub (Spark's sequence(1, 0) would DESCEND); the stray
+        // candidate position then fails the substring equality
+        s"CAST(coalesce(try_element_at(filter(transform(sequence(1," +
+          s" greatest(length($a) - length($b) + 1, 1)), i ->" +
+          s" IF(substring($a, i, length($b)) = ($b), i, 0))," +
+          s" x -> x != 0), CAST(($n) AS INT)), 0) AS BIGINT)"
+      }
+    }
+
   /** Presto's digests return VARBINARY; Spark's same-named builtins
     * return HEX STRINGS — so a migrated `to_hex(md5(x))` would hex the
     * hex (silent garbage). Wrap each digest in unhex() so the dialect's
@@ -2938,9 +2980,10 @@ object PrestoSql {
       "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
         "use a rank() window filter)")
     val out = new StringBuilder
-    val s = wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(
-      wrapMapAgg(rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(
-        rewriteUnnest(inlineSplit(prestoSql))))))))))
+    val s = wrapNormalize(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(
+      wrapDialectAggs(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
+        rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
+          inlineSplit(prestoSql))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -1600,6 +1600,26 @@ class PrestoSqlSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("seg_stats")
   }
 
+  test("normalize forms and 3-arg strpos instance semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = PrestoSql.sql(spark,
+      // Å (Å) vs A + combining ring ̊: NFC composes, NFD splits
+      """SELECT length(normalize('Å', NFC)) AS lc,
+        |  length(normalize('Å', NFD)) AS ld,
+        |  strpos('ababab', 'ab', 2) AS p2,
+        |  strpos('ababab', 'ab', -1) AS plast,
+        |  strpos('ababab', 'ab', 9) AS pmiss,
+        |  strpos('ababab', 'zz', 1) AS pnone,
+        |  strpos('hello', 'l') AS p1
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2)
+    assert(r.getLong(2) == 3L)  // 2nd 'ab' starts at 3
+    assert(r.getLong(3) == 5L)  // last 'ab' from the end
+    assert(r.getLong(4) == 0L)  // instance past the count -> 0 (Trino)
+    assert(r.getLong(5) == 0L)  // absent substring -> 0
+    assert(r.getLong(6) == 3L)  // 2-arg form keeps its locate() adapter
+  }
+
   test("digests return binary like Trino: to_hex(md5(x)) is the digest, not double-hexed") {
     assert(PrestoSql.translate("SELECT md5(x)") == "SELECT unhex(md5(x))")
     assert(PrestoSql.translate("SELECT sha256(x)")
