@@ -400,6 +400,69 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // E19: streaming MATCH_RECOGNIZE under the oracle gate — the SIXTH
+    // gated streaming proof, and the marquee one: the e8 row-pattern
+    // query (view gap1* click gap2* purchase WITHIN 24h) executed by the
+    // explicit-state streaming matcher (patternMatchesWithState) over a
+    // real file-source run. What makes a streaming pattern run
+    // oracle-exact: the matcher normally flushes each key on a
+    // within-window quiet gap (match_no restarts per window — the
+    // documented production divergence), so the harness holds EVERY
+    // event in state until one final flush per key: a 365-day watermark
+    // delay keeps any mid-run timeout from firing, then two sentinel
+    // batches keyed to a NON-real user (-1, at +366d/+367d) advance the
+    // watermark past every real key's armed timeout WITHOUT touching
+    // real keys' buffers — each real key flushes once with its complete
+    // history, which matchSpans sorts and matches exactly like the
+    // batch operator (match_no = lifetime numbering). The sentinel key
+    // itself never matches (no view step) and is filtered. State cost
+    // at the gate: ≤99 events/user × 31 bytes; the production config
+    // keeps the quiet-gap flush and never buffers a full corpus.
+    "e19_stream_pattern" -> ((s, d) => {
+      import s.implicits._
+      import RowPattern._
+      val steps = Seq(
+        Step("view", col("event_type") === "view"),
+        Step("gap1", col("event_type") =!= "click" &&
+          col("event_type") =!= "purchase", star),
+        Step("click", col("event_type") === "click"),
+        Step("gap2", col("event_type") =!= "purchase", star),
+        Step("purchase", col("event_type") === "purchase"))
+      val batch = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val base = Sources.scratch("graft_e19")
+      batch.repartition(2).write.mode("overwrite").parquet(s"$base/src/main")
+      val hi = batch.agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
+      def sentinel(days: Long): Unit =
+        s.range(1).select(lit(-1L).as("user_id"),
+            timestamp_millis(lit(hi + days * 24 * 3600 * 1000)).as("ts"),
+            lit(-1L).as("event_id"), lit("sentinel").as("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/src/s$days")
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src/*")
+      val qn = "graft_e19_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.patternMatchesWithState(
+          graft.streaming.EventStreams.patternRows(
+            stream, "user_id", "ts", "event_id", steps),
+          steps.map(_.quant), withinUs = 24L * 3600 * 1000000,
+          watermarkDelay = "365 days")
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        sentinel(366); q.processAllAvailable()
+        sentinel(367); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .filter(col("user_id") >= 0 && col("match_no") === 1)
+        .select(col("user_id"), col("match_no"), col("start_us"),
+          col("end_us"), col("n_rows"))
+        .orderBy(col("user_id"))
+    }),
+
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
     // missing #5) — the foreachBatch keyed-upsert sink run as a real
     // Structured Streaming query over a file source (one file per
@@ -780,6 +843,31 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e19_stream_pattern" ->
+      // e8's oracle verbatim: the single-flush streaming execution must
+      // land on the batch MATCH_RECOGNIZE answer (same first-match-per-
+      // user derivation, same 24h window)
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events),
+        |cand AS (
+        |  SELECT v.user_id, v.ts AS vts,
+        |    (SELECT min(c.ts) FROM e c WHERE c.user_id = v.user_id
+        |       AND c.event_type = 'click' AND c.ts > v.ts) AS nc,
+        |    (SELECT min(p.ts) FROM e p WHERE p.user_id = v.user_id
+        |       AND p.event_type = 'purchase' AND p.ts > v.ts) AS np
+        |  FROM e v WHERE v.event_type = 'view'),
+        |ok AS (
+        |  SELECT user_id, vts, np FROM cand
+        |  WHERE nc IS NOT NULL AND np IS NOT NULL AND nc < np
+        |    AND epoch_us(np) - epoch_us(vts) <= 86400000000),
+        |first AS (SELECT user_id, min(vts) AS vts FROM ok GROUP BY user_id)
+        |SELECT f.user_id, CAST(1 AS BIGINT) AS match_no,
+        |  epoch_us(f.vts) AS start_us, epoch_us(o.np) AS end_us,
+        |  (SELECT COUNT(*) FROM e x WHERE x.user_id = f.user_id
+        |     AND x.ts >= f.vts AND x.ts <= o.np) AS n_rows
+        |FROM first f JOIN ok o ON o.user_id = f.user_id AND o.vts = f.vts
+        |ORDER BY f.user_id""".stripMargin,
 
     "e17_stream_state_sessions" ->
       // mirrors the FMGWS sessionizer's STRICT split rule (new session
