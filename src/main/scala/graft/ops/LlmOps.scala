@@ -1745,8 +1745,57 @@ object LlmOps extends QueryModule {
           Window.orderBy(col("score_q4").desc, col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("score_q4"))
         .orderBy(col("rank"))
+    }),
+
+    // L38: incremental NEAR-dup ingestion — l20's exact-hash anti-join
+    // upgraded to similarity, completing the incremental-dedup matrix:
+    // a new batch (doc_id % 10 = 7, the "today's crawl" slice) screens
+    // against the already-ingested corpus via the l22 inverted-index
+    // shape (distinct word 4-shingles → shingle-keyed join → per-pair
+    // intersection counts → EXACT Jaccard from precomputed set sizes),
+    // and every batch doc gets a keep/drop verdict (drop at J ≥ 0.5
+    // against ANY corpus doc, with neighbor count + max similarity).
+    // Scale: the join keys on compact shingle strings — never text,
+    // never all-pairs; at 100 TB the corpus side is a persisted shingle
+    // index read per batch, the l22b df-cap bounds boilerplate-shingle
+    // blowup, and l2's LSH banding replaces the exact index when even
+    // the candidate set must shrink — verdict logic unchanged.
+    "l38_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", TF.wordTokens(col("text")))
+        .select(col("doc_id"),
+          array_distinct(TF.wordShingles(col("ws"), 4)).as("sh"))
+      val ex = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("shingle"))
+      val newSide = ex.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("new_id"), col("n").as("nb"), col("shingle"))
+      val oldSide = ex.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("old_id"), col("n").as("nc"), col("shingle"))
+      val jq6 = pairsJaccard(newSide, oldSide)
+      val verdicts = jq6.filter(col("jq6") >= 500000)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_nbrs"), max(col("jq6")).as("max_jq6"))
+      docs.filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+        .join(verdicts, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+          coalesce(col("max_jq6"), lit(0L)).as("max_jq6"),
+          when(col("n_nbrs").isNotNull, "drop").otherwise("keep")
+            .as("verdict"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Shingle-keyed inverted-index join → exact per-pair Jaccard (ppm):
+    * intersection by COUNT over the equi-join, union from the
+    * precomputed set sizes — |A∪B| = |A| + |B| − |A∩B|. */
+  private def pairsJaccard(newSide: DataFrame, oldSide: DataFrame): DataFrame =
+    newSide.join(oldSide, "shingle")
+      .groupBy(col("new_id"), col("old_id"), col("nb"), col("nc"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("new_id"),
+        floor(col("i") / (col("nb") + col("nc") - col("i")) * 1e6 + 0.5)
+          .cast("long").as("jq6"))
 
   /** Distributed BPE TRAINING (the operator that produces what l4c's
     * bpe_count consumes): Sennrich-style greedy merge learning over the
@@ -2638,6 +2687,42 @@ object LlmOps extends QueryModule {
         |SELECT CAST(row_number() OVER (ORDER BY score_q4 DESC, doc_id)
         |    AS BIGINT) AS rank,
         |  doc_id, score_q4
-        |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+        |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "l38_incremental_neardup" ->
+      // the same inverted-index + exact-Jaccard derivation (l22's
+      // oracle shape) with the batch/corpus split on doc_id % 10
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT b.doc_id AS new_id, c.doc_id AS old_id,
+        |    b.n AS nb, c.n AS nc, COUNT(*) AS i
+        |  FROM ex b JOIN ex c USING (shingle)
+        |  WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 != 7
+        |  GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT new_id,
+        |    CAST(floor(i / (nb + nc - i) * 1e6 + 0.5) AS BIGINT) AS jq6
+        |  FROM pairs),
+        |v AS (
+        |  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+        |    MAX(jq6) AS max_jq6
+        |  FROM sc WHERE jq6 >= 500000 GROUP BY new_id)
+        |SELECT d.doc_id,
+        |  coalesce(v.n_nbrs, 0) AS n_nbrs,
+        |  coalesce(v.max_jq6, 0) AS max_jq6,
+        |  CASE WHEN v.new_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+        |    AS verdict
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        |LEFT JOIN v ON v.new_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
