@@ -2886,6 +2886,40 @@ object PrestoSql {
     * it is matched on the code segment with its trailing quoted unit
     * consumed by the regex BEFORE segmentation (see translate body).
     */
+  /** Trino `array_max_by` / `array_min_by` `(array, x -> f(x))` — the
+    * element whose key is largest/smallest, first-wins on ties (Trino
+    * leaves ties unspecified). Spark has no equivalent and a SQL
+    * function can't take a lambda parameter, so the lambda body is
+    * spliced TEXTUALLY into an aggregate() fold, applying it to both
+    * the accumulator and the probe by renaming the bound variable
+    * (word-boundary replace — the variable must not appear inside
+    * string literals in the body; rename it if it does, documented
+    * limit). Empty array → NULL (try_element_at seed); an element with
+    * a NULL key never replaces the accumulator.
+    */
+  private[graft] def wrapArrayMinMaxBy(s: String): String = {
+    var r = s
+    for ((fn, cmp) <- Seq("array_max_by" -> ">", "array_min_by" -> "<"))
+      r = rewriteCall(r, fn) { args =>
+        require(args.size == 2, s"$fn takes (array, lambda), got ${args.size}")
+        val lam = args(1)
+        val arrow = lam.indexOf("->")
+        require(arrow > 0, s"$fn needs a lambda 'x -> expr', got '$lam'")
+        val v = lam.take(arrow).trim
+        require(v.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"$fn lambda must bind one plain variable, got '$v'")
+        val body = lam.drop(arrow + 2).trim
+        def app(arg: String): String =
+          "(" + body.replaceAll(
+            "\\b" + java.util.regex.Pattern.quote(v) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(arg)) + ")"
+        val (a, x) = (s"${v}_acc_mby", s"${v}_x_mby")
+        s"aggregate((${args(0)}), try_element_at((${args(0)}), 1)," +
+          s" ($a, $x) -> IF(${app(x)} $cmp ${app(a)}, $x, $a))"
+      }
+    r
+  }
+
   /** Trino `normalize(s[, NFC|NFD|NFKC|NFKD])` onto the native codegen
     * NormalizeExpression (registered as normalize_str — Spark has no
     * builtin under either name): Trino passes the form as a BARE
@@ -2980,10 +3014,10 @@ object PrestoSql {
       "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
         "use a rank() window filter)")
     val out = new StringBuilder
-    val s = wrapNormalize(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(
-      wrapDialectAggs(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
-        rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
-          inlineSplit(prestoSql))))))))))))
+    val s = wrapArrayMinMaxBy(wrapNormalize(wrapStrpos(wrapDigests(
+      fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(wrapMapAgg(
+        rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
+          inlineSplit(prestoSql)))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -1600,6 +1600,21 @@ class PrestoSqlSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("seg_stats")
   }
 
+  test("array_max_by / array_min_by splice the lambda into a fold") {
+    val r = PrestoSql.sql(spark,
+      """SELECT array_max_by(ARRAY['a', 'bbb', 'cc'], x -> length(x)) AS mx,
+        |  array_min_by(ARRAY['bbb', 'a', 'cc'], s -> length(s)) AS mn,
+        |  array_max_by(ARRAY[3, 1, 2], x -> -x) AS neg,
+        |  array_min_by(ARRAY['cc', 'dd'], x -> length(x)) AS tie,
+        |  array_max_by(CAST(ARRAY[] AS ARRAY<INT>), x -> x) AS emp
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "bbb")
+    assert(r.getString(1) == "a")
+    assert(r.getInt(2) == 1)    // key -x maximal at x = 1
+    assert(r.getString(3) == "cc") // first wins on equal keys
+    assert(r.isNullAt(4))       // empty array -> NULL
+  }
+
   test("normalize forms and 3-arg strpos instance semantics") {
     graft.functions.GraftFunctions.register(spark)
     val r = PrestoSql.sql(spark,
