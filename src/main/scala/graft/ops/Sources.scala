@@ -339,6 +339,37 @@ object Sources extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // S17: snapshot versioning + TIME TRAVEL over immutable parquet —
+    // the manifest-pointer core of every lakehouse table format, built
+    // from nothing but parquet files and one text file per version:
+    // commit v1 (orders < 5000), then commit v2 appending
+    // [5000, 10000); v1's manifest still pins exactly the old files,
+    // so BOTH versions read back correct simultaneously. The gate
+    // result is the per-version rollup — time travel is real only if
+    // v1's numbers are untouched by v2's commit. Scale: a commit costs
+    // one manifest write regardless of table size; readers plan from a
+    // file LIST (no directory listing race); vacuuming old versions is
+    // file deletion gated on manifest reachability.
+    "s17_snapshot_time_travel" -> ((s, d) => {
+      val base = scratch("graft_s17")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_q2"))
+      val v1 = Snapshots.commit(
+        orders.filter(col("o_orderkey") < 5000), base, 1, Nil)
+      Snapshots.commit(
+        orders.filter(col("o_orderkey") >= 5000 &&
+          col("o_orderkey") < 10000), base, 2, v1)
+      def rollup(version: Int) =
+        Snapshots.read(s, base, version)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_custkey")).as("cust_sum"),
+            sum(col("price_q2")).as("price_q2_sum"))
+          .select(lit(version.toLong).as("version"), col("n"),
+            col("cust_sum"), col("price_q2_sum"))
+      rollup(1).unionByName(rollup(2)).orderBy(col("version"))
+    }),
+
     // S16: Z-ORDER (Morton-curve) layout for MULTI-dimensional data
     // skipping — the OPTIMIZE ZORDER story every lakehouse ETL tool
     // ships: a table queried by 2-D box predicates is rewritten sorted
@@ -371,6 +402,41 @@ object Sources extends QueryModule {
         .orderBy(col("l_suppkey"))
     })
   )
+
+  // S17: snapshot helper — the minimal manifest-pointer design behind
+  // every table format (Iceberg/Delta): data files are IMMUTABLE, a
+  // version is a manifest listing exactly the files visible to it, and
+  // a commit is one atomic manifest write. Readers pin a manifest and
+  // see a consistent snapshot regardless of concurrent appends; old
+  // versions stay readable (time travel) until their files are vacuumed.
+  private[graft] object Snapshots {
+    import java.nio.file.{Files => JFiles, Paths}
+
+    /** Write `df` as new immutable data files under `base/data-vN` and
+      * commit version N whose manifest = `carry`'s files + the new ones.
+      * Returns the committed file list. */
+    def commit(df: DataFrame, base: String, version: Int,
+        carry: Seq[String]): Seq[String] = {
+      val dataDir = s"$base/data-v$version"
+      df.write.mode("overwrite").parquet(dataDir)
+      val fresh = new java.io.File(dataDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        .map(_.getAbsolutePath).sorted.toSeq
+      val all = carry ++ fresh
+      JFiles.createDirectories(Paths.get(s"$base/manifests"))
+      // one-file manifest write = the atomic commit pointer
+      JFiles.writeString(Paths.get(s"$base/manifests/v$version.json"),
+        all.mkString("\n"))
+      all
+    }
+
+    /** Read the snapshot a manifest pins — only its files, nothing newer. */
+    def read(s: SparkSession, base: String, version: Int): DataFrame = {
+      val files = JFiles.readString(
+        Paths.get(s"$base/manifests/v$version.json")).split("\n").toSeq
+      s.read.parquet(files: _*)
+    }
+  }
 
   /** 31-bit value with its bits spread to the even positions of a
     * 62-bit word (bit i → bit 2i) — the classic mask-doubling Morton
@@ -478,6 +544,23 @@ object Sources extends QueryModule {
         |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v_q6,
         |  CAST(1 AS BIGINT) AS n_files
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s17_snapshot_time_travel" ->
+      // v1 must equal the pre-append state even though v2 has committed
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_q2
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |  CAST(SUM(price_q2) AS BIGINT) AS price_q2_sum
+        |FROM o WHERE o_orderkey < 5000
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        |  CAST(SUM(price_q2) AS BIGINT) AS price_q2_sum
+        |FROM o WHERE o_orderkey < 10000
+        |ORDER BY version""".stripMargin,
 
     "s16_zorder_layout" ->
       // content equality through the z-ordered rewrite: the layout may
