@@ -400,6 +400,34 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // E20: gated stream-static enrichment join — the SEVENTH streaming
+    // proof, covering the canonical streaming-ETL dimension join: a
+    // real file-source stream left-joins the BROADCAST customer
+    // dimension (the stream never shuffles for the dim; Spark re-reads
+    // the static side per micro-batch, so dimension updates are picked
+    // up), then aggregates hourly per-segment counts in complete mode.
+    // Counts are associative/commutative, so the final table is
+    // batching-independent and equals the batch join+rollup exactly.
+    "e20_stream_enrichment" -> ((s, d) => {
+      val batch = Tables.events(s, d)
+      val base = Sources.scratch("graft_e20")
+      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val qn = "graft_e20_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .enrichedCounts(stream.withColumn("ts", col("ts").cast("timestamp")),
+          Tables.customer(s, d))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("segment"), col("n"))
+        .orderBy(col("w_start"), col("segment"))
+    }),
+
     // E19: streaming MATCH_RECOGNIZE under the oracle gate — the SIXTH
     // gated streaming proof, and the marquee one: the e8 row-pattern
     // query (view gap1* click gap2* purchase WITHIN 24h) executed by the
@@ -843,6 +871,15 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e20_stream_enrichment" ->
+      // the batch equivalent of the stream-static broadcast join +
+      // complete-mode hourly rollup (counts are batching-independent)
+      """SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS w_start,
+        |  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  COUNT(*) AS n
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY w_start, segment""".stripMargin,
 
     "e19_stream_pattern" ->
       // e8's oracle verbatim: the single-flush streaming execution must
