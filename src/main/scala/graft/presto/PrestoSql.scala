@@ -2886,6 +2886,36 @@ object PrestoSql {
     * it is matched on the code segment with its trailing quoted unit
     * consumed by the regex BEFORE segmentation (see translate body).
     */
+  /** Trino's 3-argument `max_by(x, y, n)` / `min_by(x, y, n)` — the
+    * top-n values of x by y as an ARRAY. Spark's same-named builtins
+    * are 2-argument only (those pass through untouched — semantics
+    * agree), so the n-form builds on collect_list: gather (key, value)
+    * structs, drop NULL keys (Trino ignores them), comparator-sort by
+    * key, slice n, project values. Ties keep collection order, which
+    * is UNSPECIFIED in both engines — don't gate on tied keys.
+    */
+  private[graft] def wrapMinMaxByN(s: String): String = {
+    var r = s
+    for ((fn, desc) <- Seq("max_by" -> true, "min_by" -> false))
+      r = rewriteCall(r, fn) { args =>
+        require(args.size == 2 || args.size == 3,
+          s"$fn takes 2 or 3 arguments, got ${args.size}")
+        if (args.size == 2) s"$fn(${args(0)}, ${args(1)})"
+        else {
+          val cmp =
+            if (desc) "(l_mb, r_mb) -> IF(l_mb.k > r_mb.k, -1," +
+              " IF(l_mb.k < r_mb.k, 1, 0))"
+            else "(l_mb, r_mb) -> IF(l_mb.k < r_mb.k, -1," +
+              " IF(l_mb.k > r_mb.k, 1, 0))"
+          s"transform(slice(array_sort(filter(collect_list(" +
+            s"named_struct('k', (${args(1)}), 'v', (${args(0)})))," +
+            s" e_mb -> e_mb.k IS NOT NULL), $cmp), 1, (${args(2)}))," +
+            s" e_mb -> e_mb.v)"
+        }
+      }
+    r
+  }
+
   /** Trino `array_max_by` / `array_min_by` `(array, x -> f(x))` — the
     * element whose key is largest/smallest, first-wins on ties (Trino
     * leaves ties unspecified). Spark has no equivalent and a SQL
@@ -3014,10 +3044,10 @@ object PrestoSql {
       "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
         "use a rank() window filter)")
     val out = new StringBuilder
-    val s = wrapArrayMinMaxBy(wrapNormalize(wrapStrpos(wrapDigests(
-      fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(wrapMapAgg(
-        rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
-          inlineSplit(prestoSql)))))))))))))
+    val s = wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(wrapStrpos(
+      wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(
+        wrapMapAgg(rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(
+          rewriteUnnest(inlineSplit(prestoSql))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -1600,6 +1600,18 @@ class PrestoSqlSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("seg_stats")
   }
 
+  test("3-arg max_by/min_by return top-n arrays; 2-arg forms pass through") {
+    Tables.registerAll(spark, sf)
+    val r = PrestoSql.sql(spark,
+      """SELECT max_by(x, y, 2) AS top2, min_by(x, y, 2) AS bot2,
+        |  max_by(x, y) AS top1
+        |FROM (VALUES ('a', 1), ('b', 3), ('c', 2), ('d', NULL))
+        |  AS t(x, y)""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("b", "c"))
+    assert(r.getSeq[String](1) == Seq("a", "c"))
+    assert(r.getString(2) == "b")
+  }
+
   test("array_max_by / array_min_by splice the lambda into a fold") {
     val r = PrestoSql.sql(spark,
       """SELECT array_max_by(ARRAY['a', 'bbb', 'cc'], x -> length(x)) AS mx,
