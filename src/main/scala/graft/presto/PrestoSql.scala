@@ -382,6 +382,20 @@ object PrestoSql {
         // other backends must still run unmodified.
         statusDf(spark,
           t.trim.split("\\s+").take(2).mkString(" ").toUpperCase)
+      case GrantRe(kind) =>
+        // GRANT/REVOKE/DENY accepted as recorded no-ops: Spark's
+        // in-memory catalog has no privilege model (access control
+        // lives at the storage/connector layer), and migrating scripts
+        // routinely carry grants for their other backends.
+        statusDf(spark, kind.trim.toUpperCase)
+      case SetTimeZoneRe(z) =>
+        // SET TIME ZONE is REAL session state (unlike the no-ops
+        // above): it drives AT TIME ZONE-free timestamp rendering.
+        // LOCAL restores the engine default (the pinned-UTC contract).
+        val zone = Option(z).map(_.trim.stripPrefix("'").stripSuffix("'"))
+          .filterNot(_.equalsIgnoreCase("LOCAL")).getOrElse("UTC")
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        statusDf(spark, "SET TIME ZONE")
       case ShowCatalogsRe(like) => runShowCatalogs(spark, Option(like))
       case ShowFunctionsRe(like) => runShowFunctions(spark, Option(like))
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
@@ -767,6 +781,13 @@ object PrestoSql {
   // ROLLBACK [WORK] — accepted as no-ops (autocommit engine)
   private val TxnRe =
     """(?is)^\s*(START\s+TRANSACTION(?:\s+.+)?|BEGIN|COMMIT(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*$""".r
+  // GRANT/REVOKE/DENY … — privilege statements accepted as no-ops (no
+  // privilege model in Spark's catalog; see the dispatch comment)
+  private val GrantRe =
+    """(?is)^\s*(GRANT|REVOKE|DENY)\s+.+$""".r
+  // SET TIME ZONE 'zone' | LOCAL — real session state
+  private val SetTimeZoneRe =
+    """(?is)^\s*SET\s+TIME\s+ZONE\s+('(?:[^']*)'|LOCAL)\s*$""".r
   private val ShowCatalogsRe =
     """(?is)^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowFunctionsRe =

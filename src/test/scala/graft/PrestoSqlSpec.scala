@@ -1600,6 +1600,23 @@ class PrestoSqlSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("seg_stats")
   }
 
+  test("GRANT/REVOKE/DENY are recorded no-ops; SET TIME ZONE is real session state") {
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      val g = PrestoSql.script(spark,
+        """GRANT SELECT ON nation TO ROLE analyst;
+          |REVOKE SELECT ON nation FROM ROLE analyst;
+          |DENY DELETE ON nation TO USER bob""".stripMargin)
+      assert(g.columns.toSeq == Seq("result") &&
+        g.collect().head.getString(0) == "DENY")
+      PrestoSql.script(spark, "SET TIME ZONE 'America/New_York'")
+      assert(spark.conf.get(key) == "America/New_York")
+      PrestoSql.script(spark, "SET TIME ZONE LOCAL")
+      assert(spark.conf.get(key) == "UTC")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("3-arg max_by/min_by return top-n arrays; 2-arg forms pass through") {
     Tables.registerAll(spark, sf)
     val r = PrestoSql.sql(spark,
