@@ -745,10 +745,110 @@ object Etl extends QueryModule {
         .select(col("doc_id"), col("cluster_id"), col("n_in_cluster"),
           col("verdict"))
         .orderBy(col("doc_id"))
+    }),
+
+    // P8: data-quality gate — the dbt/Great-Expectations-style check
+    // suite every ETL tool runs before publishing a table: primary-key
+    // uniqueness, referential integrity (two FKs), a positivity
+    // invariant, a NOT NULL invariant, and a range EXPECTATION that
+    // genuinely FAILS on this corpus (documents outside the [10, 200]
+    // token band exist by construction — p7's quality gate drops them),
+    // so the report's fail branch is exercised, not just asserted.
+    // One row per check: (check, n_violations, status). Scale: each
+    // same-table predicate check is a conditional aggregate in ONE scan
+    // of its table; uniqueness is a keyed groupBy; each FK is one
+    // anti-join (broadcast when the parent side is small) — nothing
+    // row-expanding, and checks compose into a union of 1-row frames.
+    "p8_data_quality" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val events = Tables.events(s, d)
+      val docs = Tables.documents(s, d)
+      def check(name: String,
+          n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        n.select(lit(name).as("check"),
+          col("n_violations").cast("long").as("n_violations"),
+          when(col("n_violations") === 0, "pass").otherwise("fail")
+            .as("status"))
+      val pkDup = orders.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_violations"))
+      val fkCust = orders.join(customer,
+          orders("o_custkey") === customer("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val fkOrd = lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val price = orders.agg(sum(when(col("o_totalprice") <= 0, 1L)
+        .otherwise(0L)).as("n_violations"))
+      val tsNull = events.agg(sum(when(col("ts").isNull, 1L)
+        .otherwise(0L)).as("n_violations"))
+      val tokRange = docs
+        .select(size(expr("filter(split(text, ' '), t -> t != '')"))
+          .as("n_toks"))
+        .agg(sum(when(!col("n_toks").between(20, 150), 1L).otherwise(0L))
+          .as("n_violations"))
+      check("doc_tokens_in_20_150", tokRange)
+        .unionByName(check("events_ts_not_null", tsNull))
+        .unionByName(check("lineitem_fk_orders", fkOrd))
+        .unionByName(check("orders_fk_customer", fkCust))
+        .unionByName(check("orders_pk_unique", pkDup))
+        .unionByName(check("orders_price_positive", price))
+        .orderBy(col("check"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p8_data_quality" ->
+      // one violation count per check; the token-range expectation must
+      // genuinely fail (documents outside [10, 200] tokens exist)
+      """SELECT 'doc_tokens_in_20_150' AS check, CAST((
+        |    SELECT COUNT(*) FROM (
+        |      SELECT len(list_filter(str_split(text, ' '), t -> t != ''))
+        |        AS n FROM documents) WHERE n NOT BETWEEN 20 AND 150
+        |  ) AS BIGINT) AS n_violations,
+        |  CASE WHEN (SELECT COUNT(*) FROM (
+        |      SELECT len(list_filter(str_split(text, ' '), t -> t != ''))
+        |        AS n FROM documents) WHERE n NOT BETWEEN 20 AND 150) = 0
+        |    THEN 'pass' ELSE 'fail' END AS status
+        |UNION ALL
+        |SELECT 'events_ts_not_null', CAST((
+        |    SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT),
+        |  CASE WHEN (SELECT COUNT(*) FROM events WHERE ts IS NULL) = 0
+        |    THEN 'pass' ELSE 'fail' END
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders', CAST((
+        |    SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT),
+        |  CASE WHEN (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |    THEN 'pass' ELSE 'fail' END
+        |UNION ALL
+        |SELECT 'orders_fk_customer', CAST((
+        |    SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT),
+        |  CASE WHEN (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+        |    THEN 'pass' ELSE 'fail' END
+        |UNION ALL
+        |SELECT 'orders_pk_unique', CAST((
+        |    SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        |      GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT),
+        |  CASE WHEN (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        |      GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
+        |    THEN 'pass' ELSE 'fail' END
+        |UNION ALL
+        |SELECT 'orders_price_positive', CAST((
+        |    SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        |    AS BIGINT),
+        |  CASE WHEN (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        |      = 0
+        |    THEN 'pass' ELSE 'fail' END
+        |ORDER BY "check"""".stripMargin,
+
     "p1_pipeline_etl" ->
       s"""WITH cust_spend AS (
          |  SELECT c_custkey, c_mktsegment,
