@@ -1783,8 +1783,81 @@ object LlmOps extends QueryModule {
           when(col("n_nbrs").isNotNull, "drop").otherwise("keep")
             .as("verdict"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L39: PCA top-component projection — the whitening/projection
+    // preprocessing step of embedding pipelines (SemDeDup et al. run
+    // dedup in a decorrelated space; outlier mining reads extreme
+    // projections). principalComponent() computes mean + E[xxᵀ] in ONE
+    // corpus pass (order-independent quantized sums), power-iterates
+    // the 64×64 covariance on the driver, and the projection pass
+    // scores every vector against the broadcast (μ, v₁) literals —
+    // corpus touched twice, scan-stage both times, driver state O(d²).
+    // Output: top-20 vectors by |projection| (the outlier view). No
+    // oracle BY DESIGN (iterative eigen-solve — the l4d/l32/l35
+    // policy); PcaSpec pins planted-component recovery, the eigen
+    // residual ‖Cv − λv‖ on real data, sign convention, and run-to-run
+    // determinism.
+    "l39_pca_projection" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (mu, v) = principalComponent(e)
+      val muL = array(mu.map(lit): _*)
+      val vL = array(v.map(lit): _*)
+      val proj = e
+        .withColumn("__mu", muL).withColumn("__v", vL)
+        .withColumn("proj", expr(
+          """aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+            |    zip_with(__mu, __v, (m, w) -> named_struct('m', m, 'w', w)),
+            |    (x, mw) -> (x - mw.m) * mw.w),
+            |  0D, (acc, t) -> acc + t)""".stripMargin))
+      proj.drop("__mu", "__v")
+        .orderBy(abs(col("proj")).desc, col("vec_id"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(abs(col("proj")).desc, col("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"),
+          floor(col("proj") * 1e6 + 0.5).cast("long").as("proj_q6"))
+        .orderBy(col("rank"))
     })
   )
+
+  /** L39 core — mean vector and top principal component of an
+    * `array<float>` embedding column. ONE distributed pass: the mean
+    * and the second-moment matrix E[xxᵀ] both ride CentroidAggregator
+    * (quantized-long sums → merge-order-independent, the l32/l6b
+    * determinism trick), the 64×64 covariance assembles on the driver
+    * (O(d²) state — the same bounded-driver-state class as k centroids
+    * or one BPE pair/round), and 250 power-iteration steps on that tiny
+    * matrix cost microseconds. Sign fixed by making the first
+    * non-negligible component positive (eigenvectors are ±ambiguous).
+    */
+  private[graft] def principalComponent(
+      e: DataFrame): (Array[Double], Array[Double]) = {
+    val agg = e.agg(
+      CentroidAggregator.centroid(col("embedding")).as("mu"),
+      graft.functions.SecondMomentAggregator
+        .secondMoment(col("embedding")).as("m2")).collect().head
+    val mu = agg.getSeq[Double](0).toArray
+    val m2 = agg.getSeq[Double](1).toArray
+    val n = mu.length
+    val cov = Array.tabulate(n, n)((i, j) => m2(i * n + j) - mu(i) * mu(j))
+    var v = Array.fill(n)(1.0 / math.sqrt(n))
+    // 250 iterations: residual shrinks as (λ2/λ1)^k — the real
+    // embeddings' spectrum has λ2/λ1 ≈ 0.9, so 60 rounds left a 2.5e-3
+    // relative residual; 250 is overkill-cheap on a 64×64 (microseconds)
+    for (_ <- 1 to 250) {
+      val w = Array.tabulate(n)(i => {
+        var s = 0.0; var j = 0
+        while (j < n) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val lead = v.indexWhere(x => math.abs(x) > 1e-9)
+    if (lead >= 0 && v(lead) < 0) v = v.map(x => -x)
+    (mu, v)
+  }
 
   /** Shingle-keyed inverted-index join → exact per-pair Jaccard (ppm):
     * intersection by COUNT over the equi-join, union from the
