@@ -1735,6 +1735,33 @@ object PrestoSql {
         udf { (flat: Seq[Double], qs: Seq[Double]) =>
           val (m, w) = QS.deserialize(flat); qs.map(QS.quantile(m, w, _))
         })
+      // Trino quantile_at_value — the inverse CDF read: the estimated
+      // rank of `v` as the midpoint-interpolated cumulative weight at
+      // or below v (the standard t-digest CDF), NULL outside [min, max]
+      // matching Trino's null-on-out-of-range
+      spark.udf.register("graft_quantile_at_value",
+        udf { (flat: Seq[Double], v: Double) =>
+          val (m, w) = QS.deserialize(flat)
+          if (m.isEmpty || v < m.head || v > m.last) None
+          else {
+            val total = w.sum
+            var cum = 0.0
+            var i = 0
+            var ans = 1.0
+            var done = false
+            while (i < m.length && !done) {
+              if (v < m(i)) {
+                val prevMid = cum - (if (i > 0) w(i - 1) / 2.0 else 0.0)
+                val mid = cum + w(i) / 2.0
+                val lo = if (i > 0) m(i - 1) else m(0)
+                val f = if (m(i) == lo) 0.0 else (v - lo) / (m(i) - lo)
+                ans = (prevMid + f * (mid - prevMid)) / total
+                done = true
+              } else { cum += w(i); i += 1 }
+            }
+            Some(math.min(math.max(if (done) ans else 1.0, 0.0), 1.0))
+          }
+        })
       // Presto aggregate names Spark lacks: checksum / histogram /
       // multimap_agg (mergeable kernels in DialectAggregators; the
       // wrapDialectAggs pre-pass CAST-wraps arguments to varchar)
@@ -1874,6 +1901,9 @@ object PrestoSql {
     // merge binds to the t-digest union; a standalone merge() still maps
     // to the HLL union (type-polymorphic in Trino, text-level here — the
     // composed forms are how published qdigest rollups are written).
+    ("""(?i)\bquantile_at_value\s*\(\s*merge\s*\(""".r,
+      "graft_quantile_at_value(graft_qdigest_merge("),
+    ("""(?i)\bquantile_at_value\s*\(""".r, "graft_quantile_at_value("),
     ("""(?i)\bvalue_at_quantile\s*\(\s*merge\s*\(""".r,
       "graft_value_at_quantile(graft_qdigest_merge("),
     ("""(?i)\bvalues_at_quantiles\s*\(\s*merge\s*\(""".r,

@@ -1472,6 +1472,18 @@ class PrestoSqlSpec extends SparkSpec {
     val arr = est.getSeq[Double](1)
     close(arr(0), exact.getDouble(0))
     close(arr(1), exact.getDouble(2))
+    // quantile_at_value — the inverse read: the rank of the exact
+    // median must come back near 0.5, and out-of-range values are NULL
+    assert(PrestoSql.translate(
+      "SELECT quantile_at_value(merge(d), 9.0) FROM s")
+      == "SELECT graft_quantile_at_value(graft_qdigest_merge(d), 9.0) FROM s")
+    val inv = PrestoSql.sql(spark,
+      s"""SELECT quantile_at_value(merge(d), ${exact.getDouble(1)}) AS qm,
+         |  quantile_at_value(merge(d), -1e18) AS oob
+         |FROM li_sketches""".stripMargin).collect().head
+    assert(math.abs(inv.getDouble(0) - 0.5) <= 0.05,
+      s"rank of median ${inv.getDouble(0)}")
+    assert(inv.isNullAt(1))
   }
 
   test("MATCH_RECOGNIZE plans onto RowPattern and matches the direct call") {
