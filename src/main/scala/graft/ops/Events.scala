@@ -428,6 +428,33 @@ object Events extends QueryModule {
         .orderBy(col("w_start"), col("segment"))
     }),
 
+    // E21: gated streaming SLIDING windows — the overlapping-window
+    // state shape (each event lands in 4 windows) as a real run;
+    // complete-mode counts are batching-independent like e1b/e16/e20.
+    "e21_stream_sliding" -> ((s, d) => {
+      val batch = Tables.events(s, d)
+      val base = Sources.scratch("graft_e21")
+      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val qn = "graft_e21_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .slidingCounts(stream.withColumn("ts", col("ts").cast("timestamp")))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"))
+        // sliding windows materialize only slides CONTAINING data on
+        // the low edge; mirror e2's batch convention (all 4 covering
+        // windows) via the oracle's own derivation — both engines
+        // enumerate the same (window, type) set because every window
+        // emitted contains >= 1 event by construction
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // E19: streaming MATCH_RECOGNIZE under the oracle gate — the SIXTH
     // gated streaming proof, and the marquee one: the e8 row-pattern
     // query (view gap1* click gap2* purchase WITHIN 24h) executed by the
@@ -871,6 +898,17 @@ object Events extends QueryModule {
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND p.event_type = 'purchase'
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "e21_stream_sliding" ->
+      // e2's derivation: each event covered by the 4 slides at and
+      // before its 15-min bucket (floor() before the cast — DuckDB
+      // double→int casts round, Spark floors)
+      """WITH slid AS (
+        |  SELECT e.event_type,
+        |    CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900 AS w_start_s
+        |  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT w_start_s AS w_start, event_type, COUNT(*) AS n
+        |FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "e20_stream_enrichment" ->
       // the batch equivalent of the stream-static broadcast join +

@@ -370,6 +370,40 @@ object Sources extends QueryModule {
       rollup(1).unionByName(rollup(2)).orderBy(col("version"))
     }),
 
+    // S18: column profiling — the pre-publish PROFILE report every ETL
+    // tool renders (null counts, exact distinct cardinality, min/max)
+    // for a table's key columns, here in ONE pass: a single aggregate
+    // carries the conditional null-sums, the multi-distinct counts
+    // (Spark plans them via one Expand — k× the rows of ONE scan, not
+    // k scans), and min/max; stack() unpivots the 1-row result into
+    // one row per column. At 100 TB swap the exact distincts for
+    // approx_count_distinct and the Expand disappears — same report
+    // shape. min/max render AFTER aggregation (min-of-value cast to
+    // string, never min-of-string — '10' < '9' lexically); profiled
+    // columns are integer/varchar so the rendering is engine-stable.
+    "s18_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def stats(c: String, tag: String) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$tag"),
+        countDistinct(col(c)).cast("long").as(s"nd_$tag"),
+        min(col(c)).cast("string").as(s"mi_$tag"),
+        max(col(c)).cast("string").as(s"ma_$tag"))
+      val wide = o.agg(count(lit(1)).as("n_rows"),
+        (stats("o_orderkey", "ok") ++ stats("o_custkey", "ck") ++
+          stats("o_orderstatus", "os") ++ stats("o_orderpriority", "op")): _*)
+      wide.select(col("n_rows"), expr(
+        """stack(4,
+          |  'o_custkey',      nn_ck, nd_ck, mi_ck, ma_ck,
+          |  'o_orderkey',     nn_ok, nd_ok, mi_ok, ma_ok,
+          |  'o_orderpriority',nn_op, nd_op, mi_op, ma_op,
+          |  'o_orderstatus',  nn_os, nd_os, mi_os, ma_os)
+          |  AS (col_name, n_nulls, n_distinct, min_s, max_s)"""
+          .stripMargin))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy(col("col_name"))
+    }),
+
     // S16: Z-ORDER (Morton-curve) layout for MULTI-dimensional data
     // skipping — the OPTIMIZE ZORDER story every lakehouse ETL tool
     // ships: a table queried by 2-D box predicates is rewritten sorted
@@ -544,6 +578,38 @@ object Sources extends QueryModule {
         |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v_q6,
         |  CAST(1 AS BIGINT) AS n_files
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s18_profile" ->
+      // one profile row per column off a single wide aggregate
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+        |    COUNT(DISTINCT o_orderkey) AS nd_ok,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mi_ok,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS ma_ok,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+        |    COUNT(DISTINCT o_custkey) AS nd_ck,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mi_ck,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS ma_ck,
+        |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_os,
+        |    COUNT(DISTINCT o_orderstatus) AS nd_os,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) AS mi_os,
+        |    CAST(MAX(o_orderstatus) AS VARCHAR) AS ma_os,
+        |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_op,
+        |    COUNT(DISTINCT o_orderpriority) AS nd_op,
+        |    CAST(MIN(o_orderpriority) AS VARCHAR) AS mi_op,
+        |    CAST(MAX(o_orderpriority) AS VARCHAR) AS ma_op
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, n_rows,
+        |  CAST(nn_ck AS BIGINT) AS n_nulls, CAST(nd_ck AS BIGINT) AS n_distinct,
+        |  mi_ck AS min_s, ma_ck AS max_s FROM s
+        |UNION ALL SELECT 'o_orderkey', n_rows,
+        |  CAST(nn_ok AS BIGINT), CAST(nd_ok AS BIGINT), mi_ok, ma_ok FROM s
+        |UNION ALL SELECT 'o_orderpriority', n_rows,
+        |  CAST(nn_op AS BIGINT), CAST(nd_op AS BIGINT), mi_op, ma_op FROM s
+        |UNION ALL SELECT 'o_orderstatus', n_rows,
+        |  CAST(nn_os AS BIGINT), CAST(nd_os AS BIGINT), mi_os, ma_os FROM s
+        |ORDER BY col_name""".stripMargin,
 
     "s17_snapshot_time_travel" ->
       // v1 must equal the pre-append state even though v2 has committed
