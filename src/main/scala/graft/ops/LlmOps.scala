@@ -1801,8 +1801,8 @@ object LlmOps extends QueryModule {
     "l39_pca_projection" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val (mu, v) = principalComponent(e)
-      val muL = array(mu.map(lit): _*)
-      val vL = array(v.map(lit): _*)
+      val muL = array(mu.toIndexedSeq.map(lit): _*)
+      val vL = array(v.toIndexedSeq.map(lit): _*)
       val proj = e
         .withColumn("__mu", muL).withColumn("__v", vL)
         .withColumn("proj", expr(
