@@ -417,10 +417,62 @@ object Joins extends QueryModule {
         .agg(count(lit(1)).as("n_inside"),
           sum(col("c_custkey")).as("sum_keys"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    // J14: BINNED pure-range join — the interval-overlap join with NO
+    // equi key at all ("count lineitems shipped inside each order's
+    // 7-day window", any order, any lineitem). Declared naively this is
+    // a BroadcastNestedLoopJoin — every point against every interval,
+    // the quadratic plan that dies first at scale. The binning rewrite
+    // (the classic range-join optimization) makes it an EQUI hash join:
+    // time splits into 7-day bins, each interval replicates to the ≤2
+    // bins it overlaps, each point hashes to its ONE bin, candidates
+    // meet only within a bin and the exact range predicate runs as the
+    // join residual. An interval meets a point in at most one shared
+    // bin here (interval length = bin width), so no pair-dedup is
+    // needed. ScaleShapeSpec pins the shape: hash join on the bin key,
+    // no BNLJ/cartesian anywhere. LEFT semantics (orders with an empty
+    // window keep n=0) come from joining counts back to the interval
+    // side rather than left-replicating intervals through the explode.
+    "j14_binned_range_join" -> ((s, d) => {
+      val binDays = 7L
+      def binOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+          / binDays).cast("long")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val ranges = orders
+        .withColumn("b", explode(array(binOf(col("o_orderdate")),
+          binOf(col("o_orderdate") + expr("INTERVAL 6 DAYS")))))
+        .distinct() // the two covered bins may coincide
+      val points = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .withColumn("b", binOf(col("l_shipdate")))
+      val counts = ranges.join(points, "b")
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      orders.join(counts, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n"), lit(0L)).as("n_in_window"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j14_binned_range_join" ->
+      // the naive declaration of the same join — the oracle engine may
+      // nested-loop it at toy scale; the Spark side must produce the
+      // identical counts through the binned equi-join
+      """SELECT o.o_orderkey,
+        |  CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_in_window
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "j1_inner" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey

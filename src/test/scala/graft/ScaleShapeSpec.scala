@@ -436,6 +436,17 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("j14 binned pure-range join is an equi hash join — no nested loop (J14)") {
+    val df = ops.Joins.queries("j14_binned_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the un-binned declaration of this key-less interval join is a
+    // BroadcastNestedLoopJoin; the bin key must make it a hash join
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
   test("s16 z-order read-back pushes BOTH box dimensions to the parquet scan (S16)") {
     val dir = ops.Sources.scratch("graft_s16pin")
     ops.Sources.writeZOrdered(
