@@ -1352,106 +1352,67 @@ object LlmOps extends QueryModule {
     // 8-dim subspace gets a 16-centroid codebook (k-means, 2 Lloyd
     // rounds, seeded from the first 16 vectors' subvectors) and a
     // vector stores only its nearest-centroid index per subspace, a
-    // 32× memory cut. Queries score candidates ASYMMETRICALLY (ADC):
-    // exact query subvector vs the candidate's reconstructed centroid,
-    // summed across subspaces — codes never decompress. ADC keeps a
-    // top-20 shortlist; an exact re-rank of the shortlist (FAISS's
-    // refine stage — raw vectors fetched for 20 rows per query, never
-    // the corpus) yields the final top-5 by (exact L2², cand_id).
+    // 32x memory cut. Queries score candidates ASYMMETRICALLY (ADC):
+    // per-query distance TABLES dt[m][k] are precomputed once against
+    // the codebook, so scoring a candidate is M table lookups — codes
+    // never decompress. The ADC top-20 shortlist re-ranks exactly
+    // (FAISS's refine stage) to the final top-5 by (exact L2^2, id).
+    //
+    // Execution layout (the FAISS-true one, r8 rework): the codebook
+    // (8x16x8 doubles) and the per-query distance tables are DRIVER
+    // state, exactly as in FAISS — each Lloyd round is ONE single-group
+    // aggregation whose buffer carries quantized-long sums per (m, k)
+    // (partials merge map-side; the corpus never shuffles to be
+    // assigned), and encode + ADC + exact re-rank all evaluate as
+    // native expressions inside the scan's WholeStageCodegen against
+    // the closure-shipped model (PqFunctions.scala). The first-draft
+    // form kept the codebook as a 128-row frame re-joined per pass
+    // through interpreted HOF lambdas: 14 jobs / ~6 s at the 2 000-row
+    // gate SF vs ~4 jobs here. At 100 TB: training runs on a bounded
+    // sample (codebooks are 128 tiny vectors — sample size is
+    // accuracy-, not scale-bound), then one scan-stage encode pass and
+    // one code-sized ADC pass; the per-query shortlist is pruned
+    // per-partition by WindowGroupLimit before the qid shuffle.
     // No oracle BY DESIGN (pre-registered): k-means training is a
     // multi-job iterative loop like l4d; PqSpec pins recall@5 vs the
-    // exact L2 top-5, the 8-byte code shape, and run-to-run
-    // determinism (CentroidAggregator's quantized-long sums make
-    // training order-independent; every argmin tie-breaks on index).
-    // Scale notes: training aggregates subvectors by (m, k) — at
-    // 100 TB you train on a bounded SAMPLE (codebooks are 128 tiny
-    // vectors; sample size is accuracy-, not scale-bound) and the
-    // corpus is touched twice, scan-stage both times: once to encode
-    // (codebook broadcast, argmin in codegen), once to ADC-score
-    // (queries + codebook broadcast; the scan reads 8-byte codes, not
-    // 256-byte vectors — the whole point). Composing with l3b's IVF
-    // coarse pruning (probe 2 of 10 cells) is the standard IVF-PQ
-    // stack; kept separate here so each mechanism is pinned alone.
+    // exact L2 top-5, determinism (quantized-long sums are merge-order-
+    // independent; every argmin tie-breaks on the lowest id), and the
+    // 5-rows-per-query shape.
     "l32_pq_adc" -> ((s, d) => {
+      import graft.functions.{PqCore, PqAdcAllExpression, PqEncodeExpression, QueryL2Expression}
+      import org.apache.spark.sql.graftshim.GraftShim.{colExpr, exprCol}
       val K = 16
       val e = Tables.embeddings(s, d)
-      // materialized ONCE: three assign passes (2 Lloyd rounds + the
-      // final encode) would otherwise each re-scan and re-explode the
-      // corpus — at 100 TB this is the "write the training sample out
-      // first" step, here a localCheckpoint of the (id, m, subvector)
-      // pairs
-      val subs = e.select(col("vec_id"), posexplode(expr(
-          "transform(sequence(0, 7), m -> slice(embedding, m * 8 + 1, 8))")))
-        .toDF("vec_id", "m", "sub")
-        .localCheckpoint()
+      // seeds (first K vectors; the 10 query vectors are a subset) —
+      // driver-sized by design, like FAISS's training sample
+      val head = e.filter(col("vec_id") < K)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      var pq = PqCore.seedModel(head.map(_._2.map(_.toDouble)), 8)
+      for (_ <- 1 to 2)
+        pq = PqCore.lloydRound(e, col("embedding"), pq, null)
+      val queries = head.filter(_._1 < 10)
+      val tables = PqCore.buildTables(queries, pq, null, 1)
+      val qv = new java.util.HashMap[java.lang.Long, Array[Float]]
+      queries.foreach { case (qid, v) => qv.put(qid, v) }
 
-      def centArr(c: DataFrame) = c.agg(array_sort(collect_list(struct(
-        col("m"), col("k"), col("cf")))).as("cents"))
-      // nearest codebook entry for subspace `m` (strict < keeps the
-      // lowest k on exact ties; cents is (m, k)-sorted)
-      val assignK =
-        """aggregate(
-          |  transform(filter(cents, c -> c.m = m),
-          |    c -> named_struct('k', c.k, 'd',
-          |      aggregate(zip_with(sub, c.cf,
-          |          (x, y) -> (double(x) - y) * (double(x) - y)),
-          |        0D, (a, v) -> a + v))),
-          |  named_struct('k', -1, 'd', cast('Infinity' as double)),
-          |  (acc, x) -> if(x.d < acc.d, x, acc)).k""".stripMargin
-      def assign(c: DataFrame): DataFrame =
-        subs.crossJoin(broadcast(centArr(c)))
-          .select(col("vec_id"), col("m"), col("sub"), expr(assignK).as("k"))
-
-      var cents = subs.filter(col("vec_id") < K)
-        .select(col("m"), col("vec_id").cast("int").as("k"),
-          expr("transform(sub, x -> double(x))").as("cf"))
-      for (_ <- 1 to 2) {
-        val next = assign(cents).groupBy(col("m"), col("k"))
-          .agg(CentroidAggregator.centroid(col("sub")).as("cf"))
-          .persist()
-        next.count()
-        cents.unpersist(false)
-        cents = next
-      }
-
-      val codes = assign(cents).groupBy(col("vec_id"))
-        .agg(array_sort(collect_list(struct(col("m"), col("k")))).as("mk"))
-        .select(col("vec_id").as("cand_id"),
-          expr("transform(mk, x -> x.k)").as("codes"))
-
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val adc =
-        """aggregate(sequence(0, 7), 0D, (acc, m) ->
-          |  acc + aggregate(
-          |    zip_with(slice(qvec, m * 8 + 1, 8),
-          |      element_at(filter(cents,
-          |        c -> c.m = m AND c.k = element_at(codes, m + 1)), 1).cf,
-          |      (x, y) -> (double(x) - y) * (double(x) - y)),
-          |    0D, (a, v) -> a + v))""".stripMargin
-      // ADC shortlist (top-20 by approx distance), then EXACT re-rank of
-      // the shortlist only — the FAISS refine stage: raw vectors are
-      // fetched for 20 candidates per query, never the full corpus, so
-      // the scan stays code-sized and the answer quality comes back.
+      val codes = exprCol(PqEncodeExpression(colExpr(col("embedding")), pq, null))
+      val pairs = exprCol(PqAdcAllExpression(
+        colExpr(lit(0L)), colExpr(codes), tables))
       val wa = Window.partitionBy(col("qid"))
         .orderBy(col("adist"), col("cand_id"))
-      val shortlist = codes.crossJoin(broadcast(centArr(cents)))
-        .crossJoin(broadcast(queries))
-        .filter(col("cand_id") =!= col("qid"))
-        .select(col("qid"), col("qvec"), col("cand_id"), expr(adc).as("adist"))
-        .withColumn("arank", row_number().over(wa))
-        .filter(col("arank") <= 20)
-        .select(col("qid"), col("qvec"), col("cand_id"))
-      val exactD =
-        """aggregate(zip_with(qvec, cvec,
-          |    (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-          |  0D, (a, v) -> a + v)""".stripMargin
       val we = Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("cand_id"))
-      shortlist
-        .join(e.select(col("vec_id").as("cand_id"),
-          col("embedding").as("cvec")), Seq("cand_id"))
-        .select(col("qid"), col("cand_id"), expr(exactD).as("dist"))
+      e.select(col("vec_id").as("cand_id"), col("embedding"),
+          explode(pairs).as("qa"))
+        .select(col("qa.qid").as("qid"), col("cand_id"),
+          col("qa.adist").as("adist"), col("embedding"))
+        .filter(col("cand_id") =!= col("qid"))
+        .withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= 20)
+        .select(col("qid"), col("cand_id"),
+          exprCol(QueryL2Expression(colExpr(col("qid")),
+            colExpr(col("embedding")), qv)).as("dist"))
         .withColumn("rank", row_number().over(we).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"),
@@ -1461,137 +1422,79 @@ object LlmOps extends QueryModule {
 
     // L35: IVF-PQ — the composed FAISS IndexIVFPQ stack (Jégou et al.
     // 2011) that l3b (coarse IVF) and l32 (PQ-ADC) each pin alone:
-    // a label-seeded coarse quantizer routes every vector to one of ~10
-    // cells; PQ codebooks are trained on the RESIDUALS (x − cell
-    // centroid — the residual trick is what makes 8-byte codes usable
-    // at cell granularity); queries probe their 2 nearest cells, ADC-
-    // score the probed cells' CODES against the per-cell query
-    // residual, and the top-20 shortlist re-ranks exactly (raw vectors
-    // fetched for 20 rows per query, never the corpus).
+    // a label-seeded coarse quantizer (cosine k-means, 2 rounds) routes
+    // every vector to one of ~10 cells; PQ codebooks train on the
+    // RESIDUALS (x - cell centroid — the residual trick is what makes
+    // 8-byte codes usable at cell granularity); queries probe their 2
+    // nearest cells with per-probed-cell residual distance tables, and
+    // the ADC top-20 shortlist re-ranks exactly.
     //
-    // Scale design, composed from the parents': coarse assignment and
-    // encoding are scan-stage over broadcast centroids/codebooks (the
-    // corpus never shuffles to be clustered or encoded); the search
-    // reads 8-byte codes for 2/10ths of the corpus per query; exact
-    // re-rank touches 20 rows per query. No oracle BY DESIGN
-    // (two nested k-means loops — the l4d/l32 policy); PqSpec pins
-    // recall@5 vs exact L2, probe locality, and determinism.
+    // Execution layout mirrors l32's r8 rework: coarse centroids, PQ
+    // codebooks, and per-(query, probed-cell) distance tables are all
+    // driver state (FAISS keeps exactly these three on the index head);
+    // each of the 4 training rounds is ONE single-group aggregation
+    // (quantized-long sums, map-side partials, corpus never shuffles);
+    // the search pass computes cell + codes + ADC inside the scan's
+    // WholeStageCodegen, and only (qid, cand, adist) triples for PROBED
+    // cells leave the stage. At 100 TB the search reads 8-byte codes
+    // for probed cells only and fetches raw vectors for the 20-row
+    // shortlist — never the corpus. No oracle BY DESIGN (two nested
+    // k-means loops — the l4d/l32 policy); PqSpec pins recall@5,
+    // determinism, and shape.
     "l35_ivfpq" -> ((s, d) => {
-      CosineSimilarityExpression.register(s)
+      import graft.functions.{CoarseModel, PqCore, CoarseCellExpression, PqAdcAllExpression, PqEncodeExpression, QueryL2Expression}
+      import org.apache.spark.sql.graftshim.GraftShim.{colExpr, exprCol}
+      val K = 16
       val e = Tables.embeddings(s, d)
 
-      // ---- coarse quantizer: l3b's label-seeded k-means, 2 rounds ----
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned.groupBy(col("cid"))
-          .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-      def assignCoarse(cent: DataFrame): DataFrame = {
-        val centArr = cent.agg(array_sort(collect_list(struct(
-          col("cid"), col("cvec").cast("array<float>").as("cf")))).as("cents"))
-        e.crossJoin(broadcast(centArr))
-          .withColumn("cid", expr(
-            """aggregate(
-              |  transform(cents, c -> named_struct('cid', c.cid, 's', cosine_sim(embedding, c.cf))),
-              |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
-              |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
-          .select(col("vec_id"), col("embedding"), col("cid"))
-      }
-      var cent = e.groupBy(col("label").cast("long").as("cid"))
+      // coarse quantizer: label-seeded means, then 2 cosine Lloyd rounds
+      val seedRows = e.groupBy(col("label").cast("long").as("cid"))
         .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-      for (_ <- 1 to 2) {
-        val next = recompute(assignCoarse(cent)).persist()
-        next.count()
-        cent.unpersist()
-        cent = next
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      var coarse = new CoarseModel(seedRows.map(_._1), seedRows.map(_._2))
+      for (_ <- 1 to 2)
+        coarse = PqCore.coarseRound(e, col("embedding"), coarse)
+
+      // PQ codebooks on residuals: seeds = the first 16 vectors'
+      // residuals vs their coarse cell (driver math), then 2 rounds
+      val head = e.filter(col("vec_id") < K)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val seedRes = head.map { case (_, v) =>
+        val vec = v.map(_.toDouble)
+        val c = coarse.cents(PqCore.nearestCell(coarse, vec))
+        vec.indices.map(j =>
+          vec(j) - (if (j < c.length) c(j) else 0.0)).toArray
       }
-      val centF = cent.select(col("cid"),
-        col("cvec").cast("array<float>").as("cf"))
+      var pq = PqCore.seedModel(seedRes, 8)
+      for (_ <- 1 to 2)
+        pq = PqCore.lloydRound(e, col("embedding"), pq, coarse)
 
-      // ---- residuals, exploded into 8 subspaces (l32's shape) ----
-      val subs = assignCoarse(cent).join(broadcast(centF), "cid")
-        .select(col("vec_id"), col("cid"),
-          expr("zip_with(embedding, cf, (x, y) -> x - y)").as("rvec"))
-        .select(col("vec_id"), col("cid"), posexplode(expr(
-          "transform(sequence(0, 7), m -> slice(rvec, m * 8 + 1, 8))")))
-        .toDF("vec_id", "cid", "m", "sub")
-        .localCheckpoint()
+      // probes + per-probed-cell residual tables (driver), search pass
+      val queries = head.filter(_._1 < 10)
+      val tables = PqCore.buildTables(queries, pq, coarse, 2)
+      val qv = new java.util.HashMap[java.lang.Long, Array[Float]]
+      queries.foreach { case (qid, v) => qv.put(qid, v) }
 
-      // ---- PQ codebooks on residuals: 8 × 16, 2 Lloyd rounds ----
-      val K = 16
-      def pqArr(c: DataFrame) = c.agg(array_sort(collect_list(struct(
-        col("m"), col("k"), col("pf")))).as("pqcents"))
-      val assignK =
-        """aggregate(
-          |  transform(filter(pqcents, c -> c.m = m),
-          |    c -> named_struct('k', c.k, 'd',
-          |      aggregate(zip_with(sub, c.pf,
-          |          (x, y) -> (double(x) - y) * (double(x) - y)),
-          |        0D, (a, v) -> a + v))),
-          |  named_struct('k', -1, 'd', cast('Infinity' as double)),
-          |  (acc, x) -> if(x.d < acc.d, x, acc)).k""".stripMargin
-      def assignPq(c: DataFrame): DataFrame =
-        subs.crossJoin(broadcast(pqArr(c)))
-          .select(col("vec_id"), col("cid"), col("m"), col("sub"),
-            expr(assignK).as("k"))
-      var pq = subs.filter(col("vec_id") < K)
-        .select(col("m"), col("vec_id").cast("int").as("k"),
-          expr("transform(sub, x -> double(x))").as("pf"))
-      for (_ <- 1 to 2) {
-        val next = assignPq(pq).groupBy(col("m"), col("k"))
-          .agg(CentroidAggregator.centroid(col("sub")).as("pf"))
-          .persist()
-        next.count()
-        pq.unpersist(false)
-        pq = next
-      }
-      val codes = assignPq(pq).groupBy(col("vec_id"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("m"), col("k")))).as("mk"))
-        .select(col("vec_id").as("cand_id"), col("cid").as("bucket"),
-          expr("transform(mk, x -> x.k)").as("codes"))
-
-      // ---- probe 2 cells per query, query residual per probed cell ----
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val probeW = Window.partitionBy(col("qid"))
-        .orderBy(col("csim").desc, col("cid"))
-      val probes = queries.crossJoin(broadcast(centF))
-        .select(col("qid"), col("qvec"), col("cid"),
-          CosineSimilarityExpression.cosineSim(col("qvec"), col("cf")).as("csim"))
-        .withColumn("crank", row_number().over(probeW))
-        .filter(col("crank") <= 2)
-        .select(col("qid"), col("qvec"), col("cid").as("probe_bucket"))
-        .join(broadcast(centF), col("probe_bucket") === col("cid"))
-        .select(col("qid"), col("qvec"), col("probe_bucket"),
-          expr("zip_with(qvec, cf, (x, y) -> x - y)").as("qres"))
-
-      // ---- ADC over probed cells' codes + exact re-rank of top-20 ----
-      val adc =
-        """aggregate(sequence(0, 7), 0D, (acc, m) ->
-          |  acc + aggregate(
-          |    zip_with(slice(qres, m * 8 + 1, 8),
-          |      element_at(filter(pqcents,
-          |        c -> c.m = m AND c.k = element_at(codes, m + 1)), 1).pf,
-          |      (x, y) -> (double(x) - y) * (double(x) - y)),
-          |    0D, (a, v) -> a + v))""".stripMargin
+      val cellC = exprCol(CoarseCellExpression(colExpr(col("embedding")), coarse))
+      val codes = exprCol(PqEncodeExpression(colExpr(col("embedding")), pq, coarse))
+      val pairs = exprCol(PqAdcAllExpression(
+        colExpr(cellC), colExpr(codes), tables))
       val wa = Window.partitionBy(col("qid"))
         .orderBy(col("adist"), col("cand_id"))
-      val shortlist = codes.join(broadcast(probes),
-          col("bucket") === col("probe_bucket"))
-        .crossJoin(broadcast(pqArr(pq)))
-        .filter(col("cand_id") =!= col("qid"))
-        .select(col("qid"), col("qvec"), col("cand_id"), expr(adc).as("adist"))
-        .withColumn("arank", row_number().over(wa))
-        .filter(col("arank") <= 20)
-        .select(col("qid"), col("qvec"), col("cand_id"))
-      val exactD =
-        """aggregate(zip_with(qvec, cvec2,
-          |    (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-          |  0D, (a, v) -> a + v)""".stripMargin
       val we = Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("cand_id"))
-      shortlist
-        .join(e.select(col("vec_id").as("cand_id"),
-          col("embedding").as("cvec2")), Seq("cand_id"))
-        .select(col("qid"), col("cand_id"), expr(exactD).as("dist"))
+      e.select(col("vec_id").as("cand_id"), col("embedding"),
+          explode(pairs).as("qa"))
+        .select(col("qa.qid").as("qid"), col("cand_id"),
+          col("qa.adist").as("adist"), col("embedding"))
+        .filter(col("cand_id") =!= col("qid"))
+        .withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= 20)
+        .select(col("qid"), col("cand_id"),
+          exprCol(QueryL2Expression(colExpr(col("qid")),
+            colExpr(col("embedding")), qv)).as("dist"))
         .withColumn("rank", row_number().over(we).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"))

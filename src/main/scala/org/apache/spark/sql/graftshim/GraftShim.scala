@@ -22,4 +22,15 @@ object GraftShim {
     * task totals. */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Column over a raw Catalyst Expression (`ExpressionUtils.column` is
+    * private[sql]); needed to apply model-bound native expressions —
+    * ones carrying a runtime reference object such as a PQ codebook —
+    * which cannot route through the string-literal function registry. */
+  def exprCol(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (inverse of exprCol). */
+  def colExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

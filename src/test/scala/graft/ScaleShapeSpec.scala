@@ -406,14 +406,15 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("l32 ADC scan reads codes, not vectors: corpus embedding appears in one upstream scan only (L32)") {
-    // the scoring stage joins (cand_id, codes) with broadcast queries +
-    // codebook; raw embeddings re-enter only via the 20-row-per-query
-    // refine join — so the plan must contain NO cartesian product and the
-    // shortlist join must be on cand_id (an equi-join, not a loop)
+  test("l32 ADC is one corpus scan — no join, no cartesian anywhere (L32)") {
+    // r8 layout: codebook + per-query distance tables are driver state
+    // shipped by closure; encode/ADC/re-rank evaluate scan-stage, so the
+    // whole search is ONE scan of embeddings + two tiny qid windows —
+    // the plan must contain no join node of any kind
     val plan = ops.LlmOps.queries("l32_pq_adc")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
   }
 
   test("l36 multi_count evaluates in the scan-stage codegen Project — one pass, no join/explode (L36)") {
