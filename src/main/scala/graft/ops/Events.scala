@@ -26,6 +26,27 @@ object Events extends QueryModule {
   // purchases within [0, 1h] via the streaming interval-join function
   // (withWatermark is a no-op in batch, so the oracle gate covers the
   // streaming operator's logic)
+  /** Run a streaming proof with the state-store task count sized to the
+    * gate fixture (a fresh checkpoint pins the count at query start, so
+    * this is per-query, not session-global). Rationale: every stateful
+    * micro-batch commits one state file PER PARTITION per store — at 32
+    * shuffle partitions a 4-trigger symmetric join writes ~500 tiny
+    * state files for a 100 k-row fixture, and that file churn, not
+    * data, dominated the gated streaming proofs' bench cost. Sizing
+    * state partitions to stream volume is the production rule too; a
+    * 1000-executor deployment sets the session default high and this
+    * helper becomes a no-op (it only ever lowers to the gate size).
+    */
+  private def withStreamStateSizing[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    if (old.toIntOption.exists(_ <= 8)) f
+    else {
+      s.conf.set(key, "8")
+      try f finally s.conf.set(key, old)
+    }
+  }
+
   private def intervalJoin(s: SparkSession, d: String,
       joinType: String): DataFrame = {
     val e = Tables.events(s, d).filter(col("user_id") < 100)
@@ -241,10 +262,10 @@ object Events extends QueryModule {
     // multi-batch argument is batching-independent (that's its point),
     // and each extra micro-batch is pure trigger-scheduling latency
     // (22% of the whole r7 bench went to these two streaming proofs).
-    "e1b_stream_tumbling" -> ((s, d) => {
+    "e1b_stream_tumbling" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d)
-      val base = Sources.scratch("graft_e1b")
-      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val base = Sources.fixtureOnce("graft_e1b", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
       val qn = "graft_e1b_" +
@@ -269,10 +290,10 @@ object Events extends QueryModule {
     // the batch session_window answer (e14's oracle) under ANY
     // batching. Complete mode keeps all session state, which is what
     // makes the cross-batch merge oracle-exact.
-    "e16_stream_session" -> ((s, d) => {
+    "e16_stream_session" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d)
-      val base = Sources.scratch("graft_e16")
-      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val base = Sources.fixtureOnce("graft_e16", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
       val qn = "graft_e16_" +
@@ -309,23 +330,33 @@ object Events extends QueryModule {
     //    unemitted.
     // The rollup of emitted sessions then equals the batch derivation
     // exactly (oracle mirrors the sessionizer's strict `> gap` split).
-    "e17_stream_state_sessions" -> ((s, d) => {
+    "e17_stream_state_sessions" -> ((s, d) => withStreamStateSizing(s) {
       import s.implicits._
       val batch = Tables.events(s, d).select(col("user_id"), col("ts"))
-      val base = Sources.scratch("graft_e17")
-      val src = s"$base/src"
-      // time-quartile files, written oldest range first (ascending
-      // modTime ⇒ FileStreamSource processes them in time order)
-      val mm = batch.agg(min(col("ts")), max(col("ts"))).collect().head
-      val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-      val step = math.max((hi - lo) / 4 + 1, 1L)
-      for (i <- 0 until 4) {
-        val (a, b) = (lo + i * step, lo + (i + 1) * step)
-        batch.filter(unix_millis(col("ts")) >= a &&
-            unix_millis(col("ts")) < b)
-          .coalesce(1).write.mode("overwrite").parquet(s"$src/q$i")
+      val base = Sources.fixtureOnce("graft_e17", d) { dir =>
+        // time-quartile files, written oldest range first (ascending
+        // modTime ⇒ FileStreamSource processes them in time order); the
+        // sentinel (+90 days per user, closes every trailing real
+        // session data-driven) is written LAST, so it carries the
+        // newest modTime and lands in its own fifth micro-batch after
+        // all real events — equivalent to the earlier mid-run append,
+        // but the fixture is fully static and build-once
+        val mm = batch.agg(min(col("ts")), max(col("ts"))).collect().head
+        val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+        val step = math.max((hi - lo) / 4 + 1, 1L)
+        for (i <- 0 until 4) {
+          val (a, b) = (lo + i * step, lo + (i + 1) * step)
+          batch.filter(unix_millis(col("ts")) >= a &&
+              unix_millis(col("ts")) < b)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/q$i")
+        }
+        batch.select(col("user_id")).distinct()
+          .withColumn("ts",
+            timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/sentinel")
       }
-      // one file per trigger ⇒ four genuine time-ordered micro-batches
+      val src = s"$base/src"
+      // one file per trigger ⇒ five genuine time-ordered micro-batches
       // (FileStreamSource schedules oldest modification time first)
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
@@ -336,15 +367,7 @@ object Events extends QueryModule {
           watermarkDelay = "365 days")
         .writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        // sentinel batch: +90 days per user — closes trailing sessions
-        batch.select(col("user_id")).distinct()
-          .withColumn("ts",
-            timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)))
-          .coalesce(1).write.mode("overwrite").parquet(s"$src/sentinel")
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(qn)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
@@ -372,19 +395,20 @@ object Events extends QueryModule {
     // Scale: join state per side is bounded by (delay + interval) of
     // rows hash-partitioned by user_id — the same keyed-state shape
     // that holds at 1000 executors.
-    "e18_stream_stream_join" -> ((s, d) => {
+    "e18_stream_stream_join" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val base = Sources.scratch("graft_e18")
-      val mm = batch.agg(min(unix_millis(col("ts"))),
-        max(unix_millis(col("ts")))).collect().head
-      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
-      for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
-           (half, cond) <- Seq(
-             "h0" -> (unix_millis(col("ts")) < mid),
-             "h1" -> (unix_millis(col("ts")) >= mid)))
-        batch.filter(col("event_type") === tpe && cond)
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/$side/$half")
+      val base = Sources.fixtureOnce("graft_e18", d) { dir =>
+        val mm = batch.agg(min(unix_millis(col("ts"))),
+          max(unix_millis(col("ts")))).collect().head
+        val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
+             (half, cond) <- Seq(
+               "h0" -> (unix_millis(col("ts")) < mid),
+               "h1" -> (unix_millis(col("ts")) >= mid)))
+          batch.filter(col("event_type") === tpe && cond)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
+      }
       def src(side: String) = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/$side/*")
       val qn = "graft_e18_" +
@@ -408,10 +432,10 @@ object Events extends QueryModule {
     // up), then aggregates hourly per-segment counts in complete mode.
     // Counts are associative/commutative, so the final table is
     // batching-independent and equals the batch join+rollup exactly.
-    "e20_stream_enrichment" -> ((s, d) => {
+    "e20_stream_enrichment" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d)
-      val base = Sources.scratch("graft_e20")
-      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val base = Sources.fixtureOnce("graft_e20", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
       val qn = "graft_e20_" +
@@ -431,10 +455,10 @@ object Events extends QueryModule {
     // E21: gated streaming SLIDING windows — the overlapping-window
     // state shape (each event lands in 4 windows) as a real run;
     // complete-mode counts are batching-independent like e1b/e16/e20.
-    "e21_stream_sliding" -> ((s, d) => {
+    "e21_stream_sliding" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d)
-      val base = Sources.scratch("graft_e21")
-      batch.repartition(4).write.mode("overwrite").parquet(s"$base/src")
+      val base = Sources.fixtureOnce("graft_e21", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
       val qn = "graft_e21_" +
@@ -473,7 +497,7 @@ object Events extends QueryModule {
     // itself never matches (no view step) and is filtered. State cost
     // at the gate: ≤99 events/user × 31 bytes; the production config
     // keeps the quiet-gap flush and never buffers a full corpus.
-    "e19_stream_pattern" -> ((s, d) => {
+    "e19_stream_pattern" -> ((s, d) => withStreamStateSizing(s) {
       import s.implicits._
       import RowPattern._
       val steps = Seq(
@@ -486,16 +510,25 @@ object Events extends QueryModule {
       val batch = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
           col("event_id"), col("event_type"))
-      val base = Sources.scratch("graft_e19")
-      batch.repartition(2).write.mode("overwrite").parquet(s"$base/src/main")
-      val hi = batch.agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
-      def sentinel(days: Long): Unit =
-        s.range(1).select(lit(-1L).as("user_id"),
-            timestamp_millis(lit(hi + days * 24 * 3600 * 1000)).as("ts"),
-            lit(-1L).as("event_id"), lit("sentinel").as("event_type"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/src/s$days")
+      val base = Sources.fixtureOnce("graft_e19", d) { dir =>
+        // main corpus first, then the two sentinel files (ascending
+        // modTime): with one file per trigger the sentinels arrive in
+        // their own trailing micro-batches — s366's batch advances the
+        // watermark past every real key's armed timeout, and the flush
+        // fires during s367's DATA batch (timeout checks run against
+        // the watermark updated after the PREVIOUS batch, so a single
+        // trailing sentinel would leave the flush to a no-data batch
+        // that processAllAvailable does not await)
+        batch.repartition(2).write.mode("overwrite").parquet(s"$dir/src/main")
+        val hi = batch.agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
+        for (days <- Seq(366L, 367L))
+          s.range(1).select(lit(-1L).as("user_id"),
+              timestamp_millis(lit(hi + days * 24 * 3600 * 1000)).as("ts"),
+              lit(-1L).as("event_id"), lit("sentinel").as("event_type"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/s$days")
+      }
       val stream = s.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "2").parquet(s"$base/src/*")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
       val qn = "graft_e19_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.EventStreams.patternMatchesWithState(
@@ -506,11 +539,7 @@ object Events extends QueryModule {
         .toDF()
         .writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        sentinel(366); q.processAllAvailable()
-        sentinel(367); q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(qn)
         .filter(col("user_id") >= 0 && col("match_no") === 1)
         .select(col("user_id"), col("match_no"), col("start_us"),
@@ -526,15 +555,18 @@ object Events extends QueryModule {
     // associative and commutative — so the final table equals the batch
     // answer REGARDLESS of how files batch up, which is what makes a
     // streaming execution oracle-checkable.
-    "e10_stream_upsert" -> ((s, d) => {
+    "e10_stream_upsert" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d)
-      val base = Sources.scratch("graft_e10")
-      val srcDir = s"$base/src"
       // pre-split into 6 files, two per micro-batch → ~3 micro-batches:
       // still a genuine multi-epoch run (last-write-wins is commutative,
       // so the answer is batching-independent) at half the per-trigger
-      // scheduling latency of one-file-per-batch
-      batch.repartition(6).write.mode("overwrite").parquet(srcDir)
+      // scheduling latency of one-file-per-batch. Source files are the
+      // build-once fixture; the upsert TABLE and checkpoint are fresh
+      // per invocation (reusing the checkpoint would skip the run).
+      val srcDir = Sources.fixtureOnce("graft_e10_src", d)(dir =>
+        batch.repartition(6).write.mode("overwrite").parquet(s"$dir/src")) +
+        "/src"
+      val base = Sources.scratch("graft_e10_out")
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(srcDir)
       val q = graft.streaming.EventStreams.upsertSink(
