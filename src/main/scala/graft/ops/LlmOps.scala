@@ -1721,6 +1721,121 @@ object LlmOps extends QueryModule {
         .select(col("rank"), col("vec_id"),
           floor(col("proj") * 1e6 + 0.5).cast("long").as("proj_q6"))
         .orderBy(col("rank"))
+    }),
+
+    // L40: rule-ATTRIBUTION quality gate — the diagnostics form of l5/l17:
+    // every curation pipeline needs not just keep/drop but "which rule
+    // killed this doc" per source (rule tuning is impossible without the
+    // breakdown). Rules are ordered (first failure wins, the fastText/C4
+    // convention) and all-integer (length sums ×10 vs bounds ×n, never a
+    // ratio), so the oracle is exact. Plan: every signal is per-row array
+    // arithmetic — scan-stage, shuffle-free — and the rollup is a tiny
+    // (source × rule) aggregate; at 100 TB this is ONE corpus pass with
+    // map-side partials, the same shape as l5.
+    "l40_rule_attribution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), TF.wordTokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_words"),
+          expr("aggregate(w, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+            .as("sum_len"),
+          size(array_intersect(array_distinct(col("w")),
+            array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
+          expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+            .cast("long").as("top_cnt"))
+      docs.withColumn("first_fail",
+          when(col("n_words") < 15, "too_short")
+          .when(col("n_words") > 120, "too_long")
+          .when(col("sum_len") * 10 < col("n_words") * 25 ||
+            col("sum_len") * 10 > col("n_words") * 70, "word_len")
+          .when(col("n_stop") < 2, "no_stopwords")
+          .when(col("top_cnt") * 5 >= col("n_words"), "repetitive")
+          .otherwise("pass"))
+        .groupBy(col("source"), col("first_fail"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_sum"))
+        .orderBy(col("source"), col("first_fail"))
+    }),
+
+    // L41: bigram-LM pseudo-perplexity filter — the CCNet/KenLM curation
+    // stage l25's unigram scorer approximates: score each doc by its own
+    // corpus's add-one-smoothed bigram model, gate on average log-prob.
+    // Two-pass plan: ONE corpus explode builds the bigram/context count
+    // tables (vocab²-bounded — Zipf-small relative to the corpus, they
+    // BROADCAST), then scoring is a map-side join + one doc-keyed rollup.
+    // At 100 TB the count tables stay vocab-bounded (independent of
+    // corpus size) — exactly why real pipelines can afford per-doc LM
+    // scoring. Logs are pre-quantized per (bigram|context) TABLE ROW
+    // (floor(ln·1e6 + 0.5), the l25 parity rule) so the per-doc sum is
+    // integer arithmetic and the oracle is exact.
+    "l41_bigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TF.wordTokens(col("text")).as("w"))
+      // sequence(1, 0) would step BACKWARD in Spark (start > stop), so
+      // sub-2-word docs take the empty-array branch explicitly
+      val pairs = docs.select(col("doc_id"),
+          explode(when(size(col("w")) >= 2, expr(
+            """transform(sequence(1, size(w) - 1),
+              |  i -> named_struct('w1', element_at(w, i),
+              |                    'w2', element_at(w, i + 1)))""".stripMargin))
+            .otherwise(expr(
+              "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val vocab = docs.select(explode(col("w")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val bgCnt = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+        .withColumn("ql", floor(log(col("cb") + 1) * 1e6 + 0.5).cast("long"))
+      val ctxCnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("qd", floor(log(col("cu") + col("v")) * 1e6 + 0.5).cast("long"))
+      val scored = pairs
+        .join(broadcast(bgCnt.select(col("w1"), col("w2"), col("ql"))),
+          Seq("w1", "w2"))
+        .join(broadcast(ctxCnt.select(col("w1"), col("qd"))), Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ql") - col("qd")).as("sq"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(floor(col("sq").cast("double") / 1e6 / col("n_bigrams")
+            * 1e4 + 0.5).cast("long"), lit(0L)).as("lp_q4"))
+        .withColumn("verdict",
+          when(col("n_bigrams") > 0 && col("lp_q4") >= -40000, "keep")
+            .otherwise("drop"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L42: TEMPERATURE-scaled mixture (α = 0.5) — the T5/mT5 rebalancing
+    // form between l18 (fixed rates) and l29 (proportional budget):
+    // source weights ∝ t_src^α, so low-resource sources are upsampled
+    // relative to their token share. w = floor(sqrt(t_src)) is exact in
+    // BOTH engines (IEEE sqrt is correctly rounded; exact squares land
+    // exactly), and the rest is the l29 integer-ppm pipeline. Plan: one
+    // corpus pass, a #sources-row aggregate pair broadcast back as a
+    // map-side filter — the aggregate→broadcast→scan-filter pattern that
+    // replaces per-group windows at 100 TB. (ppm multiply bounds t_all
+    // below ~9e12 tokens per long overflow, as l29.)
+    "l42_temperature_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TF.wordTokens(col("text"))).cast("long").as("n_toks"),
+        pmod(TF.rollingFingerprint(col("text"), 64), lit(1000000L)).as("u"))
+      val perSrc = docs.groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("t_src"))
+        .withColumn("w", floor(sqrt(col("t_src").cast("double"))).cast("long"))
+      val glob = perSrc.agg(sum(col("t_src")).as("t_all"),
+        sum(col("w")).as("w_all"))
+      val rates = perSrc.crossJoin(broadcast(glob))
+        .withColumn("alloc", expr("(t_all div 2) * w div w_all"))
+        .withColumn("f_ppm",
+          least(lit(1000000L), expr("alloc * 1000000 div t_src")))
+      docs.join(broadcast(rates.select(col("source"), col("t_src"), col("w"),
+          col("f_ppm"))), Seq("source"))
+        .groupBy(col("source"), col("t_src"), col("w"), col("f_ppm"))
+        .agg(sum(when(col("u") < col("f_ppm"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("u") < col("f_ppm"), col("n_toks"))), lit(0L))
+            .as("kept_toks"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2699,6 +2814,110 @@ object LlmOps extends QueryModule {
         |    AS verdict
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
         |LEFT JOIN v ON v.new_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "l40_rule_attribution" ->
+      // same ordered integer rules; list_filter(list_distinct(w), in
+      // stoplist) mirrors array_intersect's distinct-count semantics
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(list_distinct(w),
+        |      x -> list_contains(['the', 'a', 'of', 'to', 'in'], x))) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_cnt
+        |  FROM t),
+        |f AS (
+        |  SELECT source, n_words,
+        |    CASE WHEN n_words < 15 THEN 'too_short'
+        |         WHEN n_words > 120 THEN 'too_long'
+        |         WHEN sum_len * 10 < n_words * 25
+        |           OR sum_len * 10 > n_words * 70 THEN 'word_len'
+        |         WHEN n_stop < 2 THEN 'no_stopwords'
+        |         WHEN top_cnt * 5 >= n_words THEN 'repetitive'
+        |         ELSE 'pass' END AS first_fail
+        |  FROM m)
+        |SELECT source, first_fail, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words_sum
+        |FROM f GROUP BY source, first_fail
+        |ORDER BY source, first_fail""".stripMargin,
+
+    "l41_bigram_logprob" ->
+      // identical add-one bigram model; logs quantized per table row
+      // (floor(ln·1e6 + 0.5)) before the per-doc integer sum, the l25
+      // cross-engine parity rule
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)),
+        |cb AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(ln(COUNT(*) + 1) * 1e6 + 0.5) AS BIGINT) AS ql
+        |  FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT x) AS v
+        |      FROM (SELECT unnest(w) AS x FROM t)),
+        |cud AS (
+        |  SELECT w1, CAST(floor(ln(cu + v.v) * 1e6 + 0.5) AS BIGINT) AS qd
+        |  FROM cu, v),
+        |agg AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(c1.ql - c2.qd) AS BIGINT) AS sq
+        |  FROM bg b
+        |  JOIN cb c1 ON b.w1 = c1.w1 AND b.w2 = c1.w2
+        |  JOIN cud c2 ON b.w1 = c2.w1
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(
+        |    floor(a.sq / 1e6 / a.n_bigrams * 1e4 + 0.5), 0) AS BIGINT)
+        |    AS lp_q4,
+        |  CASE WHEN coalesce(a.n_bigrams, 0) > 0
+        |        AND coalesce(floor(a.sq / 1e6 / a.n_bigrams * 1e4 + 0.5), 0)
+        |          >= -40000
+        |       THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM t d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "l42_temperature_mixture" ->
+      // l29's integer-ppm pipeline with sqrt-temperature weights; sqrt
+      // is IEEE-correctly-rounded so floor(sqrt(t)) agrees exactly
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks,
+        |    list_reduce(
+        |      list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 1000000 AS u
+        |  FROM documents),
+        |per_src AS (
+        |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS t_src,
+        |    CAST(floor(sqrt(CAST(SUM(n_toks) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM docs GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(t_src) AS BIGINT) AS t_all,
+        |    CAST(SUM(w) AS BIGINT) AS w_all FROM per_src),
+        |rates AS (
+        |  SELECT source, t_src, w,
+        |    least(1000000, ((t_all // 2) * w // w_all) * 1000000 // t_src)
+        |      AS f_ppm
+        |  FROM per_src, tot)
+        |SELECT d.source, r.t_src, r.w, CAST(r.f_ppm AS BIGINT) AS f_ppm,
+        |  CAST(SUM(CASE WHEN d.u < r.f_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN d.u < r.f_ppm THEN d.n_toks END), 0)
+        |    AS BIGINT) AS kept_toks
+        |FROM docs d JOIN rates r ON d.source = r.source
+        |GROUP BY d.source, r.t_src, r.w, r.f_ppm
+        |ORDER BY d.source""".stripMargin
   )
 }
