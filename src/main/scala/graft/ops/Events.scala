@@ -280,6 +280,39 @@ object Events extends QueryModule {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // E22: streaming DEDUPLICATION under the gate —
+    // dropDuplicatesWithinWatermark as a real multi-micro-batch run, the
+    // exactly-once-ingest guard every streaming ETL pipeline fronts its
+    // sink with. The fixture injects exact duplicate copies (~1 in 7
+    // event_ids) round-robined across 4 files, so copies routinely
+    // arrive in a LATER micro-batch than their original and only
+    // cross-batch dedup state can drop them. A longer-than-corpus
+    // watermark delay means no event is ever late (late rows would be
+    // silently DROPPED, making the answer batching-dependent — the e17
+    // lesson); state is one entry per event_id, evicted by watermark in
+    // production. Append mode emits each first arrival once; duplicates
+    // are exact copies, so the final table must equal the batch source
+    // — the strongest possible oracle.
+    "e22_stream_dedup" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e22", d)(dir =>
+        batch.unionAll(batch.filter(col("event_id") % 7 === 0))
+          .repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val qn = "graft_e22_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .dedupEvents(stream, delay = "3650 days")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     // E16: SESSION WINDOWS under a real streaming execution (the third
     // gated streaming proof next to e1b's tumbling aggregate and e10's
     // upsert sink): EventStreams.sessionCounts runs as a genuine
@@ -773,6 +806,13 @@ object Events extends QueryModule {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "e22_stream_dedup" ->
+      // duplicates are exact copies, so the streamed dedup must emit
+      // exactly the batch source rows, whatever the micro-batching
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+        |  event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "e10_stream_upsert" ->
       // last-write-wins row per user: the streaming upsert's final table

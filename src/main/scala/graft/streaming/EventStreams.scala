@@ -55,10 +55,13 @@ object EventStreams {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** E5-streaming: drop duplicate event_ids within the watermark. */
-  def dedupEvents(events: DataFrame): DataFrame =
+  /** E5-streaming: drop duplicate event_ids within the watermark. The
+    * delay bounds how long a key's state lives; e22 passes a
+    * longer-than-corpus delay so no event is ever late and the dedup is
+    * exact across every micro-batch boundary. */
+  def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** E6-streaming: stream-static enrichment join — events enriched with a
