@@ -77,6 +77,58 @@ object Graph extends QueryModule {
           expr("id div 2").as("entity_key"), col("pr"))
         .orderBy(col("pr").desc, col("kind"), col("entity_key"))
         .limit(40)
+    }),
+
+    // G2: TRIANGLE COUNTING over the part co-occurrence graph (parts
+    // that ship on the same order with quantity ≥ 25) — the clustering /
+    // community-density primitive next to L12's components and G1's
+    // ranking. The kernel is the degree-ORIENTED wedge join (the
+    // standard m^{3/2}-bounded algorithm): each undirected edge points
+    // from its lower-(degree, id) endpoint to the higher, so every
+    // triangle has exactly one vertex with two out-edges and is counted
+    // ONCE — and out-degrees are bounded by O(√m), which is what caps
+    // the wedge (candidate) set that a hub vertex would otherwise
+    // explode quadratically at 100 TB. Plan: edge build is one
+    // order-keyed self-join; degrees broadcast back; wedges form in one
+    // src-keyed self-join and close against the canonical edge list by
+    // an equi-join. The oracle counts the same triangles
+    // orientation-free (a<b<c three-way join) — identical multiset by
+    // construction.
+    "g2_triangle_count" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .localCheckpoint()
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val withDeg = edges
+        .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+          col("e2.dst").as("w"))
+      val tri = wedges.join(edges,
+        least(col("v"), col("w")) === col("a") &&
+          greatest(col("v"), col("w")) === col("b"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_tri").desc, col("node"))).cast("long"))
+        .select(col("rank"), col("node"), col("n_tri"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -112,6 +164,29 @@ object Graph extends QueryModule {
          |FROM pr3
          |ORDER BY pr DESC, kind, entity_key
          |LIMIT 40""".stripMargin
-    }
+    },
+
+    "g2_triangle_count" ->
+      // orientation-free a<b<c form: each triangle appears exactly once,
+      // matching the oriented wedge join's once-per-triangle guarantee
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |edges AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.p < y.p),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (
+        |  SELECT node, COUNT(*) AS n_tri
+        |  FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT CAST(row_number() OVER (ORDER BY n_tri DESC, node) AS BIGINT)
+        |    AS rank,
+        |  node, n_tri
+        |FROM pn ORDER BY rank LIMIT 10""".stripMargin
   )
 }
