@@ -392,6 +392,54 @@ object Sources extends QueryModule {
       rollup(1).unionByName(rollup(2)).orderBy(col("version"))
     }),
 
+    // S19: CHANGE DATA FEED between two committed snapshots — the Delta
+    // CDF / Iceberg-changelog read every downstream incremental consumer
+    // wants ("give me what changed between v1 and v2" instead of a full
+    // re-read). v2 rewrites v1 with deletes (key % 10 = 3), updates
+    // (price bump on key % 10 = 7), and fresh inserts; the feed is ONE
+    // key-keyed FULL OUTER JOIN of the two manifest-pinned snapshot
+    // reads, classified into the Delta row shape: insert / delete /
+    // update_preimage / update_postimage (updates emit BOTH images —
+    // that is what lets a consumer maintain any aggregate
+    // incrementally). At 100 TB both sides partition by the join key
+    // and unchanged rows never leave the join; a real lakehouse CDF
+    // additionally prunes to the files the commit touched — the manifest
+    // machinery here holds exactly that file list per version.
+    "s19_cdc_feed" -> ((s, d) => {
+      val base = scratch("graft_s19")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_q2"))
+      val v1df = orders.filter(col("o_orderkey") < 8000)
+      val v2df = v1df.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("price_q2",
+          when(col("o_orderkey") % 10 === 7, col("price_q2") + 1000L)
+            .otherwise(col("price_q2")))
+        .unionByName(orders.filter(col("o_orderkey") >= 8000 &&
+          col("o_orderkey") < 10000))
+      Snapshots.commit(v1df, base, 1, Nil)
+      Snapshots.commit(v2df, base, 2, Nil)
+      val a = Snapshots.read(s, base, 1).as("v1")
+      val b = Snapshots.read(s, base, 2).as("v2")
+      val j = a.join(b, col("v1.o_orderkey") === col("v2.o_orderkey"),
+        "full_outer").localCheckpoint()
+      def shape(side: String, tag: String)(rows: DataFrame) =
+        rows.select(col(s"$side.o_orderkey").as("o_orderkey"),
+          col(s"$side.o_custkey").as("o_custkey"),
+          col(s"$side.price_q2").as("price_q2"),
+          lit(tag).as("change_type"))
+      val upd = j.filter(col("v1.o_orderkey").isNotNull &&
+        col("v2.o_orderkey").isNotNull &&
+        (col("v1.price_q2") =!= col("v2.price_q2") ||
+          col("v1.o_custkey") =!= col("v2.o_custkey")))
+      shape("v2", "insert")(j.filter(col("v1.o_orderkey").isNull))
+        .unionByName(shape("v1", "delete")(
+          j.filter(col("v2.o_orderkey").isNull)))
+        .unionByName(shape("v1", "update_preimage")(upd))
+        .unionByName(shape("v2", "update_postimage")(upd))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    }),
+
     // S18: column profiling — the pre-publish PROFILE report every ETL
     // tool renders (null counts, exact distinct cardinality, min/max)
     // for a table's key columns, here in ONE pass: a single aggregate
@@ -649,6 +697,38 @@ object Sources extends QueryModule {
         |  CAST(SUM(price_q2) AS BIGINT) AS price_q2_sum
         |FROM o WHERE o_orderkey < 10000
         |ORDER BY version""".stripMargin,
+
+    "s19_cdc_feed" ->
+      // the same v1/v2 states derived logically from the base table;
+      // the Spark side must produce them from the manifest-pinned
+      // snapshot files
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_q2
+        |  FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey < 8000),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 7 THEN price_q2 + 1000
+        |         ELSE price_q2 END AS price_q2
+        |  FROM v1 WHERE o_orderkey % 10 != 3
+        |  UNION ALL
+        |  SELECT * FROM o WHERE o_orderkey >= 8000 AND o_orderkey < 10000),
+        |j AS (
+        |  SELECT v1.o_orderkey AS k1, v1.o_custkey AS c1, v1.price_q2 AS p1,
+        |    v2.o_orderkey AS k2, v2.o_custkey AS c2, v2.price_q2 AS p2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        |SELECT k2 AS o_orderkey, c2 AS o_custkey, p2 AS price_q2,
+        |  'insert' AS change_type FROM j WHERE k1 IS NULL
+        |UNION ALL
+        |SELECT k1, c1, p1, 'delete' FROM j WHERE k2 IS NULL
+        |UNION ALL
+        |SELECT k1, c1, p1, 'update_preimage' FROM j
+        |WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (p1 != p2 OR c1 != c2)
+        |UNION ALL
+        |SELECT k2, c2, p2, 'update_postimage' FROM j
+        |WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND (p1 != p2 OR c1 != c2)
+        |ORDER BY o_orderkey, change_type""".stripMargin,
 
     "s16_zorder_layout" ->
       // content equality through the z-ordered rewrite: the layout may
