@@ -263,6 +263,39 @@ object Etl extends QueryModule {
           |ORDER BY rk""".stripMargin)
     }),
 
+    // P2k: second dialect-function batch — Trino's byte-order pair
+    // (to/from_big_endian_64/32, round-tripped through negatives to pin
+    // the two's-complement sign path), Presto map_normalize, and
+    // split_to_multimap (grouped values per repeated key, first-
+    // appearance key order). All row-local codegen expressions; the
+    // hmac_* family registered alongside is vector-pinned in
+    // PrestoSqlSpec (no DuckDB hmac to oracle against).
+    "p2k_presto_fn_extras2" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "l_orderkey" AS ok, "l_linenumber" AS ln,
+          |  to_hex(to_big_endian_64("l_orderkey" * 100000 + "l_partkey"))
+          |    AS be_hex,
+          |  from_big_endian_64(to_big_endian_64(1000 - "l_partkey")) AS be_rt,
+          |  from_big_endian_32(to_big_endian_32(
+          |    CAST("l_linenumber" - 3 AS INTEGER))) AS be32_rt,
+          |  CAST(floor(element_at(map_normalize(map(
+          |      ARRAY['q', 't'],
+          |      ARRAY[CAST("l_quantity" AS DOUBLE),
+          |            CAST("l_quantity" AS DOUBLE) + 5.0])), 'q')
+          |    * 1e6 + 0.5) AS BIGINT) AS mn_q6,
+          |  CAST(cardinality(split_to_multimap(
+          |    "l_returnflag" || '=x,' || "l_returnflag" || '=y,' ||
+          |    "l_linestatus" || '=z', ',', '=')) AS BIGINT) AS mm_n,
+          |  array_join(element_at(split_to_multimap(
+          |    "l_returnflag" || '=x,' || "l_returnflag" || '=y,' ||
+          |    "l_linestatus" || '=z', ',', '='), "l_returnflag"), '|')
+          |    AS mm_vals
+          |FROM lineitem
+          |WHERE "l_orderkey" < 200
+          |ORDER BY ok, ln""".stripMargin)
+    }),
+
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
     // one parameterized statement (named :run_day placeholder, bound as a
     // typed literal after dialect translation) executed once per day,
@@ -933,6 +966,28 @@ object Etl extends QueryModule {
         |  string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS by_key_desc,
         |  COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
+
+    "p2k_presto_fn_extras2" ->
+      // DuckDB's to_hex is already uppercase two's-complement; the
+      // round-tripped columns reduce to identities, and the multimap
+      // columns to the rf=ls case split; map_normalize mirrors the
+      // fold's association order ((0+q)+(q+5))
+      """SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |  upper(lpad(to_hex(l_orderkey * 100000 + l_partkey), 16, '0'))
+        |    AS be_hex,
+        |  CAST(1000 - l_partkey AS BIGINT) AS be_rt,
+        |  CAST(l_linenumber - 3 AS INTEGER) AS be32_rt,
+        |  CAST(floor(CAST(l_quantity AS DOUBLE) /
+        |    ((0 + CAST(l_quantity AS DOUBLE)) +
+        |     (CAST(l_quantity AS DOUBLE) + 5.0)) * 1e6 + 0.5) AS BIGINT)
+        |    AS mn_q6,
+        |  CAST(CASE WHEN l_returnflag = l_linestatus THEN 1 ELSE 2 END
+        |    AS BIGINT) AS mm_n,
+        |  CASE WHEN l_returnflag = l_linestatus THEN 'x|y|z'
+        |       ELSE 'x|y' END AS mm_vals
+        |FROM lineitem
+        |WHERE l_orderkey < 200
+        |ORDER BY ok, ln""".stripMargin,
 
     "p2i_presto_fn_extras" ->
       // the Wilson bounds mirror the SQL-function body operation-for-

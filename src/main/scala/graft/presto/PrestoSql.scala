@@ -1706,7 +1706,50 @@ object PrestoSql {
       " transform(graft_map_top_entries(m, n), e -> e.key)",
     "map_top_n_values(m MAP<STRING, DOUBLE>, n BIGINT)" +
       " RETURNS ARRAY<DOUBLE> RETURN" +
-      " transform(graft_map_top_entries(m, n), e -> e.value)")
+      " transform(graft_map_top_entries(m, n), e -> e.value)",
+    // Trino byte-order functions: the 64-bit pair round-trips through
+    // Spark's two's-complement hex()/unhex() (no byte loops — stays one
+    // codegen expression); the signed read goes through DECIMAL(20,0)
+    // so the unsigned conv() value can wrap without tripping ANSI
+    // overflow.
+    "to_big_endian_64(x BIGINT) RETURNS BINARY RETURN" +
+      " unhex(lpad(hex(x), 16, '0'))",
+    "from_big_endian_64(b BINARY) RETURNS BIGINT RETURN" +
+      " CASE WHEN length(b) <> 8 THEN" +
+      " raise_error('from_big_endian_64: expected 8-byte input')" +
+      " ELSE CAST(IF(CAST(conv(hex(b), 16, 10) AS DECIMAL(20, 0)) >=" +
+      " CAST('9223372036854775808' AS DECIMAL(20, 0))," +
+      " CAST(conv(hex(b), 16, 10) AS DECIMAL(20, 0)) -" +
+      " CAST('18446744073709551616' AS DECIMAL(21, 0))," +
+      " CAST(conv(hex(b), 16, 10) AS DECIMAL(20, 0))) AS BIGINT) END",
+    "to_big_endian_32(x INT) RETURNS BINARY RETURN" +
+      " unhex(lpad(hex(CAST(x AS BIGINT) & 4294967295), 8, '0'))",
+    "from_big_endian_32(b BINARY) RETURNS INT RETURN" +
+      " CASE WHEN length(b) <> 4 THEN" +
+      " raise_error('from_big_endian_32: expected 4-byte input')" +
+      " ELSE CAST(IF(CAST(conv(hex(b), 16, 10) AS BIGINT) >= 2147483648L," +
+      " CAST(conv(hex(b), 16, 10) AS BIGINT) - 4294967296L," +
+      " CAST(conv(hex(b), 16, 10) AS BIGINT)) AS INT) END",
+    // Presto map_normalize: values scaled to sum to 1; NULL values stay
+    // NULL and contribute 0 to the norm, per Presto.
+    "map_normalize(m MAP<STRING, DOUBLE>) RETURNS MAP<STRING, DOUBLE>" +
+      " RETURN transform_values(m, (k, v) ->" +
+      " v / aggregate(map_values(m), 0D, (a, x) -> a + coalesce(x, 0D)))",
+    // Trino multimap_from_entries / split_to_multimap: values grouped
+    // per key, keys in first-appearance order (array_distinct preserves
+    // it). The per-row key scan is O(k²) in the ENTRY LIST of one row —
+    // row-local, fine for map-shaped payloads.
+    "multimap_from_entries(e ARRAY<STRUCT<key: STRING, value: STRING>>)" +
+      " RETURNS MAP<STRING, ARRAY<STRING>> RETURN" +
+      " map_from_entries(transform(array_distinct(transform(e, x -> x.key))," +
+      " k -> named_struct('key', k," +
+      " 'value', transform(filter(e, y -> y.key <=> k), y -> y.value))))",
+    "split_to_multimap(s STRING, ed STRING, kd STRING)" +
+      " RETURNS MAP<STRING, ARRAY<STRING>> RETURN multimap_from_entries(" +
+      " transform(split(s, concat('\\\\Q', ed, '\\\\E'))," +
+      " p -> named_struct(" +
+      "'key', try_element_at(split(p, concat('\\\\Q', kd, '\\\\E')), 1)," +
+      "'value', try_element_at(split(p, concat('\\\\Q', kd, '\\\\E')), 2))))")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -1725,6 +1768,23 @@ object PrestoSql {
       // Extraction UDFs run on #groups rows, never the raw-data path.
       import org.apache.spark.sql.functions.{udaf, udf}
       import graft.functions.{QuantileSketchAggregator => QS}
+      // Trino hmac_* family — inherently a JCE library call, so a JVM
+      // UDF (no codegen form exists); runs per-row only where a script
+      // actually computes MACs. RFC 4231/2202 vectors pin correctness
+      // in PrestoSqlSpec.
+      def hmacUdf(algo: String) =
+        udf { (msg: Array[Byte], key: Array[Byte]) =>
+          if (msg == null || key == null) null
+          else {
+            val mac = javax.crypto.Mac.getInstance(algo)
+            mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
+            mac.doFinal(msg)
+          }
+        }
+      spark.udf.register("hmac_sha256", hmacUdf("HmacSHA256"))
+      spark.udf.register("hmac_sha512", hmacUdf("HmacSHA512"))
+      spark.udf.register("hmac_sha1", hmacUdf("HmacSHA1"))
+      spark.udf.register("hmac_md5", hmacUdf("HmacMD5"))
       spark.udf.register("graft_qdigest_agg", udaf(QS.sketchAgg))
       spark.udf.register("graft_qdigest_merge", udaf(QS.mergeAgg))
       spark.udf.register("graft_value_at_quantile",

@@ -1738,4 +1738,53 @@ class PrestoSqlSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6)) < 1e-12)
     assert(r.getBoolean(7))
   }
+
+  test("hmac_* match RFC 4231/2202 test vectors") {
+    // RFC 4231 test case 2: key = "Jefe", data = "what do ya want for
+    // nothing?"; RFC 2202 gives the HMAC-SHA1/MD5 vectors for the same
+    // inputs.
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  to_hex(hmac_sha256(CAST('what do ya want for nothing?' AS VARBINARY),
+        |    CAST('Jefe' AS VARBINARY))) AS h256,
+        |  to_hex(hmac_sha512(CAST('what do ya want for nothing?' AS VARBINARY),
+        |    CAST('Jefe' AS VARBINARY))) AS h512,
+        |  to_hex(hmac_sha1(CAST('what do ya want for nothing?' AS VARBINARY),
+        |    CAST('Jefe' AS VARBINARY))) AS h1,
+        |  to_hex(hmac_md5(CAST('what do ya want for nothing?' AS VARBINARY),
+        |    CAST('Jefe' AS VARBINARY))) AS hm
+        |""".stripMargin).collect().head
+    assert(r.getString(0).toLowerCase ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    assert(r.getString(1).toLowerCase ==
+      ("164b7a7bfcf819e2e395fbe73b56e0a387bd64222e831fd610270cd7ea250554" +
+        "9758bf75c05a994a6d034f65f8f0e6fdcaeab1a34d4a6b4b636e070a38bce737"))
+    assert(r.getString(2).toLowerCase ==
+      "effcdf6ae5eb2fa2d27416d5f184df9c259a7c79")
+    assert(r.getString(3).toLowerCase == "750c783e6ab0b503eaa86e310a5db738")
+  }
+
+  test("byte-order and multimap functions: signs, errors, key order") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  from_big_endian_64(to_big_endian_64(-9223372036854775808)) AS minv,
+        |  from_big_endian_64(to_big_endian_64(9223372036854775807)) AS maxv,
+        |  from_big_endian_64(to_big_endian_64(0)) AS zero,
+        |  to_hex(to_big_endian_64(255)) AS hx,
+        |  from_big_endian_32(to_big_endian_32(-2147483648)) AS min32,
+        |  map_keys(split_to_multimap('b=1,a=2,b=3', ',', '=')) AS ks,
+        |  element_at(split_to_multimap('b=1,a=2,b=3', ',', '='), 'b') AS bs
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == Long.MinValue && r.getLong(1) == Long.MaxValue)
+    assert(r.getLong(2) == 0L)
+    assert(r.getString(3) == "00000000000000FF")
+    assert(r.getInt(4) == Int.MinValue)
+    // first-appearance key order, values grouped in entry order
+    assert(r.getSeq[String](5) == Seq("b", "a"))
+    assert(r.getSeq[String](6) == Seq("1", "3"))
+    // wrong-width input fails loudly, matching Trino
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT from_big_endian_64(to_big_endian_32(1))").collect())
+    assert(e.getMessage.contains("expected 8-byte input"))
+  }
 }
