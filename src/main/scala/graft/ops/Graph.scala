@@ -95,13 +95,21 @@ object Graph extends QueryModule {
     // orientation-free (a<b<c three-way join) — identical multiset by
     // construction.
     "g2_triangle_count" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
+      // edge build: ONE order-keyed reduction, then the a<b pairs
+      // generate IN-ROW from each order's sorted part set (carts are
+      // bounded — ≤7 lineitems — so the per-row quadratic is constant
+      // work; a self-join form would shuffle the item list twice more
+      // for the same pairs)
+      val edges = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
         .localCheckpoint()
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
@@ -114,11 +122,19 @@ object Graph extends QueryModule {
       val oriented = withDeg.select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      val wedges = oriented.as("e1").join(oriented.as("e2"),
+      // both joins BROADCAST the (reduced) edge list: after the
+      // co-occurrence reduction the edge set is orders of magnitude
+      // smaller than the fact table (325k × 2 longs at sf0.1), so the
+      // wedge expansion and the closing probe run map-side over the
+      // streamed side and only the final per-node rollup shuffles. At a
+      // scale where edges outgrow the broadcast threshold, the same
+      // plan runs with src-keyed / (a,b)-keyed shuffles — the wedge
+      // bound from the orientation is what stays load-bearing.
+      val wedges = oriented.as("e1").join(broadcast(oriented.as("e2")),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.src").as("u"), col("e1.dst").as("v"),
           col("e2.dst").as("w"))
-      val tri = wedges.join(edges,
+      val tri = wedges.join(broadcast(edges),
         least(col("v"), col("w")) === col("a") &&
           greatest(col("v"), col("w")) === col("b"))
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))

@@ -1836,6 +1836,62 @@ object LlmOps extends QueryModule {
           coalesce(sum(when(col("u") < col("f_ppm"), col("n_toks"))), lit(0L))
             .as("kept_toks"))
         .orderBy(col("source"))
+    }),
+
+    // L43: n-gram NOVELTY scoring — the uniqueness signal dual to the
+    // dedup family: for each doc, the fraction of its distinct
+    // 3-shingles that appear NOWHERE else in the corpus (df = 1).
+    // Boilerplate-heavy docs score low; docs contributing genuinely new
+    // text score high — the "marginal value of this document" metric
+    // mixture tuning wants next to l17's repetition and l2's near-dup
+    // verdicts. Plan: the l22 inverted-index shape — ONE shingle explode,
+    // a shingle-keyed df count (Zipf-bounded), join back on the shingle
+    // key, doc-keyed rollup. All counts integer; one quantized division.
+    "l43_ngram_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TF.wordShingles(TF.wordTokens(col("text")), 3))
+            .as("shingle"))
+      val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      sh.join(dfc, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          floor(col("n_unique").cast("double") / col("n_shingles") * 1e6
+            + 0.5).cast("long").as("novelty_q6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L44: cross-source OVERLAP matrix — the dataset-level dedup
+    // diagnostic ("how much does src3 share with src7") that decides
+    // which source pairs need a decontamination pass at all. Source-
+    // level distinct-shingle sets; pairwise Jaccard through the same
+    // inverted-index join (shuffle key = shingle, never a source pair),
+    // and the pair aggregate is |sources|²-bounded — tiny at any corpus
+    // scale. A hot boilerplate shingle fans out |sources|² here too; the
+    // l22b df-cap is the production guard and composes unchanged.
+    "l44_source_overlap" -> ((s, d) => {
+      val ss = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TF.wordShingles(TF.wordTokens(col("text")), 3))
+            .as("shingle"))
+        .distinct()
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ss.as("x").join(ss.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          floor(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")) * 1e6 + 0.5)
+            .cast("long").as("jaccard_q6"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -2918,6 +2974,51 @@ object LlmOps extends QueryModule {
         |    AS BIGINT) AS kept_toks
         |FROM docs d JOIN rates r ON d.source = r.source
         |GROUP BY d.source, r.t_src, r.w, r.f_ppm
-        |ORDER BY d.source""".stripMargin
+        |ORDER BY d.source""".stripMargin,
+
+    "l43_ngram_novelty" ->
+      // same 3-shingle mirror as the l22 family (concat_ws skips the
+      // NULL tail slots exactly like Spark's)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+        |  FROM toks),
+        |dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(floor(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+        |    / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS novelty_q6
+        |FROM sh s JOIN dfc d ON s.shingle = d.shingle
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "l44_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |ss AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        |pairs AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_common
+        |  FROM ss x JOIN ss y
+        |    ON x.shingle = y.shingle AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_common,
+        |  CAST(floor(p.n_common / (a.n + b.n - p.n_common) * 1e6 + 0.5)
+        |    AS BIGINT) AS jaccard_q6
+        |FROM pairs p
+        |JOIN sizes a ON p.src_a = a.source
+        |JOIN sizes b ON p.src_b = b.source
+        |ORDER BY p.src_a, p.src_b""".stripMargin
   )
 }
