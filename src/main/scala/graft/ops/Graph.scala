@@ -40,7 +40,12 @@ object Graph extends QueryModule {
     */
   private def prRound(ranks: DataFrame, edges: DataFrame, nVert: Long): DataFrame = {
     val base = ((Scale / nVert) * 15L) / 100L
-    val contrib = ranks.join(edges, col("id") === col("src"))
+    // the rank vector is O(V) — orders of magnitude smaller than the
+    // edge list — so it BROADCASTS into the edge scan and each round
+    // costs exactly ONE shuffle (the dst-keyed sum). When V outgrows
+    // the broadcast threshold, the same round runs as a src-keyed
+    // co-partitioned join; the integer recurrence is identical.
+    val contrib = edges.join(broadcast(ranks), col("id") === col("src"))
       .select(col("dst").as("id"), expr("pr div deg").as("c"))
     contrib.groupBy(col("id"))
       .agg(sum(col("c")).as("s"))
@@ -58,17 +63,24 @@ object Graph extends QueryModule {
     "g1_pagerank" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // orders is the 2-column key dim here — BROADCAST it so the pair
+      // build is map-side over the lineitem scan; pairs checkpoint once
+      // (the symmetrized union reads them twice), and the degree table
+      // doubles as the vertex set (a vertex exists iff it has an edge),
+      // saving a separate distinct+count pass. Two shuffles total before
+      // the rounds: the pair distinct and the degree sum.
+      val pairs = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
+        .distinct().localCheckpoint()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val edgesD = edges.join(deg, "src").localCheckpoint()
+        .localCheckpoint()
+      val edgesD = edges.join(
+        broadcast(deg.select(col("src"), col("deg"))), "src").localCheckpoint()
 
-      val verts = edgesD.select(col("src").as("id")).distinct()
-      val nVert = verts.count()
-      var ranks = verts.select(col("id"), lit(Scale / nVert).as("pr"))
+      val nVert = deg.count()
+      var ranks = deg.select(col("src").as("id"), lit(Scale / nVert).as("pr"))
       for (_ <- 1 to 3) ranks = prRound(ranks, edgesD, nVert)
 
       ranks
