@@ -470,4 +470,33 @@ class ScaleShapeSpec extends SparkSpec {
       pushed.contains("GreaterThanOrEqual(l_suppkey,2)") &&
       pushed.contains("LessThanOrEqual(l_suppkey,7)"), pushed)
   }
+
+  test("g2 triangles: broadcast wedge/close joins, no cartesian, no sort-merge") {
+    val plan = ops.Graph.queries("g2_triangle_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("g1 pagerank round joins broadcast the rank vector, never shuffle edges") {
+    val plan = ops.Graph.queries("g1_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("l41 bigram LM: count tables broadcast onto the pair stream") {
+    val plan = ops.LlmOps.queries("l41_bigram_logprob")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("l44 source overlap joins on the shingle key, never a source-pair product") {
+    val plan = ops.LlmOps.queries("l44_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("shingle"), plan.take(3000))
+  }
 }
