@@ -1892,6 +1892,33 @@ object LlmOps extends QueryModule {
             (col("na") + col("nb") - col("n_common")) * 1e6 + 0.5)
             .cast("long").as("jaccard_q6"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // L45: VOCABULARY COVERAGE / OOV rate — the tokenizer-health check
+    // before committing to a vocab: fix the top-K corpus words (K = 12
+    // here so the cut actually bites on this corpus; deterministic
+    // (count DESC, word ASC) ordering) and report, per source, the
+    // fraction of token OCCURRENCES the vocab covers. Sources whose
+    // coverage lags need vocab expansion or re-weighting — the signal
+    // tokenizer migrations are judged by. Plan: one corpus explode
+    // feeds both the frequency cut (Zipf-small, broadcast back) and the
+    // coverage rollup — the aggregate→broadcast→scan-filter pattern
+    // again; at a real 100 TB vocab (10⁵ entries) the broadcast still
+    // holds by construction.
+    "l45_vocab_coverage" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(TF.wordTokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(12)
+      toks.join(broadcast(vocab.select(col("w"), lit(1L).as("in_v"))),
+          Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("in_v"), lit(0L))).as("n_cov"))
+        .select(col("source"), col("n_tok"), col("n_cov"),
+          floor(col("n_cov").cast("double") / col("n_tok") * 1e6 + 0.5)
+            .cast("long").as("coverage_q6"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3019,6 +3046,25 @@ object LlmOps extends QueryModule {
         |FROM pairs p
         |JOIN sizes a ON p.src_a = a.source
         |JOIN sizes b ON p.src_b = b.source
-        |ORDER BY p.src_a, p.src_b""".stripMargin
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    "l45_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(str_split(text, ' '), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+        |    ORDER BY c DESC, w LIMIT 12)),
+        |cov AS (
+        |  SELECT t.source, t.w,
+        |    CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS in_v
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+        |SELECT source, COUNT(*) AS n_tok,
+        |  CAST(SUM(in_v) AS BIGINT) AS n_cov,
+        |  CAST(floor(SUM(in_v) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
+        |    AS coverage_q6
+        |FROM cov GROUP BY source ORDER BY source""".stripMargin
   )
 }
