@@ -457,10 +457,60 @@ object Joins extends QueryModule {
         .select(col("o_orderkey"),
           coalesce(col("n"), lit(0L)).as("n_in_window"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // J16: SCD2 TEMPORAL LOOKUP — the warehouse join o15's history build
+    // exists for: each fact row (event) joins the dimension VERSION that
+    // was valid at the fact's event time (custkey equality + ts ∈
+    // [valid_from, valid_to)). Versions are built with the o15 lead()
+    // window; intervals partition time per customer, so each fact
+    // matches at most one version (facts before the first version go
+    // NULL through the left join). Plan: the versioned dimension is
+    // dim-sized, so it BROADCASTS and the range predicate runs as a
+    // residual on the custkey hash join — facts never shuffle. At a
+    // dimension too big to broadcast this becomes the j8 as-of family's
+    // shuffle form; same semantics.
+    "j16_scd2_lookup" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val far = lit("2199-12-31 00:00:00").cast("timestamp")
+      val hist = Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_q2"))
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(w), far))
+      val facts = Tables.events(s, d).filter(col("user_id") < 100)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      facts.join(broadcast(hist),
+          facts("user_id") === hist("o_custkey") &&
+            facts("ts") >= hist("valid_from") &&
+            facts("ts") < hist("valid_to"),
+          "left")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("o_orderkey").as("version_key"), col("price_q2"))
+        .orderBy(col("event_id"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j16_scd2_lookup" ->
+      """WITH hist AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_q2,
+        |    coalesce(lead(o_orderdate) OVER (
+        |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |      TIMESTAMP '2199-12-31 00:00:00') AS valid_to
+        |  FROM orders WHERE o_custkey < 100),
+        |f AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 100)
+        |SELECT f.event_id, f.user_id, CAST(epoch_us(f.ts) AS BIGINT) AS ts_us,
+        |  h.o_orderkey AS version_key, h.price_q2
+        |FROM f LEFT JOIN hist h
+        |  ON f.user_id = h.o_custkey
+        |  AND f.ts >= h.valid_from AND f.ts < h.valid_to
+        |ORDER BY f.event_id""".stripMargin,
+
     "j14_binned_range_join" ->
       // the naive declaration of the same join — the oracle engine may
       // nested-loop it at toy scale; the Spark side must produce the
