@@ -313,6 +313,39 @@ object Events extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // E23: streaming PARQUET SINK — the lake-ingest shape none of the
+    // memory-sink proofs exercise: a stateless transform streamed to a
+    // partitioned parquet sink in append mode with a checkpoint. The
+    // file sink's _spark_metadata commit log is what makes the written
+    // files exactly-once (a batch read of the directory lists ONLY
+    // committed files, even after mid-stream failures); partitioning by
+    // month keeps the per-trigger file count bounded the way a real
+    // ingest pipeline buckets by date. The read-back must equal the
+    // batch filter row-for-row, whatever the micro-batching.
+    "e23_stream_parquet_sink" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e23", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val out = Sources.scratch("graft_e23_out")
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val q = stream.filter(col("event_type") === "purchase")
+        .withColumn("month",
+          date_format(col("ts"), "yyyy-MM"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("month"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .partitionBy("month")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$out/data")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"), col("month").cast("string").as("month"))
+        .orderBy(col("event_id"))
+    }),
+
     // E16: SESSION WINDOWS under a real streaming execution (the third
     // gated streaming proof next to e1b's tumbling aggregate and e10's
     // upsert sink): EventStreams.sessionCounts runs as a genuine
@@ -813,6 +846,14 @@ object Events extends QueryModule {
       """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
         |  event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e23_stream_parquet_sink" ->
+      // whatever the batching, the committed files must hold exactly
+      // the batch filter's rows
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+        |  value, strftime(ts, '%Y-%m') AS month
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "e10_stream_upsert" ->
       // last-write-wins row per user: the streaming upsert's final table
