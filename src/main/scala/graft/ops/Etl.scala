@@ -296,6 +296,27 @@ object Etl extends QueryModule {
           |ORDER BY ok, ln""".stripMargin)
     }),
 
+    // P2l: FILTER (WHERE …) on WINDOW functions — legal Trino that Spark
+    // rejects outright ("Window aggregate function with filter predicate
+    // is not supported yet"); the dialect folds the predicate into the
+    // arguments (IF(pred, arg, NULL), `*` → IF(pred, 1, NULL)), exact
+    // under null-ignoring aggregate semantics. The cumulative sum is
+    // integer-quantized inside the window (the house float rule).
+    "p2l_presto_window_filter" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "o_custkey" AS ck, "o_orderkey" AS ok,
+          |  COUNT(*) FILTER (WHERE "o_totalprice" > 150000)
+          |    OVER (PARTITION BY "o_custkey") AS n_big,
+          |  SUM(CAST(floor("o_totalprice" * 100 + 0.5) AS BIGINT))
+          |    FILTER (WHERE "o_orderpriority" = '1-URGENT')
+          |    OVER (PARTITION BY "o_custkey" ORDER BY "o_orderkey")
+          |    AS urgent_cum_q2
+          |FROM orders
+          |WHERE "o_custkey" < 50
+          |ORDER BY ck, ok""".stripMargin)
+    }),
+
     // P6: the daily-incremental run — THE core batch-ETL-tool behavior:
     // one parameterized statement (named :run_day placeholder, bound as a
     // typed literal after dialect translation) executed once per day,
@@ -966,6 +987,20 @@ object Etl extends QueryModule {
         |  string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS by_key_desc,
         |  COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
+
+    "p2l_presto_window_filter" ->
+      // DuckDB supports FILTER on window functions natively — the oracle
+      // is the statement verbatim
+      """SELECT o_custkey AS ck, o_orderkey AS ok,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000)
+        |    OVER (PARTITION BY o_custkey) AS n_big,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |    AS BIGINT) AS urgent_cum_q2
+        |FROM orders
+        |WHERE o_custkey < 50
+        |ORDER BY ck, ok""".stripMargin,
 
     "p2k_presto_fn_extras2" ->
       // DuckDB's to_hex is already uppercase two's-complement; the

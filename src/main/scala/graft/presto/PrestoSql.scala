@@ -1328,6 +1328,84 @@ object PrestoSql {
   /** Split on `sep` at zero paren/bracket depth outside string literals /
     * quoted identifiers (assignment expressions contain commas inside
     * function calls). */
+  /** Trino `agg(args) FILTER (WHERE pred) OVER (…)` — Spark rejects a
+    * filter clause on WINDOW functions ("Window aggregate function with
+    * filter predicate is not supported yet"), so the filter folds into
+    * the arguments: every top-level argument becomes IF(pred, arg, NULL)
+    * and `*` becomes IF(pred, 1, NULL) — exact under the null-ignoring
+    * aggregate semantics FILTER implies (count/sum/avg/min/max and the
+    * multi-arg pair aggregates all drop null rows). Plain GROUP BY
+    * FILTER (no OVER) is Spark-native and left untouched. */
+  private[graft] def rewriteWindowFilter(sql: String): String = {
+    val FilterHead = """(?is)^\s*FILTER\s*\(\s*WHERE\b""".r
+    val OverNext = """(?is)^\s*OVER\b""".r
+    // literal-aware matching close paren for the '(' at `open`
+    def closeOf(s: String, open: Int): Int = {
+      var depth = 0; var i = open; var inLit = false; var inId = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inLit) { if (c == '\'') inLit = false }
+        else if (inId) { if (c == '"') inId = false }
+        else c match {
+          case '\'' => inLit = true
+          case '"' => inId = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0; var inLit = false; var inId = false
+      val opens = scala.collection.mutable.Stack.empty[Int]
+      while (i < s.length && !changed) {
+        val c = s.charAt(i)
+        if (inLit) { if (c == '\'') inLit = false }
+        else if (inId) { if (c == '"') inId = false }
+        else c match {
+          case '\'' => inLit = true
+          case '"' => inId = true
+          case '(' => opens.push(i)
+          case ')' if opens.nonEmpty =>
+            val open = opens.pop()
+            val tail = s.substring(i + 1)
+            FilterHead.findFirstMatchIn(tail).foreach { fm =>
+              // identifier directly before the open paren = the function
+              var j = open - 1
+              while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+              val idEnd = j
+              while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+              if (idEnd > j) {
+                val fOpen = i + 1 + tail.indexOf('(')
+                val fClose = closeOf(s, fOpen)
+                require(fClose > fOpen, "unbalanced FILTER parens")
+                if (OverNext.findFirstIn(s.substring(fClose + 1)).isDefined) {
+                  val whereEnd = i + 1 + fm.matched.length
+                  val pred = s.substring(whereEnd, fClose).trim
+                  val args = s.substring(open + 1, i)
+                  val newArgs =
+                    if (args.trim == "*") s"IF($pred, 1, NULL)"
+                    else splitTopLevel(args, ',')
+                      .map(a => s"IF($pred, ${a.trim}, NULL)").mkString(", ")
+                  s = s.substring(0, open + 1) + newArgs + ")" +
+                    s.substring(fClose + 1)
+                  changed = true
+                }
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    s
+  }
+
   private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -3155,10 +3233,10 @@ object PrestoSql {
       "FETCH FIRST … WITH TIES is not supported (no LIMIT equivalent; " +
         "use a rank() window filter)")
     val out = new StringBuilder
-    val s = wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(wrapStrpos(
-      wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(wrapNoneMatch(
-        wrapMapAgg(rewriteArrayAgg(rewriteListagg(rewriteArrayLiterals(
-          rewriteUnnest(inlineSplit(prestoSql))))))))))))))
+    val s = rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
+      wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
+        wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(rewriteListagg(
+          rewriteArrayLiterals(rewriteUnnest(inlineSplit(prestoSql)))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

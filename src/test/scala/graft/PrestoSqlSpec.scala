@@ -1739,6 +1739,34 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getBoolean(7))
   }
 
+  test("FILTER (WHERE …) folds into window-function arguments; GROUP BY FILTER untouched") {
+    val t = PrestoSql.translate(
+      "SELECT count(*) FILTER (WHERE x > 0) OVER (PARTITION BY g) FROM t")
+    assert(t.contains("count(IF(x > 0, 1, NULL)) OVER"), t)
+    assert(!t.toUpperCase.contains("FILTER"), t)
+    // multi-arg: every argument gets the predicate
+    val t2 = PrestoSql.translate(
+      "SELECT corr(a, b) FILTER (WHERE ok) OVER (ORDER BY i) FROM t")
+    assert(t2.contains("corr(IF(ok, a, NULL), IF(ok, b, NULL)) OVER"), t2)
+    // plain aggregate FILTER is Spark-native — left alone
+    val t3 = PrestoSql.translate(
+      "SELECT count(*) FILTER (WHERE x > 0) FROM t GROUP BY g")
+    assert(t3.toUpperCase.contains("FILTER"), t3)
+    // behavior: matches the hand-written CASE form
+    spark.sql(
+      """SELECT * FROM VALUES (1, 10.0D), (1, -5.0D), (2, 3.0D), (1, 2.0D)
+        |  AS t(g, v)""".stripMargin).createOrReplaceTempView("wf_t")
+    val got = PrestoSql.sql(spark,
+      """SELECT "g", SUM("v") FILTER (WHERE "v" > 0)
+        |  OVER (PARTITION BY "g") AS s
+        |FROM wf_t ORDER BY "g", s""".stripMargin).collect()
+    val want = spark.sql(
+      """SELECT g, SUM(CASE WHEN v > 0 THEN v END)
+        |  OVER (PARTITION BY g) AS s
+        |FROM wf_t ORDER BY g, s""".stripMargin).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("hmac_* match RFC 4231/2202 test vectors") {
     // RFC 4231 test case 2: key = "Jefe", data = "what do ya want for
     // nothing?"; RFC 2202 gives the HMAC-SHA1/MD5 vectors for the same
