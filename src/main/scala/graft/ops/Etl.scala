@@ -400,6 +400,35 @@ object Etl extends QueryModule {
           |ORDER BY seg""".stripMargin)
     }),
 
+    // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
+    // statement (the managed-table form of s15's directory compaction):
+    // three small INSERT commits fragment the table, OPTIMIZE rewrites
+    // it to ceil(bytes / threshold) files through the same layout-
+    // preserving stage-swap as every copy-on-write statement. Content
+    // must be byte-identical through the rewrite — that is the whole
+    // contract; the file-count collapse is pinned in PrestoSqlSpec.
+    "p4k_presto_optimize" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """DROP TABLE IF EXISTS opt_t;
+          |
+          |CREATE TABLE opt_t AS
+          |  SELECT "n_nationkey" AS k, "n_name" AS name, "n_regionkey" AS rk
+          |  FROM nation WHERE "n_regionkey" = 0;
+          |
+          |INSERT INTO opt_t
+          |  SELECT "n_nationkey", "n_name", "n_regionkey"
+          |  FROM nation WHERE "n_regionkey" IN (1, 2);
+          |
+          |INSERT INTO opt_t
+          |  SELECT "n_nationkey", "n_name", "n_regionkey"
+          |  FROM nation WHERE "n_regionkey" > 2;
+          |
+          |ALTER TABLE opt_t EXECUTE optimize(file_size_threshold => '1GB');
+          |
+          |SELECT k, name, rk FROM opt_t ORDER BY k""".stripMargin)
+    }),
+
     // P4c: row-level DELETE in the script runner — Trino's DELETE FROM
     // as a staged copy-on-write swap (survivors CTAS into a stage table,
     // DROP + RENAME; the stage materializes before the drop, so failure
@@ -987,6 +1016,11 @@ object Etl extends QueryModule {
         |  string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS by_key_desc,
         |  COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
+
+    "p4k_presto_optimize" ->
+      // OPTIMIZE must not change content: the oracle is the plain table
+      """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk
+        |FROM nation ORDER BY k""".stripMargin,
 
     "p2l_presto_window_filter" ->
       // DuckDB supports FILTER on window functions natively — the oracle

@@ -350,6 +350,27 @@ object PrestoSql {
         stageSwap(spark, t,
           s"SELECT ${kept.map(f => s"`$f`").mkString(", ")} FROM $t",
           dropped = Set(col.toLowerCase))
+      case AlterExecuteRe(tbl, thr) =>
+        // Trino's OPTIMIZE: rewrite the table into files of at least the
+        // threshold size — the small-files compaction every lakehouse
+        // maintenance job runs (the managed-table form of s15). Target
+        // file count = ceil(current bytes / threshold); the COALESCE
+        // hint sizes the staged rewrite, and the stage-swap preserves
+        // layout and survives mid-statement failure like every other
+        // copy-on-write statement here.
+        val t = tbl.stripPrefix("\"").stripSuffix("\"")
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t))
+        def bytesUnder(f: java.io.File): Long =
+          if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+          else Option(f.listFiles).map(_.map(bytesUnder).sum).getOrElse(0L)
+        val loc = new java.io.File(new java.net.URI(meta.location.toString))
+        val threshold = Option(thr).map(parseSize)
+          .getOrElse(128L * 1024 * 1024)
+        val target = math.max(1L,
+          math.ceil(bytesUnder(loc).toDouble / threshold).toLong)
+        stageSwap(spark, t, s"SELECT /*+ COALESCE($target) */ * FROM $t")
+        statusDf(spark, "OPTIMIZE")
       case CreateViewRe(nameRaw, body) =>
         // PERSISTENT (catalog-backed) view first — views a real ETL tool
         // defines once and references across runs; it lands in the
@@ -1006,6 +1027,26 @@ object PrestoSql {
   private val AlterDropColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+DROP\s+COLUMN\s+""" +
       """(?:IF\s+EXISTS\s+)?("[^"]+"|\w+)\s*$""").r
+
+  // Trino `ALTER TABLE t EXECUTE optimize(file_size_threshold => '…')`
+  private val AlterExecuteRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[\w.]+)\s+EXECUTE\s+optimize""" +
+      """\s*(?:\(\s*(?:file_size_threshold\s*=>\s*'([^']+)')?\s*\))?\s*$""").r
+
+  private def parseSize(s: String): Long = {
+    val m = """(?i)^\s*(\d+(?:\.\d+)?)\s*(B|kB|KB|MB|GB|TB)?\s*$""".r
+      .findFirstMatchIn(s).getOrElse(
+        throw new IllegalArgumentException(s"bad size literal '$s'"))
+    val n = m.group(1).toDouble
+    val mult = Option(m.group(2)).map(_.toUpperCase).getOrElse("B") match {
+      case "B" => 1L
+      case "KB" => 1024L
+      case "MB" => 1024L * 1024
+      case "GB" => 1024L * 1024 * 1024
+      case "TB" => 1024L * 1024 * 1024 * 1024
+    }
+    (n * mult).toLong
+  }
 
   /** Staged CTAS-swap shared by every copy-on-write rewrite (DELETE,
     * UPDATE, MERGE, RENAME/DROP COLUMN): materialize `selectBody` into

@@ -1767,6 +1767,31 @@ class PrestoSqlSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("ALTER TABLE EXECUTE optimize compacts files, preserves content") {
+    PrestoSql.script(spark,
+      """DROP TABLE IF EXISTS opt_spec;
+        |CREATE TABLE opt_spec AS SELECT 1 AS k, 'a' AS v;
+        |INSERT INTO opt_spec SELECT 2, 'b';
+        |INSERT INTO opt_spec SELECT 3, 'c'""".stripMargin)
+    // script tables land in the run-unique DDL database
+    val qualified = s"`${PrestoSql.ddlDatabase(spark)}`.opt_spec"
+    def files(): Int = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(qualified))
+      def walk(f: java.io.File): Int =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(new java.net.URI(meta.location.toString)))
+    }
+    assert(files() >= 3, s"expected fragmentation, got ${files()} files")
+    val before = spark.table(qualified).orderBy("k").collect().toSeq
+    PrestoSql.script(spark,
+      "ALTER TABLE opt_spec EXECUTE optimize(file_size_threshold => '1GB')")
+    assert(files() == 1, s"expected 1 file after optimize, got ${files()}")
+    assert(spark.table(qualified).orderBy("k").collect().toSeq == before)
+    PrestoSql.script(spark, "DROP TABLE opt_spec")
+  }
+
   test("hmac_* match RFC 4231/2202 test vectors") {
     // RFC 4231 test case 2: key = "Jefe", data = "what do ya want for
     // nothing?"; RFC 2202 gives the HMAC-SHA1/MD5 vectors for the same
