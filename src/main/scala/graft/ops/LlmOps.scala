@@ -1919,6 +1919,39 @@ object LlmOps extends QueryModule {
           floor(col("n_cov").cast("double") / col("n_tok") * 1e6 + 0.5)
             .cast("long").as("coverage_q6"))
         .orderBy(col("source"))
+    }),
+
+    // L47: HARD-NEGATIVE mining — the contrastive-training data op: for
+    // each query vector, the top-3 most-similar vectors with a DIFFERENT
+    // label, excluding near-duplicates (cos > 0.95 — those are mislabeled
+    // twins, not negatives). This is l3's broadcast-scored kNN with the
+    // label anti-filter + dup exclusion that make it a training-pair
+    // miner; ranks only in the output (the l3 cross-engine float-ordering
+    // contract). Scale: the query side broadcasts and scoring is the
+    // codegen cosine kernel in one corpus scan; at a query set too big to
+    // broadcast this composes with the l3b/l35 IVF index (probe buckets,
+    // then the same label filter) — the filter semantics are the op.
+    "l47_hard_negatives" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("cid"),
+        col("label").as("clabel"), col("embedding").as("cvec"))
+      val scored = corpus.crossJoin(broadcast(qs))
+        .filter(col("clabel") =!= col("qlabel"))
+        .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+          CosineSimilarityExpression.cosineSim(col("qvec"), col("cvec"))
+            .as("sim"))
+        .filter(col("sim") <= lit(0.95))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("qlabel"), col("rank"),
+          col("cid").as("neg_id"), col("clabel").as("neg_label"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -3065,6 +3098,22 @@ object LlmOps extends QueryModule {
         |  CAST(SUM(in_v) AS BIGINT) AS n_cov,
         |  CAST(floor(SUM(in_v) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
         |    AS coverage_q6
-        |FROM cov GROUP BY source ORDER BY source""".stripMargin
+        |FROM cov GROUP BY source ORDER BY source""".stripMargin,
+
+    "l47_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 50),
+        |sims AS (
+        |  SELECT qid, qlabel, vec_id AS cid, label AS clabel,
+        |    list_cosine_similarity(qvec, embedding) AS sim
+        |  FROM q, embeddings WHERE label != qlabel),
+        |ranked AS (
+        |  SELECT qid, qlabel, cid, clabel,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+        |      AS rank
+        |  FROM sims WHERE sim <= 0.95)
+        |SELECT qid, qlabel, rank, cid AS neg_id, clabel AS neg_label
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   )
 }
