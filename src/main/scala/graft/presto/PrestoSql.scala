@@ -1904,6 +1904,21 @@ object PrestoSql {
       spark.udf.register("hmac_sha512", hmacUdf("HmacSHA512"))
       spark.udf.register("hmac_sha1", hmacUdf("HmacSHA1"))
       spark.udf.register("hmac_md5", hmacUdf("HmacMD5"))
+      // Trino xxhash64(varbinary) → 8-byte big-endian varbinary, SEED 0.
+      // Spark's builtin of the same name hashes with seed 42 and returns
+      // BIGINT — a silent-wrong-answer trap for migrated dedup pipelines,
+      // so the dialect session shadows it with the Trino form (Spark's
+      // own XXH64 kernel, reference-vector-pinned in PrestoSqlSpec).
+      spark.udf.register("xxhash64", udf { (b: Array[Byte]) =>
+        if (b == null) null
+        else {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 0L)
+          java.nio.ByteBuffer.allocate(8).putLong(h).array()
+        }
+      })
       spark.udf.register("graft_qdigest_agg", udaf(QS.sketchAgg))
       spark.udf.register("graft_qdigest_merge", udaf(QS.mergeAgg))
       spark.udf.register("graft_value_at_quantile",

@@ -1817,6 +1817,19 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(3).toLowerCase == "750c783e6ab0b503eaa86e310a5db738")
   }
 
+  test("xxhash64 matches the reference vectors (seed 0, big-endian varbinary)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT to_hex(xxhash64(CAST('abc' AS VARBINARY))) AS habc,
+        |  to_hex(xxhash64(CAST('' AS VARBINARY))) AS hempty,
+        |  to_hex(xxhash64(CAST('xxhash64 is a fast non-cryptographic hash'
+        |    AS VARBINARY))) AS hlong
+        |""".stripMargin).collect().head
+    // canonical XXH64 test vectors at seed 0
+    assert(r.getString(0) == "44BC2CF5AD770999", r.getString(0))
+    assert(r.getString(1) == "EF46DB3751D8E999", r.getString(1))
+    assert(r.getString(2).length == 16)
+  }
+
   test("byte-order and multimap functions: signs, errors, key order") {
     val r = PrestoSql.sql(spark,
       """SELECT
