@@ -346,6 +346,49 @@ object Events extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // E24: CHECKPOINT RECOVERY — the exactly-once claim e23 only states:
+    // a streaming query is STOPPED after draining half its input, then a
+    // RESTARTED query (same checkpoint, same sink) drains the rest. The
+    // checkpoint's offset log is what makes the second run resume after
+    // the last committed batch — nothing is re-read (no duplicates) and
+    // nothing is skipped (no loss) — so the sink's final contents must
+    // equal the batch answer even though two separate query lifetimes
+    // wrote it. This is the failure-recovery contract every production
+    // streaming ETL job leans on.
+    "e24_stream_restart_recovery" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e24", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val full = new java.io.File(s"$base/src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val work = Sources.scratch("graft_e24_run")
+      val srcDir = new java.io.File(s"$work/src"); srcDir.mkdirs()
+      def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(srcDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      def drain(): Unit = {
+        val stream = s.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/src")
+        val q = stream.filter(col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$work/data")
+          .option("checkpointLocation", s"$work/chk")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      copyIn(full.take(2).toSeq)
+      drain()                       // first lifetime: half the input
+      copyIn(full.drop(2).toSeq)
+      drain()                       // restart from the same checkpoint
+      s.read.parquet(s"$work/data")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // E16: SESSION WINDOWS under a real streaming execution (the third
     // gated streaming proof next to e1b's tumbling aggregate and e10's
     // upsert sink): EventStreams.sessionCounts runs as a genuine
@@ -846,6 +889,14 @@ object Events extends QueryModule {
       """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
         |  event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e24_stream_restart_recovery" ->
+      // two query lifetimes, one checkpoint: the sink must hold exactly
+      // the batch answer — no re-read duplicates, no skipped files
+      """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+        |  value
+        |FROM events WHERE event_type != 'error'
+        |ORDER BY event_id""".stripMargin,
 
     "e23_stream_parquet_sink" ->
       // whatever the batching, the committed files must hold exactly
