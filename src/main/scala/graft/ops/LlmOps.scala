@@ -1952,6 +1952,37 @@ object LlmOps extends QueryModule {
         .select(col("qid"), col("qlabel"), col("rank"),
           col("cid").as("neg_id"), col("clabel").as("neg_label"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
+    // min-doc_id keeper every production dedup actually ships: within
+    // each duplicate cluster keep the HIGHEST-quality copy (distinct-
+    // word count here — integer, so the argmax is exact), not the
+    // earliest-ingested one. The keeper argmax rides ONE partial-
+    // aggregating max(struct(quality, -doc_id)) per cluster — no window,
+    // no second shuffle beyond the cluster key; ties break to the
+    // lowest doc_id via the negated id in the struct ordering.
+    "l48_cluster_keeper" -> ((s, d) => {
+      val docs = shingledDocs(s, d)
+      val clusters = connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          exactDupPairs(docs, 0.01)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val quality = Tables.documents(s, d)
+        .filter(col("source") === "src0")
+        .select(col("doc_id"),
+          size(array_distinct(TF.wordTokens(col("text"))))
+            .cast("long").as("q"))
+      clusters.join(quality, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("k"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("k.nid")).as("keeper_doc_id"),
+          col("k.q").as("keeper_q"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy(col("cluster_id"))
     })
   )
 
@@ -3114,6 +3145,51 @@ object LlmOps extends QueryModule {
         |      AS rank
         |  FROM sims WHERE sim <= 0.95)
         |SELECT qid, qlabel, rank, cid AS neg_id, clabel AS neg_label
-        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "l48_cluster_keeper" ->
+      // the l12 recursive-CTE components + a per-cluster argmax keeper
+      // (quality DESC, doc_id ASC)
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        |      i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+        |           || ' ' || str_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE source = 'src0'),
+        |exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM exploded x JOIN exploded y ON x.shingle = y.shingle
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.01),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src),
+        |clusters AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |quality AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(
+        |      list_filter(str_split(text, ' '), x -> len(x) > 0)))
+        |      AS BIGINT) AS q
+        |  FROM documents WHERE source = 'src0'),
+        |r AS (
+        |  SELECT c.cluster_id, c.doc_id, q.q,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.q DESC, c.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |  FROM clusters c JOIN quality q USING (doc_id))
+        |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS keeper_doc_id, q AS keeper_q,
+        |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   )
 }
