@@ -1369,6 +1369,37 @@ object PrestoSql {
   /** Split on `sep` at zero paren/bracket depth outside string literals /
     * quoted identifiers (assignment expressions contain commas inside
     * function calls). */
+  /** Trino's `TABLE(sequence(start, stop[, step]))` table function (also
+    * the `name => value` named-argument form, any order) → a derived
+    * table exploding Spark's sequence(), keeping Trino's
+    * `sequential_number` output column. Both ends inclusive in both
+    * engines. */
+  private[graft] def rewriteSequenceTable(s: String): String = {
+    val re = """(?is)\bTABLE\s*\(\s*sequence\s*\(([^()]*)\)\s*\)""".r
+    re.replaceAllIn(s, m => {
+      val raw = splitTopLevel(m.group(1), ',').map(_.trim).filter(_.nonEmpty)
+      val kv = raw.map { a =>
+        """(?is)^(\w+)\s*=>\s*(.+)$""".r.findFirstMatchIn(a)
+          .map(x => (x.group(1).toLowerCase, x.group(2).trim))
+          .getOrElse(("", a))
+      }
+      val ordered =
+        if (kv.nonEmpty && kv.forall(_._1.nonEmpty)) {
+          val byName = kv.toMap
+          require(byName.contains("start") && byName.contains("stop"),
+            "sequence table function requires start and stop")
+          Seq(byName("start"), byName("stop")) ++ byName.get("step").toSeq
+        } else kv.map(_._2)
+      // Trino's output column is BIGINT; integer literals widen (date /
+      // timestamp arguments pass through unchanged)
+      val widened = ordered.map(a =>
+        if (a.matches("""-?\d+""")) s"CAST($a AS BIGINT)" else a)
+      scala.util.matching.Regex.quoteReplacement(
+        s"(SELECT explode(sequence(${widened.mkString(", ")}))" +
+          " AS sequential_number)")
+    })
+  }
+
   /** Trino `agg(args) FILTER (WHERE pred) OVER (…)` — Spark rejects a
     * filter clause on WINDOW functions ("Window aggregate function with
     * filter predicate is not supported yet"), so the filter folds into
@@ -1868,7 +1899,45 @@ object PrestoSql {
       " transform(split(s, concat('\\\\Q', ed, '\\\\E'))," +
       " p -> named_struct(" +
       "'key', try_element_at(split(p, concat('\\\\Q', kd, '\\\\E')), 1)," +
-      "'value', try_element_at(split(p, concat('\\\\Q', kd, '\\\\E')), 2))))")
+      "'value', try_element_at(split(p, concat('\\\\Q', kd, '\\\\E')), 2))))",
+    // Trino duration functions: parse_duration('3.5m') → day-time
+    // interval (unit table per Trino: ns/us/ms/s/m/h/d, unknown unit
+    // errors loudly); to_milliseconds reads an interval back out.
+    "parse_duration(s STRING) RETURNS INTERVAL DAY TO SECOND RETURN" +
+      " make_dt_interval(0, 0, 0, CAST(" +
+      " CAST(regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)', 1) AS DOUBLE) *" +
+      " CASE lower(trim(regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1)))" +
+      " WHEN 'ns' THEN CAST(1e-9 AS DOUBLE)" +
+      " WHEN 'us' THEN CAST(1e-6 AS DOUBLE)" +
+      " WHEN 'ms' THEN CAST(0.001 AS DOUBLE)" +
+      " WHEN 's' THEN CAST(1 AS DOUBLE)" +
+      " WHEN 'm' THEN CAST(60 AS DOUBLE)" +
+      " WHEN 'h' THEN CAST(3600 AS DOUBLE)" +
+      " WHEN 'd' THEN CAST(86400 AS DOUBLE)" +
+      " ELSE raise_error(concat('Unknown duration unit in: ', s)) END" +
+      " AS DECIMAL(18, 6)))",
+    "to_milliseconds(i INTERVAL DAY TO SECOND) RETURNS BIGINT RETURN" +
+      " CAST(((extract(DAY FROM i) * 24 + extract(HOUR FROM i)) * 60 +" +
+      " extract(MINUTE FROM i)) * 60000 +" +
+      " extract(SECOND FROM i) * 1000 AS BIGINT)",
+    // Trino human_readable_seconds: weeks → seconds with plurals, zero
+    // units skipped, comma-joined ('1 day, 2 hours, 46 minutes,
+    // 40 seconds'); helper takes the rounded total so the unit splits
+    // bind one value.
+    "graft_hrs(t BIGINT) RETURNS STRING RETURN" +
+      " CASE WHEN t = 0 THEN '0 seconds' ELSE concat_ws(', '," +
+      " IF(t div 604800 > 0, concat(t div 604800, ' week'," +
+      " IF(t div 604800 = 1, '', 's')), NULL)," +
+      " IF(t % 604800 div 86400 > 0, concat(t % 604800 div 86400, ' day'," +
+      " IF(t % 604800 div 86400 = 1, '', 's')), NULL)," +
+      " IF(t % 86400 div 3600 > 0, concat(t % 86400 div 3600, ' hour'," +
+      " IF(t % 86400 div 3600 = 1, '', 's')), NULL)," +
+      " IF(t % 3600 div 60 > 0, concat(t % 3600 div 60, ' minute'," +
+      " IF(t % 3600 div 60 = 1, '', 's')), NULL)," +
+      " IF(t % 60 > 0, concat(t % 60, ' second'," +
+      " IF(t % 60 = 1, '', 's')), NULL)) END",
+    "human_readable_seconds(d DOUBLE) RETURNS STRING RETURN" +
+      " graft_hrs(CAST(round(d) AS BIGINT))")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -3292,7 +3361,8 @@ object PrestoSql {
     val s = rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
       wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(rewriteListagg(
-          rewriteArrayLiterals(rewriteUnnest(inlineSplit(prestoSql)))))))))))))))
+          rewriteArrayLiterals(rewriteUnnest(rewriteSequenceTable(
+            inlineSplit(prestoSql))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

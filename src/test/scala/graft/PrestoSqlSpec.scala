@@ -1817,6 +1817,32 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(3).toLowerCase == "750c783e6ab0b503eaa86e310a5db738")
   }
 
+  test("TABLE(sequence(...)) table function and duration functions") {
+    // positional and named-argument forms, Trino's column name
+    val t = PrestoSql.translate(
+      "SELECT * FROM TABLE(sequence(start => 1, stop => 7, step => 3))")
+    assert(t.contains("explode(sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT)," +
+      " CAST(3 AS BIGINT))) AS sequential_number"), t)
+    val rows = PrestoSql.sql(spark,
+      "SELECT * FROM TABLE(sequence(2, 6, 2))").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L, 4L, 6L))
+    val r = PrestoSql.sql(spark,
+      """SELECT to_milliseconds(parse_duration('3.5m')) AS ms,
+        |  to_milliseconds(parse_duration('1.5h')) AS ms2,
+        |  human_readable_seconds(96400) AS hr,
+        |  human_readable_seconds(61) AS hr2,
+        |  human_readable_seconds(0) AS hr0
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 210000L && r.getLong(1) == 5400000L)
+    assert(r.getString(2) == "1 day, 2 hours, 46 minutes, 40 seconds",
+      r.getString(2))
+    assert(r.getString(3) == "1 minute, 1 second", r.getString(3))
+    assert(r.getString(4) == "0 seconds")
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT parse_duration('3 parsecs')").collect())
+    assert(e.getMessage.contains("Unknown duration unit"), e.getMessage)
+  }
+
   test("xxhash64 matches the reference vectors (seed 0, big-endian varbinary)") {
     val r = PrestoSql.sql(spark,
       """SELECT to_hex(xxhash64(CAST('abc' AS VARBINARY))) AS habc,
