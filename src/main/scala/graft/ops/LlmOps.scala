@@ -1983,6 +1983,40 @@ object LlmOps extends QueryModule {
           col("k.q").as("keeper_q"),
           (col("n_members") - 1).as("n_dropped"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // L49: UPSAMPLING with repetition — the other half of the mixture
+    // family (l18/l29/l42 only downsample): a rate ABOVE 1 repeats each
+    // document floor(rate) times plus one more with probability
+    // frac(rate), the epoch-repetition trick low-resource sources train
+    // with. Integer ppm rates; the fractional copy draws the l18
+    // rolling-hash uniform, so the expansion is deterministic and
+    // oracle-exact. Plan: copies generate IN-ROW (explode of a
+    // sequence sized by the broadcast rate) — no shuffle until the
+    // rollup; output rows carry (doc_id, copy_no) so downstream packing
+    // sees distinct rows. Repetition factors are capped (≤4 epochs
+    // here) the way real recipes cap them to avoid memorization.
+    "l49_upsample_repeat" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 1000000L), ("de", 2500000L), ("es", 1700000L),
+        ("fr", 4000000L), ("zh", 3200000L)).toDF("lang", "rate_ppm")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(TF.wordTokens(col("text"))).cast("long").as("n_toks"),
+        pmod(TF.rollingFingerprint(col("text"), 64), lit(1000000L)).as("u"))
+      val expanded = docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("n_copies",
+          expr("rate_ppm div 1000000") +
+            when(col("u") < pmod(col("rate_ppm"), lit(1000000L)), 1L)
+              .otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("lang"), col("doc_id"), col("n_toks"),
+          explode(expr("sequence(1L, n_copies)")).as("copy_no"))
+      expanded.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("n_toks")).as("total_toks"),
+          max(col("copy_no")).as("max_copies"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3190,6 +3224,35 @@ object LlmOps extends QueryModule {
         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
         |  doc_id AS keeper_doc_id, q AS keeper_q,
         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
-        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "l49_upsample_repeat" ->
+      """WITH rates AS (
+        |  SELECT * FROM (VALUES ('en', 1000000), ('de', 2500000),
+        |    ('es', 1700000), ('fr', 4000000), ('zh', 3200000))
+        |    t(lang, rate_ppm)),
+        |docs AS (
+        |  SELECT d.doc_id, d.lang, r.rate_ppm,
+        |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks,
+        |    list_reduce(
+        |      list_transform(str_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 1000000 AS u
+        |  FROM documents d JOIN rates r ON d.lang = r.lang),
+        |expanded AS (
+        |  SELECT lang, doc_id, n_toks, copy_no
+        |  FROM (
+        |    SELECT lang, doc_id, n_toks,
+        |      rate_ppm // 1000000 +
+        |        CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END
+        |        AS n_copies
+        |    FROM docs) e,
+        |    LATERAL unnest(generate_series(1, CAST(e.n_copies AS BIGINT)))
+        |      AS g(copy_no)
+        |  WHERE n_copies > 0)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_rows, CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+        |  CAST(MAX(copy_no) AS BIGINT) AS max_copies
+        |FROM expanded GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
