@@ -400,6 +400,27 @@ object Etl extends QueryModule {
           |ORDER BY seg""".stripMargin)
     }),
 
+    // P2m: SQL:2016 JSON_TABLE — the standard JSON-shredding table
+    // function (the third SQL:2016 headline next to MATCH_RECOGNIZE and
+    // LISTAGG): a JSON array built around each event's props object is
+    // shredded into typed rows via the VARIANT-backed LATERAL rewrite —
+    // row path `[*]` iteration, explicit and DEFAULT column paths, and
+    // FOR ORDINALITY all exercised on real table data.
+    "p2m_presto_json_table" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "event_id", jt.i, jt.kv, jt.n
+          |FROM events, JSON_TABLE(
+          |  '[{"i":1,"p":' || "props" || '},{"i":2,"p":' || "props" || '}]',
+          |  'lax $[*]'
+          |  COLUMNS(
+          |    i bigint,
+          |    kv bigint PATH 'lax $.p.k',
+          |    n FOR ORDINALITY)) AS jt
+          |WHERE "event_id" < 500
+          |ORDER BY "event_id", jt.i""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1016,6 +1037,16 @@ object Etl extends QueryModule {
         |  string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS by_key_desc,
         |  COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
+
+    "p2m_presto_json_table" ->
+      // the shredded rows reduce to a 2-row-per-event expansion with the
+      // props member read through DuckDB's JSON extension
+      """SELECT e.event_id, CAST(i.i AS BIGINT) AS i,
+        |  CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS kv,
+        |  CAST(i.i AS BIGINT) AS n
+        |FROM events e, (VALUES (1), (2)) i(i)
+        |WHERE e.event_id < 500
+        |ORDER BY e.event_id, i""".stripMargin,
 
     "p4k_presto_optimize" ->
       // OPTIMIZE must not change content: the oracle is the plain table

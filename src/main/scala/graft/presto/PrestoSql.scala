@@ -1369,6 +1369,91 @@ object PrestoSql {
   /** Split on `sep` at zero paren/bracket depth outside string literals /
     * quoted identifiers (assignment expressions contain commas inside
     * function calls). */
+  /** SQL:2016 `JSON_TABLE(expr, 'row path' COLUMNS(…))` — the standard
+    * JSON-shredding table function Trino ships, onto Spark 4 VARIANT:
+    * the row path (its `[*]` tail iterates the array at the prefix)
+    * becomes a posexplode of `CAST(variant_get(…) AS ARRAY<VARIANT>)`
+    * inside a LATERAL subquery, each column a `CAST(try_variant_get(row,
+    * path) AS type)`, and `FOR ORDINALITY` the 1-based explode position.
+    * Lax-ish structural semantics throughout (missing → NULL, the
+    * json_value/json_query convention here); `lax`/`strict` prefixes are
+    * accepted and stripped. Subset: the row path must be a quoted
+    * literal, NESTED PATH / PLAN clauses are not supported (they throw —
+    * loud beats silently wrong). */
+  private[graft] def rewriteJsonTable(sql: String): String = {
+    val Head = """(?is)\bJSON_TABLE\s*\(""".r
+    var s = sql
+    var m = Head.findFirstMatchIn(s)
+    while (m.isDefined) {
+      val open = m.get.end - 1
+      val close = {
+        // literal-aware matching close (same walk as rewriteWindowFilter)
+        var depth = 0; var i = open; var inLit = false; var inId = false
+        var res = -1
+        while (i < s.length && res < 0) {
+          val c = s.charAt(i)
+          if (inLit) { if (c == '\'') inLit = false }
+          else if (inId) { if (c == '"') inId = false }
+          else c match {
+            case '\'' => inLit = true
+            case '"' => inId = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) res = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(res > 0, "unbalanced JSON_TABLE parens")
+        res
+      }
+      val inside = s.substring(open + 1, close)
+      require(!"""(?is)\bNESTED\s+PATH\b""".r.findFirstIn(inside).isDefined &&
+        !"""(?is)\bPLAN\s*\(""".r.findFirstIn(inside).isDefined,
+        "JSON_TABLE NESTED PATH / PLAN clauses are not supported")
+      val parts = splitTopLevel(inside, ',')
+      require(parts.length >= 2, "JSON_TABLE requires (expr, 'path' COLUMNS(…))")
+      val jExpr = parts.head.trim
+      val rest = parts.tail.mkString(",")
+      val pm = """(?is)^\s*'([^']*)'\s*COLUMNS\s*\((.*)\)\s*$""".r
+        .findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
+          "JSON_TABLE: expected 'row path' COLUMNS(…)"))
+      val rawPath = pm.group(1).trim.replaceFirst("""(?i)^(lax|strict)\s+""", "")
+      val (rowPrefix, iterate) =
+        if (rawPath.endsWith("[*]")) (rawPath.dropRight(3), true)
+        else (rawPath, false)
+      val ordRe = """(?is)^\s*("[^"]+"|\w+)\s+FOR\s+ORDINALITY\s*$""".r
+      val colRe =
+        """(?is)^\s*("[^"]+"|\w+)\s+(.+?)(?:\s+PATH\s+'([^']*)')?\s*$""".r
+      def ident(raw: String) =
+        "`" + raw.stripPrefix("\"").stripSuffix("\"") + "`"
+      val colExprs = splitTopLevel(pm.group(2), ',').map(_.trim)
+        .filter(_.nonEmpty).map {
+          case ordRe(name) => s"CAST(pos + 1 AS BIGINT) AS ${ident(name)}"
+          case colRe(name, tpe, path) =>
+            val p = Option(path).map(
+              _.trim.replaceFirst("""(?i)^(lax|strict)\s+""", ""))
+              .getOrElse("$." + name.stripPrefix("\"").stripSuffix("\""))
+            s"CAST(try_variant_get(col, '$p') AS ${translateType(tpe.trim)})" +
+              s" AS ${ident(name)}"
+          case other => throw new IllegalArgumentException(
+            s"JSON_TABLE: unparseable column '$other'")
+        }
+      val rowsExpr =
+        if (iterate)
+          s"CAST(try_variant_get(try_parse_json(CAST(($jExpr) AS STRING))," +
+            s" '$rowPrefix') AS ARRAY<VARIANT>)"
+        else
+          s"array(try_variant_get(try_parse_json(CAST(($jExpr) AS STRING))," +
+            s" '$rowPrefix'))"
+      val replacement =
+        s"LATERAL (SELECT ${colExprs.mkString(", ")} FROM" +
+          s" (SELECT posexplode($rowsExpr)))"
+      s = s.substring(0, m.get.start) + replacement + s.substring(close + 1)
+      m = Head.findFirstMatchIn(s)
+    }
+    s
+  }
+
   /** Trino's `TABLE(sequence(start, stop[, step]))` table function (also
     * the `name => value` named-argument form, any order) → a derived
     * table exploding Spark's sequence(), keeping Trino's
@@ -3362,7 +3447,7 @@ object PrestoSql {
       wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(rewriteListagg(
           rewriteArrayLiterals(rewriteUnnest(rewriteSequenceTable(
-            inlineSplit(prestoSql))))))))))))))))
+            rewriteJsonTable(inlineSplit(prestoSql)))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -1817,6 +1817,32 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(3).toLowerCase == "750c783e6ab0b503eaa86e310a5db738")
   }
 
+  test("JSON_TABLE shreds arrays with paths, defaults, and ordinality") {
+    val r = PrestoSql.sql(spark,
+      """SELECT jt.nm, jt.qty, jt.missing, jt.q, jt.n
+        |FROM (SELECT '[{"name":"a","q":10},{"name":"b","q":20}]' AS j) t,
+        |  JSON_TABLE(j, 'lax $[*]' COLUMNS(
+        |    nm varchar PATH 'lax $.name',
+        |    qty bigint PATH 'lax $.q',
+        |    missing varchar PATH 'lax $.nope',
+        |    q bigint,
+        |    n FOR ORDINALITY)) AS jt
+        |ORDER BY jt.n""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.isNullAt(2),
+      x.getLong(3), x.getLong(4))).toSeq ==
+      Seq(("a", 10L, true, 10L, 1L), ("b", 20L, true, 20L, 2L)))
+    // non-[*] row path: a single row shredded from the addressed object
+    val r2 = PrestoSql.sql(spark,
+      """SELECT jt.k FROM (SELECT '{"inner":{"k":7}}' AS j) t,
+        |  JSON_TABLE(j, 'lax $.inner' COLUMNS(k bigint)) AS jt
+        |""".stripMargin).collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(7L))
+    // unsupported clauses fail loudly
+    val e = intercept[Exception](PrestoSql.translate(
+      "SELECT * FROM JSON_TABLE(j, '$' COLUMNS(NESTED PATH '$.x' COLUMNS(y bigint)))"))
+    assert(e.getMessage.contains("NESTED"), e.getMessage)
+  }
+
   test("TABLE(sequence(...)) table function and duration functions") {
     // positional and named-argument forms, Trino's column name
     val t = PrestoSql.translate(
