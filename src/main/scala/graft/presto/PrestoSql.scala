@@ -2060,10 +2060,12 @@ object PrestoSql {
       spark.udf.register("hmac_md5", hmacUdf("HmacMD5"))
       // Trino xxhash64(varbinary) → 8-byte big-endian varbinary, SEED 0.
       // Spark's builtin of the same name hashes with seed 42 and returns
-      // BIGINT — a silent-wrong-answer trap for migrated dedup pipelines,
-      // so the dialect session shadows it with the Trino form (Spark's
-      // own XXH64 kernel, reference-vector-pinned in PrestoSqlSpec).
-      spark.udf.register("xxhash64", udf { (b: Array[Byte]) =>
+      // BIGINT — a silent-wrong-answer trap for migrated dedup pipelines.
+      // Registered under a graft name and renamed ONLY inside dialect
+      // translation (a codeRewrite): shadowing the builtin session-wide
+      // would silently change every non-dialect xxhash64 in the same
+      // session (it broke the sketch kernels' hashing when tried).
+      spark.udf.register("graft_trino_xxhash64", udf { (b: Array[Byte]) =>
         if (b == null) null
         else {
           val h = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -2125,6 +2127,10 @@ object PrestoSql {
     * Pure renames keep Presto's argument order (verified per function
     * against published Trino docs and Spark's FunctionRegistry). */
   private val codeRewrites: Seq[(scala.util.matching.Regex, String)] = Seq(
+    // Trino xxhash64 → the graft-registered seed-0 varbinary form (the
+    // rename is dialect-scoped so the Spark builtin keeps its seed-42
+    // BIGINT semantics everywhere else in the session)
+    ("""(?i)\bxxhash64\s*\(""".r, "graft_trino_xxhash64("),
     // x AT TIME ZONE 'Z' → from_utc_timestamp (the pinned-UTC contract
     // makes the instant-in-UTC reading exact). Operand limited to an
     // identifier / qualified name / non-nested call — documented limit;
