@@ -1848,10 +1848,16 @@ object LlmOps extends QueryModule {
     // a shingle-keyed df count (Zipf-bounded), join back on the shingle
     // key, doc-keyed rollup. All counts integer; one quantized division.
     "l43_ngram_novelty" -> ((s, d) => {
+      GF.register(s)
+      // fused codegen shingle kernel (the HOF transform/concat_ws form
+      // is interpreted per element and benched 11 s at sf0.1; this is
+      // ~1 s) — and the exploded frame checkpoints once because both
+      // the df count and the join-back consume it
       val sh = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(TF.wordShingles(TF.wordTokens(col("text")), 3))
+          explode(GF.wordShingles(TF.wordTokens(col("text")), 3))
             .as("shingle"))
+        .localCheckpoint()
       val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       sh.join(dfc, "shingle")
         .groupBy(col("doc_id"))
@@ -1872,11 +1878,16 @@ object LlmOps extends QueryModule {
     // scale. A hot boilerplate shingle fans out |sources|² here too; the
     // l22b df-cap is the production guard and composes unchanged.
     "l44_source_overlap" -> ((s, d) => {
+      GF.register(s)
+      // fused shingle kernel + checkpoint: the distinct (source,
+      // shingle) set feeds the sizes aggregate AND both sides of the
+      // pair join — without the checkpoint the shingling runs 4×
       val ss = Tables.documents(s, d)
         .select(col("source"),
-          explode(TF.wordShingles(TF.wordTokens(col("text")), 3))
+          explode(GF.wordShingles(TF.wordTokens(col("text")), 3))
             .as("shingle"))
         .distinct()
+        .localCheckpoint()
       val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
       ss.as("x").join(ss.as("y"),
           col("x.shingle") === col("y.shingle") &&
