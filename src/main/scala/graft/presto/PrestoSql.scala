@@ -277,6 +277,7 @@ object PrestoSql {
     // must still resolve against the run-unique DDL database
     val usesDdl = stmts.exists(st => ddlRe.findFirstIn(st).isDefined ||
       ShowStatsRe.findFirstIn(st).isDefined ||
+      ShowStatsQueryRe.findFirstIn(st).isDefined ||
       ShowCreateRe.findFirstIn(st).isDefined ||
       ShowTablesRe.findFirstIn(st).isDefined ||
       ShowColumnsRe.findFirstIn(st).isDefined ||
@@ -419,6 +420,16 @@ object PrestoSql {
         statusDf(spark, "SET TIME ZONE")
       case ShowCatalogsRe(like) => runShowCatalogs(spark, Option(like))
       case ShowFunctionsRe(like) => runShowFunctions(spark, Option(like))
+      case ShowStatsQueryRe(q) =>
+        // Trino's `SHOW STATS FOR (SELECT …)`: materialize the query
+        // into a run-scoped stage table (column stats need a catalog
+        // table in Spark), read the same stats shape, drop the stage.
+        val stage = s"graft_stats_${
+          java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
+        spark.sql(s"CREATE TABLE `$stage` USING PARQUET AS " +
+          prepare(spark, q))
+        try runShowStats(spark, stage)
+        finally spark.sql(s"DROP TABLE IF EXISTS `$stage`")
       case ShowStatsRe(tbl) => runShowStats(spark, tbl)
       case ShowCreateRe(tbl) => runShowCreate(spark, tbl)
       case ShowSchemasRe() => runShowSchemas(spark)
@@ -612,6 +623,8 @@ object PrestoSql {
 
   private val ShowStatsRe =
     """(?is)^\s*SHOW\s+STATS\s+FOR\s+("[^"]+"|[\w.]+)\s*$""".r
+  private val ShowStatsQueryRe =
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*$""".r
   private val ShowCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+("[^"]+"|[\w.]+)\s*$""".r
   private val InfoSchemaRe = """(?i)\binformation_schema\s*\.""".r

@@ -1817,6 +1817,20 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(3).toLowerCase == "750c783e6ab0b503eaa86e310a5db738")
   }
 
+  test("SHOW STATS FOR (query) materializes, reports, and cleans up") {
+    val df = PrestoSql.script(spark,
+      """SHOW STATS FOR (SELECT 1 AS a, 'xy' AS b
+        |  UNION ALL SELECT 2, 'z')""".stripMargin)
+    val rows = df.collect()
+    // Trino shape: one row per column + the NULL summary row with row_count
+    val summary = rows.find(_.isNullAt(0)).get
+    assert(summary.getDouble(rows.head.schema.fieldIndex("row_count")) == 2.0)
+    assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "a"))
+    // the stage table is gone
+    assert(!spark.sessionState.catalog.listTables(
+      PrestoSql.ddlDatabase(spark)).exists(_.table.startsWith("graft_stats_")))
+  }
+
   test("JSON_TABLE shreds arrays with paths, defaults, and ordinality") {
     val r = PrestoSql.sql(spark,
       """SELECT jt.nm, jt.qty, jt.missing, jt.q, jt.n
