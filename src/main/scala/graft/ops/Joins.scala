@@ -459,6 +459,46 @@ object Joins extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // J17: BLOCKED FUZZY JOIN — the entity-resolution primitive: match
+    // left names to typo-perturbed right names (a deterministic
+    // one-char deletion in the second word) at edit distance ≤ 2,
+    // with candidate generation by BLOCKING keys (first word +
+    // second-word initial) — the standard ER design that turns the
+    // quadratic all-pairs compare into equi-join-sized blocks.
+    // Blocking is PART of the declared semantics (the oracle declares
+    // the same blocked join): it deliberately trades recall at the
+    // block boundary — e.g. 'cold'/'old' are themselves edit distance
+    // 1, so a cross-first-word match is out of scope by design, exactly
+    // as production blocking ER documents. At 100 TB the block key is
+    // the shuffle key and block sizes bound the per-task compare count;
+    // skewed blocks get a second key character, the l2-band argument.
+    "j17_fuzzy_join" -> ((s, d) => {
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val left = parts
+        .filter(col("p_partkey") % 5 === 0 && col("p_partkey") < 2000)
+      val right = parts.filter(col("p_partkey") % 5 =!= 0)
+        .select(col("p_partkey").as("r_key"),
+          concat(expr("split(p_name, ' ')[0]"), lit(" "),
+            expr("substring(split(p_name, ' ')[1], 1, 1)"),
+            expr("substring(split(p_name, ' ')[1], 3)")).as("r_name"))
+      val lb = left
+        .withColumn("w0", expr("split(p_name, ' ')[0]"))
+        .withColumn("c1", expr("substring(split(p_name, ' ')[1], 1, 1)"))
+      val rb = right
+        .withColumn("w0", expr("split(r_name, ' ')[0]"))
+        .withColumn("c1", expr("substring(split(r_name, ' ')[1], 1, 1)"))
+      val lv = levenshtein(col("p_name"), col("r_name")).cast("long")
+      lb.join(rb, Seq("w0", "c1"))
+        .filter(lv <= 2)
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(lv).as("min_lev"),
+          min(struct(lv.as("lv"), col("r_key"))).as("b"))
+        .select(col("p_partkey"), col("p_name"), col("n_matches"),
+          col("min_lev"), col("b.r_key").as("best_match"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // J16: SCD2 TEMPORAL LOOKUP — the warehouse join o15's history build
     // exists for: each fact row (event) joins the dimension VERSION that
     // was valid at the fact's event time (custkey equality + ts ∈
@@ -495,6 +535,38 @@ object Joins extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j17_fuzzy_join" ->
+      // the same BLOCKED join declared naively: blocking keys as join
+      // predicates, levenshtein residual, argmin best match
+      """WITH l AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE p_partkey % 5 = 0 AND p_partkey < 2000),
+        |r AS (
+        |  SELECT p_partkey AS r_key,
+        |    split_part(p_name, ' ', 1) || ' ' ||
+        |    substr(split_part(p_name, ' ', 2), 1, 1) ||
+        |    substr(split_part(p_name, ' ', 2), 3) AS r_name
+        |  FROM part WHERE p_partkey % 5 != 0),
+        |m AS (
+        |  SELECT l.p_partkey, l.p_name, r.r_key,
+        |    CAST(levenshtein(l.p_name, r.r_name) AS BIGINT) AS lv
+        |  FROM l JOIN r
+        |    ON split_part(l.p_name, ' ', 1) = split_part(r.r_name, ' ', 1)
+        |   AND substr(split_part(l.p_name, ' ', 2), 1, 1) =
+        |       substr(split_part(r.r_name, ' ', 2), 1, 1)
+        |  WHERE levenshtein(l.p_name, r.r_name) <= 2),
+        |best AS (
+        |  SELECT p_partkey, r_key,
+        |    row_number() OVER (PARTITION BY p_partkey ORDER BY lv, r_key)
+        |      AS rn
+        |  FROM m)
+        |SELECT m.p_partkey, MIN(m.p_name) AS p_name,
+        |  COUNT(*) AS n_matches, MIN(m.lv) AS min_lev,
+        |  MIN(b.r_key) AS best_match
+        |FROM m JOIN best b ON b.p_partkey = m.p_partkey AND b.rn = 1
+        |GROUP BY m.p_partkey
+        |ORDER BY m.p_partkey""".stripMargin,
+
     "j16_scd2_lookup" ->
       """WITH hist AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
