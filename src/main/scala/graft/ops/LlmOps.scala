@@ -1965,6 +1965,52 @@ object LlmOps extends QueryModule {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // L50: URL CANONICALIZATION dedup — the web-corpus front-door dedup
+    // (CommonCrawl-style pipelines drop re-crawls of the same page
+    // before ever looking at content): two synthetic URL variants per
+    // doc — mixed-case host, explicit default port, trailing slash,
+    // utm_* tracking params, fragment — canonicalize to
+    // scheme://host/path?sorted-kept-params by the standard rules
+    // (lowercase scheme+host, strip :443, strip fragment, drop utm_*,
+    // sort surviving params, strip trailing slash) and group. Pure
+    // scan-stage string work on every row; the only shuffle is the
+    // canonical-key rollup — at 100 TB this is the cheapest dedup pass
+    // there is, which is why it runs first.
+    "l50_url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val urls = docs.select(col("doc_id"), explode(array(
+        concat(lit("https://Src"), col("doc_id") % 7,
+          lit(".Example.COM:443/p/"), col("doc_id") % 50, lit("/")),
+        concat(lit("https://src"), col("doc_id") % 7,
+          lit(".example.com/p/"), col("doc_id") % 50,
+          lit("?id="), col("doc_id") % 3,
+          lit("&utm_source=x&utm_campaign=y#frag")))).as("url"))
+      val canon = urls
+        .withColumn("scheme",
+          lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host",
+          regexp_replace(
+            lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+            ":443$", ""))
+        .withColumn("path",
+          regexp_replace(
+            regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/$", ""))
+        .withColumn("kept", array_sort(expr(
+          """filter(split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+            |  p -> p != '' AND NOT p LIKE 'utm_%')""".stripMargin)))
+        .withColumn("canonical",
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(size(col("kept")) > 0,
+              concat(lit("?"), array_join(col("kept"), "&")))
+              .otherwise(lit(""))))
+      canon.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy(col("canonical"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -3191,6 +3237,41 @@ object LlmOps extends QueryModule {
         |  FROM sims WHERE sim <= 0.95)
         |SELECT qid, qlabel, rank, cid AS neg_id, clabel AS neg_label
         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "l50_url_dedup" ->
+      // identical canonicalization rules in DuckDB string functions
+      """WITH urls AS (
+        |  SELECT doc_id, unnest([
+        |    'https://Src' || (doc_id % 7) || '.Example.COM:443/p/' ||
+        |      (doc_id % 50) || '/',
+        |    'https://src' || (doc_id % 7) || '.example.com/p/' ||
+        |      (doc_id % 50) || '?id=' || (doc_id % 3) ||
+        |      '&utm_source=x&utm_campaign=y#frag']) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |      ':443$', '') AS host,
+        |    regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |      '/$', '') AS path,
+        |    list_sort(list_filter(
+        |      str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> p != '' AND NOT p LIKE 'utm_%')) AS kept
+        |  FROM urls),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |    CASE WHEN len(kept) > 0
+        |         THEN '?' || array_to_string(kept, '&') ELSE '' END
+        |      AS canonical
+        |  FROM c)
+        |SELECT canonical, COUNT(*) AS n_variants,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keeper_doc_id
+        |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin,
 
     "l48_cluster_keeper" ->
       // the l12 recursive-CTE components + a per-cluster argmax keeper
