@@ -79,6 +79,9 @@ object GraftFunctions {
     (FunctionIdentifier("word_stem"),
       new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
       (e: Seq[Expression]) => WordStemExpression(e(0))),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpression].getName, "jaro_winkler"),
+      (e: Seq[Expression]) => JaroWinklerExpression(e(0), e(1))),
     (FunctionIdentifier("multi_count"),
       new ExpressionInfo(classOf[MultiCountExpression].getName, "multi_count"),
       (e: Seq[Expression]) => MultiCountExpression(e(0), e.tail.map(litStr))))
@@ -104,6 +107,8 @@ object GraftFunctions {
 
   // Column-API entry points (require register() on the session first).
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
   def minhashSig(hashes: Column): Column = call_function("minhash_sig", hashes)
   def minhashTextSig(text: Column, k: Int): Column =
     call_function("minhash_text_sig", text, org.apache.spark.sql.functions.lit(k))

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity (Winkler 1990, building on Jaro 1989 —
+  * the record-linkage standard measure; the same algorithm behind
+  * DuckDB's `jaro_winkler_similarity`, which the oracle compares
+  * against). Conventions pinned to the common implementation (verified
+  * against DuckDB empirically and the published MARTHA/MARHTA = 0.9611,
+  * DIXON/DICKSONX = 0.8133 vectors):
+  *  - match window = max(|a|,|b|)/2 − 1, floored at 0 (so "ab"/"ba" has
+  *    NO matches and scores 0 — the window excludes the swap);
+  *  - either side empty → 0 (not the "both empty = 1" variant);
+  *  - transpositions = half the mismatched matched positions (always an
+  *    even count — it is a permutation defect);
+  *  - Winkler prefix boost (≤4 chars, 0.1 scaling) only when the Jaro
+  *    score exceeds the 0.7 boost threshold.
+  */
+object JaroWinklerKernel {
+
+  def sim(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var tRaw = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) tRaw += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = tRaw / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
+/** `jaro_winkler(a, b)` → double in [0, 1]; codegen-friendly binary
+  * expression (one static call — stays inside whole-stage codegen). */
+case class JaroWinklerExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerKernel.sim($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpression =
+    copy(left = newLeft, right = newRight)
+}

@@ -616,6 +616,35 @@ object Scalars extends QueryModule {
     // round-trip breaks the hash), then shows the semantic split: the
     // same wall clock pinned as UTC vs interpreted in a DST zone yields
     // different instants, offset by the zone's date-dependent UTC offset.
+    // SC24: Jaro–Winkler similarity — the record-linkage measure next to
+    // levenshtein (j17's residual): own codegen kernel (Winkler 1990
+    // conventions pinned in the Scaladoc and against DuckDB's native
+    // jaro_winkler_similarity, which IS the oracle's implementation —
+    // two independent implementations agreeing to 6 decimal places on
+    // 500 real name pairs is the strongest scalar check in the suite).
+    // Three comparisons per part: name vs its one-char-deletion typo
+    // (high similarity), vs the reversed name (low), first word vs
+    // second word (unrelated).
+    "sc24_jaro_winkler" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5).cast("long")
+      Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey"), col("p_name"))
+        .withColumn("typo",
+          concat(expr("split(p_name, ' ')[0]"), lit(" "),
+            expr("substring(split(p_name, ' ')[1], 1, 1)"),
+            expr("substring(split(p_name, ' ')[1], 3)")))
+        .select(col("p_partkey"), col("p_name"),
+          q6(GF.jaroWinkler(col("p_name"), col("typo"))).as("jw_typo_q6"),
+          q6(GF.jaroWinkler(col("p_name"), reverse(col("p_name"))))
+            .as("jw_rev_q6"),
+          q6(GF.jaroWinkler(expr("split(p_name, ' ')[0]"),
+            expr("split(p_name, ' ')[1]"))).as("jw_words_q6"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "sc22_timestamp_ntz" -> ((s, d) => {
       // scratch location unique per RUN (one UUID per JVM), overwritten
       // within it: repeated bench reps in one run don't accumulate, and
@@ -661,6 +690,23 @@ object Scalars extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sc24_jaro_winkler" ->
+      // DuckDB's native jaro_winkler_similarity is an INDEPENDENT
+      // implementation of the same published algorithm
+      """SELECT p_partkey, p_name,
+        |  CAST(floor(jaro_winkler_similarity(p_name,
+        |    split_part(p_name, ' ', 1) || ' ' ||
+        |    substr(split_part(p_name, ' ', 2), 1, 1) ||
+        |    substr(split_part(p_name, ' ', 2), 3)) * 1e6 + 0.5) AS BIGINT)
+        |    AS jw_typo_q6,
+        |  CAST(floor(jaro_winkler_similarity(p_name, reverse(p_name))
+        |    * 1e6 + 0.5) AS BIGINT) AS jw_rev_q6,
+        |  CAST(floor(jaro_winkler_similarity(split_part(p_name, ' ', 1),
+        |    split_part(p_name, ' ', 2)) * 1e6 + 0.5) AS BIGINT)
+        |    AS jw_words_q6
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin,
+
     "sc22_timestamp_ntz" ->
       // ts::TIMESTAMP is DuckDB's naive wall clock — epoch_us pins it as
       // UTC; timezone(tz, naive) interprets it as zone-local (ICU),

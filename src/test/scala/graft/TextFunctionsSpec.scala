@@ -351,4 +351,20 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().head._2
     assert(m2 == m(1L))
   }
+
+  test("jaro_winkler matches the published vectors and pinned conventions") {
+    import graft.functions.JaroWinklerKernel
+    def jw(a: String, b: String): Double = JaroWinklerKernel.sim(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    // pinned conventions (mirroring DuckDB): empty → 0, window-0 swap
+    // finds no matches, no boost at or below the 0.7 threshold
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0)
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+  }
 }
