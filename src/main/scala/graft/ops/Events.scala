@@ -533,6 +533,66 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // E25: LEFT OUTER stream-stream join under the gate — the hardest
+    // streaming-join semantics: unmatched views must emit their NULL
+    // row, and a stream can only do that when the WATERMARK proves no
+    // partner can still arrive (inner-join emission is watermark-free;
+    // outer emission is watermark-DRIVEN). Two guarantees make the
+    // final set batching-independent: (1) e18's no-lost-match argument
+    // — time-halved files mean any view evicted early (watermark 2h,
+    // so v_ts < mid − 3h) already saw every possible partner; (2) a
+    // +90-day SENTINEL file per side (newest modTime → its own final
+    // micro-batch) pushes the watermark past every real view's window
+    // so every trailing unmatched view flushes its NULL row before the
+    // drain ends. Sentinel rows themselves stay in state unemitted and
+    // are filtered out. Oracle = e9b's batch interval left join.
+    "e25_stream_stream_left" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
+        val mm = batch.agg(min(unix_millis(col("ts"))),
+          max(unix_millis(col("ts")))).collect().head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val mid = (lo + hi) / 2
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
+             (half, cond) <- Seq(
+               "h0" -> (unix_millis(col("ts")) < mid),
+               "h1" -> (unix_millis(col("ts")) >= mid)))
+          batch.filter(col("event_type") === tpe && cond)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
+        // per-side sentinel, written LAST (newest modTime): one far-
+        // future row that drives the join watermark past every real
+        // view's [v_ts, v_ts + 1h] window
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
+          batch.limit(1)
+            .select(lit(999999999L).as("event_id"),
+              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
+              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/$side/sentinel")
+      }
+      // two files per trigger: the halves arrive together (watermark is
+      // still 0 at that batch's start, so nothing is late) and the
+      // sentinels land in their own second micro-batch; the null flush
+      // then runs as the post-watermark third batch — same guarantees,
+      // half the trigger latency of one-file-per-trigger
+      def src(side: String) = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
+      val qn = "graft_e25_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .viewPurchaseJoin(src("views"), src("purchases"), "left")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("lag_us"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
     // E20: gated stream-static enrichment join — the SEVENTH streaming
     // proof, covering the canonical streaming-ETL dimension join: a
     // real file-source stream left-joins the BROADCAST customer
@@ -1205,6 +1265,19 @@ object Events extends QueryModule {
         |FROM active JOIN cohort USING (user_id)
         |WHERE day >= cohort_day
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "e25_stream_stream_left" ->
+      // identical to e9b's batch oracle: the streamed outer join must
+      // converge to the batch interval left join whatever the batching
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS lag_us
+        |FROM events v LEFT JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
+        | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""".stripMargin,
 
     "e9b_interval_left" ->
       // NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS LAST
