@@ -2806,6 +2806,71 @@ object PrestoSql {
       s.substring(0, b + 1) + view + s.substring(close + 1))
   }
 
+  /** Trino's map-lambda predicate family — `all/any/no_keys_match(m, f)`
+    * and `all/any/no_values_match(m, f)` — onto Spark's array HOFs over
+    * map_keys/map_values. The first top-level comma of the call closes
+    * the injected map_keys/map_values group; nested parens (including
+    * the lambda's own parameter list) pass through untouched. */
+  private final class KvGroup(val close: String, var pending: Boolean)
+  private val kvSpecs = Map(
+    "all_keys_match" -> ("forall(map_keys(", ")"),
+    "any_keys_match" -> ("exists(map_keys(", ")"),
+    "no_keys_match" -> ("(not exists(map_keys(", "))"),
+    "all_values_match" -> ("forall(map_values(", ")"),
+    "any_values_match" -> ("exists(map_values(", ")"),
+    "no_values_match" -> ("(not exists(map_values(", "))"))
+
+  private[graft] def wrapKeysValuesMatch(s: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack.empty[KvGroup]
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inLit = false
+        }
+      } else if (inIdent) {
+        out.append(c)
+        if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inLit = true; out.append(c)
+        case '"' => inIdent = true; out.append(c)
+        case '(' =>
+          var j = out.length - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          val wordEnd = j
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+          val word =
+            if (wordEnd > j) out.substring(j + 1, wordEnd + 1).toLowerCase
+            else ""
+          kvSpecs.get(word) match {
+            case Some((open, close))
+                if j < 0 || !out.charAt(j).isLetterOrDigit =>
+              out.setLength(j + 1)
+              out.append(open)
+              stack.push(new KvGroup(close, pending = true))
+            case _ =>
+              out.append('(')
+              stack.push(null)
+          }
+        case ')' =>
+          val g = if (stack.nonEmpty) stack.pop() else null
+          if (g != null) out.append(g.close) else out.append(')')
+        case ',' if stack.nonEmpty && stack.top != null && stack.top.pending =>
+          stack.top.pending = false
+          out.append("),")
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   private[graft] def wrapNoneMatch(s: String): String = {
     val out = new StringBuilder
     val stack = scala.collection.mutable.Stack.empty[Boolean]
@@ -3464,9 +3529,10 @@ object PrestoSql {
     val out = new StringBuilder
     val s = rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
       wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
-        wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(rewriteListagg(
-          rewriteArrayLiterals(rewriteUnnest(rewriteSequenceTable(
-            rewriteJsonTable(inlineSplit(prestoSql)))))))))))))))))
+        wrapKeysValuesMatch(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
+          rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
+            rewriteSequenceTable(rewriteJsonTable(
+              inlineSplit(prestoSql))))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -1817,6 +1817,31 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getString(3).toLowerCase == "750c783e6ab0b503eaa86e310a5db738")
   }
 
+  test("keys/values match lambda predicates map onto forall/exists over map_keys/values") {
+    val t = PrestoSql.translate(
+      "SELECT all_keys_match(m, k -> length(k) > 2) FROM t")
+    assert(t.contains("forall(map_keys(m), k -> length(k) > 2)"), t)
+    val t2 = PrestoSql.translate("SELECT no_values_match(m, v -> v < 0)")
+    assert(t2.contains("(not exists(map_values(m), v -> v < 0))"), t2)
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  all_keys_match(map(ARRAY['abc', 'defg'], ARRAY[1, 2]),
+        |    k -> length(k) >= 3) AS akm,
+        |  any_keys_match(map(ARRAY['abc', 'defg'], ARRAY[1, 2]),
+        |    k -> k = 'zz') AS anym,
+        |  no_keys_match(map(ARRAY['abc', 'defg'], ARRAY[1, 2]),
+        |    k -> k = 'zz') AS nkm,
+        |  all_values_match(map(ARRAY['a', 'b'], ARRAY[1, 2]),
+        |    v -> v > 0) AS avm,
+        |  any_values_match(map(ARRAY['a', 'b'], ARRAY[1, 2]),
+        |    v -> v = 2) AS anyv,
+        |  no_values_match(map(ARRAY['a', 'b'], ARRAY[1, 2]),
+        |    v -> v < 0) AS nvm
+        |""".stripMargin).collect().head
+    assert((0 to 5).map(r.getBoolean) ==
+      Seq(true, false, true, true, true, true))
+  }
+
   test("SHOW STATS FOR (query) materializes, reports, and cleans up") {
     val df = PrestoSql.script(spark,
       """SHOW STATS FOR (SELECT 1 AS a, 'xy' AS b
