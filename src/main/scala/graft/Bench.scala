@@ -126,6 +126,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 250+-query
+      // suite in ROUND-ROBIN rep order cycles it completely, so every
+      // rep of every query re-runs janino compilation (~0.3–1.5 s for a
+      // wide plan — s18 measured 1.8 s benched vs 0.08 s warm). Sized to
+      // hold the whole suite, reps 2..n measure execution, not the
+      // compiler — exactly what a long-lived production executor sees.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: one trivial scan+agg+join so the first measured
