@@ -84,7 +84,22 @@ object GraftFunctions {
       (e: Seq[Expression]) => JaroWinklerExpression(e(0), e(1))),
     (FunctionIdentifier("multi_count"),
       new ExpressionInfo(classOf[MultiCountExpression].getName, "multi_count"),
-      (e: Seq[Expression]) => MultiCountExpression(e(0), e.tail.map(litStr))))
+      (e: Seq[Expression]) => MultiCountExpression(e(0), e.tail.map(litStr))),
+    (FunctionIdentifier("graft_pgamma"),
+      new ExpressionInfo(classOf[RegGammaPExpression].getName, "graft_pgamma"),
+      (e: Seq[Expression]) => RegGammaPExpression(dbl(e(0)), dbl(e(1)))),
+    (FunctionIdentifier("graft_ibeta"),
+      new ExpressionInfo(classOf[RegBetaExpression].getName, "graft_ibeta"),
+      (e: Seq[Expression]) => RegBetaExpression(dbl(e(0)), dbl(e(1)), dbl(e(2)))),
+    (FunctionIdentifier("graft_inv_ibeta"),
+      new ExpressionInfo(classOf[InvRegBetaExpression].getName, "graft_inv_ibeta"),
+      (e: Seq[Expression]) => InvRegBetaExpression(dbl(e(0)), dbl(e(1)), dbl(e(2)))))
+
+  // numeric-literal convenience: the stat kernels are double-only
+  private def dbl(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
 
   private def litInt(e: Expression): Int =
     e.eval(null) match {

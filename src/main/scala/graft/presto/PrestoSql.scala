@@ -1926,6 +1926,110 @@ object PrestoSql {
       " CASE WHEN sd > 0 THEN" +
       " 0.5 * (1 + graft_erf((v - m) / (sd * sqrt(2))))" +
       " ELSE raise_error('normal_cdf: standardDeviation must be > 0') END",
+    // Probit (Φ⁻¹) via Acklam's rational approximation (|rel err| ≤
+    // 1.15e-9 — far inside the double-compare tolerance any consumer
+    // of an approximate inverse CDF can use). Tail polynomial shared
+    // by both tails; central region is its own rational in r = q².
+    "graft_probit_tail(q DOUBLE) RETURNS DOUBLE RETURN" +
+      " (((((-0.007784894002430293 * q - 0.3223964580411365) * q" +
+      " - 2.400758277161838) * q - 2.549732539343734) * q" +
+      " + 4.374664141464968) * q + 2.938163982698783) /" +
+      " ((((0.007784695709041462 * q + 0.3224671290700398) * q" +
+      " + 2.445134137142996) * q + 3.754408661907416) * q + 1)",
+    "graft_probit(p DOUBLE) RETURNS DOUBLE RETURN" +
+      " CASE WHEN p < 0.02425 THEN graft_probit_tail(sqrt(-2 * ln(p)))" +
+      " WHEN p > 0.97575 THEN -graft_probit_tail(sqrt(-2 * ln(1 - p)))" +
+      " ELSE (((((-39.69683028665376 * (p - 0.5) * (p - 0.5)" +
+      " + 220.9460984245205) * (p - 0.5) * (p - 0.5)" +
+      " - 275.9285104469687) * (p - 0.5) * (p - 0.5)" +
+      " + 138.357751867269) * (p - 0.5) * (p - 0.5)" +
+      " - 30.66479806614716) * (p - 0.5) * (p - 0.5)" +
+      " + 2.506628277459239) * (p - 0.5) /" +
+      " (((((-54.47609879822406 * (p - 0.5) * (p - 0.5)" +
+      " + 161.5858368580409) * (p - 0.5) * (p - 0.5)" +
+      " - 155.6989798598866) * (p - 0.5) * (p - 0.5)" +
+      " + 66.80131188771972) * (p - 0.5) * (p - 0.5)" +
+      " - 13.28068155288572) * (p - 0.5) * (p - 0.5) + 1) END",
+    // Trino inverse_normal_cdf(mean, sd, p): domain errors are loud,
+    // exactly Trino's two messages.
+    "inverse_normal_cdf(m DOUBLE, sd DOUBLE, p DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN p <= 0 OR p >= 1 THEN" +
+      " raise_error('p must be 0 > p > 1')" +
+      " WHEN sd <= 0 THEN" +
+      " raise_error('standardDeviation must be > 0')" +
+      " ELSE m + sd * graft_probit(p) END",
+    // (Trino luhn_check is Spark 4's BUILTIN of the same name and
+    // semantics — passes through untranslated; only the non-digit case
+    // differs: Spark returns false where Trino raises.)
+    // Teradata-compat char2hexint (Trino ships it): uppercase hex of
+    // the UTF-16BE encoding — 4 hex digits per BMP char.
+    "char2hexint(s STRING) RETURNS STRING RETURN" +
+      " upper(hex(encode(s, 'UTF-16BE')))",
+    // Trino's distribution-CDF family. Two native codegen kernels
+    // (graft_pgamma = regularized lower incomplete gamma, graft_ibeta =
+    // regularized incomplete beta — functions/StatCdfExpressions.scala)
+    // unlock every non-closed-form member via the textbook identities;
+    // cauchy/laplace/weibull are pure arithmetic. Domain errors are
+    // loud, like Trino's.
+    "gamma_cdf(shape DOUBLE, scale DOUBLE, v DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN shape <= 0 OR scale <= 0 THEN raise_error(" +
+      "'gamma_cdf: shape and scale must be greater than 0')" +
+      " WHEN v < 0 THEN raise_error(" +
+      "'gamma_cdf: value must be greater than or equal to 0')" +
+      " ELSE graft_pgamma(shape, v / scale) END",
+    "chi_squared_cdf(df DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
+      " CASE WHEN df <= 0 THEN raise_error(" +
+      "'chi_squared_cdf: df must be greater than 0')" +
+      " WHEN v < 0 THEN raise_error(" +
+      "'chi_squared_cdf: value must be non-negative')" +
+      " ELSE graft_pgamma(df / 2, v / 2) END",
+    // Poisson CDF F(k; λ) = Q(k+1, λ) — the upper-gamma identity
+    "poisson_cdf(lambda DOUBLE, k BIGINT) RETURNS DOUBLE RETURN" +
+      " CASE WHEN lambda <= 0 THEN raise_error(" +
+      "'poisson_cdf: lambda must be greater than 0')" +
+      " WHEN k < 0 THEN raise_error(" +
+      "'poisson_cdf: value must be a non-negative integer')" +
+      " ELSE 1 - graft_pgamma(CAST(k AS DOUBLE) + 1, lambda) END",
+    "beta_cdf(a DOUBLE, b DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
+      " CASE WHEN a <= 0 OR b <= 0 THEN raise_error(" +
+      "'beta_cdf: a, b must be > 0')" +
+      " WHEN v < 0 OR v > 1 THEN raise_error(" +
+      "'beta_cdf: value must be in the interval [0, 1]')" +
+      " ELSE graft_ibeta(a, b, v) END",
+    "inverse_beta_cdf(a DOUBLE, b DOUBLE, p DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN a <= 0 OR b <= 0 THEN raise_error(" +
+      "'inverse_beta_cdf: a, b must be > 0')" +
+      " WHEN p < 0 OR p > 1 THEN raise_error(" +
+      "'inverse_beta_cdf: p must be in the interval [0, 1]')" +
+      " ELSE graft_inv_ibeta(a, b, p) END",
+    // Binomial CDF F(k; n, p) = I_{1−p}(n−k, k+1)
+    "binomial_cdf(n BIGINT, p DOUBLE, k BIGINT) RETURNS DOUBLE RETURN" +
+      " CASE WHEN p < 0 OR p > 1 THEN raise_error(" +
+      "'binomial_cdf: successProbability must be in the interval [0, 1]')" +
+      " WHEN n <= 0 THEN raise_error(" +
+      "'binomial_cdf: numberOfTrials must be greater than 0')" +
+      " WHEN k < 0 THEN 0D WHEN k >= n THEN 1D" +
+      " ELSE graft_ibeta(CAST(n - k AS DOUBLE), CAST(k AS DOUBLE) + 1," +
+      " 1 - p) END",
+    // F CDF F(v; d1, d2) = I_{d1·v/(d1·v+d2)}(d1/2, d2/2)
+    "f_cdf(df1 DOUBLE, df2 DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
+      " CASE WHEN df1 <= 0 OR df2 <= 0 THEN raise_error(" +
+      "'f_cdf: numerator and denominator df must be greater than 0')" +
+      " WHEN v < 0 THEN raise_error('f_cdf: value must be non-negative')" +
+      " ELSE graft_ibeta(df1 / 2, df2 / 2, df1 * v / (df1 * v + df2)) END",
+    "cauchy_cdf(median DOUBLE, scale DOUBLE, v DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN scale <= 0 THEN raise_error(" +
+      "'cauchy_cdf: scale must be greater than 0')" +
+      " ELSE 0.5 + atan((v - median) / scale) / pi() END",
+    "laplace_cdf(mean DOUBLE, scale DOUBLE, v DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN scale <= 0 THEN raise_error(" +
+      "'laplace_cdf: scale must be greater than 0')" +
+      " WHEN v < mean THEN 0.5 * exp((v - mean) / scale)" +
+      " ELSE 1 - 0.5 * exp(-(v - mean) / scale) END",
+    "weibull_cdf(a DOUBLE, b DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
+      " CASE WHEN a <= 0 OR b <= 0 THEN raise_error(" +
+      "'weibull_cdf: a and b must be greater than 0')" +
+      " WHEN v <= 0 THEN 0D ELSE 1 - exp(-pow(v / b, a)) END",
     // Trino cosine_similarity over SPARSE vectors as map(varchar,
     // double) — the dot product walks the smaller-is-better a-side
     // entries probing b by key; zero-norm inputs yield NaN via the
@@ -2166,6 +2270,10 @@ object PrestoSql {
     // IN the zone → an instant. Under the pinned-UTC session contract an
     // instant IS its UTC wall clock, so to_utc_timestamp is exact.
     ("""(?i)\bwith_timezone\s*\(""".r, "to_utc_timestamp("),
+    // Trino at_timezone(ts, zone): the instant re-rendered as the
+    // zone's wall clock — the function form of AT TIME ZONE, so it
+    // takes the same pinned-UTC mapping as the operator above.
+    ("""(?i)\bat_timezone\s*\(""".r, "from_utc_timestamp("),
     // ANSI FETCH FIRST/NEXT n ROWS ONLY → LIMIT (Trino ships both
     // spellings; Spark only LIMIT). OFFSET passes through (Spark 3.4+).
     // WITH TIES is rejected loudly in translate() — silently dropping

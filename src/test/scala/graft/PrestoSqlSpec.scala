@@ -1261,6 +1261,81 @@ class PrestoSqlSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 0.8413447) < 1e-5, r.getDouble(4))
   }
 
+  test("inverse_normal_cdf / luhn_check / char2hexint / at_timezone") {
+    val r = PrestoSql.sql(spark,
+      """SELECT inverse_normal_cdf(0.0, 1.0, 0.5) AS q50,
+        |  inverse_normal_cdf(0.0, 1.0, 0.975) AS q975,
+        |  inverse_normal_cdf(10.0, 2.0, 0.995) AS qs,
+        |  normal_cdf(0.0, 1.0, inverse_normal_cdf(0.0, 1.0, 0.01)) AS rt_lo,
+        |  normal_cdf(0.0, 1.0, inverse_normal_cdf(0.0, 1.0, 0.3)) AS rt_mid,
+        |  normal_cdf(0.0, 1.0, inverse_normal_cdf(0.0, 1.0, 0.999)) AS rt_hi,
+        |  luhn_check('79927398713') AS lv,
+        |  luhn_check('79927398714') AS li,
+        |  luhn_check('') AS le,
+        |  char2hexint('123') AS hx""".stripMargin).collect().head
+    // Acklam probit: |rel err| ≤ 1.15e-9; round-trips bound by erf's 1.5e-7
+    assert(math.abs(r.getDouble(0)) < 1e-9, r.getDouble(0))
+    assert(math.abs(r.getDouble(1) - 1.959964) < 1e-5, r.getDouble(1))
+    assert(math.abs(r.getDouble(2) - (10 + 2 * 2.575829)) < 1e-4, r.getDouble(2))
+    assert(math.abs(r.getDouble(3) - 0.01) < 1e-5)
+    assert(math.abs(r.getDouble(4) - 0.3) < 1e-5)
+    assert(math.abs(r.getDouble(5) - 0.999) < 1e-5)
+    assert(r.getBoolean(6) && !r.getBoolean(7) && !r.getBoolean(8))
+    assert(r.getString(9) == "003100320033")
+    // domain errors are loud
+    intercept[Exception](PrestoSql.sql(spark,
+      "SELECT inverse_normal_cdf(0.0, 1.0, 1.5)").collect())
+    // at_timezone = the function form of AT TIME ZONE (pinned-UTC)
+    val tz = PrestoSql.sql(spark,
+      """SELECT CAST(at_timezone(TIMESTAMP '2024-06-01 12:00:00',
+        |  'Asia/Kolkata') AS STRING) AS k""".stripMargin).collect().head
+    assert(tz.getString(0) == "2024-06-01 17:30:00")
+  }
+
+  test("distribution CDF family matches published values") {
+    val r = PrestoSql.sql(spark,
+      """SELECT beta_cdf(2.0, 3.0, 0.5) AS b,
+        |  inverse_beta_cdf(2.0, 3.0, 0.6875) AS ib,
+        |  gamma_cdf(1.0, 1.0, 1.0) AS g,
+        |  chi_squared_cdf(2.0, 2.0) AS chi,
+        |  poisson_cdf(3.0, 2) AS poi,
+        |  binomial_cdf(10, 0.5, 5) AS bin,
+        |  f_cdf(2.0, 2.0, 1.0) AS f,
+        |  cauchy_cdf(0.0, 1.0, 1.0) AS c,
+        |  laplace_cdf(0.0, 1.0, 1.0) AS lap,
+        |  weibull_cdf(1.0, 1.0, 1.0) AS w,
+        |  beta_cdf(2.5, 1.5, inverse_beta_cdf(2.5, 1.5, 0.3)) AS rt,
+        |  gamma_cdf(7.5, 2.0, 40.0) AS gtail""".stripMargin).collect().head
+    // I_0.5(2,3) = Σ_{j≥2} C(4,j)(1/2)^4 = 11/16 exactly
+    assert(math.abs(r.getDouble(0) - 0.6875) < 1e-12, r.getDouble(0))
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-9, r.getDouble(1))
+    // Exp(1): 1 − e⁻¹
+    assert(math.abs(r.getDouble(2) - 0.6321205588285577) < 1e-12)
+    // χ²(2) at 2 is the same Exp(1) value
+    assert(math.abs(r.getDouble(3) - 0.6321205588285577) < 1e-12)
+    // Poisson(3) at k=2: 8.5·e⁻³
+    assert(math.abs(r.getDouble(4) - 8.5 * math.exp(-3)) < 1e-12)
+    // Binomial(10, 1/2) at 5: 638/1024 exactly
+    assert(math.abs(r.getDouble(5) - 0.623046875) < 1e-10, r.getDouble(5))
+    // F(2,2) at 1: I_0.5(1,1) = 0.5 exactly
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-12)
+    // Cauchy: 1/2 + atan(1)/π = 3/4
+    assert(math.abs(r.getDouble(7) - 0.75) < 1e-12)
+    assert(math.abs(r.getDouble(8) - (1 - 0.5 * math.exp(-1))) < 1e-12)
+    assert(math.abs(r.getDouble(9) - 0.6321205588285577) < 1e-12)
+    assert(math.abs(r.getDouble(10) - 0.3) < 1e-9)
+    // continued-fraction branch (x > a+1): P(7.5, 20) — pinned against
+    // an independent midpoint-rule integration of the gamma density
+    // (2e6 panels), agreeing to 13 significant digits
+    assert(math.abs(r.getDouble(11) - 0.9995465018648978) < 1e-9,
+      r.getDouble(11))
+    // domain errors are loud
+    intercept[Exception](PrestoSql.sql(spark,
+      "SELECT beta_cdf(0.0, 1.0, 0.5)").collect())
+    intercept[Exception](PrestoSql.sql(spark,
+      "SELECT poisson_cdf(3.0, -1)").collect())
+  }
+
   test("checksum / histogram / multimap_agg / geometric_mean aggregate forms") {
     assert(PrestoSql.wrapDialectAggs("SELECT geometric_mean(x) FROM t")
       == "SELECT exp(avg(ln(x))) FROM t")
