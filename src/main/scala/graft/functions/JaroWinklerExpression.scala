@@ -18,14 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    even count — it is a permutation defect);
   *  - Winkler prefix boost (≤4 chars, 0.1 scaling) only when the Jaro
   *    score exceeds the 0.7 boost threshold.
+  *
+  * Comparison unit is the raw UTF-8 BYTE — exactly what DuckDB's
+  * implementation (and every C-string Jaro kernel) compares — so
+  * non-ASCII inputs agree with the oracle byte for byte. Iterating
+  * `UTF8String.getByte` directly also avoids the two java.lang.String
+  * copies per row the previous UTF-16 form allocated in this hot
+  * codegen kernel.
   */
 object JaroWinklerKernel {
 
   def sim(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
-    val la = a.length
-    val lb = b.length
+    val la = ua.numBytes()
+    val lb = ub.numBytes()
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aM = new Array[Boolean](la)
@@ -38,7 +43,7 @@ object JaroWinklerKernel {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bM(j) && ua.getByte(i) == ub.getByte(j)) {
           aM(i) = true; bM(j) = true; m += 1; done = true
         }
         j += 1
@@ -52,7 +57,7 @@ object JaroWinklerKernel {
     while (i < la) {
       if (aM(i)) {
         while (!bM(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) tRaw += 1
+        if (ua.getByte(i) != ub.getByte(k)) tRaw += 1
         k += 1
       }
       i += 1
@@ -63,7 +68,7 @@ object JaroWinklerKernel {
     if (jaro > 0.7) {
       val maxL = math.min(4, math.min(la, lb))
       var l = 0
-      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < maxL && ua.getByte(l) == ub.getByte(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

@@ -101,6 +101,30 @@ object TextFunctions {
         (acc, c) => (acc * 31L + ascii(c).cast("long")) %
           lit(4503599627370496L)))
 
+  /** Count of the most frequent element of `tokens`: sort + ONE
+    * run-length pass, O(n log n) per row. Replaces the
+    * `array_max(transform(array_distinct(w), x -> size(filter(w, …))))`
+    * form, which re-scans the whole array once per distinct token —
+    * O(n²) through interpreted lambdas on long documents (the r8
+    * verdict's only demonstrated per-row asymptotic defect). NULL on
+    * empty input, matching array_max-over-empty / DuckDB list_max so
+    * oracle parity is unchanged. */
+  def topTokenCount(tokens: Column): Column = {
+    val run = (prev: Column, x: Column, r: Column) =>
+      when(prev.eqNullSafe(x), r + 1L).otherwise(lit(1L))
+    when(size(tokens) === 0, lit(null).cast("long")).otherwise(
+      aggregate(
+        array_sort(tokens),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (s, x) => {
+          val r = run(s.getField("prev"), x, s.getField("run"))
+          struct(x.as("prev"), r.as("run"),
+            greatest(s.getField("best"), r).as("best"))
+        },
+        s => s.getField("best")))
+  }
+
   /** Winnowing selection (Schleimer, Wilkerson, Aiken 2003): the min
     * hash of every w-wide window, deduped and sorted — any shared run
     * of ≥ k+w−1 tokens between two documents shares ≥ 1 selected

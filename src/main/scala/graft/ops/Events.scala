@@ -252,6 +252,28 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("row_in_match"))
     }),
 
+    // E8f: ALL ROWS PER MATCH **WITH UNMATCHED ROWS** — the remaining
+    // Trino row-pattern output mode: EVERY input row comes back in
+    // stream order, matched rows labeled with match number / position /
+    // classifier, unmatched rows with NULLs in all three. The pattern is
+    // an adjacent (view, purchase) pair with NO quantifiers, chosen so
+    // the matched set is closed-form: spans are length-2, can never
+    // overlap (a row can't be both a view and a purchase), so a match is
+    // EXACTLY "a view whose next event is a purchase" — derivable in the
+    // oracle with one lead() window, independent of the matcher.
+    "e8f_pattern_unmatched_rows" -> ((s, d) => {
+      import RowPattern._
+      RowPattern.matchesAllRowsUnmatched(
+        Tables.events(s, d).filter(col("user_id") < 40),
+        keyCol = "user_id", tsCol = "ts", tiebreakCol = "event_id",
+        steps = Seq(
+          Step("view", col("event_type") === "view"),
+          Step("purchase", col("event_type") === "purchase")))
+        .select(col("user_id"), col("match_no"), col("row_in_match"),
+          col("classifier"), col("ts_us"))
+        .orderBy(col("user_id"), col("ts_us"))
+    }),
+
     // E1b: a second STREAMING-EXECUTED result under the gate — the
     // watermarked tumbling-count aggregate run as a real streaming query
     // (file source, two files per micro-batch, complete output mode into
@@ -1023,6 +1045,38 @@ object Events extends QueryModule {
         |FROM fm m JOIN e x
         |  ON x.user_id = m.user_id AND x.ts >= m.vts AND x.ts <= m.np
         |ORDER BY m.user_id, row_in_match""".stripMargin,
+
+    "e8f_pattern_unmatched_rows" ->
+      // the (view, purchase) adjacent-pair pattern is closed-form: spans
+      // are length-2 and can never interfere under SKIP PAST LAST ROW
+      // (a previous match ending at i-1 consumed a purchase, never the
+      // view at i), so matches = ALL rows where a view's next event is a
+      // purchase — one lead()/lag() window, independent of the matcher
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    lead(event_type) OVER w AS nxt,
+        |    lag(epoch_us(ts)) OVER w AS prv_ts
+        |  FROM events WHERE user_id < 40
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us)
+        |      AS BIGINT) AS mno
+        |  FROM e WHERE event_type = 'view' AND nxt = 'purchase')
+        |SELECT e.user_id,
+        |  coalesce(s1.mno, s2.mno) AS match_no,
+        |  CASE WHEN s1.mno IS NOT NULL THEN CAST(1 AS BIGINT)
+        |       WHEN s2.mno IS NOT NULL THEN CAST(2 AS BIGINT)
+        |  END AS row_in_match,
+        |  CASE WHEN s1.mno IS NOT NULL THEN 'view'
+        |       WHEN s2.mno IS NOT NULL THEN 'purchase'
+        |  END AS classifier,
+        |  e.ts_us
+        |FROM e
+        |LEFT JOIN s s1 ON s1.user_id = e.user_id AND s1.ts_us = e.ts_us
+        |LEFT JOIN s s2 ON s2.user_id = e.user_id AND s2.ts_us = e.prv_ts
+        |ORDER BY e.user_id, e.ts_us""".stripMargin,
 
     "e8e_pattern_measures" ->
       // same first-match span as e8d; RUNNING sum = prefix window, FINAL

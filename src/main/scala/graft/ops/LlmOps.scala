@@ -872,9 +872,7 @@ object LlmOps extends QueryModule {
             / col("n_words") * 1e6 + 0.5).cast("long").as("distinct_word_q"),
           floor((lit(1.0) - size(array_distinct(col("bg"))).cast("double")
             / size(col("bg"))) * 1e6 + 0.5).cast("long").as("dup_bigram_q"),
-          floor(expr(
-            """array_max(transform(array_distinct(w),
-              |  x -> size(filter(w, y -> y = x))))""".stripMargin).cast("double")
+          floor(TF.topTokenCount(col("w")).cast("double")
             / col("n_words") * 1e6 + 0.5).cast("long").as("top_word_q"))
         .withColumn("verdict",
           when(col("distinct_word_q") >= 300000 and col("dup_bigram_q") <= 500000
@@ -1741,8 +1739,7 @@ object LlmOps extends QueryModule {
             .as("sum_len"),
           size(array_intersect(array_distinct(col("w")),
             array(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
-          expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
-            .cast("long").as("top_cnt"))
+          TF.topTokenCount(col("w")).as("top_cnt"))
       docs.withColumn("first_fail",
           when(col("n_words") < 15, "too_short")
           .when(col("n_words") > 120, "too_long")

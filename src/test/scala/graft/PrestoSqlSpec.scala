@@ -1016,7 +1016,7 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getBoolean(18))
   }
 
-  test("FETCH FIRST maps to LIMIT; WITH TIES fails loudly; OFFSET passes through") {
+  test("FETCH FIRST maps to LIMIT; TIES without ORDER BY fails loudly; OFFSET passes through") {
     assert(PrestoSql.translate("SELECT * FROM t FETCH FIRST 5 ROWS ONLY")
       == "SELECT * FROM t LIMIT 5")
     assert(PrestoSql.translate("SELECT * FROM t OFFSET 2 FETCH NEXT ROW ONLY")
@@ -1024,7 +1024,7 @@ class PrestoSqlSpec extends SparkSpec {
     val ties = intercept[IllegalArgumentException] {
       PrestoSql.translate("SELECT * FROM t FETCH FIRST 5 ROWS WITH TIES")
     }
-    assert(ties.getMessage.contains("WITH TIES"))
+    assert(ties.getMessage.contains("ORDER BY"))
     Tables.registerAll(spark, sf)
     val rows = PrestoSql.sql(spark,
       """SELECT "n_nationkey" AS k FROM nation
@@ -1981,6 +1981,41 @@ class PrestoSqlSpec extends SparkSpec {
     val e = intercept[Exception](PrestoSql.sql(spark,
       "SELECT parse_duration('3 parsecs')").collect())
     assert(e.getMessage.contains("Unknown duration unit"), e.getMessage)
+    // mixed positional/named arguments throw (Trino binds by name; the
+    // positional fallback would silently treat step => 2 as stop)
+    val mixed = intercept[Exception](PrestoSql.translate(
+      "SELECT * FROM TABLE(sequence(1, step => 2, stop => 9))"))
+    assert(mixed.getMessage.contains("mixed positional and named"),
+      mixed.getMessage)
+  }
+
+  test("FETCH FIRST n ROWS WITH TIES keeps the whole tie group") {
+    // ORDER BY a 2-valued key: rank <= 2 must pull BOTH rows of value 1
+    // and all three of value 2 — a plain LIMIT 2 would return 2 rows
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 11), (2, 20), (2, 21), " +
+      "(2, 22), (3, 30) AS t(grp, v)").createOrReplaceTempView("ties_t")
+    val rows = PrestoSql.sql(spark,
+      """SELECT "grp", "v" FROM ties_t
+        |ORDER BY "grp"
+        |FETCH FIRST 2 ROWS WITH TIES""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows == Set((1, 10), (1, 11)), rows)
+    val rows5 = PrestoSql.sql(spark,
+      """SELECT "grp", "v" FROM ties_t
+        |ORDER BY "grp"
+        |FETCH FIRST 3 ROWS WITH TIES""".stripMargin).collect()
+    assert(rows5.length == 5, rows5.length) // 2 of grp=1 + ALL 3 of grp=2
+    // helper rank column must not leak into the output schema
+    assert(!rows5.head.schema.fieldNames.contains("graft_ties_rnk"))
+    // no ORDER BY → loud error, like Trino
+    val e1 = intercept[Exception](PrestoSql.translate(
+      "SELECT * FROM ties_t FETCH FIRST 2 ROWS WITH TIES"))
+    assert(e1.getMessage.contains("ORDER BY"), e1.getMessage)
+    // subquery placement stays a loud error
+    val e2 = intercept[Exception](PrestoSql.translate(
+      "SELECT * FROM (SELECT * FROM ties_t ORDER BY grp " +
+        "FETCH FIRST 2 ROWS WITH TIES) z"))
+    assert(e2.getMessage.contains("WITH TIES"), e2.getMessage)
   }
 
   test("xxhash64 matches the reference vectors (seed 0, big-endian varbinary)") {

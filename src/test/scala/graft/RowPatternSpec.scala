@@ -327,6 +327,51 @@ class RowPatternSpec extends SparkSpec {
     assert(rows == Seq((1L, "A"), (2L, "ANY"), (3L, "ANY"), (4L, "C")))
   }
 
+  test("WITH UNMATCHED ROWS: every input row, nulls outside matches") {
+    // same stream/pattern as the ALL ROWS test; the x (row 5) must now
+    // appear with null match_no/row_in_match/classifier
+    val df = streamDf(Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "c"),
+      (1L, 5L, "x"), (1L, 6L, "a"), (1L, 7L, "c")))
+    val rows = RowPattern.matchesAllRowsUnmatched(df, "user_id", "ts",
+        "event_id", Seq(
+        Step("A", col("event_type") === "a"),
+        Step("B", col("event_type") === "b", star),
+        Step("C", col("event_type") === "c")))
+      .select("match_no", "row_in_match", "classifier", "ts_us")
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "-" else r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._4).toSeq
+    assert(rows == Seq(
+      (1L, 1L, "A", 1L), (1L, 2L, "B", 2L), (1L, 3L, "B", 3L),
+      (1L, 4L, "C", 4L), (-1L, -1L, "-", 5L),
+      (2L, 1L, "A", 6L), (2L, 2L, "C", 7L)))
+  }
+
+  test("WITH UNMATCHED ROWS: matched subset equals matchesAllRows on real events") {
+    // parity on real data: dropping the null rows must reproduce the
+    // plain ALL ROWS PER MATCH output exactly, and the total row count
+    // must equal the input row count (every row emitted exactly once)
+    val ev = Tables.events(spark, sf)
+    val steps = Seq(
+      Step("V", col("event_type") === "view"),
+      Step("G", col("event_type") =!= "purchase", star),
+      Step("P", col("event_type") === "purchase"))
+    val all = RowPattern.matchesAllRows(ev, "user_id", "ts", "event_id", steps)
+      .select("user_id", "match_no", "row_in_match", "classifier", "ts_us")
+      .collect().map(_.toSeq).toSet
+    val un = RowPattern.matchesAllRowsUnmatched(
+        ev, "user_id", "ts", "event_id", steps)
+    assert(un.count() == ev.count())
+    val matchedSubset = un.filter(col("match_no").isNotNull)
+      .select("user_id", "match_no", "row_in_match", "classifier", "ts_us")
+      .collect().map(_.toSeq).toSet
+    assert(matchedSubset == all)
+  }
+
   test("AFTER MATCH SKIP TO FIRST/LAST resumes at the named step's row") {
     // stream: a b a b a — pattern a b a. SKIP PAST LAST ROW: one match
     // (rows 1-3; restart at 4 finds b, no anchor until row 5's bare a).
