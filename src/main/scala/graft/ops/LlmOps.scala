@@ -145,6 +145,94 @@ object LlmOps extends QueryModule {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  // ---- L32/L35/L35b shared: PQ / IVF-PQ training + search ---------------
+  /** Deterministic content-hash sample of `k` vectors (the o9b
+    * machinery): global order by md5(vec_id) — a content-independent,
+    * engine-portable uniform permutation — take `k`. Replaces the r8
+    * `vec_id < k` seed, which at scale means "the first rows of one
+    * file" (a biased sample); this is the honest form of FAISS's
+    * "train on a bounded sample" contract. One TakeOrdered scan,
+    * O(k) driver state. */
+  private def hashSample(e: DataFrame, k: Int): Array[(Long, Array[Float])] =
+    e.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** The 10 fixed query vectors (vec_id < 10 — the l3-family convention). */
+  private def queryVecs(e: DataFrame): Array[(Long, Array[Float])] =
+    e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** IVF-PQ training (l35/l35b shared): label-seeded coarse quantizer
+    * refined by 2 cosine Lloyd rounds, then PQ codebooks trained on the
+    * RESIDUALS (x − cell centroid), seeded from a content-hash sample.
+    * All returned state is O(codebook) driver memory — coarse centroids,
+    * 8×16 sub-codebooks, 10 query vectors — exactly what FAISS keeps on
+    * the index head. */
+  private def ivfPqTrain(s: SparkSession, d: String)
+      : (graft.functions.CoarseModel, graft.functions.PqModel,
+         Array[(Long, Array[Float])]) = {
+    import graft.functions.PqCore
+    val e = Tables.embeddings(s, d)
+    val seedRows = e.groupBy(col("label").cast("long").as("cid"))
+      .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    var coarse = new graft.functions.CoarseModel(
+      seedRows.map(_._1), seedRows.map(_._2))
+    for (_ <- 1 to 2)
+      coarse = PqCore.coarseRound(e, col("embedding"), coarse)
+    val seeds = hashSample(e, 16)
+    val seedRes = seeds.map { case (_, v) =>
+      val vec = v.map(_.toDouble)
+      val c = coarse.cents(PqCore.nearestCell(coarse, vec))
+      vec.indices.map(j =>
+        vec(j) - (if (j < c.length) c(j) else 0.0)).toArray
+    }
+    var pq = PqCore.seedModel(seedRes, 8)
+    for (_ <- 1 to 2)
+      pq = PqCore.lloydRound(e, col("embedding"), pq, coarse)
+    (coarse, pq, queryVecs(e))
+  }
+
+  /** IVF-PQ search at `nProbe` probed cells: cell assignment + PQ encode
+    * + ADC all evaluate inside the scan's WholeStageCodegen; only (qid,
+    * cand, adist) triples for PROBED cells leave the stage; the ADC
+    * top-20 shortlist re-ranks exactly to top-`k`. Returns
+    * (qid, rank, neighbor_id). */
+  private def ivfPqTopK(e: DataFrame, coarse: graft.functions.CoarseModel,
+      pq: graft.functions.PqModel, queries: Array[(Long, Array[Float])],
+      nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.{PqCore, CoarseCellExpression, PqAdcAllExpression, PqEncodeExpression, QueryL2Expression}
+    import org.apache.spark.sql.graftshim.GraftShim.{colExpr, exprCol}
+    val tables = PqCore.buildTables(queries, pq, coarse, nProbe)
+    val qv = new java.util.HashMap[java.lang.Long, Array[Float]]
+    queries.foreach { case (qid, v) => qv.put(qid, v) }
+    val cellC = exprCol(CoarseCellExpression(colExpr(col("embedding")), coarse))
+    val codes = exprCol(PqEncodeExpression(colExpr(col("embedding")), pq, coarse))
+    val pairs = exprCol(PqAdcAllExpression(
+      colExpr(cellC), colExpr(codes), tables))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("cand_id"))
+    val we = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cand_id"))
+    e.select(col("vec_id").as("cand_id"), col("embedding"),
+        explode(pairs).as("qa"))
+      .select(col("qa.qid").as("qid"), col("cand_id"),
+        col("qa.adist").as("adist"), col("embedding"))
+      .filter(col("cand_id") =!= col("qid"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= 20)
+      .select(col("qid"), col("cand_id"),
+        exprCol(QueryL2Expression(colExpr(col("qid")),
+          colExpr(col("embedding")), qv)).as("dist"))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"))
+  }
+
   // ---- L12/p3 shared: exact 3-gram duplicate edges over one source ------
   /** Docs of `src0` with their word-3-shingle sets (the bounded exact
     * correctness anchor; the scale path generates candidates via LSH). */
@@ -1381,15 +1469,14 @@ object LlmOps extends QueryModule {
       import org.apache.spark.sql.graftshim.GraftShim.{colExpr, exprCol}
       val K = 16
       val e = Tables.embeddings(s, d)
-      // seeds (first K vectors; the 10 query vectors are a subset) —
-      // driver-sized by design, like FAISS's training sample
-      val head = e.filter(col("vec_id") < K)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      var pq = PqCore.seedModel(head.map(_._2.map(_.toDouble)), 8)
+      // seeds: deterministic content-hash sample (r9 — the honest form
+      // of FAISS's bounded training sample; `vec_id < K` was the first
+      // rows of one file, a biased draw at scale), driver-sized O(K)
+      val seeds = hashSample(e, K)
+      var pq = PqCore.seedModel(seeds.map(_._2.map(_.toDouble)), 8)
       for (_ <- 1 to 2)
         pq = PqCore.lloydRound(e, col("embedding"), pq, null)
-      val queries = head.filter(_._1 < 10)
+      val queries = queryVecs(e)
       val tables = PqCore.buildTables(queries, pq, null, 1)
       val qv = new java.util.HashMap[java.lang.Long, Array[Float]]
       queries.foreach { case (qid, v) => qv.put(qid, v) }
@@ -1440,63 +1527,60 @@ object LlmOps extends QueryModule {
     // k-means loops — the l4d/l32 policy); PqSpec pins recall@5,
     // determinism, and shape.
     "l35_ivfpq" -> ((s, d) => {
-      import graft.functions.{CoarseModel, PqCore, CoarseCellExpression, PqAdcAllExpression, PqEncodeExpression, QueryL2Expression}
-      import org.apache.spark.sql.graftshim.GraftShim.{colExpr, exprCol}
-      val K = 16
       val e = Tables.embeddings(s, d)
+      val (coarse, pq, queries) = ivfPqTrain(s, d)
+      ivfPqTopK(e, coarse, pq, queries, nProbe = 2, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
 
-      // coarse quantizer: label-seeded means, then 2 cosine Lloyd rounds
-      val seedRows = e.groupBy(col("label").cast("long").as("cid"))
-        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      var coarse = new CoarseModel(seedRows.map(_._1), seedRows.map(_._2))
-      for (_ <- 1 to 2)
-        coarse = PqCore.coarseRound(e, col("embedding"), coarse)
-
-      // PQ codebooks on residuals: seeds = the first 16 vectors'
-      // residuals vs their coarse cell (driver math), then 2 rounds
-      val head = e.filter(col("vec_id") < K)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      val seedRes = head.map { case (_, v) =>
-        val vec = v.map(_.toDouble)
-        val c = coarse.cents(PqCore.nearestCell(coarse, vec))
-        vec.indices.map(j =>
-          vec(j) - (if (j < c.length) c(j) else 0.0)).toArray
-      }
-      var pq = PqCore.seedModel(seedRes, 8)
-      for (_ <- 1 to 2)
-        pq = PqCore.lloydRound(e, col("embedding"), pq, coarse)
-
-      // probes + per-probed-cell residual tables (driver), search pass
-      val queries = head.filter(_._1 < 10)
-      val tables = PqCore.buildTables(queries, pq, coarse, 2)
+    // L35b: the nprobe RECALL/COST SCORECARD — production IVF-PQ exposes
+    // nprobe as THE recall-vs-cost dial (FAISS's `index.nprobe`); this
+    // query makes the trade-off auditable by sweeping nprobe ∈ {1,2,4}
+    // over ONE trained index and reporting exact-integer recall@5 per
+    // setting against the brute-force L2 top-5. Training happens once
+    // (coarse + residual PQ, same as l35); each sweep setting re-probes
+    // with its own per-query cell tables — at 100 TB that is the real
+    // operational difference: nprobe scales the fraction of 8-byte codes
+    // READ, never the corpus shuffled. The exact baseline is the audit
+    // cost (one corpus×10-query explode) and exists only because a
+    // scorecard needs ground truth. No oracle BY DESIGN (pre-registered,
+    // same policy as l32/l35 — nested k-means training); PqSpec pins the
+    // row shape, determinism, recall floors, and that probing all-of-4
+    // cells never loses to probing 1.
+    "l35b_ivfpq_nprobe_sweep" -> ((s, d) => {
+      import graft.functions.QueryL2Expression
+      import org.apache.spark.sql.graftshim.GraftShim.{colExpr, exprCol}
+      val e = Tables.embeddings(s, d)
+      val (coarse, pq, queries) = ivfPqTrain(s, d)
       val qv = new java.util.HashMap[java.lang.Long, Array[Float]]
       queries.foreach { case (qid, v) => qv.put(qid, v) }
-
-      val cellC = exprCol(CoarseCellExpression(colExpr(col("embedding")), coarse))
-      val codes = exprCol(PqEncodeExpression(colExpr(col("embedding")), pq, coarse))
-      val pairs = exprCol(PqAdcAllExpression(
-        colExpr(cellC), colExpr(codes), tables))
-      val wa = Window.partitionBy(col("qid"))
-        .orderBy(col("adist"), col("cand_id"))
       val we = Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("cand_id"))
-      e.select(col("vec_id").as("cand_id"), col("embedding"),
-          explode(pairs).as("qa"))
-        .select(col("qa.qid").as("qid"), col("cand_id"),
-          col("qa.adist").as("adist"), col("embedding"))
+      val exact = e.select(col("vec_id").as("cand_id"), col("embedding"),
+          explode(array(queries.map(q => lit(q._1)): _*)).as("qid"))
         .filter(col("cand_id") =!= col("qid"))
-        .withColumn("arank", row_number().over(wa))
-        .filter(col("arank") <= 20)
         .select(col("qid"), col("cand_id"),
           exprCol(QueryL2Expression(colExpr(col("qid")),
             colExpr(col("embedding")), qv)).as("dist"))
-        .withColumn("rank", row_number().over(we).cast("long"))
+        .withColumn("rank", row_number().over(we))
         .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("cand_id").as("neighbor_id"))
-        .orderBy(col("qid"), col("rank"))
+        .select(col("qid"), col("cand_id").as("neighbor_id"),
+          lit(1L).as("hit"))
+      val sweeps = Seq(1, 2, 4).map { np =>
+        ivfPqTopK(e, coarse, pq, queries, np, 5)
+          .select(lit(np.toLong).as("nprobe"), col("qid"),
+            col("neighbor_id"))
+      }.reduce(_.unionByName(_))
+      sweeps.join(exact, Seq("qid", "neighbor_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+          count(lit(1)).as("n_returned"))
+        .withColumn("n_possible", lit(queries.length * 5L))
+        .withColumn("recall_ppm",
+          expr("CAST(n_hits * 1000000 DIV n_possible AS BIGINT)"))
+        .select(col("nprobe"), col("n_hits"), col("n_returned"),
+          col("n_possible"), col("recall_ppm"))
+        .orderBy(col("nprobe"))
     }),
 
     // L34: winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —

@@ -85,6 +85,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("nprobe sweep: shape, determinism, recall floors, more probes never lose to 1 (L35b)") {
+    val a = LlmQuery("l35b_ivfpq_nprobe_sweep")
+    val b = LlmQuery("l35b_ivfpq_nprobe_sweep")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "deterministic")
+    // 3 rows, nprobe ascending, every setting returns exactly 5×10 rows
+    assert(a.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    a.foreach { r =>
+      assert(r.getLong(2) == 50L, s"n_returned=${r.getLong(2)}")
+      assert(r.getLong(3) == 50L)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 50L)
+      assert(r.getLong(4) == r.getLong(1) * 1000000L / 50L)
+    }
+    val byNp = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probing all 4 cells can only widen the candidate set vs 1; the
+    // top-20 ADC shortlist makes strict per-step monotonicity
+    // theoretically breakable, so the pin is endpoint-to-endpoint
+    assert(byNp(4L) >= byNp(1L),
+      s"recall fell with more probes: $byNp")
+    // nprobe=2 is exactly l35's setting — hold it to the same floor
+    assert(byNp(2L).toDouble / 50 >= 0.2, s"recall@5(np=2) = ${byNp(2L)}/50")
+  }
+
   private def LlmQuery(name: String): Array[Row] =
     graft.ops.LlmOps.queries(name)(spark, sf).collect()
 }
