@@ -64,6 +64,9 @@ object GraftFunctions {
     (FunctionIdentifier("st_contains"),
       new ExpressionInfo(classOf[StContainsExpression].getName, "st_contains"),
       (e: Seq[Expression]) => StContainsExpression(e(0), e(1), e(2))),
+    (FunctionIdentifier("st_intersects"),
+      new ExpressionInfo(classOf[StIntersectsExpression].getName, "st_intersects"),
+      (e: Seq[Expression]) => StIntersectsExpression(e(0), e(1))),
     (FunctionIdentifier("st_x"),
       new ExpressionInfo(classOf[StPointCoordExpression].getName, "st_x"),
       (e: Seq[Expression]) => StPointCoordExpression(e(0), 0)),
@@ -147,6 +150,8 @@ object GraftFunctions {
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
   def stContains(polyWkt: Column, x: Column, y: Column): Column =
     call_function("st_contains", polyWkt, x, y)
+  def stIntersects(aWkt: Column, bWkt: Column): Column =
+    call_function("st_intersects", aWkt, bWkt)
   def stX(pointWkt: Column): Column = call_function("st_x", pointWkt)
   def stY(pointWkt: Column): Column = call_function("st_y", pointWkt)
   def stArea(polyWkt: Column): Column = call_function("st_area", polyWkt)

@@ -136,6 +136,73 @@ object WktCore {
     out
   }
 
+  // second one-entry memo for the RIGHT argument of the polygon-polygon
+  // predicates: a join probes (a, b) pairs where both sides vary, so a
+  // single shared slot would thrash on every call
+  private val lastPolyB = new ThreadLocal[(UTF8String, Array[Double])]
+
+  private def polygonCoordsB(s: UTF8String): Array[Double] = {
+    val cached = lastPolyB.get()
+    if (cached != null && cached._1.equals(s)) cached._2
+    else {
+      val coords = parsePolygon(s.toString)
+      lastPolyB.set((s.clone(), coords))
+      coords
+    }
+  }
+
+  /** Segment–segment intersection (orientation signs; collinear
+    * endpoint-on-segment counts as intersecting). */
+  def segIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    @inline def o(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    @inline def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    val o1 = o(ax, ay, bx, by, cx, cy)
+    val o2 = o(ax, ay, bx, by, dx, dy)
+    val o3 = o(cx, cy, dx, dy, ax, ay)
+    val o4 = o(cx, cy, dx, dy, bx, by)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) true
+    else (o1 == 0 && onSeg(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSeg(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSeg(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Polygon–polygon intersection over the outer rings (simple
+    * polygons): true iff any edge pair intersects, or either polygon
+    * contains a vertex of the other — the standard complete test
+    * (crossing boundaries, or one fully inside the other). O(n·m) edge
+    * pairs; boundary-touching pairs are floating-point-dependent like
+    * every predicate here, so oracle data keeps a margin. */
+  def intersects(a: Array[Double], b: Array[Double]): Boolean = {
+    val na = a.length / 2
+    val nb = b.length / 2
+    var i = 0
+    while (i < na) {
+      val i2 = if (i + 1 == na) 0 else i + 1
+      var j = 0
+      while (j < nb) {
+        val j2 = if (j + 1 == nb) 0 else j + 1
+        if (segIntersect(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+            b(2 * j), b(2 * j + 1), b(2 * j2), b(2 * j2 + 1)))
+          return true
+        j += 1
+      }
+      i += 1
+    }
+    contains(a, b(0), b(1)) || contains(b, a(0), a(1))
+  }
+
+  /** Codegen entry: st_intersects(polyAWkt, polyBWkt). */
+  def intersectsWkt(a: UTF8String, b: UTF8String): Boolean =
+    intersects(polygonCoords(a), polygonCoordsB(b))
+
   /** Codegen entry: st_area(polygonWkt) — planar shoelace area of the
     * outer ring. Term and accumulation order are FIXED (i ascending,
     * left-associated sum) so an oracle can mirror the arithmetic
@@ -191,6 +258,26 @@ case class StContainsExpression(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): StContainsExpression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `st_intersects(polygon_wkt, polygon_wkt)` → boolean (edge crossings
+  * + mutual vertex containment over the outer rings). */
+case class StIntersectsExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_intersects"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.intersectsWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.intersectsWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StIntersectsExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `st_x(point_wkt)` / `st_y(point_wkt)` → double. */

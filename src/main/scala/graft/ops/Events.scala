@@ -40,9 +40,16 @@ object Events extends QueryModule {
   private def withStreamStateSizing[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    if (old.toIntOption.exists(_ <= 8)) f
+    // 2, not the batch default: every micro-batch commits one state-store
+    // instance PER stateful operator PER shuffle partition (open + delta
+    // + snapshot bookkeeping each trigger), and the proofs' state is a
+    // few hundred keys — at 8 partitions the r8 streaming family spent
+    // ~¼ of its 27 s in state-store file churn. Production sizing is the
+    // opposite call (state must fit per-partition memory); the knob is
+    // per-query here precisely because the right value is data-sized.
+    if (old.toIntOption.exists(_ <= 2)) f
     else {
-      s.conf.set(key, "8")
+      s.conf.set(key, "2")
       try f finally s.conf.set(key, old)
     }
   }
@@ -615,6 +622,49 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // E26: gated UPDATE-mode streaming proof — the third Spark output
+    // mode (append and complete are covered by e16–e25), and the one
+    // dashboards actually consume: each trigger emits ONLY the (window,
+    // event_type) groups that CHANGED in that micro-batch, and a
+    // foreachBatch sink applies the deltas upsert-style (here: append
+    // each delta with its batch_id, resolve last-write-wins per key —
+    // the audit-friendly form of a keyed UPDATE into a dashboard store).
+    // The delta-applied table is batch-composition-independent: the last
+    // delta per key is the full aggregate value, so the final table
+    // equals the batch GROUP BY and the oracle gates it like e1b. The
+    // watermark is sized far past the corpus span so no late row is ever
+    // dropped — the proof pins update-mode EMISSION semantics, not
+    // lateness policy (e1b/e22 cover watermark behavior); a production
+    // job sizes the delay to real lateness and accepts the drops.
+    // The delta dir is run-unique (rep-safe, like sc22).
+    "e26_stream_update_mode" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e26", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val deltas = Sources.scratch("graft_e26_deltas")
+      val q = stream
+        .withWatermark("ts", "3650 days")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.select(unix_timestamp(col("window.start")).as("w_start"),
+              col("event_type"), col("n"), lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(deltas)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val w = Window.partitionBy(col("w_start"), col("event_type"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(deltas)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // apply deltas: last write per key wins
+        .select(col("w_start"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // E20: gated stream-static enrichment join — the SEVENTH streaming
     // proof, covering the canonical streaming-ETL dimension join: a
     // real file-source stream left-joins the BROADCAST customer
@@ -961,6 +1011,13 @@ object Events extends QueryModule {
     "e1b_stream_tumbling" ->
       // the streaming complete-mode aggregate must equal the batch
       // GROUP BY regardless of micro-batch composition
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "e26_stream_update_mode" ->
+      // the delta-applied (last-write-wins) update-mode table must equal
+      // the batch GROUP BY regardless of micro-batch composition
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,

@@ -92,4 +92,50 @@ class WktSpec extends SparkSpec {
       .select(GF.stContains(lit(poly), $"x", lit(0.0)).as("c")).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("st_intersects: crossing, containment both ways, disjoint, codegen parity") {
+    import graft.functions.WktCore
+    GF.register(SparkSpec.spark)
+    def p(wkt: String) = WktCore.parsePolygon(wkt)
+    val diamond = p("POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))")
+    // PURE edge crossing: a thin slab cutting through the diamond with
+    // NO vertex of either shape inside the other (slab corners have
+    // L1 >= 7.75; diamond vertices are outside the y in [0.75, 1.25] band)
+    assert(WktCore.intersects(diamond,
+      p("POLYGON ((-7 0.75, 7 0.75, 7 1.25, -7 1.25, -7 0.75))")))
+    // rect fully inside diamond (no edge crossings)
+    assert(WktCore.intersects(diamond, p("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")))
+    // diamond fully inside a big rect
+    assert(WktCore.intersects(diamond, p("POLYGON ((-9 -9, 9 -9, 9 9, -9 9, -9 -9))")))
+    // disjoint (nearest rect corner (3,3) has L1 = 6 > 5)
+    assert(!WktCore.intersects(diamond, p("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")))
+    assert(!WktCore.intersects(diamond, p("POLYGON ((8 8, 10 8, 10 10, 8 10, 8 8))")))
+    // symmetric
+    assert(WktCore.intersects(
+      p("POLYGON ((-7 0.75, 7 0.75, 7 1.25, -7 1.25, -7 0.75))"), diamond))
+    // closed-form sweep: diamond vs rect intersect iff L1 dist to rect < r
+    // (fractions chosen so dx+dy is never an integer -> no boundary ties)
+    val r = 5.0
+    for (ox <- -12 to 12; oy <- -12 to 12) {
+      val (x1, y1, x2, y2) = (ox + 0.25, oy + 0.15, ox + 2.35, oy + 1.55)
+      val rect = p(s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))")
+      val dx = math.max(math.max(x1 - 0.0, 0.0), 0.0 - x2)
+      val dy = math.max(math.max(y1 - 0.0, 0.0), 0.0 - y2)
+      assert(WktCore.intersects(diamond, rect) == (dx + dy < r),
+        s"rect at ($ox,$oy): L1=${dx + dy}")
+    }
+    // expression evaluates in a codegen'd plan with NULL propagation
+    val got = Seq(
+        (1L, "POLYGON ((-7 0.75, 7 0.75, 7 1.25, -7 1.25, -7 0.75))"),
+        (2L, "POLYGON ((8 8, 10 8, 10 10, 8 10, 8 8))"))
+      .toDF("id", "wkt")
+      .select($"id", GF.stIntersects(
+        lit("POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))"), $"wkt").as("x"))
+      .orderBy("id").collect()
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(true, false))
+    val n = Seq(Tuple1(Option.empty[String])).toDF("wkt")
+      .select(GF.stIntersects($"wkt",
+        lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")).as("x")).collect().head
+    assert(n.isNullAt(0))
+  }
 }
