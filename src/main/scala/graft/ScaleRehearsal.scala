@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal beyond sf0.1 (r8 verdict next-round #10): expand the
+  * sf0.1 documents/embeddings corpus by deterministic replication into
+  * factor-F slices, run the heavy dedup/ANN family once per scale, and
+  * print a timing table — empirical (not just plan-shape) sub-quadratic
+  * evidence for the 100 TB design. Results are committed in SCALING.md.
+  *
+  * The expansion preserves workload STRUCTURE instead of inflating it:
+  * replica i of a document salts every word with "_i", so each replica
+  * shard reproduces the original corpus's shingle-sharing structure
+  * exactly — true candidate pairs grow LINEARLY with F (10× data = 10×
+  * pairs). Naive copying would make every replica set a 10-deep
+  * near-duplicate clique and inflate pairs 100× — a different (and
+  * unrepresentative) workload. Embeddings perturb deterministically per
+  * (vec_id, replica, dim) via the Murmur3 hash so replicas are not
+  * mutual near-duplicates and ANN geometry stays realistic.
+  *
+  * Usage: runMain graft.ScaleRehearsal [srcSfDir] [workDir] [factors]
+  * (defaults: /root/testdata/sf0.1, /tmp/graft_scale, 10,30)
+  */
+object ScaleRehearsal {
+
+  private val Heavy = Seq(
+    "l2_minhash_lsh", "l22_decontaminate", "l26_semdedup",
+    "l27_span_dedup", "l32_pq_adc", "l35_ivfpq", "p3_dedup_pipeline")
+
+  def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.withColumn("rep", explode(sequence(lit(0), lit(f - 1))))
+      .select(
+        (col("doc_id") * f + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => when(length(w) > 0,
+              concat(w, lit("_"), col("rep").cast("string"))).otherwise(w))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.withColumn("rep", explode(sequence(lit(0), lit(f - 1))))
+      .select(
+        (col("vec_id") * f + col("rep")).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(expr(
+          """transform(embedding, (x, i) ->
+            |  CAST(x + (pmod(hash(vec_id, rep, i), 200) - 100) / 500.0
+            |    AS FLOAT))""".stripMargin)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val factors =
+      (if (args.length > 2) args(2) else "10,30").split(",").map(_.toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = ("x1" -> src) +: factors.toSeq.map { f =>
+      val out = s"$work/x$f"
+      expand(spark, src, out, f)
+      s"x$f" -> out
+    }
+    println(f"${"query"}%-22s ${dirs.map(_._1).map(n => f"$n%10s").mkString}")
+    for (q <- Heavy) {
+      val times = dirs.map { case (_, dir) =>
+        // run twice, report the warm pass (codegen/classload amortized;
+        // p3's build-once fixture makes its warm pass a cached read, so
+        // p3 reports the COLD pass — noted in SCALING.md)
+        val cold = timeOnce(spark, q, dir)
+        val warm = timeOnce(spark, q, dir)
+        if (q == "p3_dedup_pipeline") cold else math.min(cold, warm)
+      }
+      println(f"$q%-22s ${times.map(t => f"$t%9.2fs").mkString}")
+    }
+    spark.stop()
+  }
+
+  private def timeOnce(spark: SparkSession, q: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(q)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+}
