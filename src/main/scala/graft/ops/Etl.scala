@@ -446,6 +446,32 @@ object Etl extends QueryModule {
         .orderBy(col("pri"), col("ok"))
     }),
 
+    // P2o: MATCH_RECOGNIZE `ALL ROWS PER MATCH WITH UNMATCHED ROWS` in
+    // real Trino SQL — the dialect form of e8f (the operator-level
+    // proof): every input row comes back, matched rows labeled via
+    // MATCH_NUMBER()/CLASSIFIER() measures, unmatched rows with NULLs.
+    // Same closed-form adjacent-pair pattern as e8f, so the oracle is
+    // the lead()/lag() derivation, independent of the matcher; the WHERE
+    // filters AFTER pattern matching (partitions are independent, so
+    // semantics equal filtering before). event_id is the deterministic
+    // output key.
+    "p2o_presto_mr_unmatched" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "user_id", "event_id", mn, cls
+          |FROM events
+          |  MATCH_RECOGNIZE (
+          |    PARTITION BY "user_id"
+          |    ORDER BY "ts", "event_id"
+          |    MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+          |    ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |    PATTERN (V P)
+          |    DEFINE V AS "event_type" = 'view',
+          |           P AS "event_type" = 'purchase')
+          |WHERE "user_id" < 40
+          |ORDER BY "user_id", "event_id"""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1085,6 +1111,33 @@ object Etl extends QueryModule {
       // OPTIMIZE must not change content: the oracle is the plain table
       """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk
         |FROM nation ORDER BY k""".stripMargin,
+
+    "p2o_presto_mr_unmatched" ->
+      // e8f's closed-form derivation keyed by event_id: the adjacent
+      // (view, purchase) pattern's matches are exactly "a view whose
+      // next event is a purchase" — one lead()/lag() window, independent
+      // of the matcher; classifier names are the DEFINE names uppercased
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    lead(event_type) OVER w AS nxt,
+        |    lag(event_id) OVER w AS prv_eid
+        |  FROM events WHERE user_id < 40
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+        |      AS BIGINT) AS mno
+        |  FROM e WHERE event_type = 'view' AND nxt = 'purchase')
+        |SELECT e.user_id, e.event_id,
+        |  coalesce(s1.mno, s2.mno) AS mn,
+        |  CASE WHEN s1.mno IS NOT NULL THEN 'V'
+        |       WHEN s2.mno IS NOT NULL THEN 'P'
+        |  END AS cls
+        |FROM e
+        |LEFT JOIN s s1 ON s1.user_id = e.user_id AND s1.event_id = e.event_id
+        |LEFT JOIN s s2 ON s2.user_id = e.user_id AND s2.event_id = e.prv_eid
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     "p2n_presto_fetch_ties" ->
       // DuckDB 1.0 has no WITH TIES — the oracle is the independent

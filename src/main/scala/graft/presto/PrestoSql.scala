@@ -2781,7 +2781,7 @@ object PrestoSql {
   private val MrBlockRe =
     ("""(?is)^\s*PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+(.+?)\s+""" +
       """(?:MEASURES\s+(.+?)\s+)?""" +
-      """(?:(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?""" +
+      """(?:(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+(?:(WITH\s+UNMATCHED\s+ROWS)\s+)?)?""" +
       """(?:AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?""" +
       """PATTERN\s*\(([^)]*)\)\s*DEFINE\s+(.+?)\s*$""").r
 
@@ -2830,8 +2830,8 @@ object PrestoSql {
           "ORDER BY … [MEASURES …] [ONE ROW PER MATCH] [AFTER MATCH SKIP …] " +
           "PATTERN (…) DEFINE … (SUBSET and grouped patterns are not " +
           s"supported): ${body.take(200)}"))
-    require(m.group(4) == null || m.group(4).toLowerCase.startsWith("one"),
-      "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+    val allRows = m.group(4) != null && m.group(4).toLowerCase.startsWith("all")
+    val unmatchedRows = m.group(5) != null
 
     def bareId(x: String) = x.trim.stripPrefix("\"").stripSuffix("\"")
     val partCols = splitTopLevel(m.group(1), ',').map(bareId)
@@ -2848,14 +2848,19 @@ object PrestoSql {
     val tsCol = orderCols.head
     val tbCol = orderCols.lift(1).getOrElse(tsCol)
 
-    val afterMatch = Option(m.group(5)).map(_.toLowerCase) match {
+    val afterMatch = Option(m.group(6)).map(_.toLowerCase) match {
       case Some(x) if x.startsWith("to") => graft.ops.RowPattern.SkipToNextRow
       case _ => graft.ops.RowPattern.SkipPastLastRow
     }
+    require(!unmatchedRows ||
+        afterMatch == graft.ops.RowPattern.SkipPastLastRow,
+      "MATCH_RECOGNIZE: WITH UNMATCHED ROWS requires AFTER MATCH SKIP " +
+        "PAST LAST ROW (overlapping matches make 'the match that consumed " +
+        "this row' ambiguous)")
 
     // PATTERN: linear variable sequence with quantifiers
     val tokRe = """([A-Za-z_]\w*)(\*\?|\+\?|\?\?|\*|\+|\?|\{\d+(?:,\d*)?\})?""".r
-    val patText = m.group(6).trim
+    val patText = m.group(7).trim
     require(!patText.contains("|") && !patText.contains("("),
       s"MATCH_RECOGNIZE: alternation/grouping not supported in PATTERN ($patText)")
     val toks = tokRe.findAllMatchIn(patText).toSeq
@@ -2885,7 +2890,7 @@ object PrestoSql {
     // navigation is out of scope and rejected)
     val defRe = """(?s)^\s*("[^"]+"|\w+)\s+[Aa][Ss]\s+(.+?)\s*$""".r
     val defs: Map[String, String] =
-      splitTopLevel(m.group(7), ',').map {
+      splitTopLevel(m.group(8), ',').map {
         case defRe(n, pred) => bareId(n).toUpperCase -> pred
         case bad => throw new IllegalArgumentException(
           s"bad DEFINE entry '${bad.take(120)}'")
@@ -2909,12 +2914,62 @@ object PrestoSql {
       Step(t.group(1).toUpperCase, stepPred(t.group(1).toUpperCase),
         quantOf(t.group(2))))
 
+    import org.apache.spark.sql.functions.{col, timestamp_micros, unix_micros}
+
+    val view = "graft_mr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+
+    if (allRows) {
+      // ALL ROWS PER MATCH [WITH UNMATCHED ROWS]: one output row per
+      // matched input row (per EVERY input row with UNMATCHED), carrying
+      // all source columns plus the per-row measures. The per-row label
+      // frame joins back to the source on (partition key, order key) —
+      // the same uniqueness assumption the ONE ROW path already makes of
+      // its (ts, tiebreak) ordering.
+      val src = spark.table(table)
+      val labeled =
+        if (unmatchedRows)
+          graft.ops.RowPattern.matchesAllRowsUnmatched(src,
+            keyCol = partCols.head, tsCol = tsCol, tiebreakCol = tbCol,
+            steps = steps)
+        else
+          graft.ops.RowPattern.matchesAllRows(src,
+            keyCol = partCols.head, tsCol = tsCol, tiebreakCol = tbCol,
+            steps = steps, afterMatch = afterMatch)
+      val mnAllRe = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r
+      val classifierRe = """(?i)^\s*CLASSIFIER\s*\(\s*\)\s*$""".r
+      val measAllRe = """(?s)^\s*(.+?)\s+[Aa][Ss]\s+("[^"]+"|\w+)\s*$""".r
+      val measuresAll: Seq[org.apache.spark.sql.Column] =
+        Option(m.group(3)).toSeq.flatMap(splitTopLevel(_, ',')).map {
+          case measAllRe(e2, alias) =>
+            val a = bareId(alias)
+            (e2.trim match {
+              case mnAllRe() => col("match_no")
+              case classifierRe() => col("classifier")
+              case other => throw new IllegalArgumentException(
+                "MATCH_RECOGNIZE ALL ROWS: unsupported measure (supported: " +
+                  s"MATCH_NUMBER(), CLASSIFIER()): '$other'")
+            }).as(a)
+          case bad => throw new IllegalArgumentException(
+            s"bad MEASURES entry (want expr AS alias): '${bad.take(120)}'")
+        }
+      val mr = labeled.select(
+        col(partCols.head).as("__mr_k"), col("ts_us").as("__mr_ts"),
+        col("match_no"), col("classifier"))
+      src.join(mr,
+          src(partCols.head).cast("long") === col("__mr_k") &&
+            unix_micros(src(tsCol).cast("timestamp")) === col("__mr_ts"))
+        .select(src.columns.map(src(_)).toSeq ++ measuresAll: _*)
+        .createOrReplaceTempView(view)
+      return rewriteMatchRecognize(spark,
+        s.substring(0, b + 1) + view + s.substring(close + 1))
+    }
+
     val matched = graft.ops.RowPattern.matches(
       spark.table(table), keyCol = partCols.head, tsCol = tsCol,
       tiebreakCol = tbCol, steps = steps, afterMatch = afterMatch)
 
     // ONE ROW PER MATCH output: partition column + measures, per Trino
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
     val mnRe = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r
     val cntRe = """(?i)^\s*COUNT\s*\(\s*\*?\s*\)\s*$""".r
     val firstRe = """(?i)^\s*FIRST\s*\(\s*("?[\w.]+"?)\s*\)\s*$""".r
@@ -2942,8 +2997,6 @@ object PrestoSql {
         case bad => throw new IllegalArgumentException(
           s"bad MEASURES entry (want expr AS alias): '${bad.take(120)}'")
       }
-    val view = "graft_mr_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
     // matches() already surfaces the partition key under its own name
     matched.select(col(partCols.head) +: measures: _*)
       .createOrReplaceTempView(view)

@@ -1626,10 +1626,48 @@ class PrestoSqlSpec extends SparkSpec {
         |  %s
         |  PATTERN (%s)
         |  DEFINE V AS event_type = 'view')""".stripMargin
-    fails(base.format("ALL ROWS PER MATCH", "V"), "ONE ROW PER MATCH")
     fails(base.format("ONE ROW PER MATCH", "V | W"), "alternation")
     fails(base.format("ONE ROW PER MATCH", "V").replace(
       "event_type = 'view'", "PREV(event_type) = 'view'"), "navigation")
+    // WITH UNMATCHED ROWS + overlapping skip is ambiguous -> loud
+    fails(
+      """SELECT user_id FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (V)
+        |  DEFINE V AS event_type = 'view')""".stripMargin,
+      "PAST LAST ROW")
+  }
+
+  test("MATCH_RECOGNIZE ALL ROWS PER MATCH [WITH UNMATCHED ROWS] in SQL") {
+    Tables.registerAll(spark, sf)
+    def run(clause: String): Array[org.apache.spark.sql.Row] = PrestoSql.sql(spark,
+      s"""SELECT user_id, event_id, event_type, mn, cls
+         |FROM events MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+         |  $clause
+         |  PATTERN (V P)
+         |  DEFINE V AS event_type = 'view',
+         |         P AS event_type = 'purchase')
+         |ORDER BY user_id, event_id""".stripMargin).collect()
+    val all = run("ALL ROWS PER MATCH")
+    val un = run("ALL ROWS PER MATCH WITH UNMATCHED ROWS")
+    val total = Tables.events(spark, sf).count()
+    // matched-only output: every row labeled, classifier in {V, P}
+    assert(all.nonEmpty && all.forall(r => !r.isNullAt(3) &&
+      Set("V", "P")(r.getString(4))))
+    // unmatched variant: EVERY input row, matched subset identical
+    assert(un.length == total, s"${un.length} != $total")
+    val unMatched = un.filter(!_.isNullAt(3))
+    assert(unMatched.map(_.toSeq).toSet == all.map(_.toSeq).toSet)
+    // unmatched rows carry nulls in both measures
+    assert(un.filter(_.isNullAt(3)).forall(_.isNullAt(4)))
+    // source columns pass through (event_type consistent with classifier)
+    assert(unMatched.forall(r =>
+      (r.getString(4) == "V") == (r.getString(2) == "view")))
   }
 
   test("p4 family is hermetic: dirty warehouse + double-run in one session") {
