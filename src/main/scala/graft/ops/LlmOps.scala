@@ -2092,6 +2092,79 @@ object LlmOps extends QueryModule {
         .orderBy(col("canonical"))
     }),
 
+    // L51: PII SCRUBBING — the redaction pass every released corpus runs
+    // (C4 and friends strip emails/phones/IPs before training): regex
+    // families replace each PII class with a typed placeholder, and the
+    // per-class match counts come back for the audit report. The corpus
+    // is synthetic word soup with no real PII, so the query first
+    // INJECTS deterministic doc_id-derived PII (varying per-class counts
+    // — 0–2 emails, 0–1 phones, 1 IP) and then scrubs it; the oracle
+    // re-derives both the injection and the scrub with DuckDB's own
+    // regex engine, so the patterns are pinned to behave identically
+    // across RE2 and java.util.regex. Scale: pure scan-stage projection
+    // — regexp_replace/extract_all fold into WholeStageCodegen, nothing
+    // shuffles; at 100 TB this is exactly one pass.
+    "l51_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{4}"
+      val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          repeat(concat(lit(" user"), col("doc_id").cast("string"),
+            lit("@example.com")), (col("doc_id") % 3).cast("int")),
+          repeat(concat(lit(" call 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")),
+            (col("doc_id") % 2).cast("int")),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("t"))
+      aug.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ip), lit(0)))
+            .cast("long").as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+            .as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L52: PARAGRAPH-LEVEL exact dedup — the RefinedWeb/Falcon stage
+    // between document dedup (l1) and span dedup (l27): repeated
+    // PARAGRAPHS (boilerplate, headers, license blocks) are dropped
+    // across the whole corpus, keeping only the globally FIRST
+    // occurrence (by (doc_id, position)), and each document reassembles
+    // from its surviving paragraphs in order. The corpus has no newline
+    // structure, so a paragraph is a fixed 5-word chunk (documented
+    // convention — the machinery, not the segmentation, is the
+    // operator). Scale: paragraphs shuffle ONCE on the paragraph key
+    // (production swaps the string for xxhash64 to keep the shuffle
+    // narrow), the first-occurrence rule is one window over that key,
+    // and reassembly is one doc-keyed aggregation — no joins back to
+    // the corpus, no all-pairs anything.
+    "l52_paragraph_dedup" -> ((s, d) => {
+      val P = 5
+      val paras = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(
+             |  sequence(0, greatest(CAST(ceil(size(w) / $P.0) AS INT) - 1, 0)),
+             |  i -> array_join(slice(w, i * $P + 1, $P), ' '))""".stripMargin)))
+        .toDF("doc_id", "pos", "para")
+      val firstOcc = Window.partitionBy(col("para"))
+        .orderBy(col("doc_id"), col("pos"))
+      paras.withColumn("rn", row_number().over(firstOcc))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_paras"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("para"))))),
+            x => x.getField("para")), " ").as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -2366,6 +2439,60 @@ object LlmOps extends QueryModule {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "l51_pii_scrub" ->
+      // DuckDB re-derives the deterministic PII injection AND the scrub
+      // with its own (RE2) regex engine — patterns are pinned to agree
+      // with java.util.regex; regexp_replace needs the 'g' flag (DuckDB
+      // replaces first-match-only by default, Spark replaces all)
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |         CAST(doc_id % 3 AS INT))
+        |    || repeat(' call 555-01' ||
+        |         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |         CAST(doc_id % 2 AS INT))
+        |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS text_clean
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "l52_paragraph_dedup" ->
+      // same 5-word chunking, same global first-occurrence rule; the
+      // zipped unnest pairs each chunk with its 0-based position
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, n - 1)) AS pos,
+        |    unnest(list_transform(generate_series(0, n - 1),
+        |      i -> array_to_string(w[i*5+1:i*5+5], ' '))) AS para
+        |  FROM (SELECT doc_id, w,
+        |          greatest(CAST(ceil(len(w) / 5.0) AS INT), 1) AS n
+        |        FROM w)),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(para, ' ' ORDER BY pos)
+        |    FILTER (WHERE rn = 1), '') AS text_clean
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "l28_quality_gate_dynamic" ->
       // percent_rank = (rank-1)/(n-1): identical IEEE division in both
       // engines, so the 0.5 boundary compares consistently; integer
