@@ -159,6 +159,34 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("st_contains"), plan.take(3000))
   }
 
+  test("j18 polygon-polygon join: cell-key equi join, reference-cell dedup, no distinct") {
+    val df = ops.Joins.queries("j18_polygon_polygon_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // candidates come from the grid equi-join with the replicated
+    // polygon side broadcast; st_intersects is a post-join residual;
+    // the reference-cell rule replaces the post-join distinct an
+    // exploded grid join otherwise needs — no Aggregate-for-dedup,
+    // no BNLJ, no cross product
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("st_intersects"), plan.take(3000))
+    // exactly one aggregate pair (partial+final of the final rollup) —
+    // a distinct-based dedup would add a second one keyed on the pair
+    val nAgg = "HashAggregate".r.findAllIn(plan).size
+    assert(nAgg <= 4, s"expected only the rollup aggregates, got $nAgg\n" +
+      plan.take(3000))
+  }
+
+  test("l52 paragraph dedup shuffles on the paragraph key once, no join-back") {
+    val df = ops.LlmOps.queries("l52_paragraph_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // first-occurrence = ONE window over the paragraph key; reassembly =
+    // one doc-keyed aggregation; no join back to the corpus
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert("Window".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
   test("p2g translated UNNEST plans as pure Generates — no decorrelation join") {
     // the correlated-LATERAL form decorrelates into a DISTINCT-domain
     // join keyed on the exploded expression (full re-scan + text-keyed
