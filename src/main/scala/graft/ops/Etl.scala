@@ -472,6 +472,36 @@ object Etl extends QueryModule {
           |ORDER BY "user_id", "event_id"""".stripMargin)
     }),
 
+    // P2q: MATCH_RECOGNIZE PATTERN alternation in real Trino SQL — the
+    // dialect form of e8b's ordered-branch operator: a purchase
+    // immediately preceded by either a view (branch 1, preferred) or a
+    // click (branch 2). The two-step branches make the matched set
+    // closed-form (a row is view XOR click, so at most one branch can
+    // anchor at any position, and consumption can't shadow later
+    // matches — the e8f argument), so the oracle is one lead() window,
+    // independent of the matcher and its branch machinery.
+    "p2q_presto_mr_alternation" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT user_id, mno, n_rows, first_ts, last_ts
+          |FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES
+          |    MATCH_NUMBER() AS mno,
+          |    COUNT(*) AS n_rows,
+          |    FIRST(ts) AS first_ts,
+          |    LAST(ts) AS last_ts
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (V P | C P)
+          |  DEFINE V AS event_type = 'view',
+          |         C AS event_type = 'click',
+          |         P AS event_type = 'purchase')
+          |WHERE user_id < 60
+          |ORDER BY user_id, mno""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1111,6 +1141,26 @@ object Etl extends QueryModule {
       // OPTIMIZE must not change content: the oracle is the plain table
       """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk
         |FROM nation ORDER BY k""".stripMargin,
+
+    "p2q_presto_mr_alternation" ->
+      // closed form: matches are exactly the positions whose type is
+      // view or click and whose NEXT event is a purchase — one lead()
+      // window, no branch machinery
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    row_number() OVER w AS rn,
+        |    lead(event_type) OVER w AS nxt,
+        |    lead(ts) OVER w AS nts
+        |  FROM events WHERE user_id < 60
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+        |    AS BIGINT) AS mno,
+        |  CAST(2 AS BIGINT) AS n_rows,
+        |  ts AS first_ts, nts AS last_ts
+        |FROM e
+        |WHERE event_type IN ('view', 'click') AND nxt = 'purchase'
+        |ORDER BY user_id, mno""".stripMargin,
 
     "p2o_presto_mr_unmatched" ->
       // e8f's closed-form derivation keyed by event_id: the adjacent

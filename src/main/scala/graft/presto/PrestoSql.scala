@@ -2861,13 +2861,23 @@ object PrestoSql {
     // PATTERN: linear variable sequence with quantifiers
     val tokRe = """([A-Za-z_]\w*)(\*\?|\+\?|\?\?|\*|\+|\?|\{\d+(?:,\d*)?\})?""".r
     val patText = m.group(7).trim
-    require(!patText.contains("|") && !patText.contains("("),
-      s"MATCH_RECOGNIZE: alternation/grouping not supported in PATTERN ($patText)")
-    val toks = tokRe.findAllMatchIn(patText).toSeq
-    require(toks.nonEmpty, s"MATCH_RECOGNIZE: empty PATTERN ($patText)")
-    require(toks.map(_.matched).mkString(" ").replaceAll("\\s+", " ") ==
-      patText.replaceAll("\\s+", " "),
-      s"MATCH_RECOGNIZE: could not parse PATTERN ($patText)")
+    require(!patText.contains("("),
+      s"MATCH_RECOGNIZE: grouping not supported in PATTERN ($patText)")
+    // top-level alternation: ordered branches, each a linear sequence
+    // (Trino's branch-preference semantics — the e8b operator); the
+    // PATTERN regex admits no parens, so every '|' is top-level
+    val branchTexts = patText.split("\\|", -1).map(_.trim).toSeq
+    require(branchTexts.forall(_.nonEmpty),
+      s"MATCH_RECOGNIZE: empty alternation branch in PATTERN ($patText)")
+    def parseBranch(bt: String) = {
+      val bToks = tokRe.findAllMatchIn(bt).toSeq
+      require(bToks.nonEmpty, s"MATCH_RECOGNIZE: empty PATTERN ($bt)")
+      require(bToks.map(_.matched).mkString(" ").replaceAll("\\s+", " ") ==
+        bt.replaceAll("\\s+", " "),
+        s"MATCH_RECOGNIZE: could not parse PATTERN ($bt)")
+      bToks
+    }
+    val branchToks = branchTexts.map(parseBranch)
     import graft.ops.RowPattern._
     def quantOf(q: String): Quant = q match {
       case null | "" => once
@@ -2895,7 +2905,7 @@ object PrestoSql {
         case bad => throw new IllegalArgumentException(
           s"bad DEFINE entry '${bad.take(120)}'")
       }.toMap
-    val varNames = toks.map(_.group(1).toUpperCase)
+    val varNames = branchToks.flatten.map(_.group(1).toUpperCase)
     defs.values.foreach(pred => require(
       !"""(?i)\b(PREV|NEXT|FIRST|LAST|CLASSIFIER|MATCH_NUMBER)\s*\(""".r
         .findFirstIn(pred).isDefined,
@@ -2910,9 +2920,12 @@ object PrestoSql {
           org.apache.spark.sql.functions.expr(
             translate(selfQual.replaceAllIn(pred, "")))
       }
-    val steps = toks.map(t =>
-      Step(t.group(1).toUpperCase, stepPred(t.group(1).toUpperCase),
-        quantOf(t.group(2))))
+    def stepsOf(ts: Seq[scala.util.matching.Regex.Match]): Seq[Step] =
+      ts.map(t =>
+        Step(t.group(1).toUpperCase, stepPred(t.group(1).toUpperCase),
+          quantOf(t.group(2))))
+    val branches = branchToks.map(stepsOf)
+    val steps = branches.head
 
     import org.apache.spark.sql.functions.{col, timestamp_micros, unix_micros}
 
@@ -2920,6 +2933,8 @@ object PrestoSql {
       java.util.UUID.randomUUID().toString.replace("-", "")
 
     if (allRows) {
+      require(branches.size == 1, "MATCH_RECOGNIZE: alternation is not " +
+        "supported with ALL ROWS PER MATCH (use ONE ROW PER MATCH)")
       // ALL ROWS PER MATCH [WITH UNMATCHED ROWS]: one output row per
       // matched input row (per EVERY input row with UNMATCHED), carrying
       // all source columns plus the per-row measures. The per-row label
@@ -2965,9 +2980,18 @@ object PrestoSql {
         s.substring(0, b + 1) + view + s.substring(close + 1))
     }
 
-    val matched = graft.ops.RowPattern.matches(
-      spark.table(table), keyCol = partCols.head, tsCol = tsCol,
-      tiebreakCol = tbCol, steps = steps, afterMatch = afterMatch)
+    // alternation routes through the e8b operator (ordered branch
+    // preference, steps deduped BY NAME across branches); the output
+    // carries the same measure columns, so the measure surface below is
+    // unchanged
+    val matched =
+      if (branches.size > 1)
+        graft.ops.RowPattern.matchesAlt(
+          spark.table(table), keyCol = partCols.head, tsCol = tsCol,
+          tiebreakCol = tbCol, branches = branches, afterMatch = afterMatch)
+      else graft.ops.RowPattern.matches(
+        spark.table(table), keyCol = partCols.head, tsCol = tsCol,
+        tiebreakCol = tbCol, steps = steps, afterMatch = afterMatch)
 
     // ONE ROW PER MATCH output: partition column + measures, per Trino
     val mnRe = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r

@@ -1626,7 +1626,11 @@ class PrestoSqlSpec extends SparkSpec {
         |  %s
         |  PATTERN (%s)
         |  DEFINE V AS event_type = 'view')""".stripMargin
-    fails(base.format("ONE ROW PER MATCH", "V | W"), "alternation")
+    // alternation is supported (p2q) — but grouping parens still throw,
+    // and an empty branch is rejected
+    fails(base.format("ONE ROW PER MATCH", "V (W X)"), "grouped")
+    fails(base.format("ONE ROW PER MATCH", "V |"), "branch")
+    fails(base.format("ALL ROWS PER MATCH", "V | W"), "alternation")
     fails(base.format("ONE ROW PER MATCH", "V").replace(
       "event_type = 'view'", "PREV(event_type) = 'view'"), "navigation")
     // WITH UNMATCHED ROWS + overlapping skip is ambiguous -> loud
