@@ -502,6 +502,28 @@ object Etl extends QueryModule {
           |ORDER BY user_id, mno""".stripMargin)
     }),
 
+    // P2r: the Trino array-utility family Spark lacks —
+    // array_duplicates / array_has_duplicates / array_normalize /
+    // trim_array — as dialect temp-function adapters, oracle-gated over
+    // column-built arrays (the spec covers literals and the loud
+    // n-too-big trim error). array_normalize at p=1 reduces to exact
+    // IEEE division, so double arrays hash-match across engines.
+    "p2r_presto_array_extras" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_nationkey" AS k,
+          |  array_has_duplicates(array("n_name", "n_name")) AS h,
+          |  array_join(array_duplicates(array("n_name", "n_name", 'zz')),
+          |    ',') AS dups,
+          |  array_join(trim_array(array("n_name", 'a', 'b'), 1), ',')
+          |    AS trimmed,
+          |  array_join(transform(array_normalize(
+          |      array(CAST("n_nationkey" AS DOUBLE), 3.0), 1.0),
+          |    x -> CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS VARCHAR)),
+          |    ',') AS nrm_q6
+          |FROM nation ORDER BY k""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1140,6 +1162,23 @@ object Etl extends QueryModule {
     "p4k_presto_optimize" ->
       // OPTIMIZE must not change content: the oracle is the plain table
       """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk
+        |FROM nation ORDER BY k""".stripMargin,
+
+    "p2r_presto_array_extras" ->
+      // independent list-function derivations; p=1 normalize reduces to
+      // k/(k+3), 3/(k+3) — identical IEEE division on both engines
+      """SELECT n_nationkey AS k,
+        |  len([n_name, n_name]) != len(list_distinct([n_name, n_name]))
+        |    AS h,
+        |  array_to_string(list_filter(list_distinct([n_name, n_name, 'zz']),
+        |    x -> len(list_filter([n_name, n_name, 'zz'], y -> y = x)) > 1),
+        |    ',') AS dups,
+        |  array_to_string([n_name, 'a'], ',') AS trimmed,
+        |  array_to_string(list_transform(
+        |    [CAST(n_nationkey AS DOUBLE) / (n_nationkey + 3.0),
+        |     3.0 / (n_nationkey + 3.0)],
+        |    x -> CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS VARCHAR)),
+        |    ',') AS nrm_q6
         |FROM nation ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->

@@ -1814,6 +1814,26 @@ object PrestoSql {
       " RETURN aggregate(a, named_struct('s', CAST(0.0 AS DOUBLE), 'n', 0L)," +
       " (acc, x) -> IF(x IS NULL, acc, named_struct('s', acc.s + x, 'n', acc.n + 1))," +
       " acc -> IF(acc.n = 0L, CAST(NULL AS DOUBLE), acc.s / acc.n))",
+    // Trino array utilities Spark lacks; typed STRING/DOUBLE forms per
+    // the array_sum convention above (SQL temp functions can't be
+    // generic). array_duplicates returns the distinct elements occurring
+    // more than once; the n² inner filter is per-row over small arrays.
+    "array_duplicates(a ARRAY<STRING>) RETURNS ARRAY<STRING>" +
+      " RETURN array_distinct(filter(a," +
+      " x -> size(filter(a, y -> y <=> x)) > 1))",
+    "array_has_duplicates(a ARRAY<STRING>) RETURNS BOOLEAN" +
+      " RETURN size(a) != size(array_distinct(a))",
+    // p-norm normalize; Trino returns the array unchanged when the norm
+    // is zero (all-zero vector)
+    "array_normalize(a ARRAY<DOUBLE>, p DOUBLE) RETURNS ARRAY<DOUBLE>" +
+      " RETURN CASE WHEN power(aggregate(a, CAST(0.0 AS DOUBLE)," +
+      " (s, x) -> s + power(abs(x), p)), 1.0 / p) = 0.0 THEN a" +
+      " ELSE transform(a, x -> x / power(aggregate(a, CAST(0.0 AS DOUBLE)," +
+      " (s, x) -> s + power(abs(x), p)), 1.0 / p)) END",
+    // SQL-standard trim_array: drop n elements from the END; n > size
+    // throws (Spark's negative-length slice error — loud, like Trino)
+    "trim_array(a ARRAY<STRING>, n BIGINT) RETURNS ARRAY<STRING>" +
+      " RETURN slice(a, 1, CAST(size(a) - n AS INT))",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)",
     // Presto date_format uses MySQL %-specifiers where Spark's same-named

@@ -85,6 +85,30 @@ class PrestoSqlSpec extends SparkSpec {
     assert(z.getSeq[Int](1).sorted == Seq(1, 2))
   }
 
+  test("array_duplicates/array_has_duplicates/array_normalize/trim_array adapters") {
+    PrestoSql.registerDialect(spark)
+    val r = spark.sql(
+      """SELECT array_sort(array_duplicates(array('a','b','a','c','b','a'))) AS d,
+        |  array_duplicates(array('x','y')) AS d0,
+        |  array_has_duplicates(array('a','b','a')) AS h1,
+        |  array_has_duplicates(array('a','b')) AS h0,
+        |  array_normalize(array(3.0D, 4.0D), 2.0D) AS n2,
+        |  array_normalize(array(0.0D, 0.0D), 2.0D) AS nz,
+        |  trim_array(array('a','b','c','d'), 2L) AS t2,
+        |  trim_array(array('a','b'), 2L) AS t0""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
+    assert(r.getSeq[Double](5) == Seq(0.0, 0.0)) // zero norm: unchanged
+    assert(r.getSeq[String](6) == Seq("a", "b"))
+    assert(r.getSeq[String](7).isEmpty)
+    // n > size throws (loud, like Trino's invalid-argument error)
+    val e = intercept[Exception](
+      spark.sql("SELECT trim_array(array('a'), 2L)").collect())
+    assert(e.getMessage != null)
+  }
+
   test("split is literal-delimiter (Presto), not regex (Spark); split_part adapted") {
     // split_part routes through the presto_split_part adapter (r8):
     // Trino returns NULL past the last field where Spark returns ''
