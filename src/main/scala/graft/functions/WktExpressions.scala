@@ -199,9 +199,37 @@ object WktCore {
     contains(a, b(0), b(1)) || contains(b, a(0), a(1))
   }
 
-  /** Codegen entry: st_intersects(polyAWkt, polyBWkt). */
-  def intersectsWkt(a: UTF8String, b: UTF8String): Boolean =
-    intersects(polygonCoords(a), polygonCoordsB(b))
+  /** Codegen entry: st_intersects(aWkt, bWkt) — POLYGON×POLYGON,
+    * POINT×POLYGON (containment), POINT×POINT (coordinate equality).
+    * A POINT degenerates to its containment test rather than the
+    * edge-pair walk. */
+  // allocation-free "starts with POINT" (case-insensitive, leading
+  // spaces skipped) so the polygon-polygon hot path pays two byte
+  // probes, not a String copy
+  private def isPointWkt(s: UTF8String): Boolean = {
+    var i = 0
+    val n = s.numBytes()
+    while (i < n && s.getByte(i) == ' ') i += 1
+    n - i >= 5 &&
+      (s.getByte(i) | 0x20) == 'p' && (s.getByte(i + 1) | 0x20) == 'o' &&
+      (s.getByte(i + 2) | 0x20) == 'i' && (s.getByte(i + 3) | 0x20) == 'n' &&
+      (s.getByte(i + 4) | 0x20) == 't'
+  }
+
+  def intersectsWkt(a: UTF8String, b: UTF8String): Boolean = {
+    val aPt = isPointWkt(a)
+    val bPt = isPointWkt(b)
+    if (aPt && bPt) {
+      val p = parsePoint(a.toString); val q = parsePoint(b.toString)
+      p(0) == q(0) && p(1) == q(1)
+    } else if (aPt) {
+      val p = parsePoint(a.toString)
+      contains(polygonCoordsB(b), p(0), p(1))
+    } else if (bPt) {
+      val q = parsePoint(b.toString)
+      contains(polygonCoords(a), q(0), q(1))
+    } else intersects(polygonCoords(a), polygonCoordsB(b))
+  }
 
   /** Codegen entry: st_area(polygonWkt) — planar shoelace area of the
     * outer ring. Term and accumulation order are FIXED (i ascending,

@@ -137,5 +137,14 @@ class WktSpec extends SparkSpec {
       .select(GF.stIntersects($"wkt",
         lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")).as("x")).collect().head
     assert(n.isNullAt(0))
+    // POINT degenerates to containment / coordinate equality, either side
+    import graft.functions.WktCore.intersectsWkt
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val dia = "POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))"
+    assert(intersectsWkt(u("POINT (1 1)"), u(dia)))
+    assert(intersectsWkt(u(dia), u("POINT (1 1)")))
+    assert(!intersectsWkt(u("POINT (4 4)"), u(dia)))
+    assert(intersectsWkt(u("point (2 3)"), u("POINT (2 3)")))
+    assert(!intersectsWkt(u("POINT (2 3)"), u("POINT (2 4)")))
   }
 }
