@@ -99,8 +99,10 @@ object EventStreams {
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       joinType)
-      .select(col("v_user").as("user_id"), col("view_id"),
-        col("purchase_id"),
+      // coalesce: in FULL outer mode an unmatched-purchase row carries a
+      // NULL v_user (no-op for inner/left, where v_user is never null)
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("view_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 
