@@ -26,7 +26,8 @@ object ScaleRehearsal {
 
   private val Heavy = Seq(
     "l2_minhash_lsh", "l22_decontaminate", "l26_semdedup",
-    "l27_span_dedup", "l32_pq_adc", "l35_ivfpq", "p3_dedup_pipeline")
+    "l27_span_dedup", "l32_pq_adc", "l35_ivfpq", "p3_dedup_pipeline",
+    "l52_paragraph_dedup", "l51_pii_scrub")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
