@@ -2165,6 +2165,48 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L53: DSIR importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling") — the published
+    // method for picking pretraining data that LOOKS LIKE a target
+    // domain: hash every bigram into B buckets, estimate target (src1)
+    // and raw (src0) bucket distributions, score each raw document by
+    // the sum of per-bucket log ratios over its bigrams, keep the
+    // top-weighted docs. Hashing is THE scalability hook (B stays fixed
+    // as the corpus grows), here the repo's engine-portable polynomial
+    // k-gram hash mod 8192 so the oracle mirrors it op-for-op; log
+    // ratios are quantized PER BUCKET ROW (the l25/l41 parity rule) so
+    // per-doc sums are integer-exact. Plan: one explode pass builds the
+    // B-bounded count table (broadcasts — independent of corpus size),
+    // scoring is a broadcast join + doc-keyed sum, and the top-100 is
+    // TakeOrdered (per-partition heaps), with rank assigned by a window
+    // over the 100 surviving rows only — no global sort, no wide window.
+    "l53_dsir_importance" -> ((s, d) => {
+      val B = 8192L
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("source"),
+          TF.wordTokens(col("text")).as("ws"))
+        .withColumn("bk",
+          transform(TF.kgramHashes(col("ws"), 2), h => pmod(h, lit(B))))
+      val grams = docs.select(col("doc_id"), col("source"),
+        explode(col("bk")).as("bucket"))
+      val table = grams.groupBy(col("bucket"))
+        .agg(sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_r"))
+        .withColumn("lr_q6",
+          floor((log(col("n_t") + 1) - log(col("n_r") + 1)) * 1e6 + 0.5)
+            .cast("long"))
+      val scored = grams.filter(col("source") === "src0")
+        .join(broadcast(table.select(col("bucket"), col("lr_q6"))), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("lr_q6")).as("weight_q6"))
+      scored.orderBy(col("weight_q6").desc, col("doc_id")).limit(100)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("weight_q6").desc, col("doc_id"))).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("n_grams"), col("weight_q6"))
+        .orderBy(col("rnk"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -2468,6 +2510,45 @@ object LlmOps extends QueryModule {
         |    '\d{3}-\d{4}', '<PHONE>', 'g'),
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS text_clean
         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "l53_dsir_importance" ->
+      // the same polynomial bigram hash (l34's mirror) mod 8192, the
+      // same per-bucket ln-ratio quantization, the same top-100
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(len(ws) - 1, 1)), i ->
+        |        list_reduce(list_transform(
+        |            str_split(array_to_string(list_slice(ws, i, i + 1), ' '),
+        |              ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 4503599627370496) % 8192))
+        |      AS bucket
+        |  FROM t),
+        |tb AS (
+        |  SELECT bucket,
+        |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n_t,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_r
+        |  FROM g GROUP BY bucket),
+        |tb2 AS (
+        |  SELECT bucket,
+        |    CAST(floor((ln(n_t + 1) - ln(n_r + 1)) * 1e6 + 0.5) AS BIGINT)
+        |      AS lr_q6
+        |  FROM tb),
+        |sc AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(lr_q6) AS BIGINT) AS weight_q6
+        |  FROM g JOIN tb2 USING (bucket) WHERE g.source = 'src0'
+        |  GROUP BY g.doc_id)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY weight_q6 DESC, doc_id)
+        |    AS BIGINT) AS rnk,
+        |  doc_id, n_grams, weight_q6
+        |FROM sc QUALIFY rnk <= 100 ORDER BY rnk""".stripMargin,
 
     "l52_paragraph_dedup" ->
       // same 5-word chunking, same global first-occurrence rule; the
