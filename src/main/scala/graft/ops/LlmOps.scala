@@ -2207,6 +2207,88 @@ object LlmOps extends QueryModule {
         .orderBy(col("rnk"))
     }),
 
+    // L54: CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al.
+    // 2020) — the published downstream of l25's LM scorer: within each
+    // source, rank documents by LM log-prob and cut into thirds; "head"
+    // (most fluent) trains, "tail" is held back, "middle" is the tunable
+    // dial. Scoring is l25's unigram model verbatim (per-word ln
+    // quantized at 1e6 BEFORE summing — the cross-engine parity rule);
+    // the cut is a rank formula (rn·3 ≤ n / ≤ 2n) written IDENTICALLY in
+    // both engines rather than ntile(), so bucket boundaries can't
+    // diverge on remainder-distribution conventions. Plan: the ranking
+    // window partitions BY SOURCE — per-source sorted shuffle, never a
+    // global sort. At 100 TB a per-source total sort is still heavy; the
+    // production form replaces it with approximate tertile cutoffs (a
+    // per-source quantile sketch broadcast back, bucketing map-side) —
+    // the same window→aggregate-broadcast swap l28's skewSafe fallback
+    // demonstrates as code.
+    "l54_perplexity_buckets" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TF.wordTokens(col("text"))).as("w"))
+      val freq = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ql", floor(log(col("cnt")) * 1e6 + 0.5).cast("long"))
+      val total = freq.agg(sum(col("cnt")).as("t"))
+        .select(floor(log(col("t")) * 1e6 + 0.5).cast("long").as("qt"))
+      val dc = toks.groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(count(lit(1)).as("dc"))
+      val scored = dc.join(freq.select(col("w"), col("ql")), "w")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("dc")).as("n_toks"),
+          sum(col("dc") * col("ql")).as("sum_ql"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          floor((col("sum_ql").cast("double") / 1e6 / col("n_toks")
+            - col("qt").cast("double") / 1e6) * 1e4 + 0.5)
+            .cast("long").as("lp_q4"))
+      val nSrc = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("lp_q4").desc, col("doc_id"))).cast("long"))
+        .join(broadcast(nSrc), "source")
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n_src"), "head")
+            .when(col("rn") * 3 <= col("n_src") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("lp_q4"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L55: N-GRAM SATURATION curve — the "is more data still adding
+    // anything" diagnostic that decides when to stop crawling a source
+    // family: process sources in a fixed order and report, per source,
+    // how many of its distinct 3-shingles are NEW relative to everything
+    // before it, plus the running distinct total. A flattening curve
+    // means the marginal source is mostly re-crawl. Exact integers end
+    // to end. Plan: l44's source-level distinct-shingle derivation, a
+    // shingle-keyed min(source) aggregate (first-appearance attribution
+    // — shuffle key is the shingle, standard Zipf-skew handling applies),
+    // two |sources|-row rollups, and the cumulative sum runs on the
+    // |sources|-row frame only — the single-partition window is over a
+    // provably tiny set, never the corpus.
+    "l55_ngram_saturation" -> ((s, d) => {
+      GF.register(s)
+      val ss = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GF.wordShingles(TF.wordTokens(col("text")), 3))
+            .as("shingle"))
+        .distinct()
+        .localCheckpoint()
+      val perSrc = ss.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+      val firstNew = ss.groupBy(col("shingle"))
+        .agg(min(col("source")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      perSrc.join(firstNew, Seq("source"), "left")
+        .select(col("source"), col("n_shingles"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_distinct", sum(col("n_new")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("source"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -2549,6 +2631,70 @@ object LlmOps extends QueryModule {
         |    AS BIGINT) AS rnk,
         |  doc_id, n_grams, weight_q6
         |FROM sc QUALIFY rnk <= 100 ORDER BY rnk""".stripMargin,
+
+    "l54_perplexity_buckets" ->
+      // l25's unigram scoring verbatim (per-word ln quantized at 1e6
+      // before summing), then the SAME rank-cut formula (rn·3 ≤ n /
+      // ≤ 2n) instead of ntile() so remainder conventions can't diverge
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS w
+        |  FROM documents),
+        |freq AS (
+        |  SELECT w, COUNT(*) AS cnt,
+        |    CAST(floor(ln(COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS ql
+        |  FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(floor(ln(SUM(cnt)) * 1e6 + 0.5) AS BIGINT) AS qt
+        |  FROM freq),
+        |dc AS (
+        |  SELECT doc_id, source, w, COUNT(*) AS dc
+        |  FROM toks GROUP BY doc_id, source, w),
+        |scored AS (
+        |  SELECT doc_id, source, CAST(SUM(dc) AS BIGINT) AS n_toks,
+        |    CAST(floor((SUM(dc * ql) / 1e6 / SUM(dc) - MAX(qt) / 1e6)
+        |      * 1e4 + 0.5) AS BIGINT) AS lp_q4
+        |  FROM dc JOIN freq USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id, source),
+        |n AS (SELECT source, COUNT(*) AS n_src FROM scored GROUP BY source),
+        |r AS (
+        |  SELECT s.doc_id, s.source, s.n_toks, s.lp_q4, n.n_src,
+        |    row_number() OVER (PARTITION BY s.source
+        |      ORDER BY s.lp_q4 DESC, s.doc_id) AS rn
+        |  FROM scored s JOIN n USING (source))
+        |SELECT doc_id, source, n_toks, lp_q4,
+        |  CASE WHEN rn * 3 <= n_src THEN 'head'
+        |       WHEN rn * 3 <= n_src * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "l55_ngram_saturation" ->
+      // l44's source-level distinct-shingle mirror; first-appearance =
+      // min(source) per shingle; cumulative sum over the tiny source set
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |ss AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+        |  FROM toks),
+        |per_src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |  FROM ss GROUP BY source),
+        |fn AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM (SELECT shingle, MIN(source) AS source FROM ss
+        |        GROUP BY shingle)
+        |  GROUP BY source)
+        |SELECT p.source, p.n_shingles,
+        |  CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_distinct
+        |FROM per_src p LEFT JOIN fn f USING (source)
+        |ORDER BY p.source""".stripMargin,
 
     "l52_paragraph_dedup" ->
       // same 5-word chunking, same global first-occurrence rule; the
