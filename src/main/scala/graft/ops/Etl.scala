@@ -524,6 +524,34 @@ object Etl extends QueryModule {
           |FROM nation ORDER BY k""".stripMargin)
     }),
 
+    // P2s: the last two Trino array functions the dialect lacked —
+    // contains_sequence (CONTIGUOUS-run membership: array equality per
+    // window, gapped subsequences are false) and combinations
+    // (n-element sub-multisets in INDEX order, duplicates kept; n ≤ 3
+    // here, 4..5 fail loudly). Oracle re-derives both with independent
+    // DuckDB list machinery (slice-equality windows / generate_series
+    // index nests), so the adapters' expansion is cross-checked, not
+    // echoed.
+    "p2s_presto_array_fns2" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_nationkey" AS k,
+          |  contains_sequence(ARRAY['a', "n_name", 'b', 'c'],
+          |    ARRAY["n_name", 'b']) AS hit,
+          |  contains_sequence(ARRAY["n_name", 'x', 'y'],
+          |    ARRAY["n_name", 'y']) AS gapped,
+          |  array_join(transform(
+          |      combinations(ARRAY["n_name", 'a', 'b', 'c'], 2),
+          |      c -> array_join(c, '+')), ',') AS pairs,
+          |  array_join(transform(combinations(ARRAY["n_name", 'a', 'b'], 3),
+          |      c -> array_join(c, '+')), ',') AS triples,
+          |  CAST(cardinality(combinations(ARRAY["n_name", 'a', 'b'], 0))
+          |    AS BIGINT) AS c0,
+          |  array_join(transform(combinations(ARRAY["n_name", 'a'], 1),
+          |      c -> array_join(c, '+')), ',') AS singles
+          |FROM nation ORDER BY k""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1180,6 +1208,36 @@ object Etl extends QueryModule {
         |    x -> CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS VARCHAR)),
         |    ',') AS nrm_q6
         |FROM nation ORDER BY k""".stripMargin,
+
+    "p2s_presto_array_fns2" ->
+      // independent derivations: contains_sequence = any slice-equality
+      // window; combinations = generate_series index nests (DuckDB's
+      // generate_series is empty when start > stop, closing the edge
+      // Spark's backward-stepping sequence() needs a guard for)
+      """WITH c AS (
+        |  SELECT n_nationkey AS k, n_name AS nm,
+        |    ['a', n_name, 'b', 'c'] AS a1, [n_name, 'b'] AS b1,
+        |    [n_name, 'x', 'y'] AS a2, [n_name, 'y'] AS b2,
+        |    [n_name, 'a', 'b', 'c'] AS p4, [n_name, 'a', 'b'] AS t3
+        |  FROM nation)
+        |SELECT k,
+        |  len(list_filter(generate_series(1, len(a1) - len(b1) + 1),
+        |    i -> a1[i:i+len(b1)-1] = b1)) > 0 AS hit,
+        |  len(list_filter(generate_series(1, len(a2) - len(b2) + 1),
+        |    i -> a2[i:i+len(b2)-1] = b2)) > 0 AS gapped,
+        |  array_to_string(flatten(list_transform(
+        |    generate_series(1, len(p4)), i -> list_transform(
+        |      generate_series(i + 1, len(p4)),
+        |      j -> p4[i] || '+' || p4[j]))), ',') AS pairs,
+        |  array_to_string(flatten(flatten(list_transform(
+        |    generate_series(1, len(t3)), i -> list_transform(
+        |      generate_series(i + 1, len(t3)), j -> list_transform(
+        |        generate_series(j + 1, len(t3)),
+        |        k2 -> t3[i] || '+' || t3[j] || '+' || t3[k2]))))), ',')
+        |    AS triples,
+        |  CAST(1 AS BIGINT) AS c0,
+        |  array_to_string([nm, 'a'], ',') AS singles
+        |FROM c ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->
       // closed form: matches are exactly the positions whose type is

@@ -1834,6 +1834,41 @@ object PrestoSql {
     // throws (Spark's negative-length slice error — loud, like Trino)
     "trim_array(a ARRAY<STRING>, n BIGINT) RETURNS ARRAY<STRING>" +
       " RETURN slice(a, 1, CAST(size(a) - n AS INT))",
+    // Trino contains_sequence(x, seq): true iff seq appears in x as a
+    // CONTIGUOUS run (array equality on each window — subsequence with
+    // gaps is false, matching Trino); empty seq is trivially contained.
+    // The sequence() upper bound is guarded because Spark's sequence
+    // STEPS BACKWARD when start > stop.
+    "contains_sequence(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN" +
+      " RETURN CASE WHEN size(b) = 0 THEN true" +
+      " WHEN size(a) < size(b) THEN false" +
+      " ELSE exists(sequence(1, size(a) - size(b) + 1)," +
+      " i -> slice(a, i, size(b)) = b) END",
+    // Trino combinations(a, n): n-element sub-multisets in index order
+    // (input order preserved, duplicates kept — NOT value-sorted).
+    // Expansion is per-n nested index transforms (SQL functions can't
+    // recurse); n ≤ 3 covers the published uses (pair/triple co-occurrence
+    // mining), n in 4..5 fails LOUDLY rather than silently truncating
+    // (Trino itself caps at 5). Inner sequence() bounds are guarded
+    // against Spark's backward-stepping start > stop form.
+    "combinations(a ARRAY<STRING>, n INT) RETURNS ARRAY<ARRAY<STRING>>" +
+      " RETURN CASE" +
+      " WHEN n = 0 THEN array(CAST(array() AS ARRAY<STRING>))" +
+      " WHEN n > size(a) THEN CAST(array() AS ARRAY<ARRAY<STRING>>)" +
+      " WHEN n = 1 THEN transform(a, x -> array(x))" +
+      " WHEN n = 2 THEN flatten(transform(sequence(1, size(a))," +
+      " i -> transform(CASE WHEN i < size(a) THEN sequence(i + 1, size(a))" +
+      " ELSE CAST(array() AS ARRAY<INT>) END," +
+      " j -> array(element_at(a, i), element_at(a, j)))))" +
+      " WHEN n = 3 THEN flatten(flatten(transform(sequence(1, size(a))," +
+      " i -> transform(CASE WHEN i < size(a) THEN sequence(i + 1, size(a))" +
+      " ELSE CAST(array() AS ARRAY<INT>) END," +
+      " j -> transform(CASE WHEN j < size(a) THEN sequence(j + 1, size(a))" +
+      " ELSE CAST(array() AS ARRAY<INT>) END," +
+      " k -> array(element_at(a, i), element_at(a, j)," +
+      " element_at(a, k)))))))" +
+      " ELSE raise_error(concat('combinations: n = ', CAST(n AS STRING)," +
+      " ' is not supported here (n <= 3; Trino caps at 5)')) END",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)",
     // Presto date_format uses MySQL %-specifiers where Spark's same-named

@@ -109,6 +109,35 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("contains_sequence/combinations adapters (r9)") {
+    PrestoSql.registerDialect(spark)
+    val r = spark.sql(
+      """SELECT contains_sequence(array('a','b','c','d'), array('b','c')) AS t1,
+        |  contains_sequence(array('a','b','c'), array('a','c')) AS gap,
+        |  contains_sequence(array('a','b'), CAST(array() AS ARRAY<STRING>))
+        |    AS emp,
+        |  contains_sequence(array('a'), array('a','b')) AS longer,
+        |  combinations(array('a','b','c'), 2) AS c2,
+        |  combinations(array('a','b','c'), 0) AS c0,
+        |  combinations(array('a','b'), 3) AS cbig,
+        |  combinations(array('a','b','b'), 2) AS cdup""".stripMargin).head()
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1)) // gapped subsequence is NOT contained
+    assert(r.getBoolean(2))  // empty sequence trivially contained
+    assert(!r.getBoolean(3)) // longer-than-array sequence
+    assert(r.getSeq[Seq[String]](4) ==
+      Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "c"))) // index order
+    assert(r.getSeq[Seq[String]](5) == Seq(Seq()))      // choose-0 = [[]]
+    assert(r.getSeq[Seq[String]](6) == Seq())           // n > size = []
+    assert(r.getSeq[Seq[String]](7) ==
+      Seq(Seq("a", "b"), Seq("a", "b"), Seq("b", "b"))) // duplicates kept
+    // n in 4..5 fails LOUDLY (partial-support boundary) rather than
+    // silently truncating
+    val e2 = intercept[Exception](
+      spark.sql("SELECT combinations(array('a','b','c','d'), 4)").collect())
+    assert(e2.getMessage.contains("combinations"))
+  }
+
   test("split is literal-delimiter (Presto), not regex (Spark); split_part adapted") {
     // split_part routes through the presto_split_part adapter (r8):
     // Trino returns NULL past the last field where Spark returns ''
