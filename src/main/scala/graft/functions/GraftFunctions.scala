@@ -67,6 +67,12 @@ object GraftFunctions {
     (FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[StIntersectsExpression].getName, "st_intersects"),
       (e: Seq[Expression]) => StIntersectsExpression(e(0), e(1))),
+    (FunctionIdentifier("st_within"),
+      new ExpressionInfo(classOf[StWithinExpression].getName, "st_within"),
+      (e: Seq[Expression]) => StWithinExpression(e(0), e(1))),
+    (FunctionIdentifier("st_overlaps"),
+      new ExpressionInfo(classOf[StOverlapsExpression].getName, "st_overlaps"),
+      (e: Seq[Expression]) => StOverlapsExpression(e(0), e(1))),
     (FunctionIdentifier("st_x"),
       new ExpressionInfo(classOf[StPointCoordExpression].getName, "st_x"),
       (e: Seq[Expression]) => StPointCoordExpression(e(0), 0)),
@@ -152,6 +158,10 @@ object GraftFunctions {
     call_function("st_contains", polyWkt, x, y)
   def stIntersects(aWkt: Column, bWkt: Column): Column =
     call_function("st_intersects", aWkt, bWkt)
+  def stWithin(aWkt: Column, bWkt: Column): Column =
+    call_function("st_within", aWkt, bWkt)
+  def stOverlaps(aWkt: Column, bWkt: Column): Column =
+    call_function("st_overlaps", aWkt, bWkt)
   def stX(pointWkt: Column): Column = call_function("st_x", pointWkt)
   def stY(pointWkt: Column): Column = call_function("st_y", pointWkt)
   def stArea(polyWkt: Column): Column = call_function("st_area", polyWkt)

@@ -231,6 +231,72 @@ object WktCore {
     } else intersects(polygonCoords(a), polygonCoordsB(b))
   }
 
+  /** PROPER edge crossing only — the strict-interior branch of
+    * segIntersect (collinear touches and shared endpoints excluded).
+    * Containment must not be broken by a shared boundary; the oracle
+    * data keeps a margin from exact touches like every predicate here. */
+  private def properCross(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    @inline def o(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = o(ax, ay, bx, by, cx, cy)
+    val o2 = o(ax, ay, bx, by, dx, dy)
+    val o3 = o(cx, cy, dx, dy, ax, ay)
+    val o4 = o(cx, cy, dx, dy, bx, by)
+    ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+      ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+  }
+
+  /** Simple-polygon containment over the outer rings: every vertex of
+    * `b` inside `a` AND no proper edge crossing. For convex rings the
+    * vertex test alone suffices; the crossing walk closes the concave
+    * case (an edge of b exiting and re-entering between two inside
+    * vertices). O(n·m) edge pairs like intersects(). */
+  def containsPoly(a: Array[Double], b: Array[Double]): Boolean = {
+    val nb = b.length / 2
+    var j = 0
+    while (j < nb) {
+      if (!contains(a, b(2 * j), b(2 * j + 1))) return false
+      j += 1
+    }
+    val na = a.length / 2
+    var i = 0
+    while (i < na) {
+      val i2 = if (i + 1 == na) 0 else i + 1
+      var k = 0
+      while (k < nb) {
+        val k2 = if (k + 1 == nb) 0 else k + 1
+        if (properCross(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+            b(2 * k), b(2 * k + 1), b(2 * k2), b(2 * k2 + 1)))
+          return false
+        k += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Codegen entry: st_within(aWkt, bWkt) — OGC argument order (is `a`
+    * within `b`). POINT a degenerates to point-in-polygon. */
+  def withinWkt(a: UTF8String, b: UTF8String): Boolean =
+    if (isPointWkt(a)) {
+      val p = parsePoint(a.toString)
+      contains(polygonCoordsB(b), p(0), p(1))
+    } else containsPoly(polygonCoordsB(b), polygonCoords(a))
+
+  /** Codegen entry: st_overlaps(aWkt, bWkt) — POLYGON×POLYGON only:
+    * interiors intersect but NEITHER ring contains the other (the OGC
+    * same-dimension overlap; equal rings report false through the
+    * mutual-containment test). POINT operands are dimension-mismatched
+    * per OGC and return false. */
+  def overlapsWkt(a: UTF8String, b: UTF8String): Boolean = {
+    if (isPointWkt(a) || isPointWkt(b)) return false
+    val ca = polygonCoords(a)
+    val cb = polygonCoordsB(b)
+    intersects(ca, cb) && !containsPoly(ca, cb) && !containsPoly(cb, ca)
+  }
+
   /** Codegen entry: st_area(polygonWkt) — planar shoelace area of the
     * outer ring. Term and accumulation order are FIXED (i ascending,
     * left-associated sum) so an oracle can mirror the arithmetic
@@ -305,6 +371,46 @@ case class StIntersectsExpression(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StIntersectsExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_within(a_wkt, b_wkt)` → boolean (OGC order: a within b; simple
+  * outer rings, POINT a degenerates to point-in-polygon). */
+case class StWithinExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_within"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.withinWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.withinWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StWithinExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_overlaps(a_wkt, b_wkt)` → boolean (polygon×polygon: intersect
+  * but neither contains the other; POINT operands → false). */
+case class StOverlapsExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_overlaps"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.overlapsWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.overlapsWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StOverlapsExpression =
     copy(left = newLeft, right = newRight)
 }
 

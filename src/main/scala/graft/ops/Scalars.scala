@@ -330,6 +330,75 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21d: polygon-polygon predicates — ST_Within (both directions)
+    // and ST_Overlaps, the next geospatial tier above point-in-polygon
+    // (r8 verdict missing #3 closed out: intersects landed with j18,
+    // this adds the containment/overlap split). Diamond/rectangle pairs
+    // synthesize in four MODES so every branch genuinely fires:
+    // 0 = rect inside diamond, 1 = partial overlap (proper edge
+    // crossings), 2 = disjoint, 3 = diamond inside rect. The oracle
+    // re-derives all four flags from closed forms (max-corner L1 bound,
+    // interval nesting, clamped-L1 intersection) — independent of the
+    // WKT parse, ray cast, and edge-crossing kernel. Fractional offsets
+    // keep every comparison strictly off boundaries (min margin 0.1 vs
+    // ~1e-13 double noise).
+    "sc21d_geo_predicates" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      val g = Tables.nation(s, d).select(
+          col("n_nationkey"),
+          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+          ((col("n_nationkey") % 5).cast("double") + lit(3.3)).as("r"))
+        .withColumn("mode", explode(array(lit(0), lit(1), lit(2), lit(3))))
+        .withColumn("ox", col("cx") +
+          when(col("mode") === 0, lit(0.1))
+            .when(col("mode") === 1, col("r") + lit(0.15))
+            .when(col("mode") === 2, col("r") * 3)
+            .otherwise(lit(0.1)))
+        .withColumn("oy", col("cy") +
+          when(col("mode") === 0, lit(-0.1))
+            .when(col("mode") === 1, lit(0.0))
+            .when(col("mode") === 2, lit(2.0))
+            .otherwise(lit(0.2)))
+        .withColumn("hw",
+          when(col("mode") === 0, col("r") / 4)
+            .when(col("mode") === 1, col("r") / 2)
+            .when(col("mode") === 2, lit(1.0))
+            .otherwise(col("r") * 2))
+        .withColumn("hh",
+          when(col("mode") === 0, col("r") / 5)
+            .when(col("mode") === 1, col("r") / 2)
+            .when(col("mode") === 2, lit(1.0))
+            .otherwise(col("r") * 2))
+        .withColumn("diamond", concat(
+          lit("POLYGON (("),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") + col("r")), lit(", "),
+          dstr(col("cx") - col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") - col("r")), lit(", "),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy")), lit("))")))
+        .withColumn("rect", concat(
+          lit("POLYGON (("),
+          dstr(col("ox") - col("hw")), lit(" "), dstr(col("oy") - col("hh")),
+          lit(", "),
+          dstr(col("ox") + col("hw")), lit(" "), dstr(col("oy") - col("hh")),
+          lit(", "),
+          dstr(col("ox") + col("hw")), lit(" "), dstr(col("oy") + col("hh")),
+          lit(", "),
+          dstr(col("ox") - col("hw")), lit(" "), dstr(col("oy") + col("hh")),
+          lit(", "),
+          dstr(col("ox") - col("hw")), lit(" "), dstr(col("oy") - col("hh")),
+          lit("))")))
+      g.select(col("n_nationkey"), col("mode"),
+          GF.stWithin(col("rect"), col("diamond")).as("rect_in_diamond"),
+          GF.stWithin(col("diamond"), col("rect")).as("diamond_in_rect"),
+          GF.stOverlaps(col("diamond"), col("rect")).as("overlaps"),
+          GF.stIntersects(col("diamond"), col("rect")).as("intersects"))
+        .orderBy(col("n_nationkey"), col("mode"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -934,6 +1003,48 @@ object Scalars extends QueryModule {
         |    + sqrt((p2x-p1x)*(p2x-p1x) + (p2y-p1y)*(p2y-p1y))) * 1e6 + 0.5)
         |    AS BIGINT) AS len_q6
         |FROM v ORDER BY n_nationkey""".stripMargin,
+
+    "sc21d_geo_predicates" ->
+      // closed forms, independent of the kernel: rect ⊆ diamond iff the
+      // max-corner L1 distance to the center is < r; diamond ⊆ rect iff
+      // the diamond's extreme intervals nest strictly; intersection is
+      // j18's clamped-L1 formula; overlap = intersect minus both
+      // containments. Same IEEE arithmetic shapes, margins ≥ 0.1.
+      """WITH g AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r
+        |  FROM nation),
+        |m AS (
+        |  SELECT g.*, mode
+        |  FROM g, (SELECT unnest([0, 1, 2, 3]) AS mode) md),
+        |p AS (
+        |  SELECT n_nationkey, mode, cx, cy, r,
+        |    cx + CASE mode WHEN 0 THEN 0.1 WHEN 1 THEN r + 0.15
+        |      WHEN 2 THEN r * 3 ELSE 0.1 END AS ox,
+        |    cy + CASE mode WHEN 0 THEN -0.1 WHEN 1 THEN 0.0
+        |      WHEN 2 THEN 2.0 ELSE 0.2 END AS oy,
+        |    CASE mode WHEN 0 THEN r / 4 WHEN 1 THEN r / 2
+        |      WHEN 2 THEN 1.0 ELSE r * 2 END AS hw,
+        |    CASE mode WHEN 0 THEN r / 5 WHEN 1 THEN r / 2
+        |      WHEN 2 THEN 1.0 ELSE r * 2 END AS hh
+        |  FROM m),
+        |f AS (
+        |  SELECT n_nationkey, mode,
+        |    (greatest(abs(ox - hw - cx), abs(ox + hw - cx))
+        |     + greatest(abs(oy - hh - cy), abs(oy + hh - cy))) < r
+        |      AS rect_in_diamond,
+        |    (cx - r > ox - hw AND cx + r < ox + hw
+        |     AND cy - r > oy - hh AND cy + r < oy + hh) AS diamond_in_rect,
+        |    (greatest((ox - hw) - cx, 0, cx - (ox + hw))
+        |     + greatest((oy - hh) - cy, 0, cy - (oy + hh))) < r AS intersects
+        |  FROM p)
+        |SELECT n_nationkey, mode, rect_in_diamond, diamond_in_rect,
+        |  intersects AND NOT rect_in_diamond AND NOT diamond_in_rect
+        |    AS overlaps,
+        |  intersects
+        |FROM f ORDER BY n_nationkey, mode""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

@@ -147,4 +147,54 @@ class WktSpec extends SparkSpec {
     assert(intersectsWkt(u("point (2 3)"), u("POINT (2 3)")))
     assert(!intersectsWkt(u("POINT (2 3)"), u("POINT (2 4)")))
   }
+
+  test("st_within / st_overlaps: containment, overlap, concave re-entry (r9)") {
+    import graft.functions.WktCore.{overlapsWkt, withinWkt}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val dia = "POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))"
+    // strict containment both directions (OGC order: a within b)
+    assert(withinWkt(u("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"), u(dia)))
+    assert(!withinWkt(u(dia), u("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")))
+    assert(withinWkt(u(dia),
+      u("POLYGON ((-9 -9, 9 -9, 9 9, -9 9, -9 -9))")))
+    // partial overlap is not within, but is overlaps
+    val half = "POLYGON ((2.25 -1.15, 9 -1.15, 9 1.15, 2.25 1.15, 2.25 -1.15))"
+    assert(!withinWkt(u(half), u(dia)) && !withinWkt(u(dia), u(half)))
+    assert(overlapsWkt(u(dia), u(half)) && overlapsWkt(u(half), u(dia)))
+    // containment and disjoint are NOT overlaps (OGC: neither contains)
+    assert(!overlapsWkt(u(dia), u("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")))
+    assert(!overlapsWkt(u(dia),
+      u("POLYGON ((8 8, 10 8, 10 10, 8 10, 8 8))")))
+    // CONCAVE-container case the vertex test alone would miss: every
+    // vertex of the bar sits inside one of the U's prongs, but the bar
+    // spans the notch between them — only the proper-crossing walk can
+    // veto the containment
+    val uShape = "POLYGON ((0.25 -3, 1.25 -3, 1.25 1, 2.25 1, 2.25 -3, " +
+      "3.25 -3, 3.25 2, 0.25 2, 0.25 -3))"
+    val bar =
+      "POLYGON ((0.5 -1.45, 3.0 -1.45, 3.0 -0.95, 0.5 -0.95, 0.5 -1.45))"
+    assert(!withinWkt(u(bar), u(uShape)))
+    assert(overlapsWkt(u(bar), u(uShape)))
+    // and a bar fully inside one prong IS within the concave ring
+    assert(withinWkt(
+      u("POLYGON ((0.5 -1.45, 1.0 -1.45, 1.0 -0.95, 0.5 -0.95, 0.5 -1.45))"),
+      u(uShape)))
+    // POINT operands: within degenerates to containment; overlaps is a
+    // dimension mismatch and always false
+    assert(withinWkt(u("POINT (1 1)"), u(dia)))
+    assert(!withinWkt(u("POINT (6 6)"), u(dia)))
+    assert(!overlapsWkt(u("POINT (1 1)"), u(dia)))
+    assert(!overlapsWkt(u(dia), u("POINT (1 1)")))
+    // codegen path + NULL propagation through the Column API
+    val got = Seq((1L, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"), (2L, half))
+      .toDF("id", "wkt")
+      .select($"id", GF.stWithin($"wkt", lit(dia)).as("w"),
+        GF.stOverlaps($"wkt", lit(dia)).as("o"))
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getBoolean(1), r.getBoolean(2))).toSeq ==
+      Seq((true, false), (false, true)))
+    val n = Seq(Tuple1(Option.empty[String])).toDF("wkt")
+      .select(GF.stWithin($"wkt", lit(dia)).as("w")).collect().head
+    assert(n.isNullAt(0))
+  }
 }
