@@ -63,7 +63,13 @@ object GraftFunctions {
         BpeSegmentExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
     (FunctionIdentifier("st_contains"),
       new ExpressionInfo(classOf[StContainsExpression].getName, "st_contains"),
-      (e: Seq[Expression]) => StContainsExpression(e(0), e(1), e(2))),
+      // arity dispatch: the 3-arg form is the original (polyWkt, x, y)
+      // point test; the 2-arg form is OGC ST_Contains(a, b) — geometry b
+      // within geometry a — which is exactly the within kernel with the
+      // arguments swapped (so the Trino geospatial page runs unmodified)
+      (e: Seq[Expression]) =>
+        if (e.length == 2) StWithinExpression(e(1), e(0))
+        else StContainsExpression(e(0), e(1), e(2))),
     (FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[StIntersectsExpression].getName, "st_intersects"),
       (e: Seq[Expression]) => StIntersectsExpression(e(0), e(1))),

@@ -552,6 +552,77 @@ object Etl extends QueryModule {
           |FROM nation ORDER BY k""".stripMargin)
     }),
 
+    // P2t: the Trino GEOSPATIAL page through the dialect — geometries
+    // are WKT text in this engine, so ST_GeometryFromText/ST_AsText are
+    // identities, ST_Point is a string builder, and the predicates ride
+    // the native st_* codegen kernels (2-arg ST_Contains dispatches to
+    // the within kernel with swapped arguments). pt_in genuinely varies
+    // with r (3.8 < r splits the five radius classes); the overlap and
+    // containment rectangles reuse sc21d's margin-engineered modes.
+    "p2t_presto_geospatial" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 AS DOUBLE) + 3.3 AS r
+          |  FROM nation),
+          |w AS (
+          |  SELECT k, cx, cy, r,
+          |    'POLYGON ((' || CAST(cx + r AS VARCHAR) || ' '
+          |      || CAST(cy AS VARCHAR) || ', ' || CAST(cx AS VARCHAR)
+          |      || ' ' || CAST(cy + r AS VARCHAR) || ', '
+          |      || CAST(cx - r AS VARCHAR) || ' ' || CAST(cy AS VARCHAR)
+          |      || ', ' || CAST(cx AS VARCHAR) || ' '
+          |      || CAST(cy - r AS VARCHAR) || ', '
+          |      || CAST(cx + r AS VARCHAR) || ' ' || CAST(cy AS VARCHAR)
+          |      || '))' AS dia,
+          |    'POLYGON ((' || CAST(cx + 0.1 - r / 4 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.1 - r / 5 AS VARCHAR) || ', '
+          |      || CAST(cx + 0.1 + r / 4 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.1 - r / 5 AS VARCHAR) || ', '
+          |      || CAST(cx + 0.1 + r / 4 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.1 + r / 5 AS VARCHAR) || ', '
+          |      || CAST(cx + 0.1 - r / 4 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.1 + r / 5 AS VARCHAR) || ', '
+          |      || CAST(cx + 0.1 - r / 4 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.1 - r / 5 AS VARCHAR) || '))' AS rin,
+          |    'POLYGON ((' || CAST(cx + r + 0.15 - r / 2 AS VARCHAR)
+          |      || ' ' || CAST(cy - r / 2 AS VARCHAR) || ', '
+          |      || CAST(cx + r + 0.15 + r / 2 AS VARCHAR) || ' '
+          |      || CAST(cy - r / 2 AS VARCHAR) || ', '
+          |      || CAST(cx + r + 0.15 + r / 2 AS VARCHAR) || ' '
+          |      || CAST(cy + r / 2 AS VARCHAR) || ', '
+          |      || CAST(cx + r + 0.15 - r / 2 AS VARCHAR) || ' '
+          |      || CAST(cy + r / 2 AS VARCHAR) || ', '
+          |      || CAST(cx + r + 0.15 - r / 2 AS VARCHAR) || ' '
+          |      || CAST(cy - r / 2 AS VARCHAR) || '))' AS rov
+          |  FROM g)
+          |SELECT k,
+          |  ST_Contains(ST_GeometryFromText(dia),
+          |    ST_Point(cx + 1.7, cy + 2.1)) AS pt_in,
+          |  ST_Contains(ST_GeometryFromText(dia),
+          |    ST_Point(cx + r + 1.0, cy)) AS pt_out,
+          |  ST_Contains(ST_GeometryFromText(dia),
+          |    ST_GeometryFromText(rin)) AS rect_in,
+          |  ST_Within(ST_GeometryFromText(rin),
+          |    ST_GeometryFromText(dia)) AS rect_within,
+          |  ST_Overlaps(ST_GeometryFromText(dia),
+          |    ST_GeometryFromText(rov)) AS ovl,
+          |  ST_Intersects(ST_GeometryFromText(dia),
+          |    ST_GeometryFromText(rov)) AS isect,
+          |  CAST(floor(ST_Area(ST_GeometryFromText(dia)) * 1e6 + 0.5)
+          |    AS BIGINT) AS area_q6,
+          |  CAST(floor(ST_Distance(ST_Point(cx, cy),
+          |    ST_Point(cx + r, cy + 4.0)) * 1e6 + 0.5) AS BIGINT)
+          |    AS dist_q6,
+          |  CAST(floor(ST_X(ST_Point(cx + 0.25, cy)) * 100 + 0.5)
+          |    AS BIGINT) AS x_q2,
+          |  ST_AsText(ST_Point(1.5, 2.5)) AS pt_txt
+          |FROM w ORDER BY k""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1238,6 +1309,38 @@ object Etl extends QueryModule {
         |  CAST(1 AS BIGINT) AS c0,
         |  array_to_string([nm, 'a'], ',') AS singles
         |FROM c ORDER BY k""".stripMargin,
+
+    "p2t_presto_geospatial" ->
+      // closed forms + op-for-op double mirrors: pt_in = L1 3.8 < r
+      // (margin >= 0.5 from every radius class), containment/overlap
+      // flags are margin-engineered constants, area mirrors the kernel's
+      // shoelace term order (the closing duplicate vertex contributes an
+      // exact zero), distance/x mirror the string-round-trip-exact
+      // double arithmetic
+      """WITH g AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r
+        |  FROM nation)
+        |SELECT k,
+        |  3.8 < r AS pt_in,
+        |  false AS pt_out,
+        |  true AS rect_in,
+        |  true AS rect_within,
+        |  true AS ovl,
+        |  true AS isect,
+        |  CAST(floor(abs(((cx + r) * (cy + r) - cx * cy)
+        |    + (cx * cy - (cx - r) * (cy + r))
+        |    + ((cx - r) * (cy - r) - cx * cy)
+        |    + (cx * cy - (cx + r) * (cy - r))) / 2 * 1e6 + 0.5)
+        |    AS BIGINT) AS area_q6,
+        |  CAST(floor(sqrt(((cx + r) - cx) * ((cx + r) - cx)
+        |    + ((cy + 4.0) - cy) * ((cy + 4.0) - cy)) * 1e6 + 0.5)
+        |    AS BIGINT) AS dist_q6,
+        |  CAST(floor((cx + 0.25) * 100 + 0.5) AS BIGINT) AS x_q2,
+        |  'POINT (1.5 2.5)' AS pt_txt
+        |FROM g ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->
       // closed form: matches are exactly the positions whose type is

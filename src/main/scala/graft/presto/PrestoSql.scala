@@ -1869,6 +1869,19 @@ object PrestoSql {
       " element_at(a, k)))))))" +
       " ELSE raise_error(concat('combinations: n = ', CAST(n AS STRING)," +
       " ' is not supported here (n <= 3; Trino caps at 5)')) END",
+    // Trino geospatial page: geometries ARE WKT text in this engine, so
+    // the constructors are identity/string builders and the predicates
+    // ride the native st_* codegen kernels (GraftFunctions registers
+    // before these temp functions are created, so the bodies resolve).
+    // st_distance is the POINT×POINT planar form — a polygon operand
+    // fails loudly in the point parse rather than answering wrongly.
+    "st_geometryfromtext(w STRING) RETURNS STRING RETURN w",
+    "st_astext(g STRING) RETURNS STRING RETURN g",
+    "st_point(x DOUBLE, y DOUBLE) RETURNS STRING RETURN" +
+      " concat('POINT (', CAST(x AS STRING), ' ', CAST(y AS STRING), ')')",
+    "st_distance(a STRING, b STRING) RETURNS DOUBLE RETURN" +
+      " sqrt((st_x(b) - st_x(a)) * (st_x(b) - st_x(a))" +
+      " + (st_y(b) - st_y(a)) * (st_y(b) - st_y(a)))",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)",
     // Presto date_format uses MySQL %-specifiers where Spark's same-named

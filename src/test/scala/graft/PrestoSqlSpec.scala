@@ -138,6 +138,38 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("combinations"))
   }
 
+  test("Trino geospatial page: constructors + 2-arg ST_Contains dispatch (r9)") {
+    PrestoSql.registerDialect(spark)
+    val r = PrestoSql.sql(spark,
+      """SELECT ST_AsText(ST_Point(1.5, 2.5)) AS p,
+        |  ST_AsText(ST_GeometryFromText('POINT (3 4)')) AS ident,
+        |  ST_Contains(
+        |    ST_GeometryFromText('POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))'),
+        |    ST_Point(1.0, 1.0)) AS c_in,
+        |  ST_Contains(
+        |    ST_GeometryFromText('POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))'),
+        |    ST_GeometryFromText('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'))
+        |    AS c_poly,
+        |  ST_Within(ST_Point(4.0, 4.0),
+        |    ST_GeometryFromText('POLYGON ((5 0, 0 5, -5 0, 0 -5, 5 0))'))
+        |    AS w_out,
+        |  ST_Distance(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0)) AS d
+        |""".stripMargin).head()
+    assert(r.getString(0) == "POINT (1.5 2.5)")
+    assert(r.getString(1) == "POINT (3 4)")
+    assert(r.getBoolean(2))   // point containment (2-arg dispatch)
+    assert(r.getBoolean(3))   // polygon containment (within, swapped)
+    assert(!r.getBoolean(4))  // L1 = 8 > 5
+    assert(r.getDouble(5) == 5.0)
+    // polygon operand to the point-only st_distance fails LOUDLY in the
+    // point parse instead of answering wrongly
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT ST_Distance(ST_GeometryFromText(" +
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), ST_Point(9.0, 9.0))")
+      .collect())
+    assert(e.getMessage != null)
+  }
+
   test("split is literal-delimiter (Presto), not regex (Spark); split_part adapted") {
     // split_part routes through the presto_split_part adapter (r8):
     // Trino returns NULL past the last field where Spark returns ''
