@@ -46,7 +46,9 @@ object PlanAudit {
       "l22b_decontaminate_capped", // r4: expect broadcast LeftAnti on both sides pre-join
       "l7c_image_decode",      // r4: expect image_stats in the binaryFile scan project
       "j12_geo_distance_join", // r4: expect cell-id equi-join + haversine residual, no BNLJ
-      "l6_embedding_centroids" // r7: expect Generate over slice(embedding,1,8) — explode width 8, not 64
+      "l6_embedding_centroids", // r7: expect Generate over slice(embedding,1,8) — explode width 8, not 64
+      "l54_perplexity_buckets", // r9: expect Window PARTITION BY source (never global) + broadcast n_src join
+      "l55_ngram_saturation"    // r9: expect shingle-keyed aggregates; the only unpartitioned Window sits on the |sources|-row frame
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")

@@ -27,7 +27,8 @@ object ScaleRehearsal {
   private val Heavy = Seq(
     "l2_minhash_lsh", "l22_decontaminate", "l26_semdedup",
     "l27_span_dedup", "l32_pq_adc", "l35_ivfpq", "p3_dedup_pipeline",
-    "l52_paragraph_dedup", "l51_pii_scrub")
+    "l52_paragraph_dedup", "l51_pii_scrub",
+    "l54_perplexity_buckets", "l55_ngram_saturation")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -74,8 +75,12 @@ object ScaleRehearsal {
       expand(spark, src, out, f)
       s"x$f" -> out
     }
+    // optional 4th arg: comma-separated query subset (local iteration —
+    // re-running one new query without re-timing the whole family)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     println(f"${"query"}%-22s ${dirs.map(_._1).map(n => f"$n%10s").mkString}")
-    for (q <- Heavy) {
+    for (q <- Heavy if only.forall(_.contains(q))) {
       val times = dirs.map { case (_, dir) =>
         // run twice, report the warm pass (codegen/classload amortized;
         // p3's build-once fixture makes its warm pass a cached read, so
