@@ -623,6 +623,33 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2u: Trino bitwise shifts + regexp_split + json_array_contains —
+    // three silent-divergence traps pinned under the oracle: Spark's
+    // shift builtins MASK the shift mod 64 (shift-by-64 returns the
+    // value unchanged) where Trino zeroes; Spark's shiftright is
+    // arithmetic where Trino's bitwise_right_shift is LOGICAL; and the
+    // dialect's plain split is literal-delimiter where regexp_split is
+    // the regex form. Negative operands exercise the logical/arithmetic
+    // split; shift-by-64 rows pin the Trino boundary semantics.
+    "p2u_presto_bitwise_regex" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_nationkey" AS k,
+          |  bitwise_left_shift("n_nationkey" + 1, 3) AS ls3,
+          |  bitwise_left_shift("n_nationkey" + 1, 64) AS ls64,
+          |  bitwise_right_shift(-("n_nationkey" + 1), 1) AS rs_log,
+          |  bitwise_right_shift_arithmetic(-("n_nationkey" + 1), 1)
+          |    AS rs_arith,
+          |  bitwise_right_shift(-("n_nationkey" + 1), 64) AS rs64,
+          |  bitwise_right_shift_arithmetic(-("n_nationkey" + 1), 64)
+          |    AS rs64_arith,
+          |  bitwise_not("n_nationkey") AS bnot,
+          |  array_join(regexp_split("n_name", '[AEIOU]+'), ',')
+          |    AS consonant_runs,
+          |  json_array_contains('[5, 10, 15]', "n_nationkey") AS in_list
+          |FROM nation ORDER BY k""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1309,6 +1336,26 @@ object Etl extends QueryModule {
         |  CAST(1 AS BIGINT) AS c0,
         |  array_to_string([nm, 'a'], ',') AS singles
         |FROM c ORDER BY k""".stripMargin,
+
+    "p2u_presto_bitwise_regex" ->
+      // closed forms in two's-complement arithmetic, independent of any
+      // engine shift operator: logical right shift of a negative v is
+      // (2^64 + v) div 2, written around BIGINT max to stay in range;
+      // arithmetic is floor division; shift-by-64 pins Trino's 0 / -1
+      // boundary. DuckDB's regexp_split_to_array re-derives the split.
+      """SELECT n_nationkey AS k,
+        |  CAST((n_nationkey + 1) * 8 AS BIGINT) AS ls3,
+        |  CAST(0 AS BIGINT) AS ls64,
+        |  CAST(9223372036854775807 - ((n_nationkey + 2) // 2) + 1
+        |    AS BIGINT) AS rs_log,
+        |  CAST(-((n_nationkey + 2) // 2) AS BIGINT) AS rs_arith,
+        |  CAST(0 AS BIGINT) AS rs64,
+        |  CAST(-1 AS BIGINT) AS rs64_arith,
+        |  CAST(-n_nationkey - 1 AS BIGINT) AS bnot,
+        |  array_to_string(regexp_split_to_array(n_name, '[AEIOU]+'), ',')
+        |    AS consonant_runs,
+        |  n_nationkey IN (5, 10, 15) AS in_list
+        |FROM nation ORDER BY k""".stripMargin,
 
     "p2t_presto_geospatial" ->
       // closed forms + op-for-op double mirrors: pt_in = L1 3.8 < r

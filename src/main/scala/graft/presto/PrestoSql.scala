@@ -1781,6 +1781,35 @@ object PrestoSql {
     "bitwise_and(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
     "bitwise_or(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
     "bitwise_xor(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    "bitwise_not(a BIGINT) RETURNS BIGINT RETURN ~a",
+    // Trino shift semantics diverge from Java's (Spark's shiftleft /
+    // shiftright / shiftrightunsigned MASK the shift amount mod 64, so
+    // shifting a BIGINT by 64 silently returns the value unchanged):
+    // Trino defines shift ≥ bit width as 0 — and -1 for the arithmetic
+    // right shift of a negative. Also: Trino's bitwise_right_shift is
+    // the LOGICAL (zero-fill) shift; mapping it onto Spark's shiftright
+    // (arithmetic) would silently corrupt every negative value.
+    // Negative shift amounts are undefined in Trino and fall through to
+    // Java's masking here (documented).
+    "bitwise_left_shift(v BIGINT, s BIGINT) RETURNS BIGINT RETURN" +
+      " CASE WHEN s >= 64 THEN 0L ELSE shiftleft(v, CAST(s AS INT)) END",
+    "bitwise_right_shift(v BIGINT, s BIGINT) RETURNS BIGINT RETURN" +
+      " CASE WHEN s >= 64 THEN 0L" +
+      " ELSE shiftrightunsigned(v, CAST(s AS INT)) END",
+    "bitwise_right_shift_arithmetic(v BIGINT, s BIGINT) RETURNS BIGINT" +
+      " RETURN CASE WHEN s >= 64 THEN IF(v < 0, -1L, 0L)" +
+      " ELSE shiftright(v, CAST(s AS INT)) END",
+    // Trino regexp_split: the REGEX split (the dialect's plain split is
+    // literal-delimiter via \\Q…\\E, the opposite trap) — the body is
+    // plain Spark SQL, so split() here is Spark's native regex form.
+    "regexp_split(s STRING, p STRING) RETURNS ARRAY<STRING>" +
+      " RETURN split(s, p)",
+    // Trino json_array_contains, value compared by its JSON scalar
+    // rendering (from_json to ARRAY<STRING> renders numbers/booleans as
+    // their JSON text, so BIGINT/BOOLEAN call sites coerce correctly);
+    // malformed JSON returns NULL rather than Trino's error (documented).
+    "json_array_contains(j STRING, v STRING) RETURNS BOOLEAN RETURN" +
+      " exists(from_json(j, 'ARRAY<STRING>'), x -> x = v)",
     // Presto day_of_week is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1,
     // so adapt via weekday (Mon=0). dow/doy/week are Presto aliases.
     "day_of_week(t TIMESTAMP) RETURNS BIGINT RETURN CAST(weekday(t) + 1 AS BIGINT)",

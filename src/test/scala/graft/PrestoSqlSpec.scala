@@ -138,6 +138,37 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("combinations"))
   }
 
+  test("Trino bitwise shifts / regexp_split / json_array_contains (r9)") {
+    PrestoSql.registerDialect(spark)
+    val r = spark.sql(
+      """SELECT bitwise_left_shift(3L, 2L) AS a,
+        |  bitwise_left_shift(1L, 63L) AS hi,
+        |  bitwise_left_shift(7L, 64L) AS z64,
+        |  bitwise_right_shift(-8L, 1L) AS rlog,
+        |  bitwise_right_shift_arithmetic(-8L, 1L) AS rari,
+        |  bitwise_right_shift(-8L, 64L) AS rz,
+        |  bitwise_right_shift_arithmetic(-8L, 64L) AS rneg,
+        |  bitwise_right_shift_arithmetic(8L, 64L) AS rpos,
+        |  bitwise_not(5L) AS bn,
+        |  regexp_split('a1b22c333d', '[0-9]+') AS rs,
+        |  json_array_contains('[5, 10, 15]', 10L) AS jc1,
+        |  json_array_contains('["red", "blue"]', 'blue') AS jc2,
+        |  json_array_contains('[5, 10]', 7L) AS jc3""".stripMargin).head()
+    assert(r.getLong(0) == 12L)
+    assert(r.getLong(1) == Long.MinValue)
+    // the Trino boundary Spark's builtins get wrong: Java masks the
+    // shift mod 64 (7 << 64 == 7); Trino zeroes
+    assert(r.getLong(2) == 0L)
+    // logical vs arithmetic right shift of a negative
+    assert(r.getLong(3) == 9223372036854775804L)
+    assert(r.getLong(4) == -4L)
+    assert(r.getLong(5) == 0L && r.getLong(6) == -1L && r.getLong(7) == 0L)
+    assert(r.getLong(8) == -6L)
+    // regexp form (the dialect's plain split is literal-delimiter)
+    assert(r.getSeq[String](9) == Seq("a", "b", "c", "d"))
+    assert(r.getBoolean(10) && r.getBoolean(11) && !r.getBoolean(12))
+  }
+
   test("Trino geospatial page: constructors + 2-arg ST_Contains dispatch (r9)") {
     PrestoSql.registerDialect(spark)
     val r = PrestoSql.sql(spark,
