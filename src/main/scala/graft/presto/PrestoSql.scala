@@ -1913,6 +1913,21 @@ object PrestoSql {
       " + (st_y(b) - st_y(a)) * (st_y(b) - st_y(a)))",
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)",
+    // Trino float-classification trio (Spark only ships isnan); NULL
+    // propagates NULL through all three, like Trino
+    "is_nan(x DOUBLE) RETURNS BOOLEAN RETURN isnan(x)",
+    "is_infinite(x DOUBLE) RETURNS BOOLEAN" +
+      " RETURN abs(x) = CAST('Infinity' AS DOUBLE)",
+    "is_finite(x DOUBLE) RETURNS BOOLEAN" +
+      " RETURN NOT isnan(x) AND abs(x) != CAST('Infinity' AS DOUBLE)",
+    // Trino UTF-8 codec pair onto Spark's encode/decode (the VARBINARY
+    // bridge hashing pipelines cross before md5/xxhash64)
+    "to_utf8(s STRING) RETURNS BINARY RETURN encode(s, 'UTF-8')",
+    "from_utf8(b BINARY) RETURNS STRING RETURN decode(b, 'UTF-8')",
+    // Trino year_of_week / yow: the ISO-8601 week-numbering year (Jan 1
+    // can belong to the previous ISO year — distinct from year())
+    "year_of_week(d DATE) RETURNS BIGINT RETURN extract(YEAROFWEEK FROM d)",
+    "yow(d DATE) RETURNS BIGINT RETURN extract(YEAROFWEEK FROM d)",
     // Presto date_format uses MySQL %-specifiers where Spark's same-named
     // builtin takes a Java pattern — a silent-wrong-answer trap for
     // migrating SQL, so the Presto name is adapted through the same

@@ -138,6 +138,31 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("combinations"))
   }
 
+  test("Trino is_finite/is_infinite/is_nan, to_utf8/from_utf8, year_of_week (r9)") {
+    PrestoSql.registerDialect(spark)
+    val r = spark.sql(
+      """SELECT is_nan(nan()) AS a, is_nan(1.0D) AS b,
+        |  is_infinite(infinity()) AS c, is_infinite(-infinity()) AS d,
+        |  is_infinite(2.0D) AS e,
+        |  is_finite(3.5D) AS f, is_finite(nan()) AS g,
+        |  is_finite(infinity()) AS h,
+        |  is_finite(CAST(NULL AS DOUBLE)) IS NULL AS nn,
+        |  from_utf8(to_utf8('héllo')) AS rt,
+        |  hex(to_utf8('AB')) AS hx,
+        |  year_of_week(DATE'2022-01-01') AS yw1,
+        |  yow(DATE'2023-01-02') AS yw2""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getBoolean(8))
+    assert(r.getString(9) == "héllo")
+    assert(r.getString(10) == "4142")
+    // ISO week-year: 2022-01-01 (Saturday) belongs to ISO year 2021;
+    // 2023-01-02 (Monday) starts ISO week 1 of 2023 — Trino doc examples
+    assert(r.getLong(11) == 2021L)
+    assert(r.getLong(12) == 2023L)
+  }
+
   test("Trino bitwise shifts / regexp_split / json_array_contains (r9)") {
     PrestoSql.registerDialect(spark)
     val r = spark.sql(
