@@ -426,6 +426,81 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // L2f: MinHash BANDING scorecard — the (bands × rows) S-curve made
+    // auditable, the l35b-nprobe pattern applied to LSH: ONE 64-perm
+    // signature frame swept at (8,8) / (16,4) / (32,2), reporting per
+    // config the candidate-pair count, the verified near-dup pairs
+    // (≥ 23/64 matching perms — identical to l2's 0.35 cut), and recall
+    // against the union truth set. Contiguous band slices NEST (an
+    // 8-row band match implies all its 2-row sub-bands match), so both
+    // candidates and recall are monotone in the band count — the dial a
+    // production dedup tunes between shuffle volume and recall. Scale:
+    // each config is the l2 plan (band-key shuffle + bucket-size guard,
+    // never all-pairs); the sweep's extra cost is candidate volume, not
+    // corpus passes — signatures compute once. NO ORACLE by design (the
+    // 64-perm kernel is not DuckDB-mirrorable), pre-registered like
+    // l2/l35b; ScaleShapeSpec pins shape, determinism, and monotonicity.
+    "l2f_minhash_band_sweep" -> ((s, d) => {
+      GF.register(s)
+      // bounded to the src0 slice (l2b's declared-subset pattern): the
+      // scorecard's purpose is the per-config RATIOS, which a uniform
+      // slice preserves — and the coarsest-config candidate floor stays
+      // bench-scale while (32,2) still generates ~64× more pairs
+      val docs = Tables.documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id"), GF.minhashTextSig(col("text"), 5).as("sig"))
+        .localCheckpoint()
+      def candidates(b: Int, r: Int) = {
+        val banded = docs.select(col("doc_id"),
+          posexplode(TF.bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
+        val small = banded.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 500)
+          .select(col("band"), col("bh"))
+        val g = banded.join(small, Seq("band", "bh"))
+        g.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+          .join(g.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+            Seq("band", "bh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+      }
+      val tagged = Seq((8, 8), (16, 4), (32, 2)).map { case (b, r) =>
+        candidates(b, r).select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"), col("doc_a"), col("doc_b"))
+      }.reduce(_.unionByName(_))
+      val verified = tagged
+        .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          "doc_b")
+        .select(col("bands"), col("rows_per_band"), col("doc_a"),
+          col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y),
+            (m: org.apache.spark.sql.Column) => m)) >= 23).as("dup"))
+        .localCheckpoint() // feeds the per-config rollup AND the truth set
+      val truth = verified.filter(col("dup"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .agg(count(lit(1)).as("n_truth"))
+      // config spine left-join: a config whose candidate set is EMPTY
+      // (coarse banding on a slice with no strong pairs) still reports
+      // its zero row — the 3-row shape is stable at every SF
+      import s.implicits._
+      val spine = Seq((8L, 8L), (16L, 4L), (32L, 2L))
+        .toDF("bands", "rows_per_band")
+      spine.join(
+          verified.groupBy(col("bands"), col("rows_per_band"))
+            .agg(count(lit(1)).as("nc"),
+              sum(when(col("dup"), 1L).otherwise(0L)).as("nf")),
+          Seq("bands", "rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("nc"), lit(0L)).as("n_candidates"),
+          coalesce(col("nf"), lit(0L)).as("n_found"))
+        .crossJoin(broadcast(truth))
+        .withColumn("recall_ppm", // greatest-guard: a dup-free slice
+          // reports 0 recall instead of dividing by zero
+          expr("CAST(n_found * 1000000 DIV greatest(n_truth, 1) AS BIGINT)"))
+        .orderBy(col("bands"))
+    }),
+
     // L2d: embedding-cosine near-dup — the vector-space dedup family
     // (pairs with cosine ≥ τ are duplicate candidates). Exact within one
     // label partition as the oracle-checkable baseline (mirrors l2b's

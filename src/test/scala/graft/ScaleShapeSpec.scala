@@ -527,4 +527,27 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("shingle"), plan.take(3000))
   }
+
+  test("l2f banding sweep: 3 rows, deterministic, monotone S-curve (r9)") {
+    def rows() = ops.LlmOps.queries("l2f_minhash_band_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val a = rows()
+    assert(a.length == 3)
+    assert(a.map(x => (x._1, x._2)).toSeq ==
+      Seq((8L, 8L), (16L, 4L), (32L, 2L)))
+    // contiguous band slices NEST (an 8-row band match implies all its
+    // sub-band matches), so candidates and recall are monotone in the
+    // band count — the S-curve the (b, r) dial is for
+    assert(a(0)._3 <= a(1)._3 && a(1)._3 <= a(2)._3,
+      s"candidates must grow with bands: ${a.toSeq}")
+    assert(a(0)._6 <= a(1)._6 && a(1)._6 <= a(2)._6,
+      s"recall must grow with bands: ${a.toSeq}")
+    // the truth set is non-empty (the corpus carries near-dup pairs) and
+    // the finest config reaches full recall on this skew-free corpus
+    assert(a(2)._5 > 0, s"empty truth set: ${a.toSeq}")
+    assert(a(2)._6 == 1000000L, s"(32,2) should catch every pair: ${a.toSeq}")
+    // deterministic end to end (hash kernel + integer arithmetic)
+    assert(rows().toSeq == a.toSeq)
+  }
 }
