@@ -650,6 +650,55 @@ object Etl extends QueryModule {
           |FROM nation ORDER BY k""".stripMargin)
     }),
 
+    // P2v: the remaining Trino scalar tier — great_circle_distance
+    // (haversine, mirrored op-for-op in the oracle per the sc21 parity
+    // rule), from_unixtime_nanos (floor-to-µs incl. pre-epoch),
+    // 2-arg bit_count (bits-width two's complement, negatives
+    // exercised), regexp_count/regexp_position (group-0 + the -1
+    // sentinel; rows without a match included), format_number on the
+    // published-example magnitudes plus negatives, and the Presto
+    // array pair array_cum_sum (NULL poisons the tail) / remove_nulls.
+    // Arrays render through to_json so both engines compare one string.
+    "p2v_presto_fns_misc" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_nationkey" AS k,
+          |  CAST(floor(great_circle_distance(
+          |    "n_nationkey" - 12.0, "n_nationkey" * 3.0 - 36.0,
+          |    ("n_nationkey" * 7.0) % 25.0 - 12.0,
+          |    ("n_nationkey" * 11.0) % 50.0 - 25.0) * 1e6 + 0.5)
+          |    AS BIGINT) AS gcd_q6,
+          |  from_unixtime_nanos(1500000000000000000 +
+          |    "n_nationkey" * CAST(1234567891 AS BIGINT)) AS ts_ns,
+          |  from_unixtime_nanos(-1 -
+          |    "n_nationkey" * CAST(987654321 AS BIGINT)) AS ts_ns_neg,
+          |  bit_count("n_nationkey" - 12, 8) AS bc8,
+          |  bit_count(-("n_nationkey" + 1), 64) AS bc64,
+          |  CAST(regexp_count(lower("n_name"), '[aeiou][aeiou]')
+          |    AS BIGINT) AS rc,
+          |  regexp_position(lower("n_name"), 'an') AS rp,
+          |  format_number(("n_nationkey" + 1) * 97) AS fmt_small,
+          |  format_number(("n_nationkey" + 1) * 123456) AS fmt_k,
+          |  format_number(-(("n_nationkey" + 1) * 9876543)) AS fmt_neg,
+          |  format_number(("n_nationkey" + 1) * 1234567890123) AS fmt_t,
+          |  element_at(array_cum_sum(CASE WHEN "n_nationkey" % 3 = 0
+          |    THEN ARRAY[CAST("n_nationkey" AS BIGINT),
+          |      CAST(NULL AS BIGINT), CAST(7 AS BIGINT)]
+          |    ELSE ARRAY[CAST("n_nationkey" AS BIGINT),
+          |      CAST("n_nationkey" * 2 AS BIGINT), CAST(7 AS BIGINT)]
+          |    END), 2) AS cum2,
+          |  element_at(array_cum_sum(CASE WHEN "n_nationkey" % 3 = 0
+          |    THEN ARRAY[CAST("n_nationkey" AS BIGINT),
+          |      CAST(NULL AS BIGINT), CAST(7 AS BIGINT)]
+          |    ELSE ARRAY[CAST("n_nationkey" AS BIGINT),
+          |      CAST("n_nationkey" * 2 AS BIGINT), CAST(7 AS BIGINT)]
+          |    END), 3) AS cum3,
+          |  array_join(remove_nulls(ARRAY['a',
+          |    CASE WHEN "n_nationkey" % 2 = 0 THEN NULL ELSE 'b' END,
+          |    "n_name"]), ',') AS rn_csv
+          |FROM nation ORDER BY k""".stripMargin)
+    }),
+
     // P4k: `ALTER TABLE … EXECUTE optimize` — Trino's compaction
     // statement (the managed-table form of s15's directory compaction):
     // three small INSERT commits fragment the table, OPTIMIZE rewrites
@@ -1356,6 +1405,120 @@ object Etl extends QueryModule {
         |    AS consonant_runs,
         |  n_nationkey IN (5, 10, 15) AS in_list
         |FROM nation ORDER BY k""".stripMargin,
+
+    "p2v_presto_fns_misc" ->
+      // haversine mirrored op-for-op (same literals, association order,
+      // least clamp — the sc21 rule); nanos→µs floor via the same
+      // non-negative-remainder subtraction; bit_count through the same
+      // mask; format_number through the same scaled/suffix/strip tree
+      // (printf rounds the same binary doubles as Spark's DecimalFormat
+      // on the tie-free inputs); cum2/cum3 and rn_csv as closed forms
+      """WITH base AS (
+        |  SELECT n_nationkey AS k, n_name, lower(n_name) AS nm,
+        |    CAST(n_nationkey - 12.0 AS DOUBLE) AS lat1,
+        |    CAST(n_nationkey * 3.0 - 36.0 AS DOUBLE) AS lon1,
+        |    CAST((n_nationkey * 7.0) % 25.0 - 12.0 AS DOUBLE) AS lat2,
+        |    CAST((n_nationkey * 11.0) % 50.0 - 25.0 AS DOUBLE) AS lon2,
+        |    1500000000000000000
+        |      + n_nationkey * CAST(1234567891 AS BIGINT) AS n1,
+        |    -1 - n_nationkey * CAST(987654321 AS BIGINT) AS n2,
+        |    (n_nationkey + 1) * 97 AS v1,
+        |    (n_nationkey + 1) * 123456 AS v2,
+        |    -((n_nationkey + 1) * 9876543) AS v3,
+        |    (n_nationkey + 1) * 1234567890123 AS v4
+        |  FROM nation),
+        |sc AS (
+        |  SELECT *,
+        |    CASE WHEN abs(v1) < 1000000 THEN abs(v1) / 1000.0
+        |      WHEN abs(v1) < 1000000000 THEN abs(v1) / 1000000.0
+        |      ELSE abs(v1) / 1000000000.0 END AS s1,
+        |    CASE WHEN abs(v1) < 1000000 THEN 'K'
+        |      WHEN abs(v1) < 1000000000 THEN 'M' ELSE 'B' END AS u1,
+        |    CASE WHEN abs(v2) < 1000000 THEN abs(v2) / 1000.0
+        |      WHEN abs(v2) < 1000000000 THEN abs(v2) / 1000000.0
+        |      ELSE abs(v2) / 1000000000.0 END AS s2,
+        |    CASE WHEN abs(v2) < 1000000 THEN 'K'
+        |      WHEN abs(v2) < 1000000000 THEN 'M' ELSE 'B' END AS u2,
+        |    CASE WHEN abs(v3) < 1000000 THEN abs(v3) / 1000.0
+        |      WHEN abs(v3) < 1000000000 THEN abs(v3) / 1000000.0
+        |      ELSE abs(v3) / 1000000000.0 END AS s3,
+        |    CASE WHEN abs(v3) < 1000000 THEN 'K'
+        |      WHEN abs(v3) < 1000000000 THEN 'M' ELSE 'B' END AS u3,
+        |    CASE WHEN abs(v4) < 1000000000000000 THEN
+        |      abs(v4) / 1000000000000.0
+        |      ELSE abs(v4) / 1000000000000000.0 END AS s4,
+        |    CASE WHEN abs(v4) < 1000000000000000 THEN 'T' ELSE 'Q' END
+        |      AS u4
+        |  FROM base)
+        |SELECT k,
+        |  CAST(floor(12742.0176 * asin(sqrt(least(
+        |    sin((lat2 * 0.017453292519943295
+        |      - lat1 * 0.017453292519943295) / 2) *
+        |    sin((lat2 * 0.017453292519943295
+        |      - lat1 * 0.017453292519943295) / 2) +
+        |    cos(lat1 * 0.017453292519943295) *
+        |    cos(lat2 * 0.017453292519943295) *
+        |    sin((lon2 * 0.017453292519943295
+        |      - lon1 * 0.017453292519943295) / 2) *
+        |    sin((lon2 * 0.017453292519943295
+        |      - lon1 * 0.017453292519943295) / 2),
+        |    CAST(1.0 AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) AS gcd_q6,
+        |  make_timestamp((n1 - ((n1 % 1000) + 1000) % 1000) // 1000)
+        |    AS ts_ns,
+        |  make_timestamp((n2 - ((n2 % 1000) + 1000) % 1000) // 1000)
+        |    AS ts_ns_neg,
+        |  CAST(bit_count((k - 12) & ((CAST(1 AS BIGINT) << 8) - 1))
+        |    AS BIGINT) AS bc8,
+        |  CAST(bit_count(CAST(-(k + 1) AS BIGINT)) AS BIGINT) AS bc64,
+        |  CAST(len(regexp_extract_all(nm, '[aeiou][aeiou]'))
+        |    AS BIGINT) AS rc,
+        |  CASE WHEN regexp_matches(nm, 'an')
+        |    THEN CAST(len(regexp_split_to_array(nm, 'an')[1]) + 1
+        |      AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS rp,
+        |  CASE WHEN abs(v1) < 1000 THEN CAST(v1 AS VARCHAR)
+        |    ELSE concat(CASE WHEN v1 < 0 THEN '-' ELSE '' END,
+        |      CASE WHEN s1 >= 100
+        |        THEN CAST(CAST(round(s1, 0) AS BIGINT) AS VARCHAR)
+        |      WHEN s1 >= 10 THEN regexp_replace(regexp_replace(
+        |        printf('%.1f', s1), '0+$', ''), '\.$', '')
+        |      ELSE regexp_replace(regexp_replace(
+        |        printf('%.2f', s1), '0+$', ''), '\.$', '') END, u1) END
+        |    AS fmt_small,
+        |  CASE WHEN abs(v2) < 1000 THEN CAST(v2 AS VARCHAR)
+        |    ELSE concat(CASE WHEN v2 < 0 THEN '-' ELSE '' END,
+        |      CASE WHEN s2 >= 100
+        |        THEN CAST(CAST(round(s2, 0) AS BIGINT) AS VARCHAR)
+        |      WHEN s2 >= 10 THEN regexp_replace(regexp_replace(
+        |        printf('%.1f', s2), '0+$', ''), '\.$', '')
+        |      ELSE regexp_replace(regexp_replace(
+        |        printf('%.2f', s2), '0+$', ''), '\.$', '') END, u2) END
+        |    AS fmt_k,
+        |  CASE WHEN abs(v3) < 1000 THEN CAST(v3 AS VARCHAR)
+        |    ELSE concat(CASE WHEN v3 < 0 THEN '-' ELSE '' END,
+        |      CASE WHEN s3 >= 100
+        |        THEN CAST(CAST(round(s3, 0) AS BIGINT) AS VARCHAR)
+        |      WHEN s3 >= 10 THEN regexp_replace(regexp_replace(
+        |        printf('%.1f', s3), '0+$', ''), '\.$', '')
+        |      ELSE regexp_replace(regexp_replace(
+        |        printf('%.2f', s3), '0+$', ''), '\.$', '') END, u3) END
+        |    AS fmt_neg,
+        |  CASE WHEN abs(v4) < 1000 THEN CAST(v4 AS VARCHAR)
+        |    ELSE concat(CASE WHEN v4 < 0 THEN '-' ELSE '' END,
+        |      CASE WHEN s4 >= 100
+        |        THEN CAST(CAST(round(s4, 0) AS BIGINT) AS VARCHAR)
+        |      WHEN s4 >= 10 THEN regexp_replace(regexp_replace(
+        |        printf('%.1f', s4), '0+$', ''), '\.$', '')
+        |      ELSE regexp_replace(regexp_replace(
+        |        printf('%.2f', s4), '0+$', ''), '\.$', '') END, u4) END
+        |    AS fmt_t,
+        |  CASE WHEN k % 3 = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(3 * k AS BIGINT) END AS cum2,
+        |  CASE WHEN k % 3 = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(3 * k + 7 AS BIGINT) END AS cum3,
+        |  CASE WHEN k % 2 = 0 THEN concat('a,', n_name)
+        |    ELSE concat('a,b,', n_name) END AS rn_csv
+        |FROM sc ORDER BY k""".stripMargin,
 
     "p2t_presto_geospatial" ->
       // closed forms + op-for-op double mirrors: pt_in = L1 3.8 < r

@@ -2291,7 +2291,102 @@ object PrestoSql {
       " IF(t % 60 > 0, concat(t % 60, ' second'," +
       " IF(t % 60 = 1, '', 's')), NULL)) END",
     "human_readable_seconds(d DOUBLE) RETURNS STRING RETURN" +
-      " graft_hrs(CAST(round(d) AS BIGINT))")
+      " graft_hrs(CAST(round(d) AS BIGINT))",
+    // Trino great_circle_distance(lat1, lon1, lat2, lon2) → km on the
+    // IUGG mean-Earth sphere. The body mirrors GeoFunctions.haversineKm
+    // operation-for-operation (same literals, same association order,
+    // same least(a, 1) drift clamp) so a DuckDB oracle writing the same
+    // expression tree rounds identically at every step — the sc21/j12
+    // parity precedent. 0.017453292519943295 = π/180; 12742.0176 = 2R.
+    "great_circle_distance(lat1 DOUBLE, lon1 DOUBLE," +
+      " lat2 DOUBLE, lon2 DOUBLE) RETURNS DOUBLE RETURN" +
+      " 12742.0176 * asin(sqrt(least(" +
+      " sin((lat2 * 0.017453292519943295 - lat1 * 0.017453292519943295)" +
+      " / 2) *" +
+      " sin((lat2 * 0.017453292519943295 - lat1 * 0.017453292519943295)" +
+      " / 2) +" +
+      " cos(lat1 * 0.017453292519943295) *" +
+      " cos(lat2 * 0.017453292519943295) *" +
+      " sin((lon2 * 0.017453292519943295 - lon1 * 0.017453292519943295)" +
+      " / 2) *" +
+      " sin((lon2 * 0.017453292519943295 - lon1 * 0.017453292519943295)" +
+      " / 2), CAST(1.0 AS DOUBLE))))",
+    // Trino from_unixtime_nanos: nanos since epoch → timestamp,
+    // truncated toward NEGATIVE infinity to Spark's microsecond
+    // precision (pmod keeps the remainder non-negative, so the
+    // subtraction floors for negative nanos too — Trino's pre-epoch
+    // reading, not Java's truncate-toward-zero).
+    "from_unixtime_nanos(n BIGINT) RETURNS TIMESTAMP RETURN" +
+      " timestamp_micros((n - pmod(n, 1000L)) div 1000L)",
+    // Trino bit_count(x, bits): population count of x read as a
+    // `bits`-wide two's-complement value; x outside that width errors
+    // loudly with Trino's message. Registered under presto_bit_count
+    // and renamed in the dialect — Trino's form is ALWAYS 2-arg, so the
+    // rename is total there, while Spark's 1-arg builtin keeps its
+    // semantics everywhere else in the session (the xxhash64 rule).
+    "presto_bit_count(v BIGINT, b INT) RETURNS BIGINT RETURN" +
+      " CASE WHEN b < 2 OR b > 64 THEN raise_error(concat(" +
+      "'bit_count: bits must be between 2 and 64: ', CAST(b AS STRING)))" +
+      " WHEN b = 64 THEN CAST(bit_count(v) AS BIGINT)" +
+      " WHEN v > shiftleft(1L, b - 1) - 1 OR v < -shiftleft(1L, b - 1)" +
+      " THEN raise_error(concat(CAST(v AS STRING)," +
+      " ' is out of range for bit_count of ', CAST(b AS STRING), ' bits'))" +
+      " ELSE CAST(bit_count(v & (shiftleft(1L, b) - 1)) AS BIGINT) END",
+    // (Trino regexp_count is Spark 3.5+'s BUILTIN of the same name and
+    // semantics — non-overlapping full-match count — so it passes
+    // through untranslated; only the INT-vs-BIGINT return width
+    // differs, a cast at the call site.) regexp_position is 1-based
+    // with Trino's -1 no-match sentinel over Spark's regexp_instr
+    // (which returns 0 there).
+    "regexp_position(s STRING, p STRING) RETURNS BIGINT RETURN" +
+      " IF(regexp_instr(s, p) = 0, -1L, CAST(regexp_instr(s, p) AS BIGINT))",
+    // Trino format_number(n): unit-suffixed rendering at powers of 1000
+    // (K/M/B/T, then Q), ≤3 significant digits, trailing zeros dropped —
+    // reproduces the published examples (123456 → '123K', 1000000 →
+    // '1M'). graft_fmt3 renders a scaled value in [1, 1000): integer at
+    // ≥100, else 1–2 decimals through Spark's format_number (scaled
+    // < 1000, so its comma grouping can't trigger) with the zero-strip
+    // regexes. Boundary rendering (999999 → '1000K') is documented; the
+    // oracle mirrors the same expression tree so parity is by
+    // construction. Registered under presto_format_number — the BODY
+    // needs Spark's fixed-decimals builtin of the colliding name.
+    "graft_fmt3(x DOUBLE) RETURNS STRING RETURN" +
+      " CASE WHEN x >= 100 THEN CAST(CAST(round(x, 0) AS BIGINT) AS STRING)" +
+      " WHEN x >= 10 THEN regexp_replace(regexp_replace(" +
+      "format_number(x, 1), '0+$', ''), '\\\\.$', '')" +
+      " ELSE regexp_replace(regexp_replace(" +
+      "format_number(x, 2), '0+$', ''), '\\\\.$', '') END",
+    "presto_format_number(n BIGINT) RETURNS STRING RETURN" +
+      " CASE WHEN abs(n) < 1000 THEN CAST(n AS STRING)" +
+      " ELSE concat(IF(n < 0, '-', '')," +
+      " CASE WHEN abs(n) < 1000000" +
+      " THEN concat(graft_fmt3(CAST(abs(n) AS DOUBLE) / 1000), 'K')" +
+      " WHEN abs(n) < 1000000000" +
+      " THEN concat(graft_fmt3(CAST(abs(n) AS DOUBLE) / 1000000), 'M')" +
+      " WHEN abs(n) < 1000000000000" +
+      " THEN concat(graft_fmt3(CAST(abs(n) AS DOUBLE) / 1000000000), 'B')" +
+      " WHEN abs(n) < 1000000000000000" +
+      " THEN concat(graft_fmt3(CAST(abs(n) AS DOUBLE) / 1000000000000)," +
+      " 'T')" +
+      " ELSE concat(graft_fmt3(CAST(abs(n) AS DOUBLE) / 1000000000000000)," +
+      " 'Q') END) END",
+    // Presto array_cum_sum: running sums; a NULL element makes its
+    // position AND everything after NULL (Presto's documented reading).
+    // ONE aggregate() pass with a (out, sum, nullSeen) accumulator — the
+    // array-append copies are row-local and bounded by the array length.
+    "array_cum_sum(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN" +
+      " aggregate(a," +
+      " named_struct('out', CAST(array() AS ARRAY<BIGINT>), 's', 0L," +
+      " 'np', false)," +
+      " (acc, x) -> IF(acc.np OR x IS NULL," +
+      " named_struct('out', concat(acc.out, array(CAST(NULL AS BIGINT)))," +
+      " 's', acc.s, 'np', true)," +
+      " named_struct('out', concat(acc.out, array(acc.s + x))," +
+      " 's', acc.s + x, 'np', false))," +
+      " acc -> acc.out)",
+    // Presto remove_nulls (typed STRING per the array_sum convention)
+    "remove_nulls(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN" +
+      " filter(a, x -> x IS NOT NULL)")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)
@@ -2443,6 +2538,14 @@ object PrestoSql {
     // indexes — the adapter pins Trino's reading (and its \Q…\E literal
     // delimiter, like presto_split).
     ("""(?i)\bsplit_part\s*\(""".r, "presto_split_part("),
+    // Trino bit_count is always the 2-arg bits-width form; the rename
+    // scopes it to the dialect so Spark's 1-arg builtin is untouched
+    // elsewhere (and the adapter BODY can call it).
+    ("""(?i)\bbit_count\s*\(""".r, "presto_bit_count("),
+    // Trino format_number is the 1-arg unit-suffix form; Spark's
+    // builtin of the same name is the 2-arg fixed-decimals formatter
+    // the adapter body uses — same scoping rule as bit_count.
+    ("""(?i)\bformat_number\s*\(""".r, "presto_format_number("),
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),
     ("""(?i)\bto_hex\s*\(""".r, "hex("),
     ("""(?i)\bfrom_hex\s*\(""".r, "unhex("),

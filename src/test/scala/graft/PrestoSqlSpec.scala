@@ -2237,4 +2237,50 @@ class PrestoSqlSpec extends SparkSpec {
       "SELECT from_big_endian_64(to_big_endian_32(1))").collect())
     assert(e.getMessage.contains("expected 8-byte input"))
   }
+
+  test("p2v scalar tier: bit_count, format_number, nanos, regexp, arrays") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  bit_count(9, 64) AS bc_a,
+        |  bit_count(-7, 64) AS bc_b,
+        |  bit_count(9, 8) AS bc_c,
+        |  bit_count(-7, 8) AS bc_d,
+        |  format_number(123456) AS fm_a,
+        |  format_number(1000000) AS fm_b,
+        |  format_number(999) AS fm_c,
+        |  format_number(-12345) AS fm_d,
+        |  format_number(1500) AS fm_e,
+        |  regexp_position('bananas', 'an') AS rp_hit,
+        |  regexp_position('grape', 'an') AS rp_miss,
+        |  CAST(from_unixtime_nanos(-1) AS STRING) AS ts_neg,
+        |  CAST(from_unixtime_nanos(1500000000123456789) AS STRING) AS ts_p,
+        |  element_at(array_cum_sum(ARRAY[5, 10, NULL, 2]), 2) AS cs2,
+        |  element_at(array_cum_sum(ARRAY[5, 10, NULL, 2]), 4) AS cs4,
+        |  cardinality(remove_nulls(ARRAY['x', NULL, 'y'])) AS rn,
+        |  CAST(floor(great_circle_distance(36.12, -86.67, 33.94, -118.40)
+        |    ) AS BIGINT) AS gcd_km
+        |""".stripMargin).collect().head
+    // Trino doc examples: bit_count(9, 64) = 2, bit_count(-7, 64) = 62,
+    // bit_count(9, 8) = 2, bit_count(-7, 8) = 6
+    assert(r.getLong(0) == 2L && r.getLong(1) == 62L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 6L)
+    // Trino doc examples: 123456 → '123K', 1000000 → '1M'
+    assert(r.getString(4) == "123K", r.getString(4))
+    assert(r.getString(5) == "1M", r.getString(5))
+    assert(r.getString(6) == "999" && r.getString(7) == "-12.3K")
+    assert(r.getString(8) == "1.5K", r.getString(8))
+    assert(r.getLong(9) == 2L && r.getLong(10) == -1L)
+    // floor-to-µs: -1 ns floors to the microsecond BEFORE the epoch
+    assert(r.getString(11) == "1969-12-31 23:59:59.999999", r.getString(11))
+    assert(r.getString(12) == "2017-07-14 02:40:00.123456", r.getString(12))
+    // NULL poisons its position and the tail, like Presto
+    assert(r.getLong(13) == 15L && r.isNullAt(14))
+    assert(r.getInt(15) == 2)
+    // BNA→LAX great-circle ≈ 2886.45 km (the canonical haversine example)
+    assert(r.getLong(16) == 2886L, r.getLong(16).toString)
+    // out-of-range width errors loudly with Trino's message
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT bit_count(500, 8)").collect())
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
 }
