@@ -125,6 +125,62 @@ object TextFunctions {
         s => s.getField("best")))
   }
 
+  /** All k-word grams of `tokens` IN ORDER, non-distinct — counting
+    * signals need multiplicity where `wordShingles` dedups for set
+    * semantics. ≥ 1 gram even for short inputs (the charShingles
+    * clamp); try_element_at past the end yields NULL, which concat_ws
+    * skips (plain element_at would THROW under Spark 4's ANSI mode —
+    * the l17 rule). */
+  def wordGrams(tokens: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1)))
+    transform(idx, i =>
+      concat_ws(" ",
+        (0 until n).map(j => try_element_at(tokens, i + lit(j))): _*))
+  }
+
+  private def runLen(prev: Column, x: Column, r: Column): Column =
+    when(prev.eqNullSafe(x), r + 1L).otherwise(lit(1L))
+
+  /** count(g)·length(g) of the gram COVERING the most characters — the
+    * numerator of Gopher's "fraction of characters in the most frequent
+    * n-gram" (Rae et al. 2022, table A1) under a deterministic tie rule
+    * (max over grams of count·length — count-then-text would need a
+    * second pass; any fixed rule serves the filter). Sort + ONE
+    * run-length pass, O(n log n) per row — the topTokenCount machinery,
+    * not the O(n²) distinct×filter form. 0 on empty input. */
+  def topGramCharCount(grams: Column): Column =
+    aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (s, x) => {
+        val r = runLen(s.getField("prev"), x, s.getField("run"))
+        struct(x.as("prev"), r.as("run"),
+          greatest(s.getField("best"),
+            r * length(x).cast("long")).as("best"))
+      },
+      s => s.getField("best"))
+
+  /** Σ count(g)·length(g) over grams occurring ≥ 2 times — Gopher's
+    * "characters in duplicate n-grams" numerator. Same sorted
+    * run-length pass: a run's second member contributes 2·len (itself
+    * plus the retroactive first copy), members after contribute len —
+    * so a run of c ≥ 2 totals c·len and singletons contribute 0. */
+  def dupGramCharCount(grams: Column): Column =
+    aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("tot")),
+      (s, x) => {
+        val r = runLen(s.getField("prev"), x, s.getField("run"))
+        struct(x.as("prev"), r.as("run"),
+          (s.getField("tot") +
+            when(r === 2L, length(x).cast("long") * 2L)
+              .when(r > 2L, length(x).cast("long"))
+              .otherwise(lit(0L))).as("tot"))
+      },
+      s => s.getField("tot"))
+
   /** Winnowing selection (Schleimer, Wilkerson, Aiken 2003): the min
     * hash of every w-wide window, deduped and sorted — any shared run
     * of ≥ k+w−1 tokens between two documents shares ≥ 1 selected

@@ -2364,6 +2364,88 @@ object LlmOps extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // L56: INTRA-document repeated-line removal — RefinedWeb's
+    // line-wise correction stage (Penedo et al. 2023) and Dolma's
+    // in-document paragraph dedup: repeated lines INSIDE one document
+    // (menus, nav bars, chorus spam) are dropped keep-first, the
+    // document reassembled in order. The corpus has no newline
+    // structure, so a line is a fixed 6-word chunk (the l52
+    // convention — the machinery, not the segmentation, is the
+    // operator). Scale: this is pure PER-ROW array work — zero
+    // shuffles at any corpus size, the whole operator lives in the
+    // scan stage (global dedup is l52's job). The keep-first filter is
+    // first-index matching, O(c²) worst-case in the LINES of one doc
+    // (c = words/6, bounded by document length, independent of corpus
+    // size); pathological million-line docs would route through l52's
+    // posexplode+window machinery scoped per-doc instead.
+    "l56_line_dedup" -> ((s, d) => {
+      val P = 6
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("ls", expr(
+          s"""transform(
+             |  sequence(0, greatest(CAST(ceil(size(w) / $P.0) AS INT) - 1, 0)),
+             |  i -> array_join(slice(w, i * $P + 1, $P), ' '))""".stripMargin))
+        .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+          expr("filter(ls, (x, i) -> array_position(ls, x) = i + 1)")
+            .as("keep"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("keep")).cast("long").as("n_kept"),
+          array_join(col("keep"), " ").as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L57: the REST of the Gopher repetition table (Rae et al. 2022,
+    // table A1) — l17 carries distinct-word ratio / dup-bigram /
+    // top-word dominance; this adds the line-level and char-fraction
+    // signals: duplicate-line fraction, duplicate-line CHARACTER
+    // fraction, top-2/3-gram character fractions, duplicate-5/10-gram
+    // character fractions, with the paper's thresholds as the verdict.
+    // Every signal is per-row array arithmetic over the fused sorted
+    // run-length kernels (functions/TextFunctions topGramCharCount /
+    // dupGramCharCount — O(n log n) per row, NOT the O(n²)
+    // distinct×filter form the r8 verdict flagged in l40); scan-stage,
+    // shuffle-free at any corpus size. Fractions quantized at 1e6 (the
+    // house float-parity rule); denominators are length(text) for the
+    // gram fractions (the paper's "fraction of characters") and
+    // summed line lengths for the line-char signal.
+    "l57_gopher_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TF.wordTokens(col("text")).as("w"))
+        .withColumn("nchar", length(col("text")).cast("long"))
+        .withColumn("ls", expr(
+          """transform(
+            |  sequence(0, greatest(CAST(ceil(size(w) / 6.0) AS INT) - 1, 0)),
+            |  i -> array_join(slice(w, i * 6 + 1, 6), ' '))""".stripMargin))
+      def sumLen(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(c, lit(0L), (a, x) => a + length(x).cast("long"))
+      docs.select(col("doc_id"), col("nchar"),
+          floor((lit(1.0) - size(array_distinct(col("ls"))).cast("double")
+            / size(col("ls"))) * 1e6 + 0.5).cast("long").as("dup_line_q"),
+          floor((lit(1.0) - sumLen(array_distinct(col("ls"))).cast("double")
+            / sumLen(col("ls"))) * 1e6 + 0.5).cast("long")
+            .as("dup_line_char_q"),
+          floor(TF.topGramCharCount(TF.wordGrams(col("w"), 2))
+            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
+            .as("top2_char_q"),
+          floor(TF.topGramCharCount(TF.wordGrams(col("w"), 3))
+            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
+            .as("top3_char_q"),
+          floor(TF.dupGramCharCount(TF.wordGrams(col("w"), 5))
+            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
+            .as("dup5_char_q"),
+          floor(TF.dupGramCharCount(TF.wordGrams(col("w"), 10))
+            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
+            .as("dup10_char_q"))
+        .withColumn("verdict",
+          when(col("dup_line_q") > 300000 or col("dup_line_char_q") > 200000
+            or col("top2_char_q") > 200000 or col("top3_char_q") > 180000
+            or col("dup5_char_q") > 150000 or col("dup10_char_q") > 100000,
+            "drop").otherwise("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -2770,6 +2852,107 @@ object LlmOps extends QueryModule {
         |    AS cum_distinct
         |FROM per_src p LEFT JOIN fn f USING (source)
         |ORDER BY p.source""".stripMargin,
+
+    "l56_line_dedup" ->
+      // same 6-word chunking; keep-first = first-index identity through
+      // DuckDB's 1-based lambda index (Spark's filter index is 0-based,
+      // hence = i there vs = i + 1 here... inverted: DuckDB i is
+      // 1-based so list_position(ls, x) = i IS the keep-first rule)
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(0, greatest(CAST(ceil(len(w) / 6.0) AS INT)
+        |      - 1, 0)),
+        |    i -> array_to_string(w[i*6+1:i*6+6], ' ')) AS ls
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> list_position(ls, x) = i) AS keep
+        |  FROM c)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  array_to_string(keep, ' ') AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "l57_gopher_repetition" ->
+      // the gram char counts recompute via unnest + GROUP BY (the
+      // independent formulation of the same multiset arithmetic the
+      // sorted run-length kernels fold per row); grams mirror the
+      // concat_ws out-of-range-skips-NULL clamping, divisions mirror
+      // the 1.0 - a/b association, quantization the house floor rule
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS nchar, w,
+        |    list_transform(
+        |      generate_series(0, greatest(CAST(ceil(len(w) / 6.0) AS INT)
+        |        - 1, 0)),
+        |      i -> array_to_string(w[i*6+1:i*6+6], ' ')) AS ls
+        |  FROM t),
+        |g2 AS (
+        |  SELECT doc_id, MAX(cnt * glen) AS topc FROM (
+        |    SELECT doc_id, g, COUNT(*) AS cnt, len(g) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, greatest(len(w) - 1, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1]))) AS g FROM t)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, MAX(cnt * glen) AS topc FROM (
+        |    SELECT doc_id, g, COUNT(*) AS cnt, len(g) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, greatest(len(w) - 2, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g FROM t)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(cnt * glen) FILTER (WHERE cnt >= 2), 0) AS dupc
+        |  FROM (
+        |    SELECT doc_id, g, COUNT(*) AS cnt, len(g) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, greatest(len(w) - 4, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+        |          w[i+4]))) AS g FROM t)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g10 AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(cnt * glen) FILTER (WHERE cnt >= 2), 0) AS dupc
+        |  FROM (
+        |    SELECT doc_id, g, COUNT(*) AS cnt, len(g) AS glen FROM (
+        |      SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, greatest(len(w) - 9, 1)),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4],
+        |          w[i+5], w[i+6], w[i+7], w[i+8], w[i+9]))) AS g FROM t)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |q AS (
+        |  SELECT b.doc_id, b.nchar,
+        |    CAST(floor((1.0 - len(list_distinct(ls)) / len(ls)) * 1e6
+        |      + 0.5) AS BIGINT) AS dup_line_q,
+        |    CAST(floor((1.0 -
+        |      CAST(list_sum(list_transform(list_distinct(ls),
+        |        x -> len(x))) AS DOUBLE) /
+        |      CAST(list_sum(list_transform(ls, x -> len(x))) AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS dup_line_char_q,
+        |    CAST(floor(g2.topc / b.nchar * 1e6 + 0.5) AS BIGINT)
+        |      AS top2_char_q,
+        |    CAST(floor(g3.topc / b.nchar * 1e6 + 0.5) AS BIGINT)
+        |      AS top3_char_q,
+        |    CAST(floor(g5.dupc / b.nchar * 1e6 + 0.5) AS BIGINT)
+        |      AS dup5_char_q,
+        |    CAST(floor(g10.dupc / b.nchar * 1e6 + 0.5) AS BIGINT)
+        |      AS dup10_char_q
+        |  FROM base b
+        |  JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+        |  JOIN g5 USING (doc_id) JOIN g10 USING (doc_id))
+        |SELECT doc_id, nchar, dup_line_q, dup_line_char_q, top2_char_q,
+        |  top3_char_q, dup5_char_q, dup10_char_q,
+        |  CASE WHEN dup_line_q > 300000 OR dup_line_char_q > 200000
+        |    OR top2_char_q > 200000 OR top3_char_q > 180000
+        |    OR dup5_char_q > 150000 OR dup10_char_q > 100000
+        |    THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "l52_paragraph_dedup" ->
       // same 5-word chunking, same global first-occurrence rule; the

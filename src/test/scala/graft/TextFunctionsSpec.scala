@@ -367,4 +367,65 @@ class TextFunctionsSpec extends SparkSpec {
     assert(jw("ab", "ba") == 0.0)
     assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
   }
+
+  test("gram char-count kernels match brute-force multiset arithmetic") {
+    // topGramCharCount = max over grams of count·len; dupGramCharCount
+    // = Σ count·len over count ≥ 2 — checked against a scala brute force
+    // on deterministic word soups with planted repeats
+    val docs = (0 until 20).map { i =>
+      val base = (0 until 30).map(j => s"w${(i * 7 + j * 3) % 11}")
+      val rep = Seq("spam", "spam", "spam", "ham", "ham")
+      (i.toLong, (base ++ rep ++ base.take(5)).mkString(" "))
+    }
+    val full = docs.toDF("id", "t")
+      .select($"id",
+        TF.topGramCharCount(TF.wordGrams(TF.wordTokens($"t"), 2)).as("top2"),
+        TF.dupGramCharCount(TF.wordGrams(TF.wordTokens($"t"), 2)).as("dup2"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    for ((id, text) <- docs) {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val grams = (if (ws.length < 2) Seq(ws.mkString(" "))
+        else ws.sliding(2).map(_.mkString(" ")).toSeq)
+      val counts = grams.groupBy(identity).map { case (g, o) =>
+        (g, o.size.toLong) }
+      val top = counts.map { case (g, c) => c * g.length }.max
+      val dup = counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+      assert(full(id)._1 == top, s"top2 doc $id")
+      assert(full(id)._2 == dup, s"dup2 doc $id")
+    }
+  }
+
+  test("l56 keep-first line dedup: order preserved, repeats dropped") {
+    val chorus = "la la la la la la" // one full 6-word chunk
+    val verse1 = "first verse words here now one"
+    val verse2 = "second verse words here now two"
+    val doc = s"$chorus $verse1 $chorus $verse2 $chorus"
+    val out = graft.ops.LlmOps.queries("l56_line_dedup")(
+      SparkSpec.spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_lines", "n_kept", "text_clean"))
+    // synthetic: the chorus repeats collapse to the first occurrence,
+    // verses keep their relative order
+    val r = Seq((1L, doc)).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("ls", expr(
+        """transform(
+          |  sequence(0, greatest(CAST(ceil(size(w) / 6.0) AS INT) - 1, 0)),
+          |  i -> array_join(slice(w, i * 6 + 1, 6), ' '))""".stripMargin))
+      .select(expr("filter(ls, (x, i) -> array_position(ls, x) = i + 1)")
+        .as("keep"))
+      .as[Seq[String]].collect().head
+    assert(r == Seq(chorus, verse1, verse2))
+    // idempotence: re-deduping the kept lines changes nothing
+    val again = Seq((1L, r.mkString(" "))).toDF("doc_id", "text")
+      .select(split($"text", " ").as("w"))
+      .withColumn("ls", expr(
+        """transform(
+          |  sequence(0, greatest(CAST(ceil(size(w) / 6.0) AS INT) - 1, 0)),
+          |  i -> array_join(slice(w, i * 6 + 1, 6), ' '))""".stripMargin))
+      .select(expr("filter(ls, (x, i) -> array_position(ls, x) = i + 1)")
+        .as("keep"))
+      .as[Seq[String]].collect().head
+    assert(again == r)
+  }
 }
