@@ -48,7 +48,9 @@ object PlanAudit {
       "j12_geo_distance_join", // r4: expect cell-id equi-join + haversine residual, no BNLJ
       "l6_embedding_centroids", // r7: expect Generate over slice(embedding,1,8) — explode width 8, not 64
       "l54_perplexity_buckets", // r9: expect Window PARTITION BY source (never global) + broadcast n_src join
-      "l55_ngram_saturation"    // r9: expect shingle-keyed aggregates; the only unpartitioned Window sits on the |sources|-row frame
+      "l55_ngram_saturation",   // r9: expect shingle-keyed aggregates; the only unpartitioned Window sits on the |sources|-row frame
+      "l56_line_dedup",         // r9s4: expect ONE scan-stage Project, zero Exchange before the output sort
+      "l57_gopher_repetition"   // r9s4: expect the six fused run-length kernels in ONE scan-stage Project, zero Exchange before the output sort
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")

@@ -28,7 +28,8 @@ object ScaleRehearsal {
     "l2_minhash_lsh", "l22_decontaminate", "l26_semdedup",
     "l27_span_dedup", "l32_pq_adc", "l35_ivfpq", "p3_dedup_pipeline",
     "l52_paragraph_dedup", "l51_pii_scrub",
-    "l54_perplexity_buckets", "l55_ngram_saturation")
+    "l54_perplexity_buckets", "l55_ngram_saturation",
+    "l56_line_dedup", "l57_gopher_repetition")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -96,7 +97,12 @@ object ScaleRehearsal {
 
   private def timeOnce(spark: SparkSession, q: String, dir: String): Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(q)(spark, dir).count()
+    // noop sink, NOT count(): count() lets Catalyst prune the output
+    // projection entirely, so a projection-only query (l51/l56/l57)
+    // would be timed as a bare parquet row count — vacuously flat. The
+    // noop write materializes every output column of the physical plan.
+    SparkEntry.queries(q)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 }

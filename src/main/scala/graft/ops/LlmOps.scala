@@ -2446,6 +2446,87 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L58: DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+    // the published mixture-weight update: per-domain EXCESS LOSS
+    // (proxy-model loss minus reference-model loss, clipped at 0) drives
+    // an exponentiated-gradient step w'_d ∝ w_d·exp(η·excess_d), then
+    // uniform smoothing. The two "models" here are the engine's own LM
+    // pair — proxy = l25's unigram model, reference = l41's add-one
+    // bigram model (the weaker model's per-token NLL lags the stronger
+    // one most on the hardest domains — the signal DoReMi upweights);
+    // both tables are built VERBATIM by the l25/l41 recipes, so every
+    // per-token log is quantized at 1e6 before any sum and per-domain
+    // averages are integer until the k-row softmax. From uniform init
+    // with η = 1 the update reduces to softmax(excess); exp/division
+    // run once per DOMAIN on quantized q4 inputs and the output weight
+    // re-quantizes at 1e4 (the l25 downsample rule: a last-ulp libm
+    // disagreement cannot flip the floor). Smoothing c = 0.1, per the
+    // paper. Plan at 100 TB: both count tables are vocab-bounded and
+    // BROADCAST, scoring is two scan-stage passes, the rollup is
+    // |domains| rows, and the softmax is k-row arithmetic — no window,
+    // no global sort.
+    "l58_doremi_step" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), TF.wordTokens(col("text")).as("w"))
+      // unigram (proxy) tables — the l25 recipe
+      val toks = docs.select(col("source"), explode(col("w")).as("t"))
+      val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .withColumn("ql", floor(log(col("cnt")) * 1e6 + 0.5).cast("long"))
+      val total = freq.agg(sum(col("cnt")).as("tt"))
+        .select(floor(log(col("tt")) * 1e6 + 0.5).cast("long").as("qt"))
+      val uni = toks.join(broadcast(freq.select(col("t"), col("ql"))), "t")
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("qt") - col("ql")).as("nll_sum"))
+        .select(col("source"), col("n_toks"),
+          floor(col("nll_sum").cast("double") / 1e6 / col("n_toks") * 1e4
+            + 0.5).cast("long").as("uni_q4"))
+      // bigram (reference) tables — the l41 recipe
+      val pairs = docs.select(col("source"),
+          explode(when(size(col("w")) >= 2, expr(
+            """transform(sequence(1, size(w) - 1),
+              |  i -> named_struct('w1', element_at(w, i),
+              |                    'w2', element_at(w, i + 1)))""".stripMargin))
+            .otherwise(expr(
+              "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)")))
+            .as("bg"))
+        .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val vocab = docs.select(explode(col("w")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val bgCnt = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+        .withColumn("ql", floor(log(col("cb") + 1) * 1e6 + 0.5).cast("long"))
+      val ctxCnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("qd",
+          floor(log(col("cu") + col("v")) * 1e6 + 0.5).cast("long"))
+      val bi = pairs
+        .join(broadcast(bgCnt.select(col("w1"), col("w2"), col("ql"))),
+          Seq("w1", "w2"))
+        .join(broadcast(ctxCnt.select(col("w1"), col("qd"))), Seq("w1"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("qd") - col("ql")).as("nll_sum"))
+        .select(col("source"), col("n_bigrams"),
+          floor(col("nll_sum").cast("double") / 1e6 / col("n_bigrams") * 1e4
+            + 0.5).cast("long").as("bi_q4"))
+      val ex = uni.join(bi, "source")
+        .withColumn("excess_q4",
+          greatest(lit(0L), col("uni_q4") - col("bi_q4")))
+      val z = ex.agg(
+        sum(exp(col("excess_q4").cast("double") / 1e4)).as("z"),
+        count(lit(1)).as("k"))
+      ex.crossJoin(broadcast(z))
+        .select(col("source"), col("n_toks"), col("n_bigrams"),
+          col("uni_q4"), col("bi_q4"), col("excess_q4"),
+          floor((exp(col("excess_q4").cast("double") / 1e4) / col("z")
+            * 0.9 + lit(0.1) / col("k")) * 1e4 + 0.5).cast("long")
+            .as("weight_q4"))
+        .orderBy(col("source"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -2953,6 +3034,63 @@ object LlmOps extends QueryModule {
         |    OR dup5_char_q > 150000 OR dup10_char_q > 100000
         |    THEN 'drop' ELSE 'keep' END AS verdict
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "l58_doremi_step" ->
+      // the same l25 unigram / l41 bigram tables (per-row 1e6-quantized
+      // logs), per-domain integer NLL averages at q4, then the k-row
+      // softmax-with-smoothing mirrored op-for-op (exp/division on
+      // identical quantized doubles; output floor at 1e4 per the l25
+      // downsample rule)
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT source, unnest(w) AS tk FROM t),
+        |freq AS (
+        |  SELECT tk, COUNT(*) AS cnt,
+        |    CAST(floor(ln(COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS ql
+        |  FROM tok GROUP BY tk),
+        |tot AS (
+        |  SELECT CAST(floor(ln(SUM(cnt)) * 1e6 + 0.5) AS BIGINT) AS qt
+        |  FROM freq),
+        |uni AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    CAST(floor(SUM(tot.qt - f.ql) / 1e6 / COUNT(*) * 1e4 + 0.5)
+        |      AS BIGINT) AS uni_q4
+        |  FROM tok JOIN freq f ON tok.tk = f.tk, tot
+        |  GROUP BY source),
+        |bg AS (
+        |  SELECT source, w[i] AS w1, w[i + 1] AS w2
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)),
+        |cb AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(ln(COUNT(*) + 1) * 1e6 + 0.5) AS BIGINT) AS ql
+        |  FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tk) AS v FROM tok),
+        |cud AS (
+        |  SELECT w1, CAST(floor(ln(cu + v.v) * 1e6 + 0.5) AS BIGINT) AS qd
+        |  FROM cu, v),
+        |bi AS (
+        |  SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(floor(SUM(c2.qd - c1.ql) / 1e6 / COUNT(*) * 1e4 + 0.5)
+        |      AS BIGINT) AS bi_q4
+        |  FROM bg b
+        |  JOIN cb c1 ON b.w1 = c1.w1 AND b.w2 = c1.w2
+        |  JOIN cud c2 ON b.w1 = c2.w1
+        |  GROUP BY b.source),
+        |ex AS (
+        |  SELECT u.source, u.n_toks, b.n_bigrams, u.uni_q4, b.bi_q4,
+        |    greatest(CAST(0 AS BIGINT), u.uni_q4 - b.bi_q4) AS excess_q4
+        |  FROM uni u JOIN bi b ON u.source = b.source),
+        |z AS (
+        |  SELECT SUM(exp(excess_q4 / 1e4)) AS z, COUNT(*) AS k FROM ex)
+        |SELECT ex.source, ex.n_toks, ex.n_bigrams, ex.uni_q4, ex.bi_q4,
+        |  ex.excess_q4,
+        |  CAST(floor((exp(ex.excess_q4 / 1e4) / z.z * 0.9 + 0.1 / z.k)
+        |    * 1e4 + 0.5) AS BIGINT) AS weight_q4
+        |FROM ex, z ORDER BY ex.source""".stripMargin,
 
     "l52_paragraph_dedup" ->
       // same 5-word chunking, same global first-occurrence rule; the
