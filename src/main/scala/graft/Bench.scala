@@ -49,7 +49,13 @@ object Bench {
         ordered.map { case (name, _) => name -> Vector.empty[Double] })
     for (_ <- 1 to reps; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // noop sink, NOT count(): count() lets Catalyst prune the output
+      // projection, so projection-only queries (the scalar families,
+      // l51/l56/l57) were timed as bare row counts — the ScaleRehearsal
+      // fix, applied to the bench for the same honesty. Aggregate/join
+      // queries are unaffected in kind; projection-heavy ones now pay
+      // their real evaluation cost.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse("")

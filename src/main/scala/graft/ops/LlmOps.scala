@@ -2527,6 +2527,79 @@ object LlmOps extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // L59: per-language TOKENIZER FERTILITY — the tokens-per-word and
+    // chars-per-token table every multilingual budget planner builds
+    // first (fertility differences of 2–4× across languages are why
+    // token budgets, not document counts, drive mixture recipes — the
+    // XLM-R/tokenizer-fairness literature's headline metric). Token
+    // counts are the TRUE BPE count (l4c's rank-ordered merge kernel
+    // over the merges fixture, closed-form oracle via the same
+    // disjoint-pair identity); words are the l-family whitespace
+    // tokens; ratios quantized at 1e4 from integer sums. Plan: ONE
+    // scan-stage pass (regex + bpe_count in codegen), a lang-keyed
+    // partial+final aggregate — nothing else, at any corpus size.
+    "l59_tokenizer_fertility" -> ((s, d) => {
+      GF.register(s)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(TF.wordTokens(col("text"))).cast("long").as("w"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long")
+            .as("c"),
+          GF.bpeCount(col("text"), BpeFixture.merges).as("b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("c")).as("n_chars"), sum(col("b")).as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_chars"), col("n_bpe"),
+          floor(col("n_bpe").cast("double") / col("n_words") * 1e4 + 0.5)
+            .cast("long").as("fertility_q4"),
+          floor(col("n_chars").cast("double") / col("n_bpe") * 1e4 + 0.5)
+            .cast("long").as("chars_per_tok_q4"))
+        .orderBy(col("lang"))
+    }),
+
+    // L60: SSL-PROTOTYPE data pruning (Sorscher et al. 2022, "Beyond
+    // neural scaling laws: beating power law scaling via data pruning")
+    // — the published complement to SemDeDup (l26 drops near-DUPLICATES;
+    // this ranks by distance to the cluster PROTOTYPE and, in the
+    // abundant-data regime, keeps the HARD examples — far from the
+    // centroid — pruning the easiest 30%). Exactness: per-value 1e6
+    // quantization BEFORE any sum (the l6 rule) makes the centroid the
+    // exact rational (qsum, n); the squared distance clears
+    // denominators — dev = vq·n − qsum per dim, d2x = Σ dev² — so
+    // ranking compares INTEGERS (DECIMAL(38) here, HUGEINT in the
+    // oracle; 64 dims × (3e6·n)² fits both) and the kept flag is the
+    // integer inequality rank·10 ≤ n·7. The reported d2_q6 divides back
+    // by n²·1e12 in double — both engines round the same integer to the
+    // same double. Plan at 100 TB: centroids are a (labels×dims)-row
+    // partial+final aggregate that BROADCASTS; distances are scan-stage;
+    // the only window ranks WITHIN a cluster (swap for a broadcast
+    // quantile threshold at pathological cluster sizes — the l28
+    // pattern).
+    "l60_prototype_pruning" -> ((s, d) => {
+      val vq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("vq"))
+      val cent = vq.groupBy(col("label"), col("pos"))
+        .agg(sum(col("vq")).as("qsum"), count(lit(1)).as("n"))
+      val d2 = vq.join(broadcast(cent), Seq("label", "pos"))
+        .withColumn("dev",
+          (col("vq") * col("n") - col("qsum")).cast("decimal(38,0)"))
+        .groupBy(col("label"), col("vec_id"), col("n"))
+        .agg(sum(col("dev") * col("dev")).as("d2x"))
+      d2.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("d2x").desc, col("vec_id"))).cast("long"))
+        .select(col("label").cast("long").as("cluster"), col("vec_id"),
+          floor(col("d2x").cast("double")
+            / ((col("n") * col("n")).cast("double") * 1e12) * 1e6 + 0.5)
+            .cast("long").as("d2_q6"),
+          col("rnk"), (col("rnk") * 10 <= col("n") * 7).as("kept"))
+        .orderBy(col("cluster"), col("vec_id"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -3091,6 +3164,63 @@ object LlmOps extends QueryModule {
         |  CAST(floor((exp(ex.excess_q4 / 1e4) / z.z * 0.9 + 0.1 / z.k)
         |    * 1e4 + 0.5) AS BIGINT) AS weight_q4
         |FROM ex, z ORDER BY ex.source""".stripMargin,
+
+    "l59_tokenizer_fertility" ->
+      // l4c's closed-form BPE identity summed per language; integer
+      // sums, ratios floored at 1e4
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+         |      AS BIGINT) AS w,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS c,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |      - ${BpeFixture.occSql("text")} AS BIGINT) AS b
+         |  FROM documents),
+         |a AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(w) AS BIGINT) AS n_words,
+         |    CAST(SUM(c) AS BIGINT) AS n_chars,
+         |    CAST(SUM(b) AS BIGINT) AS n_bpe
+         |  FROM t GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_chars, n_bpe,
+         |  CAST(floor(n_bpe / n_words * 1e4 + 0.5) AS BIGINT)
+         |    AS fertility_q4,
+         |  CAST(floor(n_chars / n_bpe * 1e4 + 0.5) AS BIGINT)
+         |    AS chars_per_tok_q4
+         |FROM a ORDER BY lang""".stripMargin,
+
+    "l60_prototype_pruning" ->
+      // same quantize-before-sum centroid rational, same cleared-
+      // denominator integer distance (HUGEINT here, DECIMAL(38) in
+      // Spark — both exact), same integer keep rule; d2_q6 rounds the
+      // same integer through the same double division
+      """WITH vq AS (
+        |  SELECT vec_id, label, i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS vq
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |cent AS (
+        |  SELECT label, pos, SUM(vq) AS qsum, COUNT(*) AS n
+        |  FROM vq GROUP BY label, pos),
+        |d2 AS (
+        |  SELECT v.label, v.vec_id, c.n,
+        |    SUM(CAST(v.vq * c.n - c.qsum AS HUGEINT)
+        |      * CAST(v.vq * c.n - c.qsum AS HUGEINT)) AS d2x
+        |  FROM vq v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+        |  GROUP BY v.label, v.vec_id, c.n),
+        |r AS (
+        |  SELECT label, vec_id, n, d2x,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY d2x DESC, vec_id) AS rnk
+        |  FROM d2)
+        |SELECT CAST(label AS BIGINT) AS cluster, vec_id,
+        |  CAST(floor(CAST(d2x AS DOUBLE)
+        |    / (CAST(n * n AS DOUBLE) * 1e12) * 1e6 + 0.5) AS BIGINT)
+        |    AS d2_q6,
+        |  CAST(rnk AS BIGINT) AS rnk,
+        |  rnk * 10 <= n * 7 AS kept
+        |FROM r ORDER BY cluster, vec_id""".stripMargin,
 
     "l52_paragraph_dedup" ->
       // same 5-word chunking, same global first-occurrence rule; the
