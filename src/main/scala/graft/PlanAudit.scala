@@ -50,7 +50,9 @@ object PlanAudit {
       "l54_perplexity_buckets", // r9: expect Window PARTITION BY source (never global) + broadcast n_src join
       "l55_ngram_saturation",   // r9: expect shingle-keyed aggregates; the only unpartitioned Window sits on the |sources|-row frame
       "l56_line_dedup",         // r9s4: expect ONE scan-stage Project, zero Exchange before the output sort
-      "l57_gopher_repetition"   // r9s4: expect the six fused run-length kernels in ONE scan-stage Project, zero Exchange before the output sort
+      "l57_gopher_repetition",  // r9s4: expect the six fused run-length kernels in ONE scan-stage Project, zero Exchange before the output sort
+      "l58_doremi_step",        // r9s4: expect vocab-keyed aggregates feeding BROADCAST joins, k-row softmax — no corpus-wide window
+      "l60_prototype_pruning"   // r9s4: expect broadcast centroid join + per-label Window only
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
