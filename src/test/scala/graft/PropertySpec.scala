@@ -185,4 +185,38 @@ class PropertySpec extends SparkSpec {
         == s"SELECT ${sparkForm(t)}")
     }
   }
+
+  test("l58 DoReMi step: weights form a smoothed distribution (L58)") {
+    val rows = graft.ops.LlmOps.queries("l58_doremi_step")(
+      SparkSpec.spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val w = rows.map(_.getAs[Long]("weight_q4"))
+    val k = rows.length
+    // weights sum to ~1 (1e4-quantized; each row floors, so the sum can
+    // be off by at most k/2 quanta either way)
+    assert(math.abs(w.sum - 10000L) <= k, s"sum=${w.sum}")
+    // smoothing floor: every weight >= c/k at q4 (minus one floor quantum)
+    assert(w.forall(_ >= (1000.0 / k).toLong - 1), w.mkString(","))
+    // monotone in excess: sorting by excess_q4 sorts weight_q4
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_q4")).map(_.getAs[Long]("weight_q4"))
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("l60 prototype pruning: keep rule and distance sanity (L60)") {
+    val rows = graft.ops.LlmOps.queries("l60_prototype_pruning")(
+      SparkSpec.spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // per cluster: exactly floor(0.7·n) kept, ranks are 1..n, and the
+    // kept set is the HARDEST (largest-distance) prefix
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, rs) =>
+      val n = rs.length
+      val kept = rs.count(_.getAs[Boolean]("kept"))
+      assert(kept == n * 7 / 10, s"cluster $c kept $kept of $n")
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to n).toSeq)
+      val d = byRank.map(_.getAs[Long]("d2_q6"))
+      assert(d.zip(d.tail).forall { case (a, b) => a >= b }, s"cluster $c")
+      assert(byRank.takeWhile(_.getAs[Boolean]("kept")).length == kept)
+    }
+  }
 }
