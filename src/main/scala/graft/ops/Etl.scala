@@ -502,6 +502,39 @@ object Etl extends QueryModule {
           |ORDER BY user_id, mno""".stripMargin)
     }),
 
+    // P2p: the Trino Bing tile family in real Trino SQL — bing_tile_at /
+    // bing_tile_coordinates / bing_tile_zoom_level / bing_tile_quadkey /
+    // bing_tiles_around / the bing_tile constructor, over the sc21
+    // integer-derived lat/lon grid (bit-identical inputs both engines).
+    // The oracle re-derives tile x/y from the published Mercator pixel
+    // math written operation-for-operation identically (the
+    // great_circle_distance parity rule: floor flips only if a value
+    // lands within ~1e-9 of a tile boundary, and the synthesized .25/.5
+    // fractions keep every point far from one); the quadkey re-derives
+    // via DuckDB's own list machinery; qk_ref pins the tile-system
+    // reference's worked example (tile (3,5,3) → '213') as a literal;
+    // the neighborhood counts check against closed-form edge arithmetic
+    // (x-edge tiles at zoom 2 really occur: lon ±179.5 → tile 0/3).
+    "p2p_presto_bing_tiles" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH pts AS (
+          |  SELECT "c_custkey" AS ck,
+          |    CAST("c_custkey" % 120 - 60 AS DOUBLE) + 0.25 AS lat,
+          |    CAST("c_custkey" * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+          |  FROM customer WHERE "c_custkey" < 500)
+          |SELECT ck,
+          |  bing_tile_coordinates(bing_tile_at(lat, lon, 12)).x AS tx12,
+          |  bing_tile_coordinates(bing_tile_at(lat, lon, 12)).y AS ty12,
+          |  CAST(bing_tile_zoom_level(bing_tile_at(lat, lon, 12))
+          |    AS INTEGER) AS zl12,
+          |  bing_tile_quadkey(bing_tile_at(lat, lon, 8)) AS qk8,
+          |  bing_tile_quadkey(bing_tile(3, 5, 3)) AS qk_ref,
+          |  cardinality(bing_tiles_around(lat, lon, 2)) AS n_around2,
+          |  cardinality(bing_tiles_around(85.0, -179.9, 3)) AS n_corner3
+          |FROM pts ORDER BY ck""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -1598,6 +1631,54 @@ object Etl extends QueryModule {
         |LEFT JOIN s s1 ON s1.user_id = e.user_id AND s1.event_id = e.event_id
         |LEFT JOIN s s2 ON s2.user_id = e.user_id AND s2.event_id = e.prv_eid
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "p2p_presto_bing_tiles" ->
+      // The oracle re-derives the Bing tile math once in a (point, zoom)
+      // frame — formula written a single time, mirrored operation-for-
+      // operation against the dialect's SQL-UDF bodies — then reads the
+      // quadkey through DuckDB's own list machinery, pins qk_ref to the
+      // tile-system reference's literal worked example, and checks both
+      // neighborhood counts against closed-form edge arithmetic
+      // (independent of the around-array construction).
+      """WITH pts AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST(c_custkey % 120 - 60 AS DOUBLE) + 0.25 AS lat,
+        |    CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM customer WHERE c_custkey < 500),
+        |tz AS (
+        |  SELECT ck, z,
+        |    CAST(floor(least(greatest((least(greatest(lon, -180.0), 180.0)
+        |      + 180.0) / 360.0 * CAST(CAST(256 AS BIGINT) << z AS DOUBLE)
+        |      + 0.5, 0.0), CAST(CAST(256 AS BIGINT) << z AS DOUBLE) - 1.0)
+        |      / 256.0) AS INTEGER) AS tx,
+        |    CAST(floor(least(greatest((0.5 - ln((1.0 + sin(least(greatest(
+        |      lat, -85.05112878), 85.05112878) * 0.017453292519943295))
+        |      / (1.0 - sin(least(greatest(lat, -85.05112878), 85.05112878)
+        |      * 0.017453292519943295))) / 12.566370614359172) *
+        |      CAST(CAST(256 AS BIGINT) << z AS DOUBLE) + 0.5, 0.0),
+        |      CAST(CAST(256 AS BIGINT) << z AS DOUBLE) - 1.0) / 256.0)
+        |      AS INTEGER) AS ty
+        |  FROM pts CROSS JOIN (SELECT unnest([12, 8, 2]) AS z) zs),
+        |agg AS (
+        |  SELECT ck,
+        |    max(CASE WHEN z = 12 THEN tx END) AS tx12,
+        |    max(CASE WHEN z = 12 THEN ty END) AS ty12,
+        |    max(CASE WHEN z = 8 THEN tx END) AS tx8,
+        |    max(CASE WHEN z = 8 THEN ty END) AS ty8,
+        |    max(CASE WHEN z = 2 THEN tx END) AS tx2,
+        |    max(CASE WHEN z = 2 THEN ty END) AS ty2
+        |  FROM tz GROUP BY ck)
+        |SELECT ck, tx12, ty12, 12 AS zl12,
+        |  array_to_string(list_transform(range(8, 0, -1), i ->
+        |    CAST(((tx8 >> (i - 1)) & 1) + 2 * ((ty8 >> (i - 1)) & 1)
+        |    AS VARCHAR)), '') AS qk8,
+        |  '213' AS qk_ref,
+        |  (3 - CASE WHEN tx2 = 0 THEN 1 ELSE 0 END
+        |     - CASE WHEN tx2 = 3 THEN 1 ELSE 0 END)
+        |  * (3 - CASE WHEN ty2 = 0 THEN 1 ELSE 0 END
+        |       - CASE WHEN ty2 = 3 THEN 1 ELSE 0 END) AS n_around2,
+        |  4 AS n_corner3
+        |FROM agg ORDER BY ck""".stripMargin,
 
     "p2n_presto_fetch_ties" ->
       // DuckDB 1.0 has no WITH TIES — the oracle is the independent

@@ -2386,7 +2386,74 @@ object PrestoSql {
       " acc -> acc.out)",
     // Presto remove_nulls (typed STRING per the array_sum convention)
     "remove_nulls(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN" +
-      " filter(a, x -> x IS NOT NULL)")
+      " filter(a, x -> x IS NOT NULL)",
+    // Trino Bing tile family (the geospatial page's tiling tier) — the
+    // published Bing Maps Tile System math (Microsoft's tile-system
+    // reference): WGS84 lat/lon → Web-Mercator fraction, pixel =
+    // clip(frac·mapSize + 0.5, 0, mapSize−1) with mapSize = 256·2^zoom,
+    // tile = pixel div 256. Latitude clips to ±85.05112878 (the Mercator
+    // square), longitude to ±180, per the same reference. All-arithmetic
+    // SQL bodies (sin/ln/floor/shift — no UDF objects) so calls inline
+    // into codegen, and the p2p oracle mirrors the SAME expression tree
+    // in DuckDB (the sc21/great_circle_distance parity rule).
+    "graft_bing_x(lon DOUBLE, z INT) RETURNS INT RETURN" +
+      " CAST(floor(least(greatest(" +
+      " (least(greatest(lon, -180.0D), 180.0D) + 180.0D) / 360.0D *" +
+      " CAST(shiftleft(256L, z) AS DOUBLE) + 0.5D, 0.0D)," +
+      " CAST(shiftleft(256L, z) AS DOUBLE) - 1.0D) / 256.0D) AS INT)",
+    "graft_bing_y(lat DOUBLE, z INT) RETURNS INT RETURN" +
+      " CAST(floor(least(greatest(" +
+      " (0.5D - ln((1.0D + sin(least(greatest(lat, -85.05112878D)," +
+      " 85.05112878D) * 0.017453292519943295D))" +
+      " / (1.0D - sin(least(greatest(lat, -85.05112878D)," +
+      " 85.05112878D) * 0.017453292519943295D)))" +
+      " / 12.566370614359172D) *" +
+      " CAST(shiftleft(256L, z) AS DOUBLE) + 0.5D, 0.0D)," +
+      " CAST(shiftleft(256L, z) AS DOUBLE) - 1.0D) / 256.0D) AS INT)",
+    // Constructor with Trino's loud validation: zoom ∈ [0, 23] and both
+    // coordinates inside the 2^zoom grid.
+    "bing_tile(x INT, y INT, zoom INT)" +
+      " RETURNS STRUCT<x: INT, y: INT, zoom: INT> RETURN" +
+      " CASE WHEN zoom < 0 OR zoom > 23 THEN" +
+      " raise_error(concat('Zoom level must be <= 23: '," +
+      " CAST(zoom AS STRING)))" +
+      " WHEN x < 0 OR x >= shiftleft(1, zoom)" +
+      " OR y < 0 OR y >= shiftleft(1, zoom) THEN" +
+      " raise_error('XY coordinates for a Bing tile must be within" +
+      " [0, 2^zoom) range')" +
+      " ELSE named_struct('x', x, 'y', y, 'zoom', zoom) END",
+    "bing_tile_at(lat DOUBLE, lon DOUBLE, zoom INT)" +
+      " RETURNS STRUCT<x: INT, y: INT, zoom: INT> RETURN" +
+      " CASE WHEN zoom < 0 OR zoom > 23 THEN" +
+      " raise_error(concat('Zoom level must be <= 23: '," +
+      " CAST(zoom AS STRING)))" +
+      " ELSE named_struct('x', graft_bing_x(lon, zoom)," +
+      " 'y', graft_bing_y(lat, zoom), 'zoom', zoom) END",
+    "bing_tile_coordinates(t STRUCT<x: INT, y: INT, zoom: INT>)" +
+      " RETURNS STRUCT<x: INT, y: INT> RETURN" +
+      " named_struct('x', t.x, 'y', t.y)",
+    "bing_tile_zoom_level(t STRUCT<x: INT, y: INT, zoom: INT>)" +
+      " RETURNS TINYINT RETURN CAST(t.zoom AS TINYINT)",
+    // Quadkey: digit at level i (most-significant first) interleaves bit
+    // (i−1) of x (weight 1) and y (weight 2) — the base-4 key whose
+    // string-prefix property IS the tile hierarchy (tile (3,5,3) → '213',
+    // the reference's own worked example). zoom 0 → '' (the root tile).
+    "bing_tile_quadkey(t STRUCT<x: INT, y: INT, zoom: INT>)" +
+      " RETURNS STRING RETURN IF(t.zoom = 0, ''," +
+      " array_join(transform(sequence(t.zoom, 1, -1), i ->" +
+      " CAST((shiftright(t.x, i - 1) & 1) +" +
+      " 2 * (shiftright(t.y, i - 1) & 1) AS STRING)), ''))",
+    // 3×3 neighborhood clipped to the grid (corner → 4, edge → 6,
+    // interior → 9); row-major order (dy outer, dx inner), documented —
+    // Trino leaves the order unspecified.
+    "bing_tiles_around(lat DOUBLE, lon DOUBLE, zoom INT)" +
+      " RETURNS ARRAY<STRUCT<x: INT, y: INT, zoom: INT>> RETURN" +
+      " filter(flatten(transform(sequence(-1, 1), dy ->" +
+      " transform(sequence(-1, 1), dx ->" +
+      " named_struct('x', graft_bing_x(lon, zoom) + dx," +
+      " 'y', graft_bing_y(lat, zoom) + dy, 'zoom', zoom))))," +
+      " t -> t.x >= 0 AND t.y >= 0 AND" +
+      " t.x <= shiftleft(1, zoom) - 1 AND t.y <= shiftleft(1, zoom) - 1)")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)

@@ -2283,4 +2283,38 @@ class PrestoSqlSpec extends SparkSpec {
       "SELECT bit_count(500, 8)").collect())
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
+
+  test("bing tile family: pixel math, quadkeys, neighborhoods, validation") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  bing_tile_coordinates(bing_tile_at(0.0, 0.0, 1)).x AS x0,
+        |  bing_tile_coordinates(bing_tile_at(0.0, 0.0, 1)).y AS y0,
+        |  bing_tile_quadkey(bing_tile_at(0.0, 0.0, 1)) AS qk0,
+        |  bing_tile_quadkey(bing_tile(3, 5, 3)) AS qk_ref,
+        |  bing_tile_quadkey(bing_tile(0, 0, 0)) AS qk_root,
+        |  bing_tile_coordinates(bing_tile_at(-90.0, 180.0, 2)).x AS xc,
+        |  bing_tile_coordinates(bing_tile_at(-90.0, 180.0, 2)).y AS yc,
+        |  CAST(bing_tile_zoom_level(bing_tile(3, 5, 3)) AS INTEGER) AS zl,
+        |  cardinality(bing_tiles_around(0.1, 0.1, 2)) AS n_int,
+        |  cardinality(bing_tiles_around(85.0, -179.9, 3)) AS n_corner
+        |""".stripMargin).collect().head
+    // lat/lon (0,0) at zoom 1: both Mercator fractions are exactly 0.5 →
+    // pixel 256.5 → tile (1,1); quadkey digit = 1 + 2·1 = '3'
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getString(2) == "3")
+    // the tile-system reference's worked example: tile (3,5,3) → '213'
+    assert(r.getString(3) == "213", r.getString(3))
+    assert(r.getString(4) == "") // zoom 0 is the root tile: empty quadkey
+    // lat −90 clips to the Mercator square, lon 180 clips to mapSize−1 →
+    // the bottom-right tile (3,3) at zoom 2
+    assert(r.getInt(5) == 3 && r.getInt(6) == 3)
+    assert(r.getInt(7) == 3)
+    // interior point → full 3×3 ring; near the (0,0) corner → 2×2
+    assert(r.getInt(8) == 9 && r.getInt(9) == 4)
+    val eZoom = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT bing_tile(1, 1, 30)").collect())
+    assert(eZoom.getMessage.contains("Zoom level"), eZoom.getMessage)
+    val eXy = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT bing_tile(9, 0, 3)").collect())
+    assert(eXy.getMessage.contains("XY coordinates"), eXy.getMessage)
+  }
 }
