@@ -1821,10 +1821,17 @@ object LlmOps extends QueryModule {
     // blowup, and l2's LSH banding replaces the exact index when even
     // the candidate set must shrink — verdict logic unchanged.
     "l38_incremental_neardup" -> ((s, d) => {
+      // localCheckpoint the compact (doc_id, sh) frame: the shingle HOF
+      // chain would otherwise re-evaluate under BOTH explode branches
+      // (new/old side) AND inside the Generate's required-column set —
+      // the noop-write bench measured that recomputation at ~7 s of the
+      // query's 9 s. Same materialize-the-signatures rule as l2/l43/l44;
+      // at 100 TB this checkpoint IS the persisted shingle index below.
       val docs = Tables.documents(s, d)
         .withColumn("ws", TF.wordTokens(col("text")))
         .select(col("doc_id"),
           array_distinct(TF.wordShingles(col("ws"), 4)).as("sh"))
+        .localCheckpoint()
       val ex = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("shingle"))
       val newSide = ex.filter(col("doc_id") % 10 === 7)
