@@ -40,6 +40,10 @@ object GraftFunctions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
       (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("gopher_repetition_stats"),
+      new ExpressionInfo(
+        classOf[GopherRepetitionExpression].getName, "gopher_repetition_stats"),
+      (e: Seq[Expression]) => GopherRepetitionExpression(e(0))),
     (FunctionIdentifier("try_eval"),
       new ExpressionInfo(classOf[TryEvalExpression].getName, "try_eval"),
       (e: Seq[Expression]) => TryEvalExpression(e(0))),
@@ -149,6 +153,8 @@ object GraftFunctions {
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(k))
   def wordShingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+  def gopherRepetitionStats(tokens: Column): Column =
+    call_function("gopher_repetition_stats", tokens)
   def tryEval(e: Column): Column = call_function("try_eval", e)
   def normalizeStr(s: Column, form: String = "NFC"): Column =
     call_function("normalize_str", s, org.apache.spark.sql.functions.lit(form))

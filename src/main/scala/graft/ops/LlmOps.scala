@@ -2408,43 +2408,39 @@ object LlmOps extends QueryModule {
     // signals: duplicate-line fraction, duplicate-line CHARACTER
     // fraction, top-2/3-gram character fractions, duplicate-5/10-gram
     // character fractions, with the paper's thresholds as the verdict.
-    // Every signal is per-row array arithmetic over the fused sorted
-    // run-length kernels (functions/TextFunctions topGramCharCount /
-    // dupGramCharCount — O(n log n) per row, NOT the O(n²)
-    // distinct×filter form the r8 verdict flagged in l40); scan-stage,
-    // shuffle-free at any corpus size. Fractions quantized at 1e6 (the
-    // house float-parity rule); denominators are length(text) for the
-    // gram fractions (the paper's "fraction of characters") and
-    // summed line lengths for the line-char signal.
+    // Every signal is per-row array arithmetic through ONE fused
+    // compiled kernel (functions/GopherExpressions — one hash-count
+    // pass per gram size, parity-pinned to the TextFunctions
+    // topGramCharCount / dupGramCharCount reference forms, which are
+    // O(n log n) sorted run-length, NOT the O(n²) distinct×filter form
+    // the r8 verdict flagged in l40; the interpreted-HOF form of THIS
+    // query benched 4.7 s — the fused kernel collapses it to a scan).
+    // Scan-stage, shuffle-free at any corpus size. Fractions quantized
+    // at 1e6 (the house float-parity rule); denominators are
+    // length(text) for the gram fractions (the paper's "fraction of
+    // characters") and summed line lengths for the line-char signal;
+    // the kernel returns raw integer numerators so the float divisions
+    // (and their quantization) are bit-identical to the HOF form.
     "l57_gopher_repetition" -> ((s, d) => {
+      GF.register(s)
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TF.wordTokens(col("text")).as("w"))
-        .withColumn("nchar", length(col("text")).cast("long"))
-        .withColumn("ls", expr(
-          """transform(
-            |  sequence(0, greatest(CAST(ceil(size(w) / 6.0) AS INT) - 1, 0)),
-            |  i -> array_join(slice(w, i * 6 + 1, 6), ' '))""".stripMargin))
-      def sumLen(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        aggregate(c, lit(0L), (a, x) => a + length(x).cast("long"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("nchar"),
+          GF.gopherRepetitionStats(TF.wordTokens(col("text"))).as("st"))
       docs.select(col("doc_id"), col("nchar"),
-          floor((lit(1.0) - size(array_distinct(col("ls"))).cast("double")
-            / size(col("ls"))) * 1e6 + 0.5).cast("long").as("dup_line_q"),
-          floor((lit(1.0) - sumLen(array_distinct(col("ls"))).cast("double")
-            / sumLen(col("ls"))) * 1e6 + 0.5).cast("long")
+          floor((lit(1.0) - col("st.n_dlines").cast("double")
+            / col("st.n_lines")) * 1e6 + 0.5).cast("long").as("dup_line_q"),
+          floor((lit(1.0) - col("st.len_dist").cast("double")
+            / col("st.len_all")) * 1e6 + 0.5).cast("long")
             .as("dup_line_char_q"),
-          floor(TF.topGramCharCount(TF.wordGrams(col("w"), 2))
-            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
-            .as("top2_char_q"),
-          floor(TF.topGramCharCount(TF.wordGrams(col("w"), 3))
-            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
-            .as("top3_char_q"),
-          floor(TF.dupGramCharCount(TF.wordGrams(col("w"), 5))
-            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
-            .as("dup5_char_q"),
-          floor(TF.dupGramCharCount(TF.wordGrams(col("w"), 10))
-            .cast("double") / col("nchar") * 1e6 + 0.5).cast("long")
-            .as("dup10_char_q"))
+          floor(col("st.top2").cast("double") / col("nchar") * 1e6 + 0.5)
+            .cast("long").as("top2_char_q"),
+          floor(col("st.top3").cast("double") / col("nchar") * 1e6 + 0.5)
+            .cast("long").as("top3_char_q"),
+          floor(col("st.dup5").cast("double") / col("nchar") * 1e6 + 0.5)
+            .cast("long").as("dup5_char_q"),
+          floor(col("st.dup10").cast("double") / col("nchar") * 1e6 + 0.5)
+            .cast("long").as("dup10_char_q"))
         .withColumn("verdict",
           when(col("dup_line_q") > 300000 or col("dup_line_char_q") > 200000
             or col("top2_char_q") > 200000 or col("top3_char_q") > 180000

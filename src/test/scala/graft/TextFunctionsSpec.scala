@@ -428,4 +428,36 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Seq[String]].collect().head
     assert(again == r)
   }
+
+  test("fused gopher kernel matches the HOF reference forms field-for-field") {
+    import graft.functions.{GraftFunctions => GF}
+    GF.register(SparkSpec.spark)
+    // real corpus docs + planted edge cases: empty text (1 empty line,
+    // single "" gram), single word, exactly 6 words, heavy repetition
+    val corpus = graft.Tables.documents(SparkSpec.spark,
+        "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(40)
+    val edges = Seq((9001L, ""), (9002L, "one"),
+      (9003L, "a b c d e f"), (9004L, Seq.fill(40)("spam").mkString(" ")),
+      (9005L, "x y x y x y x y z"))
+    val df = (corpus.toSeq ++ edges).toDF("doc_id", "text")
+      .select($"doc_id", TF.wordTokens($"text").as("w"))
+      .withColumn("ls", expr(
+        """transform(
+          |  sequence(0, greatest(CAST(ceil(size(w) / 6.0) AS INT) - 1, 0)),
+          |  i -> array_join(slice(w, i * 6 + 1, 6), ' '))""".stripMargin))
+      .withColumn("st", GF.gopherRepetitionStats($"w"))
+    def sumLen(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0L), (a, x) => a + length(x).cast("long"))
+    val bad = df.filter(
+      $"st.n_lines" =!= size($"ls").cast("long") or
+      $"st.n_dlines" =!= size(array_distinct($"ls")).cast("long") or
+      $"st.len_all" =!= sumLen($"ls") or
+      $"st.len_dist" =!= sumLen(array_distinct($"ls")) or
+      $"st.top2" =!= TF.topGramCharCount(TF.wordGrams($"w", 2)) or
+      $"st.top3" =!= TF.topGramCharCount(TF.wordGrams($"w", 3)) or
+      $"st.dup5" =!= TF.dupGramCharCount(TF.wordGrams($"w", 5)) or
+      $"st.dup10" =!= TF.dupGramCharCount(TF.wordGrams($"w", 10)))
+    assert(bad.count() == 0, bad.select($"doc_id").collect().mkString(","))
+  }
 }
