@@ -502,6 +502,39 @@ object Etl extends QueryModule {
           |ORDER BY user_id, mno""".stripMargin)
     }),
 
+    // P2w: MATCH_RECOGNIZE with PREV() navigation in DEFINE — the
+    // pattern-matching idiom every Trino/Oracle MR tutorial leads with
+    // (the falling-then-rising "V shape" on a measure). PREV(x, n) is
+    // SQL-standard PHYSICAL navigation (n rows back in the partition,
+    // label-independent), so the dialect rewrites it to lag(x, n) over
+    // the MR's own window, evaluated with the other step predicates in
+    // the pre-shuffle projection. The oracle is the independent
+    // gaps-and-islands derivation: with greedy D+ U+ and SKIP PAST LAST
+    // ROW, matches are EXACTLY the maximal falling runs immediately
+    // followed by a rising run (a match can only anchor at a d-island
+    // head, and island maximality is the greedy consumption) — no
+    // matcher machinery in the oracle at all.
+    "p2w_presto_mr_nav" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT user_id, mno, n_rows, first_ts, last_ts
+          |FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES
+          |    MATCH_NUMBER() AS mno,
+          |    COUNT(*) AS n_rows,
+          |    FIRST(ts) AS first_ts,
+          |    LAST(ts) AS last_ts
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (D+ U+)
+          |  DEFINE D AS value < PREV(value),
+          |         U AS value > PREV(value))
+          |WHERE user_id < 60
+          |ORDER BY user_id, mno""".stripMargin)
+    }),
+
     // P2p: the Trino Bing tile family in real Trino SQL — bing_tile_at /
     // bing_tile_coordinates / bing_tile_zoom_level / bing_tile_quadkey /
     // bing_tiles_around / the bing_tile constructor, over the sc21
@@ -1604,6 +1637,44 @@ object Etl extends QueryModule {
         |FROM e
         |WHERE event_type IN ('view', 'click') AND nxt = 'purchase'
         |ORDER BY user_id, mno""".stripMargin,
+
+    "p2w_presto_mr_nav" ->
+      // gaps-and-islands: direction per row from lag(value); maximal
+      // same-direction runs via rn − rn_by_dir; a match is a 'd' run
+      // whose immediately-following run is 'u' (first row of partition
+      // is direction 'x' — PREV is NULL there, matching neither step,
+      // exactly the dialect's NULL→false predicate semantics)
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    lag(value) OVER w AS pv,
+        |    row_number() OVER w AS rn
+        |  FROM events WHERE user_id < 60
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (
+        |  SELECT user_id, ts, rn,
+        |    CASE WHEN pv IS NULL THEN 'x'
+        |         WHEN value < pv THEN 'd'
+        |         WHEN value > pv THEN 'u' ELSE 'f' END AS dir
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, dir,
+        |    min(rn) AS srn, max(rn) AS ern,
+        |    CAST(count(*) AS BIGINT) AS len,
+        |    min(ts) AS s_ts, max(ts) AS e_ts
+        |  FROM (SELECT *,
+        |          rn - row_number() OVER (PARTITION BY user_id, dir
+        |                                  ORDER BY rn) AS grp
+        |        FROM d)
+        |  GROUP BY user_id, dir, grp)
+        |SELECT r1.user_id,
+        |  CAST(row_number() OVER (PARTITION BY r1.user_id ORDER BY r1.srn)
+        |    AS BIGINT) AS mno,
+        |  r1.len + r2.len AS n_rows,
+        |  r1.s_ts AS first_ts, r2.e_ts AS last_ts
+        |FROM runs r1 JOIN runs r2
+        |  ON r1.user_id = r2.user_id AND r2.srn = r1.ern + 1
+        |WHERE r1.dir = 'd' AND r2.dir = 'u'
+        |ORDER BY r1.user_id, mno""".stripMargin,
 
     "p2o_presto_mr_unmatched" ->
       // e8f's closed-form derivation keyed by event_id: the adjacent

@@ -3050,9 +3050,11 @@ object PrestoSql {
   // key / ORDER BY ts [, tiebreak] / MEASURES over MATCH_NUMBER(),
   // COUNT(*), FIRST/LAST(<order column>) / ONE ROW PER MATCH / AFTER
   // MATCH SKIP PAST LAST ROW | TO NEXT ROW / linear PATTERN with
-  // ?,+,*,{m,n} quantifiers (greedy and reluctant) / DEFINE without
-  // PREV/NEXT navigation. Anything outside the subset fails loudly with
-  // the construct named — never a silent wrong answer.
+  // ?,+,*,{m,n} quantifiers (greedy and reluctant) / DEFINE with
+  // PREV/NEXT physical navigation (rewritten to lag/lead over the MR
+  // window; FIRST/LAST/CLASSIFIER in DEFINE stay rejected). Anything
+  // outside the subset fails loudly with the construct named — never a
+  // silent wrong answer.
   //
   // Mechanically: the `<table> MATCH_RECOGNIZE (...)` table factor is
   // cut out, executed as a RowPattern plan (step predicates become
@@ -3066,6 +3068,41 @@ object PrestoSql {
       """(?:(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+(?:(WITH\s+UNMATCHED\s+ROWS)\s+)?)?""" +
       """(?:AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?""" +
       """PATTERN\s*\(([^)]*)\)\s*DEFINE\s+(.+?)\s*$""").r
+
+  /** Rewrite SQL-standard physical navigation in a DEFINE predicate:
+    * PREV(x[, n]) → lag(x, n), NEXT(x[, n]) → lead(x, n), each over the
+    * MATCH_RECOGNIZE's own (PARTITION BY, ORDER BY) window. Offsets must
+    * be integer literals (Trino's rule). Nested navigation rewrites to a
+    * nested window call, which Spark's analyzer then rejects loudly —
+    * use the offset form PREV(x, 2) instead. */
+  private[graft] def rewriteDefineNav(pred: String, partCol: String,
+      tsCol: String, tbCol: String): String = {
+    """(?i)\b(PREV|NEXT)\s*\(""".r.findFirstMatchIn(pred) match {
+      case None => pred
+      case Some(mm) =>
+        val open = mm.end - 1
+        val close = matchingClose(pred, open)
+        require(close > open,
+          s"MATCH_RECOGNIZE: unbalanced ${mm.group(1)}( in DEFINE")
+        val args = splitTopLevel(pred.substring(open + 1, close), ',')
+        require(args.nonEmpty && args.size <= 2,
+          s"MATCH_RECOGNIZE: ${mm.group(1)} takes (expr[, offset]), got " +
+            s"'${pred.substring(open + 1, close).take(120)}'")
+        val off =
+          if (args.size == 2) {
+            val t = args(1).trim
+            require(t.matches("""\d+"""), "MATCH_RECOGNIZE: " +
+              s"${mm.group(1)} offset must be an integer literal, got '$t'")
+            t
+          } else "1"
+        val fn = if (mm.group(1).equalsIgnoreCase("PREV")) "lag" else "lead"
+        val inner = rewriteDefineNav(args(0), partCol, tsCol, tbCol)
+        pred.substring(0, mm.start) +
+          s"$fn($inner, $off) over (partition by `$partCol` " +
+          s"order by `$tsCol`, `$tbCol`)" +
+          rewriteDefineNav(pred.substring(close + 1), partCol, tsCol, tbCol)
+    }
+  }
 
   private[graft] def rewriteMatchRecognize(
       spark: SparkSession, s: String): String = {
@@ -3178,8 +3215,15 @@ object PrestoSql {
     }
 
     // DEFINE: name AS predicate (predicate gets the dialect translation;
-    // self-qualification `V.col` is stripped; PREV/NEXT/FIRST/LAST
-    // navigation is out of scope and rejected)
+    // self-qualification `V.col` is stripped). PREV/NEXT navigation is
+    // supported: the SQL standard's PREV(x, n) evaluates x on the row n
+    // PHYSICAL rows earlier in the partition — independent of pattern
+    // labels — so it rewrites EXACTLY to lag(x, n) over the MR's own
+    // (PARTITION BY, ORDER BY) window, evaluated with every other step
+    // predicate in the pre-shuffle projection (partition boundary →
+    // NULL → false, the standard's behavior). FIRST/LAST/CLASSIFIER
+    // navigate the current match's LABELED rows — genuinely
+    // match-state-dependent — and stay loudly rejected in DEFINE.
     val defRe = """(?s)^\s*("[^"]+"|\w+)\s+[Aa][Ss]\s+(.+?)\s*$""".r
     val defs: Map[String, String] =
       splitTopLevel(m.group(8), ',').map {
@@ -3189,10 +3233,10 @@ object PrestoSql {
       }.toMap
     val varNames = branchToks.flatten.map(_.group(1).toUpperCase)
     defs.values.foreach(pred => require(
-      !"""(?i)\b(PREV|NEXT|FIRST|LAST|CLASSIFIER|MATCH_NUMBER)\s*\(""".r
+      !"""(?i)\b(FIRST|LAST|CLASSIFIER|MATCH_NUMBER)\s*\(""".r
         .findFirstIn(pred).isDefined,
-      s"MATCH_RECOGNIZE: navigation/measure functions in DEFINE are not " +
-        s"supported: ${pred.take(120)}"))
+      s"MATCH_RECOGNIZE: match-state navigation (FIRST/LAST/CLASSIFIER/" +
+        s"MATCH_NUMBER) in DEFINE is not supported: ${pred.take(120)}"))
     val selfQual = ("""(?i)\b(""" + varNames.distinct.mkString("|") +
       """)\.""").r
     def stepPred(v: String): org.apache.spark.sql.Column =
@@ -3200,7 +3244,9 @@ object PrestoSql {
         case None => org.apache.spark.sql.functions.lit(true) // undefined var: always matches (SQL standard)
         case Some(pred) =>
           org.apache.spark.sql.functions.expr(
-            translate(selfQual.replaceAllIn(pred, "")))
+            translate(rewriteDefineNav(
+              selfQual.replaceAllIn(pred, ""),
+              partCols.head, tsCol, tbCol)))
       }
     def stepsOf(ts: Seq[scala.util.matching.Regex.Match]): Seq[Step] =
       ts.map(t =>

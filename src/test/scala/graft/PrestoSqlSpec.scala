@@ -2284,6 +2284,72 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
+  test("MATCH_RECOGNIZE PREV/NEXT navigation in DEFINE") {
+    import SparkSpec.spark.implicits._
+    // values per user: u1 = 5 4 3 6 7 2 (one V: rows 2-5), plus a
+    // trailing fall with no rise; u2 = 1 2 1 2 (two single-step Vs
+    // offset by one — second V consumed: after SKIP PAST LAST ROW the
+    // scan resumes at row 4 which has no following rise)
+    Seq(
+      (1L, 1L, 5.0), (2L, 1L, 4.0), (3L, 1L, 3.0), (4L, 1L, 6.0),
+      (5L, 1L, 7.0), (6L, 1L, 2.0),
+      (11L, 2L, 1.0), (12L, 2L, 2.0), (13L, 2L, 1.0), (14L, 2L, 2.0))
+      .map { case (eid, uid, v) =>
+        (eid, uid, new java.sql.Timestamp(1700000000000L + eid * 1000), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .createOrReplaceTempView("mr_nav_src")
+    val r = PrestoSql.sql(SparkSpec.spark,
+      """SELECT user_id, mno, n_rows
+        |FROM mr_nav_src MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno, COUNT(*) AS n_rows
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (D+ U+)
+        |  DEFINE D AS value < PREV(value),
+        |         U AS value > PREV(value))
+        |ORDER BY user_id, mno""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // u1: D+ = rows 2-3 (4, 3), U+ = rows 4-5 (6, 7) → one 4-row match;
+    // u2: D = row 13 (1 < 2), U = row 14 (2 > 1) → one 2-row match
+    assert(r == Seq((1L, 1L, 4L), (2L, 1L, 2L)), r)
+    // NEXT() and explicit offsets: a row whose value exceeds the value
+    // TWO rows earlier and whose next row falls — evaluable closed-form
+    val r2 = PrestoSql.sql(SparkSpec.spark,
+      """SELECT user_id, mno
+        |FROM mr_nav_src MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno
+        |  ONE ROW PER MATCH
+        |  PATTERN (A)
+        |  DEFINE A AS value > PREV(value, 2) AND NEXT(value) < value)
+        |ORDER BY user_id, mno""".stripMargin).collect()
+    // u1: row 5 (7 > 6 two back? PREV(7,2)=3... row4: 6>4 true, next=7
+    // not < 6 → no; row5: 7>3 true, next=2 < 7 → MATCH); u2: row 14
+    // (2 > 1 two back, but NEXT is NULL → false)
+    assert(r2.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
+    // match-state navigation stays loud
+    val e = intercept[Exception](PrestoSql.sql(SparkSpec.spark,
+      """SELECT user_id, mno FROM mr_nav_src MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno
+        |  PATTERN (A B)
+        |  DEFINE A AS value > 0, B AS value > FIRST(value))
+        |""".stripMargin))
+    assert(e.getMessage.contains("match-state navigation"), e.getMessage)
+    // non-literal offsets stay loud
+    val e2 = intercept[Exception](PrestoSql.sql(SparkSpec.spark,
+      """SELECT user_id, mno FROM mr_nav_src MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mno
+        |  PATTERN (A)
+        |  DEFINE A AS value > PREV(value, event_id))
+        |""".stripMargin))
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+
   test("bing tile family: pixel math, quadkeys, neighborhoods, validation") {
     val r = PrestoSql.sql(spark,
       """SELECT
