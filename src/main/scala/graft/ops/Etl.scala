@@ -517,7 +517,7 @@ object Etl extends QueryModule {
     "p2w_presto_mr_nav" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.sql(s,
-        """SELECT user_id, mno, n_rows, first_ts, last_ts
+        """SELECT user_id, mno, n_rows, first_ts, last_ts, v0, v1, delta
           |FROM events MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts, event_id
@@ -525,7 +525,10 @@ object Etl extends QueryModule {
           |    MATCH_NUMBER() AS mno,
           |    COUNT(*) AS n_rows,
           |    FIRST(ts) AS first_ts,
-          |    LAST(ts) AS last_ts
+          |    LAST(ts) AS last_ts,
+          |    FIRST(value) AS v0,
+          |    LAST(value) AS v1,
+          |    LAST(value) - FIRST(value) AS delta
           |  ONE ROW PER MATCH
           |  AFTER MATCH SKIP PAST LAST ROW
           |  PATTERN (D+ U+)
@@ -1651,7 +1654,7 @@ object Etl extends QueryModule {
         |  FROM events WHERE user_id < 60
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |d AS (
-        |  SELECT user_id, ts, rn,
+        |  SELECT user_id, ts, rn, value,
         |    CASE WHEN pv IS NULL THEN 'x'
         |         WHEN value < pv THEN 'd'
         |         WHEN value > pv THEN 'u' ELSE 'f' END AS dir
@@ -1660,7 +1663,8 @@ object Etl extends QueryModule {
         |  SELECT user_id, dir,
         |    min(rn) AS srn, max(rn) AS ern,
         |    CAST(count(*) AS BIGINT) AS len,
-        |    min(ts) AS s_ts, max(ts) AS e_ts
+        |    min(ts) AS s_ts, max(ts) AS e_ts,
+        |    arg_min(value, rn) AS s_val, arg_max(value, rn) AS e_val
         |  FROM (SELECT *,
         |          rn - row_number() OVER (PARTITION BY user_id, dir
         |                                  ORDER BY rn) AS grp
@@ -1670,7 +1674,9 @@ object Etl extends QueryModule {
         |  CAST(row_number() OVER (PARTITION BY r1.user_id ORDER BY r1.srn)
         |    AS BIGINT) AS mno,
         |  r1.len + r2.len AS n_rows,
-        |  r1.s_ts AS first_ts, r2.e_ts AS last_ts
+        |  r1.s_ts AS first_ts, r2.e_ts AS last_ts,
+        |  r1.s_val AS v0, r2.e_val AS v1,
+        |  r2.e_val - r1.s_val AS delta
         |FROM runs r1 JOIN runs r2
         |  ON r1.user_id = r2.user_id AND r2.srn = r1.ern + 1
         |WHERE r1.dir = 'd' AND r2.dir = 'u'

@@ -3321,37 +3321,97 @@ object PrestoSql {
         spark.table(table), keyCol = partCols.head, tsCol = tsCol,
         tiebreakCol = tbCol, steps = steps, afterMatch = afterMatch)
 
-    // ONE ROW PER MATCH output: partition column + measures, per Trino
+    // ONE ROW PER MATCH output: partition column + measures, per Trino.
+    // Two tiers: the legacy simple forms read the match frame directly
+    // (no join); any other measure — FIRST/LAST over an arbitrary
+    // column, or a compound expression like LAST(value) − FIRST(value)
+    // — goes through a join-back to the source at the match's start/end
+    // row (FINAL semantics, which is what ONE ROW PER MATCH means), the
+    // same (key, ts) equi-join the ALL ROWS path already uses with the
+    // same ts-uniqueness assumption.
     val mnRe = """(?i)^\s*MATCH_NUMBER\s*\(\s*\)\s*$""".r
     val cntRe = """(?i)^\s*COUNT\s*\(\s*\*?\s*\)\s*$""".r
     val firstRe = """(?i)^\s*FIRST\s*\(\s*("?[\w.]+"?)\s*\)\s*$""".r
     val lastRe = """(?i)^\s*LAST\s*\(\s*("?[\w.]+"?)\s*\)\s*$""".r
     val measRe = """(?s)^\s*(.+?)\s+[Aa][Ss]\s+("[^"]+"|\w+)\s*$""".r
-    def ordCol(x: String): Unit = {
-      val c = bareId(selfQual.replaceAllIn(x, ""))
-      require(c.equalsIgnoreCase(tsCol),
-        s"MATCH_RECOGNIZE: FIRST/LAST measures support only the ORDER BY " +
-          s"column '$tsCol', got '$c'")
-    }
-    val measures: Seq[org.apache.spark.sql.Column] =
+    val entries: Seq[(String, String)] =
       Option(m.group(3)).toSeq.flatMap(splitTopLevel(_, ',')).map {
-        case measRe(e2, alias) =>
-          val a = bareId(alias)
-          (e2.trim match {
-            case mnRe() => col("match_no")
-            case cntRe() => col("n_rows")
-            case firstRe(c) => ordCol(c); timestamp_micros(col("start_us"))
-            case lastRe(c) => ordCol(c); timestamp_micros(col("end_us"))
-            case other => throw new IllegalArgumentException(
-              "MATCH_RECOGNIZE: unsupported measure (supported: " +
-                s"MATCH_NUMBER(), COUNT(*), FIRST/LAST($tsCol)): '$other'")
-          }).as(a)
+        case measRe(e2, alias) => (e2.trim, bareId(alias))
         case bad => throw new IllegalArgumentException(
           s"bad MEASURES entry (want expr AS alias): '${bad.take(120)}'")
       }
+    def simpleCol(t: String): Option[org.apache.spark.sql.Column] = t match {
+      case mnRe() => Some(col("match_no"))
+      case cntRe() => Some(col("n_rows"))
+      case firstRe(c)
+        if bareId(selfQual.replaceAllIn(c, "")).equalsIgnoreCase(tsCol) =>
+        Some(timestamp_micros(col("start_us")))
+      case lastRe(c)
+        if bareId(selfQual.replaceAllIn(c, "")).equalsIgnoreCase(tsCol) =>
+        Some(timestamp_micros(col("end_us")))
+      case _ => None
+    }
     // matches() already surfaces the partition key under its own name
-    matched.select(col(partCols.head) +: measures: _*)
-      .createOrReplaceTempView(view)
+    if (entries.forall(e => simpleCol(e._1).isDefined)) {
+      matched.select(col(partCols.head) +:
+          entries.map { case (t, a) => simpleCol(t).get.as(a) }: _*)
+        .createOrReplaceTempView(view)
+    } else {
+      val src = spark.table(table)
+      val srcCols = src.columns.toSeq
+      def colOf(x: String): String = {
+        val c = bareId(selfQual.replaceAllIn(x, ""))
+        srcCols.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: FIRST/LAST measure references unknown " +
+              s"column '$c' (have: ${srcCols.mkString(", ")})"))
+      }
+      // FIRST(x)/LAST(x) with a bare column arg → the join-back frame's
+      // renamed column; anything fancier inside the call stays loud
+      def rewriteMeasure(t: String): String = {
+        """(?i)\b(FIRST|LAST)\s*\(""".r.findFirstMatchIn(t) match {
+          case None => t
+          case Some(mm) =>
+            val open = mm.end - 1
+            val cl = matchingClose(t, open)
+            require(cl > open,
+              s"MATCH_RECOGNIZE: unbalanced ${mm.group(1)}( in MEASURES")
+            val arg = t.substring(open + 1, cl).trim
+            require(arg.matches("""^"?[\w.]+"?$"""),
+              s"MATCH_RECOGNIZE: ${mm.group(1)} measure takes a single " +
+                s"column, got '${arg.take(120)}'")
+            val side =
+              if (mm.group(1).equalsIgnoreCase("FIRST")) "f" else "l"
+            t.substring(0, mm.start) + s"`__mr_${side}_${colOf(arg)}`" +
+              rewriteMeasure(t.substring(cl + 1))
+        }
+      }
+      val rewritten = entries.map { case (t, a) =>
+        val r = rewriteMeasure(
+          t.replaceAll("""(?i)\bMATCH_NUMBER\s*\(\s*\)""", "match_no")
+            .replaceAll("""(?i)\bCOUNT\s*\(\s*\*?\s*\)""", "n_rows"))
+        require(!"""(?i)\b(PREV|NEXT|CLASSIFIER|FIRST|LAST|COUNT)\s*\("""
+            .r.findFirstIn(r).isDefined,
+          "MATCH_RECOGNIZE: unsupported measure construct in " +
+            s"'${t.take(120)}' (supported: MATCH_NUMBER(), COUNT(*), " +
+            "FIRST/LAST(column), and expressions over them)")
+        (r, a)
+      }
+      def sideFrame(side: String) = src.select(
+        col(partCols.head).cast("long").as(s"__mr_${side}k") +:
+        unix_micros(col(tsCol).cast("timestamp")).as(s"__mr_${side}ts") +:
+        srcCols.map(c => col(c).as(s"__mr_${side}_$c")): _*)
+      val joined = matched
+        .join(sideFrame("f"),
+          col(partCols.head) === col("__mr_fk") &&
+            col("start_us") === col("__mr_fts"))
+        .join(sideFrame("l"),
+          col(partCols.head) === col("__mr_lk") &&
+            col("end_us") === col("__mr_lts"))
+      joined.select(col(partCols.head) +: rewritten.map { case (r, a) =>
+          org.apache.spark.sql.functions.expr(translate(r)).as(a) }: _*)
+        .createOrReplaceTempView(view)
+    }
 
     // splice: `<table> MATCH_RECOGNIZE ( … )` → view name; any trailing
     // alias survives untouched. Recurse for further clauses.

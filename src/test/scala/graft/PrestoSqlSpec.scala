@@ -2330,6 +2330,25 @@ class PrestoSqlSpec extends SparkSpec {
     // not < 6 → no; row5: 7>3 true, next=2 < 7 → MATCH); u2: row 14
     // (2 > 1 two back, but NEXT is NULL → false)
     assert(r2.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
+    // compound measures over arbitrary columns: FIRST/LAST(value) under
+    // FINAL semantics via the join-back path
+    val r3 = PrestoSql.sql(SparkSpec.spark,
+      """SELECT user_id, v0, v1, dlt, n_rows
+        |FROM mr_nav_src MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES FIRST(value) AS v0, LAST(value) AS v1,
+        |    LAST(value) - FIRST(value) AS dlt, COUNT(*) AS n_rows
+        |  ONE ROW PER MATCH
+        |  PATTERN (D+ U+)
+        |  DEFINE D AS value < PREV(value),
+        |         U AS value > PREV(value))
+        |ORDER BY user_id""".stripMargin)
+      .collect().map(x =>
+        (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getDouble(3),
+          x.getLong(4))).toSeq
+    // u1 match rows 2-5: first value 4.0, last 7.0; u2 rows 13-14: 1→2
+    assert(r3 == Seq((1L, 4.0, 7.0, 3.0, 4L), (2L, 1.0, 2.0, 1.0, 2L)), r3)
     // match-state navigation stays loud
     val e = intercept[Exception](PrestoSql.sql(SparkSpec.spark,
       """SELECT user_id, mno FROM mr_nav_src MATCH_RECOGNIZE (
