@@ -40,6 +40,18 @@ object GraftFunctions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
       (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("fnv1_32"),
+      new ExpressionInfo(classOf[FnvExpression].getName, "fnv1_32"),
+      (e: Seq[Expression]) => FnvExpression(e(0), 32, fnv1a = false)),
+    (FunctionIdentifier("fnv1a_32"),
+      new ExpressionInfo(classOf[FnvExpression].getName, "fnv1a_32"),
+      (e: Seq[Expression]) => FnvExpression(e(0), 32, fnv1a = true)),
+    (FunctionIdentifier("fnv1_64"),
+      new ExpressionInfo(classOf[FnvExpression].getName, "fnv1_64"),
+      (e: Seq[Expression]) => FnvExpression(e(0), 64, fnv1a = false)),
+    (FunctionIdentifier("fnv1a_64"),
+      new ExpressionInfo(classOf[FnvExpression].getName, "fnv1a_64"),
+      (e: Seq[Expression]) => FnvExpression(e(0), 64, fnv1a = true)),
     (FunctionIdentifier("gopher_repetition_stats"),
       new ExpressionInfo(
         classOf[GopherRepetitionExpression].getName, "gopher_repetition_stats"),

@@ -538,6 +538,49 @@ object Etl extends QueryModule {
           |ORDER BY user_id, mno""".stripMargin)
     }),
 
+    // P2y: the remaining Trino array/map utilities + the IPv4 address
+    // page — array_top_n (n largest desc, NULLs at the end, the
+    // documented order), array_split_into_chunks, map_remove_null_values,
+    // ip_prefix (containing CIDR block at several prefix widths,
+    // including the /0 and /32 edges) and is_private (the IANA
+    // special-purpose registry list), plus levenshtein_distance and
+    // starts_with which DuckDB implements natively (genuinely
+    // independent oracles). IPs are synthesized dotted quads from
+    // custkey arithmetic so the first octet sweeps the private ranges
+    // (0, 10, 100, 127, 169, 172, 192, 198, 203, 240 all occur).
+    "p2y_presto_fns_misc2" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH t AS (
+          |  SELECT "c_custkey" AS ck, "c_name" AS nm,
+          |    concat(CAST("c_custkey" % 256 AS VARCHAR), '.',
+          |           CAST("c_custkey" * 3 % 256 AS VARCHAR), '.',
+          |           CAST("c_custkey" * 7 % 256 AS VARCHAR), '.',
+          |           CAST("c_custkey" * 11 % 256 AS VARCHAR)) AS ip
+          |  FROM customer WHERE "c_custkey" < 400)
+          |SELECT ck,
+          |  array_join(transform(array_top_n(ARRAY[ck % 7, ck % 5, NULL,
+          |    ck % 11, ck % 3], 3), x -> CAST(x AS VARCHAR)), ',')
+          |    AS top3,
+          |  array_join(transform(array_split_into_chunks(ARRAY[ck,
+          |    ck + 1, ck + 2, ck + 3, ck + 4], 2), c ->
+          |    array_join(transform(c, x -> CAST(x AS VARCHAR)), ',')),
+          |    '|') AS chunks,
+          |  array_join(transform(array_sort(map_keys(
+          |    map_remove_null_values(map(ARRAY['a', 'b', 'c'],
+          |      ARRAY[CAST(ck AS VARCHAR), NULL, 'z'])))), k ->
+          |    concat(k, '=', element_at(map_remove_null_values(
+          |      map(ARRAY['a', 'b', 'c'], ARRAY[CAST(ck AS VARCHAR),
+          |      NULL, 'z'])), k))), ',') AS m,
+          |  ip_prefix(ip, 24) AS p24, ip_prefix(ip, 12) AS p12,
+          |  ip_prefix(ip, 32) AS p32, ip_prefix(ip, 0) AS p0,
+          |  is_private(ip) AS priv,
+          |  CAST(levenshtein_distance(nm, 'Customer#000000042')
+          |    AS BIGINT) AS lev,
+          |  starts_with(nm, 'Customer#0000001') AS sw
+          |FROM t ORDER BY ck""".stripMargin)
+    }),
+
     // P2p: the Trino Bing tile family in real Trino SQL — bing_tile_at /
     // bing_tile_coordinates / bing_tile_zoom_level / bing_tile_quadkey /
     // bing_tiles_around / the bing_tile constructor, over the sc21
@@ -1708,6 +1751,56 @@ object Etl extends QueryModule {
         |LEFT JOIN s s1 ON s1.user_id = e.user_id AND s1.event_id = e.event_id
         |LEFT JOIN s s2 ON s2.user_id = e.user_id AND s2.event_id = e.prv_eid
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "p2y_presto_fns_misc2" ->
+      // top3/chunks re-derived through DuckDB's own list machinery;
+      // map through map_entries filtering; the IPv4 arithmetic mirrored
+      // op-for-op (fold octets big-endian, clear host bits via
+      // v − v % 2^(32−bits), re-render); levenshtein/starts_with are
+      // DuckDB natives — independent implementations of the same spec
+      """WITH t AS (
+        |  SELECT c_custkey AS ck, c_name AS nm,
+        |    CAST(c_custkey % 256 AS BIGINT) * 16777216
+        |      + CAST(c_custkey * 3 % 256 AS BIGINT) * 65536
+        |      + CAST(c_custkey * 7 % 256 AS BIGINT) * 256
+        |      + CAST(c_custkey * 11 % 256 AS BIGINT) AS v
+        |  FROM customer WHERE c_custkey < 400),
+        |f AS (
+        |  SELECT ck, nm, v,
+        |    v - v % 4294967296 AS m0,
+        |    v - v % 1048576 AS m12,
+        |    v - v % 256 AS m24,
+        |    v AS m32
+        |  FROM t),
+        |r AS (
+        |  SELECT ck, nm, v, m0, m12, m24, m32,
+        |    [ck % 7, ck % 5, ck % 11, ck % 3] AS nn
+        |  FROM f)
+        |SELECT ck,
+        |  array_to_string(list_slice(list_reverse_sort(nn), 1, 3), ',')
+        |    AS top3,
+        |  concat(ck, ',', ck + 1, '|', ck + 2, ',', ck + 3, '|', ck + 4)
+        |    AS chunks,
+        |  concat('a=', ck, ',c=z') AS m,
+        |  concat(m24 // 16777216 % 256, '.', m24 // 65536 % 256, '.',
+        |    m24 // 256 % 256, '.', m24 % 256, '/24') AS p24,
+        |  concat(m12 // 16777216 % 256, '.', m12 // 65536 % 256, '.',
+        |    m12 // 256 % 256, '.', m12 % 256, '/12') AS p12,
+        |  concat(m32 // 16777216 % 256, '.', m32 // 65536 % 256, '.',
+        |    m32 // 256 % 256, '.', m32 % 256, '/32') AS p32,
+        |  concat(m0 // 16777216 % 256, '.', m0 // 65536 % 256, '.',
+        |    m0 // 256 % 256, '.', m0 % 256, '/0') AS p0,
+        |  (v - v % 16777216) IN (0, 167772160, 2130706432)
+        |    OR (v - v % 4194304) = 1681915904
+        |    OR (v - v % 1048576) = 2886729728
+        |    OR (v - v % 131072) = 3323068416
+        |    OR (v - v % 65536) IN (2851995648, 3232235520)
+        |    OR (v - v % 256) IN (3221225472, 3221225984, 3227017984,
+        |      3325256704, 3405803776)
+        |    OR (v - v % 268435456) = 4026531840 AS priv,
+        |  CAST(levenshtein(nm, 'Customer#000000042') AS BIGINT) AS lev,
+        |  starts_with(nm, 'Customer#0000001') AS sw
+        |FROM r ORDER BY ck""".stripMargin,
 
     "p2p_presto_bing_tiles" ->
       // The oracle re-derives the Bing tile math once in a (point, zoom)

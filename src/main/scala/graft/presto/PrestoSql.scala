@@ -2453,7 +2453,70 @@ object PrestoSql {
       " named_struct('x', graft_bing_x(lon, zoom) + dx," +
       " 'y', graft_bing_y(lat, zoom) + dy, 'zoom', zoom))))," +
       " t -> t.x >= 0 AND t.y >= 0 AND" +
-      " t.x <= shiftleft(1, zoom) - 1 AND t.y <= shiftleft(1, zoom) - 1)")
+      " t.x <= shiftleft(1, zoom) - 1 AND t.y <= shiftleft(1, zoom) - 1)",
+    // Trino array_top_n: the n largest elements sorted descending, NULLs
+    // placed at the end (the documented order); result length is
+    // min(n, cardinality). Typed BIGINT per the array_sum convention.
+    "array_top_n(a ARRAY<BIGINT>, n INT) RETURNS ARRAY<BIGINT> RETURN" +
+      " CASE WHEN n < 0 THEN raise_error('array_top_n n must be >= 0')" +
+      " ELSE slice(concat(reverse(array_sort(filter(a, x -> x IS NOT" +
+      " NULL))), filter(a, x -> x IS NULL)), 1, n) END",
+    // Trino array_split_into_chunks: consecutive slices of max length n
+    // (last chunk may be shorter); empty input → zero chunks; n < 1 is
+    // Trino's error.
+    "array_split_into_chunks(a ARRAY<BIGINT>, n INT)" +
+      " RETURNS ARRAY<ARRAY<BIGINT>> RETURN" +
+      " CASE WHEN n < 1 THEN" +
+      " raise_error('array_split_into_chunks n must be positive')" +
+      " WHEN size(a) = 0 THEN array()" +
+      " ELSE transform(sequence(0, CAST(ceil(size(a) / CAST(n AS" +
+      " DOUBLE)) AS INT) - 1), i -> slice(a, i * n + 1, n)) END",
+    // Trino map_remove_null_values (typed STRING per the map-adapter
+    // convention; body lambda rides Spark's native map_filter)
+    "map_remove_null_values(m MAP<STRING, STRING>)" +
+      " RETURNS MAP<STRING, STRING> RETURN" +
+      " map_filter(m, (k, v) -> v IS NOT NULL)",
+    // IPv4 helpers for the Trino IP-address page (IPs as dotted-quad
+    // strings — the engine has no IPADDRESS type; IPv6 fails loudly in
+    // the octet cast). ip2long folds the quad big-endian; ANSI cast
+    // makes malformed input loud.
+    "graft_ip4(ip STRING) RETURNS BIGINT RETURN" +
+      " CASE WHEN size(split(ip, '\\\\.')) != 4 THEN" +
+      " raise_error(concat('not an IPv4 dotted quad: ', ip))" +
+      " ELSE aggregate(transform(split(ip, '\\\\.'), o ->" +
+      " CAST(o AS BIGINT)), 0L, (acc, o) -> CASE WHEN o BETWEEN 0 AND" +
+      " 255 THEN acc * 256 + o ELSE" +
+      " raise_error(concat('IPv4 octet out of range: ', ip)) END) END",
+    // masked address: clear the host bits — (ip DIV 2^(32−bits)) ·
+    // 2^(32−bits); long shift, no 32-bit mask edge
+    "graft_ip4_mask(ip STRING, bits INT) RETURNS BIGINT RETURN" +
+      " (graft_ip4(ip) DIV shiftleft(1L, 32 - bits))" +
+      " * shiftleft(1L, 32 - bits)",
+    "graft_ip4_str(v BIGINT) RETURNS STRING RETURN" +
+      " concat_ws('.', CAST(v DIV 16777216 % 256 AS STRING)," +
+      " CAST(v DIV 65536 % 256 AS STRING)," +
+      " CAST(v DIV 256 % 256 AS STRING), CAST(v % 256 AS STRING))",
+    // Trino ip_prefix(ip, bits): the containing CIDR block rendered
+    // canonically ('10.1.2.3', 24 → '10.1.2.0/24')
+    "ip_prefix(ip STRING, bits INT) RETURNS STRING RETURN" +
+      " CASE WHEN bits < 0 OR bits > 32 THEN" +
+      " raise_error(concat('prefix length must be in [0, 32]: '," +
+      " CAST(bits AS STRING))) ELSE" +
+      " graft_ip4_str(graft_ip4_mask(ip, bits)) || '/' ||" +
+      " CAST(bits AS STRING) END",
+    // Trino is_private: true when the address is in the IANA IPv4
+    // Special-Purpose Address Registry (not globally reachable) — the
+    // RFC1918 blocks plus this-network/loopback/link-local/CGN/
+    // benchmarking/documentation/6to4-relay/special-use/Class-E
+    "is_private(ip STRING) RETURNS BOOLEAN RETURN" +
+      " graft_ip4_mask(ip, 8) IN (0L, 167772160L, 2130706432L)" +          // 0/8, 10/8, 127/8
+      " OR graft_ip4_mask(ip, 10) = 1681915904L" +                          // 100.64/10
+      " OR graft_ip4_mask(ip, 12) = 2886729728L" +                          // 172.16/12
+      " OR graft_ip4_mask(ip, 15) = 3323068416L" +                          // 198.18/15
+      " OR graft_ip4_mask(ip, 16) IN (2851995648L, 3232235520L)" +          // 169.254/16, 192.168/16
+      " OR graft_ip4_mask(ip, 24) IN (3221225472L, 3221225984L," +          // 192.0.0/24, 192.0.2/24
+      " 3227017984L, 3325256704L, 3405803776L)" +                           // 192.88.99/24, 198.51.100/24, 203.0.113/24
+      " OR graft_ip4_mask(ip, 4) = 4026531840L")                            // 240/4
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)

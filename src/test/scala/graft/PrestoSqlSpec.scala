@@ -2369,6 +2369,99 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("integer literal"), e2.getMessage)
   }
 
+  test("array_top_n / array_split_into_chunks / map_remove_null_values edges") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  array_top_n(ARRAY[3, 1, NULL, 5, NULL, 2], 4) AS t4,
+        |  array_top_n(ARRAY[3, 1], 5) AS tall,
+        |  array_top_n(CAST(ARRAY[] AS ARRAY<BIGINT>), 2) AS tempty,
+        |  array_split_into_chunks(ARRAY[1, 2, 3, 4, 5], 2) AS c2,
+        |  array_split_into_chunks(ARRAY[1, 2], 5) AS cbig,
+        |  array_split_into_chunks(CAST(ARRAY[] AS ARRAY<BIGINT>), 3) AS cempty,
+        |  map_remove_null_values(map(ARRAY['a', 'b'],
+        |    ARRAY[NULL, 'x'])) AS m""".stripMargin).collect().head
+    assert(r.getSeq[Any](0) == Seq(5L, 3L, 2L, 1L), r.getSeq[Any](0))
+    assert(r.getSeq[Any](1) == Seq(3L, 1L))
+    assert(r.getSeq[Any](2) == Seq())
+    assert(r.getSeq[Seq[Long]](3) == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)))
+    assert(r.getSeq[Seq[Long]](4) == Seq(Seq(1L, 2L)))
+    assert(r.getSeq[Seq[Long]](5) == Seq())
+    assert(r.getMap[String, String](6) == Map("b" -> "x"))
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT array_split_into_chunks(ARRAY[1], 0)").collect())
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
+  test("IPv4 page: ip_prefix / is_private edges and loud failures") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  ip_prefix('10.1.2.3', 24) AS a,
+        |  ip_prefix('192.168.255.255', 12) AS b,
+        |  ip_prefix('8.8.8.8', 32) AS c,
+        |  ip_prefix('255.255.255.255', 0) AS d,
+        |  is_private('10.0.0.1') AS p1,
+        |  is_private('172.16.0.1') AS p2,
+        |  is_private('172.32.0.1') AS p3,
+        |  is_private('8.8.8.8') AS p4,
+        |  is_private('100.64.0.1') AS p5,
+        |  is_private('100.128.0.1') AS p6,
+        |  is_private('240.0.0.1') AS p7,
+        |  is_private('198.19.255.255') AS p8""".stripMargin).collect().head
+    assert(r.getString(0) == "10.1.2.0/24")
+    assert(r.getString(1) == "192.160.0.0/12")
+    assert(r.getString(2) == "8.8.8.8/32")
+    assert(r.getString(3) == "0.0.0.0/0")
+    assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6) &&
+      !r.getBoolean(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9) && r.getBoolean(10) &&
+      r.getBoolean(11))
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT ip_prefix('10.1.2.3', 40)").collect())
+    assert(e.getMessage.contains("[0, 32]"), e.getMessage)
+    val e2 = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT is_private('not-an-ip')").collect())
+    assert(e2 != null)
+  }
+
+  test("fnv family matches an independent BigInt reference and public vectors") {
+    // independent reference: BigInt arithmetic mod 2^bits, written from
+    // the FNV spec (multiply/xor order per variant)
+    def ref(s: String, bits: Int, a: Boolean): BigInt = {
+      val (off, p) =
+        if (bits == 32) (BigInt(2166136261L), BigInt(16777619))
+        else (BigInt("14695981039346656037"), BigInt("1099511628211"))
+      val mod = BigInt(1) << bits
+      s.getBytes("UTF-8").foldLeft(off) { (h, b) =>
+        val x = BigInt(b & 0xff)
+        if (a) ((h ^ x) * p) % mod else ((h * p) % mod) ^ x
+      } % mod
+    }
+    def signed64(v: BigInt): Long =
+      (if (v >= (BigInt(1) << 63)) v - (BigInt(1) << 64) else v).toLong
+    for (s <- Seq("", "a", "foobar", "the quick brown fox")) {
+      val r = PrestoSql.sql(spark,
+        s"""SELECT fnv1_32(to_utf8('$s')), fnv1a_32(to_utf8('$s')),
+           |fnv1_64(to_utf8('$s')), fnv1a_64(to_utf8('$s'))""".stripMargin)
+        .collect().head
+      assert(r.getLong(0) == ref(s, 32, a = false).toLong, s"fnv1_32 '$s'")
+      assert(r.getLong(1) == ref(s, 32, a = true).toLong, s"fnv1a_32 '$s'")
+      assert(r.getLong(2) == signed64(ref(s, 64, a = false)), s"fnv1_64 '$s'")
+      assert(r.getLong(3) == signed64(ref(s, 64, a = true)), s"fnv1a_64 '$s'")
+    }
+    // published check vectors: FNV-1a 32 of 'a' = 0xE40C292C
+    val v = PrestoSql.sql(spark,
+      "SELECT fnv1a_32(to_utf8('a')), crc32(to_utf8('123456789'))")
+      .collect().head
+    assert(v.getLong(0) == 0xe40c292cL)
+    // CRC-32 standard check value 0xCBF43926 (passthrough to the Spark
+    // builtin — pinned here so the dialect exposure stays verified)
+    assert(v.getLong(1) == 0xcbf43926L)
+    // word_stem through the dialect (Porter vectors pinned in StemSpec)
+    val w = PrestoSql.sql(spark,
+      "SELECT word_stem('running'), word_stem('flies')").collect().head
+    assert(w.getString(0) == "run" && w.getString(1) == "fli")
+  }
+
   test("bing tile family: pixel math, quadkeys, neighborhoods, validation") {
     val r = PrestoSql.sql(spark,
       """SELECT
