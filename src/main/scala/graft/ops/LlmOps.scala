@@ -2603,6 +2603,38 @@ object LlmOps extends QueryModule {
         .orderBy(col("cluster"), col("vec_id"))
     }),
 
+    // L61: CURRICULUM schedule — sequence-length warmup ordering (the
+    // published short-to-long curriculum: training stability work —
+    // e.g. Li et al. 2022's stability–efficiency analysis — starts on
+    // short sequences and lengthens; progressive-length schedules are
+    // standard in production pretraining configs). Every doc gets a
+    // (shard, phase, pos): shard = content-stable rolling-hash mod 8
+    // (the l10 split convention — stable across runs, partitionings,
+    // engines); phase = FIXED length buckets (<64 / <192 / rest words —
+    // closed-form, no global quantile pass); pos = the doc's position
+    // in its shard's schedule, ordered (phase, content-hash, doc_id) so
+    // every shard walks phases in order with a deterministic
+    // within-phase shuffle (hash order decorrelates from corpus order —
+    // the reason loaders shuffle at all). Scale: the ONLY shuffle is
+    // the shard key; each window is per-shard (shards ≈ data-parallel
+    // workers, thousands at 100 TB — small per-shard state), and
+    // NOTHING global-sorts: the schedule materializes as one pass per
+    // shard exactly like l33's boustrophedon.
+    "l61_curriculum_schedule" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TF.wordTokens(col("text"))).cast("long").as("n_words"),
+        pmod(TF.rollingFingerprint(col("text"), 32), lit(8L)).as("shard"),
+        TF.rollingFingerprint(col("text"), 48).as("h"))
+        .withColumn("phase",
+          when(col("n_words") < 64, 0L)
+            .when(col("n_words") < 192, 1L).otherwise(2L))
+      docs.withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("phase"), col("h"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("phase"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -3224,6 +3256,33 @@ object LlmOps extends QueryModule {
         |  CAST(rnk AS BIGINT) AS rnk,
         |  rnk * 10 <= n * 7 AS kept
         |FROM r ORDER BY cluster, vec_id""".stripMargin,
+
+    "l61_curriculum_schedule" ->
+      // same rolling-hash shard/shuffle keys (the l10 portable fold:
+      // first-element list_reduce equals the 0-initialized aggregate
+      // under this hash), same fixed length buckets, same per-shard
+      // window — engine-independent because every key is content
+      // arithmetic
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(list_filter(str_split(text, ' '), x -> len(x) > 0))
+        |      AS n_words,
+        |    list_reduce(list_transform(str_split(substring(text, 1, 32),
+        |      ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) % 8 AS shard,
+        |    list_reduce(list_transform(str_split(substring(text, 1, 48),
+        |      ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, h,
+        |    CASE WHEN n_words < 64 THEN 0 WHEN n_words < 192 THEN 1
+        |         ELSE 2 END AS phase
+        |  FROM b)
+        |SELECT doc_id, shard, CAST(phase AS BIGINT) AS phase,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY phase, h, doc_id) AS BIGINT) AS pos
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "l52_paragraph_dedup" ->
       // same 5-word chunking, same global first-occurrence rule; the
