@@ -101,6 +101,24 @@ object GraftFunctions {
     (FunctionIdentifier("st_y"),
       new ExpressionInfo(classOf[StPointCoordExpression].getName, "st_y"),
       (e: Seq[Expression]) => StPointCoordExpression(e(0), 1)),
+    (FunctionIdentifier("st_centroid_x"),
+      new ExpressionInfo(classOf[StCentroidExpression].getName, "st_centroid_x"),
+      (e: Seq[Expression]) => StCentroidExpression(e(0), 0)),
+    (FunctionIdentifier("st_centroid_y"),
+      new ExpressionInfo(classOf[StCentroidExpression].getName, "st_centroid_y"),
+      (e: Seq[Expression]) => StCentroidExpression(e(0), 1)),
+    (FunctionIdentifier("st_xmin"),
+      new ExpressionInfo(classOf[StEnvBoundExpression].getName, "st_xmin"),
+      (e: Seq[Expression]) => StEnvBoundExpression(e(0), 0)),
+    (FunctionIdentifier("st_ymin"),
+      new ExpressionInfo(classOf[StEnvBoundExpression].getName, "st_ymin"),
+      (e: Seq[Expression]) => StEnvBoundExpression(e(0), 1)),
+    (FunctionIdentifier("st_xmax"),
+      new ExpressionInfo(classOf[StEnvBoundExpression].getName, "st_xmax"),
+      (e: Seq[Expression]) => StEnvBoundExpression(e(0), 2)),
+    (FunctionIdentifier("st_ymax"),
+      new ExpressionInfo(classOf[StEnvBoundExpression].getName, "st_ymax"),
+      (e: Seq[Expression]) => StEnvBoundExpression(e(0), 3)),
     (FunctionIdentifier("st_area"),
       new ExpressionInfo(classOf[StAreaExpression].getName, "st_area"),
       (e: Seq[Expression]) => StAreaExpression(e(0))),

@@ -314,6 +314,63 @@ object WktCore {
     math.abs(s) / 2
   }
 
+  /** Codegen entry: shoelace-weighted polygon centroid (idx 0 = x,
+    * 1 = y). Terms accumulate in vertex order — the sc21 mirroring
+    * contract — and divide by the SIGNED tripled cross-sum, so the
+    * ring's winding cancels and both orientations yield the true
+    * centroid. Degenerate (zero-area) rings divide by zero → ±Inf/NaN,
+    * loud rather than silently wrong. */
+  def centroid(poly: UTF8String, idx: Int): Double = {
+    val c = polygonCoords(poly)
+    val n = c.length / 2
+    var sa = 0.0
+    var sx = 0.0
+    var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val cr = c(2 * i) * c(2 * j + 1) - c(2 * j) * c(2 * i + 1)
+      sa += cr
+      sx += (c(2 * i) + c(2 * j)) * cr
+      sy += (c(2 * i + 1) + c(2 * j + 1)) * cr
+      i += 1
+    }
+    if (idx == 0) sx / (3.0 * sa) else sy / (3.0 * sa)
+  }
+
+  /** Codegen entry: envelope bound of POINT/LINESTRING/POLYGON WKT —
+    * which: 0 xmin, 1 ymin, 2 xmax, 3 ymax. Min/max over vertices:
+    * order-independent and exact in IEEE, so no accumulation-order
+    * contract is needed. */
+  def envBound(g: UTF8String, which: Int): Double = {
+    val t = g.toString.trim
+    val c =
+      if (t.regionMatches(true, 0, "POLYGON", 0, 7)) parsePolygon(t)
+      else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
+        parseLineString(t)
+      else parsePoint(t)
+    var xmin = c(0)
+    var ymin = c(1)
+    var xmax = c(0)
+    var ymax = c(1)
+    var i = 1
+    while (2 * i < c.length) {
+      val x = c(2 * i)
+      val y = c(2 * i + 1)
+      if (x < xmin) xmin = x
+      if (x > xmax) xmax = x
+      if (y < ymin) ymin = y
+      if (y > ymax) ymax = y
+      i += 1
+    }
+    which match {
+      case 0 => xmin
+      case 1 => ymin
+      case 2 => xmax
+      case _ => ymax
+    }
+  }
+
   /** Codegen entry: st_length(lineWkt) — planar length, segment
     * hypots accumulated in point order (same mirroring contract). */
   def length(line: UTF8String): Double = {
@@ -447,6 +504,44 @@ case class StAreaExpression(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): StAreaExpression = copy(child = newChild)
+}
+
+/** `st_centroid_x/y(polygon_wkt)` → double (shoelace-weighted). */
+case class StCentroidExpression(child: Expression, idx: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (idx == 0) "st_centroid_x" else "st_centroid_y"
+
+  override def nullSafeEval(input: Any): Any =
+    WktCore.centroid(input.asInstanceOf[UTF8String], idx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WktCore.centroid($c, $idx);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StCentroidExpression = copy(child = newChild)
+}
+
+/** `st_xmin/ymin/xmax/ymax(geometry_wkt)` → double envelope bound. */
+case class StEnvBoundExpression(child: Expression, which: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    Seq("st_xmin", "st_ymin", "st_xmax", "st_ymax")(which)
+
+  override def nullSafeEval(input: Any): Any =
+    WktCore.envBound(input.asInstanceOf[UTF8String], which)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WktCore.envBound($c, $which);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StEnvBoundExpression = copy(child = newChild)
 }
 
 /** `st_length(linestring_wkt)` → double (planar segment-sum). */

@@ -538,6 +538,50 @@ object Etl extends QueryModule {
           |ORDER BY user_id, mno""".stripMargin)
     }),
 
+    // P2t2: Trino ST_Centroid / ST_Envelope / ST_XMin-ST_YMax — the
+    // geometry-accessor tier of the geospatial page, over ASYMMETRIC
+    // kite quads (so the centroid is NOT the construction center and
+    // the envelope is NOT symmetric). Geometries are WKT text (the p2t
+    // contract); ST_Centroid/ST_Envelope build POINT/POLYGON strings
+    // from the native kernels, and Java's shortest-round-trip double
+    // rendering makes ST_X(ST_Centroid(g)) — a double → string →
+    // double trip — LOSSLESS. The oracle recomputes the shoelace
+    // centroid and envelope bounds from the same round-trip-exact
+    // vertex doubles in the kernel's exact accumulation order (the
+    // sc21 mirroring contract), never touching the strings.
+    "p2t2_presto_geo_accessors" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 AS DOUBLE) + 3.3 AS r
+          |  FROM nation),
+          |w AS (
+          |  SELECT k, concat('POLYGON ((',
+          |    CAST(cx + r AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |    CAST(cx AS VARCHAR), ' ', CAST(cy + r + 1.5 AS VARCHAR),
+          |    ', ',
+          |    CAST(cx - r - 2.5 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |    ', ',
+          |    CAST(cx AS VARCHAR), ' ', CAST(cy - r AS VARCHAR), '))')
+          |    AS poly
+          |  FROM g)
+          |SELECT k,
+          |  CAST(floor(ST_X(ST_Centroid(ST_GeometryFromText(poly)))
+          |    * 1e6 + 0.5) AS BIGINT) AS cx_q6,
+          |  CAST(floor(ST_Y(ST_Centroid(ST_GeometryFromText(poly)))
+          |    * 1e6 + 0.5) AS BIGINT) AS cy_q6,
+          |  CAST(floor(ST_XMin(poly) * 1e6 + 0.5) AS BIGINT) AS xmin_q6,
+          |  CAST(floor(ST_YMin(poly) * 1e6 + 0.5) AS BIGINT) AS ymin_q6,
+          |  CAST(floor(ST_XMax(poly) * 1e6 + 0.5) AS BIGINT) AS xmax_q6,
+          |  CAST(floor(ST_YMax(poly) * 1e6 + 0.5) AS BIGINT) AS ymax_q6,
+          |  CAST(floor(ST_Area(ST_Envelope(poly)) * 1e6 + 0.5)
+          |    AS BIGINT) AS env_area_q6
+          |FROM w ORDER BY k""".stripMargin)
+    }),
+
     // P2y: the remaining Trino array/map utilities + the IPv4 address
     // page — array_top_n (n largest desc, NULLs at the end, the
     // documented order), array_split_into_chunks, map_remove_null_values,
@@ -1751,6 +1795,59 @@ object Etl extends QueryModule {
         |LEFT JOIN s s1 ON s1.user_id = e.user_id AND s1.event_id = e.event_id
         |LEFT JOIN s s2 ON s2.user_id = e.user_id AND s2.event_id = e.prv_eid
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "p2t2_presto_geo_accessors" ->
+      // vertex doubles recomputed identically; shoelace centroid terms
+      // (cross, x-weighted, y-weighted) accumulated in the kernel's
+      // vertex order; envelope = least/greatest (order-independent,
+      // exact); envelope AREA mirrors the kernel's shoelace over the
+      // four rectangle corners in the built order, not the
+      // (xmax−xmin)·(ymax−ymin) shortcut — different float op sequence
+      """WITH g AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r
+        |  FROM nation),
+        |v AS (
+        |  SELECT k,
+        |    cx + r AS x0, cy AS y0,
+        |    cx AS x1, cy + r + 1.5 AS y1,
+        |    cx - r - 2.5 AS x2, cy AS y2,
+        |    cx AS x3, cy - r AS y3
+        |  FROM g),
+        |c AS (
+        |  SELECT k, x0, y0, x1, y1, x2, y2, x3, y3,
+        |    x0 * y1 - x1 * y0 AS cr0,
+        |    x1 * y2 - x2 * y1 AS cr1,
+        |    x2 * y3 - x3 * y2 AS cr2,
+        |    x3 * y0 - x0 * y3 AS cr3,
+        |    least(least(least(x0, x1), x2), x3) AS xmn,
+        |    least(least(least(y0, y1), y2), y3) AS ymn,
+        |    greatest(greatest(greatest(x0, x1), x2), x3) AS xmx,
+        |    greatest(greatest(greatest(y0, y1), y2), y3) AS ymx
+        |  FROM v),
+        |s AS (
+        |  SELECT k, xmn, ymn, xmx, ymx,
+        |    ((cr0 + cr1) + cr2) + cr3 AS sa,
+        |    (((x0 + x1) * cr0 + (x1 + x2) * cr1) + (x2 + x3) * cr2)
+        |      + (x3 + x0) * cr3 AS sx,
+        |    (((y0 + y1) * cr0 + (y1 + y2) * cr1) + (y2 + y3) * cr2)
+        |      + (y3 + y0) * cr3 AS sy,
+        |    ((xmn * ymn - xmx * ymn) + (xmx * ymx - xmx * ymn)
+        |      + (xmx * ymx - xmn * ymx)) + (xmn * ymn - xmn * ymx)
+        |      AS env_s
+        |  FROM c)
+        |SELECT k,
+        |  CAST(floor(sx / (3 * sa) * 1e6 + 0.5) AS BIGINT) AS cx_q6,
+        |  CAST(floor(sy / (3 * sa) * 1e6 + 0.5) AS BIGINT) AS cy_q6,
+        |  CAST(floor(xmn * 1e6 + 0.5) AS BIGINT) AS xmin_q6,
+        |  CAST(floor(ymn * 1e6 + 0.5) AS BIGINT) AS ymin_q6,
+        |  CAST(floor(xmx * 1e6 + 0.5) AS BIGINT) AS xmax_q6,
+        |  CAST(floor(ymx * 1e6 + 0.5) AS BIGINT) AS ymax_q6,
+        |  CAST(floor(abs(env_s) / 2 * 1e6 + 0.5) AS BIGINT)
+        |    AS env_area_q6
+        |FROM s ORDER BY k""".stripMargin,
 
     "p2y_presto_fns_misc2" ->
       // top3/chunks re-derived through DuckDB's own list machinery;

@@ -2516,7 +2516,23 @@ object PrestoSql {
       " OR graft_ip4_mask(ip, 16) IN (2851995648L, 3232235520L)" +          // 169.254/16, 192.168/16
       " OR graft_ip4_mask(ip, 24) IN (3221225472L, 3221225984L," +          // 192.0.0/24, 192.0.2/24
       " 3227017984L, 3325256704L, 3405803776L)" +                           // 192.88.99/24, 198.51.100/24, 203.0.113/24
-      " OR graft_ip4_mask(ip, 4) = 4026531840L")                            // 240/4
+      " OR graft_ip4_mask(ip, 4) = 4026531840L",                            // 240/4
+    // Trino ST_Centroid / ST_Envelope over WKT text (the p2t contract:
+    // geometries ARE WKT strings): built from the native centroid /
+    // envelope-bound kernels; Java's shortest-round-trip double
+    // rendering makes the string round-trip LOSSLESS, so ST_X(
+    // ST_Centroid(g)) returns the kernel's exact double
+    "st_centroid(g STRING) RETURNS STRING RETURN" +
+      " concat('POINT (', CAST(st_centroid_x(g) AS STRING), ' '," +
+      " CAST(st_centroid_y(g) AS STRING), ')')",
+    "st_envelope(g STRING) RETURNS STRING RETURN" +
+      " concat('POLYGON ((', CAST(st_xmin(g) AS STRING), ' '," +
+      " CAST(st_ymin(g) AS STRING), ', ', CAST(st_xmax(g) AS STRING)," +
+      " ' ', CAST(st_ymin(g) AS STRING), ', '," +
+      " CAST(st_xmax(g) AS STRING), ' ', CAST(st_ymax(g) AS STRING)," +
+      " ', ', CAST(st_xmin(g) AS STRING), ' '," +
+      " CAST(st_ymax(g) AS STRING), ', ', CAST(st_xmin(g) AS STRING)," +
+      " ' ', CAST(st_ymin(g) AS STRING), '))')")
 
   // idempotence cache: ~20 CREATE FUNCTION DDL round-trips per sql() call
   // otherwise (temporary functions are session-scoped, so key by session)

@@ -1772,8 +1772,10 @@ class PrestoSqlSpec extends SparkSpec {
     fails(base.format("ONE ROW PER MATCH", "V (W X)"), "grouped")
     fails(base.format("ONE ROW PER MATCH", "V |"), "branch")
     fails(base.format("ALL ROWS PER MATCH", "V | W"), "alternation")
+    // PREV/NEXT in DEFINE is supported (physical navigation → lag/lead);
+    // match-state navigation (FIRST/LAST/CLASSIFIER) stays loud
     fails(base.format("ONE ROW PER MATCH", "V").replace(
-      "event_type = 'view'", "PREV(event_type) = 'view'"), "navigation")
+      "event_type = 'view'", "FIRST(event_type) = 'view'"), "navigation")
     // WITH UNMATCHED ROWS + overlapping skip is ambiguous -> loud
     fails(
       """SELECT user_id FROM events MATCH_RECOGNIZE (

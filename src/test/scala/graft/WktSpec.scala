@@ -197,4 +197,35 @@ class WktSpec extends SparkSpec {
       .select(GF.stWithin($"wkt", lit(dia)).as("w")).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("centroid and envelope bounds: closed forms, winding, geometry kinds") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // unit square: centroid (0.5, 0.5) regardless of winding
+    val sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val sqR = "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))" // reversed winding
+    assert(WktCore.centroid(u(sq), 0) == 0.5 && WktCore.centroid(u(sq), 1) == 0.5)
+    assert(WktCore.centroid(u(sqR), 0) == 0.5 && WktCore.centroid(u(sqR), 1) == 0.5)
+    // right triangle (0,0)(3,0)(0,3): centroid (1, 1) exactly
+    val tri = "POLYGON ((0 0, 3 0, 0 3))"
+    assert(WktCore.centroid(u(tri), 0) == 1.0 && WktCore.centroid(u(tri), 1) == 1.0)
+    // asymmetric kite: centroid shifts toward the long lobe — compute
+    // independently: vertices (2,0),(0,3),(-4,0),(0,-1)
+    // A-terms: cross = [6, 12, 4, 2] → sa = 24, area 12
+    // sx = (2+0)·6 + (0−4)·12 + (−4+0)·4 + (0+2)·2 = 12−48−16+4 = −48
+    // cx = −48/72 = −2/3; sy = (0+3)·6+(3+0)·12+(0−1)·4+(−1+0)·2 = 48
+    // cy = 48/72 = 2/3
+    val kite = "POLYGON ((2 0, 0 3, -4 0, 0 -1))"
+    assert(math.abs(WktCore.centroid(u(kite), 0) - (-2.0 / 3)) < 1e-15)
+    assert(math.abs(WktCore.centroid(u(kite), 1) - 2.0 / 3) < 1e-15)
+    // envelope bounds across geometry kinds
+    assert(WktCore.envBound(u(kite), 0) == -4.0)
+    assert(WktCore.envBound(u(kite), 1) == -1.0)
+    assert(WktCore.envBound(u(kite), 2) == 2.0)
+    assert(WktCore.envBound(u(kite), 3) == 3.0)
+    assert(WktCore.envBound(u("LINESTRING (1 2, -3 4, 5 0)"), 0) == -3.0)
+    assert(WktCore.envBound(u("LINESTRING (1 2, -3 4, 5 0)"), 3) == 4.0)
+    assert(WktCore.envBound(u("POINT (7 -2)"), 2) == 7.0)
+    assert(WktCore.envBound(u("POINT (7 -2)"), 1) == -2.0)
+  }
 }
