@@ -918,6 +918,29 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E28: DYNAMIC-gap session windows — session_window's expression-gap
+    // form (each event extends its session by a gap chosen from ITS OWN
+    // row: purchases get 60 min — conversion flows linger — everything
+    // else 30). Merge semantics: an event joins the open session iff
+    // its ts is STRICTLY before the running session end max(ts_j +
+    // gap_j) — the oracle derives that with a running max over the
+    // per-event deadline (the fixed-gap case degenerates to e14's
+    // lag-based split). Same single user_id hash partition as e14;
+    // state per open session in the streaming form.
+    "e28_session_dynamic_gap" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "purchase", "60 minutes")
+              .otherwise("30 minutes")).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_total"))
+        .orderBy(col("user_id"))
+    }),
+
     // E13: time-series gap filling — the calendar-spine pattern every
     // reporting pipeline needs: a dense (hour × event_type) spine
     // (sequence-generated, 24×5 rows — metadata scale) left-joined to the
@@ -1373,6 +1396,37 @@ object Events extends QueryModule {
         |  MAX(n_events) AS max_session_events,
         |  CAST(SUM(n_events) AS BIGINT) AS n_total
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e28_session_dynamic_gap" ->
+      // running-max derivation: each event's deadline is ts + its OWN
+      // gap; an event opens a new session iff ts >= the running max of
+      // all preceding deadlines (end-exclusive, the e14 contract; the
+      // max is global-per-user because a boundary event's ts dominates
+      // every older deadline, so cross-session leakage is impossible)
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    ts + CASE WHEN event_type = 'purchase'
+        |      THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END
+        |      AS deadline
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    max(deadline) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN mx IS NULL OR ts >= mx THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_total
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e14_session_window" ->
       """WITH flagged AS (

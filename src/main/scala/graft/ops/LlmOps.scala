@@ -2635,6 +2635,46 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L62: FIM span splitting — the fill-in-the-middle preprocessing
+    // transform (Bavarian et al. 2022, "Efficient Training of Language
+    // Models to Fill in the Middle"): a random span becomes the MIDDLE,
+    // the document is re-serialized prefix→suffix→middle (PSM) so an
+    // autoregressive model learns infilling; the paper applies it to a
+    // fixed fraction of documents (fim_rate). Deterministic version:
+    // all draws are the l10 content rolling hash, so the transform is
+    // stable across runs/partitionings/engines and the oracle is exact.
+    // span start s ∈ [0, n], length m ∈ [0, n−s] (word-level — the
+    // token-level form rides l4c's BPE segmentation the same way);
+    // fim_rate = 1/2 via hash parity. Pure scan-stage projection: ZERO
+    // shuffles at any corpus size.
+    "l62_fim_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+          TF.wordTokens(col("text")).as("w"),
+          TF.rollingFingerprint(col("text"), 40).as("h1"),
+          TF.rollingFingerprint(col("text"), 56).as("h2"),
+          TF.rollingFingerprint(col("text"), 24).as("h3"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("fim", pmod(col("h3"), lit(2L)) === 0)
+        .withColumn("s0", pmod(col("h1"), col("n") + 1))
+        .withColumn("m0", pmod(col("h2"), col("n") - col("s0") + 1))
+      docs.select(col("doc_id"), col("n").as("n_words"), col("fim"),
+          when(col("fim"), col("s0")).otherwise(lit(null)).as("n_prefix"),
+          when(col("fim"), col("m0")).otherwise(lit(null)).as("n_middle"),
+          when(col("fim"), col("n") - col("s0") - col("m0"))
+            .otherwise(lit(null)).as("n_suffix"),
+          when(col("fim"), concat_ws(" ",
+              array_join(expr("slice(w, 1, cast(s0 as int))"), " "),
+              lit("<FIM>"),
+              array_join(expr(
+                "slice(w, cast(s0 + m0 as int) + 1, cast(n - s0 - m0 as int))"),
+                " "),
+              lit("<MID>"),
+              array_join(expr("slice(w, cast(s0 as int) + 1, cast(m0 as int))"),
+                " ")))
+            .otherwise(array_join(col("w"), " ")).as("out_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L48: QUALITY-AWARE KEEPER selection — the refinement of l12/p3's
     // min-doc_id keeper every production dedup actually ships: within
     // each duplicate cluster keep the HIGHEST-quality copy (distinct-
@@ -3282,6 +3322,50 @@ object LlmOps extends QueryModule {
         |SELECT doc_id, shard, CAST(phase AS BIGINT) AS phase,
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY phase, h, doc_id) AS BIGINT) AS pos
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "l62_fim_split" ->
+      // same content-hash draws (the l10 portable fold), same span
+      // arithmetic, slices via DuckDB's inclusive 1-based list
+      // subscripts; concat_ws skip-NULL/keep-empty semantics agree
+      // across engines, but DuckDB's array_to_string of an EMPTY list
+      // is NULL where Spark's array_join is '' — coalesced to '' so an
+      // empty prefix/suffix/middle keeps its separator in both
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w,
+        |    list_reduce(list_transform(str_split(substring(text, 1, 40),
+        |      ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) AS h1,
+        |    list_reduce(list_transform(str_split(substring(text, 1, 56),
+        |      ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) AS h2,
+        |    list_reduce(list_transform(str_split(substring(text, 1, 24),
+        |      ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 4503599627370496) AS h3
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |    h3 % 2 = 0 AS fim, h1, h2
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, w, n, fim,
+        |    h1 % (n + 1) AS s0,
+        |    h2 % (n - h1 % (n + 1) + 1) AS m0
+        |  FROM c)
+        |SELECT doc_id, n AS n_words, fim,
+        |  CASE WHEN fim THEN s0 END AS n_prefix,
+        |  CASE WHEN fim THEN m0 END AS n_middle,
+        |  CASE WHEN fim THEN n - s0 - m0 END AS n_suffix,
+        |  CASE WHEN fim THEN concat_ws(' ',
+        |      coalesce(array_to_string(w[1:CAST(s0 AS INT)], ' '), ''),
+        |      '<FIM>',
+        |      coalesce(array_to_string(
+        |        w[CAST(s0 + m0 + 1 AS INT):CAST(n AS INT)], ' '), ''),
+        |      '<MID>',
+        |      coalesce(array_to_string(
+        |        w[CAST(s0 + 1 AS INT):CAST(s0 + m0 AS INT)], ' '), ''))
+        |    ELSE coalesce(array_to_string(w, ' '), '') END AS out_text
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "l52_paragraph_dedup" ->
