@@ -550,4 +550,26 @@ class ScaleShapeSpec extends SparkSpec {
     // deterministic end to end (hash kernel + integer arithmetic)
     assert(rows().toSeq == a.toSeq)
   }
+
+  test("l61 curriculum schedule: one shard-keyed Exchange, text pruned, no join") {
+    val plan = ops.LlmOps.queries("l61_curriculum_schedule")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // exactly the shard key shuffles; the corpus text never does
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("shard")),
+      exchanges.mkString("\n"))
+    assert(!exchanges.mkString.contains("text"), exchanges.mkString("\n"))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
+    val plan = ops.LlmOps.queries("l62_fim_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only Exchange allowed is the presentation orderBy's range
+    // partitioning; the operator itself never hash-shuffles
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }
