@@ -1228,6 +1228,74 @@ object LlmOps extends QueryModule {
     // preserved at T=20).
     "l22b_decontaminate_capped" -> ((s, d) => decontaminate(s, d, dfCap = Some(20L))),
 
+    // L63: BLOOM-pruned decontamination — the production shape Dolma
+    // ships as its dedup/decontamination tool (Soldaini et al. 2024 use
+    // a Bloom filter over contamination n-grams) and the third member
+    // of the decontamination family: l22's inverted index SHUFFLES the
+    // corpus's shingles; the bloom path never shuffles a clean document
+    // at all. Build: benchmark shingles (the SMALL side — an eval suite
+    // is bounded by construction) hash into a driver-built bloom via
+    // Kirsch–Mitzenmacher double hashing (k = 4, m = 10n bits → ~1.2%
+    // FP), broadcast as ONE row of Array[Long] words. Prune: a pure
+    // scan-stage exists() over each corpus doc's shingles — 2 xxhash64
+    // + 4 bit probes per shingle, all inside codegen, all pmod-bounded
+    // so ANSI arithmetic can't overflow. Confirm: only the candidate
+    // docs (true hits + bloom FPs) explode and semi-join the broadcast
+    // bench shingle set — so the RESULT is EXACT (no false negatives by
+    // bloom construction, FPs killed by the confirm join) and fully
+    // oracle-able; the bloom shows up only in the plan and the scale
+    // story. At 100 TB: corpus cost = one scan; shuffle carries ONLY
+    // candidates; driver state = O(bench shingles) bits.
+    "l63_bloom_decontaminate" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("source"),
+          array_distinct(TF.wordShingles(TF.wordTokens(col("text")), 4))
+            .as("sh"))
+        .localCheckpoint()
+      val benchSh = base.filter(col("source") === "src1")
+        .select(explode(col("sh")).as("shingle")).distinct()
+      // driver-built bloom: the SAME (xxhash64, xxhash64(·, 1)) pair and
+      // pmod-then-combine arithmetic the SQL probe uses, so membership
+      // is bit-identical across the two implementations
+      val hs = benchSh.select(xxhash64(col("shingle")).as("h1"),
+        xxhash64(col("shingle"), lit(1L)).as("h2")).collect()
+      val n = math.max(hs.length, 1)
+      val m = ((10L * n).max(64L) + 63) / 64 * 64
+      val wordsArr = new Array[Long]((m / 64).toInt)
+      hs.foreach { r =>
+        val b1 = ((r.getLong(0) % m) + m) % m
+        val b2 = ((r.getLong(1) % m) + m) % m
+        var i = 0L
+        while (i < 4) {
+          val pos = (b1 + i * b2) % m
+          wordsArr((pos / 64).toInt) |= (1L << (pos % 64).toInt)
+          i += 1
+        }
+      }
+      import s.implicits._
+      val bloom = Seq(Tuple1(wordsArr.toSeq)).toDF("bits")
+      val cand = base.filter(col("source") === "src0")
+        .crossJoin(broadcast(bloom))
+        .withColumn("cand", expr(
+          s"""exists(sh, s ->
+             |  size(filter(transform(sequence(0, 3), i ->
+             |    pmod(pmod(xxhash64(s), ${m}L)
+             |      + i * pmod(xxhash64(s, CAST(1 AS BIGINT)), ${m}L),
+             |      ${m}L)), p ->
+             |    (shiftright(element_at(bits, CAST(p DIV 64 AS INT) + 1),
+             |      CAST(p % 64 AS INT)) & 1) = 1)) = 4)""".stripMargin))
+      val hits = cand.filter(col("cand"))
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(benchSh), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+      base.filter(col("source") === "src0").select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
     // a global single-partition sort (the row_number()-over-everything
     // trap). Two-phase zipWithIndex shape, DataFrame-only: range-partition
@@ -3875,6 +3943,33 @@ object LlmOps extends QueryModule {
         |  CASE WHEN distinct_word_q >= 300000 AND dup_bigram_q <= 500000
         |            AND top_word_q <= 200000 THEN 'keep' ELSE 'drop' END AS verdict
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "l63_bloom_decontaminate" ->
+      // the bloom is result-invisible (no false negatives by
+      // construction, false positives killed by the exact confirm
+      // join), so the oracle is the direct shingle semi-join — same
+      // 4-shingle derivation as l22's oracle
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sh),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM ex WHERE source = 'src1'),
+        |hits AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS h
+        |  FROM ex t JOIN bench USING (shingle)
+        |  WHERE t.source = 'src0' GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(h.h, 0) AS n_hits,
+        |  coalesce(h.h, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM toks WHERE source = 'src0') d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "l22_decontaminate" ->
       """WITH toks AS (

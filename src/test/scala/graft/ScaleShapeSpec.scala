@@ -564,6 +564,22 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("l63 bloom prune: recall-exact candidates, broadcast-only joins") {
+    val out = ops.LlmOps.queries("l63_bloom_decontaminate")(spark, sf)
+    val rows = out.collect()
+    val contaminated = rows.count(_.getBoolean(2))
+    // non-vacuous: the fixture carries cross-source 4-shingle overlap
+    assert(contaminated > 0, s"vacuous fixture: 0 contaminated")
+    // the bloom's false-negative-free guarantee is the oracle gate
+    // itself (the exact semi-join answer); here pin the plan: the only
+    // joins are broadcast (bench side + bloom row) — the corpus never
+    // sort-merge-joins
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
     val plan = ops.LlmOps.queries("l62_fim_split")(spark, sf)
       .queryExecution.executedPlan.toString
