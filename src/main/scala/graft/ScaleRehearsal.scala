@@ -29,7 +29,8 @@ object ScaleRehearsal {
     "l27_span_dedup", "l32_pq_adc", "l35_ivfpq", "p3_dedup_pipeline",
     "l52_paragraph_dedup", "l51_pii_scrub",
     "l54_perplexity_buckets", "l55_ngram_saturation",
-    "l56_line_dedup", "l57_gopher_repetition")
+    "l56_line_dedup", "l57_gopher_repetition",
+    "l61_curriculum_schedule", "l62_fim_split", "l63_bloom_decontaminate")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
