@@ -1296,6 +1296,48 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L64: MATRYOSHKA truncation scorecard — MRL embeddings (Kusupati
+    // et al. 2022, "Matryoshka Representation Learning") are trained so
+    // PREFIXES of the vector are usable embeddings; production systems
+    // retrieve with a truncated prefix and rerank with the full vector.
+    // The operating question is the same as l35b's nprobe sweep: what
+    // recall does each prefix width buy? ONE corpus pass computes the
+    // 8/16/32/64-dim cosines together (the query side broadcasts, the
+    // corpus never shuffles to be scored — the l3 shape), a (qid, dim)
+    // window ranks, and recall@5 vs the full-width truth is all-integer
+    // ppm. Fully oracle-gated (exact arithmetic ranking — unlike
+    // IVF/PQ there is no training step): DuckDB re-derives with its own
+    // list_cosine_similarity over the same list prefixes.
+    "l64_matryoshka_recall" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dims = Seq(8, 16, 32, 64)
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid") +: col("vec_id").as("cid") +:
+          dims.map(dm => expr(
+            s"cosine_sim(slice(embedding, 1, $dm), slice(qvec, 1, $dm))")
+            .as(s"sim$dm")): _*)
+      val lng = sims.select(col("qid"), col("cid"),
+        expr("explode(map(8, sim8, 16, sim16, 32, sim32, 64, sim64))")
+          .as(Seq("dim", "sim")))
+      val ranked = lng.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"), col("dim"))
+            .orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rnk") <= 5)
+      val truth = ranked.filter(col("dim") === 64)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      ranked.filter(col("dim") =!= 64)
+        .join(truth, Seq("qid", "cid"), "left")
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_total"))
+        .withColumn("recall_ppm",
+          expr("CAST(n_hits * 1000000 DIV n_total AS BIGINT)"))
+        .orderBy(col("dim"))
+    }),
+
     // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
     // a global single-partition sort (the row_number()-over-everything
     // trap). Two-phase zipWithIndex shape, DataFrame-only: range-partition
@@ -3943,6 +3985,38 @@ object LlmOps extends QueryModule {
         |  CASE WHEN distinct_word_q >= 300000 AND dup_bigram_q <= 500000
         |            AND top_word_q <= 200000 THEN 'keep' ELSE 'drop' END AS verdict
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "l64_matryoshka_recall" ->
+      // DuckDB's own list_cosine_similarity over the same list
+      // prefixes (the l3 parity contract: both engines compute
+      // Σxy/(√Σx²·√Σy²) over identical stored floats), same
+      // (sim DESC, cid) tie rule, same integer ppm division
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT qid, vec_id AS cid, qvec, embedding AS evec
+        |      FROM q, embeddings WHERE vec_id != qid),
+        |lng AS (
+        |  SELECT qid, cid, d.dim,
+        |    list_cosine_similarity(qvec[1:d.dim], evec[1:d.dim]) AS sim
+        |  FROM p, (SELECT unnest([8, 16, 32, 64]) AS dim) d),
+        |ranked AS (
+        |  SELECT qid, cid, dim,
+        |    row_number() OVER (PARTITION BY qid, dim
+        |      ORDER BY sim DESC, cid) AS rnk
+        |  FROM lng),
+        |top AS (SELECT qid, cid, dim FROM ranked WHERE rnk <= 5),
+        |truth AS (SELECT qid, cid FROM top WHERE dim = 64),
+        |j AS (
+        |  SELECT t.dim,
+        |    CASE WHEN tr.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM top t LEFT JOIN truth tr
+        |    ON t.qid = tr.qid AND t.cid = tr.cid
+        |  WHERE t.dim != 64)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
 
     "l63_bloom_decontaminate" ->
       // the bloom is result-invisible (no false negatives by
