@@ -342,6 +342,32 @@ object Events extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // E29: streaming DYNAMIC-gap sessions under the gate — e28's
+    // per-event-gap semantics run as a real multi-micro-batch query
+    // (same fixture and complete-mode argument as e16: complete mode
+    // re-emits the full session table each epoch, so the final table
+    // equals the batch answer under ANY file batching; only session
+    // rows ever reach the sink).
+    "e29_stream_session_dynamic" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e16", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val qn = "graft_e29_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.sessionCountsDynamic(stream)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_total"))
+        .orderBy(col("user_id"))
+    }),
+
     // E23: streaming PARQUET SINK — the lake-ingest shape none of the
     // memory-sink proofs exercise: a stateless transform streamed to a
     // partitioned parquet sink in append mode with a checkpoint. The
@@ -1396,6 +1422,35 @@ object Events extends QueryModule {
         |  MAX(n_events) AS max_session_events,
         |  CAST(SUM(n_events) AS BIGINT) AS n_total
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e29_stream_session_dynamic" ->
+      // the e28 running-max derivation verbatim: the streaming
+      // execution must land on the batch dynamic-gap session answer
+      // under any micro-batching
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    ts + CASE WHEN event_type = 'purchase'
+        |      THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END
+        |      AS deadline
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    max(deadline) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN mx IS NULL OR ts >= mx THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_total
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e28_session_dynamic_gap" ->
       // running-max derivation: each event's deadline is ts + its OWN

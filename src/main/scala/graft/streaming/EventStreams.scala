@@ -55,6 +55,17 @@ object EventStreams {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** E28-streaming: session windows with a DYNAMIC per-event gap
+    * (purchases extend their session 60 minutes, everything else 30 —
+    * the e28 batch semantics run under real streaming state). */
+  def sessionCountsDynamic(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** E5-streaming: drop duplicate event_ids within the watermark. The
     * delay bounds how long a key's state lives; e22 passes a
     * longer-than-corpus delay so no event is ever late and the dedup is
