@@ -2629,6 +2629,34 @@ object PrestoSql {
       spark.udf.register("graft_checksum", udaf(DA.checksumAgg))
       spark.udf.register("graft_histogram", udaf(DA.histogramAgg))
       spark.udf.register("graft_multimap_agg", udaf(DA.multimapAgg))
+      // Trino setdigest page onto the l16 MinHash kernel
+      // (SetDigestAggregator): make_set_digest(x) builds per-group
+      // digests (input pre-hashed with Spark's xxhash64 by the
+      // wrapSetDigest pre-pass), merge_set_digest rolls them up,
+      // jaccard_index reads the similarity estimate. Trino's
+      // cardinality(setdigest)/hash_counts ride its HLL+count state,
+      // which this MinHash-only digest deliberately does not carry —
+      // distinct-count estimation is a21's hll_sketch_agg; calling
+      // them on a digest fails loudly in the type checker.
+      import graft.functions.{SetDigestAggregator => SDA}
+      spark.udf.register("graft_set_digest_agg", udaf(SDA.digestAgg))
+      spark.udf.register("graft_set_digest_merge", udaf(SDA.mergeDigestAgg))
+      // Spark's own XxHash64 builtin under a dialect-internal alias:
+      // the make_set_digest rewrite injects element hashing, and the
+      // plain name `xxhash64` is dialect-renamed to the Trino seed-0
+      // VARBINARY form — the alias keeps the BIGINT builtin reachable
+      // from injected text without shadowing anything.
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_xxh64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.XxHash64]
+            .getName, "graft_xxh64"),
+        (e: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.XxHash64(e, 42L))
+      spark.udf.register("jaccard_index",
+        udf { (a: Seq[Long], b: Seq[Long]) =>
+          if (a == null || b == null) None else Some(SDA.jaccard(a, b))
+        })
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
@@ -2998,6 +3026,18 @@ object PrestoSql {
     r = rewriteCall(r, "geometric_mean") { args =>
       require(args.size == 1, s"geometric_mean takes one argument, got ${args.size}")
       s"exp(avg(ln(${args(0)})))"
+    }
+    // Trino setdigest page (the l16 MinHash kernel): element hashing is
+    // injected here so the aggregate sees pre-hashed longs
+    r = rewriteCall(r, "make_set_digest") { args =>
+      require(args.size == 1,
+        s"make_set_digest takes one argument, got ${args.size}")
+      s"graft_set_digest_agg(array(graft_xxh64(${args(0)})))"
+    }
+    r = rewriteCall(r, "merge_set_digest") { args =>
+      require(args.size == 1,
+        s"merge_set_digest takes one argument, got ${args.size}")
+      s"graft_set_digest_merge(${args(0)})"
     }
     r
   }

@@ -2371,6 +2371,39 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("integer literal"), e2.getMessage)
   }
 
+  test("setdigest page: make/merge/jaccard_index on the l16 MinHash kernel") {
+    // two 100-element sets sharing 50: true Jaccard = 1/3; the 128-perm
+    // MinHash estimate lands within the l16-proven ±0.15 band
+    val r = PrestoSql.sql(spark,
+      """WITH v AS (SELECT explode(sequence(0, 149)) AS x)
+        |SELECT jaccard_index(
+        |  make_set_digest(x) FILTER (WHERE x < 100),
+        |  make_set_digest(x) FILTER (WHERE x >= 50)) AS j
+        |FROM v""".stripMargin).collect().head.getDouble(0)
+    assert(math.abs(r - 1.0 / 3) < 0.15, s"jaccard estimate $r")
+    // merge exactness: per-bucket digests rolled up equal the direct
+    // digest of the whole set (slot-min merge is exact — the l16 proof,
+    // re-asserted through the dialect surface)
+    val m = PrestoSql.sql(spark,
+      """WITH v AS (SELECT explode(sequence(0, 149)) AS x),
+        |parts AS (
+        |  SELECT x % 3 AS g, make_set_digest(x) AS d FROM v GROUP BY 1),
+        |m AS (SELECT merge_set_digest(d) AS md FROM parts),
+        |direct AS (SELECT make_set_digest(x) AS dd FROM v)
+        |SELECT jaccard_index(md, dd) AS j FROM m, direct""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(m == 1.0, s"merged digest must equal direct digest, jaccard $m")
+    // identical sets → exactly 1; disjoint 128-perm minima collide only
+    // by chance — allow the estimator's low-end noise
+    val d = PrestoSql.sql(spark,
+      """WITH v AS (SELECT explode(sequence(0, 199)) AS x)
+        |SELECT jaccard_index(
+        |  make_set_digest(x) FILTER (WHERE x < 100),
+        |  make_set_digest(x) FILTER (WHERE x >= 100)) AS j
+        |FROM v""".stripMargin).collect().head.getDouble(0)
+    assert(d < 0.1, s"disjoint sets should estimate near 0, got $d")
+  }
+
   test("array_top_n / array_split_into_chunks / map_remove_null_values edges") {
     val r = PrestoSql.sql(spark,
       """SELECT
