@@ -42,6 +42,65 @@ object FnvKernels {
   }
 }
 
+/** Trino to_ieee754_32/64 and from_ieee754_32/64: IEEE-754 bit patterns
+  * as big-endian VARBINARY (the network/interchange encoding; Java's
+  * doubleToLongBits/floatToIntBits ARE the IEEE bits, with NaN
+  * canonicalized exactly as Trino's Double.doubleToLongBits does). */
+object IeeeKernels {
+  def to64(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .putLong(java.lang.Double.doubleToLongBits(v)).array()
+
+  def from64(b: Array[Byte]): Double = {
+    require(b.length == 8,
+      s"from_ieee754_64 expects exactly 8 bytes, got ${b.length}")
+    java.lang.Double.longBitsToDouble(java.nio.ByteBuffer.wrap(b).getLong)
+  }
+
+  def to32(v: Float): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .putInt(java.lang.Float.floatToIntBits(v)).array()
+
+  def from32(b: Array[Byte]): Float = {
+    require(b.length == 4,
+      s"from_ieee754_32 expects exactly 4 bytes, got ${b.length}")
+    java.lang.Float.intBitsToFloat(java.nio.ByteBuffer.wrap(b).getInt)
+  }
+}
+
+case class ToIeee754Expression(child: Expression, bits: Int)
+  extends UnaryExpression {
+  require(bits == 32 || bits == 64)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = s"to_ieee754_$bits"
+  override def nullSafeEval(input: Any): Any =
+    if (bits == 64) IeeeKernels.to64(input.asInstanceOf[Double])
+    else IeeeKernels.to32(input.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IeeeKernels.to$bits($c)")
+  override protected def withNewChildInternal(newChild: Expression): ToIeee754Expression =
+    copy(child = newChild)
+}
+
+case class FromIeee754Expression(child: Expression, bits: Int)
+  extends UnaryExpression {
+  require(bits == 32 || bits == 64)
+  override def dataType: DataType =
+    if (bits == 64) org.apache.spark.sql.types.DoubleType
+    else org.apache.spark.sql.types.FloatType
+  override def prettyName: String = s"from_ieee754_$bits"
+  override def nullSafeEval(input: Any): Any =
+    if (bits == 64) IeeeKernels.from64(input.asInstanceOf[Array[Byte]])
+    else IeeeKernels.from32(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IeeeKernels.from$bits($c)")
+  override protected def withNewChildInternal(newChild: Expression): FromIeee754Expression =
+    copy(child = newChild)
+}
+
 case class FnvExpression(child: Expression, bits: Int, fnv1a: Boolean)
   extends UnaryExpression {
   require(bits == 32 || bits == 64, s"fnv bits must be 32 or 64: $bits")

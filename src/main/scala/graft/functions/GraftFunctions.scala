@@ -40,6 +40,22 @@ object GraftFunctions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
       (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("to_ieee754_64"),
+      new ExpressionInfo(classOf[ToIeee754Expression].getName, "to_ieee754_64"),
+      (e: Seq[Expression]) => ToIeee754Expression(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e(0), org.apache.spark.sql.types.DoubleType), 64)),
+    (FunctionIdentifier("to_ieee754_32"),
+      new ExpressionInfo(classOf[ToIeee754Expression].getName, "to_ieee754_32"),
+      (e: Seq[Expression]) => ToIeee754Expression(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e(0), org.apache.spark.sql.types.FloatType), 32)),
+    (FunctionIdentifier("from_ieee754_64"),
+      new ExpressionInfo(classOf[FromIeee754Expression].getName, "from_ieee754_64"),
+      (e: Seq[Expression]) => FromIeee754Expression(e(0), 64)),
+    (FunctionIdentifier("from_ieee754_32"),
+      new ExpressionInfo(classOf[FromIeee754Expression].getName, "from_ieee754_32"),
+      (e: Seq[Expression]) => FromIeee754Expression(e(0), 32)),
     (FunctionIdentifier("fnv1_32"),
       new ExpressionInfo(classOf[FnvExpression].getName, "fnv1_32"),
       (e: Seq[Expression]) => FnvExpression(e(0), 32, fnv1a = false)),

@@ -2371,6 +2371,29 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("integer literal"), e2.getMessage)
   }
 
+  test("ieee754 round trips and the Trino doc vectors") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  to_hex(to_ieee754_64(CAST(1.0 AS DOUBLE))) AS d1,
+        |  to_hex(to_ieee754_64(CAST(-2.5 AS DOUBLE))) AS d2,
+        |  to_hex(to_ieee754_32(CAST(1.0 AS REAL))) AS f1,
+        |  from_ieee754_64(to_ieee754_64(CAST(0.1 AS DOUBLE))) AS rt64,
+        |  CAST(from_ieee754_32(to_ieee754_32(CAST(3.5 AS REAL)))
+        |    AS DOUBLE) AS rt32,
+        |  to_hex(to_ieee754_64(CAST('NaN' AS DOUBLE))) AS dn
+        |""".stripMargin).collect().head
+    // IEEE bit patterns: 1.0d = 3FF0000000000000, -2.5d = C004000000000000,
+    // 1.0f = 3F800000, canonical NaN = 7FF8000000000000
+    assert(r.getString(0) == "3FF0000000000000", r.getString(0))
+    assert(r.getString(1) == "C004000000000000", r.getString(1))
+    assert(r.getString(2) == "3F800000", r.getString(2))
+    assert(r.getDouble(3) == 0.1 && r.getDouble(4) == 3.5)
+    assert(r.getString(5) == "7FF8000000000000", r.getString(5))
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT from_ieee754_64(to_ieee754_32(CAST(1.0 AS REAL)))").collect())
+    assert(e.getMessage.contains("8 bytes"), e.getMessage)
+  }
+
   test("setdigest page: make/merge/jaccard_index on the l16 MinHash kernel") {
     // two 100-element sets sharing 50: true Jaccard = 1/3; the 128-perm
     // MinHash estimate lands within the l16-proven ±0.15 band
