@@ -329,6 +329,36 @@ object Sources extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // S20: recursive + glob scan options — reading a lake directory
+    // whose layout is NOT a Hive partition tree (vendor drops, manual
+    // date dirs, mixed-format folders). `recursiveFileLookup` walks
+    // nested dirs WITHOUT partition inference; `pathGlobFilter` skips
+    // non-parquet clutter file-by-file. The fixture plants a JSON decoy
+    // whose CONTENT would crash a parquet read — if the glob filter
+    // ever stopped applying, the query fails loudly instead of
+    // silently changing rows. At 100 TB these two options are the
+    // difference between listing a prefix once and a full partition
+    // discovery pass over millions of dirs.
+    "s20_scan_options" -> ((s, d) => {
+      val base = fixtureOnce("graft_s20", d) { out =>
+        val n = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"))
+        n.filter(col("c_custkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$out/drop1/inner")
+        n.filter(col("c_custkey") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$out/drop2")
+        // decoy: valid JSON, invalid parquet — must be glob-skipped
+        n.filter(col("c_custkey") < 5)
+          .write.mode("overwrite").json(s"$out/drop2/clutter")
+      }
+      s.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+        .filter(col("c_nationkey") < 20)
+        .orderBy(col("c_custkey"))
+    }),
+
     // S15: small-file COMPACTION — the table-maintenance pass every
     // long-running 100 TB lake needs (streaming/incremental writers leave
     // hundreds of small files per partition; scan cost and namenode
@@ -629,6 +659,13 @@ object Sources extends QueryModule {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders WHERE o_orderstatus = 'F'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "s20_scan_options" ->
+      // the recursive+glob read unions exactly the two parquet drops
+      // (every customer row once); the JSON decoy contributes nothing
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer WHERE c_nationkey < 20
+        |ORDER BY c_custkey""".stripMargin,
 
     "s7_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
