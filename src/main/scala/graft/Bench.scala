@@ -52,9 +52,11 @@ object Bench {
       // noop sink, NOT count(): count() lets Catalyst prune the output
       // projection, so projection-only queries (the scalar families,
       // l51/l56/l57) were timed as bare row counts — the ScaleRehearsal
-      // fix, applied to the bench for the same honesty. Aggregate/join
-      // queries are unaffected in kind; projection-heavy ones now pay
-      // their real evaluation cost.
+      // fix, applied to the bench for the same honesty. It pruned
+      // AGGREGATES too (count of groups needs only the grouping keys,
+      // so every unreferenced sum/avg column was dropped — a1's sums
+      // were never evaluated); under the noop sink every query pays
+      // its real evaluation cost.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
