@@ -359,6 +359,29 @@ object Sources extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // S21: CORRUPT-FILE tolerance — a long-lived lake accumulates
+    // truncated/garbage files (killed writers, partial uploads); the
+    // operational choice is per-read: `ignoreCorruptFiles` skips them,
+    // the default FAILS the query (EdgeCaseSpec pins the loud default).
+    // The fixture plants a file that *claims* to be parquet (right
+    // extension, PAR1 magic) with a garbage footer; the explicit schema
+    // keeps analysis off the corrupt footer so the skip decision is
+    // made at EXECUTION, where it belongs. Per-read OPTION, not a
+    // session conf — hermetic, nothing leaks to other queries.
+    "s21_corrupt_files" -> ((s, d) => {
+      val base = fixtureOnce("graft_s21", d) { out =>
+        Tables.supplier(s, d).write.mode("overwrite").parquet(s"$out/data")
+        val w = new java.io.FileOutputStream(
+          s"$out/data/part-corrupt.parquet")
+        w.write("PAR1 not actually a parquet footer PAR".getBytes("UTF-8"))
+        w.close()
+      }
+      s.read.schema(Tables.supplier(s, d).schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(s"$base/data")
+        .orderBy(col("s_suppkey"))
+    }),
+
     // S15: small-file COMPACTION — the table-maintenance pass every
     // long-running 100 TB lake needs (streaming/incremental writers leave
     // hundreds of small files per partition; scan cost and namenode
@@ -666,6 +689,10 @@ object Sources extends QueryModule {
       """SELECT c_custkey, c_name, c_nationkey
         |FROM customer WHERE c_nationkey < 20
         |ORDER BY c_custkey""".stripMargin,
+
+    "s21_corrupt_files" ->
+      // skipping the planted corrupt file leaves exactly the source rows
+      "SELECT * FROM supplier ORDER BY s_suppkey",
 
     "s7_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -238,4 +238,23 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.get(0), r.get(1))).toSeq
     assert(pad == Seq((1, "a"), (2, null)))
   }
+
+  test("s21 corrupt-file default is LOUD; the per-read option skips exactly it") {
+    // the declared query proves the skip path against the oracle; here
+    // pin the other half of the contract: WITHOUT the option the same
+    // read fails (never a silent partial answer)
+    val d = "/root/testdata/sf0.001"
+    val skipped = ops.Sources.queries("s21_corrupt_files")(spark, d)
+    val n = skipped.count()
+    assert(n == Tables.supplier(spark, d).count(), s"skip path rows $n")
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(f => f.getName.startsWith("graft_s21") && f.isDirectory)
+      .maxBy(_.lastModified).getAbsolutePath
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(Tables.supplier(spark, d).schema)
+        .parquet(s"$dir/data").count()
+    }
+    assert(e.getMessage != null)
+  }
 }
