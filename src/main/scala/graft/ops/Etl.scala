@@ -1342,10 +1342,50 @@ object Etl extends QueryModule {
         .unionByName(check("orders_pk_unique", pkDup))
         .unionByName(check("orders_price_positive", price))
         .orderBy(col("check"))
+    }),
+
+    // P9: OBSERVED metrics — Spark's `observe()` (CollectMetrics): the
+    // zero-extra-pass form of p8's counters. p8 re-scans each table per
+    // check; `observe` rides the rows already flowing through a real
+    // transform (accumulator-style side output), so at 100 TB the audit
+    // counters are FREE — no second read of anything. The observed
+    // aggregates are taken at the SOURCE point (before the downstream
+    // filter), and the declared result is the metrics row itself — the
+    // oracle recomputes the same aggregates directly, proving the
+    // side-channel carries exact values, not approximations.
+    "p9_observe_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val flowed = Tables.orders(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L))
+            .as("n_large"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).cast("string").as("max_date"))
+        .filter(col("o_orderstatus") =!= "P") // downstream transform:
+      // metrics must reflect the PRE-filter flow
+      flowed.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("n_large").asInstanceOf[Long],
+          m("sum_price").asInstanceOf[Double],
+          m("max_date").asInstanceOf[String]))
+        .toDF("n_rows", "n_large", "sum_price", "max_date")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p9_observe_metrics" ->
+      // the observed side-channel must equal the direct aggregates
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_large,
+         |  ${graft.Det.dsumSql("o_totalprice")} AS sum_price,
+         |  CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+         |FROM orders""".stripMargin,
+
     "p8_data_quality" ->
       // one violation count per check; the token-range expectation must
       // genuinely fail (documents outside [10, 200] tokens exist)
