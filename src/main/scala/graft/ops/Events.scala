@@ -368,6 +368,48 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // E30: transformWithState under the gate — Spark 4's arbitrary-state
+    // successor to flatMapGroupsWithState (e17's API), run against the
+    // RocksDB state store it requires (per-query conf, pinned at query
+    // start by the fresh checkpoint; restored after). Emissions are the
+    // per-user RUNNING count — monotone per key — so max(running_n) in
+    // the final append-mode table equals the batch per-user total under
+    // any micro-batching.
+    "e30_stream_transform_state" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e16", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val qn = "graft_e30_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = stream
+          .select(col("user_id").cast("long"), col("event_id").cast("long"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.EventStreams.RunningCountProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "running_n")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).groupBy(col("user_id"))
+          .agg(max(col("running_n")).as("n_events"))
+          .orderBy(col("user_id"))
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // E23: streaming PARQUET SINK — the lake-ingest shape none of the
     // memory-sink proofs exercise: a stateless transform streamed to a
     // partitioned parquet sink in append mode with a checkpoint. The
@@ -1422,6 +1464,12 @@ object Events extends QueryModule {
         |  MAX(n_events) AS max_session_events,
         |  CAST(SUM(n_events) AS BIGINT) AS n_total
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e30_stream_transform_state" ->
+      // monotone running counts: the final-table max per user IS the
+      // batch total, independent of batching
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e29_stream_session_dynamic" ->
       // the e28 running-max derivation verbatim: the streaming

@@ -66,6 +66,36 @@ object EventStreams {
             .otherwise("30 minutes")), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** E30: Spark 4's arbitrary-state API (`transformWithState` /
+    * StatefulProcessor — the successor to flatMapGroupsWithState, backed
+    * by the RocksDB state store): a per-user running event count held in
+    * ValueState. Emissions are MONOTONE per key (the running count), so
+    * the final-table rollup max(running_n) = the batch per-user total
+    * under ANY micro-batching — the e10 upsert argument applied to the
+    * new API. */
+  class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long)] {
+    @transient private var countState:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      var c = if (countState.exists()) countState.get() else 0L
+      rows.foreach(_ => c += 1)
+      countState.update(c)
+      Iterator.single((key, c))
+    }
+  }
+
   /** E5-streaming: drop duplicate event_ids within the watermark. The
     * delay bounds how long a key's state lives; e22 passes a
     * longer-than-corpus delay so no event is ever late and the dedup is
