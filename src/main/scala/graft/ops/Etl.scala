@@ -582,6 +582,29 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2x: SQL:2016 JSON constructors — JSON_OBJECT('k' VALUE v …) and
+    // JSON_ARRAY(v …) with both null clauses exercised (Trino defaults:
+    // object keeps nulls, array drops them). The oracle re-renders via
+    // DuckDB's OWN json_object/json_array constructors — both engines
+    // emit compact JSON for integer/string scalars, key order = argument
+    // order in both.
+    "p2x_presto_json_constructors" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_nationkey" AS k,
+          |  JSON_OBJECT('name' VALUE "n_name",
+          |              'region' VALUE "n_regionkey",
+          |              'null_demo' VALUE CAST(NULL AS INTEGER)) AS jo,
+          |  JSON_OBJECT('a' VALUE "n_nationkey",
+          |              'b' VALUE CAST(NULL AS INTEGER)
+          |              ABSENT ON NULL) AS jo_absent,
+          |  JSON_ARRAY("n_nationkey", "n_regionkey",
+          |             CAST(NULL AS INTEGER)) AS ja,
+          |  JSON_ARRAY("n_nationkey", CAST(NULL AS INTEGER)
+          |             NULL ON NULL) AS ja_null
+          |FROM nation ORDER BY k""".stripMargin)
+    }),
+
     // P2y: the remaining Trino array/map utilities + the IPv4 address
     // page — array_top_n (n largest desc, NULLs at the end, the
     // documented order), array_split_into_chunks, map_remove_null_values,
@@ -1888,6 +1911,18 @@ object Etl extends QueryModule {
         |  CAST(floor(abs(env_s) / 2 * 1e6 + 0.5) AS BIGINT)
         |    AS env_area_q6
         |FROM s ORDER BY k""".stripMargin,
+
+    "p2x_presto_json_constructors" ->
+      // DuckDB's own constructors, argument order preserved, compact
+      // rendering — an independent implementation of the same SQL:2016
+      // semantics
+      """SELECT n_nationkey AS k,
+        |  CAST(json_object('name', n_name, 'region', n_regionkey,
+        |    'null_demo', NULL) AS VARCHAR) AS jo,
+        |  CAST(json_object('a', n_nationkey) AS VARCHAR) AS jo_absent,
+        |  CAST(json_array(n_nationkey, n_regionkey) AS VARCHAR) AS ja,
+        |  CAST(json_array(n_nationkey, NULL) AS VARCHAR) AS ja_null
+        |FROM nation ORDER BY k""".stripMargin,
 
     "p2y_presto_fns_misc2" ->
       // top3/chunks re-derived through DuckDB's own list machinery;

@@ -3027,6 +3027,48 @@ object PrestoSql {
       require(args.size == 1, s"geometric_mean takes one argument, got ${args.size}")
       s"exp(avg(ln(${args(0)})))"
     }
+    // SQL:2016 JSON constructors (Trino's JSON_OBJECT / JSON_ARRAY):
+    // entries map onto to_json over named_struct / array. Null clauses
+    // follow Trino's defaults — JSON_OBJECT keeps nulls (NULL ON NULL →
+    // ignoreNullFields=false), JSON_ARRAY drops them (ABSENT ON NULL →
+    // a null filter) — with the explicit clauses honored either way.
+    // Rendering parity with the DuckDB oracle is compact-JSON for
+    // integer/string scalars (the declared-query scope); mixed-type
+    // arrays fail loudly in Spark's array() type check rather than
+    // silently coercing.
+    r = rewriteCall(r, "json_object") { args0 =>
+      val clause = """(?is)^(.*?)\s+(NULL|ABSENT)\s+ON\s+NULL\s*$""".r
+      var keepNulls = true // Trino default: NULL ON NULL
+      val args = args0.zipWithIndex.map { case (a, i) =>
+        if (i == args0.size - 1) a match {
+          case clause(rest, mode) =>
+            keepNulls = mode.equalsIgnoreCase("NULL"); rest
+          case _ => a
+        } else a
+      }
+      val entry = """(?is)^\s*(?:KEY\s+)?('(?:[^']|'')*')\s+VALUE\s+(.+)$""".r
+      val pairs = args.map {
+        case entry(k, v) => s"$k, $v"
+        case bad => throw new IllegalArgumentException(
+          s"JSON_OBJECT entry must be 'key' VALUE expr: '${bad.take(80)}'")
+      }
+      s"to_json(named_struct(${pairs.mkString(", ")}), " +
+        s"map('ignoreNullFields', '${!keepNulls}'))"
+    }
+    r = rewriteCall(r, "json_array") { args0 =>
+      val clause = """(?is)^(.*?)\s+(NULL|ABSENT)\s+ON\s+NULL\s*$""".r
+      var keepNulls = false // Trino default: ABSENT ON NULL
+      val args = args0.zipWithIndex.map { case (a, i) =>
+        if (i == args0.size - 1) a match {
+          case clause(rest, mode) =>
+            keepNulls = mode.equalsIgnoreCase("NULL"); rest
+          case _ => a
+        } else a
+      }
+      val list = args.mkString(", ")
+      if (keepNulls) s"to_json(array($list))"
+      else s"to_json(filter(array($list), x -> x IS NOT NULL))"
+    }
     // Trino setdigest page (the l16 MinHash kernel): element hashing is
     // injected here so the aggregate sees pre-hashed longs
     r = rewriteCall(r, "make_set_digest") { args =>

@@ -2371,6 +2371,26 @@ class PrestoSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("integer literal"), e2.getMessage)
   }
 
+  test("JSON_OBJECT / JSON_ARRAY constructors: null clauses and loud edges") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  JSON_OBJECT('a' VALUE 1, 'b' VALUE CAST(NULL AS INTEGER)) AS o1,
+        |  JSON_OBJECT('a' VALUE 1, 'b' VALUE CAST(NULL AS INTEGER)
+        |    ABSENT ON NULL) AS o2,
+        |  JSON_OBJECT(KEY 'k' VALUE 'v w') AS o3,
+        |  JSON_ARRAY(1, CAST(NULL AS INTEGER), 3) AS a1,
+        |  JSON_ARRAY(1, CAST(NULL AS INTEGER), 3 NULL ON NULL) AS a2
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == """{"a":1,"b":null}""", r.getString(0))
+    assert(r.getString(1) == """{"a":1}""", r.getString(1))
+    assert(r.getString(2) == """{"k":"v w"}""", r.getString(2))
+    assert(r.getString(3) == "[1,3]", r.getString(3))
+    assert(r.getString(4) == "[1,null,3]", r.getString(4))
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT JSON_OBJECT('a', 1)"))
+    assert(e.getMessage.contains("VALUE"), e.getMessage)
+  }
+
   test("ieee754 round trips and the Trino doc vectors") {
     val r = PrestoSql.sql(spark,
       """SELECT
