@@ -410,6 +410,52 @@ object Events extends QueryModule {
       }
     }),
 
+    // E31: transformWithState with LIST state under the gate — the
+    // buffered re-sessionize-on-arrival shape (see SessionListProcessor):
+    // every emission carries the monotone n_seen, so the final-table row
+    // with max n_seen per user is the full-data session summary under
+    // any batching/arrival order. Oracle = e16's batch derivation.
+    "e31_stream_tws_sessions" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e16", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val qn = "graft_e31_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = stream
+          .select(col("user_id").cast("long"),
+            unix_micros(col("ts").cast("timestamp")))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.EventStreams.SessionListProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_seen", "n_sessions", "max_len", "n_total")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("n_seen").desc)))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("n_sessions"),
+            col("max_len").as("max_session_events"), col("n_total"))
+          .orderBy(col("user_id"))
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // E23: streaming PARQUET SINK — the lake-ingest shape none of the
     // memory-sink proofs exercise: a stateless transform streamed to a
     // partitioned parquet sink in append mode with a checkpoint. The
@@ -1440,6 +1486,29 @@ object Events extends QueryModule {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  MAX(n) AS max_session_events,
         |  CAST(SUM(n) AS BIGINT) AS n_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e31_stream_tws_sessions" ->
+      // e16's batch session derivation verbatim — the ListState
+      // re-sessionization must land on it whatever the batching
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_total
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e16_stream_session" ->

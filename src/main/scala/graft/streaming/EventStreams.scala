@@ -96,6 +96,49 @@ object EventStreams {
     }
   }
 
+  /** E31: transformWithState with LIST state — per-user event-time
+    * buffer, re-sessionized on every arrival (30-min gap, the e14/e16
+    * `>=` boundary). Each emission carries n_seen (MONOTONE — total
+    * buffered rows), so the final-table row with max n_seen per user is
+    * the FULL-data sessionization whatever the micro-batching or
+    * arrival order — late/out-of-order rows just re-sort into place.
+    * Scale note: this buffers a user's events in state by design (the
+    * re-sessionize-on-arrival shape); production evicts closed sessions
+    * with event-time timers once the watermark passes them. */
+  class SessionListProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long, Long, Long)] {
+    @transient private var tsState:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tsState = getHandle.getListState[Long]("ts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      rows.foreach(r => tsState.appendValue(r._2))
+      val all = tsState.get().toArray.sorted
+      val gapUs = 30L * 60 * 1000000
+      var nSess = 0L
+      var maxLen = 0L
+      var cur = 0L
+      var prev = Long.MinValue
+      all.foreach { t =>
+        if (prev == Long.MinValue || t >= prev + gapUs) { nSess += 1; cur = 1 }
+        else cur += 1
+        if (cur > maxLen) maxLen = cur
+        prev = t
+      }
+      Iterator.single((key, all.length.toLong, nSess, maxLen,
+        all.length.toLong))
+    }
+  }
+
   /** E5-streaming: drop duplicate event_ids within the watermark. The
     * delay bounds how long a key's state lives; e22 passes a
     * longer-than-corpus delay so no event is ever late and the dedup is
