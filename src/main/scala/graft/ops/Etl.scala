@@ -582,6 +582,27 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2z: Trino format() / parse_data_size / bitwise rotates —
+    // format is Java String.format (= Spark format_string; the oracle
+    // is DuckDB's independent C printf — %s/%0Nd behave identically);
+    // parse_data_size is exact DECIMAL×2^10k arithmetic floored like
+    // Trino; rotates are 64-bit two's-complement (oracle re-derives in
+    // unsigned HUGEINT arithmetic mod 2^64 — a fully independent
+    // formulation of the same bit operation).
+    "p2z_presto_format_rotate" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "n_nationkey" AS k,
+          |  format('%s-%03d', "n_name", "n_nationkey") AS f1,
+          |  parse_data_size(concat(CAST("n_nationkey" AS VARCHAR),
+          |    '.5MB')) AS ds,
+          |  bitwise_left_rotate(CAST("n_nationkey" AS BIGINT) * 123456789,
+          |    CAST("n_nationkey" % 64 AS INTEGER)) AS rl,
+          |  bitwise_right_rotate(CAST("n_nationkey" AS BIGINT)
+          |    * 987654321 - 50, 13) AS rr
+          |FROM nation ORDER BY k""".stripMargin)
+    }),
+
     // P2x: SQL:2016 JSON constructors — JSON_OBJECT('k' VALUE v …) and
     // JSON_ARRAY(v …) with both null clauses exercised (Trino defaults:
     // object keeps nulls, array drops them). The oracle re-renders via
@@ -1911,6 +1932,41 @@ object Etl extends QueryModule {
         |  CAST(floor(abs(env_s) / 2 * 1e6 + 0.5) AS BIGINT)
         |    AS env_area_q6
         |FROM s ORDER BY k""".stripMargin,
+
+    "p2z_presto_format_rotate" ->
+      // printf is DuckDB's own C formatter; data size mirrors the exact
+      // decimal arithmetic; rotates re-derive in UNSIGNED HUGEINT mod
+      // 2^64 — independent of the shift-or formulation
+      """WITH t AS (
+        |  SELECT n_nationkey AS k, n_name AS nm,
+        |    CAST(n_nationkey AS BIGINT) * 123456789 AS xl,
+        |    CAST(n_nationkey AS BIGINT) * 987654321 - 50 AS xr,
+        |    CAST(n_nationkey % 64 AS INT) AS nrot
+        |  FROM nation),
+        |u AS (
+        |  SELECT k, nm, nrot,
+        |    CASE WHEN xl < 0 THEN CAST(xl AS HUGEINT) +
+        |      18446744073709551616 ELSE CAST(xl AS HUGEINT) END AS ul,
+        |    CASE WHEN xr < 0 THEN CAST(xr AS HUGEINT) +
+        |      18446744073709551616 ELSE CAST(xr AS HUGEINT) END AS ur
+        |  FROM t),
+        |r AS (
+        |  SELECT k, nm, nrot,
+        |    CASE WHEN nrot % 64 = 0 THEN ul ELSE
+        |      (ul * (1::HUGEINT << (nrot % 64))) % 18446744073709551616
+        |      + ul // (1::HUGEINT << (64 - nrot % 64)) END AS url,
+        |    (ur // (1::HUGEINT << 13)) +
+        |      (ur * (1::HUGEINT << 51)) % 18446744073709551616 AS urr
+        |  FROM u)
+        |SELECT k,
+        |  printf('%s-%03d', nm, k) AS f1,
+        |  CAST(floor(CAST(concat(k, '.5') AS DECIMAL(27,9)) * 1048576)
+        |    AS BIGINT) AS ds,
+        |  CAST(CASE WHEN url >= 9223372036854775808 THEN
+        |    url - 18446744073709551616 ELSE url END AS BIGINT) AS rl,
+        |  CAST(CASE WHEN urr >= 9223372036854775808 THEN
+        |    urr - 18446744073709551616 ELSE urr END AS BIGINT) AS rr
+        |FROM r ORDER BY k""".stripMargin,
 
     "p2x_presto_json_constructors" ->
       // DuckDB's own constructors, argument order preserved, compact

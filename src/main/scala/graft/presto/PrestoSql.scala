@@ -2487,6 +2487,32 @@ object PrestoSql {
       " CAST(o AS BIGINT)), 0L, (acc, o) -> CASE WHEN o BETWEEN 0 AND" +
       " 255 THEN acc * 256 + o ELSE" +
       " raise_error(concat('IPv4 octet out of range: ', ip)) END) END",
+    // Trino parse_data_size: decimal value × binary unit (1024-powers);
+    // exact DECIMAL×BIGINT arithmetic, floored like Trino ('2.3MB' →
+    // 2411724); ZB/YB exceed BIGINT and fail loudly (Trino returns
+    // decimal(38,0) there — documented narrowing), as does any
+    // malformed size string.
+    "parse_data_size(s STRING) RETURNS BIGINT RETURN" +
+      " CASE WHEN s RLIKE '^[0-9]+(\\\\.[0-9]+)?(B|kB|MB|GB|TB|PB|EB)$'" +
+      " THEN CAST(floor(" +
+      " CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DECIMAL(27,9)) *" +
+      " shiftleft(1L, CASE regexp_extract(s, '([a-zA-Z]+)$', 1)" +
+      " WHEN 'B' THEN 0 WHEN 'kB' THEN 10 WHEN 'MB' THEN 20" +
+      " WHEN 'GB' THEN 30 WHEN 'TB' THEN 40 WHEN 'PB' THEN 50" +
+      " WHEN 'EB' THEN 60 END)) AS BIGINT)" +
+      " ELSE raise_error(concat('Invalid data size: ', s)) END",
+    // Trino bitwise_left_rotate / bitwise_right_rotate on 64-bit words:
+    // rotation count taken mod 64 (the published behavior); the n%64=0
+    // guard avoids shiftrightunsigned's shift-mod-64 masking turning
+    // the complementary shift into a no-op.
+    "bitwise_left_rotate(x BIGINT, n INT) RETURNS BIGINT RETURN" +
+      " CASE WHEN pmod(n, 64) = 0 THEN x ELSE" +
+      " shiftleft(x, CAST(pmod(n, 64) AS INT)) |" +
+      " shiftrightunsigned(x, 64 - CAST(pmod(n, 64) AS INT)) END",
+    "bitwise_right_rotate(x BIGINT, n INT) RETURNS BIGINT RETURN" +
+      " CASE WHEN pmod(n, 64) = 0 THEN x ELSE" +
+      " shiftrightunsigned(x, CAST(pmod(n, 64) AS INT)) |" +
+      " shiftleft(x, 64 - CAST(pmod(n, 64) AS INT)) END",
     // masked address: clear the host bits — (ip DIV 2^(32−bits)) ·
     // 2^(32−bits); long shift, no 32-bit mask edge
     "graft_ip4_mask(ip STRING, bits INT) RETURNS BIGINT RETURN" +
@@ -2720,6 +2746,10 @@ object PrestoSql {
     // builtin of the same name is the 2-arg fixed-decimals formatter
     // the adapter body uses — same scoping rule as bit_count.
     ("""(?i)\bformat_number\s*\(""".r, "presto_format_number("),
+    // Trino format('%s…', args) is Java String.format — exactly Spark's
+    // format_string (same JVM formatter; the oracle cross-checks against
+    // DuckDB's independent C-style printf)
+    ("""(?i)\bformat\s*\(""".r, "format_string("),
     ("""(?i)\bis_nan\s*\(""".r, "isnan("),
     ("""(?i)\bto_hex\s*\(""".r, "hex("),
     ("""(?i)\bfrom_hex\s*\(""".r, "unhex("),
