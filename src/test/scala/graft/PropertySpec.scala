@@ -44,6 +44,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dsum micros representation ≡ the decimal(30,6) form on corpus money columns") {
+    // the r9 BIGINT-micros rewrite claims bit-identical outputs on
+    // contract-conforming data (≤ 6 carried decimal digits) — pin it
+    // against the old representation on the real corpus, including the
+    // derived products Q1 sums
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val sfd = "/root/testdata/sf0.01"
+    def both(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column, tag: String): Unit = {
+      val r = df.agg(Det.dsum(c).as("a"),
+        sum(c.cast(DecimalType(30, 6))).cast(DoubleType).as("b"))
+        .collect().head
+      assert(r.getDouble(0) == r.getDouble(1), tag)
+    }
+    val l = Tables.lineitem(spark, sfd)
+    both(l, col("l_extendedprice"), "extendedprice")
+    both(l, col("l_quantity"), "quantity")
+    both(l, col("l_extendedprice") * (lit(1) - col("l_discount")),
+      "disc_price")
+    both(l, col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * (lit(1) + col("l_tax")), "charge")
+    both(Tables.orders(spark, sfd), col("o_totalprice"), "totalprice")
+  }
+
   test("minhash agreement is symmetric; identical inputs agree fully") {
     import graft.functions.{TextFunctions => TF}
     val word = Gen.listOfN(12, Gen.oneOf("spark", "row", "scan", "agg", "key", "col"))
