@@ -143,7 +143,15 @@ object GraftFunctions {
       (e: Seq[Expression]) => StLengthExpression(e(0))),
     (FunctionIdentifier("word_stem"),
       new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
-      (e: Seq[Expression]) => WordStemExpression(e(0))),
+      // Trino's 2-arg form takes a language code; the kernel is the
+      // English Porter stemmer, so only 'en' is honest — any other
+      // language fails loudly rather than silently mis-stemming
+      (e: Seq[Expression]) => {
+        if (e.length == 2) require(litStr(e(1)) == "en",
+          s"word_stem: only language 'en' is supported (Porter stemmer)" +
+            s", got '${litStr(e(1))}'")
+        WordStemExpression(e(0))
+      }),
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpression].getName, "jaro_winkler"),
       (e: Seq[Expression]) => JaroWinklerExpression(e(0), e(1))),

@@ -2534,10 +2534,15 @@ class PrestoSqlSpec extends SparkSpec {
     // CRC-32 standard check value 0xCBF43926 (passthrough to the Spark
     // builtin — pinned here so the dialect exposure stays verified)
     assert(v.getLong(1) == 0xcbf43926L)
-    // word_stem through the dialect (Porter vectors pinned in StemSpec)
+    // word_stem through the dialect (Porter vectors pinned in StemSpec);
+    // the 2-arg language form accepts 'en' and rejects anything else
     val w = PrestoSql.sql(spark,
-      "SELECT word_stem('running'), word_stem('flies')").collect().head
+      "SELECT word_stem('running'), word_stem('flies', 'en')")
+      .collect().head
     assert(w.getString(0) == "run" && w.getString(1) == "fli")
+    val we = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT word_stem('laufen', 'de')").collect())
+    assert(we.getMessage.contains("only language 'en'"), we.getMessage)
   }
 
   test("bing tile family: pixel math, quadkeys, neighborhoods, validation") {
