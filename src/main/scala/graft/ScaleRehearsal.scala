@@ -30,7 +30,10 @@ object ScaleRehearsal {
     "l52_paragraph_dedup", "l51_pii_scrub",
     "l54_perplexity_buckets", "l55_ngram_saturation",
     "l56_line_dedup", "l57_gopher_repetition",
-    "l61_curriculum_schedule", "l62_fim_split", "l63_bloom_decontaminate")
+    "l61_curriculum_schedule", "l62_fim_split", "l63_bloom_decontaminate",
+    // r10: the de-broadcast bigram-LM path (count tables now keyed
+    // joins) and the corpus-scaled-k SemDeDup re-rehearsal
+    "l41_bigram_logprob", "l58_doremi_step")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

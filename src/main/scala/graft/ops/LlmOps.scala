@@ -1234,9 +1234,12 @@ object LlmOps extends QueryModule {
     // of the decontamination family: l22's inverted index SHUFFLES the
     // corpus's shingles; the bloom path never shuffles a clean document
     // at all. Build: benchmark shingles (the SMALL side — an eval suite
-    // is bounded by construction) hash into a driver-built bloom via
+    // is bounded by construction) hash into an EXECUTOR-BUILT bloom via
     // Kirsch–Mitzenmacher double hashing (k = 4, m = 10n bits → ~1.2%
-    // FP), broadcast as ONE row of Array[Long] words. Prune: a pure
+    // FP): a typed Aggregator OR-merges per-partition bit arrays
+    // map-side, so the driver only ever sees the final m/64 longs (r9
+    // verdict #7 — the r8 driver-loop build was O(#shingles) driver
+    // memory), broadcast as ONE row of Array[Long] words. Prune: a pure
     // scan-stage exists() over each corpus doc's shingles — 2 xxhash64
     // + 4 bit probes per shingle, all inside codegen, all pmod-bounded
     // so ANSI arithmetic can't overflow. Confirm: only the candidate
@@ -1255,26 +1258,18 @@ object LlmOps extends QueryModule {
         .localCheckpoint()
       val benchSh = base.filter(col("source") === "src1")
         .select(explode(col("sh")).as("shingle")).distinct()
-      // driver-built bloom: the SAME (xxhash64, xxhash64(·, 1)) pair and
-      // pmod-then-combine arithmetic the SQL probe uses, so membership
-      // is bit-identical across the two implementations
-      val hs = benchSh.select(xxhash64(col("shingle")).as("h1"),
-        xxhash64(col("shingle"), lit(1L)).as("h2")).collect()
-      val n = math.max(hs.length, 1)
+      // executor-built bloom: the SAME (xxhash64, xxhash64(·, 1)) pair
+      // and pmod-then-combine arithmetic the SQL probe uses, so
+      // membership is bit-identical across build and probe; sizing costs
+      // one 1-row count (bounded driver state), the bit array itself is
+      // OR-merged executor-side and never exceeds m/64 longs anywhere
+      val n = math.max(benchSh.count(), 1L)
       val m = ((10L * n).max(64L) + 63) / 64 * 64
-      val wordsArr = new Array[Long]((m / 64).toInt)
-      hs.foreach { r =>
-        val b1 = ((r.getLong(0) % m) + m) % m
-        val b2 = ((r.getLong(1) % m) + m) % m
-        var i = 0L
-        while (i < 4) {
-          val pos = (b1 + i * b2) % m
-          wordsArr((pos / 64).toInt) |= (1L << (pos % 64).toInt)
-          i += 1
-        }
-      }
-      import s.implicits._
-      val bloom = Seq(Tuple1(wordsArr.toSeq)).toDF("bits")
+      val bloom = benchSh
+        .select(xxhash64(col("shingle")).as("h1"),
+          xxhash64(col("shingle"), lit(1L)).as("h2"))
+        .agg(graft.functions.BloomAggregator
+          .bloomBits(m, col("h1"), col("h2")).as("bits"))
       val cand = base.filter(col("source") === "src0")
         .crossJoin(broadcast(bloom))
         .withColumn("cand", expr(
@@ -1372,10 +1367,15 @@ object LlmOps extends QueryModule {
     // above a cosine threshold (priority = smaller vec_id here, where the
     // paper keeps an arbitrary representative per duplicate group). The
     // clusters bound candidate generation — pairs are generated per
-    // cluster bucket, never all-pairs, so at 100 TB the pair count is
-    // sum(|cluster|²) with k chosen to keep clusters executor-sized
-    // (the same IVF shape as l3b; assignment is map-side over broadcast
-    // centroids, the corpus never shuffles to be clustered).
+    // cluster bucket, never all-pairs. k SCALES WITH THE CORPUS
+    // (r9 verdict #3): k = ⌈n / S⌉ for a pinned target cluster size S,
+    // so sum(|cluster|²) ≈ n·S stays LINEAR in n — a fixed k would let
+    // cluster sizes (hence the pair count) grow quadratically with the
+    // corpus. Assignment is map-side over broadcast centroids (the same
+    // IVF shape as l3b; the corpus never shuffles to be clustered); the
+    // centroid table is n/S-bounded, the one artifact that grows — at
+    // extreme n the assignment itself goes two-level (cluster the
+    // centroids, probe coarse-then-fine), the standard IVF hierarchy.
     //
     // The query PLANTS ε-scaled near-duplicate copies (float(1.01·x)
     // per element → cosine ≈ 1.0 with the original; the natural corpus
@@ -1398,7 +1398,19 @@ object LlmOps extends QueryModule {
       // label-seeded k-means, one Lloyd refinement (l3b shape): SemDeDup
       // only needs clusters that keep near-dups together, which any
       // converged-enough k-means does — cosine is scale-invariant, so a
-      // planted copy shares its original's nearest centroid.
+      // planted copy shares its original's nearest centroid. Seed count
+      // scales with the corpus: k = max(|labels|, ⌈n/S⌉), each label
+      // split into ⌈k/|labels|⌉ content-hashed sub-seeds — the seed set
+      // stays a pure function of the data (no RNG), and n/|labels| are
+      // two 1-row aggregates (bounded driver state).
+      val targetClusterSize = 128L
+      val hdr = all.agg(count(lit(1)).as("n"),
+        countDistinct(col("label")).as("nl")).head
+      val nRows = hdr.getLong(0)
+      val nLabels = hdr.getLong(1)
+      val k = math.max(nLabels, (nRows + targetClusterSize - 1) / targetClusterSize)
+      val splits = ((k + nLabels - 1) / nLabels).toInt
+
       def assign(cent: DataFrame): DataFrame = {
         val centArr = cent.agg(array_sort(collect_list(struct(
           col("cid"), col("cvec").cast("array<float>").as("cf")))).as("cents"))
@@ -1410,7 +1422,8 @@ object LlmOps extends QueryModule {
               |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
           .select(col("vec_id"), col("embedding"), col("cid"))
       }
-      val seed = all.groupBy(col("label").cast("long").as("cid"))
+      val seed = all.groupBy((col("label").cast("long") * splits +
+          pmod(xxhash64(col("vec_id")), lit(splits.toLong))).as("cid"))
         .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
       val cent = assign(seed).groupBy(col("cid"))
         .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
@@ -2033,11 +2046,15 @@ object LlmOps extends QueryModule {
     // stage l25's unigram scorer approximates: score each doc by its own
     // corpus's add-one-smoothed bigram model, gate on average log-prob.
     // Two-pass plan: ONE corpus explode builds the bigram/context count
-    // tables (vocab²-bounded — Zipf-small relative to the corpus, they
-    // BROADCAST), then scoring is a map-side join + one doc-keyed rollup.
-    // At 100 TB the count tables stay vocab-bounded (independent of
-    // corpus size) — exactly why real pipelines can afford per-doc LM
-    // scoring. Logs are pre-quantized per (bigram|context) TABLE ROW
+    // tables, then scoring is a keyed join + one doc-keyed rollup. The
+    // count tables are vocab-bounded (independent of corpus SIZE) but
+    // NOT driver-bounded — at 100 TB the observed-bigram table is
+    // billions of rows — so they join on their natural keys ((w1,w2)
+    // and (w1), the same keys the pair stream already carries) with NO
+    // broadcast hint: AQE auto-broadcasts when the table is genuinely
+    // under the threshold and falls back to a shuffle join when it is
+    // not. Only true scalars (the 1-row vocab count) broadcast
+    // unconditionally. Logs are pre-quantized per (bigram|context) TABLE ROW
     // (floor(ln·1e6 + 0.5), the l25 parity rule) so the per-doc sum is
     // integer arithmetic and the oracle is exact.
     "l41_bigram_logprob" -> ((s, d) => {
@@ -2063,9 +2080,8 @@ object LlmOps extends QueryModule {
         .crossJoin(broadcast(vocab))
         .withColumn("qd", floor(log(col("cu") + col("v")) * 1e6 + 0.5).cast("long"))
       val scored = pairs
-        .join(broadcast(bgCnt.select(col("w1"), col("w2"), col("ql"))),
-          Seq("w1", "w2"))
-        .join(broadcast(ctxCnt.select(col("w1"), col("qd"))), Seq("w1"))
+        .join(bgCnt.select(col("w1"), col("w2"), col("ql")), Seq("w1", "w2"))
+        .join(ctxCnt.select(col("w1"), col("qd")), Seq("w1"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("ql") - col("qd")).as("sq"))
       docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
@@ -2575,10 +2591,12 @@ object LlmOps extends QueryModule {
     // run once per DOMAIN on quantized q4 inputs and the output weight
     // re-quantizes at 1e4 (the l25 downsample rule: a last-ulp libm
     // disagreement cannot flip the floor). Smoothing c = 0.1, per the
-    // paper. Plan at 100 TB: both count tables are vocab-bounded and
-    // BROADCAST, scoring is two scan-stage passes, the rollup is
-    // |domains| rows, and the softmax is k-row arithmetic — no window,
-    // no global sort.
+    // paper. Plan at 100 TB: the unigram/bigram count tables are
+    // vocab-bounded but NOT driver-bounded (billions of observed
+    // bigrams), so they join on their natural keys with NO broadcast
+    // hint (the l41 rule: AQE broadcasts small sides, shuffle-joins big
+    // ones); scoring is two keyed passes, the rollup is |domains| rows,
+    // and the softmax is k-row arithmetic — no window, no global sort.
     "l58_doremi_step" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("source"), TF.wordTokens(col("text")).as("w"))
@@ -2588,7 +2606,7 @@ object LlmOps extends QueryModule {
         .withColumn("ql", floor(log(col("cnt")) * 1e6 + 0.5).cast("long"))
       val total = freq.agg(sum(col("cnt")).as("tt"))
         .select(floor(log(col("tt")) * 1e6 + 0.5).cast("long").as("qt"))
-      val uni = toks.join(broadcast(freq.select(col("t"), col("ql"))), "t")
+      val uni = toks.join(freq.select(col("t"), col("ql")), "t")
         .crossJoin(broadcast(total))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_toks"),
@@ -2616,9 +2634,8 @@ object LlmOps extends QueryModule {
         .withColumn("qd",
           floor(log(col("cu") + col("v")) * 1e6 + 0.5).cast("long"))
       val bi = pairs
-        .join(broadcast(bgCnt.select(col("w1"), col("w2"), col("ql"))),
-          Seq("w1", "w2"))
-        .join(broadcast(ctxCnt.select(col("w1"), col("qd"))), Seq("w1"))
+        .join(bgCnt.select(col("w1"), col("w2"), col("ql")), Seq("w1", "w2"))
+        .join(ctxCnt.select(col("w1"), col("qd")), Seq("w1"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("qd") - col("ql")).as("nll_sum"))

@@ -514,11 +514,36 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
-  test("l41 bigram LM: count tables broadcast onto the pair stream") {
-    val plan = ops.LlmOps.queries("l41_bigram_logprob")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  test("l41 bigram LM: count tables join on their keys, never forced broadcast (r10)") {
+    // The observed-bigram table is billions of rows at 100 TB: a forced
+    // broadcast() hint would OOM the driver there. The pin is therefore
+    // the INVERSE of the r8 one: no broadcast hint survives to the
+    // optimized plan for the count-table joins (AQE may still choose
+    // broadcast at runtime when the table is actually small — that is
+    // the size guard), and the pre-AQE physical plan is a shuffle join
+    // on the (w1, w2) key.
+    // (1-row scalar sides — the vocab count — stay hinted via
+    // crossJoin(broadcast(..)), and appear as "Join Cross" lines)
+    val qe = ops.LlmOps.queries("l41_bigram_logprob")(spark, sf).queryExecution
+    val opt = qe.optimizedPlan.toString
+    val badHint = opt.linesIterator.filter(l =>
+      l.contains("Join Inner") && l.contains("strategy=broadcast")).toSeq
+    assert(badHint.isEmpty, s"forced broadcast on a count-table join:\n$badHint")
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("SortMergeJoin") || phys.contains("ShuffledHashJoin"),
+      phys.take(3000))
+    assert(!phys.contains("CartesianProduct"), phys.take(3000))
+  }
+
+  test("l58 DoReMi: unigram/bigram count tables join on their keys, never forced broadcast (r10)") {
+    val qe = ops.LlmOps.queries("l58_doremi_step")(spark, sf).queryExecution
+    val opt = qe.optimizedPlan.toString
+    // the only hinted broadcasts left are the provably-bounded sides:
+    // 1-row scalars (vocab count, corpus total, softmax Z) on Cross joins
+    val badHint = opt.linesIterator.filter(l =>
+      l.contains("Join Inner") && l.contains("strategy=broadcast")).toSeq
+    assert(badHint.isEmpty, s"forced broadcast on a count-table join:\n$badHint")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
   }
 
   test("l44 source overlap joins on the shingle key, never a source-pair product") {
@@ -578,6 +603,41 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("l63 executor-built bloom ≡ single-threaded driver build, long-for-long (r10)") {
+    // The aggregator's OR-merge is commutative/associative and every
+    // probe position is exact integer arithmetic, so the multi-partition
+    // executor build must equal a driver loop over the same keys EXACTLY
+    // — the guarantee that lets l63 keep its bit-identical SQL probe.
+    val benchSh = Tables.documents(spark, sf)
+      .filter(col("source") === "src1")
+      .select(explode(array_distinct(
+        TF.wordShingles(TF.wordTokens(col("text")), 4))).as("shingle"))
+      .distinct()
+    val hs = benchSh.select(xxhash64(col("shingle")).as("h1"),
+      xxhash64(col("shingle"), lit(1L)).as("h2")).collect()
+    val n = math.max(hs.length, 1)
+    val m = ((10L * n).max(64L) + 63) / 64 * 64
+    val driverBits = new Array[Long]((m / 64).toInt)
+    hs.foreach { r =>
+      val b1 = ((r.getLong(0) % m) + m) % m
+      val b2 = ((r.getLong(1) % m) + m) % m
+      var i = 0L
+      while (i < 4) {
+        val pos = (b1 + i * b2) % m
+        driverBits((pos / 64).toInt) |= (1L << (pos % 64).toInt)
+        i += 1
+      }
+    }
+    val execBits = benchSh.repartition(4) // force a real multi-buffer merge
+      .select(xxhash64(col("shingle")).as("h1"),
+        xxhash64(col("shingle"), lit(1L)).as("h2"))
+      .agg(graft.functions.BloomAggregator
+        .bloomBits(m, col("h1"), col("h2")).as("bits"))
+      .head.getSeq[Long](0)
+    assert(execBits == driverBits.toSeq,
+      s"first diff at word ${execBits.zip(driverBits).indexWhere(p => p._1 != p._2)}")
   }
 
   test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
