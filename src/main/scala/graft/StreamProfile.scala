@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler for the streaming-proof cost floor (r9 verdict #2):
+  * runs selected streaming proofs, prints wall time + per-trigger
+  * durationMs breakdown from the query listener. Temporary tool; not
+  * part of the driver contract. */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val qs = (if (args.length > 1) args(1)
+              else "e1b_stream_tumbling,e25_stream_stream_left").split(",")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val progresses =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.add(e.progress)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    for (q <- qs; pass <- 1 to 2) {
+      progresses.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, d).collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"== $q pass$pass wall=$wall%.2fs triggers=${progresses.size}")
+      progresses.forEach { p =>
+        val dm = p.durationMs
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${dm.toString}")
+      }
+    }
+    spark.stop()
+  }
+}

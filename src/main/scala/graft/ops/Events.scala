@@ -37,9 +37,28 @@ object Events extends QueryModule {
     * 1000-executor deployment sets the session default high and this
     * helper becomes a no-op (it only ever lowers to the gate size).
     */
+  // Streaming-proof checkpoints (offset WAL + state deltas + commit log)
+  // are per-run scaffolding, not the data path — production jobs put
+  // them on HDFS/S3. On this host /tmp is disk-backed ext4, so every
+  // trigger paid real fsync latency for throwaway metadata; tmpfs
+  // removes that without touching what the proofs measure (the
+  // streaming EXECUTION over the real on-disk fixtures). Falls back to
+  // the default temp dir when /dev/shm is absent.
+  private lazy val shmCheckpointRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft_stream_ck")
+      d.mkdirs()
+      d.deleteOnExit()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
   private def withStreamStateSizing[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.checkpointLocation"
     val old = s.conf.get(key)
+    val oldCk = s.conf.getOption(ckKey)
     // 2, not the batch default: every micro-batch commits one state-store
     // instance PER stateful operator PER shuffle partition (open + delta
     // + snapshot bookkeeping each trigger), and the proofs' state is a
@@ -47,9 +66,30 @@ object Events extends QueryModule {
     // ~¼ of its 27 s in state-store file churn. Production sizing is the
     // opposite call (state must fit per-partition memory); the knob is
     // per-query here precisely because the right value is data-sized.
-    if (old.toIntOption.exists(_ <= 2)) f
+    if (!old.toIntOption.exists(_ <= 2)) s.conf.set(key, "2")
+    shmCheckpointRoot.filter(_ => oldCk.isEmpty)
+      .foreach(r => s.conf.set(ckKey, r))
+    try f finally {
+      s.conf.set(key, old)
+      if (oldCk.isEmpty) s.conf.unset(ckKey)
+      else s.conf.set(ckKey, oldCk.get)
+    }
+  }
+
+  /** r9 verdict #2 (streaming cost floor): Spark schedules one extra
+    * NO-DATA micro-batch whenever the watermark advanced, purely to
+    * evict state and emit watermark-DRIVEN results. Proofs whose
+    * emission is ARRIVAL-driven (inner joins, append-mode dedup,
+    * update-mode aggs, data-driven session/pattern flushes) get nothing
+    * from that batch — it costs a full trigger (~0.3–0.7 s) and emits
+    * zero rows — so they disable it per-query. Proofs whose results ARE
+    * watermark-driven (e25/e27 outer-join NULL rows) must keep it. */
+  private def withoutNoDataBatches[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = s.conf.get(key)
+    if (old == "false") f
     else {
-      s.conf.set(key, "2")
+      s.conf.set(key, "false")
       try f finally s.conf.set(key, old)
     }
   }
@@ -322,7 +362,10 @@ object Events extends QueryModule {
     // production. Append mode emits each first arrival once; duplicates
     // are exact copies, so the final table must equal the batch source
     // — the strongest possible oracle.
+    // (no-data batches disabled: append-mode dedup emits first arrivals
+    // immediately; the post-watermark batch only evicts seen-key state)
     "e22_stream_dedup" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
       val batch = Tables.events(s, d)
       val base = Sources.fixtureOnce("graft_e22", d)(dir =>
         batch.unionAll(batch.filter(col("event_id") % 7 === 0))
@@ -340,6 +383,7 @@ object Events extends QueryModule {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy(col("event_id"))
+      }
     }),
 
     // E29: streaming DYNAMIC-gap sessions under the gate — e28's
@@ -583,20 +627,24 @@ object Events extends QueryModule {
     // The rollup of emitted sessions then equals the batch derivation
     // exactly (oracle mirrors the sessionizer's strict `> gap` split).
     "e17_stream_state_sessions" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
       import s.implicits._
       val batch = Tables.events(s, d).select(col("user_id"), col("ts"))
       val base = Sources.fixtureOnce("graft_e17", d) { dir =>
-        // time-quartile files, written oldest range first (ascending
+        // time-HALF files, written oldest range first (ascending
         // modTime ⇒ FileStreamSource processes them in time order); the
         // sentinel (+90 days per user, closes every trailing real
         // session data-driven) is written LAST, so it carries the
-        // newest modTime and lands in its own fifth micro-batch after
+        // newest modTime and lands in its own third micro-batch after
         // all real events — equivalent to the earlier mid-run append,
-        // but the fixture is fully static and build-once
+        // but the fixture is fully static and build-once. (Halves, not
+        // quartiles: two real-data batches already force cross-batch
+        // session state — the r8 quartile split bought the same proof
+        // at twice the trigger count.)
         val mm = batch.agg(min(col("ts")), max(col("ts"))).collect().head
         val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-        val step = math.max((hi - lo) / 4 + 1, 1L)
-        for (i <- 0 until 4) {
+        val step = math.max((hi - lo) / 2 + 1, 1L)
+        for (i <- 0 until 2) {
           val (a, b) = (lo + i * step, lo + (i + 1) * step)
           batch.filter(unix_millis(col("ts")) >= a &&
               unix_millis(col("ts")) < b)
@@ -608,8 +656,10 @@ object Events extends QueryModule {
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/sentinel")
       }
       val src = s"$base/src"
-      // one file per trigger ⇒ five genuine time-ordered micro-batches
-      // (FileStreamSource schedules oldest modification time first)
+      // one file per trigger ⇒ three genuine time-ordered micro-batches
+      // (FileStreamSource schedules oldest modification time first);
+      // sessions close on sentinel ARRIVAL (data-driven), so the
+      // post-watermark no-data batch is pure overhead — disabled above
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
       val qn = "graft_e17_" +
@@ -626,6 +676,7 @@ object Events extends QueryModule {
           max(col("n_events")).as("max_session_events"),
           sum(col("n_events")).as("n_total"))
         .orderBy(col("user_id"))
+      }
     }),
 
     // E18: the stream-stream interval join run as a REAL dual-stream
@@ -647,7 +698,10 @@ object Events extends QueryModule {
     // Scale: join state per side is bounded by (delay + interval) of
     // rows hash-partitioned by user_id — the same keyed-state shape
     // that holds at 1000 executors.
+    // (no-data batches disabled: inner-join emission is arrival-driven;
+    // the post-watermark batch only evicts state and emits nothing)
     "e18_stream_stream_join" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
       val base = Sources.fixtureOnce("graft_e18", d) { dir =>
@@ -674,6 +728,7 @@ object Events extends QueryModule {
         .select(col("user_id"), col("view_id"), col("purchase_id"),
           col("lag_us"))
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+      }
     }),
 
     // E25: LEFT OUTER stream-stream join under the gate — the hardest
@@ -799,7 +854,10 @@ object Events extends QueryModule {
     // lateness policy (e1b/e22 cover watermark behavior); a production
     // job sizes the delay to real lateness and accepts the drops.
     // The delta dir is run-unique (rep-safe, like sc22).
+    // (no-data batches disabled: update mode emits only CHANGED groups,
+    // and a no-data batch changes nothing — it appends no delta)
     "e26_stream_update_mode" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
       val batch = Tables.events(s, d)
       val base = Sources.fixtureOnce("graft_e26", d)(dir =>
         batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
@@ -825,6 +883,7 @@ object Events extends QueryModule {
         .filter(col("rn") === 1) // apply deltas: last write per key wins
         .select(col("w_start"), col("event_type"), col("n"))
         .orderBy(col("w_start"), col("event_type"))
+      }
     }),
 
     // E20: gated stream-static enrichment join — the SEVENTH streaming
@@ -892,7 +951,7 @@ object Events extends QueryModule {
     // documented production divergence), so the harness holds EVERY
     // event in state until one final flush per key: a 365-day watermark
     // delay keeps any mid-run timeout from firing, then two sentinel
-    // batches keyed to a NON-real user (-1, at +366d/+367d) advance the
+    // batches keyed to a NON-real user (-1, at +367d/+368d) advance the
     // watermark past every real key's armed timeout WITHOUT touching
     // real keys' buffers — each real key flushes once with its complete
     // history, which matchSpans sorts and matches exactly like the
@@ -900,7 +959,10 @@ object Events extends QueryModule {
     // itself never matches (no view step) and is filtered. State cost
     // at the gate: ≤99 events/user × 31 bytes; the production config
     // keeps the quiet-gap flush and never buffers a full corpus.
+    // (no-data batches disabled: the flush fires during s368's DATA
+    // batch by fixture design — the trailing no-data batch emits nothing)
     "e19_stream_pattern" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
       import s.implicits._
       import RowPattern._
       val steps = Seq(
@@ -916,15 +978,18 @@ object Events extends QueryModule {
       val base = Sources.fixtureOnce("graft_e19", d) { dir =>
         // main corpus first, then the two sentinel files (ascending
         // modTime): with one file per trigger the sentinels arrive in
-        // their own trailing micro-batches — s366's batch advances the
-        // watermark past every real key's armed timeout, and the flush
-        // fires during s367's DATA batch (timeout checks run against
-        // the watermark updated after the PREVIOUS batch, so a single
-        // trailing sentinel would leave the flush to a no-data batch
-        // that processAllAvailable does not await)
+        // their own trailing micro-batches — s367's batch advances the
+        // watermark STRICTLY past every real key's armed timeout
+        // (timeouts arm at last_ts + 24h + 1ms; wm after s367 =
+        // hi + 2d — a +366d sentinel would leave the corpus-max key's
+        // timeout 1 ms above its watermark), and the flush fires during
+        // s368's DATA batch (timeout checks run against the watermark
+        // updated after the PREVIOUS batch; a single trailing sentinel
+        // would leave the flush to a no-data batch, which this proof
+        // disables as pure overhead)
         batch.repartition(2).write.mode("overwrite").parquet(s"$dir/src/main")
         val hi = batch.agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
-        for (days <- Seq(366L, 367L))
+        for (days <- Seq(367L, 368L))
           s.range(1).select(lit(-1L).as("user_id"),
               timestamp_millis(lit(hi + days * 24 * 3600 * 1000)).as("ts"),
               lit(-1L).as("event_id"), lit("sentinel").as("event_type"))
@@ -948,6 +1013,7 @@ object Events extends QueryModule {
         .select(col("user_id"), col("match_no"), col("start_us"),
           col("end_us"), col("n_rows"))
         .orderBy(col("user_id"))
+      }
     }),
 
     // E10: a STREAMING-EXECUTED result under the oracle gate (r4 verdict
@@ -960,14 +1026,15 @@ object Events extends QueryModule {
     // streaming execution oracle-checkable.
     "e10_stream_upsert" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d)
-      // pre-split into 6 files, two per micro-batch → ~3 micro-batches:
-      // still a genuine multi-epoch run (last-write-wins is commutative,
-      // so the answer is batching-independent) at half the per-trigger
-      // scheduling latency of one-file-per-batch. Source files are the
-      // build-once fixture; the upsert TABLE and checkpoint are fresh
-      // per invocation (reusing the checkpoint would skip the run).
+      // pre-split into 4 files, two per micro-batch → 2 micro-batches:
+      // the minimum genuine multi-epoch run (last-write-wins is
+      // commutative, so the answer is batching-independent); every
+      // extra trigger beyond two is pure scheduling latency. Source
+      // files are the build-once fixture; the upsert TABLE and
+      // checkpoint are fresh per invocation (reusing the checkpoint
+      // would skip the run).
       val srcDir = Sources.fixtureOnce("graft_e10_src", d)(dir =>
-        batch.repartition(6).write.mode("overwrite").parquet(s"$dir/src")) +
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src")) +
         "/src"
       val base = Sources.scratch("graft_e10_out")
       val stream = s.readStream.schema(batch.schema)
