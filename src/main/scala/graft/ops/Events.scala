@@ -500,6 +500,137 @@ object Events extends QueryModule {
       }
     }),
 
+    // E32: transformWithState EVENT-TIME TIMERS under the gate — the
+    // API's third leg (r9 verdict #4; e30 ValueState, e31 ListState):
+    // TimerSessionProcessor closes gap-broken sessions data-driven and
+    // TRAILING sessions by registered timer when the watermark passes
+    // last + 30 min (the real session-timeout shape). Fixture: e17's
+    // time-halved real files, then two sentinel files keyed to the
+    // NON-real user -1 (+1d, +2d): the first sentinel's batch advances
+    // the watermark strictly past every real deadline, the second's
+    // DATA batch fires the expired timers — so every real session is
+    // emitted exactly once before the drain ends (no-data batches
+    // disabled: the flush is data-batch-driven by construction).
+    // Oracle = e17's strict-gap batch derivation verbatim.
+    "e32_tws_timer_sessions" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
+      import s.implicits._
+      val batch = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val base = Sources.fixtureOnce("graft_e32", d) { dir =>
+        val mm = batch.agg(min(col("ts")), max(col("ts"))).collect().head
+        val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+        val step = math.max((hi - lo) / 2 + 1, 1L)
+        for (i <- 0 until 2) {
+          val (a, b) = (lo + i * step, lo + (i + 1) * step)
+          batch.filter(unix_millis(col("ts")) >= a &&
+              unix_millis(col("ts")) < b)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/h$i")
+        }
+        for (days <- Seq(1L, 2L))
+          s.range(1).select(lit(-1L).as("user_id"),
+              timestamp_millis(lit(hi + days * 24 * 3600 * 1000)).as("ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/s$days")
+      }
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val qn = "graft_e32_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = stream
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").cast("long"), unix_micros(col("ts")))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.EventStreams.TimerSessionProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "session_start_us", "n_events")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).filter(col("user_id") >= 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("n_events")).as("n_total"))
+          .orderBy(col("user_id"))
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      }
+    }),
+
+    // E33: transformWithState RESTART RECOVERY — e24's two-lifetime
+    // harness applied to the tws ListState processor (r9 verdict #4's
+    // second half): lifetime 1 drains half the source files into a
+    // parquet sink, the query STOPS, lifetime 2 resumes from the SAME
+    // checkpoint over the full directory. The RocksDB-backed ListState
+    // must be restored on restart: e31's emissions carry the MONOTONE
+    // n_seen, so if recovery lost buffered timestamps the post-restart
+    // max(n_seen) per user would undercount and the rollup would miss
+    // the batch answer. Oracle = e31's (e16 batch session derivation).
+    "e33_tws_restart_recovery" -> ((s, d) => withStreamStateSizing(s) {
+      import s.implicits._
+      val batch = Tables.events(s, d)
+      val base = Sources.fixtureOnce("graft_e33", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val full = new java.io.File(s"$base/src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val work = Sources.scratch("graft_e33_run")
+      val srcDir = new java.io.File(s"$work/src"); srcDir.mkdirs()
+      def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(srcDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      def drain(): Unit = {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val stream = s.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/src")
+        val q = stream
+          .select(col("user_id").cast("long"),
+            unix_micros(col("ts").cast("timestamp")))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.EventStreams.SessionListProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_seen", "n_sessions", "max_len", "n_total")
+          .writeStream.format("parquet")
+          .option("path", s"$work/data")
+          .option("checkpointLocation", s"$work/chk")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      try {
+        copyIn(full.take(2).toSeq)
+        drain()                     // first lifetime: half the input
+        copyIn(full.drop(2).toSeq)
+        drain()                     // restart: ListState restored
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(s"$work/data")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n_sessions"),
+          col("max_len").as("max_session_events"), col("n_total"))
+        .orderBy(col("user_id"))
+    }),
+
     // E23: streaming PARQUET SINK — the lake-ingest shape none of the
     // memory-sink proofs exercise: a stateless transform streamed to a
     // partitioned parquet sink in append mode with a checkpoint. The
@@ -1558,6 +1689,53 @@ object Events extends QueryModule {
     "e31_stream_tws_sessions" ->
       // e16's batch session derivation verbatim — the ListState
       // re-sessionization must land on it whatever the batching
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n_events) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e32_tws_timer_sessions" ->
+      // e17's STRICT-split derivation (new session iff ts > prev + gap)
+      // — the timer processor uses the same rule, so timer-closed and
+      // gap-closed sessions together must reproduce it exactly
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, sid, COUNT(*) AS n
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  MAX(n) AS max_session_events,
+        |  CAST(SUM(n) AS BIGINT) AS n_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e33_tws_restart_recovery" ->
+      // e31's derivation: two query lifetimes over one checkpoint must
+      // land on the same full-data session summary
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -72,8 +72,16 @@ object EventStreams {
     * ValueState. Emissions are MONOTONE per key (the running count), so
     * the final-table rollup max(running_n) = the batch per-user total
     * under ANY micro-batching — the e10 upsert argument applied to the
-    * new API. */
-  class RunningCountProcessor
+    * new API.
+    *
+    * `ttl` defaults to NONE (state lives forever — the gated e30 form);
+    * a processing-time TTLConfig (requires TimeMode.ProcessingTime)
+    * makes idle keys' counts expire and restart — the state-hygiene
+    * knob real jobs set, proven in StreamingSpec (wall-clock-dependent,
+    * so spec-level rather than oracle-gated). */
+  class RunningCountProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long), (Long, Long)] {
     @transient private var countState:
@@ -83,8 +91,7 @@ object EventStreams {
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       countState = getHandle.getValueState[Long]("count",
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
@@ -136,6 +143,76 @@ object EventStreams {
       }
       Iterator.single((key, all.length.toLong, nSess, maxLen,
         all.length.toLong))
+    }
+  }
+
+  /** E32: transformWithState with EVENT-TIME TIMERS — the API's third
+    * leg (e30 proves ValueState, e31 ListState) and the shape real
+    * session-timeout jobs use: each arrival extends the user's OPEN
+    * session and re-arms a timer at last_ts + gap + 1 ms (deleteTimer +
+    * registerTimer — extension invalidates the old deadline); when the
+    * WATERMARK passes the deadline, `handleExpiredTimer` fires, emits
+    * the closed session, and clears state. Gap-breaking arrivals close
+    * the previous session data-driven (same strict `> gap` rule as
+    * e17's FMGWS sessionizer, so e17's oracle derivation applies
+    * verbatim). Input rows sort per batch; the fixture feeds time-split
+    * files so cross-batch arrival stays in order and nothing is late.
+    *
+    * Scale note: state per user is four longs + one registered timer,
+    * both keyed and partitioned — the watermark bounds every session's
+    * lifetime, which is exactly what TTL-less e31 lacks.
+    */
+  class TimerSessionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+    private val gapUs = 30L * 60 * 1000000
+    // (start_us, last_us, n, armed_expiry_ms)
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val incoming = rows.map(_._2).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (start, last, n, expiry) =
+        if (sess.exists()) sess.get() else (-1L, -1L, 0L, -1L)
+      incoming.foreach { us =>
+        if (start < 0) { start = us; last = us; n = 1 }
+        else if (us > last + gapUs) {   // strict >: boundary row extends
+          closed += ((key, start, n))
+          start = us; last = us; n = 1
+        } else { last = math.max(last, us); n += 1 }
+      }
+      if (expiry >= 0) getHandle.deleteTimer(expiry)
+      val newExpiry = last / 1000 + gapUs / 1000 + 1
+      getHandle.registerTimer(newExpiry)
+      sess.update((start, last, n, newExpiry))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long)] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (start, _, n, armed) = sess.get()
+        // stale-timer guard: only the CURRENTLY armed deadline closes
+        if (armed != expired.getExpiryTimeInMs) Iterator.empty
+        else { sess.clear(); Iterator.single((key, start, n)) }
+      }
     }
   }
 

@@ -267,4 +267,70 @@ class StreamingSpec extends SparkSpec {
     // user 1: {e1,e2} then {e3}; user 2: {e4}
     assert(out.sameElements(Array((1L, 1L), (1L, 2L), (2L, 1L))))
   }
+
+  test("tws ValueState TTL expires idle state between lifetimes (r10)") {
+    // Wall-clock-dependent by nature (processing-time TTL), so proven
+    // here rather than under the oracle gate: lifetime 1 counts 3
+    // events for user 1; after sleeping past the 1 s TTL, lifetime 2
+    // (same checkpoint) sees the state EXPIRED and the running count
+    // restarts at the new batch's 2 — not 5. With TTL disabled the same
+    // harness yields 5 (asserted as the control).
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    import org.apache.spark.sql.functions._
+    def run(ttl: TTLConfig, sleepMs: Long): Seq[Long] = {
+      val work = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val src = s"$work/src"
+      def writeFile(name: String, ids: Seq[Long]): Unit =
+        ids.toDF("event_id").withColumn("user_id", lit(1L))
+          .coalesce(1).write.mode("append").parquet(src)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldP = spark.conf.getOption(pKey)
+      spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      def drain(): Unit = {
+        // Trigger.Once, not processAllAvailable: in ProcessingTime mode
+        // the continuous trigger keeps scheduling batches for
+        // timer/TTL checks and the query never settles. TTL expiry is
+        // evaluated on state READ, so one batch per lifetime is all
+        // this proof needs — and Once terminates deterministically.
+        @annotation.nowarn("cat=deprecation")
+        val q = spark.readStream.schema(schema).parquet(src)
+          .select(col("user_id"), col("event_id")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new EventStreams.RunningCountProcessor(ttl),
+            TimeMode.ProcessingTime(), OutputMode.Append())
+          .toDF("user_id", "running_n")
+          .writeStream.format("parquet").option("path", s"$work/data")
+          .option("checkpointLocation", s"$work/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .outputMode("append").start()
+        try {
+          assert(q.awaitTermination(120000), "Trigger.Once drain timed out")
+        } finally q.stop()
+      }
+      try {
+        writeFile("a", Seq(1L, 2L, 3L))
+        drain()
+        Thread.sleep(sleepMs)
+        writeFile("b", Seq(4L, 5L))
+        drain()
+      } finally oldP match {
+        case Some(v) => spark.conf.set(pKey, v)
+        case None => spark.conf.unset(pKey)
+      }
+      spark.read.parquet(s"$work/data")
+        .orderBy(col("running_n")).select(col("running_n"))
+        .as[Long].collect().toSeq
+    }
+    // control: no TTL — state survives, second lifetime continues 3 → 5
+    assert(run(TTLConfig.NONE, 0L) == Seq(3L, 5L))
+    // 1 s TTL + 2.5 s idle: state expired, count restarts at 2
+    assert(run(TTLConfig(java.time.Duration.ofSeconds(1)), 2500L)
+      == Seq(2L, 3L))
+  }
 }
