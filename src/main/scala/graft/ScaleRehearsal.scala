@@ -32,8 +32,9 @@ object ScaleRehearsal {
     "l56_line_dedup", "l57_gopher_repetition",
     "l61_curriculum_schedule", "l62_fim_split", "l63_bloom_decontaminate",
     // r10: the de-broadcast bigram-LM path (count tables now keyed
-    // joins) and the corpus-scaled-k SemDeDup re-rehearsal
-    "l41_bigram_logprob", "l58_doremi_step")
+    // joins), the corpus-scaled-k SemDeDup re-rehearsal, and the
+    // two-phase exact-substring dedup
+    "l41_bigram_logprob", "l58_doremi_step", "l65_substring_dedup")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

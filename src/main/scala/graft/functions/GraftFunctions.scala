@@ -37,6 +37,9 @@ object GraftFunctions {
     (FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShinglesExpression].getName, "char_shingles"),
       (e: Seq[Expression]) => CharShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashesExpression].getName, "gram_hashes"),
+      (e: Seq[Expression]) => GramHashesExpression(e(0), litInt(e(1)))),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
       (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))),
@@ -141,6 +144,16 @@ object GraftFunctions {
     (FunctionIdentifier("st_length"),
       new ExpressionInfo(classOf[StLengthExpression].getName, "st_length"),
       (e: Seq[Expression]) => StLengthExpression(e(0))),
+    (FunctionIdentifier("st_intersection"),
+      new ExpressionInfo(classOf[StIntersectionExpression].getName,
+        "st_intersection"),
+      (e: Seq[Expression]) => StIntersectionExpression(e(0), e(1))),
+    (FunctionIdentifier("st_union"),
+      new ExpressionInfo(classOf[StUnionExpression].getName, "st_union"),
+      (e: Seq[Expression]) => StUnionExpression(e(0), e(1))),
+    (FunctionIdentifier("st_buffer"),
+      new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
+      (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),
     (FunctionIdentifier("word_stem"),
       new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
       // Trino's 2-arg form takes a language code; the kernel is the
@@ -232,4 +245,10 @@ object GraftFunctions {
   def stY(pointWkt: Column): Column = call_function("st_y", pointWkt)
   def stArea(polyWkt: Column): Column = call_function("st_area", polyWkt)
   def stLength(lineWkt: Column): Column = call_function("st_length", lineWkt)
+  def stIntersection(aWkt: Column, bWkt: Column): Column =
+    call_function("st_intersection", aWkt, bWkt)
+  def stUnion(aWkt: Column, bWkt: Column): Column =
+    call_function("st_union", aWkt, bWkt)
+  def stBuffer(polyWkt: Column, d: Column): Column =
+    call_function("st_buffer", polyWkt, d)
 }

@@ -51,6 +51,56 @@ object ShingleKernels {
     }
     new GenericArrayData(seen.toArray)
   }
+
+  /** Karp–Rabin rolling hashes of every k-codepoint window of `text`:
+    * out(i) = polynomial hash (base 1000003, natural 2^64 wrap) of code
+    * points [i, i+k) — O(1) per position after the first window, where
+    * hashing each substring separately costs O(k) per position (an
+    * ~8× kernel cut at k = 50, the l65 phase-1 key). Identical grams
+    * hash identically by construction; a collision only costs confirm
+    * work downstream (phase 2 compares exact strings), never
+    * correctness. Position i here is 0-based over CODE POINTS, matching
+    * substring(text, i+1, k)'s character semantics. */
+  def gramHashes(text: UTF8String, k: Int): GenericArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val B = 1000003L
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - cps(i - 1) * bk) * B + cps(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `gram_hashes(string, k)` → array<long> of per-position Karp–Rabin
+  * k-gram hashes (one per window, NO dedup — positions matter). */
+case class GramHashesExpression(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.gramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramHashesExpression = copy(child = newChild)
 }
 
 /** `char_shingles(string)` → array<string> of distinct k-grams. */

@@ -386,6 +386,287 @@ object WktCore {
     }
     s
   }
+
+  // ---- polygon CONSTRUCTION tier (r9 verdict missing #1): ----------
+  // ST_Intersection / ST_Union / ST_Buffer for CONVEX outer rings.
+  // Scope, loud like the ST_Distance POINT×POINT contract: concave
+  // inputs throw (Sutherland–Hodgman silently returns wrong output on
+  // them — an error beats a wrong polygon); unions that would produce
+  // two components (disjoint inputs) throw; buffer is the MITER join
+  // (pure rational arithmetic — GEOS's round-join default needs
+  // per-corner arcs, out of scope and documented). Degenerate tangency
+  // (boundaries touching without crossing) throws via the walk cap.
+
+  private def signedArea2(c: Array[Double]): Double = {
+    val n = c.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      s += c(2 * i) * c(2 * j + 1) - c(2 * j) * c(2 * i + 1)
+      i += 1
+    }
+    s
+  }
+
+  private def toCcw(c: Array[Double]): Array[Double] =
+    if (signedArea2(c) >= 0) c
+    else {
+      val n = c.length / 2
+      val out = new Array[Double](c.length)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = c(2 * (n - 1 - i))
+        out(2 * i + 1) = c(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    }
+
+  private def requireConvex(c: Array[Double], op: String): Unit = {
+    val n = c.length / 2
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val k = if (j + 1 == n) 0 else j + 1
+      val cr = (c(2 * j) - c(2 * i)) * (c(2 * k + 1) - c(2 * j + 1)) -
+        (c(2 * j + 1) - c(2 * i + 1)) * (c(2 * k) - c(2 * j))
+      require(cr >= 0,
+        s"$op supports CONVEX polygons only (Sutherland-Hodgman scope); " +
+          s"got a concave ring - decompose concave inputs upstream")
+      i += 1
+    }
+  }
+
+  /** Sutherland–Hodgman: clip CCW `subj` by each edge of CCW convex
+    * `clip`. Returns the clipped ring (possibly empty). */
+  private def clipConvex(subj: Array[Double],
+      clip: Array[Double]): Array[Double] = {
+    var cur = subj
+    val nc = clip.length / 2
+    var e = 0
+    while (e < nc && cur.length >= 6) {
+      val ex1 = clip(2 * e); val ey1 = clip(2 * e + 1)
+      val e2 = if (e + 1 == nc) 0 else e + 1
+      val ex2 = clip(2 * e2); val ey2 = clip(2 * e2 + 1)
+      @inline def side(x: Double, y: Double): Double =
+        (ex2 - ex1) * (y - ey1) - (ey2 - ey1) * (x - ex1)
+      val n = cur.length / 2
+      val out = new scala.collection.mutable.ArrayBuffer[Double](2 * n + 4)
+      var i = 0
+      while (i < n) {
+        val p = if (i == 0) n - 1 else i - 1
+        val px = cur(2 * p); val py = cur(2 * p + 1)
+        val cx = cur(2 * i); val cy = cur(2 * i + 1)
+        val sp = side(px, py)
+        val sc = side(cx, cy)
+        @inline def emitCross(): Unit = {
+          val t = sp / (sp - sc)
+          out += px + t * (cx - px)
+          out += py + t * (cy - py)
+        }
+        if (sc >= 0) {
+          if (sp < 0) emitCross()
+          out += cx; out += cy
+        } else if (sp >= 0 && sp != sc) emitCross()
+        i += 1
+      }
+      cur = out.toArray
+      e += 1
+    }
+    if (cur.length < 6) Array.emptyDoubleArray else cur
+  }
+
+  private def fmtRing(c: Array[Double]): String =
+    if (c.isEmpty) "POLYGON EMPTY"
+    else {
+      val sb = new java.lang.StringBuilder("POLYGON ((")
+      val n = c.length / 2
+      var i = 0
+      while (i <= n) {
+        val k = if (i == n) 0 else i  // WKT closes the ring
+        if (i > 0) sb.append(", ")
+        sb.append(c(2 * k)).append(' ').append(c(2 * k + 1))
+        i += 1
+      }
+      sb.append("))").toString
+    }
+
+  /** Codegen entry: st_intersection(aWkt, bWkt) — convex ∩ convex via
+    * Sutherland–Hodgman; "POLYGON EMPTY" when disjoint. */
+  def intersectionWkt(a: UTF8String, b: UTF8String): UTF8String = {
+    val ca = toCcw(polygonCoords(a))
+    val cb = toCcw(polygonCoordsB(b))
+    requireConvex(ca, "st_intersection")
+    requireConvex(cb, "st_intersection")
+    UTF8String.fromString(fmtRing(clipConvex(ca, cb)))
+  }
+
+  /** Codegen entry: st_union(aWkt, bWkt) — single-component union of
+    * two convex rings: containment short-circuits, otherwise a
+    * Weiler–Atherton-style boundary walk that follows the CCW ring and
+    * switches rings at every transversal crossing. Disjoint inputs (a
+    * MULTIPOLYGON result) and non-transversal tangency throw loudly. */
+  def unionWkt(a: UTF8String, b: UTF8String): UTF8String = {
+    val ca = toCcw(polygonCoords(a))
+    val cb = toCcw(polygonCoordsB(b))
+    requireConvex(ca, "st_union")
+    requireConvex(cb, "st_union")
+    if (containsPoly(ca, cb)) return UTF8String.fromString(fmtRing(ca))
+    if (containsPoly(cb, ca)) return UTF8String.fromString(fmtRing(cb))
+    require(intersects(ca, cb),
+      "st_union: disjoint polygons produce a MULTIPOLYGON - " +
+        "single-component unions only")
+    // augmented rings: vertices + transversal crossings, crossings
+    // computed ONCE per edge pair so both rings hold bit-identical
+    // coordinates and node identity is exact
+    val na = ca.length / 2; val nb = cb.length / 2
+    // per-ring node lists: (x, y, crossId) with crossId = -1 for vertices
+    val crossX = new scala.collection.mutable.ArrayBuffer[Double]()
+    val crossY = new scala.collection.mutable.ArrayBuffer[Double]()
+    val perEdgeA = Array.fill(na)(
+      new scala.collection.mutable.ArrayBuffer[(Double, Int)]())
+    val perEdgeB = Array.fill(nb)(
+      new scala.collection.mutable.ArrayBuffer[(Double, Int)]())
+    var ia = 0
+    while (ia < na) {
+      val a2 = if (ia + 1 == na) 0 else ia + 1
+      val px = ca(2 * ia); val py = ca(2 * ia + 1)
+      val qx = ca(2 * a2); val qy = ca(2 * a2 + 1)
+      var ib = 0
+      while (ib < nb) {
+        val b2 = if (ib + 1 == nb) 0 else ib + 1
+        val rx = cb(2 * ib); val ry = cb(2 * ib + 1)
+        val sx = cb(2 * b2); val sy = cb(2 * b2 + 1)
+        val den = (qx - px) * (sy - ry) - (qy - py) * (sx - rx)
+        if (den != 0) {
+          val t = ((rx - px) * (sy - ry) - (ry - py) * (sx - rx)) / den
+          val u = ((rx - px) * (qy - py) - (ry - py) * (qx - px)) / den
+          if (t > 0 && t < 1 && u > 0 && u < 1) {
+            val id = crossX.length
+            crossX += px + t * (qx - px)
+            crossY += py + t * (qy - py)
+            perEdgeA(ia) += ((t, id))
+            perEdgeB(ib) += ((u, id))
+          }
+        }
+        ib += 1
+      }
+      ia += 1
+    }
+    require(crossX.nonEmpty,
+      "st_union: boundaries touch without crossing (degenerate tangency) " +
+        "- unsupported")
+    def ring(c: Array[Double], perEdge: Array[
+        scala.collection.mutable.ArrayBuffer[(Double, Int)]])
+        : (Array[Double], Array[Double], Array[Int]) = {
+      val xs = new scala.collection.mutable.ArrayBuffer[Double]()
+      val ys = new scala.collection.mutable.ArrayBuffer[Double]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Int]()
+      val n = c.length / 2
+      var i = 0
+      while (i < n) {
+        xs += c(2 * i); ys += c(2 * i + 1); ids += -1
+        perEdge(i).sortBy(_._1).foreach { case (_, id) =>
+          xs += crossX(id); ys += crossY(id); ids += id
+        }
+        i += 1
+      }
+      (xs.toArray, ys.toArray, ids.toArray)
+    }
+    val (ax, ay, aid) = ring(ca, perEdgeA)
+    val (bx, by, bid) = ring(cb, perEdgeB)
+    val posInA = new Array[Int](crossX.length)
+    val posInB = new Array[Int](crossX.length)
+    aid.zipWithIndex.foreach { case (id, p) => if (id >= 0) posInA(id) = p }
+    bid.zipWithIndex.foreach { case (id, p) => if (id >= 0) posInB(id) = p }
+    // start at an A vertex strictly outside B (exists: containment was
+    // ruled out and convex rings with all vertices inside are contained)
+    var start = -1
+    var v = 0
+    while (v < ax.length && start < 0) {
+      if (aid(v) < 0 && !contains(cb, ax(v), ay(v))) start = v
+      v += 1
+    }
+    require(start >= 0,
+      "st_union: no A vertex strictly outside B (degenerate tangency)")
+    val outX = new scala.collection.mutable.ArrayBuffer[Double]()
+    val outY = new scala.collection.mutable.ArrayBuffer[Double]()
+    var onA = true
+    var pos = start
+    val cap = 2 * (ax.length + bx.length)
+    var steps = 0
+    var done = false
+    while (!done) {
+      steps += 1
+      require(steps <= cap,
+        "st_union: boundary walk did not close (degenerate tangency)")
+      val (xs, ys, ids) = if (onA) (ax, ay, aid) else (bx, by, bid)
+      outX += xs(pos); outY += ys(pos)
+      val id = ids(pos)
+      if (id >= 0) {           // crossing: switch rings, continue forward
+        onA = !onA
+        pos = if (onA) posInA(id) else posInB(id)
+      }
+      pos += 1
+      val len = if (onA) ax.length else bx.length
+      if (pos == len) pos = 0
+      done = onA && pos == start
+    }
+    val flat = new Array[Double](outX.length * 2)
+    var i2 = 0
+    while (i2 < outX.length) {
+      flat(2 * i2) = outX(i2); flat(2 * i2 + 1) = outY(i2); i2 += 1
+    }
+    UTF8String.fromString(fmtRing(flat))
+  }
+
+  /** Codegen entry: st_buffer(polyWkt, d) — MITER-join outward offset of
+    * a convex ring by d ≥ 0: each edge shifts along its outward normal,
+    * consecutive offset lines intersect at the new vertex (one per
+    * original vertex — pure line arithmetic, no arcs; GEOS's round-join
+    * default is out of scope, documented). d = 0 returns the normalized
+    * CCW ring. */
+  def bufferWkt(g: UTF8String, d: Double): UTF8String = {
+    require(d >= 0, s"st_buffer: negative distance unsupported (got $d)")
+    val c = toCcw(polygonCoords(g))
+    requireConvex(c, "st_buffer")
+    if (d == 0) return UTF8String.fromString(fmtRing(c))
+    val n = c.length / 2
+    // offset line per edge: point (ox, oy) + direction (dx, dy)
+    val ox = new Array[Double](n); val oy = new Array[Double](n)
+    val dx = new Array[Double](n); val dy = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val ex = c(2 * j) - c(2 * i)
+      val ey = c(2 * j + 1) - c(2 * i + 1)
+      val len = math.sqrt(ex * ex + ey * ey)
+      require(len > 0, "st_buffer: zero-length edge")
+      // CCW ring: interior is left of the edge; outward normal is right
+      val nx = ey / len
+      val ny = -ex / len
+      ox(i) = c(2 * i) + nx * d
+      oy(i) = c(2 * i + 1) + ny * d
+      dx(i) = ex
+      dy(i) = ey
+      i += 1
+    }
+    val out = new Array[Double](2 * n)
+    i = 0
+    while (i < n) {
+      val p = if (i == 0) n - 1 else i - 1
+      // intersect offset line p with offset line i → miter vertex i
+      val den = dx(p) * dy(i) - dy(p) * dx(i)
+      require(den != 0, "st_buffer: collinear consecutive edges - " +
+        "drop redundant vertices upstream")
+      val t = ((ox(i) - ox(p)) * dy(i) - (oy(i) - oy(p)) * dx(i)) / den
+      out(2 * i) = ox(p) + t * dx(p)
+      out(2 * i + 1) = oy(p) + t * dy(p)
+      i += 1
+    }
+    UTF8String.fromString(fmtRing(out))
+  }
 }
 
 /** `st_contains(polygon_wkt, x, y)` → boolean (even-odd ray cast on the
@@ -559,4 +840,71 @@ case class StLengthExpression(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): StLengthExpression = copy(child = newChild)
+}
+
+/** `st_intersection(a_wkt, b_wkt)` → POLYGON WKT (convex ∩ convex via
+  * Sutherland–Hodgman; "POLYGON EMPTY" when disjoint; loud on concave). */
+case class StIntersectionExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_intersection"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.intersectionWkt(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.intersectionWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StIntersectionExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_union(a_wkt, b_wkt)` → POLYGON WKT (single-component union of two
+  * convex rings via the crossing-switch boundary walk; loud on concave,
+  * disjoint — a MULTIPOLYGON result — and degenerate tangency). */
+case class StUnionExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_union"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.unionWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.unionWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StUnionExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_buffer(poly_wkt, d)` → POLYGON WKT (miter-join outward offset of
+  * a convex ring; d ≥ 0; arcs/round joins out of scope, documented). */
+case class StBufferExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // DoubleType coercion: SQL literals like 1.25 arrive as DECIMAL and
+  // must cast before eval (a Decimal is not a java.lang.Number here)
+  override def inputTypes: Seq[DataType] = Seq(StringType, DoubleType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_buffer"
+
+  override protected def nullSafeEval(g: Any, d: Any): Any =
+    WktCore.bufferWkt(g.asInstanceOf[UTF8String],
+      d.asInstanceOf[java.lang.Double].doubleValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, d) =>
+      s"${ev.value} = graft.functions.WktCore.bufferWkt($g, (double) $d);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StBufferExpression =
+    copy(left = newLeft, right = newRight)
 }

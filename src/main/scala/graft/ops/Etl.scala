@@ -766,10 +766,32 @@ object Etl extends QueryModule {
           |  SELECT "n_nationkey" AS k,
           |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
           |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
-          |    CAST("n_nationkey" % 5 AS DOUBLE) + 3.3 AS r
+          |    CAST("n_nationkey" % 5 AS DOUBLE) + 3.3 AS r,
+          |    CAST("n_nationkey" % 5 + 2 AS DOUBLE) AS hw,
+          |    CAST("n_nationkey" % 3 + 1 AS DOUBLE) AS hh
           |  FROM nation),
           |w AS (
           |  SELECT k, cx, cy, r,
+          |    'POLYGON ((' || CAST(cx - hw AS VARCHAR) || ' '
+          |      || CAST(cy - hh AS VARCHAR) || ', '
+          |      || CAST(cx + hw AS VARCHAR) || ' '
+          |      || CAST(cy - hh AS VARCHAR) || ', '
+          |      || CAST(cx + hw AS VARCHAR) || ' '
+          |      || CAST(cy + hh AS VARCHAR) || ', '
+          |      || CAST(cx - hw AS VARCHAR) || ' '
+          |      || CAST(cy + hh AS VARCHAR) || ', '
+          |      || CAST(cx - hw AS VARCHAR) || ' '
+          |      || CAST(cy - hh AS VARCHAR) || '))' AS ra,
+          |    'POLYGON ((' || CAST(cx + 0.5 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.5 AS VARCHAR) || ', '
+          |      || CAST(cx + 2 * hw + 0.5 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.5 AS VARCHAR) || ', '
+          |      || CAST(cx + 2 * hw + 0.5 AS VARCHAR) || ' '
+          |      || CAST(cy + 2 * hh - 0.5 AS VARCHAR) || ', '
+          |      || CAST(cx + 0.5 AS VARCHAR) || ' '
+          |      || CAST(cy + 2 * hh - 0.5 AS VARCHAR) || ', '
+          |      || CAST(cx + 0.5 AS VARCHAR) || ' '
+          |      || CAST(cy - 0.5 AS VARCHAR) || '))' AS rb,
           |    'POLYGON ((' || CAST(cx + r AS VARCHAR) || ' '
           |      || CAST(cy AS VARCHAR) || ', ' || CAST(cx AS VARCHAR)
           |      || ' ' || CAST(cy + r AS VARCHAR) || ', '
@@ -819,7 +841,14 @@ object Etl extends QueryModule {
           |    AS dist_q6,
           |  CAST(floor(ST_X(ST_Point(cx + 0.25, cy)) * 100 + 0.5)
           |    AS BIGINT) AS x_q2,
-          |  ST_AsText(ST_Point(1.5, 2.5)) AS pt_txt
+          |  ST_AsText(ST_Point(1.5, 2.5)) AS pt_txt,
+          |  CAST(floor(ST_Area(ST_Intersection(ST_GeometryFromText(ra),
+          |    ST_GeometryFromText(rb))) * 1e6 + 0.5) AS BIGINT)
+          |    AS clip_q6,
+          |  CAST(floor(ST_Area(ST_Union(ST_GeometryFromText(ra),
+          |    ST_GeometryFromText(rb))) * 1e6 + 0.5) AS BIGINT) AS uni_q6,
+          |  CAST(floor(ST_Area(ST_Buffer(ST_GeometryFromText(ra), 1.25))
+          |    * 1e6 + 0.5) AS BIGINT) AS buf_q6
           |FROM w ORDER BY k""".stripMargin)
     }),
 
@@ -1771,7 +1800,9 @@ object Etl extends QueryModule {
         |  SELECT n_nationkey AS k,
         |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
         |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
-        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r
+        |    CAST(n_nationkey % 5 AS DOUBLE) + 3.3 AS r,
+        |    CAST(n_nationkey % 5 + 2 AS DOUBLE) AS hw,
+        |    CAST(n_nationkey % 3 + 1 AS DOUBLE) AS hh
         |  FROM nation)
         |SELECT k,
         |  3.8 < r AS pt_in,
@@ -1789,7 +1820,13 @@ object Etl extends QueryModule {
         |    + ((cy + 4.0) - cy) * ((cy + 4.0) - cy)) * 1e6 + 0.5)
         |    AS BIGINT) AS dist_q6,
         |  CAST(floor((cx + 0.25) * 100 + 0.5) AS BIGINT) AS x_q2,
-        |  'POINT (1.5 2.5)' AS pt_txt
+        |  'POINT (1.5 2.5)' AS pt_txt,
+        |  CAST(floor((hw - 0.5) * (hh + 0.5) * 1e6 + 0.5) AS BIGINT)
+        |    AS clip_q6,
+        |  CAST(floor((8 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
+        |    AS BIGINT) AS uni_q6,
+        |  CAST(floor((2 * hw + 2.5) * (2 * hh + 2.5) * 1e6 + 0.5)
+        |    AS BIGINT) AS buf_q6
         |FROM g ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->

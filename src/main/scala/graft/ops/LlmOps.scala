@@ -1333,6 +1333,79 @@ object LlmOps extends QueryModule {
         .orderBy(col("dim"))
     }),
 
+    // L65: EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // standard): find every ≥50-char substring that occurs ≥2 times in
+    // the corpus and report, per document, the merged character spans it
+    // covers. Their single-node tool builds a suffix array; the
+    // distributed equivalent here is sorted 50-gram-extension groups —
+    // a duplicated substring of length L ≥ 50 is EXACTLY a run of
+    // L − 49 consecutive duplicated 50-grams, so per-position 50-gram
+    // duplication + interval merge reproduces the suffix array's
+    // duplicated-span output without any driver-side array.
+    //
+    // TWO-PHASE plan (the 100 TB shape): phase 1 computes a Karp–Rabin
+    // ROLLING hash per position (gram_hashes codegen kernel — O(1) per
+    // position where per-substring hashing costs O(k); an ~8× kernel
+    // cut at k = 50) and shuffles ONLY the 8-byte hash (map-side
+    // combine collapses per-partition repeats before the wire — never
+    // the 50-char string, a 6× shuffle-volume cut); phase 2 re-derives
+    // the gram STRING for hash-candidate positions alone (re-substring
+    // from the doc-keyed join — candidates are rare) and confirms by
+    // exact string equality, so a hash collision can create a candidate
+    // but never a false duplicate: the answer is EXACT and
+    // oracle-gated. Interval merge is the gaps-and-islands cummax
+    // window per doc — state is one running max, never the text.
+    //
+    // The query PLANTS 120-char copies (docs +1e6 carry
+    // substr(text, 11, 120) of donors with ≥130 chars), so ≥71
+    // duplicated grams per plant exist by construction; natural repeats
+    // count too (the oracle recomputes the same rule from scratch).
+    "l65_substring_dedup" -> ((s, d) => {
+      val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = univ.unionByName(
+          univ.filter(col("doc_id") < 50 && length(col("text")) >= 130)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              expr("substring(text, 11, 120)").as("text")))
+        .localCheckpoint()
+      GF.register(s)
+      val grams = base
+        .select(col("doc_id"),
+          posexplode(expr("gram_hashes(text, 50)")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("h"))
+      val hcnt = grams.select(col("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("nh"))
+        .filter(col("nh") >= 2)
+      val candPos = grams.join(hcnt.select(col("h")), Seq("h"))
+      val cand = candPos.join(base, Seq("doc_id"))
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, CAST(pos AS INT), 50)").as("gram"))
+      val dup = cand.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
+        .filter(col("ng") >= 2)
+      val covered = cand.join(dup.select(col("gram")), Seq("gram"))
+        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val spans = covered
+        .withColumn("prev_end", max(col("pos") + 49).over(w))
+        .withColumn("new_span",
+          when(col("prev_end").isNull || col("pos") > col("prev_end") + 1,
+            1L).otherwise(0L))
+        .withColumn("contrib", greatest(lit(0L),
+          col("pos") + 49 -
+            greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("new_span")).as("n_spans"),
+          sum(col("contrib")).as("dup_chars"))
+      base.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
     // a global single-partition sort (the row_number()-over-everything
     // trap). Two-phase zipWithIndex shape, DataFrame-only: range-partition
@@ -4034,6 +4107,46 @@ object LlmOps extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n_total,
         |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
         |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // l65: full independent re-derivation — DuckDB enumerates every
+    // 50-char gram DIRECTLY (no hash phase: the oracle must not share
+    // the candidate-generation shortcut, only the duplicated-gram RULE),
+    // groups by the exact string, and merges covered intervals with the
+    // same cummax arithmetic. Any hash-collision mistake in the Spark
+    // two-phase plan would diverge here.
+    "l65_substring_dedup" ->
+      """WITH univ AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11, 120) AS text
+        |  FROM documents WHERE doc_id < 50 AND length(text) >= 130),
+        |g0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 49)) AS i
+        |  FROM univ WHERE length(text) >= 50),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 50) AS gram
+        |  FROM g0),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |c AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    MAX(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM c),
+        |sp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |        THEN 1 ELSE 0 END) AS n_spans,
+        |    SUM(GREATEST(0, pos + 49 -
+        |        GREATEST(COALESCE(prev_end, 0), pos - 1))) AS dup_chars
+        |  FROM m GROUP BY doc_id)
+        |SELECT u.doc_id, CAST(length(u.text) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(sp.dup_chars, 0) AS BIGINT) AS dup_chars
+        |FROM univ u LEFT JOIN sp ON u.doc_id = sp.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
 
     "l63_bloom_decontaminate" ->
       // the bloom is result-invisible (no false negatives by

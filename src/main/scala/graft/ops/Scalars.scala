@@ -399,6 +399,79 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"), col("mode"))
     }),
 
+    // sc21e: polygon CONSTRUCTION tier (r9 verdict missing #1) —
+    // ST_Intersection (Sutherland–Hodgman), ST_Union (crossing-switch
+    // boundary walk) and ST_Buffer (miter join), convex-only and loud
+    // otherwise. Oracle strategy: every coordinate is DYADIC (integers
+    // and quarters), so clip/walk/offset arithmetic is exact in IEEE and
+    // the shoelace areas land exactly on closed forms DuckDB computes
+    // from first principles — rect∩rect = overlap box, two offset
+    // congruent L1-balls intersect in a diamond of area 2t²
+    // (t = r − dx/2), union by inclusion–exclusion, miter rect buffer =
+    // the grown rectangle. Centers (cx, cy) translate out of every
+    // area, so the oracle needs only the size parameters. The disjoint
+    // pair pins the "POLYGON EMPTY" result as text.
+    "sc21e_geo_clipping" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      def rectWkt(x1: org.apache.spark.sql.Column,
+          y1: org.apache.spark.sql.Column, x2: org.apache.spark.sql.Column,
+          y2: org.apache.spark.sql.Column) = concat(
+        lit("POLYGON (("), dstr(x1), lit(" "), dstr(y1), lit(", "),
+        dstr(x2), lit(" "), dstr(y1), lit(", "),
+        dstr(x2), lit(" "), dstr(y2), lit(", "),
+        dstr(x1), lit(" "), dstr(y2), lit(", "),
+        dstr(x1), lit(" "), dstr(y1), lit("))"))
+      def diamondWkt(cx: org.apache.spark.sql.Column,
+          cy: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+        concat(
+          lit("POLYGON (("),
+          dstr(cx + r), lit(" "), dstr(cy), lit(", "),
+          dstr(cx), lit(" "), dstr(cy + r), lit(", "),
+          dstr(cx - r), lit(" "), dstr(cy), lit(", "),
+          dstr(cx), lit(" "), dstr(cy - r), lit(", "),
+          dstr(cx + r), lit(" "), dstr(cy), lit("))"))
+      val g = Tables.nation(s, d).select(col("n_nationkey"),
+          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+          ((col("n_nationkey") % 5) + 2).cast("double").as("hw"),
+          ((col("n_nationkey") % 3) + 1).cast("double").as("hh"),
+          ((col("n_nationkey") % 4) + 2).cast("double").as("r"))
+        .withColumn("sx", col("hw") + 0.5)  // corner overlap by design
+        .withColumn("sy", col("hh") - 0.5)
+        .withColumn("dx", col("r") - 0.5)   // 0 < dx < 2r: proper overlap
+        .withColumn("rect_a", rectWkt(col("cx") - col("hw"),
+          col("cy") - col("hh"), col("cx") + col("hw"),
+          col("cy") + col("hh")))
+        .withColumn("rect_b", rectWkt(col("cx") + col("sx") - col("hw"),
+          col("cy") + col("sy") - col("hh"),
+          col("cx") + col("sx") + col("hw"),
+          col("cy") + col("sy") + col("hh")))
+        .withColumn("rect_far", rectWkt(col("cx") + lit(1000.0) - col("hw"),
+          col("cy") - col("hh"), col("cx") + lit(1000.0) + col("hw"),
+          col("cy") + col("hh")))
+        .withColumn("dia1", diamondWkt(col("cx"), col("cy"), col("r")))
+        .withColumn("dia2", diamondWkt(col("cx") + col("dx"), col("cy"),
+          col("r")))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5).cast("long")
+      g.select(col("n_nationkey"),
+          q6(GF.stArea(GF.stIntersection(col("rect_a"), col("rect_b"))))
+            .as("inter_rr_q6"),
+          q6(GF.stArea(GF.stUnion(col("rect_a"), col("rect_b"))))
+            .as("union_rr_q6"),
+          q6(GF.stArea(GF.stIntersection(col("dia1"), col("dia2"))))
+            .as("inter_dd_q6"),
+          q6(GF.stArea(GF.stUnion(col("dia1"), col("dia2"))))
+            .as("union_dd_q6"),
+          q6(GF.stArea(GF.stBuffer(col("rect_a"), lit(1.25))))
+            .as("buffer_q6"),
+          GF.stIntersection(col("rect_a"), col("rect_far"))
+            .as("disjoint_wkt"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1045,6 +1118,32 @@ object Scalars extends QueryModule {
         |    AS overlaps,
         |  intersects
         |FROM f ORDER BY n_nationkey, mode""".stripMargin,
+
+    // sc21e: pure closed forms — every coordinate is dyadic so the
+    // Spark kernels (Sutherland–Hodgman clip, union boundary walk,
+    // miter offset, shoelace area) are exact, and the 1e6+0.5
+    // quantization lands on the same integers as these first-principles
+    // formulas; centers translate out of every area
+    "sc21e_geo_clipping" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS hw,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS hh,
+        |    CAST((n_nationkey % 4) + 2 AS DOUBLE) AS r
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor((hw - 0.5) * (hh + 0.5) * 1e6 + 0.5) AS BIGINT)
+        |    AS inter_rr_q6,
+        |  CAST(floor((8 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
+        |    AS BIGINT) AS union_rr_q6,
+        |  CAST(floor(2 * (r / 2 + 0.25) * (r / 2 + 0.25) * 1e6 + 0.5)
+        |    AS BIGINT) AS inter_dd_q6,
+        |  CAST(floor((4 * r * r - 2 * (r / 2 + 0.25) * (r / 2 + 0.25))
+        |    * 1e6 + 0.5) AS BIGINT) AS union_dd_q6,
+        |  CAST(floor((2 * hw + 2.5) * (2 * hh + 2.5) * 1e6 + 0.5)
+        |    AS BIGINT) AS buffer_q6,
+        |  'POLYGON EMPTY' AS disjoint_wkt
+        |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

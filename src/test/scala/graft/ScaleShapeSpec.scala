@@ -640,6 +640,27 @@ class ScaleShapeSpec extends SparkSpec {
       s"first diff at word ${execBits.zip(driverBits).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("l65 substring dedup: planted copies fully covered, hash-keyed phase-1, no cartesian (r10)") {
+    val out = ops.LlmOps.queries("l65_substring_dedup")(spark, sf)
+    val rows = out.collect()
+    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    // non-vacuous: plants exist and each planted 120-char copy is ONE
+    // fully-duplicated span (dup_chars == n_chars, n_spans == 1)
+    assert(planted.nonEmpty, "no planted docs in fixture")
+    planted.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1),
+        s"planted doc not fully covered: $r")
+    }
+    // and some NATURAL doc carries the donor side of the plant
+    assert(rows.exists(r => r.getLong(0) < 1000000L && r.getLong(3) > 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // phase 1 shuffles the 8-byte gram hash, never the 50-char string
+    assert(plan.contains("hashpartitioning(h#") ||
+      plan.linesIterator.exists(l => l.contains("Exchange hashpartitioning")
+        && l.contains("h#")), plan.take(3000))
+  }
+
   test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
     val plan = ops.LlmOps.queries("l62_fim_split")(spark, sf)
       .queryExecution.executedPlan.toString

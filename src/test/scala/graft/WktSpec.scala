@@ -228,4 +228,55 @@ class WktSpec extends SparkSpec {
     assert(WktCore.envBound(u("POINT (7 -2)"), 2) == 7.0)
     assert(WktCore.envBound(u("POINT (7 -2)"), 1) == -2.0)
   }
+
+  test("polygon construction tier: clip/union/buffer hand cases + loud scoping (r10)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val unitSq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    // intersection of two unit squares offset by (0.5, 0.5): the 0.5 box
+    val sqB = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+    val inter = WktCore.intersectionWkt(u(unitSq), u(sqB)).toString
+    assert(WktCore.area(u(inter)) == 0.25, inter)
+    // clockwise input normalizes (winding-insensitive)
+    val cw = "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
+    val interCw = WktCore.intersectionWkt(u(cw), u(sqB)).toString
+    assert(WktCore.area(u(interCw)) == 0.25, interCw)
+    // disjoint → POLYGON EMPTY
+    val far = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+    assert(WktCore.intersectionWkt(u(unitSq), u(far)).toString ==
+      "POLYGON EMPTY")
+    // containment short-circuits union
+    val big = "POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))"
+    val unBig = WktCore.unionWkt(u(unitSq), u(big)).toString
+    assert(WktCore.area(u(unBig)) == 9.0, unBig)
+    // corner-overlap union: inclusion-exclusion 1 + 1 − 0.25 = 1.75
+    val un = WktCore.unionWkt(u(unitSq), u(sqB)).toString
+    assert(WktCore.area(u(un)) == 1.75, un)
+    // miter buffer of the unit square by 0.5: the 2×2 square
+    val buf = WktCore.bufferWkt(u(unitSq), 0.5).toString
+    assert(WktCore.area(u(buf)) == 4.0, buf)
+    assert(WktCore.envBound(u(buf), 0) == -0.5 &&
+      WktCore.envBound(u(buf), 2) == 1.5)
+    // loud scoping: concave input
+    val concave = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
+    val e1 = intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u(concave), u(unitSq))
+    }
+    assert(e1.getMessage.contains("CONVEX"), e1.getMessage)
+    // loud scoping: disjoint union (a MULTIPOLYGON result)
+    val e2 = intercept[IllegalArgumentException] {
+      WktCore.unionWkt(u(unitSq), u(far))
+    }
+    assert(e2.getMessage.contains("MULTIPOLYGON"), e2.getMessage)
+    // loud scoping: negative buffer distance
+    val e3 = intercept[IllegalArgumentException] {
+      WktCore.bufferWkt(u(unitSq), -1.0)
+    }
+    assert(e3.getMessage.contains("negative"), e3.getMessage)
+    // loud scoping: edge-sharing tangency (no transversal crossing)
+    val adjacent = "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"
+    intercept[IllegalArgumentException] {
+      WktCore.unionWkt(u(unitSq), u(adjacent))
+    }
+  }
 }
