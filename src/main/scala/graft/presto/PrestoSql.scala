@@ -557,7 +557,7 @@ object PrestoSql {
           .map { case (k, v) => (k.stripPrefix(prefix), v, "", "", "") }
           .toDF("Name", "Value", "Default", "Type", "Description")
       case ExplainAnalyzeRe(q) => runExplainAnalyze(spark, q)
-      case ExplainRe(q) => runExplain(spark, q)
+      case ExplainRe(opts, q) => runExplain(spark, q, Option(opts))
       case q if InfoSchemaRe.findFirstIn(q).isDefined =>
         runInfoSchema(spark, q)
       case _ => sql(spark, st)
@@ -569,30 +569,67 @@ object PrestoSql {
   }
 
   private val ExplainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$""".r
-  // plain EXPLAIN [(TYPE …/FORMAT …)] — Trino options are accepted and
-  // ignored (every type maps to Spark's formatted physical plan). Must
-  // stay BELOW the ANALYZE case in the dispatch.
+  // plain EXPLAIN [(TYPE …/FORMAT …)] — the option group is captured and
+  // dispatched by TYPE (r9 verdict #9). Must stay BELOW the ANALYZE case
+  // in the dispatch.
   private val ExplainRe =
-    """(?is)^\s*EXPLAIN\s+(?:\(\s*[^)]*\)\s*)?(?!ANALYZE\b)(.+)$""".r
+    """(?is)^\s*EXPLAIN\s+(?:\(\s*([^)]*)\)\s*)?(?!ANALYZE\b)(.+)$""".r
 
-  /** Trino `EXPLAIN <query>`: plan WITHOUT executing — one row, one
-    * `query_plan` column carrying Spark's formatted physical plan (the
-    * honest rendering: this engine plans with Catalyst, and pretending
-    * to emit a Trino plan tree would be fiction). The plan is built via
-    * a raw QueryExecution with command execution SKIPPED — wrapping in a
-    * Dataset (spark.sql) eagerly RUNS commands, so `EXPLAIN INSERT …`
-    * would insert. Plan text is engine-specific, so this surfaces via
-    * PrestoSqlSpec, not the DuckDB oracle gate. */
-  private def runExplain(spark: SparkSession, query: String): DataFrame = {
+  /** Trino `EXPLAIN [(TYPE …)] <query>`: plan WITHOUT executing.
+    *
+    * Typed variants (the forms lineage scrapers issue) map onto what
+    * this engine honestly has — it plans with Catalyst, and pretending
+    * to emit a Trino plan tree would be fiction:
+    *  - default / TYPE DISTRIBUTED → Spark's FORMATTED physical plan
+    *    (Exchange nodes ARE the fragment boundaries a distributed plan
+    *    shows — the closest native analogue of Trino's fragment tree);
+    *  - TYPE LOGICAL → the optimized Catalyst logical plan;
+    *  - TYPE VALIDATE → analysis only (resolve + type-check, no
+    *    physical planning), one `valid` column like Trino's — an
+    *    invalid query throws the analysis error;
+    *  - TYPE IO → loud error: IO estimates are connector statistics
+    *    Trino computes per-catalog; no honest equivalent exists here.
+    *  - FORMAT TEXT accepted; JSON/GRAPHVIZ → loud error.
+    *
+    * The plan is built via a raw QueryExecution with command execution
+    * SKIPPED — wrapping in a Dataset (spark.sql) eagerly RUNS commands,
+    * so `EXPLAIN INSERT …` would insert. Plan text is engine-specific,
+    * so this surfaces via PrestoSqlSpec, not the DuckDB oracle gate. */
+  private def runExplain(spark: SparkSession, query: String,
+      opts: Option[String] = None): DataFrame = {
     registerDialect(spark)
+    val optText = opts.getOrElse("")
+    val typ = """(?i)TYPE\s+(\w+)""".r.findFirstMatchIn(optText)
+      .map(_.group(1).toUpperCase(java.util.Locale.ROOT))
+      .getOrElse("DISTRIBUTED")
+    val fmt = """(?i)FORMAT\s+(\w+)""".r.findFirstMatchIn(optText)
+      .map(_.group(1).toUpperCase(java.util.Locale.ROOT))
+      .getOrElse("TEXT")
+    require(fmt == "TEXT", s"EXPLAIN (FORMAT $fmt) is not supported - " +
+      "only TEXT rendering exists here (the plan is Catalyst's, not a " +
+      "Trino fragment tree)")
+    require(typ != "IO", "EXPLAIN (TYPE IO) is not supported - IO " +
+      "estimates are per-connector statistics in Trino and no honest " +
+      "equivalent exists here; use TYPE DISTRIBUTED for the physical plan")
+    require(Set("DISTRIBUTED", "LOGICAL", "VALIDATE").contains(typ),
+      s"EXPLAIN (TYPE $typ) is not a Trino explain type " +
+        "(LOGICAL | DISTRIBUTED | VALIDATE | IO)")
     // prepare(), not translate(): the AMF rewrite registers/renders its
     // UDAF, without which EXPLAIN over approx_most_frequent can't resolve.
     val parsed = spark.sessionState.sqlParser.parsePlan(prepare(spark, query))
     val qe = spark.sessionState.executePlan(parsed,
       org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
-    val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
     val s2 = spark; import s2.implicits._
-    Seq(plan).toDF("query_plan")
+    typ match {
+      case "VALIDATE" =>
+        qe.assertAnalyzed()  // loud on any resolution/type error
+        Seq(true).toDF("valid")
+      case "LOGICAL" =>
+        Seq(qe.optimizedPlan.toString).toDF("query_plan")
+      case _ =>
+        Seq(qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode)).toDF("query_plan")
+    }
   }
 
   /** Trino-style `EXPLAIN ANALYZE <query>`: EXECUTE the query, then read

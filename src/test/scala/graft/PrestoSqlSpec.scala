@@ -754,10 +754,46 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.length == 1)
     val plan = r.head.getString(0)
     assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
-    // Trino option list form is accepted (and ignored)
+    // Trino option list form is accepted
     val r2 = PrestoSql.script(spark,
       "EXPLAIN (TYPE DISTRIBUTED) SELECT 1 AS one").collect()
     assert(r2.length == 1 && r2.head.getString(0).nonEmpty)
+  }
+
+  test("typed EXPLAIN variants: DISTRIBUTED/LOGICAL/VALIDATE dispatch, IO loud (r10)") {
+    Tables.registerAll(spark, sf)
+    // DISTRIBUTED (and the bare default) → formatted PHYSICAL plan:
+    // Exchange nodes are the fragment boundaries a distributed plan shows
+    val dist = PrestoSql.script(spark,
+      """EXPLAIN (TYPE DISTRIBUTED)
+        |SELECT "r_name", COUNT(*) FROM region GROUP BY 1""".stripMargin)
+      .head.getString(0)
+    assert(dist.contains("Exchange") || dist.contains("HashAggregate"), dist)
+    // LOGICAL → the optimized Catalyst logical plan (no physical nodes)
+    val log = PrestoSql.script(spark,
+      """EXPLAIN (TYPE LOGICAL)
+        |SELECT "r_name" FROM region WHERE "r_regionkey" > 1""".stripMargin)
+      .head.getString(0)
+    assert(log.contains("Filter") || log.contains("Relation"), log)
+    assert(!log.contains("WholeStageCodegen"), log)
+    // VALIDATE → analysis only: one `valid` column, true for a good
+    // query; a bad reference throws the ANALYSIS error (not a plan dump)
+    val v = PrestoSql.script(spark,
+      "EXPLAIN (TYPE VALIDATE) SELECT \"r_name\" FROM region")
+    assert(v.columns.toSeq == Seq("valid") && v.head.getBoolean(0))
+    intercept[Exception] {
+      PrestoSql.script(spark,
+        "EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM region")
+    }
+    // TYPE IO and FORMAT JSON are scoped out LOUDLY
+    val eIo = intercept[IllegalArgumentException] {
+      PrestoSql.script(spark, "EXPLAIN (TYPE IO) SELECT 1 AS one")
+    }
+    assert(eIo.getMessage.contains("TYPE IO"), eIo.getMessage)
+    val eFmt = intercept[IllegalArgumentException] {
+      PrestoSql.script(spark, "EXPLAIN (FORMAT JSON) SELECT 1 AS one")
+    }
+    assert(eFmt.getMessage.contains("FORMAT JSON"), eFmt.getMessage)
   }
 
   test("CTAS rewrite respects IF NOT EXISTS and double-quoted table names") {
