@@ -154,6 +154,10 @@ object GraftFunctions {
     (FunctionIdentifier("st_buffer"),
       new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
       (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),
+    (FunctionIdentifier("st_convexhull"),
+      new ExpressionInfo(classOf[StConvexHullExpression].getName,
+        "st_convexhull"),
+      (e: Seq[Expression]) => StConvexHullExpression(e(0))),
     (FunctionIdentifier("word_stem"),
       new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
       // Trino's 2-arg form takes a language code; the kernel is the

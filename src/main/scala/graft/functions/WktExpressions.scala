@@ -667,6 +667,57 @@ object WktCore {
     }
     UTF8String.fromString(fmtRing(out))
   }
+
+  /** Codegen entry: st_convexhull(geomWkt) — Andrew's monotone chain
+    * over the geometry's vertices (POINT / LINESTRING point set /
+    * POLYGON ring). Output is the minimal hull ring, CCW, starting at
+    * the lexicographically smallest vertex — deterministic; collinear
+    * boundary points are DROPPED (strict turns only), matching the
+    * minimal-vertex hull every classical presentation produces.
+    * Degenerate inputs (all points collinear) throw loudly — this
+    * engine's geometry model has no LINESTRING-valued hull. */
+  def convexHullWkt(g: UTF8String): UTF8String = {
+    val t = g.toString.trim
+    val c =
+      if (t.regionMatches(true, 0, "POLYGON", 0, 7)) parsePolygon(t)
+      else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
+        parseLineString(t)
+      else parsePoint(t)
+    val n = c.length / 2
+    val idx = (0 until n).sortBy(i => (c(2 * i), c(2 * i + 1))).toArray
+    @inline def cross(o: Int, a: Int, b: Int): Double =
+      (c(2 * a) - c(2 * o)) * (c(2 * b + 1) - c(2 * o + 1)) -
+        (c(2 * a + 1) - c(2 * o + 1)) * (c(2 * b) - c(2 * o))
+    // monotone chain: lower then upper hull, strict turns (<= pops
+    // collinear points → minimal hull)
+    val hull = new Array[Int](2 * n + 1)
+    var k = 0
+    var i = 0
+    while (i < n) {                        // lower hull
+      while (k >= 2 && cross(hull(k - 2), hull(k - 1), idx(i)) <= 0) k -= 1
+      hull(k) = idx(i); k += 1
+      i += 1
+    }
+    val lower = k + 1
+    i = n - 2
+    while (i >= 0) {                       // upper hull
+      while (k >= lower && cross(hull(k - 2), hull(k - 1), idx(i)) <= 0)
+        k -= 1
+      hull(k) = idx(i); k += 1
+      i -= 1
+    }
+    val m = k - 1                          // last point == first point
+    require(m >= 3, "st_convexhull: all points collinear - the hull " +
+      "degenerates to a segment, which this geometry model cannot " +
+      "represent")
+    val out = new Array[Double](2 * m)
+    i = 0
+    while (i < m) {
+      out(2 * i) = c(2 * hull(i)); out(2 * i + 1) = c(2 * hull(i) + 1)
+      i += 1
+    }
+    UTF8String.fromString(fmtRing(out))
+  }
 }
 
 /** `st_contains(polygon_wkt, x, y)` → boolean (even-odd ray cast on the
@@ -907,4 +958,22 @@ case class StBufferExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StBufferExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `st_convexhull(geom_wkt)` → POLYGON WKT (Andrew's monotone chain over
+  * the geometry's vertices; minimal CCW ring; loud on collinear input). */
+case class StConvexHullExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_convexhull"
+
+  override def nullSafeEval(input: Any): Any =
+    WktCore.convexHullWkt(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WktCore.convexHullWkt($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StConvexHullExpression = copy(child = newChild)
 }

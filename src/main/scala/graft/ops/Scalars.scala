@@ -454,6 +454,17 @@ object Scalars extends QueryModule {
         .withColumn("dia1", diamondWkt(col("cx"), col("cy"), col("r")))
         .withColumn("dia2", diamondWkt(col("cx") + col("dx"), col("cy"),
           col("r")))
+        // point set whose hull is exactly dia1: the 4 extremes plus two
+        // strictly-interior points (|0.5| + |0.25| < r) the chain drops
+        .withColumn("pts", concat(
+          lit("LINESTRING ("),
+          dstr(col("cx") + col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") + col("r")), lit(", "),
+          dstr(col("cx") - col("r")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy") - col("r")), lit(", "),
+          dstr(col("cx")), lit(" "), dstr(col("cy")), lit(", "),
+          dstr(col("cx") + lit(0.5)), lit(" "), dstr(col("cy") + lit(0.25)),
+          lit(")")))
       def q6(c: org.apache.spark.sql.Column) =
         floor(c * 1e6 + 0.5).cast("long")
       g.select(col("n_nationkey"),
@@ -468,7 +479,11 @@ object Scalars extends QueryModule {
           q6(GF.stArea(GF.stBuffer(col("rect_a"), lit(1.25))))
             .as("buffer_q6"),
           GF.stIntersection(col("rect_a"), col("rect_far"))
-            .as("disjoint_wkt"))
+            .as("disjoint_wkt"),
+          q6(GF.stArea(call_function("st_convexhull", col("pts"))))
+            .as("hull_q6"),
+          (size(split(call_function("st_convexhull", col("pts")), ","))
+            - 1).cast("long").as("hull_nv"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -1142,7 +1157,9 @@ object Scalars extends QueryModule {
         |    * 1e6 + 0.5) AS BIGINT) AS union_dd_q6,
         |  CAST(floor((2 * hw + 2.5) * (2 * hh + 2.5) * 1e6 + 0.5)
         |    AS BIGINT) AS buffer_q6,
-        |  'POLYGON EMPTY' AS disjoint_wkt
+        |  'POLYGON EMPTY' AS disjoint_wkt,
+        |  CAST(floor(2 * r * r * 1e6 + 0.5) AS BIGINT) AS hull_q6,
+        |  CAST(4 AS BIGINT) AS hull_nv
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

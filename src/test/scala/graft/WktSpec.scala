@@ -278,5 +278,16 @@ class WktSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WktCore.unionWkt(u(unitSq), u(adjacent))
     }
+    // convex hull: monotone chain drops interior AND collinear boundary
+    // points; output starts at the lexicographically smallest vertex
+    val pts = "LINESTRING (2 0, 0 2, -2 0, 0 -2, 0 0, 1 0, 0.5 0.25)"
+    val hull = WktCore.convexHullWkt(u(pts)).toString
+    assert(hull == "POLYGON ((-2.0 0.0, 0.0 -2.0, 2.0 0.0, 0.0 2.0, -2.0 0.0))",
+      hull)
+    assert(WktCore.area(u(hull)) == 8.0)
+    // collinear degenerate input is loud
+    intercept[IllegalArgumentException] {
+      WktCore.convexHullWkt(u("LINESTRING (0 0, 1 1, 2 2, 3 3)"))
+    }
   }
 }
