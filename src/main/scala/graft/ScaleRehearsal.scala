@@ -34,7 +34,8 @@ object ScaleRehearsal {
     // r10: the de-broadcast bigram-LM path (count tables now keyed
     // joins), the corpus-scaled-k SemDeDup re-rehearsal, and the
     // two-phase exact-substring dedup
-    "l41_bigram_logprob", "l58_doremi_step", "l65_substring_dedup")
+    "l41_bigram_logprob", "l58_doremi_step", "l65_substring_dedup",
+    "l66_substring_scrub")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -1406,6 +1406,77 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L66: SUBSTRING SURGERY — the transform half of l65 (which only
+    // REPORTS spans): rewrite each document with every duplicated
+    // ≥50-char span cut out, keeping the text between spans. This is
+    // the strict variant of Lee et al. 2022's ExactSubstr tool (their
+    // default retains one canonical occurrence per duplicate cluster;
+    // removing ALL occurrences is the conservative policy the paper
+    // discusses — at corpus scale the delta is the canonical copies,
+    // a vanishing fraction). Pipeline: l65's phases 1–2 yield covered
+    // gram starts; islands merge per doc into a SORTED (start, end)
+    // ARRAY (one small groupBy — positions only, never text); ONE
+    // doc-keyed join brings the array to the text; the rewrite is a
+    // row-local aggregate() fold over the island array (cut [s, e],
+    // keep [p, s−1], advance p = e+1) — zero windows over text, text
+    // shuffles exactly once (zero times if the corpus is bucketed by
+    // doc_id at rest). The DuckDB oracle reassembles retained text via
+    // an INDEPENDENT formulation (lag(end) pieces + ordered
+    // string_agg), so the fold itself is cross-checked, and the gate
+    // compares the retained STRING exactly.
+    "l66_substring_scrub" -> ((s, d) => {
+      GF.register(s)
+      val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = univ.unionByName(
+          univ.filter(col("doc_id") < 50 && length(col("text")) >= 130)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              expr("substring(text, 11, 120)").as("text")))
+        .localCheckpoint()
+      val grams = base
+        .select(col("doc_id"),
+          posexplode(expr("gram_hashes(text, 50)")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("h"))
+      val hcnt = grams.select(col("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("nh"))
+        .filter(col("nh") >= 2)
+      val candPos = grams.join(hcnt.select(col("h")), Seq("h"))
+      val cand = candPos.join(base, Seq("doc_id"))
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, CAST(pos AS INT), 50)").as("gram"))
+      val dup = cand.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
+        .filter(col("ng") >= 2)
+      val covered = cand.join(dup.select(col("gram")), Seq("gram"))
+        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val islands = covered
+        .withColumn("prev_end", max(col("pos") + 49).over(wPrev))
+        .withColumn("ni",
+          when(col("prev_end").isNull || col("pos") > col("prev_end") + 1,
+            1L).otherwise(0L))
+        .withColumn("isl", sum(col("ni")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 49).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+          .as("isl_arr"))
+      base.join(islands, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          coalesce(expr(
+            """aggregate(isl_arr,
+              |  named_struct('p', 1L, 'acc', CAST('' AS STRING)),
+              |  (a, x) -> named_struct('p', x.e + 1,
+              |    'acc', concat(a.acc, substring(text, CAST(a.p AS INT),
+              |      CAST(x.s - a.p AS INT)))),
+              |  a -> concat(a.acc, substring(text, CAST(a.p AS INT))))"""
+              .stripMargin), col("text")).as("retained"))
+        .withColumn("retained_len", length(col("retained")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
     // a global single-partition sort (the row_number()-over-everything
     // trap). Two-phase zipWithIndex shape, DataFrame-only: range-partition
@@ -4146,6 +4217,67 @@ object LlmOps extends QueryModule {
         |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(COALESCE(sp.dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM univ u LEFT JOIN sp ON u.doc_id = sp.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    // l66: full independent reassembly — DuckDB derives the SAME merged
+    // islands from direct gram enumeration, then rebuilds retained text
+    // with lag(end)-bounded pieces + ordered string_agg (a different
+    // formulation from the Spark side's aggregate() fold), and the gate
+    // compares the retained STRING exactly
+    "l66_substring_scrub" ->
+      """WITH univ AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11, 120) AS text
+        |  FROM documents WHERE doc_id < 50 AND length(text) >= 130),
+        |g0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 49)) AS i
+        |  FROM univ WHERE length(text) >= 50),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 50) AS gram
+        |  FROM g0),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |c AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    MAX(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |gi AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f),
+        |islands AS (
+        |  SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 49 AS e
+        |  FROM gi GROUP BY doc_id, isl),
+        |pieces AS (
+        |  SELECT i.doc_id, i.s, i.e,
+        |    COALESCE(lag(i.e) OVER (PARTITION BY i.doc_id ORDER BY i.s), 0)
+        |      AS pe
+        |  FROM islands i),
+        |heads AS (
+        |  SELECT p.doc_id,
+        |    string_agg(substr(u.text, CAST(p.pe + 1 AS INT),
+        |      CAST(p.s - p.pe - 1 AS INT)), '' ORDER BY p.s) AS head,
+        |    MAX(p.e) AS laste
+        |  FROM pieces p JOIN univ u ON p.doc_id = u.doc_id
+        |  GROUP BY p.doc_id)
+        |SELECT u.doc_id, CAST(length(u.text) AS BIGINT) AS n_chars,
+        |  CASE WHEN h.doc_id IS NULL THEN u.text
+        |       ELSE h.head || substr(u.text, CAST(h.laste + 1 AS INT))
+        |  END AS retained,
+        |  CAST(length(CASE WHEN h.doc_id IS NULL THEN u.text
+        |       ELSE h.head || substr(u.text, CAST(h.laste + 1 AS INT))
+        |  END) AS BIGINT) AS retained_len
+        |FROM univ u LEFT JOIN heads h ON u.doc_id = h.doc_id
         |ORDER BY u.doc_id""".stripMargin,
 
     "l63_bloom_decontaminate" ->

@@ -661,6 +661,26 @@ class ScaleShapeSpec extends SparkSpec {
         && l.contains("h#")), plan.take(3000))
   }
 
+  test("l66 substring scrub: planted copies scrub to empty, natural text survives (r10)") {
+    val out = ops.LlmOps.queries("l66_substring_scrub")(spark, sf)
+    val rows = out.collect()
+    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    assert(planted.nonEmpty)
+    // a planted doc is ONE fully-duplicated span → retained text empty
+    planted.foreach(r => assert(r.getString(2) == "" && r.getLong(3) == 0L,
+      s"planted doc not fully scrubbed: ${r.getLong(0)}"))
+    // invariants: retained is always a subsequence-by-cutting of text
+    // (length ≤ n_chars) and SOME natural doc keeps nonzero text
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
+    assert(rows.exists(r => r.getLong(0) < 1000000L && r.getLong(3) > 0))
+    // donors lost exactly their copied 120-char slice (minus any extra
+    // natural dups): donor retained_len <= n_chars - 120
+    val donors = rows.filter(r => r.getLong(0) < 50L && r.getLong(1) >= 130L)
+    donors.foreach(r => assert(r.getLong(3) <= r.getLong(1) - 120L,
+      s"donor ${r.getLong(0)} kept its duplicated slice"))
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
     val plan = ops.LlmOps.queries("l62_fim_split")(spark, sf)
       .queryExecution.executedPlan.toString
