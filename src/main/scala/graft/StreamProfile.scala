@@ -12,12 +12,16 @@ object StreamProfile {
     val qs = (if (args.length > 1) args(1)
               else "e1b_stream_tumbling,e25_stream_stream_left").split(",")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knobs: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val progresses =

@@ -57,8 +57,12 @@ object Events extends QueryModule {
   private def withStreamStateSizing[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckKey = "spark.sql.streaming.checkpointLocation"
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val cfKey = "spark.sql.codegen.factoryMode"
     val old = s.conf.get(key)
     val oldCk = s.conf.getOption(ckKey)
+    val oldWs = s.conf.get(wsKey)
+    val oldCf = s.conf.getOption(cfKey)
     // 2, not the batch default: every micro-batch commits one state-store
     // instance PER stateful operator PER shuffle partition (open + delta
     // + snapshot bookkeeping each trigger), and the proofs' state is a
@@ -69,10 +73,27 @@ object Events extends QueryModule {
     if (!old.toIntOption.exists(_ <= 2)) s.conf.set(key, "2")
     shmCheckpointRoot.filter(_ => oldCk.isEmpty)
       .foreach(r => s.conf.set(ckKey, r))
+    // interpreted expressions for the PROOFS (r9 verdict #2): each
+    // micro-batch embeds fresh watermark/offset literals in the
+    // incremental plan, so generated sources differ per trigger and
+    // Janino recompiles EVERY batch — on 2–4-trigger fixture runs
+    // compilation dominates the work it would speed up (measured
+    // 15–20% per proof). Production streams keep codegen ON: the
+    // compile amortizes over hours of triggers and per-row cost rules
+    // at real volume. This knob is about what the proofs MEASURE —
+    // streaming semantics, not kernel throughput (the batch forms of
+    // every operator bench under full codegen).
+    s.conf.set(wsKey, "false")
+    s.conf.set(cfKey, "NO_CODEGEN")
     try f finally {
       s.conf.set(key, old)
       if (oldCk.isEmpty) s.conf.unset(ckKey)
       else s.conf.set(ckKey, oldCk.get)
+      s.conf.set(wsKey, oldWs)
+      oldCf match {
+        case Some(v) => s.conf.set(cfKey, v)
+        case None => s.conf.unset(cfKey)
+      }
     }
   }
 
