@@ -2271,6 +2271,57 @@ object LlmOps extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // L67: UniMax language sampling (Chung et al. 2023, "UniMax: Fairer
+    // and More Effective Language Sampling for Large-Scale Multilingual
+    // Pretraining") — the successor to temperature sampling (l42):
+    // spread a token budget B as UNIFORMLY as possible across languages
+    // subject to an epoch cap C per language (no language repeats more
+    // than C times). That is exactly waterfilling, and it has a
+    // window-expressible closed form in INTEGER arithmetic: sort
+    // languages by cap ascending; language i is FULLY allocated (gets
+    // cap_i) iff cap_i·(n−i+1) + prefix_{i−1} ≤ B — an exact bigint
+    // comparison whose true-set is a prefix by the waterfill threshold
+    // property; the k unfilled languages then share the remainder R as
+    // floor(R/k) each, +1 for the first (R mod k) in sort order, so the
+    // allocation sums to B exactly. Fixture operating point: C = 1,
+    // B = ¾ of the corpus — the tail languages hit their cap and the
+    // head language (en, ~41%) is truncated, with the fill boundary
+    // landing at DIFFERENT positions across SFs (both branches gate
+    // everywhere). Plan at 100 TB: ONE corpus scan + lang-keyed agg;
+    // every window sees |languages| rows.
+    "l67_unimax_mixture" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TF.wordTokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("t_l"))
+        .withColumn("cap", col("t_l"))          // C = 1 epoch
+      val tot = perLang.agg(sum(col("t_l")).as("t_all"),
+        count(lit(1)).as("n_langs"))
+      val w = Window.orderBy(col("cap"), col("lang"))
+      val ranked = perLang.crossJoin(broadcast(tot))
+        .withColumn("b", expr("t_all * 3 DIV 4"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("prefix_prev", coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("filled",
+          col("cap") * (col("n_langs") - col("rk") + 1) +
+            col("prefix_prev") <= col("b"))
+      val fstats = ranked.agg(
+        sum(when(col("filled"), col("cap")).otherwise(0L)).as("filled_cap"),
+        sum(when(col("filled"), 1L).otherwise(0L)).as("n_filled"))
+      ranked.crossJoin(broadcast(fstats))
+        .withColumn("k", col("n_langs") - col("n_filled"))
+        .withColumn("rb", col("b") - col("filled_cap"))
+        .withColumn("alloc", when(col("filled"), col("cap")).otherwise(
+          expr("rb DIV k") +
+            when(col("rk") - col("n_filled") <= expr("rb % k"), 1L)
+              .otherwise(0L)))
+        .select(col("lang"), col("t_l"), col("cap"), col("filled"),
+          col("alloc"),
+          expr("alloc * 10000 DIV t_l").as("epochs_q4"))
+        .orderBy(col("lang"))
+    }),
+
     // L43: n-gram NOVELTY scoring — the uniqueness signal dual to the
     // dedup family: for each doc, the fraction of its distinct
     // 3-shingles that appear NOWHERE else in the corpus (df = 1).
@@ -4663,6 +4714,50 @@ object LlmOps extends QueryModule {
         |       THEN 'keep' ELSE 'drop' END AS verdict
         |FROM t d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // l67: the waterfill re-derived from scratch in DuckDB — same
+    // sorted-prefix integer arithmetic, so allocation is exact
+    "l67_unimax_mixture" ->
+      """WITH per_lang AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(list_filter(str_split(text, ' '),
+        |      x -> len(x) > 0))) AS BIGINT) AS t_l
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(SUM(t_l) AS BIGINT) AS t_all,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM per_lang),
+        |ranked AS (
+        |  SELECT lang, t_l, t_l AS cap,
+        |    t_all * 3 // 4 AS b, n_langs,
+        |    CAST(row_number() OVER (ORDER BY t_l, lang) AS BIGINT) AS rk,
+        |    COALESCE(SUM(t_l) OVER (ORDER BY t_l, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix_prev
+        |  FROM per_lang, tot),
+        |flagged AS (
+        |  SELECT *,
+        |    cap * (n_langs - rk + 1) + prefix_prev <= b AS filled
+        |  FROM ranked),
+        |fstats AS (
+        |  SELECT CAST(SUM(CASE WHEN filled THEN cap ELSE 0 END) AS BIGINT)
+        |      AS filled_cap,
+        |    CAST(SUM(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_filled
+        |  FROM flagged)
+        |SELECT lang, t_l, cap, filled,
+        |  CAST(CASE WHEN filled THEN cap
+        |    ELSE (b - filled_cap) // (n_langs - n_filled)
+        |      + CASE WHEN rk - n_filled <=
+        |          (b - filled_cap) % (n_langs - n_filled)
+        |        THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN filled THEN cap
+        |    ELSE (b - filled_cap) // (n_langs - n_filled)
+        |      + CASE WHEN rk - n_filled <=
+        |          (b - filled_cap) % (n_langs - n_filled)
+        |        THEN 1 ELSE 0 END
+        |  END * 10000 // t_l AS BIGINT) AS epochs_q4
+        |FROM flagged, fstats ORDER BY lang""".stripMargin,
 
     "l42_temperature_mixture" ->
       // l29's integer-ppm pipeline with sqrt-temperature weights; sqrt
