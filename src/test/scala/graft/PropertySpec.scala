@@ -243,4 +243,69 @@ class PropertySpec extends SparkSpec {
       assert(byRank.takeWhile(_.getAs[Boolean]("kept")).length == kept)
     }
   }
+
+  test("geometry laws: inclusion–exclusion, hull idempotence, self-clip identity (r10)") {
+    import graft.functions.WktCore
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    // random convex polygons = hulls of random dyadic point clouds; two
+    // clouds with overlapping spreads usually intersect transversally
+    val pt: Gen[(Double, Double)] =
+      Gen.zip(Gen.chooseNum(-40, 40), Gen.chooseNum(-40, 40))
+        .map { case (a, b) => (a / 4.0, b / 4.0) }
+    def cloud(ox: Double, oy: Double): Gen[String] =
+      Gen.listOfN(8, pt).map(ps =>
+        "LINESTRING (" + ps.map { case (x, y) =>
+          s"${x + ox} ${y + oy}" }.mkString(", ") + ")")
+    var checked = 0
+    forAllN(Gen.zip(cloud(0, 0), cloud(2.5, 1.75)), n = 30) { case (ca, cb) =>
+      try {
+        val a = WktCore.convexHullWkt(u(ca)).toString
+        val b = WktCore.convexHullWkt(u(cb)).toString
+        // hull idempotence: exact text equality (canonical start + CCW)
+        assert(WktCore.convexHullWkt(u(a)).toString == a)
+        // self-clip identity: area(A ∩ A) = area(A), exactly
+        val selfClip = WktCore.intersectionWkt(u(a), u(a)).toString
+        assert(WktCore.area(u(selfClip)) == WktCore.area(u(a)))
+        // inclusion–exclusion across all three construction kernels:
+        // area(A) + area(B) = area(A ∩ B) + area(A ∪ B) (float tolerance:
+        // clip/walk vertices come from divisions, so ~1e-9 relative)
+        val inter = WktCore.intersectionWkt(u(a), u(b)).toString
+        if (inter != "POLYGON EMPTY") {
+          val un = WktCore.unionWkt(u(a), u(b)).toString
+          val lhs = WktCore.area(u(a)) + WktCore.area(u(b))
+          val rhs = WktCore.area(u(inter)) + WktCore.area(u(un))
+          assert(math.abs(lhs - rhs) <= 1e-9 * math.max(lhs, 1.0),
+            s"incl-excl: $lhs vs $rhs\nA=$a\nB=$b")
+          checked += 1
+        }
+      } catch {
+        // legitimate loud scopes: collinear cloud (hull), containment is
+        // fine (union short-circuits), but tangency/disjoint throw — skip
+        case e: IllegalArgumentException
+          if e.getMessage.contains("collinear") ||
+             e.getMessage.contains("MULTIPOLYGON") ||
+             e.getMessage.contains("tangency") => ()
+      }
+    }
+    assert(checked >= 10, s"only $checked intersecting pairs exercised")
+  }
+
+  test("gram_hashes rolling law: window i equals the direct hash of that window (r10)") {
+    import graft.functions.ShingleKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // the O(1) rolling update (subtract c·B^{k−1}, shift, add) must land
+    // on exactly the from-scratch polynomial of every window — the
+    // property that makes l65/l66's phase-1 candidates sound
+    val txt: Gen[String] =
+      Gen.listOfN(80, Gen.alphaNumChar).map(_.mkString)
+    forAllN(txt, n = 10) { t =>
+      val k = 7
+      val arr = ShingleKernels.gramHashes(UTF8String.fromString(t), k)
+      (0 until arr.numElements()).foreach { i =>
+        val direct = ShingleKernels.gramHashes(
+          UTF8String.fromString(t.substring(i, i + k)), k)
+        assert(arr.getLong(i) == direct.getLong(0), s"window $i of '$t'")
+      }
+    }
+  }
 }
