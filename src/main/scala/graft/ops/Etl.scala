@@ -1157,6 +1157,22 @@ object Etl extends QueryModule {
           |GROUP BY o."o_orderpriority"""".stripMargin)
     }),
 
+    // P4m: typed EXPLAIN under the gate — the VALIDATE type is the one
+    // typed variant with an engine-independent output (Trino's single
+    // `valid` column), so it can carry an oracle row; DISTRIBUTED and
+    // LOGICAL render Catalyst plan text (engine-shaped) and are
+    // asserted in PrestoSqlSpec per the GRANT precedent. The validated
+    // query exercises the translating dialect path (quoted identifiers,
+    // a Presto function) so VALIDATE proves analysis of TRANSLATED sql,
+    // not just a passthrough parse.
+    "p4m_presto_explain_validate" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.script(s,
+        """EXPLAIN (TYPE VALIDATE)
+          |SELECT "r_name", strpos("r_name", 'A') AS p
+          |FROM region WHERE "r_regionkey" >= 0""".stripMargin)
+    }),
+
     // P4j: schema-management statements a migrating Trino script carries
     // verbatim — CREATE SCHEMA / USE / COMMENT ON TABLE + COLUMN /
     // ANALYZE / DROP SCHEMA map onto Spark databases, catalog comment
@@ -2403,6 +2419,11 @@ object Etl extends QueryModule {
         |  ('tags', CAST(4 AS BIGINT), 'array(varchar)', 'YES'))
         |  AS t(column_name, ordinal_position, data_type, is_nullable)
         |ORDER BY ordinal_position""".stripMargin,
+
+    "p4m_presto_explain_validate" ->
+      // Trino's VALIDATE output: one `valid` column, true — analysis of
+      // the translated SQL either succeeds (this row) or throws
+      "SELECT true AS valid",
 
     "p4i_presto_explain_analyze" ->
       // each operator's runtime row count recomputed semantically: the
