@@ -570,7 +570,7 @@ object Events extends QueryModule {
           .transformWithState(
             new graft.streaming.EventStreams.TimerSessionProcessor,
             TimeMode.EventTime(), OutputMode.Append())
-          .toDF("user_id", "session_start_us", "n_events")
+          .toDF("user_id", "session_start_us", "n_events", "closed_by")
           .writeStream.format("memory").queryName(qn)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()

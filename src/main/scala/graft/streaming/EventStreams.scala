@@ -164,7 +164,10 @@ object EventStreams {
     */
   class TimerSessionProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Long), (Long, Long, Long)] {
+      Long, (Long, Long), (Long, Long, Long, Long)] {
+    // output: (user_id, session_start_us, n_events, closed_by) with
+    // closed_by 0 = gap-broken on arrival, 1 = timer-fired — the tag
+    // lets StreamingSpec assert BOTH emission paths are non-vacuous
     private val gapUs = 30L * 60 * 1000000
     // (start_us, last_us, n, armed_expiry_ms)
     @transient private var sess:
@@ -183,15 +186,16 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[(Long, Long, Long)] = {
+        : Iterator[(Long, Long, Long, Long)] = {
       val incoming = rows.map(_._2).toArray.sorted
-      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val closed =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
       var (start, last, n, expiry) =
         if (sess.exists()) sess.get() else (-1L, -1L, 0L, -1L)
       incoming.foreach { us =>
         if (start < 0) { start = us; last = us; n = 1 }
         else if (us > last + gapUs) {   // strict >: boundary row extends
-          closed += ((key, start, n))
+          closed += ((key, start, n, 0L))
           start = us; last = us; n = 1
         } else { last = math.max(last, us); n += 1 }
       }
@@ -205,13 +209,13 @@ object EventStreams {
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-        : Iterator[(Long, Long, Long)] = {
+        : Iterator[(Long, Long, Long, Long)] = {
       if (!sess.exists()) Iterator.empty
       else {
         val (start, _, n, armed) = sess.get()
         // stale-timer guard: only the CURRENTLY armed deadline closes
         if (armed != expired.getExpiryTimeInMs) Iterator.empty
-        else { sess.clear(); Iterator.single((key, start, n)) }
+        else { sess.clear(); Iterator.single((key, start, n, 1L)) }
       }
     }
   }

@@ -333,4 +333,61 @@ class StreamingSpec extends SparkSpec {
     assert(run(TTLConfig(java.time.Duration.ofSeconds(1)), 2500L)
       == Seq(2L, 3L))
   }
+
+  test("tws timer sessions: BOTH gap-closed and timer-closed paths fire (r10)") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.functions._
+    // hand fixture, one file per trigger in write order:
+    //   f0: user 1 two events 10 min apart (one open session)
+    //   f1: user 1 one event 2 h later → gap-breaks (closed_by = 0),
+    //       opens the trailing session
+    //   s1/s2: user -1 sentinels advance the watermark, firing the
+    //       trailing session's TIMER (closed_by = 1) in s2's data batch
+    val work = java.nio.file.Files.createTempDirectory("graft_e32spec")
+    val src = s"$work/src"
+    val t0 = 1700000000000L
+    def writeFile(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "ms")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+    writeFile("f0", Seq((1L, t0), (1L, t0 + 10L * 60 * 1000)))
+    writeFile("f1", Seq((1L, t0 + 2L * 3600 * 1000)))
+    writeFile("s1", Seq((-1L, t0 + 1L * 24 * 3600 * 1000)))
+    writeFile("s2", Seq((-1L, t0 + 2L * 24 * 3600 * 1000)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldP = spark.conf.getOption(pKey)
+    spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val qn = "t_e32spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), unix_micros(col("ts")))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new EventStreams.TimerSessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "start_us", "n_events", "closed_by")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table(qn).filter(col("user_id") >= 0)
+        .orderBy(col("start_us"))
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      // first session (2 events) closed by the GAP-breaking arrival;
+      // trailing session (1 event) closed by the TIMER
+      assert(rows.toSeq == Seq((2L, 0L), (1L, 1L)), rows.toSeq.toString)
+    } finally oldP match {
+      case Some(v) => spark.conf.set(pKey, v)
+      case None => spark.conf.unset(pKey)
+    }
+  }
 }
