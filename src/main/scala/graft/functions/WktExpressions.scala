@@ -424,6 +424,12 @@ object WktCore {
     }
 
   private def requireConvex(c: Array[Double], op: String): Unit = {
+    // all-collinear rings have zero signed area and would otherwise slip
+    // through the cr >= 0 turn test below — reject them loudly like
+    // st_convexhull does (this geometry model cannot represent the
+    // degenerate segment such input describes)
+    require(signedArea2(c) != 0,
+      s"$op: degenerate zero-area ring - all vertices collinear")
     val n = c.length / 2
     var i = 0
     while (i < n) {
@@ -474,7 +480,36 @@ object WktCore {
       cur = out.toArray
       e += 1
     }
-    if (cur.length < 6) Array.emptyDoubleArray else cur
+    // edge-tangent inputs emit crossing points coincident with vertices:
+    // dedup consecutive duplicates (incl. the wrap-around pair) so a
+    // zero-area sliver cannot masquerade as a ring, then report EMPTY
+    // when fewer than 3 distinct vertices or no area remain — the
+    // documented contract: this kernel returns the AREAL intersection;
+    // lower-dimensional contact (a shared edge/point) is POLYGON EMPTY
+    if (cur.length >= 2) {
+      val n = cur.length / 2
+      val keep = new scala.collection.mutable.ArrayBuffer[Double](cur.length)
+      var i = 0
+      while (i < n) {
+        val j = if (i + 1 == n) 0 else i + 1
+        if (cur(2 * i) != cur(2 * j) || cur(2 * i + 1) != cur(2 * j + 1)) {
+          keep += cur(2 * i); keep += cur(2 * i + 1)
+        }
+        i += 1
+      }
+      cur = keep.toArray
+    }
+    if (cur.length < 6 || signedArea2(cur) == 0) Array.emptyDoubleArray
+    else cur
+  }
+
+  // Double.toString switches to scientific notation outside
+  // [1e-3, 1e7), which is not valid WKT for downstream consumers
+  // (Trino/JTS/DuckDB-spatial); render those exactly in plain notation
+  private def fmtCoord(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.indexOf('E') < 0) s
+    else new java.math.BigDecimal(d).toPlainString
   }
 
   private def fmtRing(c: Array[Double]): String =
@@ -486,14 +521,17 @@ object WktCore {
       while (i <= n) {
         val k = if (i == n) 0 else i  // WKT closes the ring
         if (i > 0) sb.append(", ")
-        sb.append(c(2 * k)).append(' ').append(c(2 * k + 1))
+        sb.append(fmtCoord(c(2 * k))).append(' ')
+          .append(fmtCoord(c(2 * k + 1)))
         i += 1
       }
       sb.append("))").toString
     }
 
   /** Codegen entry: st_intersection(aWkt, bWkt) — convex ∩ convex via
-    * Sutherland–Hodgman; "POLYGON EMPTY" when disjoint. */
+    * Sutherland–Hodgman; "POLYGON EMPTY" when the AREAL intersection is
+    * empty (disjoint interiors — including edge/point tangency, whose
+    * lower-dimensional contact this polygon model cannot represent). */
   def intersectionWkt(a: UTF8String, b: UTF8String): UTF8String = {
     val ca = toCcw(polygonCoords(a))
     val cb = toCcw(polygonCoordsB(b))

@@ -44,14 +44,41 @@ object Events extends QueryModule {
   // removes that without touching what the proofs measure (the
   // streaming EXECUTION over the real on-disk fixtures). Falls back to
   // the default temp dir when /dev/shm is absent.
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   private lazy val shmCheckpointRoot: Option[String] = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
       val d = new java.io.File(shm, "graft_stream_ck")
+      // conf-root checkpoints are NOT auto-deleted on query stop (Spark
+      // treats them as user-specified), and deleteOnExit cannot remove
+      // non-empty dirs — so clear leftovers from PRIOR JVMs here and
+      // remove this JVM's tree on shutdown, or repeated sessions would
+      // monotonically fill the RAM-backed tmpfs
+      if (d.exists()) deleteRecursively(d)
       d.mkdirs()
-      d.deleteOnExit()
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(d), "graft-shm-ck-cleanup"))
       Some(d.getAbsolutePath)
     } else None
+  }
+
+  /** Scoped RocksDB state-store provider (required by transformWithState;
+    * e30–e33 + the tws specs): set for the query, restore after — the
+    * same scoped-conf discipline as withStreamStateSizing. */
+  private[graft] def withRocksDBStateStore[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try f finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   private def withStreamStateSizing[T](s: SparkSession)(f: => T): T = {
@@ -446,11 +473,7 @@ object Events extends QueryModule {
         batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      try {
+      withRocksDBStateStore(s) {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val qn = "graft_e30_" +
@@ -469,9 +492,6 @@ object Events extends QueryModule {
         s.table(qn).groupBy(col("user_id"))
           .agg(max(col("running_n")).as("n_events"))
           .orderBy(col("user_id"))
-      } finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     }),
 
@@ -486,11 +506,7 @@ object Events extends QueryModule {
         batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      try {
+      withRocksDBStateStore(s) {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val qn = "graft_e31_" +
@@ -515,9 +531,6 @@ object Events extends QueryModule {
           .select(col("user_id"), col("n_sessions"),
             col("max_len").as("max_session_events"), col("n_total"))
           .orderBy(col("user_id"))
-      } finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     }),
 
@@ -554,11 +567,7 @@ object Events extends QueryModule {
       }
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src/*")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      try {
+      withRocksDBStateStore(s) {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val qn = "graft_e32_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
@@ -580,9 +589,6 @@ object Events extends QueryModule {
             max(col("n_events")).as("max_session_events"),
             sum(col("n_events")).as("n_total"))
           .orderBy(col("user_id"))
-      } finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       }
     }),
@@ -610,10 +616,6 @@ object Events extends QueryModule {
           new java.io.File(srcDir, f.getName).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
       def drain(): Unit = {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         // 2 files/trigger = ONE trigger per lifetime: the multi-batch
@@ -636,14 +638,11 @@ object Events extends QueryModule {
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
       }
-      try {
+      withRocksDBStateStore(s) {
         copyIn(full.take(2).toSeq)
         drain()                     // first lifetime: half the input
         copyIn(full.drop(2).toSeq)
         drain()                     // restart: ListState restored
-      } finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       s.read.parquet(s"$work/data")
         .withColumn("rk", row_number().over(

@@ -1256,8 +1256,12 @@ object LlmOps extends QueryModule {
           array_distinct(TF.wordShingles(TF.wordTokens(col("text")), 4))
             .as("sh"))
         .localCheckpoint()
+      // localCheckpoint: the sizing count() and the bloom aggregation
+      // both consume this distinct — without pinning it, the
+      // explode+distinct shuffle runs twice (review finding r10)
       val benchSh = base.filter(col("source") === "src1")
         .select(explode(col("sh")).as("shingle")).distinct()
+        .localCheckpoint()
       // executor-built bloom: the SAME (xxhash64, xxhash64(·, 1)) pair
       // and pmod-then-combine arithmetic the SQL probe uses, so
       // membership is bit-identical across build and probe; sizing costs
@@ -1362,29 +1366,7 @@ object LlmOps extends QueryModule {
     // duplicated grams per plant exist by construction; natural repeats
     // count too (the oracle recomputes the same rule from scratch).
     "l65_substring_dedup" -> ((s, d) => {
-      val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val base = univ.unionByName(
-          univ.filter(col("doc_id") < 50 && length(col("text")) >= 130)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              expr("substring(text, 11, 120)").as("text")))
-        .localCheckpoint()
-      GF.register(s)
-      val grams = base
-        .select(col("doc_id"),
-          posexplode(expr("gram_hashes(text, 50)")).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("h"))
-      val hcnt = grams.select(col("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("nh"))
-        .filter(col("nh") >= 2)
-      val candPos = grams.join(hcnt.select(col("h")), Seq("h"))
-      val cand = candPos.join(base, Seq("doc_id"))
-        .select(col("doc_id"), col("pos"),
-          expr("substring(text, CAST(pos AS INT), 50)").as("gram"))
-      val dup = cand.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
-        .filter(col("ng") >= 2)
-      val covered = cand.join(dup.select(col("gram")), Seq("gram"))
-        .select(col("doc_id"), col("pos"))
+      val (base, covered) = substringDupCovered(s, d)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val spans = covered
@@ -1425,29 +1407,7 @@ object LlmOps extends QueryModule {
     // string_agg), so the fold itself is cross-checked, and the gate
     // compares the retained STRING exactly.
     "l66_substring_scrub" -> ((s, d) => {
-      GF.register(s)
-      val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val base = univ.unionByName(
-          univ.filter(col("doc_id") < 50 && length(col("text")) >= 130)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              expr("substring(text, 11, 120)").as("text")))
-        .localCheckpoint()
-      val grams = base
-        .select(col("doc_id"),
-          posexplode(expr("gram_hashes(text, 50)")).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("h"))
-      val hcnt = grams.select(col("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("nh"))
-        .filter(col("nh") >= 2)
-      val candPos = grams.join(hcnt.select(col("h")), Seq("h"))
-      val cand = candPos.join(base, Seq("doc_id"))
-        .select(col("doc_id"), col("pos"),
-          expr("substring(text, CAST(pos AS INT), 50)").as("gram"))
-      val dup = cand.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
-        .filter(col("ng") >= 2)
-      val covered = cand.join(dup.select(col("gram")), Seq("gram"))
-        .select(col("doc_id"), col("pos"))
+      val (base, covered) = substringDupCovered(s, d)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
       val islands = covered
@@ -3104,6 +3064,41 @@ object LlmOps extends QueryModule {
   /** Shingle-keyed inverted-index join → exact per-pair Jaccard (ppm):
     * intersection by COUNT over the equi-join, union from the
     * precomputed set sizes — |A∪B| = |A| + |B| − |A∩B|. */
+  /** Shared candidate pipeline for l65/l66 (exact-substring family):
+    * plants 120-char copies, rolls Karp–Rabin 50-gram hashes per
+    * position (phase 1: 8-byte keys only), confirms hash candidates by
+    * exact string equality (phase 2), and returns (base docs, covered
+    * duplicated-gram start positions). Any change to the candidate rule
+    * lands in ONE place for both the report (l65) and the rewrite
+    * (l66) — their DuckDB oracles re-derive it independently. */
+  private def substringDupCovered(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    GF.register(s)
+    val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = univ.unionByName(
+        univ.filter(col("doc_id") < 50 && length(col("text")) >= 130)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substring(text, 11, 120)").as("text")))
+      .localCheckpoint()
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(expr("gram_hashes(text, 50)")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("h"))
+    val hcnt = grams.select(col("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") >= 2)
+    val candPos = grams.join(hcnt.select(col("h")), Seq("h"))
+    val cand = candPos.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr("substring(text, CAST(pos AS INT), 50)").as("gram"))
+    val dup = cand.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
+      .filter(col("ng") >= 2)
+    val covered = cand.join(dup.select(col("gram")), Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    (base, covered)
+  }
+
   private def pairsJaccard(newSide: DataFrame, oldSide: DataFrame): DataFrame =
     newSide.join(oldSide, "shingle")
       .groupBy(col("new_id"), col("old_id"), col("nb"), col("nc"))

@@ -596,10 +596,14 @@ class ScaleShapeSpec extends SparkSpec {
     // non-vacuous: the fixture carries cross-source 4-shingle overlap
     assert(contaminated > 0, s"vacuous fixture: 0 contaminated")
     // the bloom's false-negative-free guarantee is the oracle gate
-    // itself (the exact semi-join answer); here pin the plan: the only
-    // joins are broadcast (bench side + bloom row) — the corpus never
-    // sort-merge-joins
+    // itself (the exact semi-join answer); here pin the RUNTIME plan:
+    // the only joins are broadcast (bench side + bloom row) — the
+    // corpus never sort-merge-joins. Only the FINAL AQE plan counts:
+    // benchSh's localCheckpoint hides size stats from the static
+    // planner, so the pre-AQE initial plan may guess SMJ before runtime
+    // stats convert it — the executed section is what runs at scale.
     val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))

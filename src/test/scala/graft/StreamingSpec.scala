@@ -288,10 +288,7 @@ class StreamingSpec extends SparkSpec {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType)))
-      val pKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldP = spark.conf.getOption(pKey)
-      spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
+
       def drain(): Unit = {
         // Trigger.Once, not processAllAvailable: in ProcessingTime mode
         // the continuous trigger keeps scheduling batches for
@@ -313,15 +310,12 @@ class StreamingSpec extends SparkSpec {
           assert(q.awaitTermination(120000), "Trigger.Once drain timed out")
         } finally q.stop()
       }
-      try {
+      graft.ops.Events.withRocksDBStateStore(spark) {
         writeFile("a", Seq(1L, 2L, 3L))
         drain()
         Thread.sleep(sleepMs)
         writeFile("b", Seq(4L, 5L))
         drain()
-      } finally oldP match {
-        case Some(v) => spark.conf.set(pKey, v)
-        case None => spark.conf.unset(pKey)
       }
       spark.read.parquet(s"$work/data")
         .orderBy(col("running_n")).select(col("running_n"))
@@ -359,13 +353,9 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType)))
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val oldP = spark.conf.getOption(pKey)
-    spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
     val qn = "t_e32spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    try {
+    graft.ops.Events.withRocksDBStateStore(spark) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
         .withWatermark("ts", "1 hour")
@@ -385,9 +375,6 @@ class StreamingSpec extends SparkSpec {
       // first session (2 events) closed by the GAP-breaking arrival;
       // trailing session (1 event) closed by the TIMER
       assert(rows.toSeq == Seq((2L, 0L), (1L, 1L)), rows.toSeq.toString)
-    } finally oldP match {
-      case Some(v) => spark.conf.set(pKey, v)
-      case None => spark.conf.unset(pKey)
     }
   }
 }

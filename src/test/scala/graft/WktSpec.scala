@@ -289,5 +289,26 @@ class WktSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WktCore.convexHullWkt(u("LINESTRING (0 0, 1 1, 2 2, 3 3)"))
     }
+    // edge-tangent rectangles: the AREAL intersection is empty — the
+    // shared edge (a lower-dimensional contact) must NOT surface as a
+    // zero-area sliver polygon (r10 review finding)
+    assert(WktCore.intersectionWkt(u(unitSq), u(adjacent)).toString ==
+      "POLYGON EMPTY")
+    // corner-touching squares likewise
+    val cornerTouch = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert(WktCore.intersectionWkt(u(unitSq), u(cornerTouch)).toString ==
+      "POLYGON EMPTY")
+    // all-collinear "polygon" input is loud for every construction kernel
+    val flat = "POLYGON ((0 0, 2 2, 4 4, 0 0))"
+    intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u(flat), u(unitSq))
+    }
+    // coordinates >= 1e7 render in plain notation, not scientific —
+    // Double.toString would emit 1.0E7, invalid WKT downstream
+    val farRect =
+      "POLYGON ((10000000 0, 10000001 0, 10000001 1, 10000000 1, 10000000 0))"
+    val farBuf = WktCore.bufferWkt(u(farRect), 0.0).toString
+    assert(!farBuf.contains("E"), farBuf)
+    assert(farBuf.contains("10000000"), farBuf)
   }
 }
