@@ -485,7 +485,12 @@ object WktCore {
     // zero-area sliver cannot masquerade as a ring, then report EMPTY
     // when fewer than 3 distinct vertices or no area remain — the
     // documented contract: this kernel returns the AREAL intersection;
-    // lower-dimensional contact (a shared edge/point) is POLYGON EMPTY
+    // lower-dimensional contact (a shared edge/point) is POLYGON EMPTY.
+    // Float caveat (inherent to every floating-point clipper): the
+    // collapse is exact when the tangency is exactly representable
+    // (axis-aligned/dyadic inputs — the tested contract); near-tangent
+    // inputs whose crossings land an ulp off a vertex may instead yield
+    // an epsilon-area ring, which downstream st_area reports honestly
     if (cur.length >= 2) {
       val n = cur.length / 2
       val keep = new scala.collection.mutable.ArrayBuffer[Double](cur.length)
@@ -509,7 +514,9 @@ object WktCore {
   private def fmtCoord(d: Double): String = {
     val s = java.lang.Double.toString(d)
     if (s.indexOf('E') < 0) s
-    else new java.math.BigDecimal(d).toPlainString
+    // parse the SHORTEST string, not the raw double: BigDecimal(double)
+    // would expand the exact binary value into dozens of noise digits
+    else new java.math.BigDecimal(s).toPlainString
   }
 
   private def fmtRing(c: Array[Double]): String =

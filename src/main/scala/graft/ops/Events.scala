@@ -53,13 +53,15 @@ object Events extends QueryModule {
   private lazy val shmCheckpointRoot: Option[String] = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft_stream_ck")
       // conf-root checkpoints are NOT auto-deleted on query stop (Spark
       // treats them as user-specified), and deleteOnExit cannot remove
-      // non-empty dirs — so clear leftovers from PRIOR JVMs here and
-      // remove this JVM's tree on shutdown, or repeated sessions would
-      // monotonically fill the RAM-backed tmpfs
-      if (d.exists()) deleteRecursively(d)
+      // non-empty dirs — so each JVM gets its OWN UUID subdirectory and
+      // removes exactly that tree on shutdown. Deleting the shared root
+      // would clobber a concurrently running JVM's live checkpoints
+      // (bench + verify overlap on this host); leftovers from crashed
+      // JVMs are rare and tmpfs clears on reboot.
+      val d = new java.io.File(new java.io.File(shm, "graft_stream_ck"),
+        java.util.UUID.randomUUID().toString)
       d.mkdirs()
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => deleteRecursively(d), "graft-shm-ck-cleanup"))

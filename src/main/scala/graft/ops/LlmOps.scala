@@ -3061,9 +3061,6 @@ object LlmOps extends QueryModule {
     (mu, v)
   }
 
-  /** Shingle-keyed inverted-index join → exact per-pair Jaccard (ppm):
-    * intersection by COUNT over the equi-join, union from the
-    * precomputed set sizes — |A∪B| = |A| + |B| − |A∩B|. */
   /** Shared candidate pipeline for l65/l66 (exact-substring family):
     * plants 120-char copies, rolls Karp–Rabin 50-gram hashes per
     * position (phase 1: 8-byte keys only), confirms hash candidates by
@@ -3098,7 +3095,9 @@ object LlmOps extends QueryModule {
       .select(col("doc_id"), col("pos"))
     (base, covered)
   }
-
+  /** Shingle-keyed inverted-index join → exact per-pair Jaccard (ppm):
+    * intersection by COUNT over the equi-join, union from the
+    * precomputed set sizes — |A∪B| = |A| + |B| − |A∩B|. */
   private def pairsJaccard(newSide: DataFrame, oldSide: DataFrame): DataFrame =
     newSide.join(oldSide, "shingle")
       .groupBy(col("new_id"), col("old_id"), col("nb"), col("nc"))
