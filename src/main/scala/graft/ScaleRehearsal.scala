@@ -35,7 +35,11 @@ object ScaleRehearsal {
     // joins), the corpus-scaled-k SemDeDup re-rehearsal, and the
     // two-phase exact-substring dedup
     "l41_bigram_logprob", "l58_doremi_step", "l65_substring_dedup",
-    "l66_substring_scrub")
+    "l66_substring_scrub",
+    // r11: the two-level SemDeDup ASSIGNMENT phase in isolation (the
+    // r10 verdict asked for the centroid-side curve, not just l26's
+    // total) — special-cased in timeOnce, not a SparkEntry query
+    "l26_assign")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -107,8 +111,10 @@ object ScaleRehearsal {
     // projection entirely, so a projection-only query (l51/l56/l57)
     // would be timed as a bare parquet row count — vacuously flat. The
     // noop write materializes every output column of the physical plan.
-    SparkEntry.queries(q)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
+    val df =
+      if (q == "l26_assign") graft.ops.LlmOps.semdedupAssigned(spark, dir)
+      else SparkEntry.queries(q)(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 }

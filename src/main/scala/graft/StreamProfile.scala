@@ -19,7 +19,11 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
     // experiment knobs: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => b.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+      }
     })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

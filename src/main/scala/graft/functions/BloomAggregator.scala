@@ -42,7 +42,9 @@ object BloomAggregator {
     }
   }
 
-  def of(m: Long): Aggregator[(Long, Long), Buf, Seq[Long]] =
+  def of(m: Long): Aggregator[(Long, Long), Buf, Seq[Long]] = {
+    require(m >= 64 && m % 64 == 0,
+      s"bloom width m must be a positive multiple of 64, got $m")
     new Aggregator[(Long, Long), Buf, Seq[Long]] {
       private val words = (m / 64).toInt
       def zero: Buf = Buf(new Array[Long](words))
@@ -63,6 +65,7 @@ object BloomAggregator {
       def outputEncoder: Encoder[Seq[Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
+  }
 
   /** Column-form bloom build over (h1, h2) hash-pair columns; m is the
     * bit width (a multiple of 64, sized from a prior 1-row count). */

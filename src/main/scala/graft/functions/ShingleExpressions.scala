@@ -62,6 +62,7 @@ object ShingleKernels {
     * correctness. Position i here is 0-based over CODE POINTS, matching
     * substring(text, i+1, k)'s character semantics. */
   def gramHashes(text: UTF8String, k: Int): GenericArrayData = {
+    require(k >= 1, s"gram_hashes: k must be >= 1, got $k")
     val cps = text.toString.codePoints().toArray
     val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)

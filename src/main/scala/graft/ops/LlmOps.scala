@@ -279,6 +279,94 @@ object LlmOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- L26 shared: corpus + two-level k-means assignment ----------------
+  // Exposed as a method (not only inside the l26 query) so ScaleRehearsal
+  // can time the ASSIGNMENT phase in isolation — the r10 verdict asked
+  // for the centroid-side cost curve to be measured, not inferred from
+  // the total. Returns (vec_id, embedding, cid); design notes live on
+  // the l26_semdedup query below.
+  def semdedupAssigned(s: SparkSession, d: String): DataFrame = {
+    CosineSimilarityExpression.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val planted = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 1.01D AS FLOAT))").as("embedding"),
+        col("label"))
+    val all = e.unionByName(planted).localCheckpoint()
+
+    // label-seeded k-means, one Lloyd refinement (l3b shape): SemDeDup
+    // only needs clusters that keep near-dups together, which any
+    // converged-enough k-means does — cosine is scale-invariant, so a
+    // planted copy shares its original's nearest centroid. Seed count
+    // scales with the corpus: k = max(|labels|, ⌈n/S⌉), each label
+    // split into ⌈k/|labels|⌉ content-hashed sub-seeds — the seed set
+    // stays a pure function of the data (no RNG), and n/|labels| are
+    // two 1-row aggregates (bounded driver state).
+    val targetClusterSize = 128L
+    val hdr = all.agg(count(lit(1)).as("n"),
+      countDistinct(col("label")).as("nl")).head
+    val nRows = hdr.getLong(0)
+    val nLabels = hdr.getLong(1)
+    val k = math.max(nLabels, (nRows + targetClusterSize - 1) / targetClusterSize)
+    val splits = ((k + nLabels - 1) / nLabels).toInt
+    val kc = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+
+    // flat argmax of rows(vecCol) against a SMALL (ccid, ccvec) table,
+    // shipped as ONE broadcast array row; ties break to the lowest ccid
+    // (array_sort order + strict '>').
+    def assignFlat(rows: DataFrame, vecCol: String, cents: DataFrame,
+        outCol: String): DataFrame = {
+      val centArr = cents.agg(array_sort(collect_list(struct(
+        col("ccid"), col("ccvec").cast("array<float>").as("cf")))).as("cents"))
+      rows.crossJoin(broadcast(centArr))
+        .withColumn(outCol, expr(
+          s"""aggregate(
+            |  transform(cents, c -> named_struct('cid', c.ccid, 's', cosine_sim($vecCol, c.cf))),
+            |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
+            |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
+        .drop("cents")
+    }
+
+    // two-level assignment of the corpus against a (cid, cvec) fine
+    // table: coarse-cluster the fine centroids into kc = ⌈√k⌉ cells
+    // (seed by cid-hash, one Lloyd refine — all on the k-row table),
+    // broadcast ONLY the coarse centroids to points, then resolve the
+    // fine argmax through a ccid-keyed join against per-cell arrays.
+    // The coarse table points assign against is grouped FROM the same
+    // fineCells tagging that builds the arrays, so every assignable
+    // ccid has an array row — the inner join cannot drop a point.
+    def assign(fine: DataFrame): DataFrame = {
+      val fineF = fine.select(col("cid"),
+        col("cvec").cast("array<float>").as("cvf"))
+      val coarseSeed = fineF
+        .groupBy(pmod(col("cid"), lit(kc)).as("ccid"))
+        .agg(CentroidAggregator.centroid(col("cvf")).as("ccvec"))
+      val coarseRef = assignFlat(fineF, "cvf", coarseSeed, "ccid")
+        .groupBy(col("ccid"))
+        .agg(CentroidAggregator.centroid(col("cvf")).as("ccvec"))
+      val fineCells = assignFlat(fineF, "cvf", coarseRef, "ccid")
+      val coarseFinal = fineCells.groupBy(col("ccid"))
+        .agg(CentroidAggregator.centroid(col("cvf")).as("ccvec"))
+      val cells = fineCells.groupBy(col("ccid"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvf")))).as("fines"))
+      assignFlat(all, "embedding", coarseFinal, "ccid")
+        .join(cells, Seq("ccid"))
+        .withColumn("cid", expr(
+          """aggregate(
+            |  transform(fines, c -> named_struct('cid', c.cid, 's', cosine_sim(embedding, c.cvf))),
+            |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
+            |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    }
+    val seed = all.groupBy((col("label").cast("long") * splits +
+        pmod(xxhash64(col("vec_id")), lit(splits.toLong))).as("cid"))
+      .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+    val cent = assign(seed).groupBy(col("cid"))
+      .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
+    assign(cent)
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content hash; keeper = min doc_id.
     "l1_dedup_exact" -> ((s, d) => {
@@ -1475,11 +1563,30 @@ object LlmOps extends QueryModule {
     // (r9 verdict #3): k = ⌈n / S⌉ for a pinned target cluster size S,
     // so sum(|cluster|²) ≈ n·S stays LINEAR in n — a fixed k would let
     // cluster sizes (hence the pair count) grow quadratically with the
-    // corpus. Assignment is map-side over broadcast centroids (the same
-    // IVF shape as l3b; the corpus never shuffles to be clustered); the
-    // centroid table is n/S-bounded, the one artifact that grows — at
-    // extreme n the assignment itself goes two-level (cluster the
-    // centroids, probe coarse-then-fine), the standard IVF hierarchy.
+    // corpus. Assignment is TWO-LEVEL (r10 verdict #1) — the standard
+    // IVF hierarchy, since k ∝ n makes a brute argmax O(n·k) = O(n²/S)
+    // with a broadcast that grows linearly in n:
+    //   1. the k fine centroids are themselves clustered into
+    //      kc = ⌈√k⌉ coarse cells (centroid-side work, O(k·√k) cosines
+    //      on a k-row table — negligible);
+    //   2. each point argmaxes over the BROADCAST coarse table
+    //      (√k entries — the only broadcast, bounded) to pick a cell;
+    //   3. the fine argmax resolves via ONE ccid-keyed join against
+    //      per-cell fine-centroid arrays (k centroids total, grouped
+    //      into kc single-row arrays of ~√k each) and a row-local
+    //      aggregate() fold — each point meets exactly one array row.
+    // Per-point compute is O(√k) cosines at each level = O(n·√k)
+    // total; wire volume is n embeddings + k centroids (linear); no
+    // n×k shape exists anywhere. Cell existence is an invariant: the
+    // coarse table points assign against is grouped FROM the same
+    // fine-cell tagging that builds the arrays, so every assignable
+    // ccid has exactly one array row (the inner join drops nothing).
+    // Two-level assignment is approximate Lloyd (a point's true
+    // nearest fine centroid can sit in a neighboring coarse cell) —
+    // acceptable for SemDeDup, which needs clusters that keep
+    // near-dups together, not optimal quantization: a planted ε-copy
+    // shares its original's direction, hence its coarse cell AND its
+    // fine centroid, at every level (cosine is scale-invariant).
     //
     // The query PLANTS ε-scaled near-duplicate copies (float(1.01·x)
     // per element → cosine ≈ 1.0 with the original; the natural corpus
@@ -1491,48 +1598,7 @@ object LlmOps extends QueryModule {
     // and not exposed; the prune-rule MATH is independently re-derived by
     // the l26b oracle below.
     "l26_semdedup" -> ((s, d) => {
-      CosineSimilarityExpression.register(s)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
-      val planted = e.filter(col("vec_id") < 100)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          expr("transform(embedding, x -> CAST(x * 1.01D AS FLOAT))").as("embedding"),
-          col("label"))
-      val all = e.unionByName(planted).localCheckpoint()
-
-      // label-seeded k-means, one Lloyd refinement (l3b shape): SemDeDup
-      // only needs clusters that keep near-dups together, which any
-      // converged-enough k-means does — cosine is scale-invariant, so a
-      // planted copy shares its original's nearest centroid. Seed count
-      // scales with the corpus: k = max(|labels|, ⌈n/S⌉), each label
-      // split into ⌈k/|labels|⌉ content-hashed sub-seeds — the seed set
-      // stays a pure function of the data (no RNG), and n/|labels| are
-      // two 1-row aggregates (bounded driver state).
-      val targetClusterSize = 128L
-      val hdr = all.agg(count(lit(1)).as("n"),
-        countDistinct(col("label")).as("nl")).head
-      val nRows = hdr.getLong(0)
-      val nLabels = hdr.getLong(1)
-      val k = math.max(nLabels, (nRows + targetClusterSize - 1) / targetClusterSize)
-      val splits = ((k + nLabels - 1) / nLabels).toInt
-
-      def assign(cent: DataFrame): DataFrame = {
-        val centArr = cent.agg(array_sort(collect_list(struct(
-          col("cid"), col("cvec").cast("array<float>").as("cf")))).as("cents"))
-        all.crossJoin(broadcast(centArr))
-          .withColumn("cid", expr(
-            """aggregate(
-              |  transform(cents, c -> named_struct('cid', c.cid, 's', cosine_sim(embedding, c.cf))),
-              |  named_struct('cid', CAST(-1 AS BIGINT), 's', CAST(-2.0 AS DOUBLE)),
-              |  (acc, x) -> IF(x.s > acc.s, x, acc)).cid""".stripMargin))
-          .select(col("vec_id"), col("embedding"), col("cid"))
-      }
-      val seed = all.groupBy((col("label").cast("long") * splits +
-          pmod(xxhash64(col("vec_id")), lit(splits.toLong))).as("cid"))
-        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-      val cent = assign(seed).groupBy(col("cid"))
-        .agg(CentroidAggregator.centroid(col("embedding")).as("cvec"))
-      val assigned = assign(cent).localCheckpoint()
-
+      val assigned = semdedupAssigned(s, d).localCheckpoint()
       val a = assigned.select(col("cid"), col("vec_id").as("vid_a"), col("embedding").as("emb_a"))
       val b = assigned.select(col("cid"), col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
       val drops = a.join(b, Seq("cid"))

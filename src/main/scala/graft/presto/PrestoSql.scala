@@ -572,8 +572,13 @@ object PrestoSql {
   // plain EXPLAIN [(TYPE …/FORMAT …)] — the option group is captured and
   // dispatched by TYPE (r9 verdict #9). Must stay BELOW the ANALYZE case
   // in the dispatch.
+  // The option group only matches the Trino option grammar
+  // ((TYPE|FORMAT) <word>, comma-list) — a leading parenthesized QUERY
+  // (`EXPLAIN (SELECT …) UNION ALL …`) must NOT be eaten as options.
   private val ExplainRe =
-    """(?is)^\s*EXPLAIN\s+(?:\(\s*([^)]*)\)\s*)?(?!ANALYZE\b)(.+)$""".r
+    ("""(?is)^\s*EXPLAIN\s+""" +
+     """(?:\(\s*((?:TYPE|FORMAT)\s+\w+(?:\s*,\s*(?:TYPE|FORMAT)\s+\w+)*)\s*\)\s*)?""" +
+     """(?!ANALYZE\b)(.+)$""").r
 
   /** Trino `EXPLAIN [(TYPE …)] <query>`: plan WITHOUT executing.
     *

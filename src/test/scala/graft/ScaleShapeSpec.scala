@@ -218,6 +218,30 @@ class ScaleShapeSpec extends SparkSpec {
     assert(pairJoin.nonEmpty, plan.take(3000))
   }
 
+  test("l26 two-level assignment broadcasts only √k coarse centroids — no n×k shape") {
+    // r10 verdict #1: k ∝ n, so a brute argmax over a broadcast of all k
+    // fine centroids is O(n·k) with a growing broadcast. The two-level
+    // plan must (a) resolve the fine argmax through a ccid-KEYED join
+    // (per-cell arrays meet points on ccid — an equi-join, shuffleable
+    // at scale), and (b) keep every nested-loop join a 1-row broadcast
+    // array frame (the √k coarse table collected into ONE row), never a
+    // row-per-centroid cross product.
+    val df = ops.LlmOps.semdedupAssigned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the fine-cell join is an EQUI-join keyed on ccid (hash- or
+    // sort-merge-joinable, so it shuffles instead of broadcasting when
+    // the cell table outgrows the broadcast threshold) — nested-loop
+    // nodes in the plan are only the 1-row coarse-array frames
+    val equiOnCcid = """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[ccid""".r
+    assert(equiOnCcid.findFirstIn(plan).isDefined, plan.take(3000))
+    // the assignment is exhaustive and deterministic: every corpus row
+    // (n natural + 100 planted) gets exactly one cluster id
+    val n = Tables.embeddings(spark, sf).count() + 100
+    assert(df.count() == n)
+    assert(df.select("vec_id").distinct().count() == n)
+  }
+
   test("l27 span dedup reduces first-occurrence via partial min-struct, not a window") {
     val df = ops.LlmOps.queries("l27_span_dedup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
