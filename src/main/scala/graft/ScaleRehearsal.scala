@@ -38,8 +38,9 @@ object ScaleRehearsal {
     "l66_substring_scrub",
     // r11: the two-level SemDeDup ASSIGNMENT phase in isolation (the
     // r10 verdict asked for the centroid-side curve, not just l26's
-    // total) — special-cased in timeOnce, not a SparkEntry query
-    "l26_assign")
+    // total — special-cased in timeOnce, not a SparkEntry query), and
+    // the canonical-keeper ExactSubstr variant
+    "l26_assign", "l66b_substring_scrub_keep")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -1496,33 +1496,25 @@ object LlmOps extends QueryModule {
     // compares the retained STRING exactly.
     "l66_substring_scrub" -> ((s, d) => {
       val (base, covered) = substringDupCovered(s, d)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-      val islands = covered
-        .withColumn("prev_end", max(col("pos") + 49).over(wPrev))
-        .withColumn("ni",
-          when(col("prev_end").isNull || col("pos") > col("prev_end") + 1,
-            1L).otherwise(0L))
-        .withColumn("isl", sum(col("ni")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("pos")).as("s"), (max(col("pos")) + 49).as("e"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("s"), col("e"))))
-          .as("isl_arr"))
-      base.join(islands, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          coalesce(expr(
-            """aggregate(isl_arr,
-              |  named_struct('p', 1L, 'acc', CAST('' AS STRING)),
-              |  (a, x) -> named_struct('p', x.e + 1,
-              |    'acc', concat(a.acc, substring(text, CAST(a.p AS INT),
-              |      CAST(x.s - a.p AS INT)))),
-              |  a -> concat(a.acc, substring(text, CAST(a.p AS INT))))"""
-              .stripMargin), col("text")).as("retained"))
-        .withColumn("retained_len", length(col("retained")).cast("long"))
-        .orderBy(col("doc_id"))
+      scrubRetained(base, covered)
+    }),
+
+    // L66b: CANONICAL-KEEPER substring surgery — the Lee et al. 2022
+    // tool DEFAULT that l66 deliberately strictens: each duplicated
+    // ≥50-char gram keeps its FIRST occurrence in corpus order
+    // (min (doc_id, pos)) and only the later occurrences are cut, so
+    // one copy of every duplicated span survives corpus-wide. The
+    // attribution rides the phase-2 confirmed-gram aggregate as a
+    // min(struct(doc_id, pos)) (the l27 first-occurrence pattern) —
+    // zero extra shuffles vs l66; the scrub fold is byte-identical
+    // shared code. With the planted copies the ground truth is loud:
+    // donors (smaller doc_id) are canonical and keep their text;
+    // plants (+1e6) lose theirs. The DuckDB oracle re-derives the
+    // keeper rule through an INDEPENDENT window formulation
+    // (row_number over (doc_id, pos) per gram, rn > 1 is cut).
+    "l66b_substring_scrub_keep" -> ((s, d) => {
+      val (base, covered) = substringDupCovered(s, d, keepCanonical = true)
+      scrubRetained(base, covered)
     }),
 
     // L24: stable contiguous ids — assign 0..N-1 in doc_id order WITHOUT
@@ -3134,8 +3126,18 @@ object LlmOps extends QueryModule {
     * duplicated-gram start positions). Any change to the candidate rule
     * lands in ONE place for both the report (l65) and the rewrite
     * (l66) — their DuckDB oracles re-derive it independently. */
-  private def substringDupCovered(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+  /** Shared ExactSubstr phases 1–2 (design notes on l65): returns
+    * (base corpus incl. planted copies, covered gram-start positions).
+    * `keepCanonical = true` switches to the Lee et al. 2022 tool
+    * DEFAULT policy: each duplicated gram's FIRST occurrence in corpus
+    * order (min (doc_id, pos)) is NOT covered — it survives the scrub
+    * as the canonical copy — and only the later occurrences are cut.
+    * The attribution is one min(struct(doc_id, pos)) carried on the
+    * same confirmed-gram aggregate phase 2 already runs (the l27
+    * first-occurrence pattern), so the canonical variant costs no
+    * extra shuffle. */
+  private def substringDupCovered(s: SparkSession, d: String,
+      keepCanonical: Boolean = false): (DataFrame, DataFrame) = {
     GF.register(s)
     val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val base = univ.unionByName(
@@ -3155,11 +3157,54 @@ object LlmOps extends QueryModule {
     val cand = candPos.join(base, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         expr("substring(text, CAST(pos AS INT), 50)").as("gram"))
-    val dup = cand.groupBy(col("gram")).agg(count(lit(1)).as("ng"))
+    val dup = cand.groupBy(col("gram"))
+      .agg(count(lit(1)).as("ng"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
       .filter(col("ng") >= 2)
-    val covered = cand.join(dup.select(col("gram")), Seq("gram"))
-      .select(col("doc_id"), col("pos"))
+    val covered =
+      if (keepCanonical)
+        cand.join(dup.select(col("gram"), col("f")), Seq("gram"))
+          .filter(col("doc_id") =!= col("f.doc_id") ||
+            col("pos") =!= col("f.pos"))
+          .select(col("doc_id"), col("pos"))
+      else
+        cand.join(dup.select(col("gram")), Seq("gram"))
+          .select(col("doc_id"), col("pos"))
     (base, covered)
+  }
+
+  /** Shared l66/l66b scrub body: merge covered gram starts into per-doc
+    * (start, end) islands (positions only, never text), bring the array
+    * to the text with ONE doc-keyed join, rewrite row-locally with an
+    * aggregate() fold. Text shuffles exactly once. */
+  private def scrubRetained(base: DataFrame, covered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = covered
+      .withColumn("prev_end", max(col("pos") + 49).over(wPrev))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1,
+          1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 49).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("isl_arr"))
+    base.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        coalesce(expr(
+          """aggregate(isl_arr,
+            |  named_struct('p', 1L, 'acc', CAST('' AS STRING)),
+            |  (a, x) -> named_struct('p', x.e + 1,
+            |    'acc', concat(a.acc, substring(text, CAST(a.p AS INT),
+            |      CAST(x.s - a.p AS INT)))),
+            |  a -> concat(a.acc, substring(text, CAST(a.p AS INT))))"""
+            .stripMargin), col("text")).as("retained"))
+      .withColumn("retained_len", length(col("retained")).cast("long"))
+      .orderBy(col("doc_id"))
   }
   /** Shingle-keyed inverted-index join → exact per-pair Jaccard (ppm):
     * intersection by COUNT over the equi-join, union from the
@@ -4351,6 +4396,72 @@ object LlmOps extends QueryModule {
         |  FROM g0),
         |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
         |c AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    MAX(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |gi AS (
+        |  SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f),
+        |islands AS (
+        |  SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 49 AS e
+        |  FROM gi GROUP BY doc_id, isl),
+        |pieces AS (
+        |  SELECT i.doc_id, i.s, i.e,
+        |    COALESCE(lag(i.e) OVER (PARTITION BY i.doc_id ORDER BY i.s), 0)
+        |      AS pe
+        |  FROM islands i),
+        |heads AS (
+        |  SELECT p.doc_id,
+        |    string_agg(substr(u.text, CAST(p.pe + 1 AS INT),
+        |      CAST(p.s - p.pe - 1 AS INT)), '' ORDER BY p.s) AS head,
+        |    MAX(p.e) AS laste
+        |  FROM pieces p JOIN univ u ON p.doc_id = u.doc_id
+        |  GROUP BY p.doc_id)
+        |SELECT u.doc_id, CAST(length(u.text) AS BIGINT) AS n_chars,
+        |  CASE WHEN h.doc_id IS NULL THEN u.text
+        |       ELSE h.head || substr(u.text, CAST(h.laste + 1 AS INT))
+        |  END AS retained,
+        |  CAST(length(CASE WHEN h.doc_id IS NULL THEN u.text
+        |       ELSE h.head || substr(u.text, CAST(h.laste + 1 AS INT))
+        |  END) AS BIGINT) AS retained_len
+        |FROM univ u LEFT JOIN heads h ON u.doc_id = h.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    // l66b: same independent reassembly as l66, but the covered set
+    // excludes each gram's FIRST occurrence via a window formulation
+    // (row_number per gram over (doc_id, pos); rn = 1 is canonical and
+    // survives) — a different derivation from the Spark side's
+    // min-struct attribution, so the keeper rule itself is cross-checked
+    "l66b_substring_scrub_keep" ->
+      """WITH univ AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11, 120) AS text
+        |  FROM documents WHERE doc_id < 50 AND length(text) >= 130),
+        |g0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 49)) AS i
+        |  FROM univ WHERE length(text) >= 50),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 50) AS gram
+        |  FROM g0),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS ng,
+        |    ROW_NUMBER() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM g),
+        |c AS (SELECT doc_id, pos FROM r WHERE ng >= 2 AND rn > 1),
         |m AS (
         |  SELECT doc_id, pos,
         |    MAX(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos

@@ -709,6 +709,35 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("l66b canonical keeper: donors keep their duplicated slice, plants lose it (r11)") {
+    val out = ops.LlmOps.queries("l66b_substring_scrub_keep")(spark, sf)
+    val strict = ops.LlmOps.queries("l66_substring_scrub")(spark, sf)
+      .select("doc_id", "retained_len")
+      .withColumnRenamed("retained_len", "strict_len")
+    val rows = out.collect()
+    // plants (+1e6) duplicate a DONOR slice at a larger doc_id: every
+    // covered plant position has its canonical occurrence in the donor,
+    // so plants scrub to empty exactly as under the strict policy
+    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r.getString(2) == "" && r.getLong(3) == 0L,
+      s"planted doc kept text under the keeper policy: ${r.getLong(0)}"))
+    // donors are the FIRST occurrence of the planted slice — the keeper
+    // policy must NOT cut it on account of the plant. A donor can still
+    // lose chars to NATURAL duplicates it is not canonical for, so the
+    // sharp invariant is vs the strict policy: strictly more retained
+    // than l66 (which cuts the whole 120-char slice) for some donor,
+    // and never less for any doc.
+    val both = out.select("doc_id", "retained_len").join(strict, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    both.foreach { case (id, keep, cut) =>
+      assert(keep >= cut, s"doc $id retained less under keeper than strict") }
+    val donors = both.filter { case (id, _, _) => id < 50L }
+    assert(donors.exists { case (_, keep, cut) => keep > cut },
+      "no donor retained more under the keeper policy")
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
     val plan = ops.LlmOps.queries("l62_fim_split")(spark, sf)
       .queryExecution.executedPlan.toString
