@@ -103,6 +103,78 @@ object BpeCore {
       words.toArray(new Array[AnyRef](words.size)))
   }
 
+  // ---- byte-level variants (GPT-2 style; Radford et al. 2019's BPE
+  // operates on UTF-8 BYTES with byte fallback) -------------------------
+  // The initial alphabet is the word's raw UTF-8 bytes — every byte is
+  // in the 256-symbol base vocabulary by construction, so there is NO
+  // out-of-vocabulary path (the char-level form's alphabet is unbounded).
+  // Symbols are Latin-1 strings (char U+00i ⇔ byte i, values 0–255) —
+  // the same idea as GPT-2's printable byte-encoder, chosen because
+  // every byte value maps to a BMP code point that round-trips through
+  // UTF8String safely, and the pairKey separator 0x20 cannot occur
+  // inside a symbol (words are split on it). Word split is the ASCII \s
+  // class applied to raw bytes — exact, because every byte of a
+  // multi-byte UTF-8 sequence has the high bit set and cannot collide
+  // with an ASCII whitespace byte.
+
+  private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** Byte-level token count over all ASCII-whitespace-separated words. */
+  def countTokensBytes(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i))) i += 1
+      var j = i
+      while (j < n && !isWsByte(bytes(j))) j += 1
+      if (j > i) total += mergeWordBytes(bytes, i, j, ranks).size
+      i = j
+    }
+    total
+  }
+
+  /** Byte-level per-word symbol sequences (nested array, word
+    * boundaries preserved — same contract as [[segmentWords]]). */
+  def segmentWordsBytes(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val words = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i))) i += 1
+      var j = i
+      while (j < n && !isWsByte(bytes(j))) j += 1
+      if (j > i) {
+        val syms = mergeWordBytes(bytes, i, j, ranks)
+        val arr = new Array[AnyRef](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          arr(k) = UTF8String.fromString(syms.get(k)); k += 1
+        }
+        words.add(new org.apache.spark.sql.catalyst.util.GenericArrayData(arr))
+      }
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      words.toArray(new Array[AnyRef](words.size)))
+  }
+
+  private def mergeWordBytes(bytes: Array[Byte], from: Int, until: Int,
+      ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](until - from)
+    var k = from
+    while (k < until) {
+      syms.add(String.valueOf((bytes(k) & 0xFF).toChar))
+      k += 1
+    }
+    mergeSyms(syms, ranks)
+  }
+
   /** BPE merge loop over one word (s[from, until)). */
   private def wordTokenCount(s: String, from: Int, until: Int,
       ranks: java.util.HashMap[String, Integer]): Int =
@@ -111,7 +183,7 @@ object BpeCore {
   private def mergeWord(s: String, from: Int, until: Int,
       ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     val len = until - from
-    var syms = new java.util.ArrayList[String](len)
+    val syms = new java.util.ArrayList[String](len)
     // initial alphabet = CODE POINTS, not UTF-16 units: a supplementary
     // char must be one symbol, or the symbol strings are lone surrogates
     // that cannot round-trip through UTF-8 (UTF8String encodes them as
@@ -123,6 +195,15 @@ object BpeCore {
       syms.add(s.substring(k, k + cc))
       k += cc
     }
+    mergeSyms(syms, ranks)
+  }
+
+  /** The rank-ordered merge loop itself, over an initial symbol list —
+    * shared by the char-level and byte-level forms (the ALGORITHM is
+    * identical; only the initial alphabet differs). */
+  private def mergeSyms(syms0: java.util.ArrayList[String],
+      ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    var syms = syms0
     var done = false
     while (!done && syms.size > 1) {
       // (a) lowest-rank adjacent pair present in the table
@@ -241,4 +322,59 @@ object BpeCountExpression {
       require(parts.length == 2, s"bad merge pair '$p' (want 'left right')")
       (parts(0), parts(1))
     }
+}
+
+/** `bpe_count_bytes(text, 'l r,…')` — BYTE-LEVEL BPE token count
+  * (GPT-2 style): the initial alphabet is the word's UTF-8 bytes, so
+  * every input tokenizes with no OOV path; merges-table symbols are
+  * Latin-1 byte strings (see BpeCore's byte-level notes). Same
+  * rank-ordered merge loop, same plan-time binding as bpe_count. */
+case class ByteBpeCountExpression(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count_bytes"
+
+  @transient private lazy val ranks = BpeCore.buildRanks(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCore.countTokensBytes(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCore.countTokensBytes($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteBpeCountExpression = copy(child = newChild)
+}
+
+/** `bpe_segment_bytes(text, 'l r,…')` — byte-level per-word symbol
+  * sequences (`array<array<string>>`, symbols are Latin-1 byte
+  * strings). Feeds byte-level BPE training exactly as bpe_segment
+  * feeds char-level training. */
+case class ByteBpeSegmentExpression(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "bpe_segment_bytes"
+
+  @transient private lazy val ranks = BpeCore.buildRanks(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCore.segmentWordsBytes(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCore.segmentWordsBytes($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteBpeSegmentExpression = copy(child = newChild)
 }

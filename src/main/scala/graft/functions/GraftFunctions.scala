@@ -96,6 +96,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BpeSegmentExpression].getName, "bpe_segment"),
       (e: Seq[Expression]) =>
         BpeSegmentExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
+    (FunctionIdentifier("bpe_count_bytes"),
+      new ExpressionInfo(classOf[ByteBpeCountExpression].getName, "bpe_count_bytes"),
+      (e: Seq[Expression]) =>
+        ByteBpeCountExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
+    (FunctionIdentifier("bpe_segment_bytes"),
+      new ExpressionInfo(classOf[ByteBpeSegmentExpression].getName, "bpe_segment_bytes"),
+      (e: Seq[Expression]) =>
+        ByteBpeSegmentExpression(e(0), BpeCountExpression.parseMerges(litStr(e(1))))),
     (FunctionIdentifier("st_contains"),
       new ExpressionInfo(classOf[StContainsExpression].getName, "st_contains"),
       // arity dispatch: the 3-arg form is the original (polyWkt, x, y)
@@ -236,6 +244,12 @@ object GraftFunctions {
   def wsWords(text: Column): Column = call_function("ws_words", text)
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_segment", text, org.apache.spark.sql.functions.lit(
+      merges.map { case (l, r) => s"$l $r" }.mkString(",")))
+  def bpeCountBytes(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_count_bytes", text, org.apache.spark.sql.functions.lit(
+      merges.map { case (l, r) => s"$l $r" }.mkString(",")))
+  def bpeSegmentBytes(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_segment_bytes", text, org.apache.spark.sql.functions.lit(
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
   def stContains(polyWkt: Column, x: Column, y: Column): Column =
     call_function("st_contains", polyWkt, x, y)

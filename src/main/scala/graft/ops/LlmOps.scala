@@ -817,6 +817,37 @@ object LlmOps extends QueryModule {
         .orderBy(col("rank"))
     }),
 
+    // L4e: BYTE-LEVEL BPE token counting (GPT-2 style — Radford et al.
+    // 2019 tokenize UTF-8 BYTES, so every input tokenizes with byte
+    // fallback and there is no OOV path; Sennrich-style char BPE needs
+    // an unbounded alphabet). Kernel: bpe_count_bytes — the same
+    // rank-ordered merge loop as l4c over byte symbols (Latin-1 byte
+    // strings; see BpeCore). The corpus is pure ASCII (where byte- and
+    // char-level agree trivially), so the query PLANTS deterministic
+    // non-ASCII: each doc gains a ' é€'-repeat suffix — 'é' is 2 UTF-8
+    // bytes and '€' is 3, none of which merge under the ASCII fixture
+    // pairs, so the planted word tokenizes to exactly its byte count
+    // (the byte-fallback behavior made visible). Closed-form oracle as
+    // l4c, on BYTES: tokens = non-ws UTF-8 bytes − Σ non-overlapping
+    // fixture-pair occurrences (ASCII pairs cannot straddle or match
+    // inside a multi-byte sequence — every continuation byte has the
+    // high bit set — so char-level replace() counts the byte-level
+    // merges exactly). Scan-stage codegen; zero shuffles.
+    "l4e_bpe_bytes" -> ((s, d) => {
+      GF.register(s)
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat('é€', CAST(doc_id % 5 + 1 AS INT))")).as("btext"))
+        .select(col("doc_id"),
+          octet_length(regexp_replace(col("btext"), "\\s", ""))
+            .cast("long").as("n_bytes"),
+          GF.bpeCountBytes(col("btext"), BpeFixture.merges)
+            .as("n_bpe_tokens"))
+        .withColumn("n_merges", col("n_bytes") - col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "l5_text_quality" -> ((s, d) => {
       val toks = TF.wordTokens(col("text"))
       Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -2881,6 +2912,9 @@ object LlmOps extends QueryModule {
     // tokens; ratios quantized at 1e4 from integer sums. Plan: ONE
     // scan-stage pass (regex + bpe_count in codegen), a lang-keyed
     // partial+final aggregate — nothing else, at any corpus size.
+    // (r11: gained the BYTE-level columns — n_bytes / n_bpe_bytes /
+    // bytes_per_tok_q4 via bpe_count_bytes — since production budget
+    // planning is done in byte-level tokens; see l4e.)
     "l59_tokenizer_fertility" -> ((s, d) => {
       GF.register(s)
       Tables.documents(s, d)
@@ -2888,16 +2922,22 @@ object LlmOps extends QueryModule {
           size(TF.wordTokens(col("text"))).cast("long").as("w"),
           length(regexp_replace(col("text"), "\\s", "")).cast("long")
             .as("c"),
-          GF.bpeCount(col("text"), BpeFixture.merges).as("b"))
+          octet_length(regexp_replace(col("text"), "\\s", ""))
+            .cast("long").as("y"),
+          GF.bpeCount(col("text"), BpeFixture.merges).as("b"),
+          GF.bpeCountBytes(col("text"), BpeFixture.merges).as("bb"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
-          sum(col("c")).as("n_chars"), sum(col("b")).as("n_bpe"))
+          sum(col("c")).as("n_chars"), sum(col("y")).as("n_bytes"),
+          sum(col("b")).as("n_bpe"), sum(col("bb")).as("n_bpe_bytes"))
         .select(col("lang"), col("n_docs"), col("n_words"),
-          col("n_chars"), col("n_bpe"),
+          col("n_chars"), col("n_bytes"), col("n_bpe"), col("n_bpe_bytes"),
           floor(col("n_bpe").cast("double") / col("n_words") * 1e4 + 0.5)
             .cast("long").as("fertility_q4"),
           floor(col("n_chars").cast("double") / col("n_bpe") * 1e4 + 0.5)
-            .cast("long").as("chars_per_tok_q4"))
+            .cast("long").as("chars_per_tok_q4"),
+          floor(col("n_bytes").cast("double") / col("n_bpe_bytes") * 1e4 + 0.5)
+            .cast("long").as("bytes_per_tok_q4"))
         .orderBy(col("lang"))
     }),
 
@@ -3240,18 +3280,25 @@ object LlmOps extends QueryModule {
     * (count < 2 learns nothing, like real trainers).
     */
   private[graft] def bpeTrain(docs: DataFrame, textCol: org.apache.spark.sql.Column,
-      numMerges: Int): Seq[(String, String, Long)] = {
+      numMerges: Int, byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     GF.register(docs.sparkSession)
     val wordHist = docs
       .select(explode(GF.wsWords(textCol)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wn"))
       .localCheckpoint()
+    // byteLevel trains GPT-2 style: each round re-segments the word
+    // histogram with bpe_segment_bytes (initial alphabet = the word's
+    // UTF-8 bytes as Latin-1 symbols), so learned merges are byte-pair
+    // merges with byte fallback. The histogram itself is shared — a
+    // word is a word under either alphabet.
+    def seg(c: org.apache.spark.sql.Column, m: Seq[(String, String)]) =
+      if (byteLevel) GF.bpeSegmentBytes(c, m) else GF.bpeSegment(c, m)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     while (!done && learned.size < numMerges) {
       val merges = learned.map(m => (m._1, m._2)).toSeq
       val top = wordHist
-        .select(col("wn"), explode(GF.bpeSegment(col("word"), merges)).as("w"))
+        .select(col("wn"), explode(seg(col("word"), merges)).as("w"))
         .select(col("wn"), explode(arrays_zip(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
@@ -3668,28 +3715,38 @@ object LlmOps extends QueryModule {
         |FROM ex, z ORDER BY ex.source""".stripMargin,
 
     "l59_tokenizer_fertility" ->
-      // l4c's closed-form BPE identity summed per language; integer
-      // sums, ratios floored at 1e4
+      // l4c's closed-form BPE identity summed per language (and the
+      // byte-level identity via strlen — see l4e); integer sums,
+      // ratios floored at 1e4
       s"""WITH t AS (
          |  SELECT lang,
          |    CAST(len(list_filter(str_split(text, ' '), x -> len(x) > 0))
          |      AS BIGINT) AS w,
          |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
          |      AS c,
+         |    CAST(strlen(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS y,
          |    CAST(length(regexp_replace(text, '\\s', '', 'g'))
-         |      - ${BpeFixture.occSql("text")} AS BIGINT) AS b
+         |      - ${BpeFixture.occSql("text")} AS BIGINT) AS b,
+         |    CAST(strlen(regexp_replace(text, '\\s', '', 'g'))
+         |      - ${BpeFixture.occSql("text")} AS BIGINT) AS bb
          |  FROM documents),
          |a AS (
          |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |    CAST(SUM(w) AS BIGINT) AS n_words,
          |    CAST(SUM(c) AS BIGINT) AS n_chars,
-         |    CAST(SUM(b) AS BIGINT) AS n_bpe
+         |    CAST(SUM(y) AS BIGINT) AS n_bytes,
+         |    CAST(SUM(b) AS BIGINT) AS n_bpe,
+         |    CAST(SUM(bb) AS BIGINT) AS n_bpe_bytes
          |  FROM t GROUP BY lang)
-         |SELECT lang, n_docs, n_words, n_chars, n_bpe,
+         |SELECT lang, n_docs, n_words, n_chars, n_bytes, n_bpe,
+         |  n_bpe_bytes,
          |  CAST(floor(n_bpe / n_words * 1e4 + 0.5) AS BIGINT)
          |    AS fertility_q4,
          |  CAST(floor(n_chars / n_bpe * 1e4 + 0.5) AS BIGINT)
-         |    AS chars_per_tok_q4
+         |    AS chars_per_tok_q4,
+         |  CAST(floor(n_bytes / n_bpe_bytes * 1e4 + 0.5) AS BIGINT)
+         |    AS bytes_per_tok_q4
          |FROM a ORDER BY lang""".stripMargin,
 
     "l60_prototype_pruning" ->
@@ -3954,6 +4011,26 @@ object LlmOps extends QueryModule {
          |    CAST(${BpeFixture.occSql("text")} AS BIGINT) AS n_merges
          |  FROM documents WHERE doc_id < 300)
          |SELECT doc_id, n_chars, n_chars - n_merges AS n_bpe_tokens,
+         |  n_merges
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // l4e: the byte-level closed form — strlen() is DuckDB's BYTE
+    // length, the planted ' é€'-repeat suffix is reproduced verbatim,
+    // and the same ASCII disjoint-pair occurrence count applies (an
+    // ASCII pair cannot match inside a multi-byte UTF-8 sequence)
+    "l4e_bpe_bytes" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    text || ' ' || repeat('é€', CAST(doc_id % 5 + 1 AS INT))
+         |      AS btext
+         |  FROM documents WHERE doc_id < 300),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(strlen(regexp_replace(btext, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_bytes,
+         |    CAST(${BpeFixture.occSql("btext")} AS BIGINT) AS n_merges
+         |  FROM b)
+         |SELECT doc_id, n_bytes, n_bytes - n_merges AS n_bpe_tokens,
          |  n_merges
          |FROM t ORDER BY doc_id""".stripMargin,
 

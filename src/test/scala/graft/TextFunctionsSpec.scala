@@ -180,6 +180,117 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.size == 6, "fixture slice should support 6 merges")
   }
 
+  /** Independent BYTE-level BPE reference: initial alphabet = the
+    * word's UTF-8 bytes as Latin-1 one-char strings; same merge loop
+    * through the shared functional reference. Split on ASCII \s bytes
+    * (a continuation byte has the high bit set, so splitting the
+    * UTF-8 bytes of the string equals splitting chars for the \s
+    * class). */
+  private def refByteSyms(word: String): List[String] =
+    word.getBytes("UTF-8").toList.map(b => String.valueOf((b & 0xFF).toChar))
+
+  private def refSegmentWordBytes(word: String,
+      merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    @annotation.tailrec
+    def loop(syms: List[String]): List[String] = {
+      val present = syms.zip(syms.drop(1)).filter(rank.contains)
+      if (present.isEmpty) syms
+      else {
+        val best = present.minBy(rank)
+        def mergeAll(rest: List[String]): List[String] = rest match {
+          case l :: r :: tail if (l, r) == best => (l + r) :: mergeAll(tail)
+          case h :: tail => h :: mergeAll(tail)
+          case Nil => Nil
+        }
+        loop(mergeAll(syms))
+      }
+    }
+    loop(refByteSyms(word))
+  }
+
+  private def refBpeBytes(text: String, merges: Seq[(String, String)]): Long =
+    text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      .map(refSegmentWordBytes(_, merges).length.toLong).sum
+
+  test("bpe_count_bytes: byte fallback matches the independent byte-level reference") {
+    import graft.functions.BpeCore
+    import org.apache.spark.unsafe.types.UTF8String
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "r",
+      // a LEARNED multi-byte merge: 'é' is bytes 0xC3 0xA9 — merging
+      // them back into one symbol is exactly GPT-2's byte-pair path
+      "Ã" -> "©")
+    val ranks = BpeCore.buildRanks(merges)
+    val cases = Seq(
+      "the ther", "café", "éé", "€", "naïve café themes",
+      "😀 the 😀😀", "", "x", "élan vital")
+    cases.foreach { s =>
+      val got = BpeCore.countTokensBytes(UTF8String.fromString(s), ranks)
+      assert(got == refBpeBytes(s, merges), s"mismatch on '$s'")
+    }
+    // byte fallback = no OOV: with an EMPTY merges table every word
+    // tokenizes to exactly its UTF-8 byte count
+    val empty = BpeCore.buildRanks(Seq.empty)
+    Seq("café", "😀", "a€b").foreach { s =>
+      assert(BpeCore.countTokensBytes(UTF8String.fromString(s), empty) ==
+        s.getBytes("UTF-8").length)
+    }
+    // and ASCII-only inputs agree with the char-level kernel under an
+    // ASCII merges table (the alphabets coincide)
+    val asciiRanks = BpeCore.buildRanks(Seq("t" -> "h", "e" -> "r"))
+    Seq("the thermal truth", "er er er", "abc").foreach { s =>
+      assert(BpeCore.countTokensBytes(UTF8String.fromString(s), asciiRanks) ==
+        BpeCore.countTokens(UTF8String.fromString(s), asciiRanks))
+    }
+  }
+
+  test("bpe_segment_bytes keeps word boundaries; byte-level training equals the reference") {
+    import graft.functions.{GraftFunctions => GF}
+    import graft.ops.LlmOps
+    GF.register(spark)
+    val merges = Seq("Ã" -> "©") // é = 0xC3 0xA9
+    val out = Seq((1L, "café x")).toDF("id", "text")
+      .select(GF.bpeSegmentBytes($"text", merges).as("w"))
+      .collect().head.getSeq[scala.collection.Seq[String]](0)
+    assert(out.map(_.toList).toList ==
+      List(List("c", "a", "f", "Ã©"), List("x")))
+
+    // byte-level training on a multi-byte corpus: the hot pair is the
+    // é byte pair itself (3 occurrences), learned FIRST — the reference
+    // trainer re-derives it independently
+    def refTrainBytes(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      var learned = Vector.empty[(String, String, Long)]
+      var done = false
+      while (!done && learned.size < k) {
+        val m = learned.map(x => (x._1, x._2))
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for (t <- texts; w <- t.split("\\s+") if w.nonEmpty) {
+          val syms = refSegmentWordBytes(w, m)
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + 1)
+        }
+        val cands = counts.filter(_._2 >= 2)
+        if (cands.isEmpty) done = true
+        else {
+          // most frequent, lexicographic tie-break — match bpeTrain
+          val best = cands.minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+          learned :+= ((best._1._1, best._1._2, best._2))
+        }
+      }
+      learned
+    }
+    val corpus = Seq("café café", "café the", "the the")
+    val got = LlmOps.bpeTrain(corpus.toDF("text"), col("text"), 4,
+      byteLevel = true)
+    val want = refTrainBytes(corpus, 4)
+    assert(got == want, s"got=$got want=$want")
+    // the learned merges absorb é's TWO bytes into one symbol (via the
+    // chain a+f → af+Ã → afÃ+© → c+afÃ©): segmenting 'café' under them
+    // yields a single token whose symbol is the 5-byte Latin-1 string
+    assert(refSegmentWordBytes("café", got.map(m => (m._1, m._2))) ==
+      List("cafÃ©"), s"é bytes not merged: $got")
+  }
+
   test("bpe_count evaluates identically in codegen and in a DataFrame plan") {
     import graft.functions.{GraftFunctions => GF}
     GF.register(spark)
