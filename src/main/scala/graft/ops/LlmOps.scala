@@ -2371,6 +2371,78 @@ object LlmOps extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // L68: TRAINED multinomial Naive Bayes quality classifier — the
+    // trained form of the quality scorer (l30 is a lexicon tagger whose
+    // Scaladoc names fastText as the production shape; the CCNet/GPT-3
+    // pipelines train a linear classifier with a "looks like wiki/books"
+    // positive class and score the whole corpus). Weak labels are
+    // src-derived: pos ⇔ source ∈ {src0, src1} (the 10% "curated
+    // anchor" slice). Training is ONE word-keyed count aggregate
+    // (per-class token counts); Laplace(+1) smoothing; all
+    // log-likelihoods are INTEGER-quantized at 1e6 (the l25/l41 parity
+    // pattern — floor(ln(integer)·1e6 + 0.5), so Spark and DuckDB
+    // round the same ln of the same integer), and the decision value
+    // is a pure INTEGER:
+    //   score_q6 = Σ_tok [qln(c1(w)+1) − qln(c0(w)+1)]
+    //            + n_toks·[qln(N0+V) − qln(N1+V)] + qln(nd1) − qln(nd0)
+    // which is exactly 1e6·[log p(doc|pos)p(pos) − log p(doc|neg)p(neg)]
+    // under the quantization. pred_hi = score_q6 > 0. Plan at 100 TB:
+    // model = one word-keyed shuffle (vocab-sized, Zipf-bounded);
+    // corpus stats = two 1-row aggregates (bounded driver state);
+    // scoring = token→model join on the word key + doc-keyed rollup —
+    // the l25 shape with a second count column. Every doc survives via
+    // the left join (a token-less doc scores the prior alone).
+    //
+    // The synthetic corpus draws every source from the SAME vocabulary
+    // (measured: all-False predictions — a signal-free fixture), so the
+    // query PLANTS the class signal, like l26/l65 plant ground truth:
+    // positive docs gain 1–3 deterministic ' qualityanchor' marker
+    // tokens. The trained model must REDISCOVER the marker from counts
+    // alone (nothing tells the scorer which token matters) — and
+    // ScaleShapeSpec asserts the learned separation.
+    "l68_nb_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          col("source").isin("src0", "src1").as("pos"))
+        .withColumn("btext",
+          when(col("pos"), concat(col("text"),
+            expr("repeat(' qualityanchor', CAST(doc_id % 3 + 1 AS INT))")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), col("pos"),
+          TF.wordTokens(col("btext")).as("toks"))
+      val toks = docs.select(col("doc_id"), col("pos"),
+        explode(col("toks")).as("w"))
+      def qln(c: org.apache.spark.sql.Column) =
+        floor(log(c) * 1e6 + 0.5).cast("long")
+      val model = toks.groupBy(col("w")).agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("c0"))
+        .select(col("w"), (qln(col("c1") + 1) - qln(col("c0") + 1)).as("wq"))
+      val hdr = toks.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n0"),
+        countDistinct(col("w")).as("v")).head
+      val dh = docs.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("nd1"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nd0")).head
+      def qlnL(x: Long): Long =
+        math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+      val v = hdr.getLong(2)
+      val cdiff = qlnL(hdr.getLong(1) + v) - qlnL(hdr.getLong(0) + v)
+      val prior = qlnL(dh.getLong(0)) - qlnL(dh.getLong(1))
+      val sc = toks.join(model, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("wq")).as("sw"))
+      docs.select(col("doc_id"), col("pos")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          (coalesce(col("sw"), lit(0L)) +
+            coalesce(col("n_toks"), lit(0L)) * cdiff + prior)
+            .as("score_q6"))
+        .withColumn("pred_hi", col("score_q6") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // L43: n-gram NOVELTY scoring — the uniqueness signal dual to the
     // dedup family: for each doc, the fraction of its distinct
     // 3-shingles that appear NOWHERE else in the corpus (df = 1).
@@ -4660,6 +4732,58 @@ object LlmOps extends QueryModule {
         |SELECT train_id, COUNT(*) AS n_bench_hits, MAX(jq6) AS max_jq6
         |FROM scored WHERE jq6 >= 10000
         |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    // l68: the full NB train-and-score re-derived from scratch — same
+    // weak labels, same Laplace smoothing, same 1e6 integer
+    // quantization of ln over the same integers, so the decision value
+    // is bit-equal end to end (the only doubles are ln(integer) terms
+    // that both engines floor at 1e6 — the l25 determinism argument)
+    "l68_nb_quality" ->
+      """WITH docs AS (
+        |  SELECT doc_id, (source IN ('src0', 'src1')) AS pos,
+        |    list_filter(str_split(
+        |      CASE WHEN source IN ('src0', 'src1')
+        |        THEN text || repeat(' qualityanchor',
+        |          CAST(doc_id % 3 + 1 AS INT))
+        |        ELSE text END, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(toks) AS w FROM docs),
+        |model AS (
+        |  SELECT w,
+        |    CAST(floor(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+        |      * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1)
+        |      * 1e6 + 0.5) AS BIGINT) AS wq
+        |  FROM toks GROUP BY w),
+        |hdr AS (
+        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n0,
+        |    COUNT(DISTINCT w) AS v
+        |  FROM toks),
+        |dh AS (
+        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS nd1,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nd0
+        |  FROM docs),
+        |consts AS (
+        |  SELECT
+        |    CAST(floor(ln(n0 + v) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(n1 + v) * 1e6 + 0.5) AS BIGINT) AS cdiff,
+        |    CAST(floor(ln(nd1) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(nd0) * 1e6 + 0.5) AS BIGINT) AS prior
+        |  FROM hdr, dh),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    CAST(SUM(wq) AS BIGINT) AS sw
+        |  FROM toks JOIN model USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, d.pos,
+        |  CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_toks,
+        |  CAST(COALESCE(sc.sw, 0) + COALESCE(sc.n_toks, 0) * c.cdiff
+        |    + c.prior AS BIGINT) AS score_q6,
+        |  (COALESCE(sc.sw, 0) + COALESCE(sc.n_toks, 0) * c.cdiff
+        |    + c.prior) > 0 AS pred_hi
+        |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |CROSS JOIN consts c
+        |ORDER BY d.doc_id""".stripMargin,
 
     "l25_unigram_logprob" ->
       """WITH toks AS (

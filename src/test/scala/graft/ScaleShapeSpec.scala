@@ -738,6 +738,31 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("l68 trained NB rediscovers the planted class signal from counts alone (r11)") {
+    val df = ops.LlmOps.queries("l68_nb_quality")(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // nothing tells the scorer which token matters: the separation
+    // below exists only if training actually learned the anchor's
+    // per-class count asymmetry. Zero false positives (neg docs carry
+    // no anchor and the prior is negative); ≥90% recall on pos (a
+    // single-anchor doc can sit near the boundary at tiny SFs).
+    val (pos, neg) = rows.partition(_._1)
+    assert(neg.nonEmpty && pos.nonEmpty)
+    assert(neg.forall(!_._4), "false positive: a neg doc predicted hi")
+    val recall = pos.count(_._4).toDouble / pos.length
+    assert(recall >= 0.9, s"pos recall $recall < 0.9")
+    // decision values are pure integers; the score actually separates
+    // in aggregate, not just at the threshold
+    assert(pos.map(_._3).sum / pos.length > neg.map(_._3).sum / neg.length)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // scoring joins token→model on the WORD key (vocab-sized, shuffle-
+    // able) — never a doc×vocab nested loop
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("w#")), plan.take(3000))
+  }
+
   test("l62 FIM split is a pure scan-stage projection — no hash Exchange, no join") {
     val plan = ops.LlmOps.queries("l62_fim_split")(spark, sf)
       .queryExecution.executedPlan.toString
