@@ -159,6 +159,10 @@ object GraftFunctions {
     (FunctionIdentifier("st_union"),
       new ExpressionInfo(classOf[StUnionExpression].getName, "st_union"),
       (e: Seq[Expression]) => StUnionExpression(e(0), e(1))),
+    (FunctionIdentifier("st_difference"),
+      new ExpressionInfo(classOf[StDifferenceExpression].getName,
+        "st_difference"),
+      (e: Seq[Expression]) => StDifferenceExpression(e(0), e(1))),
     (FunctionIdentifier("st_buffer"),
       new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
       (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),
@@ -267,6 +271,8 @@ object GraftFunctions {
     call_function("st_intersection", aWkt, bWkt)
   def stUnion(aWkt: Column, bWkt: Column): Column =
     call_function("st_union", aWkt, bWkt)
+  def stDifference(aWkt: Column, bWkt: Column): Column =
+    call_function("st_difference", aWkt, bWkt)
   def stBuffer(polyWkt: Column, d: Column): Column =
     call_function("st_buffer", polyWkt, d)
 }

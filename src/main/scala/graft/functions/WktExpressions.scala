@@ -302,7 +302,17 @@ object WktCore {
     * left-associated sum) so an oracle can mirror the arithmetic
     * operation-for-operation. */
   def area(poly: UTF8String): Double = {
-    val c = polygonCoords(poly)
+    val t0 = poly.toString.trim
+    // general-tier outputs: EMPTY has zero area (Trino's ST_Area
+    // convention); a MULTIPOLYGON's area is the sum over components
+    // (valid: general-tier components have disjoint interiors)
+    if (t0.regionMatches(true, 0, "POLYGON EMPTY", 0, 13)) return 0.0
+    if (t0.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+      return parseMultiRings(t0).map(ringArea).sum
+    ringArea(polygonCoords(poly))
+  }
+
+  private def ringArea(c: Array[Double]): Double = {
     val n = c.length / 2
     var s = 0.0
     var i = 0
@@ -312,6 +322,39 @@ object WktCore {
       i += 1
     }
     math.abs(s) / 2
+  }
+
+  /** Parse `MULTIPOLYGON (((x y, …)), ((…)))` (hole-free components,
+    * the general tier's own output form) into per-component rings. */
+  private def parseMultiRings(t: String): Array[Array[Double]] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val outer = t.indexOf('(')
+    require(outer >= 0, s"bad MULTIPOLYGON syntax: $t")
+    // component rings are "((body))" groups INSIDE the outer paren
+    var i = t.indexOf("((", outer + 1)
+    while (i >= 0) {
+      val close = t.indexOf("))", i + 2)
+      require(close > i, s"bad MULTIPOLYGON component syntax: $t")
+      val body = t.substring(i + 2, close)
+      val parts = body.split(',')
+      require(parts.length >= 3, s"MULTIPOLYGON ring needs >= 3 vertices")
+      val c = new Array[Double](parts.length * 2)
+      var k = 0
+      while (k < parts.length) {
+        val p = parts(k).trim
+        val sp = p.indexOf(' ')
+        require(sp > 0, s"bad MULTIPOLYGON vertex '$p'")
+        c(2 * k) = java.lang.Double.parseDouble(p.substring(0, sp))
+        c(2 * k + 1) = java.lang.Double.parseDouble(p.substring(sp + 1).trim)
+        k += 1
+      }
+      val n = parts.length
+      out += (if (n > 3 && c(0) == c(2 * (n - 1)) && c(1) == c(2 * n - 1))
+        java.util.Arrays.copyOf(c, 2 * (n - 1)) else c)
+      i = t.indexOf("((", close + 2)
+    }
+    require(out.nonEmpty, s"empty MULTIPOLYGON: $t")
+    out.toArray
   }
 
   /** Codegen entry: shoelace-weighted polygon centroid (idx 0 = x,
@@ -508,6 +551,314 @@ object WktCore {
     else cur
   }
 
+  // ---- general (concave) clipping tier (r10 verdict missing #1) --------
+  // Arc-stitching clipper in the Greiner–Hormann family (Greiner &
+  // Hormann 1998, "Efficient clipping of arbitrary polygons"): both
+  // SIMPLE CCW rings are cut at their proper transversal crossings into
+  // arcs; each arc is classified inside/outside the other ring by one
+  // point-in-polygon test of its first sub-segment midpoint (strictly
+  // off the other boundary, by transversality); the result boundary is
+  // the stitched selection
+  //   ∩ : A-arcs inside  B  (forward) + B-arcs inside  A (forward)
+  //   ∪ : A-arcs outside B  (forward) + B-arcs outside A (forward)
+  //   − : A-arcs outside B  (forward) + B-arcs inside  A (REVERSED)
+  // At every transversal crossing exactly one selected arc leaves and
+  // one arrives, so rings assemble by following start→end links;
+  // multiple result components fall out naturally (MULTIPOLYGON).
+  // Scope, loud otherwise: hole-free SIMPLE inputs, transversal-or-
+  // separated contact (any vertex-on-edge / collinear-overlap contact
+  // throws), hole-free results (a CW result ring — a hole, e.g.
+  // B strictly inside A under difference, or a union enclosing a void —
+  // throws). Exactness: crossing coordinates are the one t-division;
+  // with dyadic axis-parallel fixture edges they are exact in IEEE.
+
+  private def isConvexRing(c: Array[Double]): Boolean = {
+    if (signedArea2(c) == 0) return false
+    val n = c.length / 2
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val k = if (j + 1 == n) 0 else j + 1
+      val cr = (c(2 * j) - c(2 * i)) * (c(2 * k + 1) - c(2 * j + 1)) -
+        (c(2 * j + 1) - c(2 * i + 1)) * (c(2 * k) - c(2 * j))
+      if (cr < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Loud simple-ring validation for the general tier: non-adjacent
+    * edges must not touch at all (the convex tier's turn test subsumed
+    * this; a concave ring needs the O(n²) pair check). */
+  private def requireSimple(c: Array[Double], op: String): Unit = {
+    require(signedArea2(c) != 0, s"$op: degenerate zero-area ring")
+    val n = c.length / 2
+    var i = 0
+    while (i < n) {
+      val i2 = if (i + 1 == n) 0 else i + 1
+      var j = i + 1
+      while (j < n) {
+        val j2 = if (j + 1 == n) 0 else j + 1
+        val adjacent = i2 == j || j2 == i
+        if (!adjacent && segIntersect(c(2 * i), c(2 * i + 1),
+            c(2 * i2), c(2 * i2 + 1),
+            c(2 * j), c(2 * j + 1), c(2 * j2), c(2 * j2 + 1)))
+          throw new IllegalArgumentException(
+            s"$op: self-intersecting ring (edges $i and $j) - " +
+              "simple polygons only")
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Result rings of op ∈ {0 = ∩, 1 = ∪, 2 = A−B} over two simple CCW
+    * rings — the general tier described above. */
+  private def generalClip(ca: Array[Double], cb: Array[Double], op: Int,
+      name: String): Array[Array[Double]] = {
+    requireSimple(ca, name)
+    requireSimple(cb, name)
+    val na = ca.length / 2; val nb = cb.length / 2
+    val crossX = new scala.collection.mutable.ArrayBuffer[Double]()
+    val crossY = new scala.collection.mutable.ArrayBuffer[Double]()
+    val perEdgeA = Array.fill(na)(
+      new scala.collection.mutable.ArrayBuffer[(Double, Int)]())
+    val perEdgeB = Array.fill(nb)(
+      new scala.collection.mutable.ArrayBuffer[(Double, Int)]())
+    @inline def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    @inline def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Boolean =
+      rx >= math.min(px, qx) && rx <= math.max(px, qx) &&
+        ry >= math.min(py, qy) && ry <= math.max(py, qy)
+    var ia = 0
+    while (ia < na) {
+      val a2 = if (ia + 1 == na) 0 else ia + 1
+      val px = ca(2 * ia); val py = ca(2 * ia + 1)
+      val qx = ca(2 * a2); val qy = ca(2 * a2 + 1)
+      var ib = 0
+      while (ib < nb) {
+        val b2 = if (ib + 1 == nb) 0 else ib + 1
+        val rx = cb(2 * ib); val ry = cb(2 * ib + 1)
+        val sx = cb(2 * b2); val sy = cb(2 * b2 + 1)
+        val d1 = orient(rx, ry, sx, sy, px, py)
+        val d2 = orient(rx, ry, sx, sy, qx, qy)
+        val d3 = orient(px, py, qx, qy, rx, ry)
+        val d4 = orient(px, py, qx, qy, sx, sy)
+        if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+            ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) {
+          // proper transversal crossing; ONE t-division, shared by both
+          // rings so node identity is exact
+          val den = (qx - px) * (sy - ry) - (qy - py) * (sx - rx)
+          val t = ((rx - px) * (sy - ry) - (ry - py) * (sx - rx)) / den
+          val u = ((rx - px) * (qy - py) - (ry - py) * (qx - px)) / den
+          val id = crossX.length
+          crossX += px + t * (qx - px)
+          crossY += py + t * (qy - py)
+          perEdgeA(ia) += ((t, id))
+          perEdgeB(ib) += ((u, id))
+        } else if ((d1 == 0 && onSeg(rx, ry, sx, sy, px, py)) ||
+            (d2 == 0 && onSeg(rx, ry, sx, sy, qx, qy)) ||
+            (d3 == 0 && onSeg(px, py, qx, qy, rx, ry)) ||
+            (d4 == 0 && onSeg(px, py, qx, qy, sx, sy))) {
+          throw new IllegalArgumentException(
+            s"$name: non-transversal boundary contact (vertex-on-edge " +
+              "or collinear overlap) - the general tier supports " +
+              "transversal-or-separated inputs only")
+        }
+        ib += 1
+      }
+      ia += 1
+    }
+    if (crossX.isEmpty) {
+      // separated boundaries: containment or disjoint
+      val bInA = containsPoly(ca, cb)
+      val aInB = containsPoly(cb, ca)
+      return op match {
+        case 0 =>
+          if (bInA) Array(cb) else if (aInB) Array(ca)
+          else Array.empty[Array[Double]]
+        case 1 =>
+          if (bInA) Array(ca) else if (aInB) Array(cb)
+          else Array(ca, cb) // disjoint → MULTIPOLYGON
+        case _ =>
+          if (aInB) Array.empty[Array[Double]]
+          else if (bInA) throw new IllegalArgumentException(
+            s"$name: B strictly inside A - the result has a hole, " +
+              "outside the hole-free scope")
+          else Array(ca)
+      }
+    }
+    // node rings: vertices (id -1) + crossings in edge order
+    def nodes(c: Array[Double], perEdge: Array[
+        scala.collection.mutable.ArrayBuffer[(Double, Int)]])
+        : (Array[Double], Array[Double], Array[Int]) = {
+      val xs = new scala.collection.mutable.ArrayBuffer[Double]()
+      val ys = new scala.collection.mutable.ArrayBuffer[Double]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Int]()
+      val n = c.length / 2
+      var i = 0
+      while (i < n) {
+        xs += c(2 * i); ys += c(2 * i + 1); ids += -1
+        perEdge(i).sortBy(_._1).foreach { case (_, id) =>
+          xs += crossX(id); ys += crossY(id); ids += id
+        }
+        i += 1
+      }
+      (xs.toArray, ys.toArray, ids.toArray)
+    }
+    // arcs between consecutive crossings: points = [crossing, interior
+    // vertices...]; endId closes at the NEXT crossing (its point belongs
+    // to the next arc). insideOther via the first sub-segment midpoint.
+    final case class Arc(startId: Int, endId: Int, xs: Array[Double],
+      ys: Array[Double], inside: Boolean)
+    def arcsOf(nx: Array[Double], ny: Array[Double], nid: Array[Int],
+        other: Array[Double]): Array[Arc] = {
+      val n = nx.length
+      val crossPos = (0 until n).filter(nid(_) >= 0)
+      require(crossPos.size >= 2, s"$name: internal - lone crossing")
+      val out = new scala.collection.mutable.ArrayBuffer[Arc]()
+      var k = 0
+      while (k < crossPos.size) {
+        val s = crossPos(k)
+        val e = crossPos(if (k + 1 == crossPos.size) 0 else k + 1)
+        val xs = new scala.collection.mutable.ArrayBuffer[Double]()
+        val ys = new scala.collection.mutable.ArrayBuffer[Double]()
+        var p = s
+        var first = true
+        while (first || nid(p) < 0) {
+          xs += nx(p); ys += ny(p)
+          first = false
+          p = if (p + 1 == n) 0 else p + 1
+        }
+        val mx = (xs(0) + nx(if (s + 1 == n) 0 else s + 1)) / 2
+        val my = (ys(0) + ny(if (s + 1 == n) 0 else s + 1)) / 2
+        out += Arc(nid(s), nid(p), xs.toArray, ys.toArray,
+          contains(other, mx, my))
+        k += 1
+      }
+      out.toArray
+    }
+    val (axx, ayy, aids) = nodes(ca, perEdgeA)
+    val (bxx, byy, bids) = nodes(cb, perEdgeB)
+    val arcsA = arcsOf(axx, ayy, aids, cb)
+    val arcsB = arcsOf(bxx, byy, bids, ca)
+    // select and orient per op
+    final case class SArc(startId: Int, endId: Int, xs: Array[Double],
+      ys: Array[Double])
+    val sel = new scala.collection.mutable.ArrayBuffer[SArc]()
+    arcsA.foreach { a =>
+      val keep = if (op == 0) a.inside else !a.inside
+      if (keep) sel += SArc(a.startId, a.endId, a.xs, a.ys)
+    }
+    arcsB.foreach { a =>
+      val keep = if (op == 1) !a.inside else a.inside
+      if (keep) {
+        if (op == 2) {
+          // reversed: runs endId → startId; points = [end crossing,
+          // interior vertices reversed] (start crossing point belongs
+          // to the next arc of the walk)
+          val m = a.xs.length
+          val xs = new Array[Double](m)
+          val ys = new Array[Double](m)
+          xs(0) = crossX(a.endId); ys(0) = crossY(a.endId)
+          var i = 1
+          while (i < m) {
+            xs(i) = a.xs(m - i); ys(i) = a.ys(m - i)
+            i += 1
+          }
+          sel += SArc(a.endId, a.startId, xs, ys)
+        } else sel += SArc(a.startId, a.endId, a.xs, a.ys)
+      }
+    }
+    if (sel.isEmpty) return Array.empty[Array[Double]]
+    val byStart = new java.util.HashMap[Integer, Integer]()
+    sel.zipWithIndex.foreach { case (a, i) =>
+      require(byStart.put(Integer.valueOf(a.startId),
+          Integer.valueOf(i)) == null,
+        s"$name: ambiguous stitch at a crossing - degenerate input")
+    }
+    val used = new Array[Boolean](sel.length)
+    val rings = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var i0 = 0
+    while (i0 < sel.length) {
+      if (!used(i0)) {
+        val pts = new scala.collection.mutable.ArrayBuffer[Double]()
+        var i = i0
+        var guard = 0
+        var closed = false
+        while (!closed) {
+          require(guard <= sel.length,
+            s"$name: stitch walk did not close - degenerate input")
+          guard += 1
+          used(i) = true
+          val a = sel(i)
+          var k = 0
+          while (k < a.xs.length) {
+            pts += a.xs(k); pts += a.ys(k); k += 1
+          }
+          val nxt = byStart.get(Integer.valueOf(a.endId))
+          require(nxt != null,
+            s"$name: open boundary at a crossing - degenerate input")
+          i = nxt.intValue()
+          closed = i == i0
+        }
+        val ring = pts.toArray
+        require(ring.length >= 6, s"$name: degenerate result ring")
+        require(signedArea2(ring) > 0,
+          s"$name: result contains a hole (CW ring) - the hole-free " +
+            "scope cannot represent it")
+        rings += ring
+      }
+      i0 += 1
+    }
+    rings.toArray
+  }
+
+  /** Rotate a ring to start at its lexicographically smallest vertex —
+    * a canonical form so general-tier WKT output is independent of
+    * crossing discovery order. */
+  private def canonRing(c: Array[Double]): Array[Double] = {
+    val n = c.length / 2
+    var best = 0
+    var i = 1
+    while (i < n) {
+      if (c(2 * i) < c(2 * best) ||
+          (c(2 * i) == c(2 * best) && c(2 * i + 1) < c(2 * best + 1)))
+        best = i
+      i += 1
+    }
+    if (best == 0) c
+    else {
+      val out = new Array[Double](c.length)
+      i = 0
+      while (i < n) {
+        val j = (best + i) % n
+        out(2 * i) = c(2 * j); out(2 * i + 1) = c(2 * j + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** POLYGON / MULTIPOLYGON / POLYGON EMPTY rendering of general-tier
+    * results; rings canonically rotated and sorted for determinism. */
+  private def fmtGeom(rings0: Array[Array[Double]]): String =
+    if (rings0.isEmpty) "POLYGON EMPTY"
+    else if (rings0.length == 1) fmtRing(canonRing(rings0(0)))
+    else {
+      val rings = rings0.map(canonRing).sortBy(c => (c(0), c(1)))
+      val sb = new java.lang.StringBuilder("MULTIPOLYGON (")
+      var r = 0
+      while (r < rings.length) {
+        if (r > 0) sb.append(", ")
+        sb.append("((").append(ringBody(rings(r))).append("))")
+        r += 1
+      }
+      sb.append(')').toString
+    }
+
   // Double.toString switches to scientific notation outside
   // [1e-3, 1e7), which is not valid WKT for downstream consumers
   // (Trino/JTS/DuckDB-spatial); render those exactly in plain notation
@@ -519,21 +870,23 @@ object WktCore {
     else new java.math.BigDecimal(s).toPlainString
   }
 
+  private def ringBody(c: Array[Double]): String = {
+    val sb = new java.lang.StringBuilder()
+    val n = c.length / 2
+    var i = 0
+    while (i <= n) {
+      val k = if (i == n) 0 else i  // WKT closes the ring
+      if (i > 0) sb.append(", ")
+      sb.append(fmtCoord(c(2 * k))).append(' ')
+        .append(fmtCoord(c(2 * k + 1)))
+      i += 1
+    }
+    sb.toString
+  }
+
   private def fmtRing(c: Array[Double]): String =
     if (c.isEmpty) "POLYGON EMPTY"
-    else {
-      val sb = new java.lang.StringBuilder("POLYGON ((")
-      val n = c.length / 2
-      var i = 0
-      while (i <= n) {
-        val k = if (i == n) 0 else i  // WKT closes the ring
-        if (i > 0) sb.append(", ")
-        sb.append(fmtCoord(c(2 * k))).append(' ')
-          .append(fmtCoord(c(2 * k + 1)))
-        i += 1
-      }
-      sb.append("))").toString
-    }
+    else "POLYGON ((" + ringBody(c) + "))"
 
   /** Codegen entry: st_intersection(aWkt, bWkt) — convex ∩ convex via
     * Sutherland–Hodgman; "POLYGON EMPTY" when the AREAL intersection is
@@ -542,9 +895,15 @@ object WktCore {
   def intersectionWkt(a: UTF8String, b: UTF8String): UTF8String = {
     val ca = toCcw(polygonCoords(a))
     val cb = toCcw(polygonCoordsB(b))
-    requireConvex(ca, "st_intersection")
-    requireConvex(cb, "st_intersection")
-    UTF8String.fromString(fmtRing(clipConvex(ca, cb)))
+    // convex pairs keep the Sutherland–Hodgman fast path (it also
+    // tolerates tangency, which the general tier rejects loudly);
+    // a concave side dispatches to the general arc-stitching tier —
+    // possibly a MULTIPOLYGON result
+    if (isConvexRing(ca) && isConvexRing(cb))
+      UTF8String.fromString(fmtRing(clipConvex(ca, cb)))
+    else
+      UTF8String.fromString(fmtGeom(
+        generalClip(ca, cb, 0, "st_intersection")))
   }
 
   /** Codegen entry: st_union(aWkt, bWkt) — single-component union of
@@ -555,13 +914,17 @@ object WktCore {
   def unionWkt(a: UTF8String, b: UTF8String): UTF8String = {
     val ca = toCcw(polygonCoords(a))
     val cb = toCcw(polygonCoordsB(b))
-    requireConvex(ca, "st_union")
-    requireConvex(cb, "st_union")
+    // a concave side dispatches to the general tier; convex pairs keep
+    // the crossing-switch walk below (bit-identical output to r10)
+    if (!isConvexRing(ca) || !isConvexRing(cb))
+      return UTF8String.fromString(fmtGeom(
+        generalClip(ca, cb, 1, "st_union")))
     if (containsPoly(ca, cb)) return UTF8String.fromString(fmtRing(ca))
     if (containsPoly(cb, ca)) return UTF8String.fromString(fmtRing(cb))
-    require(intersects(ca, cb),
-      "st_union: disjoint polygons produce a MULTIPOLYGON - " +
-        "single-component unions only")
+    // disjoint convex pair: a two-component MULTIPOLYGON (r10 threw
+    // loudly here; the general tier's renderer now represents it)
+    if (!intersects(ca, cb))
+      return UTF8String.fromString(fmtGeom(Array(ca, cb)))
     // augmented rings: vertices + transversal crossings, crossings
     // computed ONCE per edge pair so both rings hold bit-identical
     // coordinates and node identity is exact
@@ -664,6 +1027,17 @@ object WktCore {
       flat(2 * i2) = outX(i2); flat(2 * i2 + 1) = outY(i2); i2 += 1
     }
     UTF8String.fromString(fmtRing(flat))
+  }
+
+  /** Codegen entry: st_difference(aWkt, bWkt) — A minus B through the
+    * general arc-stitching tier (works for convex and concave inputs
+    * alike; A-arcs outside B stitched with B-arcs inside A reversed).
+    * "POLYGON EMPTY" when A ⊆ B; loud when B sits strictly inside A
+    * (the result would carry a hole) or on non-transversal contact. */
+  def differenceWkt(a: UTF8String, b: UTF8String): UTF8String = {
+    val ca = toCcw(polygonCoords(a))
+    val cb = toCcw(polygonCoordsB(b))
+    UTF8String.fromString(fmtGeom(generalClip(ca, cb, 2, "st_difference")))
   }
 
   /** Codegen entry: st_buffer(polyWkt, d) — MITER-join outward offset of
@@ -977,6 +1351,28 @@ case class StUnionExpression(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StUnionExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_difference(a_wkt, b_wkt)` → POLYGON/MULTIPOLYGON WKT (general
+  * arc-stitching tier; hole-free transversal-or-separated scope, loud
+  * otherwise — a B strictly inside A would punch a hole). */
+case class StDifferenceExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_difference"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.differenceWkt(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.differenceWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StDifferenceExpression =
     copy(left = newLeft, right = newRight)
 }
 

@@ -848,7 +848,10 @@ object Etl extends QueryModule {
           |  CAST(floor(ST_Area(ST_Union(ST_GeometryFromText(ra),
           |    ST_GeometryFromText(rb))) * 1e6 + 0.5) AS BIGINT) AS uni_q6,
           |  CAST(floor(ST_Area(ST_Buffer(ST_GeometryFromText(ra), 1.25))
-          |    * 1e6 + 0.5) AS BIGINT) AS buf_q6
+          |    * 1e6 + 0.5) AS BIGINT) AS buf_q6,
+          |  CAST(floor(ST_Area(ST_Difference(ST_GeometryFromText(ra),
+          |    ST_GeometryFromText(rb))) * 1e6 + 0.5) AS BIGINT)
+          |    AS dif_q6
           |FROM w ORDER BY k""".stripMargin)
     }),
 
@@ -1842,7 +1845,9 @@ object Etl extends QueryModule {
         |  CAST(floor((8 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
         |    AS BIGINT) AS uni_q6,
         |  CAST(floor((2 * hw + 2.5) * (2 * hh + 2.5) * 1e6 + 0.5)
-        |    AS BIGINT) AS buf_q6
+        |    AS BIGINT) AS buf_q6,
+        |  CAST(floor((4 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
+        |    AS BIGINT) AS dif_q6
         |FROM g ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->

@@ -257,17 +257,17 @@ class WktSpec extends SparkSpec {
     assert(WktCore.area(u(buf)) == 4.0, buf)
     assert(WktCore.envBound(u(buf), 0) == -0.5 &&
       WktCore.envBound(u(buf), 2) == 1.5)
-    // loud scoping: concave input
+    // (r11) a concave input no longer throws — it dispatches to the
+    // general tier; non-transversal contact there is loud instead
     val concave = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
     val e1 = intercept[IllegalArgumentException] {
-      WktCore.intersectionWkt(u(concave), u(unitSq))
+      WktCore.intersectionWkt(u(concave), u(unitSq)) // shared (0,0) vertex
     }
-    assert(e1.getMessage.contains("CONVEX"), e1.getMessage)
-    // loud scoping: disjoint union (a MULTIPOLYGON result)
-    val e2 = intercept[IllegalArgumentException] {
-      WktCore.unionWkt(u(unitSq), u(far))
-    }
-    assert(e2.getMessage.contains("MULTIPOLYGON"), e2.getMessage)
+    assert(e1.getMessage.contains("transversal"), e1.getMessage)
+    // (r11) disjoint union is now a two-component MULTIPOLYGON
+    val duni = WktCore.unionWkt(u(unitSq), u(far)).toString
+    assert(duni.startsWith("MULTIPOLYGON"), duni)
+    assert(WktCore.area(u(duni)) == 2.0, duni)
     // loud scoping: negative buffer distance
     val e3 = intercept[IllegalArgumentException] {
       WktCore.bufferWkt(u(unitSq), -1.0)
@@ -310,5 +310,69 @@ class WktSpec extends SparkSpec {
     val farBuf = WktCore.bufferWkt(u(farRect), 0.0).toString
     assert(!farBuf.contains("E"), farBuf)
     assert(farBuf.contains("10000000"), farBuf)
+  }
+
+  test("general clipping tier: concave ∩/∪/−, MULTIPOLYGON, loud scoping (r11)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def a(s: String) = WktCore.area(u(s))
+    // hole-free concave pair with dyadic transversal crossings:
+    // L-shape (area 6) ∩ rectangle (area 2) → concave L result, area 1.5
+    val L = "POLYGON ((0 0, 4 0, 4 1, 2 1, 2 2, 0 2, 0 0))"
+    val B = "POLYGON ((1 0.5, 3 0.5, 3 1.5, 1 1.5, 1 0.5))"
+    val inter = WktCore.intersectionWkt(u(L), u(B)).toString
+    assert(inter == "POLYGON ((1.0 0.5, 3.0 0.5, 3.0 1.0, 2.0 1.0, " +
+      "2.0 1.5, 1.0 1.5, 1.0 0.5))", inter)
+    assert(a(inter) == 1.5)
+    // difference and union close inclusion–exclusion exactly
+    val diff = WktCore.differenceWkt(u(L), u(B)).toString
+    assert(a(diff) == 4.5, diff)
+    val uni = WktCore.unionWkt(u(L), u(B)).toString
+    assert(a(uni) == 6.5, uni)
+    assert(a(diff) + a(inter) == a(L) - 0.0 && a(uni) == a(L) + a(B) - a(inter))
+    // winding-insensitive: CW L gives the same results
+    val Lcw = "POLYGON ((0 0, 0 2, 2 2, 2 1, 4 1, 4 0, 0 0))"
+    assert(WktCore.intersectionWkt(u(Lcw), u(B)).toString == inter)
+    // U-shape ∩ bar crossing both arms → TWO components (MULTIPOLYGON)
+    val Ush = "POLYGON ((0 0, 3 0, 3 2, 2 2, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    val bar = "POLYGON ((0.5 1.25, 2.5 1.25, 2.5 1.75, 0.5 1.75, 0.5 1.25))"
+    val mp = WktCore.intersectionWkt(u(Ush), u(bar)).toString
+    assert(mp == "MULTIPOLYGON (((0.5 1.25, 1.0 1.25, 1.0 1.75, 0.5 1.75, " +
+      "0.5 1.25)), ((2.0 1.25, 2.5 1.25, 2.5 1.75, 2.0 1.75, 2.0 1.25)))", mp)
+    assert(a(mp) == 0.5)
+    // concave difference: U (area 5) minus the two arm windows (0.5)
+    assert(a(WktCore.differenceWkt(u(Ush), u(bar)).toString) == 4.5)
+    // A ⊆ B difference → POLYGON EMPTY; area of EMPTY is 0
+    val inner = "POLYGON ((1.25 0.75, 1.75 0.75, 1.75 1.25, 1.25 1.25, 1.25 0.75))"
+    assert(WktCore.differenceWkt(u(inner), u(B)).toString == "POLYGON EMPTY")
+    assert(a("POLYGON EMPTY") == 0.0)
+    // B strictly inside A would punch a hole — loud
+    val eh = intercept[IllegalArgumentException] {
+      WktCore.differenceWkt(u(B), u(inner))
+    }
+    assert(eh.getMessage.contains("hole"), eh.getMessage)
+    // self-intersecting (bow-tie) input is loud on the general path
+    val bow = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0.5 3, 0 3, 0 0))"
+    val es = intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u(bow), u(B))
+    }
+    assert(es.getMessage.contains("self-intersecting"), es.getMessage)
+    // non-transversal contact (vertex of B on an edge of concave A:
+    // (1.5, 1) sits on U's notch-bottom edge) is loud
+    val et = intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u(Ush),
+        u("POLYGON ((1.5 1, 2.5 0.25, 2.5 0.75, 1.5 1.5, 1.5 1))"))
+    }
+    assert(et.getMessage.contains("transversal"), et.getMessage)
+    // disjoint concave pair: ∩ EMPTY, ∪ MULTIPOLYGON, − returns A
+    val Lfar = "POLYGON ((100 0, 104 0, 104 1, 102 1, 102 2, 100 2, 100 0))"
+    assert(WktCore.intersectionWkt(u(L), u(Lfar)).toString == "POLYGON EMPTY")
+    assert(WktCore.unionWkt(u(L), u(Lfar)).toString.startsWith("MULTIPOLYGON"))
+    assert(a(WktCore.unionWkt(u(L), u(Lfar)).toString) == 12.0)
+    assert(a(WktCore.differenceWkt(u(L), u(Lfar)).toString) == 6.0)
+    // containment: concave A ⊂ big box — ∩ is A, ∪ is the box
+    val box = "POLYGON ((-1 -1, 5 -1, 5 3, -1 3, -1 -1))"
+    assert(a(WktCore.intersectionWkt(u(L), u(box)).toString) == 6.0)
+    assert(a(WktCore.unionWkt(u(L), u(box)).toString) == 24.0)
   }
 }
