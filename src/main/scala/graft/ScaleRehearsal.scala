@@ -38,9 +38,10 @@ object ScaleRehearsal {
     "l66_substring_scrub",
     // r11: the two-level SemDeDup ASSIGNMENT phase in isolation (the
     // r10 verdict asked for the centroid-side curve, not just l26's
-    // total — special-cased in timeOnce, not a SparkEntry query), and
-    // the canonical-keeper ExactSubstr variant
-    "l26_assign", "l66b_substring_scrub_keep")
+    // total — special-cased in timeOnce, not a SparkEntry query), the
+    // canonical-keeper ExactSubstr variant, and the trained NB
+    // classifier (two corpus passes + a vocab-keyed model join)
+    "l26_assign", "l66b_substring_scrub_keep", "l68_nb_quality")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -84,7 +85,12 @@ object ScaleRehearsal {
 
     val dirs = ("x1" -> src) +: factors.toSeq.map { f =>
       val out = s"$work/x$f"
-      expand(spark, src, out, f)
+      // SPARK_GRAFT_REUSE_SCALE=1 skips re-expansion when the slice is
+      // already on disk (expansion is deterministic in src and f) —
+      // local iteration only; the committed protocol always expands
+      val reuse = sys.env.get("SPARK_GRAFT_REUSE_SCALE").contains("1") &&
+        new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()
+      if (!reuse) expand(spark, src, out, f)
       s"x$f" -> out
     }
     // optional 4th arg: comma-separated query subset (local iteration —

@@ -46,6 +46,28 @@ object StreamProfile {
       SparkEntry.queries(q)(spark, d).collect()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"== $q pass$pass wall=$wall%.2fs triggers=${progresses.size}")
+      // per-phase split over all triggers (r10 verdict #6): source
+      // listing (latestOffset + getBatch), planning (queryPlanning),
+      // execution (addBatch — the actual micro-batch compute), commit
+      // bookkeeping (walCommit + commitOffsets/commitBatch), trigger
+      // total; 'outside' = wall − Σ triggerExecution is start/stop +
+      // awaitTermination drain polling, the harness's own cost
+      var src = 0L; var plan = 0L; var add = 0L; var commit = 0L
+      var trig = 0L
+      progresses.forEach { p =>
+        val dm = p.durationMs
+        def g(k: String): Long =
+          if (dm.containsKey(k)) dm.get(k).longValue() else 0L
+        src += g("latestOffset") + g("getBatch")
+        plan += g("queryPlanning")
+        add += g("addBatch")
+        commit += g("walCommit") + g("commitOffsets") + g("commitBatch")
+        trig += g("triggerExecution")
+      }
+      val outside = wall - trig / 1e3
+      println(f"  sourceListing=${src / 1e3}%.2fs planning=${plan / 1e3}%.2fs " +
+        f"addBatch=${add / 1e3}%.2fs commit=${commit / 1e3}%.2fs " +
+        f"triggerTotal=${trig / 1e3}%.2fs outsideTriggers=$outside%.2fs")
       progresses.forEach { p =>
         val dm = p.durationMs
         println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
