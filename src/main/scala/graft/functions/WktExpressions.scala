@@ -28,35 +28,93 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WktCore {
 
-  /** Parse the outer ring of `POLYGON ((x y, x y, …))` into a flat
-    * [x0,y0,x1,y1,…] array (closing vertex dropped when it repeats the
-    * first). Throws IllegalArgumentException on malformed text — callers
-    * wanting NULL-on-error wrap in try_eval. */
-  def parsePolygon(s: String): Array[Double] = {
-    val t = s.trim
-    require(t.regionMatches(true, 0, "POLYGON", 0, 7), s"not a POLYGON: $t")
-    val open = t.indexOf('(', 7)
-    val open2 = if (open < 0) -1 else t.indexOf('(', open + 1)
-    val close = if (open2 < 0) -1 else t.indexOf(')', open2 + 1)
-    require(open2 >= 0 && close > open2, s"bad POLYGON ring syntax: $t")
-    val body = t.substring(open2 + 1, close)
+  /** One WKT ring body "x y, x y, …" → flat [x0,y0,…] (closing
+    * duplicate vertex dropped). */
+  private def parseRingBody(body: String, what: String): Array[Double] = {
     val parts = body.split(',')
-    require(parts.length >= 3, s"POLYGON ring needs >= 3 vertices: $t")
+    require(parts.length >= 3, s"$what ring needs >= 3 vertices: $body")
     val out = new Array[Double](parts.length * 2)
     var i = 0
     while (i < parts.length) {
       val p = parts(i).trim
       val sp = p.indexOf(' ')
-      require(sp > 0, s"bad POLYGON vertex '$p'")
+      require(sp > 0, s"bad $what vertex '$p'")
       out(2 * i) = java.lang.Double.parseDouble(p.substring(0, sp))
       out(2 * i + 1) = java.lang.Double.parseDouble(p.substring(sp + 1).trim)
       i += 1
     }
     val n = parts.length
-    // drop the WKT closing vertex (first == last)
     if (n > 3 && out(0) == out(2 * (n - 1)) && out(1) == out(2 * n - 1))
       java.util.Arrays.copyOf(out, 2 * (n - 1))
     else out
+  }
+
+  /** Depth-driven ring scanner: collects ring bodies at `ringDepth`
+    * and groups them into (shell, holes) polygons that close at
+    * `ringDepth − 1`. POLYGON → ringDepth 2; MULTIPOLYGON → 3. */
+  private def scanPolys(t: String, from: Int, ringDepth: Int,
+      what: String): Array[(Array[Double], Array[Array[Double]])] = {
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Array[Double], Array[Array[Double]])]()
+    val cur = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var depth = 0
+    var ringStart = -1
+    var i = from
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '(') {
+        depth += 1
+        if (depth == ringDepth) ringStart = i + 1
+      } else if (c == ')') {
+        if (depth == ringDepth) {
+          cur += parseRingBody(t.substring(ringStart, i), what)
+        } else if (depth == ringDepth - 1) {
+          require(cur.nonEmpty, s"empty polygon in $what: $t")
+          out += ((cur.head, cur.tail.toArray))
+          cur.clear()
+        }
+        depth -= 1
+        require(depth >= 0, s"unbalanced parens in $what: $t")
+      }
+      i += 1
+    }
+    require(depth == 0 && out.nonEmpty, s"bad $what syntax: $t")
+    out.toArray
+  }
+
+  /** Parse `POLYGON ((shell)[, (hole), …])` → (shell, holes), flat
+    * coordinate arrays, closing duplicates dropped. Throws
+    * IllegalArgumentException on malformed text — callers wanting
+    * NULL-on-error wrap in try_eval. */
+  def parsePolygonFull(s: String): (Array[Double], Array[Array[Double]]) = {
+    val t = s.trim
+    require(t.regionMatches(true, 0, "POLYGON", 0, 7), s"not a POLYGON: $t")
+    val polys = scanPolys(t, 7, 2, "POLYGON")
+    require(polys.length == 1, s"POLYGON with multiple outer rings: $t")
+    polys(0)
+  }
+
+  /** Parse `MULTIPOLYGON (((shell)[, (hole)…]), …)` → components. */
+  def parseMultiPolygonFull(s: String)
+      : Array[(Array[Double], Array[Array[Double]])] = {
+    val t = s.trim
+    require(t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12),
+      s"not a MULTIPOLYGON: $t")
+    scanPolys(t, 12, 3, "MULTIPOLYGON")
+  }
+
+  /** Outer ring of a POLYGON for the single-ring kernels. Interior
+    * rings are LOUD here: every consumer of this accessor (pairwise
+    * predicates, clipping inputs, centroid/envelope/buffer) assumes a
+    * simply-connected region, and silently dropping a hole would be
+    * silently wrong. Holes-aware operations (st_area, st_contains) go
+    * through parsePolygonFull instead. */
+  def parsePolygon(s: String): Array[Double] = {
+    val (shell, holes) = parsePolygonFull(s)
+    require(holes.isEmpty,
+      "interior rings (holes) unsupported by this operation - " +
+        "only st_area / st_contains accept holed polygons")
+    shell
   }
 
   /** Parse `POINT (x y)` → Array(x, y). */
@@ -75,17 +133,27 @@ object WktCore {
 
   // one-entry parse memo per thread: free for plan-constant polygons and
   // for runs of equal polygon values (sorted / bucketed joins)
-  private val lastPoly = new ThreadLocal[(UTF8String, Array[Double])]
+  private val lastPoly =
+    new ThreadLocal[(UTF8String, (Array[Double], Array[Array[Double]]))]
 
-  def polygonCoords(s: UTF8String): Array[Double] = {
+  /** Memoized full (shell, holes) parse. */
+  def polygonFull(s: UTF8String): (Array[Double], Array[Array[Double]]) = {
     val cached = lastPoly.get()
     if (cached != null && cached._1.equals(s)) cached._2
     else {
-      val coords = parsePolygon(s.toString)
+      val parsed = parsePolygonFull(s.toString)
       // clone: the incoming UTF8String may view a reused row buffer
-      lastPoly.set((s.clone(), coords))
-      coords
+      lastPoly.set((s.clone(), parsed))
+      parsed
     }
+  }
+
+  def polygonCoords(s: UTF8String): Array[Double] = {
+    val (shell, holes) = polygonFull(s)
+    require(holes.isEmpty,
+      "interior rings (holes) unsupported by this operation - " +
+        "only st_area / st_contains accept holed polygons")
+    shell
   }
 
   /** Even-odd ray-cast containment test against a flat coords ring. */
@@ -106,9 +174,19 @@ object WktCore {
     inside
   }
 
-  /** Codegen entry: st_contains(polygonWkt, x, y). */
-  def containsWkt(poly: UTF8String, x: Double, y: Double): Boolean =
-    contains(polygonCoords(poly), x, y)
+  /** Codegen entry: st_contains(polygonWkt, x, y) — holes-aware: the
+    * even-odd rule XORs ring membership, so a point inside an interior
+    * ring is OUTSIDE the polygon. */
+  def containsWkt(poly: UTF8String, x: Double, y: Double): Boolean = {
+    val (shell, holes) = polygonFull(poly)
+    var in = contains(shell, x, y)
+    var i = 0
+    while (i < holes.length) {
+      if (contains(holes(i), x, y)) in = !in
+      i += 1
+    }
+    in
+  }
 
   /** Codegen entry: POINT coordinate extraction (0 = x, 1 = y). */
   def pointCoord(wkt: UTF8String, idx: Int): Double = parsePoint(wkt.toString)(idx)
@@ -305,12 +383,16 @@ object WktCore {
     val t0 = poly.toString.trim
     // general-tier outputs: EMPTY has zero area (Trino's ST_Area
     // convention); a MULTIPOLYGON's area is the sum over components
-    // (valid: general-tier components have disjoint interiors)
+    // (valid: general-tier components have disjoint interiors); a
+    // component's interior rings SUBTRACT (holes carve area out)
     if (t0.regionMatches(true, 0, "POLYGON EMPTY", 0, 13)) return 0.0
     if (t0.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
-      return parseMultiRings(t0).map(ringArea).sum
-    ringArea(polygonCoords(poly))
+      return parseMultiPolygonFull(t0).map(polyArea).sum
+    polyArea(polygonFull(poly))
   }
+
+  private def polyArea(p: (Array[Double], Array[Array[Double]])): Double =
+    ringArea(p._1) - p._2.map(ringArea).sum
 
   private def ringArea(c: Array[Double]): Double = {
     val n = c.length / 2
@@ -324,38 +406,6 @@ object WktCore {
     math.abs(s) / 2
   }
 
-  /** Parse `MULTIPOLYGON (((x y, …)), ((…)))` (hole-free components,
-    * the general tier's own output form) into per-component rings. */
-  private def parseMultiRings(t: String): Array[Array[Double]] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    val outer = t.indexOf('(')
-    require(outer >= 0, s"bad MULTIPOLYGON syntax: $t")
-    // component rings are "((body))" groups INSIDE the outer paren
-    var i = t.indexOf("((", outer + 1)
-    while (i >= 0) {
-      val close = t.indexOf("))", i + 2)
-      require(close > i, s"bad MULTIPOLYGON component syntax: $t")
-      val body = t.substring(i + 2, close)
-      val parts = body.split(',')
-      require(parts.length >= 3, s"MULTIPOLYGON ring needs >= 3 vertices")
-      val c = new Array[Double](parts.length * 2)
-      var k = 0
-      while (k < parts.length) {
-        val p = parts(k).trim
-        val sp = p.indexOf(' ')
-        require(sp > 0, s"bad MULTIPOLYGON vertex '$p'")
-        c(2 * k) = java.lang.Double.parseDouble(p.substring(0, sp))
-        c(2 * k + 1) = java.lang.Double.parseDouble(p.substring(sp + 1).trim)
-        k += 1
-      }
-      val n = parts.length
-      out += (if (n > 3 && c(0) == c(2 * (n - 1)) && c(1) == c(2 * n - 1))
-        java.util.Arrays.copyOf(c, 2 * (n - 1)) else c)
-      i = t.indexOf("((", close + 2)
-    }
-    require(out.nonEmpty, s"empty MULTIPOLYGON: $t")
-    out.toArray
-  }
 
   /** Codegen entry: shoelace-weighted polygon centroid (idx 0 = x,
     * 1 = y). Terms accumulate in vertex order — the sc21 mirroring
@@ -564,13 +614,14 @@ object WktCore {
   //   − : A-arcs outside B  (forward) + B-arcs inside  A (REVERSED)
   // At every transversal crossing exactly one selected arc leaves and
   // one arrives, so rings assemble by following start→end links;
-  // multiple result components fall out naturally (MULTIPOLYGON).
-  // Scope, loud otherwise: hole-free SIMPLE inputs, transversal-or-
-  // separated contact (any vertex-on-edge / collinear-overlap contact
-  // throws), hole-free results (a CW result ring — a hole, e.g.
-  // B strictly inside A under difference, or a union enclosing a void —
-  // throws). Exactness: crossing coordinates are the one t-division;
-  // with dyadic axis-parallel fixture edges they are exact in IEEE.
+  // multiple result components fall out naturally (MULTIPOLYGON), and
+  // a CW result ring is an INTERIOR ring — a hole — assigned to the
+  // unique CCW shell that contains it (difference with B inside A,
+  // union enclosing a void). Scope, loud otherwise: hole-free SIMPLE
+  // inputs, transversal-or-separated contact (any vertex-on-edge /
+  // collinear-overlap contact throws). Exactness: crossing coordinates
+  // are the one t-division; with dyadic axis-parallel fixture edges
+  // they are exact in IEEE.
 
   private def isConvexRing(c: Array[Double]): Boolean = {
     if (signedArea2(c) == 0) return false
@@ -612,10 +663,22 @@ object WktCore {
     }
   }
 
-  /** Result rings of op ∈ {0 = ∩, 1 = ∪, 2 = A−B} over two simple CCW
-    * rings — the general tier described above. */
+  private def reverseRing(c: Array[Double]): Array[Double] = {
+    val n = c.length / 2
+    val out = new Array[Double](c.length)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = c(2 * (n - 1 - i))
+      out(2 * i + 1) = c(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Result polygons (shell, holes) of op ∈ {0 = ∩, 1 = ∪, 2 = A−B}
+    * over two simple CCW rings — the general tier described above. */
   private def generalClip(ca: Array[Double], cb: Array[Double], op: Int,
-      name: String): Array[Array[Double]] = {
+      name: String): Array[(Array[Double], Array[Array[Double]])] = {
     requireSimple(ca, name)
     requireSimple(cb, name)
     val na = ca.length / 2; val nb = cb.length / 2
@@ -677,17 +740,20 @@ object WktCore {
       val aInB = containsPoly(cb, ca)
       return op match {
         case 0 =>
-          if (bInA) Array(cb) else if (aInB) Array(ca)
-          else Array.empty[Array[Double]]
+          if (bInA) Array((cb, Array.empty[Array[Double]]))
+          else if (aInB) Array((ca, Array.empty[Array[Double]]))
+          else Array.empty
         case 1 =>
-          if (bInA) Array(ca) else if (aInB) Array(cb)
-          else Array(ca, cb) // disjoint → MULTIPOLYGON
+          if (bInA) Array((ca, Array.empty[Array[Double]]))
+          else if (aInB) Array((cb, Array.empty[Array[Double]]))
+          else Array((ca, Array.empty[Array[Double]]),
+            (cb, Array.empty[Array[Double]])) // disjoint → MULTIPOLYGON
         case _ =>
-          if (aInB) Array.empty[Array[Double]]
-          else if (bInA) throw new IllegalArgumentException(
-            s"$name: B strictly inside A - the result has a hole, " +
-              "outside the hole-free scope")
-          else Array(ca)
+          if (aInB) Array.empty
+          // B strictly inside A: the difference is A with B carved out
+          // as an INTERIOR ring (rendered CW, the WKT hole convention)
+          else if (bInA) Array((ca, Array(reverseRing(cb))))
+          else Array((ca, Array.empty[Array[Double]]))
       }
     }
     // node rings: vertices (id -1) + crossings in edge order
@@ -772,7 +838,8 @@ object WktCore {
         } else sel += SArc(a.startId, a.endId, a.xs, a.ys)
       }
     }
-    if (sel.isEmpty) return Array.empty[Array[Double]]
+    if (sel.isEmpty)
+      return Array.empty[(Array[Double], Array[Array[Double]])]
     val byStart = new java.util.HashMap[Integer, Integer]()
     sel.zipWithIndex.foreach { case (a, i) =>
       require(byStart.put(Integer.valueOf(a.startId),
@@ -806,14 +873,25 @@ object WktCore {
         }
         val ring = pts.toArray
         require(ring.length >= 6, s"$name: degenerate result ring")
-        require(signedArea2(ring) > 0,
-          s"$name: result contains a hole (CW ring) - the hole-free " +
-            "scope cannot represent it")
+        require(signedArea2(ring) != 0, s"$name: zero-area result ring")
         rings += ring
       }
       i0 += 1
     }
-    rings.toArray
+    // CCW stitched rings are shells; CW rings are INTERIOR rings,
+    // each assigned to the unique shell containing it (a hole's
+    // boundary cannot touch its shell in the transversal scope, so
+    // one strict point test decides)
+    val shells = rings.filter(signedArea2(_) > 0)
+    val holes = rings.filter(signedArea2(_) < 0)
+    require(shells.nonEmpty,
+      s"$name: internal - only hole rings stitched")
+    require(holes.forall(h =>
+        shells.count(sh => contains(sh, h(0), h(1))) == 1),
+      s"$name: internal - interior ring not inside exactly one shell")
+    shells.map { sh =>
+      (sh, holes.filter(h => contains(sh, h(0), h(1))).toArray)
+    }.toArray
   }
 
   /** Rotate a ring to start at its lexicographically smallest vertex —
@@ -843,21 +921,27 @@ object WktCore {
   }
 
   /** POLYGON / MULTIPOLYGON / POLYGON EMPTY rendering of general-tier
-    * results; rings canonically rotated and sorted for determinism. */
-  private def fmtGeom(rings0: Array[Array[Double]]): String =
-    if (rings0.isEmpty) "POLYGON EMPTY"
-    else if (rings0.length == 1) fmtRing(canonRing(rings0(0)))
-    else {
-      val rings = rings0.map(canonRing).sortBy(c => (c(0), c(1)))
-      val sb = new java.lang.StringBuilder("MULTIPOLYGON (")
-      var r = 0
-      while (r < rings.length) {
-        if (r > 0) sb.append(", ")
-        sb.append("((").append(ringBody(rings(r))).append("))")
-        r += 1
+    * results; every ring canonically rotated, holes and components
+    * sorted, for output independent of crossing discovery order.
+    * Shells render CCW and interior rings keep their CW winding (the
+    * usual WKT convention; parsers here are winding-insensitive). */
+  private def fmtGeom(polys0: Array[(Array[Double], Array[Array[Double]])])
+      : String = {
+    def polyBody(p: (Array[Double], Array[Array[Double]])): String = {
+      val sb = new java.lang.StringBuilder("((")
+      sb.append(ringBody(canonRing(p._1))).append(')')
+      p._2.map(canonRing).sortBy(c => (c(0), c(1))).foreach { h =>
+        sb.append(", (").append(ringBody(h)).append(')')
       }
       sb.append(')').toString
     }
+    if (polys0.isEmpty) "POLYGON EMPTY"
+    else if (polys0.length == 1) "POLYGON " + polyBody(polys0(0))
+    else {
+      val polys = polys0.sortBy(p => (canonRing(p._1)(0), canonRing(p._1)(1)))
+      polys.map(polyBody).mkString("MULTIPOLYGON (", ", ", ")")
+    }
+  }
 
   // Double.toString switches to scientific notation outside
   // [1e-3, 1e7), which is not valid WKT for downstream consumers
@@ -924,7 +1008,8 @@ object WktCore {
     // disjoint convex pair: a two-component MULTIPOLYGON (r10 threw
     // loudly here; the general tier's renderer now represents it)
     if (!intersects(ca, cb))
-      return UTF8String.fromString(fmtGeom(Array(ca, cb)))
+      return UTF8String.fromString(fmtGeom(Array(
+        (ca, Array.empty[Array[Double]]), (cb, Array.empty[Array[Double]]))))
     // augmented rings: vertices + transversal crossings, crossings
     // computed ONCE per edge pair so both rings hold bit-identical
     // coordinates and node identity is exact
@@ -1032,8 +1117,9 @@ object WktCore {
   /** Codegen entry: st_difference(aWkt, bWkt) — A minus B through the
     * general arc-stitching tier (works for convex and concave inputs
     * alike; A-arcs outside B stitched with B-arcs inside A reversed).
-    * "POLYGON EMPTY" when A ⊆ B; loud when B sits strictly inside A
-    * (the result would carry a hole) or on non-transversal contact. */
+    * "POLYGON EMPTY" when A ⊆ B; B strictly inside A yields A with B
+    * carved out as an INTERIOR ring (`POLYGON ((shell), (hole))`);
+    * loud on non-transversal contact. */
   def differenceWkt(a: UTF8String, b: UTF8String): UTF8String = {
     val ca = toCcw(polygonCoords(a))
     val cb = toCcw(polygonCoordsB(b))

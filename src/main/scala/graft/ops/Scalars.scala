@@ -582,6 +582,91 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21g: INTERIOR-RING (holes) tier (r11, past the r10 ask) — a
+    // difference with B strictly inside A emits `POLYGON ((shell),
+    // (hole))` instead of throwing; a union that ENCLOSES A VOID (a
+    // C-shape capped by a bar) emits the void as an interior ring; and
+    // st_area/st_contains consume holed polygons (holes subtract /
+    // even-odd). Closed forms: hole-difference = 3ab with 2 rings;
+    // C (square annulus, right slot) = 11ab, bar = 15ab/8, overlap =
+    // 3ab/8 (two wall windows — a 2-component MULTIPOLYGON), union =
+    // 12.5ab with the void (4ab + ab/4) as one interior ring; all
+    // coordinates dyadic so inclusion–exclusion closes exactly.
+    "sc21g_geo_holes" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      def poly(pts: Seq[(org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column)]) = {
+        val body = pts.flatMap { case (x, y) =>
+          Seq(dstr(x), lit(" "), dstr(y), lit(", ")) }.dropRight(1)
+        concat((lit("POLYGON ((") +: body :+ lit("))")): _*)
+      }
+      val g = Tables.nation(s, d).select(col("n_nationkey"),
+          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+          ((col("n_nationkey") % 5) + 2).cast("double").as("a"),
+          ((col("n_nationkey") % 3) + 1).cast("double").as("b"))
+        .withColumn("big", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+        .withColumn("inner", poly(Seq(
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 1.5, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") / 2, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 2))))
+        .withColumn("cshape", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 4, col("cy")),
+          (col("cx") + col("a") * 4, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") * 3, col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b") * 3),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 3),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 2.5),
+          (col("cx") + col("a") * 4, col("cy") + col("b") * 2.5),
+          (col("cx") + col("a") * 4, col("cy") + col("b") * 4),
+          (col("cx"), col("cy") + col("b") * 4),
+          (col("cx"), col("cy")))))
+        .withColumn("bar", poly(Seq(
+          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25),
+          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 1.25),
+          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 2.75),
+          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 2.75),
+          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25))))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5).cast("long")
+      def nrings(c: org.apache.spark.sql.Column) =
+        (size(split(c, "\\(")) - 2).cast("long")  // outer paren + rings
+      val dHole = GF.stDifference(col("big"), col("inner"))
+      val uVoid = GF.stUnion(col("cshape"), col("bar"))
+      g.select(col("n_nationkey"),
+          q6(GF.stArea(dHole)).as("diff_hole_q6"),
+          nrings(dHole).as("diff_hole_nrings"),
+          q6(GF.stArea(uVoid)).as("union_void_q6"),
+          nrings(uVoid).as("union_void_nrings"),
+          q6(GF.stArea(GF.stIntersection(col("cshape"), col("bar"))))
+            .as("inter_cb_q6"),
+          q6(GF.stArea(GF.stDifference(col("cshape"), col("bar"))))
+            .as("diff_cb_q6"),
+          // even-odd containment against the HOLED results: the hole
+          // center is outside, the annulus body is inside
+          GF.stContains(dHole, col("cx") + col("a"), col("cy") + col("b"))
+            .as("hole_center_in"),
+          GF.stContains(dHole, col("cx") + col("a") / 4,
+            col("cy") + col("b")).as("annulus_in"),
+          GF.stContains(uVoid, col("cx") + col("a") * 2,
+            col("cy") + col("b") * 2).as("void_center_in"),
+          GF.stContains(uVoid, col("cx") + col("a") / 2,
+            col("cy") + col("b") * 2).as("wall_in"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1277,6 +1362,27 @@ object Scalars extends QueryModule {
         |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS union_far_q6,
         |  CAST(2 AS BIGINT) AS union_far_ncomp,
         |  'POLYGON EMPTY' AS contained_wkt
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21g: pure closed forms (dyadic fixtures — see the query notes);
+    // ring counts and containment flags are structural constants
+    "sc21g_geo_holes" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS diff_hole_q6,
+        |  CAST(2 AS BIGINT) AS diff_hole_nrings,
+        |  CAST(floor(12.5 * a * b * 1e6 + 0.5) AS BIGINT) AS union_void_q6,
+        |  CAST(2 AS BIGINT) AS union_void_nrings,
+        |  CAST(floor(3 * a * b / 8 * 1e6 + 0.5) AS BIGINT) AS inter_cb_q6,
+        |  CAST(floor(85 * a * b / 8 * 1e6 + 0.5) AS BIGINT) AS diff_cb_q6,
+        |  false AS hole_center_in,
+        |  true AS annulus_in,
+        |  false AS void_center_in,
+        |  true AS wall_in
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

@@ -346,11 +346,13 @@ class WktSpec extends SparkSpec {
     val inner = "POLYGON ((1.25 0.75, 1.75 0.75, 1.75 1.25, 1.25 1.25, 1.25 0.75))"
     assert(WktCore.differenceWkt(u(inner), u(B)).toString == "POLYGON EMPTY")
     assert(a("POLYGON EMPTY") == 0.0)
-    // B strictly inside A would punch a hole — loud
-    val eh = intercept[IllegalArgumentException] {
-      WktCore.differenceWkt(u(B), u(inner))
-    }
-    assert(eh.getMessage.contains("hole"), eh.getMessage)
+    // B strictly inside A: the difference carries B as an INTERIOR
+    // ring (r11 holes tier) — area subtracts, containment respects it
+    val holed = WktCore.differenceWkt(u(B), u(inner)).toString
+    assert(holed.startsWith("POLYGON ((") && holed.contains("), ("), holed)
+    assert(a(holed) == 2.0 - 0.25, holed)
+    assert(!WktCore.containsWkt(u(holed), 1.5, 1.0))  // inside the hole
+    assert(WktCore.containsWkt(u(holed), 1.1, 1.0))   // in the annulus
     // self-intersecting (bow-tie) input is loud on the general path
     val bow = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0.5 3, 0 3, 0 0))"
     val es = intercept[IllegalArgumentException] {
@@ -374,5 +376,41 @@ class WktSpec extends SparkSpec {
     val box = "POLYGON ((-1 -1, 5 -1, 5 3, -1 3, -1 -1))"
     assert(a(WktCore.intersectionWkt(u(L), u(box)).toString) == 6.0)
     assert(a(WktCore.unionWkt(u(L), u(box)).toString) == 24.0)
+  }
+
+  test("holes tier: void-enclosing union, holed difference, holed inputs (r11)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def a(s: String) = WktCore.area(u(s))
+    // a C-shape (square annulus with a right-side slot, area 11) and a
+    // bar capping the slot from outside: the union ENCLOSES a void —
+    // one shell + one interior ring, all crossings transversal dyadic
+    val c = "POLYGON ((0 0, 4 0, 4 1.5, 3 1.5, 3 1, 1 1, 1 3, 3 3, " +
+      "3 2.5, 4 2.5, 4 4, 0 4, 0 0))"
+    val bar = "POLYGON ((3.25 1.25, 4.5 1.25, 4.5 2.75, 3.25 2.75, 3.25 1.25))"
+    assert(a(c) == 11.0)
+    val uni = WktCore.unionWkt(u(c), u(bar)).toString
+    assert(uni.startsWith("POLYGON ((") && uni.contains("), ("), uni)
+    // void = inner 2×2 box + the un-capped slot remnant 0.25×1 = 4.25;
+    // union = 11 + 1.875 − 0.375 = 12.5 (inclusion–exclusion closes)
+    assert(a(uni) == 12.5, uni)
+    val inter = WktCore.intersectionWkt(u(c), u(bar)).toString
+    assert(inter.startsWith("MULTIPOLYGON"), inter) // two wall overlaps
+    assert(a(inter) == 0.375, inter)
+    assert(a(WktCore.differenceWkt(u(c), u(bar)).toString) == 10.625)
+    assert(a(c) + a(bar) - a(inter) == a(uni))
+    // the enclosed void is OUTSIDE the union polygon; the walls are in
+    assert(!WktCore.containsWkt(u(uni), 2.0, 2.0))
+    assert(WktCore.containsWkt(u(uni), 0.5, 2.0))
+    assert(WktCore.containsWkt(u(uni), 4.25, 2.0)) // inside the bar cap
+    // holed polygons as INPUT: area/contains work; pairwise ops are loud
+    val donut = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert(a(donut) == 12.0)
+    assert(!WktCore.containsWkt(u(donut), 2.0, 2.0))
+    assert(WktCore.containsWkt(u(donut), 0.5, 2.0))
+    val eh = intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u(donut), u(bar))
+    }
+    assert(eh.getMessage.contains("interior rings"), eh.getMessage)
   }
 }
