@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.WktCore
+
+/** Randomized adversarial cross-check of the general clipping tier
+  * (r11): the clipper's ∩/∪/− outputs — including MULTIPOLYGON
+  * components and interior rings — are verified CELL BY CELL against an
+  * exact rasterization oracle that shares no code with the kernel.
+  *
+  * Fixture family: random rectilinear "skyline" polygons (histogram
+  * outlines — simple by construction). Polygon A lives on the 0.5
+  * grid; polygon B is translated by (0.25, 0.25), so A's and B's edge
+  * lines can never coincide and no vertex of either lies on an edge of
+  * the other — EVERY boundary contact is a proper transversal crossing
+  * and no sample hits the loud degeneracy scope.
+  *
+  * Oracle: sample the plane at 0.125-cell centers (offset 0.0625 from
+  * every grid line, so a center is never ON any boundary). For each
+  * center, point-in-A and point-in-B come from an independent even-odd
+  * ray cast; the kernel's output polygon must contain the center
+  * exactly when `inA op inB` — a full semantic check of shells, holes,
+  * and component assignment, far stronger than comparing areas (which
+  * is also done, via exact cell counting). */
+class WktFuzzSpec extends AnyFunSuite {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  /** Skyline polygon over columns [x0, x0+k·w]: per-column heights,
+    * traced CCW with the base at y0. Heights > 0; adjacent equal
+    * heights produce collinear straight-through vertices, which the
+    * kernel must tolerate. */
+  private def skyline(x0: Double, y0: Double, w: Double,
+      hs: Seq[Double]): String = {
+    val pts = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    pts += ((x0, y0))
+    pts += ((x0 + w * hs.length, y0))
+    // right edge up to the last column's height, then walk the skyline
+    // right-to-left emitting a step at each height change
+    var x = x0 + w * hs.length
+    var h = hs.last
+    pts += ((x, y0 + h))
+    for (i <- hs.length - 2 to 0 by -1) {
+      x = x0 + w * (i + 1)
+      if (hs(i) != h) {
+        pts += ((x, y0 + h))
+        pts += ((x, y0 + hs(i)))
+        h = hs(i)
+      }
+    }
+    pts += ((x0, y0 + h))
+    val body = (pts :+ pts.head)
+      .map { case (px, py) => s"$px $py" }.mkString(", ")
+    s"POLYGON (($body))"
+  }
+
+  /** Independent even-odd ray cast over the raw vertex list (no WktCore
+    * code): standard crossing-number test. */
+  private def rayCast(poly: Array[(Double, Double)], x: Double,
+      y: Double): Boolean = {
+    var in = false
+    var j = poly.length - 1
+    for (i <- poly.indices) {
+      val (xi, yi) = poly(i); val (xj, yj) = poly(j)
+      if ((yi > y) != (yj > y) &&
+          x < (xj - xi) * (y - yi) / (yj - yi) + xi) in = !in
+      j = i
+    }
+    in
+  }
+
+  private def verts(wkt: String): Array[(Double, Double)] = {
+    val body = wkt.substring(wkt.indexOf("((") + 2, wkt.indexOf("))"))
+    body.split(",").map { p =>
+      val t = p.trim.split(" ")
+      (t(0).toDouble, t(1).toDouble)
+    }.dropRight(1) // closing duplicate
+  }
+
+  test("general clipper ∩/∪/− agree with exact rasterization on 40 random rectilinear pairs") {
+    val rnd = new scala.util.Random(20260815)
+    var multis = 0
+    var holes = 0
+    for (trial <- 1 to 40) {
+      val nA = 3 + rnd.nextInt(5)
+      val nB = 3 + rnd.nextInt(5)
+      val hsA = Seq.fill(nA)(0.5 * (1 + rnd.nextInt(6)))
+      val hsB = Seq.fill(nB)(0.5 * (1 + rnd.nextInt(6)))
+      // A on the 0.5 grid; B offset by (0.25, 0.25) — no shared lines
+      val a = skyline(0.0, 0.0, 1.0, hsA)
+      val b = skyline(0.25 + 0.5 * rnd.nextInt(3),
+        0.25 + 0.5 * (rnd.nextInt(3) - 1), 1.0, hsB)
+      val va = verts(a); val vb = verts(b)
+      val ops = Seq(
+        ("inter", WktCore.intersectionWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p && q),
+        ("union", WktCore.unionWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p || q),
+        ("diff", WktCore.differenceWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p && !q))
+      for ((name, out, rule) <- ops) {
+        if (out.startsWith("MULTIPOLYGON")) multis += 1
+        if (out.contains("), (")) holes += 1
+        // cell centers at 0.0625 offsets over the joint bounding box
+        var x = -1.0 + 0.0625
+        var cellsIn = 0L
+        var expIn = 0L
+        while (x < 10.0) {
+          var y = -2.0 + 0.0625
+          while (y < 5.0) {
+            val inA = rayCast(va, x, y)
+            val inB = rayCast(vb, x, y)
+            val want = rule(inA, inB)
+            val got =
+              if (out == "POLYGON EMPTY") false
+              else if (out.startsWith("MULTIPOLYGON"))
+                multiContains(out, x, y) // per-component even-odd
+              else WktCore.containsWkt(u(out), x, y)
+            if (want) expIn += 1
+            if (got) cellsIn += 1
+            assert(got == want,
+              s"trial $trial $name mismatch at ($x, $y): want $want\nA=$a\nB=$b\nout=$out")
+            y += 0.125
+          }
+          x += 0.125
+        }
+        // area cross-check: exact cell counting (each cell 0.125²)
+        val kernelArea = if (out == "POLYGON EMPTY") 0.0
+          else WktCore.area(u(out))
+        assert(math.abs(kernelArea - expIn * 0.015625) < 1e-9,
+          s"trial $trial $name area: kernel $kernelArea vs raster ${expIn * 0.015625}")
+      }
+    }
+    // the sweep must actually exercise the interesting output shapes
+    assert(multis >= 3, s"only $multis MULTIPOLYGON outputs — fixture too tame")
+    info(s"outputs: $multis MULTIPOLYGON, $holes with interior rings")
+  }
+
+  /** Even-odd containment across every component of a MULTIPOLYGON via
+    * the public parser-free text split (each component re-wrapped as a
+    * POLYGON and tested with the holes-aware containsWkt). */
+  private def multiContains(mp: String, x: Double, y: Double): Boolean = {
+    // split components at "(((" boundaries: ")), ((" separates them
+    val inner = mp.substring(mp.indexOf('(') + 1, mp.lastIndexOf(')'))
+    inner.split("\\)\\)\\s*,\\s*\\(\\(").exists { comp0 =>
+      val comp = comp0.stripPrefix("((").stripSuffix("))")
+      WktCore.containsWkt(u(s"POLYGON (($comp))"), x, y)
+    }
+  }
+}
