@@ -163,6 +163,26 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StDifferenceExpression].getName,
         "st_difference"),
       (e: Seq[Expression]) => StDifferenceExpression(e(0), e(1))),
+    (FunctionIdentifier("st_numgeometries"),
+      new ExpressionInfo(classOf[StNumGeometriesExpression].getName,
+        "st_numgeometries"),
+      (e: Seq[Expression]) => StNumGeometriesExpression(e(0))),
+    (FunctionIdentifier("st_geometryn"),
+      new ExpressionInfo(classOf[StGeometryNExpression].getName,
+        "st_geometryn"),
+      (e: Seq[Expression]) => StGeometryNExpression(e(0), e(1))),
+    (FunctionIdentifier("st_exteriorring"),
+      new ExpressionInfo(classOf[StExteriorRingExpression].getName,
+        "st_exteriorring"),
+      (e: Seq[Expression]) => StExteriorRingExpression(e(0))),
+    (FunctionIdentifier("st_numinteriorring"),
+      new ExpressionInfo(classOf[StNumInteriorRingExpression].getName,
+        "st_numinteriorring"),
+      (e: Seq[Expression]) => StNumInteriorRingExpression(e(0))),
+    (FunctionIdentifier("st_interiorringn"),
+      new ExpressionInfo(classOf[StInteriorRingNExpression].getName,
+        "st_interiorringn"),
+      (e: Seq[Expression]) => StInteriorRingNExpression(e(0), e(1))),
     (FunctionIdentifier("st_buffer"),
       new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
       (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),

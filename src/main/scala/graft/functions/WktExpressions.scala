@@ -156,6 +156,29 @@ object WktCore {
     shell
   }
 
+  // memoized POLYGON-or-MULTIPOLYGON-or-EMPTY component list — the
+  // uniform accessor for the holes/multi-aware operations (st_area,
+  // st_contains, the geometry accessors)
+  private val lastGeom = new ThreadLocal[
+    (UTF8String, Array[(Array[Double], Array[Array[Double]])])]
+
+  def geomPolys(s: UTF8String)
+      : Array[(Array[Double], Array[Array[Double]])] = {
+    val cached = lastGeom.get()
+    if (cached != null && cached._1.equals(s)) cached._2
+    else {
+      val t = s.toString.trim
+      val parsed =
+        if (t.regionMatches(true, 0, "POLYGON EMPTY", 0, 13))
+          Array.empty[(Array[Double], Array[Array[Double]])]
+        else if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+          parseMultiPolygonFull(t)
+        else Array(parsePolygonFull(t))
+      lastGeom.set((s.clone(), parsed))
+      parsed
+    }
+  }
+
   /** Even-odd ray-cast containment test against a flat coords ring. */
   def contains(coords: Array[Double], x: Double, y: Double): Boolean = {
     val n = coords.length / 2
@@ -174,18 +197,26 @@ object WktCore {
     inside
   }
 
-  /** Codegen entry: st_contains(polygonWkt, x, y) — holes-aware: the
-    * even-odd rule XORs ring membership, so a point inside an interior
-    * ring is OUTSIDE the polygon. */
+  /** Codegen entry: st_contains(geomWkt, x, y) — holes- and
+    * MULTIPOLYGON-aware: the even-odd rule XORs ring membership within
+    * a component (a point inside an interior ring is OUTSIDE), and a
+    * MULTIPOLYGON contains the point iff any component does. EMPTY
+    * contains nothing. */
   def containsWkt(poly: UTF8String, x: Double, y: Double): Boolean = {
-    val (shell, holes) = polygonFull(poly)
-    var in = contains(shell, x, y)
-    var i = 0
-    while (i < holes.length) {
-      if (contains(holes(i), x, y)) in = !in
-      i += 1
+    val polys = geomPolys(poly)
+    var p = 0
+    while (p < polys.length) {
+      val (shell, holes) = polys(p)
+      var in = contains(shell, x, y)
+      var i = 0
+      while (i < holes.length) {
+        if (contains(holes(i), x, y)) in = !in
+        i += 1
+      }
+      if (in) return true
+      p += 1
     }
-    in
+    false
   }
 
   /** Codegen entry: POINT coordinate extraction (0 = x, 1 = y). */
@@ -379,20 +410,54 @@ object WktCore {
     * outer ring. Term and accumulation order are FIXED (i ascending,
     * left-associated sum) so an oracle can mirror the arithmetic
     * operation-for-operation. */
-  def area(poly: UTF8String): Double = {
-    val t0 = poly.toString.trim
-    // general-tier outputs: EMPTY has zero area (Trino's ST_Area
-    // convention); a MULTIPOLYGON's area is the sum over components
-    // (valid: general-tier components have disjoint interiors); a
-    // component's interior rings SUBTRACT (holes carve area out)
-    if (t0.regionMatches(true, 0, "POLYGON EMPTY", 0, 13)) return 0.0
-    if (t0.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
-      return parseMultiPolygonFull(t0).map(polyArea).sum
-    polyArea(polygonFull(poly))
-  }
+  def area(poly: UTF8String): Double =
+    // EMPTY has zero area (Trino's ST_Area convention); a
+    // MULTIPOLYGON's area is the sum over components (general-tier
+    // components have disjoint interiors); a component's interior
+    // rings SUBTRACT (holes carve area out)
+    geomPolys(poly).map(polyArea).sum
 
   private def polyArea(p: (Array[Double], Array[Array[Double]])): Double =
     ringArea(p._1) - p._2.map(ringArea).sum
+
+  // ---- geometry accessors (Trino ST_NumGeometries family, r11) ---------
+
+  /** st_numgeometries: component count (EMPTY → 0). */
+  def numGeometries(g: UTF8String): Long = geomPolys(g).length.toLong
+
+  /** st_geometryn (1-based): the n-th component re-rendered as a
+    * canonical POLYGON; null out of range (Trino's convention). */
+  def geometryN(g: UTF8String, n: Int): UTF8String = {
+    val polys = geomPolys(g)
+    if (n < 1 || n > polys.length) null
+    else UTF8String.fromString(fmtGeom(Array(polys(n - 1))))
+  }
+
+  private def requireSinglePoly(g: UTF8String, op: String)
+      : (Array[Double], Array[Array[Double]]) = {
+    val polys = geomPolys(g)
+    require(polys.length == 1,
+      s"$op requires a single POLYGON (got ${polys.length} components)")
+    polys(0)
+  }
+
+  /** st_exteriorring: the shell as a closed LINESTRING. */
+  def exteriorRing(g: UTF8String): UTF8String = {
+    val (shell, _) = requireSinglePoly(g, "st_exteriorring")
+    UTF8String.fromString("LINESTRING (" + ringBody(shell) + ")")
+  }
+
+  /** st_numinteriorring: interior-ring count of a POLYGON. */
+  def numInteriorRing(g: UTF8String): Long =
+    requireSinglePoly(g, "st_numinteriorring")._2.length.toLong
+
+  /** st_interiorringn (1-based): the n-th interior ring as a closed
+    * LINESTRING; null out of range. */
+  def interiorRingN(g: UTF8String, n: Int): UTF8String = {
+    val (_, holes) = requireSinglePoly(g, "st_interiorringn")
+    if (n < 1 || n > holes.length) null
+    else UTF8String.fromString("LINESTRING (" + ringBody(holes(n - 1)) + ")")
+  }
 
   private def ringArea(c: Array[Double]): Double = {
     val n = c.length / 2
@@ -1503,4 +1568,90 @@ case class StConvexHullExpression(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): StConvexHullExpression = copy(child = newChild)
+}
+
+/** `st_numgeometries(wkt)` → BIGINT component count (EMPTY → 0). */
+case class StNumGeometriesExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "st_numgeometries"
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.numGeometries(g.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WktCore.numGeometries($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StNumGeometriesExpression = copy(child = newChild)
+}
+
+/** `st_geometryn(wkt, n)` → the n-th (1-based) component as a canonical
+  * POLYGON; NULL out of range. */
+case class StGeometryNExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geometryn"
+  override protected def nullSafeEval(g: Any, n: Any): Any =
+    WktCore.geometryN(g.asInstanceOf[UTF8String],
+      n.asInstanceOf[java.lang.Integer].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) =>
+      s"""${ev.value} = graft.functions.WktCore.geometryN($g, (int) $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StGeometryNExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_exteriorring(wkt)` → the POLYGON shell as a closed LINESTRING. */
+case class StExteriorRingExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_exteriorring"
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.exteriorRing(g.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WktCore.exteriorRing($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StExteriorRingExpression = copy(child = newChild)
+}
+
+/** `st_numinteriorring(wkt)` → BIGINT interior-ring count of a POLYGON. */
+case class StNumInteriorRingExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "st_numinteriorring"
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.numInteriorRing(g.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WktCore.numInteriorRing($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StNumInteriorRingExpression = copy(child = newChild)
+}
+
+/** `st_interiorringn(wkt, n)` → the n-th (1-based) interior ring as a
+  * closed LINESTRING; NULL out of range. */
+case class StInteriorRingNExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_interiorringn"
+  override protected def nullSafeEval(g: Any, n: Any): Any =
+    WktCore.interiorRingN(g.asInstanceOf[UTF8String],
+      n.asInstanceOf[java.lang.Integer].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) =>
+      s"""${ev.value} = graft.functions.WktCore.interiorRingN($g, (int) $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StInteriorRingNExpression =
+    copy(left = newLeft, right = newRight)
 }

@@ -667,6 +667,95 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21h: geometry ACCESSORS over the multi-ring model (Trino's
+    // ST_NumGeometries / ST_GeometryN / ST_ExteriorRing /
+    // ST_NumInteriorRing / ST_InteriorRingN) plus MULTIPOLYGON-aware
+    // ST_Contains — exercised against sc21g's constructed results so
+    // the accessors read REAL clipper output, not hand-typed text:
+    // the 2-component wall-window intersection (components ordered
+    // canonically, both windows 3ab/16), the holed difference (shell
+    // perimeter 4(a+b), hole perimeter 2(a+b)), out-of-range NULLs,
+    // and EMPTY → 0 components.
+    "sc21h_geo_accessors_multi" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      def poly(pts: Seq[(org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column)]) = {
+        val body = pts.flatMap { case (x, y) =>
+          Seq(dstr(x), lit(" "), dstr(y), lit(", ")) }.dropRight(1)
+        concat((lit("POLYGON ((") +: body :+ lit("))")): _*)
+      }
+      val g = Tables.nation(s, d).select(col("n_nationkey"),
+          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+          ((col("n_nationkey") % 5) + 2).cast("double").as("a"),
+          ((col("n_nationkey") % 3) + 1).cast("double").as("b"))
+        .withColumn("big", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+        .withColumn("big_far", poly(Seq(
+          (col("cx") + lit(1000.0), col("cy")),
+          (col("cx") + lit(1000.0) + col("a"), col("cy")),
+          (col("cx") + lit(1000.0) + col("a"), col("cy") + col("b")),
+          (col("cx") + lit(1000.0), col("cy") + col("b")),
+          (col("cx") + lit(1000.0), col("cy")))))
+        .withColumn("inner", poly(Seq(
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 1.5, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") / 2, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 2))))
+        .withColumn("cshape", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 4, col("cy")),
+          (col("cx") + col("a") * 4, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") * 3, col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b") * 3),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 3),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 2.5),
+          (col("cx") + col("a") * 4, col("cy") + col("b") * 2.5),
+          (col("cx") + col("a") * 4, col("cy") + col("b") * 4),
+          (col("cx"), col("cy") + col("b") * 4),
+          (col("cx"), col("cy")))))
+        .withColumn("bar", poly(Seq(
+          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25),
+          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 1.25),
+          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 2.75),
+          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 2.75),
+          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25))))
+        .withColumn("multi", GF.stIntersection(col("cshape"), col("bar")))
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5).cast("long")
+      g.select(col("n_nationkey"),
+          call_function("st_numgeometries", col("multi")).as("ng_multi"),
+          call_function("st_numgeometries", col("dhole")).as("ng_single"),
+          call_function("st_numgeometries",
+            GF.stIntersection(col("big"), col("big_far"))).as("ng_empty"),
+          q6(GF.stArea(call_function("st_geometryn", col("multi"), lit(1))))
+            .as("g1_area_q6"),
+          call_function("st_geometryn", col("multi"), lit(3)).isNull
+            .as("g3_null"),
+          call_function("st_numinteriorring", col("dhole")).as("n_holes"),
+          q6(GF.stLength(call_function("st_exteriorring", col("dhole"))))
+            .as("ext_len_q6"),
+          q6(GF.stLength(call_function("st_interiorringn", col("dhole"),
+            lit(1)))).as("int_len_q6"),
+          call_function("st_interiorringn", col("dhole"), lit(2)).isNull
+            .as("ring2_null"),
+          GF.stContains(col("multi"), col("cx") + col("a") * 3.5,
+            col("cy") + col("b") * 1.375).as("in_window1"),
+          GF.stContains(col("multi"), col("cx") + col("a") * 3.5,
+            col("cy") + col("b") * 2).as("between_windows"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1383,6 +1472,29 @@ object Scalars extends QueryModule {
         |  true AS annulus_in,
         |  false AS void_center_in,
         |  true AS wall_in
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21h: structural constants + dyadic perimeter/area closed forms
+    // (both wall windows are (3a/4)×(b/4); shell = the 2a×2b rectangle,
+    // hole = the a×b inner rectangle — closed-ring lengths)
+    "sc21h_geo_accessors_multi" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(2 AS BIGINT) AS ng_multi,
+        |  CAST(1 AS BIGINT) AS ng_single,
+        |  CAST(0 AS BIGINT) AS ng_empty,
+        |  CAST(floor(3 * a * b / 16 * 1e6 + 0.5) AS BIGINT) AS g1_area_q6,
+        |  true AS g3_null,
+        |  CAST(1 AS BIGINT) AS n_holes,
+        |  CAST(floor((4 * a + 4 * b) * 1e6 + 0.5) AS BIGINT) AS ext_len_q6,
+        |  CAST(floor((2 * a + 2 * b) * 1e6 + 0.5) AS BIGINT) AS int_len_q6,
+        |  true AS ring2_null,
+        |  true AS in_window1,
+        |  false AS between_windows
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
