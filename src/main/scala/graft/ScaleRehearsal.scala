@@ -119,7 +119,11 @@ object ScaleRehearsal {
     // would be timed as a bare parquet row count — vacuously flat. The
     // noop write materializes every output column of the physical plan.
     val df =
-      if (q == "l26_assign") graft.ops.LlmOps.semdedupAssigned(spark, dir)
+      // twoLevelMin = 1: the rehearsal measures the TWO-LEVEL path's
+      // curve at every scale (the adaptive dispatch would route small
+      // corpora to the flat broadcast and muddy the shape evidence)
+      if (q == "l26_assign")
+        graft.ops.LlmOps.semdedupAssigned(spark, dir, twoLevelMin = 1)
       else SparkEntry.queries(q)(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9

@@ -285,7 +285,16 @@ object LlmOps extends QueryModule {
   // for the centroid-side cost curve to be measured, not inferred from
   // the total. Returns (vec_id, embedding, cid); design notes live on
   // the l26_semdedup query below.
-  def semdedupAssigned(s: SparkSession, d: String): DataFrame = {
+  //
+  // `twoLevelMin` is the ADAPTIVE dispatch threshold (the AQE
+  // broadcast-vs-shuffle idea applied to assignment): while k stays
+  // under it, the flat argmax over the full broadcast centroid table is
+  // both cheaper (no coarse stages) and safe (the broadcast is bounded
+  // by the CONSTANT threshold, never ∝ n); past it, assignment goes
+  // two-level. Tests and the scale rehearsal force `1` to pin/measure
+  // the two-level path itself.
+  def semdedupAssigned(s: SparkSession, d: String,
+      twoLevelMin: Long = 256L): DataFrame = {
     CosineSimilarityExpression.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -337,6 +346,17 @@ object LlmOps extends QueryModule {
     // fineCells tagging that builds the arrays, so every assignable
     // ccid has an array row — the inner join cannot drop a point.
     def assign(fine: DataFrame): DataFrame = {
+      if (k < twoLevelMin) {
+        // small-k fast path: one flat argmax over the full broadcast
+        // centroid table — the broadcast is ≤ twoLevelMin rows (a
+        // constant), so this is NOT the r10 O(n·k)-with-growing-
+        // broadcast hazard; k ∝ n eventually crosses the threshold and
+        // dispatch flips to two-level
+        return assignFlat(all, "embedding",
+            fine.select(col("cid").as("ccid"), col("cvec").as("ccvec")),
+            "cid")
+          .select(col("vec_id"), col("embedding"), col("cid"))
+      }
       val fineF = fine.select(col("cid"),
         col("cvec").cast("array<float>").as("cvf"))
       val coarseSeed = fineF

@@ -226,7 +226,10 @@ class ScaleShapeSpec extends SparkSpec {
     // at scale), and (b) keep every nested-loop join a 1-row broadcast
     // array frame (the √k coarse table collected into ONE row), never a
     // row-per-centroid cross product.
-    val df = ops.LlmOps.semdedupAssigned(spark, sf)
+    // twoLevelMin = 1 forces the two-level path (the gate corpus's
+    // k ≈ 40 sits under the adaptive threshold, where the flat
+    // broadcast is the RIGHT plan — bounded by the constant threshold)
+    val df = ops.LlmOps.semdedupAssigned(spark, sf, twoLevelMin = 1)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     // the fine-cell join is an EQUI-join keyed on ccid (hash- or
