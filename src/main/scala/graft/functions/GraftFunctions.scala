@@ -89,6 +89,9 @@ object GraftFunctions {
     (FunctionIdentifier("image_stats"),
       new ExpressionInfo(classOf[ImageStatsExpression].getName, "image_stats"),
       (e: Seq[Expression]) => ImageStatsExpression(e(0))),
+    (FunctionIdentifier("audio_stats"),
+      new ExpressionInfo(classOf[AudioStatsExpression].getName, "audio_stats"),
+      (e: Seq[Expression]) => AudioStatsExpression(e(0))),
     (FunctionIdentifier("ws_words"),
       new ExpressionInfo(classOf[WsWordsExpression].getName, "ws_words"),
       (e: Seq[Expression]) => WsWordsExpression(e(0))),
@@ -265,6 +268,7 @@ object GraftFunctions {
     call_function("bpe_count", text, org.apache.spark.sql.functions.lit(
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
   def imageStats(bytes: Column): Column = call_function("image_stats", bytes)
+  def audioStats(bytes: Column): Column = call_function("audio_stats", bytes)
   def wsWords(text: Column): Column = call_function("ws_words", text)
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_segment", text, org.apache.spark.sql.functions.lit(

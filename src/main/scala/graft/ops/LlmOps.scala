@@ -74,6 +74,38 @@ private[graft] object ImageFixture {
   }
 }
 
+/** Deterministic 16-bit PCM WAV fixture for l7d: sample i of audio `id`
+  * is the closed-form int16 below, so the DuckDB oracle can recompute
+  * the decoded |amplitude| sums analytically (generate_series over the
+  * sample index) without ever seeing a WAV. PCM is lossless, so
+  * javax.sound must hand the formula back bit-exactly.
+  */
+private[graft] object AudioFixture {
+  def nSamples(id: Long): Int = (800 + (id % 5) * 160).toInt
+  val sampleRate: Int = 8000
+  def sample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7) % 2003) - 1001).toInt
+
+  def writeWav(dir: String, id: Long): Unit = {
+    val n = nSamples(id)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sample(id, i)
+      data(2 * i) = (v & 0xff).toByte          // little-endian int16
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      new java.io.File(dir, s"aud_$id.wav"))
+  }
+}
+
 /** Domain lexicons for l30 — three pairwise-disjoint keyword sets over
   * the corpus vocabulary, standing in for the 10⁴–10⁶-term lexicons a
   * production domain tagger would broadcast. Disjointness keeps the
@@ -1062,6 +1094,40 @@ object LlmOps extends QueryModule {
           col("st.bsum").as("bsum"))
         .withColumn("mean_r_q4",
           expr("(rsum * 10000) div (img_w * img_h)"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L7d: REAL audio decode — the audio sibling of l7c, completing the
+    // multimodal column story (image / video-frame / audio): 16-bit PCM
+    // WAVs written by the same distributed binary path, read back
+    // through the binaryFile source, decoded by the audio_stats codegen
+    // expression (JDK javax.sound, no new dependency). The decode emits
+    // exact integer |amplitude| sums + peak, which the oracle recomputes
+    // analytically from the fixture's sample formula — DuckDB never sees
+    // a WAV, so a decoder bug cannot cancel out. duration_ms and the
+    // quantized mean-|amplitude| ride as integer arithmetic.
+    "l7d_audio_decode" -> ((s, d) => {
+      GF.register(s)
+      val out = Sources.scratch("graft_wav")
+      Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach(r => AudioFixture.writeWav(out, r.getLong(0)))
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(out)
+        .select(
+          regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"),
+          GF.audioStats(col("content")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_samples").as("n_samples"),
+          col("st.sample_rate").cast("long").as("sample_rate"),
+          col("st.sum_abs").as("sum_abs"),
+          col("st.peak").as("peak"))
+        .withColumn("duration_ms",
+          expr("n_samples * 1000 div sample_rate"))
+        .withColumn("mean_abs_q4",
+          expr("sum_abs * 10000 div n_samples"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4085,6 +4151,27 @@ object LlmOps extends QueryModule {
         |  CAST(bsum AS BIGINT) AS bsum,
         |  CAST((rsum * 10000) // (img_w * img_h) AS BIGINT) AS mean_r_q4
         |FROM sums ORDER BY doc_id""".stripMargin,
+
+    "l7d_audio_decode" ->
+      // the sample formula of AudioFixture, re-derived analytically over
+      // the sample index — no audio bytes involved on the oracle side
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |dims AS (
+        |  SELECT doc_id,
+        |    CAST(800 + doc_id % 5 * 160 AS BIGINT) AS n_samples
+        |  FROM ids),
+        |sm AS (
+        |  SELECT d.doc_id, d.n_samples,
+        |    SUM(ABS((d.doc_id * 31 + i * 7) % 2003 - 1001)) AS sum_abs,
+        |    MAX(ABS((d.doc_id * 31 + i * 7) % 2003 - 1001)) AS peak
+        |  FROM dims d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.n_samples - 1)) AS i) s
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum_abs AS BIGINT) AS sum_abs, CAST(peak AS BIGINT) AS peak,
+        |  CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(sum_abs * 10000 // n_samples AS BIGINT) AS mean_abs_q4
+        |FROM sm ORDER BY doc_id""".stripMargin,
 
     "l4b_token_count" ->
       """WITH t AS (

@@ -51,6 +51,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio_stats decodes a known WAV exactly and NULLs undecodable bytes (r11)") {
+    import graft.functions.{GraftFunctions => GF}
+    GF.register(spark)
+    // 5 samples with known int16 values; 16-bit mono PCM at 8 kHz
+    val samples = Array[Int](100, -250, 0, 32767, -32768)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val out = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+      .select($"id", GF.audioStats($"bytes").as("st"))
+      .orderBy("id").collect()
+    val st = out(0).getStruct(1)
+    assert(st.getLong(0) == 5L)
+    assert(st.getInt(1) == 8000)
+    assert(st.getLong(2) == 100L + 250 + 0 + 32767 + 32768) // sum_abs
+    assert(st.getLong(3) == 32768L)                          // peak
+    assert(out(1).isNullAt(1), "non-audio bytes must decode to NULL")
+
+    // hostile payloads: truncated/corrupted WAV headers NULL, not crash
+    import graft.functions.AudioCore
+    val hostile = Seq(
+      wav.take(wav.length / 2),
+      wav.take(12),
+      (wav.take(8) ++ Array.fill[Byte](16)(-1)).toArray)
+    hostile.zipWithIndex.foreach { case (bytes, i) =>
+      val r = AudioCore.stats(bytes)
+      // a truncated DATA section can still parse as a shorter valid WAV;
+      // the contract is only "never crash, never garbage": NULL or a
+      // sample count no larger than the original
+      assert(r == null || r.getLong(0) <= 5L, s"hostile payload $i")
+    }
+  }
+
   test("decodeStub: deterministic L1-normalized 16-bin histogram") {
     val f = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     assert(f.length == 16)
