@@ -168,8 +168,13 @@ object WktCore {
     if (cached != null && cached._1.equals(s)) cached._2
     else {
       val t = s.toString.trim
+      // EMPTY must match EXACTLY (a prefix test would silently accept
+      // malformed text like 'POLYGON EMPTYX …' as the empty geometry,
+      // violating the loud-on-malformed contract); both spellings are
+      // valid WKT from the consumers this module interoperates with
       val parsed =
-        if (t.regionMatches(true, 0, "POLYGON EMPTY", 0, 13))
+        if (t.equalsIgnoreCase("POLYGON EMPTY") ||
+            t.equalsIgnoreCase("MULTIPOLYGON EMPTY"))
           Array.empty[(Array[Double], Array[Array[Double]])]
         else if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
           parseMultiPolygonFull(t)

@@ -2500,14 +2500,19 @@ object LlmOps extends QueryModule {
         explode(col("toks")).as("w"))
       def qln(c: org.apache.spark.sql.Column) =
         floor(log(c) * 1e6 + 0.5).cast("long")
-      val model = toks.groupBy(col("w")).agg(
+      // ONE corpus tokenize pass materializes the vocab-sized per-class
+      // count table (localCheckpoint: both the model projection and the
+      // corpus-stats rollup read it); n1/n0/v are derivable from it —
+      // n1 = Σc1, n0 = Σc0, v = |vocab| — so the stats never re-scan
+      // the corpus (r11 review finding)
+      val counts = toks.groupBy(col("w")).agg(
           sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("c0"))
+        .localCheckpoint()
+      val model = counts
         .select(col("w"), (qln(col("c1") + 1) - qln(col("c0") + 1)).as("wq"))
-      val hdr = toks.agg(
-        sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
-        sum(when(!col("pos"), 1L).otherwise(0L)).as("n0"),
-        countDistinct(col("w")).as("v")).head
+      val hdr = counts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        count(lit(1)).as("v")).head
       val dh = docs.agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("nd1"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("nd0")).head

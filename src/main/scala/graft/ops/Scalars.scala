@@ -15,6 +15,78 @@ import org.apache.spark.sql.functions._
   * Scale notes: all functions here are codegen'd row-ops inside
   * WholeStageCodegen — no shuffle except the final sort.
   */
+/** Shared geometry-fixture builders for the sc21f/g/h clipping-tier
+  * queries (r11 review: the helpers and the g/h fixture polygons were
+  * triplicated — a fixture tweak applied to one copy would silently
+  * diverge the oracles). All coordinates dyadic on the nation-keyed
+  * (cx, cy, a, b) parameter frame. */
+private[ops] object GeoFix {
+  import org.apache.spark.sql.functions._
+
+  def dstr(c: Column): Column = c.cast("string")
+
+  def poly(pts: Seq[(Column, Column)]): Column = {
+    val body = pts.flatMap { case (x, y) =>
+      Seq(dstr(x), lit(" "), dstr(y), lit(", ")) }.dropRight(1)
+    concat((lit("POLYGON ((") +: body :+ lit("))")): _*)
+  }
+
+  def q6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+
+  /** nation-keyed dyadic parameter frame: n_nationkey, cx, cy, a, b. */
+  def base(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(col("n_nationkey"),
+      (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
+      (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
+      ((col("n_nationkey") % 5) + 2).cast("double").as("a"),
+      ((col("n_nationkey") % 3) + 1).cast("double").as("b"))
+
+  /** The sc21g/h fixture set over base(): `big` (2a×2b rect), `big_far`
+    * (disjoint a×b rect at +1000), `inner` (the centered a×b rect,
+    * strictly inside big), `cshape` (square annulus with a right-side
+    * slot, area 11ab), `bar` (the slot cap, area 15ab/8). */
+  def holesFixtures(s: SparkSession, d: String): DataFrame =
+    base(s, d)
+      .withColumn("big", poly(Seq(
+        (col("cx"), col("cy")),
+        (col("cx") + col("a") * 2, col("cy")),
+        (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+        (col("cx"), col("cy") + col("b") * 2),
+        (col("cx"), col("cy")))))
+      .withColumn("big_far", poly(Seq(
+        (col("cx") + lit(1000.0), col("cy")),
+        (col("cx") + lit(1000.0) + col("a"), col("cy")),
+        (col("cx") + lit(1000.0) + col("a"), col("cy") + col("b")),
+        (col("cx") + lit(1000.0), col("cy") + col("b")),
+        (col("cx") + lit(1000.0), col("cy")))))
+      .withColumn("inner", poly(Seq(
+        (col("cx") + col("a") / 2, col("cy") + col("b") / 2),
+        (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2),
+        (col("cx") + col("a") * 1.5, col("cy") + col("b") * 1.5),
+        (col("cx") + col("a") / 2, col("cy") + col("b") * 1.5),
+        (col("cx") + col("a") / 2, col("cy") + col("b") / 2))))
+      .withColumn("cshape", poly(Seq(
+        (col("cx"), col("cy")),
+        (col("cx") + col("a") * 4, col("cy")),
+        (col("cx") + col("a") * 4, col("cy") + col("b") * 1.5),
+        (col("cx") + col("a") * 3, col("cy") + col("b") * 1.5),
+        (col("cx") + col("a") * 3, col("cy") + col("b")),
+        (col("cx") + col("a"), col("cy") + col("b")),
+        (col("cx") + col("a"), col("cy") + col("b") * 3),
+        (col("cx") + col("a") * 3, col("cy") + col("b") * 3),
+        (col("cx") + col("a") * 3, col("cy") + col("b") * 2.5),
+        (col("cx") + col("a") * 4, col("cy") + col("b") * 2.5),
+        (col("cx") + col("a") * 4, col("cy") + col("b") * 4),
+        (col("cx"), col("cy") + col("b") * 4),
+        (col("cx"), col("cy")))))
+      .withColumn("bar", poly(Seq(
+        (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25),
+        (col("cx") + col("a") * 4.5, col("cy") + col("b") * 1.25),
+        (col("cx") + col("a") * 4.5, col("cy") + col("b") * 2.75),
+        (col("cx") + col("a") * 3.25, col("cy") + col("b") * 2.75),
+        (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25))))
+}
+
 object Scalars extends QueryModule {
 
   // per-JVM scratch discriminator for queries that round-trip through a
@@ -595,52 +667,8 @@ object Scalars extends QueryModule {
     "sc21g_geo_holes" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.{GraftFunctions => GF}
-      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
-      def poly(pts: Seq[(org.apache.spark.sql.Column,
-          org.apache.spark.sql.Column)]) = {
-        val body = pts.flatMap { case (x, y) =>
-          Seq(dstr(x), lit(" "), dstr(y), lit(", ")) }.dropRight(1)
-        concat((lit("POLYGON ((") +: body :+ lit("))")): _*)
-      }
-      val g = Tables.nation(s, d).select(col("n_nationkey"),
-          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
-          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
-          ((col("n_nationkey") % 5) + 2).cast("double").as("a"),
-          ((col("n_nationkey") % 3) + 1).cast("double").as("b"))
-        .withColumn("big", poly(Seq(
-          (col("cx"), col("cy")),
-          (col("cx") + col("a") * 2, col("cy")),
-          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
-          (col("cx"), col("cy") + col("b") * 2),
-          (col("cx"), col("cy")))))
-        .withColumn("inner", poly(Seq(
-          (col("cx") + col("a") / 2, col("cy") + col("b") / 2),
-          (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2),
-          (col("cx") + col("a") * 1.5, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") / 2, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") / 2, col("cy") + col("b") / 2))))
-        .withColumn("cshape", poly(Seq(
-          (col("cx"), col("cy")),
-          (col("cx") + col("a") * 4, col("cy")),
-          (col("cx") + col("a") * 4, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") * 3, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") * 3, col("cy") + col("b")),
-          (col("cx") + col("a"), col("cy") + col("b")),
-          (col("cx") + col("a"), col("cy") + col("b") * 3),
-          (col("cx") + col("a") * 3, col("cy") + col("b") * 3),
-          (col("cx") + col("a") * 3, col("cy") + col("b") * 2.5),
-          (col("cx") + col("a") * 4, col("cy") + col("b") * 2.5),
-          (col("cx") + col("a") * 4, col("cy") + col("b") * 4),
-          (col("cx"), col("cy") + col("b") * 4),
-          (col("cx"), col("cy")))))
-        .withColumn("bar", poly(Seq(
-          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25),
-          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 1.25),
-          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 2.75),
-          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 2.75),
-          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25))))
-      def q6(c: org.apache.spark.sql.Column) =
-        floor(c * 1e6 + 0.5).cast("long")
+      import GeoFix.q6
+      val g = GeoFix.holesFixtures(s, d)
       def nrings(c: org.apache.spark.sql.Column) =
         (size(split(c, "\\(")) - 2).cast("long")  // outer paren + rings
       val dHole = GF.stDifference(col("big"), col("inner"))
@@ -679,60 +707,10 @@ object Scalars extends QueryModule {
     "sc21h_geo_accessors_multi" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.{GraftFunctions => GF}
-      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
-      def poly(pts: Seq[(org.apache.spark.sql.Column,
-          org.apache.spark.sql.Column)]) = {
-        val body = pts.flatMap { case (x, y) =>
-          Seq(dstr(x), lit(" "), dstr(y), lit(", ")) }.dropRight(1)
-        concat((lit("POLYGON ((") +: body :+ lit("))")): _*)
-      }
-      val g = Tables.nation(s, d).select(col("n_nationkey"),
-          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("cx"),
-          (col("n_nationkey") % 11 - 5).cast("double").as("cy"),
-          ((col("n_nationkey") % 5) + 2).cast("double").as("a"),
-          ((col("n_nationkey") % 3) + 1).cast("double").as("b"))
-        .withColumn("big", poly(Seq(
-          (col("cx"), col("cy")),
-          (col("cx") + col("a") * 2, col("cy")),
-          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
-          (col("cx"), col("cy") + col("b") * 2),
-          (col("cx"), col("cy")))))
-        .withColumn("big_far", poly(Seq(
-          (col("cx") + lit(1000.0), col("cy")),
-          (col("cx") + lit(1000.0) + col("a"), col("cy")),
-          (col("cx") + lit(1000.0) + col("a"), col("cy") + col("b")),
-          (col("cx") + lit(1000.0), col("cy") + col("b")),
-          (col("cx") + lit(1000.0), col("cy")))))
-        .withColumn("inner", poly(Seq(
-          (col("cx") + col("a") / 2, col("cy") + col("b") / 2),
-          (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2),
-          (col("cx") + col("a") * 1.5, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") / 2, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") / 2, col("cy") + col("b") / 2))))
-        .withColumn("cshape", poly(Seq(
-          (col("cx"), col("cy")),
-          (col("cx") + col("a") * 4, col("cy")),
-          (col("cx") + col("a") * 4, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") * 3, col("cy") + col("b") * 1.5),
-          (col("cx") + col("a") * 3, col("cy") + col("b")),
-          (col("cx") + col("a"), col("cy") + col("b")),
-          (col("cx") + col("a"), col("cy") + col("b") * 3),
-          (col("cx") + col("a") * 3, col("cy") + col("b") * 3),
-          (col("cx") + col("a") * 3, col("cy") + col("b") * 2.5),
-          (col("cx") + col("a") * 4, col("cy") + col("b") * 2.5),
-          (col("cx") + col("a") * 4, col("cy") + col("b") * 4),
-          (col("cx"), col("cy") + col("b") * 4),
-          (col("cx"), col("cy")))))
-        .withColumn("bar", poly(Seq(
-          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25),
-          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 1.25),
-          (col("cx") + col("a") * 4.5, col("cy") + col("b") * 2.75),
-          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 2.75),
-          (col("cx") + col("a") * 3.25, col("cy") + col("b") * 1.25))))
+      import GeoFix.q6
+      val g = GeoFix.holesFixtures(s, d)
         .withColumn("multi", GF.stIntersection(col("cshape"), col("bar")))
         .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
-      def q6(c: org.apache.spark.sql.Column) =
-        floor(c * 1e6 + 0.5).cast("long")
       g.select(col("n_nationkey"),
           call_function("st_numgeometries", col("multi")).as("ng_multi"),
           call_function("st_numgeometries", col("dhole")).as("ng_single"),

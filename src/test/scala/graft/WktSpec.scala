@@ -412,5 +412,17 @@ class WktSpec extends SparkSpec {
       WktCore.intersectionWkt(u(donut), u(bar))
     }
     assert(eh.getMessage.contains("interior rings"), eh.getMessage)
+    // both EMPTY spellings are the empty geometry; the match is EXACT —
+    // text that starts with the EMPTY keyword but carries trailing
+    // garbage (and no ring) stays loud instead of silently reading as
+    // the empty geometry (r11 review findings)
+    assert(a("MULTIPOLYGON EMPTY") == 0.0)
+    assert(!WktCore.containsWkt(u("MULTIPOLYGON EMPTY"), 0.0, 0.0))
+    intercept[IllegalArgumentException] {
+      WktCore.area(u("POLYGON EMPTY TRAILING"))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.area(u("MULTIPOLYGON EMPTINESS"))
+    }
   }
 }
