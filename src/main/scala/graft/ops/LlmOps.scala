@@ -419,6 +419,25 @@ object LlmOps extends QueryModule {
     assign(cent)
   }
 
+  /** The SemDeDup within-cluster dominance prune over an assignment
+    * (shared by l26 and l26c): drop every vector with a smaller-id
+    * cosine-≥τ neighbor in its cluster. */
+  private def semdedupPrune(assigned0: DataFrame): DataFrame = {
+    val assigned = assigned0.localCheckpoint()
+    val a = assigned.select(col("cid"), col("vec_id").as("vid_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vid_b"),
+      col("embedding").as("emb_b"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("vid_a") < col("vid_b"))
+      .filter(CosineSimilarityExpression.cosineSim(
+        col("emb_a"), col("emb_b")) >= 0.95)
+      .select(col("vid_b").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dropped").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content hash; keeper = min doc_id.
     "l1_dedup_exact" -> ((s, d) => {
@@ -1706,18 +1725,19 @@ object LlmOps extends QueryModule {
     // every natural vector survives. Cluster ids are algorithm-internal
     // and not exposed; the prune-rule MATH is independently re-derived by
     // the l26b oracle below.
-    "l26_semdedup" -> ((s, d) => {
-      val assigned = semdedupAssigned(s, d).localCheckpoint()
-      val a = assigned.select(col("cid"), col("vec_id").as("vid_a"), col("embedding").as("emb_a"))
-      val b = assigned.select(col("cid"), col("vec_id").as("vid_b"), col("embedding").as("emb_b"))
-      val drops = a.join(b, Seq("cid"))
-        .filter(col("vid_a") < col("vid_b"))
-        .filter(CosineSimilarityExpression.cosineSim(col("emb_a"), col("emb_b")) >= 0.95)
-        .select(col("vid_b").as("vec_id")).distinct()
-      assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("dropped").isNull.as("kept"))
-        .orderBy(col("vec_id"))
-    }),
+    "l26_semdedup" -> ((s, d) =>
+      semdedupPrune(semdedupAssigned(s, d))),
+
+    // L26c: the TWO-LEVEL assignment path itself under the oracle gate —
+    // the adaptive dispatch routes the oracle-verified SFs (k ≈ 17–40 <
+    // 256) to the flat broadcast argmax, so this variant forces
+    // twoLevelMin = 1 and proves the coarse-then-fine hierarchy produces
+    // the same planted-ground-truth kept set at every gate SF (the
+    // oracle encodes the kept set exactly; any assignment that keeps an
+    // ε-copy apart from its original, or drops a point through the
+    // cell-existence invariant, fails the gate).
+    "l26c_semdedup_twolevel" -> ((s, d) =>
+      semdedupPrune(semdedupAssigned(s, d, twoLevelMin = 1))),
 
     // L26b: the prune-rule correctness anchor — same dominance prune with
     // `label` as the (given) cluster, so the DuckDB oracle can re-derive
@@ -4928,6 +4948,17 @@ object LlmOps extends QueryModule {
     // τ = 0.95, corpus max ≈ 0.51). 100% recall + zero false positives,
     // end to end.
     "l26_semdedup" ->
+      """WITH univ AS (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, vec_id < 100000 AS kept
+        |FROM univ ORDER BY vec_id""".stripMargin,
+
+    // l26c: identical kept-set oracle — the clustering is algorithm-
+    // internal (flat vs two-level changes the plan, never the planted
+    // ground truth the gate encodes)
+    "l26c_semdedup_twolevel" ->
       """WITH univ AS (
         |  SELECT vec_id FROM embeddings
         |  UNION ALL
