@@ -484,11 +484,38 @@ object WktCore {
     * centroid. Degenerate (zero-area) rings divide by zero → ±Inf/NaN,
     * loud rather than silently wrong. */
   def centroid(poly: UTF8String, idx: Int): Double = {
-    val c = polygonCoords(poly)
+    val polys = geomPolys(poly)
+    require(polys.nonEmpty, "st_centroid: empty geometry")
+    if (polys.length == 1 && polys(0)._2.isEmpty) {
+      // hole-free single polygon: the ORIGINAL path, bit-identical term
+      // order (sc21c's oracle mirrors this arithmetic op-for-op) —
+      // winding-insensitive because the signed cross-sum divides out
+      val c = polys(0)._1
+      val (sa, sx, sy) = centroidTerms(c, 0.0, 0.0, 0.0)
+      return if (idx == 0) sx / (3.0 * sa) else sy / (3.0 * sa)
+    }
+    // holed / MULTIPOLYGON (r11): same term formulas accumulated over
+    // every ring with FIXED orientation — shells CCW (positive cross
+    // terms), interior rings CW (negative) — so the moments and the
+    // cross-sum are shell − holes and the division yields the true
+    // centroid of the remaining region; components accumulate in
+    // order, shell before its holes
+    var sa = 0.0; var sx = 0.0; var sy = 0.0
+    polys.foreach { case (shell0, holes) =>
+      val r1 = centroidTerms(toCcw(shell0), sa, sx, sy)
+      sa = r1._1; sx = r1._2; sy = r1._3
+      holes.foreach { h =>
+        val r2 = centroidTerms(reverseRing(toCcw(h)), sa, sx, sy)
+        sa = r2._1; sx = r2._2; sy = r2._3
+      }
+    }
+    if (idx == 0) sx / (3.0 * sa) else sy / (3.0 * sa)
+  }
+
+  private def centroidTerms(c: Array[Double], sa0: Double, sx0: Double,
+      sy0: Double): (Double, Double, Double) = {
     val n = c.length / 2
-    var sa = 0.0
-    var sx = 0.0
-    var sy = 0.0
+    var sa = sa0; var sx = sx0; var sy = sy0
     var i = 0
     while (i < n) {
       val j = if (i + 1 == n) 0 else i + 1
@@ -498,7 +525,7 @@ object WktCore {
       sy += (c(2 * i + 1) + c(2 * j + 1)) * cr
       i += 1
     }
-    if (idx == 0) sx / (3.0 * sa) else sy / (3.0 * sa)
+    (sa, sx, sy)
   }
 
   /** Codegen entry: envelope bound of POINT/LINESTRING/POLYGON WKT —
@@ -507,24 +534,34 @@ object WktCore {
     * contract is needed. */
   def envBound(g: UTF8String, which: Int): Double = {
     val t = g.toString.trim
-    val c =
-      if (t.regionMatches(true, 0, "POLYGON", 0, 7)) parsePolygon(t)
-      else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
-        parseLineString(t)
-      else parsePoint(t)
-    var xmin = c(0)
-    var ymin = c(1)
-    var xmax = c(0)
-    var ymax = c(1)
-    var i = 1
-    while (2 * i < c.length) {
-      val x = c(2 * i)
-      val y = c(2 * i + 1)
-      if (x < xmin) xmin = x
-      if (x > xmax) xmax = x
-      if (y < ymin) ymin = y
-      if (y > ymax) ymax = y
-      i += 1
+    // polygonal inputs go through the multi-ring accessor: the envelope
+    // of a holed polygon is its SHELL's bbox (interior rings cannot
+    // extend it), and a MULTIPOLYGON's envelope spans all shells (r11);
+    // EMPTY has no envelope — loud, like the rest of the malformed scope
+    val rings: Seq[Array[Double]] =
+      if (t.regionMatches(true, 0, "POLYGON", 0, 7) ||
+          t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12)) {
+        val polys = geomPolys(g)
+        require(polys.nonEmpty, "st_envelope: empty geometry")
+        polys.toSeq.map(_._1)
+      } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
+        Seq(parseLineString(t))
+      else Seq(parsePoint(t))
+    var xmin = rings.head(0)
+    var ymin = rings.head(1)
+    var xmax = xmin
+    var ymax = ymin
+    rings.foreach { c =>
+      var i = 0
+      while (2 * i < c.length) {
+        val x = c(2 * i)
+        val y = c(2 * i + 1)
+        if (x < xmin) xmin = x
+        if (x > xmax) xmax = x
+        if (y < ymin) ymin = y
+        if (y > ymax) ymax = y
+        i += 1
+      }
     }
     which match {
       case 0 => xmin

@@ -734,6 +734,40 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21i: envelope + centroid over HOLED and MULTIPOLYGON geometries
+    // (r11, closing the accessor surface): the envelope of a holed
+    // polygon is its shell's bbox (interior rings cannot extend it) and
+    // a MULTIPOLYGON's envelope spans all shells; the centroid
+    // accumulates the shoelace moment terms over every ring with fixed
+    // orientation (shells CCW, holes CW), so moments are shell − holes.
+    // Exactness: both probed centroids are DYADIC by symmetry — the
+    // holed difference shares its hole's center so the centroid stays
+    // the common center; the two equal wall windows average to
+    // (29a/8, 2b) — and an IEEE division whose true quotient is
+    // representable is exact, so q6 lands on the closed form.
+    "sc21i_geo_env_centroid_multi" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.q6
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("multi", GF.stIntersection(col("cshape"), col("bar")))
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+      def f(name: String, c: org.apache.spark.sql.Column) =
+        call_function(name, c)
+      g.select(col("n_nationkey"),
+          q6(f("st_xmin", col("multi"))).as("m_xmin_q6"),
+          q6(f("st_xmax", col("multi"))).as("m_xmax_q6"),
+          q6(f("st_ymin", col("multi"))).as("m_ymin_q6"),
+          q6(f("st_ymax", col("multi"))).as("m_ymax_q6"),
+          q6(f("st_xmax", col("dhole"))).as("h_xmax_q6"),
+          q6(f("st_ymax", col("dhole"))).as("h_ymax_q6"),
+          q6(f("st_centroid_x", col("dhole"))).as("h_cx_q6"),
+          q6(f("st_centroid_y", col("dhole"))).as("h_cy_q6"),
+          q6(f("st_centroid_x", col("multi"))).as("m_cx_q6"),
+          q6(f("st_centroid_y", col("multi"))).as("m_cy_q6"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1473,6 +1507,30 @@ object Scalars extends QueryModule {
         |  true AS ring2_null,
         |  true AS in_window1,
         |  false AS between_windows
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21i: dyadic closed forms — window bbox [13a/4, 4a]×[5b/4, 11b/4]
+    // around the centers, big's bbox for the holed shape, and the two
+    // symmetry-exact centroids
+    "sc21i_geo_env_centroid_multi" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor((cx + 13 * a / 4) * 1e6 + 0.5) AS BIGINT) AS m_xmin_q6,
+        |  CAST(floor((cx + 4 * a) * 1e6 + 0.5) AS BIGINT) AS m_xmax_q6,
+        |  CAST(floor((cy + 5 * b / 4) * 1e6 + 0.5) AS BIGINT) AS m_ymin_q6,
+        |  CAST(floor((cy + 11 * b / 4) * 1e6 + 0.5) AS BIGINT) AS m_ymax_q6,
+        |  CAST(floor((cx + 2 * a) * 1e6 + 0.5) AS BIGINT) AS h_xmax_q6,
+        |  CAST(floor((cy + 2 * b) * 1e6 + 0.5) AS BIGINT) AS h_ymax_q6,
+        |  CAST(floor((cx + a) * 1e6 + 0.5) AS BIGINT) AS h_cx_q6,
+        |  CAST(floor((cy + b) * 1e6 + 0.5) AS BIGINT) AS h_cy_q6,
+        |  CAST(floor((cx + 29 * a / 8) * 1e6 + 0.5) AS BIGINT) AS m_cx_q6,
+        |  CAST(floor((cy + 2 * b) * 1e6 + 0.5) AS BIGINT) AS m_cy_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

@@ -424,5 +424,22 @@ class WktSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WktCore.area(u("MULTIPOLYGON EMPTINESS"))
     }
+    // ASYMMETRIC-hole centroid (the symmetric oracle case cannot catch
+    // a hole-SIGN error — adding instead of subtracting the hole's
+    // moments leaves a symmetric centroid unchanged): big [0,4]² minus
+    // off-center hole [1,2]² → cen_x = (16·2 − 1·1.5)/15 = 61/30
+    val offHole =
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert(math.abs(WktCore.centroid(u(offHole), 0) - 61.0 / 30) < 1e-12)
+    assert(math.abs(WktCore.centroid(u(offHole), 1) - 61.0 / 30) < 1e-12)
+    // asymmetric MULTIPOLYGON centroid: unit square + 3×1 rect at x=10
+    val mp2 = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((10 0, 13 0, 13 1, 10 1, 10 0)))"
+    assert(WktCore.centroid(u(mp2), 0) == 8.75)
+    assert(WktCore.centroid(u(mp2), 1) == 0.5)
+    // envelope: holes never extend it; MULTIPOLYGON spans all shells
+    assert(WktCore.envBound(u(offHole), 2) == 4.0)
+    assert(WktCore.envBound(u(mp2), 2) == 13.0 &&
+      WktCore.envBound(u(mp2), 0) == 0.0)
   }
 }
