@@ -186,6 +186,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StInteriorRingNExpression].getName,
         "st_interiorringn"),
       (e: Seq[Expression]) => StInteriorRingNExpression(e(0), e(1))),
+    (FunctionIdentifier("st_isvalid"),
+      new ExpressionInfo(classOf[StIsValidExpression].getName,
+        "st_isvalid"),
+      (e: Seq[Expression]) => StIsValidExpression(e(0))),
+    (FunctionIdentifier("geometry_invalid_reason"),
+      new ExpressionInfo(classOf[StInvalidReasonExpression].getName,
+        "geometry_invalid_reason"),
+      (e: Seq[Expression]) => StInvalidReasonExpression(e(0))),
     (FunctionIdentifier("st_buffer"),
       new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
       (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),

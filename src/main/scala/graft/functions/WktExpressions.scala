@@ -745,11 +745,10 @@ object WktCore {
     true
   }
 
-  /** Loud simple-ring validation for the general tier: non-adjacent
-    * edges must not touch at all (the convex tier's turn test subsumed
-    * this; a concave ring needs the O(n²) pair check). */
-  private def requireSimple(c: Array[Double], op: String): Unit = {
-    require(signedArea2(c) != 0, s"$op: degenerate zero-area ring")
+  /** First pair of non-adjacent edges of one ring that touch, if any
+    * (the simple-ring test; adjacent edges legitimately share their
+    * common vertex and are skipped). */
+  private def selfIntersection(c: Array[Double]): Option[(Int, Int)] = {
     val n = c.length / 2
     var i = 0
     while (i < n) {
@@ -761,14 +760,103 @@ object WktCore {
         if (!adjacent && segIntersect(c(2 * i), c(2 * i + 1),
             c(2 * i2), c(2 * i2 + 1),
             c(2 * j), c(2 * j + 1), c(2 * j2), c(2 * j2 + 1)))
-          throw new IllegalArgumentException(
-            s"$op: self-intersecting ring (edges $i and $j) - " +
-              "simple polygons only")
+          return Some((i, j))
         j += 1
       }
       i += 1
     }
+    None
   }
+
+  /** Loud simple-ring validation for the general tier: non-adjacent
+    * edges must not touch at all (the convex tier's turn test subsumed
+    * this; a concave ring needs the O(n²) pair check). */
+  private def requireSimple(c: Array[Double], op: String): Unit = {
+    require(signedArea2(c) != 0, s"$op: degenerate zero-area ring")
+    selfIntersection(c).foreach { case (i, j) =>
+      throw new IllegalArgumentException(
+        s"$op: self-intersecting ring (edges $i and $j) - " +
+          "simple polygons only")
+    }
+  }
+
+  /** Any edge of ring a touching any edge of ring b (boundary-disjoint
+    * test between two rings). */
+  private def ringsTouch(a: Array[Double], b: Array[Double]): Boolean = {
+    val na = a.length / 2; val nb = b.length / 2
+    var i = 0
+    while (i < na) {
+      val i2 = if (i + 1 == na) 0 else i + 1
+      var j = 0
+      while (j < nb) {
+        val j2 = if (j + 1 == nb) 0 else j + 1
+        if (segIntersect(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+            b(2 * j), b(2 * j + 1), b(2 * j2), b(2 * j2 + 1)))
+          return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** st_isvalid / geometry_invalid_reason: STRICT structural validity
+    * of a (MULTI)POLYGON — rings non-degenerate and simple, interior
+    * rings strictly inside their shell with boundaries disjoint from
+    * the shell and from each other, component shells pairwise
+    * boundary-disjoint and non-nested. Stricter than OGC on one point,
+    * documented: OGC permits a hole touching its shell at isolated
+    * points; this model (like the clipping tier) requires disjoint
+    * boundaries. EMPTY is valid. Malformed TEXT still throws (parse
+    * errors are not validity verdicts — wrap in try_eval for NULL).
+    * Returns null when valid, else the reason. */
+  def invalidReason(g: UTF8String): UTF8String = {
+    def r(s: String): UTF8String = UTF8String.fromString(s)
+    val polys = geomPolys(g)
+    var p = 0
+    while (p < polys.length) {
+      val (shell, holes) = polys(p)
+      val rings = shell +: holes.toSeq
+      var k = 0
+      while (k < rings.length) {
+        if (signedArea2(rings(k)) == 0) return r("zero-area ring")
+        if (selfIntersection(rings(k)).isDefined)
+          return r("self-intersecting ring")
+        k += 1
+      }
+      var hi = 0
+      while (hi < holes.length) {
+        if (ringsTouch(shell, holes(hi)))
+          return r("interior ring crosses shell")
+        // boundaries disjoint, so one vertex decides containment
+        if (!contains(shell, holes(hi)(0), holes(hi)(1)))
+          return r("interior ring not inside shell")
+        var hj = hi + 1
+        while (hj < holes.length) {
+          if (ringsTouch(holes(hi), holes(hj)))
+            return r("interior rings cross")
+          if (contains(holes(hi), holes(hj)(0), holes(hj)(1)) ||
+              contains(holes(hj), holes(hi)(0), holes(hi)(1)))
+            return r("nested interior rings")
+          hj += 1
+        }
+        hi += 1
+      }
+      var q = p + 1
+      while (q < polys.length) {
+        if (ringsTouch(shell, polys(q)._1))
+          return r("component shells cross")
+        if (contains(shell, polys(q)._1(0), polys(q)._1(1)) ||
+            contains(polys(q)._1, shell(0), shell(1)))
+          return r("nested component shells")
+        q += 1
+      }
+      p += 1
+    }
+    null
+  }
+
+  def isValid(g: UTF8String): Boolean = invalidReason(g) == null
 
   private def reverseRing(c: Array[Double]): Array[Double] = {
     val n = c.length / 2
@@ -1696,4 +1784,34 @@ case class StInteriorRingNExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StInteriorRingNExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `st_isvalid(wkt)` → BOOLEAN strict structural validity (see
+  * WktCore.invalidReason for the contract). */
+case class StIsValidExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_isvalid"
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.isValid(g.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WktCore.isValid($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StIsValidExpression = copy(child = newChild)
+}
+
+/** `geometry_invalid_reason(wkt)` → the violation description, NULL
+  * when the geometry is valid (Trino's convention). */
+case class StInvalidReasonExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "geometry_invalid_reason"
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.invalidReason(g.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.WktCore.invalidReason($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(
+      newChild: Expression): StInvalidReasonExpression = copy(child = newChild)
 }

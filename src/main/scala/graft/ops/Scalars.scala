@@ -768,6 +768,83 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21j: ST_IsValid / geometry_invalid_reason (r11) — STRICT
+    // structural validity over the multi-ring model: simple rings,
+    // nonzero area, interior rings strictly inside with disjoint
+    // boundaries, component shells disjoint and non-nested (stricter
+    // than OGC's isolated-point hole tangency, documented — matching
+    // the clipping tier's scope). Fixtures: the clipper's OWN holed
+    // difference output must validate; an asymmetric bow-tie, a
+    // collinear zero-area ring, a hole outside / crossing its shell,
+    // and nested MULTIPOLYGON components each pin their reason string;
+    // EMPTY is valid.
+    "sc21j_geo_validity" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.poly
+      def ring(pts: Seq[(org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column)]) = {
+        val body = pts.flatMap { case (x, y) =>
+          Seq(GeoFix.dstr(x), lit(" "), GeoFix.dstr(y), lit(", "))
+        }.dropRight(1)
+        concat((lit("(") +: body :+ lit(")")): _*)
+      }
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("bow", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx") + col("a"), col("cy")),
+          (col("cx"), col("cy") + col("b")),
+          (col("cx"), col("cy")))))
+        .withColumn("flat", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+        .withColumn("shell_ring", ring(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+        .withColumn("hole_out", concat(lit("POLYGON ("), col("shell_ring"),
+          lit(", "), ring(Seq(
+            (col("cx") + col("a") * 10, col("cy")),
+            (col("cx") + col("a") * 11, col("cy")),
+            (col("cx") + col("a") * 11, col("cy") + col("b")),
+            (col("cx") + col("a") * 10, col("cy") + col("b")),
+            (col("cx") + col("a") * 10, col("cy")))), lit(")")))
+        .withColumn("hole_cross", concat(lit("POLYGON ("), col("shell_ring"),
+          lit(", "), ring(Seq(
+            (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2),
+            (col("cx") + col("a") * 2.5, col("cy") + col("b") / 2),
+            (col("cx") + col("a") * 2.5, col("cy") + col("b") * 1.5),
+            (col("cx") + col("a") * 1.5, col("cy") + col("b") * 1.5),
+            (col("cx") + col("a") * 1.5, col("cy") + col("b") / 2))),
+          lit(")")))
+        .withColumn("nested", concat(lit("MULTIPOLYGON ("),
+          regexp_replace(col("big"), "^POLYGON ", ""), lit(", "),
+          regexp_replace(col("inner"), "^POLYGON ", ""), lit(")")))
+      def valid(c: org.apache.spark.sql.Column) =
+        call_function("st_isvalid", c)
+      def why(c: org.apache.spark.sql.Column) =
+        call_function("geometry_invalid_reason", c)
+      g.select(col("n_nationkey"),
+          valid(col("big")).as("v_rect"), why(col("big")).as("r_rect"),
+          valid(col("dhole")).as("v_dhole"),
+          valid(col("bow")).as("v_bow"), why(col("bow")).as("r_bow"),
+          valid(col("flat")).as("v_flat"), why(col("flat")).as("r_flat"),
+          valid(col("hole_out")).as("v_hole_out"),
+          why(col("hole_out")).as("r_hole_out"),
+          valid(col("hole_cross")).as("v_hole_cross"),
+          why(col("hole_cross")).as("r_hole_cross"),
+          valid(col("nested")).as("v_nested"),
+          why(col("nested")).as("r_nested"),
+          valid(lit("POLYGON EMPTY")).as("v_empty"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1532,6 +1609,21 @@ object Scalars extends QueryModule {
         |  CAST(floor((cx + 29 * a / 8) * 1e6 + 0.5) AS BIGINT) AS m_cx_q6,
         |  CAST(floor((cy + 2 * b) * 1e6 + 0.5) AS BIGINT) AS m_cy_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21j: verdicts and reason strings are structural constants
+    "sc21j_geo_validity" ->
+      """SELECT n_nationkey,
+        |  true AS v_rect, CAST(NULL AS VARCHAR) AS r_rect,
+        |  true AS v_dhole,
+        |  false AS v_bow, 'self-intersecting ring' AS r_bow,
+        |  false AS v_flat, 'zero-area ring' AS r_flat,
+        |  false AS v_hole_out,
+        |  'interior ring not inside shell' AS r_hole_out,
+        |  false AS v_hole_cross,
+        |  'interior ring crosses shell' AS r_hole_cross,
+        |  false AS v_nested, 'nested component shells' AS r_nested,
+        |  true AS v_empty
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same
