@@ -395,8 +395,11 @@ object WktCore {
     * within `b`). POINT a degenerates to point-in-polygon. */
   def withinWkt(a: UTF8String, b: UTF8String): Boolean =
     if (isPointWkt(a)) {
+      // point-in-geometry delegates to the holes- and MULTIPOLYGON-
+      // aware even-odd test (r11); identical to the old single-ring
+      // ray cast on hole-free POLYGON inputs
       val p = parsePoint(a.toString)
-      contains(polygonCoordsB(b), p(0), p(1))
+      containsWkt(b, p(0), p(1))
     } else containsPoly(polygonCoordsB(b), polygonCoords(a))
 
   /** Codegen entry: st_overlaps(aWkt, bWkt) — POLYGON×POLYGON only:

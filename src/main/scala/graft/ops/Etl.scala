@@ -582,6 +582,77 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2t3: the r11 geometry surface through the DIALECT path — holes,
+    // MULTIPOLYGON, accessors, and validity under the Trino spellings a
+    // migrating script would use (ST_Difference / ST_NumGeometries /
+    // ST_GeometryN / ST_NumInteriorRing / ST_IsValid /
+    // geometry_invalid_reason / holes-aware ST_Contains + ST_Area).
+    // Fixtures SQL-built; results are the sc21g/h/j closed forms.
+    "p2t3_presto_geo_holes" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 + 2 AS DOUBLE) AS a,
+          |    CAST("n_nationkey" % 3 + 1 AS DOUBLE) AS b
+          |  FROM nation),
+          |w AS (
+          |  SELECT k, a, b, cx, cy,
+          |    concat('POLYGON ((',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+          |      CAST(cy + 2 * b AS VARCHAR), ', ',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy + 2 * b AS VARCHAR),
+          |      ', ', CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      '))') AS big,
+          |    concat('POLYGON ((',
+          |      CAST(cx + a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + b / 2 AS VARCHAR), ', ',
+          |      CAST(cx + 1.5 * a AS VARCHAR), ' ',
+          |      CAST(cy + b / 2 AS VARCHAR), ', ',
+          |      CAST(cx + 1.5 * a AS VARCHAR), ' ',
+          |      CAST(cy + 1.5 * b AS VARCHAR), ', ',
+          |      CAST(cx + a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + 1.5 * b AS VARCHAR), ', ',
+          |      CAST(cx + a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + b / 2 AS VARCHAR), '))') AS inner_r,
+          |    concat('POLYGON ((',
+          |      CAST(cx + 1000 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ', ', CAST(cx + 1000 + a AS VARCHAR), ' ',
+          |      CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 1000 + a AS VARCHAR), ' ',
+          |      CAST(cy + b AS VARCHAR), ', ',
+          |      CAST(cx + 1000 AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+          |      ', ', CAST(cx + 1000 AS VARCHAR), ' ',
+          |      CAST(cy AS VARCHAR), '))') AS far,
+          |    concat('POLYGON ((',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ',
+          |      CAST(cy + 2 * b AS VARCHAR), ', ',
+          |      CAST(cx + a AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy + b AS VARCHAR), ', ',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), '))')
+          |      AS bow
+          |  FROM g)
+          |SELECT k,
+          |  ST_IsValid(ST_Difference(big, inner_r)) AS holed_valid,
+          |  geometry_invalid_reason(bow) AS bow_reason,
+          |  ST_NumGeometries(ST_Union(big, far)) AS disj_ncomp,
+          |  ST_NumInteriorRing(ST_Difference(big, inner_r)) AS n_holes,
+          |  CAST(floor(ST_Area(ST_Difference(big, inner_r)) * 1e6 + 0.5)
+          |    AS BIGINT) AS diff_area_q6,
+          |  CAST(floor(ST_Area(ST_GeometryN(ST_Union(big, far), 2))
+          |    * 1e6 + 0.5) AS BIGINT) AS g2_area_q6,
+          |  ST_Contains(ST_Difference(big, inner_r),
+          |    ST_Point(cx + a, cy + b)) AS hole_center_in,
+          |  ST_Contains(ST_Difference(big, inner_r),
+          |    ST_Point(cx + a / 4, cy + b)) AS annulus_in
+          |FROM w ORDER BY k""".stripMargin)
+    }),
+
     // P2z: Trino format() / parse_data_size / bitwise rotates —
     // format is Java String.format (= Spark format_string; the oracle
     // is DuckDB's independent C printf — %s/%0Nd behave identically);
@@ -1849,6 +1920,24 @@ object Etl extends QueryModule {
         |  CAST(floor((4 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
         |    AS BIGINT) AS dif_q6
         |FROM g ORDER BY k""".stripMargin,
+
+    // p2t3: sc21g/h/j closed forms under the dialect spellings
+    "p2t3_presto_geo_holes" ->
+      """WITH p AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(n_nationkey % 5 + 2 AS DOUBLE) AS a,
+        |    CAST(n_nationkey % 3 + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT k,
+        |  true AS holed_valid,
+        |  'self-intersecting ring' AS bow_reason,
+        |  CAST(2 AS BIGINT) AS disj_ncomp,
+        |  CAST(1 AS BIGINT) AS n_holes,
+        |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS diff_area_q6,
+        |  CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS g2_area_q6,
+        |  false AS hole_center_in,
+        |  true AS annulus_in
+        |FROM p ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->
       // closed form: matches are exactly the positions whose type is
