@@ -242,6 +242,23 @@ class TextFunctionsSpec extends SparkSpec {
       assert(BpeCore.countTokensBytes(UTF8String.fromString(s), asciiRanks) ==
         BpeCore.countTokens(UTF8String.fromString(s), asciiRanks))
     }
+    // randomized agreement sweep: on ASCII text the byte and char
+    // alphabets coincide, so the two kernels must agree EXACTLY under
+    // any merges table — 300 random (string, merges) draws over a
+    // dense small alphabet where multi-level chains form constantly
+    val rnd = new scala.util.Random(1105)
+    val alpha = "abct "
+    val pool = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "a",
+      "ab" -> "c", "t" -> "a", "bc" -> "a", "ab" -> "ab", "aa" -> "bc")
+    (1 to 300).foreach { _ =>
+      val s = (1 to (1 + rnd.nextInt(24)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val ms = rnd.shuffle(pool).take(1 + rnd.nextInt(6))
+      val ranks = BpeCore.buildRanks(ms)
+      val u8 = UTF8String.fromString(s)
+      assert(BpeCore.countTokensBytes(u8, ranks) ==
+        BpeCore.countTokens(u8, ranks), s"byte≠char on '$s' with $ms")
+    }
   }
 
   test("bpe_segment_bytes keeps word boundaries; byte-level training equals the reference") {
