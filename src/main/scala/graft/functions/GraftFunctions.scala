@@ -119,6 +119,12 @@ object GraftFunctions {
     (FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[StIntersectsExpression].getName, "st_intersects"),
       (e: Seq[Expression]) => StIntersectsExpression(e(0), e(1))),
+    (FunctionIdentifier("st_touches"),
+      new ExpressionInfo(classOf[StTouchesExpression].getName, "st_touches"),
+      (e: Seq[Expression]) => StTouchesExpression(e(0), e(1))),
+    (FunctionIdentifier("st_crosses"),
+      new ExpressionInfo(classOf[StCrossesExpression].getName, "st_crosses"),
+      (e: Seq[Expression]) => StCrossesExpression(e(0), e(1))),
     (FunctionIdentifier("st_within"),
       new ExpressionInfo(classOf[StWithinExpression].getName, "st_within"),
       (e: Seq[Expression]) => StWithinExpression(e(0), e(1))),
@@ -303,6 +309,10 @@ object GraftFunctions {
     call_function("st_intersection", aWkt, bWkt)
   def stUnion(aWkt: Column, bWkt: Column): Column =
     call_function("st_union", aWkt, bWkt)
+  def stTouches(aWkt: Column, bWkt: Column): Column =
+    call_function("st_touches", aWkt, bWkt)
+  def stCrosses(aWkt: Column, bWkt: Column): Column =
+    call_function("st_crosses", aWkt, bWkt)
   def stDifference(aWkt: Column, bWkt: Column): Column =
     call_function("st_difference", aWkt, bWkt)
   def stBuffer(polyWkt: Column, d: Column): Column =

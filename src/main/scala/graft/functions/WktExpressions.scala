@@ -59,11 +59,18 @@ object WktCore {
     val cur = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
     var depth = 0
     var ringStart = -1
+    var opened = false
     var i = from
     while (i < t.length) {
       val c = t.charAt(i)
       if (c == '(') {
+        // loud-on-malformed (r13, ADVICE): text between the keyword and
+        // the first '(' , or after the final top-level ')', must be
+        // blank — 'POLYGON ((…)) junk' used to parse silently
+        require(depth > 0 || !opened,
+          s"$what: trailing content after the final ring: $t")
         depth += 1
+        opened = true
         if (depth == ringDepth) ringStart = i + 1
       } else if (c == ')') {
         if (depth == ringDepth) {
@@ -75,6 +82,10 @@ object WktCore {
         }
         depth -= 1
         require(depth >= 0, s"unbalanced parens in $what: $t")
+      } else if (depth == 0) {
+        require(c.isWhitespace,
+          if (opened) s"$what: trailing content after the final ring: $t"
+          else s"$what: unexpected text before the first ring: $t")
       }
       i += 1
     }
@@ -207,8 +218,14 @@ object WktCore {
     * a component (a point inside an interior ring is OUTSIDE), and a
     * MULTIPOLYGON contains the point iff any component does. EMPTY
     * contains nothing. */
-  def containsWkt(poly: UTF8String, x: Double, y: Double): Boolean = {
-    val polys = geomPolys(poly)
+  def containsWkt(poly: UTF8String, x: Double, y: Double): Boolean =
+    containsPolys(geomPolys(poly), x, y)
+
+  /** Even-odd containment over parsed components (shared with the
+    * overlay tier, which classifies noded segment midpoints). */
+  private[functions] def containsPolys(
+      polys: Array[(Array[Double], Array[Array[Double]])],
+      x: Double, y: Double): Boolean = {
     var p = 0
     while (p < polys.length) {
       val (shell, holes) = polys(p)
@@ -330,7 +347,36 @@ object WktCore {
       (s.getByte(i + 4) | 0x20) == 't'
   }
 
+  // allocation-free "starts with LINESTRING" probe, like isPointWkt
+  private def isLineWkt(s: UTF8String): Boolean = {
+    var i = 0
+    val n = s.numBytes()
+    while (i < n && s.getByte(i) == ' ') i += 1
+    n - i >= 10 &&
+      (s.getByte(i) | 0x20) == 'l' && (s.getByte(i + 1) | 0x20) == 'i' &&
+      (s.getByte(i + 2) | 0x20) == 'n' && (s.getByte(i + 3) | 0x20) == 'e' &&
+      (s.getByte(i + 4) | 0x20) == 's' && (s.getByte(i + 5) | 0x20) == 't'
+  }
+
+  // B-side memo for the multi-ring accessor (join probes vary both
+  // sides; one shared slot would thrash) — mirrors lastPolyB
+  private val lastGeomB = new ThreadLocal[
+    (UTF8String, Array[(Array[Double], Array[Array[Double]])])]
+
+  private def geomPolysB(s: UTF8String)
+      : Array[(Array[Double], Array[Array[Double]])] = {
+    val cached = lastGeomB.get()
+    if (cached != null && cached._1.equals(s)) cached._2
+    else {
+      val parsed = geomPolys(s)
+      lastGeomB.set((s.clone(), parsed))
+      parsed
+    }
+  }
+
   def intersectsWkt(a: UTF8String, b: UTF8String): Boolean = {
+    // LINESTRING operands (r13) ride the overlay tier's line kernels
+    if (isLineWkt(a) || isLineWkt(b)) return WktOverlay.intersectsExt(a, b)
     val aPt = isPointWkt(a)
     val bPt = isPointWkt(b)
     if (aPt && bPt) {
@@ -338,18 +384,46 @@ object WktCore {
       p(0) == q(0) && p(1) == q(1)
     } else if (aPt) {
       val p = parsePoint(a.toString)
-      contains(polygonCoordsB(b), p(0), p(1))
+      val g = geomPolysB(b)
+      if (g.length == 1 && g(0)._2.isEmpty) contains(g(0)._1, p(0), p(1))
+      else WktOverlay.intersectsExt(a, b)
     } else if (bPt) {
       val q = parsePoint(b.toString)
-      contains(polygonCoords(a), q(0), q(1))
-    } else intersects(polygonCoords(a), polygonCoordsB(b))
+      val g = geomPolys(a)
+      if (g.length == 1 && g(0)._2.isEmpty) contains(g(0)._1, q(0), q(1))
+      else WktOverlay.intersectsExt(a, b)
+    } else {
+      val ga = geomPolys(a)
+      val gb = geomPolysB(b)
+      // single hole-free pairs keep the r4 edge-walk kernel; interior
+      // rings / MULTIPOLYGON (r13) ride the holes-aware extension
+      if (ga.length == 1 && ga(0)._2.isEmpty &&
+          gb.length == 1 && gb(0)._2.isEmpty)
+        intersects(ga(0)._1, gb(0)._1)
+      else WktOverlay.intersectsExt(a, b)
+    }
   }
+
+  /** Codegen entry: st_touches(aWkt, bWkt) — OGC: the geometries
+    * intersect but their interiors do not. Full POINT / LINESTRING /
+    * (MULTI)POLYGON matrix via the overlay tier (areal pairs: boundary
+    * contact AND an empty areal intersection). */
+  def touchesWkt(a: UTF8String, b: UTF8String): Boolean =
+    WktOverlay.touchesWkt(a, b)
+
+  /** Codegen entry: st_crosses(aWkt, bWkt) — OGC: interiors intersect
+    * in a lower dimension than the higher-dimensional operand
+    * (line×line point contact; a line passing through a polygon's
+    * interior AND exterior). POINT pairings and area×area are false,
+    * matching JTS/Trino. */
+  def crossesWkt(a: UTF8String, b: UTF8String): Boolean =
+    WktOverlay.crossesWkt(a, b)
 
   /** PROPER edge crossing only — the strict-interior branch of
     * segIntersect (collinear touches and shared endpoints excluded).
     * Containment must not be broken by a shared boundary; the oracle
     * data keeps a margin from exact touches like every predicate here. */
-  private def properCross(ax: Double, ay: Double, bx: Double, by: Double,
+  private[functions] def properCross(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
     @inline def o(px: Double, py: Double, qx: Double, qy: Double,
         rx: Double, ry: Double): Double =
@@ -600,7 +674,7 @@ object WktCore {
   // per-corner arcs, out of scope and documented). Degenerate tangency
   // (boundaries touching without crossing) throws via the walk cap.
 
-  private def signedArea2(c: Array[Double]): Double = {
+  private[functions] def signedArea2(c: Array[Double]): Double = {
     val n = c.length / 2
     var s = 0.0
     var i = 0
@@ -612,7 +686,7 @@ object WktCore {
     s
   }
 
-  private def toCcw(c: Array[Double]): Array[Double] =
+  private[functions] def toCcw(c: Array[Double]): Array[Double] =
     if (signedArea2(c) >= 0) c
     else {
       val n = c.length / 2
@@ -649,7 +723,7 @@ object WktCore {
 
   /** Sutherland–Hodgman: clip CCW `subj` by each edge of CCW convex
     * `clip`. Returns the clipped ring (possibly empty). */
-  private def clipConvex(subj: Array[Double],
+  private[functions] def clipConvex(subj: Array[Double],
       clip: Array[Double]): Array[Double] = {
     var cur = subj
     val nc = clip.length / 2
@@ -733,7 +807,7 @@ object WktCore {
   // are the one t-division; with dyadic axis-parallel fixture edges
   // they are exact in IEEE.
 
-  private def isConvexRing(c: Array[Double]): Boolean = {
+  private[functions] def isConvexRing(c: Array[Double]): Boolean = {
     if (signedArea2(c) == 0) return false
     val n = c.length / 2
     var i = 0
@@ -745,13 +819,41 @@ object WktCore {
       if (cr < 0) return false
       i += 1
     }
-    true
+    // all-left-turns alone also accepts multiply-wound self-intersecting
+    // rings (a pentagram traversal turns left at every vertex) — and the
+    // Sutherland–Hodgman fast path would then return silent garbage
+    // (r12 ADVICE). Bound total turning to ONE revolution: the edge
+    // directions of a simple convex CCW ring are circularly sorted by
+    // angle and wrap past any fixed reference exactly once. The wrap
+    // count is exact sign logic (quadrant sector + cross product), no
+    // atan2.
+    def sector(dx: Double, dy: Double): Int =
+      if (dy > 0 || (dy == 0 && dx > 0)) 0 else 1 // upper vs lower half-turn
+    var wraps = 0
+    i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val k = if (j + 1 == n) 0 else j + 1
+      val d1x = c(2 * j) - c(2 * i); val d1y = c(2 * j + 1) - c(2 * i + 1)
+      val d2x = c(2 * k) - c(2 * j); val d2y = c(2 * k + 1) - c(2 * j + 1)
+      val s1 = sector(d1x, d1y); val s2 = sector(d2x, d2y)
+      // CCW angle order within a half-turn: cross > 0 means d2 is ahead
+      val cr = d1x * d2y - d1y * d2x
+      val back =
+        if (s1 != s2) s2 < s1 // crossing into the earlier half-turn = wrap
+        else cr < 0           // stepping backwards within one half-turn
+      // equal directions (cr == 0, same sector, dot > 0) never wrap
+      if (back || (s1 == s2 && cr == 0 && d1x * d2x + d1y * d2y < 0))
+        wraps += 1
+      i += 1
+    }
+    wraps == 1
   }
 
   /** First pair of non-adjacent edges of one ring that touch, if any
     * (the simple-ring test; adjacent edges legitimately share their
     * common vertex and are skipped). */
-  private def selfIntersection(c: Array[Double]): Option[(Int, Int)] = {
+  private[functions] def selfIntersection(c: Array[Double]): Option[(Int, Int)] = {
     val n = c.length / 2
     var i = 0
     while (i < n) {
@@ -774,7 +876,7 @@ object WktCore {
   /** Loud simple-ring validation for the general tier: non-adjacent
     * edges must not touch at all (the convex tier's turn test subsumed
     * this; a concave ring needs the O(n²) pair check). */
-  private def requireSimple(c: Array[Double], op: String): Unit = {
+  private[functions] def requireSimple(c: Array[Double], op: String): Unit = {
     require(signedArea2(c) != 0, s"$op: degenerate zero-area ring")
     selfIntersection(c).foreach { case (i, j) =>
       throw new IllegalArgumentException(
@@ -785,7 +887,7 @@ object WktCore {
 
   /** Any edge of ring a touching any edge of ring b (boundary-disjoint
     * test between two rings). */
-  private def ringsTouch(a: Array[Double], b: Array[Double]): Boolean = {
+  private[functions] def ringsTouch(a: Array[Double], b: Array[Double]): Boolean = {
     val na = a.length / 2; val nb = b.length / 2
     var i = 0
     while (i < na) {
@@ -814,8 +916,15 @@ object WktCore {
     * errors are not validity verdicts — wrap in try_eval for NULL).
     * Returns null when valid, else the reason. */
   def invalidReason(g: UTF8String): UTF8String = {
-    def r(s: String): UTF8String = UTF8String.fromString(s)
-    val polys = geomPolys(g)
+    val why = invalidReasonPolys(geomPolys(g))
+    if (why == null) null else UTF8String.fromString(why)
+  }
+
+  /** Same verdict over already-parsed components (shared with the
+    * overlay tier's input validation). */
+  private[functions] def invalidReasonPolys(
+      polys: Array[(Array[Double], Array[Array[Double]])]): String = {
+    def r(s: String): String = s
     var p = 0
     while (p < polys.length) {
       val (shell, holes) = polys(p)
@@ -827,31 +936,61 @@ object WktCore {
           return r("self-intersecting ring")
         k += 1
       }
+      // r13 (OGC alignment, unlocking the overlay tier's own outputs):
+      // ISOLATED-POINT contact between rings is now VALID — a hole may
+      // touch its shell at a point, holes may touch each other at a
+      // point, and MULTIPOLYGON component shells may touch at a point
+      // (the overlay emits exactly that for a corner-touch union).
+      // Proper edge crossings, positive-length collinear overlap, and
+      // crossing THROUGH shared vertices (detected as mixed in/out
+      // elementary midpoints after noding) remain invalid, with the
+      // same reason strings as r11.
       var hi = 0
       while (hi < holes.length) {
-        if (ringsTouch(shell, holes(hi)))
+        if (WktOverlay.properCrossOrOverlap(shell, holes(hi)))
           return r("interior ring crosses shell")
-        // boundaries disjoint, so one vertex decides containment
-        if (!contains(shell, holes(hi)(0), holes(hi)(1)))
-          return r("interior ring not inside shell")
+        val (hin, hout) = WktOverlay.ringSides(holes(hi), shell)
+        if (hin && hout) return r("interior ring crosses shell")
+        if (!hin) return r("interior ring not inside shell")
         var hj = hi + 1
         while (hj < holes.length) {
-          if (ringsTouch(holes(hi), holes(hj)))
+          if (WktOverlay.properCrossOrOverlap(holes(hi), holes(hj)))
             return r("interior rings cross")
-          if (contains(holes(hi), holes(hj)(0), holes(hj)(1)) ||
-              contains(holes(hj), holes(hi)(0), holes(hi)(1)))
-            return r("nested interior rings")
+          val (iIn, iOut) = WktOverlay.ringSides(holes(hi), holes(hj))
+          if (iIn && iOut) return r("interior rings cross")
+          if (iIn) return r("nested interior rings")
+          val (jIn, jOut) = WktOverlay.ringSides(holes(hj), holes(hi))
+          if (jIn && jOut) return r("interior rings cross")
+          if (jIn) return r("nested interior rings")
           hj += 1
         }
         hi += 1
       }
+      // components must have DISJOINT INTERIORS: any ring of one
+      // properly crossing / collinear-overlapping any ring of the other
+      // is invalid, and any boundary point of one strictly interior to
+      // the other (as a REGION, holes carved out — a component inside
+      // another component's hole is legal OGC) is invalid
       var q = p + 1
       while (q < polys.length) {
-        if (ringsTouch(shell, polys(q)._1))
-          return r("component shells cross")
-        if (contains(shell, polys(q)._1(0), polys(q)._1(1)) ||
-            contains(polys(q)._1, shell(0), shell(1)))
-          return r("nested component shells")
+        val ringsP = shell +: holes.toSeq
+        val ringsQ = polys(q)._1 +: polys(q)._2.toSeq
+        var rp = 0
+        while (rp < ringsP.length) {
+          var rq = 0
+          while (rq < ringsQ.length) {
+            if (WktOverlay.properCrossOrOverlap(ringsP(rp), ringsQ(rq)))
+              return r("component shells cross")
+            rq += 1
+          }
+          rp += 1
+        }
+        val (qInP, qOutP) = WktOverlay.ringSidesPoly(polys(q)._1, polys(p))
+        if (qInP && qOutP) return r("component shells cross")
+        if (qInP) return r("nested component shells")
+        val (pInQ, pOutQ) = WktOverlay.ringSidesPoly(shell, polys(q))
+        if (pInQ && pOutQ) return r("component shells cross")
+        if (pInQ) return r("nested component shells")
         q += 1
       }
       p += 1
@@ -861,7 +1000,18 @@ object WktCore {
 
   def isValid(g: UTF8String): Boolean = invalidReason(g) == null
 
-  private def reverseRing(c: Array[Double]): Array[Double] = {
+  /** Loud input gate for the overlay tier: structurally invalid
+    * operands throw with the validity reason instead of producing an
+    * undefined overlay. */
+  private[functions] def requireValidGeom(
+      polys: Array[(Array[Double], Array[Array[Double]])],
+      src: UTF8String): Unit = {
+    val why = invalidReasonPolys(polys)
+    if (why != null) throw new IllegalArgumentException(
+      s"invalid geometry operand ($why): $src")
+  }
+
+  private[functions] def reverseRing(c: Array[Double]): Array[Double] = {
     val n = c.length / 2
     val out = new Array[Double](c.length)
     var i = 0
@@ -875,7 +1025,7 @@ object WktCore {
 
   /** Result polygons (shell, holes) of op ∈ {0 = ∩, 1 = ∪, 2 = A−B}
     * over two simple CCW rings — the general tier described above. */
-  private def generalClip(ca: Array[Double], cb: Array[Double], op: Int,
+  private[functions] def generalClip(ca: Array[Double], cb: Array[Double], op: Int,
       name: String): Array[(Array[Double], Array[Array[Double]])] = {
     requireSimple(ca, name)
     requireSimple(cb, name)
@@ -1095,7 +1245,7 @@ object WktCore {
   /** Rotate a ring to start at its lexicographically smallest vertex —
     * a canonical form so general-tier WKT output is independent of
     * crossing discovery order. */
-  private def canonRing(c: Array[Double]): Array[Double] = {
+  private[functions] def canonRing(c: Array[Double]): Array[Double] = {
     val n = c.length / 2
     var best = 0
     var i = 1
@@ -1123,7 +1273,7 @@ object WktCore {
     * sorted, for output independent of crossing discovery order.
     * Shells render CCW and interior rings keep their CW winding (the
     * usual WKT convention; parsers here are winding-insensitive). */
-  private def fmtGeom(polys0: Array[(Array[Double], Array[Array[Double]])])
+  private[functions] def fmtGeom(polys0: Array[(Array[Double], Array[Array[Double]])])
       : String = {
     def polyBody(p: (Array[Double], Array[Array[Double]])): String = {
       val sb = new java.lang.StringBuilder("((")
@@ -1166,7 +1316,7 @@ object WktCore {
     sb.toString
   }
 
-  private def fmtRing(c: Array[Double]): String =
+  private[functions] def fmtRing(c: Array[Double]): String =
     if (c.isEmpty) "POLYGON EMPTY"
     else "POLYGON ((" + ringBody(c) + "))"
 
@@ -1174,18 +1324,38 @@ object WktCore {
     * Sutherland–Hodgman; "POLYGON EMPTY" when the AREAL intersection is
     * empty (disjoint interiors — including edge/point tangency, whose
     * lower-dimensional contact this polygon model cannot represent). */
-  def intersectionWkt(a: UTF8String, b: UTF8String): UTF8String = {
-    val ca = toCcw(polygonCoords(a))
-    val cb = toCcw(polygonCoordsB(b))
-    // convex pairs keep the Sutherland–Hodgman fast path (it also
-    // tolerates tangency, which the general tier rejects loudly);
-    // a concave side dispatches to the general arc-stitching tier —
-    // possibly a MULTIPOLYGON result
-    if (isConvexRing(ca) && isConvexRing(cb))
-      UTF8String.fromString(fmtRing(clipConvex(ca, cb)))
-    else
-      UTF8String.fromString(fmtGeom(
-        generalClip(ca, cb, 0, "st_intersection")))
+  def intersectionWkt(a: UTF8String, b: UTF8String): UTF8String =
+    clipDispatch(a, b, 0, "st_intersection")
+
+  /** Tiered dispatch shared by ∩/∪/− (r13). Single hole-free inputs
+    * keep their LEGACY kernels for the domains those kernels own —
+    * bit-stable output vs r10/r11: convex∩convex always rides
+    * Sutherland–Hodgman (it is total, tangency included); other
+    * transversal-or-separated pairs ride the arc-stitching
+    * generalClip / convex union walk. Everything those tiers reject —
+    * non-transversal boundary contact (shared edges, vertex-on-edge,
+    * corner touch), interior rings, MULTIPOLYGON components, EMPTY —
+    * now routes to the noded planar-subdivision overlay instead of
+    * throwing. */
+  private def clipDispatch(a: UTF8String, b: UTF8String, op: Int,
+      name: String): UTF8String = {
+    val pa = geomPolys(a)
+    val pb = geomPolys(b)
+    if (pa.length == 1 && pa(0)._2.isEmpty &&
+        pb.length == 1 && pb(0)._2.isEmpty) {
+      val ca = toCcw(pa(0)._1)
+      val cb = toCcw(pb(0)._1)
+      val convex = isConvexRing(ca) && isConvexRing(cb)
+      if (op == 0 && convex)
+        return UTF8String.fromString(fmtRing(clipConvex(ca, cb)))
+      if (!WktOverlay.degenerateContact(Array(ca), Array(cb))) {
+        if (op == 1 && convex) return unionConvexTransversal(ca, cb)
+        return UTF8String.fromString(fmtGeom(generalClip(ca, cb, op, name)))
+      }
+    }
+    requireValidGeom(pa, a)
+    requireValidGeom(pb, b)
+    UTF8String.fromString(fmtGeom(WktOverlay.overlay(pa, pb, op, name)))
   }
 
   /** Codegen entry: st_union(aWkt, bWkt) — single-component union of
@@ -1193,14 +1363,14 @@ object WktCore {
     * Weiler–Atherton-style boundary walk that follows the CCW ring and
     * switches rings at every transversal crossing. Disjoint inputs (a
     * MULTIPOLYGON result) and non-transversal tangency throw loudly. */
-  def unionWkt(a: UTF8String, b: UTF8String): UTF8String = {
-    val ca = toCcw(polygonCoords(a))
-    val cb = toCcw(polygonCoordsB(b))
-    // a concave side dispatches to the general tier; convex pairs keep
-    // the crossing-switch walk below (bit-identical output to r10)
-    if (!isConvexRing(ca) || !isConvexRing(cb))
-      return UTF8String.fromString(fmtGeom(
-        generalClip(ca, cb, 1, "st_union")))
+  def unionWkt(a: UTF8String, b: UTF8String): UTF8String =
+    clipDispatch(a, b, 1, "st_union")
+
+  /** The r10 convex-pair union walk, reached only for transversal-or-
+    * separated convex rings (degenerate contact routes to the overlay
+    * upstream) — output bit-identical to r10/r11. */
+  private def unionConvexTransversal(ca: Array[Double],
+      cb: Array[Double]): UTF8String = {
     if (containsPoly(ca, cb)) return UTF8String.fromString(fmtRing(ca))
     if (containsPoly(cb, ca)) return UTF8String.fromString(fmtRing(cb))
     // disjoint convex pair: a two-component MULTIPOLYGON (r10 threw
@@ -1318,11 +1488,8 @@ object WktCore {
     * "POLYGON EMPTY" when A ⊆ B; B strictly inside A yields A with B
     * carved out as an INTERIOR ring (`POLYGON ((shell), (hole))`);
     * loud on non-transversal contact. */
-  def differenceWkt(a: UTF8String, b: UTF8String): UTF8String = {
-    val ca = toCcw(polygonCoords(a))
-    val cb = toCcw(polygonCoordsB(b))
-    UTF8String.fromString(fmtGeom(generalClip(ca, cb, 2, "st_difference")))
-  }
+  def differenceWkt(a: UTF8String, b: UTF8String): UTF8String =
+    clipDispatch(a, b, 2, "st_difference")
 
   /** Codegen entry: st_buffer(polyWkt, d) — MITER-join outward offset of
     * a convex ring by d ≥ 0: each edge shifts along its outward normal,
@@ -1448,6 +1615,46 @@ case class StContainsExpression(first: Expression, second: Expression,
 
 /** `st_intersects(polygon_wkt, polygon_wkt)` → boolean (edge crossings
   * + mutual vertex containment over the outer rings). */
+/** `st_touches(a_wkt, b_wkt)` → boolean — OGC touches over POINT /
+  * LINESTRING / (MULTI)POLYGON (r13 overlay tier). */
+case class StTouchesExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_touches"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.touchesWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.touchesWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StTouchesExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_crosses(a_wkt, b_wkt)` → boolean — OGC crosses (line×line /
+  * line×area; POINT pairings and area×area are false, like JTS). */
+case class StCrossesExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_crosses"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.crossesWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.crossesWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StCrossesExpression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class StIntersectsExpression(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 

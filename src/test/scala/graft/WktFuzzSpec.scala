@@ -137,6 +137,75 @@ class WktFuzzSpec extends AnyFunSuite {
     info(s"outputs: $multis MULTIPOLYGON, $holes with interior rings")
   }
 
+  test("overlay tier agrees with rasterization on 40 ALIGNED-grid pairs (degenerate contact, r13)") {
+    val rnd = new scala.util.Random(20260815 + 13)
+    var multis = 0
+    var holes = 0
+    var degenerate = 0
+    for (trial <- 1 to 40) {
+      val nA = 3 + rnd.nextInt(5)
+      val nB = 3 + rnd.nextInt(5)
+      val hsA = Seq.fill(nA)(0.5 * (1 + rnd.nextInt(6)))
+      val hsB = Seq.fill(nB)(0.5 * (1 + rnd.nextInt(6)))
+      // BOTH polygons on the same 0.5 grid with 0.5-step offsets: edge
+      // lines coincide constantly — shared borders, vertex-on-edge and
+      // corner contact are the NORM in this sweep, not the exception
+      val a = skyline(0.0, 0.0, 1.0, hsA)
+      val b = skyline(0.5 * rnd.nextInt(5), 0.5 * (rnd.nextInt(5) - 2),
+        1.0, hsB)
+      val va = verts(a); val vb = verts(b)
+      // count pairs with at least one shared boundary point that is not
+      // a proper crossing (the degenerate class this sweep targets)
+      val shared = va.exists { case (x, y) =>
+        vb.exists { case (p, q) => p == x && q == y } } ||
+        va.exists { case (x, y) => y == 0.0 } && vb.exists {
+          case (_, q) => q == 0.0 }
+      if (shared) degenerate += 1
+      val ops = Seq(
+        ("inter", WktCore.intersectionWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p && q),
+        ("union", WktCore.unionWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p || q),
+        ("diff", WktCore.differenceWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p && !q))
+      for ((name, out, rule) <- ops) {
+        if (out.startsWith("MULTIPOLYGON")) multis += 1
+        if (out.contains("), (")) holes += 1
+        var x = -1.0 + 0.0625
+        var expIn = 0L
+        while (x < 10.0) {
+          var y = -2.0 + 0.0625
+          while (y < 6.0) {
+            val inA = rayCast(va, x, y)
+            val inB = rayCast(vb, x, y)
+            val want = rule(inA, inB)
+            val got =
+              if (out == "POLYGON EMPTY") false
+              else if (out.startsWith("MULTIPOLYGON"))
+                multiContains(out, x, y)
+              else WktCore.containsWkt(u(out), x, y)
+            if (want) expIn += 1
+            assert(got == want,
+              s"trial $trial $name mismatch at ($x, $y): want $want\nA=$a\nB=$b\nout=$out")
+            y += 0.125
+          }
+          x += 0.125
+        }
+        val kernelArea = if (out == "POLYGON EMPTY") 0.0
+          else WktCore.area(u(out))
+        assert(math.abs(kernelArea - expIn * 0.015625) < 1e-9,
+          s"trial $trial $name area: kernel $kernelArea vs raster ${expIn * 0.015625}")
+        // every non-empty output must satisfy the (point-contact
+        // tolerant) validity model — the self-consistency gate
+        if (out != "POLYGON EMPTY")
+          assert(WktCore.isValid(u(out)), s"trial $trial $name invalid: $out")
+      }
+    }
+    assert(degenerate >= 20, s"only $degenerate degenerate-contact pairs")
+    info(s"degenerate-contact pairs: $degenerate/40; outputs: " +
+      s"$multis MULTIPOLYGON, $holes with interior rings")
+  }
+
   /** Even-odd containment across every component of a MULTIPOLYGON via
     * the public parser-free text split (each component re-wrapped as a
     * POLYGON and tested with the holes-aware containsWkt). */

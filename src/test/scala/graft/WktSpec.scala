@@ -257,13 +257,20 @@ class WktSpec extends SparkSpec {
     assert(WktCore.area(u(buf)) == 4.0, buf)
     assert(WktCore.envBound(u(buf), 0) == -0.5 &&
       WktCore.envBound(u(buf), 2) == 1.5)
-    // (r11) a concave input no longer throws — it dispatches to the
-    // general tier; non-transversal contact there is loud instead
+    // (r13) a concave input with NON-TRANSVERSAL contact no longer
+    // throws — the overlay tier resolves it: the unit square lies inside
+    // the concave polygon sharing the (0,0) corner and two boundary
+    // runs, so ∩ = the square, ∪ = the concave polygon (area 10), and
+    // square − concave = EMPTY
     val concave = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
-    val e1 = intercept[IllegalArgumentException] {
-      WktCore.intersectionWkt(u(concave), u(unitSq)) // shared (0,0) vertex
-    }
-    assert(e1.getMessage.contains("transversal"), e1.getMessage)
+    assert(WktCore.area(u(
+      WktCore.intersectionWkt(u(concave), u(unitSq)).toString)) == 1.0)
+    assert(WktCore.area(u(
+      WktCore.unionWkt(u(concave), u(unitSq)).toString)) == 10.0)
+    assert(WktCore.differenceWkt(u(unitSq), u(concave)).toString ==
+      "POLYGON EMPTY")
+    assert(WktCore.area(u(
+      WktCore.differenceWkt(u(concave), u(unitSq)).toString)) == 9.0)
     // (r11) disjoint union is now a two-component MULTIPOLYGON
     val duni = WktCore.unionWkt(u(unitSq), u(far)).toString
     assert(duni.startsWith("MULTIPOLYGON"), duni)
@@ -273,11 +280,12 @@ class WktSpec extends SparkSpec {
       WktCore.bufferWkt(u(unitSq), -1.0)
     }
     assert(e3.getMessage.contains("negative"), e3.getMessage)
-    // loud scoping: edge-sharing tangency (no transversal crossing)
+    // (r13 flagship) edge-sharing tangency: the union of two unit
+    // squares sharing the x=1 edge is ONE canonical rectangle — the
+    // shared border cancels and the collinear pass-through nodes drop
     val adjacent = "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"
-    intercept[IllegalArgumentException] {
-      WktCore.unionWkt(u(unitSq), u(adjacent))
-    }
+    assert(WktCore.unionWkt(u(unitSq), u(adjacent)).toString ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0))")
     // convex hull: monotone chain drops interior AND collinear boundary
     // points; output starts at the lexicographically smallest vertex
     val pts = "LINESTRING (2 0, 0 2, -2 0, 0 -2, 0 0, 1 0, 0.5 0.25)"
@@ -360,12 +368,16 @@ class WktSpec extends SparkSpec {
     }
     assert(es.getMessage.contains("self-intersecting"), es.getMessage)
     // non-transversal contact (vertex of B on an edge of concave A:
-    // (1.5, 1) sits on U's notch-bottom edge) is loud
-    val et = intercept[IllegalArgumentException] {
-      WktCore.intersectionWkt(u(Ush),
-        u("POLYGON ((1.5 1, 2.5 0.25, 2.5 0.75, 1.5 1.5, 1.5 1))"))
-    }
-    assert(et.getMessage.contains("transversal"), et.getMessage)
+    // (1.5, 1) sits on U's notch-bottom edge) resolves through the
+    // overlay tier (r13) — pin it with the inclusion–exclusion and
+    // difference identities, which close exactly on dyadic input
+    val quad = "POLYGON ((1.5 1, 2.5 0.25, 2.5 0.75, 1.5 1.5, 1.5 1))"
+    val iq = a(WktCore.intersectionWkt(u(Ush), u(quad)).toString)
+    val uq = a(WktCore.unionWkt(u(Ush), u(quad)).toString)
+    val dq = a(WktCore.differenceWkt(u(Ush), u(quad)).toString)
+    assert(iq > 0 && iq < a(quad), iq)
+    assert(iq + uq == a(Ush) + a(quad), (iq, uq))
+    assert(dq == a(Ush) - iq, (dq, iq))
     // disjoint concave pair: ∩ EMPTY, ∪ MULTIPOLYGON, − returns A
     val Lfar = "POLYGON ((100 0, 104 0, 104 1, 102 1, 102 2, 100 2, 100 0))"
     assert(WktCore.intersectionWkt(u(L), u(Lfar)).toString == "POLYGON EMPTY")
@@ -408,10 +420,12 @@ class WktSpec extends SparkSpec {
     assert(a(donut) == 12.0)
     assert(!WktCore.containsWkt(u(donut), 2.0, 2.0))
     assert(WktCore.containsWkt(u(donut), 0.5, 2.0))
-    val eh = intercept[IllegalArgumentException] {
-      WktCore.intersectionWkt(u(donut), u(bar))
-    }
-    assert(eh.getMessage.contains("interior rings"), eh.getMessage)
+    // (r13) holed polygons as CLIP-OP inputs are now supported: the
+    // bar window over the donut's right wall (hole ends at x=3, bar
+    // starts at x=3.25) is the full 0.75 × 1.5 rectangle
+    assert(a(WktCore.intersectionWkt(u(donut), u(bar)).toString) == 1.125)
+    assert(a(WktCore.differenceWkt(u(donut), u(bar)).toString) == 10.875)
+    assert(a(WktCore.unionWkt(u(donut), u(bar)).toString) == 12.75)
     // both EMPTY spellings are the empty geometry; the match is EXACT —
     // text that starts with the EMPTY keyword but carries trailing
     // garbage (and no ring) stays loud instead of silently reading as
@@ -441,5 +455,182 @@ class WktSpec extends SparkSpec {
     assert(WktCore.envBound(u(offHole), 2) == 4.0)
     assert(WktCore.envBound(u(mp2), 2) == 13.0 &&
       WktCore.envBound(u(mp2), 0) == 0.0)
+  }
+
+  test("overlay tier: shared borders, corner/T contact, holed operands (r13)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def a(s: String) = WktCore.area(u(s))
+    val sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    // corner-touch union: two components meeting at a point — a
+    // MULTIPOLYGON that the relaxed validity model accepts (OGC allows
+    // isolated-point contact between components)
+    val diag = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    val cu = WktCore.unionWkt(u(sq), u(diag)).toString
+    assert(cu.startsWith("MULTIPOLYGON"), cu)
+    assert(a(cu) == 2.0)
+    assert(WktCore.isValid(u(cu)), cu)
+    assert(WktCore.intersectionWkt(u(sq), u(diag)).toString ==
+      "POLYGON EMPTY")
+    // T-junction: a tower standing on the slab's top edge, feet
+    // strictly inside the edge — union is one 8-vertex T shape
+    val slab = "POLYGON ((0 0, 4 0, 4 1, 0 1, 0 0))"
+    val tower = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val tu = WktCore.unionWkt(u(slab), u(tower)).toString
+    assert(a(tu) == 8.0, tu)
+    assert(tu ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, 3.0 1.0, 3.0 3.0, " +
+        "1.0 3.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))", tu)
+    assert(a(WktCore.differenceWkt(u(slab), u(tower)).toString) == 4.0)
+    // partial collinear overlap, offset rectangles stacked on one edge
+    val lo = "POLYGON ((0 0, 4 0, 4 1, 0 1, 0 0))"
+    val hiR = "POLYGON ((2 1, 6 1, 6 2, 2 2, 2 1))"
+    assert(a(WktCore.unionWkt(u(lo), u(hiR)).toString) == 8.0)
+    assert(WktCore.intersectionWkt(u(lo), u(hiR)).toString ==
+      "POLYGON EMPTY")
+    assert(a(WktCore.differenceWkt(u(lo), u(hiR)).toString) == 4.0)
+    // vertex-on-edge crossing contact: a diamond straddling the
+    // square's right edge, its top/bottom vertices ON the edge — the
+    // areal halves split exactly
+    val big = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val dia = "POLYGON ((3 2, 4 1, 5 2, 4 3, 3 2))"
+    assert(a(WktCore.intersectionWkt(u(big), u(dia)).toString) == 1.0)
+    assert(a(WktCore.differenceWkt(u(big), u(dia)).toString) == 15.0)
+    assert(a(WktCore.unionWkt(u(big), u(dia)).toString) == 17.0)
+    // holed operands end-to-end: donut ∩ a window crossing shell AND
+    // hole; plugging the hole exactly reconstitutes the rectangle
+    val donut =
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    val win = "POLYGON ((-1 1.5, 1.5 1.5, 1.5 2.5, -1 2.5, -1 1.5))"
+    assert(a(WktCore.intersectionWkt(u(donut), u(win)).toString) == 1.0)
+    val plug = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert(WktCore.unionWkt(u(donut), u(plug)).toString ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    // donut − bite: the bite tears through the right wall along the
+    // hole's own edge — the hole merges into the outside, ONE ring left
+    val bite = "POLYGON ((3 1.5, 5 1.5, 5 2.5, 3 2.5, 3 1.5))"
+    val torn = WktCore.differenceWkt(u(donut), u(bite)).toString
+    assert(a(torn) == 11.0, torn)
+    assert(!torn.contains("), ("), torn) // no interior ring anymore
+    // the overlay's own MULTIPOLYGON output feeds back in
+    assert(a(WktCore.intersectionWkt(u(cu), u(big)).toString) == 2.0)
+    // EMPTY operands are defined: ∩ absorbs, ∪ passes through
+    assert(WktCore.intersectionWkt(u("POLYGON EMPTY"), u(sq)).toString ==
+      "POLYGON EMPTY")
+    assert(a(WktCore.unionWkt(u("POLYGON EMPTY"), u(sq)).toString) == 1.0)
+    assert(a(WktCore.differenceWkt(u(sq), u("POLYGON EMPTY")).toString) == 1.0)
+    assert(WktCore.differenceWkt(u("POLYGON EMPTY"), u(sq)).toString ==
+      "POLYGON EMPTY")
+    // equal operands: ∪ and ∩ are the operand, − is EMPTY (full
+    // boundary coincidence, same-side interiors)
+    assert(a(WktCore.intersectionWkt(u(sq), u(sq)).toString) == 1.0)
+    assert(a(WktCore.unionWkt(u(sq), u(sq)).toString) == 1.0)
+    assert(WktCore.differenceWkt(u(sq), u(sq)).toString == "POLYGON EMPTY")
+    // MULTIPOLYGON operand: slab swallows the unit square and carries
+    // the diagonal square edge-adjacent on top — 4 + 2 − 1
+    assert(a(WktCore.unionWkt(u(cu), u(slab)).toString) == 5.0)
+  }
+
+  test("WKT parse hardening: trailing garbage + multiply-wound rings (r13)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // trailing content after the final ring used to parse silently
+    intercept[IllegalArgumentException] {
+      WktCore.area(u("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)) junk"))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.area(u("POLYGON junk ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.area(u("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0))) x"))
+    }
+    // plain whitespace still parses
+    assert(WktCore.area(u("POLYGON  ((0 0, 1 0, 1 1, 0 1, 0 0)) ")) == 1.0)
+    // a pentagram turns left at every vertex (multiply wound) — it used
+    // to slip through the convex fast path as silent garbage; the
+    // winding bound now routes it to the general tier, which is loud
+    val star = "POLYGON ((0 0, 2 6, 4 0, -1 4, 5 4, 0 0))"
+    val sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val e = intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u(star), u(sq))
+    }
+    assert(e.getMessage.contains("self-intersecting"), e.getMessage)
+  }
+
+  test("st_touches / st_crosses / line predicates (r13)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def touches(a: String, b: String) = WktCore.touchesWkt(u(a), u(b))
+    def crosses(a: String, b: String) = WktCore.crossesWkt(u(a), u(b))
+    def inter(a: String, b: String) = WktCore.intersectsWkt(u(a), u(b))
+    val R = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    // areal pairs: edge-adjacent and corner-touch touch; overlap /
+    // containment / equality / disjoint do not
+    assert(touches(R, "POLYGON ((4 0, 6 0, 6 2, 4 2, 4 0))"))
+    assert(touches(R, "POLYGON ((4 4, 5 4, 5 5, 4 5, 4 4))"))
+    assert(!touches(R, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
+    assert(!touches(R, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"))
+    assert(!touches(R, R))
+    assert(!touches(R, "POLYGON ((10 0, 11 0, 11 1, 10 1, 10 0))"))
+    assert(!crosses(R, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")) // area×area
+    // a polygon exactly filling a donut hole touches the donut
+    val donut =
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert(touches(donut, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
+    // line × polygon
+    val through = "LINESTRING (-1 2, 5 2)"
+    assert(crosses(through, R) && crosses(R, through))
+    assert(!touches(through, R))
+    assert(inter(through, R) && inter(R, through))
+    val alongEdge = "LINESTRING (0 0, 4 0)"
+    assert(touches(alongEdge, R) && !crosses(alongEdge, R))
+    assert(inter(alongEdge, R))
+    val endTouch = "LINESTRING (-2 -2, 0 0)"
+    assert(touches(endTouch, R) && !crosses(endTouch, R))
+    val insideL = "LINESTRING (1 1, 2 2)"
+    assert(!touches(insideL, R) && !crosses(insideL, R))
+    assert(inter(insideL, R))
+    val halfOut = "LINESTRING (2 2, 6 2)"
+    assert(crosses(halfOut, R) && !touches(halfOut, R))
+    val farL = "LINESTRING (10 10, 11 11)"
+    assert(!touches(farL, R) && !crosses(farL, R) && !inter(farL, R))
+    // a line crossing INTO the donut hole never meets the interior
+    val inHole = "LINESTRING (1.5 1.5, 2.5 2.5)"
+    assert(!inter(inHole, donut) && !crosses(inHole, donut))
+    // line × line
+    val d1 = "LINESTRING (0 0, 4 4)"
+    val d2 = "LINESTRING (0 4, 4 0)"
+    assert(crosses(d1, d2) && !touches(d1, d2) && inter(d1, d2))
+    val tee = "LINESTRING (2 2, 6 2)" // starts ON d1's interior
+    assert(touches(d1, tee) && !crosses(d1, tee))
+    val over = "LINESTRING (2 2, 6 6)" // collinear overlap with d1
+    assert(!touches(d1, over) && !crosses(d1, over) && inter(d1, over))
+    val chain = "LINESTRING (4 4, 8 0)" // shared terminal endpoint
+    assert(touches(d1, chain) && !crosses(d1, chain))
+    // points
+    assert(touches("POINT (4 2)", R))       // on the boundary
+    assert(!touches("POINT (2 2)", R))      // interior
+    assert(inter("POINT (2 2)", R))
+    assert(!inter("POINT (5 5)", R))
+    assert(touches("POINT (0 0)", d1))      // line terminal
+    assert(!touches("POINT (2 2)", d1))     // line interior
+    assert(inter("POINT (2 2)", d1))
+    assert(!crosses("POINT (2 2)", d1))
+    assert(!touches("POINT (1 1)", "POINT (1 1)"))
+    // validity relaxation: point contact is valid, crossing stays loud
+    assert(WktCore.isValid(u(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+        "((1 1, 2 1, 2 2, 1 2, 1 1)))")))
+    assert(WktCore.isValid(u(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 0, 3 1, 1 2, 1 0))")))
+    // island inside another component hole is legal OGC nesting
+    assert(WktCore.isValid(u(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), " +
+        "(1 1, 3 1, 3 3, 1 3, 1 1)), " +
+        "((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5)))")))
+    assert(WktCore.invalidReason(u(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "((1 1, 3 1, 3 3, 1 3, 1 1)))")).toString ==
+      "nested component shells")
   }
 }
