@@ -653,6 +653,90 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2t4: the r13 geometry surface through the DIALECT path —
+    // ST_Touches / ST_Crosses (new OGC predicates), LINESTRING
+    // operands to ST_Intersects, shared-border ST_Union, and holed
+    // ST_Intersection inputs, under the Trino spellings a migrating
+    // script would use. Fixtures SQL-built; results are the sc21k/l/m
+    // closed forms.
+    "p2t4_presto_geo_relate" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 + 2 AS DOUBLE) AS a,
+          |    CAST("n_nationkey" % 3 + 1 AS DOUBLE) AS b
+          |  FROM nation),
+          |w AS (
+          |  SELECT k, a, b, cx, cy,
+          |    concat('POLYGON ((',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+          |      CAST(cy + 2 * b AS VARCHAR), ', ',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy + 2 * b AS VARCHAR),
+          |      ', ', CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      '))') AS big,
+          |    concat('POLYGON ((',
+          |      CAST(cx + a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + b / 2 AS VARCHAR), ', ',
+          |      CAST(cx + 1.5 * a AS VARCHAR), ' ',
+          |      CAST(cy + b / 2 AS VARCHAR), ', ',
+          |      CAST(cx + 1.5 * a AS VARCHAR), ' ',
+          |      CAST(cy + 1.5 * b AS VARCHAR), ', ',
+          |      CAST(cx + a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + 1.5 * b AS VARCHAR), ', ',
+          |      CAST(cx + a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + b / 2 AS VARCHAR), '))') AS inner_r,
+          |    concat('POLYGON ((',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ', ', CAST(cx + 3 * a AS VARCHAR), ' ',
+          |      CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 3 * a AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+          |      ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+          |      CAST(cy + b AS VARCHAR), ', ',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      '))') AS adj,
+          |    concat('LINESTRING (',
+          |      CAST(cx - a AS VARCHAR), ' ',
+          |      CAST(cy + 1.75 * b AS VARCHAR), ', ',
+          |      CAST(cx + 3 * a AS VARCHAR), ' ',
+          |      CAST(cy + 1.75 * b AS VARCHAR), ')') AS lthru,
+          |    concat('LINESTRING (',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ')') AS ledge,
+          |    concat('POLYGON ((',
+          |      CAST(cx - a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + 0.75 * b AS VARCHAR), ', ',
+          |      CAST(cx + 0.75 * a AS VARCHAR), ' ',
+          |      CAST(cy + 0.75 * b AS VARCHAR), ', ',
+          |      CAST(cx + 0.75 * a AS VARCHAR), ' ',
+          |      CAST(cy + 1.25 * b AS VARCHAR), ', ',
+          |      CAST(cx - a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + 1.25 * b AS VARCHAR), ', ',
+          |      CAST(cx - a / 2 AS VARCHAR), ' ',
+          |      CAST(cy + 0.75 * b AS VARCHAR), '))') AS win
+          |  FROM g)
+          |SELECT k,
+          |  ST_Touches(ST_GeometryFromText(big),
+          |    ST_GeometryFromText(adj)) AS touch_adj,
+          |  ST_Touches(ST_Difference(big, inner_r), inner_r) AS touch_plug,
+          |  ST_Crosses(ST_GeometryFromText(lthru),
+          |    ST_GeometryFromText(big)) AS cross_line,
+          |  ST_Crosses(big, adj) AS cross_areal,
+          |  ST_Intersects(lthru, big) AS intersects_line,
+          |  ST_Touches(ledge, big) AS touch_edge,
+          |  CAST(floor(ST_Area(ST_Union(big, adj)) * 1e6 + 0.5)
+          |    AS BIGINT) AS union_adj_q6,
+          |  CAST(floor(ST_Area(ST_Intersection(
+          |    ST_Difference(big, inner_r), win)) * 1e6 + 0.5)
+          |    AS BIGINT) AS holed_inter_q6
+          |FROM w ORDER BY k""".stripMargin)
+    }),
+
     // P2z: Trino format() / parse_data_size / bitwise rotates —
     // format is Java String.format (= Spark format_string; the oracle
     // is DuckDB's independent C printf — %s/%0Nd behave identically);
@@ -1376,6 +1460,7 @@ object Etl extends QueryModule {
             |  SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
             |  FROM p7_quality q WHERE source <> 'src1') t
             |WHERE doc_id = keeper_id""".stripMargin,
+
           dependsOn = Seq("p7_quality")),
         Pipeline.dfStep("p7_decontaminated", dependsOn = Seq("p7_keepers")) { sp =>
           def sh(df: org.apache.spark.sql.DataFrame, id: String, n: String) = df
@@ -1937,6 +2022,24 @@ object Etl extends QueryModule {
         |  CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS g2_area_q6,
         |  false AS hole_center_in,
         |  true AS annulus_in
+        |FROM p ORDER BY k""".stripMargin,
+
+    // p2t4: sc21k/l/m closed forms under the dialect spellings
+    "p2t4_presto_geo_relate" ->
+      """WITH p AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT k,
+        |  true AS touch_adj,
+        |  true AS touch_plug,
+        |  true AS cross_line,
+        |  false AS cross_areal,
+        |  true AS intersects_line,
+        |  true AS touch_edge,
+        |  CAST(floor(5 * a * b * 1e6 + 0.5) AS BIGINT) AS union_adj_q6,
+        |  CAST(floor(a * b / 4 * 1e6 + 0.5) AS BIGINT) AS holed_inter_q6
         |FROM p ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->

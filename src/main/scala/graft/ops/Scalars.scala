@@ -33,6 +33,20 @@ private[ops] object GeoFix {
 
   def q6(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
 
+  def line(pts: Seq[(Column, Column)]): Column = {
+    val body = pts.flatMap { case (x, y) =>
+      Seq(dstr(x), lit(" "), dstr(y), lit(", ")) }.dropRight(1)
+    concat((lit("LINESTRING (") +: body :+ lit(")")): _*)
+  }
+
+  def point(x: Column, y: Column): Column =
+    concat(lit("POINT ("), dstr(x), lit(" "), dstr(y), lit(")"))
+
+  /** Axis-parallel rectangle [x0, x0+w] × [y0, y0+h] as WKT. */
+  def rect(x0: Column, y0: Column, w: Column, h: Column): Column =
+    poly(Seq((x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+      (x0, y0)))
+
   /** nation-keyed dyadic parameter frame: n_nationkey, cx, cy, a, b. */
   def base(s: SparkSession, d: String): DataFrame =
     Tables.nation(s, d).select(col("n_nationkey"),
@@ -845,6 +859,207 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21k: SHARED-BORDER (non-transversal) contact in ∩/∪/− (r13
+    // verdict missing #1) — the overlay tier resolves edge-adjacent,
+    // corner-touch, T-junction, vertex-on-edge and partial collinear-
+    // overlap contact instead of throwing. Closed forms are dyadic
+    // rectangle/diamond algebra; the flagship column pins the EXACT
+    // canonical WKT of an edge-adjacent union (the shared border
+    // cancels and its collinear pass-through nodes drop, so two a×b
+    // rectangles fuse to the one 2a×b rectangle both engines can
+    // render from first principles).
+    "sc21k_geo_shared_border" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{q6, rect}
+      def ncomp(c: org.apache.spark.sql.Column) =
+        (size(split(c, "\\(\\(")) - 1).cast("long")
+      val g = GeoFix.base(s, d)
+        .withColumn("rl", rect(col("cx"), col("cy"), col("a"), col("b")))
+        .withColumn("rr", rect(col("cx") + col("a"), col("cy"), col("a"),
+          col("b")))
+        .withColumn("rdiag", rect(col("cx") + col("a"),
+          col("cy") + col("b"), col("a"), col("b")))
+        .withColumn("big", rect(col("cx"), col("cy"), col("a") * 4,
+          col("b") * 2))
+        .withColumn("top", rect(col("cx") + col("a"),
+          col("cy") + col("b") * 2, col("a") * 2, col("b") * 2))
+        .withColumn("r2", rect(col("cx"), col("cy"), col("a") * 2,
+          col("b") * 2))
+        .withColumn("dia", GeoFix.poly(Seq(
+          (col("cx") + col("a") * 1.5, col("cy") + col("b")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 2.5, col("cy") + col("b")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 1.5),
+          (col("cx") + col("a") * 1.5, col("cy") + col("b")))))
+        .withColumn("ov1", rect(col("cx"), col("cy"), col("a") * 2,
+          col("b")))
+        .withColumn("ov2", rect(col("cx") + col("a"), col("cy") + col("b"),
+          col("a") * 2, col("b")))
+      g.select(col("n_nationkey"),
+          GF.stUnion(col("rl"), col("rr")).as("adj_union_wkt"),
+          q6(GF.stArea(GF.stUnion(col("rl"), col("rr"))))
+            .as("adj_union_q6"),
+          GF.stIntersection(col("rl"), col("rr")).as("adj_inter_wkt"),
+          q6(GF.stArea(GF.stDifference(col("rl"), col("rr"))))
+            .as("adj_diff_q6"),
+          ncomp(GF.stUnion(col("rl"), col("rdiag"))).as("corner_ncomp"),
+          q6(GF.stArea(GF.stUnion(col("rl"), col("rdiag"))))
+            .as("corner_union_q6"),
+          call_function("st_isvalid", GF.stUnion(col("rl"), col("rdiag")))
+            .as("corner_valid"),
+          q6(GF.stArea(GF.stUnion(col("big"), col("top"))))
+            .as("t_union_q6"),
+          ncomp(GF.stUnion(col("big"), col("top"))).as("t_union_ncomp"),
+          q6(GF.stArea(GF.stDifference(col("big"), col("top"))))
+            .as("t_diff_q6"),
+          q6(GF.stArea(GF.stIntersection(col("r2"), col("dia"))))
+            .as("vx_inter_q6"),
+          q6(GF.stArea(GF.stUnion(col("r2"), col("dia"))))
+            .as("vx_union_q6"),
+          q6(GF.stArea(GF.stDifference(col("r2"), col("dia"))))
+            .as("vx_diff_q6"),
+          q6(GF.stArea(GF.stUnion(col("ov1"), col("ov2"))))
+            .as("ov_union_q6"),
+          GF.stIntersection(col("ov1"), col("ov2")).as("ov_inter_wkt"),
+          q6(GF.stArea(GF.stDifference(col("ov1"), col("ov2"))))
+            .as("ov_diff_q6"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // sc21l: HOLED INPUTS to ∩/∪/− (r13 verdict missing #2) — the
+    // clipping tier's own outputs feed back in: a window clipped
+    // against the holed difference crosses shell AND hole; a bite torn
+    // through the annulus wall ALONG the hole's own edge merges the
+    // hole with the outside (one ring left); plugging the hole with its
+    // exact shape reconstitutes the rectangle TEXT-exactly; a window
+    // fully inside the hole is EMPTY. Closed forms: dyadic rectangle
+    // algebra on the sc21g fixture frame.
+    "sc21l_geo_holed_inputs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{q6, rect}
+      def nrings(c: org.apache.spark.sql.Column) =
+        (size(split(c, "\\(")) - 2).cast("long")
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("win1", rect(col("cx") - col("a") / 2,
+          col("cy") + col("b") * 0.75, col("a") * 1.25, col("b") / 2))
+        .withColumn("bite", rect(col("cx") + col("a") * 1.5,
+          col("cy") + col("b") * 0.75, col("a"), col("b") / 2))
+        .withColumn("bite2", rect(col("cx") + col("a") * 1.75,
+          col("cy") + col("b") * 0.75, col("a") * 0.75, col("b") / 2))
+        .withColumn("w2", rect(col("cx") + col("a") * 0.75,
+          col("cy") + col("b") * 0.75, col("a") / 2, col("b") / 2))
+      g.select(col("n_nationkey"),
+          q6(GF.stArea(GF.stIntersection(col("dhole"), col("win1"))))
+            .as("win_inter_q6"),
+          q6(GF.stArea(GF.stDifference(col("dhole"), col("bite"))))
+            .as("bite_diff_q6"),
+          nrings(GF.stDifference(col("dhole"), col("bite")))
+            .as("bite_nrings"),
+          q6(GF.stArea(GF.stDifference(col("dhole"), col("bite2"))))
+            .as("bite2_diff_q6"),
+          nrings(GF.stDifference(col("dhole"), col("bite2")))
+            .as("bite2_nrings"),
+          GF.stIntersection(col("dhole"), col("w2")).as("inhole_wkt"),
+          GF.stUnion(col("dhole"), col("inner")).as("plug_union_wkt"),
+          q6(GF.stArea(GF.stUnion(col("dhole"), col("inner"))))
+            .as("plug_union_q6"),
+          q6(GF.stArea(GF.stIntersection(col("dhole"), col("big"))))
+            .as("self_inter_q6"),
+          nrings(GF.stIntersection(col("dhole"), col("big")))
+            .as("self_inter_nrings"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // sc21m: ST_Touches / ST_Crosses and LINESTRING predicates (r13
+    // verdict missing #3) — the OGC relate pair over the point/line/
+    // polygon matrix, incl. holed operands (a polygon exactly filling a
+    // donut hole TOUCHES the donut; a line inside the hole does not
+    // intersect it). Every verdict is a structural constant of the
+    // dyadic fixture frame.
+    "sc21m_geo_relate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, rect}
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("radj", rect(col("cx") + col("a") * 2, col("cy"),
+          col("a"), col("b")))
+        .withColumn("rcorner", rect(col("cx") + col("a") * 2,
+          col("cy") + col("b") * 2, col("a"), col("b")))
+        .withColumn("rover", rect(col("cx") + col("a"), col("cy") + col("b"),
+          col("a") * 2, col("b") * 2))
+        .withColumn("lthrough", line(Seq(
+          (col("cx") - col("a"), col("cy") + col("b") * 1.75),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 1.75))))
+        .withColumn("ledge", line(Seq(
+          (col("cx"), col("cy")), (col("cx") + col("a") * 2, col("cy")))))
+        .withColumn("lend", line(Seq(
+          (col("cx") - col("a"), col("cy") - col("b")),
+          (col("cx"), col("cy")))))
+        .withColumn("lin", line(Seq(
+          (col("cx") + col("a") / 4, col("cy") + col("b") / 4),
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 4))))
+        .withColumn("lhole", line(Seq(
+          (col("cx") + col("a") * 0.75, col("cy") + col("b")),
+          (col("cx") + col("a") * 1.25, col("cy") + col("b")))))
+        .withColumn("l1", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2))))
+        .withColumn("l2", line(Seq(
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx") + col("a") * 2, col("cy")))))
+        .withColumn("l3", line(Seq(
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a") * 3, col("cy") + col("b")))))
+        .withColumn("l4", line(Seq(
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 3))))
+      g.select(col("n_nationkey"),
+          GF.stTouches(col("big"), col("radj")).as("t_adj"),
+          GF.stTouches(col("big"), col("rcorner")).as("t_corner"),
+          GF.stTouches(col("big"), col("rover")).as("t_over"),
+          GF.stTouches(col("big"), col("inner")).as("t_contained"),
+          GF.stTouches(col("big"), col("big")).as("t_equal"),
+          GF.stTouches(col("big"), col("big_far")).as("t_far"),
+          GF.stCrosses(col("big"), col("rover")).as("c_areal"),
+          GF.stTouches(col("dhole"), col("inner")).as("t_plug"),
+          GF.stCrosses(col("lthrough"), col("big")).as("c_through"),
+          GF.stTouches(col("lthrough"), col("big")).as("t_through"),
+          GF.stTouches(col("ledge"), col("big")).as("t_edge"),
+          GF.stTouches(col("big"), col("ledge")).as("t_edge_sym"),
+          GF.stCrosses(col("ledge"), col("big")).as("c_edge"),
+          GF.stTouches(col("lend"), col("big")).as("t_end"),
+          GF.stTouches(col("lin"), col("big")).as("t_in"),
+          GF.stCrosses(col("lin"), col("big")).as("c_in"),
+          call_function("st_intersects", col("lin"), col("big"))
+            .as("i_in"),
+          call_function("st_intersects", col("lhole"), col("dhole"))
+            .as("i_hole"),
+          GF.stCrosses(col("l3"), col("dhole")).as("c_hole_exit"),
+          GF.stCrosses(col("l1"), col("l2")).as("c_x"),
+          GF.stTouches(col("l1"), col("l2")).as("t_x"),
+          GF.stTouches(col("l1"), col("l3")).as("t_tee"),
+          GF.stCrosses(col("l1"), col("l3")).as("c_tee"),
+          GF.stTouches(col("l1"), col("l4")).as("t_overlap"),
+          call_function("st_intersects", col("l1"), col("l4"))
+            .as("i_overlap"),
+          GF.stTouches(point(col("cx") + col("a") * 2, col("cy") + col("b")),
+            col("big")).as("t_pt_edge"),
+          GF.stTouches(point(col("cx") + col("a") / 4,
+            col("cy") + col("b") / 4), col("big")).as("t_pt_in"),
+          GF.stTouches(point(col("cx"), col("cy")), col("l1"))
+            .as("t_pt_term"),
+          GF.stTouches(point(col("cx") + col("a"), col("cy") + col("b")),
+            col("l1")).as("t_pt_mid"),
+          call_function("st_intersects",
+            point(col("cx") + col("a"), col("cy") + col("b")), col("l1"))
+            .as("i_pt_mid"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1623,6 +1838,89 @@ object Scalars extends QueryModule {
         |  'interior ring crosses shell' AS r_hole_cross,
         |  false AS v_nested, 'nested component shells' AS r_nested,
         |  true AS v_empty
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // sc21k: dyadic rectangle/diamond closed forms; the flagship text
+    // column re-renders the fused rectangle with DuckDB's own
+    // shortest-round-trip double → VARCHAR (identical to Java's for
+    // these dyadic values — the p2t2 contract)
+    "sc21k_geo_shared_border" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '))') AS adj_union_wkt,
+        |  CAST(floor(2 * a * b * 1e6 + 0.5) AS BIGINT) AS adj_union_q6,
+        |  'POLYGON EMPTY' AS adj_inter_wkt,
+        |  CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS adj_diff_q6,
+        |  CAST(2 AS BIGINT) AS corner_ncomp,
+        |  CAST(floor(2 * a * b * 1e6 + 0.5) AS BIGINT) AS corner_union_q6,
+        |  true AS corner_valid,
+        |  CAST(floor(12 * a * b * 1e6 + 0.5) AS BIGINT) AS t_union_q6,
+        |  CAST(1 AS BIGINT) AS t_union_ncomp,
+        |  CAST(floor(8 * a * b * 1e6 + 0.5) AS BIGINT) AS t_diff_q6,
+        |  CAST(floor(a * b / 4 * 1e6 + 0.5) AS BIGINT) AS vx_inter_q6,
+        |  CAST(floor(17 * a * b / 4 * 1e6 + 0.5) AS BIGINT) AS vx_union_q6,
+        |  CAST(floor(15 * a * b / 4 * 1e6 + 0.5) AS BIGINT) AS vx_diff_q6,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS ov_union_q6,
+        |  'POLYGON EMPTY' AS ov_inter_wkt,
+        |  CAST(floor(2 * a * b * 1e6 + 0.5) AS BIGINT) AS ov_diff_q6
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21l: dyadic closed forms on the sc21g fixture frame; the plug
+    // union re-renders `big` text-exactly
+    "sc21l_geo_holed_inputs" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor(a * b / 4 * 1e6 + 0.5) AS BIGINT) AS win_inter_q6,
+        |  CAST(floor(11 * a * b / 4 * 1e6 + 0.5) AS BIGINT)
+        |    AS bite_diff_q6,
+        |  CAST(1 AS BIGINT) AS bite_nrings,
+        |  CAST(floor(23 * a * b / 8 * 1e6 + 0.5) AS BIGINT)
+        |    AS bite2_diff_q6,
+        |  CAST(2 AS BIGINT) AS bite2_nrings,
+        |  'POLYGON EMPTY' AS inhole_wkt,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '))') AS plug_union_wkt,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS plug_union_q6,
+        |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS self_inter_q6,
+        |  CAST(2 AS BIGINT) AS self_inter_nrings
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21m: every relate verdict is a structural constant of the
+    // dyadic fixture frame
+    "sc21m_geo_relate" ->
+      """SELECT n_nationkey,
+        |  true AS t_adj, true AS t_corner, false AS t_over,
+        |  false AS t_contained, false AS t_equal, false AS t_far,
+        |  false AS c_areal, true AS t_plug,
+        |  true AS c_through, false AS t_through,
+        |  true AS t_edge, true AS t_edge_sym, false AS c_edge,
+        |  true AS t_end, false AS t_in, false AS c_in, true AS i_in,
+        |  false AS i_hole, true AS c_hole_exit,
+        |  true AS c_x, false AS t_x, true AS t_tee, false AS c_tee,
+        |  false AS t_overlap, true AS i_overlap,
+        |  true AS t_pt_edge, false AS t_pt_in,
+        |  true AS t_pt_term, false AS t_pt_mid, true AS i_pt_mid
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
