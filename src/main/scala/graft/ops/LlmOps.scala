@@ -419,6 +419,14 @@ object LlmOps extends QueryModule {
     assign(cent)
   }
 
+  /** Kept set under an EXPLICIT dispatch threshold — the adaptive-
+    * boundary pin: ScaleShapeSpec runs the same corpus through the flat
+    * path (threshold above k) and the forced two-level path and asserts
+    * identical kept sets (r12 ADVICE #5). */
+  private[graft] def semdedupKept(s: SparkSession, d: String,
+      twoLevelMin: Long): DataFrame =
+    semdedupPrune(semdedupAssigned(s, d, twoLevelMin))
+
   /** The SemDeDup within-cluster dominance prune over an assignment
     * (shared by l26 and l26c): drop every vector with a smaller-id
     * cosine-≥τ neighbor in its cluster. */
@@ -2551,6 +2559,96 @@ object LlmOps extends QueryModule {
             coalesce(col("n_toks"), lit(0L)) * cdiff + prior)
             .as("score_q6"))
         .withColumn("pred_hi", col("score_q6") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // L68b: HASHED-BIGRAM Naive Bayes quality classifier (r13 verdict
+    // missing #4) — the fastText/CCNet-adjacent feature shape: instead
+    // of raw unigrams, features are BIGRAMS hashed into 8192 buckets
+    // (l53's polynomial kgram hash mod 8192 — engine-portable, so the
+    // oracle re-derives the exact bucket ids). Same one-aggregate NB
+    // training, Laplace(+1), 1e6-integer-quantized ln terms as l68.
+    //
+    // The planted signal is BIGRAM-ONLY (unigram-blind): positive docs
+    // append k copies of ' qa0 qa1 qsep', negative docs k copies of
+    // ' qa1 qa0 qsep' (k = doc_id % 3 + 1) — the marker UNIGRAMS occur
+    // at identical per-doc rates in both classes, but the marker
+    // BIGRAMS (qa0→qa1 vs qa1→qa0, and their qsep transitions) are
+    // class-pure. The query scores the SAME corpus with BOTH models;
+    // the oracle re-derives both, and ScaleShapeSpec asserts the bigram
+    // model separates the classes while the unigram model cannot beat
+    // the prior. Plan at 100 TB: two feature-keyed count aggregates
+    // (8192-bounded / Zipf-vocab-bounded), two feature→model joins +
+    // doc rollups — the l68 shape twice, no new shuffle class.
+    "l68b_nb_bigram_quality" -> ((s, d) => {
+      GF.register(s)
+      val B = 8192L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          col("source").isin("src0", "src1").as("pos"))
+        .withColumn("btext", concat(col("text"),
+          when(col("pos"),
+            expr("repeat(' qa0 qa1 qsep', CAST(doc_id % 3 + 1 AS INT))"))
+          .otherwise(
+            expr("repeat(' qa1 qa0 qsep', CAST(doc_id % 3 + 1 AS INT))"))))
+        .select(col("doc_id"), col("pos"),
+          TF.wordTokens(col("btext")).as("ws"))
+        .localCheckpoint()
+      def qln(c: org.apache.spark.sql.Column) =
+        floor(log(c) * 1e6 + 0.5).cast("long")
+      def qlnL(x: Long): Long =
+        math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+      val dh = docs.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("nd1"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nd0")).head
+      val prior = qlnL(dh.getLong(0)) - qlnL(dh.getLong(1))
+      // ---- bigram-bucket model
+      val grams = docs.select(col("doc_id"), col("pos"),
+        explode(transform(TF.kgramHashes(col("ws"), 2),
+          h => pmod(h, lit(B)))).as("bk"))
+      val bcounts = grams.groupBy(col("bk")).agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("c0"))
+        .localCheckpoint()
+      val bmodel = bcounts.select(col("bk"),
+        (qln(col("c1") + 1) - qln(col("c0") + 1)).as("wq"))
+      val bh = bcounts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        count(lit(1)).as("v")).head
+      val bcdiff = qlnL(bh.getLong(1) + bh.getLong(2)) -
+        qlnL(bh.getLong(0) + bh.getLong(2))
+      val bsc = grams.join(broadcast(bmodel), "bk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("wq")).as("sw"))
+      // ---- unigram control on the SAME planted corpus
+      val toks = docs.select(col("doc_id"), col("pos"),
+        explode(col("ws")).as("w"))
+      val ucounts = toks.groupBy(col("w")).agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("c0"))
+        .localCheckpoint()
+      val umodel = ucounts.select(col("w"),
+        (qln(col("c1") + 1) - qln(col("c0") + 1)).as("uq"))
+      val uh = ucounts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        count(lit(1)).as("v")).head
+      val ucdiff = qlnL(uh.getLong(1) + uh.getLong(2)) -
+        qlnL(uh.getLong(0) + uh.getLong(2))
+      val usc = toks.join(umodel, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("uq")).as("su"))
+      docs.select(col("doc_id"), col("pos"))
+        .join(bsc, Seq("doc_id"), "left")
+        .join(usc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          (coalesce(col("sw"), lit(0L)) +
+            coalesce(col("n_grams"), lit(0L)) * bcdiff + prior)
+            .as("big_score_q6"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          (coalesce(col("su"), lit(0L)) +
+            coalesce(col("n_toks"), lit(0L)) * ucdiff + prior)
+            .as("uni_score_q6"))
+        .withColumn("pred_big", col("big_score_q6") > 0)
+        .withColumn("pred_uni", col("uni_score_q6") > 0)
         .orderBy(col("doc_id"))
     }),
 
@@ -4914,6 +5012,94 @@ object LlmOps extends QueryModule {
         |  (COALESCE(sc.sw, 0) + COALESCE(sc.n_toks, 0) * c.cdiff
         |    + c.prior) > 0 AS pred_hi
         |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |CROSS JOIN consts c
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // l68b: both models re-derived from scratch — the same planted
+    // bigram-only corpus, the l53 polynomial bigram hash mod 8192, the
+    // same Laplace + 1e6-quantized-ln NB arithmetic for BOTH feature
+    // spaces, so every score is bit-equal end to end
+    "l68b_nb_bigram_quality" ->
+      """WITH docs AS (
+        |  SELECT doc_id, (source IN ('src0', 'src1')) AS pos,
+        |    list_filter(str_split(
+        |      text || CASE WHEN source IN ('src0', 'src1')
+        |        THEN repeat(' qa0 qa1 qsep', CAST(doc_id % 3 + 1 AS INT))
+        |        ELSE repeat(' qa1 qa0 qsep', CAST(doc_id % 3 + 1 AS INT))
+        |      END, ' '), t -> len(t) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(len(ws) - 1, 1)), i ->
+        |        list_reduce(list_transform(
+        |            str_split(array_to_string(list_slice(ws, i, i + 1), ' '),
+        |              ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 4503599627370496) % 8192))
+        |      AS bk
+        |  FROM docs),
+        |bmodel AS (
+        |  SELECT bk,
+        |    CAST(floor(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+        |      * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1)
+        |      * 1e6 + 0.5) AS BIGINT) AS wq
+        |  FROM g GROUP BY bk),
+        |bh AS (
+        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n0,
+        |    COUNT(DISTINCT bk) AS v
+        |  FROM g),
+        |toks AS (SELECT doc_id, pos, unnest(ws) AS w FROM docs),
+        |umodel AS (
+        |  SELECT w,
+        |    CAST(floor(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+        |      * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1)
+        |      * 1e6 + 0.5) AS BIGINT) AS uq
+        |  FROM toks GROUP BY w),
+        |uh AS (
+        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n0,
+        |    COUNT(DISTINCT w) AS v
+        |  FROM toks),
+        |dh AS (
+        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS nd1,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nd0
+        |  FROM docs),
+        |consts AS (
+        |  SELECT
+        |    (SELECT CAST(floor(ln(n0 + v) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(n1 + v) * 1e6 + 0.5) AS BIGINT) FROM bh)
+        |      AS bcdiff,
+        |    (SELECT CAST(floor(ln(n0 + v) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(n1 + v) * 1e6 + 0.5) AS BIGINT) FROM uh)
+        |      AS ucdiff,
+        |    (SELECT CAST(floor(ln(nd1) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(nd0) * 1e6 + 0.5) AS BIGINT) FROM dh)
+        |      AS prior),
+        |bsc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(wq) AS BIGINT) AS sw
+        |  FROM g JOIN bmodel USING (bk) GROUP BY doc_id),
+        |usc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    CAST(SUM(uq) AS BIGINT) AS su
+        |  FROM toks JOIN umodel USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, d.pos,
+        |  CAST(COALESCE(b.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(b.sw, 0) + COALESCE(b.n_grams, 0) * c.bcdiff
+        |    + c.prior AS BIGINT) AS big_score_q6,
+        |  CAST(COALESCE(u.n_toks, 0) AS BIGINT) AS n_toks,
+        |  CAST(COALESCE(u.su, 0) + COALESCE(u.n_toks, 0) * c.ucdiff
+        |    + c.prior AS BIGINT) AS uni_score_q6,
+        |  (COALESCE(b.sw, 0) + COALESCE(b.n_grams, 0) * c.bcdiff
+        |    + c.prior) > 0 AS pred_big,
+        |  (COALESCE(u.su, 0) + COALESCE(u.n_toks, 0) * c.ucdiff
+        |    + c.prior) > 0 AS pred_uni
+        |FROM docs d LEFT JOIN bsc b ON d.doc_id = b.doc_id
+        |LEFT JOIN usc u ON d.doc_id = u.doc_id
         |CROSS JOIN consts c
         |ORDER BY d.doc_id""".stripMargin,
 

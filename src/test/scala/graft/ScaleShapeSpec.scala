@@ -245,6 +245,50 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.select("vec_id").distinct().count() == n)
   }
 
+  test("l26 adaptive-dispatch BOUNDARY: flat and two-level paths keep identical sets (r13)") {
+    // the gate corpus sits below the production threshold (k < 256), so
+    // l26 always takes the flat path and l26c always forces two-level —
+    // this pin runs the SAME corpus through both sides of the dispatch
+    // and asserts the kept set is a pure function of the data, not of
+    // the plan chosen
+    // the two ASSIGNMENT plans must actually differ (two-level has the
+    // ccid-keyed fine-assignment join; flat must not) — asserted on the
+    // assignment stage because the prune checkpoints its input
+    val equiOnCcid =
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[ccid""".r
+    assert(equiOnCcid.findFirstIn(
+      ops.LlmOps.semdedupAssigned(spark, sf, twoLevelMin = 1L)
+        .queryExecution.executedPlan.toString).isDefined)
+    assert(equiOnCcid.findFirstIn(
+      ops.LlmOps.semdedupAssigned(spark, sf, twoLevelMin = Long.MaxValue)
+        .queryExecution.executedPlan.toString).isEmpty)
+    def kept(thr: Long) =
+      ops.LlmOps.semdedupKept(spark, sf, twoLevelMin = thr)
+    val fm = kept(Long.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val tm = kept(1L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(fm.size == tm.size && fm == tm,
+      s"dispatch-dependent kept set: ${ (fm.toSet diff tm.toSet).take(5) }")
+  }
+
+  test("l68b bigram NB separates the planted classes; the unigram control cannot beat the prior") {
+    val rows = ops.LlmOps.queries("l68b_nb_bigram_quality")(spark, sf)
+      .select("pos", "pred_big", "pred_uni").collect()
+    val n = rows.length
+    val nNeg = rows.count(!_.getBoolean(0))
+    val bigOk = rows.count(r => r.getBoolean(1) == r.getBoolean(0))
+    val uniOk = rows.count(r => r.getBoolean(2) == r.getBoolean(0))
+    // the planted signal is bigram-only: the hashed-bigram model must
+    // essentially solve the task; the unigram model must do no better
+    // than always answering the majority class (the corpus is
+    // unigram-blind by construction)
+    assert(bigOk >= n * 99 / 100, s"bigram model: $bigOk/$n")
+    assert(uniOk <= nNeg + n / 100,
+      s"unigram control beats the prior: $uniOk/$n vs prior $nNeg - " +
+        "the plant leaked unigram signal")
+  }
+
   test("l27 span dedup reduces first-occurrence via partial min-struct, not a window") {
     val df = ops.LlmOps.queries("l27_span_dedup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
