@@ -19,10 +19,14 @@ import org.apache.spark.sql.types._
   * integers.
   */
 object AudioCore {
-  /** Decode bytes → (n_samples, sample_rate, sum_abs, peak), or null if
-    * the payload is not decodable 16-bit integer PCM (NULL-on-error,
-    * like TRY()). Multi-channel audio sums across channels (each frame
-    * contributes every channel's sample). */
+  /** Decode bytes → (n_samples, channels, sample_rate, sum_abs, peak),
+    * or null if the payload is not decodable 16-bit integer PCM
+    * (NULL-on-error, like TRY()). Multi-channel audio sums across
+    * channels (each frame contributes every channel's sample);
+    * n_samples counts VALUES (frames × channels), and the channel
+    * count rides along so duration = n_samples / (rate × channels) is
+    * frame-correct for stereo (r12 ADVICE: the old 4-field struct made
+    * stereo duration 2× too long). */
   def stats(bytes: Array[Byte]): InternalRow = {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -47,7 +51,8 @@ object AudioCore {
         if (a > peak) peak = a
         i += 1
       }
-      InternalRow(n.toLong, fmt.getSampleRate.toInt, sum, peak)
+      InternalRow(n.toLong, fmt.getChannels, fmt.getSampleRate.toInt,
+        sum, peak)
     } catch {
       // NonFatal: javax.sound throws UnsupportedAudioFileException and
       // assorted RuntimeExceptions on malformed payloads; the TRY()-like
@@ -57,13 +62,14 @@ object AudioCore {
   }
 }
 
-/** `audio_stats(binary)` → struct<n_samples bigint, sample_rate int,
-  * sum_abs bigint, peak bigint>, NULL when the payload is not decodable
-  * 16-bit PCM. */
+/** `audio_stats(binary)` → struct<n_samples bigint, channels int,
+  * sample_rate int, sum_abs bigint, peak bigint>, NULL when the payload
+  * is not decodable 16-bit PCM. */
 case class AudioStatsExpression(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_samples", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("sum_abs", LongType, nullable = false),
     StructField("peak", LongType, nullable = false)))

@@ -104,6 +104,38 @@ private[graft] object AudioFixture {
       javax.sound.sampled.AudioFileFormat.Type.WAVE,
       new java.io.File(dir, s"aud_$id.wav"))
   }
+
+  /** STEREO fixture (r13): nSamples(id) frames, 2 interleaved channels;
+    * value j (0-indexed across the interleaved stream) is sample(id, j),
+    * so the oracle's closed form is the mono formula over 2·F indices
+    * while duration must divide by the channel count. */
+  def writeStereoWav(dir: String, id: Long): Unit = {
+    val frames = nSamples(id)
+    val data = new Array[Byte](frames * 4)
+    var j = 0
+    while (j < frames * 2) {
+      val v = sample(id, j)
+      data(2 * j) = (v & 0xff).toByte
+      data(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      new java.io.File(dir, s"aud_$id.wav"))
+  }
+
+  /** Hostile payload (r13): deterministic non-WAV bytes under the .wav
+    * extension — the decode must answer NULL, and the audit column
+    * must count it. */
+  def writeHostile(dir: String, id: Long): Unit = {
+    val bytes = Array.tabulate[Byte](64)(i => ((id * 17 + i * 3) % 251).toByte)
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"aud_$id.wav").toPath, bytes)
+  }
 }
 
 /** Domain lexicons for l30 — three pairwise-disjoint keyword sets over
@@ -1136,26 +1168,44 @@ object LlmOps extends QueryModule {
     "l7d_audio_decode" -> ((s, d) => {
       GF.register(s)
       val out = Sources.scratch("graft_wav")
-      Tables.documents(s, d).filter(col("doc_id") < 60)
+      // three payload classes (r13): mono PCM (ids < 60), hostile
+      // non-WAV bytes (60–65 — NULL decode, audited), stereo PCM
+      // (66–71 — duration must divide by the channel count)
+      Tables.documents(s, d).filter(col("doc_id") < 72)
         .select(col("doc_id"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          rows.foreach(r => AudioFixture.writeWav(out, r.getLong(0)))
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            if (id < 60) AudioFixture.writeWav(out, id)
+            else if (id < 66) AudioFixture.writeHostile(out, id)
+            else AudioFixture.writeStereoWav(out, id)
+          }
         }
-      s.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(out)
+      val decoded = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(out)
         .select(
           regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
             .cast("long").as("doc_id"),
           GF.audioStats(col("content")).as("st"))
         .select(col("doc_id"),
+          col("st").isNotNull.as("decoded"),
           col("st.n_samples").as("n_samples"),
+          col("st.channels").cast("long").as("channels"),
           col("st.sample_rate").cast("long").as("sample_rate"),
           col("st.sum_abs").as("sum_abs"),
           col("st.peak").as("peak"))
+        // duration counts FRAMES: values ÷ channels (stereo would
+        // otherwise read 2× long — the r12 ADVICE defect)
         .withColumn("duration_ms",
-          expr("n_samples * 1000 div sample_rate"))
+          expr("n_samples * 1000 div (sample_rate * channels)"))
         .withColumn("mean_abs_q4",
           expr("sum_abs * 10000 div n_samples"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      // the l51 audit pattern: undecodable payloads are counted, not
+      // silently dropped — a corrupt batch is visible in the output
+      val audit = decoded.agg(
+        sum(when(!col("decoded"), 1L).otherwise(0L)).as("audit_null_total"))
+      decoded.crossJoin(broadcast(audit)).orderBy(col("doc_id"))
     }),
 
     // L12: dedup cluster assignment — connected components over near-dup
@@ -4277,24 +4327,41 @@ object LlmOps extends QueryModule {
 
     "l7d_audio_decode" ->
       // the sample formula of AudioFixture, re-derived analytically over
-      // the sample index — no audio bytes involved on the oracle side
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      // the interleaved value index — no audio bytes on the oracle side;
+      // stereo rows carry 2·F values and duration divides by channels;
+      // hostile rows are NULL with the audit total counting them
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 72),
         |dims AS (
         |  SELECT doc_id,
-        |    CAST(800 + doc_id % 5 * 160 AS BIGINT) AS n_samples
-        |  FROM ids),
+        |    CASE WHEN doc_id < 60
+        |      THEN CAST(800 + doc_id % 5 * 160 AS BIGINT)
+        |      ELSE CAST(2 * (800 + doc_id % 5 * 160) AS BIGINT)
+        |    END AS n_samples,
+        |    CASE WHEN doc_id < 60 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(2 AS BIGINT) END AS channels
+        |  FROM ids WHERE doc_id < 60 OR doc_id >= 66),
         |sm AS (
-        |  SELECT d.doc_id, d.n_samples,
+        |  SELECT d.doc_id, d.n_samples, d.channels,
         |    SUM(ABS((d.doc_id * 31 + i * 7) % 2003 - 1001)) AS sum_abs,
         |    MAX(ABS((d.doc_id * 31 + i * 7) % 2003 - 1001)) AS peak
         |  FROM dims d,
         |  LATERAL (SELECT unnest(generate_series(0, d.n_samples - 1)) AS i) s
-        |  GROUP BY 1, 2)
-        |SELECT doc_id, n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, true AS decoded, n_samples, channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(sum_abs AS BIGINT) AS sum_abs, CAST(peak AS BIGINT) AS peak,
-        |  CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
-        |  CAST(sum_abs * 10000 // n_samples AS BIGINT) AS mean_abs_q4
-        |FROM sm ORDER BY doc_id""".stripMargin,
+        |  CAST(n_samples * 1000 // (8000 * channels) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(sum_abs * 10000 // n_samples AS BIGINT) AS mean_abs_q4,
+        |  CAST(6 AS BIGINT) AS audit_null_total
+        |FROM sm
+        |UNION ALL
+        |SELECT doc_id, false AS decoded,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(6 AS BIGINT)
+        |FROM ids WHERE doc_id BETWEEN 60 AND 65
+        |ORDER BY doc_id""".stripMargin,
 
     "l4b_token_count" ->
       """WITH t AS (

@@ -75,10 +75,32 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     val st = out(0).getStruct(1)
     assert(st.getLong(0) == 5L)
-    assert(st.getInt(1) == 8000)
-    assert(st.getLong(2) == 100L + 250 + 0 + 32767 + 32768) // sum_abs
-    assert(st.getLong(3) == 32768L)                          // peak
+    assert(st.getInt(1) == 1)                                // channels
+    assert(st.getInt(2) == 8000)
+    assert(st.getLong(3) == 100L + 250 + 0 + 32767 + 32768) // sum_abs
+    assert(st.getLong(4) == 32768L)                          // peak
     assert(out(1).isNullAt(1), "non-audio bytes must decode to NULL")
+
+    // STEREO (r13, the r12 ADVICE defect): 3 frames × 2 channels — the
+    // value count is 6 but the channel count must ride along so
+    // duration divides by 2 (the old 4-field struct read stereo 2× long)
+    val sSamples = Array[Int](10, -20, 30, -40, 50, -60)
+    val sData = new Array[Byte](sSamples.length * 2)
+    sSamples.zipWithIndex.foreach { case (v, i) =>
+      sData(2 * i) = (v & 0xff).toByte
+      sData(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val sFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(sData), sFmt, 3L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sBos)
+    val sSt = graft.functions.AudioCore.stats(sBos.toByteArray)
+    assert(sSt.getLong(0) == 6L, "stereo counts 6 interleaved values")
+    assert(sSt.getInt(1) == 2, "stereo channel count")
+    assert(sSt.getLong(3) == 10L + 20 + 30 + 40 + 50 + 60)
+    assert(sSt.getLong(4) == 60L)
 
     // hostile payloads: truncated/corrupted WAV headers NULL, not crash
     import graft.functions.AudioCore
