@@ -41,7 +41,10 @@ object ScaleRehearsal {
     // total — special-cased in timeOnce, not a SparkEntry query), the
     // canonical-keeper ExactSubstr variant, and the trained NB
     // classifier (two corpus passes + a vocab-keyed model join)
-    "l26_assign", "l66b_substring_scrub_keep", "l68_nb_quality")
+    "l26_assign", "l66b_substring_scrub_keep", "l68_nb_quality",
+    // r13: the hashed-bigram NB — the l68 shape with an 8192-bucket
+    // feature aggregate alongside the vocab-keyed one
+    "l68b_nb_bigram_quality")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -68,6 +71,13 @@ object ScaleRehearsal {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // done-marker AFTER the last table lands (r12 ADVICE: reuse used to
+    // key on embeddings _SUCCESS alone, so an expansion interrupted
+    // between documents and embeddings — or killed mid-overwrite of
+    // documents — could be silently reused with a stale/partial slice)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/_GRAFT_EXPANSION_DONE"),
+      s"src=$src f=$f".getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,8 +99,13 @@ object ScaleRehearsal {
       // already on disk (expansion is deterministic in src and f) —
       // local iteration only; the committed protocol always expands
       val reuse = sys.env.get("SPARK_GRAFT_REUSE_SCALE").contains("1") &&
-        new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()
-      if (!reuse) expand(spark, src, out, f)
+        new java.io.File(s"$out/_GRAFT_EXPANSION_DONE").exists()
+      if (!reuse) {
+        // remove a stale marker BEFORE re-expanding so a kill mid-write
+        // can never leave marker-plus-partial-data behind
+        new java.io.File(s"$out/_GRAFT_EXPANSION_DONE").delete()
+        expand(spark, src, out, f)
+      }
       s"x$f" -> out
     }
     // optional 4th arg: comma-separated query subset (local iteration —
