@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward forked-run output verbatim (no "[info] " prefix): the driver
+// machine-parses Bench's one-line JSON summary from the captured tail,
+// and the sbt logger prefix broke that parse (r12 ADVICE)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

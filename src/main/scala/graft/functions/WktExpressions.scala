@@ -649,19 +649,77 @@ object WktCore {
   }
 
   /** Codegen entry: st_length(lineWkt) — planar length, segment
-    * hypots accumulated in point order (same mirroring contract). */
+    * hypots accumulated in point order (same mirroring contract).
+    * MULTILINESTRING sums its parts in order; EMPTY is 0 (r13, so the
+    * line-clip outputs are measurable). */
   def length(line: UTF8String): Double = {
-    val c = parseLineString(line.toString)
-    val n = c.length / 2
+    val t = line.toString.trim
+    if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY")) return 0.0
+    val parts: Seq[Array[Double]] =
+      if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+        parseMultiLineString(t)
+      else Seq(parseLineString(t))
     var s = 0.0
-    var i = 1
-    while (i < n) {
-      val dx = c(2 * i) - c(2 * (i - 1))
-      val dy = c(2 * i + 1) - c(2 * i - 1)
-      s += math.sqrt(dx * dx + dy * dy)
-      i += 1
+    parts.foreach { c =>
+      val n = c.length / 2
+      var i = 1
+      while (i < n) {
+        val dx = c(2 * i) - c(2 * (i - 1))
+        val dy = c(2 * i + 1) - c(2 * i - 1)
+        s += math.sqrt(dx * dx + dy * dy)
+        i += 1
+      }
     }
     s
+  }
+
+  /** Parse `MULTILINESTRING ((x y, …), (x y, …))` → parts in order. */
+  private[functions] def parseMultiLineString(s: String): Seq[Array[Double]] = {
+    val t = s.trim
+    require(t.regionMatches(true, 0, "MULTILINESTRING", 0, 15),
+      s"not a MULTILINESTRING: $t")
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var depth = 0
+    var start = -1
+    var i = 15
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '(') {
+        depth += 1
+        if (depth == 2) start = i + 1
+      } else if (c == ')') {
+        if (depth == 2)
+          out += parseLineString("LINESTRING (" + t.substring(start, i) + ")")
+        depth -= 1
+        require(depth >= 0, s"unbalanced parens in MULTILINESTRING: $t")
+      }
+      i += 1
+    }
+    require(depth == 0 && out.nonEmpty, s"bad MULTILINESTRING syntax: $t")
+    out.toSeq
+  }
+
+  /** LINESTRING / MULTILINESTRING / LINESTRING EMPTY rendering of
+    * line-clip chains (chains are in line order — already
+    * deterministic, no canonical rotation needed). */
+  private def fmtLines(chains: Array[Array[Double]]): String = {
+    def body(c: Array[Double]): String = {
+      val sb = new java.lang.StringBuilder()
+      val n = c.length / 2
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(", ")
+        sb.append(fmtCoord(c(2 * i))).append(' ')
+          .append(fmtCoord(c(2 * i + 1)))
+        i += 1
+      }
+      sb.toString
+    }
+    if (chains.isEmpty) "LINESTRING EMPTY"
+    else if (chains.length == 1) "LINESTRING (" + body(chains(0)) + ")"
+    else chains.map(c => "(" + body(c) + ")")
+      .mkString("MULTILINESTRING (", ", ", ")")
   }
 
   // ---- polygon CONSTRUCTION tier (r9 verdict missing #1): ----------
@@ -1339,6 +1397,26 @@ object WktCore {
     * throwing. */
   private def clipDispatch(a: UTF8String, b: UTF8String, op: Int,
       name: String): UTF8String = {
+    // LINESTRING × areal (r13): intersection clips the line to the
+    // region (maximal inside/boundary-run chains, rendered as
+    // LINESTRING / MULTILINESTRING / LINESTRING EMPTY); ∪/− across
+    // dimensions would need GEOMETRYCOLLECTION — loud, documented
+    val aLine = isLineWkt(a)
+    val bLine = isLineWkt(b)
+    if (aLine || bLine) {
+      require(op == 0, s"$name: mixed-dimension operands are supported " +
+        "for st_intersection only (a union/difference result would be a " +
+        "GEOMETRYCOLLECTION, out of this geometry model's scope)")
+      require(!(aLine && bLine), s"$name: LINESTRING × LINESTRING " +
+        "intersection (a point set) is out of scope - use st_intersects/" +
+        "st_crosses/st_touches for line-line predicates")
+      val (line, poly) = if (aLine) (a, b) else (b, a)
+      val g = geomPolys(poly)
+      requireValidGeom(g, poly)
+      val chains = WktOverlay.lineClip(
+        parseLineString(line.toString), g)
+      return UTF8String.fromString(fmtLines(chains))
+    }
     val pa = geomPolys(a)
     val pb = geomPolys(b)
     if (pa.length == 1 && pa(0)._2.isEmpty &&

@@ -1060,6 +1060,52 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21n: LINE CLIPPING — ST_Intersection(LINESTRING, (MULTI)
+    // POLYGON) returns the maximal inside/boundary-run chains of the
+    // line (LINESTRING / MULTILINESTRING / LINESTRING EMPTY), the last
+    // piece of the r13 line-predicate surface. Fixture lines are
+    // chosen so every crossing parameter is DYADIC (t ∈ {1/8, 1/4,
+    // 1/2, 5/8} on the spanning line), making the emitted crossing
+    // coordinates IEEE-exact against the closed-form strings the
+    // oracle concatenates. A chord through the HOLED difference splits
+    // into two wall runs (MULTILINESTRING); a line along an edge is a
+    // boundary run kept whole; hole-interior and disjoint lines are
+    // EMPTY.
+    "sc21n_geo_line_clip" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, q6}
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("lthrough", line(Seq(
+          (col("cx") - col("a"), col("cy") + col("b") * 1.75),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 1.75))))
+        .withColumn("lspan", line(Seq(
+          (col("cx") - col("a") / 2, col("cy") + col("b")),
+          (col("cx") + col("a") * 3.5, col("cy") + col("b")))))
+        .withColumn("ledge", line(Seq(
+          (col("cx"), col("cy")), (col("cx") + col("a") * 2, col("cy")))))
+        .withColumn("lfar", line(Seq(
+          (col("cx"), col("cy") - col("b")),
+          (col("cx") + col("a"), col("cy") - col("b")))))
+        .withColumn("linhole", line(Seq(
+          (col("cx") + col("a") * 0.75, col("cy") + col("b")),
+          (col("cx") + col("a") * 1.25, col("cy") + col("b")))))
+      g.select(col("n_nationkey"),
+          GF.stIntersection(col("lthrough"), col("big")).as("th_wkt"),
+          q6(GF.stLength(GF.stIntersection(col("lthrough"), col("big"))))
+            .as("th_len_q6"),
+          GF.stIntersection(col("lspan"), col("dhole")).as("span_wkt"),
+          q6(GF.stLength(GF.stIntersection(col("lspan"), col("dhole"))))
+            .as("span_len_q6"),
+          GF.stIntersection(col("ledge"), col("big")).as("edge_wkt"),
+          q6(GF.stLength(GF.stIntersection(col("ledge"), col("big"))))
+            .as("edge_len_q6"),
+          GF.stIntersection(col("lfar"), col("big")).as("far_wkt"),
+          GF.stIntersection(col("linhole"), col("dhole")).as("inhole_wkt"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1922,6 +1968,37 @@ object Scalars extends QueryModule {
         |  true AS t_pt_edge, false AS t_pt_in,
         |  true AS t_pt_term, false AS t_pt_mid, true AS i_pt_mid
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // sc21n: closed-form chain strings (all crossing coordinates dyadic
+    // — see the query note) + dyadic lengths
+    "sc21n_geo_line_clip" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  concat('LINESTRING (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + 1.75 * b AS VARCHAR), ', ',
+        |    CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + 1.75 * b AS VARCHAR), ')') AS th_wkt,
+        |  CAST(floor(2 * a * 1e6 + 0.5) AS BIGINT) AS th_len_q6,
+        |  concat('MULTILINESTRING ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ', ',
+        |    CAST(cx + a / 2 AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+        |    '), (', CAST(cx + 1.5 * a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR),
+        |    ' ', CAST(cy + b AS VARCHAR), '))') AS span_wkt,
+        |  CAST(floor(a * 1e6 + 0.5) AS BIGINT) AS span_len_q6,
+        |  concat('LINESTRING (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS edge_wkt,
+        |  CAST(floor(2 * a * 1e6 + 0.5) AS BIGINT) AS edge_len_q6,
+        |  'LINESTRING EMPTY' AS far_wkt,
+        |  'LINESTRING EMPTY' AS inhole_wkt
+        |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

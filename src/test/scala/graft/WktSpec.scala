@@ -633,4 +633,51 @@ class WktSpec extends SparkSpec {
         "((1 1, 3 1, 3 3, 1 3, 1 1)))")).toString ==
       "nested component shells")
   }
+
+  test("line clipping: st_intersection with a LINESTRING operand (r13)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val R = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val donut =
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    // straight through: clipped to the chord, exact text
+    assert(WktCore.intersectionWkt(u("LINESTRING (-1 2, 5 2)"), u(R))
+      .toString == "LINESTRING (0.0 2.0, 4.0 2.0)")
+    // argument order is commutative
+    assert(WktCore.intersectionWkt(u(R), u("LINESTRING (-1 2, 5 2)"))
+      .toString == "LINESTRING (0.0 2.0, 4.0 2.0)")
+    // through the donut: the hole splits the chord into TWO wall runs
+    val two = WktCore.intersectionWkt(
+      u("LINESTRING (-1 2, 5 2)"), u(donut)).toString
+    assert(two ==
+      "MULTILINESTRING ((0.0 2.0, 1.0 2.0), (3.0 2.0, 4.0 2.0))", two)
+    assert(WktCore.length(u(two)) == 2.0)
+    // boundary run: a line along an edge is kept whole (dimension 1)
+    assert(WktCore.intersectionWkt(u("LINESTRING (0 0, 4 0)"), u(R))
+      .toString == "LINESTRING (0.0 0.0, 4.0 0.0)")
+    // disjoint / inside-the-hole / corner-point contact → EMPTY
+    assert(WktCore.intersectionWkt(u("LINESTRING (10 10, 11 11)"), u(R))
+      .toString == "LINESTRING EMPTY")
+    assert(WktCore.intersectionWkt(u("LINESTRING (1.5 2, 2.5 2)"), u(donut))
+      .toString == "LINESTRING EMPTY")
+    assert(WktCore.intersectionWkt(u("LINESTRING (-1 -1, 0 0)"), u(R))
+      .toString == "LINESTRING EMPTY")
+    assert(WktCore.length(u("LINESTRING EMPTY")) == 0.0)
+    // a polyline weaving in and out through vertices on the boundary
+    val weave = WktCore.intersectionWkt(
+      u("LINESTRING (2 2, 2 5, 3 5, 3 2)"), u(R)).toString
+    assert(weave ==
+      "MULTILINESTRING ((2.0 2.0, 2.0 4.0), (3.0 4.0, 3.0 2.0))", weave)
+    // mixed-dimension union/difference and line×line ∩ stay loud
+    intercept[IllegalArgumentException] {
+      WktCore.unionWkt(u("LINESTRING (0 0, 1 1)"), u(R))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.differenceWkt(u(R), u("LINESTRING (0 0, 1 1)"))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.intersectionWkt(u("LINESTRING (0 0, 1 1)"),
+        u("LINESTRING (0 1, 1 0)"))
+    }
+  }
 }
