@@ -200,6 +200,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StInvalidReasonExpression].getName,
         "geometry_invalid_reason"),
       (e: Seq[Expression]) => StInvalidReasonExpression(e(0))),
+    (FunctionIdentifier("st_boundary"),
+      new ExpressionInfo(classOf[StBoundaryExpression].getName,
+        "st_boundary"),
+      (e: Seq[Expression]) => StBoundaryExpression(e(0))),
     (FunctionIdentifier("st_buffer"),
       new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
       (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),
@@ -309,6 +313,7 @@ object GraftFunctions {
     call_function("st_intersection", aWkt, bWkt)
   def stUnion(aWkt: Column, bWkt: Column): Column =
     call_function("st_union", aWkt, bWkt)
+  def stBoundary(g: Column): Column = call_function("st_boundary", g)
   def stTouches(aWkt: Column, bWkt: Column): Column =
     call_function("st_touches", aWkt, bWkt)
   def stCrosses(aWkt: Column, bWkt: Column): Column =

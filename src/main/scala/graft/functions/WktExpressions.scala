@@ -1631,13 +1631,25 @@ object WktCore {
       else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
         parseLineString(t)
       else parsePoint(t)
+    val out = monotoneChain(c)
+    require(out.length >= 6, "st_convexhull: all points collinear - the " +
+      "hull degenerates to a segment, which this geometry model cannot " +
+      "represent")
+    UTF8String.fromString(fmtRing(out))
+  }
+
+  /** Andrew's monotone chain over a flat point list → minimal CCW hull
+    * ring starting at the lexicographically smallest vertex (collinear
+    * boundary points dropped), or an EMPTY array when every point is
+    * collinear (< 3 hull vertices). Shared by st_convexhull and the
+    * convex_hull_agg aggregator. */
+  private[functions] def monotoneChain(c: Array[Double]): Array[Double] = {
     val n = c.length / 2
+    if (n == 0) return Array.emptyDoubleArray
     val idx = (0 until n).sortBy(i => (c(2 * i), c(2 * i + 1))).toArray
     @inline def cross(o: Int, a: Int, b: Int): Double =
       (c(2 * a) - c(2 * o)) * (c(2 * b + 1) - c(2 * o + 1)) -
         (c(2 * a + 1) - c(2 * o + 1)) * (c(2 * b) - c(2 * o))
-    // monotone chain: lower then upper hull, strict turns (<= pops
-    // collinear points → minimal hull)
     val hull = new Array[Int](2 * n + 1)
     var k = 0
     var i = 0
@@ -1655,16 +1667,78 @@ object WktCore {
       i -= 1
     }
     val m = k - 1                          // last point == first point
-    require(m >= 3, "st_convexhull: all points collinear - the hull " +
-      "degenerates to a segment, which this geometry model cannot " +
-      "represent")
+    if (m < 3) return Array.emptyDoubleArray
     val out = new Array[Double](2 * m)
     i = 0
     while (i < m) {
       out(2 * i) = c(2 * hull(i)); out(2 * i + 1) = c(2 * hull(i) + 1)
       i += 1
     }
-    UTF8String.fromString(fmtRing(out))
+    out
+  }
+
+  /** Every vertex of a geometry (POINT / LINESTRING / (MULTI)POLYGON
+    * incl. interior rings) as a flat list — the convex_hull_agg input
+    * reduction (a hull only ever depends on vertices). */
+  private[functions] def allVertices(g: UTF8String): Array[Double] = {
+    val t = g.toString.trim
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) parsePoint(t)
+    else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
+      parseLineString(t)
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Double]()
+      geomPolys(g).foreach { case (shell, holes) =>
+        out ++= shell
+        holes.foreach(out ++= _)
+      }
+      out.toArray
+    }
+  }
+
+  /** Codegen entry: st_boundary((MULTI)POLYGON) — every ring as a
+    * closed LINESTRING, components in input order (shell before its
+    * interior rings); one ring renders LINESTRING, several
+    * MULTILINESTRING, EMPTY stays EMPTY (r13). */
+  def boundaryWkt(g: UTF8String): UTF8String = {
+    val polys = geomPolys(g)
+    if (polys.isEmpty) return UTF8String.fromString("LINESTRING EMPTY")
+    val rings = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    polys.foreach { case (shell, holes) =>
+      rings += shell
+      holes.foreach(rings += _)
+    }
+    if (rings.length == 1)
+      UTF8String.fromString("LINESTRING (" + ringBody(rings(0)) + ")")
+    else
+      UTF8String.fromString(rings.map(r => "(" + ringBody(r) + ")")
+        .mkString("MULTILINESTRING (", ", ", ")"))
+  }
+
+  /** Minimal-vertex canonical re-rendering for the union aggregator's
+    * finish: exactly-collinear straight-through vertices (fold-order
+    * artifacts — crossing points that ended up interior to a final
+    * edge) are dropped from every ring, so the rendered text is a pure
+    * function of the REGION, independent of reduce/merge order. */
+  private[functions] def canonMinimalWkt(g: UTF8String): UTF8String = {
+    def dropCollinear(c: Array[Double]): Array[Double] = {
+      val n = c.length / 2
+      val keep = new scala.collection.mutable.ArrayBuffer[Double]()
+      var i = 0
+      while (i < n) {
+        val p = if (i == 0) n - 1 else i - 1
+        val q = if (i + 1 == n) 0 else i + 1
+        val cr = (c(2 * i) - c(2 * p)) * (c(2 * q + 1) - c(2 * i + 1)) -
+          (c(2 * i + 1) - c(2 * p + 1)) * (c(2 * q) - c(2 * i))
+        if (cr != 0) { keep += c(2 * i); keep += c(2 * i + 1) }
+        i += 1
+      }
+      if (keep.length >= 6) keep.toArray else c
+    }
+    val polys = geomPolys(g)
+    if (polys.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
+    UTF8String.fromString(fmtGeom(polys.map { case (shell, holes) =>
+      (dropCollinear(shell), holes.map(dropCollinear))
+    }))
   }
 }
 
@@ -1693,6 +1767,23 @@ case class StContainsExpression(first: Expression, second: Expression,
 
 /** `st_intersects(polygon_wkt, polygon_wkt)` → boolean (edge crossings
   * + mutual vertex containment over the outer rings). */
+/** `st_boundary(polygon_wkt)` → every ring as a closed LINESTRING
+  * (MULTILINESTRING for several rings; EMPTY stays EMPTY). */
+case class StBoundaryExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_boundary"
+
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.boundaryWkt(g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WktCore.boundaryWkt($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StBoundaryExpression = copy(child = newChild)
+}
+
 /** `st_touches(a_wkt, b_wkt)` → boolean — OGC touches over POINT /
   * LINESTRING / (MULTI)POLYGON (r13 overlay tier). */
 case class StTouchesExpression(left: Expression, right: Expression)

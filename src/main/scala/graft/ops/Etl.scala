@@ -737,6 +737,45 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2t5: the r13 geometry AGGREGATES through the dialect path —
+    // geometry_union_agg (dissolve) and convex_hull_agg under the
+    // Trino spellings, plus ST_Boundary. Per-nation quadrant tiles are
+    // SQL-generated (UNNEST over a 0..3 sequence); the dissolve fuses
+    // the edge-adjacent tiles back to the one rectangle, closed-form.
+    "p2t5_presto_geo_aggs" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 + 2 AS DOUBLE) AS a,
+          |    CAST("n_nationkey" % 3 + 1 AS DOUBLE) AS b
+          |  FROM nation),
+          |tiles AS (
+          |  SELECT k, a, b, cx, cy, i,
+          |    concat('POLYGON ((',
+          |      CAST(cx + (i % 2) * a AS VARCHAR), ' ',
+          |      CAST(cy + floor(i / 2) * b AS VARCHAR), ', ',
+          |      CAST(cx + (i % 2) * a + a AS VARCHAR), ' ',
+          |      CAST(cy + floor(i / 2) * b AS VARCHAR), ', ',
+          |      CAST(cx + (i % 2) * a + a AS VARCHAR), ' ',
+          |      CAST(cy + floor(i / 2) * b + b AS VARCHAR), ', ',
+          |      CAST(cx + (i % 2) * a AS VARCHAR), ' ',
+          |      CAST(cy + floor(i / 2) * b + b AS VARCHAR), ', ',
+          |      CAST(cx + (i % 2) * a AS VARCHAR), ' ',
+          |      CAST(cy + floor(i / 2) * b AS VARCHAR), '))') AS tile
+          |  FROM g CROSS JOIN UNNEST(sequence(0, 3)) AS t (i))
+          |SELECT k,
+          |  CAST(floor(ST_Area(geometry_union_agg(tile)) * 1e6 + 0.5)
+          |    AS BIGINT) AS dissolve_area_q6,
+          |  CAST(floor(ST_Area(convex_hull_agg(tile)) * 1e6 + 0.5)
+          |    AS BIGINT) AS hull_area_q6,
+          |  CAST(floor(ST_Length(ST_Boundary(geometry_union_agg(tile)))
+          |    * 1e6 + 0.5) AS BIGINT) AS bnd_len_q6
+          |FROM tiles GROUP BY k ORDER BY k""".stripMargin)
+    }),
+
     // P2z: Trino format() / parse_data_size / bitwise rotates —
     // format is Java String.format (= Spark format_string; the oracle
     // is DuckDB's independent C printf — %s/%0Nd behave identically);
@@ -2040,6 +2079,20 @@ object Etl extends QueryModule {
         |  true AS touch_edge,
         |  CAST(floor(5 * a * b * 1e6 + 0.5) AS BIGINT) AS union_adj_q6,
         |  CAST(floor(a * b / 4 * 1e6 + 0.5) AS BIGINT) AS holed_inter_q6
+        |FROM p ORDER BY k""".stripMargin,
+
+    // p2t5: the sc21o closed forms under the dialect spellings
+    "p2t5_presto_geo_aggs" ->
+      """WITH p AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT k,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT)
+        |    AS dissolve_area_q6,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS hull_area_q6,
+        |  CAST(floor(4 * (a + b) * 1e6 + 0.5) AS BIGINT) AS bnd_len_q6
         |FROM p ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->

@@ -1106,6 +1106,52 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21o: geometry AGGREGATES + ST_Boundary (r13 — the Trino
+    // geospatial aggregation pair): geometry_union_agg dissolves each
+    // nation's four QUADRANT tiles (edge-adjacent — the overlay's
+    // shared-border machinery runs inside the fold) back into the ONE
+    // 2a×2b rectangle TEXT-exactly; a second column folds two disjoint
+    // tiles (each fed twice — equal-operand unions are exercised) into
+    // a 2-component MULTIPOLYGON; convex_hull_agg over the quadrants
+    // re-derives the same rectangle, and over the disjoint pair the
+    // spanning 4a×b box. st_boundary renders the holed difference's
+    // two rings as a measurable MULTILINESTRING. All closed forms are
+    // dyadic rectangle algebra.
+    "sc21o_geo_aggregates" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GeomAggregators => GA, GraftFunctions => GF}
+      import GeoFix.{q6, rect}
+      def ncomp(c: org.apache.spark.sql.Column) =
+        (size(split(c, "\\(\\(")) - 1).cast("long")
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("i", explode(sequence(lit(0), lit(3))))
+        .withColumn("quad", rect(
+          col("cx") + (col("i") % 2) * col("a"),
+          col("cy") + floor(col("i") / 2) * col("b"), col("a"), col("b")))
+        .withColumn("disj", rect(
+          col("cx") + (col("i") % 2) * col("a") * 3,
+          col("cy"), col("a"), col("b")))
+      g.groupBy(col("n_nationkey"))
+        .agg(
+          GA.geometryUnion(col("quad")).as("u1_wkt"),
+          GA.geometryUnion(col("disj")).as("u2_wkt"),
+          GA.convexHull(col("quad")).as("h1_wkt"),
+          GA.convexHull(col("disj")).as("h2_wkt"),
+          first(col("dhole")).as("dhole"))
+        .select(col("n_nationkey"),
+          col("u1_wkt"),
+          q6(GF.stArea(col("u1_wkt"))).as("u1_area_q6"),
+          ncomp(col("u2_wkt")).as("u2_ncomp"),
+          q6(GF.stArea(col("u2_wkt"))).as("u2_area_q6"),
+          col("h1_wkt"),
+          q6(GF.stArea(col("h2_wkt"))).as("h2_area_q6"),
+          q6(GF.stLength(GF.stBoundary(col("dhole")))).as("bnd_len_q6"),
+          (size(split(GF.stBoundary(col("dhole")), "\\(")) - 2)
+            .cast("long").as("bnd_nrings"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -1998,6 +2044,37 @@ object Scalars extends QueryModule {
         |  CAST(floor(2 * a * 1e6 + 0.5) AS BIGINT) AS edge_len_q6,
         |  'LINESTRING EMPTY' AS far_wkt,
         |  'LINESTRING EMPTY' AS inhole_wkt
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21o: dyadic closed forms; the dissolve and hull texts are the
+    // canonical rectangles both engines render from first principles
+    "sc21o_geo_aggregates" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '))') AS u1_wkt,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS u1_area_q6,
+        |  CAST(2 AS BIGINT) AS u2_ncomp,
+        |  CAST(floor(2 * a * b * 1e6 + 0.5) AS BIGINT) AS u2_area_q6,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '))') AS h1_wkt,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS h2_area_q6,
+        |  CAST(floor(6 * (a + b) * 1e6 + 0.5) AS BIGINT) AS bnd_len_q6,
+        |  CAST(2 AS BIGINT) AS bnd_nrings
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

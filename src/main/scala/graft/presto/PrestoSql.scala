@@ -2654,6 +2654,15 @@ object PrestoSql {
         }
       })
       spark.udf.register("graft_qdigest_agg", udaf(QS.sketchAgg))
+      // Trino geospatial aggregates (r13): geometry_union_agg /
+      // geometry_union / convex_hull_agg onto the WktOverlay-backed
+      // Aggregators (WKT-text geometries, the p2t contract)
+      spark.udf.register("geometry_union_agg",
+        udaf(graft.functions.GeomAggregators.unionOf))
+      spark.udf.register("geometry_union",
+        udaf(graft.functions.GeomAggregators.unionOf))
+      spark.udf.register("convex_hull_agg",
+        udaf(graft.functions.GeomAggregators.hullOf))
       spark.udf.register("graft_qdigest_merge", udaf(QS.mergeAgg))
       spark.udf.register("graft_value_at_quantile",
         udf { (flat: Seq[Double], q: Double) =>
