@@ -200,6 +200,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StInvalidReasonExpression].getName,
         "geometry_invalid_reason"),
       (e: Seq[Expression]) => StInvalidReasonExpression(e(0))),
+    (FunctionIdentifier("st_distance"),
+      new ExpressionInfo(classOf[StDistanceExpression].getName,
+        "st_distance"),
+      (e: Seq[Expression]) => StDistanceExpression(e(0), e(1))),
+    (FunctionIdentifier("st_equals"),
+      new ExpressionInfo(classOf[StEqualsExpression].getName, "st_equals"),
+      (e: Seq[Expression]) => StEqualsExpression(e(0), e(1))),
     (FunctionIdentifier("st_boundary"),
       new ExpressionInfo(classOf[StBoundaryExpression].getName,
         "st_boundary"),
@@ -314,6 +321,10 @@ object GraftFunctions {
   def stUnion(aWkt: Column, bWkt: Column): Column =
     call_function("st_union", aWkt, bWkt)
   def stBoundary(g: Column): Column = call_function("st_boundary", g)
+  def stDistance(aWkt: Column, bWkt: Column): Column =
+    call_function("st_distance", aWkt, bWkt)
+  def stEquals(aWkt: Column, bWkt: Column): Column =
+    call_function("st_equals", aWkt, bWkt)
   def stTouches(aWkt: Column, bWkt: Column): Column =
     call_function("st_touches", aWkt, bWkt)
   def stCrosses(aWkt: Column, bWkt: Column): Column =

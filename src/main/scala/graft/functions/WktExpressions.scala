@@ -474,7 +474,26 @@ object WktCore {
       // ray cast on hole-free POLYGON inputs
       val p = parsePoint(a.toString)
       containsWkt(b, p(0), p(1))
-    } else containsPoly(polygonCoordsB(b), polygonCoords(a))
+    } else {
+      val ga = geomPolys(a)
+      val gb = geomPolysB(b)
+      // clean single hole-free pairs keep the r9 vertex+crossing kernel;
+      // holed / MULTIPOLYGON / EMPTY operands and DEGENERATE boundary
+      // contact (shared edges — where a ray cast on boundary vertices
+      // is float-dependent) resolve through the overlay (r13):
+      // A ⊆ B ⟺ the areal difference A − B is empty
+      if (ga.length == 1 && ga(0)._2.isEmpty &&
+          gb.length == 1 && gb(0)._2.isEmpty &&
+          !WktOverlay.degenerateContact(Array(toCcw(ga(0)._1)),
+            Array(toCcw(gb(0)._1))))
+        containsPoly(gb(0)._1, ga(0)._1)
+      else if (ga.isEmpty) false // EMPTY is within nothing (Trino)
+      else {
+        requireValidGeom(ga, a)
+        requireValidGeom(gb, b)
+        WktOverlay.overlay(ga, gb, 2, "st_within").isEmpty
+      }
+    }
 
   /** Codegen entry: st_overlaps(aWkt, bWkt) — POLYGON×POLYGON only:
     * interiors intersect but NEITHER ring contains the other (the OGC
@@ -483,9 +502,134 @@ object WktCore {
     * per OGC and return false. */
   def overlapsWkt(a: UTF8String, b: UTF8String): Boolean = {
     if (isPointWkt(a) || isPointWkt(b)) return false
-    val ca = polygonCoords(a)
-    val cb = polygonCoordsB(b)
-    intersects(ca, cb) && !containsPoly(ca, cb) && !containsPoly(cb, ca)
+    val ga = geomPolys(a)
+    val gb = geomPolysB(b)
+    if (ga.length == 1 && ga(0)._2.isEmpty &&
+        gb.length == 1 && gb(0)._2.isEmpty &&
+        !WktOverlay.degenerateContact(Array(toCcw(ga(0)._1)),
+          Array(toCcw(gb(0)._1)))) {
+      val ca = ga(0)._1
+      val cb = gb(0)._1
+      intersects(ca, cb) && !containsPoly(ca, cb) && !containsPoly(cb, ca)
+    } else if (ga.isEmpty || gb.isEmpty) false
+    else {
+      // holed / MULTIPOLYGON / degenerate-contact operands (r13): OGC
+      // overlaps ⟺ the interiors share area AND each side keeps some
+      // exclusive area — three overlay emptiness tests
+      requireValidGeom(ga, a)
+      requireValidGeom(gb, b)
+      WktOverlay.overlay(ga, gb, 0, "st_overlaps").nonEmpty &&
+        WktOverlay.overlay(ga, gb, 2, "st_overlaps").nonEmpty &&
+        WktOverlay.overlay(gb, ga, 2, "st_overlaps").nonEmpty
+    }
+  }
+
+  /** Codegen entry: st_distance(aWkt, bWkt) — planar minimum distance
+    * over the POINT / LINESTRING / (MULTI)POLYGON matrix (r13):
+    * 0 when the point sets intersect (boundary contact included),
+    * else the minimum over element pairs of segment–segment distance
+    * (each segment distance = min of four point-to-segment
+    * projections; a POINT is a zero-length segment). Squared
+    * distances compare exactly; ONE final sqrt — so with dyadic
+    * axis-parallel fixtures the result is the correctly-rounded sqrt
+    * of an exact value, mirrorable by any IEEE engine. Distance to a
+    * holed polygon from inside its hole is the distance to the hole
+    * ring — the ring sweep covers interior rings naturally. */
+  def distanceWkt(a: UTF8String, b: UTF8String): Double = {
+    if (intersectsWkt(a, b)) return 0.0
+    val sa = segmentsOf(a)
+    val sb = segmentsOf(b)
+    var best = Double.MaxValue
+    var i = 0
+    while (i < sa.length) {
+      var j = 0
+      while (j < sb.length) {
+        val d = segSegDist2(sa(i), sb(j))
+        if (d < best) best = d
+        j += 1
+      }
+      i += 1
+    }
+    math.sqrt(best)
+  }
+
+  /** Geometry → segment list (x1,y1,x2,y2 each); POINT degenerates to
+    * one zero-length segment; polygon rings close. */
+  private def segmentsOf(g: UTF8String): Array[Array[Double]] = {
+    val t = g.toString.trim
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+      val p = parsePoint(t)
+      out += Array(p(0), p(1), p(0), p(1))
+    } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
+      val c = parseLineString(t)
+      var i = 0
+      while (2 * i + 3 < c.length) {
+        out += Array(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3))
+        i += 1
+      }
+    } else {
+      geomPolys(g).foreach { case (shell, holes) =>
+        (shell +: holes.toSeq).foreach { c =>
+          val n = c.length / 2
+          var i = 0
+          while (i < n) {
+            val j = if (i + 1 == n) 0 else i + 1
+            out += Array(c(2 * i), c(2 * i + 1), c(2 * j), c(2 * j + 1))
+            i += 1
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  @inline private def ptSegDist2(px: Double, py: Double, ax: Double,
+      ay: Double, bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0) 0.0
+      else {
+        val raw = ((px - ax) * dx + (py - ay) * dy) / len2
+        if (raw < 0) 0.0 else if (raw > 1) 1.0 else raw
+      }
+    val ex = ax + t * dx - px
+    val ey = ay + t * dy - py
+    ex * ex + ey * ey
+  }
+
+  // for non-crossing segments the minimum is attained at an endpoint
+  // of one of them — the standard four-projection reduction
+  private def segSegDist2(s1: Array[Double], s2: Array[Double]): Double =
+    math.min(
+      math.min(ptSegDist2(s1(0), s1(1), s2(0), s2(1), s2(2), s2(3)),
+        ptSegDist2(s1(2), s1(3), s2(0), s2(1), s2(2), s2(3))),
+      math.min(ptSegDist2(s2(0), s2(1), s1(0), s1(1), s1(2), s1(3)),
+        ptSegDist2(s2(2), s2(3), s1(0), s1(1), s1(2), s1(3))))
+
+  /** Codegen entry: st_equals(aWkt, bWkt) — OGC geometric equality as
+    * point sets: POINT×POINT coordinate equality; areal pairs via two
+    * empty overlay differences (A − B and B − A both empty). LINESTRING
+    * operands are out of scope, loud (r13). */
+  def equalsWkt(a: UTF8String, b: UTF8String): Boolean = {
+    val ka = WktOverlay.kindOf(a)
+    val kb = WktOverlay.kindOf(b)
+    if (ka != kb) return false
+    require(ka != 1, "st_equals: LINESTRING operands are out of scope - " +
+      "compare endpoints/lengths or use st_intersects for containment")
+    if (ka == 0) {
+      val p = parsePoint(a.toString); val q = parsePoint(b.toString)
+      p(0) == q(0) && p(1) == q(1)
+    } else {
+      val ga = geomPolys(a)
+      val gb = geomPolysB(b)
+      if (ga.isEmpty || gb.isEmpty) return ga.isEmpty && gb.isEmpty
+      requireValidGeom(ga, a)
+      requireValidGeom(gb, b)
+      WktOverlay.overlay(ga, gb, 2, "st_equals").isEmpty &&
+        WktOverlay.overlay(gb, ga, 2, "st_equals").isEmpty
+    }
   }
 
   /** Codegen entry: st_area(polygonWkt) — planar shoelace area of the
@@ -1767,6 +1911,48 @@ case class StContainsExpression(first: Expression, second: Expression,
 
 /** `st_intersects(polygon_wkt, polygon_wkt)` → boolean (edge crossings
   * + mutual vertex containment over the outer rings). */
+/** `st_distance(a_wkt, b_wkt)` → double — planar minimum distance
+  * over the point/line/polygon matrix (0 on any intersection). */
+case class StDistanceExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.distanceWkt(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.distanceWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StDistanceExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `st_equals(a_wkt, b_wkt)` → boolean — OGC point-set equality
+  * (POINT pairs by coordinates; areal pairs via two empty overlay
+  * differences). */
+case class StEqualsExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_equals"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.equalsWkt(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WktCore.equalsWkt($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StEqualsExpression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `st_boundary(polygon_wkt)` → every ring as a closed LINESTRING
   * (MULTILINESTRING for several rings; EMPTY stays EMPTY). */
 case class StBoundaryExpression(child: Expression) extends UnaryExpression {

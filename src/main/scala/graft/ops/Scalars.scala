@@ -1152,6 +1152,89 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21p: ST_Within / ST_Overlaps over HOLED, MULTIPOLYGON and
+    // SHARED-BORDER operands + ST_Equals (r13): containment into the
+    // annulus wall (the hole must veto the old shell-only answer),
+    // within with a shared edge (the overlay decides where a boundary
+    // ray cast is float-dependent), overlap verdicts through the three
+    // overlay emptiness tests, and point-set equality — big equals the
+    // clipper's own hole-plugged union, regardless of vertex count or
+    // rotation. Every verdict is a structural constant.
+    "sc21p_geo_within_multi" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.rect
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("plugged", GF.stUnion(col("dhole"), col("inner")))
+        .withColumn("wallrect", rect(col("cx") + col("a") / 8,
+          col("cy") + col("b") * 0.875, col("a") / 4, col("b") / 4))
+        .withColumn("rleft", rect(col("cx"), col("cy"), col("a"),
+          col("b")))
+        .withColumn("bite", rect(col("cx") + col("a") * 1.75,
+          col("cy") + col("b") * 0.75, col("a"), col("b") / 2))
+      g.select(col("n_nationkey"),
+          GF.stWithin(col("inner"), col("big")).as("w_clean"),
+          GF.stWithin(col("inner"), col("dhole")).as("w_in_hole"),
+          GF.stWithin(col("wallrect"), col("dhole")).as("w_wall"),
+          GF.stWithin(col("rleft"), col("big")).as("w_shared_edge"),
+          GF.stWithin(col("big"), col("rleft")).as("w_reverse"),
+          GF.stWithin(col("dhole"), col("big")).as("w_holed_arg"),
+          GF.stOverlaps(col("dhole"), col("bite")).as("o_wall_bite"),
+          GF.stOverlaps(col("dhole"), col("inner")).as("o_plug"),
+          GF.stOverlaps(col("big"), col("big")).as("o_equal"),
+          GF.stEquals(col("big"), col("plugged")).as("eq_plugged"),
+          GF.stEquals(col("big"), col("dhole")).as("eq_holed"),
+          GF.stEquals(GeoFix.point(col("cx"), col("cy")),
+            GeoFix.point(col("cx"), col("cy"))).as("eq_pt"),
+          GF.stEquals(GeoFix.point(col("cx"), col("cy")),
+            col("big")).as("eq_mixed"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // sc21q: general ST_Distance (r13) — planar minimum distance over
+    // the point/line/polygon matrix: perpendicular point-to-edge,
+    // inside-the-hole to the hole ring, polygon-to-polygon across a
+    // gap, line-to-polygon, corner-to-corner diagonal (an exact
+    // vertex–vertex sqrt both engines round identically), and the
+    // zero cases (touching, intersecting). All squared distances are
+    // dyadic; the single final sqrt is correctly rounded in both
+    // engines.
+    "sc21q_geo_distance" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, q6, rect}
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("rdiag", rect(col("cx") + col("a") * 3,
+          col("cy") + col("b") * 3, col("a"), col("b")))
+        .withColumn("radj", rect(col("cx") + col("a") * 2, col("cy"),
+          col("a"), col("b")))
+        .withColumn("rover", rect(col("cx") + col("a"), col("cy") + col("b"),
+          col("a") * 2, col("b") * 2))
+        .withColumn("lbelow", line(Seq(
+          (col("cx"), col("cy") - col("b")),
+          (col("cx") + col("a") * 2, col("cy") - col("b")))))
+        .withColumn("labove", line(Seq(
+          (col("cx"), col("cy") + col("b") * 3),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 3))))
+      g.select(col("n_nationkey"),
+          q6(GF.stDistance(point(col("cx"), col("cy")),
+            point(col("cx") + col("a"), col("cy") + col("b"))))
+            .as("d_pp_q6"),
+          q6(GF.stDistance(point(col("cx") - col("a"), col("cy") + col("b")),
+            col("big"))).as("d_pt_poly_q6"),
+          q6(GF.stDistance(point(col("cx") + col("a"), col("cy") + col("b")),
+            col("dhole"))).as("d_in_hole_q6"),
+          q6(GF.stDistance(col("big"), col("big_far"))).as("d_gap_q6"),
+          q6(GF.stDistance(col("lbelow"), col("big"))).as("d_line_q6"),
+          q6(GF.stDistance(col("lbelow"), col("labove"))).as("d_ll_q6"),
+          q6(GF.stDistance(col("big"), col("rdiag"))).as("d_diag_q6"),
+          q6(GF.stDistance(col("big"), col("radj"))).as("d_touch_q6"),
+          q6(GF.stDistance(col("big"), col("rover"))).as("d_over_q6"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2075,6 +2158,49 @@ object Scalars extends QueryModule {
         |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS h2_area_q6,
         |  CAST(floor(6 * (a + b) * 1e6 + 0.5) AS BIGINT) AS bnd_len_q6,
         |  CAST(2 AS BIGINT) AS bnd_nrings
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21p: structural constants (the hole vetoes w_in_hole; the
+    // shared-edge containment holds; the plugged union equals big as a
+    // point set)
+    "sc21p_geo_within_multi" ->
+      """SELECT n_nationkey,
+        |  true AS w_clean,
+        |  false AS w_in_hole,
+        |  true AS w_wall,
+        |  true AS w_shared_edge,
+        |  false AS w_reverse,
+        |  true AS w_holed_arg,
+        |  true AS o_wall_bite,
+        |  false AS o_plug,
+        |  false AS o_equal,
+        |  true AS eq_plugged,
+        |  false AS eq_holed,
+        |  true AS eq_pt,
+        |  false AS eq_mixed
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // sc21q: dyadic squared-distance closed forms; sqrt is correctly
+    // rounded identically in both engines
+    "sc21q_geo_distance" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor(sqrt(a * a + b * b) * 1e6 + 0.5) AS BIGINT)
+        |    AS d_pp_q6,
+        |  CAST(floor(a * 1e6 + 0.5) AS BIGINT) AS d_pt_poly_q6,
+        |  CAST(floor(least(a / 2, b / 2) * 1e6 + 0.5) AS BIGINT)
+        |    AS d_in_hole_q6,
+        |  CAST(floor((1000 - 2 * a) * 1e6 + 0.5) AS BIGINT) AS d_gap_q6,
+        |  CAST(floor(b * 1e6 + 0.5) AS BIGINT) AS d_line_q6,
+        |  CAST(floor(4 * b * 1e6 + 0.5) AS BIGINT) AS d_ll_q6,
+        |  CAST(floor(sqrt(a * a + b * b) * 1e6 + 0.5) AS BIGINT)
+        |    AS d_diag_q6,
+        |  CAST(0 AS BIGINT) AS d_touch_q6,
+        |  CAST(0 AS BIGINT) AS d_over_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

@@ -1944,15 +1944,15 @@ object PrestoSql {
     // the constructors are identity/string builders and the predicates
     // ride the native st_* codegen kernels (GraftFunctions registers
     // before these temp functions are created, so the bodies resolve).
-    // st_distance is the POINT×POINT planar form — a polygon operand
-    // fails loudly in the point parse rather than answering wrongly.
+    // st_distance resolves to the native general kernel (see below).
     "st_geometryfromtext(w STRING) RETURNS STRING RETURN w",
     "st_astext(g STRING) RETURNS STRING RETURN g",
     "st_point(x DOUBLE, y DOUBLE) RETURNS STRING RETURN" +
       " concat('POINT (', CAST(x AS STRING), ' ', CAST(y AS STRING), ')')",
-    "st_distance(a STRING, b STRING) RETURNS DOUBLE RETURN" +
-      " sqrt((st_x(b) - st_x(a)) * (st_x(b) - st_x(a))" +
-      " + (st_y(b) - st_y(a)) * (st_y(b) - st_y(a)))",
+    // st_distance: resolved by the NATIVE general kernel (r13 — the
+    // full point/line/polygon matrix; POINT×POINT is bit-identical to
+    // the old dialect-local sqrt(dx²+dy²) form), so no temp function
+    // shadows it here.
     "nan() RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)",
     "infinity() RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)",
     // Trino float-classification trio (Spark only ships isnan); NULL

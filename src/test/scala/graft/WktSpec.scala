@@ -680,4 +680,48 @@ class WktSpec extends SparkSpec {
         u("LINESTRING (0 1, 1 0)"))
     }
   }
+
+  test("st_distance matrix / st_equals / extended within-overlaps (r13)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def d(a: String, b: String) = WktCore.distanceWkt(u(a), u(b))
+    val R = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val donut =
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    // point cases: perpendicular to an edge, corner diagonal, inside
+    assert(d("POINT (-3 2)", R) == 3.0)
+    assert(d("POINT (7 8)", R) == 5.0)           // 3-4-5 to corner (4,4)
+    assert(d("POINT (2 2)", R) == 0.0)
+    assert(d("POINT (2 2)", donut) == 1.0)       // hole center → hole ring
+    assert(d("POINT (1 1)", "POINT (4 5)") == 5.0)
+    // line and polygon pairs; symmetry
+    assert(d("LINESTRING (0 -2, 4 -2)", R) == 2.0)
+    assert(d(R, "LINESTRING (0 -2, 4 -2)") == 2.0)
+    assert(d(R, "POLYGON ((7 4, 8 4, 8 5, 7 5, 7 4))") == 3.0)
+    assert(d(R, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))") == math.sqrt(2.0))
+    // touching and overlapping are 0
+    assert(d(R, "POLYGON ((4 0, 6 0, 6 2, 4 2, 4 0))") == 0.0)
+    assert(d(R, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") == 0.0)
+    assert(d("LINESTRING (-1 2, 5 2)", R) == 0.0)
+    // st_equals: point-set equality, not text equality — the same
+    // square with extra collinear vertices and a rotated start
+    assert(WktCore.equalsWkt(u(R),
+      u("POLYGON ((4 0, 4 4, 0 4, 0 0, 2 0, 4 0))")))
+    assert(!WktCore.equalsWkt(u(R), u(donut)))
+    assert(WktCore.equalsWkt(u("POINT (1 2)"), u("POINT (1 2)")))
+    assert(!WktCore.equalsWkt(u("POINT (1 2)"), u(R)))
+    // extended within/overlaps: holed containers and shared borders
+    assert(WktCore.withinWkt(
+      u("POLYGON ((0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))"),
+      u(donut)))
+    assert(!WktCore.withinWkt(
+      u("POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"),
+      u(donut)))   // inside the hole is NOT within the donut
+    assert(WktCore.withinWkt(
+      u("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"), u(R))) // shared corner+edges
+    assert(WktCore.overlapsWkt(u(donut),
+      u("POLYGON ((2.5 1.5, 5 1.5, 5 2.5, 2.5 2.5, 2.5 1.5))")))
+    assert(!WktCore.overlapsWkt(u(donut),
+      u("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))) // exactly plugs the hole
+  }
 }
