@@ -551,6 +551,81 @@ object Joins extends QueryModule {
     // parse / segment test / grid machinery; fractional constants
     // (.15/.35/.2/.4 vs r's .3) are engineered so boundary-touching
     // never occurs and both predicates agree exactly.
+    // J19: WITHIN-DISTANCE spatial join (ST_DWithin shape, r13) — "all
+    // supplier parcels within t of each nation zone", the
+    // nearest-neighbor workhorse the general st_distance kernel
+    // unlocks. Same grid discipline as j18: the ZONE side's cell range
+    // expands by t (a pair within distance t has bbox distance < t, so
+    // it shares a cell with the expanded bbox), candidates meet on a
+    // cell equi-join, the reference-cell filter dedups multi-cell
+    // pairs WITHOUT a distinct, and st_distance prices candidates
+    // only. At 100 TB: cells are the shuffle key (or the zone side
+    // broadcasts, as here at gate SF), pair work ∝ true spatial
+    // density, never |A|×|B|.
+    "j19_distance_join" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      val cell = 8.0
+      val t = 2.75
+      def dstr(c: org.apache.spark.sql.Column) = c.cast("string")
+      def rectWkt(x1: org.apache.spark.sql.Column,
+          y1: org.apache.spark.sql.Column, x2: org.apache.spark.sql.Column,
+          y2: org.apache.spark.sql.Column) = concat(
+        lit("POLYGON (("),
+        dstr(x1), lit(" "), dstr(y1), lit(", "),
+        dstr(x2), lit(" "), dstr(y1), lit(", "),
+        dstr(x2), lit(" "), dstr(y2), lit(", "),
+        dstr(x1), lit(" "), dstr(y2), lit(", "),
+        dstr(x1), lit(" "), dstr(y1), lit("))"))
+      val zones = Tables.nation(s, d).select(
+          col("n_nationkey"),
+          (col("n_nationkey") % 11 - 5).cast("double").as("ay1"),
+          (col("n_nationkey") * 13 % 140 - 70).cast("double").as("ax1"),
+          ((col("n_nationkey") % 5).cast("double") * 2 + lit(4.1)).as("aw"),
+          ((col("n_nationkey") % 3).cast("double") + lit(2.3)).as("ah"))
+        .withColumn("ax2", col("ax1") + col("aw"))
+        .withColumn("ay2", col("ay1") + col("ah"))
+        .withColumn("wkt_a", rectWkt(col("ax1"), col("ay1"), col("ax2"),
+          col("ay2")))
+        .withColumn("ci", explode(sequence(
+          floor((col("ax1") - t) / cell).cast("int"),
+          floor((col("ax2") + t) / cell).cast("int"))))
+        .withColumn("cj", explode(sequence(
+          floor((col("ay1") - t) / cell).cast("int"),
+          floor((col("ay2") + t) / cell).cast("int"))))
+        .select(col("n_nationkey"), col("wkt_a"), col("ax1"), col("ay1"),
+          col("ci"), col("cj"))
+      val parcels = Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          ((col("s_suppkey") * 11 % 280 - 140).cast("double") + lit(0.15))
+            .as("rx1"),
+          ((col("s_suppkey") % 17 - 8).cast("double") + lit(0.35)).as("ry1"),
+          ((col("s_suppkey") % 4).cast("double") + lit(1.2)).as("w"),
+          ((col("s_suppkey") % 3).cast("double") + lit(1.4)).as("h"))
+        .withColumn("rx2", col("rx1") + col("w"))
+        .withColumn("ry2", col("ry1") + col("h"))
+        .withColumn("wkt_b", rectWkt(col("rx1"), col("ry1"), col("rx2"),
+          col("ry2")))
+        .withColumn("ci", explode(sequence(
+          floor(col("rx1") / cell).cast("int"),
+          floor(col("rx2") / cell).cast("int"))))
+        .withColumn("cj", explode(sequence(
+          floor(col("ry1") / cell).cast("int"),
+          floor(col("ry2") / cell).cast("int"))))
+        .select(col("s_suppkey"), col("wkt_b"), col("rx1"), col("ry1"),
+          col("ci"), col("cj"))
+      parcels.join(broadcast(zones), Seq("ci", "cj"))
+        .filter(col("ci") ===
+            floor(greatest(col("ax1") - t, col("rx1")) / cell).cast("int") &&
+          col("cj") ===
+            floor(greatest(col("ay1") - t, col("ry1")) / cell).cast("int"))
+        .filter(GF.stDistance(col("wkt_a"), col("wkt_b")) < t)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_within"),
+          sum(col("s_suppkey")).cast("long").as("sum_supp"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "j18_polygon_polygon_join" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.{GraftFunctions => GF}
@@ -616,6 +691,36 @@ object Joins extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j19_distance_join" ->
+      // closed-form rectangle-to-rectangle distance: per-axis clamped
+      // gaps, hypot, threshold — independent of the WKT parse, the
+      // segment-distance kernel and the grid under test; fractional
+      // constants keep every pair off the t boundary
+      """WITH zones AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS ax1,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS ay1,
+        |    CAST(n_nationkey % 5 AS DOUBLE) * 2 + 4.1 AS aw,
+        |    CAST(n_nationkey % 3 AS DOUBLE) + 2.3 AS ah
+        |  FROM nation),
+        |parcels AS (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey * 11 % 280 - 140 AS DOUBLE) + 0.15 AS rx1,
+        |    CAST(s_suppkey % 17 - 8 AS DOUBLE) + 0.35 AS ry1,
+        |    CAST(s_suppkey % 4 AS DOUBLE) + 1.2 AS w,
+        |    CAST(s_suppkey % 3 AS DOUBLE) + 1.4 AS h
+        |  FROM supplier),
+        |pairs AS (
+        |  SELECT n_nationkey, s_suppkey,
+        |    greatest(rx1 - (ax1 + aw), ax1 - (rx1 + w), 0) AS dx,
+        |    greatest(ry1 - (ay1 + ah), ay1 - (ry1 + h), 0) AS dy
+        |  FROM zones, parcels)
+        |SELECT n_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_within,
+        |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_supp
+        |FROM pairs WHERE sqrt(dx * dx + dy * dy) < 2.75
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
     "j18_polygon_polygon_join" ->
       // closed-form diamond-rectangle intersection: the L1 distance from
       // the diamond center to the rectangle (greatest-clamped per axis)

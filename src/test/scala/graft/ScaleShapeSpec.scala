@@ -536,6 +536,18 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("j19 within-distance join: cell equi-join + distance residual, no cartesian (r13)") {
+    val df = ops.Joins.queries("j19_distance_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // candidates meet on the expanded-bbox grid cells; st_distance is
+    // the residual, never the join condition
+    val cellJoin = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("ci") && l.contains("cj")).mkString
+    assert(cellJoin.nonEmpty, plan.take(3000))
+  }
+
   test("j14 binned pure-range join is an equi hash join — no nested loop (J14)") {
     val df = ops.Joins.queries("j14_binned_range_join")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
