@@ -200,6 +200,50 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StInvalidReasonExpression].getName,
         "geometry_invalid_reason"),
       (e: Seq[Expression]) => StInvalidReasonExpression(e(0))),
+    (FunctionIdentifier("st_geometrytype"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_geometrytype"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 0)),
+    (FunctionIdentifier("st_isempty"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_isempty"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 1)),
+    (FunctionIdentifier("st_dimension"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_dimension"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 2)),
+    (FunctionIdentifier("st_numpoints"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_numpoints"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 3)),
+    (FunctionIdentifier("st_startpoint"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_startpoint"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 4)),
+    (FunctionIdentifier("st_endpoint"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_endpoint"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 5)),
+    (FunctionIdentifier("st_isclosed"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_isclosed"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 6)),
+    (FunctionIdentifier("st_isring"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_isring"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 7)),
+    (FunctionIdentifier("st_pointn"),
+      new ExpressionInfo(classOf[StPointNExpression].getName, "st_pointn"),
+      (e: Seq[Expression]) => StPointNExpression(e(0), e(1))),
+    (FunctionIdentifier("line_locate_point"),
+      new ExpressionInfo(classOf[LineLocatePointExpression].getName,
+        "line_locate_point"),
+      (e: Seq[Expression]) => LineLocatePointExpression(e(0), e(1))),
+    (FunctionIdentifier("line_interpolate_point"),
+      new ExpressionInfo(classOf[LineInterpolatePointExpression].getName,
+        "line_interpolate_point"),
+      (e: Seq[Expression]) =>
+        LineInterpolatePointExpression(e(0), dbl(e(1)))),
     (FunctionIdentifier("st_distance"),
       new ExpressionInfo(classOf[StDistanceExpression].getName,
         "st_distance"),

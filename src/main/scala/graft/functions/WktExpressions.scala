@@ -608,6 +608,163 @@ object WktCore {
       math.min(ptSegDist2(s2(0), s2(1), s1(0), s1(1), s1(2), s1(3)),
         ptSegDist2(s2(2), s2(3), s1(0), s1(1), s1(2), s1(3))))
 
+  // ---- line & scalar accessors (Trino geospatial page, r13) -------------
+
+  /** st_geometrytype — Trino's "ST_Point"/"ST_LineString"/"ST_Polygon"/
+    * "ST_MultiPolygon" spellings (EMPTY keeps its declared type). */
+  def geometryType(g: UTF8String): UTF8String = {
+    val t = g.toString.trim
+    val name =
+      if (t.regionMatches(true, 0, "POINT", 0, 5)) "ST_Point"
+      else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) "ST_LineString"
+      else if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+        "ST_MultiPolygon"
+      else if (t.regionMatches(true, 0, "POLYGON", 0, 7)) "ST_Polygon"
+      else throw new IllegalArgumentException(s"unsupported geometry: $t")
+    UTF8String.fromString(name)
+  }
+
+  /** st_isempty — true only for the EMPTY spellings (parse validates). */
+  def isEmptyGeom(g: UTF8String): Boolean = {
+    val t = g.toString.trim
+    if (t.equalsIgnoreCase("POLYGON EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
+        t.equalsIgnoreCase("LINESTRING EMPTY")) true
+    else {
+      WktOverlay.kindOf(g) match {
+        case 0 => parsePoint(t)
+        case 1 => parseLineString(t)
+        case _ => geomPolys(g)
+      }
+      false
+    }
+  }
+
+  /** st_dimension — 0 points, 1 lines, 2 areal. */
+  def dimensionOf(g: UTF8String): Long = WktOverlay.kindOf(g).toLong
+
+  /** st_numpoints — vertex count of a POINT (1) or LINESTRING; areal
+    * inputs are loud (Trino counts ring closers — an interop trap this
+    * model sidesteps by scoping to the unambiguous kinds). */
+  def numPoints(g: UTF8String): Long = WktOverlay.kindOf(g) match {
+    case 0 => 1L
+    case 1 => parseLineString(g.toString).length / 2
+    case _ => throw new IllegalArgumentException(
+      "st_numpoints supports POINT and LINESTRING (polygon ring-closer " +
+        "counting differs across engines - count st_exteriorring instead)")
+  }
+
+  private def pointStr(x: Double, y: Double): UTF8String =
+    UTF8String.fromString(
+      "POINT (" + fmtCoord(x) + " " + fmtCoord(y) + ")")
+
+  /** st_pointn(line, n) — 1-based vertex as a POINT; NULL out of range. */
+  def pointN(g: UTF8String, n: Int): UTF8String = {
+    val c = parseLineString(g.toString)
+    if (n < 1 || n > c.length / 2) null
+    else pointStr(c(2 * (n - 1)), c(2 * (n - 1) + 1))
+  }
+
+  /** st_startpoint / st_endpoint — the line terminals. */
+  def lineTerminal(g: UTF8String, end: Boolean): UTF8String = {
+    val c = parseLineString(g.toString)
+    if (end) pointStr(c(c.length - 2), c(c.length - 1))
+    else pointStr(c(0), c(1))
+  }
+
+  /** st_isclosed — first vertex equals last. */
+  def isClosedLine(g: UTF8String): Boolean = {
+    val c = parseLineString(g.toString)
+    c(0) == c(c.length - 2) && c(1) == c(c.length - 1)
+  }
+
+  /** st_isring — closed AND simple (the ring formed by dropping the
+    * closing duplicate has no non-adjacent edge contact and nonzero
+    * area). */
+  def isRingLine(g: UTF8String): Boolean = {
+    if (!isClosedLine(g)) return false
+    val c = parseLineString(g.toString)
+    val ring = java.util.Arrays.copyOf(c, c.length - 2)
+    ring.length >= 6 && signedArea2(ring) != 0 &&
+      selfIntersection(ring).isEmpty
+  }
+
+  /** line_locate_point(line, point) — the fraction of the line's length
+    * at the point on the line NEAREST to the argument (Trino/PostGIS
+    * semantics); ties resolve to the earliest position. */
+  def lineLocatePoint(line: UTF8String, pt: UTF8String): Double = {
+    val c = parseLineString(line.toString)
+    val p = parsePoint(pt.toString)
+    val n = c.length / 2
+    var bestD2 = Double.MaxValue
+    var bestFrac = 0.0
+    var before = 0.0
+    var total = 0.0
+    // two passes folded into one: accumulate total while tracking the
+    // best (distance², cumulative-length-at-projection) pair
+    var i = 0
+    while (i + 1 < n) {
+      val ax = c(2 * i); val ay = c(2 * i + 1)
+      val bx = c(2 * i + 2); val by = c(2 * i + 3)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val segLen = math.sqrt(len2)
+      val t =
+        if (len2 == 0) 0.0
+        else {
+          val raw = ((p(0) - ax) * dx + (p(1) - ay) * dy) / len2
+          if (raw < 0) 0.0 else if (raw > 1) 1.0 else raw
+        }
+      val ex = ax + t * dx - p(0)
+      val ey = ay + t * dy - p(1)
+      val d2 = ex * ex + ey * ey
+      if (d2 < bestD2) {
+        bestD2 = d2
+        bestFrac = before + t * segLen
+      }
+      before += segLen
+      total += segLen
+      i += 1
+    }
+    require(total > 0, "line_locate_point: zero-length line")
+    bestFrac / total
+  }
+
+  /** line_interpolate_point(line, fraction) — the point at `fraction`
+    * of the line's length (0 → start, 1 → end; out of range is loud,
+    * matching Trino). */
+  def lineInterpolatePoint(line: UTF8String, frac: Double): UTF8String = {
+    require(frac >= 0 && frac <= 1,
+      s"line_interpolate_point: fraction must be in [0, 1], got $frac")
+    val c = parseLineString(line.toString)
+    val n = c.length / 2
+    var total = 0.0
+    var i = 0
+    while (i + 1 < n) {
+      val dx = c(2 * i + 2) - c(2 * i)
+      val dy = c(2 * i + 3) - c(2 * i + 1)
+      total += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    require(total > 0, "line_interpolate_point: zero-length line")
+    val target = frac * total
+    var before = 0.0
+    i = 0
+    while (i + 1 < n) {
+      val ax = c(2 * i); val ay = c(2 * i + 1)
+      val bx = c(2 * i + 2); val by = c(2 * i + 3)
+      val dx = bx - ax; val dy = by - ay
+      val segLen = math.sqrt(dx * dx + dy * dy)
+      if (before + segLen >= target || i + 2 == n) {
+        val t = if (segLen == 0) 0.0 else (target - before) / segLen
+        return pointStr(ax + t * dx, ay + t * dy)
+      }
+      before += segLen
+      i += 1
+    }
+    pointStr(c(c.length - 2), c(c.length - 1))
+  }
+
   /** Codegen entry: st_equals(aWkt, bWkt) — OGC geometric equality as
     * point sets: POINT×POINT coordinate equality; areal pairs via two
     * empty overlay differences (A − B and B − A both empty). LINESTRING
@@ -1929,6 +2086,124 @@ case class StDistanceExpression(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StDistanceExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Unary geometry info accessors, op-dispatched (r13): 0 =
+  * st_geometrytype, 1 = st_isempty, 2 = st_dimension, 3 =
+  * st_numpoints, 4 = st_startpoint, 5 = st_endpoint, 6 = st_isclosed,
+  * 7 = st_isring. */
+case class StGeomInfoExpression(child: Expression, op: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = op match {
+    case 0 | 4 | 5 => StringType
+    case 1 | 6 | 7 => BooleanType
+    case _ => LongType
+  }
+  override def prettyName: String = op match {
+    case 0 => "st_geometrytype"
+    case 1 => "st_isempty"
+    case 2 => "st_dimension"
+    case 3 => "st_numpoints"
+    case 4 => "st_startpoint"
+    case 5 => "st_endpoint"
+    case 6 => "st_isclosed"
+    case _ => "st_isring"
+  }
+
+  override protected def nullSafeEval(g: Any): Any = {
+    val u = g.asInstanceOf[UTF8String]
+    op match {
+      case 0 => WktCore.geometryType(u)
+      case 1 => WktCore.isEmptyGeom(u)
+      case 2 => WktCore.dimensionOf(u)
+      case 3 => WktCore.numPoints(u)
+      case 4 => WktCore.lineTerminal(u, end = false)
+      case 5 => WktCore.lineTerminal(u, end = true)
+      case 6 => WktCore.isClosedLine(u)
+      case _ => WktCore.isRingLine(u)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val call = op match {
+      case 0 => (c: String) => s"graft.functions.WktCore.geometryType($c)"
+      case 1 => (c: String) => s"graft.functions.WktCore.isEmptyGeom($c)"
+      case 2 => (c: String) => s"graft.functions.WktCore.dimensionOf($c)"
+      case 3 => (c: String) => s"graft.functions.WktCore.numPoints($c)"
+      case 4 => (c: String) => s"graft.functions.WktCore.lineTerminal($c, false)"
+      case 5 => (c: String) => s"graft.functions.WktCore.lineTerminal($c, true)"
+      case 6 => (c: String) => s"graft.functions.WktCore.isClosedLine($c)"
+      case _ => (c: String) => s"graft.functions.WktCore.isRingLine($c)"
+    }
+    defineCodeGen(ctx, ev, call)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StGeomInfoExpression = copy(child = newChild)
+}
+
+/** st_pointn(line, n) — NULL out of range, so nullable and not
+  * defineCodeGen. */
+case class StPointNExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_pointn"
+
+  override protected def nullSafeEval(g: Any, n: Any): Any =
+    WktCore.pointN(g.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) =>
+      s"""${ev.value} = graft.functions.WktCore.pointN($g, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StPointNExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** line_locate_point(line, point) → fraction in [0, 1]. */
+case class LineLocatePointExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "line_locate_point"
+
+  override protected def nullSafeEval(l: Any, p: Any): Any =
+    WktCore.lineLocatePoint(l.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p) =>
+      s"${ev.value} = graft.functions.WktCore.lineLocatePoint($l, $p);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LineLocatePointExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** line_interpolate_point(line, fraction) → POINT WKT. */
+case class LineInterpolatePointExpression(left: Expression,
+    right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "line_interpolate_point"
+
+  override protected def nullSafeEval(l: Any, f: Any): Any =
+    WktCore.lineInterpolatePoint(l.asInstanceOf[UTF8String],
+      f.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, f) =>
+      s"${ev.value} = graft.functions.WktCore.lineInterpolatePoint($l, $f);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LineInterpolatePointExpression =
     copy(left = newLeft, right = newRight)
 }
 

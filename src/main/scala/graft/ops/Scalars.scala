@@ -1235,6 +1235,71 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21r: line & scalar ACCESSORS (r13 — the remaining small Trino
+    // geospatial surface): ST_GeometryType / ST_IsEmpty / ST_Dimension
+    // / ST_NumPoints / ST_PointN / ST_StartPoint / ST_EndPoint /
+    // ST_IsClosed / ST_IsRing / line_locate_point /
+    // line_interpolate_point. Fixture: an axis-parallel 3-segment
+    // polyline (lengths a, b, a — every cumulative length dyadic), the
+    // clipper-built exterior ring as a CLOSED line, a closed bow-tie
+    // (isring must veto), and the midpoint-locate identity: the point
+    // at (cx+a, cy+b/2) sits at cumulative a + b/2 = exactly HALF of
+    // 2a + b for every (a, b).
+    "sc21r_geo_accessors_line" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, q6, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.base(s, d)
+        .withColumn("r1", rect(col("cx"), col("cy"), col("a"), col("b")))
+        .withColumn("rfar", rect(col("cx") + 1000, col("cy"), col("a"),
+          col("b")))
+        .withColumn("mpoly", GF.stUnion(col("r1"), col("rfar")))
+        .withColumn("lineA", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a") * 2, col("cy") + col("b")))))
+        .withColumn("ring", f("st_exteriorring", col("r1")))
+        .withColumn("bow", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy")),
+          (col("cx"), col("cy") + col("b")),
+          (col("cx"), col("cy")))))
+      g.select(col("n_nationkey"),
+          f("st_geometrytype", col("lineA")).as("t_line"),
+          f("st_geometrytype", col("r1")).as("t_poly"),
+          f("st_geometrytype", col("mpoly")).as("t_multi"),
+          f("st_geometrytype", point(col("cx"), col("cy"))).as("t_pt"),
+          f("st_isempty", lit("POLYGON EMPTY")).as("e_empty"),
+          f("st_isempty", col("r1")).as("e_rect"),
+          f("st_dimension", col("lineA")).as("dim_line"),
+          f("st_dimension", col("r1")).as("dim_poly"),
+          f("st_numpoints", col("lineA")).as("np_line"),
+          f("st_pointn", col("lineA"), lit(2)).as("p2_wkt"),
+          f("st_pointn", col("lineA"), lit(9)).isNull.as("p9_null"),
+          f("st_startpoint", col("lineA")).as("sp_wkt"),
+          f("st_endpoint", col("lineA")).as("ep_wkt"),
+          f("st_isclosed", col("lineA")).as("c_open"),
+          f("st_isclosed", col("ring")).as("c_ring"),
+          f("st_isring", col("ring")).as("r_ring"),
+          f("st_isring", col("bow")).as("r_bow"),
+          q6(f("line_locate_point", col("lineA"),
+            point(col("cx") + col("a"), col("cy") + col("b") / 2)))
+            .as("loc_mid_q6"),
+          q6(f("line_locate_point", col("lineA"),
+            point(col("cx") + col("a") / 2, col("cy")))).as("loc_q_q6"),
+          f("line_interpolate_point", col("lineA"), lit(0.5))
+            .as("interp_mid_wkt"),
+          f("line_interpolate_point", col("lineA"), lit(0.0))
+            .as("interp_0_wkt"),
+          f("line_interpolate_point", col("lineA"), lit(1.0))
+            .as("interp_1_wkt"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2201,6 +2266,48 @@ object Scalars extends QueryModule {
         |    AS d_diag_q6,
         |  CAST(0 AS BIGINT) AS d_touch_q6,
         |  CAST(0 AS BIGINT) AS d_over_q6
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21r: structural constants + dyadic coordinate texts; the
+    // midpoint locate is exactly 1/2 for every (a, b) by construction
+    "sc21r_geo_accessors_line" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  'ST_LineString' AS t_line,
+        |  'ST_Polygon' AS t_poly,
+        |  'ST_MultiPolygon' AS t_multi,
+        |  'ST_Point' AS t_pt,
+        |  true AS e_empty,
+        |  false AS e_rect,
+        |  CAST(1 AS BIGINT) AS dim_line,
+        |  CAST(2 AS BIGINT) AS dim_poly,
+        |  CAST(4 AS BIGINT) AS np_line,
+        |  concat('POINT (', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS p2_wkt,
+        |  true AS p9_null,
+        |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS sp_wkt,
+        |  concat('POINT (', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ')') AS ep_wkt,
+        |  false AS c_open,
+        |  true AS c_ring,
+        |  true AS r_ring,
+        |  false AS r_bow,
+        |  CAST(500000 AS BIGINT) AS loc_mid_q6,
+        |  CAST(floor((a / 2) / (2 * a + b) * 1e6 + 0.5) AS BIGINT)
+        |    AS loc_q_q6,
+        |  concat('POINT (', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy + b / 2 AS VARCHAR), ')') AS interp_mid_wkt,
+        |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS interp_0_wkt,
+        |  concat('POINT (', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ')') AS interp_1_wkt
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
