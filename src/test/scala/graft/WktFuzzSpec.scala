@@ -206,6 +206,66 @@ class WktFuzzSpec extends AnyFunSuite {
       s"$multis MULTIPOLYGON, $holes with interior rings")
   }
 
+  test("relate predicates satisfy their overlay identities on 40 aligned-grid pairs (r13)") {
+    val rnd = new scala.util.Random(20260815 + 99)
+    var touchCount = 0
+    var withinCount = 0
+    for (trial <- 1 to 40) {
+      val nA = 3 + rnd.nextInt(5)
+      val nB = 3 + rnd.nextInt(5)
+      val a = skyline(0.0, 0.0, 1.0, Seq.fill(nA)(0.5 * (1 + rnd.nextInt(6))))
+      val b = skyline(0.5 * rnd.nextInt(5), 0.5 * (rnd.nextInt(5) - 2),
+        1.0, Seq.fill(nB)(0.5 * (1 + rnd.nextInt(6))))
+      val ua = u(a); val ub = u(b)
+      val interArea = WktCore.area(u(
+        WktCore.intersectionWkt(ua, ub).toString))
+      val abArea = WktCore.area(u(WktCore.differenceWkt(ua, ub).toString))
+      val baArea = WktCore.area(u(WktCore.differenceWkt(ub, ua).toString))
+      val touches = WktCore.touchesWkt(ua, ub)
+      val intersects = WktCore.intersectsWkt(ua, ub)
+      val within = WktCore.withinWkt(ua, ub)
+      val overlaps = WktCore.overlapsWkt(ua, ub)
+      val equal = WktCore.equalsWkt(ua, ub)
+      val dist = WktCore.distanceWkt(ua, ub)
+      // identities tying every predicate to the raster-verified overlay
+      assert(within == (abArea == 0.0), s"trial $trial within\nA=$a\nB=$b")
+      assert(equal == (abArea == 0.0 && baArea == 0.0), s"trial $trial equals")
+      assert(overlaps == (interArea > 0 && abArea > 0 && baArea > 0),
+        s"trial $trial overlaps")
+      if (touches) {
+        assert(intersects, s"trial $trial touches⟹intersects")
+        assert(interArea == 0.0, s"trial $trial touches⟹no shared area")
+        touchCount += 1
+      }
+      if (interArea > 0)
+        assert(intersects && !touches, s"trial $trial area⟹intersects")
+      assert((dist == 0.0) == intersects, s"trial $trial dist-zero⟺intersects")
+      if (!intersects)
+        assert(dist > 0.0, s"trial $trial disjoint⟹positive distance")
+      if (within) withinCount += 1
+      // reflexive identities on every sampled polygon
+      assert(WktCore.equalsWkt(ua, ua) && WktCore.withinWkt(ua, ua))
+      assert(!WktCore.touchesWkt(ua, ua) && !WktCore.overlapsWkt(ua, ua))
+    }
+    // targeted shared-border pairs: B starts exactly where A ends, so
+    // the right/left edges share a segment at x = nA — touches must
+    // hold on every one (interiors disjoint by construction)
+    for (trial <- 1 to 20) {
+      val nA = 3 + rnd.nextInt(5)
+      val a = skyline(0.0, 0.0, 1.0, Seq.fill(nA)(0.5 * (1 + rnd.nextInt(6))))
+      val b = skyline(nA.toDouble, 0.0, 1.0,
+        Seq.fill(3 + rnd.nextInt(5))(0.5 * (1 + rnd.nextInt(6))))
+      val ua = u(a); val ub = u(b)
+      assert(WktCore.touchesWkt(ua, ub), s"adj trial $trial\nA=$a\nB=$b")
+      assert(WktCore.intersectsWkt(ua, ub))
+      assert(WktCore.distanceWkt(ua, ub) == 0.0)
+      assert(!WktCore.overlapsWkt(ua, ub))
+      assert(WktCore.area(u(WktCore.intersectionWkt(ua, ub).toString)) == 0.0)
+      touchCount += 1
+    }
+    info(s"touch pairs: $touchCount, within pairs: $withinCount")
+  }
+
   /** Even-odd containment across every component of a MULTIPOLYGON via
     * the public parser-free text split (each component re-wrapped as a
     * POLYGON and tested with the holes-aware containsWkt). */
