@@ -244,6 +244,10 @@ object GraftFunctions {
         "line_interpolate_point"),
       (e: Seq[Expression]) =>
         LineInterpolatePointExpression(e(0), dbl(e(1)))),
+    (FunctionIdentifier("simplify_geometry"),
+      new ExpressionInfo(classOf[SimplifyGeometryExpression].getName,
+        "simplify_geometry"),
+      (e: Seq[Expression]) => SimplifyGeometryExpression(e(0), dbl(e(1)))),
     (FunctionIdentifier("st_distance"),
       new ExpressionInfo(classOf[StDistanceExpression].getName,
         "st_distance"),

@@ -608,6 +608,107 @@ object WktCore {
       math.min(ptSegDist2(s2(0), s2(1), s1(0), s1(1), s1(2), s1(3)),
         ptSegDist2(s2(2), s2(3), s1(0), s1(1), s1(2), s1(3))))
 
+  // ---- simplify_geometry (Douglas–Peucker, r13) --------------------------
+
+  /** DP over an OPEN polyline: keep endpoints; if the farthest interior
+    * vertex from the endpoint chord is within tol, drop them all, else
+    * split there (ties → first). Distances compare SQUARED — exact on
+    * dyadic fixtures. */
+  private def dpSimplify(c: Array[Double], lo: Int, hi: Int, tol2: Double,
+      keep: Array[Boolean]): Unit = {
+    if (hi - lo < 2) return
+    var best = -1
+    var bestD2 = -1.0
+    var i = lo + 1
+    while (i < hi) {
+      val d2 = ptSegDist2(c(2 * i), c(2 * i + 1), c(2 * lo), c(2 * lo + 1),
+        c(2 * hi), c(2 * hi + 1))
+      if (d2 > bestD2) { bestD2 = d2; best = i }
+      i += 1
+    }
+    if (bestD2 > tol2) {
+      keep(best) = true
+      dpSimplify(c, lo, best, tol2, keep)
+      dpSimplify(c, best, hi, tol2, keep)
+    }
+  }
+
+  private def dpLine(c: Array[Double], tol: Double): Array[Double] = {
+    val n = c.length / 2
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    dpSimplify(c, 0, n - 1, tol * tol, keep)
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < n) {
+      if (keep(i)) { out += c(2 * i); out += c(2 * i + 1) }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Codegen entry: simplify_geometry(wkt, tolerance) — Douglas–Peucker
+    * (Trino's spelling). LINESTRINGs simplify directly; polygon rings
+    * anchor at vertex 0 and the vertex FARTHEST from it (ties → first),
+    * then DP each half — the standard closed-ring split, deterministic.
+    * Loud when a simplified ring degenerates (< 3 vertices, zero area,
+    * or self-intersecting) instead of emitting silent garbage; Trino's
+    * topology-preserving variant never degenerates either, it just
+    * stops simplifying. */
+  def simplifyWkt(g: UTF8String, tol: Double): UTF8String = {
+    require(tol >= 0, s"simplify_geometry: negative tolerance $tol")
+    val t = g.toString.trim
+    if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
+      if (t.equalsIgnoreCase("LINESTRING EMPTY")) return g
+      val out = dpLine(parseLineString(t), tol)
+      val sb = new java.lang.StringBuilder("LINESTRING (")
+      var i = 0
+      while (2 * i < out.length) {
+        if (i > 0) sb.append(", ")
+        sb.append(fmtCoord(out(2 * i))).append(' ')
+          .append(fmtCoord(out(2 * i + 1)))
+        i += 1
+      }
+      return UTF8String.fromString(sb.append(')').toString)
+    }
+    def ring(c: Array[Double]): Array[Double] = {
+      val n = c.length / 2
+      // anchor 1 = vertex 0; anchor 2 = the vertex farthest from it
+      var far = 1
+      var farD2 = -1.0
+      var i = 1
+      while (i < n) {
+        val dx = c(2 * i) - c(0); val dy = c(2 * i + 1) - c(1)
+        val d2 = dx * dx + dy * dy
+        if (d2 > farD2) { farD2 = d2; far = i }
+        i += 1
+      }
+      // two halves as open polylines sharing the anchors
+      val h1 = java.util.Arrays.copyOfRange(c, 0, 2 * far + 2)
+      val h2 = new Array[Double](2 * (n - far) + 2)
+      System.arraycopy(c, 2 * far, h2, 0, 2 * (n - far))
+      h2(h2.length - 2) = c(0); h2(h2.length - 1) = c(1)
+      val s1 = dpLine(h1, tol)
+      val s2 = dpLine(h2, tol)
+      val out = new scala.collection.mutable.ArrayBuffer[Double]()
+      out ++= s1
+      // skip the shared anchor at both seams (start of s2, end of s2)
+      var k = 2
+      while (k < s2.length - 2) { out += s2(k); k += 1 }
+      val r = out.toArray
+      require(r.length >= 6 && signedArea2(r) != 0 &&
+        selfIntersection(r).isEmpty,
+        "simplify_geometry: tolerance collapses a ring into a degenerate " +
+          "or self-intersecting shape - lower the tolerance")
+      r
+    }
+    val polys = geomPolys(g)
+    if (polys.isEmpty) return g
+    UTF8String.fromString(fmtGeom(polys.map { case (shell, holes) =>
+      (ring(shell), holes.map(ring))
+    }))
+  }
+
   // ---- line & scalar accessors (Trino geospatial page, r13) -------------
 
   /** st_geometrytype — Trino's "ST_Point"/"ST_LineString"/"ST_Polygon"/
@@ -2086,6 +2187,26 @@ case class StDistanceExpression(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StDistanceExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simplify_geometry(wkt, tolerance)` — Douglas–Peucker. */
+case class SimplifyGeometryExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simplify_geometry"
+
+  override protected def nullSafeEval(g: Any, tol: Any): Any =
+    WktCore.simplifyWkt(g.asInstanceOf[UTF8String],
+      tol.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, tol) =>
+      s"${ev.value} = graft.functions.WktCore.simplifyWkt($g, $tol);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SimplifyGeometryExpression =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1300,6 +1300,51 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21s: simplify_geometry (Douglas-Peucker, r13) — a rectangle
+    // with a b/8 bump on its bottom edge simplifies back to the plain
+    // rectangle TEXT-exactly at tolerance b/4 (the bump's perpendicular
+    // distance to the horizontal chord is exactly b/8 — the dyadic
+    // squared comparison is unambiguous); a zigzag polyline collapses
+    // to its chord; tolerance 0 keeps every SHAPE-CARRYING vertex (the midpoint
+    // vertex lying exactly on its neighbors' chord is geometrically
+    // redundant and drops even at 0 — 4 of 5 survive);
+    // the holed difference re-renders UNCHANGED at a tolerance below
+    // every feature size.
+    "sc21s_geo_simplify" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, q6}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("zigrect", GeoFix.poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") - col("b") / 8),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+        .withColumn("zigline", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 8),
+          (col("cx") + col("a"), col("cy")),
+          (col("cx") + col("a") * 1.5, col("cy") - col("b") / 8),
+          (col("cx") + col("a") * 2, col("cy")))))
+      g.select(col("n_nationkey"),
+          f("simplify_geometry", col("zigrect"), col("b") / 4)
+            .as("simp_poly_wkt"),
+          q6(GF.stArea(f("simplify_geometry", col("zigrect"),
+            col("b") / 4))).as("simp_area_q6"),
+          f("simplify_geometry", col("zigline"), col("b") / 4)
+            .as("simp_line_wkt"),
+          f("st_numpoints", f("simplify_geometry", col("zigline"),
+            lit(0.0))).as("noop_np"),
+          (f("simplify_geometry", col("dhole"), col("b") / 8) ===
+            col("dhole")).as("dhole_same"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2308,6 +2353,30 @@ object Scalars extends QueryModule {
         |    CAST(cy AS VARCHAR), ')') AS interp_0_wkt,
         |  concat('POINT (', CAST(cx + 2 * a AS VARCHAR), ' ',
         |    CAST(cy + b AS VARCHAR), ')') AS interp_1_wkt
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21s: the simplified texts are the canonical closed forms
+    "sc21s_geo_simplify" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '))') AS simp_poly_wkt,
+        |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS simp_area_q6,
+        |  concat('LINESTRING (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS simp_line_wkt,
+        |  CAST(4 AS BIGINT) AS noop_np,
+        |  true AS dhole_same
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
