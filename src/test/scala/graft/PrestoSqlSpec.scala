@@ -217,13 +217,14 @@ class PrestoSqlSpec extends SparkSpec {
     assert(r.getBoolean(3))   // polygon containment (within, swapped)
     assert(!r.getBoolean(4))  // L1 = 8 > 5
     assert(r.getDouble(5) == 5.0)
-    // polygon operand to the point-only st_distance fails LOUDLY in the
-    // point parse instead of answering wrongly
-    val e = intercept[Exception](PrestoSql.sql(spark,
+    // polygon operands to st_distance are DEFINED as of r13 (the
+    // general kernel replaced the point-only dialect temp fn): nearest
+    // point of the unit square to (9, 9) is its (1, 1) corner
+    val pd = PrestoSql.sql(spark,
       "SELECT ST_Distance(ST_GeometryFromText(" +
         "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), ST_Point(9.0, 9.0))")
-      .collect())
-    assert(e.getMessage != null)
+      .head().getDouble(0)
+    assert(pd == math.sqrt(128.0), pd)
   }
 
   test("split is literal-delimiter (Presto), not regex (Spark); split_part adapted") {
