@@ -1980,8 +1980,71 @@ object WktCore {
   def bufferWkt(g: UTF8String, d: Double): UTF8String = {
     require(d >= 0, s"st_buffer: negative distance unsupported (got $d)")
     val c = toCcw(polygonCoords(g))
-    requireConvex(c, "st_buffer")
     if (d == 0) return UTF8String.fromString(fmtRing(c))
+    // CONCAVE rings (r13): the miter buffer decomposes into the input
+    // plus one outward rectangle per edge plus one miter kite per
+    // CONVEX corner (v, v + d·n₁, miter point, v + d·n₂) — at reflex
+    // corners the edge rectangles overlap and the overlay union
+    // resolves them. Folding the pieces through unionWkt (the overlay
+    // handles every shared border) then re-rendering canonical-minimal
+    // gives a deterministic result; convex inputs keep the closed-form
+    // one-vertex-per-vertex legacy path below, bit-stable.
+    if (!isConvexRing(c)) {
+      requireSimple(c, "st_buffer")
+      val n = c.length / 2
+      val pieces = new scala.collection.mutable.ArrayBuffer[String]()
+      pieces += fmtRing(c)
+      // per-edge outward rectangles (CCW ring: outward normal is right)
+      val nx = new Array[Double](n); val ny = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val j = if (i + 1 == n) 0 else i + 1
+        val ex = c(2 * j) - c(2 * i)
+        val ey = c(2 * j + 1) - c(2 * i + 1)
+        val len = math.sqrt(ex * ex + ey * ey)
+        require(len > 0, "st_buffer: zero-length edge")
+        nx(i) = ey / len * d
+        ny(i) = -ex / len * d
+        pieces += fmtRing(Array(
+          c(2 * i), c(2 * i + 1), c(2 * j), c(2 * j + 1),
+          c(2 * j) + nx(i), c(2 * j + 1) + ny(i),
+          c(2 * i) + nx(i), c(2 * i + 1) + ny(i)))
+        i += 1
+      }
+      // per-CONVEX-corner miter kite: offset lines of the two incident
+      // edges intersect at the miter point (the legacy arithmetic)
+      i = 0
+      while (i < n) {
+        val p = if (i == 0) n - 1 else i - 1
+        val j = if (i + 1 == n) 0 else i + 1
+        val cr = (c(2 * i) - c(2 * p)) * (c(2 * j + 1) - c(2 * i + 1)) -
+          (c(2 * i + 1) - c(2 * p + 1)) * (c(2 * j) - c(2 * i))
+        if (cr > 0) { // convex (left) turn on a CCW ring
+          val vx = c(2 * i); val vy = c(2 * i + 1)
+          // intersect offset line of edge p (dir = edge p) with offset
+          // line of edge i
+          val dpx = c(2 * i) - c(2 * p); val dpy = c(2 * i + 1) - c(2 * p + 1)
+          val dix = c(2 * j) - c(2 * i); val diy = c(2 * j + 1) - c(2 * i + 1)
+          val opx = c(2 * p) + nx(p); val opy = c(2 * p + 1) + ny(p)
+          val oix = vx + nx(i); val oiy = vy + ny(i)
+          val den = dpx * diy - dpy * dix
+          val t = ((oix - opx) * diy - (oiy - opy) * dix) / den
+          val mx = opx + t * dpx
+          val my = opy + t * dpy
+          pieces += fmtRing(Array(
+            vx, vy, vx + nx(p), vy + ny(p), mx, my, vx + nx(i), vy + ny(i)))
+        }
+        i += 1
+      }
+      var acc = UTF8String.fromString(pieces.head)
+      var k = 1
+      while (k < pieces.length) {
+        acc = unionWkt(acc, UTF8String.fromString(pieces(k)))
+        k += 1
+      }
+      return canonMinimalWkt(acc)
+    }
+    requireConvex(c, "st_buffer")
     val n = c.length / 2
     // offset line per edge: point (ox, oy) + direction (dx, dy)
     val ox = new Array[Double](n); val oy = new Array[Double](n)

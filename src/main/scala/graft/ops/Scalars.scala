@@ -1345,6 +1345,59 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21t: CONCAVE ST_Buffer (r13 — closing the r10 convex-only
+    // scope): the miter buffer decomposes into input + per-edge
+    // outward rectangles + per-convex-corner miter kites, folded
+    // through the overlay union. For any simple RECTILINEAR ring the
+    // closed form is area + perimeter·d + 4·d² (convex minus reflex
+    // corners always nets to 4), exact on the dyadic fixture frame.
+    "sc21t_geo_buffer_concave" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.q6
+      val g = GeoFix.base(s, d)
+        .withColumn("lshape", GeoFix.poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+        .withColumn("ushape", GeoFix.poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 3, col("cy")),
+          (col("cx") + col("a") * 3, col("cy") + col("b") * 2),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx") + col("a") * 2, col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
+      g.select(col("n_nationkey"),
+          q6(GF.stArea(call_function("st_buffer", col("lshape"),
+            col("b") / 4))).as("l_buf_q6"),
+          // d = b/4 keeps the arms' inward buffers (2·d ≤ 1.5) from
+          // closing the a-wide notch (a ≥ 2): the union handles the
+          // merged case correctly, but the rectilinear closed form
+          // only prices the non-self-merging regime
+          q6(GF.stArea(call_function("st_buffer", col("ushape"),
+            col("b") / 4))).as("u_buf_q6"),
+          // d = b/2 straddles the SELF-MERGING boundary across the
+          // fixture frame: when 2d ≥ a the arms' inward buffers close
+          // the notch entirely and the result is the bounding
+          // rectangle's buffer (6ab + (6a+4b)d + 4d²) — the union
+          // resolves the merge and the oracle prices both regimes
+          q6(GF.stArea(call_function("st_buffer", col("ushape"),
+            col("b") / 2))).as("u_buf_merge_q6"),
+          call_function("st_within", col("lshape"),
+            call_function("st_buffer", col("lshape"), col("b") / 4))
+            .as("l_contains_input"),
+          q6(GF.stArea(call_function("st_buffer", col("lshape"),
+            lit(0.0)))).as("l_d0_q6"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2377,6 +2430,28 @@ object Scalars extends QueryModule {
         |    CAST(cy AS VARCHAR), ')') AS simp_line_wkt,
         |  CAST(4 AS BIGINT) AS noop_np,
         |  true AS dhole_same
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21t: rectilinear miter-buffer closed forms — L: area 3ab,
+    // perimeter 4(a+b); U: area 5ab, perimeter 6(a+b); + P·d + 4d²
+    "sc21t_geo_buffer_concave" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor((3 * a * b + (4 * a + 4 * b) * b / 4
+        |    + 4 * (b / 4) * (b / 4)) * 1e6 + 0.5) AS BIGINT) AS l_buf_q6,
+        |  CAST(floor((5 * a * b + (6 * a + 6 * b) * b / 4
+        |    + 4 * (b / 4) * (b / 4)) * 1e6 + 0.5) AS BIGINT) AS u_buf_q6,
+        |  CAST(floor(CASE WHEN b >= a THEN
+        |      6 * a * b + (6 * a + 4 * b) * b / 2 + 4 * (b / 2) * (b / 2)
+        |    ELSE
+        |      5 * a * b + (6 * a + 6 * b) * b / 2 + 4 * (b / 2) * (b / 2)
+        |    END * 1e6 + 0.5) AS BIGINT) AS u_buf_merge_q6,
+        |  true AS l_contains_input,
+        |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS l_d0_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

@@ -724,4 +724,31 @@ class WktSpec extends SparkSpec {
     assert(!WktCore.overlapsWkt(u(donut),
       u("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))) // exactly plugs the hole
   }
+
+  test("concave miter buffer via piece union (r13)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def a(s: String) = WktCore.area(u(s))
+    // rectilinear closed form: area + perimeter·d + (convex − reflex)·d²
+    // = A + P·d + 4·d² for any simple rectilinear ring
+    val ell = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    val bl = WktCore.bufferWkt(u(ell), 0.5).toString
+    assert(a(bl) == 3.0 + 8.0 * 0.5 + 4 * 0.25, bl)
+    // U-shape: A = 5, P = 12, 8 convex − 2 reflex... rectilinear always
+    // nets to 4: A + P·d + 4·d²
+    val ush = "POLYGON ((0 0, 3 0, 3 2, 2 2, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    val bu = WktCore.bufferWkt(u(ush), 0.25).toString
+    assert(a(bu) == 5.0 + 12.0 * 0.25 + 4 * 0.0625, bu)
+    // the buffered region CONTAINS the input and its near-offset points
+    assert(WktCore.withinWkt(u(ell), u(bl)))
+    assert(WktCore.containsWkt(u(bl), -0.25, -0.25)) // outside the miter? corner kite covers the diagonal
+    assert(WktCore.containsWkt(u(bl), 2.4, 0.5))      // edge offset
+    assert(!WktCore.containsWkt(u(bl), 1.8, 1.8))     // in the notch, > d away
+    // convex inputs keep the legacy closed-form path bit-stably
+    val sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert(WktCore.bufferWkt(u(sq), 0.5).toString ==
+      "POLYGON ((-0.5 -0.5, 1.5 -0.5, 1.5 1.5, -0.5 1.5, -0.5 -0.5))")
+    // d = 0 on a concave ring normalizes instead of throwing (r13)
+    assert(a(WktCore.bufferWkt(u(ell), 0.0).toString) == 3.0)
+  }
 }
