@@ -244,6 +244,14 @@ object GraftFunctions {
         "line_interpolate_point"),
       (e: Seq[Expression]) =>
         LineInterpolatePointExpression(e(0), dbl(e(1)))),
+    (FunctionIdentifier("to_geojson_geometry"),
+      new ExpressionInfo(classOf[GeoJsonExpression].getName,
+        "to_geojson_geometry"),
+      (e: Seq[Expression]) => GeoJsonExpression(e(0), 0)),
+    (FunctionIdentifier("from_geojson_geometry"),
+      new ExpressionInfo(classOf[GeoJsonExpression].getName,
+        "from_geojson_geometry"),
+      (e: Seq[Expression]) => GeoJsonExpression(e(0), 1)),
     (FunctionIdentifier("simplify_geometry"),
       new ExpressionInfo(classOf[SimplifyGeometryExpression].getName,
         "simplify_geometry"),

@@ -608,6 +608,200 @@ object WktCore {
       math.min(ptSegDist2(s2(0), s2(1), s1(0), s1(1), s1(2), s1(3)),
         ptSegDist2(s2(2), s2(3), s1(0), s1(1), s1(2), s1(3))))
 
+  // ---- GeoJSON interchange (Trino to/from_geojson_geometry, r13) ---------
+
+  /** to_geojson_geometry(wkt) — RFC 7946 geometry object for POINT /
+    * LINESTRING / (MULTI)POLYGON. Rings render CLOSED (first
+    * coordinate repeated last, the GeoJSON requirement) with shells
+    * CCW and holes CW (the RFC 7946 right-hand rule); numbers use the
+    * same shortest-round-trip rendering as WKT, so the trip is
+    * lossless. */
+  def toGeoJson(g: UTF8String): UTF8String = {
+    val t = g.toString.trim
+    def num(d: Double): String = fmtCoord(d)
+    def pos(x: Double, y: Double): String = "[" + num(x) + "," + num(y) + "]"
+    def ringJson(c0: Array[Double], cw: Boolean): String = {
+      val c = if (cw) reverseRing(toCcw(c0)) else toCcw(c0)
+      val n = c.length / 2
+      val sb = new java.lang.StringBuilder("[")
+      var i = 0
+      while (i <= n) {
+        val k = if (i == n) 0 else i
+        if (i > 0) sb.append(',')
+        sb.append(pos(c(2 * k), c(2 * k + 1)))
+        i += 1
+      }
+      sb.append(']').toString
+    }
+    def polyCoords(p: (Array[Double], Array[Array[Double]])): String =
+      (ringJson(p._1, cw = false) +:
+        p._2.map(h => ringJson(h, cw = true)).toSeq).mkString("[", ",", "]")
+    val out =
+      if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+        val p = parsePoint(t)
+        "{\"type\":\"Point\",\"coordinates\":" + pos(p(0), p(1)) + "}"
+      } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
+        val c = parseLineString(t)
+        val sb = new java.lang.StringBuilder(
+          "{\"type\":\"LineString\",\"coordinates\":[")
+        var i = 0
+        while (2 * i < c.length) {
+          if (i > 0) sb.append(',')
+          sb.append(pos(c(2 * i), c(2 * i + 1)))
+          i += 1
+        }
+        sb.append("]}").toString
+      } else {
+        val polys = geomPolys(g)
+        if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+          "{\"type\":\"MultiPolygon\",\"coordinates\":" +
+            polys.map(polyCoords).mkString("[", ",", "]") + "}"
+        else {
+          require(polys.length == 1, s"not a single POLYGON: $t")
+          "{\"type\":\"Polygon\",\"coordinates\":" +
+            polyCoords(polys(0)) + "}"
+        }
+      }
+    UTF8String.fromString(out)
+  }
+
+  /** from_geojson_geometry(json) — strict parser for the geometry
+    * objects toGeoJson emits (Point / LineString / Polygon /
+    * MultiPolygon; whitespace tolerated, anything else loud). Rings
+    * must arrive closed (the RFC requirement) — the closing duplicate
+    * drops into this engine's open-ring model; output renders through
+    * the canonical WKT formatter. */
+  def fromGeoJson(j: UTF8String): UTF8String = {
+    val t = j.toString
+    var i = 0
+    def ws(): Unit = { while (i < t.length && t.charAt(i).isWhitespace) i += 1 }
+    def expect(c: Char): Unit = {
+      ws()
+      require(i < t.length && t.charAt(i) == c,
+        s"from_geojson_geometry: expected '$c' at $i: $t")
+      i += 1
+    }
+    def string(): String = {
+      expect('"')
+      val st = i
+      while (i < t.length && t.charAt(i) != '"') i += 1
+      require(i < t.length, s"from_geojson_geometry: unterminated string")
+      val out = t.substring(st, i)
+      i += 1
+      out
+    }
+    def number(): Double = {
+      ws()
+      val st = i
+      while (i < t.length && "+-0123456789.eE".indexOf(t.charAt(i)) >= 0)
+        i += 1
+      require(i > st, s"from_geojson_geometry: expected number at $st")
+      java.lang.Double.parseDouble(t.substring(st, i))
+    }
+    def position(): (Double, Double) = {
+      expect('[')
+      val x = number()
+      expect(',')
+      val y = number()
+      ws()
+      expect(']')
+      (x, y)
+    }
+    def posArray(): Array[Double] = {
+      expect('[')
+      val out = new scala.collection.mutable.ArrayBuffer[Double]()
+      ws()
+      var first = true
+      while ({ ws(); t.charAt(i) != ']' }) {
+        if (!first) expect(',')
+        first = false
+        val (x, y) = position()
+        out += x; out += y
+      }
+      i += 1
+      out.toArray
+    }
+    def ring(): Array[Double] = {
+      val c = posArray()
+      val n = c.length / 2
+      require(n >= 4 && c(0) == c(2 * n - 2) && c(1) == c(2 * n - 1),
+        "from_geojson_geometry: ring must be closed with >= 4 positions")
+      java.util.Arrays.copyOf(c, c.length - 2)
+    }
+    def ringArray(): Array[Array[Double]] = {
+      expect('[')
+      val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var first = true
+      while ({ ws(); t.charAt(i) != ']' }) {
+        if (!first) expect(',')
+        first = false
+        out += ring()
+      }
+      i += 1
+      out.toArray
+    }
+    expect('{')
+    // the two members in either order (strict: exactly type+coordinates)
+    var typ: String = null
+    var wkt: String = null
+    var first = true
+    while ({ ws(); t.charAt(i) != '}' }) {
+      if (!first) expect(',')
+      first = false
+      val key = string()
+      expect(':')
+      key match {
+        case "type" => typ = string()
+        case "coordinates" =>
+          require(typ != null,
+            "from_geojson_geometry: \"type\" must precede \"coordinates\"")
+          typ match {
+            case "Point" =>
+              val (x, y) = position()
+              wkt = "POINT (" + fmtCoord(x) + " " + fmtCoord(y) + ")"
+            case "LineString" =>
+              val c = posArray()
+              require(c.length >= 4,
+                "from_geojson_geometry: LineString needs >= 2 positions")
+              val sb = new java.lang.StringBuilder("LINESTRING (")
+              var k = 0
+              while (2 * k < c.length) {
+                if (k > 0) sb.append(", ")
+                sb.append(fmtCoord(c(2 * k))).append(' ')
+                  .append(fmtCoord(c(2 * k + 1)))
+                k += 1
+              }
+              wkt = sb.append(')').toString
+            case "Polygon" =>
+              val rs = ringArray()
+              require(rs.nonEmpty, "from_geojson_geometry: empty Polygon")
+              wkt = fmtGeom(Array((rs(0), rs.drop(1))))
+            case "MultiPolygon" =>
+              expect('[')
+              val polys = new scala.collection.mutable.ArrayBuffer[
+                (Array[Double], Array[Array[Double]])]()
+              var f2 = true
+              while ({ ws(); t.charAt(i) != ']' }) {
+                if (!f2) expect(',')
+                f2 = false
+                val rs = ringArray()
+                require(rs.nonEmpty,
+                  "from_geojson_geometry: empty MultiPolygon component")
+                polys += ((rs(0), rs.drop(1)))
+              }
+              i += 1
+              wkt = fmtGeom(polys.toArray)
+            case other => throw new IllegalArgumentException(
+              s"from_geojson_geometry: unsupported type '$other'")
+          }
+        case other => throw new IllegalArgumentException(
+          s"from_geojson_geometry: unexpected member '$other'")
+      }
+    }
+    require(wkt != null, "from_geojson_geometry: missing coordinates")
+    UTF8String.fromString(wkt)
+  }
+
   // ---- simplify_geometry (Douglas–Peucker, r13) --------------------------
 
   /** DP over an OPEN polyline: keep endpoints; if the farthest interior
@@ -2251,6 +2445,28 @@ case class StDistanceExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StDistanceExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `to_geojson_geometry(wkt)` / `from_geojson_geometry(json)` —
+  * RFC 7946 geometry interchange (op 0 = to, 1 = from). */
+case class GeoJsonExpression(child: Expression, op: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (op == 0) "to_geojson_geometry" else "from_geojson_geometry"
+
+  override protected def nullSafeEval(g: Any): Any =
+    if (op == 0) WktCore.toGeoJson(g.asInstanceOf[UTF8String])
+    else WktCore.fromGeoJson(g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (op == 0) s"graft.functions.WktCore.toGeoJson($c)"
+      else s"graft.functions.WktCore.fromGeoJson($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GeoJsonExpression = copy(child = newChild)
 }
 
 /** `simplify_geometry(wkt, tolerance)` — Douglas–Peucker. */

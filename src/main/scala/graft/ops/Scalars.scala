@@ -1398,6 +1398,43 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21u: GeoJSON interchange (r13 — Trino's to/from_geojson_
+    // geometry): RFC 7946 rendering (closed rings, right-hand rule,
+    // shortest-round-trip numbers) and a strict parser; round trips
+    // land exactly on the canonical WKT — checked on the clipper's own
+    // HOLED output and a MULTIPOLYGON, plus exact-text columns the
+    // oracle re-derives by string construction.
+    "sc21u_geo_geojson" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, q6, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("r1", rect(col("cx"), col("cy"), col("a"), col("b")))
+        .withColumn("mp", GF.stUnion(col("r1"), col("big_far")))
+        .withColumn("lineA", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")))))
+      g.select(col("n_nationkey"),
+          f("to_geojson_geometry", point(col("cx"), col("cy")))
+            .as("gj_point"),
+          f("to_geojson_geometry", col("r1")).as("gj_poly"),
+          (f("from_geojson_geometry",
+            f("to_geojson_geometry", col("dhole"))) === col("dhole"))
+            .as("rt_holed"),
+          (f("from_geojson_geometry",
+            f("to_geojson_geometry", col("lineA"))) === col("lineA"))
+            .as("rt_line"),
+          q6(GF.stArea(f("from_geojson_geometry",
+            f("to_geojson_geometry", col("mp"))))).as("rt_multi_q6"),
+          (f("from_geojson_geometry",
+            f("to_geojson_geometry", col("mp"))) === col("mp"))
+            .as("rt_multi_same"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2452,6 +2489,32 @@ object Scalars extends QueryModule {
         |    END * 1e6 + 0.5) AS BIGINT) AS u_buf_merge_q6,
         |  true AS l_contains_input,
         |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS l_d0_q6
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21u: exact GeoJSON texts by string construction + round-trip
+    // truths
+    "sc21u_geo_geojson" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  concat('{"type":"Point","coordinates":[', CAST(cx AS VARCHAR),
+        |    ',', CAST(cy AS VARCHAR), ']}') AS gj_point,
+        |  concat('{"type":"Polygon","coordinates":[[[',
+        |    CAST(cx AS VARCHAR), ',', CAST(cy AS VARCHAR), '],[',
+        |    CAST(cx + a AS VARCHAR), ',', CAST(cy AS VARCHAR), '],[',
+        |    CAST(cx + a AS VARCHAR), ',', CAST(cy + b AS VARCHAR), '],[',
+        |    CAST(cx AS VARCHAR), ',', CAST(cy + b AS VARCHAR), '],[',
+        |    CAST(cx AS VARCHAR), ',', CAST(cy AS VARCHAR), ']]]}')
+        |    AS gj_poly,
+        |  true AS rt_holed,
+        |  true AS rt_line,
+        |  CAST(floor(2 * a * b * 1e6 + 0.5) AS BIGINT) AS rt_multi_q6,
+        |  true AS rt_multi_same
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
