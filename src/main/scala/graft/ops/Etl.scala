@@ -776,6 +776,40 @@ object Etl extends QueryModule {
           |FROM tiles GROUP BY k ORDER BY k""".stripMargin)
     }),
 
+    // P2aa: the r13 dialect-probe closures under oracle gating —
+    // mismatches / index / ends_with / dot_product / millisecond /
+    // timezone_hour / timezone_minute / inverse_weibull_cdf, each with
+    // a DuckDB-re-derivable closed form (the Weibull quantile uses
+    // a = 1 so pow(x, 1/a) is the exact identity and the only
+    // transcendental is the shared ln-of-the-same-double).
+    "p2aa_presto_fns_probe" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH f AS (
+          |  SELECT "p_partkey" AS k, "p_name" AS nm, "p_type" AS ty,
+          |    CAST("p_size" AS BIGINT) AS sz,
+          |    lpad(CAST("p_size" AS VARCHAR), 2, '0') AS s1,
+          |    CAST("p_size" % 9 + 1 AS DOUBLE) / 16 AS pr
+          |  FROM part WHERE "p_partkey" < 300)
+          |SELECT k,
+          |  mismatches(s1, reverse(s1)) AS mm,
+          |  index(nm, 'a') AS idx,
+          |  ends_with(ty, 'BRASS') AS ew,
+          |  CAST(dot_product(
+          |    map(ARRAY['a', 'b'], ARRAY[CAST(sz AS DOUBLE),
+          |      CAST(sz * 2 AS DOUBLE)]),
+          |    map(ARRAY['a', 'b'], ARRAY[2.0, 3.0])) AS BIGINT) AS dp,
+          |  millisecond(CAST(concat('2020-01-01 00:00:00.',
+          |    lpad(CAST(sz AS VARCHAR), 3, '0')) AS TIMESTAMP)) AS ms,
+          |  timezone_hour(CAST('2020-01-01 00:00:00' AS TIMESTAMP))
+          |    AS tzh,
+          |  timezone_minute(CAST('2020-01-01 00:00:00' AS TIMESTAMP))
+          |    AS tzm,
+          |  CAST(floor(inverse_weibull_cdf(1.0, 3.0, pr) * 1e6 + 0.5)
+          |    AS BIGINT) AS iw_q6
+          |FROM f ORDER BY k""".stripMargin)
+    }),
+
     // P2z: Trino format() / parse_data_size / bitwise rotates —
     // format is Java String.format (= Spark format_string; the oracle
     // is DuckDB's independent C printf — %s/%0Nd behave identically);
@@ -2094,6 +2128,28 @@ object Etl extends QueryModule {
         |  CAST(floor(4 * a * b * 1e6 + 0.5) AS BIGINT) AS hull_area_q6,
         |  CAST(floor(4 * (a + b) * 1e6 + 0.5) AS BIGINT) AS bnd_len_q6
         |FROM p ORDER BY k""".stripMargin,
+
+    // p2aa: closed forms — mismatches on a 2-char string vs its
+    // reverse is 0 or 2; dot_product expands to 8·size; the Weibull
+    // quantile at a = 1 is −b·ln(1−p), the same ln of the same double
+    "p2aa_presto_fns_probe" ->
+      """WITH f AS (
+        |  SELECT p_partkey AS k, p_name AS nm, p_type AS ty,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    lpad(CAST(p_size AS VARCHAR), 2, '0') AS s1,
+        |    CAST(p_size % 9 + 1 AS DOUBLE) / 16 AS pr
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT k,
+        |  CAST(CASE WHEN substr(s1, 1, 1) = substr(s1, 2, 1)
+        |    THEN 0 ELSE 2 END AS BIGINT) AS mm,
+        |  CAST(strpos(nm, 'a') AS BIGINT) AS idx,
+        |  ty LIKE '%BRASS' AS ew,
+        |  CAST(8 * sz AS BIGINT) AS dp,
+        |  sz AS ms,
+        |  CAST(0 AS BIGINT) AS tzh,
+        |  CAST(0 AS BIGINT) AS tzm,
+        |  CAST(floor(3.0 * (-ln(1 - pr)) * 1e6 + 0.5) AS BIGINT) AS iw_q6
+        |FROM f ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->
       // closed form: matches are exactly the positions whose type is

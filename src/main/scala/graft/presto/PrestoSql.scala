@@ -2590,6 +2590,39 @@ object PrestoSql {
     // envelope-bound kernels; Java's shortest-round-trip double
     // rendering makes the string round-trip LOSSLESS, so ST_X(
     // ST_Centroid(g)) returns the kernel's exact double
+    // r13 dialect-surface probe closures (a systematic sweep of ~90
+    // published Trino spellings found eight cheap gaps; the remaining
+    // misses are DOCUMENTED scope-outs: spooky_hash_v2_* and murmur3
+    // are Trino-specific hash wire formats this engine will not
+    // fabricate (no independent oracle could confirm them), and the
+    // generic-array helpers (array_frequency / array_least_frequent /
+    // array_sort_desc) need type-generic SQL temp functions Spark
+    // cannot declare — use array_sort + reverse / aggregate HOFs)
+    "mismatches(a STRING, b STRING) RETURNS BIGINT RETURN" +
+      " hamming_distance(a, b)",
+    "index(s STRING, sub STRING) RETURNS BIGINT RETURN strpos(s, sub)",
+    "ends_with(s STRING, suffix STRING) RETURNS BOOLEAN RETURN" +
+      " endswith(s, suffix)",
+    "dot_product(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>)" +
+      " RETURNS DOUBLE RETURN" +
+      " aggregate(map_keys(a), CAST(0.0 AS DOUBLE)," +
+      " (acc, k) -> acc + coalesce(a[k] * b[k], CAST(0.0 AS DOUBLE)))",
+    // Weibull quantile: b · (−ln(1 − p))^(1/a)
+    "inverse_weibull_cdf(a DOUBLE, b DOUBLE, p DOUBLE) RETURNS DOUBLE" +
+      " RETURN b * power(-ln(1 - p), 1 / a)",
+    "millisecond(t TIMESTAMP) RETURNS BIGINT RETURN" +
+      " CAST(date_format(t, 'SSS') AS BIGINT)",
+    // session-zone UTC offset of the instant (Trino reads the zone off
+    // a timestamp-with-time-zone; this engine's timestamps carry the
+    // SESSION zone, so the offset is the session zone's at t)
+    "timezone_hour(t TIMESTAMP) RETURNS BIGINT RETURN" +
+      " CAST((unix_timestamp(t) -" +
+      " unix_timestamp(to_utc_timestamp(t, current_timezone())))" +
+      " DIV 3600 AS BIGINT)",
+    "timezone_minute(t TIMESTAMP) RETURNS BIGINT RETURN" +
+      " CAST(((unix_timestamp(t) -" +
+      " unix_timestamp(to_utc_timestamp(t, current_timezone())))" +
+      " DIV 60) % 60 AS BIGINT)",
     "st_centroid(g STRING) RETURNS STRING RETURN" +
       " concat('POINT (', CAST(st_centroid_x(g) AS STRING), ' '," +
       " CAST(st_centroid_y(g) AS STRING), ')')",
