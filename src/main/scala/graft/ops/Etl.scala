@@ -810,6 +810,31 @@ object Etl extends QueryModule {
           |FROM f ORDER BY k""".stripMargin)
     }),
 
+    // P2ab: the r13 SYNTAX closures under oracle gating — DECIMAL
+    // literals (precision/scale inferred from the text, exact decimal
+    // arithmetic), quantified comparisons with exact IN equivalents
+    // (= ANY / <> ALL), extract(YOW) onto the ISO week-numbering year,
+    // and the bare FROM UNNEST ... WITH ORDINALITY form as an
+    // uncorrelated scalar subquery (1-based ordinality dot product).
+    "p2ab_presto_syntax" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH f AS (
+          |  SELECT "p_partkey" AS k, CAST("p_size" AS BIGINT) AS sz
+          |  FROM part WHERE "p_partkey" < 300)
+          |SELECT k,
+          |  CAST(CAST(sz AS DECIMAL(10, 2)) * DECIMAL '1.25' * 100
+          |    AS BIGINT) AS dec_q2,
+          |  CAST(extract(YOW FROM DATE '2020-01-01'
+          |    + sz * INTERVAL '1' DAY) AS BIGINT) AS yow,
+          |  sz = ANY (SELECT 7 UNION ALL SELECT 11) AS is_7_or_11,
+          |  sz <> ALL (SELECT 7 UNION ALL SELECT 11) AS not_7_nor_11,
+          |  (SELECT sum(e * o)
+          |   FROM UNNEST(ARRAY[1, 2, 3]) WITH ORDINALITY AS t (e, o))
+          |    AS unnest_dot
+          |FROM f ORDER BY k""".stripMargin)
+    }),
+
     // P2z: Trino format() / parse_data_size / bitwise rotates —
     // format is Java String.format (= Spark format_string; the oracle
     // is DuckDB's independent C printf — %s/%0Nd behave identically);
@@ -2150,6 +2175,18 @@ object Etl extends QueryModule {
         |  CAST(0 AS BIGINT) AS tzm,
         |  CAST(floor(3.0 * (-ln(1 - pr)) * 1e6 + 0.5) AS BIGINT) AS iw_q6
         |FROM f ORDER BY k""".stripMargin,
+
+    // p2ab: exact decimal closed form (125·size), DuckDB's isoyear,
+    // plain IN logic, constant ordinality dot product 1+4+9
+    "p2ab_presto_syntax" ->
+      """SELECT p_partkey AS k,
+        |  CAST(125 * p_size AS BIGINT) AS dec_q2,
+        |  CAST(extract(isoyear FROM DATE '2020-01-01'
+        |    + p_size * INTERVAL 1 DAY) AS BIGINT) AS yow,
+        |  p_size IN (7, 11) AS is_7_or_11,
+        |  p_size NOT IN (7, 11) AS not_7_nor_11,
+        |  CAST(14 AS BIGINT) AS unnest_dot
+        |FROM part WHERE p_partkey < 300 ORDER BY k""".stripMargin,
 
     "p2q_presto_mr_alternation" ->
       // closed form: matches are exactly the positions whose type is

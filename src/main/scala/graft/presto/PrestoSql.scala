@@ -2928,6 +2928,15 @@ object PrestoSql {
       "graft_values_at_quantiles(graft_qdigest_merge("),
     ("""(?i)\bvalue_at_quantile\s*\(""".r, "graft_value_at_quantile("),
     ("""(?i)\bvalues_at_quantiles\s*\(""".r, "graft_values_at_quantiles("),
+    // quantified subquery comparisons (r13): the two forms with exact
+    // IN/NOT IN equivalents translate; every other op+quantifier pair
+    // stays loud in the Spark parser rather than silently changing
+    // semantics
+    ("""(?i)=\s*(?:ANY|SOME)\s*\(""".r, " IN ("),
+    ("""(?i)(?:<>|!=)\s*ALL\s*\(""".r, " NOT IN ("),
+    // Trino extract(YOW \u2026) \u2014 Spark spells the ISO week-numbering year
+    // YEAROFWEEK
+    ("""(?i)\bextract\s*\(\s*YOW\s+FROM""".r, "extract(YEAROFWEEK FROM"),
     ("""(?i)\bqdigest_agg\s*\(""".r, "graft_qdigest_agg("),
     ("""(?i)\bcardinality\s*\(\s*merge\s*\(""".r,
       "hll_sketch_estimate(hll_union_agg("),
@@ -3842,6 +3851,39 @@ object PrestoSql {
     * Multi-argument `UNNEST(a, b, …)` zips positionally with NULL
     * padding to the longest array (Presto semantics). The alias column
     * list is REQUIRED, as it is in real Presto ETL SQL. */
+  /** Trino allows `FROM UNNEST(\u2026) [WITH ORDINALITY] AS t (\u2026)` with no
+    * join (r13 syntax probe): normalize to the CROSS JOIN form over a
+    * one-row relation so rewriteUnnest's machinery takes over. */
+  private[graft] def rewriteBareFromUnnest(s0: String): String = {
+    val re = """(?is)\bFROM\s+UNNEST\s*\(""".r
+    def inLiteral(upTo: Int, s: String): Boolean =
+      s.substring(0, upTo).count(_ == '\'') % 2 == 1
+    re.replaceAllIn(s0, m =>
+      if (inLiteral(m.start, s0))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else "FROM (SELECT 1 AS graft_one) CROSS JOIN UNNEST(")
+  }
+
+  /** Trino `DECIMAL 'x'` literals (r13 syntax probe): precision/scale
+    * infer from the literal text, exactly as Trino does. */
+  private[graft] def rewriteDecimalLiterals(s0: String): String = {
+    val re = """(?is)\bDECIMAL\s*'([+-]?[0-9]+(?:\.[0-9]+)?)'""".r
+    def inLiteral(upTo: Int, s: String): Boolean =
+      s.substring(0, upTo).count(_ == '\'') % 2 == 1
+    re.replaceAllIn(s0, m =>
+      if (inLiteral(m.start, s0))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val lit = m.group(1)
+        val digits = lit.count(_.isDigit)
+        val scale = {
+          val dot = lit.indexOf('.')
+          if (dot < 0) 0 else lit.length - dot - 1
+        }
+        s"CAST('$lit' AS DECIMAL(${math.max(digits, 1)}, $scale))"
+      })
+  }
+
   private[graft] def rewriteUnnest(s0: String): String = {
     val head = """(?is)\b(CROSS|LEFT(?:\s+OUTER)?)\s+JOIN\s+UNNEST\s*\(""".r
     val tailRe =
@@ -4473,8 +4515,9 @@ object PrestoSql {
       wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapKeysValuesMatch(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
           rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
-            rewriteSequenceTable(rewriteJsonTable(
-              inlineSplit(rewriteFetchTies(prestoSql)))))))))))))))))))
+            rewriteBareFromUnnest(rewriteDecimalLiterals(
+              rewriteSequenceTable(rewriteJsonTable(
+                inlineSplit(rewriteFetchTies(prestoSql)))))))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -112,4 +112,37 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getLong(5) == 0L) // session zone is UTC in tests
     assert(r.getDouble(6) == 2.0 * math.log(2.0), r.getDouble(6))
   }
+
+  test("syntax spellings resolve: bare FROM UNNEST, DECIMAL literals, quantifiers, YOW (r13)") {
+    // Trino syntax probes closed this round; the known loud scope-outs
+    // are ROW-type cast field access (needs type-aware parsing) and
+    // non-equality ALL/ANY quantifiers (no exact IN equivalent)
+    val probes = Seq(
+      "SELECT x FROM (VALUES 1, 2) AS t (x)",
+      "SELECT e, o FROM UNNEST(ARRAY['a','b']) WITH ORDINALITY AS t (e, o)",
+      "SELECT DECIMAL '1.5' + DECIMAL '2.5' AS v",
+      "SELECT 1 WHERE 1 = ANY (SELECT 1)",
+      "SELECT 1 WHERE 1 = SOME (SELECT 1)",
+      "SELECT 1 WHERE 1 <> ALL (SELECT 2)",
+      "SELECT extract(YOW FROM DATE '2020-01-01') AS v")
+    val bad = probes.filter { q =>
+      try { PrestoSql.sql(spark, q).collect(); false }
+      catch { case _: Throwable => true } }
+    assert(bad.isEmpty, bad.mkString("; "))
+    // value checks
+    val r1 = PrestoSql.sql(spark,
+      "SELECT e, o FROM UNNEST(ARRAY['a','b']) WITH ORDINALITY AS t (e, o)")
+      .orderBy("o").collect()
+    assert(r1.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(r1.map(_.get(1).toString.toLong).toSeq == Seq(1L, 2L)) // 1-based
+    val d = PrestoSql.sql(spark,
+      "SELECT DECIMAL '1.25' + DECIMAL '2.50' AS v").head().getDecimal(0)
+    assert(d.compareTo(new java.math.BigDecimal("3.75")) == 0, d)
+    assert(PrestoSql.sql(spark,
+      "SELECT extract(YOW FROM DATE '2021-01-01') AS v").head().getInt(0)
+      == 2020) // Jan 1 2021 belongs to ISO week-year 2020
+    assert(PrestoSql.sql(spark,
+      "SELECT count(*) AS n FROM (SELECT 1 AS x) WHERE 1 = ANY (SELECT 1)")
+      .head().getLong(0) == 1L)
+  }
 }
