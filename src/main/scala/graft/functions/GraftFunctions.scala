@@ -274,6 +274,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StConvexHullExpression].getName,
         "st_convexhull"),
       (e: Seq[Expression]) => StConvexHullExpression(e(0))),
+    (FunctionIdentifier("st_asbinary"),
+      new ExpressionInfo(classOf[WkbExpression].getName, "st_asbinary"),
+      (e: Seq[Expression]) => WkbExpression(e(0), 0)),
+    (FunctionIdentifier("st_geomfrombinary"),
+      new ExpressionInfo(classOf[WkbExpression].getName, "st_geomfrombinary"),
+      (e: Seq[Expression]) => WkbExpression(e(0), 1)),
     (FunctionIdentifier("word_stem"),
       new ExpressionInfo(classOf[WordStemExpression].getName, "word_stem"),
       // Trino's 2-arg form takes a language code; the kernel is the

@@ -802,6 +802,185 @@ object WktCore {
     UTF8String.fromString(wkt)
   }
 
+  // ---- WKB interchange (Trino ST_AsBinary / ST_GeomFromBinary, r13) ------
+
+  /** st_asbinary(wkt) — OGC 06-103r4 well-known binary, little-endian
+    * (byte-order marker 01, the encoding mainstream producers emit).
+    * POINT / LINESTRING / MULTILINESTRING / (MULTI)POLYGON; rings emit
+    * CLOSED (first point repeated last, the spec form) with shells CCW
+    * and holes CW — the same region-normalization as to_geojson_geometry,
+    * so the binary is a pure function of the REGION, not of the input
+    * vertex rotation. EMPTY encodes as its declared type with a zero
+    * element count; each component of a MULTI carries its own byte-order
+    * marker + type header, per the spec. */
+  def toWkb(g: UTF8String): Array[Byte] = {
+    val t = g.toString.trim
+    def alloc(n: Int): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def lineBytes(c: Array[Double]): Int = 9 + 8 * c.length
+    def polyBytes(p: (Array[Double], Array[Array[Double]])): Int =
+      9 + 4 * (1 + p._2.length) +
+        16 * ((p._1.length / 2 + 1) + p._2.map(_.length / 2 + 1).sum)
+    def putHeader(bb: java.nio.ByteBuffer, typ: Int): Unit = {
+      bb.put(1.toByte); bb.putInt(typ)
+    }
+    def putRing(bb: java.nio.ByteBuffer, c: Array[Double]): Unit = {
+      val n = c.length / 2
+      bb.putInt(n + 1)
+      var i = 0
+      while (i <= n) {
+        val k = if (i == n) 0 else i
+        bb.putDouble(c(2 * k)); bb.putDouble(c(2 * k + 1))
+        i += 1
+      }
+    }
+    def putPoly(bb: java.nio.ByteBuffer,
+        p: (Array[Double], Array[Array[Double]])): Unit = {
+      putHeader(bb, 3)
+      bb.putInt(1 + p._2.length)
+      // canonRing after the orientation fix: lexicographic-min start +
+      // fixed winding = bytes are a pure function of the region
+      putRing(bb, canonRing(toCcw(p._1)))
+      p._2.foreach(h => putRing(bb, canonRing(reverseRing(toCcw(h)))))
+    }
+    def putLine(bb: java.nio.ByteBuffer, c: Array[Double]): Unit = {
+      putHeader(bb, 2)
+      bb.putInt(c.length / 2)
+      var i = 0
+      while (i < c.length) { bb.putDouble(c(i)); i += 1 }
+    }
+    val out: java.nio.ByteBuffer =
+      if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+        val p = parsePoint(t)
+        val bb = alloc(21)
+        putHeader(bb, 1); bb.putDouble(p(0)); bb.putDouble(p(1))
+        bb
+      } else if (t.equalsIgnoreCase("LINESTRING EMPTY")) {
+        val bb = alloc(9); putHeader(bb, 2); bb.putInt(0); bb
+      } else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+        val parts = parseMultiLineString(t)
+        val bb = alloc(9 + parts.map(lineBytes).sum)
+        putHeader(bb, 5); bb.putInt(parts.length)
+        parts.foreach(putLine(bb, _))
+        bb
+      } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
+        val c = parseLineString(t)
+        val bb = alloc(lineBytes(c)); putLine(bb, c); bb
+      } else {
+        val polys = geomPolys(g)
+        val multi = t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12)
+        if (polys.length == 1 && !multi) {
+          val bb = alloc(polyBytes(polys(0))); putPoly(bb, polys(0)); bb
+        } else if (polys.isEmpty && !multi) {
+          val bb = alloc(9); putHeader(bb, 3); bb.putInt(0); bb
+        } else {
+          val bb = alloc(9 + polys.map(polyBytes).sum)
+          putHeader(bb, 6); bb.putInt(polys.length)
+          polys.foreach(putPoly(bb, _))
+          bb
+        }
+      }
+    out.array()
+  }
+
+  /** st_geomfrombinary(wkb) — strict WKB reader: both byte orders,
+    * geometry types 1/2/3/5/6 only (Z/M and EWKB-SRID type flags fail
+    * LOUDLY rather than silently dropping dimensions), rings must
+    * arrive closed, trailing bytes after the geometry are loud. Output
+    * re-renders through the canonical WKT formatters, so
+    * st_geomfrombinary(st_asbinary(g)) lands exactly on canonical text
+    * (the engine's canonical EMPTY is POLYGON EMPTY for any empty
+    * areal input, matching canonMinimalWkt). */
+  def fromWkb(b: Array[Byte]): UTF8String = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    def header(): Int = {
+      require(bb.remaining >= 5, "st_geomfrombinary: truncated WKB header")
+      bb.order(bb.get() match {
+        case 0 => java.nio.ByteOrder.BIG_ENDIAN
+        case 1 => java.nio.ByteOrder.LITTLE_ENDIAN
+        case other => throw new IllegalArgumentException(
+          s"st_geomfrombinary: bad byte-order marker $other")
+      })
+      val typ = bb.getInt
+      // EWKB flag bits / ISO 1000-offsets carry Z/M/SRID payloads this
+      // 2-D model cannot represent — loud beats silently dropping them
+      require((typ & 0xE0000000) == 0 && typ < 1000,
+        s"st_geomfrombinary: unsupported type code $typ (Z/M/SRID " +
+          "variants are not supported)")
+      typ
+    }
+    def count(what: String): Int = {
+      require(bb.remaining >= 4, s"st_geomfrombinary: truncated $what count")
+      val n = bb.getInt
+      require(n >= 0, s"st_geomfrombinary: negative $what count $n")
+      n
+    }
+    def coords(n: Int, what: String): Array[Double] = {
+      require(bb.remaining >= 16L * n, s"st_geomfrombinary: truncated $what")
+      val c = new Array[Double](2 * n)
+      var i = 0
+      while (i < 2 * n) { c(i) = bb.getDouble; i += 1 }
+      c
+    }
+    def lineBody(minPts: Int): Array[Double] = {
+      val n = count("LineString point")
+      require(n == 0 || n >= minPts,
+        s"st_geomfrombinary: LineString needs >= $minPts points, got $n")
+      coords(n, "LineString")
+    }
+    def ringBody(): Array[Double] = {
+      val n = count("ring point")
+      require(n >= 4, s"st_geomfrombinary: ring needs >= 4 points, got $n")
+      val c = coords(n, "ring")
+      require(c(0) == c(2 * n - 2) && c(1) == c(2 * n - 1),
+        "st_geomfrombinary: ring is not closed")
+      java.util.Arrays.copyOf(c, c.length - 2)
+    }
+    def polyBody(): Array[(Array[Double], Array[Array[Double]])] = {
+      val r = count("ring")
+      if (r == 0) Array.empty
+      else {
+        val rings = Array.fill(r)(ringBody())
+        Array((rings(0), rings.drop(1)))
+      }
+    }
+    def nested(expectType: Int, what: String): Unit = {
+      val typ = header()
+      require(typ == expectType,
+        s"st_geomfrombinary: $what component has type $typ, " +
+          s"expected $expectType")
+    }
+    val wkt = header() match {
+      case 1 =>
+        require(bb.remaining >= 16, "st_geomfrombinary: truncated POINT")
+        "POINT (" + fmtCoord(bb.getDouble) + " " + fmtCoord(bb.getDouble) + ")"
+      case 2 =>
+        val c = lineBody(2)
+        if (c.isEmpty) "LINESTRING EMPTY" else fmtLines(Array(c))
+      case 3 => fmtGeom(polyBody())
+      case 5 =>
+        val parts = count("MultiLineString component")
+        fmtLines(Array.fill(parts) { nested(2, "MultiLineString")
+          val c = lineBody(2)
+          require(c.nonEmpty,
+            "st_geomfrombinary: empty MultiLineString component")
+          c })
+      case 6 =>
+        val comps = count("MultiPolygon component")
+        fmtGeom(Array.fill(comps) { nested(3, "MultiPolygon")
+          val p = polyBody()
+          require(p.nonEmpty,
+            "st_geomfrombinary: empty MultiPolygon component")
+          p(0) })
+      case other => throw new IllegalArgumentException(
+        s"st_geomfrombinary: unsupported geometry type $other")
+    }
+    require(bb.remaining == 0,
+      "st_geomfrombinary: trailing bytes after the geometry")
+    UTF8String.fromString(wkt)
+  }
+
   // ---- simplify_geometry (Douglas–Peucker, r13) --------------------------
 
   /** DP over an OPEN polyline: keep endpoints; if the farthest interior
@@ -3054,4 +3233,28 @@ case class StInvalidReasonExpression(child: Expression)
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): StInvalidReasonExpression = copy(child = newChild)
+}
+
+/** `st_asbinary(wkt)` → BINARY / `st_geomfrombinary(wkb)` → canonical
+  * WKT — OGC well-known-binary interchange (op 0 = to, 1 = from); see
+  * WktCore.toWkb / fromWkb for the encoding contract. */
+case class WkbExpression(child: Expression, op: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    if (op == 0) org.apache.spark.sql.types.BinaryType else StringType
+  override def prettyName: String =
+    if (op == 0) "st_asbinary" else "st_geomfrombinary"
+
+  override protected def nullSafeEval(g: Any): Any =
+    if (op == 0) WktCore.toWkb(g.asInstanceOf[UTF8String])
+    else WktCore.fromWkb(g.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (op == 0) s"graft.functions.WktCore.toWkb($c)"
+      else s"graft.functions.WktCore.fromWkb($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WkbExpression = copy(child = newChild)
 }

@@ -1435,6 +1435,44 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21v: WKB interchange (r13 — Trino's ST_AsBinary /
+    // ST_GeomFromBinary): OGC well-known binary, little-endian, rings
+    // closed + region-normalized (canonical rotation, shells CCW /
+    // holes CW). Byte LENGTHS are closed forms (9-byte headers, 4-byte
+    // ring counts, 16 bytes per point incl. the ring closer), round
+    // trips land exactly on canonical text, areas survive the trip,
+    // and a constant geometry pins the exact hex in both engines.
+    "sc21v_geo_wkb" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, q6, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.holesFixtures(s, d)
+        .withColumn("dhole", GF.stDifference(col("big"), col("inner")))
+        .withColumn("r1", rect(col("cx"), col("cy"), col("a"), col("b")))
+        .withColumn("mp", GF.stUnion(col("r1"), col("big_far")))
+        .withColumn("lineA", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a") * 2, col("cy")))))
+      g.select(col("n_nationkey"),
+          length(f("st_asbinary", point(col("cx"), col("cy"))))
+            .cast("long").as("len_point"),
+          length(f("st_asbinary", col("r1"))).cast("long").as("len_rect"),
+          length(f("st_asbinary", col("dhole"))).cast("long").as("len_holed"),
+          length(f("st_asbinary", col("mp"))).cast("long").as("len_multi"),
+          length(f("st_asbinary", col("lineA"))).cast("long").as("len_line"),
+          (f("st_geomfrombinary", f("st_asbinary", col("dhole")))
+            === col("dhole")).as("rt_holed"),
+          (f("st_geomfrombinary", f("st_asbinary", col("mp")))
+            === col("mp")).as("rt_multi"),
+          q6(GF.stArea(f("st_geomfrombinary",
+            f("st_asbinary", col("dhole"))))).as("rt_area_q6"),
+          lower(hex(f("st_asbinary", lit("POINT (1 2)")))).as("hex_unit"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2515,6 +2553,27 @@ object Scalars extends QueryModule {
         |  true AS rt_line,
         |  CAST(floor(2 * a * b * 1e6 + 0.5) AS BIGINT) AS rt_multi_q6,
         |  true AS rt_multi_same
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21v: WKB byte lengths are closed forms over the fixtures'
+    // vertex counts; the unit-point hex is the OGC little-endian
+    // constant; the holed round-trip area is big (4ab) − inner (ab)
+    "sc21v_geo_wkb" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(21 AS BIGINT) AS len_point,
+        |  CAST(93 AS BIGINT) AS len_rect,
+        |  CAST(177 AS BIGINT) AS len_holed,
+        |  CAST(195 AS BIGINT) AS len_multi,
+        |  CAST(57 AS BIGINT) AS len_line,
+        |  true AS rt_holed,
+        |  true AS rt_multi,
+        |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS rt_area_q6,
+        |  '0101000000000000000000f03f0000000000000040' AS hex_unit
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

@@ -145,4 +145,19 @@ class DialectCanarySpec extends SparkSpec {
       "SELECT count(*) AS n FROM (SELECT 1 AS x) WHERE 1 = ANY (SELECT 1)")
       .head().getLong(0) == 1L)
   }
+
+  test("WKB spellings resolve through the dialect: ST_AsBinary / ST_GeomFromBinary (r13)") {
+    // native registrations carry Trino's exact names, so the geospatial
+    // page's WKB pair runs unmodified through the dialect path
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  lower(to_hex(ST_AsBinary(ST_GeometryFromText('POINT (1 2)')))) AS h,
+        |  ST_AsText(ST_GeomFromBinary(ST_AsBinary(
+        |    ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')))) AS rt
+        |""".stripMargin).head()
+    assert(r.getString(0) ==
+      "0101000000000000000000f03f0000000000000040")
+    assert(r.getString(1) ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+  }
 }

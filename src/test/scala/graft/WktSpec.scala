@@ -751,4 +751,72 @@ class WktSpec extends SparkSpec {
     // d = 0 on a concave ring normalizes instead of throwing (r13)
     assert(a(WktCore.bufferWkt(u(ell), 0.0).toString) == 3.0)
   }
+
+  test("WKB interchange: exact bytes, round trips, both orders, loud scoping (r13)") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def hexOf(s: String): String =
+      java.util.HexFormat.of().formatHex(WktCore.toWkb(u(s)))
+    def rt(s: String): String =
+      WktCore.fromWkb(WktCore.toWkb(u(s))).toString
+
+    // exact little-endian bytes for the spec's own worked example shape
+    assert(hexOf("POINT (1 2)") ==
+      "0101000000000000000000f03f0000000000000040")
+    // zero-element encodings: declared type, count 0
+    assert(hexOf("POLYGON EMPTY") == "010300000000000000")
+    assert(hexOf("LINESTRING EMPTY") == "010200000000000000")
+    assert(hexOf("MULTIPOLYGON EMPTY") == "010600000000000000")
+
+    // round trips land on canonical text (doubles render with .0)
+    assert(rt("POINT (-3.5 0.25)") == "POINT (-3.5 0.25)")
+    assert(rt("LINESTRING (0 0, 2 1, 4 0)") ==
+      "LINESTRING (0.0 0.0, 2.0 1.0, 4.0 0.0)")
+    val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert(rt(sq) ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    val holed = WktCore.differenceWkt(u(sq),
+      u("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")).toString
+    assert(rt(holed) == holed)
+    val mp = WktCore.unionWkt(u(sq),
+      u("POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))")).toString
+    assert(mp.startsWith("MULTIPOLYGON") && rt(mp) == mp)
+    assert(rt("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0, 3 1))") ==
+      "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 3.0 0.0, 3.0 1.0))")
+    // canonical EMPTY is POLYGON EMPTY for any empty areal (the
+    // canonMinimalWkt convention)
+    assert(rt("MULTIPOLYGON EMPTY") == "POLYGON EMPTY")
+
+    // the binary is a pure function of the REGION: rotated start vertex
+    // and reversed winding encode to identical bytes
+    assert(hexOf(sq) == hexOf("POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"))
+    assert(hexOf(sq) == hexOf("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))"))
+
+    // big-endian input parses (byte-order marker 00)
+    val be = java.util.HexFormat.of().parseHex(
+      "00000000013ff00000000000004000000000000000")
+    assert(WktCore.fromWkb(be).toString == "POINT (1.0 2.0)")
+
+    // loud scoping: bad marker, unknown type, Z/M/SRID flags, trailing
+    // bytes, unclosed ring, truncation
+    def bad(hex: String): Unit = intercept[IllegalArgumentException] {
+      WktCore.fromWkb(java.util.HexFormat.of().parseHex(hex))
+    }
+    bad("02010000000000000000000000000000000000f03f") // byte order 2
+    bad("0107000000")                                 // GEOMETRYCOLLECTION
+    bad("01010000a0")                                 // EWKB Z|SRID flags
+    bad("0101000000000000000000f03f000000000000004000") // trailing byte
+    bad("0101000000000000000000f03f")                 // truncated point
+    // polygon whose single ring is not closed
+    bad("010300000001000000040000000000000000000000000000000000000000" +
+      "000000000000f03f0000000000000000000000000000f03f000000000000f03f")
+
+    // codegen parity: hex(st_asbinary) and the round trip inside a plan
+    graft.functions.GraftFunctions.register(SparkSpec.spark)
+    val row = Seq((sq, holed)).toDF("sq", "holed")
+      .selectExpr("lower(hex(st_asbinary(sq))) AS h",
+        "st_geomfrombinary(st_asbinary(holed)) AS rt")
+      .head()
+    assert(row.getString(0) == hexOf(sq))
+    assert(row.getString(1) == holed)
+  }
 }
