@@ -274,6 +274,23 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StConvexHullExpression].getName,
         "st_convexhull"),
       (e: Seq[Expression]) => StConvexHullExpression(e(0))),
+    (FunctionIdentifier("geometry_nearest_points"),
+      new ExpressionInfo(classOf[GeometryNearestPointsExpression].getName,
+        "geometry_nearest_points"),
+      (e: Seq[Expression]) => GeometryNearestPointsExpression(e(0), e(1))),
+    (FunctionIdentifier("line_interpolate_points"),
+      new ExpressionInfo(classOf[LineInterpolatePointsExpression].getName,
+        "line_interpolate_points"),
+      (e: Seq[Expression]) =>
+        LineInterpolatePointsExpression(e(0), dbl(e(1)))),
+    (FunctionIdentifier("st_issimple"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_issimple"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 8)),
+    (FunctionIdentifier("st_coorddim"),
+      new ExpressionInfo(classOf[StGeomInfoExpression].getName,
+        "st_coorddim"),
+      (e: Seq[Expression]) => StGeomInfoExpression(e(0), 9)),
     (FunctionIdentifier("st_asbinary"),
       new ExpressionInfo(classOf[WkbExpression].getName, "st_asbinary"),
       (e: Seq[Expression]) => WkbExpression(e(0), 0)),

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -607,6 +608,171 @@ object WktCore {
         ptSegDist2(s1(2), s1(3), s2(0), s2(1), s2(2), s2(3))),
       math.min(ptSegDist2(s2(0), s2(1), s1(0), s1(1), s1(2), s1(3)),
         ptSegDist2(s2(2), s2(3), s1(0), s1(1), s1(2), s1(3))))
+
+  // ---- geometry_nearest_points (Trino geospatial page, r13) --------------
+
+  /** geometry_nearest_points(a, b) — the closest point PAIR across the
+    * point/line/polygon matrix, as [POINT a-side, POINT b-side]. NULL
+    * when either geometry is EMPTY (Trino's convention). Intersecting
+    * inputs are LOUD: their distance is 0 but the realizing point is
+    * not unique, and this engine refuses to pick one silently (same
+    * scoping rule as the clipping tiers' tangency conventions). Over
+    * disjoint inputs the minimum is attained at a segment endpoint's
+    * projection — the same four-projection reduction as st_distance —
+    * and ties resolve to the first segment pair in document order
+    * (deterministic). */
+  def nearestPointsWkt(a: UTF8String, b: UTF8String): ArrayData = {
+    val ta = a.toString.trim
+    val tb = b.toString.trim
+    def empt(t: String): Boolean =
+      t.equalsIgnoreCase("POLYGON EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
+        t.equalsIgnoreCase("LINESTRING EMPTY")
+    if (empt(ta) || empt(tb)) return null
+    require(!intersectsWkt(a, b),
+      "geometry_nearest_points: inputs intersect (distance 0) - the " +
+        "nearest pair is not unique; test st_intersects first")
+    val sa = segmentsOf(a)
+    val sb = segmentsOf(b)
+    var best = Double.MaxValue
+    var ax = 0.0; var ay = 0.0; var bx = 0.0; var by = 0.0
+    // projection of p onto segment (ux,uy)-(vx,vy); writes (d2, x, y)
+    val tmp = new Array[Double](3)
+    def proj(px: Double, py: Double, ux: Double, uy: Double,
+        vx: Double, vy: Double): Unit = {
+      val dx = vx - ux; val dy = vy - uy
+      val len2 = dx * dx + dy * dy
+      val t =
+        if (len2 == 0) 0.0
+        else {
+          val raw = ((px - ux) * dx + (py - uy) * dy) / len2
+          if (raw < 0) 0.0 else if (raw > 1) 1.0 else raw
+        }
+      val qx = ux + t * dx; val qy = uy + t * dy
+      val ex = qx - px; val ey = qy - py
+      tmp(0) = ex * ex + ey * ey; tmp(1) = qx; tmp(2) = qy
+    }
+    var i = 0
+    while (i < sa.length) {
+      val s1 = sa(i)
+      var j = 0
+      while (j < sb.length) {
+        val s2 = sb(j)
+        // a-side endpoints against the b segment
+        proj(s1(0), s1(1), s2(0), s2(1), s2(2), s2(3))
+        if (tmp(0) < best) {
+          best = tmp(0); ax = s1(0); ay = s1(1); bx = tmp(1); by = tmp(2)
+        }
+        proj(s1(2), s1(3), s2(0), s2(1), s2(2), s2(3))
+        if (tmp(0) < best) {
+          best = tmp(0); ax = s1(2); ay = s1(3); bx = tmp(1); by = tmp(2)
+        }
+        // b-side endpoints against the a segment
+        proj(s2(0), s2(1), s1(0), s1(1), s1(2), s1(3))
+        if (tmp(0) < best) {
+          best = tmp(0); ax = tmp(1); ay = tmp(2); bx = s2(0); by = s2(1)
+        }
+        proj(s2(2), s2(3), s1(0), s1(1), s1(2), s1(3))
+        if (tmp(0) < best) {
+          best = tmp(0); ax = tmp(1); ay = tmp(2); bx = s2(2); by = s2(3)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](pointStr(ax, ay), pointStr(bx, by)))
+  }
+
+  /** st_issimple — no anomalous self-contact. POINT and EMPTY are
+    * simple; a LINESTRING is simple when non-adjacent segments never
+    * touch, adjacent segments meet ONLY at their shared vertex (no
+    * collinear fold-back), and no consecutive vertices repeat (a
+    * zero-length segment is self-tangency here); a closed line may
+    * share exactly first = last. Areal inputs are simple when every
+    * ring (shells and holes, all components) is free of
+    * self-intersection and has nonzero area — the bow-tie POLYGON is
+    * false, not loud, because simplicity is exactly the question being
+    * asked. MULTILINESTRING needs part-pairwise boundary rules this
+    * model does not track — loud, documented. */
+  def isSimpleWkt(g: UTF8String): Boolean = {
+    val t = g.toString.trim
+    if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("POLYGON EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOLYGON EMPTY")) return true
+    require(!t.regionMatches(true, 0, "MULTILINESTRING", 0, 15),
+      "st_issimple: MULTILINESTRING is not supported (part-pairwise " +
+        "boundary rules) - test the parts individually")
+    WktOverlay.kindOf(g) match {
+      case 0 => parsePoint(t); true
+      case 1 =>
+        val c = parseLineString(t)
+        val n = c.length / 2
+        val closed = c(0) == c(2 * n - 2) && c(1) == c(2 * n - 1)
+        val m = n - 1 // segment count
+        var i = 0
+        while (i < m) {
+          val ax = c(2 * i); val ay = c(2 * i + 1)
+          val bx = c(2 * i + 2); val by = c(2 * i + 3)
+          if (ax == bx && ay == by) return false // zero-length segment
+          var j = i + 1
+          while (j < m) {
+            val cx = c(2 * j); val cy = c(2 * j + 1)
+            val dx = c(2 * j + 2); val dy = c(2 * j + 3)
+            val adjacent = j == i + 1 ||
+              (closed && i == 0 && j == m - 1)
+            if (adjacent) {
+              // shared vertex is legal; fold-back onto the other
+              // segment's interior is not
+              val sx = if (j == i + 1) cx else ax
+              val sy = if (j == i + 1) cy else ay
+              // the two non-shared endpoints must be OFF the other seg
+              val (oax, oay) = if (j == i + 1) (ax, ay) else (bx, by)
+              val (obx, oby) = if (j == i + 1) (dx, dy) else (cx, cy)
+              if (ptSegDist2(oax, oay, cx, cy, dx, dy) == 0 &&
+                  !(oax == sx && oay == sy)) return false
+              if (ptSegDist2(obx, oby, ax, ay, bx, by) == 0 &&
+                  !(obx == sx && oby == sy)) return false
+            } else if (segIntersect(ax, ay, bx, by, cx, cy, dx, dy)) {
+              return false
+            }
+            j += 1
+          }
+          i += 1
+        }
+        true
+      case _ =>
+        geomPolys(g).forall { case (shell, holes) =>
+          (shell +: holes.toSeq).forall { r =>
+            r.length >= 6 && signedArea2(r) != 0 &&
+              selfIntersection(r).isEmpty
+          }
+        }
+    }
+  }
+
+  /** st_coorddim — this model is strictly 2-D; the parse validates. */
+  def coordDim(g: UTF8String): Long = {
+    isEmptyGeom(g) // full parse via the kind dispatch; loud on malformed
+    2L
+  }
+
+  /** line_interpolate_points(line, fraction) — POINTs at fraction,
+    * 2·fraction, …, ⌊1/fraction⌋·fraction of the line's length (Trino's
+    * contract: 0 < fraction ≤ 1, count = floor(1/fraction); fraction
+    * 0.25 includes the endpoint, 0.4 stops at 0.8). */
+  def lineInterpolatePoints(line: UTF8String, frac: Double): ArrayData = {
+    require(frac > 0 && frac <= 1,
+      s"line_interpolate_points: fraction must be in (0, 1], got $frac")
+    val k = math.floor(1.0 / frac).toInt
+    val out = new Array[Any](k)
+    var i = 1
+    while (i <= k) {
+      out(i - 1) = lineInterpolatePoint(line, math.min(i * frac, 1.0))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   // ---- GeoJSON interchange (Trino to/from_geojson_geometry, r13) ---------
 
@@ -2671,13 +2837,13 @@ case class SimplifyGeometryExpression(left: Expression, right: Expression)
 /** Unary geometry info accessors, op-dispatched (r13): 0 =
   * st_geometrytype, 1 = st_isempty, 2 = st_dimension, 3 =
   * st_numpoints, 4 = st_startpoint, 5 = st_endpoint, 6 = st_isclosed,
-  * 7 = st_isring. */
+  * 7 = st_isring, 8 = st_issimple, 9 = st_coorddim. */
 case class StGeomInfoExpression(child: Expression, op: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = op match {
     case 0 | 4 | 5 => StringType
-    case 1 | 6 | 7 => BooleanType
+    case 1 | 6 | 7 | 8 => BooleanType
     case _ => LongType
   }
   override def prettyName: String = op match {
@@ -2688,6 +2854,8 @@ case class StGeomInfoExpression(child: Expression, op: Int)
     case 4 => "st_startpoint"
     case 5 => "st_endpoint"
     case 6 => "st_isclosed"
+    case 8 => "st_issimple"
+    case 9 => "st_coorddim"
     case _ => "st_isring"
   }
 
@@ -2701,6 +2869,8 @@ case class StGeomInfoExpression(child: Expression, op: Int)
       case 4 => WktCore.lineTerminal(u, end = false)
       case 5 => WktCore.lineTerminal(u, end = true)
       case 6 => WktCore.isClosedLine(u)
+      case 8 => WktCore.isSimpleWkt(u)
+      case 9 => WktCore.coordDim(u)
       case _ => WktCore.isRingLine(u)
     }
   }
@@ -2714,6 +2884,8 @@ case class StGeomInfoExpression(child: Expression, op: Int)
       case 4 => (c: String) => s"graft.functions.WktCore.lineTerminal($c, false)"
       case 5 => (c: String) => s"graft.functions.WktCore.lineTerminal($c, true)"
       case 6 => (c: String) => s"graft.functions.WktCore.isClosedLine($c)"
+      case 8 => (c: String) => s"graft.functions.WktCore.isSimpleWkt($c)"
+      case 9 => (c: String) => s"graft.functions.WktCore.coordDim($c)"
       case _ => (c: String) => s"graft.functions.WktCore.isRingLine($c)"
     }
     defineCodeGen(ctx, ev, call)
@@ -3257,4 +3429,50 @@ case class WkbExpression(child: Expression, op: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): WkbExpression = copy(child = newChild)
+}
+
+/** `geometry_nearest_points(a, b)` → [POINT, POINT] (NULL on EMPTY);
+  * see WktCore.nearestPointsWkt for the contract. */
+case class GeometryNearestPointsExpression(left: Expression,
+    right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geometry_nearest_points"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WktCore.nearestPointsWkt(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.WktCore.nearestPointsWkt($a, $b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GeometryNearestPointsExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `line_interpolate_points(line, fraction)` → array of POINTs at each
+  * fraction multiple (Trino's count = floor(1/fraction)). */
+case class LineInterpolatePointsExpression(left: Expression,
+    right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "line_interpolate_points"
+
+  override protected def nullSafeEval(g: Any, f: Any): Any =
+    WktCore.lineInterpolatePoints(g.asInstanceOf[UTF8String],
+      f.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, f) =>
+      s"${ev.value} = graft.functions.WktCore.lineInterpolatePoints($g, $f);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LineInterpolatePointsExpression =
+    copy(left = newLeft, right = newRight)
 }

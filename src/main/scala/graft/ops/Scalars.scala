@@ -1473,6 +1473,49 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21w: geometry_nearest_points + st_issimple + st_coorddim +
+    // line_interpolate_points (r13 — the remaining small Trino
+    // geospatial surface). Nearest pairs are dyadic closed forms
+    // (edge-projection to a point, corner-to-corner between diagonal
+    // rects — fixtures chosen so the argmin is UNIQUE, never a tie);
+    // interpolation fractions land on exact dyadic targets.
+    "sc21w_geo_nearest_simple" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import GeoFix.{line, point, poly, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.base(s, d)
+        .withColumn("r1", rect(col("cx"), col("cy"), col("a"), col("b")))
+        .withColumn("far", rect(col("cx") + col("a") + 2,
+          col("cy") + col("b") + 1, col("a"), col("b")))
+        .withColumn("pt", point(col("cx") - 3, col("cy") - 4))
+        .withColumn("lineA", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + 3, col("cy")),
+          (col("cx") + 3, col("cy") + 1))))
+        .withColumn("bow", poly(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")),
+          (col("cx") + col("a"), col("cy")),
+          (col("cx"), col("cy") + col("b")),
+          (col("cx"), col("cy")))))
+      g.select(col("n_nationkey"),
+          element_at(f("geometry_nearest_points", col("r1"), col("pt")), 1)
+            .as("np_a"),
+          element_at(f("geometry_nearest_points", col("r1"), col("pt")), 2)
+            .as("np_b"),
+          element_at(f("geometry_nearest_points", col("r1"), col("far")), 1)
+            .as("np2_a"),
+          element_at(f("geometry_nearest_points", col("r1"), col("far")), 2)
+            .as("np2_b"),
+          f("st_issimple", col("lineA")).as("simp_line"),
+          f("st_issimple", col("bow")).as("simp_bow"),
+          f("st_coorddim", col("r1")).as("cdim"),
+          array_join(f("line_interpolate_points", col("lineA"),
+            lit(0.25)), "|").as("interp_q"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2574,6 +2617,36 @@ object Scalars extends QueryModule {
         |  true AS rt_multi,
         |  CAST(floor(3 * a * b * 1e6 + 0.5) AS BIGINT) AS rt_area_q6,
         |  '0101000000000000000000f03f0000000000000040' AS hex_unit
+        |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21w: nearest-pair points and quarter interpolants as exact
+    // dyadic texts by string construction
+    "sc21w_geo_nearest_simple" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS np_a,
+        |  concat('POINT (', CAST(cx - 3 AS VARCHAR), ' ',
+        |    CAST(cy - 4 AS VARCHAR), ')') AS np_b,
+        |  concat('POINT (', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ')') AS np2_a,
+        |  concat('POINT (', CAST(cx + a + 2 AS VARCHAR), ' ',
+        |    CAST(cy + b + 1 AS VARCHAR), ')') AS np2_b,
+        |  true AS simp_line,
+        |  false AS simp_bow,
+        |  CAST(2 AS BIGINT) AS cdim,
+        |  concat(
+        |    'POINT (', CAST(cx + 1 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+        |    ')|POINT (', CAST(cx + 2 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+        |    ')|POINT (', CAST(cx + 3 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+        |    ')|POINT (', CAST(cx + 3 AS VARCHAR), ' ',
+        |    CAST(cy + 1 AS VARCHAR), ')') AS interp_q
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

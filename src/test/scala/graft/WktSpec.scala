@@ -752,6 +752,71 @@ class WktSpec extends SparkSpec {
     assert(a(WktCore.bufferWkt(u(ell), 0.0).toString) == 3.0)
   }
 
+  test("geometry_nearest_points / st_issimple / st_coorddim / line_interpolate_points (r13)") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def np(a: String, b: String): (String, String) = {
+      val r = WktCore.nearestPointsWkt(u(a), u(b))
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+    val sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    // point to edge interior: the projection realizes the pair
+    assert(np(sq, "POINT (0.5 3)") == ("POINT (0.5 1.0)", "POINT (0.5 3.0)"))
+    // corner-to-corner between diagonal rects
+    assert(np(sq, "POLYGON ((3 2, 4 2, 4 3, 3 3, 3 2))") ==
+      ("POINT (1.0 1.0)", "POINT (3.0 2.0)"))
+    // line to point
+    assert(np("LINESTRING (0 0, 4 0)", "POINT (2 2)") ==
+      ("POINT (2.0 0.0)", "POINT (2.0 2.0)"))
+    // NULL on EMPTY; loud on intersecting inputs
+    assert(WktCore.nearestPointsWkt(u("POLYGON EMPTY"), u(sq)) == null)
+    intercept[IllegalArgumentException] {
+      WktCore.nearestPointsWkt(u(sq), u("POLYGON ((0.5 0.5, 2 0.5, 2 2, 0.5 2, 0.5 0.5))"))
+    }
+
+    // st_issimple over the matrix
+    assert(WktCore.isSimpleWkt(u("POINT (1 2)")))
+    assert(WktCore.isSimpleWkt(u("LINESTRING (0 0, 2 0, 2 2)")))
+    assert(WktCore.isSimpleWkt(u("LINESTRING (0 0, 1 0, 1 1, 0 0)"))) // ring
+    assert(!WktCore.isSimpleWkt(u("LINESTRING (0 0, 2 2, 2 0, 0 2)"))) // cross
+    assert(!WktCore.isSimpleWkt(u("LINESTRING (0 0, 2 0, 1 0)"))) // fold-back
+    assert(!WktCore.isSimpleWkt(u("LINESTRING (0 0, 0 0, 1 1)"))) // zero-seg
+    assert(WktCore.isSimpleWkt(u(sq)))
+    assert(!WktCore.isSimpleWkt(u("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")))
+    assert(WktCore.isSimpleWkt(u("POLYGON EMPTY")))
+    intercept[IllegalArgumentException] {
+      WktCore.isSimpleWkt(u("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))"))
+    }
+
+    // st_coorddim validates the parse
+    assert(WktCore.coordDim(u(sq)) == 2L)
+    intercept[IllegalArgumentException] { WktCore.coordDim(u("POLYGO (1)")) }
+
+    // line_interpolate_points: Trino's count = floor(1/fraction)
+    def ip(l: String, f: Double): Seq[String] = {
+      val r = WktCore.lineInterpolatePoints(u(l), f)
+      (0 until r.numElements()).map(r.getUTF8String(_).toString)
+    }
+    assert(ip("LINESTRING (0 0, 3 0, 3 1)", 0.25) == Seq(
+      "POINT (1.0 0.0)", "POINT (2.0 0.0)", "POINT (3.0 0.0)",
+      "POINT (3.0 1.0)"))
+    assert(ip("LINESTRING (0 0, 4 0)", 0.5) ==
+      Seq("POINT (2.0 0.0)", "POINT (4.0 0.0)"))
+    intercept[IllegalArgumentException] {
+      WktCore.lineInterpolatePoints(u("LINESTRING (0 0, 1 0)"), 0.0)
+    }
+
+    // codegen parity inside a plan
+    graft.functions.GraftFunctions.register(SparkSpec.spark)
+    val row = Seq((sq, "POINT (0.5 3)")).toDF("g", "p")
+      .selectExpr("geometry_nearest_points(g, p) AS np",
+        "st_issimple(g) AS simp", "st_coorddim(g) AS cd",
+        "line_interpolate_points('LINESTRING (0 0, 4 0)', 0.5d) AS ips")
+      .head()
+    assert(row.getSeq[String](0) == Seq("POINT (0.5 1.0)", "POINT (0.5 3.0)"))
+    assert(row.getBoolean(1) && row.getLong(2) == 2L)
+    assert(row.getSeq[String](3) == Seq("POINT (2.0 0.0)", "POINT (4.0 0.0)"))
+  }
+
   test("WKB interchange: exact bytes, round trips, both orders, loud scoping (r13)") {
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     def hexOf(s: String): String =
