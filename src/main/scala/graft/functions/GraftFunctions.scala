@@ -291,6 +291,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StGeomInfoExpression].getName,
         "st_coorddim"),
       (e: Seq[Expression]) => StGeomInfoExpression(e(0), 9)),
+    (FunctionIdentifier("to_spherical_geography"),
+      new ExpressionInfo(classOf[SphericalGeographyExpression].getName,
+        "to_spherical_geography"),
+      (e: Seq[Expression]) => SphericalGeographyExpression(e(0), 0)),
+    (FunctionIdentifier("to_geometry"),
+      new ExpressionInfo(classOf[SphericalGeographyExpression].getName,
+        "to_geometry"),
+      (e: Seq[Expression]) => SphericalGeographyExpression(e(0), 1)),
     (FunctionIdentifier("st_asbinary"),
       new ExpressionInfo(classOf[WkbExpression].getName, "st_asbinary"),
       (e: Seq[Expression]) => WkbExpression(e(0), 0)),

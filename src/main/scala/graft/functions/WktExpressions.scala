@@ -537,6 +537,16 @@ object WktCore {
     * holed polygon from inside its hole is the distance to the hole
     * ring — the ring sweep covers interior rings naturally. */
   def distanceWkt(a: UTF8String, b: UTF8String): Double = {
+    // GEOGRAPHY-tagged operands: great-circle meters, POINT × POINT
+    // only (Trino's documented spherical ST_Distance scope); a
+    // geometry×geography mix is a type error, loud (r13)
+    val ta = a.toString.trim
+    val tb = b.toString.trim
+    if (isGeographyText(ta) || isGeographyText(tb)) {
+      require(isGeographyText(ta) && isGeographyText(tb),
+        "st_distance: cannot mix GEOMETRY and GEOGRAPHY operands")
+      return geographyDistance(ta, tb)
+    }
     if (intersectsWkt(a, b)) return 0.0
     val sa = segmentsOf(a)
     val sb = segmentsOf(b)
@@ -1433,15 +1443,146 @@ object WktCore {
     * outer ring. Term and accumulation order are FIXED (i ascending,
     * left-associated sum) so an oracle can mirror the arithmetic
     * operation-for-operation. */
-  def area(poly: UTF8String): Double =
+  def area(poly: UTF8String): Double = {
     // EMPTY has zero area (Trino's ST_Area convention); a
     // MULTIPOLYGON's area is the sum over components (general-tier
     // components have disjoint interiors); a component's interior
-    // rings SUBTRACT (holes carve area out)
-    geomPolys(poly).map(polyArea).sum
+    // rings SUBTRACT (holes carve area out). GEOGRAPHY-tagged input
+    // dispatches to the spherical-excess kernel (m², r13).
+    val t = poly.toString.trim
+    if (isGeographyText(t)) geographyArea(t)
+    else geomPolys(poly).map(polyArea).sum
+  }
 
   private def polyArea(p: (Array[Double], Array[Array[Double]])): Double =
     ringArea(p._1) - p._2.map(ringArea).sum
+
+  // ---- spherical geography (Trino to_spherical_geography tier, r13) -----
+  // The engine models Trino's SphericalGeography TYPE as a text tag:
+  // to_spherical_geography prefixes the WKT with "GEOGRAPHY " after
+  // validating lon/lat ranges, to_geometry strips it, and the three
+  // measures (st_distance / st_area / st_length) dispatch on the tag —
+  // a poor-man's type exactly strong enough that geometry×geography
+  // mixes and unsupported operations fail LOUDLY, like Trino's type
+  // errors, instead of silently computing planar math on degrees.
+
+  private[functions] val GeoTag = "GEOGRAPHY "
+
+  private def isGeographyText(t: String): Boolean = t.startsWith(GeoTag)
+
+  /** to_spherical_geography(geom) — validates the kind parses and every
+    * vertex is a lon/lat pair in range (x = longitude, per the
+    * geospatial convention), then tags. EMPTY tags as-is. */
+  def toSphericalGeography(g: UTF8String): UTF8String = {
+    val t = g.toString.trim
+    require(!isGeographyText(t),
+      "to_spherical_geography: input is already a geography")
+    def check(x: Double, y: Double): Unit = {
+      require(x >= -180.0 && x <= 180.0,
+        s"to_spherical_geography: longitude $x out of [-180, 180]")
+      require(y >= -90.0 && y <= 90.0,
+        s"to_spherical_geography: latitude $y out of [-90, 90]")
+    }
+    if (!isEmptyGeom(g)) WktOverlay.kindOf(g) match {
+      case 0 => val p = parsePoint(t); check(p(0), p(1))
+      case 1 =>
+        val c = parseLineString(t)
+        var i = 0
+        while (2 * i < c.length) { check(c(2 * i), c(2 * i + 1)); i += 1 }
+      case _ =>
+        geomPolys(g).foreach { case (shell, holes) =>
+          (shell +: holes.toSeq).foreach { r =>
+            var i = 0
+            while (2 * i < r.length) { check(r(2 * i), r(2 * i + 1)); i += 1 }
+          }
+        }
+    }
+    UTF8String.fromString(GeoTag + t)
+  }
+
+  /** to_geometry(geography) — strips the tag (loud on plain geometry). */
+  def sphericalToGeometry(g: UTF8String): UTF8String = {
+    val t = g.toString.trim
+    require(isGeographyText(t),
+      "to_geometry: input is not a spherical geography")
+    UTF8String.fromString(t.substring(GeoTag.length))
+  }
+
+  // π/180 and 2R(km) — the same literals as the dialect's
+  // great_circle_distance body, so all three engines (this kernel, the
+  // temp-function SQL, the DuckDB oracle mirror) fold identical trees
+  private final val DegRad = 0.017453292519943295
+  private final val TwoRKm = 12742.0176
+  private final val RMeters = 6371008.8
+
+  /** Great-circle METERS between two lon/lat points — the haversine of
+    * GeoFunctions.haversineKm with identical association order, scaled
+    * by 1000 as the final op. */
+  private def gcMeters(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val sdp = math.sin((lat2 * DegRad - lat1 * DegRad) / 2)
+    val sdl = math.sin((lon2 * DegRad - lon1 * DegRad) / 2)
+    val a = sdp * sdp +
+      math.cos(lat1 * DegRad) * math.cos(lat2 * DegRad) * sdl * sdl
+    TwoRKm * math.asin(math.sqrt(math.min(a, 1.0))) * 1000.0
+  }
+
+  /** Geography ST_Distance — POINT × POINT only (Trino's documented
+    * spherical scope), meters. */
+  private def geographyDistance(ta: String, tb: String): Double = {
+    val pa = parsePoint(ta.substring(GeoTag.length))
+    val pb = parsePoint(tb.substring(GeoTag.length))
+    gcMeters(pa(0), pa(1), pb(0), pb(1))
+  }
+
+  /** Chamberlain–Duquette (JPL 89-16) ring spherical excess:
+    * Σ (λ2 − λ1)(2 + sin φ1 + sin φ2) over edges in PARSED vertex order
+    * (closing edge last), left-associated — mirrorable term-for-term.
+    * Ring area (m²) = |Σ| / 2 · R². */
+  private def sphericalRingArea(c: Array[Double]): Double = {
+    val n = c.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      s += (c(2 * j) * DegRad - c(2 * i) * DegRad) *
+        (2.0 + math.sin(c(2 * i + 1) * DegRad) +
+          math.sin(c(2 * j + 1) * DegRad))
+      i += 1
+    }
+    math.abs(s) / 2.0 * RMeters * RMeters
+  }
+
+  /** Geography ST_Area — m², shells minus holes, components summed. */
+  private def geographyArea(t: String): Double = {
+    val body = UTF8String.fromString(t.substring(GeoTag.length))
+    var total = 0.0
+    geomPolys(body).foreach { case (shell, holes) =>
+      var a = sphericalRingArea(shell)
+      holes.foreach(h => a -= sphericalRingArea(h))
+      total += a
+    }
+    total
+  }
+
+  /** Geography ST_Length — great-circle meters summed over consecutive
+    * vertices in line order (LINESTRING / MULTILINESTRING). */
+  private def geographyLength(t: String): Double = {
+    val body = t.substring(GeoTag.length).trim
+    if (body.equalsIgnoreCase("LINESTRING EMPTY")) return 0.0
+    def one(c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (2 * i + 3 < c.length) {
+        s += gcMeters(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3))
+        i += 1
+      }
+      s
+    }
+    if (body.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+      parseMultiLineString(body).map(one).sum
+    else one(parseLineString(body))
+  }
 
   // ---- geometry accessors (Trino ST_NumGeometries family, r11) ---------
 
@@ -1595,6 +1736,7 @@ object WktCore {
     * line-clip outputs are measurable). */
   def length(line: UTF8String): Double = {
     val t = line.toString.trim
+    if (isGeographyText(t)) return geographyLength(t) // meters (r13)
     if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
         t.equalsIgnoreCase("MULTILINESTRING EMPTY")) return 0.0
     val parts: Seq[Array[Double]] =
@@ -3475,4 +3617,28 @@ case class LineInterpolatePointsExpression(left: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): LineInterpolatePointsExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `to_spherical_geography(geom)` / `to_geometry(geography)` — the
+  * tag-typed geography conversions (op 0 = to geography, 1 = back);
+  * see the spherical section of WktCore for the model. */
+case class SphericalGeographyExpression(child: Expression, op: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (op == 0) "to_spherical_geography" else "to_geometry"
+
+  override protected def nullSafeEval(g: Any): Any =
+    if (op == 0) WktCore.toSphericalGeography(g.asInstanceOf[UTF8String])
+    else WktCore.sphericalToGeometry(g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (op == 0) s"graft.functions.WktCore.toSphericalGeography($c)"
+      else s"graft.functions.WktCore.sphericalToGeometry($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SphericalGeographyExpression =
+    copy(child = newChild)
 }

@@ -1516,6 +1516,47 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21x: spherical geography (r13 — Trino's to_spherical_geography
+    // / to_geometry and geography-typed ST_Distance / ST_Area /
+    // ST_Length). Distance and length are the haversine meters kernel
+    // mirrored operation-for-operation against the oracle (the
+    // sc21_geo parity rule: same literals, same association order, q6
+    // quantization absorbs the ≤ few-ulp libm spread); area is the
+    // Chamberlain–Duquette spherical excess with the same term order,
+    // quantized at whole m² (ulp audit: ~2e-4 m² worst-case spread on
+    // these fixtures vs the 0.5 m² decision boundary).
+    "sc21x_geo_spherical" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val pts = Tables.customer(s, d).filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 120 - 60 + 0.25).cast("double").as("lat"),
+          (col("c_custkey") * 7 % 150 - 75 + 0.5).cast("double").as("lon"),
+          ((col("c_custkey") % 5) + 2).cast("double").as("a"),
+          ((col("c_custkey") % 3) + 1).cast("double").as("b"))
+        .withColumn("gpt",
+          f("to_spherical_geography", point(col("lon"), col("lat"))))
+        .withColumn("gpt2", f("to_spherical_geography",
+          point(col("lon") + col("a"), col("lat") + col("b"))))
+        .withColumn("grect", f("to_spherical_geography",
+          rect(col("lon"), col("lat"), col("a"), col("b"))))
+        .withColumn("gline", f("to_spherical_geography", line(Seq(
+          (col("lon"), col("lat")),
+          (col("lon") + col("a"), col("lat") + col("b"))))))
+      pts.select(col("c_custkey"),
+          floor(GF.stDistance(col("gpt"), col("gpt2")) * 1e6 + 0.5)
+            .cast("long").as("d_m_q6"),
+          floor(GF.stArea(col("grect")) + 0.5).cast("long").as("area_m2_q0"),
+          floor(GF.stLength(col("gline")) * 1e6 + 0.5)
+            .cast("long").as("len_m_q6"),
+          (f("to_geometry", col("gpt")) === point(col("lon"), col("lat")))
+            .as("rt_tag"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2648,6 +2689,40 @@ object Scalars extends QueryModule {
         |    ')|POINT (', CAST(cx + 3 AS VARCHAR), ' ',
         |    CAST(cy + 1 AS VARCHAR), ')') AS interp_q
         |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21x: haversine meters + C&D spherical excess mirrored
+    // operation-for-operation (K = π/180, 12742.0176 = 2R km,
+    // 6371008.8 = R m; the two zero edges of the rect drop from the
+    // sum without changing any rounding — x + 0.0 is exact)
+    "sc21x_geo_spherical" -> {
+      val k = "0.017453292519943295"
+      val dmeters =
+        s"""12742.0176 * asin(sqrt(least(
+           |    sin(((lat + b) * $k - lat * $k) / 2) *
+           |    sin(((lat + b) * $k - lat * $k) / 2) +
+           |    cos(lat * $k) * cos((lat + b) * $k) *
+           |    sin(((lon + a) * $k - lon * $k) / 2) *
+           |    sin(((lon + a) * $k - lon * $k) / 2),
+           |    CAST(1.0 AS DOUBLE)))) * 1000.0""".stripMargin
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    CAST(c_custkey % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         |    CAST(c_custkey * 7 % 150 - 75 + 0.5 AS DOUBLE) AS lon,
+         |    CAST((c_custkey % 5) + 2 AS DOUBLE) AS a,
+         |    CAST((c_custkey % 3) + 1 AS DOUBLE) AS b
+         |  FROM customer WHERE c_custkey < 500)
+         |SELECT c_custkey,
+         |  CAST(floor($dmeters * 1e6 + 0.5) AS BIGINT) AS d_m_q6,
+         |  CAST(floor(abs(
+         |    ((lon + a) * $k - lon * $k) *
+         |      (2.0 + sin(lat * $k) + sin(lat * $k)) +
+         |    (lon * $k - (lon + a) * $k) *
+         |      (2.0 + sin((lat + b) * $k) + sin((lat + b) * $k))
+         |  ) / 2 * 6371008.8 * 6371008.8 + 0.5) AS BIGINT) AS area_m2_q0,
+         |  CAST(floor($dmeters * 1e6 + 0.5) AS BIGINT) AS len_m_q6,
+         |  true AS rt_tag
+         |FROM pts ORDER BY c_custkey""".stripMargin
+    },
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

@@ -146,6 +146,25 @@ class DialectCanarySpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("spherical geography spellings resolve: to_spherical_geography + geography ST_Distance (r13)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  ST_Distance(to_spherical_geography(ST_Point(0, 0)),
+        |              to_spherical_geography(ST_Point(1, 0))) AS d,
+        |  ST_Area(to_spherical_geography(ST_GeometryFromText(
+        |    'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))) AS a,
+        |  ST_AsText(to_geometry(to_spherical_geography(
+        |    ST_Point(10, 20)))) AS rt,
+        |  great_circle_distance(0, 0, 0, 1) AS gc_km
+        |""".stripMargin).head()
+    // one degree of longitude at the equator: πR/180 m (R = 6371008.8)
+    assert(math.abs(r.getDouble(0) - math.Pi * 6371008.8 / 180.0) < 1e-4)
+    assert(r.getDouble(1) > 1.2e10 && r.getDouble(1) < 1.24e10)
+    assert(r.getString(2) == "POINT (10.0 20.0)")
+    // the dialect's km haversine agrees with the meters kernel
+    assert(math.abs(r.getDouble(3) * 1000.0 - r.getDouble(0)) < 1e-6)
+  }
+
   test("WKB spellings resolve through the dialect: ST_AsBinary / ST_GeomFromBinary (r13)") {
     // native registrations carry Trino's exact names, so the geospatial
     // page's WKB pair runs unmodified through the dialect path

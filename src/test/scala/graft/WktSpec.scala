@@ -817,6 +817,59 @@ class WktSpec extends SparkSpec {
     assert(row.getSeq[String](3) == Seq("POINT (2.0 0.0)", "POINT (4.0 0.0)"))
   }
 
+  test("spherical geography: tag typing, great-circle meters, spherical excess (r13)") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def geo(s: String) = WktCore.toSphericalGeography(u(s))
+
+    // tagging validates ranges and kind; to_geometry round-trips
+    assert(geo("POINT (10 20)").toString == "GEOGRAPHY POINT (10 20)")
+    assert(WktCore.sphericalToGeometry(geo("POINT (10 20)")).toString ==
+      "POINT (10 20)")
+    intercept[IllegalArgumentException] { geo("POINT (181 0)") }
+    intercept[IllegalArgumentException] { geo("POINT (0 91)") }
+    intercept[IllegalArgumentException] {
+      WktCore.toSphericalGeography(geo("POINT (0 0)")) // double tag
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.sphericalToGeometry(u("POINT (0 0)")) // untagged
+    }
+
+    // one degree of longitude at the equator = πR/180 meters
+    val d = WktCore.distanceWkt(geo("POINT (0 0)"), geo("POINT (1 0)"))
+    assert(math.abs(d - math.Pi * 6371008.8 / 180.0) < 1e-4, d)
+    assert(WktCore.distanceWkt(geo("POINT (1 0)"), geo("POINT (0 0)")) == d)
+    assert(WktCore.distanceWkt(geo("POINT (5 5)"), geo("POINT (5 5)")) == 0.0)
+    // type errors are loud: mixed operands, non-point geography
+    intercept[IllegalArgumentException] {
+      WktCore.distanceWkt(geo("POINT (0 0)"), u("POINT (1 0)"))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.distanceWkt(geo("LINESTRING (0 0, 1 0)"), geo("POINT (0 0)"))
+    }
+
+    // spherical rect area: 1°×1° at the equator ≈ R²·(π/180)²·cos(0.5°)
+    val area = WktCore.area(geo("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    val approx = 6371008.8 * 6371008.8 *
+      (math.Pi / 180) * (math.Pi / 180) * math.cos(0.5 * math.Pi / 180)
+    assert(math.abs(area / approx - 1.0) < 1e-4, s"$area vs $approx")
+    // length of the geography segment equals the point distance exactly
+    // (identical kernel, identical operation order)
+    assert(WktCore.length(geo("LINESTRING (0 0, 1 0)")) == d)
+    // planar inputs keep planar semantics bit-identically
+    assert(WktCore.area(u("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")) == 1.0)
+
+    // the Trino spelling end-to-end in a plan
+    graft.functions.GraftFunctions.register(SparkSpec.spark)
+    val row = Seq((0.0, 0.0, 1.0, 0.0)).toDF("x1", "y1", "x2", "y2")
+      .selectExpr(
+        """st_distance(
+          |  to_spherical_geography(concat('POINT (', x1, ' ', y1, ')')),
+          |  to_spherical_geography(concat('POINT (', x2, ' ', y2, ')'))
+          |) AS d""".stripMargin)
+      .head()
+    assert(row.getDouble(0) == d)
+  }
+
   test("WKB interchange: exact bytes, round trips, both orders, loud scoping (r13)") {
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     def hexOf(s: String): String =
