@@ -955,6 +955,48 @@ object Etl extends QueryModule {
           |FROM pts ORDER BY ck""".stripMargin)
     }),
 
+    // P2p2: the r13 Bing tile completions — bing_tile_polygon (tile →
+    // lon/lat envelope WKT via the published inverse Mercator) and
+    // geometry_to_bing_tiles (envelope-corner candidate grid through
+    // the point→tile map, filtered by TRUE st_intersects against each
+    // tile polygon, row-major). For axis-parallel rects ≫ a half-pixel
+    // the cover is exactly the corner-tile grid, so counts and
+    // first/last coordinates are closed-form from the same pixel math
+    // the p2p oracle mirrors; the tile polygon's west bound is exact
+    // dyadic and its south bound quantizes at q6 (atan∘exp, the libm
+    // parity rule).
+    "p2p2_presto_bing_cover" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH pts AS (
+          |  SELECT "c_custkey" AS ck,
+          |    CAST("c_custkey" % 120 - 60 AS DOUBLE) + 0.25 AS lat,
+          |    CAST("c_custkey" * 7 % 150 - 75 AS DOUBLE) + 0.5 AS lon,
+          |    CAST("c_custkey" % 5 + 2 AS DOUBLE) AS a,
+          |    CAST("c_custkey" % 3 + 1 AS DOUBLE) AS b
+          |  FROM customer WHERE "c_custkey" < 500),
+          |g AS (
+          |  SELECT ck, lat, lon,
+          |    concat('POLYGON ((', lon, ' ', lat, ', ', lon + a, ' ', lat,
+          |      ', ', lon + a, ' ', lat + b, ', ', lon, ' ', lat + b,
+          |      ', ', lon, ' ', lat, '))') AS rect
+          |  FROM pts)
+          |SELECT ck,
+          |  CAST(cardinality(geometry_to_bing_tiles(rect, 7))
+          |    AS BIGINT) AS n7,
+          |  element_at(geometry_to_bing_tiles(rect, 7), 1).x AS fx,
+          |  element_at(geometry_to_bing_tiles(rect, 7), 1).y AS fy,
+          |  element_at(geometry_to_bing_tiles(rect, 7), -1).x AS lx,
+          |  element_at(geometry_to_bing_tiles(rect, 7), -1).y AS ly,
+          |  CAST(floor(st_xmin(bing_tile_polygon(bing_tile_at(lat, lon,
+          |    8))) * 1e6 + 0.5) AS BIGINT) AS tp_xmin_q6,
+          |  CAST(floor(st_ymin(bing_tile_polygon(bing_tile_at(lat, lon,
+          |    8))) * 1e6 + 0.5) AS BIGINT) AS tp_ymin_q6,
+          |  st_isvalid(bing_tile_polygon(bing_tile_at(lat, lon, 8)))
+          |    AS tp_valid
+          |FROM g ORDER BY ck""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -2473,6 +2515,46 @@ object Etl extends QueryModule {
         |       - CASE WHEN ty2 = 3 THEN 1 ELSE 0 END) AS n_around2,
         |  4 AS n_corner3
         |FROM agg ORDER BY ck""".stripMargin,
+
+    "p2p2_presto_bing_cover" -> {
+      // the p2p tile-math mirror, parameterized over (coordinate, zoom)
+      def bx(lon: String, z: Int) =
+        s"""CAST(floor(least(greatest((least(greatest($lon, -180.0), 180.0)
+           |      + 180.0) / 360.0 * CAST(CAST(256 AS BIGINT) << $z AS DOUBLE)
+           |      + 0.5, 0.0), CAST(CAST(256 AS BIGINT) << $z AS DOUBLE) - 1.0)
+           |      / 256.0) AS INTEGER)""".stripMargin
+      def by(lat: String, z: Int) =
+        s"""CAST(floor(least(greatest((0.5 - ln((1.0 + sin(least(greatest(
+           |      $lat, -85.05112878), 85.05112878) * 0.017453292519943295))
+           |      / (1.0 - sin(least(greatest($lat, -85.05112878), 85.05112878)
+           |      * 0.017453292519943295))) / 12.566370614359172) *
+           |      CAST(CAST(256 AS BIGINT) << $z AS DOUBLE) + 0.5, 0.0),
+           |      CAST(CAST(256 AS BIGINT) << $z AS DOUBLE) - 1.0) / 256.0)
+           |      AS INTEGER)""".stripMargin
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS ck,
+         |    CAST(c_custkey % 120 - 60 AS DOUBLE) + 0.25 AS lat,
+         |    CAST(c_custkey * 7 % 150 - 75 AS DOUBLE) + 0.5 AS lon,
+         |    CAST(c_custkey % 5 + 2 AS DOUBLE) AS a,
+         |    CAST(c_custkey % 3 + 1 AS DOUBLE) AS b
+         |  FROM customer WHERE c_custkey < 500),
+         |t AS (
+         |  SELECT ck,
+         |    ${bx("lon", 7)} AS x1, ${bx("lon + a", 7)} AS x2,
+         |    ${by("lat + b", 7)} AS y1, ${by("lat", 7)} AS y2,
+         |    ${bx("lon", 8)} AS tx8, ${by("lat", 8)} AS ty8
+         |  FROM pts)
+         |SELECT ck,
+         |  CAST((x2 - x1 + 1) * (y2 - y1 + 1) AS BIGINT) AS n7,
+         |  x1 AS fx, y1 AS fy, x2 AS lx, y2 AS ly,
+         |  CAST(floor((CAST(tx8 AS DOUBLE) / 256.0 * 360.0 - 180.0)
+         |    * 1e6 + 0.5) AS BIGINT) AS tp_xmin_q6,
+         |  CAST(floor((90.0 - 360.0 * atan(exp(-(0.5 -
+         |    CAST(ty8 + 1 AS DOUBLE) / 256.0) * 2.0 * pi())) / pi())
+         |    * 1e6 + 0.5) AS BIGINT) AS tp_ymin_q6,
+         |  true AS tp_valid
+         |FROM t ORDER BY ck""".stripMargin
+    },
 
     "p2n_presto_fetch_ties" ->
       // DuckDB 1.0 has no WITH TIES — the oracle is the independent

@@ -2496,6 +2496,70 @@ object PrestoSql {
       " 'y', graft_bing_y(lat, zoom) + dy, 'zoom', zoom))))," +
       " t -> t.x >= 0 AND t.y >= 0 AND" +
       " t.x <= shiftleft(1, zoom) - 1 AND t.y <= shiftleft(1, zoom) - 1)",
+    // Tile → lon/lat bounds (r13): the published tile-system INVERSE of
+    // graft_bing_x/y — west/east are dyadic fractions of 360 (exact in
+    // both engines); north/south invert the Mercator via atan∘exp
+    // (lat(f) = 90 − 360·atan(exp(−(0.5 − f)·2π))/π, f = y/2^z), so
+    // oracles quantize latitudes (q6) per the great_circle_distance
+    // parity rule. Helpers feed bing_tile_polygon / geometry_to_bing_tiles.
+    "graft_tile_lon(x INT, z INT) RETURNS DOUBLE RETURN" +
+      " CAST(x AS DOUBLE) / CAST(shiftleft(1L, z) AS DOUBLE)" +
+      " * 360.0D - 180.0D",
+    "graft_tile_lat(y INT, z INT) RETURNS DOUBLE RETURN" +
+      " 90.0D - 360.0D * atan(exp(-(0.5D - CAST(y AS DOUBLE) /" +
+      " CAST(shiftleft(1L, z) AS DOUBLE)) * 2.0D * pi())) / pi()",
+    // Trino bing_tile_polygon: the tile's lon/lat envelope as WKT
+    // (vertex order SW, SE, NE, NW — CCW, closed).
+    "bing_tile_polygon(t STRUCT<x: INT, y: INT, zoom: INT>)" +
+      " RETURNS STRING RETURN concat('POLYGON ((', " +
+      " CAST(graft_tile_lon(t.x, t.zoom) AS STRING), ' '," +
+      " CAST(graft_tile_lat(t.y + 1, t.zoom) AS STRING), ', '," +
+      " CAST(graft_tile_lon(t.x + 1, t.zoom) AS STRING), ' '," +
+      " CAST(graft_tile_lat(t.y + 1, t.zoom) AS STRING), ', '," +
+      " CAST(graft_tile_lon(t.x + 1, t.zoom) AS STRING), ' '," +
+      " CAST(graft_tile_lat(t.y, t.zoom) AS STRING), ', '," +
+      " CAST(graft_tile_lon(t.x, t.zoom) AS STRING), ' '," +
+      " CAST(graft_tile_lat(t.y, t.zoom) AS STRING), ', '," +
+      " CAST(graft_tile_lon(t.x, t.zoom) AS STRING), ' '," +
+      " CAST(graft_tile_lat(t.y + 1, t.zoom) AS STRING), '))')",
+    // Trino geometry_to_bing_tiles(geom, zoom): the tiles covering the
+    // geometry — candidate grid from the envelope corners through the
+    // point→tile map (note its documented half-pixel rounding: a
+    // geometry poking less than half a pixel into a neighboring tile
+    // may not list it), filtered by TRUE intersection against each
+    // tile's polygon, row-major (x outer ascending, y inner ascending).
+    // Per-row cost is the candidate-tile count — callers pick zoom so
+    // envelope-tiles stays bounded, same contract as Trino's.
+    {
+      // the filter lambda may only use BUILTINS on its variable (Spark
+      // SQL functions cannot be invoked on lambda variables — the
+      // inliner's cast loses the binding), so the tile polygon is the
+      // graft_tile_lon/lat arithmetic spelled inline over t.x / t.y
+      def tlon(x: String) =
+        s"CAST($x AS DOUBLE) / CAST(shiftleft(1L, z) AS DOUBLE)" +
+          " * 360.0D - 180.0D"
+      def tlat(y: String) =
+        s"90.0D - 360.0D * atan(exp(-(0.5D - CAST($y AS DOUBLE) /" +
+          " CAST(shiftleft(1L, z) AS DOUBLE)) * 2.0D * pi())) / pi()"
+      def str(e: String) = s"CAST($e AS STRING)"
+      val tilePoly = s"concat('POLYGON ((', ${str(tlon("t.x"))}, ' ', " +
+        s"${str(tlat("t.y + 1"))}, ', ', ${str(tlon("t.x + 1"))}, ' ', " +
+        s"${str(tlat("t.y + 1"))}, ', ', ${str(tlon("t.x + 1"))}, ' ', " +
+        s"${str(tlat("t.y"))}, ', ', ${str(tlon("t.x"))}, ' ', " +
+        s"${str(tlat("t.y"))}, ', ', ${str(tlon("t.x"))}, ' ', " +
+        s"${str(tlat("t.y + 1"))}, '))')"
+      "geometry_to_bing_tiles(g STRING, z INT)" +
+        " RETURNS ARRAY<STRUCT<x: INT, y: INT, zoom: INT>> RETURN" +
+        " CASE WHEN z < 0 OR z > 23 THEN" +
+        " raise_error(concat('Zoom level must be <= 23: '," +
+        " CAST(z AS STRING)))" +
+        " ELSE filter(flatten(transform(" +
+        " sequence(graft_bing_x(st_xmin(g), z), graft_bing_x(st_xmax(g), z))," +
+        " xx -> transform(" +
+        " sequence(graft_bing_y(st_ymax(g), z), graft_bing_y(st_ymin(g), z))," +
+        " yy -> named_struct('x', xx, 'y', yy, 'zoom', z))))," +
+        s" t -> st_intersects($tilePoly, g)) END"
+    },
     // Trino array_top_n: the n largest elements sorted descending, NULLs
     // placed at the end (the documented order); result length is
     // min(n, cardinality). Typed BIGINT per the array_sum convention.

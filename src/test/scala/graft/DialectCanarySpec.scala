@@ -165,6 +165,27 @@ class DialectCanarySpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) * 1000.0 - r.getDouble(0)) < 1e-6)
   }
 
+  test("bing_tile_polygon / geometry_to_bing_tiles resolve with worked-example values (r13)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  geometry_to_bing_tiles('POLYGON ((10 10, 20 10, 20 20, 10 20,
+        |    10 10))', 1) AS cover,
+        |  st_xmin(bing_tile_polygon(bing_tile(0, 0, 1))) AS w,
+        |  st_xmax(bing_tile_polygon(bing_tile(0, 0, 1))) AS e,
+        |  st_ymin(bing_tile_polygon(bing_tile(0, 0, 1))) AS s,
+        |  st_ymax(bing_tile_polygon(bing_tile(0, 0, 1))) AS n
+        |""".stripMargin).head()
+    // a NE-quadrant rectangle at zoom 1 is covered by exactly tile (1,0)
+    val cover = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(cover.length == 1 &&
+      cover.head.getInt(0) == 1 && cover.head.getInt(1) == 0)
+    // tile (0,0) at zoom 1: west −180, east 0 (exact dyadic bounds);
+    // south = the equator, north = the Mercator clip latitude
+    assert(r.getDouble(1) == -180.0 && r.getDouble(2) == 0.0)
+    assert(math.abs(r.getDouble(3)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 85.05112878) < 1e-6)
+  }
+
   test("WKB spellings resolve through the dialect: ST_AsBinary / ST_GeomFromBinary (r13)") {
     // native registrations carry Trino's exact names, so the geospatial
     // page's WKB pair runs unmodified through the dialect path
