@@ -133,4 +133,39 @@ object DialectAggregators {
       def outputEncoder: Encoder[Map[String, Seq[String]]] =
         ExpressionEncoder[Map[String, Seq[String]]]()
     }
+
+  case class MuBuf(var ks: Array[String], var vs: Array[String])
+
+  /** Trino `map_union(m)`: the union of all input maps in the group.
+    * Trino's value for a key appearing in several maps is ARBITRARY;
+    * this kernel keeps the FIRST value in merge order (deterministic
+    * given a deterministic input order — hash-compared pipelines use
+    * key-disjoint groups or accept Trino's own nondeterminism). NULL
+    * maps are skipped; NULL values are retained. Buffer is
+    * O(distinct-keys-in-group) and merges are associative, so partial
+    * aggregation runs map-side — Trino's memory shape. */
+  val mapUnionAgg: Aggregator[Map[String, String], MuBuf, Map[String, String]] =
+    new Aggregator[Map[String, String], MuBuf, Map[String, String]] {
+      def zero: MuBuf = MuBuf(Array.empty, Array.empty)
+      def reduce(b: MuBuf, m: Map[String, String]): MuBuf = {
+        if (m != null) m.foreach { case (k, v) =>
+          if (!b.ks.contains(k)) { b.ks :+= k; b.vs :+= v }
+        }
+        b
+      }
+      def merge(x: MuBuf, y: MuBuf): MuBuf = {
+        var i = 0
+        while (i < y.ks.length) {
+          if (!x.ks.contains(y.ks(i))) { x.ks :+= y.ks(i); x.vs :+= y.vs(i) }
+          i += 1
+        }
+        x
+      }
+      def finish(b: MuBuf): Map[String, String] =
+        scala.collection.immutable.ListMap(
+          b.ks.zip(b.vs).sortBy(_._1).toIndexedSeq: _*)
+      def bufferEncoder: Encoder[MuBuf] = Encoders.product[MuBuf]
+      def outputEncoder: Encoder[Map[String, String]] =
+        ExpressionEncoder[Map[String, String]]()
+    }
 }

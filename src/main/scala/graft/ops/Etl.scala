@@ -737,6 +737,51 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2t6: the r13 interchange/nearest/spherical surface through the
+    // dialect path — ST_AsBinary / ST_GeomFromBinary round trips,
+    // geometry_nearest_points, ST_IsSimple / ST_CoordDim, and
+    // geography-typed ST_Distance under the exact Trino spellings a
+    // migrating script uses. The rect fixture starts at its
+    // lexicographic-min vertex CCW, so the WKB round trip lands on the
+    // INPUT text exactly; nearest pairs are the sc21w closed forms;
+    // (cx, cy) doubles as a valid lon/lat pair for the spherical leg.
+    "p2t6_presto_geo_r13" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 + 2 AS DOUBLE) AS a,
+          |    CAST("n_nationkey" % 3 + 1 AS DOUBLE) AS b
+          |  FROM nation),
+          |w AS (
+          |  SELECT k, a, b, cx, cy,
+          |    concat('POLYGON ((',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + a AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + a AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+          |      ', ', CAST(cx AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+          |      ', ', CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      '))') AS r1
+          |  FROM g)
+          |SELECT k,
+          |  CAST(length(ST_AsBinary(ST_GeometryFromText(r1)))
+          |    AS BIGINT) AS wkb_len,
+          |  ST_AsText(ST_GeomFromBinary(ST_AsBinary(r1))) = r1 AS rt_ok,
+          |  element_at(geometry_nearest_points(r1,
+          |    ST_Point(cx - 3, cy - 4)), 1) AS np_a,
+          |  element_at(geometry_nearest_points(r1,
+          |    ST_Point(cx - 3, cy - 4)), 2) AS np_b,
+          |  ST_IsSimple(ST_GeometryFromText(r1)) AS simple_r1,
+          |  CAST(ST_CoordDim(r1) AS BIGINT) AS cdim,
+          |  CAST(floor(ST_Distance(
+          |    to_spherical_geography(ST_Point(cx, cy)),
+          |    to_spherical_geography(ST_Point(cx + a, cy + b)))
+          |    * 1e6 + 0.5) AS BIGINT) AS d_m_q6
+          |FROM w ORDER BY k""".stripMargin)
+    }),
+
     // P2t5: the r13 geometry AGGREGATES through the dialect path —
     // geometry_union_agg (dissolve) and convex_hull_agg under the
     // Trino spellings, plus ST_Boundary. Per-nation quadrant tiles are
@@ -995,6 +1040,42 @@ object Etl extends QueryModule {
           |  st_isvalid(bing_tile_polygon(bing_tile_at(lat, lon, 8)))
           |    AS tp_valid
           |FROM g ORDER BY ck""".stripMargin)
+    }),
+
+    // P2ac: the r13 AGGREGATE-spelling closures — entropy (log2-entropy
+    // of per-row counts, inlined to two sums), set_agg / set_union
+    // (distinct array / array-union), map_union (the keep-first
+    // mergeable kernel), 2-arg max/min (Trino's top-n aggregates), and
+    // the bitwise_*_agg trio (Spark's bit_and/or/xor). Scope-outs that
+    // stay LOUD: reduce_agg (lambdas cannot parameterize SQL adapters;
+    // the native a24 covers the capability) and numeric_histogram
+    // (multi-pass bucketing; native a19 covers it). All array outputs
+    // serialize sorted — Trino's own orders are arbitrary.
+    "p2ac_presto_agg_closures" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH f AS (
+          |  SELECT "p_partkey" AS pk, "p_size" AS sz,
+          |    "p_partkey" % 5 AS g, "p_partkey" % 7 + 1 AS c
+          |  FROM part WHERE "p_partkey" < 300)
+          |SELECT g,
+          |  CAST(floor(entropy(c) * 1e6 + 0.5) AS BIGINT) AS ent_q6,
+          |  array_join(array_sort(set_agg(CAST(sz AS VARCHAR))), ',')
+          |    AS distinct_sizes,
+          |  array_join(array_sort(set_union(
+          |    ARRAY[CAST(sz AS VARCHAR), CAST(sz + 1 AS VARCHAR)])), ',')
+          |    AS union_sizes,
+          |  array_join(transform(max(sz, 2), x -> CAST(x AS VARCHAR)),
+          |    ',') AS top2,
+          |  array_join(transform(min(sz, 2), x -> CAST(x AS VARCHAR)),
+          |    ',') AS bot2,
+          |  array_join(array_sort(transform(map_entries(map_union(
+          |    map(ARRAY[concat('k', CAST(pk AS VARCHAR))], ARRAY[sz]))),
+          |    e -> concat(e.key, '=', e.value))), ';') AS mu,
+          |  CAST(bitwise_and_agg(sz) AS BIGINT) AS ba,
+          |  CAST(bitwise_or_agg(sz) AS BIGINT) AS bo,
+          |  CAST(bitwise_xor_agg(sz) AS BIGINT) AS bx
+          |FROM f GROUP BY g ORDER BY g""".stripMargin)
     }),
 
     // P2r: the Trino array-utility family Spark lacks —
@@ -2182,6 +2263,39 @@ object Etl extends QueryModule {
         |  CAST(floor(a * b / 4 * 1e6 + 0.5) AS BIGINT) AS holed_inter_q6
         |FROM p ORDER BY k""".stripMargin,
 
+    // p2t6: WKB length closed form (93 bytes for a 4-vertex rect),
+    // round-trip truth, the sc21w nearest-pair texts, and the sc21x
+    // haversine-meters mirror with (cx, cy) as lon/lat
+    "p2t6_presto_geo_r13" -> {
+      val k = "0.017453292519943295"
+      val dmeters =
+        s"""12742.0176 * asin(sqrt(least(
+           |    sin(((cy + b) * $k - cy * $k) / 2) *
+           |    sin(((cy + b) * $k - cy * $k) / 2) +
+           |    cos(cy * $k) * cos((cy + b) * $k) *
+           |    sin(((cx + a) * $k - cx * $k) / 2) *
+           |    sin(((cx + a) * $k - cx * $k) / 2),
+           |    CAST(1.0 AS DOUBLE)))) * 1000.0""".stripMargin
+      s"""WITH p AS (
+         |  SELECT n_nationkey AS k,
+         |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+         |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+         |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+         |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+         |  FROM nation)
+         |SELECT k,
+         |  CAST(93 AS BIGINT) AS wkb_len,
+         |  true AS rt_ok,
+         |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+         |    CAST(cy AS VARCHAR), ')') AS np_a,
+         |  concat('POINT (', CAST(cx - 3 AS VARCHAR), ' ',
+         |    CAST(cy - 4 AS VARCHAR), ')') AS np_b,
+         |  true AS simple_r1,
+         |  CAST(2 AS BIGINT) AS cdim,
+         |  CAST(floor($dmeters * 1e6 + 0.5) AS BIGINT) AS d_m_q6
+         |FROM p ORDER BY k""".stripMargin
+    },
+
     // p2t5: the sc21o closed forms under the dialect spellings
     "p2t5_presto_geo_aggs" ->
       """WITH p AS (
@@ -2555,6 +2669,36 @@ object Etl extends QueryModule {
          |  true AS tp_valid
          |FROM t ORDER BY ck""".stripMargin
     },
+
+    // p2ac: DuckDB re-derives each closure with its own list machinery
+    // (list_distinct/list_sort/flatten/slicing/bit_* aggregates) and
+    // the entropy formula written operation-for-operation
+    "p2ac_presto_agg_closures" ->
+      """WITH f AS (
+        |  SELECT p_partkey AS pk, p_size AS sz,
+        |    p_partkey % 5 AS g, p_partkey % 7 + 1 AS c
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT g,
+        |  CAST(floor((log2(sum(c)) - sum(CASE WHEN c = 0 THEN 0.0
+        |    ELSE c * log2(c) END) / sum(c)) * 1e6 + 0.5) AS BIGINT)
+        |    AS ent_q6,
+        |  array_to_string(list_sort(list_distinct(
+        |    list(CAST(sz AS VARCHAR)))), ',') AS distinct_sizes,
+        |  array_to_string(list_sort(list_distinct(flatten(
+        |    list([CAST(sz AS VARCHAR), CAST(sz + 1 AS VARCHAR)])))), ',')
+        |    AS union_sizes,
+        |  array_to_string(list_transform(
+        |    list_reverse_sort(list(sz))[1:2], x -> CAST(x AS VARCHAR)),
+        |    ',') AS top2,
+        |  array_to_string(list_transform(
+        |    list_sort(list(sz))[1:2], x -> CAST(x AS VARCHAR)), ',')
+        |    AS bot2,
+        |  array_to_string(list_sort(list(concat('k',
+        |    CAST(pk AS VARCHAR), '=', CAST(sz AS VARCHAR)))), ';') AS mu,
+        |  CAST(bit_and(sz) AS BIGINT) AS ba,
+        |  CAST(bit_or(sz) AS BIGINT) AS bo,
+        |  CAST(bit_xor(sz) AS BIGINT) AS bx
+        |FROM f GROUP BY g ORDER BY g""".stripMargin,
 
     "p2n_presto_fetch_ties" ->
       // DuckDB 1.0 has no WITH TIES — the oracle is the independent

@@ -2803,6 +2803,9 @@ object PrestoSql {
       spark.udf.register("graft_checksum", udaf(DA.checksumAgg))
       spark.udf.register("graft_histogram", udaf(DA.histogramAgg))
       spark.udf.register("graft_multimap_agg", udaf(DA.multimapAgg))
+      spark.udf.register("graft_map_union", udaf(DA.mapUnionAgg,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Map[String, String]]()))
       // Trino setdigest page onto the l16 MinHash kernel
       // (SetDigestAggregator): make_set_digest(x) builds per-group
       // digests (input pre-hashed with Spark's xxhash64 by the
@@ -2861,6 +2864,13 @@ object PrestoSql {
     // SQL-function parameters), hence the scanner.
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
+    // Trino aggregate names with exact Spark builtins (r13): set_agg =
+    // distinct array (order arbitrary in BOTH engines — deterministic
+    // consumers sort); the bitwise_*_agg trio are Spark's bit_and/or/xor
+    ("""(?i)\bset_agg\s*\(""".r, "collect_set("),
+    ("""(?i)\bbitwise_and_agg\s*\(""".r, "bit_and("),
+    ("""(?i)\bbitwise_or_agg\s*\(""".r, "bit_or("),
+    ("""(?i)\bbitwise_xor_agg\s*\(""".r, "bit_xor("),
     // Trino with_timezone(ts, zone): the naive wall clock reinterpreted
     // IN the zone → an instant. Under the pinned-UTC session contract an
     // instant IS its UTC wall clock, so to_utc_timestamp is exact.
@@ -3213,6 +3223,44 @@ object PrestoSql {
     r = rewriteCall(r, "geometric_mean") { args =>
       require(args.size == 1, s"geometric_mean takes one argument, got ${args.size}")
       s"exp(avg(ln(${args(0)})))"
+    }
+    // Trino map_union → the mergeable keep-first kernel (values CAST to
+    // the varchar convention like the other dialect aggregates)
+    r = rewriteCall(r, "map_union") { args =>
+      require(args.size == 1, s"map_union takes one argument, got ${args.size}")
+      s"graft_map_union(CAST((${args(0)}) AS MAP<STRING, STRING>))"
+    }
+    // Trino entropy(count): log2-entropy of the per-row count
+    // distribution — pure algebra over two sums, so it inlines to
+    // builtins (H = log2(S) − Σ c·log2(c) / S, zero counts contribute
+    // zero). Negative counts are Trino errors; here log2 yields NaN —
+    // loud enough for the gate (hash never matches a NaN).
+    r = rewriteCall(r, "entropy") { args =>
+      require(args.size == 1, s"entropy takes one argument, got ${args.size}")
+      val e = args(0)
+      s"(log2(sum($e)) - sum(CASE WHEN ($e) = 0 THEN 0.0D" +
+        s" ELSE ($e) * log2($e) END) / sum($e))"
+    }
+    // Trino set_union(array): union of all arrays in the group —
+    // distinct keeps the FIRST occurrence in collect order (Trino's
+    // order is arbitrary too; deterministic consumers sort)
+    r = rewriteCall(r, "set_union") { args =>
+      require(args.size == 1, s"set_union takes one argument, got ${args.size}")
+      s"array_distinct(flatten(collect_list(${args(0)})))"
+    }
+    // Trino's 2-arg max(x, n) / min(x, n) are the top-n aggregates
+    // (the 2-value scalar is greatest/least, so a 2-arg max in valid
+    // Trino is ALWAYS top-n). Guarded on an integer-literal n — any
+    // other 2-arg form passes through to Spark's loud arity error.
+    r = rewriteCall(r, "max") { args =>
+      if (args.size == 2 && args(1).matches("\\d+"))
+        s"slice(reverse(array_sort(collect_list(${args(0)}))), 1, ${args(1)})"
+      else s"max(${args.mkString(", ")})"
+    }
+    r = rewriteCall(r, "min") { args =>
+      if (args.size == 2 && args(1).matches("\\d+"))
+        s"slice(array_sort(collect_list(${args(0)})), 1, ${args(1)})"
+      else s"min(${args.mkString(", ")})"
     }
     // SQL:2016 JSON constructors (Trino's JSON_OBJECT / JSON_ARRAY):
     // entries map onto to_json over named_struct / array. Null clauses

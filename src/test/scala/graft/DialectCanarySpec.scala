@@ -146,6 +146,69 @@ class DialectCanarySpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("aggregate spellings resolve with value checks; reduce_agg/numeric_histogram stay loud (r13)") {
+    val rel = "(VALUES (1, 2.0, 'a', ARRAY[1, 2]), (3, 4.0, 'b'," +
+      " ARRAY[2, 3]), (3, 6.0, 'a', ARRAY[3, 4])) AS t (x, y, s, arr)"
+    // the full aggregate-spelling battery keeps resolving
+    val aggs = Seq(
+      "approx_distinct(x)", "approx_percentile(x, 0.5)",
+      "approx_most_frequent(2, s, 10)", "arbitrary(x)", "any_value(x)",
+      "bool_and(x > 0)", "bool_or(x > 1)", "every(x > 0)",
+      "checksum(s)", "corr(x, y)", "count_if(x > 1)",
+      "covar_pop(x, y)", "covar_samp(x, y)", "entropy(x)",
+      "geometric_mean(y)", "histogram(s)", "kurtosis(y)", "skewness(y)",
+      // map_agg needs distinct keys (Spark's dup-key policy is loud
+      // where Trino picks arbitrarily — documented divergence)
+      "map_agg(concat(s, CAST(x AS STRING)), x)",
+      "map_union(map(ARRAY[s], ARRAY[x]))",
+      "max_by(s, x)", "min_by(s, x)", "max_by(s, x, 2)", "min_by(s, x, 2)",
+      "max(x, 2)", "min(x, 2)", "multimap_agg(s, x)",
+      "regr_intercept(y, x)", "regr_slope(y, x)", "regr_r2(y, x)",
+      "set_agg(s)", "set_union(arr)",
+      "bitwise_and_agg(x)", "bitwise_or_agg(x)", "bitwise_xor_agg(x)")
+    val bad = aggs.filter { a =>
+      try { PrestoSql.sql(spark, s"SELECT $a AS v FROM $rel").collect(); false }
+      catch { case _: Throwable => true } }
+    assert(bad.isEmpty, s"aggregate spellings not resolving: ${bad.mkString("; ")}")
+    // value checks on the r13 closures
+    val r = PrestoSql.sql(spark,
+      s"""SELECT
+         |  entropy(x) AS ent,
+         |  array_join(array_sort(set_agg(s)), ',') AS sa,
+         |  array_join(array_sort(set_union(transform(arr,
+         |    e -> CAST(e AS STRING)))), ',') AS su,
+         |  array_join(transform(max(x, 2), e -> CAST(e AS STRING)), ',')
+         |    AS top2,
+         |  array_join(transform(min(x, 2), e -> CAST(e AS STRING)), ',')
+         |    AS bot2,
+         |  CAST(bitwise_and_agg(x) AS BIGINT) AS ba,
+         |  CAST(bitwise_or_agg(x) AS BIGINT) AS bo,
+         |  CAST(bitwise_xor_agg(x) AS BIGINT) AS bx
+         |FROM $rel""".stripMargin).head()
+    // counts (1,3,3): S=7, H = log2(7) − (0 + 2·3·log2 3)/7
+    val expEnt = (math.log(7) / math.log(2)) -
+      2 * 3 * (math.log(3) / math.log(2)) / 7
+    assert(math.abs(r.getDouble(0) - expEnt) < 1e-12, r.getDouble(0))
+    assert(r.getString(1) == "a,b")
+    assert(r.getString(2) == "1,2,3,4")
+    assert(r.getString(3) == "3,3" && r.getString(4) == "1,3")
+    assert(r.getLong(5) == 1L && r.getLong(6) == 3L && r.getLong(7) == 1L)
+    // map_union keeps one value per key, keys sorted in the rendering
+    val mu = PrestoSql.sql(spark,
+      s"""SELECT array_join(array_sort(transform(map_entries(map_union(
+         |  map(ARRAY[s], ARRAY[x]))), e -> concat(e.key, '=', e.value))),
+         |  ';') AS mu FROM $rel""".stripMargin).head().getString(0)
+    assert(mu == "a=1;b=3", mu)
+    // lambda-parameterized / multi-pass aggregates stay LOUD scope-outs
+    // (the native a24/a19 queries cover the capability)
+    Seq("reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b)",
+        "numeric_histogram(4, y)").foreach { fn =>
+      intercept[Throwable] {
+        PrestoSql.sql(spark, s"SELECT $fn AS v FROM $rel").collect()
+      }
+    }
+  }
+
   test("spherical geography spellings resolve: to_spherical_geography + geography ST_Distance (r13)") {
     val r = PrestoSql.sql(spark,
       """SELECT
