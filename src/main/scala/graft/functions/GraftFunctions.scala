@@ -291,6 +291,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StGeomInfoExpression].getName,
         "st_coorddim"),
       (e: Seq[Expression]) => StGeomInfoExpression(e(0), 9)),
+    (FunctionIdentifier("st_points"),
+      new ExpressionInfo(classOf[StPointsExpression].getName, "st_points"),
+      (e: Seq[Expression]) => StPointsExpression(e(0))),
     (FunctionIdentifier("to_spherical_geography"),
       new ExpressionInfo(classOf[SphericalGeographyExpression].getName,
         "to_spherical_geography"),

@@ -547,7 +547,28 @@ object WktCore {
         "st_distance: cannot mix GEOMETRY and GEOGRAPHY operands")
       return geographyDistance(ta, tb)
     }
-    if (intersectsWkt(a, b)) return 0.0
+    // MULTIPOINT operands (r13): the areal-overlay intersects test does
+    // not apply to point sets — a member point strictly INSIDE an areal
+    // other side is the one zero-distance case the segment math would
+    // miss, so it is tested directly; point-on-point and
+    // point-on-segment coincidences fall out of the projections at 0
+    if (isMultiPointText(ta) || isMultiPointText(tb)) {
+      def inside(mpT: String, otherT: String): Boolean = {
+        if (!(otherT.regionMatches(true, 0, "POLYGON", 0, 7) ||
+            otherT.regionMatches(true, 0, "MULTIPOLYGON", 0, 12)))
+          return false
+        val c = parseMultiPoint(mpT)
+        val other = UTF8String.fromString(otherT)
+        var i = 0
+        while (2 * i < c.length) {
+          if (containsWkt(other, c(2 * i), c(2 * i + 1))) return true
+          i += 1
+        }
+        false
+      }
+      if (isMultiPointText(ta) && inside(ta, tb)) return 0.0
+      if (isMultiPointText(tb) && inside(tb, ta)) return 0.0
+    } else if (intersectsWkt(a, b)) return 0.0
     val sa = segmentsOf(a)
     val sb = segmentsOf(b)
     var best = Double.MaxValue
@@ -572,6 +593,15 @@ object WktCore {
     if (t.regionMatches(true, 0, "POINT", 0, 5)) {
       val p = parsePoint(t)
       out += Array(p(0), p(1), p(0), p(1))
+    } else if (isMultiPointText(t)) {
+      // each point degenerates to a zero-length segment, so the
+      // distance/nearest-points kernels support MULTIPOINT for free
+      val c = parseMultiPoint(t)
+      var i = 0
+      while (2 * i < c.length) {
+        out += Array(c(2 * i), c(2 * i + 1), c(2 * i), c(2 * i + 1))
+        i += 1
+      }
     } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
       val c = parseLineString(t)
       var i = 0
@@ -639,7 +669,13 @@ object WktCore {
         t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
         t.equalsIgnoreCase("LINESTRING EMPTY")
     if (empt(ta) || empt(tb)) return null
-    require(!intersectsWkt(a, b),
+    // MULTIPOINT operands route through the distance kernel's zero
+    // test (the areal intersects test does not apply to point sets)
+    if (isMultiPointText(ta) || isMultiPointText(tb))
+      require(distanceWkt(a, b) > 0,
+        "geometry_nearest_points: inputs intersect (distance 0) - the " +
+          "nearest pair is not unique; test st_distance first")
+    else require(!intersectsWkt(a, b),
       "geometry_nearest_points: inputs intersect (distance 0) - the " +
         "nearest pair is not unique; test st_intersects first")
     val sa = segmentsOf(a)
@@ -709,7 +745,24 @@ object WktCore {
     val t = g.toString.trim
     if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
         t.equalsIgnoreCase("POLYGON EMPTY") ||
-        t.equalsIgnoreCase("MULTIPOLYGON EMPTY")) return true
+        t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOINT EMPTY")) return true
+    // OGC: a MultiPoint is simple iff no two points coincide (r13)
+    if (isMultiPointText(t)) {
+      val c = parseMultiPoint(t)
+      val n = c.length / 2
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (c(2 * i) == c(2 * j) && c(2 * i + 1) == c(2 * j + 1))
+            return false
+          j += 1
+        }
+        i += 1
+      }
+      return true
+    }
     require(!t.regionMatches(true, 0, "MULTILINESTRING", 0, 15),
       "st_issimple: MULTILINESTRING is not supported (part-pairwise " +
         "boundary rules) - test the parts individually")
@@ -816,6 +869,19 @@ object WktCore {
       if (t.regionMatches(true, 0, "POINT", 0, 5)) {
         val p = parsePoint(t)
         "{\"type\":\"Point\",\"coordinates\":" + pos(p(0), p(1)) + "}"
+      } else if (isMultiPointText(t)) {
+        val c =
+          if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) Array.empty[Double]
+          else parseMultiPoint(t)
+        val sb = new java.lang.StringBuilder(
+          "{\"type\":\"MultiPoint\",\"coordinates\":[")
+        var i = 0
+        while (2 * i < c.length) {
+          if (i > 0) sb.append(',')
+          sb.append(pos(c(2 * i), c(2 * i + 1)))
+          i += 1
+        }
+        sb.append("]}").toString
       } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
         val c = parseLineString(t)
         val sb = new java.lang.StringBuilder(
@@ -935,6 +1001,8 @@ object WktCore {
             case "Point" =>
               val (x, y) = position()
               wkt = "POINT (" + fmtCoord(x) + " " + fmtCoord(y) + ")"
+            case "MultiPoint" =>
+              wkt = fmtMultiPoint(posArray())
             case "LineString" =>
               val c = posArray()
               require(c.length >= 4,
@@ -1034,6 +1102,19 @@ object WktCore {
         bb
       } else if (t.equalsIgnoreCase("LINESTRING EMPTY")) {
         val bb = alloc(9); putHeader(bb, 2); bb.putInt(0); bb
+      } else if (isMultiPointText(t)) {
+        val c =
+          if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) Array.empty[Double]
+          else parseMultiPoint(t)
+        val bb = alloc(9 + 21 * (c.length / 2))
+        putHeader(bb, 4); bb.putInt(c.length / 2)
+        var i = 0
+        while (2 * i < c.length) {
+          putHeader(bb, 1)
+          bb.putDouble(c(2 * i)); bb.putDouble(c(2 * i + 1))
+          i += 1
+        }
+        bb
       } else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
         val parts = parseMultiLineString(t)
         val bb = alloc(9 + parts.map(lineBytes).sum)
@@ -1135,6 +1216,17 @@ object WktCore {
         val c = lineBody(2)
         if (c.isEmpty) "LINESTRING EMPTY" else fmtLines(Array(c))
       case 3 => fmtGeom(polyBody())
+      case 4 =>
+        val pts = count("MultiPoint component")
+        val c = new Array[Double](2 * pts)
+        var i = 0
+        while (i < pts) {
+          nested(1, "MultiPoint")
+          require(bb.remaining >= 16, "st_geomfrombinary: truncated POINT")
+          c(2 * i) = bb.getDouble; c(2 * i + 1) = bb.getDouble
+          i += 1
+        }
+        fmtMultiPoint(c)
       case 5 =>
         val parts = count("MultiLineString component")
         fmtLines(Array.fill(parts) { nested(2, "MultiLineString")
@@ -1258,6 +1350,84 @@ object WktCore {
     }))
   }
 
+  // ---- MULTIPOINT (the last WKT kind, r13) -------------------------------
+
+  /** Parse `MULTIPOINT ((x y), (x y), …)` — also the bare
+    * `MULTIPOINT (x y, x y)` spelling some producers emit — into flat
+    * coords in DOCUMENT order (no canonicalization, like LINESTRING:
+    * point multisets have no preferred rotation). */
+  def parseMultiPoint(s: String): Array[Double] = {
+    val t = s.trim
+    require(t.regionMatches(true, 0, "MULTIPOINT", 0, 10),
+      s"not a MULTIPOINT: $t")
+    val open = t.indexOf('(', 10)
+    require(open >= 0 && t.endsWith(")"), s"bad MULTIPOINT syntax: $t")
+    require(t.substring(10, open).isBlank,
+      s"MULTIPOINT: unexpected text before the first point: $t")
+    val body = t.substring(open + 1, t.length - 1).trim
+    val parts = body.split(',')
+    require(parts.nonEmpty && parts.forall(_.trim.nonEmpty),
+      s"bad MULTIPOINT syntax: $t")
+    val out = new Array[Double](parts.length * 2)
+    var i = 0
+    while (i < parts.length) {
+      var p = parts(i).trim
+      // the parenthesized per-point spelling
+      if (p.startsWith("(")) {
+        require(p.endsWith(")"), s"bad MULTIPOINT point '$p'")
+        p = p.substring(1, p.length - 1).trim
+      }
+      val sp = p.indexOf(' ')
+      require(sp > 0, s"bad MULTIPOINT point '$p'")
+      out(2 * i) = java.lang.Double.parseDouble(p.substring(0, sp))
+      out(2 * i + 1) = java.lang.Double.parseDouble(p.substring(sp + 1).trim)
+      i += 1
+    }
+    out
+  }
+
+  /** Canonical MULTIPOINT rendering: the parenthesized per-point form. */
+  private def fmtMultiPoint(c: Array[Double]): String =
+    if (c.isEmpty) "MULTIPOINT EMPTY"
+    else {
+      val sb = new java.lang.StringBuilder("MULTIPOINT (")
+      var i = 0
+      while (2 * i < c.length) {
+        if (i > 0) sb.append(", ")
+        sb.append('(').append(fmtCoord(c(2 * i))).append(' ')
+          .append(fmtCoord(c(2 * i + 1))).append(')')
+        i += 1
+      }
+      sb.append(')').toString
+    }
+
+  private def isMultiPointText(t: String): Boolean =
+    t.regionMatches(true, 0, "MULTIPOINT", 0, 10)
+
+  /** st_points — the vertex array as POINT texts in document order
+    * (Trino's ST_Points): POINT / MULTIPOINT / LINESTRING /
+    * MULTILINESTRING; NULL on EMPTY (Trino's convention). */
+  def pointsOf(g: UTF8String): ArrayData = {
+    val t = g.toString.trim
+    if (t.equalsIgnoreCase("MULTIPOINT EMPTY") ||
+        t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY")) return null
+    val coords: Array[Double] =
+      if (isMultiPointText(t)) parseMultiPoint(t)
+      else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+        parseMultiLineString(t).toArray.flatten
+      else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
+        parseLineString(t)
+      else parsePoint(t)
+    val out = new Array[Any](coords.length / 2)
+    var i = 0
+    while (2 * i < coords.length) {
+      out(i) = pointStr(coords(2 * i), coords(2 * i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- line & scalar accessors (Trino geospatial page, r13) -------------
 
   /** st_geometrytype — Trino's "ST_Point"/"ST_LineString"/"ST_Polygon"/
@@ -1267,6 +1437,7 @@ object WktCore {
     val name =
       if (t.regionMatches(true, 0, "POINT", 0, 5)) "ST_Point"
       else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) "ST_LineString"
+      else if (isMultiPointText(t)) "ST_MultiPoint"
       else if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
         "ST_MultiPolygon"
       else if (t.regionMatches(true, 0, "POLYGON", 0, 7)) "ST_Polygon"
@@ -1279,7 +1450,9 @@ object WktCore {
     val t = g.toString.trim
     if (t.equalsIgnoreCase("POLYGON EMPTY") ||
         t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
-        t.equalsIgnoreCase("LINESTRING EMPTY")) true
+        t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOINT EMPTY")) true
+    else if (isMultiPointText(t)) { parseMultiPoint(t); false }
     else {
       WktOverlay.kindOf(g) match {
         case 0 => parsePoint(t)
@@ -1291,17 +1464,30 @@ object WktCore {
   }
 
   /** st_dimension — 0 points, 1 lines, 2 areal. */
-  def dimensionOf(g: UTF8String): Long = WktOverlay.kindOf(g).toLong
+  def dimensionOf(g: UTF8String): Long = {
+    val t = g.toString.trim
+    if (isMultiPointText(t)) {
+      if (!t.equalsIgnoreCase("MULTIPOINT EMPTY")) parseMultiPoint(t)
+      0L
+    } else WktOverlay.kindOf(g).toLong
+  }
 
   /** st_numpoints — vertex count of a POINT (1) or LINESTRING; areal
     * inputs are loud (Trino counts ring closers — an interop trap this
     * model sidesteps by scoping to the unambiguous kinds). */
-  def numPoints(g: UTF8String): Long = WktOverlay.kindOf(g) match {
-    case 0 => 1L
-    case 1 => parseLineString(g.toString).length / 2
-    case _ => throw new IllegalArgumentException(
-      "st_numpoints supports POINT and LINESTRING (polygon ring-closer " +
-        "counting differs across engines - count st_exteriorring instead)")
+  def numPoints(g: UTF8String): Long = {
+    val t = g.toString.trim
+    if (isMultiPointText(t))
+      return if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) 0L
+        else parseMultiPoint(t).length / 2
+    WktOverlay.kindOf(g) match {
+      case 0 => 1L
+      case 1 => parseLineString(g.toString).length / 2
+      case _ => throw new IllegalArgumentException(
+        "st_numpoints supports POINT, MULTIPOINT and LINESTRING (polygon " +
+          "ring-closer counting differs across engines - count " +
+          "st_exteriorring instead)")
+    }
   }
 
   private def pointStr(x: Double, y: Double): UTF8String =
@@ -1586,15 +1772,32 @@ object WktCore {
 
   // ---- geometry accessors (Trino ST_NumGeometries family, r11) ---------
 
-  /** st_numgeometries: component count (EMPTY → 0). */
-  def numGeometries(g: UTF8String): Long = geomPolys(g).length.toLong
+  /** st_numgeometries: component count (EMPTY → 0; MULTIPOINT counts
+    * its points, r13). */
+  def numGeometries(g: UTF8String): Long = {
+    val t = g.toString.trim
+    if (isMultiPointText(t))
+      if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) 0L
+      else parseMultiPoint(t).length / 2
+    else geomPolys(g).length.toLong
+  }
 
   /** st_geometryn (1-based): the n-th component re-rendered as a
-    * canonical POLYGON; null out of range (Trino's convention). */
+    * canonical POLYGON (or POINT for MULTIPOINT input, r13); null out
+    * of range (Trino's convention). */
   def geometryN(g: UTF8String, n: Int): UTF8String = {
-    val polys = geomPolys(g)
-    if (n < 1 || n > polys.length) null
-    else UTF8String.fromString(fmtGeom(Array(polys(n - 1))))
+    val t = g.toString.trim
+    if (isMultiPointText(t)) {
+      val c =
+        if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) Array.empty[Double]
+        else parseMultiPoint(t)
+      if (n < 1 || n > c.length / 2) null
+      else pointStr(c(2 * (n - 1)), c(2 * (n - 1) + 1))
+    } else {
+      val polys = geomPolys(g)
+      if (n < 1 || n > polys.length) null
+      else UTF8String.fromString(fmtGeom(Array(polys(n - 1))))
+    }
   }
 
   private def requireSinglePoly(g: UTF8String, op: String)
@@ -3641,4 +3844,25 @@ case class SphericalGeographyExpression(child: Expression, op: Int)
   override protected def withNewChildInternal(
       newChild: Expression): SphericalGeographyExpression =
     copy(child = newChild)
+}
+
+/** `st_points(geom)` → array of POINT texts in document order (Trino's
+  * ST_Points); NULL on EMPTY. POINT / MULTIPOINT / LINESTRING /
+  * MULTILINESTRING. */
+case class StPointsExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_points"
+
+  override protected def nullSafeEval(g: Any): Any =
+    WktCore.pointsOf(g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.WktCore.pointsOf($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StPointsExpression = copy(child = newChild)
 }

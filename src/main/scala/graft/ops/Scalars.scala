@@ -1557,6 +1557,40 @@ object Scalars extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // sc21z: MULTIPOINT — the last WKT kind (r13) — and Trino's
+    // ST_Points. Accessors, the degenerate-segment distance path (the
+    // 3-4-5 fixture makes the nearest member exact), both interchange
+    // round trips, and the closed-form WKB length.
+    "sc21z_geo_multipoint" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{dstr, line, point, q6}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.base(s, d)
+        .withColumn("mp", concat(lit("MULTIPOINT (("), dstr(col("cx")),
+          lit(" "), dstr(col("cy")), lit("), ("),
+          dstr(col("cx") + col("a")), lit(" "),
+          dstr(col("cy") + col("b")), lit("))")))
+        .withColumn("lineA", line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a"), col("cy") + col("b")))))
+      g.select(col("n_nationkey"),
+          f("st_geometrytype", col("mp")).as("gtype"),
+          f("st_numgeometries", col("mp")).as("ng"),
+          f("st_geometryn", col("mp"), lit(2)).as("second_pt"),
+          q6(GF.stDistance(col("mp"), point(col("cx") - 3, col("cy") - 4)))
+            .as("d5_q6"),
+          array_join(f("st_points", col("lineA")), "|").as("pts_j"),
+          length(f("st_asbinary", col("mp"))).cast("long").as("wkb_len"),
+          (f("st_geomfrombinary", f("st_asbinary", col("mp"))) ===
+            f("from_geojson_geometry", f("to_geojson_geometry", col("mp"))))
+            .as("rt_agree"),
+          f("st_issimple", col("mp")).as("simple_mp"),
+          f("st_dimension", col("mp")).as("dim0"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -2723,6 +2757,32 @@ object Scalars extends QueryModule {
          |  true AS rt_tag
          |FROM pts ORDER BY c_custkey""".stripMargin
     },
+
+    // sc21z: structural constants + the 3-4-5 distance + point texts by
+    // string construction (WKB length: 9-byte header + 2 × 21-byte
+    // nested points)
+    "sc21z_geo_multipoint" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  'ST_MultiPoint' AS gtype,
+        |  CAST(2 AS BIGINT) AS ng,
+        |  concat('POINT (', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ')') AS second_pt,
+        |  CAST(5000000 AS BIGINT) AS d5_q6,
+        |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')|POINT (', CAST(cx + a AS VARCHAR),
+        |    ' ', CAST(cy + b AS VARCHAR), ')') AS pts_j,
+        |  CAST(51 AS BIGINT) AS wkb_len,
+        |  true AS rt_agree,
+        |  true AS simple_mp,
+        |  CAST(0 AS BIGINT) AS dim0
+        |FROM p ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

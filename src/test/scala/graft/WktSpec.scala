@@ -870,6 +870,68 @@ class WktSpec extends SparkSpec {
     assert(row.getDouble(0) == d)
   }
 
+  test("MULTIPOINT: parse/render, accessors, distance, interchange, st_points (r13)") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val mp = "MULTIPOINT ((1 2), (3 4), (0 0))"
+
+    // both spellings parse; the parenthesized form is canonical
+    assert(WktCore.parseMultiPoint(mp).sameElements(
+      Array(1.0, 2.0, 3.0, 4.0, 0.0, 0.0)))
+    assert(WktCore.parseMultiPoint("MULTIPOINT (1 2, 3 4)").sameElements(
+      Array(1.0, 2.0, 3.0, 4.0)))
+    intercept[IllegalArgumentException] {
+      WktCore.parseMultiPoint("MULTIPOINT ((1 2), ())")
+    }
+
+    // accessors
+    assert(WktCore.geometryType(u(mp)).toString == "ST_MultiPoint")
+    assert(!WktCore.isEmptyGeom(u(mp)))
+    assert(WktCore.isEmptyGeom(u("MULTIPOINT EMPTY")))
+    assert(WktCore.dimensionOf(u(mp)) == 0L)
+    assert(WktCore.numPoints(u(mp)) == 3L)
+    assert(WktCore.numGeometries(u(mp)) == 3L)
+    assert(WktCore.geometryN(u(mp), 2).toString == "POINT (3.0 4.0)")
+    assert(WktCore.geometryN(u(mp), 4) == null)
+    assert(WktCore.isSimpleWkt(u(mp)))
+    assert(!WktCore.isSimpleWkt(u("MULTIPOINT ((1 2), (1 2))")))
+
+    // distance rides the degenerate-segment path: nearest of the three
+    // points to (6 8) is (3 4) at distance 5 exactly
+    assert(WktCore.distanceWkt(u(mp), u("POINT (6 8)")) == 5.0)
+    val np = WktCore.nearestPointsWkt(u(mp), u("POINT (6 8)"))
+    assert(np.getUTF8String(0).toString == "POINT (3.0 4.0)")
+
+    // interchange round trips land on the canonical parenthesized form
+    val canon = "MULTIPOINT ((1.0 2.0), (3.0 4.0), (0.0 0.0))"
+    assert(WktCore.fromWkb(WktCore.toWkb(u(mp))).toString == canon)
+    assert(WktCore.fromGeoJson(WktCore.toGeoJson(u(mp))).toString == canon)
+    assert(WktCore.toGeoJson(u(mp)).toString == "{\"type\":\"MultiPoint\"," +
+      "\"coordinates\":[[1.0,2.0],[3.0,4.0],[0.0,0.0]]}")
+    // WKB: 9-byte header + three 21-byte nested points
+    assert(WktCore.toWkb(u(mp)).length == 72)
+
+    // st_points over the point/line kinds; NULL on EMPTY
+    def pts(s: String): Seq[String] = {
+      val r = WktCore.pointsOf(u(s))
+      (0 until r.numElements()).map(r.getUTF8String(_).toString)
+    }
+    assert(pts(mp) == Seq("POINT (1.0 2.0)", "POINT (3.0 4.0)",
+      "POINT (0.0 0.0)"))
+    assert(pts("LINESTRING (0 0, 1 1)") ==
+      Seq("POINT (0.0 0.0)", "POINT (1.0 1.0)"))
+    assert(pts("POINT (5 6)") == Seq("POINT (5.0 6.0)"))
+    assert(WktCore.pointsOf(u("MULTIPOINT EMPTY")) == null)
+
+    // codegen parity
+    graft.functions.GraftFunctions.register(SparkSpec.spark)
+    val row = Seq(mp).toDF("g")
+      .selectExpr("st_points(g) AS p", "st_numgeometries(g) AS n",
+        "st_geomfrombinary(st_asbinary(g)) AS rt")
+      .head()
+    assert(row.getSeq[String](0).head == "POINT (1.0 2.0)")
+    assert(row.getLong(1) == 3L && row.getString(2) == canon)
+  }
+
   test("WKB interchange: exact bytes, round trips, both orders, loud scoping (r13)") {
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     def hexOf(s: String): String =
