@@ -1078,6 +1078,29 @@ object Etl extends QueryModule {
           |FROM f GROUP BY g ORDER BY g""".stripMargin)
     }),
 
+    // P2ad: the round-3 scalar closures — from_unixtime's 2-arg zone
+    // form (arity-dispatched pre-pass; the old regex rename broke on
+    // it), strrpos (reversed-needle arithmetic, empty needle loud),
+    // day_of_month, is_json_scalar (text-level under json-as-varchar).
+    // Remaining documented misses: dot_product over ARRAYs (the dialect
+    // adapter is typed for Trino's MAP form; SQL temp functions cannot
+    // overload) and the 3-arg from_unixtime offset form (loud).
+    "p2ad_presto_scalar_closures3" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "p_partkey" AS pk,
+          |  CAST(to_unixtime(from_unixtime("p_partkey" * 1000, 'UTC'))
+          |    AS BIGINT) AS rt_secs,
+          |  CAST(hour(from_unixtime("p_partkey" * 3600, 'Asia/Kolkata'))
+          |    AS BIGINT) AS h_kol,
+          |  day_of_month(DATE '2020-01-01'
+          |    + ("p_size" % 27) * INTERVAL '1' DAY) AS dom,
+          |  strrpos("p_name", 'a') AS rp,
+          |  is_json_scalar(IF("p_size" % 2 = 0,
+          |    CAST("p_size" AS VARCHAR), '[1]')) AS ijs
+          |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -2699,6 +2722,21 @@ object Etl extends QueryModule {
         |  CAST(bit_or(sz) AS BIGINT) AS bo,
         |  CAST(bit_xor(sz) AS BIGINT) AS bx
         |FROM f GROUP BY g ORDER BY g""".stripMargin,
+
+    // p2ad: epoch arithmetic (Kolkata = UTC+5:30, minutes never cross
+    // the hour on whole-hour epochs), DuckDB's day(), and the strrpos
+    // reversed-needle formula written operation-for-operation
+    "p2ad_presto_scalar_closures3" ->
+      """SELECT p_partkey AS pk,
+        |  CAST(p_partkey * 1000 AS BIGINT) AS rt_secs,
+        |  CAST((p_partkey % 24 + 5) % 24 AS BIGINT) AS h_kol,
+        |  CAST(day(DATE '2020-01-01'
+        |    + (p_size % 27) * INTERVAL 1 DAY) AS BIGINT) AS dom,
+        |  CASE WHEN strpos(p_name, 'a') = 0 THEN 0
+        |    ELSE CAST(length(p_name) - 1 -
+        |      strpos(reverse(p_name), 'a') + 2 AS BIGINT) END AS rp,
+        |  p_size % 2 = 0 AS ijs
+        |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
 
     "p2n_presto_fetch_ties" ->
       // DuckDB 1.0 has no WITH TIES — the oracle is the independent

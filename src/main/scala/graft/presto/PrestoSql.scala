@@ -1966,6 +1966,25 @@ object PrestoSql {
     // bridge hashing pipelines cross before md5/xxhash64)
     "to_utf8(s STRING) RETURNS BINARY RETURN encode(s, 'UTF-8')",
     "from_utf8(b BINARY) RETURNS STRING RETURN decode(b, 'UTF-8')",
+    // Trino day_of_month — the long-name alias of day() (r13)
+    "day_of_month(d DATE) RETURNS BIGINT RETURN day(d)",
+    // Trino strrpos(s, sub): the LAST occurrence, 1-based, 0 when
+    // absent — found by locating the reversed needle in the reversed
+    // haystack (p = len − lensub − q + 2). The empty-needle edge is
+    // loud: engines disagree on its position and silently picking one
+    // is a wrong-answer trap.
+    "strrpos(s STRING, sub STRING) RETURNS BIGINT RETURN" +
+      " CASE WHEN length(sub) = 0 THEN" +
+      " raise_error('strrpos: empty substring')" +
+      " WHEN instr(s, sub) = 0 THEN 0" +
+      " ELSE CAST(length(s) - length(sub) -" +
+      " instr(reverse(s), reverse(sub)) + 2 AS BIGINT) END",
+    // Trino is_json_scalar: true when the JSON text is a scalar (not
+    // an array/object) — a TEXT-level prefix test under this engine's
+    // json-as-varchar model (json_parse is the identity), documented.
+    "is_json_scalar(j STRING) RETURNS BOOLEAN RETURN" +
+      " CASE WHEN j IS NULL THEN NULL" +
+      " ELSE NOT (ltrim(j) LIKE '[%' OR ltrim(j) LIKE '{%') END",
     // Trino year_of_week / yow: the ISO-8601 week-numbering year (Jan 1
     // can belong to the previous ISO year — distinct from year())
     "year_of_week(d DATE) RETURNS BIGINT RETURN extract(YEAROFWEEK FROM d)",
@@ -2929,9 +2948,8 @@ object PrestoSql {
     ("""(?i)\bdate_add\s*\(\s*'(\w+)'\s*,""".r, "timestampadd($1,"),
     ("""(?i)\bapprox_distinct\s*\(""".r, "approx_count_distinct("),
     ("""(?i)\barbitrary\s*\(""".r, "any_value("),
-    // Presto from_unixtime returns TIMESTAMP; Spark's same-named builtin
-    // returns a formatted STRING — map to the timestamp-typed builtin.
-    ("""(?i)\bfrom_unixtime\s*\(""".r, "timestamp_seconds("),
+    // (from_unixtime is handled by the wrapFromUnixtime pre-pass — its
+    // 2-arg zone form needs arity dispatch a regex rename cannot do)
     // Presto split is a literal delimiter; Spark split is a regex —
     // handled by inlineSplit (a bracket-matching pre-pass that wraps the
     // delimiter in \Q…\E), NOT a rename to the presto_split SQL adapter:
@@ -4500,6 +4518,22 @@ object PrestoSql {
     * row, the dialect-compat trade-off; the hot 2-argument form keeps
     * its locate() adapter (the SQL function in dialectFns).
     */
+  /** Trino from_unixtime: the 1-arg form returns TIMESTAMP (Spark's
+    * same-named builtin returns a formatted STRING — a silent type
+    * trap), the 2-arg (seconds, zone) form renders the instant at the
+    * zone's wall clock (the at_timezone mapping under the pinned-UTC
+    * contract). The 3-arg hours/minutes-offset form fails loudly. */
+  private[graft] def wrapFromUnixtime(s: String): String =
+    rewriteCall(s, "from_unixtime") { args =>
+      args.size match {
+        case 1 => s"timestamp_seconds(${args(0)})"
+        case 2 =>
+          s"from_utc_timestamp(timestamp_seconds(${args(0)}), ${args(1)})"
+        case n => throw new IllegalArgumentException(
+          s"from_unixtime: the $n-arg offset form is not supported")
+      }
+    }
+
   private[graft] def wrapStrpos(s: String): String =
     rewriteCall(s, "strpos") { args =>
       require(args.size == 2 || args.size == 3,
@@ -4624,12 +4658,12 @@ object PrestoSql {
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
     val s = rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
-      wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
+      wrapFromUnixtime(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapKeysValuesMatch(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
           rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
             rewriteBareFromUnnest(rewriteDecimalLiterals(
               rewriteSequenceTable(rewriteJsonTable(
-                inlineSplit(rewriteFetchTies(prestoSql)))))))))))))))))))))
+                inlineSplit(rewriteFetchTies(prestoSql))))))))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -146,6 +146,34 @@ class DialectCanarySpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("datetime/string/json closures: from_unixtime zone form, strrpos, day_of_month, is_json_scalar (r13)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  CAST(to_unixtime(from_unixtime(1577836800, 'UTC')) AS BIGINT)
+        |    AS rt,
+        |  hour(from_unixtime(1577836800, 'Asia/Kolkata')) AS h_kol,
+        |  from_unixtime(1577836800) AS ts1,
+        |  day_of_month(DATE '2020-02-10') AS dom,
+        |  strrpos('ababab', 'ab') AS rp,
+        |  strrpos('hello', 'x') AS rp0,
+        |  is_json_scalar('1') AS js1,
+        |  is_json_scalar('[1,2]') AS js2
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 1577836800L)
+    assert(r.get(1).toString.toLong == 5L) // 00:00 UTC = 05:30 Kolkata
+    assert(r.getTimestamp(2).toInstant.getEpochSecond == 1577836800L)
+    assert(r.getLong(3) == 10L)
+    assert(r.getLong(4) == 5L && r.getLong(5) == 0L)
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    // the empty-needle edge and the 3-arg offset form stay loud
+    intercept[Throwable] {
+      PrestoSql.sql(spark, "SELECT strrpos('abc', '') AS v").collect()
+    }
+    intercept[Throwable] {
+      PrestoSql.sql(spark, "SELECT from_unixtime(0, 5, 30) AS v").collect()
+    }
+  }
+
   test("aggregate spellings resolve with value checks; reduce_agg/numeric_histogram stay loud (r13)") {
     val rel = "(VALUES (1, 2.0, 'a', ARRAY[1, 2]), (3, 4.0, 'b'," +
       " ARRAY[2, 3]), (3, 6.0, 'a', ARRAY[3, 4])) AS t (x, y, s, arr)"
