@@ -2883,6 +2883,17 @@ object PrestoSql {
     // SQL-function parameters), hence the scanner.
     ("""(?i)\breduce\s*\(""".r, "aggregate("),
     ("""(?i)\blevenshtein_distance\s*\(""".r, "levenshtein("),
+    // Trino TABLESAMPLE BERNOULLI/SYSTEM (p) → Spark's row-Bernoulli
+    // TABLESAMPLE (p PERCENT). BERNOULLI is semantics-exact; SYSTEM is
+    // implementation-defined in Trino (block sampling) and maps to the
+    // same row sampler — documented: every engine's SYSTEM differs, the
+    // contract is only "cheap approximate sample". Trino's clause sits
+    // AFTER the alias, Spark's BEFORE it — the first rewrite hoists the
+    // sample over an `AS name [(cols)]` alias, then the plain form maps.
+    ("""(?i)(AS\s+\w+\s*(?:\([^()]*\))?)\s+TABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)""".r,
+      "TABLESAMPLE ($2 PERCENT) $1"),
+    ("""(?i)\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)""".r,
+      "TABLESAMPLE ($1 PERCENT)"),
     // Trino aggregate names with exact Spark builtins (r13): set_agg =
     // distinct array (order arbitrary in BOTH engines — deterministic
     // consumers sort); the bitwise_*_agg trio are Spark's bit_and/or/xor

@@ -144,6 +144,15 @@ class DialectCanarySpec extends SparkSpec {
     assert(PrestoSql.sql(spark,
       "SELECT count(*) AS n FROM (SELECT 1 AS x) WHERE 1 = ANY (SELECT 1)")
       .head().getLong(0) == 1L)
+    // TABLESAMPLE BERNOULLI/SYSTEM (r13): Trino's after-alias placement
+    // hoists over the alias to Spark's before-alias form; the 100% and
+    // 0% edges are deterministic
+    assert(PrestoSql.sql(spark,
+      "SELECT x FROM (VALUES (1), (2), (3)) AS t (x)" +
+        " TABLESAMPLE BERNOULLI (100)").count() == 3L)
+    assert(PrestoSql.sql(spark,
+      "SELECT x FROM (VALUES (1), (2), (3)) AS t (x)" +
+        " TABLESAMPLE SYSTEM (0)").count() == 0L)
   }
 
   test("datetime/string/json closures: from_unixtime zone form, strrpos, day_of_month, is_json_scalar (r13)") {
