@@ -171,7 +171,17 @@ object Bench {
       full.getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_detail.json: $e") }
-    println(jsonLine(results, errors, sfDir))
+    val summary = jsonLine(results, errors, sfDir)
+    // the stdout line is the driver contract; the file is the durable
+    // copy (r12 ADVICE: the captured stdout tail once arrived with an
+    // sbt '[info] ' prefix and the driver's parse came back null —
+    // future rounds can diff this file programmatically regardless)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_summary.json"),
+      summary.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_summary.json: $e") }
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} query error(s):")

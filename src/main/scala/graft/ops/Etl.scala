@@ -775,6 +775,12 @@ object Etl extends QueryModule {
           |    ST_Point(cx - 3, cy - 4)), 2) AS np_b,
           |  ST_IsSimple(ST_GeometryFromText(r1)) AS simple_r1,
           |  CAST(ST_CoordDim(r1) AS BIGINT) AS cdim,
+          |  element_at(ST_EnvelopeAsPts(r1), 1) AS env_ll,
+          |  element_at(ST_EnvelopeAsPts(r1), 2) AS env_ur,
+          |  ST_AsText(ST_LineFromText(concat('LINESTRING (',
+          |    CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |    CAST(cx + a AS VARCHAR), ' ', CAST(cy AS VARCHAR), ')')))
+          |    AS lft,
           |  CAST(floor(ST_Distance(
           |    to_spherical_geography(ST_Point(cx, cy)),
           |    to_spherical_geography(ST_Point(cx + a, cy + b)))
@@ -2315,6 +2321,13 @@ object Etl extends QueryModule {
          |    CAST(cy - 4 AS VARCHAR), ')') AS np_b,
          |  true AS simple_r1,
          |  CAST(2 AS BIGINT) AS cdim,
+         |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+         |    CAST(cy AS VARCHAR), ')') AS env_ll,
+         |  concat('POINT (', CAST(cx + a AS VARCHAR), ' ',
+         |    CAST(cy + b AS VARCHAR), ')') AS env_ur,
+         |  concat('LINESTRING (', CAST(cx AS VARCHAR), ' ',
+         |    CAST(cy AS VARCHAR), ', ', CAST(cx + a AS VARCHAR), ' ',
+         |    CAST(cy AS VARCHAR), ')') AS lft,
          |  CAST(floor($dmeters * 1e6 + 0.5) AS BIGINT) AS d_m_q6
          |FROM p ORDER BY k""".stripMargin
     },

@@ -1947,6 +1947,20 @@ object PrestoSql {
     // st_distance resolves to the native general kernel (see below).
     "st_geometryfromtext(w STRING) RETURNS STRING RETURN w",
     "st_astext(g STRING) RETURNS STRING RETURN g",
+    // Trino ST_LineFromText: the LINESTRING-typed constructor — loud on
+    // any other kind (Trino returns a typed LineString; the text model
+    // enforces the kind at the gate instead)
+    "st_linefromtext(w STRING) RETURNS STRING RETURN" +
+      " CASE WHEN upper(ltrim(w)) LIKE 'LINESTRING%' THEN w" +
+      " ELSE raise_error(concat('ST_LineFromText: not a LINESTRING: '," +
+      " w)) END",
+    // Trino ST_EnvelopeAsPts: the envelope's lower-left and upper-right
+    // corners as a 2-element POINT array (rides the native bound kernels)
+    "st_envelopeaspts(g STRING) RETURNS ARRAY<STRING> RETURN array(" +
+      " concat('POINT (', CAST(st_xmin(g) AS STRING), ' '," +
+      " CAST(st_ymin(g) AS STRING), ')')," +
+      " concat('POINT (', CAST(st_xmax(g) AS STRING), ' '," +
+      " CAST(st_ymax(g) AS STRING), ')'))",
     "st_point(x DOUBLE, y DOUBLE) RETURNS STRING RETURN" +
       " concat('POINT (', CAST(x AS STRING), ' ', CAST(y AS STRING), ')')",
     // st_distance: resolved by the NATIVE general kernel (r13 — the
