@@ -1198,6 +1198,8 @@ object WktCore {
       val r = count("ring")
       if (r == 0) Array.empty
       else {
+        require(bb.remaining >= 68L * r, // 4-count + 4 closed pts min
+          "st_geomfrombinary: truncated POLYGON rings")
         val rings = Array.fill(r)(ringBody())
         Array((rings(0), rings.drop(1)))
       }
@@ -1218,6 +1220,10 @@ object WktCore {
       case 3 => fmtGeom(polyBody())
       case 4 =>
         val pts = count("MultiPoint component")
+        // bound the allocation by the bytes that could back it — a
+        // hostile count must throw, not attempt a giant allocation
+        require(bb.remaining >= 21L * pts,
+          "st_geomfrombinary: truncated MultiPoint")
         val c = new Array[Double](2 * pts)
         var i = 0
         while (i < pts) {
@@ -1229,6 +1235,8 @@ object WktCore {
         fmtMultiPoint(c)
       case 5 =>
         val parts = count("MultiLineString component")
+        require(bb.remaining >= 9L * parts, // 9-byte nested headers min
+          "st_geomfrombinary: truncated MultiLineString")
         fmtLines(Array.fill(parts) { nested(2, "MultiLineString")
           val c = lineBody(2)
           require(c.nonEmpty,
@@ -1236,6 +1244,8 @@ object WktCore {
           c })
       case 6 =>
         val comps = count("MultiPolygon component")
+        require(bb.remaining >= 13L * comps, // 13-byte nested min
+          "st_geomfrombinary: truncated MultiPolygon")
         fmtGeom(Array.fill(comps) { nested(3, "MultiPolygon")
           val p = polyBody()
           require(p.nonEmpty,
@@ -2863,6 +2873,25 @@ object WktCore {
     * CCW ring. */
   def bufferWkt(g: UTF8String, d: Double): UTF8String = {
     require(d >= 0, s"st_buffer: negative distance unsupported (got $d)")
+    // POINT buffer (r13): the disk as a regular CCW 32-gon (circumradius
+    // d, vertex 0 at angle 0) — a DOCUMENTED approximation, like every
+    // engine's polygonal circle; area = 16·d²·sin(π/16) in closed form,
+    // which oracles mirror exactly. d = 0 returns the point unchanged.
+    val t0 = g.toString.trim
+    if (t0.regionMatches(true, 0, "POINT", 0, 5)) {
+      val p = parsePoint(t0)
+      if (d == 0) return pointStr(p(0), p(1))
+      val n = 32
+      val out = new Array[Double](2 * n)
+      var k = 0
+      while (k < n) {
+        val th = 2.0 * math.Pi * k / n
+        out(2 * k) = p(0) + d * math.cos(th)
+        out(2 * k + 1) = p(1) + d * math.sin(th)
+        k += 1
+      }
+      return UTF8String.fromString(fmtRing(out))
+    }
     val c = toCcw(polygonCoords(g))
     if (d == 0) return UTF8String.fromString(fmtRing(c))
     // CONCAVE rings (r13): the miter buffer decomposes into the input

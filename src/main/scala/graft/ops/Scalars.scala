@@ -1481,7 +1481,8 @@ object Scalars extends QueryModule {
     // interpolation fractions land on exact dyadic targets.
     "sc21w_geo_nearest_simple" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      import GeoFix.{line, point, poly, rect}
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, poly, q6, rect}
       def f(name: String, cs: org.apache.spark.sql.Column*) =
         call_function(name, cs: _*)
       val g = GeoFix.base(s, d)
@@ -1512,7 +1513,14 @@ object Scalars extends QueryModule {
           f("st_issimple", col("bow")).as("simp_bow"),
           f("st_coorddim", col("r1")).as("cdim"),
           array_join(f("line_interpolate_points", col("lineA"),
-            lit(0.25)), "|").as("interp_q"))
+            lit(0.25)), "|").as("interp_q"),
+          // POINT buffer (r13): 32-gon disk, closed-form area mirror
+          q6(GF.stArea(call_function("st_buffer",
+            point(col("cx"), col("cy")), col("b")))).as("pbuf_q6"),
+          call_function("st_contains",
+            call_function("st_buffer", point(col("cx"), col("cy")),
+              col("b")), col("cx") + col("b") / 2, col("cy"))
+            .as("pbuf_ctr"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -2721,7 +2729,10 @@ object Scalars extends QueryModule {
         |    ')|POINT (', CAST(cx + 2 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
         |    ')|POINT (', CAST(cx + 3 AS VARCHAR), ' ', CAST(cy AS VARCHAR),
         |    ')|POINT (', CAST(cx + 3 AS VARCHAR), ' ',
-        |    CAST(cy + 1 AS VARCHAR), ')') AS interp_q
+        |    CAST(cy + 1 AS VARCHAR), ')') AS interp_q,
+        |  CAST(floor(16 * b * b * sin(pi() / 16) * 1e6 + 0.5) AS BIGINT)
+        |    AS pbuf_q6,
+        |  true AS pbuf_ctr
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21x: haversine meters + C&D spherical excess mirrored

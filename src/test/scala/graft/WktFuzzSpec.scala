@@ -277,4 +277,61 @@ class WktFuzzSpec extends AnyFunSuite {
       WktCore.containsWkt(u(s"POLYGON (($comp))"), x, y)
     }
   }
+
+  test("WKB/GeoJSON round-trip fuzz: 60 overlay outputs + hostile bytes (r13)") {
+    val rnd = new scala.util.Random(20260816)
+    var holed = 0
+    var multi = 0
+    for (trial <- 1 to 60) {
+      val nA = 3 + rnd.nextInt(5)
+      val nB = 3 + rnd.nextInt(5)
+      val a = skyline(0.0, 0.0, 1.0, Seq.fill(nA)(0.5 * (1 + rnd.nextInt(6))))
+      val b = skyline(0.5 * rnd.nextInt(5), 0.5 * (rnd.nextInt(5) - 2),
+        1.0, Seq.fill(nB)(0.5 * (1 + rnd.nextInt(6))))
+      val op = trial % 3
+      val out =
+        if (op == 0) WktCore.intersectionWkt(u(a), u(b))
+        else if (op == 1) WktCore.unionWkt(u(a), u(b))
+        else WktCore.differenceWkt(u(a), u(b))
+      val txt = out.toString
+      if (txt.startsWith("MULTIPOLYGON")) multi += 1
+      if (txt.contains("), (")) holed += 1
+      // canonical overlay output survives BOTH interchange trips
+      // text-exactly, and the binary is idempotent
+      val wkb = WktCore.toWkb(out)
+      assert(WktCore.fromWkb(wkb).toString == txt,
+        s"trial $trial WKB trip\nin=$txt")
+      assert(java.util.Arrays.equals(WktCore.toWkb(WktCore.fromWkb(wkb)), wkb),
+        s"trial $trial WKB not idempotent")
+      assert(WktCore.fromGeoJson(WktCore.toGeoJson(out)).toString == txt,
+        s"trial $trial GeoJSON trip\nin=$txt")
+      // area survives exactly (same doubles in, same doubles out)
+      assert(WktCore.area(u(WktCore.fromWkb(wkb).toString)) ==
+        WktCore.area(out), s"trial $trial area drift")
+    }
+    info(s"round-tripped: $multi MULTIPOLYGON, $holed holed of 60")
+
+    // hostile bytes: the reader must throw cleanly (IllegalArgument /
+    // buffer bounds), never return garbage or attempt giant allocations
+    for (trial <- 1 to 500) {
+      val len = rnd.nextInt(64)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      // half the trials get a plausible header to reach deeper states
+      if (trial % 2 == 0 && len >= 5) {
+        bytes(0) = 1
+        bytes(1) = (1 + rnd.nextInt(6)).toByte
+        bytes(2) = 0; bytes(3) = 0; bytes(4) = 0
+      }
+      try {
+        val out = WktCore.fromWkb(bytes)
+        // rare survivor: must itself be canonical + re-encodable
+        assert(WktCore.fromWkb(WktCore.toWkb(out)).toString == out.toString)
+      } catch {
+        case _: IllegalArgumentException => // loud, expected
+        case _: java.nio.BufferUnderflowException =>
+          fail(s"trial $trial: raw underflow escaped the length guards")
+      }
+    }
+  }
 }

@@ -750,6 +750,16 @@ class WktSpec extends SparkSpec {
       "POLYGON ((-0.5 -0.5, 1.5 -0.5, 1.5 1.5, -0.5 1.5, -0.5 -0.5))")
     // d = 0 on a concave ring normalizes instead of throwing (r13)
     assert(a(WktCore.bufferWkt(u(ell), 0.0).toString) == 3.0)
+    // POINT buffer: the regular 32-gon disk approximation (r13)
+    val disk = WktCore.bufferWkt(u("POINT (2 3)"), 1.5).toString
+    val exact = 16.0 * 1.5 * 1.5 * math.sin(math.Pi / 16)
+    assert(math.abs(a(disk) / exact - 1.0) < 1e-12, disk)
+    assert(WktCore.isValid(u(disk)))
+    assert(WktCore.containsWkt(u(disk), 2.0, 3.0))       // center
+    assert(WktCore.containsWkt(u(disk), 2.0 + 1.3, 3.0)) // inside apothem
+    assert(!WktCore.containsWkt(u(disk), 2.0 + 1.51, 3.0))
+    assert(WktCore.bufferWkt(u("POINT (2 3)"), 0.0).toString ==
+      "POINT (2.0 3.0)")
   }
 
   test("geometry_nearest_points / st_issimple / st_coorddim / line_interpolate_points (r13)") {
