@@ -1103,7 +1103,10 @@ object Etl extends QueryModule {
           |    + ("p_size" % 27) * INTERVAL '1' DAY) AS dom,
           |  strrpos("p_name", 'a') AS rp,
           |  is_json_scalar(IF("p_size" % 2 = 0,
-          |    CAST("p_size" AS VARCHAR), '[1]')) AS ijs
+          |    CAST("p_size" AS VARCHAR), '[1]')) AS ijs,
+          |  regexp_replace("p_name", '(\w)(\w*)',
+          |    x -> upper(x[1]) || x[2]) AS title,
+          |  regexp_like("p_name", '\w\s\w') AS multi_word
           |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
     }),
 
@@ -2748,7 +2751,11 @@ object Etl extends QueryModule {
         |  CASE WHEN strpos(p_name, 'a') = 0 THEN 0
         |    ELSE CAST(length(p_name) - 1 -
         |      strpos(reverse(p_name), 'a') + 2 AS BIGINT) END AS rp,
-        |  p_size % 2 = 0 AS ijs
+        |  p_size % 2 = 0 AS ijs,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> concat(upper(substr(w, 1, 1)), substr(w, 2))), ' ')
+        |    AS title,
+        |  regexp_matches(p_name, '\w\s\w') AS multi_word
         |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
 
     "p2n_presto_fetch_ties" ->

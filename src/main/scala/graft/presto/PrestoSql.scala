@@ -4543,6 +4543,83 @@ object PrestoSql {
     * row, the dialect-compat trade-off; the hot 2-argument form keeps
     * its locate() adapter (the SQL function in dialectFns).
     */
+  /** Trino string literals treat backslash as a REGULAR character ('' is
+    * the only escape); Spark's default parser processes backslash escapes,
+    * so a migrated '\d' regex silently became 'd' — the wrong-pattern
+    * class of silent difference. Faithfulness fix (r13): double every
+    * backslash inside the INPUT text's single-quoted literals, as the
+    * innermost pre-pass — later passes that emit Spark-escape-style
+    * literals of their own (inlineSplit's '\\Q' quoting) stay untouched. */
+  private[graft] def escapeLiteralBackslashes(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val out = new StringBuilder
+    var inLit = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inLit) {
+        if (c == '\'') inLit = true
+        out.append(c); i += 1
+      } else if (c == '\\') { out.append("\\\\"); i += 1 }
+      else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        out.append("''"); i += 2
+      } else {
+        if (c == '\'') inLit = false
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Trino regexp_replace(string, pattern, x -> …) — the LAMBDA form
+    * (Spark's regexp_replace is not higher-order). Reconstruction:
+    * split() yields the N+1 between-match segments, regexp_extract_all
+    * the N matches; each match is transformed by the lambda body with
+    * `x[k]` capture references rewritten to regexp_extract(match,
+    * pattern, k), then segments and replacements interleave. LOUD
+    * limits (would silently mis-replace otherwise): anchored or
+    * lookaround patterns (capture re-extraction against the isolated
+    * match text would see a different context), and any lambda use of
+    * the variable other than `x[k]` indexing. */
+  private[graft] def wrapRegexpLambda(s: String): String =
+    rewriteCall(s, "regexp_replace") { args =>
+      if (args.size != 3 || !args(2).trim.matches("(?s)^\\w+\\s*->.*"))
+        s"regexp_replace(${args.mkString(", ")})"
+      else {
+        val str = args(0)
+        val pat = args(1)
+        val lam = args(2).trim
+        val arrow = lam.indexOf("->")
+        val v = lam.substring(0, arrow).trim
+        var body = lam.substring(arrow + 2).trim
+        require(!pat.contains("^") && !pat.contains("$") &&
+          !pat.contains("(?=") && !pat.contains("(?!") &&
+          !pat.contains("(?<"),
+          "regexp_replace(lambda): anchored/lookaround patterns are " +
+            "not supported (capture re-extraction would change meaning)")
+        // both subscript spellings: raw `x[k]` and the form the earlier
+        // rewriteArrayLiterals pass already produced, `element_at(x, k)`
+        val refs = Seq(
+          ("""\b""" + java.util.regex.Pattern.quote(v) +
+            """\s*\[\s*(\d+)\s*\]""").r,
+          ("""\belement_at\s*\(\s*""" + java.util.regex.Pattern.quote(v) +
+            """\s*,\s*(\d+)\s*\)""").r)
+        refs.foreach { ref =>
+          body = ref.replaceAllIn(body, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"regexp_extract(__m, $pat, ${m.group(1)})"))
+        }
+        require(("""\b""" + java.util.regex.Pattern.quote(v) + """\b""").r
+          .findFirstIn(body).isEmpty,
+          s"regexp_replace(lambda): only $v[k] capture references are " +
+            "supported in the lambda body")
+        s"array_join(zip_with(split($str, $pat, -1), " +
+          s"concat(transform(regexp_extract_all($str, $pat, 0), " +
+          s"__m -> ($body)), array(CAST(NULL AS STRING))), " +
+          "(__seg, __rep) -> concat(__seg, coalesce(__rep, ''))), '')"
+      }
+    }
+
   /** Trino from_unixtime: the 1-arg form returns TIMESTAMP (Spark's
     * same-named builtin returns a formatted STRING — a silent type
     * trap), the 2-arg (seconds, zone) form renders the instant at the
@@ -4683,12 +4760,13 @@ object PrestoSql {
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
     val s = rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
-      wrapFromUnixtime(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
+      wrapRegexpLambda(wrapFromUnixtime(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapKeysValuesMatch(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
           rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
             rewriteBareFromUnnest(rewriteDecimalLiterals(
               rewriteSequenceTable(rewriteJsonTable(
-                inlineSplit(rewriteFetchTies(prestoSql))))))))))))))))))))))
+                inlineSplit(rewriteFetchTies(
+                  escapeLiteralBackslashes(prestoSql))))))))))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -183,6 +183,36 @@ class DialectCanarySpec extends SparkSpec {
     }
   }
 
+  test("Trino literal faithfulness + lambda regexp_replace (r13)") {
+    // Trino literals keep backslashes as REGULAR characters; without
+    // the escape pre-pass Spark read '\d' as 'd' — the silent
+    // wrong-pattern class for every migrated regex
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  regexp_like('a7', '\d') AS rl,
+        |  length('a\b') AS len3,
+        |  regexp_replace('new york', '(\w)(\w*)',
+        |    x -> upper(x[1]) || x[2]) AS title,
+        |  regexp_replace('a1b22c', '(\d+)',
+        |    x -> concat('<', x[1], '>')) AS marks,
+        |  'it''s' AS q
+        |""".stripMargin).head()
+    assert(r.getBoolean(0))
+    assert(r.get(1).toString.toLong == 3L)
+    assert(r.getString(2) == "New York")
+    assert(r.getString(3) == "a<1>b<22>c")
+    assert(r.getString(4) == "it's")
+    // lambda limits stay loud: anchored patterns, non-subscript uses
+    intercept[Throwable] {
+      PrestoSql.sql(spark,
+        """SELECT regexp_replace('x', '^a', y -> y[1]) AS v""").collect()
+    }
+    intercept[Throwable] {
+      PrestoSql.sql(spark,
+        """SELECT regexp_replace('x', 'a', y -> upper(y)) AS v""").collect()
+    }
+  }
+
   test("aggregate spellings resolve with value checks; reduce_agg/numeric_histogram stay loud (r13)") {
     val rel = "(VALUES (1, 2.0, 'a', ARRAY[1, 2]), (3, 4.0, 'b'," +
       " ARRAY[2, 3]), (3, 6.0, 'a', ARRAY[3, 4])) AS t (x, y, s, arr)"
