@@ -1106,7 +1106,15 @@ object Etl extends QueryModule {
           |    CAST("p_size" AS VARCHAR), '[1]')) AS ijs,
           |  regexp_replace("p_name", '(\w)(\w*)',
           |    x -> upper(x[1]) || x[2]) AS title,
-          |  regexp_like("p_name", '\w\s\w') AS multi_word
+          |  regexp_like("p_name", '\w\s\w') AS multi_word,
+          |  url_extract_port(concat('https://ex.com:',
+          |    CAST(8000 + "p_partkey" % 100 AS VARCHAR), '/x')) AS uport,
+          |  url_extract_parameter(concat('https://ex.com/p?q=',
+          |    CAST("p_size" AS VARCHAR), '&r=2'), 'q') AS uparam,
+          |  url_extract_fragment(concat('https://ex.com/p#s',
+          |    CAST("p_size" AS VARCHAR))) AS ufrag,
+          |  from_utf8(from_base64url(to_base64url(to_utf8("p_name"))))
+          |    = "p_name" AS b64url_rt
           |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
     }),
 
@@ -2755,7 +2763,11 @@ object Etl extends QueryModule {
         |  array_to_string(list_transform(string_split(p_name, ' '),
         |    w -> concat(upper(substr(w, 1, 1)), substr(w, 2))), ' ')
         |    AS title,
-        |  regexp_matches(p_name, '\w\s\w') AS multi_word
+        |  regexp_matches(p_name, '\w\s\w') AS multi_word,
+        |  CAST(8000 + p_partkey % 100 AS BIGINT) AS uport,
+        |  CAST(p_size AS VARCHAR) AS uparam,
+        |  concat('s', CAST(p_size AS VARCHAR)) AS ufrag,
+        |  true AS b64url_rt
         |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
 
     "p2n_presto_fetch_ties" ->

@@ -1980,6 +1980,23 @@ object PrestoSql {
     // bridge hashing pipelines cross before md5/xxhash64)
     "to_utf8(s STRING) RETURNS BINARY RETURN encode(s, 'UTF-8')",
     "from_utf8(b BINARY) RETURNS STRING RETURN decode(b, 'UTF-8')",
+    // Trino URL accessors Spark's parse_url covers directly (r13):
+    // fragment = REF, parameter = QUERY with key, port parsed off the
+    // AUTHORITY (BIGINT, NULL when absent — Trino's contract)
+    "url_extract_fragment(u STRING) RETURNS STRING RETURN" +
+      " parse_url(u, 'REF')",
+    "url_extract_parameter(u STRING, k STRING) RETURNS STRING RETURN" +
+      " parse_url(u, 'QUERY', k)",
+    "url_extract_port(u STRING) RETURNS BIGINT RETURN" +
+      " CAST(nullif(regexp_extract(coalesce(parse_url(u, 'AUTHORITY')," +
+      " ''), ':([0-9]+)$', 1), '') AS BIGINT)",
+    // Trino URL-safe base64 (RFC 4648 §5): the standard alphabet with
+    // +/ swapped for -_; padding preserved on encode, tolerated on
+    // decode (unbase64 accepts both)
+    "to_base64url(b BINARY) RETURNS STRING RETURN" +
+      " translate(base64(b), '+/', '-_')",
+    "from_base64url(s STRING) RETURNS BINARY RETURN" +
+      " unbase64(translate(s, '-_', '+/'))",
     // Trino day_of_month — the long-name alias of day() (r13)
     "day_of_month(d DATE) RETURNS BIGINT RETURN day(d)",
     // Trino strrpos(s, sub): the LAST occurrence, 1-based, 0 when
@@ -2794,13 +2811,19 @@ object PrestoSql {
       spark.udf.register("convex_hull_agg",
         udaf(graft.functions.GeomAggregators.hullOf))
       spark.udf.register("graft_qdigest_merge", udaf(QS.mergeAgg))
+      // NULL sketches read as NULL, Trino's convention (r13 — the bare
+      // deserialize NPE'd on NULL input)
       spark.udf.register("graft_value_at_quantile",
         udf { (flat: Seq[Double], q: Double) =>
-          val (m, w) = QS.deserialize(flat); QS.quantile(m, w, q)
+          if (flat == null) None
+          else { val (m, w) = QS.deserialize(flat)
+            Some(QS.quantile(m, w, q)) }
         })
       spark.udf.register("graft_values_at_quantiles",
         udf { (flat: Seq[Double], qs: Seq[Double]) =>
-          val (m, w) = QS.deserialize(flat); qs.map(QS.quantile(m, w, _))
+          if (flat == null || qs == null) None
+          else { val (m, w) = QS.deserialize(flat)
+            Some(qs.map(QS.quantile(m, w, _))) }
         })
       // Trino quantile_at_value — the inverse CDF read: the estimated
       // rank of `v` as the midpoint-interpolated cumulative weight at
@@ -2808,7 +2831,9 @@ object PrestoSql {
       // matching Trino's null-on-out-of-range
       spark.udf.register("graft_quantile_at_value",
         udf { (flat: Seq[Double], v: Double) =>
-          val (m, w) = QS.deserialize(flat)
+          val (m, w) =
+            if (flat == null) (Array.empty[Double], Array.empty[Double])
+            else QS.deserialize(flat)
           if (m.isEmpty || v < m.head || v > m.last) None
           else {
             val total = w.sum

@@ -183,6 +183,24 @@ class DialectCanarySpec extends SparkSpec {
     }
   }
 
+  test("URL accessors, base64url, NULL-sketch reads (r13)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  url_extract_port('https://a.io:8080/p') AS port,
+        |  url_extract_port('https://a.io/p') AS noport,
+        |  url_extract_fragment('https://a.io/p#frag') AS frag,
+        |  url_extract_parameter('https://a.io/p?q=1&r=2', 'r') AS param,
+        |  to_base64url(to_utf8('a~~b?')) AS b64u,
+        |  from_utf8(from_base64url(to_base64url(to_utf8('xyz')))) AS rt,
+        |  value_at_quantile(NULL, 0.5) AS nullq
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 8080L && r.isNullAt(1))
+    assert(r.getString(2) == "frag" && r.getString(3) == "2")
+    // URL-safe alphabet: '-' where standard base64 has '+'
+    assert(r.getString(4) == "YX5-Yj8=")
+    assert(r.getString(5) == "xyz" && r.isNullAt(6))
+  }
+
   test("Trino literal faithfulness + lambda regexp_replace (r13)") {
     // Trino literals keep backslashes as REGULAR characters; without
     // the escape pre-pass Spark read '\d' as 'd' — the silent
