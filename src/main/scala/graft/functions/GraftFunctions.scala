@@ -331,6 +331,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_ibeta"),
       new ExpressionInfo(classOf[RegBetaExpression].getName, "graft_ibeta"),
       (e: Seq[Expression]) => RegBetaExpression(dbl(e(0)), dbl(e(1)), dbl(e(2)))),
+    (FunctionIdentifier("graft_inv_pgamma"),
+      new ExpressionInfo(classOf[InvRegGammaExpression].getName,
+        "graft_inv_pgamma"),
+      (e: Seq[Expression]) => InvRegGammaExpression(dbl(e(0)), dbl(e(1)))),
     (FunctionIdentifier("graft_inv_ibeta"),
       new ExpressionInfo(classOf[InvRegBetaExpression].getName, "graft_inv_ibeta"),
       (e: Seq[Expression]) => InvRegBetaExpression(dbl(e(0)), dbl(e(1)), dbl(e(2)))))

@@ -42,6 +42,30 @@ object StatKernel {
       0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
     }
 
+
+  /** Inverse of P(a, ·): the x with P(a, x) = p. Bisection — slower
+    * than Newton but unconditionally convergent and fully
+    * deterministic (the oracle contract): the bracket grows
+    * geometrically until it encloses p, then ~200 halvings reach the
+    * 1-ulp floor. */
+  def invPgamma(a: Double, p: Double): Double = {
+    require(a > 0, s"inverse_gamma_cdf: shape must be > 0, got $a")
+    require(p >= 0 && p < 1,
+      s"inverse_gamma_cdf: p must be in [0, 1), got $p")
+    if (p == 0) return 0.0
+    var hi = a + 1.0
+    while (pgamma(a, hi) < p) hi *= 2
+    var lo = 0.0
+    var i = 0
+    while (i < 200) {
+      val mid = 0.5 * (lo + hi)
+      if (mid == lo || mid == hi) return mid
+      if (pgamma(a, mid) < p) lo = mid else hi = mid
+      i += 1
+    }
+    0.5 * (lo + hi)
+  }
+
   /** Regularized lower incomplete gamma P(a, x), a > 0. */
   def pgamma(a: Double, x: Double): Double = {
     if (x.isNaN || a.isNaN) return Double.NaN
@@ -204,4 +228,24 @@ case class InvRegBetaExpression(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): InvRegBetaExpression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_inv_pgamma(a, p)` — x with P(a, x) = p (bisection). */
+case class InvRegGammaExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // children are Cast-to-DOUBLE at registration (GraftFunctions)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_inv_pgamma"
+
+  override def nullSafeEval(a: Any, pv: Any): Any =
+    StatKernel.invPgamma(a.asInstanceOf[Double], pv.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, pv) =>
+      s"graft.functions.StatKernel.invPgamma($a, $pv)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InvRegGammaExpression =
+    copy(left = newLeft, right = newRight)
 }

@@ -1118,6 +1118,43 @@ object Etl extends QueryModule {
           |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
     }),
 
+    // P2ae: the wave-5 closures — inverse_gamma_cdf (deterministic
+    // bisection on the P(a,·) kernel, oracled via the CDF round trip),
+    // array_sort_desc (NULLs last), array_frequency,
+    // map_keys_by_top_n_values (value DESC, key DESC tiebreak),
+    // from_utf8's 2-arg lenient form (JVM REPLACE decoder), 2-arg
+    // toward-zero truncate (double semantics mirrored op-for-op), and
+    // the CAST(json_parse(x) AS ARRAY(…)) migration idiom routed to
+    // FAILFAST from_json. Documented miss: cosine_similarity /
+    // dot_product over ARRAYs (the adapters are typed for Trino's MAP
+    // forms; SQL temp functions cannot overload).
+    "p2ae_presto_wave5_closures" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH f AS (
+          |  SELECT "p_partkey" AS pk, "p_size" AS sz,
+          |    "p_name" AS nm, "p_retailprice" AS pr
+          |  FROM part WHERE "p_partkey" < 300)
+          |SELECT pk,
+          |  CAST(floor(inverse_gamma_cdf(2.0, 3.0,
+          |    gamma_cdf(2.0, 3.0, sz / 7.0)) * 1e6 + 0.5) AS BIGINT)
+          |    AS igc_q6,
+          |  array_join(transform(array_sort_desc(
+          |    ARRAY[sz, sz + 2, sz + 1]), x -> CAST(x AS VARCHAR)), ',')
+          |    AS asd,
+          |  CAST(element_at(array_frequency(ARRAY[sz, sz, sz + 1]), sz)
+          |    AS BIGINT) AS af,
+          |  array_join(map_keys_by_top_n_values(
+          |    map(ARRAY['a','b','c'], ARRAY[sz, sz + 2, sz + 1]), 2), ',')
+          |    AS mk2,
+          |  from_utf8(to_utf8(nm), '?') AS fu,
+          |  truncate(pr, 1) AS tr1,
+          |  CAST(element_at(CAST(json_parse(concat('[',
+          |    CAST(sz AS VARCHAR), ']')) AS ARRAY(BIGINT)), 1) AS BIGINT)
+          |    AS cjp
+          |FROM f ORDER BY pk""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -2769,6 +2806,28 @@ object Etl extends QueryModule {
         |  concat('s', CAST(p_size AS VARCHAR)) AS ufrag,
         |  true AS b64url_rt
         |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
+
+    // p2ae: the bisection inverse returns to the CDF's input within
+    // ulps (q6 absorbs it — pdf ≥ 0.07 over the fixture range keeps
+    // the inversion error ≤ ~1e-13); truncate's double arithmetic is
+    // mirrored operation-for-operation; the rest are DuckDB list/map
+    // machinery
+    "p2ae_presto_wave5_closures" ->
+      """WITH f AS (
+        |  SELECT p_partkey AS pk, p_size AS sz, p_name AS nm,
+        |    p_retailprice AS pr
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT pk,
+        |  CAST(floor(sz / 7.0 * 1e6 + 0.5) AS BIGINT) AS igc_q6,
+        |  array_to_string(list_transform(
+        |    list_reverse_sort([sz, sz + 2, sz + 1]),
+        |    x -> CAST(x AS VARCHAR)), ',') AS asd,
+        |  CAST(2 AS BIGINT) AS af,
+        |  'b,c' AS mk2,
+        |  nm AS fu,
+        |  sign(pr) * floor(abs(pr) * pow(10, 1)) / pow(10, 1) AS tr1,
+        |  CAST(sz AS BIGINT) AS cjp
+        |FROM f ORDER BY pk""".stripMargin,
 
     "p2n_presto_fetch_ties" ->
       // DuckDB 1.0 has no WITH TIES — the oracle is the independent

@@ -2221,6 +2221,34 @@ object PrestoSql {
       " WHEN v < 0 THEN raise_error(" +
       "'gamma_cdf: value must be greater than or equal to 0')" +
       " ELSE graft_pgamma(shape, v / scale) END",
+    // Trino inverse_gamma_cdf(shape, scale, p): x = scale · P⁻¹(shape,
+    // p) via the deterministic bisection kernel (r13)
+    "inverse_gamma_cdf(shape DOUBLE, scale DOUBLE, p DOUBLE)" +
+      " RETURNS DOUBLE RETURN" +
+      " CASE WHEN shape <= 0 OR scale <= 0 THEN raise_error(" +
+      "'inverse_gamma_cdf: shape and scale must be greater than 0')" +
+      " ELSE scale * graft_inv_pgamma(shape, p) END",
+    // Trino array_sort_desc — descending with NULLs LAST (a bare
+    // reverse(array_sort(…)) would put them first); BIGINT elements,
+    // the array_top_n typing convention
+    "array_sort_desc(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN" +
+      " concat(reverse(array_sort(filter(a, x -> x IS NOT NULL)))," +
+      " filter(a, x -> x IS NULL))",
+    // Trino array_frequency — element → occurrence count (BIGINT
+    // elements; NULLs excluded, Trino's contract); row-local O(n·d)
+    "array_frequency(a ARRAY<BIGINT>) RETURNS MAP<BIGINT, INT> RETURN" +
+      " map_from_entries(transform(array_distinct(filter(a," +
+      " x -> x IS NOT NULL)), x -> struct(x, size(filter(a," +
+      " y -> y = x)))))",
+    // Presto map_keys_by_top_n_values — keys of the n largest values
+    // (value DESC, key DESC tiebreak — Presto's documented ordering);
+    // MAP<STRING, BIGINT>, the map-adapter typing convention
+    "map_keys_by_top_n_values(m MAP<STRING, BIGINT>, n BIGINT)" +
+      " RETURNS ARRAY<STRING> RETURN" +
+      " transform(slice(array_sort(map_entries(m), (a, b) ->" +
+      " CASE WHEN a.value > b.value THEN -1 WHEN a.value < b.value" +
+      " THEN 1 WHEN a.key > b.key THEN -1 WHEN a.key < b.key THEN 1" +
+      " ELSE 0 END), 1, CAST(n AS INT)), e -> e.key)",
     "chi_squared_cdf(df DOUBLE, v DOUBLE) RETURNS DOUBLE RETURN" +
       " CASE WHEN df <= 0 THEN raise_error(" +
       "'chi_squared_cdf: df must be greater than 0')" +
@@ -2779,6 +2807,23 @@ object PrestoSql {
             mac.doFinal(msg)
           }
         }
+      // Trino from_utf8's LENIENT decode (both arities substitute for
+      // malformed sequences; Spark's decode throws) — JVM charset
+      // decoder with REPLACE actions, then the custom replacement
+      // swaps in for U+FFFD. Per-row UDF cost only where a script
+      // actually decodes binary (the hmac precedent).
+      spark.udf.register("graft_from_utf8_lenient",
+        udf { (b: Array[Byte], rep: String) =>
+          if (b == null || rep == null) null
+          else {
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+              .onUnmappableCharacter(
+                java.nio.charset.CodingErrorAction.REPLACE)
+            dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+              .replace("�", rep)
+          }
+        })
       spark.udf.register("hmac_sha256", hmacUdf("HmacSHA256"))
       spark.udf.register("hmac_sha512", hmacUdf("HmacSHA512"))
       spark.udf.register("hmac_sha1", hmacUdf("HmacSHA1"))
@@ -3329,6 +3374,46 @@ object PrestoSql {
       if (args.size == 2 && args(1).matches("\\d+"))
         s"slice(array_sort(collect_list(${args(0)})), 1, ${args(1)})"
       else s"min(${args.mkString(", ")})"
+    }
+    // Trino from_utf8's 2-arg form: custom replacement for malformed
+    // byte sequences (Spark's decode substitutes U+FFFD — replaced
+    // after the fact); an integer literal replacement is a code point,
+    // Trino's overload
+    r = rewriteCall(r, "from_utf8") { args =>
+      args.size match {
+        case 1 => s"from_utf8(${args(0)})"
+        case 2 =>
+          val rep =
+            if (args(1).trim.matches("\\d+")) s"presto_chr(${args(1)})"
+            else args(1)
+          s"graft_from_utf8_lenient(${args(0)}, $rep)"
+        case n => throw new IllegalArgumentException(
+          s"from_utf8 takes 1 or 2 arguments, got $n")
+      }
+    }
+    // Trino truncate(x, n): toward-zero at n decimals (double
+    // semantics, like Trino's DOUBLE overload)
+    r = rewriteCall(r, "truncate") { args =>
+      if (args.size == 2)
+        s"(sign(${args(0)}) * floor(abs(${args(0)}) *" +
+          s" pow(10, ${args(1)})) / pow(10, ${args(1)}))"
+      else s"truncate(${args.mkString(", ")})"
+    }
+    // The CAST(json_parse(x) AS ARRAY(…)/MAP(…)) migration idiom:
+    // json_parse is the identity under json-as-varchar, so the cast
+    // routes to from_json with the translated type — FAILFAST so
+    // malformed JSON stays LOUD like Trino's cast
+    r = rewriteCall(r, "cast") { args =>
+      val jp = """(?is)^\s*json_parse\s*\((.*)\)\s+AS\s+(.+)$""".r
+      args match {
+        case Seq(jp(inner, typ))
+            if inner.count(_ == '(') == inner.count(_ == ')') =>
+          s"from_json($inner, '${translateType(typ.trim)}', " +
+            "map('mode', 'FAILFAST'))"
+        // pass-through re-emits the canonical upper spelling (the
+        // rewriter cannot see the original casing; SQL is caseless)
+        case _ => s"CAST(${args.mkString(", ")})"
+      }
     }
     // SQL:2016 JSON constructors (Trino's JSON_OBJECT / JSON_ARRAY):
     // entries map onto to_json over named_struct / array. Null clauses
