@@ -1461,8 +1461,12 @@ object WktCore {
     if (t.equalsIgnoreCase("POLYGON EMPTY") ||
         t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
         t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
         t.equalsIgnoreCase("MULTIPOINT EMPTY")) true
     else if (isMultiPointText(t)) { parseMultiPoint(t); false }
+    else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+      parseMultiLineString(t); false
+    }
     else {
       WktOverlay.kindOf(g) match {
         case 0 => parsePoint(t)

@@ -1945,7 +1945,11 @@ object PrestoSql {
     // ride the native st_* codegen kernels (GraftFunctions registers
     // before these temp functions are created, so the bodies resolve).
     // st_distance resolves to the native general kernel (see below).
-    "st_geometryfromtext(w STRING) RETURNS STRING RETURN w",
+    // validating constructor (r13): Trino throws on malformed WKT at
+    // construction; st_coorddim forces the kind-dispatched parse (the
+    // thread-local parse memo makes the later kernel re-parse free)
+    "st_geometryfromtext(w STRING) RETURNS STRING RETURN" +
+      " CASE WHEN st_coorddim(w) = 2 THEN w END",
     "st_astext(g STRING) RETURNS STRING RETURN g",
     // Trino ST_LineFromText: the LINESTRING-typed constructor — loud on
     // any other kind (Trino returns a typed LineString; the text model
