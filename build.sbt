@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 356 benched queries × whole-stage codegen in ONE JVM overflow the
+  // 240m JIT code-cache default — once full, new compilations stop and
+  // late queries run interpreted/C1, which showed up as a uniform
+  // ~1.3× per-query drift as rounds added queries (r14 A/B-measured).
+  // Env-tunable so the bench can pin the effect.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

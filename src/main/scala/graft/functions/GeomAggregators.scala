@@ -42,12 +42,18 @@ object GeomAggregators {
   val unionOf: Aggregator[String, String, String] =
     new Aggregator[String, String, String] {
       def zero: String = "POLYGON EMPTY"
+      // r14: mixed-dimension groups (areal + line + point kinds,
+      // GEOMETRYCOLLECTION members included) fold through unionMixed —
+      // areal parts ride the overlay union exactly as before (all-areal
+      // groups produce byte-identical r13 output), line/point parts
+      // dedupe and drop when covered by the region, and a
+      // mixed-dimension result renders as a GEOMETRYCOLLECTION in fixed
+      // dimension order — Trino's geometry_union shape
       def reduce(b: String, g: String): String =
-        if (g == null) b else WktCore.unionWkt(u(b), u(g)).toString
+        if (g == null) b else WktCore.unionMixed(b, g)
       def merge(x: String, y: String): String =
-        WktCore.unionWkt(u(x), u(y)).toString
-      def finish(b: String): String =
-        WktCore.canonMinimalWkt(u(b)).toString
+        WktCore.unionMixed(x, y)
+      def finish(b: String): String = WktCore.finishMixed(b)
       def bufferEncoder: Encoder[String] = Encoders.STRING
       def outputEncoder: Encoder[String] = Encoders.STRING
     }

@@ -269,7 +269,19 @@ object GraftFunctions {
       (e: Seq[Expression]) => StBoundaryExpression(e(0))),
     (FunctionIdentifier("st_buffer"),
       new ExpressionInfo(classOf[StBufferExpression].getName, "st_buffer"),
-      (e: Seq[Expression]) => StBufferExpression(e(0), e(1))),
+      (e: Seq[Expression]) => {
+        // optional 3rd arg: join style literal — 'round' (default,
+        // Trino/GEOS arcs) or 'miter' (the r13 closed form)
+        val style =
+          if (e.length < 3) WktCore.BufRound
+          else litStr(e(2)).toLowerCase(java.util.Locale.ROOT) match {
+            case "round" => WktCore.BufRound
+            case "miter" => WktCore.BufMiter
+            case other => throw new IllegalArgumentException(
+              s"st_buffer: unknown join style '$other' (round | miter)")
+          }
+        StBufferExpression(e(0), e(1), style)
+      }),
     (FunctionIdentifier("st_convexhull"),
       new ExpressionInfo(classOf[StConvexHullExpression].getName,
         "st_convexhull"),

@@ -359,6 +359,11 @@ object WktCore {
       (s.getByte(i + 4) | 0x20) == 's' && (s.getByte(i + 5) | 0x20) == 't'
   }
 
+  // LINESTRING or MULTILINESTRING (r14): the line-kind dispatch probe
+  private def isLineKindWkt(s: UTF8String): Boolean =
+    isLineWkt(s) ||
+      s.toString.trim.regionMatches(true, 0, "MULTILINESTRING", 0, 15)
+
   // B-side memo for the multi-ring accessor (join probes vary both
   // sides; one shared slot would thrash) — mirrors lastPolyB
   private val lastGeomB = new ThreadLocal[
@@ -376,8 +381,10 @@ object WktCore {
   }
 
   def intersectsWkt(a: UTF8String, b: UTF8String): Boolean = {
-    // LINESTRING operands (r13) ride the overlay tier's line kernels
-    if (isLineWkt(a) || isLineWkt(b)) return WktOverlay.intersectsExt(a, b)
+    // (MULTI)LINESTRING operands (r13/r14) ride the overlay tier's
+    // line kernels
+    if (isLineKindWkt(a) || isLineKindWkt(b))
+      return WktOverlay.intersectsExt(a, b)
     val aPt = isPointWkt(a)
     val bPt = isPointWkt(b)
     if (aPt && bPt) {
@@ -602,12 +609,14 @@ object WktCore {
         out += Array(c(2 * i), c(2 * i + 1), c(2 * i), c(2 * i + 1))
         i += 1
       }
-    } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
-      val c = parseLineString(t)
-      var i = 0
-      while (2 * i + 3 < c.length) {
-        out += Array(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3))
-        i += 1
+    } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10) ||
+        t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+      lineParts(t).foreach { c =>
+        var i = 0
+        while (2 * i + 3 < c.length) {
+          out += Array(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3))
+          i += 1
+        }
       }
     } else {
       geomPolys(g).foreach { case (shell, holes) =>
@@ -664,10 +673,15 @@ object WktCore {
   def nearestPointsWkt(a: UTF8String, b: UTF8String): ArrayData = {
     val ta = a.toString.trim
     val tb = b.toString.trim
+    // every EMPTY spelling returns NULL (Trino's convention) — r14
+    // ADVICE fix: MULTIPOINT/MULTILINESTRING EMPTY used to fall through
+    // to the parsers and throw instead
     def empt(t: String): Boolean =
       t.equalsIgnoreCase("POLYGON EMPTY") ||
         t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
-        t.equalsIgnoreCase("LINESTRING EMPTY")
+        t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOINT EMPTY")
     if (empt(ta) || empt(tb)) return null
     // MULTIPOINT operands route through the distance kernel's zero
     // test (the areal intersects test does not apply to point sets)
@@ -746,6 +760,7 @@ object WktCore {
     if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
         t.equalsIgnoreCase("POLYGON EMPTY") ||
         t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
         t.equalsIgnoreCase("MULTIPOINT EMPTY")) return true
     // OGC: a MultiPoint is simple iff no two points coincide (r13)
     if (isMultiPointText(t)) {
@@ -763,47 +778,37 @@ object WktCore {
       }
       return true
     }
-    require(!t.regionMatches(true, 0, "MULTILINESTRING", 0, 15),
-      "st_issimple: MULTILINESTRING is not supported (part-pairwise " +
-        "boundary rules) - test the parts individually")
+    // SFS MultiCurve rule (r14): every part simple AND intersections
+    // between any two parts only at points on the BOUNDARIES of both
+    // parts (a part's boundary is its terminals — empty when closed):
+    // a T-junction (one part's endpoint on another's interior) and any
+    // collinear overlap are non-simple
+    if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+      val parts = lineParts(t)
+      if (!parts.forall(isSimpleChain)) return false
+      def partBnd(c: Array[Double])(x: Double, y: Double): Boolean = {
+        val m = c.length / 2
+        val closed = c(0) == c(2 * m - 2) && c(1) == c(2 * m - 1)
+        !closed && ((c(0) == x && c(1) == y) ||
+          (c(2 * m - 2) == x && c(2 * m - 1) == y))
+      }
+      var i = 0
+      while (i < parts.length) {
+        var j = i + 1
+        while (j < parts.length) {
+          val f = WktOverlay.scanLinePair(parts(i), parts(j),
+            partBnd(parts(i)), partBnd(parts(j)))
+          if ((f & (WktOverlay.LInterior | WktOverlay.LOverlap |
+              WktOverlay.LMixed)) != 0) return false
+          j += 1
+        }
+        i += 1
+      }
+      return true
+    }
     WktOverlay.kindOf(g) match {
       case 0 => parsePoint(t); true
-      case 1 =>
-        val c = parseLineString(t)
-        val n = c.length / 2
-        val closed = c(0) == c(2 * n - 2) && c(1) == c(2 * n - 1)
-        val m = n - 1 // segment count
-        var i = 0
-        while (i < m) {
-          val ax = c(2 * i); val ay = c(2 * i + 1)
-          val bx = c(2 * i + 2); val by = c(2 * i + 3)
-          if (ax == bx && ay == by) return false // zero-length segment
-          var j = i + 1
-          while (j < m) {
-            val cx = c(2 * j); val cy = c(2 * j + 1)
-            val dx = c(2 * j + 2); val dy = c(2 * j + 3)
-            val adjacent = j == i + 1 ||
-              (closed && i == 0 && j == m - 1)
-            if (adjacent) {
-              // shared vertex is legal; fold-back onto the other
-              // segment's interior is not
-              val sx = if (j == i + 1) cx else ax
-              val sy = if (j == i + 1) cy else ay
-              // the two non-shared endpoints must be OFF the other seg
-              val (oax, oay) = if (j == i + 1) (ax, ay) else (bx, by)
-              val (obx, oby) = if (j == i + 1) (dx, dy) else (cx, cy)
-              if (ptSegDist2(oax, oay, cx, cy, dx, dy) == 0 &&
-                  !(oax == sx && oay == sy)) return false
-              if (ptSegDist2(obx, oby, ax, ay, bx, by) == 0 &&
-                  !(obx == sx && oby == sy)) return false
-            } else if (segIntersect(ax, ay, bx, by, cx, cy, dx, dy)) {
-              return false
-            }
-            j += 1
-          }
-          i += 1
-        }
-        true
+      case 1 => isSimpleChain(parseLineString(t))
       case _ =>
         geomPolys(g).forall { case (shell, holes) =>
           (shell +: holes.toSeq).forall { r =>
@@ -812,6 +817,47 @@ object WktCore {
           }
         }
     }
+  }
+
+  /** Single-chain simplicity (the r13 LINESTRING rule, factored for the
+    * MULTILINESTRING part sweep): non-adjacent segments never touch,
+    * adjacent segments meet only at their shared vertex, no zero-length
+    * segment; a closed chain may share exactly first = last. */
+  private def isSimpleChain(c: Array[Double]): Boolean = {
+    val n = c.length / 2
+    val closed = c(0) == c(2 * n - 2) && c(1) == c(2 * n - 1)
+    val m = n - 1 // segment count
+    var i = 0
+    while (i < m) {
+      val ax = c(2 * i); val ay = c(2 * i + 1)
+      val bx = c(2 * i + 2); val by = c(2 * i + 3)
+      if (ax == bx && ay == by) return false // zero-length segment
+      var j = i + 1
+      while (j < m) {
+        val cx = c(2 * j); val cy = c(2 * j + 1)
+        val dx = c(2 * j + 2); val dy = c(2 * j + 3)
+        val adjacent = j == i + 1 ||
+          (closed && i == 0 && j == m - 1)
+        if (adjacent) {
+          // shared vertex is legal; fold-back onto the other
+          // segment's interior is not
+          val sx = if (j == i + 1) cx else ax
+          val sy = if (j == i + 1) cy else ay
+          // the two non-shared endpoints must be OFF the other seg
+          val (oax, oay) = if (j == i + 1) (ax, ay) else (bx, by)
+          val (obx, oby) = if (j == i + 1) (dx, dy) else (cx, cy)
+          if (ptSegDist2(oax, oay, cx, cy, dx, dy) == 0 &&
+              !(oax == sx && oay == sy)) return false
+          if (ptSegDist2(obx, oby, ax, ay, bx, by) == 0 &&
+              !(obx == sx && oby == sy)) return false
+        } else if (segIntersect(ax, ay, bx, by, cx, cy, dx, dy)) {
+          return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
   }
 
   /** st_coorddim — this model is strictly 2-D; the parse validates. */
@@ -893,6 +939,29 @@ object WktCore {
           i += 1
         }
         sb.append("]}").toString
+      } else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+        val parts =
+          if (t.equalsIgnoreCase("MULTILINESTRING EMPTY"))
+            Array.empty[Array[Double]]
+          else parseMultiLineString(t).toArray
+        def chain(c: Array[Double]): String = {
+          val sb = new java.lang.StringBuilder("[")
+          var i = 0
+          while (2 * i < c.length) {
+            if (i > 0) sb.append(',')
+            sb.append(pos(c(2 * i), c(2 * i + 1)))
+            i += 1
+          }
+          sb.append(']').toString
+        }
+        "{\"type\":\"MultiLineString\",\"coordinates\":" +
+          parts.map(chain).mkString("[", ",", "]") + "}"
+      } else if (isCollectionText(t)) {
+        // RFC 7946 GeometryCollection: recursive member objects
+        "{\"type\":\"GeometryCollection\",\"geometries\":[" +
+          parseCollection(t)
+            .map(c => toGeoJson(UTF8String.fromString(c)).toString)
+            .mkString(",") + "]}"
       } else {
         val polys = geomPolys(g)
         if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
@@ -982,67 +1051,108 @@ object WktCore {
       i += 1
       out.toArray
     }
-    expect('{')
-    // the two members in either order (strict: exactly type+coordinates)
-    var typ: String = null
-    var wkt: String = null
-    var first = true
-    while ({ ws(); t.charAt(i) != '}' }) {
-      if (!first) expect(',')
-      first = false
-      val key = string()
-      expect(':')
-      key match {
-        case "type" => typ = string()
-        case "coordinates" =>
-          require(typ != null,
-            "from_geojson_geometry: \"type\" must precede \"coordinates\"")
-          typ match {
-            case "Point" =>
-              val (x, y) = position()
-              wkt = "POINT (" + fmtCoord(x) + " " + fmtCoord(y) + ")"
-            case "MultiPoint" =>
-              wkt = fmtMultiPoint(posArray())
-            case "LineString" =>
-              val c = posArray()
-              require(c.length >= 4,
-                "from_geojson_geometry: LineString needs >= 2 positions")
-              val sb = new java.lang.StringBuilder("LINESTRING (")
-              var k = 0
-              while (2 * k < c.length) {
-                if (k > 0) sb.append(", ")
-                sb.append(fmtCoord(c(2 * k))).append(' ')
-                  .append(fmtCoord(c(2 * k + 1)))
-                k += 1
-              }
-              wkt = sb.append(')').toString
-            case "Polygon" =>
-              val rs = ringArray()
-              require(rs.nonEmpty, "from_geojson_geometry: empty Polygon")
-              wkt = fmtGeom(Array((rs(0), rs.drop(1))))
-            case "MultiPolygon" =>
-              expect('[')
-              val polys = new scala.collection.mutable.ArrayBuffer[
-                (Array[Double], Array[Array[Double]])]()
-              var f2 = true
-              while ({ ws(); t.charAt(i) != ']' }) {
-                if (!f2) expect(',')
-                f2 = false
-                val rs = ringArray()
-                require(rs.nonEmpty,
-                  "from_geojson_geometry: empty MultiPolygon component")
-                polys += ((rs(0), rs.drop(1)))
-              }
-              i += 1
-              wkt = fmtGeom(polys.toArray)
-            case other => throw new IllegalArgumentException(
-              s"from_geojson_geometry: unsupported type '$other'")
-          }
-        case other => throw new IllegalArgumentException(
-          s"from_geojson_geometry: unexpected member '$other'")
+    def lineBody(): String = {
+      val c = posArray()
+      require(c.length >= 4,
+        "from_geojson_geometry: LineString needs >= 2 positions")
+      val sb = new java.lang.StringBuilder("(")
+      var k = 0
+      while (2 * k < c.length) {
+        if (k > 0) sb.append(", ")
+        sb.append(fmtCoord(c(2 * k))).append(' ')
+          .append(fmtCoord(c(2 * k + 1)))
+        k += 1
       }
+      sb.append(')').toString
     }
-    require(wkt != null, "from_geojson_geometry: missing coordinates")
+    // one geometry object — recursive so GeometryCollection members
+    // parse through the same strict reader (r14)
+    def geomObject(): String = {
+      expect('{')
+      var typ: String = null
+      var wkt: String = null
+      var first = true
+      while ({ ws(); t.charAt(i) != '}' }) {
+        if (!first) expect(',')
+        first = false
+        val key = string()
+        expect(':')
+        key match {
+          case "type" => typ = string()
+          case "geometries" =>
+            require(typ == "GeometryCollection",
+              "from_geojson_geometry: \"geometries\" is only valid for " +
+                "GeometryCollection (\"type\" must precede it)")
+            expect('[')
+            val comps = new scala.collection.mutable.ArrayBuffer[String]()
+            var f2 = true
+            while ({ ws(); t.charAt(i) != ']' }) {
+              if (!f2) expect(',')
+              f2 = false
+              comps += geomObject()
+            }
+            i += 1
+            wkt = fmtCollection(comps.toArray)
+          case "coordinates" =>
+            require(typ != null,
+              "from_geojson_geometry: \"type\" must precede \"coordinates\"")
+            typ match {
+              case "Point" =>
+                val (x, y) = position()
+                wkt = "POINT (" + fmtCoord(x) + " " + fmtCoord(y) + ")"
+              case "MultiPoint" =>
+                wkt = fmtMultiPoint(posArray())
+              case "LineString" =>
+                wkt = "LINESTRING " + lineBody()
+              case "MultiLineString" =>
+                expect('[')
+                val parts = new scala.collection.mutable.ArrayBuffer[String]()
+                var f2 = true
+                while ({ ws(); t.charAt(i) != ']' }) {
+                  if (!f2) expect(',')
+                  f2 = false
+                  parts += lineBody()
+                }
+                i += 1
+                require(parts.nonEmpty,
+                  "from_geojson_geometry: empty MultiLineString")
+                wkt =
+                  if (parts.length == 1) "LINESTRING " + parts(0)
+                  else parts.mkString("MULTILINESTRING (", ", ", ")")
+              case "Polygon" =>
+                val rs = ringArray()
+                require(rs.nonEmpty, "from_geojson_geometry: empty Polygon")
+                wkt = fmtGeom(Array((rs(0), rs.drop(1))))
+              case "MultiPolygon" =>
+                expect('[')
+                val polys = new scala.collection.mutable.ArrayBuffer[
+                  (Array[Double], Array[Array[Double]])]()
+                var f2 = true
+                while ({ ws(); t.charAt(i) != ']' }) {
+                  if (!f2) expect(',')
+                  f2 = false
+                  val rs = ringArray()
+                  require(rs.nonEmpty,
+                    "from_geojson_geometry: empty MultiPolygon component")
+                  polys += ((rs(0), rs.drop(1)))
+                }
+                i += 1
+                wkt = fmtGeom(polys.toArray)
+              case other => throw new IllegalArgumentException(
+                s"from_geojson_geometry: unsupported type '$other'")
+            }
+          case other => throw new IllegalArgumentException(
+            s"from_geojson_geometry: unexpected member '$other'")
+        }
+      }
+      expect('}')
+      require(wkt != null, "from_geojson_geometry: missing coordinates")
+      wkt
+    }
+    val wkt = geomObject()
+    ws()
+    require(i == t.length,
+      "from_geojson_geometry: trailing content after the geometry")
     UTF8String.fromString(wkt)
   }
 
@@ -1124,6 +1234,15 @@ object WktCore {
       } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
         val c = parseLineString(t)
         val bb = alloc(lineBytes(c)); putLine(bb, c); bb
+      } else if (isCollectionText(t)) {
+        // GEOMETRYCOLLECTION (r14): type 7, members as full nested WKB
+        // geometries (own byte-order marker + header each, per spec)
+        val comps = parseCollection(t)
+          .map(c => toWkb(UTF8String.fromString(c)))
+        val bb = alloc(9 + comps.map(_.length).sum)
+        putHeader(bb, 7); bb.putInt(comps.length)
+        comps.foreach(bb.put)
+        bb
       } else {
         val polys = geomPolys(g)
         val multi = t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12)
@@ -1210,7 +1329,9 @@ object WktCore {
         s"st_geomfrombinary: $what component has type $typ, " +
           s"expected $expectType")
     }
-    val wkt = header() match {
+    // one full geometry — recursive so GEOMETRYCOLLECTION members parse
+    // through the same strict reader (r14)
+    def geom(): String = header() match {
       case 1 =>
         require(bb.remaining >= 16, "st_geomfrombinary: truncated POINT")
         "POINT (" + fmtCoord(bb.getDouble) + " " + fmtCoord(bb.getDouble) + ")"
@@ -1251,9 +1372,15 @@ object WktCore {
           require(p.nonEmpty,
             "st_geomfrombinary: empty MultiPolygon component")
           p(0) })
+      case 7 =>
+        val comps = count("GeometryCollection member")
+        require(bb.remaining >= 5L * comps, // 5-byte nested headers min
+          "st_geomfrombinary: truncated GeometryCollection")
+        fmtCollection(Array.fill(comps)(geom()))
       case other => throw new IllegalArgumentException(
         s"st_geomfrombinary: unsupported geometry type $other")
     }
+    val wkt = geom()
     require(bb.remaining == 0,
       "st_geomfrombinary: trailing bytes after the geometry")
     UTF8String.fromString(wkt)
@@ -1414,6 +1541,85 @@ object WktCore {
   private def isMultiPointText(t: String): Boolean =
     t.regionMatches(true, 0, "MULTIPOINT", 0, 10)
 
+  // ---- GEOMETRYCOLLECTION (r14, the last WKT kind) ------------------------
+  // Modeled as a TOP-LEVEL list of component texts: parsing splits at
+  // depth-0 commas inside the collection's parens (components carry
+  // their own parens; nested collections nest depth), every component
+  // re-validates and re-renders through its kind's canonical formatter.
+
+  private[functions] def isCollectionText(t: String): Boolean =
+    t.regionMatches(true, 0, "GEOMETRYCOLLECTION", 0, 18)
+
+  /** `GEOMETRYCOLLECTION (comp, …)` → component texts in document
+    * order; `GEOMETRYCOLLECTION EMPTY` → zero components. Components
+    * are validated (each must parse under its own kind). */
+  private[functions] def parseCollection(s: String): Array[String] = {
+    val t = s.trim
+    require(isCollectionText(t), s"not a GEOMETRYCOLLECTION: $t")
+    if (t.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY"))
+      return Array.empty[String]
+    val open = t.indexOf('(', 18)
+    require(open >= 0 && t.endsWith(")"),
+      s"bad GEOMETRYCOLLECTION syntax: $t")
+    require(t.substring(18, open).isBlank,
+      s"GEOMETRYCOLLECTION: unexpected text before the first member: $t")
+    val body = t.substring(open + 1, t.length - 1)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        require(depth >= 0, s"unbalanced parens in GEOMETRYCOLLECTION: $t")
+      } else if (c == ',' && depth == 0) {
+        out += body.substring(start, i).trim
+        start = i + 1
+      }
+      i += 1
+    }
+    require(depth == 0, s"unbalanced parens in GEOMETRYCOLLECTION: $t")
+    out += body.substring(start).trim
+    require(out.forall(_.nonEmpty),
+      s"empty member in GEOMETRYCOLLECTION: $t")
+    // validate every member through its canonical renderer
+    out.foreach(canonGeomText)
+    out.toArray
+  }
+
+  /** Canonical single-geometry re-rendering, any kind (the
+    * GEOMETRYCOLLECTION member normalizer): parse under the member's
+    * declared kind, render through that kind's canonical formatter;
+    * declared-type EMPTY spellings pass through upper-cased. */
+  private[functions] def canonGeomText(s: String): String = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("POLYGON EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
+        t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTIPOINT EMPTY") ||
+        t.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY"))
+      return t.toUpperCase(java.util.Locale.ROOT)
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+      val p = parsePoint(t)
+      pointStr(p(0), p(1)).toString
+    } else if (isMultiPointText(t)) fmtMultiPoint(parseMultiPoint(t))
+    else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+      fmtLines(parseMultiLineString(t).toArray)
+    else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
+      fmtLines(Array(parseLineString(t)))
+    else if (isCollectionText(t)) fmtCollection(parseCollection(t))
+    else fmtGeom(geomPolys(UTF8String.fromString(t)))
+  }
+
+  /** Canonical collection rendering (members already canonical). */
+  private[functions] def fmtCollection(comps: Array[String]): String =
+    if (comps.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+    else comps.map(canonGeomText)
+      .mkString("GEOMETRYCOLLECTION (", ", ", ")")
+
   /** st_points — the vertex array as POINT texts in document order
     * (Trino's ST_Points): POINT / MULTIPOINT / LINESTRING /
     * MULTILINESTRING; NULL on EMPTY (Trino's convention). */
@@ -1441,32 +1647,41 @@ object WktCore {
   // ---- line & scalar accessors (Trino geospatial page, r13) -------------
 
   /** st_geometrytype — Trino's "ST_Point"/"ST_LineString"/"ST_Polygon"/
-    * "ST_MultiPolygon" spellings (EMPTY keeps its declared type). */
+    * "ST_MultiPolygon"/"ST_GeomCollection" spellings (EMPTY keeps its
+    * declared type). */
   def geometryType(g: UTF8String): UTF8String = {
     val t = g.toString.trim
     val name =
       if (t.regionMatches(true, 0, "POINT", 0, 5)) "ST_Point"
       else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) "ST_LineString"
       else if (isMultiPointText(t)) "ST_MultiPoint"
+      else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+        "ST_MultiLineString"
       else if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
         "ST_MultiPolygon"
       else if (t.regionMatches(true, 0, "POLYGON", 0, 7)) "ST_Polygon"
+      else if (isCollectionText(t)) "ST_GeomCollection"
       else throw new IllegalArgumentException(s"unsupported geometry: $t")
     UTF8String.fromString(name)
   }
 
-  /** st_isempty — true only for the EMPTY spellings (parse validates). */
+  /** st_isempty — true for the EMPTY spellings, and for a
+    * GEOMETRYCOLLECTION whose members are all empty (the JTS rule);
+    * the parse validates either way. */
   def isEmptyGeom(g: UTF8String): Boolean = {
     val t = g.toString.trim
     if (t.equalsIgnoreCase("POLYGON EMPTY") ||
         t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
         t.equalsIgnoreCase("LINESTRING EMPTY") ||
         t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
-        t.equalsIgnoreCase("MULTIPOINT EMPTY")) true
+        t.equalsIgnoreCase("MULTIPOINT EMPTY") ||
+        t.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY")) true
     else if (isMultiPointText(t)) { parseMultiPoint(t); false }
     else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
       parseMultiLineString(t); false
     }
+    else if (isCollectionText(t))
+      parseCollection(t).forall(c => isEmptyGeom(UTF8String.fromString(c)))
     else {
       WktOverlay.kindOf(g) match {
         case 0 => parsePoint(t)
@@ -1477,12 +1692,17 @@ object WktCore {
     }
   }
 
-  /** st_dimension — 0 points, 1 lines, 2 areal. */
+  /** st_dimension — 0 points, 1 lines, 2 areal; a collection takes the
+    * MAX over members (the OGC inherited-dimension rule), 0 if empty. */
   def dimensionOf(g: UTF8String): Long = {
     val t = g.toString.trim
     if (isMultiPointText(t)) {
       if (!t.equalsIgnoreCase("MULTIPOINT EMPTY")) parseMultiPoint(t)
       0L
+    } else if (isCollectionText(t)) {
+      val comps = parseCollection(t)
+      if (comps.isEmpty) 0L
+      else comps.map(c => dimensionOf(UTF8String.fromString(c))).max
     } else WktOverlay.kindOf(g).toLong
   }
 
@@ -1496,10 +1716,12 @@ object WktCore {
         else parseMultiPoint(t).length / 2
     WktOverlay.kindOf(g) match {
       case 0 => 1L
-      case 1 => parseLineString(g.toString).length / 2
+      // (MULTI)LINESTRING (r14): vertex count summed over parts — no
+      // ring-closer ambiguity on line kinds
+      case 1 => lineParts(t).map(_.length / 2).sum.toLong
       case _ => throw new IllegalArgumentException(
-        "st_numpoints supports POINT, MULTIPOINT and LINESTRING (polygon " +
-          "ring-closer counting differs across engines - count " +
+        "st_numpoints supports POINT, MULTIPOINT and (MULTI)LINESTRING " +
+          "(polygon ring-closer counting differs across engines - count " +
           "st_exteriorring instead)")
     }
   }
@@ -1522,9 +1744,14 @@ object WktCore {
     else pointStr(c(0), c(1))
   }
 
-  /** st_isclosed — first vertex equals last. */
+  /** st_isclosed — first vertex equals last; a MULTILINESTRING is
+    * closed iff EVERY part is (Trino/OGC), r14. */
   def isClosedLine(g: UTF8String): Boolean = {
-    val c = parseLineString(g.toString)
+    val t = g.toString.trim
+    if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+      return parseMultiLineString(t).forall(c =>
+        c(0) == c(c.length - 2) && c(1) == c(c.length - 1))
+    val c = parseLineString(t)
     c(0) == c(c.length - 2) && c(1) == c(c.length - 1)
   }
 
@@ -1683,19 +1910,25 @@ object WktCore {
       require(y >= -90.0 && y <= 90.0,
         s"to_spherical_geography: latitude $y out of [-90, 90]")
     }
-    if (!isEmptyGeom(g)) WktOverlay.kindOf(g) match {
-      case 0 => val p = parsePoint(t); check(p(0), p(1))
-      case 1 =>
-        val c = parseLineString(t)
-        var i = 0
-        while (2 * i < c.length) { check(c(2 * i), c(2 * i + 1)); i += 1 }
-      case _ =>
-        geomPolys(g).foreach { case (shell, holes) =>
-          (shell +: holes.toSeq).foreach { r =>
-            var i = 0
-            while (2 * i < r.length) { check(r(2 * i), r(2 * i + 1)); i += 1 }
+    // r14 ADVICE fix: MULTIPOINT and MULTILINESTRING validate their own
+    // lon/lat paths (kindOf used to throw a misleading 'unsupported
+    // geometry' and kept the geography ST_Length multiline branch dead)
+    def checkAll(c: Array[Double]): Unit = {
+      var i = 0
+      while (2 * i < c.length) { check(c(2 * i), c(2 * i + 1)); i += 1 }
+    }
+    if (!isEmptyGeom(g)) {
+      if (isMultiPointText(t)) checkAll(parseMultiPoint(t))
+      else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+        parseMultiLineString(t).foreach(checkAll)
+      else WktOverlay.kindOf(g) match {
+        case 0 => val p = parsePoint(t); check(p(0), p(1))
+        case 1 => checkAll(parseLineString(t))
+        case _ =>
+          geomPolys(g).foreach { case (shell, holes) =>
+            (shell +: holes.toSeq).foreach(checkAll)
           }
-        }
+      }
     }
     UTF8String.fromString(GeoTag + t)
   }
@@ -1787,18 +2020,22 @@ object WktCore {
   // ---- geometry accessors (Trino ST_NumGeometries family, r11) ---------
 
   /** st_numgeometries: component count (EMPTY → 0; MULTIPOINT counts
-    * its points, r13). */
+    * its points, r13; MULTILINESTRING its parts and GEOMETRYCOLLECTION
+    * its top-level members, r14). */
   def numGeometries(g: UTF8String): Long = {
     val t = g.toString.trim
     if (isMultiPointText(t))
       if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) 0L
       else parseMultiPoint(t).length / 2
+    else if (isCollectionText(t)) parseCollection(t).length.toLong
+    else if (isLineKindWkt(g)) lineParts(t).length.toLong
     else geomPolys(g).length.toLong
   }
 
   /** st_geometryn (1-based): the n-th component re-rendered as a
-    * canonical POLYGON (or POINT for MULTIPOINT input, r13); null out
-    * of range (Trino's convention). */
+    * canonical POLYGON (POINT for MULTIPOINT, LINESTRING for
+    * MULTILINESTRING, the member itself for GEOMETRYCOLLECTION); null
+    * out of range (Trino's convention). */
   def geometryN(g: UTF8String, n: Int): UTF8String = {
     val t = g.toString.trim
     if (isMultiPointText(t)) {
@@ -1807,6 +2044,14 @@ object WktCore {
         else parseMultiPoint(t)
       if (n < 1 || n > c.length / 2) null
       else pointStr(c(2 * (n - 1)), c(2 * (n - 1) + 1))
+    } else if (isCollectionText(t)) {
+      val comps = parseCollection(t)
+      if (n < 1 || n > comps.length) null
+      else UTF8String.fromString(canonGeomText(comps(n - 1)))
+    } else if (isLineKindWkt(g)) {
+      val parts = lineParts(t)
+      if (n < 1 || n > parts.length) null
+      else UTF8String.fromString(fmtLines(Array(parts(n - 1))))
     } else {
       val polys = geomPolys(g)
       if (n < 1 || n > polys.length) null
@@ -1922,7 +2167,11 @@ object WktCore {
         polys.toSeq.map(_._1)
       } else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
         Seq(parseLineString(t))
-      else Seq(parsePoint(t))
+      else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+        val parts = parseMultiLineString(t)
+        require(parts.nonEmpty, "st_envelope: empty geometry")
+        parts
+      } else Seq(parsePoint(t))
     var xmin = rings.head(0)
     var ymin = rings.head(1)
     var xmax = xmin
@@ -1998,6 +2247,47 @@ object WktCore {
     }
     require(depth == 0 && out.nonEmpty, s"bad MULTILINESTRING syntax: $t")
     out.toSeq
+  }
+
+  /** Uniform line-kind accessor (r14 MULTILINESTRING completion): the
+    * parts of a LINESTRING (one) or MULTILINESTRING (several) as flat
+    * coordinate chains; the EMPTY spellings yield zero parts. */
+  private[functions] def lineParts(s: String): Array[Array[Double]] = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
+        t.equalsIgnoreCase("MULTILINESTRING EMPTY"))
+      Array.empty[Array[Double]]
+    else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+      parseMultiLineString(t).toArray
+    else Array(parseLineString(t))
+  }
+
+  /** OGC mod-2 boundary of a line geometry: the endpoints that occur in
+    * an ODD number of part boundaries (a closed part's coincident
+    * endpoints count twice, so a closed LINESTRING has an EMPTY
+    * boundary — the SFS rule JTS's Mod2BoundaryNodeRule implements).
+    * Output is lexicographically sorted flat coords — deterministic for
+    * the MULTIPOINT rendering in st_boundary. */
+  private[functions] def lineBoundaryPts(
+      parts: Array[Array[Double]]): Array[Double] = {
+    val counts = scala.collection.mutable.LinkedHashMap
+      .empty[(Double, Double), Int]
+    parts.foreach { c =>
+      val m = c.length / 2
+      val e0 = (c(0), c(1))
+      val e1 = (c(2 * m - 2), c(2 * m - 1))
+      counts.update(e0, counts.getOrElse(e0, 0) + 1)
+      counts.update(e1, counts.getOrElse(e1, 0) + 1)
+    }
+    val odd = counts.iterator.filter(_._2 % 2 == 1).map(_._1).toArray
+      .sortBy(identity)
+    val out = new Array[Double](2 * odd.length)
+    var i = 0
+    while (i < odd.length) {
+      out(2 * i) = odd(i)._1; out(2 * i + 1) = odd(i)._2
+      i += 1
+    }
+    out
   }
 
   /** LINESTRING / MULTILINESTRING / LINESTRING EMPTY rendering of
@@ -2701,8 +2991,8 @@ object WktCore {
     // region (maximal inside/boundary-run chains, rendered as
     // LINESTRING / MULTILINESTRING / LINESTRING EMPTY); ∪/− across
     // dimensions would need GEOMETRYCOLLECTION — loud, documented
-    val aLine = isLineWkt(a)
-    val bLine = isLineWkt(b)
+    val aLine = isLineKindWkt(a)
+    val bLine = isLineKindWkt(b)
     if (aLine || bLine) {
       require(op == 0, s"$name: mixed-dimension operands are supported " +
         "for st_intersection only (a union/difference result would be a " +
@@ -2713,8 +3003,9 @@ object WktCore {
       val (line, poly) = if (aLine) (a, b) else (b, a)
       val g = geomPolys(poly)
       requireValidGeom(g, poly)
-      val chains = WktOverlay.lineClip(
-        parseLineString(line.toString), g)
+      // MULTILINESTRING inputs clip part-by-part in document order (r14)
+      val chains = lineParts(line.toString)
+        .flatMap(c => WktOverlay.lineClip(c, g))
       return UTF8String.fromString(fmtLines(chains))
     }
     val pa = geomPolys(a)
@@ -2875,17 +3166,80 @@ object WktCore {
     * original vertex — pure line arithmetic, no arcs; GEOS's round-join
     * default is out of scope, documented). d = 0 returns the normalized
     * CCW ring. */
-  def bufferWkt(g: UTF8String, d: Double): UTF8String = {
-    require(d >= 0, s"st_buffer: negative distance unsupported (got $d)")
-    // POINT buffer (r13): the disk as a regular CCW 32-gon (circumradius
-    // d, vertex 0 at angle 0) — a DOCUMENTED approximation, like every
-    // engine's polygonal circle; area = 16·d²·sin(π/16) in closed form,
-    // which oracles mirror exactly. d = 0 returns the point unchanged.
+  // st_buffer join styles (r14): ROUND is the default — Trino/GEOS's
+  // arc-approximated convex corners with QuadSegs segments per
+  // quarter-turn (GEOS's quadrantSegments default of 8; the r13 POINT
+  // disk was already the matching 32-gon); MITER keeps the r13
+  // one-vertex-per-corner form under the explicit 'miter' flag.
+  final val BufRound = 0
+  final val BufMiter = 1
+  private final val QuadSegs = 8
+
+  def bufferWkt(g: UTF8String, d: Double): UTF8String =
+    bufferWkt(g, d, BufRound)
+
+  /** Arc fan points for a corner at (vx, vy): radius r, from unit
+    * normal (pnx, pny) to (inx, iny) turning by the SIGNED angle delta
+    * (CCW positive). Endpoints are emitted EXACTLY as v + n·r (the same
+    * doubles the edge rectangles use, so the overlay sees shared
+    * vertices); interior points ride cos/sin. Segment count
+    * m = max(1, round(|delta| / (π/2) · QuadSegs)) — a quarter turn gets
+    * exactly QuadSegs chords, robust to the ±1-ulp angle wiggle a
+    * ceil would amplify. */
+  private def arcFan(vx: Double, vy: Double, r: Double,
+      pnx: Double, pny: Double, inx: Double, iny: Double,
+      delta: Double): Array[Double] = {
+    val m = math.max(1, math.round(
+      math.abs(delta) / (math.Pi / 2) * QuadSegs).toInt)
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    out += vx + pnx * r; out += vy + pny * r
+    val phi0 = math.atan2(pny, pnx)
+    var j = 1
+    while (j < m) {
+      val phi = phi0 + delta * j / m
+      out += vx + r * math.cos(phi); out += vy + r * math.sin(phi)
+      j += 1
+    }
+    out += vx + inx * r; out += vy + iny * r
+    out.toArray
+  }
+
+  /** Signed CCW angle from unit vector (ax, ay) to (bx, by), in
+    * (-π, π]. */
+  private def turnAngle(ax: Double, ay: Double,
+      bx: Double, by: Double): Double =
+    math.atan2(ax * by - ay * bx, ax * bx + ay * by)
+
+  /** Codegen entry: st_buffer(wkt, d [, style]) — style 0 = round
+    * (default, the Trino/GEOS arc-join convention), 1 = miter (the r13
+    * closed-form join, kept under the explicit flag).
+    *
+    * d > 0 dilates: convex+miter keeps the bit-stable legacy
+    * closed-form ring; convex+round constructs the offset ring directly
+    * (edge offsets + per-corner arc fans); concave rings decompose into
+    * input + per-edge outward rectangles + per-convex-corner join piece
+    * (kite or fan), folded through the overlay union.
+    *
+    * d < 0 ERODES (r14): the eroded region is g MINUS the set of points
+    * within |d| of the boundary — per-edge INWARD rectangles plus a
+    * join piece at each REFLEX corner (where the inward rectangles
+    * leave a wedge), folded through the overlay union and subtracted
+    * via the overlay difference. Axis-parallel fixtures erode exactly
+    * (all piece coordinates dyadic); an erosion that consumes the whole
+    * ring returns POLYGON EMPTY.
+    *
+    * POINT input: the disk as a regular CCW 4·QuadSegs-gon (32-gon,
+    * circumradius d, vertex 0 at angle 0) under BOTH styles — a
+    * DOCUMENTED approximation; area = 16·d²·sin(π/16) in closed form.
+    * d = 0 returns the input unchanged; negative d on a POINT is the
+    * empty region. */
+  def bufferWkt(g: UTF8String, d: Double, style: Int): UTF8String = {
     val t0 = g.toString.trim
     if (t0.regionMatches(true, 0, "POINT", 0, 5)) {
       val p = parsePoint(t0)
       if (d == 0) return pointStr(p(0), p(1))
-      val n = 32
+      if (d < 0) return UTF8String.fromString("POLYGON EMPTY")
+      val n = 4 * QuadSegs
       val out = new Array[Double](2 * n)
       var k = 0
       while (k < n) {
@@ -2898,74 +3252,9 @@ object WktCore {
     }
     val c = toCcw(polygonCoords(g))
     if (d == 0) return UTF8String.fromString(fmtRing(c))
-    // CONCAVE rings (r13): the miter buffer decomposes into the input
-    // plus one outward rectangle per edge plus one miter kite per
-    // CONVEX corner (v, v + d·n₁, miter point, v + d·n₂) — at reflex
-    // corners the edge rectangles overlap and the overlay union
-    // resolves them. Folding the pieces through unionWkt (the overlay
-    // handles every shared border) then re-rendering canonical-minimal
-    // gives a deterministic result; convex inputs keep the closed-form
-    // one-vertex-per-vertex legacy path below, bit-stable.
-    if (!isConvexRing(c)) {
-      requireSimple(c, "st_buffer")
-      val n = c.length / 2
-      val pieces = new scala.collection.mutable.ArrayBuffer[String]()
-      pieces += fmtRing(c)
-      // per-edge outward rectangles (CCW ring: outward normal is right)
-      val nx = new Array[Double](n); val ny = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        val j = if (i + 1 == n) 0 else i + 1
-        val ex = c(2 * j) - c(2 * i)
-        val ey = c(2 * j + 1) - c(2 * i + 1)
-        val len = math.sqrt(ex * ex + ey * ey)
-        require(len > 0, "st_buffer: zero-length edge")
-        nx(i) = ey / len * d
-        ny(i) = -ex / len * d
-        pieces += fmtRing(Array(
-          c(2 * i), c(2 * i + 1), c(2 * j), c(2 * j + 1),
-          c(2 * j) + nx(i), c(2 * j + 1) + ny(i),
-          c(2 * i) + nx(i), c(2 * i + 1) + ny(i)))
-        i += 1
-      }
-      // per-CONVEX-corner miter kite: offset lines of the two incident
-      // edges intersect at the miter point (the legacy arithmetic)
-      i = 0
-      while (i < n) {
-        val p = if (i == 0) n - 1 else i - 1
-        val j = if (i + 1 == n) 0 else i + 1
-        val cr = (c(2 * i) - c(2 * p)) * (c(2 * j + 1) - c(2 * i + 1)) -
-          (c(2 * i + 1) - c(2 * p + 1)) * (c(2 * j) - c(2 * i))
-        if (cr > 0) { // convex (left) turn on a CCW ring
-          val vx = c(2 * i); val vy = c(2 * i + 1)
-          // intersect offset line of edge p (dir = edge p) with offset
-          // line of edge i
-          val dpx = c(2 * i) - c(2 * p); val dpy = c(2 * i + 1) - c(2 * p + 1)
-          val dix = c(2 * j) - c(2 * i); val diy = c(2 * j + 1) - c(2 * i + 1)
-          val opx = c(2 * p) + nx(p); val opy = c(2 * p + 1) + ny(p)
-          val oix = vx + nx(i); val oiy = vy + ny(i)
-          val den = dpx * diy - dpy * dix
-          val t = ((oix - opx) * diy - (oiy - opy) * dix) / den
-          val mx = opx + t * dpx
-          val my = opy + t * dpy
-          pieces += fmtRing(Array(
-            vx, vy, vx + nx(p), vy + ny(p), mx, my, vx + nx(i), vy + ny(i)))
-        }
-        i += 1
-      }
-      var acc = UTF8String.fromString(pieces.head)
-      var k = 1
-      while (k < pieces.length) {
-        acc = unionWkt(acc, UTF8String.fromString(pieces(k)))
-        k += 1
-      }
-      return canonMinimalWkt(acc)
-    }
-    requireConvex(c, "st_buffer")
     val n = c.length / 2
-    // offset line per edge: point (ox, oy) + direction (dx, dy)
-    val ox = new Array[Double](n); val oy = new Array[Double](n)
-    val dx = new Array[Double](n); val dy = new Array[Double](n)
+    // unit outward normals + edge lengths (CCW ring: outward is right)
+    val nx = new Array[Double](n); val ny = new Array[Double](n)
     var i = 0
     while (i < n) {
       val j = if (i + 1 == n) 0 else i + 1
@@ -2973,29 +3262,135 @@ object WktCore {
       val ey = c(2 * j + 1) - c(2 * i + 1)
       val len = math.sqrt(ex * ex + ey * ey)
       require(len > 0, "st_buffer: zero-length edge")
-      // CCW ring: interior is left of the edge; outward normal is right
-      val nx = ey / len
-      val ny = -ex / len
-      ox(i) = c(2 * i) + nx * d
-      oy(i) = c(2 * i + 1) + ny * d
-      dx(i) = ex
-      dy(i) = ey
+      nx(i) = ey / len
+      ny(i) = -ex / len
       i += 1
     }
-    val out = new Array[Double](2 * n)
-    i = 0
-    while (i < n) {
+    @inline def crossAt(i: Int): Double = {
       val p = if (i == 0) n - 1 else i - 1
-      // intersect offset line p with offset line i → miter vertex i
-      val den = dx(p) * dy(i) - dy(p) * dx(i)
+      val j = if (i + 1 == n) 0 else i + 1
+      (c(2 * i) - c(2 * p)) * (c(2 * j + 1) - c(2 * i + 1)) -
+        (c(2 * i + 1) - c(2 * p + 1)) * (c(2 * j) - c(2 * i))
+    }
+    // miter point of the two offset lines incident to vertex i, at
+    // signed offset dd (the r13 arithmetic, shared by dilation kites
+    // and erosion kites)
+    def miterPoint(i: Int, dd: Double): (Double, Double) = {
+      val p = if (i == 0) n - 1 else i - 1
+      val j = if (i + 1 == n) 0 else i + 1
+      val dpx = c(2 * i) - c(2 * p); val dpy = c(2 * i + 1) - c(2 * p + 1)
+      val dix = c(2 * j) - c(2 * i); val diy = c(2 * j + 1) - c(2 * i + 1)
+      val opx = c(2 * p) + nx(p) * dd; val opy = c(2 * p + 1) + ny(p) * dd
+      val oix = c(2 * i) + nx(i) * dd; val oiy = c(2 * i + 1) + ny(i) * dd
+      val den = dpx * diy - dpy * dix
       require(den != 0, "st_buffer: collinear consecutive edges - " +
         "drop redundant vertices upstream")
-      val t = ((ox(i) - ox(p)) * dy(i) - (oy(i) - oy(p)) * dx(i)) / den
-      out(2 * i) = ox(p) + t * dx(p)
-      out(2 * i + 1) = oy(p) + t * dy(p)
+      val t = ((oix - opx) * diy - (oiy - opy) * dix) / den
+      (opx + t * dpx, opy + t * dpy)
+    }
+    if (d > 0 && isConvexRing(c) && style == BufMiter) {
+      // legacy closed-form convex miter ring — bit-identical to r13
+      requireConvex(c, "st_buffer")
+      val out = new Array[Double](2 * n)
+      i = 0
+      while (i < n) {
+        val (mx, my) = miterPoint(i, d)
+        out(2 * i) = mx; out(2 * i + 1) = my
+        i += 1
+      }
+      return UTF8String.fromString(fmtRing(out))
+    }
+    if (d > 0 && isConvexRing(c) && style == BufRound) {
+      // direct rounded offset of a convex ring: per-vertex arc fan
+      // endpoints double as the edge-offset corners
+      requireConvex(c, "st_buffer")
+      val out = new scala.collection.mutable.ArrayBuffer[Double]()
+      i = 0
+      while (i < n) {
+        val p = if (i == 0) n - 1 else i - 1
+        val delta = turnAngle(nx(p), ny(p), nx(i), ny(i))
+        val fan = arcFan(c(2 * i), c(2 * i + 1), d,
+          nx(p), ny(p), nx(i), ny(i), delta)
+        var k = 0
+        while (k < fan.length / 2) {
+          // drop a duplicate seam point (a zero-turn corner collapses
+          // its fan to one point)
+          if (out.length < 2 || out(out.length - 2) != fan(2 * k) ||
+              out(out.length - 1) != fan(2 * k + 1)) {
+            out += fan(2 * k); out += fan(2 * k + 1)
+          }
+          k += 1
+        }
+        i += 1
+      }
+      return UTF8String.fromString(fmtRing(out.toArray))
+    }
+    requireSimple(c, "st_buffer")
+    val r = math.abs(d)
+    val inward = d < 0
+    val sgn = if (inward) -1.0 else 1.0
+    val pieces = new scala.collection.mutable.ArrayBuffer[String]()
+    if (!inward) pieces += fmtRing(c)
+    // per-edge rectangles at signed offset (outward for dilation,
+    // inward for erosion)
+    i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      pieces += fmtRing(Array(
+        c(2 * i), c(2 * i + 1), c(2 * j), c(2 * j + 1),
+        c(2 * j) + sgn * nx(i) * r, c(2 * j + 1) + sgn * ny(i) * r,
+        c(2 * i) + sgn * nx(i) * r, c(2 * i + 1) + sgn * ny(i) * r))
       i += 1
     }
-    UTF8String.fromString(fmtRing(out))
+    // join pieces at the corners the rectangles leave open: CONVEX
+    // corners for dilation, REFLEX corners for erosion
+    i = 0
+    while (i < n) {
+      val cr = crossAt(i)
+      if ((!inward && cr > 0) || (inward && cr < 0)) {
+        val p = if (i == 0) n - 1 else i - 1
+        val vx = c(2 * i); val vy = c(2 * i + 1)
+        if (style == BufMiter) {
+          val (mx, my) = miterPoint(i, sgn * r)
+          pieces += fmtRing(Array(
+            vx, vy, vx + sgn * nx(p) * r, vy + sgn * ny(p) * r,
+            mx, my, vx + sgn * nx(i) * r, vy + sgn * ny(i) * r))
+        } else {
+          val delta = turnAngle(sgn * nx(p), sgn * ny(p),
+            sgn * nx(i), sgn * ny(i))
+          val fan = arcFan(vx, vy, r, sgn * nx(p), sgn * ny(p),
+            sgn * nx(i), sgn * ny(i), delta)
+          val ring = new Array[Double](fan.length + 2)
+          ring(0) = vx; ring(1) = vy
+          System.arraycopy(fan, 0, ring, 2, fan.length)
+          pieces += fmtRing(ring)
+        }
+      }
+      i += 1
+    }
+    if (!inward) {
+      // dilation: fold onto the INPUT ring first — every strip shares
+      // an edge with it, so no intermediate union is point-pinched
+      var acc = UTF8String.fromString(pieces.head)
+      var k = 1
+      while (k < pieces.length) {
+        acc = unionWkt(acc, UTF8String.fromString(pieces(k)))
+        k += 1
+      }
+      canonMinimalWkt(acc)
+    } else {
+      // erosion: subtract each piece from g SEQUENTIALLY (adjacent
+      // inward strips meet only at the input vertex — their union is
+      // point-pinched, which the overlay rightly refuses; the
+      // difference chain computes g − ∪pieces without ever forming it)
+      var acc: UTF8String = g
+      var k = 0
+      while (k < pieces.length) {
+        acc = differenceWkt(acc, UTF8String.fromString(pieces(k)))
+        k += 1
+      }
+      canonMinimalWkt(acc)
+    }
   }
 
   /** Codegen entry: st_convexhull(geomWkt) — Andrew's monotone chain
@@ -3067,6 +3462,13 @@ object WktCore {
     if (t.regionMatches(true, 0, "POINT", 0, 5)) parsePoint(t)
     else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
       parseLineString(t)
+    else if (isMultiPointText(t))
+      (if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) Array.emptyDoubleArray
+       else parseMultiPoint(t))
+    else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+      lineParts(t).flatten
+    else if (isCollectionText(t))
+      parseCollection(t).flatMap(c => allVertices(UTF8String.fromString(c)))
     else {
       val out = new scala.collection.mutable.ArrayBuffer[Double]()
       geomPolys(g).foreach { case (shell, holes) =>
@@ -3077,11 +3479,26 @@ object WktCore {
     }
   }
 
-  /** Codegen entry: st_boundary((MULTI)POLYGON) — every ring as a
-    * closed LINESTRING, components in input order (shell before its
-    * interior rings); one ring renders LINESTRING, several
-    * MULTILINESTRING, EMPTY stays EMPTY (r13). */
+  /** Codegen entry: st_boundary — areal inputs: every ring as a closed
+    * LINESTRING, components in input order (shell before its interior
+    * rings); one ring renders LINESTRING, several MULTILINESTRING,
+    * EMPTY stays EMPTY (r13). Line inputs (r14): the OGC mod-2
+    * boundary — endpoints occurring in an odd number of part
+    * boundaries — as a MULTIPOINT (lexicographic order, deterministic);
+    * a closed line's boundary is MULTIPOINT EMPTY. POINT/MULTIPOINT
+    * have an empty boundary: GEOMETRYCOLLECTION EMPTY, the JTS/Trino
+    * convention. */
   def boundaryWkt(g: UTF8String): UTF8String = {
+    val t = g.toString.trim
+    if (t.regionMatches(true, 0, "POINT", 0, 5) || isMultiPointText(t)) {
+      if (!t.equalsIgnoreCase("MULTIPOINT EMPTY")) {
+        if (isMultiPointText(t)) parseMultiPoint(t) else parsePoint(t)
+      }
+      return UTF8String.fromString("GEOMETRYCOLLECTION EMPTY")
+    }
+    if (isLineKindWkt(g))
+      return UTF8String.fromString(
+        fmtMultiPoint(lineBoundaryPts(lineParts(t))))
     val polys = geomPolys(g)
     if (polys.isEmpty) return UTF8String.fromString("LINESTRING EMPTY")
     val rings = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
@@ -3094,6 +3511,154 @@ object WktCore {
     else
       UTF8String.fromString(rings.map(r => "(" + ringBody(r) + ")")
         .mkString("MULTILINESTRING (", ", ", ")"))
+  }
+
+  // ---- mixed-dimension union (r14: geometry_union_agg over mixed
+  // kinds emits a GEOMETRYCOLLECTION, the Trino geometry_union shape) --
+
+  /** Areal union with EMPTY short-circuits (an EMPTY side is the
+    * union identity — skip the overlay). */
+  private def unionAreal(a: String, b: String): String =
+    if (geomPolys(UTF8String.fromString(a)).isEmpty) b
+    else if (geomPolys(UTF8String.fromString(b)).isEmpty) a
+    else unionWkt(UTF8String.fromString(a), UTF8String.fromString(b))
+      .toString
+
+  /** Decompose any supported WKT into (areal component WKT — the fold
+    * of its areal members, "POLYGON EMPTY" if none; line chains; flat
+    * point coords). Collections recurse. */
+  private def decomposeMixed(t0: String)
+      : (String, Array[Array[Double]], Array[Double]) = {
+    val t = t0.trim
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+      val p = parsePoint(t)
+      ("POLYGON EMPTY", Array.empty[Array[Double]], p)
+    } else if (isMultiPointText(t)) {
+      val c = if (t.equalsIgnoreCase("MULTIPOINT EMPTY"))
+        Array.emptyDoubleArray else parseMultiPoint(t)
+      ("POLYGON EMPTY", Array.empty[Array[Double]], c)
+    } else if (isLineKindWkt(UTF8String.fromString(t)))
+      ("POLYGON EMPTY", lineParts(t), Array.emptyDoubleArray)
+    else if (isCollectionText(t)) {
+      var areal = "POLYGON EMPTY"
+      val lines = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val pts = new scala.collection.mutable.ArrayBuffer[Double]()
+      parseCollection(t).foreach { c =>
+        val (a2, l2, p2) = decomposeMixed(c)
+        areal = unionAreal(areal, a2)
+        lines ++= l2
+        pts ++= p2
+      }
+      (areal, lines.toArray, pts.toArray)
+    } else {
+      geomPolys(UTF8String.fromString(t)) // validate
+      (t, Array.empty[Array[Double]], Array.emptyDoubleArray)
+    }
+  }
+
+  /** Lexicographically canonical chain direction (so an exact duplicate
+    * arriving reversed still dedupes). */
+  private def canonChain(c: Array[Double]): Array[Double] = {
+    val r = new Array[Double](c.length)
+    val n = c.length / 2
+    var i = 0
+    while (i < n) {
+      r(2 * i) = c(2 * (n - 1 - i)); r(2 * i + 1) = c(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    var k = 0
+    while (k < c.length) {
+      if (c(k) < r(k)) return c
+      if (c(k) > r(k)) return r
+      k += 1
+    }
+    c
+  }
+
+  /** The point-set union of two geometries of ANY supported kinds:
+    * areal parts fold through the overlay union; line chains dedupe
+    * exactly (canonical direction) and drop when fully covered by the
+    * areal region (strictly inside or running along its boundary);
+    * points dedupe exactly and drop when on the region or on a kept
+    * chain. Line chains crossing the region's boundary are kept WHOLE —
+    * the represented point set is still exactly the union (the covered
+    * run is redundantly covered), and whole-chain identity keeps the
+    * fold associative and order-independent. Members render in fixed
+    * dimension order (areal, lines, points), chains and points sorted —
+    * the TEXT is a pure function of the inputs' point set, so map-side
+    * partials merge deterministically. */
+  private[functions] def unionMixed(aT: String, bT: String): String = {
+    val (pa, la, qa) = decomposeMixed(aT)
+    val (pb, lb, qb) = decomposeMixed(bT)
+    val areal = unionAreal(pa, pb)
+    val region = geomPolys(UTF8String.fromString(areal))
+    // chains: canonical direction, exact dedupe, drop fully-covered
+    val chains = (la ++ lb).map(canonChain)
+    val keptChains = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val chainOrd = new Ordering[Array[Double]] {
+      def compare(x: Array[Double], y: Array[Double]): Int = {
+        var k = 0
+        while (k < x.length && k < y.length) {
+          val c = java.lang.Double.compare(x(k), y(k))
+          if (c != 0) return c
+          k += 1
+        }
+        x.length - y.length
+      }
+    }
+    chains.sorted(chainOrd).foreach { c =>
+      val dup = keptChains.exists(k => java.util.Arrays.equals(k, c))
+      val covered = region.nonEmpty && {
+        val (_, _, hasOut) = WktOverlay.lineAreaRelate(c, region)
+        !hasOut
+      }
+      if (!dup && !covered) keptChains += c
+    }
+    // points: exact dedupe, drop covered by the region or a kept chain
+    val keptPts = new scala.collection.mutable.ArrayBuffer[Double]()
+    val seen = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+    var i = 0
+    while (2 * i < qa.length + qb.length) {
+      val x = if (2 * i < qa.length) qa(2 * i) else qb(2 * i - qa.length)
+      val y = if (2 * i < qa.length) qa(2 * i + 1)
+        else qb(2 * i + 1 - qa.length)
+      seen += ((x, y))
+      i += 1
+    }
+    seen.toArray.sorted.foreach { case (x, y) =>
+      val onRegion = region.nonEmpty && (containsPolys(region, x, y) ||
+        WktOverlay.pointOnBoundary(region, x, y))
+      val onChain = keptChains.exists(c => WktOverlay.pointOnLine(c, x, y))
+      if (!onRegion && !onChain) { keptPts += x; keptPts += y }
+    }
+    val members = new scala.collection.mutable.ArrayBuffer[String]()
+    if (region.nonEmpty) members += areal
+    if (keptChains.nonEmpty) members += fmtLines(keptChains.toArray)
+    if (keptPts.nonEmpty) members +=
+      (if (keptPts.length == 2) pointStr(keptPts(0), keptPts(1)).toString
+       else fmtMultiPoint(keptPts.toArray))
+    if (members.isEmpty) "POLYGON EMPTY"
+    else if (members.length == 1) members(0)
+    else members.mkString("GEOMETRYCOLLECTION (", ", ", ")")
+  }
+
+  /** Finish step for the mixed union: canonical-minimal re-rendering of
+    * the areal member (the r13 fold-artifact rule), members re-rendered
+    * canonically. */
+  private[functions] def finishMixed(bT: String): String = {
+    val t = bT.trim
+    if (isCollectionText(t)) {
+      val members = parseCollection(t).map { c =>
+        if (c.regionMatches(true, 0, "POLYGON", 0, 7) ||
+            c.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+          canonMinimalWkt(UTF8String.fromString(c)).toString
+        else canonGeomText(c)
+      }
+      fmtCollection(members)
+    } else if (t.regionMatches(true, 0, "POLYGON", 0, 7) ||
+        t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+      canonMinimalWkt(UTF8String.fromString(t)).toString
+    else canonGeomText(t)
   }
 
   /** Minimal-vertex canonical re-rendering for the union aggregator's
@@ -3626,9 +4191,12 @@ case class StDifferenceExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `st_buffer(poly_wkt, d)` → POLYGON WKT (miter-join outward offset of
-  * a convex ring; d ≥ 0; arcs/round joins out of scope, documented). */
-case class StBufferExpression(left: Expression, right: Expression)
+/** `st_buffer(wkt, d [, 'round'|'miter'])` → POLYGON WKT. Round joins
+  * (GEOS/Trino default, 8 chords per quarter-turn) unless the explicit
+  * 'miter' flag picks the r13 closed-form join; negative d erodes
+  * (r14). */
+case class StBufferExpression(left: Expression, right: Expression,
+    style: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
@@ -3640,11 +4208,12 @@ case class StBufferExpression(left: Expression, right: Expression)
 
   override protected def nullSafeEval(g: Any, d: Any): Any =
     WktCore.bufferWkt(g.asInstanceOf[UTF8String],
-      d.asInstanceOf[java.lang.Double].doubleValue())
+      d.asInstanceOf[java.lang.Double].doubleValue(), style)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (g, d) =>
-      s"${ev.value} = graft.functions.WktCore.bufferWkt($g, (double) $d);")
+      s"${ev.value} = graft.functions.WktCore.bufferWkt($g, (double) $d, " +
+        s"$style);")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): StBufferExpression =

@@ -461,7 +461,8 @@ private[functions] object WktOverlay {
   private[functions] def kindOf(s: UTF8String): Int = {
     val t = s.toString.trim
     if (t.regionMatches(true, 0, "POINT", 0, 5)) 0
-    else if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) 1
+    else if (t.regionMatches(true, 0, "LINESTRING", 0, 10) ||
+      t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) 1
     else if (t.regionMatches(true, 0, "POLYGON", 0, 7) ||
       t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12)) 2
     else throw new IllegalArgumentException(s"unsupported geometry: $t")
@@ -503,7 +504,8 @@ private[functions] object WktOverlay {
   }
 
   /** Point exactly on an open polyline. */
-  private def pointOnLine(line: Array[Double], x: Double, y: Double): Boolean = {
+  private[functions] def pointOnLine(line: Array[Double], x: Double,
+      y: Double): Boolean = {
     val n = line.length / 2
     var i = 0
     while (i + 1 < n) {
@@ -621,22 +623,34 @@ private[functions] object WktOverlay {
     chains.toArray
   }
 
-  /** Relate two open polylines: (contact, interiorInteriorPoint,
-    * collinearOverlap). Terminal endpoints are each line's boundary;
-    * everything else on the line is its interior. */
-  private[functions] def lineLineRelate(a: Array[Double], b: Array[Double])
-      : (Boolean, Boolean, Boolean) = {
+  // scanLinePair result flags (r14: parameterized so both the
+  // geometry-level mod-2 boundary rule and the part-level simplicity
+  // rule ride one kernel)
+  private[functions] final val LContact = 1 // any point-set contact
+  private[functions] final val LInterior = 2 // interior(A) ∩ interior(B) ≠ ∅
+  private[functions] final val LOverlap = 4 // positive-length collinear run
+  private[functions] final val LMixed = 8 // contact at boundary of exactly one side
+
+  /** Relate two open polyline CHAINS under caller-supplied boundary
+    * predicates (for single LINESTRINGs: the mod-2 boundary — terminals
+    * unless closed; for MULTILINESTRING parts the caller passes the
+    * geometry-level mod-2 set, for the simplicity check the part-level
+    * terminals). Returns an LContact/LInterior/LOverlap/LMixed bitmask.
+    * A proper edge-interior crossing classifies its COMPUTED crossing
+    * point through the predicates too: under the mod-2 rule a crossing
+    * that lands exactly on another part's odd endpoint is boundary
+    * contact, not interior contact (dyadic fixtures keep the crossing
+    * arithmetic exact, so the equality test is meaningful there). */
+  private[functions] def scanLinePair(a: Array[Double], b: Array[Double],
+      bndA: (Double, Double) => Boolean,
+      bndB: (Double, Double) => Boolean): Int = {
     val na = a.length / 2; val nb = b.length / 2
-    var contact = false
-    var interiorInterior = false
-    var overlap = false
-    @inline def isTerminal(c: Array[Double], x: Double, y: Double): Boolean = {
-      val m = c.length / 2
-      (c(0) == x && c(1) == y) || (c(2 * m - 2) == x && c(2 * m - 1) == y)
-    }
+    var flags = 0
     def touchPoint(x: Double, y: Double): Unit = {
-      contact = true
-      if (!isTerminal(a, x, y) && !isTerminal(b, x, y)) interiorInterior = true
+      flags |= LContact
+      val onA = bndA(x, y); val onB = bndB(x, y)
+      if (!onA && !onB) flags |= LInterior
+      else if (onA != onB) flags |= LMixed
     }
     var i = 0
     while (i + 1 < na) {
@@ -652,15 +666,17 @@ private[functions] object WktOverlay {
         val d4 = orient(px, py, qx, qy, sx, sy)
         if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
             ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) {
-          contact = true
-          interiorInterior = true // strict edge-interior crossing
+          // strict edge-interior crossing: classify the crossing point
+          val den = (qx - px) * (sy - ry) - (qy - py) * (sx - rx)
+          val t = ((rx - px) * (sy - ry) - (ry - py) * (sx - rx)) / den
+          touchPoint(px + t * (qx - px), py + t * (qy - py))
         } else if (d1 == 0 && d2 == 0) {
           // same supporting line: overlap run or single-point touch
           val tr = paramOn(px, py, qx, qy, rx, ry)
           val ts = paramOn(px, py, qx, qy, sx, sy)
           val lo = math.max(0.0, math.min(tr, ts))
           val hi = math.min(1.0, math.max(tr, ts))
-          if (hi > lo) { contact = true; overlap = true; interiorInterior = true }
+          if (hi > lo) flags |= LContact | LOverlap | LInterior
           else if (hi == lo)
             touchPoint(px + lo * (qx - px), py + lo * (qy - py))
         } else {
@@ -673,7 +689,33 @@ private[functions] object WktOverlay {
       }
       i += 1
     }
-    (contact, interiorInterior, overlap)
+    flags
+  }
+
+  /** Membership predicate over a flat sorted point list. */
+  private def ptSetContains(pts: Array[Double])(x: Double, y: Double)
+      : Boolean = {
+    var i = 0
+    while (2 * i < pts.length) {
+      if (pts(2 * i) == x && pts(2 * i + 1) == y) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Relate two line GEOMETRIES (LINESTRING or MULTILINESTRING parts)
+    * under the OGC mod-2 boundary rule: (contact, interior-interior
+    * point contact, positive-length collinear overlap). */
+  private[functions] def lineLineRelate(aParts: Array[Array[Double]],
+      bParts: Array[Array[Double]]): (Boolean, Boolean, Boolean) = {
+    val bndA = ptSetContains(WktCore.lineBoundaryPts(aParts)) _
+    val bndB = ptSetContains(WktCore.lineBoundaryPts(bParts)) _
+    var flags = 0
+    aParts.foreach { a =>
+      bParts.foreach { b => flags |= scanLinePair(a, b, bndA, bndB) }
+    }
+    ((flags & LContact) != 0, (flags & LInterior) != 0,
+      (flags & LOverlap) != 0)
   }
 
   private def polysOf(s: UTF8String): Array[Poly] = {
@@ -682,8 +724,25 @@ private[functions] object WktOverlay {
     g
   }
 
-  /** OGC ST_Touches over the POINT/LINESTRING/(MULTI)POLYGON matrix:
-    * geometries intersect but their interiors do not. */
+  /** Line-kind operand as parts (LINESTRING → one; MULTILINESTRING →
+    * several; the EMPTY spellings → zero). */
+  private def lineOf(s: UTF8String): Array[Array[Double]] =
+    WktCore.lineParts(s.toString)
+
+  /** lineAreaRelate over every part of a line geometry, OR-combined
+    * (contact / inside / outside are each unions over parts). */
+  private def linesAreaRelate(parts: Array[Array[Double]], g: Array[Poly])
+      : (Boolean, Boolean, Boolean) = {
+    var contact = false; var hasIn = false; var hasOut = false
+    parts.foreach { c =>
+      val (ct, in, out) = lineAreaRelate(c, g)
+      contact ||= ct; hasIn ||= in; hasOut ||= out
+    }
+    (contact, hasIn, hasOut)
+  }
+
+  /** OGC ST_Touches over the POINT/(MULTI)LINESTRING/(MULTI)POLYGON
+    * matrix: geometries intersect but their interiors do not. */
   private[functions] def touchesWkt(a: UTF8String, b: UTF8String): Boolean = {
     val (ka, kb) = (kindOf(a), kindOf(b))
     // normalize so ka <= kb (the predicate is symmetric)
@@ -691,23 +750,18 @@ private[functions] object WktOverlay {
     (ka, kb) match {
       case (0, 0) => false // equal points intersect at interiors; disjoint don't touch
       case (0, 1) =>
+        // mod-2 rule: the point must be a boundary point of the line
+        // geometry (a shared endpoint of two parts is INTERIOR)
         val p = WktCore.parsePoint(a.toString)
-        val l = WktCore.parseLineString(b.toString)
-        val m = l.length / 2
-        val terminal = (l(0) == p(0) && l(1) == p(1)) ||
-          (l(2 * m - 2) == p(0) && l(2 * m - 1) == p(1))
-        terminal // a point on the line interior meets the line's interior
+        ptSetContains(WktCore.lineBoundaryPts(lineOf(b)))(p(0), p(1))
       case (0, 2) =>
         val p = WktCore.parsePoint(a.toString)
         pointOnBoundary(polysOf(b), p(0), p(1))
       case (1, 1) =>
-        val (contact, ii, overlap) = lineLineRelate(
-          WktCore.parseLineString(a.toString),
-          WktCore.parseLineString(b.toString))
+        val (contact, ii, overlap) = lineLineRelate(lineOf(a), lineOf(b))
         contact && !ii && !overlap
       case (1, 2) =>
-        val (contact, hasIn, _) = lineAreaRelate(
-          WktCore.parseLineString(a.toString), polysOf(b))
+        val (contact, hasIn, _) = linesAreaRelate(lineOf(a), polysOf(b))
         contact && !hasIn
       case _ =>
         val pa = polysOf(a); val pb = polysOf(b)
@@ -726,40 +780,34 @@ private[functions] object WktOverlay {
     if (ka > kb) return crossesWkt(b, a)
     (ka, kb) match {
       case (1, 1) =>
-        val (_, ii, overlap) = lineLineRelate(
-          WktCore.parseLineString(a.toString),
-          WktCore.parseLineString(b.toString))
+        val (_, ii, overlap) = lineLineRelate(lineOf(a), lineOf(b))
         ii && !overlap
       case (1, 2) =>
-        val (_, hasIn, hasOut) = lineAreaRelate(
-          WktCore.parseLineString(a.toString), polysOf(b))
+        val (_, hasIn, hasOut) = linesAreaRelate(lineOf(a), polysOf(b))
         hasIn && hasOut
       case _ => false
     }
   }
 
   /** ST_Intersects for the pairings the legacy kernel does not cover:
-    * anything involving a LINESTRING, and holed / MULTIPOLYGON areal
-    * pairs. */
+    * anything involving a (MULTI)LINESTRING, and holed / MULTIPOLYGON
+    * areal pairs. */
   private[functions] def intersectsExt(a: UTF8String, b: UTF8String): Boolean = {
     val (ka, kb) = (kindOf(a), kindOf(b))
     if (ka > kb) return intersectsExt(b, a)
     (ka, kb) match {
       case (0, 1) =>
         val p = WktCore.parsePoint(a.toString)
-        pointOnLine(WktCore.parseLineString(b.toString), p(0), p(1))
+        lineOf(b).exists(c => pointOnLine(c, p(0), p(1)))
       case (0, 2) =>
         val p = WktCore.parsePoint(a.toString)
         val g = polysOf(b)
         pointOnBoundary(g, p(0), p(1)) || containsGeom(g, p(0), p(1))
       case (1, 1) =>
-        val (contact, _, _) = lineLineRelate(
-          WktCore.parseLineString(a.toString),
-          WktCore.parseLineString(b.toString))
+        val (contact, _, _) = lineLineRelate(lineOf(a), lineOf(b))
         contact
       case (1, 2) =>
-        val (contact, hasIn, _) = lineAreaRelate(
-          WktCore.parseLineString(a.toString), polysOf(b))
+        val (contact, hasIn, _) = linesAreaRelate(lineOf(a), polysOf(b))
         contact || hasIn
       case _ =>
         val pa = polysOf(a); val pb = polysOf(b)

@@ -788,6 +788,64 @@ object Etl extends QueryModule {
           |FROM w ORDER BY k""".stripMargin)
     }),
 
+    // P2t7: the r14 geometry surface through the dialect path —
+    // GEOMETRYCOLLECTION as a first-class WKT kind (Trino's geospatial
+    // page accepts collections in ST_GeometryFromText / ST_NumGeometries
+    // / ST_GeometryN / ST_GeometryType / ST_Dimension / ST_IsEmpty and
+    // both interchange forms), plus the MULTILINESTRING completion
+    // (mod-2 ST_Boundary, SFS st_issimple) under the Trino spellings.
+    "p2t7_presto_geo_collection" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH g AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST("n_nationkey" % 11 - 5 AS DOUBLE) AS cy,
+          |    CAST("n_nationkey" * 13 % 140 - 70 AS DOUBLE) AS cx,
+          |    CAST("n_nationkey" % 5 + 2 AS DOUBLE) AS a,
+          |    CAST("n_nationkey" % 3 + 1 AS DOUBLE) AS b
+          |  FROM nation),
+          |w AS (
+          |  SELECT k, a, b, cx, cy,
+          |    concat('GEOMETRYCOLLECTION (POINT (',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      '), LINESTRING (',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy + b AS VARCHAR), ', ',
+          |      CAST(cx + a AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+          |      '), POLYGON ((',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ', ', CAST(cx + 3 * a AS VARCHAR), ' ',
+          |      CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + 3 * a AS VARCHAR), ' ', CAST(cy + b AS VARCHAR),
+          |      ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+          |      CAST(cy + b AS VARCHAR), ', ',
+          |      CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      ')))') AS gc,
+          |    concat('MULTILINESTRING ((',
+          |      CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+          |      CAST(cx + a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+          |      '), (', CAST(cx + a AS VARCHAR), ' ',
+          |      CAST(cy AS VARCHAR), ', ', CAST(cx + a AS VARCHAR), ' ',
+          |      CAST(cy + b AS VARCHAR), '))') AS ml
+          |  FROM g)
+          |SELECT k,
+          |  ST_GeometryType(ST_GeometryFromText(gc)) AS gtype,
+          |  CAST(ST_NumGeometries(gc) AS BIGINT) AS ng,
+          |  ST_AsText(ST_GeometryN(gc, 1)) AS g1,
+          |  CAST(floor(ST_Area(ST_GeometryN(gc, 3)) * 1e6 + 0.5)
+          |    AS BIGINT) AS g3_area_q6,
+          |  CAST(ST_Dimension(gc) AS BIGINT) AS dim,
+          |  ST_IsEmpty(ST_GeometryFromText('GEOMETRYCOLLECTION EMPTY'))
+          |    AS e_lit,
+          |  ST_AsText(ST_GeomFromBinary(ST_AsBinary(gc))) = gc AS rt_wkb,
+          |  from_geojson_geometry(to_geojson_geometry(gc)) = gc AS rt_gj,
+          |  CAST(length(ST_AsBinary(gc)) AS BIGINT) AS wkb_len,
+          |  ST_AsText(ST_Boundary(ml)) AS ml_bnd,
+          |  ST_IsSimple(ml) AS ml_simple,
+          |  ST_IsSimple('MULTILINESTRING EMPTY') AS ml_simple_empty,
+          |  CAST(ST_NumGeometries(ml) AS BIGINT) AS ml_ng
+          |FROM w ORDER BY k""".stripMargin)
+    }),
+
     // P2t5: the r13 geometry AGGREGATES through the dialect path —
     // geometry_union_agg (dissolve) and convex_hull_agg under the
     // Trino spellings, plus ST_Boundary. Per-nation quadrant tiles are
@@ -1153,6 +1211,36 @@ object Etl extends QueryModule {
           |    CAST(sz AS VARCHAR), ']')) AS ARRAY(BIGINT)), 1) AS BIGINT)
           |    AS cjp
           |FROM f ORDER BY pk""".stripMargin)
+    }),
+
+    // P2af: the r14 aggregate-lambda closures — reduce_agg's
+    // literal-lambda subset rewritten onto Spark's higher-order
+    // aggregate() over the group's sorted collected inputs (lawful
+    // assoc+comm algebra is reduce_agg's own precondition, so the
+    // sequential fold computes the same value), and
+    // numeric_histogram(b, x) as the DETERMINISTIC equal-width
+    // derivation over [min, max] keyed by bucket mean. Histogram means
+    // are exact here (integer-valued doubles sum exactly), and the map
+    // serializes sorted like every map-valued dialect row.
+    "p2af_presto_agg_lambdas" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH f AS (
+          |  SELECT "p_partkey" % 5 AS g, "p_size" AS sz,
+          |    CAST("p_size" AS DOUBLE) AS x
+          |  FROM part WHERE "p_partkey" < 300)
+          |SELECT g,
+          |  CAST(reduce_agg(sz, CAST(0 AS BIGINT),
+          |    (s, v) -> s + v, (s1, s2) -> s1 + s2) AS BIGINT) AS ra_sum,
+          |  CAST(reduce_agg(sz, CAST(0 AS BIGINT),
+          |    (s, v) -> greatest(s, v), (s1, s2) -> greatest(s1, s2))
+          |    AS BIGINT) AS ra_max,
+          |  array_join(array_sort(transform(map_entries(
+          |    numeric_histogram(4, x)), e -> concat(
+          |      CAST(CAST(floor(e.key * 1e6 + 0.5) AS BIGINT) AS VARCHAR),
+          |      ':', CAST(CAST(e.value AS BIGINT) AS VARCHAR)))), ';')
+          |    AS nh4
+          |FROM f GROUP BY g ORDER BY g""".stripMargin)
     }),
 
     // P2r: the Trino array-utility family Spark lacks —
@@ -2298,7 +2386,8 @@ object Etl extends QueryModule {
         |    AS clip_q6,
         |  CAST(floor((8 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
         |    AS BIGINT) AS uni_q6,
-        |  CAST(floor((2 * hw + 2.5) * (2 * hh + 2.5) * 1e6 + 0.5)
+        |  CAST(floor((4 * hw * hh + (4 * hw + 4 * hh) * 1.25 +
+        |    16 * 1.25 * 1.25 * sin(pi() / 16)) * 1e6 + 0.5)
         |    AS BIGINT) AS buf_q6,
         |  CAST(floor((4 * hw * hh - (hw - 0.5) * (hh + 0.5)) * 1e6 + 0.5)
         |    AS BIGINT) AS dif_q6
@@ -2379,6 +2468,66 @@ object Etl extends QueryModule {
          |  CAST(floor($dmeters * 1e6 + 0.5) AS BIGINT) AS d_m_q6
          |FROM p ORDER BY k""".stripMargin
     },
+
+    // p2t7: structural constants + canonical texts by string
+    // construction (WKB: 9 + 21 point + 41 line + 93 polygon = 164)
+    "p2t7_presto_geo_collection" ->
+      """WITH p AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation)
+        |SELECT k,
+        |  'ST_GeomCollection' AS gtype,
+        |  CAST(3 AS BIGINT) AS ng,
+        |  concat('POINT (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ')') AS g1,
+        |  CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS g3_area_q6,
+        |  CAST(2 AS BIGINT) AS dim,
+        |  true AS e_lit,
+        |  true AS rt_wkb,
+        |  true AS rt_gj,
+        |  CAST(164 AS BIGINT) AS wkb_len,
+        |  concat('MULTIPOINT ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '), (', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), '))') AS ml_bnd,
+        |  true AS ml_simple,
+        |  true AS ml_simple_empty,
+        |  CAST(2 AS BIGINT) AS ml_ng
+        |FROM p ORDER BY k""".stripMargin,
+
+    // p2af: sum/max re-derivations for the reduce_agg folds; the
+    // histogram re-derives the SAME equal-width bucket ids and means
+    // with independent DuckDB aggregation (means are exact — integer-
+    // valued doubles — so both engines round identically at q6)
+    "p2af_presto_agg_lambdas" ->
+      """WITH f AS (
+        |  SELECT p_partkey % 5 AS g, p_size AS sz,
+        |    CAST(p_size AS DOUBLE) AS x
+        |  FROM part WHERE p_partkey < 300),
+        |agg AS (
+        |  SELECT g, CAST(sum(sz) AS BIGINT) AS ra_sum,
+        |    CAST(max(sz) AS BIGINT) AS ra_max
+        |  FROM f GROUP BY g),
+        |stats AS (SELECT g, min(x) AS mn, max(x) AS mx FROM f GROUP BY g),
+        |bk AS (
+        |  SELECT f.g, x,
+        |    least(3, CAST(floor((x - mn) / ((mx - mn) / 4)) AS INT)) AS k
+        |  FROM f JOIN stats ON f.g = stats.g),
+        |hb AS (
+        |  SELECT g, k, CAST(floor(avg(x) * 1e6 + 0.5) AS BIGINT) AS mq,
+        |    count(*) AS c
+        |  FROM bk GROUP BY g, k),
+        |nh AS (
+        |  SELECT g, string_agg(
+        |    concat(CAST(mq AS VARCHAR), ':', CAST(c AS VARCHAR)), ';'
+        |    ORDER BY concat(CAST(mq AS VARCHAR), ':', CAST(c AS VARCHAR)))
+        |    AS nh4
+        |  FROM hb GROUP BY g)
+        |SELECT agg.g, ra_sum, ra_max, nh4
+        |FROM agg JOIN nh ON agg.g = nh.g ORDER BY agg.g""".stripMargin,
 
     // p2t5: the sc21o closed forms under the dialect spellings
     "p2t5_presto_geo_aggs" ->

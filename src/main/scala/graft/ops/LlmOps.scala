@@ -2702,6 +2702,90 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L69 (r14, the r13 verdict's stretch item): a TRAINED linear
+    // quality classifier — full-batch logistic regression over the
+    // l68b hashed-bigram features (FIXED 8192 buckets, so the model is
+    // corpus-size-independent by construction) — the full fastText
+    // analogue next to l68b's Naive Bayes. Training is the l4d/k-means
+    // driver-state loop: each step is ONE broadcast join (the 8192-row
+    // weight table) + ONE integer aggregate back to ≤8192 driver rows;
+    // nothing about the corpus ever sits on the driver. DETERMINISM is
+    // engineered, not assumed: weights live as q6 FIXED-POINT integers,
+    // each doc's residual (σ(score) − y) quantizes to an integer
+    // BEFORE the gradient sum, so every aggregate is an exact integer
+    // sum (association-order-free) and the learning-rate update is
+    // integer floorDiv — two runs produce bit-identical weights.
+    // Pre-registered NO-ORACLE (iterative, like l26/l3b/PCA);
+    // LogRegSpec property-tests determinism, loss descent, and ≥99%
+    // training separation on the bigram-only planted signal (the
+    // unigram-blind corpus l68b established).
+    "l69_logreg_bigram_quality" -> ((s, d) => {
+      GF.register(s)
+      import s.implicits._
+      val B = 8192
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          col("source").isin("src0", "src1").as("pos"))
+        .withColumn("btext", concat(col("text"),
+          when(col("pos"),
+            expr("repeat(' qa0 qa1 qsep', CAST(doc_id % 3 + 1 AS INT))"))
+          .otherwise(
+            expr("repeat(' qa1 qa0 qsep', CAST(doc_id % 3 + 1 AS INT))"))))
+        .select(col("doc_id"), col("pos"),
+          TF.wordTokens(col("btext")).as("ws"))
+      // per-doc bucket counts — the (doc, feature, count) triple table;
+      // checkpointed once, consumed 2× per training step
+      val feats = docs.select(col("doc_id"), col("pos"),
+          explode(transform(TF.kgramHashes(col("ws"), 2),
+            h => pmod(h, lit(B.toLong)))).as("bk"))
+        .groupBy(col("doc_id"), col("pos"), col("bk"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val nDocs = math.max(1L,
+        feats.select(col("doc_id")).distinct().count())
+      // q6 fixed-point weights; lr = 4.0 scaled by 1/nDocs inside the
+      // integer update (floorDiv — exact, deterministic)
+      val w = new Array[Long](B)
+      var bias = 0L
+      val lrNum = 4L
+      val steps = 5
+      for (_ <- 1 to steps) {
+        val wDf = broadcast(
+          (0 until B).map(k => (k.toLong, w(k))).toDF("bk", "wq"))
+        // residual per doc: gq = round((σ(score) − y) · 1e6) — INTEGER
+        val resid = feats.join(wDf, "bk")
+          .groupBy(col("doc_id"), col("pos"))
+          .agg(sum(col("cnt") * col("wq")).as("sq"))
+          .select(col("doc_id"), col("pos"),
+            floor((lit(1.0) /
+              (lit(1.0) + exp(-(col("sq") + bias) / 1e6)) -
+              when(col("pos"), 1.0).otherwise(0.0)) * 1e6 + 0.5)
+              .cast("long").as("gq"))
+        // integer gradient per bucket (≤ 8192 driver rows — the
+        // k-means driver-state pattern) + the bias row
+        val grad = feats.join(resid.select(col("doc_id"), col("gq")),
+            "doc_id")
+          .groupBy(col("bk")).agg(sum(col("cnt") * col("gq")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val k = r.getLong(0).toInt
+          w(k) = w(k) - Math.floorDiv(r.getLong(1) * lrNum, nDocs)
+        }
+        val gb = resid.agg(sum(col("gq"))).head.getLong(0)
+        bias = bias - Math.floorDiv(gb * lrNum, nDocs)
+      }
+      val wDf = broadcast(
+        (0 until B).map(k => (k.toLong, w(k))).toDF("bk", "wq"))
+      feats.join(wDf, "bk")
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(sum(col("cnt") * col("wq")).as("sq"))
+        .select(col("doc_id"), col("pos"),
+          (col("sq") + bias).as("score_q6"),
+          (col("sq") + bias > 0).as("pred"))
+        .withColumn("correct", col("pred") === col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L43: n-gram NOVELTY scoring — the uniqueness signal dual to the
     // dedup family: for each doc, the fraction of its distinct
     // 3-shingles that appear NOWHERE else in the corpus (df = 1).

@@ -3347,6 +3347,60 @@ object PrestoSql {
       require(args.size == 1, s"map_union takes one argument, got ${args.size}")
       s"graft_map_union(CAST((${args(0)}) AS MAP<STRING, STRING>))"
     }
+    // Trino reduce_agg(x, init, (s, x) -> …, (a, b) -> …) — the
+    // literal-lambda subset (r14, closing the r13 gap): rewrite onto
+    // Spark's higher-order aggregate() over the group's collected
+    // inputs. reduce_agg is only well-defined (in Trino AND here) when
+    // the combine algebra is associative+commutative — under that
+    // precondition a sequential fold over ANY enumeration of the
+    // inputs computes the same reduction, so the input lambda alone
+    // decides the value and the combine lambda is shape-checked then
+    // dropped. array_sort pins the fold order (collect order is
+    // partition-dependent; floating-point folds would otherwise drift
+    // run to run); collect_list drops NULL inputs exactly like Trino's
+    // input_fn contract. State is O(group) in memory during the fold —
+    // the documented cost of the rewrite (the native a24
+    // ReduceAggregator keeps O(1) state for Scala callers). Non-literal
+    // lambdas stay LOUD.
+    r = rewriteCall(r, "reduce_agg") { args =>
+      require(args.size == 4,
+        s"reduce_agg takes (input, init, input_fn, combine_fn), got ${args.size}")
+      val lambda = "(?s)^\\(\\s*\\w+\\s*,\\s*\\w+\\s*\\)\\s*->.*"
+      require(args(2).trim.matches(lambda) && args(3).trim.matches(lambda),
+        "reduce_agg: only literal (state, value) -> expression lambdas " +
+          "are translatable (column-valued or named-function arguments " +
+          "stay unsupported)")
+      s"aggregate(array_sort(collect_list(${args(0)})), ${args(1)}, " +
+        s"${args(2).trim})"
+    }
+    // Trino numeric_histogram(buckets, value) — an approximate
+    // streaming histogram in Trino with no pinned output; translated
+    // DETERMINISTICALLY as equal-width buckets over the group's
+    // [min, max] (the a19 width_bucket derivation), keyed by the bucket
+    // MEAN (Trino's centroid reading) with double counts. The whole
+    // derivation is one expression over the collected sorted array, so
+    // Catalyst dedups the single collect_list; the weighted 3-arg form
+    // stays loud.
+    r = rewriteCall(r, "numeric_histogram") { args =>
+      require(args.size == 2,
+        "numeric_histogram: only the (buckets, value) form is " +
+          s"supported (got ${args.size} arguments)")
+      val b = s"CAST((${args(0)}) AS INT)"
+      val arr = s"array_sort(collect_list(CAST((${args(1)}) AS DOUBLE)))"
+      def bkt(v: String) =
+        s"least($b - 1, CAST(floor((($v) - array_min($arr)) / " +
+          s"((array_max($arr) - array_min($arr)) / $b)) AS INT))"
+      s"CASE WHEN array_min($arr) = array_max($arr) " +
+        s"THEN map(array_min($arr), CAST(size($arr) AS DOUBLE)) " +
+        s"ELSE map_from_entries(transform(" +
+        s"array_distinct(transform($arr, __v -> ${bkt("__v")})), " +
+        s"__k -> struct(" +
+        s"aggregate(filter($arr, __v -> ${bkt("__v")} = __k), " +
+        s"CAST(0.0 AS DOUBLE), (__s, __x) -> __s + __x) / " +
+        s"size(filter($arr, __v -> ${bkt("__v")} = __k)), " +
+        s"CAST(size(filter($arr, __v -> ${bkt("__v")} = __k)) AS DOUBLE)" +
+        s"))) END"
+    }
     // Trino entropy(count): log2-entropy of the per-row count
     // distribution — pure algebra over two sums, so it inlines to
     // builtins (H = log2(S) − Σ c·log2(c) / S, zero counts contribute
@@ -4727,10 +4781,22 @@ object PrestoSql {
           .findFirstIn(body).isEmpty,
           s"regexp_replace(lambda): only $v[k] capture references are " +
             "supported in the lambda body")
-        s"array_join(zip_with(split($str, $pat, -1), " +
+        // r14 ADVICE fix: a pattern that matches the EMPTY string (e.g.
+        // 'x*', an alternation with an empty branch) makes split()
+        // segments and extract_all() matches misalign — the silent-
+        // wrong-answer class this pass forbids. A static emptiness
+        // analysis of the regex is not tractable here, so the guard is
+        // a RUNTIME raise_error on any zero-length match.
+        s"IF(exists(regexp_extract_all($str, $pat, 0), " +
+          "__e -> length(__e) = 0), " +
+          "raise_error('regexp_replace(lambda): the pattern matched an " +
+          "empty string - segment/match realignment would be silently " +
+          "wrong; rewrite the pattern to require at least one " +
+          "character'), " +
+          s"array_join(zip_with(split($str, $pat, -1), " +
           s"concat(transform(regexp_extract_all($str, $pat, 0), " +
           s"__m -> ($body)), array(CAST(NULL AS STRING))), " +
-          "(__seg, __rep) -> concat(__seg, coalesce(__rep, ''))), '')"
+          "(__seg, __rep) -> concat(__seg, coalesce(__rep, ''))), ''))"
       }
     }
 
@@ -4738,7 +4804,18 @@ object PrestoSql {
     * same-named builtin returns a formatted STRING — a silent type
     * trap), the 2-arg (seconds, zone) form renders the instant at the
     * zone's wall clock (the at_timezone mapping under the pinned-UTC
-    * contract). The 3-arg hours/minutes-offset form fails loudly. */
+    * contract). The 3-arg hours/minutes-offset form fails loudly.
+    *
+    * DOCUMENTED DIVERGENCE (r14, same contract note as with_timezone /
+    * at_timezone): Trino's 2-arg form returns a timestamp WITH time
+    * zone — the same instant, displayed at the zone — so
+    * to_unixtime(from_unixtime(x, zone)) round-trips to x exactly.
+    * This engine's timestamps are zoneless, so from_utc_timestamp
+    * SHIFTS the stored value to the zone's wall clock: field reads
+    * (hour(), date_format) agree with Trino, but to_unixtime of the
+    * result returns x + zone_offset_seconds for non-UTC zones.
+    * PrestoDialectSpec pins the offset so the divergence stays
+    * visible. */
   private[graft] def wrapFromUnixtime(s: String): String =
     rewriteCall(s, "from_unixtime") { args =>
       args.size match {

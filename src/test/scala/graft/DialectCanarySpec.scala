@@ -284,13 +284,21 @@ class DialectCanarySpec extends SparkSpec {
          |  map(ARRAY[s], ARRAY[x]))), e -> concat(e.key, '=', e.value))),
          |  ';') AS mu FROM $rel""".stripMargin).head().getString(0)
     assert(mu == "a=1;b=3", mu)
-    // lambda-parameterized / multi-pass aggregates stay LOUD scope-outs
-    // (the native a24/a19 queries cover the capability)
-    Seq("reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b)",
-        "numeric_histogram(4, y)").foreach { fn =>
-      intercept[Throwable] {
-        PrestoSql.sql(spark, s"SELECT $fn AS v FROM $rel").collect()
-      }
+    // r14: the literal-lambda reduce_agg and 2-arg numeric_histogram
+    // now TRANSLATE (p2af oracles them); value-check both here
+    val ra = PrestoSql.sql(spark,
+      s"SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) AS v" +
+        s" FROM $rel").head().getInt(0)
+    assert(ra == 7, ra)
+    val nhm = PrestoSql.sql(spark,
+      s"SELECT numeric_histogram(2, y) AS v FROM $rel")
+      .head().getMap[Double, Double](0)
+    assert(nhm == Map(2.0 -> 1.0, 5.0 -> 2.0), nhm)
+    // non-literal lambdas stay loud
+    intercept[Throwable] {
+      PrestoSql.sql(spark,
+        s"SELECT reduce_agg(x, 0, some_fn, (a, b) -> a + b) FROM $rel")
+        .collect()
     }
   }
 

@@ -90,4 +90,60 @@ class GeomAggSpec extends SparkSpec {
     assert(WktCore.boundaryWkt(u("POLYGON EMPTY")).toString ==
       "LINESTRING EMPTY")
   }
+
+  test("st_boundary of line kinds: OGC mod-2 endpoints; points have an " +
+      "empty boundary (r14)") {
+    // open line: the two terminals as a sorted MULTIPOINT
+    assert(WktCore.boundaryWkt(u("LINESTRING (1 0, 0 0)")).toString ==
+      "MULTIPOINT ((0.0 0.0), (1.0 0.0))")
+    // closed line: EMPTY (each endpoint counts twice)
+    assert(WktCore.boundaryWkt(
+      u("LINESTRING (0 0, 1 0, 1 1, 0 0)")).toString == "MULTIPOINT EMPTY")
+    // elbow multiline: the shared endpoint cancels mod-2
+    assert(WktCore.boundaryWkt(
+      u("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))")).toString ==
+      "MULTIPOINT ((0.0 0.0), (1.0 1.0))")
+    // T-junction: mod-2 counts ENDPOINTS only — all four are boundary
+    assert(WktCore.numGeometries(u(WktCore.boundaryWkt(
+      u("MULTILINESTRING ((0 0, 2 0), (1 0, 1 1))")).toString)) == 4)
+    assert(WktCore.boundaryWkt(u("POINT (3 4)")).toString ==
+      "GEOMETRYCOLLECTION EMPTY")
+  }
+
+  test("geometry_union_agg over MIXED dimensions emits a collection; " +
+      "covered parts are absorbed (r14)") {
+    // polygon + line inside + line outside + point inside + point
+    // outside (twice — exact dedupe)
+    val rows = Seq(
+      "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))",
+      "LINESTRING (1 1, 3 1)", // inside → absorbed
+      "LINESTRING (0 5, 4 5)", // outside → kept
+      "POINT (2 1)", // inside → absorbed
+      "POINT (7 7)", "POINT (7 7)" // outside, duplicated → one survivor
+    ).map(("k", _))
+    val got = rows.toDF("k", "g").groupBy($"k")
+      .agg(GA.geometryUnion($"g").as("u")).collect()(0).getString(1)
+    assert(got ==
+      "GEOMETRYCOLLECTION (POLYGON ((0.0 0.0, 4.0 0.0, 4.0 2.0, " +
+        "0.0 2.0, 0.0 0.0)), LINESTRING (0.0 5.0, 4.0 5.0), " +
+        "POINT (7.0 7.0))", got)
+    // a point ON a kept line is absorbed by it; reversed duplicate
+    // chains dedupe through the canonical direction
+    val rows2 = Seq(
+      "LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 0 0)",
+      "POINT (1 0)", "MULTIPOINT ((5 5), (1 0))").map(("k", _))
+    val got2 = rows2.toDF("k", "g").groupBy($"k")
+      .agg(GA.geometryUnion($"g").as("u")).collect()(0).getString(1)
+    assert(got2 ==
+      "GEOMETRYCOLLECTION (LINESTRING (0.0 0.0, 2.0 0.0), " +
+        "POINT (5.0 5.0))", got2)
+    // all-areal groups keep the r13 plain-polygon output (no wrapper)
+    val rows3 = Seq(
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))").map(("k", _))
+    val got3 = rows3.toDF("k", "g").groupBy($"k")
+      .agg(GA.geometryUnion($"g").as("u")).collect()(0).getString(1)
+    assert(got3.startsWith("POLYGON"), got3)
+    assert(WktCore.area(u(got3)) == 2.0)
+  }
 }

@@ -1517,9 +1517,12 @@ class PrestoSqlSpec extends SparkSpec {
   test("checksum / histogram / multimap_agg / geometric_mean aggregate forms") {
     assert(PrestoSql.wrapDialectAggs("SELECT geometric_mean(x) FROM t")
       == "SELECT exp(avg(ln(x))) FROM t")
-    // numeric_histogram must NOT fire the histogram rewrite
-    assert(PrestoSql.wrapDialectAggs("SELECT numeric_histogram(10, x)")
-      == "SELECT numeric_histogram(10, x)")
+    // numeric_histogram must NOT fire the histogram rewrite — it has
+    // its own r14 equal-width translation (word-boundary check), whose
+    // output contains no bare histogram( call
+    val nh = PrestoSql.wrapDialectAggs("SELECT numeric_histogram(10, x)")
+    assert(!nh.contains("graft_histogram"), nh)
+    assert(nh.contains("map_from_entries"), nh)
     Tables.registerAll(spark, sf)
     // histogram: exact value→count map (varchar keys — documented)
     val h = PrestoSql.sql(spark,
@@ -2614,5 +2617,70 @@ class PrestoSqlSpec extends SparkSpec {
     val eXy = intercept[Exception](PrestoSql.sql(spark,
       "SELECT bing_tile(9, 0, 3)").collect())
     assert(eXy.getMessage.contains("XY coordinates"), eXy.getMessage)
+  }
+
+  test("from_unixtime 2-arg: hour reads agree; the non-UTC round-trip " +
+      "offset divergence stays PINNED (r14 ADVICE)") {
+    // wall-clock field reads match Trino
+    val r = PrestoSql.sql(spark,
+      "SELECT hour(from_unixtime(0, 'Asia/Tokyo')) AS h, " +
+        "to_unixtime(from_unixtime(0, 'Asia/Tokyo')) AS rt, " +
+        "to_unixtime(from_unixtime(0, 'UTC')) AS rt_utc").collect()(0)
+    assert(r.getInt(0) == 9) // 1970-01-01 09:00 JST
+    // DOCUMENTED DIVERGENCE (see wrapFromUnixtime): Trino round-trips
+    // to 0 exactly; this engine's zoneless timestamps return
+    // x + zone_offset (Tokyo = +9 h). If this assertion ever breaks,
+    // the contract note in PrestoSql.scala must change with it.
+    assert(r.getDouble(1) == 9 * 3600.0, r.getDouble(1))
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("regexp_replace lambda: zero-length matches are LOUD, not " +
+      "silently misaligned (r14 ADVICE)") {
+    // a pattern that cannot match empty still works
+    val ok = PrestoSql.sql(spark,
+      "SELECT regexp_replace('new york', '(\\w)(\\w*)', " +
+        "x -> upper(x[1]) || x[2]) AS t").collect()(0).getString(0)
+    assert(ok == "New York", ok)
+    // 'o*' matches the empty string between segments — refuse loudly
+    val e = intercept[Exception](PrestoSql.sql(spark,
+      "SELECT regexp_replace('new york', 'o*', x -> upper(x[0]))")
+      .collect())
+    assert(e.getMessage.contains("empty string"), e.getMessage)
+  }
+
+  test("reduce_agg literal lambdas translate; non-literal stays loud " +
+      "(r14)") {
+    Tables.registerAll(spark, sf)
+    val df = PrestoSql.sql(spark,
+      """SELECT "o_orderstatus" AS st,
+        |  reduce_agg("o_orderkey", CAST(0 AS BIGINT),
+        |    (s, v) -> s + v, (a, b) -> a + b) AS ra,
+        |  sum("o_orderkey") AS expect
+        |FROM orders GROUP BY "o_orderstatus"""".stripMargin)
+    df.collect().foreach(r => assert(r.getLong(1) == r.getLong(2), r))
+    val e = intercept[IllegalArgumentException](PrestoSql.sql(spark,
+      """SELECT reduce_agg("o_orderkey", 0, my_fn, (a, b) -> a + b)
+        |FROM orders""".stripMargin))
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("numeric_histogram: deterministic equal-width buckets keyed by " +
+      "mean; 3-arg weighted form stays loud (r14)") {
+    val r = PrestoSql.sql(spark,
+      "SELECT numeric_histogram(2, x) AS h FROM " +
+        "(SELECT explode(array(1.0D, 2.0D, 9.0D, 10.0D)) AS x)")
+      .collect()(0).getMap[Double, Double](0)
+    // buckets [1, 5.5) and [5.5, 10]: means 1.5 and 9.5, counts 2 and 2
+    assert(r == Map(1.5 -> 2.0, 9.5 -> 2.0), r)
+    // single-value group degenerates to one bucket at the value
+    val one = PrestoSql.sql(spark,
+      "SELECT numeric_histogram(4, x) AS h FROM " +
+        "(SELECT explode(array(3.0D, 3.0D)) AS x)")
+      .collect()(0).getMap[Double, Double](0)
+    assert(one == Map(3.0 -> 2.0), one)
+    val e = intercept[IllegalArgumentException](PrestoSql.sql(spark,
+      "SELECT numeric_histogram(4, x, w) FROM t"))
+    assert(e.getMessage.contains("buckets, value"), e.getMessage)
   }
 }

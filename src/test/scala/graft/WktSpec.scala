@@ -252,11 +252,16 @@ class WktSpec extends SparkSpec {
     // corner-overlap union: inclusion-exclusion 1 + 1 − 0.25 = 1.75
     val un = WktCore.unionWkt(u(unitSq), u(sqB)).toString
     assert(WktCore.area(u(un)) == 1.75, un)
-    // miter buffer of the unit square by 0.5: the 2×2 square
-    val buf = WktCore.bufferWkt(u(unitSq), 0.5).toString
+    // miter buffer of the unit square by 0.5 (r14: miter is now the
+    // explicit flag; the DEFAULT is round joins): the 2×2 square
+    val buf = WktCore.bufferWkt(u(unitSq), 0.5, WktCore.BufMiter).toString
     assert(WktCore.area(u(buf)) == 4.0, buf)
     assert(WktCore.envBound(u(buf), 0) == -0.5 &&
       WktCore.envBound(u(buf), 2) == 1.5)
+    // round default: A + P·d + 16·d²·sin(π/16), within float noise
+    val bufR = WktCore.bufferWkt(u(unitSq), 0.5).toString
+    val expR = 1.0 + 4.0 * 0.5 + 16 * 0.25 * math.sin(math.Pi / 16)
+    assert(math.abs(WktCore.area(u(bufR)) - expR) < 1e-9, bufR)
     // (r13) a concave input with NON-TRANSVERSAL contact no longer
     // throws — the overlay tier resolves it: the unit square lies inside
     // the concave polygon sharing the (0,0) corner and two boundary
@@ -275,11 +280,9 @@ class WktSpec extends SparkSpec {
     val duni = WktCore.unionWkt(u(unitSq), u(far)).toString
     assert(duni.startsWith("MULTIPOLYGON"), duni)
     assert(WktCore.area(u(duni)) == 2.0, duni)
-    // loud scoping: negative buffer distance
-    val e3 = intercept[IllegalArgumentException] {
-      WktCore.bufferWkt(u(unitSq), -1.0)
-    }
-    assert(e3.getMessage.contains("negative"), e3.getMessage)
+    // negative buffer distance ERODES (r14): d = -1 consumes the unit
+    // square entirely
+    assert(WktCore.bufferWkt(u(unitSq), -1.0).toString == "POLYGON EMPTY")
     // (r13 flagship) edge-sharing tangency: the union of two unit
     // squares sharing the x=1 edge is ONE canonical rectangle — the
     // shared border cancels and the collinear pass-through nodes drop
@@ -732,21 +735,40 @@ class WktSpec extends SparkSpec {
     // rectilinear closed form: area + perimeter·d + (convex − reflex)·d²
     // = A + P·d + 4·d² for any simple rectilinear ring
     val ell = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
-    val bl = WktCore.bufferWkt(u(ell), 0.5).toString
+    val bl = WktCore.bufferWkt(u(ell), 0.5, WktCore.BufMiter).toString
     assert(a(bl) == 3.0 + 8.0 * 0.5 + 4 * 0.25, bl)
+    // round default on the same L: A + P·d + 5·4d²·sin(π/16) − d²
+    val blR = WktCore.bufferWkt(u(ell), 0.5).toString
+    val expLR = 3.0 + 8.0 * 0.5 + 20 * 0.25 * math.sin(math.Pi / 16) - 0.25
+    assert(math.abs(a(blR) - expLR) < 1e-9, blR)
+    // EROSION (r14): axis-parallel square erodes to the exact inner
+    // square; the L erodes to A − P·d + 5d² − 4d²·sin(π/16)
+    val sq22 = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val er = WktCore.bufferWkt(u(sq22), -0.5).toString
+    assert(er == "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))", er)
+    val erL = WktCore.bufferWkt(u(ell), -0.25).toString
+    val expLE = 3.0 - 8.0 * 0.25 + 5 * 0.0625 -
+      4 * 0.0625 * math.sin(math.Pi / 16)
+    assert(math.abs(a(erL) - expLE) < 1e-9, erL)
+    assert(WktCore.withinWkt(u(erL), u(ell)))
+    // erosion that consumes the ring is EMPTY; negative point buffer too
+    assert(WktCore.bufferWkt(u(sq22), -2.0).toString == "POLYGON EMPTY")
+    assert(WktCore.bufferWkt(u("POINT (1 1)"), -0.5).toString ==
+      "POLYGON EMPTY")
     // U-shape: A = 5, P = 12, 8 convex − 2 reflex... rectilinear always
     // nets to 4: A + P·d + 4·d²
     val ush = "POLYGON ((0 0, 3 0, 3 2, 2 2, 2 1, 1 1, 1 2, 0 2, 0 0))"
-    val bu = WktCore.bufferWkt(u(ush), 0.25).toString
+    val bu = WktCore.bufferWkt(u(ush), 0.25, WktCore.BufMiter).toString
     assert(a(bu) == 5.0 + 12.0 * 0.25 + 4 * 0.0625, bu)
     // the buffered region CONTAINS the input and its near-offset points
     assert(WktCore.withinWkt(u(ell), u(bl)))
     assert(WktCore.containsWkt(u(bl), -0.25, -0.25)) // outside the miter? corner kite covers the diagonal
     assert(WktCore.containsWkt(u(bl), 2.4, 0.5))      // edge offset
     assert(!WktCore.containsWkt(u(bl), 1.8, 1.8))     // in the notch, > d away
-    // convex inputs keep the legacy closed-form path bit-stably
+    // convex inputs keep the legacy closed-form path bit-stably under
+    // the explicit miter flag (r14: the default is round joins)
     val sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
-    assert(WktCore.bufferWkt(u(sq), 0.5).toString ==
+    assert(WktCore.bufferWkt(u(sq), 0.5, WktCore.BufMiter).toString ==
       "POLYGON ((-0.5 -0.5, 1.5 -0.5, 1.5 1.5, -0.5 1.5, -0.5 -0.5))")
     // d = 0 on a concave ring normalizes instead of throwing (r13)
     assert(a(WktCore.bufferWkt(u(ell), 0.0).toString) == 3.0)
@@ -793,9 +815,17 @@ class WktSpec extends SparkSpec {
     assert(WktCore.isSimpleWkt(u(sq)))
     assert(!WktCore.isSimpleWkt(u("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")))
     assert(WktCore.isSimpleWkt(u("POLYGON EMPTY")))
-    intercept[IllegalArgumentException] {
-      WktCore.isSimpleWkt(u("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))"))
-    }
+    // MULTILINESTRING simplicity (r14): SFS part-pairwise rule
+    assert(WktCore.isSimpleWkt(u("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))")))
+    assert(WktCore.isSimpleWkt(
+      u("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))"))) // shared endpoint
+    assert(!WktCore.isSimpleWkt(
+      u("MULTILINESTRING ((0 0, 2 0), (1 0, 1 1))"))) // T-junction
+    assert(!WktCore.isSimpleWkt(
+      u("MULTILINESTRING ((0 0, 2 0), (1 0, 3 0))"))) // collinear overlap
+    assert(!WktCore.isSimpleWkt(
+      u("MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))"))) // proper cross
+    assert(WktCore.isSimpleWkt(u("MULTILINESTRING EMPTY")))
 
     // st_coorddim validates the parse
     assert(WktCore.coordDim(u(sq)) == 2L)
