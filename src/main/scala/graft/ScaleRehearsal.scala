@@ -44,7 +44,12 @@ object ScaleRehearsal {
     "l26_assign", "l66b_substring_scrub_keep", "l68_nb_quality",
     // r13: the hashed-bigram NB — the l68 shape with an 8192-bucket
     // feature aggregate alongside the vocab-keyed one
-    "l68b_nb_bigram_quality")
+    "l68b_nb_bigram_quality",
+    // r14: the trained logistic regression — 5 full-batch steps, each
+    // one broadcast join of the 8192-row weight table + one integer
+    // gradient aggregate; the curve must stay linear in corpus size
+    // (the model is corpus-size-independent by construction)
+    "l69_logreg_bigram_quality")
 
   def expand(spark: SparkSession, src: String, out: String, f: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")

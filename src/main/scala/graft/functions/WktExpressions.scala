@@ -2993,13 +2993,67 @@ object WktCore {
     // dimensions would need GEOMETRYCOLLECTION — loud, documented
     val aLine = isLineKindWkt(a)
     val bLine = isLineKindWkt(b)
-    if (aLine || bLine) {
-      require(op == 0, s"$name: mixed-dimension operands are supported " +
-        "for st_intersection only (a union/difference result would be a " +
-        "GEOMETRYCOLLECTION, out of this geometry model's scope)")
+    def pointish(t: String): Boolean =
+      t.regionMatches(true, 0, "POINT", 0, 5) || isMultiPointText(t)
+    val aT = a.toString.trim
+    val bT = b.toString.trim
+    val aNonAreal = aLine || pointish(aT) || isCollectionText(aT)
+    val bNonAreal = bLine || pointish(bT) || isCollectionText(bT)
+    if (aNonAreal || bNonAreal) {
+      // r14: the model has GEOMETRYCOLLECTION now, so mixed-dimension
+      // ∪/− get real semantics instead of the r13 loud scope-out
+      if (op == 1) // union of ANY kinds: the mixed decompose-and-absorb
+        return UTF8String.fromString(finishMixed(unionMixed(aT, bT)))
+      if (op == 2) {
+        // line − areal: the complement clip (chains strictly outside)
+        if (aLine && !bNonAreal) {
+          val g = geomPolys(b)
+          requireValidGeom(g, b)
+          return UTF8String.fromString(fmtLines(
+            lineParts(aT).flatMap(c => WktOverlay.lineClipOut(c, g))))
+        }
+        // areal − (line|point): subtracting a measure-zero set leaves
+        // the REGION unchanged — canonical re-render
+        if (!aNonAreal && (bLine || pointish(bT)))
+          return UTF8String.fromString(fmtGeom(geomPolys(a)))
+        // point(s) − (areal|line): drop covered members; an emptied
+        // point set renders MULTIPOINT EMPTY (this model's empty-point
+        // spelling — documented where Trino would say POINT EMPTY)
+        if (pointish(aT) && (!bNonAreal || bLine)) {
+          val pts =
+            if (isMultiPointText(aT)) parseMultiPoint(aT)
+            else parsePoint(aT)
+          val keep = new scala.collection.mutable.ArrayBuffer[Double]()
+          var i = 0
+          while (2 * i < pts.length) {
+            val x = pts(2 * i); val y = pts(2 * i + 1)
+            val covered =
+              if (bLine) lineParts(bT).exists(c =>
+                WktOverlay.pointOnLine(c, x, y))
+              else {
+                val g = geomPolys(b)
+                containsPolys(g, x, y) ||
+                  WktOverlay.pointOnBoundary(g, x, y)
+              }
+            if (!covered) { keep += x; keep += y }
+            i += 1
+          }
+          return UTF8String.fromString(
+            if (keep.isEmpty) "MULTIPOINT EMPTY"
+            else if (keep.length == 2) pointStr(keep(0), keep(1)).toString
+            else fmtMultiPoint(keep.toArray))
+        }
+        throw new IllegalArgumentException(
+          s"$name: difference is supported for line − areal, areal − " +
+            "(line|point), and point(s) − (areal|line) operand shapes; " +
+            s"got '$aT' − '$bT'")
+      }
       require(!(aLine && bLine), s"$name: LINESTRING × LINESTRING " +
         "intersection (a point set) is out of scope - use st_intersects/" +
         "st_crosses/st_touches for line-line predicates")
+      require(aLine || bLine,
+        s"$name: intersection needs a line × areal operand pair; got " +
+          s"'$aT' × '$bT'")
       val (line, poly) = if (aLine) (a, b) else (b, a)
       val g = geomPolys(poly)
       requireValidGeom(g, poly)

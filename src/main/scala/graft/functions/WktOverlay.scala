@@ -623,6 +623,61 @@ private[functions] object WktOverlay {
     chains.toArray
   }
 
+  /** Line × area DIFFERENCE (r14): the portions of an open polyline
+    * strictly OUTSIDE an areal geometry, as maximal chains in line
+    * order — the complement of lineClip under the same noding.
+    * Boundary runs belong to the (closed) region, so they are REMOVED
+    * here, exactly complementing lineClip keeping them. */
+  private[functions] def lineClipOut(line: Array[Double], g: Array[Poly])
+      : Array[Array[Double]] = {
+    val rings = directedRings(g)
+    val chains = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val cur = new scala.collection.mutable.ArrayBuffer[Double]()
+    def close(): Unit = {
+      if (cur.length >= 4) chains += cur.toArray
+      cur.clear()
+    }
+    val n = line.length / 2
+    var i = 0
+    while (i + 1 < n) {
+      val e = new Edge(0, line(2 * i), line(2 * i + 1), line(2 * i + 2),
+        line(2 * i + 3))
+      rings.foreach { c =>
+        val m = c.length / 2
+        var k = 0
+        while (k < m) {
+          val k2 = if (k + 1 == m) 0 else k + 1
+          nodePair(e, new Edge(1, c(2 * k), c(2 * k + 1), c(2 * k2),
+            c(2 * k2 + 1)))
+          k += 1
+        }
+      }
+      val pts = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      pts += ((e.px, e.py))
+      e.splits.sortBy(_._1).foreach { case (_, x, y) =>
+        if (pts.last._1 != x || pts.last._2 != y) pts += ((x, y))
+      }
+      if (pts.last._1 != e.qx || pts.last._2 != e.qy) pts += ((e.qx, e.qy))
+      var t = 0
+      while (t + 1 < pts.length) {
+        val (x1, y1) = pts(t); val (x2, y2) = pts(t + 1)
+        val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+        val keep = !pointOnBoundary(g, mx, my) && !containsGeom(g, mx, my)
+        if (keep) {
+          if (cur.isEmpty) { cur += x1; cur += y1 }
+          else if (cur(cur.length - 2) != x1 || cur(cur.length - 1) != y1) {
+            close(); cur += x1; cur += y1
+          }
+          cur += x2; cur += y2
+        } else close()
+        t += 1
+      }
+      i += 1
+    }
+    close()
+    chains.toArray
+  }
+
   // scanLinePair result flags (r14: parameterized so both the
   // geometry-level mod-2 boundary rule and the part-level simplicity
   // rule ride one kernel)

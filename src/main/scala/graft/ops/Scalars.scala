@@ -1824,6 +1824,64 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21ac: MIXED-DIMENSION ST_Union / ST_Difference (r14 — the r13
+    // loud scope-out becomes real semantics now that the model has
+    // GEOMETRYCOLLECTION): union of any kinds through the
+    // decompose-and-absorb fold (covered lower-dimension parts vanish,
+    // survivors render as a collection in fixed dimension order);
+    // difference for line − areal (the complement clip — chains
+    // strictly outside, boundary runs removed), areal − line/point
+    // (the region unchanged, canonical), and point(s) − areal/line
+    // (covered members drop; an emptied point set is MULTIPOINT EMPTY,
+    // this model's empty-point spelling). All contact coordinates
+    // dyadic.
+    "sc21ac_geo_mixed_ops" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, point, q6, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.base(s, d)
+        .withColumn("r", rect(col("cx"), col("cy"), col("a") * 2, col("b")))
+        .withColumn("chord", line(Seq(
+          (col("cx") - col("a"), col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 3, col("cy") + col("b") / 2))))
+        .withColumn("halfline", line(Seq(
+          (col("cx") + col("a"), col("cy") + col("b") / 2),
+          (col("cx") + col("a") * 3, col("cy") + col("b") / 2))))
+        .withColumn("inline", line(Seq(
+          (col("cx") + col("a") / 2, col("cy") + col("b") / 2),
+          (col("cx") + col("a"), col("cy") + col("b") / 2))))
+        .withColumn("inpt", point(col("cx") + col("a"),
+          col("cy") + col("b") / 2))
+        .withColumn("outpt", point(col("cx"), col("cy") + col("b") * 2))
+        .withColumn("gcmix", concat(lit("GEOMETRYCOLLECTION ("),
+          col("outpt"), lit(", "), col("halfline"), lit(")")))
+      g.select(col("n_nationkey"),
+          f("st_union", col("halfline"), col("r")).as("u_line"),
+          f("st_union", col("r"), col("inline")).as("u_covered"),
+          f("st_union", col("inpt"), col("r")).as("u_pt_in"),
+          f("st_union", col("outpt"), col("r")).as("u_pt_out"),
+          f("st_union", col("outpt"), col("outpt")).as("u_pts2"),
+          f("st_union", col("gcmix"), col("r")).as("u_gc"),
+          f("st_difference", col("chord"), col("r")).as("d_chord"),
+          q6(GF.stLength(f("st_difference", col("chord"), col("r"))))
+            .as("d_chord_len_q6"),
+          f("st_difference", col("r"), col("chord")).as("d_area"),
+          f("st_difference", col("inpt"), col("r")).as("d_pt_in"),
+          f("st_difference", col("outpt"), col("r")).as("d_pt_out"),
+          f("st_difference",
+            concat(lit("MULTIPOINT (("), GeoFix.dstr(col("cx") + col("a")),
+              lit(" "), GeoFix.dstr(col("cy") + col("b") / 2), lit("), ("),
+              GeoFix.dstr(col("cx")), lit(" "),
+              GeoFix.dstr(col("cy") + col("b") * 2), lit("))")),
+            col("r")).as("d_mp"),
+          f("st_difference",
+            point(col("cx"), col("cy") + col("b") / 2), col("chord"))
+            .as("d_pt_line"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Regex family (Presto regexp_like/count/extract_all/position).
     "sc11_regex" -> ((s, d) => {
       Tables.part(s, d).filter(col("p_partkey") < 300)
@@ -3154,6 +3212,57 @@ object Scalars extends QueryModule {
         |  'POLYGON EMPTY' AS erode_all,
         |  true AS pt_styles_agree
         |FROM p ORDER BY n_nationkey""".stripMargin,
+
+    // sc21ac: canonical texts by string construction (chains in line
+    // order, collection members in fixed dimension order) + the dyadic
+    // outside-chain length
+    "sc21ac_geo_mixed_ops" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation),
+        |w AS (
+        |  SELECT n_nationkey, cx, cy, a, b,
+        |    concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |      CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |      CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
+        |      CAST(cy + b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |      CAST(cy + b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |      CAST(cy AS VARCHAR), '))') AS rcanon,
+        |    concat('LINESTRING (', CAST(cx + a AS VARCHAR), ' ',
+        |      CAST(cy + b / 2 AS VARCHAR), ', ',
+        |      CAST(cx + 3 * a AS VARCHAR), ' ',
+        |      CAST(cy + b / 2 AS VARCHAR), ')') AS halfline,
+        |    concat('POINT (', CAST(cx AS VARCHAR), ' ',
+        |      CAST(cy + 2 * b AS VARCHAR), ')') AS outpt
+        |  FROM p)
+        |SELECT n_nationkey,
+        |  concat('GEOMETRYCOLLECTION (', rcanon, ', ', halfline, ')')
+        |    AS u_line,
+        |  rcanon AS u_covered,
+        |  rcanon AS u_pt_in,
+        |  concat('GEOMETRYCOLLECTION (', rcanon, ', ', outpt, ')')
+        |    AS u_pt_out,
+        |  outpt AS u_pts2,
+        |  concat('GEOMETRYCOLLECTION (', rcanon, ', ', halfline, ', ',
+        |    outpt, ')') AS u_gc,
+        |  concat('MULTILINESTRING ((', CAST(cx - a AS VARCHAR), ' ',
+        |    CAST(cy + b / 2 AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + b / 2 AS VARCHAR), '), (',
+        |    CAST(cx + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + b / 2 AS VARCHAR), ', ',
+        |    CAST(cx + 3 * a AS VARCHAR), ' ',
+        |    CAST(cy + b / 2 AS VARCHAR), '))') AS d_chord,
+        |  CAST(floor(2 * a * 1e6 + 0.5) AS BIGINT) AS d_chord_len_q6,
+        |  rcanon AS d_area,
+        |  'MULTIPOINT EMPTY' AS d_pt_in,
+        |  outpt AS d_pt_out,
+        |  outpt AS d_mp,
+        |  'MULTIPOINT EMPTY' AS d_pt_line
+        |FROM w ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {
       // operation-for-operation mirror of GeoFunctions.haversineKm: same

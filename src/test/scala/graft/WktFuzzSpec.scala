@@ -266,6 +266,145 @@ class WktFuzzSpec extends AnyFunSuite {
     info(s"touch pairs: $touchCount, within pairs: $withinCount")
   }
 
+  /** Random rectilinear staircase polyline on the 0.5-grid: alternating
+    * H/V steps, never zero-length. */
+  private def staircase(rnd: scala.util.Random, x0: Double, y0: Double)
+      : String = {
+    val n = 2 + rnd.nextInt(5)
+    var x = x0; var y = y0
+    val sb = new StringBuilder(s"$x $y")
+    var horizontal = rnd.nextBoolean()
+    for (_ <- 1 to n) {
+      val step = 0.5 * (1 + rnd.nextInt(4)) * (if (rnd.nextBoolean()) 1 else -1)
+      if (horizontal) x += step else y += step
+      horizontal = !horizontal
+      sb.append(s", $x $y")
+    }
+    sb.toString
+  }
+
+  test("line-pair relate fuzz: predicates vs brute-force segment truth " +
+      "on 60 staircase pairs incl. MULTILINESTRING (r14)") {
+    val rnd = new scala.util.Random(20260816 + 14)
+    def bruteContact(a: String, b: String): Boolean = {
+      def segs(g: String): Seq[(Double, Double, Double, Double)] = {
+        // independent text-level part split (the staircases contain no
+        // nested parens), each part through the public line parser
+        val parts: Seq[Array[Double]] =
+          if (g.startsWith("MULTILINESTRING"))
+            g.stripPrefix("MULTILINESTRING ((").stripSuffix("))")
+              .split("\\), \\(").toSeq
+              .map(p => WktCore.parseLineString(s"LINESTRING ($p)"))
+          else Seq(WktCore.parseLineString(g))
+        parts.flatMap { c =>
+          (0 until c.length / 2 - 1).map(i =>
+            (c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3)))
+        }
+      }
+      segs(a).exists { case (px, py, qx, qy) =>
+        segs(b).exists { case (rx, ry, sx, sy) =>
+          WktCore.segIntersect(px, py, qx, qy, rx, ry, sx, sy) } }
+    }
+    var contacts = 0
+    var multis = 0
+    for (trial <- 1 to 60) {
+      def mk(): String =
+        if (rnd.nextBoolean()) {
+          multis += 1
+          "MULTILINESTRING ((" +
+            staircase(rnd, 0.5 * rnd.nextInt(5), 0.5 * rnd.nextInt(5)) +
+            "), (" +
+            staircase(rnd, 0.5 * rnd.nextInt(5), 0.5 * rnd.nextInt(5)) +
+            "))"
+        } else "LINESTRING (" +
+          staircase(rnd, 0.5 * rnd.nextInt(5), 0.5 * rnd.nextInt(5)) + ")"
+      val a = mk(); val b = mk()
+      val ua = u(a); val ub = u(b)
+      val inter = WktCore.intersectsWkt(ua, ub)
+      val touch = WktCore.touchesWkt(ua, ub)
+      val cross = WktCore.crossesWkt(ua, ub)
+      val dist = WktCore.distanceWkt(ua, ub)
+      // independent segment-pair ground truth for contact
+      assert(inter == bruteContact(a, b), s"trial $trial intersects\nA=$a\nB=$b")
+      if (inter) contacts += 1
+      assert((dist == 0.0) == inter, s"trial $trial dist⟺intersects\nA=$a\nB=$b")
+      // touches/crosses refine intersects and are mutually exclusive
+      if (touch || cross) assert(inter, s"trial $trial refine\nA=$a\nB=$b")
+      assert(!(touch && cross), s"trial $trial touch∧cross\nA=$a\nB=$b")
+      // symmetry
+      assert(inter == WktCore.intersectsWkt(ub, ua), s"trial $trial sym-i")
+      assert(touch == WktCore.touchesWkt(ub, ua), s"trial $trial sym-t")
+      assert(cross == WktCore.crossesWkt(ub, ua), s"trial $trial sym-c")
+      // reflexivity: self-contact is interior overlap, never touch/cross
+      assert(WktCore.intersectsWkt(ua, ua) && !WktCore.touchesWkt(ua, ua) &&
+        !WktCore.crossesWkt(ua, ua), s"trial $trial reflexive\nA=$a")
+      // the mod-2 boundary has an EVEN point count (total endpoint
+      // multiplicity is even), and renders round-trip-stably
+      val bnd = WktCore.boundaryWkt(ua).toString
+      assert(WktCore.numGeometries(u(bnd)) % 2 == 0,
+        s"trial $trial odd boundary $bnd\nA=$a")
+      // clipping to a covering box preserves total length
+      val box = "POLYGON ((-100 -100, 100 -100, 100 100, -100 100, -100 -100))"
+      assert(WktCore.length(u(WktCore.intersectionWkt(ua, u(box)).toString))
+        == WktCore.length(ua), s"trial $trial cover-clip\nA=$a")
+    }
+    info(s"contact pairs: $contacts of 60; multiline operands: $multis")
+  }
+
+  test("GEOMETRYCOLLECTION round-trip fuzz: 40 random mixed collections " +
+      "(r14)") {
+    val rnd = new scala.util.Random(20260816 + 77)
+    for (trial <- 1 to 40) {
+      val members = (1 to 1 + rnd.nextInt(3)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val x = 0.5 * rnd.nextInt(9); val y = 0.5 * rnd.nextInt(9)
+            s"POINT ($x $y)"
+          case 1 => "LINESTRING (" +
+            staircase(rnd, 0.5 * rnd.nextInt(5), 0.5 * rnd.nextInt(5)) + ")"
+          case 2 =>
+            // a canonical overlay output (possibly MULTIPOLYGON/holed)
+            val a = skyline(0.0, 0.0, 1.0,
+              Seq.fill(3 + rnd.nextInt(4))(0.5 * (1 + rnd.nextInt(6))))
+            val b = skyline(0.5 * rnd.nextInt(4), 0.5 * (rnd.nextInt(5) - 2),
+              1.0, Seq.fill(3 + rnd.nextInt(4))(0.5 * (1 + rnd.nextInt(6))))
+            val out = WktCore.unionWkt(u(a), u(b)).toString
+            if (out == "POLYGON EMPTY") a else out
+          case _ =>
+            val x = 0.5 * rnd.nextInt(9); val y = 0.5 * rnd.nextInt(9)
+            s"MULTIPOINT (($x $y), (${x + 1} $y))"
+        }
+      }
+      val gc = members.mkString("GEOMETRYCOLLECTION (", ", ", ")")
+      val ugc = u(gc)
+      // canonical text: both interchange trips land exactly on it
+      val canon = WktCore.fromWkb(WktCore.toWkb(ugc)).toString
+      assert(WktCore.fromGeoJson(WktCore.toGeoJson(ugc)).toString == canon,
+        s"trial $trial GeoJSON vs WKB\ngc=$gc")
+      assert(WktCore.fromWkb(WktCore.toWkb(u(canon))).toString == canon,
+        s"trial $trial WKB not idempotent\ngc=$gc")
+      // accessors
+      assert(WktCore.numGeometries(ugc) == members.length, s"trial $trial ng")
+      (1 to members.length).foreach { k =>
+        val g = WktCore.geometryN(ugc, k)
+        assert(g != null, s"trial $trial geometryn $k")
+        WktCore.isEmptyGeom(g) // parses
+      }
+      assert(WktCore.geometryN(ugc, members.length + 1) == null)
+      assert(!WktCore.isEmptyGeom(ugc), s"trial $trial nonempty")
+      val dims = members.map(m => WktCore.dimensionOf(u(m)))
+      assert(WktCore.dimensionOf(ugc) == dims.max, s"trial $trial dim")
+    }
+    // malformed collections stay loud
+    Seq("GEOMETRYCOLLECTION (POINT (1 2)",
+        "GEOMETRYCOLLECTION (POINT (1 2),, POINT (3 4))",
+        "GEOMETRYCOLLECTION junk (POINT (1 2))").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        WktCore.numGeometries(u(bad))
+      }
+    }
+  }
+
   /** Even-odd containment across every component of a MULTIPOLYGON via
     * the public parser-free text split (each component re-wrapped as a
     * POLYGON and tested with the holes-aware containsWkt). */

@@ -671,15 +671,37 @@ class WktSpec extends SparkSpec {
       u("LINESTRING (2 2, 2 5, 3 5, 3 2)"), u(R)).toString
     assert(weave ==
       "MULTILINESTRING ((2.0 2.0, 2.0 4.0), (3.0 4.0, 3.0 2.0))", weave)
-    // mixed-dimension union/difference and line×line ∩ stay loud
-    intercept[IllegalArgumentException] {
-      WktCore.unionWkt(u("LINESTRING (0 0, 1 1)"), u(R))
-    }
-    intercept[IllegalArgumentException] {
-      WktCore.differenceWkt(u(R), u("LINESTRING (0 0, 1 1)"))
-    }
+    // r14: mixed-dimension ∪/− have real semantics now (the model has
+    // GEOMETRYCOLLECTION); line×line ∩ stays loud
+    val uMix = WktCore.unionWkt(
+      u("LINESTRING (2 2, 7 2)"), u(R)).toString
+    assert(uMix == "GEOMETRYCOLLECTION (POLYGON ((0.0 0.0, 4.0 0.0, " +
+      "4.0 4.0, 0.0 4.0, 0.0 0.0)), LINESTRING (2.0 2.0, 7.0 2.0))", uMix)
+    // a fully-covered line is absorbed: plain areal output
+    assert(WktCore.unionWkt(u("LINESTRING (1 1, 3 1)"), u(R)).toString
+      .startsWith("POLYGON"), "covered line must be absorbed")
+    // line − areal: the complement clip (outside chains only)
+    val dMix = WktCore.differenceWkt(
+      u("LINESTRING (-2 2, 6 2)"), u(R)).toString
+    assert(dMix == "MULTILINESTRING ((-2.0 2.0, 0.0 2.0), " +
+      "(4.0 2.0, 6.0 2.0))", dMix)
+    // areal − line: the region unchanged (canonical)
+    assert(WktCore.differenceWkt(u(R), u("LINESTRING (0 0, 1 1)"))
+      .toString.startsWith("POLYGON (("))
+    // point(s) − areal: covered members drop
+    assert(WktCore.differenceWkt(u("POINT (2 2)"), u(R)).toString ==
+      "MULTIPOINT EMPTY")
+    assert(WktCore.differenceWkt(u("POINT (9 9)"), u(R)).toString ==
+      "POINT (9.0 9.0)")
+    assert(WktCore.differenceWkt(
+      u("MULTIPOINT ((2 2), (9 9))"), u(R)).toString == "POINT (9.0 9.0)")
+    // line×line ∩ and line−line stay loud
     intercept[IllegalArgumentException] {
       WktCore.intersectionWkt(u("LINESTRING (0 0, 1 1)"),
+        u("LINESTRING (0 1, 1 0)"))
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.differenceWkt(u("LINESTRING (0 0, 1 1)"),
         u("LINESTRING (0 1, 1 0)"))
     }
   }
