@@ -52,7 +52,12 @@ object PlanAudit {
       "l56_line_dedup",         // r9s4: expect ONE scan-stage Project, zero Exchange before the output sort
       "l57_gopher_repetition",  // r9s4: expect the six fused run-length kernels in ONE scan-stage Project, zero Exchange before the output sort
       "l58_doremi_step",        // r9s4: expect vocab-keyed aggregates feeding BROADCAST joins, k-row softmax — no corpus-wide window
-      "l60_prototype_pruning"   // r9s4: expect broadcast centroid join + per-label Window only
+      "l60_prototype_pruning",  // r9s4: expect broadcast centroid join + per-label Window only
+      "l69_logreg_bigram_quality" // r14: expect the FINAL scoring pass to
+                                  // broadcast the 8192-row weight table
+                                  // into a hash join + doc-keyed aggregate
+                                  // (training steps share the shape; the
+                                  // corpus never reaches the driver)
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")

@@ -381,6 +381,16 @@ object WktCore {
   }
 
   def intersectsWkt(a: UTF8String, b: UTF8String): Boolean = {
+    // GEOMETRYCOLLECTION operands (r14): a collection intersects iff
+    // ANY member does — recursive decomposition
+    val taT = a.toString.trim
+    if (isCollectionText(taT))
+      return parseCollection(taT).exists(c =>
+        intersectsWkt(UTF8String.fromString(c), b))
+    val tbT = b.toString.trim
+    if (isCollectionText(tbT))
+      return parseCollection(tbT).exists(c =>
+        intersectsWkt(a, UTF8String.fromString(c)))
     // (MULTI)LINESTRING operands (r13/r14) ride the overlay tier's
     // line kernels
     if (isLineKindWkt(a) || isLineKindWkt(b))
@@ -553,6 +563,20 @@ object WktCore {
       require(isGeographyText(ta) && isGeographyText(tb),
         "st_distance: cannot mix GEOMETRY and GEOGRAPHY operands")
       return geographyDistance(ta, tb)
+    }
+    // GEOMETRYCOLLECTION operands (r14): min over members (the point-
+    // set distance); empty collections have no distance — loud
+    if (isCollectionText(ta)) {
+      val comps = parseCollection(ta)
+      require(comps.nonEmpty, "st_distance: GEOMETRYCOLLECTION EMPTY " +
+        "has no distance")
+      return comps.map(c => distanceWkt(UTF8String.fromString(c), b)).min
+    }
+    if (isCollectionText(tb)) {
+      val comps = parseCollection(tb)
+      require(comps.nonEmpty, "st_distance: GEOMETRYCOLLECTION EMPTY " +
+        "has no distance")
+      return comps.map(c => distanceWkt(a, UTF8String.fromString(c))).min
     }
     // MULTIPOINT operands (r13): the areal-overlay intersects test does
     // not apply to point sets — a member point strictly INSIDE an areal
@@ -1878,6 +1902,16 @@ object WktCore {
     // dispatches to the spherical-excess kernel (m², r13).
     val t = poly.toString.trim
     if (isGeographyText(t)) geographyArea(t)
+    else if (isCollectionText(t))
+      // a collection's area sums its AREAL members; lower-dimension
+      // members contribute 0 (the Trino/JTS reading), r14
+      parseCollection(t).map { c =>
+        if (c.regionMatches(true, 0, "POLYGON", 0, 7) ||
+            c.regionMatches(true, 0, "MULTIPOLYGON", 0, 12) ||
+            isCollectionText(c))
+          area(UTF8String.fromString(c))
+        else 0.0
+      }.sum
     else geomPolys(poly).map(polyArea).sum
   }
 

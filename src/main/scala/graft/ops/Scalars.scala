@@ -1772,6 +1772,18 @@ object Scalars extends QueryModule {
             col("gc")).as("rt_wkb"),
           (f("from_geojson_geometry", f("to_geojson_geometry",
             col("gc"))) === col("gc")).as("rt_gj"),
+          // r14: measures/predicates over collections — area sums the
+          // areal members, intersects is any-member, distance is the
+          // member minimum
+          q6(GF.stArea(col("gc"))).as("gc_area_q6"),
+          f("st_intersects", col("gc"),
+            rect(col("cx") - col("a") / 2, col("cy") - col("b") / 2,
+              col("a"), col("b"))).as("gc_i_hit"),
+          f("st_intersects", col("gc"),
+            rect(col("cx") + lit(1000.0), col("cy"), col("a"), col("b")))
+            .as("gc_i_miss"),
+          q6(call_function("st_distance", col("gc"),
+            point(col("cx"), col("cy") - col("b")))).as("gc_d_q6"),
           col("ua_wkt"))
         .orderBy(col("n_nationkey"))
     }),
@@ -3157,6 +3169,10 @@ object Scalars extends QueryModule {
         |  true AS e_lit, true AS e_members, false AS e_full,
         |  CAST(164 AS BIGINT) AS wkb_len,
         |  true AS rt_wkb, true AS rt_gj,
+        |  CAST(floor(a * b * 1e6 + 0.5) AS BIGINT) AS gc_area_q6,
+        |  true AS gc_i_hit,
+        |  false AS gc_i_miss,
+        |  CAST(floor(b * 1e6 + 0.5) AS BIGINT) AS gc_d_q6,
         |  concat('GEOMETRYCOLLECTION (POLYGON ((',
         |    CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
         |    CAST(cx + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
