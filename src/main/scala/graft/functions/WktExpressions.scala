@@ -2139,6 +2139,38 @@ object WktCore {
     * centroid. Degenerate (zero-area) rings divide by zero → ±Inf/NaN,
     * loud rather than silently wrong. */
   def centroid(poly: UTF8String, idx: Int): Double = {
+    // r14: Trino's ST_Centroid also covers points and lines — a POINT
+    // is its own centroid, MULTIPOINT is the arithmetic mean in
+    // document order, and (MULTI)LINESTRING is the LENGTH-weighted mean
+    // of segment midpoints (segments in document order, ONE final
+    // division — mirrorable op-for-op; axis-parallel dyadic fixtures
+    // keep every segment length exact)
+    val t0 = poly.toString.trim
+    if (t0.regionMatches(true, 0, "POINT", 0, 5))
+      return parsePoint(t0)(idx)
+    if (isMultiPointText(t0)) {
+      val c = parseMultiPoint(t0)
+      var s = 0.0
+      var i = 0
+      while (2 * i < c.length) { s += c(2 * i + idx); i += 1 }
+      return s / (c.length / 2)
+    }
+    if (isLineKindWkt(poly)) {
+      var sLen = 0.0; var sVal = 0.0
+      lineParts(t0).foreach { c =>
+        var i = 0
+        while (2 * i + 3 < c.length) {
+          val dx = c(2 * i + 2) - c(2 * i)
+          val dy = c(2 * i + 3) - c(2 * i + 1)
+          val len = math.sqrt(dx * dx + dy * dy)
+          sLen += len
+          sVal += len * ((c(2 * i + idx) + c(2 * i + 2 + idx)) / 2)
+          i += 1
+        }
+      }
+      require(sLen > 0, "st_centroid: zero-length line")
+      return sVal / sLen
+    }
     val polys = geomPolys(poly)
     require(polys.nonEmpty, "st_centroid: empty geometry")
     if (polys.length == 1 && polys(0)._2.isEmpty) {

@@ -1702,7 +1702,16 @@ object Scalars extends QueryModule {
           (f("st_geomfrombinary", f("st_asbinary", col("elbow"))) ===
             col("elbow")).as("rt_wkb"),
           (f("from_geojson_geometry", f("to_geojson_geometry",
-            col("elbow"))) === col("elbow")).as("rt_gj"))
+            col("elbow"))) === col("elbow")).as("rt_gj"),
+          // r14: line centroid — length-weighted segment midpoints
+          // (axis-parallel parts make both lengths exact: a and b)
+          q6(call_function("st_centroid_x", col("elbow"))).as("cen_x_q6"),
+          q6(call_function("st_centroid_y", col("elbow"))).as("cen_y_q6"),
+          q6(call_function("st_centroid_x",
+            concat(lit("MULTIPOINT (("), GeoFix.dstr(col("cx")), lit(" "),
+              GeoFix.dstr(col("cy")), lit("), ("),
+              GeoFix.dstr(col("cx") + col("a")), lit(" "),
+              GeoFix.dstr(col("cy")), lit("))")))).as("mp_cen_x_q6"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3142,7 +3151,13 @@ object Scalars extends QueryModule {
          |    ${gc("cx + a", "cy", "cx + a", "cy + b")}) * 1e6 + 0.5)
          |    AS BIGINT) AS geo_len_q6,
          |  CAST(91 AS BIGINT) AS wkb_len,
-         |  true AS rt_wkb, true AS rt_gj
+         |  true AS rt_wkb, true AS rt_gj,
+         |  CAST(floor((a * (cx + a / 2) + b * (cx + a)) / (a + b)
+         |    * 1e6 + 0.5) AS BIGINT) AS cen_x_q6,
+         |  CAST(floor((a * cy + b * (cy + b / 2)) / (a + b)
+         |    * 1e6 + 0.5) AS BIGINT) AS cen_y_q6,
+         |  CAST(floor((cx + (cx + a)) / 2 * 1e6 + 0.5) AS BIGINT)
+         |    AS mp_cen_x_q6
          |FROM p ORDER BY n_nationkey""".stripMargin
     },
 
