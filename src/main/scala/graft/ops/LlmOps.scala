@@ -2740,13 +2740,12 @@ object LlmOps extends QueryModule {
             h => pmod(h, lit(B.toLong)))).as("bk"))
         .groupBy(col("doc_id"), col("pos"), col("bk"))
         .agg(count(lit(1)).as("cnt"))
-        // repartition by doc_id BEFORE the checkpoint: every training
-        // step runs two doc_id-clustered operations (the score
-        // aggregate and the gradient join back) — HashPartitioning on
-        // doc_id satisfies both required distributions, so the 2×steps
-        // per-step Exchanges vanish (localCheckpoint preserves the
-        // partitioning in the LogicalRDD)
-        .repartition(col("doc_id"))
+        // note: pre-partitioning by doc_id here would NOT remove the
+        // per-step Exchanges — localCheckpoint under AQE reports
+        // UnknownPartitioning (plan-audited r14) — and the per-step
+        // shuffles are already cheap: partial aggregation runs
+        // map-side, so each Exchange carries doc-keyed PARTIALS
+        // (#docs × a few longs), never the feature triples
         .localCheckpoint()
       val nDocs = math.max(1L,
         feats.select(col("doc_id")).distinct().count())
