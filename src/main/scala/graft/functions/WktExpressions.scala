@@ -3370,6 +3370,117 @@ object WktCore {
       }
       return UTF8String.fromString(fmtRing(out))
     }
+    // (MULTI)LINESTRING buffer (r14): the CAPSULE/corridor — per-segment
+    // rectangles of width 2d, a join fan on the OUTER side of every
+    // interior vertex (the side where the normals diverge; the inner
+    // side is covered by the rectangles' own overlap), and a half-disk
+    // cap (θ = π → 16 chords) at each open-part terminal; closed parts
+    // treat the seam vertex as an interior joint. Pieces fold through
+    // the overlay union segment-by-segment (each cap/fan shares an
+    // edge with its rectangle; consecutive rectangles overlap with
+    // positive area at the joint — never point-pinched). Parts of a
+    // MULTILINESTRING buffer independently and union (disjoint parts →
+    // MULTIPOLYGON). Negative d erodes a measure-zero set: EMPTY.
+    // Both styles share the shape: miter replaces the outer fan with
+    // the kite, caps stay round (GEOS's flat/square caps are a
+    // different cap_style, not a join style).
+    if (isLineKindWkt(g)) {
+      if (d == 0) return g
+      if (d < 0) return UTF8String.fromString("POLYGON EMPTY")
+      val parts = lineParts(t0)
+      require(parts.nonEmpty, "st_buffer: empty line geometry")
+      var acc: UTF8String = null
+      parts.foreach { c =>
+        require(isSimpleChain(c),
+          "st_buffer: self-intersecting LINESTRING part - simplify first")
+        val m = c.length / 2
+        val closed = c(0) == c(2 * m - 2) && c(1) == c(2 * m - 1)
+        val segs = m - 1
+        val nx = new Array[Double](segs); val ny = new Array[Double](segs)
+        var i = 0
+        while (i < segs) {
+          val ex = c(2 * i + 2) - c(2 * i)
+          val ey = c(2 * i + 3) - c(2 * i + 1)
+          val len = math.sqrt(ex * ex + ey * ey)
+          require(len > 0, "st_buffer: zero-length segment")
+          nx(i) = ey / len
+          ny(i) = -ex / len
+          i += 1
+        }
+        val pieces = new scala.collection.mutable.ArrayBuffer[String]()
+        i = 0
+        while (i < segs) {
+          pieces += fmtRing(Array(
+            c(2 * i) + nx(i) * d, c(2 * i + 1) + ny(i) * d,
+            c(2 * i + 2) + nx(i) * d, c(2 * i + 3) + ny(i) * d,
+            c(2 * i + 2) - nx(i) * d, c(2 * i + 3) - ny(i) * d,
+            c(2 * i) - nx(i) * d, c(2 * i + 1) - ny(i) * d))
+          i += 1
+        }
+        // interior joints (plus the seam joint when closed)
+        val joints =
+          if (closed) (0 until segs).map(i =>
+            (if (i == 0) segs - 1 else i - 1, i, 2 * i))
+          else (1 until segs).map(i => (i - 1, i, 2 * i))
+        joints.foreach { case (p, i2, vOff) =>
+          val delta = turnAngle(nx(p), ny(p), nx(i2), ny(i2))
+          if (delta != 0) {
+            val s = if (delta > 0) 1.0 else -1.0
+            val vx = c(vOff); val vy = c(vOff + 1)
+            if (style == BufMiter) {
+              // outer miter kite: intersect the two outer offset lines
+              // (unit directions recovered from the normals: dir =
+              // (−ny, nx), exact negation/swap of the stored unit n)
+              val dpx = -ny(p); val dpy = nx(p)
+              val dix = -ny(i2); val diy = nx(i2)
+              val opx = vx + s * nx(p) * d; val opy = vy + s * ny(p) * d
+              val oix = vx + s * nx(i2) * d; val oiy = vy + s * ny(i2) * d
+              val den = dpx * diy - dpy * dix
+              require(den != 0, "st_buffer: collinear consecutive " +
+                "segments - drop redundant vertices upstream")
+              val tt = ((oix - opx) * diy - (oiy - opy) * dix) / den
+              pieces += fmtRing(Array(
+                vx, vy, opx, opy,
+                opx + tt * dpx, opy + tt * dpy,
+                oix, oiy))
+            } else {
+              val fan = arcFan(vx, vy, d, s * nx(p), s * ny(p),
+                s * nx(i2), s * ny(i2),
+                turnAngle(s * nx(p), s * ny(p), s * nx(i2), s * ny(i2)))
+              val ring = new Array[Double](fan.length + 2)
+              ring(0) = vx; ring(1) = vy
+              System.arraycopy(fan, 0, ring, 2, fan.length)
+              pieces += fmtRing(ring)
+            }
+          }
+        }
+        if (!closed) {
+          // half-disk caps: sweep from +n through the BACK direction to
+          // −n (start cap CW, end cap CCW) — θ = π, 16 chords
+          val sFan = arcFan(c(0), c(1), d, nx(0), ny(0),
+            -nx(0), -ny(0), -math.Pi)
+          val sRing = new Array[Double](sFan.length + 2)
+          sRing(0) = c(0); sRing(1) = c(1)
+          System.arraycopy(sFan, 0, sRing, 2, sFan.length)
+          pieces += fmtRing(sRing)
+          val l = segs - 1
+          val eFan = arcFan(c(2 * m - 2), c(2 * m - 1), d, nx(l), ny(l),
+            -nx(l), -ny(l), math.Pi)
+          val eRing = new Array[Double](eFan.length + 2)
+          eRing(0) = c(2 * m - 2); eRing(1) = c(2 * m - 1)
+          System.arraycopy(eFan, 0, eRing, 2, eFan.length)
+          pieces += fmtRing(eRing)
+        }
+        var partAcc = UTF8String.fromString(pieces.head)
+        var k = 1
+        while (k < pieces.length) {
+          partAcc = unionWkt(partAcc, UTF8String.fromString(pieces(k)))
+          k += 1
+        }
+        acc = if (acc == null) partAcc else unionWkt(acc, partAcc)
+      }
+      return canonMinimalWkt(acc)
+    }
     val c = toCcw(polygonCoords(g))
     if (d == 0) return UTF8String.fromString(fmtRing(c))
     val n = c.length / 2

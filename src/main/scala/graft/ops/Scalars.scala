@@ -1824,6 +1824,18 @@ object Scalars extends QueryModule {
           (col("cx") + col("a"), col("cy") + col("b") * 2),
           (col("cx"), col("cy") + col("b") * 2),
           (col("cx"), col("cy")))))
+        .withColumn("hline", GeoFix.line(Seq(
+          (col("cx"), col("cy")), (col("cx") + col("a") * 2, col("cy")))))
+        .withColumn("elbline", GeoFix.line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b")))))
+        .withColumn("ringline", GeoFix.line(Seq(
+          (col("cx"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")),
+          (col("cx") + col("a") * 2, col("cy") + col("b") * 2),
+          (col("cx"), col("cy") + col("b") * 2),
+          (col("cx"), col("cy")))))
       g.select(col("n_nationkey"),
           q6(GF.stArea(f("st_buffer", col("sq"), col("b") / 2)))
             .as("sq_round_q6"),
@@ -1841,7 +1853,18 @@ object Scalars extends QueryModule {
           f("st_buffer", col("sq"), -col("b") * 2).as("erode_all"),
           (f("st_buffer", point(col("cx"), col("cy")), col("b")) ===
             f("st_buffer", point(col("cx"), col("cy")), col("b"),
-              lit("miter"))).as("pt_styles_agree"))
+              lit("miter"))).as("pt_styles_agree"),
+          // r14: LINE capsules — straight segment, elbow joint, and the
+          // closed ring line whose capsule is an ANNULAR (holed) band
+          q6(GF.stArea(f("st_buffer", col("hline"), col("b") / 2)))
+            .as("cap_q6"),
+          q6(GF.stArea(f("st_buffer", col("elbline"), col("b") / 4)))
+            .as("elb_q6"),
+          q6(GF.stArea(f("st_buffer", col("ringline"), col("b") / 4)))
+            .as("band_q6"),
+          q6(GF.stLength(f("st_intersection", col("hline"),
+            f("st_buffer", col("hline"), col("b") / 2))))
+            .as("cap_cover_len_q6"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3241,7 +3264,18 @@ object Scalars extends QueryModule {
         |    AS BIGINT) AS erode_l_q6,
         |  true AS erode_within,
         |  'POLYGON EMPTY' AS erode_all,
-        |  true AS pt_styles_agree
+        |  true AS pt_styles_agree,
+        |  CAST(floor((2 * (b / 2) * (2 * a) +
+        |    16 * (b / 2) * (b / 2) * sin(pi() / 16)) * 1e6 + 0.5)
+        |    AS BIGINT) AS cap_q6,
+        |  CAST(floor((2 * (b / 4) * (2 * a + b) - (b / 4) * (b / 4) +
+        |    20 * (b / 4) * (b / 4) * sin(pi() / 16)) * 1e6 + 0.5)
+        |    AS BIGINT) AS elb_q6,
+        |  CAST(floor(((4 * a + 4 * b) * (2 * (b / 4)) -
+        |    4 * (b / 4) * (b / 4) +
+        |    16 * (b / 4) * (b / 4) * sin(pi() / 16)) * 1e6 + 0.5)
+        |    AS BIGINT) AS band_q6,
+        |  CAST(floor(2 * a * 1e6 + 0.5) AS BIGINT) AS cap_cover_len_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21ac: canonical texts by string construction (chains in line

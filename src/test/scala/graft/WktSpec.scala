@@ -777,6 +777,36 @@ class WktSpec extends SparkSpec {
     assert(WktCore.bufferWkt(u(sq22), -2.0).toString == "POLYGON EMPTY")
     assert(WktCore.bufferWkt(u("POINT (1 1)"), -0.5).toString ==
       "POLYGON EMPTY")
+    // LINE capsule (r14): straight segment = 2dL + two half-disk caps
+    // (16 chords each → 16 d² sin(π/16) total)
+    val cap = WktCore.bufferWkt(u("LINESTRING (0 0, 4 0)"), 1.0).toString
+    val sinQ = math.sin(math.Pi / 16)
+    assert(math.abs(a(cap) - (8.0 + 16 * sinQ)) < 1e-9, cap)
+    // elbow: 2d(a+b) − d² (inner overlap) + caps + one outer joint fan
+    val elb = WktCore.bufferWkt(u("LINESTRING (0 0, 3 0, 3 2)"), 0.5)
+      .toString
+    assert(math.abs(a(elb) -
+      (2 * 0.5 * 5 - 0.25 + 20 * 0.25 * sinQ)) < 1e-9, elb)
+    // the capsule COVERS the line: clipping the line to it keeps the
+    // full length
+    assert(WktCore.length(u(WktCore.intersectionWkt(
+      u("LINESTRING (0 0, 3 0, 3 2)"), u(elb)).toString)) == 5.0)
+    // closed ring line → an ANNULAR band (outer fans, inner overlaps)
+    val ringLine = "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+    val band = WktCore.bufferWkt(u(ringLine), 0.5).toString
+    assert(band.contains("), ("), s"band must be holed: $band")
+    assert(math.abs(a(band) - (16.0 - 4 * 0.25 + 16 * 0.25 * sinQ))
+      < 1e-9, band)
+    // MULTILINESTRING: disjoint parts buffer to a MULTIPOLYGON
+    val mlb = WktCore.bufferWkt(
+      u("MULTILINESTRING ((0 0, 2 0), (10 0, 12 0))"), 0.5).toString
+    assert(mlb.startsWith("MULTIPOLYGON"), mlb)
+    assert(math.abs(a(mlb) - 2 * (2.0 + 16 * 0.25 * sinQ)) < 1e-9, mlb)
+    // negative / zero on lines
+    assert(WktCore.bufferWkt(u("LINESTRING (0 0, 2 0)"), -0.5).toString ==
+      "POLYGON EMPTY")
+    assert(WktCore.bufferWkt(u("LINESTRING (0 0, 2 0)"), 0.0).toString ==
+      "LINESTRING (0 0, 2 0)")
     // U-shape: A = 5, P = 12, 8 convex − 2 reflex... rectilinear always
     // nets to 4: A + P·d + 4·d²
     val ush = "POLYGON ((0 0, 3 0, 3 2, 2 2, 2 1, 1 1, 1 2, 0 2, 0 0))"
