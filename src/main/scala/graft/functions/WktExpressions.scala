@@ -2630,6 +2630,24 @@ object WktCore {
     * errors are not validity verdicts — wrap in try_eval for NULL).
     * Returns null when valid, else the reason. */
   def invalidReason(g: UTF8String): UTF8String = {
+    // r14: OGC validity is an AREAL concept — points and lines are
+    // always valid once they parse (simplicity is the separate
+    // st_issimple question), and a collection is valid iff every
+    // member is (JTS/Trino)
+    val t = g.toString.trim
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) { parsePoint(t); return null }
+    if (isMultiPointText(t)) {
+      if (!t.equalsIgnoreCase("MULTIPOINT EMPTY")) parseMultiPoint(t)
+      return null
+    }
+    if (isLineKindWkt(g)) { lineParts(t); return null }
+    if (isCollectionText(t)) {
+      var why: UTF8String = null
+      parseCollection(t).foreach { c =>
+        if (why == null) why = invalidReason(UTF8String.fromString(c))
+      }
+      return why
+    }
     val why = invalidReasonPolys(geomPolys(g))
     if (why == null) null else UTF8String.fromString(why)
   }

@@ -868,7 +868,23 @@ object Scalars extends QueryModule {
           why(col("hole_cross")).as("r_hole_cross"),
           valid(col("nested")).as("v_nested"),
           why(col("nested")).as("r_nested"),
-          valid(lit("POLYGON EMPTY")).as("v_empty"))
+          valid(lit("POLYGON EMPTY")).as("v_empty"),
+          // r14: validity is an AREAL concept — points/lines are valid
+          // once parsed (simplicity is st_issimple's question), and a
+          // collection is valid iff every member is
+          valid(GeoFix.point(col("cx"), col("cy"))).as("v_pt"),
+          valid(GeoFix.line(Seq((col("cx"), col("cy")),
+            (col("cx") + col("a"), col("cy")),
+            (col("cx"), col("cy") + col("b"))))).as("v_line"),
+          valid(concat(lit("GEOMETRYCOLLECTION ("),
+            GeoFix.point(col("cx"), col("cy")), lit(", "), col("big"),
+            lit(")"))).as("v_gc_ok"),
+          valid(concat(lit("GEOMETRYCOLLECTION ("),
+            GeoFix.point(col("cx"), col("cy")), lit(", "), col("bow"),
+            lit(")"))).as("v_gc_bad"),
+          why(concat(lit("GEOMETRYCOLLECTION ("),
+            GeoFix.point(col("cx"), col("cy")), lit(", "), col("bow"),
+            lit(")"))).as("r_gc_bad"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -2703,7 +2719,10 @@ object Scalars extends QueryModule {
         |  false AS v_hole_cross,
         |  'interior ring crosses shell' AS r_hole_cross,
         |  false AS v_nested, 'nested component shells' AS r_nested,
-        |  true AS v_empty
+        |  true AS v_empty,
+        |  true AS v_pt, true AS v_line,
+        |  true AS v_gc_ok, false AS v_gc_bad,
+        |  'self-intersecting ring' AS r_gc_bad
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // sc21k: dyadic rectangle/diamond closed forms; the flagship text
