@@ -1460,6 +1460,13 @@ object WktCore {
   def simplifyWkt(g: UTF8String, tol: Double): UTF8String = {
     require(tol >= 0, s"simplify_geometry: negative tolerance $tol")
     val t = g.toString.trim
+    // MULTILINESTRING (r14): DP each part independently, parts in
+    // document order (the same per-chain kernel LINESTRING uses)
+    if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {
+      if (t.equalsIgnoreCase("MULTILINESTRING EMPTY")) return g
+      return UTF8String.fromString(
+        fmtLines(lineParts(t).map(c => dpLine(c, tol))))
+    }
     if (t.regionMatches(true, 0, "LINESTRING", 0, 10)) {
       if (t.equalsIgnoreCase("LINESTRING EMPTY")) return g
       val out = dpLine(parseLineString(t), tol)

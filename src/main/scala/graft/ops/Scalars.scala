@@ -1370,7 +1370,18 @@ object Scalars extends QueryModule {
           f("st_numpoints", f("simplify_geometry", col("zigline"),
             lit(0.0))).as("noop_np"),
           (f("simplify_geometry", col("dhole"), col("b") / 8) ===
-            col("dhole")).as("dhole_same"))
+            col("dhole")).as("dhole_same"),
+          // r14: MULTILINESTRING simplifies part-by-part — both zig
+          // parts collapse to their chords at tol = b/4
+          f("simplify_geometry", GeoFix.mline(Seq(
+            Seq((col("cx"), col("cy")),
+              (col("cx") + col("a") / 2, col("cy") + col("b") / 8),
+              (col("cx") + col("a"), col("cy"))),
+            Seq((col("cx"), col("cy") + col("b")),
+              (col("cx") + col("a") / 2,
+                col("cy") + col("b") + col("b") / 8),
+              (col("cx") + col("a"), col("cy") + col("b"))))),
+            col("b") / 4).as("simp_ml_wkt"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -2976,7 +2987,12 @@ object Scalars extends QueryModule {
         |    CAST(cy AS VARCHAR), ', ', CAST(cx + 2 * a AS VARCHAR), ' ',
         |    CAST(cy AS VARCHAR), ')') AS simp_line_wkt,
         |  CAST(4 AS BIGINT) AS noop_np,
-        |  true AS dhole_same
+        |  true AS dhole_same,
+        |  concat('MULTILINESTRING ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '), (', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ', ', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), '))') AS simp_ml_wkt
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21t: rectilinear miter-buffer closed forms — L: area 3ab,
