@@ -272,6 +272,9 @@ object GraftFunctions {
       (e: Seq[Expression]) => {
         // optional 3rd arg: join style literal — 'round' (default,
         // Trino/GEOS arcs) or 'miter' (the r13 closed form)
+        require(e.length == 2 || e.length == 3,
+          s"st_buffer expects (geometry, distance[, join_style]); got " +
+            s"${e.length} arguments")
         val style =
           if (e.length < 3) WktCore.BufRound
           else litStr(e(2)).toLowerCase(java.util.Locale.ROOT) match {

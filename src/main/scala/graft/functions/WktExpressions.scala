@@ -359,10 +359,30 @@ object WktCore {
       (s.getByte(i + 4) | 0x20) == 's' && (s.getByte(i + 5) | 0x20) == 't'
   }
 
+  // allocation-free case-insensitive "starts with kw" probe (leading
+  // spaces skipped; kw must be lowercase) — generalizes isPointWkt's
+  // byte dispatch to the longer keywords
+  private def hasWktPrefix(s: UTF8String, kw: String): Boolean = {
+    var i = 0
+    val n = s.numBytes()
+    while (i < n && s.getByte(i) == ' ') i += 1
+    if (n - i < kw.length) return false
+    var k = 0
+    while (k < kw.length) {
+      if ((s.getByte(i + k) | 0x20) != kw.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  // GEOMETRYCOLLECTION byte-prefix probe (r15 ADVICE: the join-probe
+  // kernels dispatch on bytes, never materializing non-collections)
+  private def isCollectionWkt(s: UTF8String): Boolean =
+    hasWktPrefix(s, "geometrycollection")
+
   // LINESTRING or MULTILINESTRING (r14): the line-kind dispatch probe
   private def isLineKindWkt(s: UTF8String): Boolean =
-    isLineWkt(s) ||
-      s.toString.trim.regionMatches(true, 0, "MULTILINESTRING", 0, 15)
+    isLineWkt(s) || hasWktPrefix(s, "multilinestring")
 
   // B-side memo for the multi-ring accessor (join probes vary both
   // sides; one shared slot would thrash) — mirrors lastPolyB
@@ -382,14 +402,14 @@ object WktCore {
 
   def intersectsWkt(a: UTF8String, b: UTF8String): Boolean = {
     // GEOMETRYCOLLECTION operands (r14): a collection intersects iff
-    // ANY member does — recursive decomposition
-    val taT = a.toString.trim
-    if (isCollectionText(taT))
-      return parseCollection(taT).exists(c =>
+    // ANY member does — recursive decomposition. The probe is a byte
+    // prefix (r15 ADVICE): the hot areal join path must not pay a
+    // String materialization just to rule collections out.
+    if (isCollectionWkt(a))
+      return parseCollection(a.toString.trim).exists(c =>
         intersectsWkt(UTF8String.fromString(c), b))
-    val tbT = b.toString.trim
-    if (isCollectionText(tbT))
-      return parseCollection(tbT).exists(c =>
+    if (isCollectionWkt(b))
+      return parseCollection(b.toString.trim).exists(c =>
         intersectsWkt(a, UTF8String.fromString(c)))
     // (MULTI)LINESTRING operands (r13/r14) ride the overlay tier's
     // line kernels
@@ -565,17 +585,22 @@ object WktCore {
       return geographyDistance(ta, tb)
     }
     // GEOMETRYCOLLECTION operands (r14): min over members (the point-
-    // set distance); empty collections have no distance — loud
+    // set distance); EMPTY members contribute no points so they are
+    // skipped (r15 ADVICE — they used to poison the min with the
+    // uninitialized sqrt(MaxValue)); a collection with no non-empty
+    // member has no distance — loud
     if (isCollectionText(ta)) {
       val comps = parseCollection(ta)
-      require(comps.nonEmpty, "st_distance: GEOMETRYCOLLECTION EMPTY " +
-        "has no distance")
+        .filterNot(c => isEmptyGeom(UTF8String.fromString(c)))
+      require(comps.nonEmpty, "st_distance: GEOMETRYCOLLECTION with no " +
+        "non-empty members has no distance")
       return comps.map(c => distanceWkt(UTF8String.fromString(c), b)).min
     }
     if (isCollectionText(tb)) {
       val comps = parseCollection(tb)
-      require(comps.nonEmpty, "st_distance: GEOMETRYCOLLECTION EMPTY " +
-        "has no distance")
+        .filterNot(c => isEmptyGeom(UTF8String.fromString(c)))
+      require(comps.nonEmpty, "st_distance: GEOMETRYCOLLECTION with no " +
+        "non-empty members has no distance")
       return comps.map(c => distanceWkt(a, UTF8String.fromString(c))).min
     }
     // MULTIPOINT operands (r13): the areal-overlay intersects test does
@@ -602,6 +627,11 @@ object WktCore {
     } else if (intersectsWkt(a, b)) return 0.0
     val sa = segmentsOf(a)
     val sb = segmentsOf(b)
+    // EMPTY operands yield zero segments and would silently return
+    // sqrt(Double.MaxValue) — loud instead (r15 ADVICE), matching
+    // geometry_nearest_points' EMPTY handling
+    require(sa.nonEmpty && sb.nonEmpty,
+      "st_distance: EMPTY geometry has no distance")
     var best = Double.MaxValue
     var i = 0
     while (i < sa.length) {
@@ -777,8 +807,10 @@ object WktCore {
     * ring (shells and holes, all components) is free of
     * self-intersection and has nonzero area — the bow-tie POLYGON is
     * false, not loud, because simplicity is exactly the question being
-    * asked. MULTILINESTRING needs part-pairwise boundary rules this
-    * model does not track — loud, documented. */
+    * asked. MULTILINESTRING follows the SFS MultiCurve rule (r14):
+    * every part simple, and parts may touch ONLY at points on the
+    * boundaries (terminals) of both parts — see the inline rule
+    * below. */
   def isSimpleWkt(g: UTF8String): Boolean = {
     val t = g.toString.trim
     if (t.equalsIgnoreCase("LINESTRING EMPTY") ||

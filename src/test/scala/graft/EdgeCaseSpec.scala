@@ -13,6 +13,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("st_buffer rejects wrong arity loudly (r15 ADVICE)") {
+    val df = Seq("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))").toDF("g")
+    // a 4th argument used to be silently ignored
+    val e4 = intercept[Exception] {
+      df.select(call_function("st_buffer", col("g"), lit(0.5),
+        lit("round"), lit("extra"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e4).contains("st_buffer expects"), rootMsg(e4))
+    intercept[Exception] {
+      df.select(call_function("st_buffer", col("g"))).collect()
+    }
+  }
+
   test("w8 GROUPS/EXCLUDE rewrite: edge frames match SQL-standard semantics") {
     // values: part "p" has groups g1={10,20}, g2={40}; part "q" has the
     // single group g1={5,7} — frames are GROUPS 1 PRECEDING..1 FOLLOWING.

@@ -750,6 +750,28 @@ class WktSpec extends SparkSpec {
       u("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))) // exactly plugs the hole
   }
 
+  test("st_distance EMPTY operands are loud; collection empties skipped (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def d(a: String, b: String) = WktCore.distanceWkt(u(a), u(b))
+    val R = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    // r15 ADVICE: each EMPTY spelling used to silently return
+    // sqrt(Double.MaxValue) once segmentsOf went through lineParts
+    for (e <- Seq("LINESTRING EMPTY", "MULTILINESTRING EMPTY",
+        "POLYGON EMPTY", "MULTIPOLYGON EMPTY", "MULTIPOINT EMPTY")) {
+      intercept[IllegalArgumentException] { d(e, R) }
+      intercept[IllegalArgumentException] { d(R, e) }
+    }
+    // EMPTY members inside a collection are skipped, not poisonous
+    assert(d("GEOMETRYCOLLECTION (LINESTRING EMPTY, POINT (7 4))", R) == 3.0)
+    assert(d(R, "GEOMETRYCOLLECTION (MULTIPOINT EMPTY, POINT (-3 2))") == 3.0)
+    // a collection with ONLY empty members has no distance — loud
+    intercept[IllegalArgumentException] {
+      d("GEOMETRYCOLLECTION (LINESTRING EMPTY)", R)
+    }
+    intercept[IllegalArgumentException] { d("GEOMETRYCOLLECTION EMPTY", R) }
+  }
+
   test("concave miter buffer via piece union (r13)") {
     import graft.functions.WktCore
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
