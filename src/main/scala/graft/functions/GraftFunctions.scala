@@ -16,6 +16,25 @@ object GraftFunctions {
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpression].getName, "cosine_sim"),
       (e: Seq[Expression]) => CosineSimilarityExpression(e(0), e(1))),
+    // Trino's dual-form similarity functions (r15): array×array dense
+    // AND map<string,·>×map sparse behind one name — the overload SQL
+    // temp functions cannot express (dialect infra note in PrestoSql)
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarityDispatchExpression].getName,
+        "cosine_similarity"),
+      (e: Seq[Expression]) => {
+        require(e.length == 2,
+          s"cosine_similarity expects 2 arguments; got ${e.length}")
+        CosineSimilarityDispatchExpression(e(0), e(1))
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductDispatchExpression].getName,
+        "dot_product"),
+      (e: Seq[Expression]) => {
+        require(e.length == 2,
+          s"dot_product expects 2 arguments; got ${e.length}")
+        DotProductDispatchExpression(e(0), e(1))
+      }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "minhash_sig"),
       (e: Seq[Expression]) => MinHashSignatureExpression(e(0), 64)),

@@ -1146,9 +1146,9 @@ object Etl extends QueryModule {
     // form (arity-dispatched pre-pass; the old regex rename broke on
     // it), strrpos (reversed-needle arithmetic, empty needle loud),
     // day_of_month, is_json_scalar (text-level under json-as-varchar).
-    // Remaining documented misses: dot_product over ARRAYs (the dialect
-    // adapter is typed for Trino's MAP form; SQL temp functions cannot
-    // overload) and the 3-arg from_unixtime offset form (loud).
+    // Remaining documented miss: the 3-arg from_unixtime offset form
+    // (loud). dot_product over ARRAYs closed in r15 — native dual
+    // dispatch, oracle-gated at p2ag.
     "p2ad_presto_scalar_closures3" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.sql(s,
@@ -1183,9 +1183,8 @@ object Etl extends QueryModule {
     // from_utf8's 2-arg lenient form (JVM REPLACE decoder), 2-arg
     // toward-zero truncate (double semantics mirrored op-for-op), and
     // the CAST(json_parse(x) AS ARRAY(…)) migration idiom routed to
-    // FAILFAST from_json. Documented miss: cosine_similarity /
-    // dot_product over ARRAYs (the adapters are typed for Trino's MAP
-    // forms; SQL temp functions cannot overload).
+    // FAILFAST from_json. (cosine_similarity / dot_product over ARRAYs
+    // closed in r15 — native dual dispatch, oracle-gated at p2ag.)
     "p2ae_presto_wave5_closures" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.sql(s,
@@ -1241,6 +1240,35 @@ object Etl extends QueryModule {
           |      ':', CAST(CAST(e.value AS BIGINT) AS VARCHAR)))), ';')
           |    AS nh4
           |FROM f GROUP BY g ORDER BY g""".stripMargin)
+    }),
+
+    // P2ag (r15): cosine_similarity / dot_product over ARRAYs — the
+    // Trino-444 dense forms a SQL temp function could not overload onto
+    // the MAP spellings (documented miss since r13, closed by the native
+    // dual-dispatch expressions in VectorSimilarityExpressions.scala).
+    // The same row exercises the MAP forms to prove both dispatch arms
+    // of ONE function name; q6 absorbs the ulp spread of sqrt chains,
+    // integer-valued dot products CAST exactly.
+    "p2ag_presto_array_similarity" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH f AS (
+          |  SELECT "p_partkey" AS pk, CAST("p_size" AS DOUBLE) AS x,
+          |    CAST("p_partkey" % 7 + 1 AS DOUBLE) AS y
+          |  FROM part WHERE "p_partkey" < 300)
+          |SELECT pk,
+          |  CAST(dot_product(ARRAY[x, y, 2e0], ARRAY[3e0, 4e0, 5e0])
+          |    AS BIGINT) AS dp,
+          |  CAST(floor(cosine_similarity(ARRAY[x, y], ARRAY[y, x])
+          |    * 1e6 + 0.5) AS BIGINT) AS cs_q6,
+          |  CAST(floor(cosine_similarity(ARRAY[x, y, 1e0],
+          |    ARRAY[x, y, 1e0]) * 1e6 + 0.5) AS BIGINT) AS cs_self_q6,
+          |  CAST(dot_product(map(ARRAY['a','b'], ARRAY[x, y]),
+          |    map(ARRAY['b','c'], ARRAY[2e0, 9e0])) AS BIGINT) AS dpm,
+          |  CAST(floor(cosine_similarity(map(ARRAY['a','b'], ARRAY[x, y]),
+          |    map(ARRAY['b','c'], ARRAY[2e0, 9e0])) * 1e6 + 0.5)
+          |    AS BIGINT) AS csm_q6
+          |FROM f ORDER BY pk""".stripMargin)
     }),
 
     // P2r: the Trino array-utility family Spark lacks —
@@ -2528,6 +2556,27 @@ object Etl extends QueryModule {
         |  FROM hb GROUP BY g)
         |SELECT agg.g, ra_sum, ra_max, nh4
         |FROM agg JOIN nh ON agg.g = nh.g ORDER BY agg.g""".stripMargin,
+
+    // p2ag: dense forms via DuckDB's own list_cosine_similarity (q6
+    // absorbs sqrt-chain ulps); the MAP forms re-derive closed-form —
+    // the only shared key is 'b', so dot = 2y exactly and the cosine is
+    // written operation-for-operation (sqrt/x/÷ are all correctly
+    // rounded, so the doubles agree bit-for-bit even before q6)
+    "p2ag_presto_array_similarity" ->
+      """WITH f AS (
+        |  SELECT p_partkey AS pk, CAST(p_size AS DOUBLE) AS x,
+        |    CAST(p_partkey % 7 + 1 AS DOUBLE) AS y
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT pk,
+        |  CAST(3 * x + 4 * y + 10 AS BIGINT) AS dp,
+        |  CAST(floor(list_cosine_similarity([x, y], [y, x]) * 1e6 + 0.5)
+        |    AS BIGINT) AS cs_q6,
+        |  CAST(floor(list_cosine_similarity([x, y, 1.0], [x, y, 1.0])
+        |    * 1e6 + 0.5) AS BIGINT) AS cs_self_q6,
+        |  CAST(y * 2 AS BIGINT) AS dpm,
+        |  CAST(floor((y * 2) / (sqrt(x * x + y * y) *
+        |    sqrt(2.0 * 2.0 + 9.0 * 9.0)) * 1e6 + 0.5) AS BIGINT) AS csm_q6
+        |FROM f ORDER BY pk""".stripMargin,
 
     // p2t5: the sc21o closed forms under the dialect spellings
     "p2t5_presto_geo_aggs" ->

@@ -2306,16 +2306,12 @@ object PrestoSql {
       " CASE WHEN a <= 0 OR b <= 0 THEN raise_error(" +
       "'weibull_cdf: a and b must be greater than 0')" +
       " WHEN v <= 0 THEN 0D ELSE 1 - exp(-pow(v / b, a)) END",
-    // Trino cosine_similarity over SPARSE vectors as map(varchar,
-    // double) — the dot product walks the smaller-is-better a-side
-    // entries probing b by key; zero-norm inputs yield NaN via the
-    // IEEE 0/0, matching Trino.
-    "cosine_similarity(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>)" +
-      " RETURNS DOUBLE RETURN" +
-      " aggregate(map_entries(a), 0D," +
-      " (acc, e) -> acc + e.value * coalesce(element_at(b, e.key), 0D)) /" +
-      " (sqrt(aggregate(map_values(a), 0D, (acc, v) -> acc + v * v)) *" +
-      " sqrt(aggregate(map_values(b), 0D, (acc, v) -> acc + v * v)))",
+    // cosine_similarity / dot_product are NATIVE dual-form expressions
+    // as of r15 (functions/VectorSimilarityExpressions.scala): Trino's
+    // MAP sparse form (bit-identical to the retired SQL temp functions
+    // here) PLUS the Trino-444 ARRAY dense form that a temp function
+    // could not overload onto the same name. GraftFunctions.register
+    // installs them; declaring them here would shadow the native pair.
     // Trino map_top_n family: top-n entries by value (DESC), key-ASC
     // tie-break (Trino leaves ties unspecified; a fixed rule is the
     // deterministic choice a hash-compared pipeline needs).
@@ -2749,10 +2745,7 @@ object PrestoSql {
     "index(s STRING, sub STRING) RETURNS BIGINT RETURN strpos(s, sub)",
     "ends_with(s STRING, suffix STRING) RETURNS BOOLEAN RETURN" +
       " endswith(s, suffix)",
-    "dot_product(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>)" +
-      " RETURNS DOUBLE RETURN" +
-      " aggregate(map_keys(a), CAST(0.0 AS DOUBLE)," +
-      " (acc, k) -> acc + coalesce(a[k] * b[k], CAST(0.0 AS DOUBLE)))",
+    // (dot_product: native dual-form — see the cosine_similarity note)
     // Weibull quantile: b · (−ln(1 − p))^(1/a)
     "inverse_weibull_cdf(a DOUBLE, b DOUBLE, p DOUBLE) RETURNS DOUBLE" +
       " RETURN b * power(-ln(1 - p), 1 / a)",

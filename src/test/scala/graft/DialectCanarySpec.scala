@@ -113,6 +113,43 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getDouble(6) == 2.0 * math.log(2.0), r.getDouble(6))
   }
 
+  test("cosine_similarity / dot_product dual forms: ARRAY dense + MAP sparse (r15)") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  cosine_similarity(ARRAY[1e0, 0e0], ARRAY[0e0, 1e0]) AS cs_orth,
+        |  cosine_similarity(ARRAY[3e0, 4e0], ARRAY[3e0, 4e0]) AS cs_self,
+        |  dot_product(ARRAY[1e0, 2e0, 3e0], ARRAY[4e0, 5e0, 6e0]) AS dp,
+        |  dot_product(ARRAY[1.0, 2.0], ARRAY[3.0, 4.0]) AS dp_dec,
+        |  cosine_similarity(map(ARRAY['a','b'], ARRAY[1e0, 2e0]),
+        |    map(ARRAY['b','c'], ARRAY[3e0, 4e0])) AS cs_map,
+        |  dot_product(map(ARRAY['a','b'], ARRAY[2.0, 3.0]),
+        |    map(ARRAY['a','b'], ARRAY[4.0, 5.0])) AS dp_map
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 1.0, r.getDouble(1)) // dot==nx==ny==25 exactly
+    assert(r.getDouble(2) == 32.0)
+    assert(r.getDouble(3) == 11.0) // decimal literals widen per element
+    // map form: dot = 2*3 over the shared key 'b'; norms sqrt(5)*sqrt(25)
+    assert(math.abs(r.getDouble(4) -
+      6.0 / (math.sqrt(5.0) * 5.0)) < 1e-15, r.getDouble(4))
+    assert(r.getDouble(5) == 23.0) // the pre-r15 temp-fn value, unchanged
+    // zero-norm cosine is NaN (IEEE 0/0), both forms
+    assert(PrestoSql.sql(spark,
+      "SELECT cosine_similarity(ARRAY[0e0], ARRAY[1e0]) AS v")
+      .head().getDouble(0).isNaN)
+    // length mismatch and NULL elements are loud in the dense form
+    intercept[Exception] { PrestoSql.sql(spark,
+      "SELECT dot_product(ARRAY[1e0], ARRAY[1e0, 2e0]) AS v").collect() }
+    intercept[Exception] { PrestoSql.sql(spark,
+      "SELECT cosine_similarity(ARRAY[1e0, CAST(NULL AS DOUBLE)]," +
+        " ARRAY[1e0, 2e0]) AS v").collect() }
+    // embeddings-style float arrays work (the migration case)
+    val f = PrestoSql.sql(spark,
+      "SELECT dot_product(transform(ARRAY[1e0, 2e0], x -> CAST(x AS REAL))," +
+        " transform(ARRAY[3e0, 4e0], x -> CAST(x AS REAL))) AS v").head()
+    assert(f.getDouble(0) == 11.0)
+  }
+
   test("syntax spellings resolve: bare FROM UNNEST, DECIMAL literals, quantifiers, YOW (r13)") {
     // Trino syntax probes closed this round; the known loud scope-outs
     // are ROW-type cast field access (needs type-aware parsing) and
