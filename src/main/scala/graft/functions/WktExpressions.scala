@@ -3128,6 +3128,29 @@ object WktCore {
       if (op == 1) // union of ANY kinds: the mixed decompose-and-absorb
         return UTF8String.fromString(finishMixed(unionMixed(aT, bT)))
       if (op == 2) {
+        // collection SUBTRAHEND (r15, verdict missing #2): decompose
+        // over members as a SEQUENTIAL difference chain a − m1 − m2 − …
+        // (the overlay's pinch rule: never union-then-subtract); an
+        // all-EMPTY collection subtracts nothing — canonical minuend
+        if (isCollectionText(bT)) {
+          var acc = UTF8String.fromString(canonGeomText(aT))
+          parseCollection(bT).foreach { m =>
+            acc = differenceWkt(acc, UTF8String.fromString(m))
+          }
+          return acc
+        }
+        // line − line (r15, verdict missing #2): maximal chains of the
+        // minuend not collinearly covered by the subtrahend — the noded
+        // per-part scan (lineLineDifference); crossings and touches
+        // remove a measure-zero set, so purely-transversal pairs return
+        // the canonical minuend (st_intersection's line×line dual stays
+        // loud: ITS result is a point set this model does not rank)
+        if (aLine && bLine)
+          return UTF8String.fromString(fmtLines(
+            WktOverlay.lineLineDifference(lineParts(aT), lineParts(bT))))
+        // line − point(s): a measure-zero subtrahend — canonical minuend
+        if (aLine && pointish(bT))
+          return UTF8String.fromString(fmtLines(lineParts(aT)))
         // line − areal: the complement clip (chains strictly outside)
         if (aLine && !bNonAreal) {
           val g = geomPolys(b)
@@ -3139,19 +3162,31 @@ object WktCore {
         // the REGION unchanged — canonical re-render
         if (!aNonAreal && (bLine || pointish(bT)))
           return UTF8String.fromString(fmtGeom(geomPolys(a)))
-        // point(s) − (areal|line): drop covered members; an emptied
-        // point set renders MULTIPOINT EMPTY (this model's empty-point
-        // spelling — documented where Trino would say POINT EMPTY)
-        if (pointish(aT) && (!bNonAreal || bLine)) {
+        // point(s) − (areal|line|point(s)): drop covered members; an
+        // emptied point set renders MULTIPOINT EMPTY (this model's
+        // empty-point spelling — documented where Trino would say POINT
+        // EMPTY). Point subtrahends (r15) cover by coordinate equality.
+        if (pointish(aT) && (!bNonAreal || bLine || pointish(bT))) {
           val pts =
             if (isMultiPointText(aT)) parseMultiPoint(aT)
             else parsePoint(aT)
+          val bPts =
+            if (!pointish(bT)) Array.empty[Double]
+            else if (isMultiPointText(bT)) parseMultiPoint(bT)
+            else parsePoint(bT)
           val keep = new scala.collection.mutable.ArrayBuffer[Double]()
           var i = 0
           while (2 * i < pts.length) {
             val x = pts(2 * i); val y = pts(2 * i + 1)
             val covered =
-              if (bLine) lineParts(bT).exists(c =>
+              if (pointish(bT)) {
+                var j = 0; var hit = false
+                while (2 * j < bPts.length && !hit) {
+                  hit = bPts(2 * j) == x && bPts(2 * j + 1) == y
+                  j += 1
+                }
+                hit
+              } else if (bLine) lineParts(bT).exists(c =>
                 WktOverlay.pointOnLine(c, x, y))
               else {
                 val g = geomPolys(b)
@@ -3167,8 +3202,9 @@ object WktCore {
             else fmtMultiPoint(keep.toArray))
         }
         throw new IllegalArgumentException(
-          s"$name: difference is supported for line − areal, areal − " +
-            "(line|point), and point(s) − (areal|line) operand shapes; " +
+          s"$name: difference is supported for every minuend kind except " +
+            "GEOMETRYCOLLECTION (subtrahend collections decompose; a " +
+            "collection minuend does not - decompose it first); " +
             s"got '$aT' − '$bT'")
       }
       require(!(aLine && bLine), s"$name: LINESTRING × LINESTRING " +

@@ -678,6 +678,80 @@ private[functions] object WktOverlay {
     chains.toArray
   }
 
+  /** Line × line DIFFERENCE (r15, verdict missing #2): the portions of
+    * the polyline parts `aParts` not collinearly covered by any part of
+    * `bParts`, as maximal chains in document order. Each a-edge is
+    * noded against every b-edge (nodePair's full matrix: proper
+    * crossings, endpoint-on-interior touches, collinear-run endpoints);
+    * an elementary sub-segment then survives iff its midpoint is NOT on
+    * b — exact after noding, because a b-passage through a sub-segment
+    * midpoint other than a collinear covered run would itself have been
+    * a node. Transversal crossings and isolated touches remove only a
+    * measure-zero set, so their noded points are NOT kept as vertices
+    * (consecutive kept sub-segments of one edge re-fuse); original
+    * a-vertices are always preserved, keeping disjoint inputs
+    * byte-identical to the canonical minuend. */
+  private[functions] def lineLineDifference(aParts: Array[Array[Double]],
+      bParts: Array[Array[Double]]): Array[Array[Double]] = {
+    val chains = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val cur = new scala.collection.mutable.ArrayBuffer[Double]()
+    def close(): Unit = {
+      if (cur.length >= 4) chains += cur.toArray
+      cur.clear()
+    }
+    def onB(x: Double, y: Double): Boolean =
+      bParts.exists(c => pointOnLine(c, x, y))
+    aParts.foreach { line =>
+      val n = line.length / 2
+      var i = 0
+      while (i + 1 < n) {
+        val e = new Edge(0, line(2 * i), line(2 * i + 1), line(2 * i + 2),
+          line(2 * i + 3))
+        bParts.foreach { c =>
+          val m = c.length / 2
+          var k = 0
+          while (k + 1 < m) {
+            nodePair(e, new Edge(1, c(2 * k), c(2 * k + 1), c(2 * k + 2),
+              c(2 * k + 3)))
+            k += 1
+          }
+        }
+        val pts = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+        pts += ((e.px, e.py))
+        e.splits.sortBy(_._1).foreach { case (_, x, y) =>
+          if (pts.last._1 != x || pts.last._2 != y) pts += ((x, y))
+        }
+        if (pts.last._1 != e.qx || pts.last._2 != e.qy) pts += ((e.qx, e.qy))
+        // prevKept tracks continuation WITHIN this edge: a kept→kept
+        // boundary is a noded point on a straight edge, so the chain
+        // runs through it without recording a vertex
+        var prevKept = false
+        var t = 0
+        while (t + 1 < pts.length) {
+          val (x1, y1) = pts(t); val (x2, y2) = pts(t + 1)
+          val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+          if (!onB(mx, my)) {
+            if (prevKept && cur.nonEmpty) {
+              cur(cur.length - 2) = x2; cur(cur.length - 1) = y2
+            } else {
+              if (cur.isEmpty) { cur += x1; cur += y1 }
+              else if (cur(cur.length - 2) != x1 ||
+                  cur(cur.length - 1) != y1) {
+                close(); cur += x1; cur += y1
+              }
+              cur += x2; cur += y2
+            }
+            prevKept = true
+          } else { close(); prevKept = false }
+          t += 1
+        }
+        i += 1
+      }
+      close() // chains never span MULTILINESTRING parts
+    }
+    chains.toArray
+  }
+
   // scanLinePair result flags (r14: parameterized so both the
   // geometry-level mod-2 boundary rule and the part-level simplicity
   // rule ride one kernel)

@@ -695,14 +695,70 @@ class WktSpec extends SparkSpec {
       "POINT (9.0 9.0)")
     assert(WktCore.differenceWkt(
       u("MULTIPOINT ((2 2), (9 9))"), u(R)).toString == "POINT (9.0 9.0)")
-    // line×line ∩ and line−line stay loud
+    // line×line ∩ stays loud (a point set this model does not rank);
+    // line−line is DEFINED as of r15 — a purely-transversal crossing
+    // removes a measure-zero set, returning the canonical minuend
     intercept[IllegalArgumentException] {
       WktCore.intersectionWkt(u("LINESTRING (0 0, 1 1)"),
         u("LINESTRING (0 1, 1 0)"))
     }
+    assert(WktCore.differenceWkt(u("LINESTRING (0 0, 1 1)"),
+      u("LINESTRING (0 1, 1 0)")).toString == "LINESTRING (0.0 0.0, 1.0 1.0)")
+  }
+
+  test("line−line st_difference: collinear coverage, touches, collections (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def d(a: String, b: String) =
+      WktCore.differenceWkt(u(a), u(b)).toString
+    val A = "LINESTRING (0 0, 4 0)"
+    // collinear mid-cover splits the minuend
+    assert(d(A, "LINESTRING (1 0, 2 0)") ==
+      "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 4.0 0.0))")
+    // prefix / suffix covers trim
+    assert(d(A, "LINESTRING (0 0, 1 0)") == "LINESTRING (1.0 0.0, 4.0 0.0)")
+    assert(d(A, "LINESTRING (3 0, 4 0)") == "LINESTRING (0.0 0.0, 3.0 0.0)")
+    // exact and superset covers empty out
+    assert(d(A, A) == "LINESTRING EMPTY")
+    assert(d(A, "LINESTRING (-1 0, 5 0)") == "LINESTRING EMPTY")
+    // overhanging cover: only the overlap is removed
+    assert(d(A, "LINESTRING (3 0, 9 0)") == "LINESTRING (0.0 0.0, 3.0 0.0)")
+    // disjoint, T-touch, and transversal crossings leave the minuend
+    // byte-identical to its canonical form (original vertices kept)
+    assert(d("LINESTRING (0 0, 2 0, 4 0)", "LINESTRING (0 5, 1 5)") ==
+      "LINESTRING (0.0 0.0, 2.0 0.0, 4.0 0.0)")
+    assert(d(A, "LINESTRING (2 -1, 2 0)") == "LINESTRING (0.0 0.0, 4.0 0.0)")
+    assert(d(A, "LINESTRING (2 -1, 2 1)") == "LINESTRING (0.0 0.0, 4.0 0.0)")
+    // multi-part both sides: per-part scan, parts never fuse
+    assert(d("MULTILINESTRING ((0 0, 2 0), (0 1, 2 1))",
+      "LINESTRING (1 0, 1 1, 3 1)") ==
+      "MULTILINESTRING ((0.0 0.0, 2.0 0.0), (0.0 1.0, 1.0 1.0))")
+    // perpendicular subtrahend crossing an interior ORIGINAL vertex
+    // keeps that vertex; collinear subtrahend across a vertex removes
+    // through it (two chains, no phantom vertex at the old node)
+    assert(d("LINESTRING (0 0, 2 0, 2 2)", "LINESTRING (1 0, 3 0)") ==
+      "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 2.0 2.0))")
+    // line − point(s) and EMPTY edges
+    assert(d(A, "POINT (2 0)") == "LINESTRING (0.0 0.0, 4.0 0.0)")
+    assert(d(A, "MULTIPOINT ((0 0), (4 0))") ==
+      "LINESTRING (0.0 0.0, 4.0 0.0)")
+    assert(d(A, "LINESTRING EMPTY") == "LINESTRING (0.0 0.0, 4.0 0.0)")
+    assert(d("LINESTRING EMPTY", A) == "LINESTRING EMPTY")
+    // point − point coverage by coordinate equality
+    assert(d("MULTIPOINT ((1 1), (2 2))", "POINT (1 1)") == "POINT (2.0 2.0)")
+    assert(d("POINT (1 1)", "MULTIPOINT ((1 1), (3 3))") == "MULTIPOINT EMPTY")
+    assert(d("POINT (1 1)", "POINT (2 2)") == "POINT (1.0 1.0)")
+    // collection subtrahends: sequential chain over members, any kinds
+    assert(d(A, "GEOMETRYCOLLECTION (LINESTRING (1 0, 2 0), POINT (5 5))") ==
+      "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 4.0 0.0))")
+    assert(d("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 4, 0 4, 0 0))," +
+        " LINESTRING (3 0, 3 4))") ==
+      "POLYGON ((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 4.0, 2.0 0.0))")
+    assert(d(A, "GEOMETRYCOLLECTION EMPTY") == "LINESTRING (0.0 0.0, 4.0 0.0)")
+    // collection MINUEND stays loud, documented
     intercept[IllegalArgumentException] {
-      WktCore.differenceWkt(u("LINESTRING (0 0, 1 1)"),
-        u("LINESTRING (0 1, 1 0)"))
+      d("GEOMETRYCOLLECTION (POINT (1 1))", A)
     }
   }
 
