@@ -3463,6 +3463,49 @@ object WktCore {
       }
       return UTF8String.fromString(fmtRing(out))
     }
+    // MULTIPOINT / GEOMETRYCOLLECTION buffers (r15, verdict missing
+    // #4): per-member buffer folded through the union dispatch —
+    // disjoint member buffers render as MULTIPOLYGON; members whose
+    // buffers merely TOUCH at a point hit the overlay's loud pinch
+    // rule (documented). d = 0 returns the canonical input; EMPTY
+    // inputs (and EMPTY members) buffer to nothing, an all-EMPTY input
+    // to POLYGON EMPTY; negative d over a point set erodes a
+    // measure-zero set to EMPTY, while negative d over a COLLECTION
+    // stays LOUD — erosion does not distribute over members
+    // (buffer(A ∪ B, −d) ≠ buffer(A, −d) ∪ buffer(B, −d) unless the
+    // members are well-separated), and this model refuses to guess.
+    if (isMultiPointText(t0)) {
+      if (t0.equalsIgnoreCase("MULTIPOINT EMPTY"))
+        return UTF8String.fromString("POLYGON EMPTY")
+      if (d == 0) return UTF8String.fromString(canonGeomText(t0))
+      if (d < 0) return UTF8String.fromString("POLYGON EMPTY")
+      val c = parseMultiPoint(t0)
+      var acc: UTF8String = null
+      var i = 0
+      while (2 * i < c.length) {
+        val disk = bufferWkt(pointStr(c(2 * i), c(2 * i + 1)), d, style)
+        acc = if (acc == null) disk else unionWkt(acc, disk)
+        i += 1
+      }
+      return acc
+    }
+    if (isCollectionText(t0)) {
+      if (t0.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY"))
+        return UTF8String.fromString("POLYGON EMPTY")
+      if (d == 0) return UTF8String.fromString(canonGeomText(t0))
+      require(d > 0, "st_buffer: negative distance over a " +
+        "GEOMETRYCOLLECTION is not defined here - erosion does not " +
+        "distribute over members; erode the areal members individually")
+      val members = parseCollection(t0)
+        .filterNot(m => isEmptyGeom(UTF8String.fromString(m)))
+      if (members.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
+      var acc: UTF8String = null
+      members.foreach { m =>
+        val bm = bufferWkt(UTF8String.fromString(m), d, style)
+        acc = if (acc == null) bm else unionWkt(acc, bm)
+      }
+      return acc
+    }
     // (MULTI)LINESTRING buffer (r14): the CAPSULE/corridor — per-segment
     // rectangles of width 2d, a join fan on the OUTER side of every
     // interior vertex (the side where the normals diverge; the inner

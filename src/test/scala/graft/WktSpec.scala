@@ -806,6 +806,52 @@ class WktSpec extends SparkSpec {
       u("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))) // exactly plugs the hole
   }
 
+  test("st_buffer over MULTIPOINT / GEOMETRYCOLLECTION (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def a(s: String) = WktCore.area(u(s))
+    val disk = 16 * 0.25 * math.sin(math.Pi / 16) // d = 0.5
+    // disjoint points → 2-component MULTIPOLYGON, area = 2 disks
+    val bmp = WktCore.bufferWkt(u("MULTIPOINT ((0 0), (10 0))"), 0.5)
+      .toString
+    assert(bmp.startsWith("MULTIPOLYGON"), bmp)
+    assert(math.abs(a(bmp) - 2 * disk) < 1e-9)
+    // heavily overlapping disks merge to ONE polygon, area < 2 disks
+    val bnear = WktCore.bufferWkt(u("MULTIPOINT ((0 0), (0.25 0))"), 0.5)
+      .toString
+    assert(bnear.startsWith("POLYGON"), bnear)
+    assert(a(bnear) > disk && a(bnear) < 2 * disk)
+    // d = 0 canonical; negative → EMPTY; EMPTY input → POLYGON EMPTY
+    assert(WktCore.bufferWkt(u("MULTIPOINT ((1 2), (3 4))"), 0.0)
+      .toString == "MULTIPOINT ((1.0 2.0), (3.0 4.0))")
+    assert(WktCore.bufferWkt(u("MULTIPOINT ((1 2), (3 4))"), -0.5)
+      .toString == "POLYGON EMPTY")
+    assert(WktCore.bufferWkt(u("MULTIPOINT EMPTY"), 0.5).toString ==
+      "POLYGON EMPTY")
+    // mixed collection: disk + capsule + dilated rect, far apart
+    val gc = "GEOMETRYCOLLECTION (POINT (0 0), " +
+      "LINESTRING (20 0, 22 0), " +
+      "POLYGON ((40 0, 42 0, 42 1, 40 1, 40 0)))"
+    val bgc = WktCore.bufferWkt(u(gc), 0.5).toString
+    assert(bgc.startsWith("MULTIPOLYGON"), bgc)
+    val exp = disk + (2 * 0.5 * 2 + disk) + (2.0 + 6 * 0.5 + disk)
+    assert(math.abs(a(bgc) - exp) < 1e-9, a(bgc))
+    // EMPTY members are skipped; all-EMPTY → POLYGON EMPTY
+    assert(math.abs(a(WktCore.bufferWkt(
+      u("GEOMETRYCOLLECTION (LINESTRING EMPTY, POINT (0 0))"), 0.5)
+      .toString) - disk) < 1e-12)
+    assert(WktCore.bufferWkt(
+      u("GEOMETRYCOLLECTION (LINESTRING EMPTY)"), 0.5).toString ==
+      "POLYGON EMPTY")
+    assert(WktCore.bufferWkt(u("GEOMETRYCOLLECTION EMPTY"), 0.5)
+      .toString == "POLYGON EMPTY")
+    // negative distance over a collection is LOUD (erosion does not
+    // distribute over members)
+    intercept[IllegalArgumentException] {
+      WktCore.bufferWkt(u(gc), -0.25)
+    }
+  }
+
   test("st_distance EMPTY operands are loud; collection empties skipped (r15)") {
     import graft.functions.WktCore
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
