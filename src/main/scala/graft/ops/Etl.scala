@@ -1238,7 +1238,13 @@ object Etl extends QueryModule {
           |    numeric_histogram(4, x)), e -> concat(
           |      CAST(CAST(floor(e.key * 1e6 + 0.5) AS BIGINT) AS VARCHAR),
           |      ':', CAST(CAST(e.value AS BIGINT) AS VARCHAR)))), ';')
-          |    AS nh4
+          |    AS nh4,
+          |  array_join(array_sort(transform(map_entries(
+          |    numeric_histogram(4, x, CAST(sz % 3 + 1 AS DOUBLE))),
+          |    e -> concat(
+          |      CAST(CAST(floor(e.key * 1e6 + 0.5) AS BIGINT) AS VARCHAR),
+          |      ':', CAST(CAST(e.value AS BIGINT) AS VARCHAR)))), ';')
+          |    AS nh4w
           |FROM f GROUP BY g ORDER BY g""".stripMargin)
     }),
 
@@ -2533,7 +2539,8 @@ object Etl extends QueryModule {
     "p2af_presto_agg_lambdas" ->
       """WITH f AS (
         |  SELECT p_partkey % 5 AS g, p_size AS sz,
-        |    CAST(p_size AS DOUBLE) AS x
+        |    CAST(p_size AS DOUBLE) AS x,
+        |    CAST(p_size % 3 + 1 AS DOUBLE) AS w
         |  FROM part WHERE p_partkey < 300),
         |agg AS (
         |  SELECT g, CAST(sum(sz) AS BIGINT) AS ra_sum,
@@ -2541,20 +2548,26 @@ object Etl extends QueryModule {
         |  FROM f GROUP BY g),
         |stats AS (SELECT g, min(x) AS mn, max(x) AS mx FROM f GROUP BY g),
         |bk AS (
-        |  SELECT f.g, x,
+        |  SELECT f.g, x, w,
         |    least(3, CAST(floor((x - mn) / ((mx - mn) / 4)) AS INT)) AS k
         |  FROM f JOIN stats ON f.g = stats.g),
         |hb AS (
         |  SELECT g, k, CAST(floor(avg(x) * 1e6 + 0.5) AS BIGINT) AS mq,
-        |    count(*) AS c
+        |    count(*) AS c,
+        |    CAST(floor(sum(x * w) / sum(w) * 1e6 + 0.5) AS BIGINT) AS wmq,
+        |    CAST(sum(w) AS BIGINT) AS wc
         |  FROM bk GROUP BY g, k),
         |nh AS (
         |  SELECT g, string_agg(
         |    concat(CAST(mq AS VARCHAR), ':', CAST(c AS VARCHAR)), ';'
         |    ORDER BY concat(CAST(mq AS VARCHAR), ':', CAST(c AS VARCHAR)))
-        |    AS nh4
+        |    AS nh4,
+        |  string_agg(
+        |    concat(CAST(wmq AS VARCHAR), ':', CAST(wc AS VARCHAR)), ';'
+        |    ORDER BY concat(CAST(wmq AS VARCHAR), ':', CAST(wc AS VARCHAR)))
+        |    AS nh4w
         |  FROM hb GROUP BY g)
-        |SELECT agg.g, ra_sum, ra_max, nh4
+        |SELECT agg.g, ra_sum, ra_max, nh4, nh4w
         |FROM agg JOIN nh ON agg.g = nh.g ORDER BY agg.g""".stripMargin,
 
     // p2ag: dense forms via DuckDB's own list_cosine_similarity (q6

@@ -3375,24 +3375,55 @@ object PrestoSql {
     // Catalyst dedups the single collect_list; the weighted 3-arg form
     // stays loud.
     r = rewriteCall(r, "numeric_histogram") { args =>
-      require(args.size == 2,
-        "numeric_histogram: only the (buckets, value) form is " +
-          s"supported (got ${args.size} arguments)")
+      require(args.size == 2 || args.size == 3,
+        "numeric_histogram: (buckets, value) or (buckets, value, weight) " +
+          s"forms are supported (got ${args.size} arguments)")
       val b = s"CAST((${args(0)}) AS INT)"
-      val arr = s"array_sort(collect_list(CAST((${args(1)}) AS DOUBLE)))"
-      def bkt(v: String) =
-        s"least($b - 1, CAST(floor((($v) - array_min($arr)) / " +
-          s"((array_max($arr) - array_min($arr)) / $b)) AS INT))"
-      s"CASE WHEN array_min($arr) = array_max($arr) " +
-        s"THEN map(array_min($arr), CAST(size($arr) AS DOUBLE)) " +
-        s"ELSE map_from_entries(transform(" +
-        s"array_distinct(transform($arr, __v -> ${bkt("__v")})), " +
-        s"__k -> struct(" +
-        s"aggregate(filter($arr, __v -> ${bkt("__v")} = __k), " +
-        s"CAST(0.0 AS DOUBLE), (__s, __x) -> __s + __x) / " +
-        s"size(filter($arr, __v -> ${bkt("__v")} = __k)), " +
-        s"CAST(size(filter($arr, __v -> ${bkt("__v")} = __k)) AS DOUBLE)" +
-        s"))) END"
+      if (args.size == 2) {
+        val arr = s"array_sort(collect_list(CAST((${args(1)}) AS DOUBLE)))"
+        def bkt(v: String) =
+          s"least($b - 1, CAST(floor((($v) - array_min($arr)) / " +
+            s"((array_max($arr) - array_min($arr)) / $b)) AS INT))"
+        s"CASE WHEN array_min($arr) = array_max($arr) " +
+          s"THEN map(array_min($arr), CAST(size($arr) AS DOUBLE)) " +
+          s"ELSE map_from_entries(transform(" +
+          s"array_distinct(transform($arr, __v -> ${bkt("__v")})), " +
+          s"__k -> struct(" +
+          s"aggregate(filter($arr, __v -> ${bkt("__v")} = __k), " +
+          s"CAST(0.0 AS DOUBLE), (__s, __x) -> __s + __x) / " +
+          s"size(filter($arr, __v -> ${bkt("__v")} = __k)), " +
+          s"CAST(size(filter($arr, __v -> ${bkt("__v")} = __k)) AS DOUBLE)" +
+          s"))) END"
+      } else {
+        // weighted 3-arg form (r15, verdict missing #3): bucket
+        // boundaries come from the VALUES alone (identical to the
+        // 2-arg derivation); each bucket keys by its WEIGHTED mean
+        // Σ(v·w)/Σw and carries the weight SUM — the 2-arg form is the
+        // w ≡ 1 special case. The (v, w) pairs ride one sorted struct
+        // array (struct sort orders by v, then w — deterministic), so
+        // integer-weight fixtures keep every sum exact.
+        val arr = s"array_sort(collect_list(struct(" +
+          s"CAST((${args(1)}) AS DOUBLE) AS v, " +
+          s"CAST((${args(2)}) AS DOUBLE) AS w)))"
+        val vmin = s"element_at($arr, 1).v"
+        val vmax = s"element_at($arr, -1).v"
+        def bkt(p: String) =
+          s"least($b - 1, CAST(floor((($p).v - $vmin) / " +
+            s"(($vmax - $vmin) / $b)) AS INT))"
+        def wsum(k: String) =
+          s"aggregate(filter($arr, __p -> ${bkt("__p")} = $k), " +
+            s"CAST(0.0 AS DOUBLE), (__s, __p) -> __s + __p.w)"
+        def wxsum(k: String) =
+          s"aggregate(filter($arr, __p -> ${bkt("__p")} = $k), " +
+            s"CAST(0.0 AS DOUBLE), (__s, __p) -> __s + __p.v * __p.w)"
+        s"CASE WHEN $vmin = $vmax " +
+          s"THEN map($vmin, aggregate($arr, CAST(0.0 AS DOUBLE), " +
+          s"(__s, __p) -> __s + __p.w)) " +
+          s"ELSE map_from_entries(transform(" +
+          s"array_distinct(transform($arr, __p -> ${bkt("__p")})), " +
+          s"__k -> struct(${wxsum("__k")} / ${wsum("__k")}, " +
+          s"${wsum("__k")}))) END"
+      }
     }
     // Trino entropy(count): log2-entropy of the per-row count
     // distribution — pure algebra over two sums, so it inlines to

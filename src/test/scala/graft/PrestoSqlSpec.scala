@@ -2666,7 +2666,7 @@ class PrestoSqlSpec extends SparkSpec {
   }
 
   test("numeric_histogram: deterministic equal-width buckets keyed by " +
-      "mean; 3-arg weighted form stays loud (r14)") {
+      "mean; 3-arg weighted form (r15)") {
     val r = PrestoSql.sql(spark,
       "SELECT numeric_histogram(2, x) AS h FROM " +
         "(SELECT explode(array(1.0D, 2.0D, 9.0D, 10.0D)) AS x)")
@@ -2679,8 +2679,32 @@ class PrestoSqlSpec extends SparkSpec {
         "(SELECT explode(array(3.0D, 3.0D)) AS x)")
       .collect()(0).getMap[Double, Double](0)
     assert(one == Map(3.0 -> 2.0), one)
+    // weighted 3-arg form (r15): bucket bounds from VALUES alone, keys
+    // are weighted means, entries carry weight sums — w ≡ 1 reduces to
+    // the 2-arg form
+    val w = PrestoSql.sql(spark,
+      "SELECT numeric_histogram(2, p.x, p.w) AS h FROM " +
+        "(SELECT explode(array(struct(1.0D AS x, 1.0D AS w), " +
+        "struct(2.0D AS x, 3.0D AS w), struct(9.0D AS x, 2.0D AS w), " +
+        "struct(10.0D AS x, 2.0D AS w))) AS p)")
+      .collect()(0).getMap[Double, Double](0)
+    // bucket [1, 5.5): wmean = (1 + 6)/4 = 1.75, wsum 4;
+    // bucket [5.5, 10]: wmean = (18 + 20)/4 = 9.5, wsum 4
+    assert(w == Map(1.75 -> 4.0, 9.5 -> 4.0), w)
+    val wOne = PrestoSql.sql(spark,
+      "SELECT numeric_histogram(4, x, 1.0) AS h FROM " +
+        "(SELECT explode(array(1.0D, 2.0D, 9.0D, 10.0D)) AS x)")
+      .collect()(0).getMap[Double, Double](0)
+    assert(wOne == Map(1.5 -> 2.0, 9.5 -> 2.0), wOne)
+    // degenerate single distinct value: one bucket, total weight
+    val wDeg = PrestoSql.sql(spark,
+      "SELECT numeric_histogram(4, x, w) AS h FROM " +
+        "(SELECT 3.0D AS x, explode(array(2.0D, 5.0D)) AS w)")
+      .collect()(0).getMap[Double, Double](0)
+    assert(wDeg == Map(3.0 -> 7.0), wDeg)
+    // 4+ args stay loud
     val e = intercept[IllegalArgumentException](PrestoSql.sql(spark,
-      "SELECT numeric_histogram(4, x, w) FROM t"))
+      "SELECT numeric_histogram(4, x, w, z) FROM t"))
     assert(e.getMessage.contains("buckets, value"), e.getMessage)
   }
 }
