@@ -2792,6 +2792,96 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // L70 (r15, the r14 verdict's classifier-tier completion): a
+    // MULTI-CLASS one-vs-rest classifier over the l69 machinery — the
+    // full fastText analogue for a K=3 domain-tagging task (the tier:
+    // lexicon l30 → NB l68/l68b → binary logreg l69 → multi-class).
+    // K binary logistic regressions train JOINTLY: the weight table is
+    // (class, bucket) with K·8192 rows, so each step is STILL one
+    // broadcast join + one integer aggregate back to ≤K·8192 driver
+    // rows — the k-means driver-state pattern, unchanged; the corpus
+    // never reaches the driver and the feature triples checkpoint
+    // once. The planted signal is BIGRAM-only and class-CYCLIC:
+    // classes share the unigrams qd0/qd1/qd2/qsep and differ only in
+    // bigram order (qd0→qd1 vs qd1→qd2 vs qd2→qd0), so a unigram
+    // model cannot separate any class pair. Determinism is l69's, per
+    // class: q6 fixed-point integer weights, per-(doc, class)
+    // residuals quantized to integers BEFORE the gradient sum,
+    // floorDiv updates — two runs are bit-identical. Prediction =
+    // argmax score with smallest-class tie-break (deterministic).
+    // Pre-registered NO-ORACLE (iterative); SoftmaxSpec property-tests
+    // bit-determinism, ≥99% separation, and per-class OvR sign.
+    "l70_softmax_domain_classifier" -> ((s, d) => {
+      GF.register(s)
+      import s.implicits._
+      val B = 8192
+      val K = 3
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % K).cast("int").as("label"))
+        .withColumn("btext", concat(col("text"),
+          expr(s"repeat(concat(' qd', CAST(label AS STRING), ' qd', " +
+            s"CAST((label + 1) % $K AS STRING), ' qsep'), " +
+            "CAST(doc_id % 3 + 1 AS INT))")))
+        .select(col("doc_id"), col("label"),
+          TF.wordTokens(col("btext")).as("ws"))
+      val feats = docs.select(col("doc_id"), col("label"),
+          explode(transform(TF.kgramHashes(col("ws"), 2),
+            h => pmod(h, lit(B.toLong)))).as("bk"))
+        .groupBy(col("doc_id"), col("label"), col("bk"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val nDocs = math.max(1L,
+        feats.select(col("doc_id")).distinct().count())
+      val w = Array.ofDim[Long](K, B)
+      val bias = new Array[Long](K)
+      val lrNum = 4L
+      val steps = 5
+      def weightsDf = broadcast((for (k <- 0 until K; j <- 0 until B)
+        yield (k, j.toLong, w(k)(j))).toDF("k", "bk", "wq"))
+      for (_ <- 1 to steps) {
+        val biasAt =
+          element_at(array(bias.map(lit(_)): _*), col("k") + 1)
+        val resid = feats.join(weightsDf, "bk")
+          .groupBy(col("doc_id"), col("label"), col("k"))
+          .agg(sum(col("cnt") * col("wq")).as("sq"))
+          .select(col("doc_id"), col("k"),
+            floor((lit(1.0) / (lit(1.0) +
+              exp(-(col("sq") + biasAt) / 1e6)) -
+              when(col("label") === col("k"), 1.0).otherwise(0.0)) *
+              1e6 + 0.5).cast("long").as("gq"))
+        val grad = feats.join(resid, "doc_id")
+          .groupBy(col("k"), col("bk"))
+          .agg(sum(col("cnt") * col("gq")).as("g"))
+          .collect()
+        grad.foreach { r =>
+          val k = r.getInt(0); val j = r.getLong(1).toInt
+          w(k)(j) = w(k)(j) - Math.floorDiv(r.getLong(2) * lrNum, nDocs)
+        }
+        resid.groupBy(col("k")).agg(sum(col("gq")).as("gb")).collect()
+          .foreach { r =>
+            val k = r.getInt(0)
+            bias(k) = bias(k) - Math.floorDiv(r.getLong(1) * lrNum, nDocs)
+          }
+      }
+      val biasAt = element_at(array(bias.map(lit(_)): _*), col("k") + 1)
+      feats.join(weightsDf, "bk")
+        .groupBy(col("doc_id"), col("label"), col("k"))
+        .agg(sum(col("cnt") * col("wq")).as("sq"))
+        .select(col("doc_id"), col("label"), col("k"),
+          (col("sq") + biasAt).as("score_q6"))
+        .groupBy(col("doc_id"), col("label"))
+        .agg(max(when(col("k") === 0, col("score_q6"))).as("s0_q6"),
+          max(when(col("k") === 1, col("score_q6"))).as("s1_q6"),
+          max(when(col("k") === 2, col("score_q6"))).as("s2_q6"))
+        .withColumn("pred",
+          when(col("s0_q6") >= col("s1_q6") &&
+            col("s0_q6") >= col("s2_q6"), 0)
+          .when(col("s1_q6") >= col("s2_q6"), 1).otherwise(2))
+        .withColumn("correct", col("pred") === col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L43: n-gram NOVELTY scoring — the uniqueness signal dual to the
     // dedup family: for each doc, the fraction of its distinct
     // 3-shingles that appear NOWHERE else in the corpus (df = 1).
