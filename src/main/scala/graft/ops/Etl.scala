@@ -1277,6 +1277,26 @@ object Etl extends QueryModule {
           |FROM f ORDER BY pk""".stripMargin)
     }),
 
+    // P2ah (r15): the probe-sweep-4 closures under oracle gating —
+    // array_histogram (Trino 432+, the array_frequency typing
+    // convention), width_bucket's 2-arg sorted-bins form, and numeric
+    // typed literals (REAL/DOUBLE/TINYINT/SMALLINT/INTEGER/BIGINT '…').
+    "p2ah_presto_probe4" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """SELECT "p_partkey" AS pk,
+          |  array_join(transform(array_sort(map_keys(array_histogram(
+          |    ARRAY["p_size", "p_size", "p_partkey" % 7]))),
+          |    k -> CAST(k AS VARCHAR)), ',') AS ah_keys,
+          |  element_at(array_histogram(ARRAY["p_size", "p_size"]),
+          |    "p_size") AS ah_cnt,
+          |  width_bucket(CAST("p_size" AS DOUBLE),
+          |    ARRAY[10.0, 20.0, 35.0]) AS wb,
+          |  DOUBLE '1.5' * "p_size" AS dl,
+          |  CAST(BIGINT '1000' + TINYINT '7' AS BIGINT) AS tl
+          |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -2590,6 +2610,22 @@ object Etl extends QueryModule {
         |  CAST(floor((y * 2) / (sqrt(x * x + y * y) *
         |    sqrt(2.0 * 2.0 + 9.0 * 9.0)) * 1e6 + 0.5) AS BIGINT) AS csm_q6
         |FROM f ORDER BY pk""".stripMargin,
+
+    // p2ah: DuckDB re-derives the histogram keys via list machinery,
+    // the fixed count closed-form, and the sorted-bins bucket as a
+    // bound-count sum
+    "p2ah_presto_probe4" ->
+      """SELECT p_partkey AS pk,
+        |  array_to_string(list_sort(list_distinct(
+        |    [CAST(p_size AS BIGINT), CAST(p_size AS BIGINT),
+        |     CAST(p_partkey % 7 AS BIGINT)])), ',') AS ah_keys,
+        |  CAST(2 AS BIGINT) AS ah_cnt,
+        |  CAST((CASE WHEN p_size >= 10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p_size >= 20 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN p_size >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS wb,
+        |  CAST(1.5 * p_size AS DOUBLE) AS dl,
+        |  CAST(1007 AS BIGINT) AS tl
+        |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
 
     // p2t5: the sc21o closed forms under the dialect spellings
     "p2t5_presto_geo_aggs" ->

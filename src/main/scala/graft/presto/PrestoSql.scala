@@ -2244,6 +2244,13 @@ object PrestoSql {
       " map_from_entries(transform(array_distinct(filter(a," +
       " x -> x IS NOT NULL)), x -> struct(x, size(filter(a," +
       " y -> y = x)))))",
+    // Trino array_histogram (432+) — same derivation with Trino's
+    // BIGINT counts (r15 probe sweep 4; the array_frequency typing
+    // convention: BIGINT elements, NULLs excluded, all-NULL → {})
+    "array_histogram(a ARRAY<BIGINT>) RETURNS MAP<BIGINT, BIGINT> RETURN" +
+      " map_from_entries(transform(array_distinct(filter(a," +
+      " x -> x IS NOT NULL)), x -> struct(x, CAST(size(filter(a," +
+      " y -> y = x)) AS BIGINT))))",
     // Presto map_keys_by_top_n_values — keys of the n largest values
     // (value DESC, key DESC tiebreak — Presto's documented ordering);
     // MAP<STRING, BIGINT>, the map-adapter typing convention
@@ -3425,6 +3432,19 @@ object PrestoSql {
           s"${wsum("__k")}))) END"
       }
     }
+    // Trino width_bucket's 2-arg SORTED-BINS form (r15 probe sweep 4):
+    // the bucket index is the count of bin bounds ≤ x (0 below the
+    // first bound, size(bins) at/after the last — Trino's contract
+    // over an ascending bins array); the 4-arg equal-width form passes
+    // through to Spark's own builtin
+    r = rewriteCall(r, "width_bucket") { args =>
+      require(args.size == 2 || args.size == 4,
+        s"width_bucket takes 2 or 4 arguments, got ${args.size}")
+      if (args.size == 4) s"width_bucket(${args.mkString(", ")})"
+      else s"aggregate((${args(1)}), 0L, (__acc, __b) -> __acc + " +
+        s"IF(CAST((${args(0)}) AS DOUBLE) >= CAST(__b AS DOUBLE), " +
+        "1L, 0L))"
+    }
     // Trino entropy(count): log2-entropy of the per-row count
     // distribution — pure algebra over two sums, so it inlines to
     // builtins (H = log2(S) − Σ c·log2(c) / S, zero counts contribute
@@ -4231,6 +4251,29 @@ object PrestoSql {
       })
   }
 
+  /** Trino's remaining NUMERIC typed literals (r15 probe sweep 4):
+    * `REAL '1.5'` / `DOUBLE '…'` / `TINYINT|SMALLINT|INTEGER|BIGINT
+    * '…'` → the equivalent CAST. Spark's parser supports typed
+    * literals only for date/time/interval/binary/decimal kinds;
+    * DECIMAL has its own precision-inferring pass above. */
+  private[graft] def rewriteNumericTypedLiterals(s0: String): String = {
+    val re =
+      """(?is)\b(REAL|DOUBLE|TINYINT|SMALLINT|INTEGER|BIGINT)\s+'([^']*)'""".r
+    def inLiteral(upTo: Int, s: String): Boolean =
+      s.substring(0, upTo).count(_ == '\'') % 2 == 1
+    re.replaceAllIn(s0, m =>
+      if (inLiteral(m.start, s0))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val t = m.group(1).toUpperCase(java.util.Locale.ROOT) match {
+          case "REAL" => "FLOAT"
+          case "INTEGER" => "INT"
+          case other => other
+        }
+        s"CAST('${m.group(2)}' AS $t)"
+      })
+  }
+
   private[graft] def rewriteUnnest(s0: String): String = {
     val head = """(?is)\b(CROSS|LEFT(?:\s+OUTER)?)\s+JOIN\s+UNNEST\s*\(""".r
     val tailRe =
@@ -4978,10 +5021,10 @@ object PrestoSql {
       wrapRegexpLambda(wrapFromUnixtime(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapKeysValuesMatch(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
           rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
-            rewriteBareFromUnnest(rewriteDecimalLiterals(
+            rewriteBareFromUnnest(rewriteNumericTypedLiterals(rewriteDecimalLiterals(
               rewriteSequenceTable(rewriteJsonTable(
                 inlineSplit(rewriteFetchTies(
-                  escapeLiteralBackslashes(prestoSql))))))))))))))))))))))))
+                  escapeLiteralBackslashes(prestoSql)))))))))))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -113,6 +113,38 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getDouble(6) == 2.0 * math.log(2.0), r.getDouble(6))
   }
 
+  test("r15 probe-sweep-4 closures: array_histogram, 2-arg width_bucket, numeric typed literals") {
+    // the fourth published-spelling sweep (111 probes) found exactly
+    // three gaps; each is closed and value-checked here
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  array_histogram(ARRAY[1, 1, 2]) AS ah,
+        |  array_histogram(ARRAY[CAST(NULL AS BIGINT)]) AS ah_null,
+        |  width_bucket(3.0, ARRAY[1.0, 2.0, 4.0]) AS wb_mid,
+        |  width_bucket(0.5, ARRAY[1.0, 2.0, 4.0]) AS wb_below,
+        |  width_bucket(9.0, ARRAY[1.0, 2.0, 4.0]) AS wb_above,
+        |  width_bucket(3.5, 0.0, 10.0, 5) AS wb4,
+        |  DOUBLE '1.5' + 1 AS dlit,
+        |  TINYINT '7' AS tlit,
+        |  BIGINT '123' AS blit,
+        |  CAST(REAL '1.5' AS DOUBLE) AS rlit
+        |""".stripMargin).head()
+    assert(r.getMap[Long, Long](0) == Map(1L -> 2L, 2L -> 1L))
+    assert(r.getMap[Long, Long](1) == Map.empty[Long, Long])
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(4) == 3L)
+    assert(r.getLong(5) == 2L) // Spark's own 4-arg equal-width form
+    assert(r.getDouble(6) == 2.5)
+    assert(r.getByte(7) == 7)
+    assert(r.getLong(8) == 123L)
+    assert(r.getDouble(9) == 1.5)
+    // typed-literal keywords inside STRING literals stay untouched
+    assert(PrestoSql.sql(spark,
+      "SELECT 'a REAL ''thing''' AS v").head().getString(0) ==
+      "a REAL 'thing'")
+  }
+
   test("cosine_similarity / dot_product dual forms: ARRAY dense + MAP sparse (r15)") {
     val r = PrestoSql.sql(spark,
       """SELECT
