@@ -3110,10 +3110,10 @@ object WktCore {
     * throwing. */
   private def clipDispatch(a: UTF8String, b: UTF8String, op: Int,
       name: String): UTF8String = {
-    // LINESTRING × areal (r13): intersection clips the line to the
-    // region (maximal inside/boundary-run chains, rendered as
-    // LINESTRING / MULTILINESTRING / LINESTRING EMPTY); ∪/− across
-    // dimensions would need GEOMETRYCOLLECTION — loud, documented
+    // Non-areal operands: ∪ (r14) and − and ∩ (r15) are TOTAL over the
+    // kind matrix — collections decompose, point sets test coverage,
+    // line pairs ride the noded per-part scan; the only remaining loud
+    // shape is a collection MINUEND in −.
     val aLine = isLineKindWkt(a)
     val bLine = isLineKindWkt(b)
     def pointish(t: String): Boolean =
@@ -3143,8 +3143,8 @@ object WktCore {
         // minuend not collinearly covered by the subtrahend — the noded
         // per-part scan (lineLineDifference); crossings and touches
         // remove a measure-zero set, so purely-transversal pairs return
-        // the canonical minuend (st_intersection's line×line dual stays
-        // loud: ITS result is a point set this model does not rank)
+        // the canonical minuend (st_intersection's line×line dual keeps
+        // exactly what this drops: covered runs + contact points)
         if (aLine && bLine)
           return UTF8String.fromString(fmtLines(
             WktOverlay.lineLineDifference(lineParts(aT), lineParts(bT))))
@@ -3207,12 +3207,85 @@ object WktCore {
             "collection minuend does not - decompose it first); " +
             s"got '$aT' − '$bT'")
       }
-      require(!(aLine && bLine), s"$name: LINESTRING × LINESTRING " +
-        "intersection (a point set) is out of scope - use st_intersects/" +
-        "st_crosses/st_touches for line-line predicates")
-      require(aLine || bLine,
-        s"$name: intersection needs a line × areal operand pair; got " +
-          s"'$aT' × '$bT'")
+      // op == 0: INTERSECTION — TOTAL over the kind matrix as of r15.
+      // GEOMETRYCOLLECTION operands decompose over members (∩
+      // distributes over ∪) and member results fold through the mixed
+      // union absorb; emptied non-areal intersections render MULTIPOINT
+      // EMPTY (the point-set empty — intersections only REMOVE, so the
+      // natural empty is the lowest-dimensional spelling).
+      def emptyNorm(t: String): String =
+        if (isEmptyGeom(UTF8String.fromString(t))) "MULTIPOINT EMPTY" else t
+      if (isCollectionText(aT)) {
+        val parts = parseCollection(aT)
+          .map(m => intersectionWkt(UTF8String.fromString(m), b).toString)
+        return UTF8String.fromString(emptyNorm(finishMixed(
+          parts.reduceOption(unionMixed).getOrElse("MULTIPOINT EMPTY"))))
+      }
+      if (isCollectionText(bT)) {
+        val parts = parseCollection(bT)
+          .map(m => intersectionWkt(a, UTF8String.fromString(m)).toString)
+        return UTF8String.fromString(emptyNorm(finishMixed(
+          parts.reduceOption(unionMixed).getOrElse("MULTIPOINT EMPTY"))))
+      }
+      // point(s) ∩ x — the covered members survive (the exact dual of
+      // the point-minuend difference: same covered tests)
+      if (pointish(aT) || pointish(bT)) {
+        val (ptsT, otherT) = if (pointish(aT)) (aT, bT) else (bT, aT)
+        val pts =
+          if (isMultiPointText(ptsT)) parseMultiPoint(ptsT)
+          else parsePoint(ptsT)
+        val otherPts =
+          if (!pointish(otherT)) Array.empty[Double]
+          else if (isMultiPointText(otherT)) parseMultiPoint(otherT)
+          else parsePoint(otherT)
+        val keep = new scala.collection.mutable.ArrayBuffer[Double]()
+        var i = 0
+        while (2 * i < pts.length) {
+          val x = pts(2 * i); val y = pts(2 * i + 1)
+          val covered =
+            if (pointish(otherT)) {
+              var j = 0; var hit = false
+              while (2 * j < otherPts.length && !hit) {
+                hit = otherPts(2 * j) == x && otherPts(2 * j + 1) == y
+                j += 1
+              }
+              hit
+            } else if (isLineKindWkt(UTF8String.fromString(otherT)))
+              lineParts(otherT).exists(c => WktOverlay.pointOnLine(c, x, y))
+            else {
+              val g = geomPolys(UTF8String.fromString(otherT))
+              containsPolys(g, x, y) ||
+                WktOverlay.pointOnBoundary(g, x, y)
+            }
+          if (covered) { keep += x; keep += y }
+          i += 1
+        }
+        // dedupe (a MULTIPOINT with repeats keeps one copy) + sort —
+        // the mixed-union point convention
+        val distinct = keep.grouped(2).map(p => (p(0), p(1))).toArray
+          .distinct.sorted
+        return UTF8String.fromString(
+          if (distinct.isEmpty) "MULTIPOINT EMPTY"
+          else if (distinct.length == 1)
+            pointStr(distinct(0)._1, distinct(0)._2).toString
+          else fmtMultiPoint(distinct.flatMap(p => Array(p._1, p._2))))
+      }
+      // line × line (r15): collinear covered runs as chains + isolated
+      // contacts (crossings, touches, vertex coincidences) as points —
+      // the dual of lineLineDifference under the same noding
+      if (aLine && bLine) {
+        val (chains, pts) =
+          WktOverlay.lineLineIntersection(lineParts(aT), lineParts(bT))
+        val members = new scala.collection.mutable.ArrayBuffer[String]()
+        if (chains.nonEmpty) members += fmtLines(chains)
+        if (pts.nonEmpty) members +=
+          (if (pts.length == 2) pointStr(pts(0), pts(1)).toString
+           else fmtMultiPoint(pts))
+        return UTF8String.fromString(
+          if (members.isEmpty) "MULTIPOINT EMPTY"
+          else if (members.length == 1) members(0)
+          else members.mkString("GEOMETRYCOLLECTION (", ", ", ")"))
+      }
       val (line, poly) = if (aLine) (a, b) else (b, a)
       val g = geomPolys(poly)
       requireValidGeom(g, poly)

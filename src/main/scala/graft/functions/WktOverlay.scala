@@ -752,6 +752,101 @@ private[functions] object WktOverlay {
     chains.toArray
   }
 
+  /** Line × line INTERSECTION (r15) — the dual of lineLineDifference
+    * under the SAME noding: collinear covered runs survive as maximal
+    * chains (an elementary sub-segment is kept iff its midpoint IS on
+    * b), and isolated contacts — proper crossings, endpoint touches,
+    * vertex coincidences — surface as POINTS. The contact-point set is
+    * complete by construction: every edge-interior contact is a noded
+    * split (proper crossings and b-vertex touches land on a's edge
+    * splits), and vertex contacts are the a-vertices on b plus the
+    * b-vertices on a; points lying on a kept chain are absorbed by it
+    * (dimension order), the rest dedupe and sort by (x, y). Returns
+    * (chains in document order, flat sorted point coords). */
+  private[functions] def lineLineIntersection(aParts: Array[Array[Double]],
+      bParts: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Double]) = {
+    val chains = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val cur = new scala.collection.mutable.ArrayBuffer[Double]()
+    val cands = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+    def close(): Unit = {
+      if (cur.length >= 4) chains += cur.toArray
+      cur.clear()
+    }
+    def onB(x: Double, y: Double): Boolean =
+      bParts.exists(c => pointOnLine(c, x, y))
+    def onA(x: Double, y: Double): Boolean =
+      aParts.exists(c => pointOnLine(c, x, y))
+    aParts.foreach { line =>
+      val n = line.length / 2
+      var i = 0
+      while (i + 1 < n) {
+        val e = new Edge(0, line(2 * i), line(2 * i + 1), line(2 * i + 2),
+          line(2 * i + 3))
+        bParts.foreach { c =>
+          val m = c.length / 2
+          var k = 0
+          while (k + 1 < m) {
+            nodePair(e, new Edge(1, c(2 * k), c(2 * k + 1), c(2 * k + 2),
+              c(2 * k + 3)))
+            k += 1
+          }
+        }
+        // every interior split of an a-edge is a point where b meets it
+        e.splits.foreach { case (_, x, y) => cands += ((x, y)) }
+        val pts = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+        pts += ((e.px, e.py))
+        e.splits.sortBy(_._1).foreach { case (_, x, y) =>
+          if (pts.last._1 != x || pts.last._2 != y) pts += ((x, y))
+        }
+        if (pts.last._1 != e.qx || pts.last._2 != e.qy) pts += ((e.qx, e.qy))
+        var prevKept = false
+        var t = 0
+        while (t + 1 < pts.length) {
+          val (x1, y1) = pts(t); val (x2, y2) = pts(t + 1)
+          val mx = (x1 + x2) / 2; val my = (y1 + y2) / 2
+          if (onB(mx, my)) {
+            if (prevKept && cur.nonEmpty) {
+              cur(cur.length - 2) = x2; cur(cur.length - 1) = y2
+            } else {
+              if (cur.isEmpty) { cur += x1; cur += y1 }
+              else if (cur(cur.length - 2) != x1 ||
+                  cur(cur.length - 1) != y1) {
+                close(); cur += x1; cur += y1
+              }
+              cur += x2; cur += y2
+            }
+            prevKept = true
+          } else { close(); prevKept = false }
+          t += 1
+        }
+        i += 1
+      }
+      close()
+    }
+    // vertex contacts both ways (splits only see edge INTERIORS)
+    aParts.foreach { c =>
+      var i = 0
+      while (2 * i < c.length) {
+        if (onB(c(2 * i), c(2 * i + 1))) cands += ((c(2 * i), c(2 * i + 1)))
+        i += 1
+      }
+    }
+    bParts.foreach { c =>
+      var i = 0
+      while (2 * i < c.length) {
+        if (onA(c(2 * i), c(2 * i + 1))) cands += ((c(2 * i), c(2 * i + 1)))
+        i += 1
+      }
+    }
+    val keptChains = chains.toArray
+    val pts = cands.toArray
+      .filterNot { case (x, y) =>
+        keptChains.exists(c => pointOnLine(c, x, y)) }
+      .sorted
+    (keptChains, pts.flatMap { case (x, y) => Array(x, y) })
+  }
+
   // scanLinePair result flags (r14: parameterized so both the
   // geometry-level mod-2 boundary rule and the part-level simplicity
   // rule ride one kernel)

@@ -2008,6 +2008,67 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21af: ST_Intersection TOTAL over the kind matrix (r15): line ×
+    // line keeps collinear covered runs as chains and isolated contacts
+    // (crossings, touches, vertex coincidences) as sorted deduped
+    // points — the exact dual of sc21ad's difference under the same
+    // noding; point(s) ∩ x keeps covered members; GEOMETRYCOLLECTION
+    // operands decompose and member results absorb through the mixed
+    // union; empties render MULTIPOINT EMPTY (the point-set empty).
+    // All coordinates dyadic → string-constructed oracle.
+    "sc21af_geo_line_intersection" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{line, mline, point, q6}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.base(s, d)
+        .withColumn("bse", line(Seq((col("cx"), col("cy")),
+          (col("cx") + col("a") * 4, col("cy")))))
+        .withColumn("midcov", line(Seq((col("cx") + col("a"), col("cy")),
+          (col("cx") + col("a") * 2, col("cy")))))
+        .withColumn("twocov", mline(Seq(
+          Seq((col("cx") + col("a"), col("cy")),
+            (col("cx") + col("a") * 2, col("cy"))),
+          Seq((col("cx") + col("a") * 3, col("cy")),
+            (col("cx") + col("a") * 4, col("cy"))))))
+        .withColumn("crossv", line(Seq(
+          (col("cx") + col("a") * 2, col("cy") - col("b")),
+          (col("cx") + col("a") * 2, col("cy") + col("b")))))
+        .withColumn("crossv2", mline(Seq(
+          Seq((col("cx") + col("a"), col("cy") - col("b")),
+            (col("cx") + col("a"), col("cy") + col("b"))),
+          Seq((col("cx") + col("a") * 3, col("cy") - col("b")),
+            (col("cx") + col("a") * 3, col("cy") + col("b"))))))
+        .withColumn("gcmix", concat(lit("GEOMETRYCOLLECTION ("),
+          line(Seq((col("cx") + col("a"), col("cy")),
+            (col("cx") + col("a") * 2, col("cy")))), lit(", "),
+          line(Seq((col("cx") + col("a") * 3, col("cy") - col("b")),
+            (col("cx") + col("a") * 3, col("cy") + col("b")))),
+          lit(")")))
+      g.select(col("n_nationkey"),
+          f("st_intersection", col("bse"), col("midcov")).as("i_mid"),
+          q6(GF.stLength(f("st_intersection", col("bse"), col("midcov"))))
+            .as("i_mid_len_q6"),
+          f("st_intersection", col("bse"), col("twocov")).as("i_two"),
+          f("st_intersection", col("bse"), col("crossv")).as("i_cross"),
+          f("st_intersection", col("bse"), col("crossv2")).as("i_cross2"),
+          f("st_intersection", col("bse"), col("gcmix")).as("i_gc"),
+          f("st_intersection", col("bse"),
+            line(Seq((col("cx"), col("cy") + col("b") * 5),
+              (col("cx") + col("a"), col("cy") + col("b") * 5))))
+            .as("i_disj"),
+          f("st_intersection", point(col("cx") + col("a"), col("cy")),
+            col("bse")).as("i_pt"),
+          f("st_intersection",
+            concat(lit("MULTIPOINT (("), GeoFix.dstr(col("cx") + col("a")),
+              lit(" "), GeoFix.dstr(col("cy")), lit("), ("),
+              GeoFix.dstr(col("cx")), lit(" "),
+              GeoFix.dstr(col("cy") + col("b") * 5), lit("))")),
+            col("bse")).as("i_mp"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // sc21ae: ST_Buffer over MULTIPOINT and GEOMETRYCOLLECTION (r15 —
     // the r14 verdict missing #4): per-member buffer folded through the
     // union dispatch. Well-separated members (spacing 100 ≫ 2d ≤ 6)
@@ -3472,6 +3533,42 @@ object Scalars extends QueryModule {
         |  outpt AS d_pt_out,
         |  outpt AS d_mp,
         |  'MULTIPOINT EMPTY' AS d_pt_line
+        |FROM w ORDER BY n_nationkey""".stripMargin,
+
+    // sc21af: canonical texts by string construction — covered runs in
+    // document order, contact points sorted by (x, y), the GC-operand
+    // absorb in dimension order, MULTIPOINT EMPTY on disjoint — plus
+    // the closed-form kept length a
+    "sc21af_geo_line_intersection" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation),
+        |w AS (
+        |  SELECT n_nationkey, cx, cy, a, b,
+        |    CAST(cy AS VARCHAR) AS sy,
+        |    CAST(cx + a AS VARCHAR) AS x1,
+        |    CAST(cx + 2 * a AS VARCHAR) AS x2,
+        |    CAST(cx + 3 * a AS VARCHAR) AS x3,
+        |    CAST(cx + 4 * a AS VARCHAR) AS x4
+        |  FROM p)
+        |SELECT n_nationkey,
+        |  concat('LINESTRING (', x1, ' ', sy, ', ', x2, ' ', sy, ')')
+        |    AS i_mid,
+        |  CAST(floor(a * 1e6 + 0.5) AS BIGINT) AS i_mid_len_q6,
+        |  concat('MULTILINESTRING ((', x1, ' ', sy, ', ', x2, ' ', sy,
+        |    '), (', x3, ' ', sy, ', ', x4, ' ', sy, '))') AS i_two,
+        |  concat('POINT (', x2, ' ', sy, ')') AS i_cross,
+        |  concat('MULTIPOINT ((', x1, ' ', sy, '), (', x3, ' ', sy,
+        |    '))') AS i_cross2,
+        |  concat('GEOMETRYCOLLECTION (LINESTRING (', x1, ' ', sy, ', ',
+        |    x2, ' ', sy, '), POINT (', x3, ' ', sy, '))') AS i_gc,
+        |  'MULTIPOINT EMPTY' AS i_disj,
+        |  concat('POINT (', x1, ' ', sy, ')') AS i_pt,
+        |  concat('POINT (', x1, ' ', sy, ')') AS i_mp
         |FROM w ORDER BY n_nationkey""".stripMargin,
 
     // sc21ae: closed forms — k disjoint 32-gon disks = k·16d²·sin(π/16);

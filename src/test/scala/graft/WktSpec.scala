@@ -672,7 +672,7 @@ class WktSpec extends SparkSpec {
     assert(weave ==
       "MULTILINESTRING ((2.0 2.0, 2.0 4.0), (3.0 4.0, 3.0 2.0))", weave)
     // r14: mixed-dimension ∪/− have real semantics now (the model has
-    // GEOMETRYCOLLECTION); line×line ∩ stays loud
+    // GEOMETRYCOLLECTION); r15 made ∩ total over the kind matrix too
     val uMix = WktCore.unionWkt(
       u("LINESTRING (2 2, 7 2)"), u(R)).toString
     assert(uMix == "GEOMETRYCOLLECTION (POLYGON ((0.0 0.0, 4.0 0.0, " +
@@ -695,15 +695,61 @@ class WktSpec extends SparkSpec {
       "POINT (9.0 9.0)")
     assert(WktCore.differenceWkt(
       u("MULTIPOINT ((2 2), (9 9))"), u(R)).toString == "POINT (9.0 9.0)")
-    // line×line ∩ stays loud (a point set this model does not rank);
-    // line−line is DEFINED as of r15 — a purely-transversal crossing
-    // removes a measure-zero set, returning the canonical minuend
-    intercept[IllegalArgumentException] {
-      WktCore.intersectionWkt(u("LINESTRING (0 0, 1 1)"),
-        u("LINESTRING (0 1, 1 0)"))
-    }
+    // line×line ∩ and − are both DEFINED as of r15 and dual: the
+    // transversal crossing is a POINT for ∩ and measure-zero for −
+    assert(WktCore.intersectionWkt(u("LINESTRING (0 0, 1 1)"),
+      u("LINESTRING (0 1, 1 0)")).toString == "POINT (0.5 0.5)")
     assert(WktCore.differenceWkt(u("LINESTRING (0 0, 1 1)"),
       u("LINESTRING (0 1, 1 0)")).toString == "LINESTRING (0.0 0.0, 1.0 1.0)")
+  }
+
+  test("st_intersection total kind matrix: line×line, points, collections (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def ix(a: String, b: String) =
+      WktCore.intersectionWkt(u(a), u(b)).toString
+    val A = "LINESTRING (0 0, 4 0)"
+    // collinear overlap → the covered run
+    assert(ix(A, "LINESTRING (1 0, 2 0)") == "LINESTRING (1.0 0.0, 2.0 0.0)")
+    assert(ix(A, "LINESTRING (3 0, 9 0)") == "LINESTRING (3.0 0.0, 4.0 0.0)")
+    // two disjoint covers → MULTILINESTRING
+    assert(ix(A, "MULTILINESTRING ((0 0, 1 0), (3 0, 4 0))") ==
+      "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (3.0 0.0, 4.0 0.0))")
+    // transversal crossings and touches → points, sorted, deduped
+    assert(ix(A, "LINESTRING (2 -1, 2 1)") == "POINT (2.0 0.0)")
+    assert(ix(A, "MULTILINESTRING ((1 -1, 1 1), (3 -1, 3 1))") ==
+      "MULTIPOINT ((1.0 0.0), (3.0 0.0))")
+    // T-touch at a vertex of b on a's interior; shared endpoints
+    assert(ix(A, "LINESTRING (2 1, 2 0)") == "POINT (2.0 0.0)")
+    assert(ix(A, "LINESTRING (4 0, 6 2)") == "POINT (4.0 0.0)")
+    // mixed run + crossing → GEOMETRYCOLLECTION (lines first)
+    assert(ix("LINESTRING (0 0, 4 0, 4 4)",
+      "MULTILINESTRING ((1 0, 2 0), (0 2, 9 2))") ==
+      "GEOMETRYCOLLECTION (LINESTRING (1.0 0.0, 2.0 0.0), POINT (4.0 2.0))")
+    // a crossing point lying ON a kept run is absorbed by the run
+    assert(ix(A, "MULTILINESTRING ((1 0, 3 0), (2 -1, 2 1))") ==
+      "LINESTRING (1.0 0.0, 3.0 0.0)")
+    // disjoint → the point-set empty
+    assert(ix(A, "LINESTRING (0 5, 1 5)") == "MULTIPOINT EMPTY")
+    // point(s) ∩ everything: covered members survive, dedupe + sort
+    assert(ix("POINT (2 0)", A) == "POINT (2.0 0.0)")
+    assert(ix("POINT (2 9)", A) == "MULTIPOINT EMPTY")
+    assert(ix("MULTIPOINT ((2 0), (9 9), (4 0))", A) ==
+      "MULTIPOINT ((2.0 0.0), (4.0 0.0))")
+    assert(ix("MULTIPOINT ((1 1), (3 3))", "MULTIPOINT ((3 3), (5 5))") ==
+      "POINT (3.0 3.0)")
+    val R = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert(ix("MULTIPOINT ((2 2), (9 9), (4 4))", R) ==
+      "MULTIPOINT ((2.0 2.0), (4.0 4.0))") // inside + boundary corner
+    assert(ix(R, "POINT (2 2)") == "POINT (2.0 2.0)")
+    // GEOMETRYCOLLECTION operands decompose; results absorb
+    assert(ix("GEOMETRYCOLLECTION (POINT (2 0), LINESTRING (1 0, 2 0))",
+      A) == "LINESTRING (1.0 0.0, 2.0 0.0)")
+    assert(ix(A,
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 1 0), POINT (3 0))") ==
+      "GEOMETRYCOLLECTION (LINESTRING (0.0 0.0, 1.0 0.0), POINT (3.0 0.0))")
+    assert(ix("GEOMETRYCOLLECTION (POINT (9 9))", A) == "MULTIPOINT EMPTY")
+    assert(ix("GEOMETRYCOLLECTION EMPTY", A) == "MULTIPOINT EMPTY")
   }
 
   test("line−line st_difference: collinear coverage, touches, collections (r15)") {
