@@ -3112,8 +3112,7 @@ object WktCore {
       name: String): UTF8String = {
     // Non-areal operands: ∪ (r14) and − and ∩ (r15) are TOTAL over the
     // kind matrix — collections decompose, point sets test coverage,
-    // line pairs ride the noded per-part scan; the only remaining loud
-    // shape is a collection MINUEND in −.
+    // line pairs ride the noded per-part scan.
     val aLine = isLineKindWkt(a)
     val bLine = isLineKindWkt(b)
     def pointish(t: String): Boolean =
@@ -3128,6 +3127,21 @@ object WktCore {
       if (op == 1) // union of ANY kinds: the mixed decompose-and-absorb
         return UTF8String.fromString(finishMixed(unionMixed(aT, bT)))
       if (op == 2) {
+        // collection MINUEND (r15 follow-up): difference distributes
+        // over the minuend's union — (m1 ∪ m2) − b = (m1−b) ∪ (m2−b),
+        // so members subtract independently and the results fold
+        // through the mixed-union absorb (a fully-consumed collection
+        // renders the fold's canonical POLYGON EMPTY). With this, all
+        // three set operations are TOTAL over the kind matrix.
+        if (isCollectionText(aT)) {
+          val parts = parseCollection(aT)
+            .map(m => differenceWkt(UTF8String.fromString(m), b).toString)
+          val folded = finishMixed(
+            parts.reduceOption(unionMixed).getOrElse("POLYGON EMPTY"))
+          return UTF8String.fromString(
+            if (isEmptyGeom(UTF8String.fromString(folded))) "POLYGON EMPTY"
+            else folded)
+        }
         // collection SUBTRAHEND (r15, verdict missing #2): decompose
         // over members as a SEQUENTIAL difference chain a − m1 − m2 − …
         // (the overlay's pinch rule: never union-then-subtract); an
@@ -3201,11 +3215,9 @@ object WktCore {
             else if (keep.length == 2) pointStr(keep(0), keep(1)).toString
             else fmtMultiPoint(keep.toArray))
         }
-        throw new IllegalArgumentException(
-          s"$name: difference is supported for every minuend kind except " +
-            "GEOMETRYCOLLECTION (subtrahend collections decompose; a " +
-            "collection minuend does not - decompose it first); " +
-            s"got '$aT' − '$bT'")
+        // every kind pair is dispatched above (the matrix is total)
+        throw new IllegalStateException(
+          s"$name: unreachable difference shape '$aT' − '$bT'")
       }
       // op == 0: INTERSECTION — TOTAL over the kind matrix as of r15.
       // GEOMETRYCOLLECTION operands decompose over members (∩

@@ -2004,7 +2004,15 @@ object Scalars extends QueryModule {
               GeoFix.dstr(col("cy")), lit("), ("),
               GeoFix.dstr(col("cx") + col("a")), lit(" "),
               GeoFix.dstr(col("cy") + col("b")), lit("))")),
-            point(col("cx"), col("cy"))).as("d_pp"))
+            point(col("cx"), col("cy"))).as("d_pp"),
+          // collection MINUEND: members subtract independently (the
+          // line member is fully covered; the far point survives)
+          f("st_difference",
+            concat(lit("GEOMETRYCOLLECTION ("),
+              point(col("cx"), col("cy") + col("b") * 5), lit(", "),
+              line(Seq((col("cx"), col("cy")),
+                (col("cx") + col("a"), col("cy")))), lit(")")),
+            col("bse")).as("d_gcm"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3640,7 +3648,9 @@ object Scalars extends QueryModule {
         |  concat('LINESTRING (', x1, ' ', sy, ', ', x4, ' ', sy, ')')
         |    AS d_gc,
         |  'LINESTRING EMPTY' AS d_all,
-        |  concat('POINT (', x1, ' ', CAST(cy + b AS VARCHAR), ')') AS d_pp
+        |  concat('POINT (', x1, ' ', CAST(cy + b AS VARCHAR), ')') AS d_pp,
+        |  concat('POINT (', x0, ' ', CAST(cy + 5 * b AS VARCHAR), ')')
+        |    AS d_gcm
         |FROM w ORDER BY n_nationkey""".stripMargin,
 
     "sc21_geo" -> {

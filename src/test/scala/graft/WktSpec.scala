@@ -802,10 +802,19 @@ class WktSpec extends SparkSpec {
         " LINESTRING (3 0, 3 4))") ==
       "POLYGON ((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 4.0, 2.0 0.0))")
     assert(d(A, "GEOMETRYCOLLECTION EMPTY") == "LINESTRING (0.0 0.0, 4.0 0.0)")
-    // collection MINUEND stays loud, documented
-    intercept[IllegalArgumentException] {
-      d("GEOMETRYCOLLECTION (POINT (1 1))", A)
-    }
+    // collection MINUEND (r15 follow-up): members subtract
+    // independently — difference distributes over the minuend's union —
+    // and results absorb through the mixed union
+    assert(d("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 0))",
+      A) == "POINT (1.0 1.0)") // the line member is fully covered
+    assert(d("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 1, 2 1))",
+      "POINT (9 9)") ==
+      "GEOMETRYCOLLECTION (LINESTRING (0.0 1.0, 2.0 1.0), POINT (5.0 5.0))")
+    assert(d("GEOMETRYCOLLECTION (POINT (0 0))", "POINT (0 0)") ==
+      "POLYGON EMPTY") // a fully-consumed collection: the fold's empty
+    assert(d(
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), POINT (9 9))",
+      "POINT (9 9)") == "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
   }
 
   test("st_distance matrix / st_equals / extended within-overlaps (r13)") {
