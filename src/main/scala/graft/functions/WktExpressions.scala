@@ -2304,12 +2304,26 @@ object WktCore {
   /** Codegen entry: st_length(lineWkt) — planar length, segment
     * hypots accumulated in point order (same mirroring contract).
     * MULTILINESTRING sums its parts in order; EMPTY is 0 (r13, so the
-    * line-clip outputs are measurable). */
+    * line-clip outputs are measurable). r15: point sets measure 0 and
+    * GEOMETRYCOLLECTION sums its members (the sc21aa decomposing
+    * convention) — so the mixed line×line intersection outputs are
+    * measurable too; areal operands stay loud (Trino's ST_Length is
+    * not a perimeter). */
   def length(line: UTF8String): Double = {
     val t = line.toString.trim
     if (isGeographyText(t)) return geographyLength(t) // meters (r13)
     if (t.equalsIgnoreCase("LINESTRING EMPTY") ||
         t.equalsIgnoreCase("MULTILINESTRING EMPTY")) return 0.0
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+      parsePoint(t); return 0.0
+    }
+    if (isMultiPointText(t)) {
+      if (!t.equalsIgnoreCase("MULTIPOINT EMPTY")) parseMultiPoint(t)
+      return 0.0
+    }
+    if (isCollectionText(t))
+      return parseCollection(t)
+        .map(c => length(UTF8String.fromString(c))).sum
     val parts: Seq[Array[Double]] =
       if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
         parseMultiLineString(t)

@@ -347,6 +347,18 @@ class WktFuzzSpec extends AnyFunSuite {
       val box = "POLYGON ((-100 -100, 100 -100, 100 100, -100 100, -100 -100))"
       assert(WktCore.length(u(WktCore.intersectionWkt(ua, u(box)).toString))
         == WktCore.length(ua), s"trial $trial cover-clip\nA=$a")
+      // r15 ∩/− duality: the covered runs and the kept runs PARTITION
+      // the minuend under the shared noding — length(a ∩ b) +
+      // length(a − b) = length(a) for every pair (contact points are
+      // measure-zero; length decomposes over the mixed outputs; the
+      // dyadic staircase grid keeps the identity exact)
+      val ixLen = WktCore.length(u(
+        WktCore.intersectionWkt(ua, ub).toString))
+      val dfLen = WktCore.length(u(
+        WktCore.differenceWkt(ua, ub).toString))
+      assert(math.abs(ixLen + dfLen - WktCore.length(ua)) < 1e-9,
+        s"trial $trial duality: $ixLen + $dfLen != ${WktCore.length(ua)}" +
+          s"\nA=$a\nB=$b")
     }
     info(s"contact pairs: $contacts of 60; multiline operands: $multis")
   }
