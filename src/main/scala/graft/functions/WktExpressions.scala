@@ -672,6 +672,11 @@ object WktCore {
           i += 1
         }
       }
+    } else if (isCollectionText(t)) {
+      // GEOMETRYCOLLECTION (r15): the segment set is the union over
+      // members (EMPTY members contribute no segments)
+      parseCollection(t).foreach(c =>
+        out ++= segmentsOf(UTF8String.fromString(c)))
     } else {
       geomPolys(g).foreach { case (shell, holes) =>
         (shell +: holes.toSeq).foreach { c =>
@@ -727,16 +732,10 @@ object WktCore {
   def nearestPointsWkt(a: UTF8String, b: UTF8String): ArrayData = {
     val ta = a.toString.trim
     val tb = b.toString.trim
-    // every EMPTY spelling returns NULL (Trino's convention) — r14
-    // ADVICE fix: MULTIPOINT/MULTILINESTRING EMPTY used to fall through
-    // to the parsers and throw instead
-    def empt(t: String): Boolean =
-      t.equalsIgnoreCase("POLYGON EMPTY") ||
-        t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
-        t.equalsIgnoreCase("LINESTRING EMPTY") ||
-        t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
-        t.equalsIgnoreCase("MULTIPOINT EMPTY")
-    if (empt(ta) || empt(tb)) return null
+    // every EMPTY operand returns NULL (Trino's convention) — r14
+    // ADVICE fix widened in r15: isEmptyGeom covers every spelling AND
+    // collections whose members are all empty
+    if (isEmptyGeom(a) || isEmptyGeom(b)) return null
     // MULTIPOINT operands route through the distance kernel's zero
     // test (the areal intersects test does not apply to point sets)
     if (isMultiPointText(ta) || isMultiPointText(tb))
@@ -746,8 +745,13 @@ object WktCore {
     else require(!intersectsWkt(a, b),
       "geometry_nearest_points: inputs intersect (distance 0) - the " +
         "nearest pair is not unique; test st_intersects first")
+    // GEOMETRYCOLLECTION operands (r15) need no special casing beyond
+    // this point: segmentsOf unions the members' segments, and the
+    // argmin over segment pairs is the collection min
     val sa = segmentsOf(a)
     val sb = segmentsOf(b)
+    require(sa.nonEmpty && sb.nonEmpty,
+      "geometry_nearest_points: operand has no coordinates")
     var best = Double.MaxValue
     var ax = 0.0; var ay = 0.0; var bx = 0.0; var by = 0.0
     // projection of p onto segment (ux,uy)-(vx,vy); writes (d2, x, y)

@@ -1035,6 +1035,16 @@ class WktSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WktCore.nearestPointsWkt(u(sq), u("POLYGON ((0.5 0.5, 2 0.5, 2 2, 0.5 2, 0.5 0.5))"))
     }
+    // GEOMETRYCOLLECTION operands (r15): argmin over member segments;
+    // EMPTY members contribute nothing; all-empty collections are NULL
+    assert(np("GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (3 0, 4 0))",
+      "POINT (0 0)") == ("POINT (3.0 0.0)", "POINT (0.0 0.0)"))
+    assert(np("GEOMETRYCOLLECTION (LINESTRING EMPTY, POINT (0 3))", sq) ==
+      ("POINT (0.0 3.0)", "POINT (0.0 1.0)"))
+    assert(WktCore.nearestPointsWkt(
+      u("GEOMETRYCOLLECTION (MULTIPOINT EMPTY)"), u(sq)) == null)
+    assert(WktCore.nearestPointsWkt(
+      u("GEOMETRYCOLLECTION EMPTY"), u(sq)) == null)
 
     // st_issimple over the matrix
     assert(WktCore.isSimpleWkt(u("POINT (1 2)")))
