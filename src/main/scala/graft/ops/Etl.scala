@@ -1146,9 +1146,9 @@ object Etl extends QueryModule {
     // form (arity-dispatched pre-pass; the old regex rename broke on
     // it), strrpos (reversed-needle arithmetic, empty needle loud),
     // day_of_month, is_json_scalar (text-level under json-as-varchar).
-    // Remaining documented miss: the 3-arg from_unixtime offset form
-    // (loud). dot_product over ARRAYs closed in r15 — native dual
-    // dispatch, oracle-gated at p2ag.
+    // dot_product over ARRAYs closed in r15 (native dual dispatch,
+    // oracle-gated at p2ag); the 3-arg from_unixtime offset form also
+    // closed in r15 (instant shift, oracle-gated at p2ah).
     "p2ad_presto_scalar_closures3" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.sql(s,
@@ -1293,7 +1293,11 @@ object Etl extends QueryModule {
           |  width_bucket(CAST("p_size" AS DOUBLE),
           |    ARRAY[10.0, 20.0, 35.0]) AS wb,
           |  DOUBLE '1.5' * "p_size" AS dl,
-          |  CAST(BIGINT '1000' + TINYINT '7' AS BIGINT) AS tl
+          |  CAST(BIGINT '1000' + TINYINT '7' AS BIGINT) AS tl,
+          |  CAST(hour(from_unixtime("p_partkey" * 3600, 5, 30))
+          |    AS BIGINT) AS h_off,
+          |  CAST(minute(from_unixtime("p_partkey" * 3600, 5, 30))
+          |    AS BIGINT) AS m_off
           |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
     }),
 
@@ -2624,7 +2628,9 @@ object Etl extends QueryModule {
         |    (CASE WHEN p_size >= 20 THEN 1 ELSE 0 END) +
         |    (CASE WHEN p_size >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS wb,
         |  CAST(1.5 * p_size AS DOUBLE) AS dl,
-        |  CAST(1007 AS BIGINT) AS tl
+        |  CAST(1007 AS BIGINT) AS tl,
+        |  CAST((p_partkey % 24 + 5) % 24 AS BIGINT) AS h_off,
+        |  CAST(30 AS BIGINT) AS m_off
         |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
 
     // p2t5: the sc21o closed forms under the dialect spellings

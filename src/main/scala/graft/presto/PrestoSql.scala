@@ -4871,7 +4871,9 @@ object PrestoSql {
     * same-named builtin returns a formatted STRING — a silent type
     * trap), the 2-arg (seconds, zone) form renders the instant at the
     * zone's wall clock (the at_timezone mapping under the pinned-UTC
-    * contract). The 3-arg hours/minutes-offset form fails loudly.
+    * contract), and the 3-arg (seconds, hours, minutes) form (r15)
+    * renders the wall clock at the fixed ±hh:mm offset via the same
+    * instant shift.
     *
     * DOCUMENTED DIVERGENCE (r14, same contract note as with_timezone /
     * at_timezone): Trino's 2-arg form returns a timestamp WITH time
@@ -4889,8 +4891,15 @@ object PrestoSql {
         case 1 => s"timestamp_seconds(${args(0)})"
         case 2 =>
           s"from_utc_timestamp(timestamp_seconds(${args(0)}), ${args(1)})"
+        case 3 =>
+          // hours/minutes OFFSET form (r15): the wall clock at a fixed
+          // ±hh:mm offset is the UTC instant shifted by the offset —
+          // the same instant-shift contract (and the same documented
+          // to_unixtime round-trip divergence) as the 2-arg zone form
+          s"timestamp_seconds((${args(0)}) + (${args(1)}) * 3600 + " +
+            s"(${args(2)}) * 60)"
         case n => throw new IllegalArgumentException(
-          s"from_unixtime: the $n-arg offset form is not supported")
+          s"from_unixtime takes 1-3 arguments, got $n")
       }
     }
 

@@ -243,12 +243,23 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getLong(3) == 10L)
     assert(r.getLong(4) == 5L && r.getLong(5) == 0L)
     assert(r.getBoolean(6) && !r.getBoolean(7))
-    // the empty-needle edge and the 3-arg offset form stay loud
+    // the empty-needle edge stays loud
     intercept[Throwable] {
       PrestoSql.sql(spark, "SELECT strrpos('abc', '') AS v").collect()
     }
+    // the 3-arg offset form is DEFINED as of r15: the wall clock at a
+    // fixed ±hh:mm offset (same instant-shift contract as the 2-arg
+    // zone form); 4+ args stay loud
+    val off = PrestoSql.sql(spark,
+      "SELECT hour(from_unixtime(0, 5, 30)) AS h," +
+        " minute(from_unixtime(0, 5, 30)) AS m," +
+        " hour(from_unixtime(0, -3, -15)) AS hn," +
+        " minute(from_unixtime(0, -3, -15)) AS mn").head()
+    assert(off.get(0).toString.toInt == 5 && off.get(1).toString.toInt == 30)
+    assert(off.get(2).toString.toInt == 20 && off.get(3).toString.toInt == 45)
     intercept[Throwable] {
-      PrestoSql.sql(spark, "SELECT from_unixtime(0, 5, 30) AS v").collect()
+      PrestoSql.sql(spark, "SELECT from_unixtime(0, 5, 30, 1) AS v")
+        .collect()
     }
   }
 
