@@ -1910,27 +1910,73 @@ object WktCore {
   }
 
   /** Codegen entry: st_equals(aWkt, bWkt) — OGC geometric equality as
-    * point sets: POINT×POINT coordinate equality; areal pairs via two
-    * empty overlay differences (A − B and B − A both empty). LINESTRING
-    * operands are out of scope, loud (r13). */
+    * point sets, TOTAL over the kind matrix as of r15:
+    *  - every EMPTY equals every EMPTY (∅ = ∅, whatever the declared
+    *    kind — the point-set rule);
+    *  - point sets (POINT / MULTIPOINT) compare as distinct coordinate
+    *    sets;
+    *  - line kinds compare via TWO empty noded differences (a − b and
+    *    b − a — the same two-empty-differences rule the areal pairs
+    *    have used since r13, on lineLineDifference);
+    *  - areal pairs via two empty overlay differences (unchanged);
+    *  - GEOMETRYCOLLECTION operands self-absorb first (union with
+    *    themselves drops members covered by higher dimensions), then
+    *    compare component-wise per dimension;
+    *  - cross-dimension pairs are false (the model parse-rejects the
+    *    degenerate zero-measure geometries that could tie them). */
   def equalsWkt(a: UTF8String, b: UTF8String): Boolean = {
-    val ka = WktOverlay.kindOf(a)
-    val kb = WktOverlay.kindOf(b)
-    if (ka != kb) return false
-    require(ka != 1, "st_equals: LINESTRING operands are out of scope - " +
-      "compare endpoints/lengths or use st_intersects for containment")
-    if (ka == 0) {
-      val p = parsePoint(a.toString); val q = parsePoint(b.toString)
-      p(0) == q(0) && p(1) == q(1)
-    } else {
-      val ga = geomPolys(a)
-      val gb = geomPolysB(b)
-      if (ga.isEmpty || gb.isEmpty) return ga.isEmpty && gb.isEmpty
-      requireValidGeom(ga, a)
-      requireValidGeom(gb, b)
-      WktOverlay.overlay(ga, gb, 2, "st_equals").isEmpty &&
-        WktOverlay.overlay(gb, ga, 2, "st_equals").isEmpty
+    val ta = a.toString.trim
+    val tb = b.toString.trim
+    if (isEmptyGeom(a) || isEmptyGeom(b))
+      return isEmptyGeom(a) && isEmptyGeom(b)
+    def pointish(t: String): Boolean =
+      t.regionMatches(true, 0, "POINT", 0, 5) || isMultiPointText(t)
+    def ptSet(t: String): Set[(Double, Double)] =
+      (if (isMultiPointText(t)) parseMultiPoint(t) else parsePoint(t))
+        .grouped(2).map(p => (p(0), p(1))).toSet
+    // GC operands (r15): absorb (self-union), then compare components
+    if (isCollectionText(ta) || isCollectionText(tb)) {
+      val aa = finishMixed(unionMixed(ta, ta))
+      val ba = finishMixed(unionMixed(tb, tb))
+      if (!isCollectionText(aa) && !isCollectionText(ba))
+        return equalsWkt(UTF8String.fromString(aa),
+          UTF8String.fromString(ba))
+      if (!isCollectionText(aa) || !isCollectionText(ba)) return false
+      val (pa, la, qa) = decomposeMixed(aa)
+      val (pb, lb, qb) = decomposeMixed(ba)
+      val arealEq = {
+        val ea = pa.equalsIgnoreCase("POLYGON EMPTY")
+        val eb = pb.equalsIgnoreCase("POLYGON EMPTY")
+        if (ea || eb) ea && eb
+        else equalsWkt(UTF8String.fromString(pa), UTF8String.fromString(pb))
+      }
+      val linesEq =
+        if (la.isEmpty || lb.isEmpty) la.isEmpty && lb.isEmpty
+        else WktOverlay.lineLineDifference(la, lb).isEmpty &&
+          WktOverlay.lineLineDifference(lb, la).isEmpty
+      val ptsEq = qa.grouped(2).map(p => (p(0), p(1))).toSet ==
+        qb.grouped(2).map(p => (p(0), p(1))).toSet
+      return arealEq && linesEq && ptsEq
     }
+    if (pointish(ta) || pointish(tb)) {
+      if (!(pointish(ta) && pointish(tb))) return false
+      return ptSet(ta) == ptSet(tb)
+    }
+    val aLineK = isLineKindWkt(a)
+    val bLineK = isLineKindWkt(b)
+    if (aLineK || bLineK) {
+      if (!(aLineK && bLineK)) return false
+      val pa = lineParts(ta)
+      val pb = lineParts(tb)
+      return WktOverlay.lineLineDifference(pa, pb).isEmpty &&
+        WktOverlay.lineLineDifference(pb, pa).isEmpty
+    }
+    val ga = geomPolys(a)
+    val gb = geomPolysB(b)
+    requireValidGeom(ga, a)
+    requireValidGeom(gb, b)
+    WktOverlay.overlay(ga, gb, 2, "st_equals").isEmpty &&
+      WktOverlay.overlay(gb, ga, 2, "st_equals").isEmpty
   }
 
   /** Codegen entry: st_area(polygonWkt) — planar shoelace area of the

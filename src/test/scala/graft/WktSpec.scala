@@ -703,6 +703,48 @@ class WktSpec extends SparkSpec {
       u("LINESTRING (0 1, 1 0)")).toString == "LINESTRING (0.0 0.0, 1.0 1.0)")
   }
 
+  test("st_equals total kind matrix: lines, point sets, collections, empties (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def eq(a: String, b: String) = WktCore.equalsWkt(u(a), u(b))
+    // line kinds: point-set equality via two empty noded differences —
+    // extra collinear vertices, reversed direction, and part splits at
+    // interior points are all the same point set
+    assert(eq("LINESTRING (0 0, 4 0)", "LINESTRING (4 0, 2 0, 0 0)"))
+    assert(eq("LINESTRING (0 0, 4 0)",
+      "MULTILINESTRING ((0 0, 1 0), (1 0, 4 0))"))
+    assert(!eq("LINESTRING (0 0, 4 0)", "LINESTRING (0 0, 3 0)"))
+    assert(!eq("LINESTRING (0 0, 4 0)",
+      "MULTILINESTRING ((0 0, 1 0), (2 0, 4 0))"))
+    // point sets: distinct coordinate sets (repeats collapse)
+    assert(eq("MULTIPOINT ((1 2))", "POINT (1 2)"))
+    assert(eq("MULTIPOINT ((1 2), (1 2), (3 4))", "MULTIPOINT ((3 4), (1 2))"))
+    assert(!eq("MULTIPOINT ((1 2), (3 4))", "POINT (1 2)"))
+    // cross-dimension is false, not loud
+    assert(!eq("POINT (1 1)", "LINESTRING (0 0, 2 2)"))
+    assert(!eq("LINESTRING (0 0, 1 0)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    // every EMPTY equals every EMPTY (the point-set rule)
+    assert(eq("POLYGON EMPTY", "LINESTRING EMPTY"))
+    assert(eq("MULTIPOINT EMPTY", "GEOMETRYCOLLECTION EMPTY"))
+    assert(!eq("POLYGON EMPTY", "POINT (0 0)"))
+    // collections: self-absorb (covered members drop), then compare
+    // per dimension; a single-member collection equals its member
+    assert(eq("GEOMETRYCOLLECTION (POINT (1 2))", "POINT (1 2)"))
+    assert(eq(
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), POINT (1 0))",
+      "LINESTRING (0 0, 2 0)")) // the on-line point absorbs
+    assert(eq(
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), POINT (5 5))",
+      "GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (2 0, 1 0), " +
+        "LINESTRING (1 0, 0 0))"))
+    assert(!eq(
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), POINT (5 5))",
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), POINT (6 6))"))
+    assert(!eq("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+      "POINT (1 2)"))
+  }
+
   test("st_intersection total kind matrix: line×line, points, collections (r15)") {
     import graft.functions.WktCore
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
