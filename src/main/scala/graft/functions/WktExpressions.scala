@@ -3910,20 +3910,35 @@ object WktCore {
   }
 
   /** Codegen entry: st_convexhull(geomWkt) — Andrew's monotone chain
-    * over the geometry's vertices (POINT / LINESTRING point set /
-    * POLYGON ring). Output is the minimal hull ring, CCW, starting at
+    * over the geometry's vertices, TOTAL over the kind matrix as of
+    * r15 (multi-kinds flatten their parts' vertices; a
+    * GEOMETRYCOLLECTION unions its members' vertex sets; interior-ring
+    * vertices are included — harmless, the hull ignores interior
+    * points). Output is the minimal hull ring, CCW, starting at
     * the lexicographically smallest vertex — deterministic; collinear
     * boundary points are DROPPED (strict turns only), matching the
     * minimal-vertex hull every classical presentation produces.
-    * Degenerate inputs (all points collinear) throw loudly — this
-    * engine's geometry model has no LINESTRING-valued hull. */
+    * Degenerate inputs (all points collinear, or EMPTY) throw loudly —
+    * this engine's geometry model has no LINESTRING-valued hull. */
   def convexHullWkt(g: UTF8String): UTF8String = {
-    val t = g.toString.trim
-    val c =
-      if (t.regionMatches(true, 0, "POLYGON", 0, 7)) parsePolygon(t)
+    def coordsOf(t0: String): Array[Double] = {
+      val t = t0.trim
+      if (isEmptyGeom(UTF8String.fromString(t))) Array.emptyDoubleArray
+      else if (isCollectionText(t))
+        parseCollection(t).toArray.flatMap(coordsOf)
+      else if (isMultiPointText(t)) parseMultiPoint(t)
+      else if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15))
+        lineParts(t).flatten
       else if (t.regionMatches(true, 0, "LINESTRING", 0, 10))
         parseLineString(t)
+      else if (t.regionMatches(true, 0, "POLYGON", 0, 7) ||
+          t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+        geomPolys(UTF8String.fromString(t))
+          .flatMap { case (shell, holes) => shell +: holes.toSeq }.flatten
       else parsePoint(t)
+    }
+    val c = coordsOf(g.toString)
+    require(c.nonEmpty, "st_convexhull: EMPTY geometry has no hull")
     val out = monotoneChain(c)
     require(out.length >= 6, "st_convexhull: all points collinear - the " +
       "hull degenerates to a segment, which this geometry model cannot " +

@@ -2128,7 +2128,15 @@ object Scalars extends QueryModule {
           f("st_buffer", lit("GEOMETRYCOLLECTION EMPTY"), col("b"))
             .as("gc_empty"),
           q6(GF.stArea(f("st_buffer", col("gcskip"), col("b"))))
-            .as("gc_skip_q6"))
+            .as("gc_skip_q6"),
+          // r15: st_convexhull total over the kind matrix — hull of a
+          // non-collinear MULTIPOINT and of the mixed collection
+          f("st_convexhull", concat(lit("MULTIPOINT (("),
+            dstr(col("cx")), lit(" "), dstr(col("cy")), lit("), ("),
+            dstr(col("cx") + col("a")), lit(" "), dstr(col("cy")),
+            lit("), ("), dstr(col("cx")), lit(" "),
+            dstr(col("cy") + col("b")), lit("))"))).as("hull_mp"),
+          f("st_convexhull", col("gcmix")).as("hull_gc"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3611,7 +3619,20 @@ object Scalars extends QueryModule {
         |  CAST(3 AS BIGINT) AS gc_n,
         |  'POLYGON EMPTY' AS gc_empty,
         |  CAST(floor(16 * b * b * sin(pi() / 16) * 1e6 + 0.5) AS BIGINT)
-        |    AS gc_skip_q6
+        |    AS gc_skip_q6,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx + a AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy + b AS VARCHAR), ', ', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), '))') AS hull_mp,
+        |  concat('POLYGON ((', CAST(cx AS VARCHAR), ' ',
+        |    CAST(cy AS VARCHAR), ', ',
+        |    CAST(cx + 200 + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+        |    ', ', CAST(cx + 200 + 2 * a AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b AS VARCHAR), ', ',
+        |    CAST(cx + 200 AS VARCHAR), ' ', CAST(cy + 2 * b AS VARCHAR),
+        |    ', ', CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), '))')
+        |    AS hull_gc
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21ad: canonical texts by string construction (kept chains in

@@ -703,6 +703,30 @@ class WktSpec extends SparkSpec {
       u("LINESTRING (0 1, 1 0)")).toString == "LINESTRING (0.0 0.0, 1.0 1.0)")
   }
 
+  test("st_convexhull total kind matrix (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def h(s: String) = WktCore.convexHullWkt(u(s)).toString
+    assert(h("MULTIPOINT ((0 0), (4 0), (0 3), (1 1))") ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 0.0 3.0, 0.0 0.0))")
+    assert(h("MULTILINESTRING ((0 0, 2 0), (0 2, 2 2))") ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    assert(h("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((3 0, 4 0, 4 1, 3 1, 3 0)))") ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, 0.0 1.0, 0.0 0.0))")
+    assert(h("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 2 0))") ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 5.0 5.0, 0.0 0.0))")
+    // EMPTY members contribute nothing; all-EMPTY and collinear loud
+    assert(h("GEOMETRYCOLLECTION (LINESTRING EMPTY, " +
+      "MULTIPOINT ((0 0), (1 0), (0 1)))") ==
+      "POLYGON ((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0))")
+    intercept[IllegalArgumentException] { h("MULTIPOINT EMPTY") }
+    intercept[IllegalArgumentException] { h("GEOMETRYCOLLECTION EMPTY") }
+    intercept[IllegalArgumentException] {
+      h("MULTIPOINT ((0 0), (1 0), (2 0))")
+    }
+  }
+
   test("st_equals total kind matrix: lines, point sets, collections, empties (r15)") {
     import graft.functions.WktCore
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
