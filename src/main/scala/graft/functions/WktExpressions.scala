@@ -2235,6 +2235,20 @@ object WktCore {
     // division — mirrorable op-for-op; axis-parallel dyadic fixtures
     // keep every segment length exact)
     val t0 = poly.toString.trim
+    // GEOMETRYCOLLECTION (r15): the centroid of the HIGHEST-dimension
+    // members only (the JTS convention — lower dimensions carry zero
+    // measure against them); areal members fold through the union
+    // first, so the result is the POINT-SET centroid (overlapping
+    // members are not double-weighted). All-EMPTY stays loud.
+    if (isCollectionText(t0)) {
+      val (ar, ln, pt) = decomposeMixed(t0)
+      if (!ar.equalsIgnoreCase("POLYGON EMPTY"))
+        return centroid(UTF8String.fromString(ar), idx)
+      if (ln.nonEmpty)
+        return centroid(UTF8String.fromString(fmtLines(ln)), idx)
+      require(pt.nonEmpty, "st_centroid: empty geometry")
+      return centroid(UTF8String.fromString(fmtMultiPoint(pt)), idx)
+    }
     if (t0.regionMatches(true, 0, "POINT", 0, 5))
       return parsePoint(t0)(idx)
     if (isMultiPointText(t0)) {

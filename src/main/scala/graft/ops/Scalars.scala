@@ -2136,7 +2136,13 @@ object Scalars extends QueryModule {
             dstr(col("cx") + col("a")), lit(" "), dstr(col("cy")),
             lit("), ("), dstr(col("cx")), lit(" "),
             dstr(col("cy") + col("b")), lit("))"))).as("hull_mp"),
-          f("st_convexhull", col("gcmix")).as("hull_gc"))
+          f("st_convexhull", col("gcmix")).as("hull_gc"),
+          // r15: GC centroid = the highest-dimension members' centroid
+          // (the rect member dominates gcmix; gcskip reduces to its
+          // point member)
+          q6(call_function("st_centroid_x", col("gcmix"))).as("cgx_q6"),
+          q6(call_function("st_centroid_y", col("gcmix"))).as("cgy_q6"),
+          q6(call_function("st_centroid_x", col("gcskip"))).as("cpx_q6"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3632,7 +3638,10 @@ object Scalars extends QueryModule {
         |    CAST(cy + 2 * b AS VARCHAR), ', ',
         |    CAST(cx + 200 AS VARCHAR), ' ', CAST(cy + 2 * b AS VARCHAR),
         |    ', ', CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), '))')
-        |    AS hull_gc
+        |    AS hull_gc,
+        |  CAST(floor((cx + 200 + a) * 1e6 + 0.5) AS BIGINT) AS cgx_q6,
+        |  CAST(floor((cy + b) * 1e6 + 0.5) AS BIGINT) AS cgy_q6,
+        |  CAST(floor(cx * 1e6 + 0.5) AS BIGINT) AS cpx_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21ad: canonical texts by string construction (kept chains in
