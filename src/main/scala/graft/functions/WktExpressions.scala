@@ -2340,6 +2340,20 @@ object WktCore {
         val parts = parseMultiLineString(t)
         require(parts.nonEmpty, "st_envelope: empty geometry")
         parts
+      } else if (isMultiPointText(t)) {
+        // MULTIPOINT (r15): the point set's bbox
+        val c = parseMultiPoint(t)
+        require(c.nonEmpty, "st_envelope: empty geometry")
+        Seq(c)
+      } else if (isCollectionText(t)) {
+        // GEOMETRYCOLLECTION (r15): the envelope spans the members'
+        // envelopes (EMPTY members span nothing; all-EMPTY is loud)
+        val members = parseCollection(t)
+          .filterNot(m => isEmptyGeom(UTF8String.fromString(m)))
+        require(members.nonEmpty, "st_envelope: empty geometry")
+        val vals = members.map(m =>
+          envBound(UTF8String.fromString(m), which))
+        return if (which <= 1) vals.min else vals.max
       } else Seq(parsePoint(t))
     var xmin = rings.head(0)
     var ymin = rings.head(1)

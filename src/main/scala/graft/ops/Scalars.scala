@@ -2142,7 +2142,18 @@ object Scalars extends QueryModule {
           // point member)
           q6(call_function("st_centroid_x", col("gcmix"))).as("cgx_q6"),
           q6(call_function("st_centroid_y", col("gcmix"))).as("cgy_q6"),
-          q6(call_function("st_centroid_x", col("gcskip"))).as("cpx_q6"))
+          q6(call_function("st_centroid_x", col("gcskip"))).as("cpx_q6"),
+          // r15: envelope bounds over GC span the members; MULTIPOINT
+          // is its point set's bbox
+          q6(call_function("st_xmax", col("gcmix"))).as("env_xmax_q6"),
+          q6(call_function("st_ymax", col("gcmix"))).as("env_ymax_q6"),
+          q6(call_function("st_xmin", col("gcmix"))).as("env_xmin_q6"),
+          q6(call_function("st_ymax", concat(lit("MULTIPOINT (("),
+            dstr(col("cx")), lit(" "), dstr(col("cy")), lit("), ("),
+            dstr(col("cx") + col("a")), lit(" "), dstr(col("cy")),
+            lit("), ("), dstr(col("cx")), lit(" "),
+            dstr(col("cy") + col("b")), lit("))"))))
+            .as("env_mp_ymax_q6"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3641,7 +3652,12 @@ object Scalars extends QueryModule {
         |    AS hull_gc,
         |  CAST(floor((cx + 200 + a) * 1e6 + 0.5) AS BIGINT) AS cgx_q6,
         |  CAST(floor((cy + b) * 1e6 + 0.5) AS BIGINT) AS cgy_q6,
-        |  CAST(floor(cx * 1e6 + 0.5) AS BIGINT) AS cpx_q6
+        |  CAST(floor(cx * 1e6 + 0.5) AS BIGINT) AS cpx_q6,
+        |  CAST(floor((cx + 200 + 2 * a) * 1e6 + 0.5) AS BIGINT)
+        |    AS env_xmax_q6,
+        |  CAST(floor((cy + 2 * b) * 1e6 + 0.5) AS BIGINT) AS env_ymax_q6,
+        |  CAST(floor(cx * 1e6 + 0.5) AS BIGINT) AS env_xmin_q6,
+        |  CAST(floor((cy + b) * 1e6 + 0.5) AS BIGINT) AS env_mp_ymax_q6
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21ad: canonical texts by string construction (kept chains in

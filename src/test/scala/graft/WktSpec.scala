@@ -703,6 +703,38 @@ class WktSpec extends SparkSpec {
       u("LINESTRING (0 1, 1 0)")).toString == "LINESTRING (0.0 0.0, 1.0 1.0)")
   }
 
+  test("st_envelope / st_centroid over MULTIPOINT and GEOMETRYCOLLECTION (r15)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // MULTIPOINT bbox
+    assert(WktCore.envBound(u("MULTIPOINT ((1 2), (5 -3), (0 7))"), 0) == 0.0)
+    assert(WktCore.envBound(u("MULTIPOINT ((1 2), (5 -3), (0 7))"), 1) == -3.0)
+    assert(WktCore.envBound(u("MULTIPOINT ((1 2), (5 -3), (0 7))"), 2) == 5.0)
+    assert(WktCore.envBound(u("MULTIPOINT ((1 2), (5 -3), (0 7))"), 3) == 7.0)
+    // GC envelope spans members; EMPTY members span nothing
+    val gc = "GEOMETRYCOLLECTION (POINT (9 1), LINESTRING EMPTY, " +
+      "LINESTRING (0 0, 2 5))"
+    assert(WktCore.envBound(u(gc), 0) == 0.0)
+    assert(WktCore.envBound(u(gc), 2) == 9.0)
+    assert(WktCore.envBound(u(gc), 3) == 5.0)
+    intercept[IllegalArgumentException] {
+      WktCore.envBound(u("GEOMETRYCOLLECTION EMPTY"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      WktCore.envBound(u("MULTIPOINT EMPTY"), 0)
+    }
+    // GC centroid: highest-dimension members only
+    assert(WktCore.centroid(u("GEOMETRYCOLLECTION (POINT (9 9), " +
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"), 0) == 1.0)
+    assert(WktCore.centroid(u("GEOMETRYCOLLECTION (POINT (9 9), " +
+      "LINESTRING (0 0, 4 0))"), 1) == 0.0)
+    assert(WktCore.centroid(u("GEOMETRYCOLLECTION (POINT (1 1), " +
+      "POINT (3 5))"), 1) == 3.0)
+    intercept[IllegalArgumentException] {
+      WktCore.centroid(u("GEOMETRYCOLLECTION (LINESTRING EMPTY)"), 0)
+    }
+  }
+
   test("st_convexhull total kind matrix (r15)") {
     import graft.functions.WktCore
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
