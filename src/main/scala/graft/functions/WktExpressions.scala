@@ -866,6 +866,11 @@ object WktCore {
       }
       return true
     }
+    // GEOMETRYCOLLECTION (r15): simple iff every member is (the JTS
+    // rule — simplicity is a per-element property for collections)
+    if (isCollectionText(t))
+      return parseCollection(t)
+        .forall(m => isSimpleWkt(UTF8String.fromString(m)))
     WktOverlay.kindOf(g) match {
       case 0 => parsePoint(t); true
       case 1 => isSimpleChain(parseLineString(t))
@@ -1496,6 +1501,20 @@ object WktCore {
   def simplifyWkt(g: UTF8String, tol: Double): UTF8String = {
     require(tol >= 0, s"simplify_geometry: negative tolerance $tol")
     val t = g.toString.trim
+    // point sets are already minimal; GEOMETRYCOLLECTION simplifies
+    // per member in document order (r15)
+    if (t.regionMatches(true, 0, "POINT", 0, 5)) {
+      val p = parsePoint(t); return pointStr(p(0), p(1))
+    }
+    if (isMultiPointText(t)) {
+      if (t.equalsIgnoreCase("MULTIPOINT EMPTY")) return g
+      return UTF8String.fromString(fmtMultiPoint(parseMultiPoint(t)))
+    }
+    if (isCollectionText(t)) {
+      if (t.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY")) return g
+      return UTF8String.fromString(fmtCollection(parseCollection(t)
+        .map(m => simplifyWkt(UTF8String.fromString(m), tol).toString)))
+    }
     // MULTILINESTRING (r14): DP each part independently, parts in
     // document order (the same per-chain kernel LINESTRING uses)
     if (t.regionMatches(true, 0, "MULTILINESTRING", 0, 15)) {

@@ -2153,7 +2153,28 @@ object Scalars extends QueryModule {
             dstr(col("cx") + col("a")), lit(" "), dstr(col("cy")),
             lit("), ("), dstr(col("cx")), lit(" "),
             dstr(col("cy") + col("b")), lit("))"))))
-            .as("env_mp_ymax_q6"))
+            .as("env_mp_ymax_q6"),
+          // r15: simplify + simplicity over collections — the collinear
+          // interior vertex of the line member drops; simplicity is
+          // per-member (a self-crossing member breaks it)
+          f("simplify_geometry", concat(lit("GEOMETRYCOLLECTION ("),
+            point(col("cx"), col("cy")), lit(", "),
+            line(Seq((col("cx") + 100, col("cy")),
+              (col("cx") + 100 + col("a"), col("cy")),
+              (col("cx") + 100 + col("a") * 2, col("cy")))), lit(")")),
+            col("b") / 4).as("simp_gc"),
+          f("st_issimple", concat(lit("GEOMETRYCOLLECTION ("),
+            point(col("cx"), col("cy")), lit(", "),
+            line(Seq((col("cx") + 100, col("cy")),
+              (col("cx") + 100 + col("a") * 2, col("cy")))), lit(")")))
+            .as("issimp_gc"),
+          f("st_issimple", concat(lit("GEOMETRYCOLLECTION ("),
+            point(col("cx"), col("cy")), lit(", "),
+            line(Seq((col("cx"), col("cy") + col("b")),
+              (col("cx") + col("a") * 2, col("cy") + col("b") * 3),
+              (col("cx") + col("a") * 2, col("cy") + col("b")),
+              (col("cx"), col("cy") + col("b") * 3))), lit(")")))
+            .as("issimp_gc_cross"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -3657,7 +3678,14 @@ object Scalars extends QueryModule {
         |    AS env_xmax_q6,
         |  CAST(floor((cy + 2 * b) * 1e6 + 0.5) AS BIGINT) AS env_ymax_q6,
         |  CAST(floor(cx * 1e6 + 0.5) AS BIGINT) AS env_xmin_q6,
-        |  CAST(floor((cy + b) * 1e6 + 0.5) AS BIGINT) AS env_mp_ymax_q6
+        |  CAST(floor((cy + b) * 1e6 + 0.5) AS BIGINT) AS env_mp_ymax_q6,
+        |  concat('GEOMETRYCOLLECTION (POINT (', CAST(cx AS VARCHAR),
+        |    ' ', CAST(cy AS VARCHAR), '), LINESTRING (',
+        |    CAST(cx + 100 AS VARCHAR), ' ', CAST(cy AS VARCHAR), ', ',
+        |    CAST(cx + 100 + 2 * a AS VARCHAR), ' ', CAST(cy AS VARCHAR),
+        |    '))') AS simp_gc,
+        |  true AS issimp_gc,
+        |  false AS issimp_gc_cross
         |FROM p ORDER BY n_nationkey""".stripMargin,
 
     // sc21ad: canonical texts by string construction (kept chains in
