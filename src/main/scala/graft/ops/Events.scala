@@ -1070,6 +1070,41 @@ object Events extends QueryModule {
         .orderBy(col("w_start"), col("segment"))
     }),
 
+    // E34: gated streaming MODEL-INFERENCE proof (r15) — a document
+    // STREAM scored against a broadcast model table (l30's lexicon
+    // classifier; a trained weight table broadcasts identically): the
+    // stream-side token explode feeds a broadcast join, per-doc counts
+    // roll up in complete mode (batching-independent → oracle-exact as
+    // a real multi-micro-batch run), and the label is the l30 argmax
+    // chain over the aggregated scores. Docs with NO model hits never
+    // reach the sink (inner model join) — the oracle filters the same.
+    "e34_stream_model_scoring" -> ((s, d) => withStreamStateSizing(s) {
+      import s.implicits._
+      val batch = Tables.documents(s, d)
+      val base = Sources.fixtureOnce("graft_e34", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val lex = (DomainLexicons.storage.map((_, "storage")) ++
+        DomainLexicons.compute.map((_, "compute")) ++
+        DomainLexicons.query.map((_, "query"))).toDF("word", "domain")
+      val qn = "graft_e34_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.lexiconScores(stream, lex)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .withColumn("domain",
+          when(col("s_compute") >= col("s_query") &&
+            col("s_compute") >= col("s_storage"), "compute")
+          .when(col("s_query") >= col("s_storage"), "query")
+          .otherwise("storage"))
+        .select(col("doc_id"), col("s_storage"), col("s_compute"),
+          col("s_query"), col("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E21: gated streaming SLIDING windows — the overlapping-window
     // state shape (each event lands in 4 windows) as a real run;
     // complete-mode counts are batching-independent like e1b/e16/e20.
@@ -1652,6 +1687,32 @@ object Events extends QueryModule {
         |  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k)
         |SELECT w_start_s AS w_start, event_type, COUNT(*) AS n
         |FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "e34_stream_model_scoring" ->
+      // the batch equivalent of the streaming lexicon-model scoring:
+      // per-doc token counts per domain, docs with zero hits filtered
+      // (the inner model join), the l30 argmax chain
+      s"""WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> list_contains(${graft.ops.DomainLexicons.sqlList(
+               graft.ops.DomainLexicons.storage)}, x))) AS BIGINT)
+        |      AS s_storage,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> list_contains(${graft.ops.DomainLexicons.sqlList(
+               graft.ops.DomainLexicons.compute)}, x))) AS BIGINT)
+        |      AS s_compute,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      x -> list_contains(${graft.ops.DomainLexicons.sqlList(
+               graft.ops.DomainLexicons.query)}, x))) AS BIGINT) AS s_query
+        |  FROM documents)
+        |SELECT doc_id, s_storage, s_compute, s_query,
+        |  CASE WHEN s_compute >= s_query AND s_compute >= s_storage
+        |         THEN 'compute'
+        |       WHEN s_query >= s_storage THEN 'query'
+        |       ELSE 'storage' END AS domain
+        |FROM sc WHERE s_storage + s_compute + s_query > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "e20_stream_enrichment" ->
       // the batch equivalent of the stream-static broadcast join +

@@ -244,6 +244,34 @@ object EventStreams {
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n"))
 
+  /** E34-streaming (r15): MODEL INFERENCE over a document stream — the
+    * production scoring shape: stream-side feature explode (tokens) →
+    * broadcast MODEL-table join (here l30's lexicon classifier as
+    * (word, domain) rows; a trained weight table — l69/l70's — would
+    * broadcast identically) → per-doc rollup. The stream never
+    * shuffles for the model: the join is broadcast and the only
+    * shuffle carries per-doc count partials. Complete-mode counts are
+    * batching-independent, so a real micro-batch run is oracle-exact
+    * against the batch derivation. (At 100 TB the same plan runs as a
+    * foreachBatch scoring sink or an append-mode windowed variant;
+    * complete mode here is the PROOF harness, not the deployment
+    * shape.)
+    */
+  def lexiconScores(docs: DataFrame, lexicon: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordTokens(col("text")))
+          .as("tok"))
+      .join(broadcast(lexicon), col("tok") === col("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("domain") === "storage", 1L).otherwise(0L))
+          .as("s_storage"),
+        sum(when(col("domain") === "compute", 1L).otherwise(0L))
+          .as("s_compute"),
+        sum(when(col("domain") === "query", 1L).otherwise(0L))
+          .as("s_query"))
+
   /** E9-streaming: stream-stream interval join — views joined to the
     * same user's purchases within [0, 1h] of the view, both sides
     * watermarked so Spark can bound the join state: a buffered view can
