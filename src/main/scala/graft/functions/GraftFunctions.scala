@@ -27,6 +27,13 @@ object GraftFunctions {
           s"cosine_similarity expects 2 arguments; got ${e.length}")
         CosineSimilarityDispatchExpression(e(0), e(1))
       }),
+    (FunctionIdentifier("to_iso8601"),
+      new ExpressionInfo(classOf[ToIso8601Expression].getName, "to_iso8601"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"to_iso8601 expects 1 argument; got ${e.length}")
+        ToIso8601Expression(e(0))
+      }),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductDispatchExpression].getName,
         "dot_product"),

@@ -2033,12 +2033,11 @@ object PrestoSql {
     // ISO-8601 ingestion (Presto from_iso8601_*): Spark's to_timestamp /
     // to_date parse ISO forms by default.
     "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
-    // Trino to_iso8601(timestamp) — millisecond-precision T-separated
-    // rendering. (The date overload renders without the time part; SQL
-    // temp functions can't overload, so a DATE argument coerces to
-    // midnight and renders with T00:00:00.000 — documented limit.)
-    "to_iso8601(t TIMESTAMP) RETURNS STRING" +
-      " RETURN date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    // to_iso8601 is a NATIVE dual-form expression as of r15 (probe
+    // sweep 5 caught the temp fn rendering DATE arguments with a
+    // spurious T00:00:00.000): DATE → yyyy-MM-dd, TIMESTAMP → the
+    // millisecond T-form. GraftFunctions registers it; declaring a
+    // temp fn here would shadow the native dispatch.
     "from_iso8601_date(s STRING) RETURNS DATE RETURN to_date(s)",
     // Presto json_parse/json_format convert VARCHAR↔JSON; Spark's JSON
     // functions operate on JSON text directly, so both are identities —

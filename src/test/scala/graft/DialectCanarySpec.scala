@@ -113,6 +113,76 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getDouble(6) == 2.0 * math.log(2.0), r.getDouble(6))
   }
 
+  test("r15 probe sweep 5: VALUE pins for spellings that resolved unpinned") {
+    // resolution probes prove a spelling parses; this sweep pins the
+    // VALUES against Trino's documented examples — the silent-wrongness
+    // guard for the long tail
+    def one(q: String) = PrestoSql.sql(spark, s"SELECT $q AS v").head()
+    // repeat is Trino's ARRAY constructor (not string repetition)
+    assert(one("array_join(repeat(7, 3), ',')").getString(0) == "7,7,7")
+    // split: LITERAL delimiter ('.' must not behave as a regex), and
+    // the limit form keeps the remainder in the last slot
+    assert(one("array_join(split('a.b.c', '.'), '|')").getString(0)
+      == "a|b|c")
+    assert(one("array_join(split('a-b-c', '-', 2), '|')").getString(0)
+      == "a|b-c")
+    // ngrams: overlapping n-grams in order
+    assert(one("array_join(transform(ngrams(ARRAY['a','b','c'], 2)," +
+      " g -> array_join(g, '')), ',')").getString(0) == "ab,bc")
+    // 3-arg strpos: the Nth occurrence
+    assert(one("strpos('ababa', 'a', 2)").getLong(0) == 3L)
+    assert(one("strpos('ababa', 'a', 4)").getLong(0) == 0L)
+    // element_at accepts negative indexes (from the end)
+    assert(one("element_at(ARRAY[10, 20, 30], -1)").getInt(0) == 30)
+    // to/from_base round-trip + luhn
+    assert(one("to_base(255, 16)").getString(0) == "ff")
+    assert(one("from_base('ff', 16)").getLong(0) == 255L)
+    assert(one("luhn_check('79927398713')").getBoolean(0))
+    assert(!one("luhn_check('79927398714')").getBoolean(0))
+    // zip pairs positionally, shorter side null-padded (field names are
+    // positional `0`/`1` — Trino's ROW fields are anonymous too, so no
+    // dot-access migration trap exists)
+    assert(one("array_join(transform(zip(ARRAY[1, 2], ARRAY['a']), " +
+      "p -> concat(CAST(p.`0` AS VARCHAR), coalesce(p.`1`, '_')))," +
+      " ',')").getString(0) == "1a,2_")
+    // width_bucket 4-arg edges: below range → 0, above → buckets+1
+    assert(one("width_bucket(-1.0, 0.0, 10.0, 5)").getLong(0) == 0L)
+    assert(one("width_bucket(11.0, 0.0, 10.0, 5)").getLong(0) == 6L)
+    // to_iso8601 / from_iso8601 round trips — sweep-5 FINDING: the old
+    // TIMESTAMP-typed temp fn rendered DATE args as midnight timestamps;
+    // now a native dual-dispatch expression (the cosine pattern)
+    assert(one("to_iso8601(DATE '2020-01-02')").getString(0)
+      == "2020-01-02")
+    assert(one("to_iso8601(TIMESTAMP '2024-03-01 12:30:45.125')")
+      .getString(0) == "2024-03-01T12:30:45.125")
+    assert(one("CAST(from_iso8601_date('2020-01-02') AS VARCHAR)")
+      .getString(0) == "2020-01-02")
+    // MySQL-style date_format/date_parse mirror each other
+    assert(one("date_format(TIMESTAMP '2020-01-02 03:04:05', " +
+      "'%Y-%m-%d %H:%i:%s')").getString(0) == "2020-01-02 03:04:05")
+    assert(one("CAST(date_parse('2020-01-02 03:04:05', " +
+      "'%Y-%m-%d %H:%i:%s') AS VARCHAR)").getString(0)
+      == "2020-01-02 03:04:05")
+    // json accessors on the documented examples
+    assert(one("json_array_get('[10, 20, 30]', 1)").getString(0) == "20")
+    assert(one("json_extract_scalar('{\"a\": {\"b\": 7}}', '$.a.b')")
+      .getString(0) == "7")
+    assert(one("json_size('{\"a\": {\"b\": 1, \"c\": 2}}', '$.a')")
+      .getLong(0) == 2L)
+    // great_circle_distance: the Trino docs' worked example (km)
+    val gcd = one("great_circle_distance(36.12, -86.67, 33.94, -118.40)")
+      .getDouble(0)
+    assert(math.abs(gcd - 2886.4) < 0.5, gcd)
+    // line_locate_point / line_interpolate_point are inverse on the
+    // simple fixture
+    assert(one("line_locate_point(ST_GeometryFromText(" +
+      "'LINESTRING (0 0, 4 0)'), ST_GeometryFromText('POINT (1 0)'))")
+      .getDouble(0) == 0.25)
+    assert(one("ST_AsText(line_interpolate_point(ST_GeometryFromText(" +
+      "'LINESTRING (0 0, 4 0)'), 0.25))").getString(0)
+      == "POINT (1.0 0.0)")
+  }
+
   test("r15 probe-sweep-4 closures: array_histogram, 2-arg width_bucket, numeric typed literals") {
     // the fourth published-spelling sweep (111 probes) found exactly
     // three gaps; each is closed and value-checked here
