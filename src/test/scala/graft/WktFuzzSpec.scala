@@ -359,6 +359,11 @@ class WktFuzzSpec extends AnyFunSuite {
       assert(math.abs(ixLen + dfLen - WktCore.length(ua)) < 1e-9,
         s"trial $trial duality: $ixLen + $dfLen != ${WktCore.length(ua)}" +
           s"\nA=$a\nB=$b")
+      // r15 equals: point-set reflexivity (a − a empty both ways), and
+      // a self-difference that is textually EMPTY
+      assert(WktCore.equalsWkt(ua, ua), s"trial $trial self-equals\nA=$a")
+      assert(WktCore.differenceWkt(ua, ua).toString == "LINESTRING EMPTY",
+        s"trial $trial self-diff\nA=$a")
     }
     info(s"contact pairs: $contacts of 60; multiline operands: $multis")
   }
