@@ -257,13 +257,27 @@ case class DotProductDispatchExpression(left: Expression, right: Expression)
       val ak = x.keyArray(); val av = x.valueArray()
       val bk = y.keyArray(); val bv = y.valueArray()
       val na = x.numElements(); val nb = y.numElements()
-      // coalesce(a[k] * b[k], 0): NULL/missing contributions are skipped
+      // coalesce(a[k] * b[k], 0): NULL contributions count 0; keys
+      // MISSING from b are skipped entirely (not multiplied by a 0.0
+      // sentinel — that would turn Infinity/NaN a-values into NaN
+      // where the codegen path, which skips, returns 0; r15 ADVICE)
       var dot = 0.0
       var i = 0
       while (i < na) {
-        if (!av.isNullAt(i))
-          dot += elemAt(av, i, at) *
-            probe(bk, bv, nb, ak.getUTF8String(i), bt)
+        if (!av.isNullAt(i)) {
+          val k = ak.getUTF8String(i)
+          var j = 0
+          var found = false
+          var yv = 0.0
+          while (j < nb && !found) {
+            if (bk.getUTF8String(j).equals(k)) {
+              found = true
+              if (!bv.isNullAt(j)) yv = elemAt(bv, j, bt)
+            }
+            j += 1
+          }
+          if (found) dot += elemAt(av, i, at) * yv
+        }
         i += 1
       }
       dot

@@ -335,13 +335,19 @@ object WktCore {
     * POINT×POLYGON (containment), POINT×POINT (coordinate equality).
     * A POINT degenerates to its containment test rather than the
     * edge-pair walk. */
+  // ASCII whitespace for the byte-prefix probes — must match what
+  // String.trim strips (trim drops everything ≤ 0x20; the chars that
+  // plausibly lead WKT are space/tab/newline/CR)
+  @inline private def isAsciiSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
   // allocation-free "starts with POINT" (case-insensitive, leading
   // spaces skipped) so the polygon-polygon hot path pays two byte
   // probes, not a String copy
   private def isPointWkt(s: UTF8String): Boolean = {
     var i = 0
     val n = s.numBytes()
-    while (i < n && s.getByte(i) == ' ') i += 1
+    while (i < n && isAsciiSpace(s.getByte(i))) i += 1
     n - i >= 5 &&
       (s.getByte(i) | 0x20) == 'p' && (s.getByte(i + 1) | 0x20) == 'o' &&
       (s.getByte(i + 2) | 0x20) == 'i' && (s.getByte(i + 3) | 0x20) == 'n' &&
@@ -352,7 +358,7 @@ object WktCore {
   private def isLineWkt(s: UTF8String): Boolean = {
     var i = 0
     val n = s.numBytes()
-    while (i < n && s.getByte(i) == ' ') i += 1
+    while (i < n && isAsciiSpace(s.getByte(i))) i += 1
     n - i >= 10 &&
       (s.getByte(i) | 0x20) == 'l' && (s.getByte(i + 1) | 0x20) == 'i' &&
       (s.getByte(i + 2) | 0x20) == 'n' && (s.getByte(i + 3) | 0x20) == 'e' &&
@@ -365,7 +371,10 @@ object WktCore {
   private def hasWktPrefix(s: UTF8String, kw: String): Boolean = {
     var i = 0
     val n = s.numBytes()
-    while (i < n && s.getByte(i) == ' ') i += 1
+    // skip ALL ASCII whitespace, matching the String.trim-based
+    // probes this replaced (r15 ADVICE: space-only skipping sent
+    // tab/newline-prefixed WKT down the wrong parser path)
+    while (i < n && isAsciiSpace(s.getByte(i))) i += 1
     if (n - i < kw.length) return false
     var k = 0
     while (k < kw.length) {
@@ -405,12 +414,15 @@ object WktCore {
     // ANY member does — recursive decomposition. The probe is a byte
     // prefix (r15 ADVICE): the hot areal join path must not pay a
     // String materialization just to rule collections out.
+    // EMPTY members intersect nothing and must not reach the polygon
+    // parser (r16, per the r15 segmentsOf ADVICE: a MULTIPOINT EMPTY
+    // member used to crash the non-collection dispatch below)
     if (isCollectionWkt(a))
       return parseCollection(a.toString.trim).exists(c =>
-        intersectsWkt(UTF8String.fromString(c), b))
+        !isEmptyMemberText(c) && intersectsWkt(UTF8String.fromString(c), b))
     if (isCollectionWkt(b))
       return parseCollection(b.toString.trim).exists(c =>
-        intersectsWkt(a, UTF8String.fromString(c)))
+        !isEmptyMemberText(c) && intersectsWkt(a, UTF8String.fromString(c)))
     // (MULTI)LINESTRING operands (r13/r14) ride the overlay tier's
     // line kernels
     if (isLineKindWkt(a) || isLineKindWkt(b))
@@ -656,8 +668,12 @@ object WktCore {
       out += Array(p(0), p(1), p(0), p(1))
     } else if (isMultiPointText(t)) {
       // each point degenerates to a zero-length segment, so the
-      // distance/nearest-points kernels support MULTIPOINT for free
-      val c = parseMultiPoint(t)
+      // distance/nearest-points kernels support MULTIPOINT for free;
+      // MULTIPOINT EMPTY contributes none (r15 ADVICE: it reached
+      // parseMultiPoint and crashed when a GC member, while the
+      // LINESTRING/MULTILINESTRING EMPTYs were already guarded)
+      val c = if (t.equalsIgnoreCase("MULTIPOINT EMPTY"))
+        Array.empty[Double] else parseMultiPoint(t)
       var i = 0
       while (2 * i < c.length) {
         out += Array(c(2 * i), c(2 * i + 1), c(2 * i), c(2 * i + 1))
@@ -1750,6 +1766,16 @@ object WktCore {
       else throw new IllegalArgumentException(s"unsupported geometry: $t")
     UTF8String.fromString(name)
   }
+
+  /** Exact-match test for the six EMPTY spellings — the cheap member
+    * screen for collection decompositions (no parse, no recursion). */
+  private[functions] def isEmptyMemberText(t: String): Boolean =
+    t.equalsIgnoreCase("POLYGON EMPTY") ||
+      t.equalsIgnoreCase("MULTIPOLYGON EMPTY") ||
+      t.equalsIgnoreCase("LINESTRING EMPTY") ||
+      t.equalsIgnoreCase("MULTILINESTRING EMPTY") ||
+      t.equalsIgnoreCase("MULTIPOINT EMPTY") ||
+      t.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY")
 
   /** st_isempty — true for the EMPTY spellings, and for a
     * GEOMETRYCOLLECTION whose members are all empty (the JTS rule);

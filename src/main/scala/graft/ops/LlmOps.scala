@@ -2715,10 +2715,17 @@ object LlmOps extends QueryModule {
     // BEFORE the gradient sum, so every aggregate is an exact integer
     // sum (association-order-free) and the learning-rate update is
     // integer floorDiv — two runs produce bit-identical weights.
-    // Pre-registered NO-ORACLE (iterative, like l26/l3b/PCA);
-    // LogRegSpec property-tests determinism, loss descent, and ≥99%
-    // training separation on the bigram-only planted signal (the
-    // unigram-blind corpus l68b established).
+    // The bias is FOLDED IN as a pseudo-bucket (bk = B, cnt = 1 per
+    // doc, the classic intercept-as-constant-feature trick, r16): the
+    // score sum then already includes the bias and the bucket-gradient
+    // aggregate's bk = B row IS the bias gradient — one resid
+    // evaluation per step instead of the r14–r15 two (the separate
+    // bias aggregate re-executed the broadcast-join + doc-keyed-agg
+    // chain). Long addition is exact, so the fold is bit-identical to
+    // the split form. Pre-registered NO-ORACLE (iterative, like
+    // l26/l3b/PCA); LogRegSpec property-tests determinism, loss
+    // descent, and ≥99% training separation on the bigram-only planted
+    // signal (the unigram-blind corpus l68b established).
     "l69_logreg_bigram_quality" -> ((s, d) => {
       GF.register(s)
       import s.implicits._
@@ -2733,11 +2740,12 @@ object LlmOps extends QueryModule {
             expr("repeat(' qa1 qa0 qsep', CAST(doc_id % 3 + 1 AS INT))"))))
         .select(col("doc_id"), col("pos"),
           TF.wordTokens(col("btext")).as("ws"))
-      // per-doc bucket counts — the (doc, feature, count) triple table;
-      // checkpointed once, consumed 2× per training step
+      // per-doc bucket counts — the (doc, feature, count) triple table
+      // with the appended bias pseudo-bucket (bk = B, cnt = 1);
+      // checkpointed once, consumed 2× per training step (resid + grad)
       val feats = docs.select(col("doc_id"), col("pos"),
-          explode(transform(TF.kgramHashes(col("ws"), 2),
-            h => pmod(h, lit(B.toLong)))).as("bk"))
+          explode(concat(transform(TF.kgramHashes(col("ws"), 2),
+            h => pmod(h, lit(B.toLong))), array(lit(B.toLong)))).as("bk"))
         .groupBy(col("doc_id"), col("pos"), col("bk"))
         .agg(count(lit(1)).as("cnt"))
         // note: pre-partitioning by doc_id here would NOT remove the
@@ -2749,26 +2757,28 @@ object LlmOps extends QueryModule {
         .localCheckpoint()
       val nDocs = math.max(1L,
         feats.select(col("doc_id")).distinct().count())
-      // q6 fixed-point weights; lr = 4.0 scaled by 1/nDocs inside the
-      // integer update (floorDiv — exact, deterministic)
-      val w = new Array[Long](B)
-      var bias = 0L
+      // q6 fixed-point weights (index B = bias); lr = 4.0 scaled by
+      // 1/nDocs inside the integer update (floorDiv — exact,
+      // deterministic)
+      val w = new Array[Long](B + 1)
       val lrNum = 4L
       val steps = 5
+      def wDf = broadcast(
+        (0 to B).map(k => (k.toLong, w(k))).toDF("bk", "wq"))
       for (_ <- 1 to steps) {
-        val wDf = broadcast(
-          (0 until B).map(k => (k.toLong, w(k))).toDF("bk", "wq"))
-        // residual per doc: gq = round((σ(score) − y) · 1e6) — INTEGER
+        // residual per doc: gq = round((σ(score) − y) · 1e6) — INTEGER;
+        // sq includes the bias via the pseudo-bucket weight
         val resid = feats.join(wDf, "bk")
           .groupBy(col("doc_id"), col("pos"))
           .agg(sum(col("cnt") * col("wq")).as("sq"))
           .select(col("doc_id"), col("pos"),
             floor((lit(1.0) /
-              (lit(1.0) + exp(-(col("sq") + bias) / 1e6)) -
+              (lit(1.0) + exp(-col("sq") / 1e6)) -
               when(col("pos"), 1.0).otherwise(0.0)) * 1e6 + 0.5)
               .cast("long").as("gq"))
-        // integer gradient per bucket (≤ 8192 driver rows — the
-        // k-means driver-state pattern) + the bias row
+        // integer gradient per bucket (≤ 8193 driver rows — the
+        // k-means driver-state pattern); the bk = B row is the bias
+        // gradient (cnt = 1 per doc ⇒ g = Σ gq)
         val grad = feats.join(resid.select(col("doc_id"), col("gq")),
             "doc_id")
           .groupBy(col("bk")).agg(sum(col("cnt") * col("gq")).as("g"))
@@ -2777,17 +2787,13 @@ object LlmOps extends QueryModule {
           val k = r.getLong(0).toInt
           w(k) = w(k) - Math.floorDiv(r.getLong(1) * lrNum, nDocs)
         }
-        val gb = resid.agg(sum(col("gq"))).head.getLong(0)
-        bias = bias - Math.floorDiv(gb * lrNum, nDocs)
       }
-      val wDf = broadcast(
-        (0 until B).map(k => (k.toLong, w(k))).toDF("bk", "wq"))
       feats.join(wDf, "bk")
         .groupBy(col("doc_id"), col("pos"))
         .agg(sum(col("cnt") * col("wq")).as("sq"))
         .select(col("doc_id"), col("pos"),
-          (col("sq") + bias).as("score_q6"),
-          (col("sq") + bias > 0).as("pred"))
+          col("sq").as("score_q6"),
+          (col("sq") > 0).as("pred"))
         .withColumn("correct", col("pred") === col("pos"))
         .orderBy(col("doc_id"))
     }),
@@ -2807,7 +2813,14 @@ object LlmOps extends QueryModule {
     // model cannot separate any class pair. Determinism is l69's, per
     // class: q6 fixed-point integer weights, per-(doc, class)
     // residuals quantized to integers BEFORE the gradient sum,
-    // floorDiv updates — two runs are bit-identical. Prediction =
+    // floorDiv updates — two runs are bit-identical. The K per-class
+    // biases are FOLDED IN as a pseudo-bucket (bk = B, cnt = 1 per
+    // doc, r16, mirroring l69): the (k, bk) weight join then adds each
+    // class's bias into its score sum and the gradient aggregate's
+    // (k, B) rows ARE the K bias gradients — one resid evaluation per
+    // step instead of the r15 two (the separate per-class bias
+    // aggregate re-executed the broadcast-join + doc-keyed-agg chain);
+    // long addition is exact so the fold is bit-identical. Prediction =
     // argmax score with smallest-class tie-break (deterministic).
     // Pre-registered NO-ORACLE (iterative); SoftmaxSpec property-tests
     // bit-determinism, ≥99% separation, and per-class OvR sign.
@@ -2826,28 +2839,26 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("label"),
           TF.wordTokens(col("btext")).as("ws"))
       val feats = docs.select(col("doc_id"), col("label"),
-          explode(transform(TF.kgramHashes(col("ws"), 2),
-            h => pmod(h, lit(B.toLong)))).as("bk"))
+          explode(concat(transform(TF.kgramHashes(col("ws"), 2),
+            h => pmod(h, lit(B.toLong))), array(lit(B.toLong)))).as("bk"))
         .groupBy(col("doc_id"), col("label"), col("bk"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       val nDocs = math.max(1L,
         feats.select(col("doc_id")).distinct().count())
-      val w = Array.ofDim[Long](K, B)
-      val bias = new Array[Long](K)
+      // per-class weights; index B = that class's bias
+      val w = Array.ofDim[Long](K, B + 1)
       val lrNum = 4L
       val steps = 5
-      def weightsDf = broadcast((for (k <- 0 until K; j <- 0 until B)
+      def weightsDf = broadcast((for (k <- 0 until K; j <- 0 to B)
         yield (k, j.toLong, w(k)(j))).toDF("k", "bk", "wq"))
       for (_ <- 1 to steps) {
-        val biasAt =
-          element_at(array(bias.map(lit(_)): _*), col("k") + 1)
         val resid = feats.join(weightsDf, "bk")
           .groupBy(col("doc_id"), col("label"), col("k"))
           .agg(sum(col("cnt") * col("wq")).as("sq"))
           .select(col("doc_id"), col("k"),
             floor((lit(1.0) / (lit(1.0) +
-              exp(-(col("sq") + biasAt) / 1e6)) -
+              exp(-col("sq") / 1e6)) -
               when(col("label") === col("k"), 1.0).otherwise(0.0)) *
               1e6 + 0.5).cast("long").as("gq"))
         val grad = feats.join(resid, "doc_id")
@@ -2858,18 +2869,12 @@ object LlmOps extends QueryModule {
           val k = r.getInt(0); val j = r.getLong(1).toInt
           w(k)(j) = w(k)(j) - Math.floorDiv(r.getLong(2) * lrNum, nDocs)
         }
-        resid.groupBy(col("k")).agg(sum(col("gq")).as("gb")).collect()
-          .foreach { r =>
-            val k = r.getInt(0)
-            bias(k) = bias(k) - Math.floorDiv(r.getLong(1) * lrNum, nDocs)
-          }
       }
-      val biasAt = element_at(array(bias.map(lit(_)): _*), col("k") + 1)
       feats.join(weightsDf, "bk")
         .groupBy(col("doc_id"), col("label"), col("k"))
         .agg(sum(col("cnt") * col("wq")).as("sq"))
         .select(col("doc_id"), col("label"), col("k"),
-          (col("sq") + biasAt).as("score_q6"))
+          col("sq").as("score_q6"))
         .groupBy(col("doc_id"), col("label"))
         .agg(max(when(col("k") === 0, col("score_q6"))).as("s0_q6"),
           max(when(col("k") === 1, col("score_q6"))).as("s1_q6"),

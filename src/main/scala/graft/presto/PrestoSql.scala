@@ -3436,13 +3436,19 @@ object PrestoSql {
     // first bound, size(bins) at/after the last — Trino's contract
     // over an ascending bins array); the 4-arg equal-width form passes
     // through to Spark's own builtin
+    // NULL x returns NULL (not bucket 0 — r15 ADVICE: the bare
+    // aggregate counted IF(NULL >= b) as 0, a silent-value
+    // divergence); NULL bin elements are Trino errors, raised loud
     r = rewriteCall(r, "width_bucket") { args =>
       require(args.size == 2 || args.size == 4,
         s"width_bucket takes 2 or 4 arguments, got ${args.size}")
       if (args.size == 4) s"width_bucket(${args.mkString(", ")})"
-      else s"aggregate((${args(1)}), 0L, (__acc, __b) -> __acc + " +
-        s"IF(CAST((${args(0)}) AS DOUBLE) >= CAST(__b AS DOUBLE), " +
-        "1L, 0L))"
+      else s"IF((${args(0)}) IS NULL, CAST(NULL AS BIGINT), " +
+        s"aggregate((${args(1)}), 0L, (__acc, __b) -> __acc + " +
+        s"CASE WHEN __b IS NULL THEN CAST(raise_error(" +
+        s"'width_bucket: NULL bin bound') AS BIGINT) " +
+        s"WHEN CAST((${args(0)}) AS DOUBLE) >= CAST(__b AS DOUBLE) " +
+        s"THEN 1L ELSE 0L END))"
     }
     // Trino entropy(count): log2-entropy of the per-row count
     // distribution — pure algebra over two sums, so it inlines to
@@ -4220,10 +4226,20 @@ object PrestoSql {
   /** Trino allows `FROM UNNEST(\u2026) [WITH ORDINALITY] AS t (\u2026)` with no
     * join (r13 syntax probe): normalize to the CROSS JOIN form over a
     * one-row relation so rewriteUnnest's machinery takes over. */
+  // a match inside a string literal has an odd number of quotes before
+  // it (doubled '' escapes keep parity even); allocation-free scan
+  // shared by the literal-guarded rewrite passes. SQL comments are NOT
+  // modeled -- the dialect passes comments through verbatim (documented
+  // limit, see the file header), so a typed-literal keyword inside a
+  // comment would still be rewritten (r15 ADVICE, accepted).
+  private def inLiteral(upTo: Int, s: String): Boolean = {
+    var i = 0; var n = 0
+    while (i < upTo) { if (s.charAt(i) == '\'') n += 1; i += 1 }
+    (n & 1) == 1
+  }
+
   private[graft] def rewriteBareFromUnnest(s0: String): String = {
     val re = """(?is)\bFROM\s+UNNEST\s*\(""".r
-    def inLiteral(upTo: Int, s: String): Boolean =
-      s.substring(0, upTo).count(_ == '\'') % 2 == 1
     re.replaceAllIn(s0, m =>
       if (inLiteral(m.start, s0))
         scala.util.matching.Regex.quoteReplacement(m.matched)
@@ -4234,8 +4250,6 @@ object PrestoSql {
     * infer from the literal text, exactly as Trino does. */
   private[graft] def rewriteDecimalLiterals(s0: String): String = {
     val re = """(?is)\bDECIMAL\s*'([+-]?[0-9]+(?:\.[0-9]+)?)'""".r
-    def inLiteral(upTo: Int, s: String): Boolean =
-      s.substring(0, upTo).count(_ == '\'') % 2 == 1
     re.replaceAllIn(s0, m =>
       if (inLiteral(m.start, s0))
         scala.util.matching.Regex.quoteReplacement(m.matched)
@@ -4258,8 +4272,6 @@ object PrestoSql {
   private[graft] def rewriteNumericTypedLiterals(s0: String): String = {
     val re =
       """(?is)\b(REAL|DOUBLE|TINYINT|SMALLINT|INTEGER|BIGINT)\s+'([^']*)'""".r
-    def inLiteral(upTo: Int, s: String): Boolean =
-      s.substring(0, upTo).count(_ == '\'') % 2 == 1
     re.replaceAllIn(s0, m =>
       if (inLiteral(m.start, s0))
         scala.util.matching.Regex.quoteReplacement(m.matched)
@@ -4278,10 +4290,6 @@ object PrestoSql {
     val tailRe =
       ("""(?is)^\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?("[^"]+"|\w+)""" +
         """\s*\(\s*([^()]*?)\s*\)(\s+ON\s+TRUE)?""").r
-    // a match inside a string literal has an odd number of quotes before
-    // it (doubled '' escapes keep parity even)
-    def inLiteral(upTo: Int, s: String): Boolean =
-      s.substring(0, upTo).count(_ == '\'') % 2 == 1
     var s = s0
     var guard = 0
     var m = head.findAllMatchIn(s).find(mm => !inLiteral(mm.start, s))

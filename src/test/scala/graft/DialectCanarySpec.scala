@@ -506,4 +506,49 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getString(1) ==
       "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
   }
+
+  test("r16 ADVICE regressions: width_bucket NULLs, dot_product missing-key non-finites, whitespace-prefixed WKT") {
+    // 2-arg width_bucket: NULL x returns NULL (Trino), never bucket 0
+    assert(PrestoSql.sql(spark,
+      "SELECT width_bucket(CAST(NULL AS DOUBLE), ARRAY[1.0, 2.0]) AS v")
+      .head().isNullAt(0))
+    // NULL bin bounds are Trino errors -- raised loud, not counted 0
+    intercept[Throwable] {
+      PrestoSql.sql(spark,
+        "SELECT width_bucket(3.0, ARRAY[1.0, CAST(NULL AS DOUBLE)]) AS v")
+        .head()
+    }
+    // map dot_product: a key MISSING from b contributes nothing even
+    // when its a-value is non-finite (interpreted eval used to fold
+    // Infinity * 0.0 sentinel = NaN while codegen skipped; both skip
+    // now). Literal form exercises interpreted eval (constant folding);
+    // the FROM-VALUES form keeps a column reference so whole-stage
+    // codegen fires.
+    val lit = PrestoSql.sql(spark,
+      "SELECT dot_product(map(ARRAY['a'], ARRAY[infinity()]), " +
+        "map(ARRAY['b'], ARRAY[1e0])) AS v").head().getDouble(0)
+    assert(lit == 0.0, s"interpreted: $lit")
+    val gen = spark.sql(
+      "SELECT dot_product(map_from_arrays(array('a'), " +
+        "array(cast('Infinity' as double) * v)), " +
+        "map_from_arrays(array('b'), array(1.0d))) AS r " +
+        "FROM VALUES (1.0d) t(v)")
+      .head().getDouble(0)
+    assert(gen == 0.0, s"codegen: $gen")
+    // whitespace-prefixed WKT dispatches like the trimmed text: the
+    // byte probes now skip tab/newline/CR, not just spaces
+    val ws = PrestoSql.sql(spark,
+      "SELECT ST_Intersects(ST_GeometryFromText(" +
+        "'\t\nGEOMETRYCOLLECTION (POINT (1 1))'), " +
+        "ST_GeometryFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS v")
+      .head().getBoolean(0)
+    assert(ws)
+    // geometry_nearest_points tolerates a MULTIPOINT EMPTY GC member
+    // (it used to crash in parseMultiPoint)
+    val np = PrestoSql.sql(spark,
+      "SELECT ST_AsText(geometry_nearest_points(ST_GeometryFromText(" +
+        "'GEOMETRYCOLLECTION (MULTIPOINT EMPTY, POINT (0 0))'), " +
+        "ST_GeometryFromText('POINT (3 4)'))[1]) AS v").head().getString(0)
+    assert(np == "POINT (0.0 0.0)", np)
+  }
 }
