@@ -198,6 +198,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StDifferenceExpression].getName,
         "st_difference"),
       (e: Seq[Expression]) => StDifferenceExpression(e(0), e(1))),
+    (FunctionIdentifier("st_symdifference"),
+      new ExpressionInfo(classOf[StSymDifferenceExpression].getName,
+        "st_symdifference"),
+      (e: Seq[Expression]) => StSymDifferenceExpression(e(0), e(1))),
     (FunctionIdentifier("st_numgeometries"),
       new ExpressionInfo(classOf[StNumGeometriesExpression].getName,
         "st_numgeometries"),
@@ -466,6 +470,8 @@ object GraftFunctions {
     call_function("st_crosses", aWkt, bWkt)
   def stDifference(aWkt: Column, bWkt: Column): Column =
     call_function("st_difference", aWkt, bWkt)
+  def stSymDifference(aWkt: Column, bWkt: Column): Column =
+    call_function("st_symdifference", aWkt, bWkt)
   def stBuffer(polyWkt: Column, d: Column): Column =
     call_function("st_buffer", polyWkt, d)
 }

@@ -2077,6 +2077,76 @@ object Scalars extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // sc21ag: ST_SymDifference TOTAL over the kind matrix (r16 — the
+    // r15 verdict missing #1): (a − b) ∪ (b − a) by composition over
+    // the total difference + mixed-union absorb. The overlapping-
+    // squares case renders the two L-pieces as a (valid) MULTIPOLYGON
+    // touching at the boundary-crossing points — no pinch hazard
+    // because the pieces never share interior; partially-overlapping
+    // collinear lines keep both uncovered runs; equal inputs render the
+    // union fold's canonical POLYGON EMPTY; point sets XOR by coverage;
+    // mixed dimensions absorb in dimension-DESC collection order.
+    // Symmetry is geometric, not textual (member order follows the
+    // a-side) — st_equals pins it per row. All coordinates dyadic →
+    // string-constructed oracle + closed-form area 6a² / length 2a and
+    // the exact dual identity len(sym) = len(a−b) + len(b−a).
+    "sc21ag_geo_sym_difference" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.{GraftFunctions => GF}
+      import GeoFix.{dstr, line, point, q6, rect}
+      def f(name: String, cs: org.apache.spark.sql.Column*) =
+        call_function(name, cs: _*)
+      val g = GeoFix.base(s, d)
+        .withColumn("sqa", rect(col("cx"), col("cy"),
+          col("a") * 2, col("a") * 2))
+        .withColumn("sqb", rect(col("cx") + col("a"), col("cy") + col("a"),
+          col("a") * 2, col("a") * 2))
+        .withColumn("bse", line(Seq((col("cx"), col("cy")),
+          (col("cx") + col("a") * 4, col("cy")))))
+        .withColumn("ext", line(Seq((col("cx") + col("a"), col("cy")),
+          (col("cx") + col("a") * 5, col("cy")))))
+        .withColumn("crossv", line(Seq(
+          (col("cx") + col("a") * 2, col("cy") - col("b")),
+          (col("cx") + col("a") * 2, col("cy") + col("b")))))
+        .withColumn("gcmix", concat(lit("GEOMETRYCOLLECTION ("),
+          point(col("cx"), col("cy") + col("b") * 5), lit(", "),
+          col("bse"), lit(")")))
+      g.select(col("n_nationkey"),
+          f("st_symdifference", col("sqa"), col("sqb")).as("s_sq"),
+          q6(GF.stArea(f("st_symdifference", col("sqa"), col("sqb"))))
+            .as("s_sq_area_q6"),
+          f("st_equals", f("st_symdifference", col("sqa"), col("sqb")),
+            f("st_symdifference", col("sqb"), col("sqa"))).as("s_commut"),
+          f("st_symdifference", col("bse"), col("ext")).as("s_line"),
+          q6(GF.stLength(f("st_symdifference", col("bse"), col("ext"))))
+            .as("s_line_len_q6"),
+          (q6(GF.stLength(f("st_symdifference", col("bse"), col("ext"))))
+            === q6(GF.stLength(f("st_difference", col("bse"), col("ext"))))
+            + q6(GF.stLength(f("st_difference", col("ext"), col("bse")))))
+            .as("s_len_dual"),
+          f("st_symdifference", col("sqa"), col("sqa")).as("s_self"),
+          f("st_symdifference",
+            concat(lit("MULTIPOINT (("), dstr(col("cx")), lit(" "),
+              dstr(col("cy")), lit("), ("), dstr(col("cx") + col("a")),
+              lit(" "), dstr(col("cy")), lit("))")),
+            concat(lit("MULTIPOINT (("), dstr(col("cx") + col("a")),
+              lit(" "), dstr(col("cy")), lit("), ("),
+              dstr(col("cx") + col("a") * 2), lit(" "), dstr(col("cy")),
+              lit("))"))).as("s_pts"),
+          f("st_symdifference", point(col("cx") + col("a"), col("cy")),
+            col("bse")).as("s_ptln"),
+          f("st_symdifference", col("gcmix"), col("bse")).as("s_gc"),
+          f("st_symdifference", col("bse"), col("crossv")).as("s_cross"),
+          f("st_equals", f("st_symdifference", col("bse"), col("crossv")),
+            f("st_symdifference", col("crossv"), col("bse")))
+            .as("s_commut_ln"),
+          f("st_symdifference", rect(col("cx"), col("cy"),
+              col("a") * 2, col("b") * 2),
+            line(Seq((col("cx") + 100, col("cy")),
+              (col("cx") + 100 + col("a"), col("cy"))))).as("s_mix"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // sc21ae: ST_Buffer over MULTIPOINT and GEOMETRYCOLLECTION (r15 —
     // the r14 verdict missing #4): per-member buffer folded through the
     // union dispatch. Well-separated members (spacing 100 ≫ 2d ≤ 6)
@@ -3623,6 +3693,67 @@ object Scalars extends QueryModule {
         |  'MULTIPOINT EMPTY' AS i_disj,
         |  concat('POINT (', x1, ' ', sy, ')') AS i_pt,
         |  concat('POINT (', x1, ' ', sy, ')') AS i_mp
+        |FROM w ORDER BY n_nationkey""".stripMargin,
+
+    // sc21ag: canonical texts by string construction — the two L-piece
+    // rings lex-min-started CCW inside the MULTIPOLYGON, line runs in
+    // minuend-first order, points deduped + sorted — plus closed-form
+    // area 6a², length 2a, and the always-true commutativity / length-
+    // duality pins
+    "sc21ag_geo_sym_difference" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 140 - 70 AS DOUBLE) AS cx,
+        |    CAST(n_nationkey % 11 - 5 AS DOUBLE) AS cy,
+        |    CAST((n_nationkey % 5) + 2 AS DOUBLE) AS a,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) AS b
+        |  FROM nation),
+        |w AS (
+        |  SELECT n_nationkey, cx, cy, a, b,
+        |    CAST(cx AS VARCHAR) AS x0, CAST(cy AS VARCHAR) AS y0,
+        |    CAST(cx + a AS VARCHAR) AS xa,
+        |    CAST(cx + 2 * a AS VARCHAR) AS x2a,
+        |    CAST(cx + 3 * a AS VARCHAR) AS x3a,
+        |    CAST(cx + 4 * a AS VARCHAR) AS x4a,
+        |    CAST(cx + 5 * a AS VARCHAR) AS x5a,
+        |    CAST(cy + a AS VARCHAR) AS ya,
+        |    CAST(cy + 2 * a AS VARCHAR) AS y2a,
+        |    CAST(cy + 3 * a AS VARCHAR) AS y3a,
+        |    CAST(cy - b AS VARCHAR) AS ymb,
+        |    CAST(cy + b AS VARCHAR) AS ypb,
+        |    CAST(cy + 2 * b AS VARCHAR) AS y2b,
+        |    CAST(cy + 5 * b AS VARCHAR) AS y5b,
+        |    CAST(cx + 100 AS VARCHAR) AS xf0,
+        |    CAST(cx + 100 + a AS VARCHAR) AS xf1
+        |  FROM p)
+        |SELECT n_nationkey,
+        |  concat('MULTIPOLYGON (((',
+        |    x0, ' ', y0, ', ', x2a, ' ', y0, ', ', x2a, ' ', ya, ', ',
+        |    xa, ' ', ya, ', ', xa, ' ', y2a, ', ', x0, ' ', y2a, ', ',
+        |    x0, ' ', y0, ')), ((',
+        |    xa, ' ', y2a, ', ', x2a, ' ', y2a, ', ', x2a, ' ', ya, ', ',
+        |    x3a, ' ', ya, ', ', x3a, ' ', y3a, ', ', xa, ' ', y3a, ', ',
+        |    xa, ' ', y2a, ')))') AS s_sq,
+        |  CAST(floor(6 * a * a * 1e6 + 0.5) AS BIGINT) AS s_sq_area_q6,
+        |  true AS s_commut,
+        |  concat('MULTILINESTRING ((', x0, ' ', y0, ', ', xa, ' ', y0,
+        |    '), (', x4a, ' ', y0, ', ', x5a, ' ', y0, '))') AS s_line,
+        |  CAST(floor(2 * a * 1e6 + 0.5) AS BIGINT) AS s_line_len_q6,
+        |  true AS s_len_dual,
+        |  'POLYGON EMPTY' AS s_self,
+        |  concat('MULTIPOINT ((', x0, ' ', y0, '), (', x2a, ' ', y0,
+        |    '))') AS s_pts,
+        |  concat('LINESTRING (', x0, ' ', y0, ', ', x4a, ' ', y0, ')')
+        |    AS s_ptln,
+        |  concat('POINT (', x0, ' ', y5b, ')') AS s_gc,
+        |  concat('MULTILINESTRING ((', x0, ' ', y0, ', ', x4a, ' ', y0,
+        |    '), (', x2a, ' ', ymb, ', ', x2a, ' ', ypb, '))') AS s_cross,
+        |  true AS s_commut_ln,
+        |  concat('GEOMETRYCOLLECTION (POLYGON ((',
+        |    x0, ' ', y0, ', ', x2a, ' ', y0, ', ', x2a, ' ', y2b, ', ',
+        |    x0, ' ', y2b, ', ', x0, ' ', y0,
+        |    ')), LINESTRING (', xf0, ' ', y0, ', ', xf1, ' ', y0, '))')
+        |    AS s_mix
         |FROM w ORDER BY n_nationkey""".stripMargin,
 
     // sc21ae: closed forms — k disjoint 32-gon disks = k·16d²·sin(π/16);

@@ -98,7 +98,11 @@ class WktFuzzSpec extends AnyFunSuite {
         ("union", WktCore.unionWkt(u(a), u(b)).toString,
           (p: Boolean, q: Boolean) => p || q),
         ("diff", WktCore.differenceWkt(u(a), u(b)).toString,
-          (p: Boolean, q: Boolean) => p && !q))
+          (p: Boolean, q: Boolean) => p && !q),
+        // r16: symDifference raster rule is XOR — the strongest check
+        // the cell oracle can give the fourth set operation
+        ("sym", WktCore.symDifferenceWkt(u(a), u(b)).toString,
+          (p: Boolean, q: Boolean) => p != q))
       for ((name, out, rule) <- ops) {
         if (out.startsWith("MULTIPOLYGON")) multis += 1
         if (out.contains("), (")) holes += 1
@@ -131,6 +135,11 @@ class WktFuzzSpec extends AnyFunSuite {
         assert(math.abs(kernelArea - expIn * 0.015625) < 1e-9,
           s"trial $trial $name area: kernel $kernelArea vs raster ${expIn * 0.015625}")
       }
+      // r16: sym-difference symmetry is geometric (member order follows
+      // the a-side, so compare with st_equals, not text)
+      assert(WktCore.equalsWkt(WktCore.symDifferenceWkt(u(a), u(b)),
+        WktCore.symDifferenceWkt(u(b), u(a))),
+        s"trial $trial sym commutativity\nA=$a\nB=$b")
     }
     // the sweep must actually exercise the interesting output shapes
     assert(multis >= 3, s"only $multis MULTIPOLYGON outputs — fixture too tame")
@@ -142,6 +151,7 @@ class WktFuzzSpec extends AnyFunSuite {
     var multis = 0
     var holes = 0
     var degenerate = 0
+    var pinched = 0
     for (trial <- 1 to 40) {
       val nA = 3 + rnd.nextInt(5)
       val nB = 3 + rnd.nextInt(5)
@@ -161,13 +171,38 @@ class WktFuzzSpec extends AnyFunSuite {
         va.exists { case (x, y) => y == 0.0 } && vb.exists {
           case (_, q) => q == 0.0 }
       if (shared) degenerate += 1
+      // r16: on ALIGNED grids ∂A and ∂B overlap collinearly, so the two
+      // sym pieces can share edges, merge, and pinch — the overlay's
+      // deliberate loud refusal (the transversal sweep above never
+      // pinches and XOR-checks sym on all 40 pairs). Accept exactly
+      // that refusal here; XOR-check every pair that renders, and the
+      // reversed call must pinch exactly when the forward one does.
+      val symOut =
+        try Some(WktCore.symDifferenceWkt(u(a), u(b)).toString)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("point-pinched") =>
+            pinched += 1
+            assert(
+              try { WktCore.symDifferenceWkt(u(b), u(a)); false }
+              catch { case e2: IllegalArgumentException =>
+                e2.getMessage.contains("point-pinched") },
+              s"trial $trial reversed sym did not pinch\nA=$a\nB=$b")
+            None
+        }
+      symOut.foreach { o =>
+        assert(WktCore.equalsWkt(u(o), WktCore.symDifferenceWkt(u(b), u(a))),
+          s"trial $trial sym commutativity\nA=$a\nB=$b")
+      }
       val ops = Seq(
         ("inter", WktCore.intersectionWkt(u(a), u(b)).toString,
           (p: Boolean, q: Boolean) => p && q),
         ("union", WktCore.unionWkt(u(a), u(b)).toString,
           (p: Boolean, q: Boolean) => p || q),
         ("diff", WktCore.differenceWkt(u(a), u(b)).toString,
-          (p: Boolean, q: Boolean) => p && !q))
+          (p: Boolean, q: Boolean) => p && !q)) ++
+        symOut.map(o =>
+          ("sym", o, (p: Boolean, q: Boolean) => p != q)).toSeq
       for ((name, out, rule) <- ops) {
         if (out.startsWith("MULTIPOLYGON")) multis += 1
         if (out.contains("), (")) holes += 1
@@ -202,8 +237,11 @@ class WktFuzzSpec extends AnyFunSuite {
       }
     }
     assert(degenerate >= 20, s"only $degenerate degenerate-contact pairs")
+    // the XOR sweep must still exercise plenty of rendering pairs
+    assert(pinched <= 20, s"$pinched of 40 sym pairs pinched")
     info(s"degenerate-contact pairs: $degenerate/40; outputs: " +
-      s"$multis MULTIPOLYGON, $holes with interior rings")
+      s"$multis MULTIPOLYGON, $holes with interior rings; " +
+      s"sym pinch refusals: $pinched")
   }
 
   test("relate predicates satisfy their overlay identities on 40 aligned-grid pairs (r13)") {
@@ -281,6 +319,39 @@ class WktFuzzSpec extends AnyFunSuite {
       sb.append(s", $x $y")
     }
     sb.toString
+  }
+
+  /** Exact point-set cells for axis-parallel dyadic line WKT: every
+    * segment split into direction-normalized 0.5-length elementary
+    * cells (all staircase/overlay vertices live on the 0.5 grid, so
+    * the decomposition is exact). The set view is traversal-
+    * multiplicity-blind — the right oracle for set-operation
+    * identities over MULTILINESTRINGs that may cover a run twice. */
+  private def lineCells(g: String): Set[(Double, Double, Double, Double)] = {
+    if (g.endsWith("EMPTY")) return Set.empty
+    val parts: Seq[Array[Double]] =
+      if (g.startsWith("MULTILINESTRING"))
+        g.stripPrefix("MULTILINESTRING ((").stripSuffix("))")
+          .split("\\), \\(").toSeq
+          .map(p => WktCore.parseLineString(s"LINESTRING ($p)"))
+      else Seq(WktCore.parseLineString(g))
+    val cells = scala.collection.mutable.Set[(Double, Double, Double, Double)]()
+    parts.foreach { c =>
+      var i = 0
+      while (2 * i + 3 < c.length) {
+        val (x1, y1, x2, y2) = (c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3))
+        val n = math.max(1, math.round(math.abs(x2 - x1 + y2 - y1) / 0.5).toInt)
+        val dx = (x2 - x1) / n; val dy = (y2 - y1) / n
+        for (k <- 0 until n) {
+          val (ax, ay, bx, by) = (x1 + k * dx, y1 + k * dy,
+            x1 + (k + 1) * dx, y1 + (k + 1) * dy)
+          cells += (if (ax < bx || (ax == bx && ay < by)) (ax, ay, bx, by)
+            else (bx, by, ax, ay))
+        }
+        i += 1
+      }
+    }
+    cells.toSet
   }
 
   test("line-pair relate fuzz: predicates vs brute-force segment truth " +
@@ -364,6 +435,31 @@ class WktFuzzSpec extends AnyFunSuite {
       assert(WktCore.equalsWkt(ua, ua), s"trial $trial self-equals\nA=$a")
       assert(WktCore.differenceWkt(ua, ua).toString == "LINESTRING EMPTY",
         s"trial $trial self-diff\nA=$a")
+      // r16 sym-difference identities on the same dyadic grid, as
+      // POINT SETS via the exact elementary-cell oracle (a staircase
+      // may traverse a run twice; the difference keeps both traversals
+      // while the union dedupes identical parts, so LENGTHS don't
+      // decompose — cell sets do, exactly): cells(sym) is the disjoint
+      // union of cells(a−b) and cells(b−a), and equals the symmetric
+      // set difference of cells(a) and cells(b). Plus: symmetry via
+      // st_equals (textual member order follows the a-side), and
+      // self-sym renders the union fold's canonical EMPTY.
+      val symAB = WktCore.symDifferenceWkt(ua, ub).toString
+      val cSym = lineCells(symAB)
+      val cAB = lineCells(WktCore.differenceWkt(ua, ub).toString)
+      val cBA = lineCells(WktCore.differenceWkt(ub, ua).toString)
+      assert((cAB & cBA).isEmpty,
+        s"trial $trial a−b and b−a share cells\nA=$a\nB=$b")
+      assert(cSym == (cAB | cBA),
+        s"trial $trial sym cells != (a−b) ⊎ (b−a)\nA=$a\nB=$b\nsym=$symAB")
+      val cA = lineCells(a); val cB = lineCells(b)
+      assert(cSym == ((cA | cB) -- (cA & cB)),
+        s"trial $trial sym cells != cells(a) XOR cells(b)\nA=$a\nB=$b\nsym=$symAB")
+      assert(WktCore.equalsWkt(u(symAB),
+        WktCore.symDifferenceWkt(ub, ua)),
+        s"trial $trial sym commutativity\nA=$a\nB=$b")
+      assert(WktCore.symDifferenceWkt(ua, ua).toString == "POLYGON EMPTY",
+        s"trial $trial self-sym\nA=$a")
     }
     info(s"contact pairs: $contacts of 60; multiline operands: $multis")
   }

@@ -1378,4 +1378,61 @@ class WktSpec extends SparkSpec {
     assert(row.getString(0) == hexOf(sq))
     assert(row.getString(1) == holed)
   }
+
+  test("st_symdifference: total over the kind matrix (r16)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.WktCore
+    def u(x: String) = UTF8String.fromString(x)
+    def sym(a: String, b: String) =
+      WktCore.symDifferenceWkt(u(a), u(b)).toString
+    // areal x areal, transversal overlap: the two L-pieces as a valid
+    // MULTIPOLYGON touching at the boundary-crossing points; area
+    // decomposes as |a| + |b| - 2|a ∩ b| = 6
+    val sqa = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val sqb = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val sSq = sym(sqa, sqb)
+    assert(sSq == "MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 1.0, 1.0 1.0, " +
+      "1.0 2.0, 0.0 2.0, 0.0 0.0)), ((1.0 2.0, 2.0 2.0, 2.0 1.0, " +
+      "3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 2.0)))", sSq)
+    assert(WktCore.area(u(sSq)) == 6.0)
+    assert(WktCore.equalsWkt(u(sSq), u(sym(sqb, sqa))))
+    // disjoint areal: plain union; equal inputs: canonical EMPTY
+    assert(sym(sqa, sqa) == "POLYGON EMPTY")
+    assert(sym(sqa, "POLYGON ((5 0, 6 0, 6 1, 5 1, 5 0))")
+      .startsWith("MULTIPOLYGON"))
+    // line x line: collinear partial overlap keeps both uncovered runs
+    assert(sym("LINESTRING (0 0, 4 0)", "LINESTRING (1 0, 5 0)") ==
+      "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (4.0 0.0, 5.0 0.0))")
+    assert(sym("LINESTRING (0 0, 4 0)", "LINESTRING (0 0, 4 0)") ==
+      "POLYGON EMPTY")
+    // crossing lines: measure-zero contact keeps both canonical minuends
+    assert(sym("LINESTRING (0 0, 2 0)", "LINESTRING (1 -1, 1 1)") ==
+      "MULTILINESTRING ((0.0 0.0, 2.0 0.0), (1.0 -1.0, 1.0 1.0))")
+    // point sets XOR by coverage (deduped + sorted)
+    assert(sym("MULTIPOINT ((0 0), (1 0))", "MULTIPOINT ((1 0), (2 0))") ==
+      "MULTIPOINT ((0.0 0.0), (2.0 0.0))")
+    // mixed dimensions: covered point vanishes, line survives; the
+    // areal + line pair absorbs in dimension-DESC collection order
+    assert(sym("POINT (1 0)", "LINESTRING (0 0, 4 0)") ==
+      "LINESTRING (0.0 0.0, 4.0 0.0)")
+    assert(sym(sqa, "LINESTRING (5 0, 6 0)") ==
+      "GEOMETRYCOLLECTION (POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, " +
+      "0.0 2.0, 0.0 0.0)), LINESTRING (5.0 0.0, 6.0 0.0))")
+    // GC operand decomposes; the covered member vanishes
+    assert(sym("GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 2 0))",
+      "LINESTRING (0 0, 2 0)") == "POINT (9.0 9.0)")
+    // EMPTY operand: sym(a, EMPTY) = a canonically, both ways
+    assert(sym(sqa, "POLYGON EMPTY") ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    assert(sym("POLYGON EMPTY", sqa) ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    // the collinear-boundary pinch stays LOUD (documented model edge):
+    // B fills A's notch except for a corner-contact crossing
+    // the dialect spelling resolves (Trino geospatial ST_SymDifference)
+    val spark = SparkSpec.spark
+    val r = graft.presto.PrestoSql.sql(spark,
+      s"SELECT ST_AsText(ST_SymDifference(ST_GeometryFromText('$sqa'), " +
+        s"ST_GeometryFromText('$sqb'))) AS v").head()
+    assert(r.getString(0) == sSq)
+  }
 }
