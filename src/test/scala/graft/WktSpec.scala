@@ -998,11 +998,71 @@ class WktSpec extends SparkSpec {
       "POLYGON EMPTY")
     assert(WktCore.bufferWkt(u("GEOMETRYCOLLECTION EMPTY"), 0.5)
       .toString == "POLYGON EMPTY")
-    // negative distance over a collection is LOUD (erosion does not
-    // distribute over members)
+    // r16: negative distance over a collection of STRICTLY separated
+    // members distributes — the point and line erode to measure zero,
+    // only the eroded rect survives (1.5 × 0.5)
+    val egc = WktCore.bufferWkt(u(gc), -0.25).toString
+    assert(egc == "POLYGON ((40.25 0.25, 41.75 0.25, 41.75 0.75, " +
+      "40.25 0.75, 40.25 0.25))", egc)
+  }
+
+  test("st_buffer erosion over MULTIPOLYGON / separated collections (r16)") {
+    import graft.functions.WktCore
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val mp2 = "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+      "((10 0, 14 0, 14 4, 10 4, 10 0)))"
+    // per-component insets as a 2-component MULTIPOLYGON, exact text
+    val er = WktCore.bufferWkt(u(mp2), -1.0).toString
+    assert(er == "MULTIPOLYGON (((1.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, " +
+      "1.0 1.0)), ((11.0 1.0, 13.0 1.0, 13.0 3.0, 11.0 3.0, 11.0 1.0)))",
+      er)
+    assert(WktCore.area(u(er)) == 8.0)
+    // vanished-member edge: the 1×1 component is consumed, the other
+    // survives as a plain POLYGON; all-vanished renders POLYGON EMPTY
+    assert(WktCore.bufferWkt(u("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, " +
+      "0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))"), -1.0).toString ==
+      "POLYGON ((1.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 1.0))")
+    assert(WktCore.bufferWkt(u("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, " +
+      "0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))"), -1.0).toString ==
+      "POLYGON EMPTY")
+    // touching components (shared corner / shared edge) stay LOUD —
+    // a disk can straddle the contact, so erosion must not distribute
     intercept[IllegalArgumentException] {
-      WktCore.bufferWkt(u(gc), -0.25)
+      WktCore.bufferWkt(u("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "((4 4, 8 4, 8 8, 4 8, 4 4)))"), -1.0)
     }
+    intercept[IllegalArgumentException] {
+      WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0)))"), -1.0)
+    }
+    // overlapping collection members stay LOUD too
+    intercept[IllegalArgumentException] {
+      WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2)))"), -1.0)
+    }
+    // a nested-collection member cannot be classified — LOUD
+    intercept[IllegalArgumentException] {
+      WktCore.bufferWkt(u("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (" +
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))))"), -1.0)
+    }
+    // MULTIPOLYGON dilation distributes unconditionally (Minkowski):
+    // separated components stay separate; near components merge
+    val disk = (d: Double) => 16 * d * d * math.sin(math.Pi / 16)
+    val dil = WktCore.bufferWkt(u(mp2), 0.5).toString
+    assert(dil.startsWith("MULTIPOLYGON"), dil)
+    assert(math.abs(WktCore.area(u(dil)) -
+      2 * (16 + 16 * 0.5 + disk(0.5))) < 1e-9)
+    assert(WktCore.bufferWkt(u("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, " +
+      "0 0)), ((3 0, 5 0, 5 2, 3 2, 3 0)))"), 1.0).toString
+      .startsWith("POLYGON"))
+    // d = 0 canonical; MULTIPOLYGON EMPTY erodes to POLYGON EMPTY
+    assert(WktCore.bufferWkt(u(mp2), 0.0).toString ==
+      "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)), " +
+      "((10.0 0.0, 14.0 0.0, 14.0 4.0, 10.0 4.0, 10.0 0.0)))")
+    assert(WktCore.bufferWkt(u("MULTIPOLYGON EMPTY"), -1.0).toString ==
+      "POLYGON EMPTY")
   }
 
   test("st_distance EMPTY operands are loud; collection empties skipped (r15)") {
