@@ -382,7 +382,21 @@ object GraftFunctions {
       (e: Seq[Expression]) => InvRegGammaExpression(dbl(e(0)), dbl(e(1)))),
     (FunctionIdentifier("graft_inv_ibeta"),
       new ExpressionInfo(classOf[InvRegBetaExpression].getName, "graft_inv_ibeta"),
-      (e: Seq[Expression]) => InvRegBetaExpression(dbl(e(0)), dbl(e(1)), dbl(e(2)))))
+      (e: Seq[Expression]) => InvRegBetaExpression(dbl(e(0)), dbl(e(1)), dbl(e(2)))),
+    (FunctionIdentifier("graft_inv_poisson"),
+      new ExpressionInfo(classOf[InvPoissonCdfExpression].getName,
+        "graft_inv_poisson"),
+      (e: Seq[Expression]) => InvPoissonCdfExpression(dbl(e(0)), dbl(e(1)))),
+    (FunctionIdentifier("graft_inv_binomial"),
+      new ExpressionInfo(classOf[InvBinomialCdfExpression].getName,
+        "graft_inv_binomial"),
+      (e: Seq[Expression]) => InvBinomialCdfExpression(lng(e(0)), dbl(e(1)),
+        dbl(e(2)))))
+
+  private def lng(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.LongType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
 
   // numeric-literal convenience: the stat kernels are double-only
   private def dbl(e: Expression): Expression =

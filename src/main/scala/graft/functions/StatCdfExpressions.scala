@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Special-function kernels behind Trino's statistical CDF family
   * (`gamma_cdf`, `chi_squared_cdf`, `poisson_cdf`, `beta_cdf`,
@@ -166,6 +166,58 @@ object StatKernel {
     }
     0.5 * (lo + hi)
   }
+
+  /** Poisson CDF F(k; λ) = Q(k + 1, λ) = 1 − P(k + 1, λ) — the
+    * upper-gamma identity the poisson_cdf temp function also uses. */
+  @inline private def poissonCdf(lambda: Double, k: Long): Double =
+    1.0 - pgamma(k.toDouble + 1.0, lambda)
+
+  /** inverse_poisson_cdf (r16 probe sweep 6): the smallest
+    * non-negative integer k with F(k; λ) ≥ p — doubling upper bound
+    * then binary search (Trino's discrete-inverse convention). */
+  def invPoisson(lambda: Double, p: Double): Long = {
+    require(lambda > 0,
+      "inverse_poisson_cdf: lambda must be greater than 0")
+    require(p >= 0 && p < 1,
+      "inverse_poisson_cdf: p must be in the interval [0, 1)")
+    if (poissonCdf(lambda, 0L) >= p) return 0L
+    var hi = math.max(1L, math.ceil(lambda).toLong)
+    var guard = 0
+    while (poissonCdf(lambda, hi) < p && guard < 60) { hi *= 2; guard += 1 }
+    require(guard < 60, "inverse_poisson_cdf: search did not converge")
+    var lo = 0L
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) >>> 1
+      if (poissonCdf(lambda, mid) < p) lo = mid else hi = mid
+    }
+    hi
+  }
+
+  /** Binomial CDF F(k; n, p) = I_{1−p}(n − k, k + 1) — the regularized
+    * incomplete beta identity the binomial_cdf temp function uses. */
+  @inline private def binomialCdf(n: Long, p: Double, k: Long): Double =
+    if (k < 0) 0.0
+    else if (k >= n) 1.0
+    else ibeta((n - k).toDouble, k.toDouble + 1.0, 1.0 - p)
+
+  /** inverse_binomial_cdf (r16 probe sweep 6): the smallest integer
+    * k in [0, n] with F(k; n, p) ≥ prob — binary search. */
+  def invBinomial(n: Long, p: Double, prob: Double): Long = {
+    require(n > 0,
+      "inverse_binomial_cdf: numberOfTrials must be greater than 0")
+    require(p >= 0 && p <= 1, "inverse_binomial_cdf: successProbability" +
+      " must be in the interval [0, 1]")
+    require(prob >= 0 && prob <= 1,
+      "inverse_binomial_cdf: p must be in the interval [0, 1]")
+    if (binomialCdf(n, p, 0L) >= prob) return 0L
+    var lo = 0L
+    var hi = n
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) >>> 1
+      if (binomialCdf(n, p, mid) < prob) lo = mid else hi = mid
+    }
+    hi
+  }
 }
 
 /** `graft_pgamma(a, x)` — regularized lower incomplete gamma P(a, x). */
@@ -248,4 +300,47 @@ case class InvRegGammaExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): InvRegGammaExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_inv_poisson(lambda, p)` — smallest k with Poisson CDF ≥ p. */
+case class InvPoissonCdfExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // children are Cast at registration: lambda → DOUBLE, p → DOUBLE
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_inv_poisson"
+
+  override def nullSafeEval(lambda: Any, p: Any): Any =
+    StatKernel.invPoisson(lambda.asInstanceOf[Double],
+      p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, p) =>
+      s"graft.functions.StatKernel.invPoisson($l, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InvPoissonCdfExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_inv_binomial(n, p, prob)` — smallest k in [0, n] with
+  * Binomial CDF ≥ prob. */
+case class InvBinomialCdfExpression(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  // children are Cast at registration: n → BIGINT, p/prob → DOUBLE
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_inv_binomial"
+
+  override def nullSafeEval(n: Any, p: Any, prob: Any): Any =
+    StatKernel.invBinomial(n.asInstanceOf[Long], p.asInstanceOf[Double],
+      prob.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (n, p, prob) =>
+      s"graft.functions.StatKernel.invBinomial($n, $p, $prob)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): InvBinomialCdfExpression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

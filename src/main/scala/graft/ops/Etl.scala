@@ -1301,6 +1301,68 @@ object Etl extends QueryModule {
           |FROM part WHERE "p_partkey" < 300 ORDER BY pk""".stripMargin)
     }),
 
+    // p2ai (r16 probe sweep 6): the remaining published pages — string
+    // phonetics/stemming, the full datetime accessor family on ISO
+    // semantics, binary round trips (big-endian, IEEE-754, CRC32,
+    // bit_count), the six newly-closed inverse CDFs (χ²/F through the
+    // shared gamma/beta kernels, closed-form cauchy/laplace, discrete
+    // poisson/binomial smallest-k searches pinned by their defining
+    // CDF brackets), and bare `localtimestamp`. 61 probes ran; the
+    // three remaining FAILs are documented scope-outs (murmur3 /
+    // spooky_hash_v2_* wire-format hashes, destructure_tdigest's
+    // internal centroid layout).
+    "p2ai_presto_probe6" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH p AS (
+          |  SELECT "n_nationkey" AS k,
+          |    CAST(date_add('day', "n_nationkey" * 37,
+          |      DATE '2020-01-01') AS DATE) AS d,
+          |    CAST(("n_nationkey" % 5) + 1 AS DOUBLE) AS lam,
+          |    CAST(("n_nationkey" % 3) + 1 AS DOUBLE) / 4 AS pq
+          |  FROM nation)
+          |SELECT k,
+          |  soundex('Miller') AS sx,
+          |  word_stem('walking') AS stem,
+          |  crc32(to_utf8('CRC me!')) AS crc,
+          |  CAST(day_of_week(d) AS BIGINT) AS dw,
+          |  CAST(day_of_year(d) AS BIGINT) AS dy,
+          |  CAST(week(d) AS BIGINT) AS wk,
+          |  CAST(year_of_week(d) AS BIGINT) AS yw,
+          |  CAST(quarter(d) AS BIGINT) AS qt,
+          |  CAST(last_day_of_month(d) AS VARCHAR) AS ld,
+          |  CAST(millisecond(TIMESTAMP '2020-01-02 03:04:05.321')
+          |    AS BIGINT) AS ms,
+          |  CAST(to_unixtime(from_unixtime(k * 86400)) AS BIGINT)
+          |    AS unix_rt,
+          |  CAST(bit_count(k + 9, 64) AS BIGINT) AS bc,
+          |  to_hex(to_big_endian_64(k * 1234567)) AS behex,
+          |  from_big_endian_64(to_big_endian_64(k * 1234567)) AS be_rt,
+          |  from_ieee754_64(to_ieee754_64(CAST(k AS DOUBLE) + 0.5))
+          |    AS ie_rt,
+          |  CAST(floor(inverse_cauchy_cdf(1.0, 2.0, pq) * 1e6 + 0.5)
+          |    AS BIGINT) AS icauchy_q6,
+          |  CAST(floor(inverse_laplace_cdf(1.0, 2.0, pq) * 1e6 + 0.5)
+          |    AS BIGINT) AS ilaplace_q6,
+          |  CAST(floor(chi_squared_cdf(lam,
+          |    inverse_chi_squared_cdf(lam, pq)) * 1e6 + 0.5) AS BIGINT)
+          |    AS ichi_rt_q6,
+          |  CAST(floor(f_cdf(lam, lam + 1,
+          |    inverse_f_cdf(lam, lam + 1, pq)) * 1e6 + 0.5) AS BIGINT)
+          |    AS if_rt_q6,
+          |  poisson_cdf(lam, inverse_poisson_cdf(lam, pq)) >= pq AND
+          |    (inverse_poisson_cdf(lam, pq) = 0 OR
+          |     poisson_cdf(lam, inverse_poisson_cdf(lam, pq) - 1) < pq)
+          |    AS ipois_ok,
+          |  binomial_cdf(20, 0.5,
+          |      inverse_binomial_cdf(20, 0.5, pq)) >= pq AND
+          |    (inverse_binomial_cdf(20, 0.5, pq) = 0 OR
+          |     binomial_cdf(20, 0.5,
+          |       inverse_binomial_cdf(20, 0.5, pq) - 1) < pq) AS ibin_ok,
+          |  localtimestamp IS NOT NULL AS lts_ok
+          |FROM p ORDER BY k""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -2632,6 +2694,45 @@ object Etl extends QueryModule {
         |  CAST((p_partkey % 24 + 5) % 24 AS BIGINT) AS h_off,
         |  CAST(30 AS BIGINT) AS m_off
         |FROM part WHERE p_partkey < 300 ORDER BY pk""".stripMargin,
+
+    // p2ai: ISO datetime accessors re-derived via DuckDB's own ISO
+    // functions; binary round trips and q6 CDF round trips collapse to
+    // their inputs; the discrete-inverse brackets and the closed-form
+    // cauchy/laplace quantiles are written operation-for-operation
+    "p2ai_presto_probe6" ->
+      """WITH p AS (
+        |  SELECT n_nationkey AS k,
+        |    DATE '2020-01-01' + INTERVAL (n_nationkey * 37) DAY AS d,
+        |    CAST((n_nationkey % 5) + 1 AS DOUBLE) AS lam,
+        |    CAST((n_nationkey % 3) + 1 AS DOUBLE) / 4 AS pq
+        |  FROM nation)
+        |SELECT k,
+        |  'M460' AS sx,
+        |  'walk' AS stem,
+        |  CAST(38028046 AS BIGINT) AS crc,
+        |  CAST(isodow(d) AS BIGINT) AS dw,
+        |  CAST(dayofyear(d) AS BIGINT) AS dy,
+        |  CAST(weekofyear(d) AS BIGINT) AS wk,
+        |  CAST(isoyear(d) AS BIGINT) AS yw,
+        |  CAST(quarter(d) AS BIGINT) AS qt,
+        |  CAST(last_day(d) AS VARCHAR) AS ld,
+        |  CAST(321 AS BIGINT) AS ms,
+        |  CAST(k * 86400 AS BIGINT) AS unix_rt,
+        |  CAST(bit_count(CAST(k + 9 AS BIGINT)) AS BIGINT) AS bc,
+        |  upper(printf('%016x', k * 1234567)) AS behex,
+        |  CAST(k * 1234567 AS BIGINT) AS be_rt,
+        |  CAST(k + 0.5 AS DOUBLE) AS ie_rt,
+        |  CAST(floor((1.0 + 2.0 * tan(pi() * (pq - 0.5))) * 1e6 + 0.5)
+        |    AS BIGINT) AS icauchy_q6,
+        |  CAST(floor((CASE WHEN pq < 0.5 THEN 1.0 + 2.0 * ln(2 * pq)
+        |    ELSE 1.0 - 2.0 * ln(2 * (1 - pq)) END) * 1e6 + 0.5)
+        |    AS BIGINT) AS ilaplace_q6,
+        |  CAST(floor(pq * 1e6 + 0.5) AS BIGINT) AS ichi_rt_q6,
+        |  CAST(floor(pq * 1e6 + 0.5) AS BIGINT) AS if_rt_q6,
+        |  true AS ipois_ok,
+        |  true AS ibin_ok,
+        |  true AS lts_ok
+        |FROM p ORDER BY k""".stripMargin,
 
     // p2t5: the sc21o closed forms under the dialect spellings
     "p2t5_presto_geo_aggs" ->

@@ -2312,6 +2312,50 @@ object PrestoSql {
       " CASE WHEN a <= 0 OR b <= 0 THEN raise_error(" +
       "'weibull_cdf: a and b must be greater than 0')" +
       " WHEN v <= 0 THEN 0D ELSE 1 - exp(-pow(v / b, a)) END",
+    // r16 probe sweep 6: the published inverse-CDF page is now TOTAL —
+    // chi²/F invert through the shared gamma/beta kernels (χ²(df) =
+    // Gamma(df/2, scale 2); F inverts the I_{d1v/(d1v+d2)} identity),
+    // cauchy/laplace are closed forms written operation-for-operation
+    // with their forward CDFs, and the two DISCRETE inverses ride
+    // native binary-search expressions (graft_inv_poisson /
+    // graft_inv_binomial — smallest k with CDF ≥ p, Trino's
+    // convention).
+    "inverse_chi_squared_cdf(df DOUBLE, p DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN df <= 0 THEN raise_error(" +
+      "'inverse_chi_squared_cdf: df must be greater than 0')" +
+      " ELSE 2 * graft_inv_pgamma(df / 2, p) END",
+    "inverse_f_cdf(df1 DOUBLE, df2 DOUBLE, p DOUBLE) RETURNS DOUBLE" +
+      " RETURN CASE WHEN df1 <= 0 OR df2 <= 0 THEN raise_error(" +
+      "'inverse_f_cdf: numerator and denominator df must be greater" +
+      " than 0')" +
+      " WHEN p < 0 OR p >= 1 THEN raise_error(" +
+      "'inverse_f_cdf: p must be in the interval [0, 1)')" +
+      " ELSE df2 * graft_inv_ibeta(df1 / 2, df2 / 2, p) /" +
+      " (df1 * (1 - graft_inv_ibeta(df1 / 2, df2 / 2, p))) END",
+    "inverse_cauchy_cdf(median DOUBLE, scale DOUBLE, p DOUBLE)" +
+      " RETURNS DOUBLE RETURN CASE WHEN scale <= 0 THEN raise_error(" +
+      "'inverse_cauchy_cdf: scale must be greater than 0')" +
+      " ELSE median + scale * tan(pi() * (p - 0.5)) END",
+    "inverse_laplace_cdf(mean DOUBLE, scale DOUBLE, p DOUBLE)" +
+      " RETURNS DOUBLE RETURN CASE WHEN scale <= 0 THEN raise_error(" +
+      "'inverse_laplace_cdf: scale must be greater than 0')" +
+      " WHEN p < 0 OR p > 1 THEN raise_error(" +
+      "'inverse_laplace_cdf: p must be in the interval [0, 1]')" +
+      " WHEN p < 0.5 THEN mean + scale * ln(2 * p)" +
+      " ELSE mean - scale * ln(2 * (1 - p)) END",
+    "inverse_poisson_cdf(lambda DOUBLE, p DOUBLE) RETURNS BIGINT" +
+      " RETURN graft_inv_poisson(lambda, p)",
+    "inverse_binomial_cdf(n BIGINT, p DOUBLE, pr DOUBLE)" +
+      " RETURNS BIGINT RETURN graft_inv_binomial(n, p, pr)",
+    // Trino scale_qdigest(qdigest, factor): the sketch with every
+    // centroid WEIGHT scaled (odd array slots in the [m0,w0,m1,w1,…]
+    // serialization) — quantile reads are scale-invariant, merges of
+    // differently-scaled sketches re-weight, exactly the Trino use
+    "scale_qdigest(q ARRAY<DOUBLE>, f DOUBLE) RETURNS ARRAY<DOUBLE>" +
+      " RETURN transform(q, (v, i) -> CASE WHEN f <= 0 THEN" +
+      " CAST(raise_error(" +
+      "'scale_qdigest: scale factor must be greater than 0') AS DOUBLE)" +
+      " WHEN i % 2 = 1 THEN v * f ELSE v END)",
     // cosine_similarity / dot_product are NATIVE dual-form expressions
     // as of r15 (functions/VectorSimilarityExpressions.scala): Trino's
     // MAP sparse form (bit-identical to the retired SQL temp functions
@@ -3128,6 +3172,16 @@ object PrestoSql {
     // YEAROFWEEK
     ("""(?i)\bextract\s*\(\s*YOW\s+FROM""".r, "extract(YEAROFWEEK FROM"),
     ("""(?i)\bqdigest_agg\s*\(""".r, "graft_qdigest_agg("),
+    // Trino tdigest page (r16 probe sweep 6): the engine's quantile
+    // kernel IS a t-digest, so tdigest_agg is the same aggregator and
+    // the value(s)_at_quantile(s)/merge reads above already cover both
+    // pages; destructure_/construct_tdigest stay scoped out (they
+    // expose Trino's internal centroid wire format)
+    ("""(?i)\btdigest_agg\s*\(""".r, "graft_qdigest_agg("),
+    // bare `localtimestamp` (no parens) is valid Trino; Spark wants the
+    // zero-arg call form (bare `localtime` has no Spark TIME type and
+    // stays loud — documented)
+    ("""(?i)\blocaltimestamp\b(?!\s*\()""".r, "localtimestamp()"),
     ("""(?i)\bcardinality\s*\(\s*merge\s*\(""".r,
       "hll_sketch_estimate(hll_union_agg("),
     ("""(?i)\bcardinality\s*\(\s*approx_set\s*\(""".r,

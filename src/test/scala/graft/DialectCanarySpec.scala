@@ -5,10 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Dialect-surface canary (r13): ~90 published Trino function
   * spellings must keep resolving through PrestoSql. The probe that
-  * built this list found eight gaps (closed in the dialect) and three
-  * DOCUMENTED scope-outs (spooky_hash_v2_*, murmur3 — engine-specific
-  * hash wire formats we will not fabricate — and the generic-array
-  * helpers Spark temp functions cannot type). */
+  * built this list found eight gaps (closed in the dialect) and the
+  * DOCUMENTED scope-outs: spooky_hash_v2_*, murmur3 (engine-specific
+  * hash wire formats we will not fabricate), the generic-array helpers
+  * Spark temp functions cannot type, destructure_/construct_tdigest
+  * (they expose Trino's internal centroid layout), and bare
+  * `localtime` (Spark has no TIME type). Sweep 6 (r16, 61 probes)
+  * closed the last inverse-CDF page plus tdigest_agg / scale_qdigest /
+  * bare localtimestamp. */
 class DialectCanarySpec extends SparkSpec {
   test("published Trino spellings resolve through the dialect") {
     val probes = Seq(
@@ -550,5 +554,74 @@ class DialectCanarySpec extends SparkSpec {
         "'GEOMETRYCOLLECTION (MULTIPOINT EMPTY, POINT (0 0))'), " +
         "ST_GeometryFromText('POINT (3 4)'))[1]) AS v").head().getString(0)
     assert(np == "POINT (0.0 0.0)", np)
+  }
+
+  test("r16 probe sweep 6: inverse-CDF closure, tdigest/scale_qdigest, datetime/binary pins") {
+    def one(q: String) = PrestoSql.sql(spark, s"SELECT $q AS v").head()
+    // the six newly-closed inverses, pinned on worked values
+    assert(one("inverse_poisson_cdf(3.0, 0.5)").getLong(0) == 3L)
+    assert(one("inverse_poisson_cdf(100.0, 0.999999)").getLong(0) == 151L)
+    assert(one("inverse_binomial_cdf(20, 0.5, 0.5)").getLong(0) == 10L)
+    assert(one("inverse_binomial_cdf(1000, 0.25, 0.975)").getLong(0)
+      == 277L)
+    // χ²(2) median = 2·ln(2); cauchy q3 at (0,1) = tan(π/4) = 1;
+    // laplace q1 at (0,1) = ln(0.5)
+    assert(math.abs(one("inverse_chi_squared_cdf(2.0, 0.5)").getDouble(0)
+      - 2 * math.log(2)) < 1e-12)
+    assert(math.abs(one("inverse_cauchy_cdf(0.0, 1.0, 0.75)")
+      .getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(one("inverse_laplace_cdf(0.0, 1.0, 0.25)")
+      .getDouble(0) - math.log(0.5)) < 1e-12)
+    // F round trip through the shared beta kernel
+    assert(math.abs(one("f_cdf(2.0, 3.0, inverse_f_cdf(2.0, 3.0, 0.25))")
+      .getDouble(0) - 0.25) < 1e-9)
+    // domain errors stay loud
+    intercept[Throwable] { one("inverse_poisson_cdf(3.0, 1.0)") }
+    intercept[Throwable] { one("inverse_cauchy_cdf(0.0, -1.0, 0.5)") }
+    // tdigest_agg is the same t-digest kernel; scale_qdigest scales
+    // centroid weights, leaving quantile reads invariant; a
+    // non-positive scale factor is loud
+    val rows = PrestoSql.sql(spark,
+      """SELECT value_at_quantile(qdigest_agg(c), 0.5) AS q,
+        |  value_at_quantile(tdigest_agg(c), 0.5) AS t,
+        |  value_at_quantile(scale_qdigest(qdigest_agg(c), 2.5), 0.5)
+        |    AS sq
+        |FROM (SELECT CAST(id AS DOUBLE) AS c
+        |      FROM range(1, 101))""".stripMargin).head()
+    assert(rows.getDouble(0) == rows.getDouble(1))
+    assert(rows.getDouble(0) == rows.getDouble(2))
+    intercept[Throwable] {
+      PrestoSql.sql(spark, "SELECT value_at_quantile(" +
+        "scale_qdigest(qdigest_agg(c), 0.0), 0.5) AS v FROM " +
+        "(SELECT CAST(id AS DOUBLE) AS c FROM range(1, 11))").head()
+    }
+    // bare localtimestamp parses (Trino spelling); bare localtime has
+    // no Spark TIME type and stays loud — documented scope-out
+    assert(!one("localtimestamp IS NULL").getBoolean(0))
+    intercept[Throwable] { one("localtime") }
+    // datetime/binary value pins from the published pages
+    assert(one("soundex('Miller')").getString(0) == "M460")
+    assert(one("word_stem('walking')").getString(0) == "walk")
+    assert(one("crc32(to_utf8('CRC me!'))").getLong(0) == 38028046L)
+    assert(one("bit_count(9, 64)").getLong(0) == 2L)
+    assert(one("to_hex(to_big_endian_64(1234))").getString(0)
+      == "00000000000004D2")
+    assert(one("from_big_endian_64(to_big_endian_64(-7))").getLong(0)
+      == -7L)
+    assert(one("from_ieee754_32(to_ieee754_32(1.5))").getFloat(0) == 1.5f)
+    assert(one("CAST(day_of_week(DATE '2022-03-07') AS BIGINT)")
+      .getLong(0) == 1L) // ISO Monday
+    assert(one("CAST(week(DATE '2020-07-01') AS BIGINT)")
+      .getLong(0) == 27L)
+    assert(one("CAST(date_trunc('week', TIMESTAMP " +
+      "'2022-10-20 05:10:00') AS VARCHAR)").getString(0)
+      == "2022-10-17 00:00:00")
+    // destructure/construct_tdigest and the wire-format hashes stay
+    // loud — documented scope-outs (engine-internal representations)
+    intercept[Throwable] {
+      PrestoSql.sql(spark, "SELECT destructure_tdigest(tdigest_agg(c))" +
+        " AS v FROM (SELECT CAST(id AS DOUBLE) AS c FROM range(1, 11))")
+        .head()
+    }
   }
 }
