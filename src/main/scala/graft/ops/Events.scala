@@ -1105,6 +1105,96 @@ object Events extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // E35: gated streaming TRAINING proof (r16, the r15 verdict #5 —
+    // the dual of e34's inference): a document STREAM trains the l69
+    // logistic-regression machinery one bounded gradient pass per
+    // micro-batch in foreachBatch — broadcast weights in, ≤(V+1)
+    // integer gradient rows out to the driver, the production
+    // continual-pretraining-data shape. EXACTNESS ARGUMENT: per-batch
+    // integer gradients are exact long sums, and long addition
+    // commutes, so the driver-accumulated gradient equals the
+    // full-corpus gradient REGARDLESS of how the file source batches
+    // the stream — the accumulated step is bit-identical to one
+    // full-batch l69 step (per-batch INDEPENDENT steps would be
+    // batch-order-dependent, which file-source batching does not
+    // guarantee; this is the formulation an oracle can gate, and the
+    // one that survives retries at scale because partial gradients are
+    // idempotent aggregates). Features are lexicon-indicator counts
+    // over a fixed 5-word vocab (2 corpus words + the planted
+    // qpos/qneg signal + the qbias intercept token appended once per
+    // doc — the l69 r16 pseudo-bucket as a TOKEN), so the oracle
+    // re-derives training end-to-end in DuckDB integer arithmetic:
+    // w₀ = 0 ⇒ per-doc residual ±500000, g = Σ cnt·gq, w₁ =
+    // −floorDiv(4g, n), score = Σ cnt·w₁. Scoring the corpus with the
+    // streamed-trained w₁ is the oracle-gated output.
+    "e35_stream_model_training" -> ((s, d) => withStreamStateSizing(s) {
+      import s.implicits._
+      val vocabWords = DomainLexicons.storage.take(2) ++
+        Seq("qpos", "qneg", "qbias")
+      val V = vocabWords.length
+      val widMap = map(vocabWords.zipWithIndex.flatMap { case (w, i) =>
+        Seq(lit(w), lit(i)) }: _*)
+      def featsOf(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
+            col("source").isin("src0", "src1").as("pos"),
+            concat(col("text"),
+              when(col("source").isin("src0", "src1"),
+                expr("repeat(' qpos', CAST(doc_id % 3 + 1 AS INT))"))
+              .otherwise(
+                expr("repeat(' qneg', CAST(doc_id % 3 + 1 AS INT))")),
+              lit(" qbias")).as("btext"))
+          .select(col("doc_id"), col("pos"),
+            explode(split(col("btext"), " ")).as("w"))
+          .filter(col("w").isin(vocabWords: _*))
+          .select(col("doc_id"), col("pos"),
+            element_at(widMap, col("w")).as("wid"))
+          .groupBy(col("doc_id"), col("pos"), col("wid"))
+          .agg(count(lit(1)).as("cnt"))
+      val batch = Tables.documents(s, d)
+      val base = Sources.fixtureOnce("graft_e35", d)(dir =>
+        batch.repartition(4).write.mode("overwrite").parquet(s"$dir/src"))
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+      val g = new Array[Long](V)
+      var nDocs = 0L
+      val lock = new Object
+      val q = stream.writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val cached = df.localCheckpoint()
+          val wDf = broadcast(
+            (0 until V).map(k => (k, 0L)).toDF("wid", "wq"))
+          val feats = featsOf(cached).localCheckpoint()
+          val resid = feats.join(wDf, "wid")
+            .groupBy(col("doc_id"), col("pos"))
+            .agg(sum(col("cnt") * col("wq")).as("sq"))
+            .select(col("doc_id"),
+              floor((lit(1.0) / (lit(1.0) + exp(-col("sq") / 1e6)) -
+                when(col("pos"), 1.0).otherwise(0.0)) * 1e6 + 0.5)
+                .cast("long").as("gq"))
+          val grad = feats.join(resid, "doc_id")
+            .groupBy(col("wid")).agg(sum(col("cnt") * col("gq")).as("gr"))
+            .collect()
+          val n = cached.count()
+          lock.synchronized {
+            grad.foreach(r => g(r.getInt(0)) += r.getLong(1))
+            nDocs += n
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val nd = math.max(1L, nDocs)
+      val w1Df = broadcast(g.zipWithIndex.toSeq.map { case (gr, k) =>
+        (k, -Math.floorDiv(gr * 4L, nd)) }.toDF("wid", "wq"))
+      featsOf(Tables.documents(s, d))
+        .join(w1Df, "wid")
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(sum(col("cnt") * col("wq")).as("score_q6"))
+        .select(col("doc_id"), col("pos"), col("score_q6"),
+          (col("score_q6") > 0).as("pred"))
+        .withColumn("correct", col("pred") === col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E21: gated streaming SLIDING windows — the overlapping-window
     // state shape (each event lands in 4 windows) as a real run;
     // complete-mode counts are batching-independent like e1b/e16/e20.
@@ -1687,6 +1777,48 @@ object Events extends QueryModule {
         |  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k)
         |SELECT w_start_s AS w_start, event_type, COUNT(*) AS n
         |FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "e35_stream_model_training" ->
+      // the full streamed training re-derived in integer arithmetic:
+      // w₀ = 0 makes every residual ±500000 exactly (floor((0.5−y)·1e6
+      // + 0.5)); the gradient is an exact integer sum; the update is
+      // Java floorDiv spelled as (x − ((x %% n) + n) %% n) // n; the
+      // qbias token gives every doc the intercept row
+      s"""WITH v(word, wid) AS (VALUES
+        |    ('${graft.ops.DomainLexicons.storage.head}', 0),
+        |    ('${graft.ops.DomainLexicons.storage(1)}', 1),
+        |    ('qpos', 2), ('qneg', 3), ('qbias', 4)),
+        |docs AS (
+        |  SELECT doc_id, (source IN ('src0', 'src1')) AS pos,
+        |    text || CASE WHEN source IN ('src0', 'src1')
+        |      THEN repeat(' qpos', CAST(doc_id % 3 + 1 AS INT))
+        |      ELSE repeat(' qneg', CAST(doc_id % 3 + 1 AS INT)) END
+        |      || ' qbias' AS btext
+        |  FROM documents),
+        |feats AS (
+        |  SELECT d.doc_id, d.pos, v.wid,
+        |    CAST(len(list_filter(str_split(d.btext, ' '),
+        |      x -> x = v.word)) AS BIGINT) AS cnt
+        |  FROM docs d CROSS JOIN v
+        |  WHERE len(list_filter(str_split(d.btext, ' '),
+        |    x -> x = v.word)) > 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM docs),
+        |grad AS (
+        |  SELECT wid, CAST(SUM(cnt *
+        |    (CASE WHEN pos THEN -500000 ELSE 500000 END)) AS BIGINT)
+        |    AS gr
+        |  FROM feats GROUP BY wid),
+        |wt AS (
+        |  SELECT wid, -(((gr * 4) - (((gr * 4) % nd) + nd) % nd) // nd)
+        |    AS wq
+        |  FROM grad, n)
+        |SELECT f.doc_id, f.pos,
+        |  CAST(SUM(f.cnt * w.wq) AS BIGINT) AS score_q6,
+        |  CAST(SUM(f.cnt * w.wq) AS BIGINT) > 0 AS pred,
+        |  (CAST(SUM(f.cnt * w.wq) AS BIGINT) > 0) = f.pos AS correct
+        |FROM feats f JOIN wt w USING (wid)
+        |GROUP BY f.doc_id, f.pos
+        |ORDER BY f.doc_id""".stripMargin,
 
     "e34_stream_model_scoring" ->
       // the batch equivalent of the streaming lexicon-model scoring:
