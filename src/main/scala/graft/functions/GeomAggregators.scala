@@ -89,11 +89,13 @@ object GeomAggregators {
         x
       }
       def finish(b: HullBuf): String = {
+        if (b.pts.isEmpty) return null // all-NULL group, Trino's NULL
         val hull = WktCore.monotoneChain(b.pts)
-        require(hull.length >= 6, "convex_hull_agg: every point in the " +
-          "group is collinear - the hull degenerates to a segment, which " +
-          "this geometry model cannot represent")
-        WktCore.fmtRing(hull)
+        // collinear groups degenerate Trino-style (r16): POINT /
+        // LINESTRING between the lexicographic extremes, shared with
+        // st_convexhull
+        if (hull.length >= 6) WktCore.fmtRing(hull)
+        else WktCore.degenerateHullWkt(b.pts)
       }
       def bufferEncoder: Encoder[HullBuf] = Encoders.product[HullBuf]
       def outputEncoder: Encoder[String] = Encoders.STRING

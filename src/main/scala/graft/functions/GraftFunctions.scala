@@ -34,6 +34,21 @@ object GraftFunctions {
           s"to_iso8601 expects 1 argument; got ${e.length}")
         ToIso8601Expression(e(0))
       }),
+    (FunctionIdentifier("to_base32"),
+      new ExpressionInfo(classOf[ToBase32Expression].getName, "to_base32"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"to_base32 expects 1 argument; got ${e.length}")
+        ToBase32Expression(e(0))
+      }),
+    (FunctionIdentifier("from_base32"),
+      new ExpressionInfo(classOf[FromBase32Expression].getName,
+        "from_base32"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"from_base32 expects 1 argument; got ${e.length}")
+        FromBase32Expression(e(0))
+      }),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductDispatchExpression].getName,
         "dot_product"),

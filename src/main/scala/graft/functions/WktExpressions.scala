@@ -4115,10 +4115,30 @@ object WktCore {
     val c = coordsOf(g.toString)
     require(c.nonEmpty, "st_convexhull: EMPTY geometry has no hull")
     val out = monotoneChain(c)
-    require(out.length >= 6, "st_convexhull: all points collinear - the " +
-      "hull degenerates to a segment, which this geometry model cannot " +
-      "represent")
-    UTF8String.fromString(fmtRing(out))
+    UTF8String.fromString(
+      if (out.length >= 6) fmtRing(out) else degenerateHullWkt(c))
+  }
+
+  /** The hull of a collinear point cloud, Trino-style (r16): one
+    * distinct point → that POINT; otherwise the segment between the
+    * lexicographic extremes — for collinear points lexicographic order
+    * IS the order along the carrier line, so those extremes are the
+    * geometric endpoints. (r13–r15 threw here; the model always had
+    * LINESTRING, so the POLYGON-only contract was needlessly loud.)
+    * Shared by st_convexhull and convex_hull_agg. */
+  private[functions] def degenerateHullWkt(c: Array[Double]): String = {
+    var minX = c(0); var minY = c(1); var maxX = c(0); var maxY = c(1)
+    var i = 1
+    while (2 * i < c.length) {
+      val x = c(2 * i); val y = c(2 * i + 1)
+      if (x < minX || (x == minX && y < minY)) { minX = x; minY = y }
+      if (x > maxX || (x == maxX && y > maxY)) { maxX = x; maxY = y }
+      i += 1
+    }
+    if (minX == maxX && minY == maxY)
+      s"POINT (${fmtCoord(minX)} ${fmtCoord(minY)})"
+    else s"LINESTRING (${fmtCoord(minX)} ${fmtCoord(minY)}, " +
+      s"${fmtCoord(maxX)} ${fmtCoord(maxY)})"
   }
 
   /** Andrew's monotone chain over a flat point list → minimal CCW hull

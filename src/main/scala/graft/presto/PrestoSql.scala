@@ -2033,6 +2033,13 @@ object PrestoSql {
     // ISO-8601 ingestion (Presto from_iso8601_*): Spark's to_timestamp /
     // to_date parse ISO forms by default.
     "from_iso8601_timestamp(s STRING) RETURNS TIMESTAMP RETURN to_timestamp(s)",
+    // from_iso8601_timestamp_nanos (r16 probe sweep 7): Trino returns
+    // timestamp(9); Spark timestamps are MICROSECOND-precision, so the
+    // fractional part is TRUNCATED past 6 digits (not rounded — Trino
+    // keeps the nanos; sub-microsecond callers lose the tail, a
+    // documented narrowing like the parse_data_size decimal one)
+    "from_iso8601_timestamp_nanos(s STRING) RETURNS TIMESTAMP RETURN" +
+      " to_timestamp(regexp_replace(s, '(\\\\.[0-9]{6})[0-9]+', '$1'))",
     // to_iso8601 is a NATIVE dual-form expression as of r15 (probe
     // sweep 5 caught the temp fn rendering DATE arguments with a
     // spurious T00:00:00.000): DATE → yyyy-MM-dd, TIMESTAMP → the
@@ -2510,6 +2517,33 @@ object PrestoSql {
     // (which returns 0 there).
     "regexp_position(s STRING, p STRING) RETURNS BIGINT RETURN" +
       " IF(regexp_instr(s, p) = 0, -1L, CAST(regexp_instr(s, p) AS BIGINT))",
+    // regexp_position's 3/4-argument forms (r16 probe sweep 7): the
+    // occurrence-th match at-or-after `st`, -1 when exhausted. Matches
+    // advance non-overlapping from each match's END (Java find()
+    // semantics, like Presto's matcher loop), with the +1 floor on a
+    // zero-width match so the scan always progresses; the fold runs
+    // exactly `occ` bounded steps, and an exhausted scan parks `frm`
+    // past the string so later steps stay -1.
+    "graft_regexp_pos(s STRING, p STRING, st BIGINT, occ BIGINT)" +
+      " RETURNS BIGINT RETURN" +
+      " CASE WHEN st < 1 THEN" +
+      " raise_error('regexp_position: start must be >= 1')" +
+      " WHEN occ < 1 THEN" +
+      " raise_error('regexp_position: occurrence must be >= 1')" +
+      " ELSE aggregate(sequence(1L, occ)," +
+      " named_struct('pos', -1L, 'frm', CAST(st AS INT))," +
+      " (acc, ig) -> CASE" +
+      " WHEN acc.frm > length(s) + 1 THEN" +
+      " named_struct('pos', -1L, 'frm', CAST(length(s) + 2 AS INT))" +
+      " WHEN regexp_instr(substring(s, acc.frm), p) = 0 THEN" +
+      " named_struct('pos', -1L, 'frm', CAST(length(s) + 2 AS INT))" +
+      " ELSE named_struct(" +
+      " 'pos', CAST(regexp_instr(substring(s, acc.frm), p) AS BIGINT)" +
+      " + acc.frm - 1," +
+      " 'frm', CAST(regexp_instr(substring(s, acc.frm), p) + acc.frm" +
+      " - 1 + greatest(length(regexp_extract(substring(s, acc.frm)," +
+      " p, 0)), 1) AS INT)) END," +
+      " acc -> acc.pos) END",
     // Trino format_number(n): unit-suffixed rendering at powers of 1000
     // (K/M/B/T, then Q), ≤3 significant digits, trailing zeros dropped —
     // reproduces the published examples (123456 → '123K', 1000000 →
@@ -2777,6 +2811,41 @@ object PrestoSql {
       " OR graft_ip4_mask(ip, 24) IN (3221225472L, 3221225984L," +          // 192.0.0/24, 192.0.2/24
       " 3227017984L, 3325256704L, 3405803776L)" +                           // 192.88.99/24, 198.51.100/24, 203.0.113/24
       " OR graft_ip4_mask(ip, 4) = 4026531840L",                            // 240/4
+    // PrestoDB spelling of the same registry test
+    "is_private_ip(ip STRING) RETURNS BOOLEAN RETURN is_private(ip)",
+    // CIDR family (r16 probe sweep 7) — ip_subnet_min/max/range and
+    // is_subnet_of over the engine's IPv4-as-string model ('a.b.c.d/n'
+    // prefixes). graft_cidr_bits is loud on a missing '/' or an
+    // out-of-range length; the base address clears host bits through
+    // the existing mask helper, so malformed quads stay loud too.
+    "graft_cidr_bits(c STRING) RETURNS INT RETURN" +
+      " CASE WHEN instr(c, '/') = 0 THEN" +
+      " raise_error(concat('not an IPv4 CIDR prefix: ', c))" +
+      " WHEN CAST(split_part(c, '/', 2) AS INT) BETWEEN 0 AND 32" +
+      " THEN CAST(split_part(c, '/', 2) AS INT)" +
+      " ELSE raise_error(concat('IPv4 prefix length out of [0, 32]: '," +
+      " c)) END",
+    "graft_cidr_base(c STRING) RETURNS BIGINT RETURN" +
+      " graft_ip4_mask(split_part(c, '/', 1), graft_cidr_bits(c))",
+    "ip_subnet_min(c STRING) RETURNS STRING RETURN" +
+      " graft_ip4_str(graft_cidr_base(c))",
+    "ip_subnet_max(c STRING) RETURNS STRING RETURN" +
+      " graft_ip4_str(graft_cidr_base(c) +" +
+      " shiftleft(1L, 32 - graft_cidr_bits(c)) - 1)",
+    "ip_subnet_range(c STRING) RETURNS ARRAY<STRING> RETURN" +
+      " array(ip_subnet_min(c), ip_subnet_max(c))",
+    // is_subnet_of(prefix, x): x may be an address (membership) or a
+    // second prefix (containment: at-least-as-long mask agreeing on
+    // the first prefix's bits) — Trino's two overloads through one
+    // STRING signature, dispatched on the '/' the type system carried
+    // in Trino
+    "is_subnet_of(a STRING, b STRING) RETURNS BOOLEAN RETURN" +
+      " CASE WHEN instr(b, '/') > 0 THEN" +
+      " graft_cidr_bits(b) >= graft_cidr_bits(a) AND" +
+      " graft_ip4_mask(split_part(b, '/', 1), graft_cidr_bits(a)) =" +
+      " graft_cidr_base(a)" +
+      " ELSE graft_ip4_mask(b, graft_cidr_bits(a)) =" +
+      " graft_cidr_base(a) END",
     // Trino ST_Centroid / ST_Envelope over WKT text (the p2t contract:
     // geometries ARE WKT strings): built from the native centroid /
     // envelope-bound kernels; Java's shortest-round-trip double
@@ -2898,8 +2967,10 @@ object PrestoSql {
       // Aggregators (WKT-text geometries, the p2t contract)
       spark.udf.register("geometry_union_agg",
         udaf(graft.functions.GeomAggregators.unionOf))
-      spark.udf.register("geometry_union",
-        udaf(graft.functions.GeomAggregators.unionOf))
+      // (geometry_union — Presto's SCALAR union over an ARRAY of
+      // geometries — is a wrapSweep7 rewrite onto an st_union fold;
+      // r13-r15 aliased it to the aggregate, which shadowed the
+      // published array form. geometry_union_agg IS the aggregate.)
       spark.udf.register("convex_hull_agg",
         udaf(graft.functions.GeomAggregators.hullOf))
       spark.udf.register("graft_qdigest_merge", udaf(QS.mergeAgg))
@@ -3182,6 +3253,11 @@ object PrestoSql {
     // zero-arg call form (bare `localtime` has no Spark TIME type and
     // stays loud — documented)
     ("""(?i)\blocaltimestamp\b(?!\s*\()""".r, "localtimestamp()"),
+    // bare current_catalog / current_schema (no parens) are the Trino
+    // session-information spellings; Spark has both as zero-arg
+    // functions (r16 probe sweep 7)
+    ("""(?i)\bcurrent_catalog\b(?!\s*\()""".r, "current_catalog()"),
+    ("""(?i)\bcurrent_schema\b(?!\s*\()""".r, "current_schema()"),
     ("""(?i)\bcardinality\s*\(\s*merge\s*\(""".r,
       "hll_sketch_estimate(hll_union_agg("),
     ("""(?i)\bcardinality\s*\(\s*approx_set\s*\(""".r,
@@ -4981,6 +5057,181 @@ object PrestoSql {
       }
     }
 
+  /** r16 probe-sweep-7 arity routers and generic inline closures —
+    * spellings a temp function cannot carry (overloaded arities, lambda
+    * parameters, or type-generic elements). Each expansion is the
+    * documented dialect-compat trade-off: O(|input|) HOFs per row, with
+    * loud guards where engines would otherwise diverge silently.
+    */
+  private[graft] def wrapSweep7(s0: String): String = {
+    var r = s0
+    // strrpos(s, sub, instance): the instance-th occurrence counting
+    // from the END (PrestoDB). Candidate positions come from the same
+    // overlap-permitting scan as 3-arg strpos; negative indexing picks
+    // from the tail. instance <= 0 and the empty needle stay loud
+    // (mirroring the 2-arg temp fn's empty-substring guard).
+    r = rewriteCall(r, "strrpos") { args =>
+      require(args.size == 2 || args.size == 3,
+        s"strrpos takes 2 or 3 arguments, got ${args.size}")
+      if (args.size == 2) s"strrpos(${args(0)}, ${args(1)})"
+      else {
+        val (a, b, n) = (args(0), args(1), args(2))
+        s"CASE WHEN length($b) = 0 THEN" +
+          s" raise_error('strrpos: empty substring')" +
+          s" WHEN CAST(($n) AS INT) <= 0 THEN" +
+          s" raise_error('strrpos: instance must be positive')" +
+          s" ELSE CAST(coalesce(try_element_at(filter(transform(" +
+          s"sequence(1, greatest(length($a) - length($b) + 1, 1)), i ->" +
+          s" IF(substring($a, i, length($b)) = ($b), i, 0))," +
+          s" x -> x != 0), -CAST(($n) AS INT)), 0) AS BIGINT) END"
+      }
+    }
+    // regexp_position start/occurrence forms route to the bounded-fold
+    // temp function; the hot 2-arg spelling keeps its direct adapter
+    r = rewriteCall(r, "regexp_position") { args =>
+      args.size match {
+        case 2 => s"regexp_position(${args(0)}, ${args(1)})"
+        case 3 => s"graft_regexp_pos(${args(0)}, ${args(1)}," +
+          s" CAST((${args(2)}) AS BIGINT), 1L)"
+        case 4 => s"graft_regexp_pos(${args(0)}, ${args(1)}," +
+          s" CAST((${args(2)}) AS BIGINT), CAST((${args(3)}) AS BIGINT))"
+        case n => throw new IllegalArgumentException(
+          s"regexp_position takes 2-4 arguments, got $n")
+      }
+    }
+    // find_first: Trino errors when the FIRST MATCH is NULL (returning
+    // NULL there would be indistinguishable from no-match) — only a
+    // predicate that explicitly matches NULL can reach that branch,
+    // since filter() drops rows whose predicate is NULL
+    r = rewriteCall(r, "find_first") { args =>
+      require(args.size == 2,
+        s"find_first takes (array, lambda), got ${args.size} arguments")
+      val (a, f) = (args(0), args(1))
+      s"CASE WHEN size(filter($a, $f)) = 0 THEN NULL" +
+        s" WHEN element_at(filter($a, $f), 1) IS NULL THEN" +
+        s" raise_error('find_first: first matching element is NULL')" +
+        s" ELSE element_at(filter($a, $f), 1) END"
+    }
+    // find_first_index: the lambda must apply to a POSITION, so the
+    // single-variable body is textually rebound to element_at(a, i) —
+    // the same surgery wrapRegexpLambda does, loud on anything but a
+    // simple `v -> body` form
+    r = rewriteCall(r, "find_first_index") { args =>
+      require(args.size == 2,
+        s"find_first_index takes (array, lambda), got ${args.size}")
+      val (a, f0) = (args(0), args(1).trim)
+      val arrow = f0.indexOf("->")
+      require(arrow > 0 && f0.substring(0, arrow).trim.matches("""\w+"""),
+        "find_first_index: a single-variable lambda `v -> body` is " +
+          "required")
+      val v = f0.substring(0, arrow).trim
+      val body = f0.substring(arrow + 2).trim
+      val applied = ("""\b""" + java.util.regex.Pattern.quote(v) +
+        """\b""").r.replaceAllIn(body,
+        scala.util.matching.Regex.quoteReplacement(
+          s"try_element_at($a, __fi)"))
+      s"CAST(try_element_at(filter(sequence(1, size($a)), __fi ->" +
+        s" ($applied)), 1) AS BIGINT)"
+    }
+    // array_position's 3-argument instance form (PrestoDB: negative
+    // instance counts from the end, 0 is an error, absent is 0)
+    r = rewriteCall(r, "array_position") { args =>
+      require(args.size == 2 || args.size == 3,
+        s"array_position takes 2 or 3 arguments, got ${args.size}")
+      if (args.size == 2) s"array_position(${args(0)}, ${args(1)})"
+      else {
+        val (a, el, n) = (args(0), args(1), args(2))
+        s"IF(CAST(($n) AS INT) = 0," +
+          s" raise_error('array_position: instance must not be 0')," +
+          s" CAST(coalesce(try_element_at(filter(transform(" +
+          s"sequence(1, greatest(size($a), 1)), i ->" +
+          s" IF(try_element_at($a, i) = ($el), i, 0)), x -> x != 0)," +
+          s" CAST(($n) AS INT)), 0) AS BIGINT))"
+      }
+    }
+    // array_least_frequent (PrestoDB): distinct non-null elements
+    // ordered by (frequency ASC, value ASC) — the struct sort's field
+    // order IS that key — sliced to n (default 1)
+    r = rewriteCall(r, "array_least_frequent") { args =>
+      require(args.size == 1 || args.size == 2,
+        s"array_least_frequent takes 1 or 2 arguments, got ${args.size}")
+      val a = args(0)
+      val n = if (args.size == 2) args(1) else "1"
+      s"IF(CAST(($n) AS INT) < 0," +
+        s" raise_error('array_least_frequent: n must be >= 0')," +
+        s" transform(slice(array_sort(transform(array_distinct(" +
+        s"filter($a, __x -> __x IS NOT NULL))," +
+        s" __e -> struct(size(filter($a, __y -> __y = __e)) AS f," +
+        s" __e AS v))), 1, CAST(($n) AS INT)), __s -> __s.v))"
+    }
+    // map_key_exists / map_subset (PrestoDB) — generic one-line
+    // compositions over native map HOFs
+    r = rewriteCall(r, "map_key_exists") { args =>
+      require(args.size == 2,
+        s"map_key_exists takes 2 arguments, got ${args.size}")
+      s"array_contains(map_keys(${args(0)}), (${args(1)}))"
+    }
+    r = rewriteCall(r, "map_subset") { args =>
+      require(args.size == 2,
+        s"map_subset takes 2 arguments, got ${args.size}")
+      s"map_filter((${args(0)}), (__k, __v) ->" +
+        s" array_contains((${args(1)}), __k))"
+    }
+    // geometry_union(ARRAY<geometry>) — Presto's SCALAR union: a
+    // left fold of the pairwise st_union kernel over the non-null
+    // elements (union is associative, so the fold order is just the
+    // array order); empty/all-null arrays yield NULL
+    r = rewriteCall(r, "geometry_union") { args =>
+      require(args.size == 1,
+        s"geometry_union takes one ARRAY argument, got ${args.size}" +
+          " (the per-group aggregate is geometry_union_agg)")
+      s"aggregate(filter((${args(0)}), __g -> __g IS NOT NULL)," +
+        s" CAST(NULL AS STRING), (__a, __b) ->" +
+        s" IF(__a IS NULL, __b, st_union(__a, __b)))"
+    }
+    // fail(message) / fail(code, message): both raise with the
+    // message — the integer error code has no Spark-side carrier
+    // (the raised SparkRuntimeException is the loud channel)
+    r = rewriteCall(r, "fail") { args =>
+      require(args.size == 1 || args.size == 2,
+        s"fail takes 1 or 2 arguments, got ${args.size}")
+      s"raise_error(CAST((${args.last}) AS STRING))"
+    }
+    // approx_percentile beyond the 2-arg form. In the Presto dialect
+    // the 3-arg call is AMBIGUOUS between PrestoDB's
+    // (x, percentage, accuracy∈(0,1]) and the weighted
+    // (x, w, percentage): dispatch on arg2 — a numeric literal ≤ 1 is
+    // a percentage (weights are per-row counts ≥ 1, and a CONSTANT
+    // weight ≤ 1 is meaningless), anything else is a weight. Weighted
+    // forms map onto Spark's EXACT percentile(x, p, frequency) — a
+    // strictly stronger answer than the t-digest approximation, so the
+    // 4-arg accuracy argument is subsumed (documented); integral
+    // weights are Presto's own contract.
+    r = rewriteCall(r, "approx_percentile") { args =>
+      def litLe1(e: String): Boolean = {
+        val t = e.trim
+        t.matches("""[0-9]*\.?[0-9]+([eE]-?[0-9]+)?""") &&
+          t.toDouble <= 1.0
+      }
+      args.size match {
+        case 2 => s"approx_percentile(${args(0)}, ${args(1)})"
+        case 3 if litLe1(args(1)) =>
+          // accuracy ε → Spark's integral accuracy ~ 1/ε, floored at
+          // the builtin default 10000 so a loose ε never DEGRADES the
+          // engine's default precision
+          s"approx_percentile(${args(0)}, ${args(1)}," +
+            s" greatest(CAST(round(1.0 / (${args(2)})) AS INT), 10000))"
+        case 3 =>
+          s"percentile(${args(0)}, ${args(2)}, ${args(1)})"
+        case 4 =>
+          s"percentile(${args(0)}, ${args(2)}, ${args(1)})"
+        case n => throw new IllegalArgumentException(
+          s"approx_percentile takes 2-4 arguments, got $n")
+      }
+    }
+    r
+  }
+
   /** Presto's digests return VARBINARY; Spark's same-named builtins
     * return HEX STRINGS — so a migrated `to_hex(md5(x))` would hex the
     * hex (silent garbage). Wrap each digest in unhex() so the dialect's
@@ -5087,14 +5338,14 @@ object PrestoSql {
 
   def translate(prestoSql: String): String = {
     val out = new StringBuilder
-    val s = rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
+    val s = wrapSweep7(rewriteWindowFilter(wrapMinMaxByN(wrapArrayMinMaxBy(wrapNormalize(
       wrapRegexpLambda(wrapFromUnixtime(wrapStrpos(wrapDigests(fixRegexpGroupDefaults(wrapDialectAggs(
         wrapKeysValuesMatch(wrapNoneMatch(wrapMapAgg(rewriteArrayAgg(
           rewriteListagg(rewriteArrayLiterals(rewriteUnnest(
             rewriteBareFromUnnest(rewriteNumericTypedLiterals(rewriteDecimalLiterals(
               rewriteSequenceTable(rewriteJsonTable(
                 inlineSplit(rewriteFetchTies(
-                  escapeLiteralBackslashes(prestoSql)))))))))))))))))))))))))
+                  escapeLiteralBackslashes(prestoSql))))))))))))))))))))))))))
     var i = 0
     var code = new StringBuilder
     def flushCode(): Unit = {

@@ -68,14 +68,15 @@ class GeomAggSpec extends SparkSpec {
       "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 0.0))", got(0).getString(1))
     // square + an outlier point: 5-vertex hull
     assert(WktCore.area(u(got(1).getString(1))) == 16.0 + 0.5 * 5 * 4)
-    // an all-collinear group is loud, like st_convexhull
-    val e = intercept[org.apache.spark.SparkException] {
-      Seq(("c", "POINT (0 0)"), ("c", "POINT (1 1)"))
-        .toDF("k", "g").groupBy($"k")
-        .agg(GA.convexHull($"g").as("h")).collect()
-    }
-    assert(e.getMessage.contains("collinear") ||
-      e.getCause != null && e.getCause.getMessage.contains("collinear"))
+    // an all-collinear group degenerates Trino-style as of r16: the
+    // segment between the lexicographic extremes (r13-r15 threw)
+    val deg = Seq(("c", "POINT (0 0)"), ("c", "POINT (1 1)"),
+        ("d", "POINT (5 6)"), ("d", "POINT (5 6)"))
+      .toDF("k", "g").groupBy($"k")
+      .agg(GA.convexHull($"g").as("h")).orderBy($"k").collect()
+    assert(deg(0).getString(1) == "LINESTRING (0.0 0.0, 1.0 1.0)",
+      deg(0).getString(1))
+    assert(deg(1).getString(1) == "POINT (5.0 6.0)", deg(1).getString(1))
   }
 
   test("st_boundary renders rings closed and measurable") {

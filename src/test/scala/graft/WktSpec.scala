@@ -296,10 +296,10 @@ class WktSpec extends SparkSpec {
     assert(hull == "POLYGON ((-2.0 0.0, 0.0 -2.0, 2.0 0.0, 0.0 2.0, -2.0 0.0))",
       hull)
     assert(WktCore.area(u(hull)) == 8.0)
-    // collinear degenerate input is loud
-    intercept[IllegalArgumentException] {
-      WktCore.convexHullWkt(u("LINESTRING (0 0, 1 1, 2 2, 3 3)"))
-    }
+    // collinear degenerate input: Trino-style segment as of r16
+    assert(WktCore.convexHullWkt(
+      u("LINESTRING (0 0, 1 1, 2 2, 3 3)")).toString ==
+      "LINESTRING (0.0 0.0, 3.0 3.0)")
     // edge-tangent rectangles: the AREAL intersection is empty — the
     // shared edge (a lower-dimensional contact) must NOT surface as a
     // zero-area sliver polygon (r10 review finding)
@@ -748,15 +748,20 @@ class WktSpec extends SparkSpec {
       "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, 0.0 1.0, 0.0 0.0))")
     assert(h("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 2 0))") ==
       "POLYGON ((0.0 0.0, 2.0 0.0, 5.0 5.0, 0.0 0.0))")
-    // EMPTY members contribute nothing; all-EMPTY and collinear loud
+    // EMPTY members contribute nothing; all-EMPTY stays loud
     assert(h("GEOMETRYCOLLECTION (LINESTRING EMPTY, " +
       "MULTIPOINT ((0 0), (1 0), (0 1)))") ==
       "POLYGON ((0.0 0.0, 1.0 0.0, 0.0 1.0, 0.0 0.0))")
     intercept[IllegalArgumentException] { h("MULTIPOINT EMPTY") }
     intercept[IllegalArgumentException] { h("GEOMETRYCOLLECTION EMPTY") }
-    intercept[IllegalArgumentException] {
-      h("MULTIPOINT ((0 0), (1 0), (2 0))")
-    }
+    // collinear clouds degenerate Trino-style as of r16: the segment
+    // between the lexicographic extremes (order along the carrier
+    // line), a single distinct point its POINT — no longer loud
+    assert(h("MULTIPOINT ((0 0), (1 0), (2 0))") ==
+      "LINESTRING (0.0 0.0, 2.0 0.0)")
+    assert(h("LINESTRING (0 2, 0 0, 0 7)") ==
+      "LINESTRING (0.0 0.0, 0.0 7.0)")
+    assert(h("MULTIPOINT ((3 4), (3 4))") == "POINT (3.0 4.0)")
   }
 
   test("st_equals total kind matrix: lines, point sets, collections, empties (r15)") {
