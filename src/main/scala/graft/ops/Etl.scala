@@ -1363,6 +1363,91 @@ object Etl extends QueryModule {
           |FROM p ORDER BY k""".stripMargin)
     }),
 
+    // p2aj (r16 probe sweep 7): the LAST un-probed published pages —
+    // the COLOR page (bar/render/rgb/color, pinned structurally: the
+    // escape-stripped bar is `width` visible cells with round(x·width)
+    // filled blocks), the CIDR subnet family over IPv4-as-string,
+    // strrpos/regexp_position/array_position instance forms,
+    // find_first(+index), array_least_frequent, map_subset, base32
+    // (round-trip + padded-length law; the RFC vectors are spec-pinned),
+    // the weighted approx_percentile (exact percentile with frequency),
+    // the scalar geometry_union fold, and the Trino-style degenerate
+    // convex hull. 159 probes ran; the three remaining FAILs are
+    // documented scope-outs (non-'en' word_stem languages, timezone()
+    // — no TZ-carrying type — and fail(), which correctly raises).
+    "p2aj_presto_probe7" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH p AS (
+          |  SELECT "n_nationkey" AS k, "n_name" AS nm,
+          |    concat(CAST("n_nationkey" % 200 AS VARCHAR), '.',
+          |      CAST("n_nationkey" * 7 % 256 AS VARCHAR), '.',
+          |      CAST("n_nationkey" * 13 % 256 AS VARCHAR), '.',
+          |      CAST("n_nationkey" * 31 % 256 AS VARCHAR)) AS ip,
+          |    CAST("n_nationkey" % 24 + 4 AS INT) AS bits,
+          |    CAST("n_nationkey" % 5 AS DOUBLE) / 4 AS xfrac,
+          |    CAST("n_nationkey" % 3 + 1 AS BIGINT) AS a,
+          |    substr('ABCDEFGHIJ', 1, "n_nationkey" % 6 + 3) AS lt
+          |  FROM nation)
+          |SELECT k,
+          |  strrpos(concat(nm, '|', nm, '|'), '|', 2) AS sr2,
+          |  strrpos(concat(nm, '|', nm, '|'), '|', 1) AS sr1,
+          |  regexp_position(concat(lt, '7', lt, '77', lt),
+          |    '[0-9]+', 1, 1) AS rp1,
+          |  regexp_position(concat(lt, '7', lt, '77', lt),
+          |    '[0-9]+', 1, 2) AS rp2,
+          |  regexp_position(concat(lt, '7', lt, '77', lt),
+          |    '[0-9]+', CAST(length(lt) + 2 AS BIGINT), 1) AS rp_st,
+          |  regexp_position(concat(lt, '7', lt, '77', lt),
+          |    '[0-9]+', 1, 3) AS rp_none,
+          |  ip_subnet_min(concat(ip, '/', CAST(bits AS VARCHAR)))
+          |    AS smin,
+          |  ip_subnet_max(concat(ip, '/', CAST(bits AS VARCHAR)))
+          |    AS smax,
+          |  is_subnet_of('10.0.0.0/8', ip) AS iso_addr,
+          |  is_subnet_of(concat('10.0.0.0/', CAST(bits AS VARCHAR)),
+          |    '10.64.0.0/24') AS iso_pfx,
+          |  is_private_ip(ip) AS ispriv,
+          |  from_utf8(from_base32(to_base32(to_utf8(nm)))) = nm
+          |    AS b32_rt,
+          |  CAST(length(to_base32(to_utf8(nm))) AS BIGINT) AS b32_len,
+          |  CAST(find_first(sequence(1, k + 3), x -> x * x > k)
+          |    AS BIGINT) AS ff,
+          |  find_first_index(sequence(1, k + 3), x -> x * x > k)
+          |    AS ffi,
+          |  array_join(transform(array_least_frequent(
+          |    ARRAY[k % 3, k % 3, k % 5 + 10, 20], 2),
+          |    e -> CAST(e AS VARCHAR)), ',') AS alf2,
+          |  array_position(ARRAY[k % 2, 1, k % 2], k % 2, 2) AS ap2,
+          |  map_key_exists(map(ARRAY['a', 'b'], ARRAY[k, k + 1]), 'a')
+          |    AS mke,
+          |  CAST(element_at(map_subset(map(ARRAY['a', 'b'],
+          |    ARRAY[k, k + 1]), ARRAY['b', 'z']), 'b') AS BIGINT)
+          |    AS msub,
+          |  rgb(k % 256, k * 7 % 256, k * 13 % 256) AS crgb,
+          |  CAST(length(regexp_replace(bar(xfrac, 8),
+          |    concat(chr(27), '\[[0-9;]*m'), '')) AS BIGINT) AS bar_w,
+          |  CAST(length(regexp_replace(regexp_replace(bar(xfrac, 8),
+          |    concat(chr(27), '\[[0-9;]*m'), ''), ' ', ''))
+          |    AS BIGINT) AS bar_fill,
+          |  regexp_replace(render(k % 2 = 0),
+          |    concat(chr(27), '\[[0-9;]*m'), '') AS rend,
+          |  geometry_union(ARRAY[
+          |    concat('POLYGON ((0 0, ', CAST(a AS VARCHAR), ' 0, ',
+          |      CAST(a AS VARCHAR), ' 1, 0 1, 0 0))'),
+          |    concat('POLYGON ((', CAST(a AS VARCHAR), ' 0, ',
+          |      CAST(a * 2 AS VARCHAR), ' 0, ', CAST(a * 2 AS VARCHAR),
+          |      ' 1, ', CAST(a AS VARCHAR), ' 1, ', CAST(a AS VARCHAR),
+          |      ' 0))')]) AS gu,
+          |  ST_AsText(ST_ConvexHull(ST_GeometryFromText(
+          |    concat('MULTIPOINT ((0 0), (', CAST(a AS VARCHAR), ' ',
+          |      CAST(a * 2 AS VARCHAR), '), (', CAST(a * 2 AS VARCHAR),
+          |      ' ', CAST(a * 4 AS VARCHAR), '))')))) AS hull_deg,
+          |  (SELECT approx_percentile(CAST("n_nationkey" AS DOUBLE),
+          |    "n_nationkey" % 3 + 1, 0.5) FROM nation) AS wpct
+          |FROM p ORDER BY k""".stripMargin)
+    }),
+
     // P2r: the Trino array-utility family Spark lacks —
     // array_duplicates / array_has_duplicates / array_normalize /
     // trim_array — as dialect temp-function adapters, oracle-gated over
@@ -2733,6 +2818,75 @@ object Etl extends QueryModule {
         |  true AS ibin_ok,
         |  true AS lts_ok
         |FROM p ORDER BY k""".stripMargin,
+
+    // p2aj: every column re-derived with independent DuckDB machinery —
+    // occurrence positions from the fixture's construction law
+    // (needles at len+1 / 2len+2), CIDR min/max by integer shifts on
+    // the re-assembled quad, find_first's smallest i with i² > k as
+    // floor(√k)+1, bar fill as the exact 2·(k%5) block count, the
+    // weighted percentile over the generate_series-expanded multiset,
+    // and the union/hull WKTs as constructed canonical strings
+    "p2aj_presto_probe7" ->
+      """WITH p AS (
+        |  SELECT n_nationkey AS k, n_name AS nm,
+        |    CAST(n_nationkey % 200 AS BIGINT) * 16777216 +
+        |    CAST(n_nationkey * 7 % 256 AS BIGINT) * 65536 +
+        |    CAST(n_nationkey * 13 % 256 AS BIGINT) * 256 +
+        |    CAST(n_nationkey * 31 % 256 AS BIGINT) AS ipn,
+        |    CAST(n_nationkey % 24 + 4 AS INT) AS bits,
+        |    CAST(n_nationkey % 3 + 1 AS BIGINT) AS a
+        |  FROM nation),
+        |q AS (
+        |  SELECT *, (ipn >> (32 - bits)) << (32 - bits) AS base,
+        |    ((ipn >> (32 - bits)) << (32 - bits)) +
+        |      (CAST(1 AS BIGINT) << (32 - bits)) - 1 AS bmax
+        |  FROM p)
+        |SELECT k,
+        |  CAST(length(nm) + 1 AS BIGINT) AS sr2,
+        |  CAST(2 * length(nm) + 2 AS BIGINT) AS sr1,
+        |  CAST(k % 6 + 4 AS BIGINT) AS rp1,
+        |  CAST(2 * (k % 6 + 3) + 2 AS BIGINT) AS rp2,
+        |  CAST(2 * (k % 6 + 3) + 2 AS BIGINT) AS rp_st,
+        |  CAST(-1 AS BIGINT) AS rp_none,
+        |  CAST(base // 16777216 % 256 AS VARCHAR) || '.' ||
+        |    CAST(base // 65536 % 256 AS VARCHAR) || '.' ||
+        |    CAST(base // 256 % 256 AS VARCHAR) || '.' ||
+        |    CAST(base % 256 AS VARCHAR) AS smin,
+        |  CAST(bmax // 16777216 % 256 AS VARCHAR) || '.' ||
+        |    CAST(bmax // 65536 % 256 AS VARCHAR) || '.' ||
+        |    CAST(bmax // 256 % 256 AS VARCHAR) || '.' ||
+        |    CAST(bmax % 256 AS VARCHAR) AS smax,
+        |  (k % 200 = 10) AS iso_addr,
+        |  (bits <= 24 AND
+        |   (CAST(171966464 AS BIGINT) >> (32 - bits)) =
+        |   (CAST(167772160 AS BIGINT) >> (32 - bits))) AS iso_pfx,
+        |  (k % 200 IN (0, 10)) AS ispriv,
+        |  true AS b32_rt,
+        |  8 * CAST(ceil(length(nm) / 5.0) AS BIGINT) AS b32_len,
+        |  CAST(floor(sqrt(CAST(k AS DOUBLE))) + 1 AS BIGINT) AS ff,
+        |  CAST(floor(sqrt(CAST(k AS DOUBLE))) + 1 AS BIGINT) AS ffi,
+        |  CAST(k % 5 + 10 AS VARCHAR) || ',20' AS alf2,
+        |  CAST(CASE WHEN k % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS ap2,
+        |  true AS mke,
+        |  CAST(k + 1 AS BIGINT) AS msub,
+        |  CAST(k % 256 AS BIGINT) * 65536 +
+        |    CAST(k * 7 % 256 AS BIGINT) * 256 +
+        |    CAST(k * 13 % 256 AS BIGINT) AS crgb,
+        |  CAST(8 AS BIGINT) AS bar_w,
+        |  CAST(2 * (k % 5) AS BIGINT) AS bar_fill,
+        |  CASE WHEN k % 2 = 0 THEN '✓' ELSE '✗' END AS rend,
+        |  'POLYGON ((0.0 0.0, ' || CAST(CAST(2 * a AS DOUBLE)
+        |    AS VARCHAR) || ' 0.0, ' || CAST(CAST(2 * a AS DOUBLE)
+        |    AS VARCHAR) || ' 1.0, 0.0 1.0, 0.0 0.0))' AS gu,
+        |  'LINESTRING (0.0 0.0, ' || CAST(CAST(2 * a AS DOUBLE)
+        |    AS VARCHAR) || ' ' || CAST(CAST(4 * a AS DOUBLE)
+        |    AS VARCHAR) || ')' AS hull_deg,
+        |  (SELECT quantile_cont(v, 0.5) FROM (
+        |    SELECT CAST(n_nationkey AS DOUBLE) AS v
+        |    FROM nation CROSS JOIN (VALUES (1), (2), (3)) r(rep)
+        |    WHERE rep <= n_nationkey % 3 + 1)
+        |    t) AS wpct
+        |FROM q ORDER BY k""".stripMargin,
 
     // p2t5: the sc21o closed forms under the dialect spellings
     "p2t5_presto_geo_aggs" ->

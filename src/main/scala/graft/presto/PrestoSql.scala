@@ -2846,6 +2846,89 @@ object PrestoSql {
       " graft_cidr_base(a)" +
       " ELSE graft_ip4_mask(b, graft_cidr_bits(a)) =" +
       " graft_cidr_base(a) END",
+    // ---- the Presto COLOR page (r16 probe sweep 7) ----------------
+    // COLOR values are BIGINTs: packed 24-bit RGB when >= 0, or
+    // -(1..8) for the eight ANSI named colors (black red green yellow
+    // blue magenta cyan white, in SGR 30-37 order). Rendering emits
+    // real ANSI escapes — SGR 3x for named colors, the 256-color
+    // 6x6x6 cube (38;5;N, channels quantized round(v*5/255)) for RGB —
+    // a DOCUMENTED encoding choice: the published page pins the
+    // functions' semantics (parse, compose, colorize, bar fill), not
+    // the terminal byte stream, and no independent oracle exists for
+    // escape bytes, so the value-level behavior is what the canary and
+    // the p2aj structural oracle pin.
+    "rgb(r BIGINT, g BIGINT, b BIGINT) RETURNS BIGINT RETURN" +
+      " CASE WHEN r BETWEEN 0 AND 255 AND g BETWEEN 0 AND 255" +
+      " AND b BETWEEN 0 AND 255 THEN r * 65536 + g * 256 + b" +
+      " ELSE raise_error('rgb: channels must be in [0, 255]') END",
+    "color(s STRING) RETURNS BIGINT RETURN CASE" +
+      " WHEN s RLIKE '^#[0-9a-fA-F]{3}$' THEN" +
+      " CAST(conv(substr(s, 2, 1), 16, 10) AS BIGINT) * 17 * 65536 +" +
+      " CAST(conv(substr(s, 3, 1), 16, 10) AS BIGINT) * 17 * 256 +" +
+      " CAST(conv(substr(s, 4, 1), 16, 10) AS BIGINT) * 17" +
+      " WHEN s RLIKE '^#[0-9a-fA-F]{6}$' THEN" +
+      " CAST(conv(substr(s, 2, 6), 16, 10) AS BIGINT)" +
+      " WHEN lower(s) = 'black' THEN -1L WHEN lower(s) = 'red' THEN -2L" +
+      " WHEN lower(s) = 'green' THEN -3L" +
+      " WHEN lower(s) = 'yellow' THEN -4L WHEN lower(s) = 'blue' THEN -5L" +
+      " WHEN lower(s) = 'magenta' THEN -6L" +
+      " WHEN lower(s) = 'cyan' THEN -7L WHEN lower(s) = 'white' THEN -8L" +
+      " ELSE raise_error(concat('Invalid color: ', s)) END",
+    // canonical 24-bit value of any COLOR (named colors take their
+    // full-intensity RGB) — the interpolation domain for bar()
+    "graft_color_rgb(c BIGINT) RETURNS BIGINT RETURN CASE" +
+      " WHEN c >= 0 THEN c" +
+      " WHEN c = -1 THEN 0 WHEN c = -2 THEN 16711680" +
+      " WHEN c = -3 THEN 65280 WHEN c = -4 THEN 16776960" +
+      " WHEN c = -5 THEN 255 WHEN c = -6 THEN 16711935" +
+      " WHEN c = -7 THEN 65535 WHEN c = -8 THEN 16777215" +
+      " ELSE raise_error('not a COLOR value') END",
+    "graft_ansi(c BIGINT) RETURNS STRING RETURN" +
+      " CASE WHEN c < 0 THEN concat(chr(27), '[3'," +
+      " CAST(-c - 1 AS STRING), 'm')" +
+      " ELSE concat(chr(27), '[38;5;', CAST(16 +" +
+      " 36 * CAST(round((c DIV 65536) * 5 / 255.0) AS INT) +" +
+      " 6 * CAST(round(((c DIV 256) % 256) * 5 / 255.0) AS INT) +" +
+      " CAST(round((c % 256) * 5 / 255.0) AS INT) AS STRING), 'm') END",
+    "graft_colorize(s STRING, c BIGINT) RETURNS STRING RETURN" +
+      " concat(graft_ansi(c), s, chr(27), '[0m')",
+    "graft_render_bool(b BOOLEAN) RETURNS STRING RETURN" +
+      " IF(b, graft_colorize('✓', -3L)," +
+      " graft_colorize('✗', -2L))",
+    // bar(x, width, low, high): round(x·width) full-block characters,
+    // each colored by the channel-wise linear interpolation from low
+    // to high at its position fraction, space-padded to width; x
+    // outside [0, 1] and nonpositive width are loud. Takes
+    // PRE-CANONICALIZED 24-bit RGB endpoints (the bar ROUTER applies
+    // graft_color_rgb at the call site): a temp-function call cannot
+    // appear inside a lambda body — SQL-function inlining plans it as
+    // its own Project and the lambda variable cannot cross that
+    // boundary — so the per-block escape is built from builtins only.
+    "graft_bar(x DOUBLE, w BIGINT, lorgb BIGINT, hirgb BIGINT)" +
+      " RETURNS STRING RETURN" +
+      " CASE WHEN x < 0 OR x > 1 THEN" +
+      " raise_error('bar: x must be in [0, 1]')" +
+      " WHEN w < 1 THEN raise_error('bar: width must be positive')" +
+      // sequence(1, 0) DESCENDS in Spark (the wrapStrpos gotcha) — an
+      // empty fill is its own branch
+      " WHEN round(x * w) < 1 THEN repeat(' ', CAST(w AS INT))" +
+      " ELSE concat(aggregate(transform(" +
+      " sequence(1, CAST(round(x * w) AS INT))," +
+      " i -> concat(chr(27), '[38;5;', CAST(16 +" +
+      " 36 * CAST(round(CAST(round(lorgb DIV 65536 +" +
+      "  (hirgb DIV 65536 - lorgb DIV 65536)" +
+      "  * (i - 1) / greatest(w - 1, 1)) AS BIGINT) * 5 / 255.0)" +
+      "  AS INT) +" +
+      " 6 * CAST(round(CAST(round((lorgb DIV 256) % 256 +" +
+      "  ((hirgb DIV 256) % 256 - (lorgb DIV 256) % 256)" +
+      "  * (i - 1) / greatest(w - 1, 1)) AS BIGINT) * 5 / 255.0)" +
+      "  AS INT) +" +
+      " CAST(round(CAST(round(lorgb % 256 +" +
+      "  (hirgb % 256 - lorgb % 256)" +
+      "  * (i - 1) / greatest(w - 1, 1)) AS BIGINT) * 5 / 255.0)" +
+      "  AS INT) AS STRING), 'm█', chr(27), '[0m'))," +
+      " '', (acc, p) -> concat(acc, p))," +
+      " repeat(' ', CAST(w - round(x * w) AS INT))) END",
     // Trino ST_Centroid / ST_Envelope over WKT text (the p2t contract:
     // geometries ARE WKT strings): built from the native centroid /
     // envelope-bound kernels; Java's shortest-round-trip double
@@ -2855,10 +2938,12 @@ object PrestoSql {
     // published Trino spellings found eight cheap gaps; the remaining
     // misses are DOCUMENTED scope-outs: spooky_hash_v2_* and murmur3
     // are Trino-specific hash wire formats this engine will not
-    // fabricate (no independent oracle could confirm them), and the
-    // generic-array helpers (array_frequency / array_least_frequent /
-    // array_sort_desc) need type-generic SQL temp functions Spark
-    // cannot declare — use array_sort + reverse / aggregate HOFs)
+    // fabricate — no independent oracle could confirm them. The
+    // generic-array helpers that r13 scoped out as "needs type-generic
+    // temp functions" closed in later rounds as INLINE rewriteCall
+    // expansions instead: array_least_frequent / find_first /
+    // map_subset ride wrapSweep7 (r16), array_frequency /
+    // array_sort_desc their earlier wraps.)
     "mismatches(a STRING, b STRING) RETURNS BIGINT RETURN" +
       " hamming_distance(a, b)",
     "index(s STRING, sub STRING) RETURNS BIGINT RETURN strpos(s, sub)",
@@ -5188,6 +5273,23 @@ object PrestoSql {
       s"aggregate(filter((${args(0)}), __g -> __g IS NOT NULL)," +
         s" CAST(NULL AS STRING), (__a, __b) ->" +
         s" IF(__a IS NULL, __b, st_union(__a, __b)))"
+    }
+    // COLOR-page overloads (the temp fns above carry the typed
+    // bodies): render(boolean) vs render(value, color), and bar's
+    // default red→green gradient
+    r = rewriteCall(r, "render") { args =>
+      require(args.size == 1 || args.size == 2,
+        s"render takes 1 or 2 arguments, got ${args.size}")
+      if (args.size == 1) s"graft_render_bool(${args(0)})"
+      else s"graft_colorize(CAST((${args(0)}) AS STRING), ${args(1)})"
+    }
+    r = rewriteCall(r, "bar") { args =>
+      require(args.size == 2 || args.size == 4,
+        s"bar takes 2 or 4 arguments, got ${args.size}")
+      if (args.size == 2)
+        s"graft_bar(${args(0)}, ${args(1)}, 16711680L, 65280L)"
+      else s"graft_bar(${args(0)}, ${args(1)}," +
+        s" graft_color_rgb(${args(2)}), graft_color_rgb(${args(3)}))"
     }
     // fail(message) / fail(code, message): both raise with the
     // message — the integer error code has no Spark-side carrier
