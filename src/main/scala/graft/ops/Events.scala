@@ -947,6 +947,55 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // E36 (r16): gated LEFT SEMI stream-stream join — the remaining
+    // supported stream-stream join mode (e18 inner, e25 left outer,
+    // e27 full outer): existence, not enumeration — a view emits
+    // EXACTLY ONCE when its first qualifying purchase arrives, views
+    // with k matches do not emit k rows, and unmatched views never
+    // emit at all (so unlike e25 no NULL flush is needed for the
+    // emitted set — the sentinels in the shared fixture only advance
+    // eviction and filter out by user_id). Batching-independent by
+    // e18's no-lost-match argument: a view evicted at watermark
+    // p_wm > v_ts + 1h has provably seen every purchase that could
+    // still qualify. Oracle = the batch EXISTS semi join.
+    "e36_stream_stream_semi" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
+        val mm = batch.agg(min(unix_millis(col("ts"))),
+          max(unix_millis(col("ts")))).collect().head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val mid = (lo + hi) / 2
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
+             (half, cond) <- Seq(
+               "h0" -> (unix_millis(col("ts")) < mid),
+               "h1" -> (unix_millis(col("ts")) >= mid)))
+          batch.filter(col("event_type") === tpe && cond)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
+          batch.limit(1)
+            .select(lit(999999999L).as("event_id"),
+              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
+              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/$side/sentinel")
+      }
+      def src(side: String) = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
+      val qn = "graft_e36_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .viewPurchaseJoin(src("views"), src("purchases"), "left_semi")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("view_id"))
+        .orderBy(col("user_id"), col("view_id"))
+    }),
+
     // E27: gated FULL OUTER stream-stream join — the last join mode
     // (e18 inner, e25 left): BOTH sides' unmatched rows emit their NULL
     // partner only when the watermark proves no partner can arrive.
@@ -2126,6 +2175,18 @@ object Events extends QueryModule {
         | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""".stripMargin,
+
+    "e36_stream_stream_semi" ->
+      // the streamed left semi must converge to the batch EXISTS
+      // semi join — one row per qualifying view, match count invisible
+      """SELECT v.user_id, v.event_id AS view_id
+        |FROM events v
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |  AND EXISTS (SELECT 1 FROM events p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
+        |      AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR)
+        |ORDER BY v.user_id, view_id""".stripMargin,
 
     "e27_stream_stream_full" ->
       // the streamed full outer must converge to the batch full interval

@@ -1786,6 +1786,46 @@ object LlmOps extends QueryModule {
     "l26_semdedup" -> ((s, d) =>
       semdedupPrune(semdedupAssigned(s, d))),
 
+    // L71 (r16): corpus DIVERSITY metric — mean pairwise cosine
+    // similarity per cluster, computed EXACTLY in ONE linear pass via
+    // the sum-vector identity Σ_{i≠j}⟨uᵢ,uⱼ⟩ = ‖Σuᵢ‖² − Σ‖uᵢ‖²: the
+    // quadratic-looking statistic every data-mixing dashboard wants
+    // (a domain whose mean pairwise similarity drifts UP is
+    // collapsing; SemDeDup §4 tracks exactly this), with NO pair join.
+    // Vectors unit-normalize then quantize to integer thousandths, so
+    // every aggregate is an exact BIGINT sum — order-free and
+    // bit-deterministic — and the ORACLE BRUTE-FORCES the O(n²)
+    // definition in DuckDB over the same quantized vectors: the gate
+    // proves the identity itself, not a reimplementation of it.
+    // Scale: one corpus scan; shuffles are (label, dim)-keyed partial
+    // sums (dims·|labels| rows after map-side combine) and a
+    // |labels|-row join. ANSI makes a 2⁶³ component-sum overflow LOUD
+    // (≈10¹² rows per label at q3·64-dim — production widens to the
+    // dsum DECIMAL-rollup pattern, like Q1's money sums).
+    "l71_cluster_diversity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+          "CAST(0.0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * " +
+          "CAST(y AS DOUBLE)))"))
+        .withColumn("q", expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) / nrm * 1000 + 0.5) AS BIGINT))"))
+        .withColumn("qn2", expr("aggregate(q, 0L, (a, y) -> a + y * y)"))
+      val perLabel = emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("qn2")).as("sum_qn2"))
+      val comp = emb
+        .select(col("label"), posexplode(col("q")).as(Seq("dim", "qd")))
+        .groupBy(col("label"), col("dim")).agg(sum(col("qd")).as("sd"))
+        .groupBy(col("label")).agg(sum(col("sd") * col("sd")).as("s2"))
+      perLabel.join(comp, "label")
+        .select(col("label").cast("long").as("label"), col("n"),
+          (col("s2") - col("sum_qn2")).as("pair_dot_sum"),
+          when(col("n") > 1,
+            floor((col("s2") - col("sum_qn2")).cast("double") /
+              (col("n") * (col("n") - 1))).cast("long"))
+            .as("mean_dot_q6"))
+        .orderBy(col("label"))
+    }),
+
     // L26c: the TWO-LEVEL assignment path itself under the oracle gate —
     // the adaptive dispatch routes the oracle-verified SFs (k ≈ 17–40 <
     // 256) to the flat broadcast argmax, so this variant forces
@@ -5392,6 +5432,36 @@ object LlmOps extends QueryModule {
         |  SELECT vec_id + 100000 AS vec_id FROM embeddings WHERE vec_id < 100)
         |SELECT vec_id, vec_id < 100000 AS kept
         |FROM univ ORDER BY vec_id""".stripMargin,
+
+    // l71: the oracle brute-forces the O(n²) pairwise definition over
+    // the same quantized-normalized vectors — every per-pair dot is an
+    // integer-valued double ≤ 64·10⁶ and the pair-sum stays far below
+    // 2⁵³, so DuckDB's double SUM is exact regardless of order and the
+    // comparison proves the engine's linear-pass identity
+    "l71_cluster_diversity" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(
+        |        embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |      * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.label AS label,
+        |    CAST(SUM(list_inner_product(
+        |      list_transform(a.q, v -> CAST(v AS DOUBLE)),
+        |      list_transform(b.q, v -> CAST(v AS DOUBLE)))) AS BIGINT)
+        |      AS pair_dot_sum
+        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  GROUP BY a.label),
+        |counts AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label)
+        |SELECT CAST(c.label AS BIGINT) AS label, c.n AS n,
+        |  coalesce(p.pair_dot_sum, 0) AS pair_dot_sum,
+        |  CASE WHEN c.n > 1 THEN CAST(floor(
+        |    CAST(p.pair_dot_sum AS DOUBLE) / (c.n * (c.n - 1)))
+        |    AS BIGINT) ELSE NULL END AS mean_dot_q6
+        |FROM counts c LEFT JOIN pairs p ON c.label = p.label
+        |ORDER BY label""".stripMargin,
 
     // l26c: identical kept-set oracle — the clustering is algorithm-
     // internal (flat vs two-level changes the plan, never the planted

@@ -287,11 +287,17 @@ object EventStreams {
     val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "2 hours")
-    v.join(p,
+    val joined = v.join(p,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       joinType)
+    // left_semi projects the LEFT side only (no purchase columns exist
+    // in the output schema); the view row emits exactly once when its
+    // first qualifying purchase arrives — existence, not enumeration
+    if (joinType == "left_semi")
+      joined.select(col("v_user").as("user_id"), col("view_id"))
+    else joined
       // coalesce: in FULL outer mode an unmatched-purchase row carries a
       // NULL v_user (no-op for inner/left, where v_user is never null)
       .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
