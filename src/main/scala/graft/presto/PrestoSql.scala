@@ -310,6 +310,7 @@ object PrestoSql {
       ShowTablesRe.findFirstIn(st).isDefined ||
       ShowColumnsRe.findFirstIn(st).isDefined ||
       ExecuteRe.findFirstIn(st).isDefined ||
+      ExecuteImmediateRe.findFirstIn(st).isDefined ||
       DescribeOutputRe.findFirstIn(st).isDefined ||
       ShowPartitionsRe.findFirstIn(st).isDefined ||
       CreateViewRe.findFirstIn(st).isDefined ||
@@ -472,6 +473,41 @@ object PrestoSql {
       case PrepareRe(name, body) =>
         spark.conf.set(s"graft.presto.prepared.$name", body.trim)
         statusDf(spark, "PREPARE")
+      case ExecuteImmediateRe(rest0) =>
+        // Trino EXECUTE IMMEDIATE 'sql' [USING p1, p2] (r16): the
+        // one-shot prepared statement — the literal's VALUE is the
+        // statement text ('' un-escapes), USING operands bind
+        // positionally into `?` exactly like EXECUTE's
+        val rest = rest0.trim
+        require(rest.startsWith("'"),
+          "EXECUTE IMMEDIATE expects a string literal")
+        val sb = new StringBuilder
+        var i = 1
+        var closed = false
+        while (i < rest.length && !closed) {
+          val c = rest.charAt(i)
+          if (c == '\'') {
+            if (i + 1 < rest.length && rest.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { closed = true; i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+        require(closed, "EXECUTE IMMEDIATE: unterminated string literal")
+        val tail = rest.substring(i).trim
+        val params: Array[Any] =
+          if (tail.isEmpty) Array.empty
+          else {
+            val m = """(?is)^USING\s+(.+)$""".r.findFirstMatchIn(tail)
+              .getOrElse(throw new IllegalArgumentException(
+                "unexpected tokens after EXECUTE IMMEDIATE literal: " +
+                  tail))
+            val exprs = splitTopLevel(m.group(1), ',').map(_.trim)
+            val row = sql(spark, exprs.mkString("SELECT ", ", ", ""))
+              .collect().head
+            Array.tabulate[Any](exprs.size)(row.get)
+          }
+        if (params.isEmpty) sql(spark, sb.toString)
+        else sql(spark, sb.toString, params)
       case ExecuteRe(name, using) =>
         val key = s"graft.presto.prepared.$name"
         val text = spark.conf.getOption(key).getOrElse(
@@ -796,6 +832,8 @@ object PrestoSql {
   private val PrepareRe = """(?is)^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$""".r
   private val ExecuteRe =
     """(?is)^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*$""".r
+  private val ExecuteImmediateRe =
+    """(?is)^\s*EXECUTE\s+IMMEDIATE\s+(.+)$""".r
   private val DeallocateRe =
     """(?is)^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$""".r
   private val DescribeOutputRe =
@@ -2046,6 +2084,13 @@ object PrestoSql {
     // millisecond T-form. GraftFunctions registers it; declaring a
     // temp fn here would shadow the native dispatch.
     "from_iso8601_date(s STRING) RETURNS DATE RETURN to_date(s)",
+    // Trino timezone(t): the zone identifier a timestamp-with-time-zone
+    // value CARRIES. This engine's timestamps are zoneless instants
+    // under the pinned session-zone contract (the at_timezone /
+    // from_unixtime note), so the carried zone IS the session zone —
+    // closed in r16 rather than left unresolved; a migrating caller
+    // gets the exact identifier their values render in.
+    "timezone(t TIMESTAMP) RETURNS STRING RETURN current_timezone()",
     // Presto json_parse/json_format convert VARCHAR↔JSON; Spark's JSON
     // functions operate on JSON text directly, so both are identities —
     // they exist so extraction chains (json_extract(json_parse(x), p))

@@ -15,7 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * closed the COLOR page, the CIDR subnet family, base32, the
   * occurrence forms, and the generic-array helpers r13 had scoped out
   * (they went in as inline rewrites, not temp functions); word_stem
-  * beyond 'en' and timezone() are its loud scope-outs. */
+  * beyond 'en' is its loud scope-out, and timezone() closed as the
+  * session zone (the pinned-zone contract: zoneless instants carry
+  * the session zone by definition). */
 class DialectCanarySpec extends SparkSpec {
   test("published Trino spellings resolve through the dialect") {
     val probes = Seq(
@@ -678,6 +680,7 @@ class DialectCanarySpec extends SparkSpec {
       "from_iso8601_date('2020-01-02')",
       "from_iso8601_timestamp_nanos('2020-01-02T03:04:05.123456789Z')",
       "current_timezone()",
+      "timezone(TIMESTAMP '2020-01-02 03:04:05')",
       "date_format(TIMESTAMP '2020-01-02 03:04:05', '%Y-%m-%d')",
       "date_parse('2020-01-02', '%Y-%m-%d')",
       "to_unixtime(TIMESTAMP '2020-01-02 03:04:05')",

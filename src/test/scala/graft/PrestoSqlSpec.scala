@@ -717,6 +717,31 @@ class PrestoSqlSpec extends SparkSpec {
     }
   }
 
+  test("EXECUTE IMMEDIATE: one-shot statement with positional USING binds (r16)") {
+    Tables.registerAll(spark, sf)
+    val out = PrestoSql.script(spark,
+      """EXECUTE IMMEDIATE
+        |  'SELECT "n_name" AS nm FROM nation
+        |   WHERE "n_nationkey" = ? OR "n_name" = ? ORDER BY 1'
+        |  USING 0, 'NATION_3'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("NATION_0", "NATION_3"))
+    // no USING clause; '' literal escape un-escapes in the body
+    val lit = PrestoSql.script(spark,
+      "EXECUTE IMMEDIATE 'SELECT ''a''''b'' AS v'")
+      .collect().head.getString(0)
+    assert(lit == "a'b", lit)
+    // a ? inside a string literal of the inner statement is NOT a
+    // placeholder (same rule as EXECUTE)
+    val q = PrestoSql.script(spark,
+      "EXECUTE IMMEDIATE 'SELECT ''?'' AS v WHERE 1 = ?' USING 1")
+      .collect().head.getString(0)
+    assert(q == "?")
+    intercept[IllegalArgumentException] {
+      PrestoSql.script(spark, "EXECUTE IMMEDIATE SELECT 1")
+    }
+  }
+
   test("approx_most_frequent maps onto the Misra-Gries UDAF in Trino's map shape") {
     // capacity >= distinct values -> exact counts; buckets slices top-2
     val m = PrestoSql.sql(spark,

@@ -830,4 +830,40 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("l71 diversity: linear-pass identity — no pair join, label/dim-keyed " +
+      "aggregates only (r16)") {
+    val df = ops.LlmOps.queries("l71_cluster_diversity")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the quadratic definition would need an embeddings self-join;
+    // the identity plan has NO join between corpus-scale relations —
+    // the only join is the |labels|-row perLabel ⋈ comp
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // component sums aggregate map-side: partial + final HashAggregate
+    // pairs keyed by (label, dim) then label
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      <= 3, plan.take(3000)) // (label,dim), label, and the tiny join side
+    // vectors never reach the exchange: the exploded rows carry only
+    // (label, dim, qd) — the embedding column is pruned before shuffle
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("embedding")), plan.take(3000))
+    // and the identity must agree with a driver-side brute force
+    val rows = df.collect()
+    val emb = Tables.embeddings(spark, sf).collect()
+    val byLabel = emb.groupBy(_.getAs[Int]("label"))
+    rows.foreach { r =>
+      val lbl = r.getLong(0).toInt
+      val vs = byLabel(lbl).map { e =>
+        val v = e.getSeq[Float](1).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => math.floor(x / nrm * 1000 + 0.5).toLong)
+      }
+      var s = 0L
+      for (i <- vs.indices; j <- vs.indices if i != j)
+        s += vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum
+      assert(r.getLong(2) == s, s"label $lbl: ${r.getLong(2)} vs $s")
+    }
+  }
 }
