@@ -996,6 +996,54 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("view_id"))
     }),
 
+    // E37 (r16): gated RIGHT OUTER stream-stream join — with e18
+    // inner, e25 left outer, e27 full outer, and e36 left semi this
+    // makes the supported stream-stream join-mode matrix TOTAL. The
+    // mirror of e25: unmatched PURCHASES flush their NULL-view row
+    // once the view-side watermark proves no qualifying view can
+    // still arrive (v_ts ≥ p_ts − 1h is the interval's view-side
+    // bound); the shared fixture's sentinels push the watermark past
+    // every real row so trailing unmatched purchases flush before the
+    // drain ends. Oracle = the batch right interval join.
+    "e37_stream_stream_right" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
+        val mm = batch.agg(min(unix_millis(col("ts"))),
+          max(unix_millis(col("ts")))).collect().head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val mid = (lo + hi) / 2
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
+             (half, cond) <- Seq(
+               "h0" -> (unix_millis(col("ts")) < mid),
+               "h1" -> (unix_millis(col("ts")) >= mid)))
+          batch.filter(col("event_type") === tpe && cond)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
+        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
+          batch.limit(1)
+            .select(lit(999999999L).as("event_id"),
+              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
+              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/$side/sentinel")
+      }
+      def src(side: String) = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
+      val qn = "graft_e37_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .viewPurchaseJoin(src("views"), src("purchases"), "right_outer")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("lag_us"))
+        .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+    }),
+
     // E27: gated FULL OUTER stream-stream join — the last join mode
     // (e18 inner, e25 left): BOTH sides' unmatched rows emit their NULL
     // partner only when the watermark proves no partner can arrive.
@@ -2187,6 +2235,23 @@ object Events extends QueryModule {
         |      AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
         |      AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR)
         |ORDER BY v.user_id, view_id""".stripMargin,
+
+    "e37_stream_stream_right" ->
+      // the mirror of e25's oracle: the batch right interval join —
+      // unmatched purchases carry a NULL view_id
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE user_id < 100 AND event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE user_id < 100 AND event_type = 'purchase')
+        |SELECT coalesce(v.user_id, p.user_id) AS user_id,
+        |  v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM v RIGHT JOIN p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, purchase_id, view_id NULLS FIRST""".stripMargin,
 
     "e27_stream_stream_full" ->
       // the streamed full outer must converge to the batch full interval

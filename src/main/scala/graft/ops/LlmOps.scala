@@ -1826,6 +1826,32 @@ object LlmOps extends QueryModule {
         .orderBy(col("label"))
     }),
 
+    // L72 (r16): overlapping token-window CHUNKING — the embedding /
+    // retrieval prep op every RAG-style pipeline runs before encoding
+    // (window W=32 tokens, stride S=24, 8-token overlap so no boundary
+    // sentence is ever split across non-adjacent chunks): each doc
+    // fans out to max(⌈(n−W)/S⌉, 0)+1 chunks with stable (doc_id,
+    // chunk_idx) keys — the downstream embedding join key. Pure
+    // scan-stage HOF projection + one Generate; text never shuffles
+    // (the presentation ORDER BY is the only exchange), so 100 TB
+    // costs exactly one corpus pass and chunk boundaries are
+    // reproducible row-locally (no window function, no state).
+    "l72_chunk_windows" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .withColumn("toks", TF.wordTokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("n"),
+          posexplode(expr("transform(sequence(0, " +
+            "CAST(greatest(ceil((n - 32) / 24.0), 0) AS INT)), " +
+            "i -> array_join(slice(toks, i * 24 + 1, 32), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"),
+          least(lit(32), greatest(col("n") - col("chunk_idx") * 24, lit(0)))
+            .cast("long").as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // L26c: the TWO-LEVEL assignment path itself under the oracle gate —
     // the adaptive dispatch routes the oracle-verified SFs (k ≈ 17–40 <
     // 256) to the flat broadcast argmax, so this variant forces
@@ -5462,6 +5488,29 @@ object LlmOps extends QueryModule {
         |    AS BIGINT) ELSE NULL END AS mean_dot_q6
         |FROM counts c LEFT JOIN pairs p ON c.label = p.label
         |ORDER BY label""".stripMargin,
+
+    // l72: DuckDB re-derives the window fan-out with its own list
+    // machinery — the same single-space split (length-filtered, the
+    // wordTokens contract), range() starts, and 1-based inclusive
+    // list slicing
+    "l72_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+        |      AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |    unnest(range(0, CAST(greatest(ceil((n - 32) / 24.0), 0)
+        |      AS INT) + 1)) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(
+        |    toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+        |    AS chunk,
+        |  CAST(least(32, greatest(n - chunk_idx * 24, 0)) AS BIGINT)
+        |    AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // l26c: identical kept-set oracle — the clustering is algorithm-
     // internal (flat vs two-level changes the plan, never the planted
