@@ -1852,6 +1852,42 @@ object LlmOps extends QueryModule {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // L73 (r16): classifier CALIBRATION — the reliability-diagram
+    // aggregate every trained-filter pipeline should publish before
+    // trusting a quality score as a sampling weight: l68's integer NB
+    // scores bin into DECILES (edges from ONE exact-percentile
+    // aggregate — 9 doubles of driver state; at 100 TB the edge pass
+    // swaps to approx_percentile, documented) and each bin reports its
+    // observed positive rate in exact integer arithmetic. Binning is
+    // row-local against the broadcast edge literals (strict edge <
+    // score counting — both engines compare identical doubles), so
+    // the corpus-scale plan is l68's scoring chain + one bin-keyed
+    // aggregate; a well-calibrated score shows rates rising
+    // monotonically across bins, and the planted-anchor corpus does.
+    "l73_calibration_bins" -> ((s, d) => {
+      val scored = queries("l68_nb_quality")(s, d)
+        .select(col("doc_id"), col("pos"), col("score_q6"))
+      val edges = scored.agg(expr("percentile(score_q6, " +
+          "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"))
+        .head.getSeq[Double](0)
+      // Double.toString round-trips exactly, so the inlined literals
+      // ARE the aggregate's doubles
+      val arr = edges.map(e => java.lang.Double.toString(e) + "D")
+        .mkString(", ")
+      scored
+        .withColumn("bin", expr(s"CAST(size(filter(array($arr), " +
+          "x -> x < CAST(score_q6 AS DOUBLE))) AS BIGINT)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("positives"),
+          min(col("score_q6")).as("min_score"),
+          max(col("score_q6")).as("max_score"))
+        .select(col("bin"), col("n"), col("positives"),
+          expr("1000000L * positives DIV n").as("pos_rate_q6"),
+          col("min_score"), col("max_score"))
+        .orderBy(col("bin"))
+    }),
+
     // L26c: the TWO-LEVEL assignment path itself under the oracle gate —
     // the adaptive dispatch routes the oracle-verified SFs (k ≈ 17–40 <
     // 256) to the flat broadcast argmax, so this variant forces
@@ -4004,6 +4040,47 @@ object LlmOps extends QueryModule {
       .orderBy(col("train_id"))
   }
 
+  /** The l68 trained-NB score derivation as a DuckDB CTE chain —
+    * SHARED by the l68 oracle and l73's calibration re-binning, so
+    * both gates check bit-equal scores from one derivation. */
+  private val nbQualityCte: String =
+    """WITH docs AS (
+      |  SELECT doc_id, (source IN ('src0', 'src1')) AS pos,
+      |    list_filter(str_split(
+      |      CASE WHEN source IN ('src0', 'src1')
+      |        THEN text || repeat(' qualityanchor',
+      |          CAST(doc_id % 3 + 1 AS INT))
+      |        ELSE text END, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |toks AS (SELECT doc_id, pos, unnest(toks) AS w FROM docs),
+      |model AS (
+      |  SELECT w,
+      |    CAST(floor(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+      |      * 1e6 + 0.5) AS BIGINT)
+      |    - CAST(floor(ln(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1)
+      |      * 1e6 + 0.5) AS BIGINT) AS wq
+      |  FROM toks GROUP BY w),
+      |hdr AS (
+      |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n0,
+      |    COUNT(DISTINCT w) AS v
+      |  FROM toks),
+      |dh AS (
+      |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS nd1,
+      |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nd0
+      |  FROM docs),
+      |consts AS (
+      |  SELECT
+      |    CAST(floor(ln(n0 + v) * 1e6 + 0.5) AS BIGINT)
+      |      - CAST(floor(ln(n1 + v) * 1e6 + 0.5) AS BIGINT) AS cdiff,
+      |    CAST(floor(ln(nd1) * 1e6 + 0.5) AS BIGINT)
+      |      - CAST(floor(ln(nd0) * 1e6 + 0.5) AS BIGINT) AS prior
+      |  FROM hdr, dh),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    CAST(SUM(wq) AS BIGINT) AS sw
+      |  FROM toks JOIN model USING (w) GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "l51_pii_scrub" ->
       // DuckDB re-derives the deterministic PII injection AND the scrub
@@ -5287,42 +5364,7 @@ object LlmOps extends QueryModule {
     // is bit-equal end to end (the only doubles are ln(integer) terms
     // that both engines floor at 1e6 — the l25 determinism argument)
     "l68_nb_quality" ->
-      """WITH docs AS (
-        |  SELECT doc_id, (source IN ('src0', 'src1')) AS pos,
-        |    list_filter(str_split(
-        |      CASE WHEN source IN ('src0', 'src1')
-        |        THEN text || repeat(' qualityanchor',
-        |          CAST(doc_id % 3 + 1 AS INT))
-        |        ELSE text END, ' '), t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |toks AS (SELECT doc_id, pos, unnest(toks) AS w FROM docs),
-        |model AS (
-        |  SELECT w,
-        |    CAST(floor(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
-        |      * 1e6 + 0.5) AS BIGINT)
-        |    - CAST(floor(ln(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1)
-        |      * 1e6 + 0.5) AS BIGINT) AS wq
-        |  FROM toks GROUP BY w),
-        |hdr AS (
-        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
-        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n0,
-        |    COUNT(DISTINCT w) AS v
-        |  FROM toks),
-        |dh AS (
-        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS nd1,
-        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nd0
-        |  FROM docs),
-        |consts AS (
-        |  SELECT
-        |    CAST(floor(ln(n0 + v) * 1e6 + 0.5) AS BIGINT)
-        |      - CAST(floor(ln(n1 + v) * 1e6 + 0.5) AS BIGINT) AS cdiff,
-        |    CAST(floor(ln(nd1) * 1e6 + 0.5) AS BIGINT)
-        |      - CAST(floor(ln(nd0) * 1e6 + 0.5) AS BIGINT) AS prior
-        |  FROM hdr, dh),
-        |sc AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-        |    CAST(SUM(wq) AS BIGINT) AS sw
-        |  FROM toks JOIN model USING (w) GROUP BY doc_id)
+      (nbQualityCte + """
         |SELECT d.doc_id, d.pos,
         |  CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_toks,
         |  CAST(COALESCE(sc.sw, 0) + COALESCE(sc.n_toks, 0) * c.cdiff
@@ -5331,7 +5373,37 @@ object LlmOps extends QueryModule {
         |    + c.prior) > 0 AS pred_hi
         |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |CROSS JOIN consts c
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // l73: the l68 score derivation (the SHARED nbQualityCte — bit-
+    // equal scores by construction) re-binned: decile edges from
+    // quantile_cont (the same (n−1)·p interpolation as Spark's exact
+    // percentile, computed over identical doubles), strict `edge <
+    // score` membership counting, exact integer rate arithmetic
+    "l73_calibration_bins" ->
+      (nbQualityCte + """,
+        |scored AS (
+        |  SELECT d.doc_id, d.pos,
+        |    CAST(COALESCE(sc.sw, 0) + COALESCE(sc.n_toks, 0) * c.cdiff
+        |      + c.prior AS BIGINT) AS score_q6
+        |  FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |  CROSS JOIN consts c),
+        |edges AS (
+        |  SELECT quantile_cont(CAST(score_q6 AS DOUBLE),
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+        |  FROM scored),
+        |binned AS (
+        |  SELECT s.pos, s.score_q6,
+        |    len(list_filter(ed.e, x -> x < CAST(s.score_q6 AS DOUBLE)))
+        |      AS bin
+        |  FROM scored s CROSS JOIN edges ed)
+        |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS positives,
+        |  CAST(1000000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+        |    // COUNT(*) AS BIGINT) AS pos_rate_q6,
+        |  MIN(score_q6) AS min_score, MAX(score_q6) AS max_score
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin),
 
     // l68b: both models re-derived from scratch — the same planted
     // bigram-only corpus, the l53 polynomial bigram hash mod 8192, the
