@@ -53,11 +53,21 @@ object PlanAudit {
       "l57_gopher_repetition",  // r9s4: expect the six fused run-length kernels in ONE scan-stage Project, zero Exchange before the output sort
       "l58_doremi_step",        // r9s4: expect vocab-keyed aggregates feeding BROADCAST joins, k-row softmax — no corpus-wide window
       "l60_prototype_pruning",  // r9s4: expect broadcast centroid join + per-label Window only
-      "l69_logreg_bigram_quality" // r14: expect the FINAL scoring pass to
+      "l69_logreg_bigram_quality", // r14: expect the FINAL scoring pass to
                                   // broadcast the 8192-row weight table
                                   // into a hash join + doc-keyed aggregate
                                   // (training steps share the shape; the
                                   // corpus never reaches the driver)
+      "l71_cluster_diversity",    // r16: expect TWO partial/final agg
+                                  // chains + a |labels|-row join; no
+                                  // CartesianProduct; embedding pruned
+                                  // before every Exchange
+      "l72_chunk_windows",        // r16: expect scan-stage HOF Project +
+                                  // ONE Generate, zero hash Exchange
+                                  // before the output sort
+      "l73_calibration_bins"      // r16: expect l69's scoring shape +
+                                  // a 10-row bin-keyed HashAggregate;
+                                  // edge literals inlined in codegen
     )
     interesting.foreach { name =>
       println(s"\n================ $name ================")
