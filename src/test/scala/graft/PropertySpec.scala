@@ -308,4 +308,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("base32 laws: decode∘encode identity, padded-length, alphabet (r16)") {
+    import graft.functions.Base32Core
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytesGen: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 41).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+          .map(_.toArray))
+    forAllN(bytesGen, n = 40) { b =>
+      val enc = Base32Core.encode(b).toString
+      // RFC 4648: output is whole 8-char blocks over the A-Z2-7/'='
+      // alphabet, 8·⌈n/5⌉ chars total
+      assert(enc.length == 8 * ((b.length + 4) / 5), enc)
+      assert(enc.forall(c => (c >= 'A' && c <= 'Z') ||
+        (c >= '2' && c <= '7') || c == '='), enc)
+      // padding only at the tail, and the round trip is exact
+      assert(!enc.dropWhile(_ != '=').exists(_ != '='), enc)
+      assert(Base32Core.decodeB32(UTF8String.fromString(enc))
+        .sameElements(b), enc)
+    }
+    // loud on lowercase and on a length not a multiple of 8
+    intercept[IllegalArgumentException] {
+      Base32Core.decodeB32(UTF8String.fromString("my======"))
+    }
+    intercept[IllegalArgumentException] {
+      Base32Core.decodeB32(UTF8String.fromString("MY====="))
+    }
+  }
+
+  test("degenerate hull laws: collinear cloud → segment between " +
+      "lexicographic extremes, idempotent (r16)") {
+    import graft.functions.WktCore
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    // random collinear clouds: k points at integer parameters t on a
+    // random rational-slope line through (x0, y0)
+    val cloud = for {
+      x0 <- Gen.chooseNum(-8, 8); y0 <- Gen.chooseNum(-8, 8)
+      dx <- Gen.chooseNum(-3, 3); dy <- Gen.chooseNum(-3, 3)
+      if dx != 0 || dy != 0
+      ts <- Gen.listOfN(6, Gen.chooseNum(-5, 5))
+    } yield (x0, y0, dx, dy, ts)
+    forAllN(cloud, n = 25) { case (x0, y0, dx, dy, ts) =>
+      val pts = ts.map(t => (x0 + t * dx.toDouble, y0 + t * dy.toDouble))
+      val wkt = "MULTIPOINT (" +
+        pts.map { case (x, y) => s"($x $y)" }.mkString(", ") + ")"
+      val h = WktCore.convexHullWkt(u(wkt)).toString
+      val distinct = pts.distinct
+      if (distinct.size == 1) assert(h.startsWith("POINT ("), h)
+      else {
+        assert(h.startsWith("LINESTRING ("), h)
+        // endpoints are the lexicographic extremes = the carrier-line
+        // extremes; zero length only for the single-point case
+        val lo = distinct.min
+        val hi = distinct.max
+        assert(h.contains(s"${lo._1} ${lo._2}") &&
+          h.contains(s"${hi._1} ${hi._2}"), s"$h vs $lo..$hi")
+      }
+      // idempotence: hull of the hull is the hull, textually
+      assert(WktCore.convexHullWkt(u(h)).toString == h, h)
+    }
+  }
 }
