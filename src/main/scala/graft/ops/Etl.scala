@@ -1372,9 +1372,10 @@ object Etl extends QueryModule {
     // (round-trip + padded-length law; the RFC vectors are spec-pinned),
     // the weighted approx_percentile (exact percentile with frequency),
     // the scalar geometry_union fold, and the Trino-style degenerate
-    // convex hull. 159 probes ran; the three remaining FAILs are
-    // documented scope-outs (non-'en' word_stem languages, timezone()
-    // — no TZ-carrying type — and fail(), which correctly raises).
+    // convex hull. 159 probes ran; timezone() closed afterwards as
+    // the session zone (the pinned-zone contract), leaving two
+    // documented scope-outs (non-'en' word_stem languages, and
+    // fail(), which correctly raises).
     "p2aj_presto_probe7" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.sql(s,

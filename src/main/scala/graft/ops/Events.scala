@@ -154,6 +154,37 @@ object Events extends QueryModule {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** The shared dual-stream join fixture (e25/e27/e36/e37 — ONE
+    * builder since r16's review: four byte-identical copies all wrote
+    * the same fixtureOnce cache key, so a drift in any one copy would
+    * have made the cached contents depend on which query ran first):
+    * each side's events split into time-halved files plus a +90-day
+    * sentinel written LAST (newest modTime → its own final
+    * micro-batch) that drives the join watermark past every real
+    * row's window. Returns the fixture base directory. */
+  private def streamJoinFixture(s: SparkSession, d: String,
+      batch: DataFrame): String =
+    Sources.fixtureOnce("graft_e25", d) { dir =>
+      val mm = batch.agg(min(unix_millis(col("ts"))),
+        max(unix_millis(col("ts")))).collect().head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val mid = (lo + hi) / 2
+      for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
+           (half, cond) <- Seq(
+             "h0" -> (unix_millis(col("ts")) < mid),
+             "h1" -> (unix_millis(col("ts")) >= mid)))
+        batch.filter(col("event_type") === tpe && cond)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
+      for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
+        batch.limit(1)
+          .select(lit(999999999L).as("event_id"),
+            timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
+            lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/$side/sentinel")
+    }
+
   val queries: Map[String, Q] = Map(
     // E1: tumbling 1h window counts per event_type.
     "e1_tumbling" -> ((s, d) => {
@@ -903,29 +934,7 @@ object Events extends QueryModule {
     "e25_stream_stream_left" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
-        val mm = batch.agg(min(unix_millis(col("ts"))),
-          max(unix_millis(col("ts")))).collect().head
-        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-        val mid = (lo + hi) / 2
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
-             (half, cond) <- Seq(
-               "h0" -> (unix_millis(col("ts")) < mid),
-               "h1" -> (unix_millis(col("ts")) >= mid)))
-          batch.filter(col("event_type") === tpe && cond)
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
-        // per-side sentinel, written LAST (newest modTime): one far-
-        // future row that drives the join watermark past every real
-        // view's [v_ts, v_ts + 1h] window
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
-          batch.limit(1)
-            .select(lit(999999999L).as("event_id"),
-              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
-              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/$side/sentinel")
-      }
+      val base = streamJoinFixture(s, d, batch)
       // two files per trigger: the halves arrive together (watermark is
       // still 0 at that batch's start, so nothing is late) and the
       // sentinels land in their own second micro-batch; the null flush
@@ -961,26 +970,7 @@ object Events extends QueryModule {
     "e36_stream_stream_semi" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
-        val mm = batch.agg(min(unix_millis(col("ts"))),
-          max(unix_millis(col("ts")))).collect().head
-        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-        val mid = (lo + hi) / 2
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
-             (half, cond) <- Seq(
-               "h0" -> (unix_millis(col("ts")) < mid),
-               "h1" -> (unix_millis(col("ts")) >= mid)))
-          batch.filter(col("event_type") === tpe && cond)
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
-          batch.limit(1)
-            .select(lit(999999999L).as("event_id"),
-              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
-              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/$side/sentinel")
-      }
+      val base = streamJoinFixture(s, d, batch)
       def src(side: String) = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
       val qn = "graft_e36_" +
@@ -1008,26 +998,7 @@ object Events extends QueryModule {
     "e37_stream_stream_right" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
-        val mm = batch.agg(min(unix_millis(col("ts"))),
-          max(unix_millis(col("ts")))).collect().head
-        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-        val mid = (lo + hi) / 2
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
-             (half, cond) <- Seq(
-               "h0" -> (unix_millis(col("ts")) < mid),
-               "h1" -> (unix_millis(col("ts")) >= mid)))
-          batch.filter(col("event_type") === tpe && cond)
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
-          batch.limit(1)
-            .select(lit(999999999L).as("event_id"),
-              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
-              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/$side/sentinel")
-      }
+      val base = streamJoinFixture(s, d, batch)
       def src(side: String) = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
       val qn = "graft_e37_" +
@@ -1056,26 +1027,7 @@ object Events extends QueryModule {
     "e27_stream_stream_full" -> ((s, d) => withStreamStateSizing(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val base = Sources.fixtureOnce("graft_e25", d) { dir =>
-        val mm = batch.agg(min(unix_millis(col("ts"))),
-          max(unix_millis(col("ts")))).collect().head
-        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-        val mid = (lo + hi) / 2
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase");
-             (half, cond) <- Seq(
-               "h0" -> (unix_millis(col("ts")) < mid),
-               "h1" -> (unix_millis(col("ts")) >= mid)))
-          batch.filter(col("event_type") === tpe && cond)
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/$half")
-        for ((side, tpe) <- Seq("views" -> "view", "purchases" -> "purchase"))
-          batch.limit(1)
-            .select(lit(999999999L).as("event_id"),
-              timestamp_millis(lit(hi + 90L * 24 * 3600 * 1000)).as("ts"),
-              lit(999999999L).as("user_id"), lit(tpe).as("event_type"),
-              lit(0.0).as("value"), lit("{}").as("props"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/$side/sentinel")
-      }
+      val base = streamJoinFixture(s, d, batch)
       def src(side: String) = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
       val qn = "graft_e27_" +

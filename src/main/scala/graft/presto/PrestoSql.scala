@@ -2387,6 +2387,8 @@ object PrestoSql {
     "inverse_cauchy_cdf(median DOUBLE, scale DOUBLE, p DOUBLE)" +
       " RETURNS DOUBLE RETURN CASE WHEN scale <= 0 THEN raise_error(" +
       "'inverse_cauchy_cdf: scale must be greater than 0')" +
+      " WHEN p < 0 OR p > 1 THEN raise_error(" +
+      "'inverse_cauchy_cdf: p must be in the interval [0, 1]')" +
       " ELSE median + scale * tan(pi() * (p - 0.5)) END",
     "inverse_laplace_cdf(mean DOUBLE, scale DOUBLE, p DOUBLE)" +
       " RETURNS DOUBLE RETURN CASE WHEN scale <= 0 THEN raise_error(" +
@@ -2404,10 +2406,12 @@ object PrestoSql {
     // serialization) — quantile reads are scale-invariant, merges of
     // differently-scaled sketches re-weight, exactly the Trino use
     "scale_qdigest(q ARRAY<DOUBLE>, f DOUBLE) RETURNS ARRAY<DOUBLE>" +
-      " RETURN transform(q, (v, i) -> CASE WHEN f <= 0 THEN" +
-      " CAST(raise_error(" +
-      "'scale_qdigest: scale factor must be greater than 0') AS DOUBLE)" +
-      " WHEN i % 2 = 1 THEN v * f ELSE v END)",
+      // factor guard HOISTED above the transform (r16 review: inside
+      // the lambda it never fired on an EMPTY sketch)
+      " RETURN CASE WHEN f <= 0 THEN raise_error(" +
+      "'scale_qdigest: scale factor must be greater than 0')" +
+      " ELSE transform(q, (v, i) ->" +
+      " CASE WHEN i % 2 = 1 THEN v * f ELSE v END) END",
     // cosine_similarity / dot_product are NATIVE dual-form expressions
     // as of r15 (functions/VectorSimilarityExpressions.scala): Trino's
     // MAP sparse form (bit-identical to the retired SQL temp functions
@@ -5237,10 +5241,13 @@ object PrestoSql {
       require(args.size == 2,
         s"find_first takes (array, lambda), got ${args.size} arguments")
       val (a, f) = (args(0), args(1))
-      s"CASE WHEN size(filter($a, $f)) = 0 THEN NULL" +
-        s" WHEN element_at(filter($a, $f), 1) IS NULL THEN" +
-        s" raise_error('find_first: first matching element is NULL')" +
-        s" ELSE element_at(filter($a, $f), 1) END"
+      // ONE filter scan (r16 review: the CASE form re-evaluated it 3×):
+      // slice keeps the first match, the transform lambda converts a
+      // matched NULL into the loud error, try_element_at turns the
+      // empty no-match slice into NULL
+      s"try_element_at(transform(slice(filter($a, $f), 1, 1), __x ->" +
+        s" IF(__x IS NULL, raise_error(" +
+        s"'find_first: first matching element is NULL'), __x)), 1)"
     }
     // find_first_index: the lambda must apply to a POSITION, so the
     // single-variable body is textually rebound to element_at(a, i) —
@@ -5347,17 +5354,20 @@ object PrestoSql {
     // approx_percentile beyond the 2-arg form. In the Presto dialect
     // the 3-arg call is AMBIGUOUS between PrestoDB's
     // (x, percentage, accuracy∈(0,1]) and the weighted
-    // (x, w, percentage): dispatch on arg2 — a numeric literal ≤ 1 is
-    // a percentage (weights are per-row counts ≥ 1, and a CONSTANT
-    // weight ≤ 1 is meaningless), anything else is a weight. Weighted
-    // forms map onto Spark's EXACT percentile(x, p, frequency) — a
-    // strictly stronger answer than the t-digest approximation, so the
-    // 4-arg accuracy argument is subsumed (documented); integral
-    // weights are Presto's own contract.
+    // (x, w, percentage): dispatch on arg2 the way the engine's own
+    // TYPE resolution does — weight is BIGINT, percentage DOUBLE — so
+    // only a DECIMAL-SPELLED literal ≤ 1 (a '.' or exponent present)
+    // is a percentage; an integer literal (including the legal
+    // degenerate weight 1) and any non-literal expression are weights.
+    // Weighted forms map onto Spark's EXACT percentile(x, p,
+    // frequency) — a strictly stronger answer than the t-digest
+    // approximation, so the 4-arg accuracy argument is subsumed
+    // (documented); integral weights are Presto's own contract.
     r = rewriteCall(r, "approx_percentile") { args =>
       def litLe1(e: String): Boolean = {
         val t = e.trim
         t.matches("""[0-9]*\.?[0-9]+([eE]-?[0-9]+)?""") &&
+          (t.contains(".") || t.toLowerCase.contains("e")) &&
           t.toDouble <= 1.0
       }
       args.size match {

@@ -639,10 +639,12 @@ class DialectCanarySpec extends SparkSpec {
     // array_least_frequent, map_key_exists/map_subset, the scalar
     // geometry_union fold, weighted approx_percentile, bare
     // current_catalog/current_schema, fail(), and
-    // from_iso8601_timestamp_nanos. Documented scope-outs that stay
-    // LOUD: non-'en' word_stem languages (Snowball stemmers beyond
-    // Porter are out of scope), timezone() (no TZ-carrying timestamp
-    // type), and the wire-format hashes from earlier sweeps.
+    // from_iso8601_timestamp_nanos. timezone() closed as the session
+    // zone (zoneless instants carry the session zone under the
+    // pinned-zone contract). Documented scope-outs that stay LOUD:
+    // non-'en' word_stem languages (Snowball stemmers beyond Porter
+    // are out of scope) and the wire-format hashes from earlier
+    // sweeps.
     val probes = Seq(
       // color page
       "bar(0.75, 10)",
@@ -888,6 +890,29 @@ class DialectCanarySpec extends SparkSpec {
     val acc = PrestoSql.sql(spark,
       "SELECT approx_percentile(x, 0.5, 0.01) AS p FROM wp_t").head()
     assert(acc.getDouble(0) >= 1.0)
+    // r16 review fixes: the INTEGER literal 1 is a legal degenerate
+    // WEIGHT (typed dispatch — only decimal-spelled literals are
+    // percentages), so this is the unweighted exact median, not a
+    // 1.0-percentile
+    val w1 = PrestoSql.sql(spark,
+      "SELECT approx_percentile(x, 1, 0.5) AS p FROM wp_t").head()
+    assert(w1.getDouble(0) == 5.5, w1.getDouble(0))
+    // inverse_cauchy_cdf now guards p like its siblings
+    intercept[Throwable] {
+      PrestoSql.sql(spark,
+        "SELECT inverse_cauchy_cdf(0.0, 1.0, 1.5) AS v").collect()
+    }
+    // scale_qdigest's factor guard fires on an EMPTY sketch too
+    intercept[Throwable] {
+      PrestoSql.sql(spark, "SELECT scale_qdigest(" +
+        "CAST(array() AS ARRAY<DOUBLE>), -1.0) AS v").collect()
+    }
+    // find_first's single-scan form keeps the loud matched-NULL rule
+    intercept[Throwable] {
+      PrestoSql.sql(spark,
+        "SELECT find_first(ARRAY[1, NULL, 3], x -> x IS NULL) AS v")
+        .collect()
+    }
   }
 
   test("r16 sweep-7 value pins: COLOR page escapes + RFC 4648 base32 vectors") {
