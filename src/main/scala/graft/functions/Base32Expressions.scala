@@ -9,10 +9,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * base32: the A–Z 2–7 alphabet, 5 bytes per 8-character block, '='
   * padding to the block boundary. Encoding always emits the padded
   * uppercase form (RFC test vectors: "f" → "MY======", "foo" →
-  * "MZXW6==="); decoding accepts exactly that form — lowercase or a
-  * non-alphabet byte fails LOUDLY (Trino's Guava-backed decoder
-  * rejects them too, and silently mapping case would fabricate a
-  * laxness the published function does not have).
+  * "MZXW6==="); decoding accepts the padded form AND the unpadded
+  * truncation ("MZXW6" — Trino's Guava-backed decoder takes both,
+  * r16 advice), but padding, when present, must complete the final
+  * block exactly; lowercase or a non-alphabet byte fails LOUDLY
+  * (Trino rejects them too, and silently mapping case would
+  * fabricate a laxness the published function does not have).
   */
 object Base32Core {
   private val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
@@ -55,19 +57,22 @@ object Base32Core {
 
   def decodeB32(s: UTF8String): Array[Byte] = {
     val in = s.getBytes
-    require(in.length % 8 == 0,
-      s"from_base32: length must be a multiple of 8, got ${in.length}")
     if (in.length == 0) return Array.emptyByteArray
     // locate padding: only the final block may carry '='
     var dataLen = in.length
     while (dataLen > 0 && in(dataLen - 1) == '=') dataLen -= 1
-    require(in.length - dataLen < 8, "from_base32: all-padding block")
+    val pad = in.length - dataLen
+    require(pad < 8 && dataLen > 0, "from_base32: all-padding block")
+    // padding is optional (unpadded "MZXW6" decodes), but if present
+    // it must complete the final 8-char block exactly
+    require(pad == 0 || in.length % 8 == 0,
+      s"from_base32: padding does not complete the final block " +
+        s"($dataLen data + $pad '=' characters)")
     val tailChars = if (dataLen % 8 == 0) 8 else dataLen % 8
-    val tb = if (dataLen % 8 == 0 && dataLen == in.length) 5
-      else tailBytes(tailChars % 8)
+    val tb = if (tailChars == 8) 5 else tailBytes(tailChars)
     require(tb >= 0, s"from_base32: invalid final block of " +
       s"$tailChars data characters")
-    val outLen = (dataLen / 8) * 5 + (if (dataLen % 8 == 0) 0 else tb)
+    val outLen = (dataLen / 8) * 5 + (if (tailChars == 8) 0 else tb)
     val out = new Array[Byte](outLen)
     var i = 0
     var o = 0

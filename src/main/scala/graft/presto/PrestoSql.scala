@@ -868,6 +868,41 @@ object PrestoSql {
     out.toString
   }
 
+  /** Replace whole-word occurrences of `word` with `repl`, skipping
+    * string literals and quoted identifiers — the lambda-variable
+    * rebinding surgery (find_first_index) must not rewrite a literal
+    * like 'n' when the lambda variable is n (r16 advice). */
+  private[graft] def replaceWordOutsideLiterals(
+      s: String, word: String, repl: String): String = {
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    val out = new StringBuilder
+    var inLit = false
+    var inIdent = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inLit) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inLit = false
+        }
+        i += 1
+      } else if (inIdent) {
+        out.append(c); if (c == '"') inIdent = false; i += 1
+      } else if (c == '\'') { inLit = true; out.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; out.append(c); i += 1 }
+      else if (s.startsWith(word, i) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + word.length >= s.length ||
+            !isWordChar(s.charAt(i + word.length)))) {
+        out.append(repl); i += word.length
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** `DESCRIBE OUTPUT name` — Trino's prepared-statement output shape
     * (Column Name, Catalog, Schema, Table, Type, Type Size, Aliased).
     * The statement is PLANNED, never executed: `?` parameters bind as
@@ -2867,6 +2902,11 @@ object PrestoSql {
     // prefixes). graft_cidr_bits is loud on a missing '/' or an
     // out-of-range length; the base address clears host bits through
     // the existing mask helper, so malformed quads stay loud too.
+    // Host bits set in the input ('192.64.0.0/9') CANONICALIZE to the
+    // masked base ('192.0.0.0/9') rather than raising — the IPPREFIX
+    // cast's documented canonicalization, which the string model has
+    // to perform here because no typed cast ran upstream (r16 advice:
+    // a divergent input yields the canonical block, never garbage).
     "graft_cidr_bits(c STRING) RETURNS INT RETURN" +
       " CASE WHEN instr(c, '/') = 0 THEN" +
       " raise_error(concat('not an IPv4 CIDR prefix: ', c))" +
@@ -5263,10 +5303,11 @@ object PrestoSql {
           "required")
       val v = f0.substring(0, arrow).trim
       val body = f0.substring(arrow + 2).trim
-      val applied = ("""\b""" + java.util.regex.Pattern.quote(v) +
-        """\b""").r.replaceAllIn(body,
-        scala.util.matching.Regex.quoteReplacement(
-          s"try_element_at($a, __fi)"))
+      // rebind OUTSIDE string literals / quoted identifiers only — a
+      // word-boundary regex over the whole body would rewrite a
+      // literal like 'n' when the lambda variable is n (r16 advice)
+      val applied = replaceWordOutsideLiterals(body, v,
+        s"try_element_at($a, __fi)")
       s"CAST(try_element_at(filter(sequence(1, size($a)), __fi ->" +
         s" ($applied)), 1) AS BIGINT)"
     }
@@ -5364,9 +5405,35 @@ object PrestoSql {
     // approximation, so the 4-arg accuracy argument is subsumed
     // (documented); integral weights are Presto's own contract.
     r = rewriteCall(r, "approx_percentile") { args =>
+      // strip parens and no-op numeric CASTs first, so
+      // `CAST(0.5 AS DOUBLE)` / `(0.5)` classify as a percentage
+      // rather than routing to the weighted form (r16 advice);
+      // exponent sign may be explicit ('1e+0')
+      // inner never dips below depth 0 → the outer parens are a pair
+      def balancedParens(t: String): Boolean = {
+        var depth = 0
+        t.forall { c =>
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          depth >= 0
+        }
+      }
+      @scala.annotation.tailrec
+      def strip(e0: String): String = {
+        val t = e0.trim
+        val castRe =
+          """(?is)^CAST\s*\((.+)\s+AS\s+(?:DOUBLE|FLOAT|REAL|DECIMAL(?:\s*\([^)]*\))?)\s*\)$""".r
+        t match {
+          case castRe(inner) => strip(inner)
+          case _ if t.startsWith("(") && t.endsWith(")") &&
+              balancedParens(t.substring(1, t.length - 1)) =>
+            strip(t.substring(1, t.length - 1))
+          case _ => t
+        }
+      }
       def litLe1(e: String): Boolean = {
-        val t = e.trim
-        t.matches("""[0-9]*\.?[0-9]+([eE]-?[0-9]+)?""") &&
+        val t = strip(e)
+        t.matches("""[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?""") &&
           (t.contains(".") || t.toLowerCase.contains("e")) &&
           t.toDouble <= 1.0
       }

@@ -961,4 +961,42 @@ class DialectCanarySpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("r17 advice fixes: unpadded base32, literal-safe lambda rebind, " +
+      "cast-wrapped percentages") {
+    val r = PrestoSql.sql(spark,
+      """SELECT
+        |  from_utf8(from_base32('MZXW6')) AS u1,
+        |  from_utf8(from_base32('MZXW6YTBOI')) AS u2,
+        |  from_utf8(from_base32('MZXW6===')) AS p1,
+        |  find_first_index(ARRAY['a','n','b'], n -> n = 'n') AS ffi_lit,
+        |  find_first_index(ARRAY[1,5,9], v -> v > 3 AND 'vv' != 'v')
+        |    AS ffi_lit2
+        |""".stripMargin).head()
+    assert(r.getString(0) == "foo", r.getString(0))
+    assert(r.getString(1) == "foobar", r.getString(1))
+    assert(r.getString(2) == "foo")
+    assert(r.getLong(3) == 2L, "literal 'n' must not be rebound: " +
+      r.getLong(3))
+    assert(r.getLong(4) == 2L, r.getLong(4))
+    // padding, when present, must complete the final block
+    intercept[Exception] {
+      PrestoSql.sql(spark, "SELECT from_base32('MZXW6=') AS v").collect()
+    }
+    spark.sql(
+      "SELECT CAST(x AS DOUBLE) AS x, w FROM VALUES (1.0, 1), (10.0, 3) AS t(x, w)")
+      .createOrReplaceTempView("wp17_t")
+    // CAST/paren/exponent-spelled percentages classify as percentages
+    // (previously routed to the weighted form → analysis error)
+    val p = PrestoSql.sql(spark,
+      """SELECT approx_percentile(x, CAST(0.5 AS DOUBLE), 0.01) AS pc,
+        |  approx_percentile(x, (0.5), 0.01) AS pp,
+        |  approx_percentile(x, 5e-1, 0.01) AS pe,
+        |  approx_percentile(x, 1e+0, 0.01) AS pe2
+        |FROM wp17_t""".stripMargin).head()
+    assert(p.getDouble(0) >= 1.0 && p.getDouble(0) <= 10.0)
+    assert(p.getDouble(1) == p.getDouble(0))
+    assert(p.getDouble(2) == p.getDouble(0))
+    assert(p.getDouble(3) == 10.0, p.getDouble(3))
+  }
 }

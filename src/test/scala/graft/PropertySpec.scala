@@ -327,8 +327,11 @@ class PropertySpec extends SparkSpec {
       assert(!enc.dropWhile(_ != '=').exists(_ != '='), enc)
       assert(Base32Core.decodeB32(UTF8String.fromString(enc))
         .sameElements(b), enc)
+      // r17 advice: the unpadded truncation decodes identically
+      assert(Base32Core.decodeB32(
+        UTF8String.fromString(enc.replace("=", ""))).sameElements(b), enc)
     }
-    // loud on lowercase and on a length not a multiple of 8
+    // loud on lowercase and on padding not completing the final block
     intercept[IllegalArgumentException] {
       Base32Core.decodeB32(UTF8String.fromString("my======"))
     }
