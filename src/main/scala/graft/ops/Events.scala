@@ -1015,6 +1015,42 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
     }),
 
+    // E38 (r17): gated LEFT ANTI stream-stream join — "views that
+    // never converted", the most common funnel question there is.
+    // Spark has no native stream-stream anti join, so the mode is
+    // DERIVED exactly: the watermarked left outer's NULL-flush rows
+    // ARE the anti set (viewPurchaseJoin's left_anti branch filters
+    // purchase_id IS NULL) — a view emits iff NO qualifying purchase
+    // arrived by the time the watermark evicted it, and only once the
+    // watermark PROVES no partner can still arrive (the same
+    // guarantee that makes e25's NULL rows correct). Batching-
+    // independent by e25's two arguments verbatim: (1) the no-lost-
+    // match eviction bound — a view evicted at p_wm > v_ts + 1h has
+    // seen every purchase that could still match, so its NULL verdict
+    // is final; (2) the shared fixture's +90-day sentinels flush every
+    // trailing undecided view before the drain ends. With e18 inner,
+    // e25 left, e27 full, e36 semi, e37 right this closes the join-
+    // mode matrix at ALL SIX modes a funnel user can ask for. Oracle =
+    // the batch NOT EXISTS anti join.
+    "e38_stream_stream_anti" -> ((s, d) => withStreamStateSizing(s) {
+      val batch = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val base = streamJoinFixture(s, d, batch)
+      def src(side: String) = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/$side/*")
+      val qn = "graft_e38_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .viewPurchaseJoin(src("views"), src("purchases"), "left_anti")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("view_id"))
+        .orderBy(col("user_id"), col("view_id"))
+    }),
+
     // E27: gated FULL OUTER stream-stream join — the last join mode
     // (e18 inner, e25 left): BOTH sides' unmatched rows emit their NULL
     // partner only when the watermark proves no partner can arrive.
@@ -2183,6 +2219,19 @@ object Events extends QueryModule {
         |FROM events v
         |WHERE v.user_id < 100 AND v.event_type = 'view'
         |  AND EXISTS (SELECT 1 FROM events p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
+        |      AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR)
+        |ORDER BY v.user_id, view_id""".stripMargin,
+
+    "e38_stream_stream_anti" ->
+      // the streamed anti join must converge to the batch NOT EXISTS —
+      // one row per view with NO qualifying purchase, whatever the
+      // micro-batching
+      """SELECT v.user_id, v.event_id AS view_id
+        |FROM events v
+        |WHERE v.user_id < 100 AND v.event_type = 'view'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
         |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
         |      AND p.ts::TIMESTAMP >= v.ts::TIMESTAMP
         |      AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR)

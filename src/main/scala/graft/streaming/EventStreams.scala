@@ -287,16 +287,29 @@ object EventStreams {
     val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "2 hours")
-    val joined = v.join(p,
-      col("v_user") === col("p_user") &&
-        col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
-      joinType)
+    val cond = col("v_user") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")
+    // left_anti plans as a left_outer underneath (see below), so the
+    // join type Spark sees is always one of its supported five
+    lazy val joined = v.join(p, cond, joinType)
     // left_semi projects the LEFT side only (no purchase columns exist
     // in the output schema); the view row emits exactly once when its
-    // first qualifying purchase arrives — existence, not enumeration
+    // first qualifying purchase arrives — existence, not enumeration.
+    // left_anti is DERIVED (Spark has no native stream-stream anti
+    // join): the watermarked left outer's NULL-flush rows ARE the anti
+    // set — a view row carries a NULL purchase_id iff NO qualifying
+    // purchase arrived by the time the watermark evicted it, which is
+    // exactly "views that never converted", emitted only once the
+    // watermark PROVES no partner can still arrive. The filter is
+    // row-local on the join output, so state size and emission timing
+    // are identical to the left outer's.
     if (joinType == "left_semi")
       joined.select(col("v_user").as("user_id"), col("view_id"))
+    else if (joinType == "left_anti")
+      v.join(p, cond, "left_outer")
+        .filter(col("purchase_id").isNull)
+        .select(col("v_user").as("user_id"), col("view_id"))
     else joined
       // coalesce: in FULL outer mode an unmatched-purchase row carries a
       // NULL v_user (no-op for inner/left, where v_user is never null)
