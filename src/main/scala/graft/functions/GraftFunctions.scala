@@ -49,6 +49,39 @@ object GraftFunctions {
           s"from_base32 expects 1 argument; got ${e.length}")
         FromBase32Expression(e(0))
       }),
+    (FunctionIdentifier("murmur3_x64_128"),
+      new ExpressionInfo(classOf[Murmur3X64128Expression].getName,
+        "murmur3_x64_128"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"murmur3_x64_128 expects 1 argument; got ${e.length}")
+        Murmur3X64128Expression(e(0))
+      }),
+    // Trino's name for the same 128-bit digest
+    (FunctionIdentifier("murmur3"),
+      new ExpressionInfo(classOf[Murmur3X64128Expression].getName,
+        "murmur3"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"murmur3 expects 1 argument; got ${e.length}")
+        Murmur3X64128Expression(e(0))
+      }),
+    (FunctionIdentifier("spooky_hash_v2_32"),
+      new ExpressionInfo(classOf[SpookyHashV232Expression].getName,
+        "spooky_hash_v2_32"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"spooky_hash_v2_32 expects 1 argument; got ${e.length}")
+        SpookyHashV232Expression(e(0))
+      }),
+    (FunctionIdentifier("spooky_hash_v2_64"),
+      new ExpressionInfo(classOf[SpookyHashV264Expression].getName,
+        "spooky_hash_v2_64"),
+      (e: Seq[Expression]) => {
+        require(e.length == 1,
+          s"spooky_hash_v2_64 expects 1 argument; got ${e.length}")
+        SpookyHashV264Expression(e(0))
+      }),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductDispatchExpression].getName,
         "dot_product"),

@@ -1307,10 +1307,11 @@ object Etl extends QueryModule {
     // bit_count), the six newly-closed inverse CDFs (χ²/F through the
     // shared gamma/beta kernels, closed-form cauchy/laplace, discrete
     // poisson/binomial smallest-k searches pinned by their defining
-    // CDF brackets), and bare `localtimestamp`. 61 probes ran; the
-    // three remaining FAILs are documented scope-outs (murmur3 /
-    // spooky_hash_v2_* wire-format hashes, destructure_tdigest's
-    // internal centroid layout).
+    // CDF brackets), and bare `localtimestamp`. 61 probes ran; of the
+    // three FAILs documented here in r16, the murmur3 /
+    // spooky_hash_v2_* wire hashes closed in r17 (p2ak below);
+    // destructure_tdigest's internal centroid layout remains the one
+    // deliberate scope-out.
     "p2ai_presto_probe6" -> ((s, d) => {
       Tables.registerAll(s, d)
       graft.presto.PrestoSql.sql(s,
@@ -1446,6 +1447,41 @@ object Etl extends QueryModule {
           |      ' ', CAST(a * 4 AS VARCHAR), '))')))) AS hull_deg,
           |  (SELECT approx_percentile(CAST("n_nationkey" AS DOUBLE),
           |    "n_nationkey" % 3 + 1, 0.5) FROM nation) AS wpct
+          |FROM p ORDER BY k""".stripMargin)
+    }),
+
+    // P2ak (r17, the r16 verdict missing #2): the wire-hash closure —
+    // the two documented probe-page FAILs that were actually closable.
+    // murmur3_x64_128 / murmur3 and spooky_hash_v2_32/64 are now
+    // NATIVE codegen expressions (functions/WireHashExpressions.scala):
+    // both algorithms are public-domain (Appleby's MurmurHash3 x64 128,
+    // Jenkins' SpookyHash V2), murmur3 is property-verified against
+    // Guava's independent implementation of the same spec on every
+    // length class and spooky is pinned to the published engine test
+    // vectors ('hello' → 3768826AD382E6CA / D382E6CA, '' →
+    // 232706fc6bf50919) in WireHashSpec. The fixture sweeps length
+    // 13·k for k=0..24 — ALL 16 murmur3 tail classes, both sides of
+    // its 16-byte block boundary, and spooky's short path, 192-byte
+    // short/long cutover, and multi-word remainder ranges — and the
+    // ORACLE carries the expected digests as literals generated from
+    // the cross-checked kernels (regression pins; the independent
+    // verification lives in the spec's Guava/vector checks, the gate
+    // keeps the kernels bit-stable at 3 SFs). destructure_tdigest
+    // remains the one deliberate scope-out on that page (engine-
+    // internal centroid wire layout, no independent oracle).
+    "p2ak_wire_hashes" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      graft.presto.PrestoSql.sql(s,
+        """WITH p AS (
+          |  SELECT "n_nationkey" AS k,
+          |    lpad('', "n_nationkey" * 13,
+          |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS s
+          |  FROM nation)
+          |SELECT k,
+          |  lower(to_hex(murmur3_x64_128(to_utf8(s)))) AS m128,
+          |  lower(to_hex(murmur3(to_utf8(s)))) AS m128_trino,
+          |  lower(to_hex(spooky_hash_v2_64(to_utf8(s)))) AS s64,
+          |  lower(to_hex(spooky_hash_v2_32(to_utf8(s)))) AS s32
           |FROM p ORDER BY k""".stripMargin)
     }),
 
@@ -2827,6 +2863,43 @@ object Etl extends QueryModule {
     // floor(√k)+1, bar fill as the exact 2·(k%5) block count, the
     // weighted percentile over the generate_series-expanded multiset,
     // and the union/hull WKTs as constructed canonical strings
+    // p2ak: expected digests as literals, generated from the kernels
+    // AFTER their independent verification (murmur3: Guava cross-check
+    // on every length class; spooky: published 'hello'/'' vector pins
+    // — both in WireHashSpec). The gate's job here is bit-stability of
+    // the native kernels across SFs and rounds.
+    "p2ak_wire_hashes" ->
+      """WITH v(k, m128, s64, s32) AS (VALUES
+        |  (0, '00000000000000000000000000000000', '232706fc6bf50919', '6bf50919'),
+        |  (1, '8a36b1a411d89d5427fe32cd385ba142', 'bc81cb40e3586073', 'e3586073'),
+        |  (2, '65e611fed09fced7355e36e45b7fd9e4', '16e4cecac01f346f', 'c01f346f'),
+        |  (3, '0cfff6badbfafdac0c856a7b73f6764d', 'd09d9e378d34d926', '8d34d926'),
+        |  (4, 'e243533515f689494701052f7dcf0621', '497bc8aa41b6a6d1', '41b6a6d1'),
+        |  (5, 'd53ade0b76ea2ee9b6865b125162cd8b', '7d31600e19d4852d', '19d4852d'),
+        |  (6, 'b5440bb1eb3c875f570819baed59b685', 'a810c50ae6591c48', 'e6591c48'),
+        |  (7, 'c0e5760e01863d280cd62bb59bed77f7', 'b442b84365e3f936', '65e3f936'),
+        |  (8, 'b1e6bce8cb3aee5640b4950dc829c943', '05e6a2d53ed0708a', '3ed0708a'),
+        |  (9, '5c929da4c896a165b3c5ed7e627bbc56', 'fdad5c696730ffb6', '6730ffb6'),
+        |  (10, '60d22fffc5bc9649a9fc7ca211ef8dda', 'a62627feab46712d', 'ab46712d'),
+        |  (11, '8fb0039a77879b4f662c24dcbc2d3f59', '75bb7ed3d2bfd878', 'd2bfd878'),
+        |  (12, '3b13ff0ff801a8a5c3385bb96e2fb296', '1402f649fb9d70e4', 'fb9d70e4'),
+        |  (13, '65a46a93a90acffda30e97003550e42f', 'dec50ce40c6b5a18', '0c6b5a18'),
+        |  (14, '80dfbcdfd119c98651415107a74aaac8', '92669acf2d699e54', '2d699e54'),
+        |  (15, '32e3fd393dcfdca4e66c9bfc5e12c85c', 'b72e1f93d12d0bce', 'd12d0bce'),
+        |  (16, '26072b2937e5e6a63195bafa32fb6f93', '75a77183929837d2', '929837d2'),
+        |  (17, 'bec221c0997ce03d663f9c82220afd58', '5d5a912474dfecfd', '74dfecfd'),
+        |  (18, '4509362d2d9cdc4bc2893e61082dd513', 'e9d5047425213018', '25213018'),
+        |  (19, '145000dcbf55608740ffebcb43794e10', 'f087e3c0b3ca3798', 'b3ca3798'),
+        |  (20, '05402cd6e3e00c891eaf0a8d1f189902', '04a564516dd52ca0', '6dd52ca0'),
+        |  (21, '0ad94b9f32544e749d4731654d9d1c22', '46415ae0e44a5f96', 'e44a5f96'),
+        |  (22, '343753193f3fc94f676844864fc96d12', '9564de21d1466f20', 'd1466f20'),
+        |  (23, '552a3e9867b8ed33fcb66e4bffd8218d', 'b12fea484ab1fdd3', '4ab1fdd3'),
+        |  (24, '7198c42a18111946afb530e8c64e470f', 'b110e5d61b3db7c9', '1b3db7c9'))
+        |SELECT n.n_nationkey AS k, v.m128, v.m128 AS m128_trino,
+        |  v.s64, v.s32
+        |FROM nation n JOIN v ON v.k = n.n_nationkey
+        |ORDER BY k""".stripMargin,
+
     "p2aj_presto_probe7" ->
       """WITH p AS (
         |  SELECT n_nationkey AS k, n_name AS nm,

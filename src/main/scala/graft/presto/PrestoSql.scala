@@ -3024,10 +3024,11 @@ object PrestoSql {
     // rendering makes the string round-trip LOSSLESS, so ST_X(
     // ST_Centroid(g)) returns the kernel's exact double
     // r13 dialect-surface probe closures (a systematic sweep of ~90
-    // published Trino spellings found eight cheap gaps; the remaining
-    // misses are DOCUMENTED scope-outs: spooky_hash_v2_* and murmur3
-    // are Trino-specific hash wire formats this engine will not
-    // fabricate — no independent oracle could confirm them. The
+    // published Trino spellings found eight cheap gaps; the
+    // spooky_hash_v2_* / murmur3 wire hashes that r13–r16 scoped out
+    // closed in r17 as native codegen expressions — both algorithms
+    // are public domain, murmur3 Guava-cross-checked and spooky
+    // pinned to published vectors; see WireHashExpressions.scala. The
     // generic-array helpers that r13 scoped out as "needs type-generic
     // temp functions" closed in later rounds as INLINE rewriteCall
     // expansions instead: array_least_frequent / find_first /

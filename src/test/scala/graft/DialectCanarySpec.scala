@@ -6,10 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Dialect-surface canary (r13): ~90 published Trino function
   * spellings must keep resolving through PrestoSql. The probe that
   * built this list found eight gaps (closed in the dialect) and the
-  * DOCUMENTED scope-outs: spooky_hash_v2_*, murmur3 (engine-specific
-  * hash wire formats we will not fabricate), destructure_/
-  * construct_tdigest (they expose Trino's internal centroid layout),
-  * and bare `localtime` (Spark has no TIME type). Sweep 6 (r16, 61
+  * DOCUMENTED scope-outs: destructure_/construct_tdigest (they expose
+  * Trino's internal centroid layout) and bare `localtime` (Spark has
+  * no TIME type); the spooky_hash_v2_* / murmur3 wire hashes scoped
+  * out here in r13–r16 closed in r17 as native expressions (p2ak +
+  * WireHashSpec). Sweep 6 (r16, 61
   * probes) closed the last inverse-CDF page plus tdigest_agg /
   * scale_qdigest / bare localtimestamp. Sweep 7 (r16, 159 probes)
   * closed the COLOR page, the CIDR subnet family, base32, the
@@ -976,6 +977,17 @@ class DialectCanarySpec extends SparkSpec {
     assert(r.getString(0) == "foo", r.getString(0))
     assert(r.getString(1) == "foobar", r.getString(1))
     assert(r.getString(2) == "foo")
+    // the r17 wire-hash closure resolves through the DIALECT path too
+    val wh = PrestoSql.sql(spark,
+      """SELECT to_hex(murmur3_x64_128(to_utf8('hello'))) AS m,
+        |  to_hex(murmur3(to_utf8('hello'))) AS mt,
+        |  to_hex(spooky_hash_v2_64(to_utf8('hello'))) AS s64,
+        |  to_hex(spooky_hash_v2_32(to_utf8('hello'))) AS s32
+        |""".stripMargin).head()
+    assert(wh.getString(0) == "CBD8A7B341BD9B025B1E906A48AE1D19")
+    assert(wh.getString(1) == wh.getString(0))
+    assert(wh.getString(2) == "3768826AD382E6CA")
+    assert(wh.getString(3) == "D382E6CA")
     assert(r.getLong(3) == 2L, "literal 'n' must not be rebound: " +
       r.getLong(3))
     assert(r.getLong(4) == 2L, r.getLong(4))
