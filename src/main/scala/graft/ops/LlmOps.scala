@@ -1619,6 +1619,76 @@ object LlmOps extends QueryModule {
         .orderBy(col("dim"))
     }),
 
+    // L74 (r17): the ANN RANKING-QUALITY scorecard (r16 verdict
+    // missing #3) — nDCG@5 and MRR, the third audit every retrieval
+    // pipeline publishes next to recall (l64/l35b) and cost (l2f/
+    // l35b's nprobe dial): recall counts set overlap, nDCG/MRR grade
+    // the ORDER the shortlist presents it in. Computed over the l64
+    // Matryoshka prefix retrieval (prefix-m cosine shortlists vs the
+    // full-width exact truth) because that retrieval is EXACTLY
+    // re-derivable in DuckDB — unlike the k-means-trained IVF-PQ
+    // shortlists (l35b stays the recall scorecard for those,
+    // no-oracle by design; PqSpec additionally pins an nDCG floor on
+    // them, see the spec).
+    //
+    // Exact-integer metric arithmetic: graded relevance rel = 6 −
+    // truth_rank (0 for non-truth), DCG weights are the PINNED ppm
+    // quantization of 1/log2(rank+1) — {1000000, 630930, 500000,
+    // 430677, 386853} — so DCG is an integer sum, nDCG_ppm =
+    // (10⁶·DCG) DIV IDCG with IDCG = Σ(6−i)·wᵢ = 10271927, and
+    // MRR_ppm = 10⁶ DIV first_hit_rank (0 when the shortlist misses
+    // the truth set entirely). Both engines evaluate the SAME integer
+    // literals — no float in any metric, the gate is bit-exact.
+    //
+    // Scale design: ONE corpus pass scores all prefix widths (the l3
+    // broadcast-query shape — the corpus never shuffles to be
+    // scored), a (qid, dim) rank window over |Q|·|corpus| sim rows,
+    // then the metric chain is per-(dim, qid) integer aggregates over
+    // ≤5 rows each and a 3-row final rollup. At 100 TB the audit cost
+    // is the one scoring pass; everything after the top-5 filter is
+    // measured in kilobytes.
+    "l74_ann_ranking_scorecard" -> ((s, d) => {
+      CosineSimilarityExpression.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dims = Seq(8, 16, 32, 64)
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid") +: col("vec_id").as("cid") +:
+          dims.map(dm => expr(
+            s"cosine_sim(slice(embedding, 1, $dm), slice(qvec, 1, $dm))")
+            .as(s"sim$dm")): _*)
+      val lng = sims.select(col("qid"), col("cid"),
+        expr("explode(map(8, sim8, 16, sim16, 32, sim32, 64, sim64))")
+          .as(Seq("dim", "sim")))
+      val ranked = lng.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"), col("dim"))
+            .orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rnk") <= 5)
+      val truth = ranked.filter(col("dim") === 64)
+        .select(col("qid"), col("cid"), col("rnk").as("trank"))
+      val perq = ranked.filter(col("dim") =!= 64)
+        .join(truth, Seq("qid", "cid"), "left")
+        .withColumn("rel", coalesce(lit(6) - col("trank"), lit(0)).cast("long"))
+        .withColumn("w", element_at(
+          array(lit(1000000L), lit(630930L), lit(500000L),
+            lit(430677L), lit(386853L)), col("rnk")))
+        .groupBy(col("dim"), col("qid"))
+        .agg(sum(col("rel") * col("w")).as("dcg"),
+          min(when(col("rel") > 0, col("rnk"))).as("first_hit"))
+        .select(col("dim"), col("qid"),
+          expr("CAST(1000000 * dcg DIV 10271927 AS BIGINT)").as("ndcg_ppm"),
+          expr("CAST(coalesce(1000000 DIV first_hit, 0) AS BIGINT)")
+            .as("mrr_ppm"))
+      perq.groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("CAST(sum(ndcg_ppm) DIV count(1) AS BIGINT)")
+            .as("mean_ndcg_ppm"),
+          expr("CAST(sum(mrr_ppm) DIV count(1) AS BIGINT)")
+            .as("mean_mrr_ppm"))
+        .orderBy(col("dim"))
+    }),
+
     // L65: EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better" — the ExactSubstr
     // standard): find every ≥50-char substring that occurs ≥2 times in
@@ -5108,6 +5178,52 @@ object LlmOps extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n_total,
         |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
         |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // l74: the l64 parity contract (DuckDB's own list_cosine_similarity
+    // over identical stored floats, same tie rule) extended by the
+    // metric chain — the SAME pinned integer DCG weights and IDCG, so
+    // every ndcg/mrr value is integer arithmetic both engines must
+    // agree on bit-for-bit
+    "l74_ann_ranking_scorecard" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT qid, vec_id AS cid, qvec, embedding AS evec
+        |      FROM q, embeddings WHERE vec_id != qid),
+        |lng AS (
+        |  SELECT qid, cid, d.dim,
+        |    list_cosine_similarity(qvec[1:d.dim], evec[1:d.dim]) AS sim
+        |  FROM p, (SELECT unnest([8, 16, 32, 64]) AS dim) d),
+        |ranked AS (
+        |  SELECT qid, cid, dim,
+        |    row_number() OVER (PARTITION BY qid, dim
+        |      ORDER BY sim DESC, cid) AS rnk
+        |  FROM lng),
+        |top AS (SELECT qid, cid, dim, rnk FROM ranked WHERE rnk <= 5),
+        |truth AS (SELECT qid, cid, rnk AS trank FROM top WHERE dim = 64),
+        |wt(wrnk, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |  (4, 430677), (5, 386853)),
+        |scored AS (
+        |  SELECT t.dim, t.qid, t.rnk,
+        |    COALESCE(6 - tr.trank, 0) AS rel
+        |  FROM top t LEFT JOIN truth tr
+        |    ON t.qid = tr.qid AND t.cid = tr.cid
+        |  WHERE t.dim != 64),
+        |perq AS (
+        |  SELECT dim, qid,
+        |    SUM(rel * w.w) AS dcg,
+        |    MIN(CASE WHEN rel > 0 THEN s.rnk END) AS first_hit
+        |  FROM scored s JOIN wt w ON w.wrnk = s.rnk
+        |  GROUP BY dim, qid),
+        |m AS (
+        |  SELECT dim, qid,
+        |    1000000 * dcg // 10271927 AS ndcg_ppm,
+        |    COALESCE(1000000 // first_hit, 0) AS mrr_ppm
+        |  FROM perq)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm,
+        |  CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS mean_mrr_ppm
+        |FROM m GROUP BY dim ORDER BY dim""".stripMargin,
 
     // l65: full independent re-derivation — DuckDB enumerates every
     // 50-char gram DIRECTLY (no hash phase: the oracle must not share

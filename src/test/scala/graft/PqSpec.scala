@@ -107,6 +107,53 @@ class PqSpec extends SparkSpec {
     assert(byNp(2L).toDouble / 50 >= 0.2, s"recall@5(np=2) = ${byNp(2L)}/50")
   }
 
+  test("IVF-PQ ranking quality: nDCG@5 / MRR floors over the l35 " +
+      "shortlist (L74 companion)") {
+    // the l74 metric chain applied to the TRAINED shortlist the DuckDB
+    // oracle cannot re-derive (k-means): same pinned ppm weights, same
+    // graded rel = 6 - truth_rank, asserted as floors + bounds here
+    val w = Array(1000000L, 630930L, 500000L, 430677L, 386853L)
+    val idcg = (0 until 5).map(i => (5L - i) * w(i)).sum
+    assert(idcg == 10271927L, s"pinned IDCG drifted: $idcg")
+    val got = LlmQuery("l35_ivfpq")
+    // ranked exact truth per query: (qid -> cid -> truth rank 1..5)
+    val e = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qs = e.filter(_._1 < 10)
+    val truthRank = qs.map { case (qid, q) =>
+      val scored = e.filter(_._1 != qid).map { case (cid, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < q.length) {
+          val dd = q(i).toDouble - v(i).toDouble; s += dd * dd; i += 1
+        }
+        (cid, s)
+      }
+      qid -> scored.sortBy { case (cid, s) => (s, cid) }.take(5)
+        .map(_._1).zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    }.toMap
+    val metrics = got.groupBy(_.getLong(0)).map { case (qid, rs) =>
+      val shortlist = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      val rels = shortlist.map(c => truthRank(qid).get(c)
+        .map(tr => 6L - tr).getOrElse(0L))
+      val dcg = rels.zipWithIndex.map { case (r, i) => r * w(i) }.sum
+      val firstHit = rels.indexWhere(_ > 0)
+      val ndcg = 1000000L * dcg / idcg
+      val mrr = if (firstHit < 0) 0L else 1000000L / (firstHit + 1)
+      (ndcg, mrr)
+    }.toSeq
+    val meanNdcg = metrics.map(_._1).sum / metrics.size
+    val meanMrr = metrics.map(_._2).sum / metrics.size
+    assert(metrics.forall(m => m._1 >= 0 && m._1 <= 1000000L))
+    assert(metrics.forall(m => m._2 >= 0 && m._2 <= 1000000L))
+    // recall@5 >= 0.2 (the l35 floor) with the ADC exact re-rank should
+    // place hits well above the random-position baseline; conservative
+    // floors far above the ~0.01-chance level
+    assert(meanNdcg >= 100000L, s"mean nDCG@5 ppm = $meanNdcg")
+    assert(meanMrr >= 100000L, s"mean MRR ppm = $meanMrr")
+  }
+
   private def LlmQuery(name: String): Array[Row] =
     graft.ops.LlmOps.queries(name)(spark, sf).collect()
 }
