@@ -62,6 +62,10 @@ object PlanAudit {
                                   // chains + a |labels|-row join; no
                                   // CartesianProduct; embedding pruned
                                   // before every Exchange
+      "l71b_cluster_diversity_decimal", // r17: l71's shape with the
+                                  // rollup aggregates widened to
+                                  // DECIMAL(38,0) — same two chains,
+                                  // same |labels|-row join, no pair join
       "l72_chunk_windows",        // r16: expect scan-stage HOF Project +
                                   // ONE Generate, zero hash Exchange
                                   // before the output sort

@@ -1896,6 +1896,50 @@ object LlmOps extends QueryModule {
         .orderBy(col("label"))
     }),
 
+    // L71b (r17): the DECIMAL-rollup diversity variant — the 100 TB
+    // arithmetic path the l71 comment names, made real (r16 verdict
+    // #4). Same sum-vector identity, but every CROSS-CORPUS aggregate
+    // widens to DECIMAL: per-ROW values stay exact longs (qn2 ≤
+    // 64·10⁶ — the "partial micros" half of the Q1 pattern), the
+    // rollups run as DECIMAL(38,0) sums, per-dim component sums cast
+    // through DECIMAL(19,0) before squaring so sd² lands in (38,0)
+    // with headroom checked at analysis. At ~10¹² rows/label the
+    // BIGINT path's Σqn² (~6·10¹⁹) and Σsd² (~10³⁰) both blow 2⁶³ —
+    // ANSI's loud stop for l71; here they sit comfortably inside 38
+    // digits. pair_dot_sum renders as STRING (engine-neutral exact
+    // decimal at ANY magnitude — a BIGINT output column would just
+    // re-impose the 2⁶³ ceiling the variant removes); the oracle is
+    // the SAME O(n²) brute force as l71's, so the gate proves
+    // identity + decimal arithmetic agree with the pairwise
+    // definition.
+    "l71b_cluster_diversity_decimal" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+          "CAST(0.0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * " +
+          "CAST(y AS DOUBLE)))"))
+        .withColumn("q", expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) / nrm * 1000 + 0.5) AS BIGINT))"))
+        .withColumn("qn2", expr("aggregate(q, 0L, (a, y) -> a + y * y)"))
+      val perLabel = emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qn2").cast("decimal(38,0)")).as("sum_qn2"))
+      val comp = emb
+        .select(col("label"), posexplode(col("q")).as(Seq("dim", "qd")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qd").cast("decimal(38,0)")).as("sd"))
+        .groupBy(col("label"))
+        .agg(sum(col("sd").cast("decimal(19,0)") *
+          col("sd").cast("decimal(19,0)")).as("s2"))
+      perLabel.join(comp, "label")
+        .select(col("label").cast("long").as("label"), col("n"),
+          (col("s2") - col("sum_qn2")).cast("string").as("pair_dot_sum_dec"),
+          when(col("n") > 1,
+            floor((col("s2") - col("sum_qn2")).cast("double") /
+              (col("n") * (col("n") - 1))).cast("long"))
+            .as("mean_dot_q6"))
+        .orderBy(col("label"))
+    }),
+
     // L72 (r16): overlapping token-window CHUNKING — the embedding /
     // retrieval prep op every RAG-style pipeline runs before encoding
     // (window W=32 tokens, stride S=24, 8-token overlap so no boundary
@@ -5671,6 +5715,35 @@ object LlmOps extends QueryModule {
         |counts AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label)
         |SELECT CAST(c.label AS BIGINT) AS label, c.n AS n,
         |  coalesce(p.pair_dot_sum, 0) AS pair_dot_sum,
+        |  CASE WHEN c.n > 1 THEN CAST(floor(
+        |    CAST(p.pair_dot_sum AS DOUBLE) / (c.n * (c.n - 1)))
+        |    AS BIGINT) ELSE NULL END AS mean_dot_q6
+        |FROM counts c LEFT JOIN pairs p ON c.label = p.label
+        |ORDER BY label""".stripMargin,
+
+    // l71b: the SAME brute force as l71's — the decimal variant must
+    // agree with the pairwise definition value-for-value, with the
+    // pair sum rendered as exact decimal text
+    "l71b_cluster_diversity_decimal" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(
+        |        embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        |      * 1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.label AS label,
+        |    CAST(SUM(list_inner_product(
+        |      list_transform(a.q, v -> CAST(v AS DOUBLE)),
+        |      list_transform(b.q, v -> CAST(v AS DOUBLE)))) AS BIGINT)
+        |      AS pair_dot_sum
+        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  GROUP BY a.label),
+        |counts AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label)
+        |SELECT CAST(c.label AS BIGINT) AS label, c.n AS n,
+        |  CAST(coalesce(p.pair_dot_sum, 0) AS VARCHAR)
+        |    AS pair_dot_sum_dec,
         |  CASE WHEN c.n > 1 THEN CAST(floor(
         |    CAST(p.pair_dot_sum AS DOUBLE) / (c.n * (c.n - 1)))
         |    AS BIGINT) ELSE NULL END AS mean_dot_q6

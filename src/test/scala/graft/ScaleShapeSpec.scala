@@ -866,4 +866,26 @@ class ScaleShapeSpec extends SparkSpec {
       assert(r.getLong(2) == s, s"label $lbl: ${r.getLong(2)} vs $s")
     }
   }
+
+  test("l71b decimal variant: same shape pins as l71, values agree " +
+      "with the BIGINT path (r17)") {
+    val df = ops.LlmOps.queries("l71b_cluster_diversity_decimal")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      <= 3, plan.take(3000))
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("embedding")), plan.take(3000))
+    // the decimal rollup must agree with the BIGINT path value-for-value
+    // wherever BIGINT cannot overflow (i.e. at any test SF)
+    val dec = df.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getString(2), if (r.isNullAt(3)) None
+        else Some(r.getLong(3))))).toMap
+    val big = ops.LlmOps.queries("l71_cluster_diversity")(spark, sf)
+      .collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2).toString, if (r.isNullAt(3)) None
+        else Some(r.getLong(3))))).toMap
+    assert(dec == big, s"decimal vs bigint diversity mismatch")
+  }
 }
