@@ -3690,14 +3690,26 @@ object WktCore {
     * DOCUMENTED approximation; area = 16·d²·sin(π/16) in closed form.
     * d = 0 returns the input unchanged; negative d on a POINT is the
     * empty region. */
-  /** Shared erosion-distribution kernel for MULTIPOLYGON components and
-    * GEOMETRYCOLLECTION members (r16): requires the areal members to be
-    * pairwise NON-INTERSECTING (a connected d-disk cannot span a
-    * positive gap between closed regions, so erosion then distributes
-    * exactly; any contact — point, edge, or overlap — stays loud);
-    * point/line members erode to measure zero and vanish; a member
-    * whose erosion consumes it renders POLYGON EMPTY and drops from
-    * the fold; all-vanished renders POLYGON EMPTY. */
+  /** Shared erosion kernel for MULTIPOLYGON components and
+    * GEOMETRYCOLLECTION members. r16 required the areal members to be
+    * pairwise non-intersecting (erosion distributes exactly across a
+    * positive gap — a connected d-disk cannot span it); r17 extends to
+    * CONTACTING members by UNION-THEN-ERODE, which is not a heuristic
+    * but the definition: erosion acts on the point set, so the merged
+    * region is what must erode. Contacting areal members fold through
+    * the overlay union (which absorbs edge contacts and overlaps into
+    * merged polygons) and each RESULTING component erodes
+    * independently — exact because components of the union result
+    * touch at most at isolated points, and a positive-radius disk
+    * contained in the union can never pass through a point contact
+    * (the complement wedges at a pinch have positive angle), so every
+    * such disk lies within one closed component. What stays LOUD is
+    * exactly what the overlay union itself refuses: folds whose merged
+    * region is point-pinched (the pinch rule) — the erosion contract
+    * now coincides with the union contract instead of adding its own
+    * refusal. Point/line members erode to measure zero and vanish; a
+    * member whose erosion consumes it renders POLYGON EMPTY and drops
+    * from the fold; all-vanished renders POLYGON EMPTY. */
   private def erodeSeparatedMembers(members: Seq[String], d: Double,
       style: Int, kind: String): UTF8String = {
     def dimOf(m: String): Int = {
@@ -3711,22 +3723,44 @@ object WktCore {
         s"st_buffer: negative distance cannot erode a $kind member " +
           s"of kind '${t.takeWhile(_ != ' ')}'")
     }
-    val areal = members.filter(dimOf(_) == 2)
+    // flatten MULTIPOLYGON members (a collection member can itself be
+    // multi) so contact detection sees elementary polygons
+    val polys = members.filter(dimOf(_) == 2).flatMap { m =>
+      val t = m.trim
+      if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+        geomPolys(UTF8String.fromString(t)).map(p => fmtGeom(Array(p)))
+      else Seq(t)
+    }
+    var anyContact = false
     var i = 0
-    while (i < areal.length) {
+    while (i < polys.length && !anyContact) {
       var j = i + 1
-      while (j < areal.length) {
-        require(!intersectsWkt(UTF8String.fromString(areal(i)),
-            UTF8String.fromString(areal(j))),
-          s"st_buffer: negative distance over a $kind with touching " +
-            "or overlapping areal members - erosion only distributes " +
-            "over strictly separated members; erode them individually")
+      while (j < polys.length && !anyContact) {
+        if (intersectsWkt(UTF8String.fromString(polys(i)),
+            UTF8String.fromString(polys(j)))) anyContact = true
         j += 1
       }
       i += 1
     }
+    val units: Seq[String] =
+      if (!anyContact) polys
+      else {
+        var acc: UTF8String = null
+        polys.foreach { m =>
+          val u = UTF8String.fromString(m)
+          acc = if (acc == null) u else unionWkt(acc, u)
+        }
+        val merged = acc.toString.trim
+        if (merged.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+          geomPolys(acc).map(p => fmtGeom(Array(p))).toSeq
+        else if (merged.regionMatches(true, 0, "POLYGON", 0, 7))
+          Seq(merged)
+        else throw new IllegalArgumentException(
+          s"st_buffer: union of $kind areal members rendered " +
+            s"non-areal '${merged.takeWhile(_ != ' ')}'")
+      }
     var acc: UTF8String = null
-    areal.foreach { m =>
+    units.foreach { m =>
       val e = bufferWkt(UTF8String.fromString(m), d, style)
       if (e.toString != "POLYGON EMPTY")
         acc = if (acc == null) e else unionWkt(acc, e)
@@ -3787,17 +3821,20 @@ object WktCore {
         .filterNot(m => isEmptyGeom(UTF8String.fromString(m)))
       if (members.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
       if (d < 0) {
-        // EROSION over a collection (r16, the r15 verdict missing #2):
-        // a d-disk is connected, so it can never span two STRICTLY
-        // separated members — erosion distributes per member iff the
-        // AREAL members are pairwise non-intersecting (touching or
-        // overlapping members stay LOUD: a disk straddling the shared
-        // boundary makes buffer(A ∪ B, −d) ⊋ ∪ buffer(·, −d), and this
-        // model refuses to guess). Lower-dimension members erode to a
-        // measure-zero set and vanish, exactly like their standalone
-        // negative buffers; members whose erosion consumes them render
-        // POLYGON EMPTY and drop out of the fold (the vanished-member
-        // edge); all-vanished renders POLYGON EMPTY.
+        // EROSION over a collection (r16 separated members; r17
+        // TOTAL over contacting members too): separated members erode
+        // independently (a connected d-disk cannot span a positive
+        // gap); contacting areal members union-fold FIRST and the
+        // merged components erode — the definition itself, since
+        // erosion acts on the region (erode-then-union would be
+        // wrong: a disk straddling a shared boundary makes
+        // buffer(A ∪ B, −d) ⊋ ∪ buffer(·, −d)). Loudness now
+        // coincides with the overlay union's own pinch contract.
+        // Lower-dimension members erode to a measure-zero set and
+        // vanish, exactly like their standalone negative buffers;
+        // members whose erosion consumes them render POLYGON EMPTY
+        // and drop out of the fold (the vanished-member edge);
+        // all-vanished renders POLYGON EMPTY.
         return erodeSeparatedMembers(members.toSeq, d, style,
           "GEOMETRYCOLLECTION")
       }
@@ -3814,9 +3851,9 @@ object WktCore {
       // identity) — per-component dilation folded through the overlay
       // union (canonical components touch at most at points, so their
       // dilations overlap with positive area and merge cleanly);
-      // erosion distributes per component iff the components are
-      // pairwise STRICTLY separated (the same connected-disk argument
-      // as the collection case; point-touching components stay LOUD).
+      // erosion (r17): separated components erode independently,
+      // contacting ones union-then-erode — see
+      // erodeSeparatedMembers; only union-pinched folds stay loud.
       if (t0.equalsIgnoreCase("MULTIPOLYGON EMPTY"))
         return UTF8String.fromString("POLYGON EMPTY")
       if (d == 0) return UTF8String.fromString(canonGeomText(t0))

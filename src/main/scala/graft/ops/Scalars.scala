@@ -2161,8 +2161,12 @@ object Scalars extends QueryModule {
     // positive gap) — axis-parallel insets stay exact closed forms,
     // vanished members drop from the fold (er_vanish/er_all), point/
     // line members erode to measure zero, and dilation distributes
-    // unconditionally (Minkowski identity, dil_mp_area_q6); touching
-    // or overlapping members stay LOUD (spec-pinned).
+    // unconditionally (Minkowski identity, dil_mp_area_q6). r17 (the
+    // r16 verdict #5): CONTACTING members union-then-erode — the
+    // definition itself, erosion acts on the region — so edge-sharing
+    // components heal into the merged rectangle whose inset is the
+    // er_touch closed form; only union folds the overlay itself
+    // refuses (point-pinched merges) stay loud (WktSpec-pinned).
     "sc21ae_geo_buffer_multi" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.{GraftFunctions => GF}
@@ -2219,6 +2223,13 @@ object Scalars extends QueryModule {
             (col("cx") + 200 + col("a"), col("cy")))), lit(", "),
           rect(col("cx"), col("cy"), col("a") * 2, col("b") * 2),
           lit(")")))
+        // r17: EDGE-SHARING components — the union-then-erode path
+        .withColumn("mptouch", concat(lit("MULTIPOLYGON ((("),
+          ringBody(col("cx"), col("cy"), col("a") * 2, col("b") * 2),
+          lit(")), (("),
+          ringBody(col("cx") + col("a") * 2, col("cy"), col("a") * 2,
+            col("b") * 2),
+          lit(")))")))
       g2.select(col("n_nationkey"),
           q6(GF.stArea(f("st_buffer", col("mp3"), col("b"))))
             .as("mp_area_q6"),
@@ -2295,6 +2306,13 @@ object Scalars extends QueryModule {
           f("st_buffer", col("mpolyv"), -col("b") / 2).as("er_vanish"),
           f("st_buffer", col("mptiny"), -col("b")).as("er_all"),
           f("st_buffer", col("gcfar"), -col("b") / 4).as("er_gc"),
+          // r17: edge-sharing components union-then-erode — the merged
+          // 4a×2b rectangle's inset, ONE canonical polygon whose
+          // closed form (4a − b/2)(2b − b/2) differs from the wrong
+          // erode-then-union 2(2a − b/2)(2b − b/2) by the healed seam
+          f("st_buffer", col("mptouch"), -col("b") / 4).as("er_touch"),
+          q6(GF.stArea(f("st_buffer", col("mptouch"), -col("b") / 4)))
+            .as("er_touch_area_q6"),
           // dilation distributes exactly (Minkowski): per-component
           // round dilation of the separated pair, closed-form area
           q6(GF.stArea(f("st_buffer", col("mpoly"), col("b") / 4)))
@@ -3914,6 +3932,18 @@ object Scalars extends QueryModule {
         |    CAST(cy + 2 * b - b / 4 AS VARCHAR), ', ',
         |    CAST(cx + b / 4 AS VARCHAR), ' ', CAST(cy + b / 4 AS VARCHAR),
         |    '))') AS er_gc,
+        |  concat('POLYGON ((',
+        |    CAST(cx + b / 4 AS VARCHAR), ' ', CAST(cy + b / 4 AS VARCHAR),
+        |    ', ', CAST(cx + 4 * a - b / 4 AS VARCHAR), ' ',
+        |    CAST(cy + b / 4 AS VARCHAR), ', ',
+        |    CAST(cx + 4 * a - b / 4 AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b - b / 4 AS VARCHAR), ', ',
+        |    CAST(cx + b / 4 AS VARCHAR), ' ',
+        |    CAST(cy + 2 * b - b / 4 AS VARCHAR), ', ',
+        |    CAST(cx + b / 4 AS VARCHAR), ' ', CAST(cy + b / 4 AS VARCHAR),
+        |    '))') AS er_touch,
+        |  CAST(floor((4 * a - b / 2) * (2 * b - b / 2) * 1e6 + 0.5)
+        |    AS BIGINT) AS er_touch_area_q6,
         |  CAST(floor(2 * (4 * a * b + (4 * a + 4 * b) * (b / 4) +
         |    16 * (b / 4) * (b / 4) * sin(pi() / 16)) * 1e6 + 0.5)
         |    AS BIGINT) AS dil_mp_area_q6

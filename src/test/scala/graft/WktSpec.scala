@@ -1030,23 +1030,49 @@ class WktSpec extends SparkSpec {
     assert(WktCore.bufferWkt(u("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, " +
       "0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))"), -1.0).toString ==
       "POLYGON EMPTY")
-    // touching components (shared corner / shared edge) stay LOUD —
-    // a disk can straddle the contact, so erosion must not distribute
-    intercept[IllegalArgumentException] {
-      WktCore.bufferWkt(u("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
-        "((4 4, 8 4, 8 8, 4 8, 4 4)))"), -1.0)
-    }
-    intercept[IllegalArgumentException] {
-      WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
-        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
-        "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0)))"), -1.0)
-    }
-    // overlapping collection members stay LOUD too
-    intercept[IllegalArgumentException] {
-      WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
-        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
-        "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2)))"), -1.0)
-    }
+    // r17: CONTACTING areal members union-then-erode — the definition
+    // (erosion acts on the region). Edge-sharing squares merge into
+    // the 8×4 rectangle whose 1-inset is 6×2 = area 12; the WRONG
+    // erode-then-union would give 2·(2×2) = 8, so the closed form
+    // pins the merged-region semantics
+    val eSharedMp = WktCore.bufferWkt(
+      u("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "((4 0, 8 0, 8 4, 4 4, 4 0)))"), -1.0).toString
+    assert(WktCore.area(u(eSharedMp)) == 12.0, eSharedMp)
+    val eSharedGc = WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+      "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0)))"), -1.0).toString
+    assert(WktCore.area(u(eSharedGc)) == 12.0, eSharedGc)
+    // overlapping members merge the same way: (0..4)×(0..4) ∪
+    // (2..6)×(0..4) = the 6×4 rectangle, 1-inset = the 4×2 rectangle
+    // (this config agrees with erode-then-union — the edge-share pin
+    // above is the one that separates the semantics; here the text
+    // pin proves the merged path renders ONE canonical polygon)
+    val eOv = WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+      "POLYGON ((2 0, 6 0, 6 4, 2 4, 2 0)))"), -1.0).toString
+    assert(eOv == "POLYGON ((1.0 1.0, 5.0 1.0, 5.0 3.0, 1.0 3.0, " +
+      "1.0 1.0))", eOv)
+    // corner-touching components: the union renders the valid
+    // point-touching MULTIPOLYGON, whose components erode
+    // independently (no positive-radius disk passes a point contact)
+    val eCorner = WktCore.bufferWkt(
+      u("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+        "((4 4, 8 4, 8 8, 4 8, 4 4)))"), -1.0).toString
+    assert(eCorner == "MULTIPOLYGON (((1.0 1.0, 3.0 1.0, 3.0 3.0, " +
+      "1.0 3.0, 1.0 1.0)), ((5.0 5.0, 7.0 5.0, 7.0 7.0, 5.0 7.0, " +
+      "5.0 5.0)))", eCorner)
+    // diagonal overlap: the merged staircase has REFLEX corners, so
+    // its erosion grows round fillets there — exact area 10 − π/2
+    // plus the chord slack of the 8-segment quarter arcs (the chords
+    // under-cut the removed disk sectors, so the polygon area sits
+    // just above the exact value)
+    val eDiag = WktCore.bufferWkt(u("GEOMETRYCOLLECTION (" +
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), " +
+      "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2)))"), -1.0).toString
+    val aDiag = WktCore.area(u(eDiag))
+    assert(aDiag >= 10 - math.Pi / 2 && aDiag < 10 - math.Pi / 2 + 0.02,
+      s"$aDiag / $eDiag")
     // a nested-collection member cannot be classified — LOUD
     intercept[IllegalArgumentException] {
       WktCore.bufferWkt(u("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (" +
