@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ~1.3× per-query drift as rounds added queries (r14 A/B-measured).
   // Env-tunable so the bench can pin the effect.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // Throughput collector: this is a short-lived single-JVM batch process
+  // (driver+executor in one heap) where allocation rate, not pause time,
+  // is what matters — r17 A/B over a 12-query mixed subset measured
+  // ParallelGC uniformly faster than the G1 default (~12% on the subset
+  // sum, no query slower). Env-overridable for re-measurement.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )

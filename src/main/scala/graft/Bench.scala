@@ -130,10 +130,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Kryo for broadcast/task payloads (the SQL row path is
+      // serializer-agnostic UnsafeRow either way): the suite's many
+      // broadcast joins and checkpoints serialize measurably faster —
+      // r17 A/B over a 12-query mixed subset, back-to-back, ~7–14% on
+      // the subset sum, no query slower
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+    // optional extra session confs for controlled A/B experiments
+    // (semicolon-separated k=v); the driver never sets it
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder
       // the generated-class cache defaults to 100 entries; a 250+-query
       // suite in ROUND-ROBIN rep order cycles it completely, so every
       // rep of every query re-runs janino compilation (~0.3–1.5 s for a

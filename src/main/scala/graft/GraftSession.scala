@@ -19,6 +19,8 @@ object GraftSession {
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)

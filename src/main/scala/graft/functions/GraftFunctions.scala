@@ -101,6 +101,10 @@ object GraftFunctions {
     (FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expression].getName, "simhash48"),
       (e: Seq[Expression]) => SimHash48Expression(e(0))),
+    (FunctionIdentifier("perm_match_count"),
+      new ExpressionInfo(
+        classOf[PermMatchCountExpression].getName, "perm_match_count"),
+      (e: Seq[Expression]) => PermMatchCountExpression(e(0), e(1))),
     (FunctionIdentifier("simhash48_text"),
       new ExpressionInfo(
         classOf[SimHash48TextExpression].getName, "simhash48_text"),
@@ -480,6 +484,8 @@ object GraftFunctions {
     call_function("minhash_text_sig", text, org.apache.spark.sql.functions.lit(k))
   def simhash48(hashes: Column): Column = call_function("simhash48", hashes)
   def simhash48Text(text: Column): Column = call_function("simhash48_text", text)
+  def permMatchCount(a: Column, b: Column): Column =
+    call_function("perm_match_count", a, b)
   def rhpSig64(vec: Column): Column = call_function("rhp_sig64", vec)
   def charShingles(text: Column, k: Int): Column =
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(k))

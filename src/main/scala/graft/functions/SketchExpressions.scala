@@ -193,6 +193,26 @@ object SketchKernels {
     sig
   }
 
+  /** Count of positions where two long arrays agree — the MinHash
+    * signature-similarity numerator. Bit-identical to the HOF form
+    * `size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))` for
+    * equal-length null-free arrays (every signature here is exactly
+    * numPerms longs): zip_with pads the shorter side with nulls whose
+    * comparison yields null and is dropped by the filter, hence the
+    * min-length loop. The HOF form evaluates its lambdas interpreted
+    * per element with boxing (~0.6 s per 20k-pair stage measured on
+    * l2, r17); this is one primitive loop in the codegen stage. */
+  def matchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def simhash48(hashes: ArrayData): Long = {
     val n = hashes.numElements()
     // elements outer so each hash is fetched once (bits-outer re-read
@@ -292,6 +312,26 @@ case class RhpSignatureExpression(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): RhpSignatureExpression =
     copy(child = newChild)
+}
+
+/** `perm_match_count(array<long>, array<long>)` → int: positions where
+  * the two signatures agree (see [[SketchKernels.matchCount]]). */
+case class PermMatchCountExpression(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "perm_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.matchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchKernels.matchCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PermMatchCountExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `simhash48(array<long>)` → long (per-bit majority vote, 48 bits). */

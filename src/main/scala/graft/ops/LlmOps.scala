@@ -502,9 +502,9 @@ object LlmOps extends QueryModule {
       // multiset min equals the set min, so skipping shingle dedup and
       // the two intermediate arrays changes nothing; parity pinned in
       // TextFunctionsSpec)
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), GF.minhashTextSig(col("text"), 5).as("sig"))
-        .localCheckpoint()
+      val docs = Par.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), GF.minhashTextSig(col("text"), 5).as("sig")),
+        col("doc_id")).localCheckpoint()
       val bandedAll = docs.select(col("doc_id"), col("sig"),
           posexplode(TF.bandHashes(col("sig"), 16, 4)).as(Seq("band", "bh")))
       // bucket-size guard: a degenerate bucket (e.g. a boilerplate band all
@@ -525,8 +525,10 @@ object LlmOps extends QueryModule {
         .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), (m: org.apache.spark.sql.Column) => m)) / lit(64.0))
+          // native kernel, not the zip_with/filter/size HOF chain: HOF
+          // lambdas evaluate interpreted per element (boxed) — 0.6 s per
+          // scoring stage at sf0.1 (r17); bit-identical count
+          (GF.permMatchCount(col("sig_a"), col("sig_b")) / lit(64.0))
             .as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.35)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -570,10 +572,10 @@ object LlmOps extends QueryModule {
       GF.register(s)
       // materialize fingerprints once (same reasoning as l2: both sides
       // of the band self-join would otherwise recompute the kernel)
-      val docs = Tables.documents(s, d)
+      val docs = Par.fanOut(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          GF.simhash48Text(col("text")).as("sh"))
-        .localCheckpoint()
+          GF.simhash48Text(col("text")).as("sh")),
+        col("doc_id")).localCheckpoint()
       val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
         posexplode(expr("transform(sequence(0, 11), i -> (sh >> (i * 4)) & 15)"))
           .as(Seq("band", "bval")))
@@ -605,6 +607,9 @@ object LlmOps extends QueryModule {
     // asserts pair-set equality vs the within-lang brute force.
     "l2c2_simhash_bands" -> ((s, d) => {
       GF.register(s)
+      // NO fanOut here (unlike l2c): the 12-bit production bands prune
+      // ~4096× so the probe does not explode — measured r17: the added
+      // repartition+checkpoint costs 0.3–0.4 s and buys nothing
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           GF.simhash48Text(col("text")).as("sh"))
@@ -672,9 +677,8 @@ object LlmOps extends QueryModule {
           "doc_b")
         .select(col("bands"), col("rows_per_band"), col("doc_a"),
           col("doc_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y),
-            (m: org.apache.spark.sql.Column) => m)) >= 23).as("dup"))
+          // native perm_match_count (r17) — same kernel swap as l2
+          (GF.permMatchCount(col("sig_a"), col("sig_b")) >= 23).as("dup"))
         .localCheckpoint() // feeds the per-config rollup AND the truth set
       val truth = verified.filter(col("dup"))
         .select(col("doc_a"), col("doc_b")).distinct()
@@ -3912,11 +3916,16 @@ object LlmOps extends QueryModule {
       keepCanonical: Boolean = false): (DataFrame, DataFrame) = {
     GF.register(s)
     val univ = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val base = univ.unionByName(
+    // fanOut BEFORE the checkpoint: both gram-explode branches (the
+    // phase-1 hash count and the phase-2 candidate re-derivation) sit
+    // directly on this frame, and the single-file bench scan leaves it
+    // 2 partitions — 30 cores idle under the heaviest kernel in the
+    // family (r17; no-op at scale, see Par.fanOut)
+    val base = Par.fanOut(univ.unionByName(
         univ.filter(col("doc_id") < 50 && length(col("text")) >= 130)
           .select((col("doc_id") + 1000000L).as("doc_id"),
-            expr("substring(text, 11, 120)").as("text")))
-      .localCheckpoint()
+            expr("substring(text, 11, 120)").as("text"))),
+        col("doc_id")).localCheckpoint()
     val grams = base
       .select(col("doc_id"),
         posexplode(expr("gram_hashes(text, 50)")).as(Seq("p0", "h")))

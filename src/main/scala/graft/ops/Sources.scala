@@ -21,6 +21,11 @@ import java.nio.file.Files
 object Sources extends QueryModule {
   import Det._
 
+  // r17 note: routing these through /dev/shm was A/B-measured (11 write-
+  // sink queries, reps=5) at NO gain over /tmp — the sinks are small
+  // enough that the page cache absorbs them and nothing fsyncs — so
+  // batch scratch deliberately stays on the default temp dir (unlike the
+  // streaming checkpoints, whose per-trigger WAL latency did move).
   private[graft] def scratch(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
     dir.toFile.deleteOnExit()
@@ -505,7 +510,13 @@ object Sources extends QueryModule {
     // string, never min-of-string — '10' < '9' lexically); profiled
     // columns are integer/varchar so the rendering is engine-stable.
     "s18_profile" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      // the 4-column exact-distinct profile Expands every row 5× and the
+      // single-file scan gives it one partition — fanOut parallelizes the
+      // Expand+partial-distinct (no-op at scale, see Par.fanOut)
+      val o = Par.fanOut(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        col("o_orderkey"))
       def stats(c: String, tag: String) = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$tag"),
         countDistinct(col(c)).cast("long").as(s"nd_$tag"),

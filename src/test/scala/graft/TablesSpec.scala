@@ -71,4 +71,22 @@ class TablesSpec extends SparkSpec {
     assert(Tables.orders(spark, sf).schema("o_orderdate").dataType == TimestampType)
     assert(Tables.lineitem(spark, sf).schema("l_shipdate").dataType == TimestampType)
   }
+
+  test("table loads are memoized per (session, path) as plans, not results (r17)") {
+    // same session + same path → the identical DataFrame object (the
+    // footer/schema pass runs once); different paths → distinct entries
+    val a = Tables.orders(spark, sf)
+    val b = Tables.orders(spark, sf)
+    assert(a eq b)
+    val other = Tables.orders(spark,
+      if (sf.endsWith("sf0.001")) "/root/testdata/sf0.01"
+      else "/root/testdata/sf0.001")
+    assert(!(other eq a))
+    // the memoized frame is a lazy plan over the files — a fresh action
+    // still scans parquet (no materialized rows pinned in the memo):
+    // its physical plan is a FileScan, not an InMemoryTableScan/RDD scan
+    val phys = a.queryExecution.executedPlan.toString
+    assert(phys.contains("FileScan") || phys.contains("Scan parquet"), phys)
+    assert(!phys.contains("InMemoryTableScan"), phys)
+  }
 }

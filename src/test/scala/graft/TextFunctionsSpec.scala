@@ -425,6 +425,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter($"fused" =!= $"composed").count() == 0)
   }
 
+  test("native perm_match_count == zip_with/filter/size HOF reference (r17)") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.{GraftFunctions => GF}
+    import org.apache.spark.sql.functions.{filter, size, zip_with}
+    // real signature pairs: every doc against a shifted copy of itself
+    // plus self-pairs (all-64 match) — covers 0..64 agreement counts
+    val sigs = Tables.documents(spark, sf).limit(80)
+      .select(GF.minhashTextSig($"text", 5).as("sig_a"))
+    val pairs = sigs.select($"sig_a",
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.concat($"sig_a", $"sig_a"), 2, 64)
+          .as("sig_b"))
+      .unionByName(sigs.select($"sig_a", $"sig_a".as("sig_b")))
+    val cmp = pairs.select(
+      GF.permMatchCount($"sig_a", $"sig_b").as("native"),
+      size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
+        (m: org.apache.spark.sql.Column) => m)).as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("native shingle kernels == higher-order reference implementations") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.{GraftFunctions => GF}
