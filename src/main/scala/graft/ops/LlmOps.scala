@@ -2863,6 +2863,12 @@ object LlmOps extends QueryModule {
             expr("repeat(' qa1 qa0 qsep', CAST(doc_id % 3 + 1 AS INT))"))))
         .select(col("doc_id"), col("pos"),
           TF.wordTokens(col("btext")).as("ws"))
+        // fanOutAny (round-robin): the tokenizer + both explode branches
+        // otherwise run on the single-file scan's one partition (655 ms
+        // 1-task stage, r17 profile); keyed-by-doc_id would flow through
+        // the Generates and kill the doc-rollup Exchanges — see
+        // Par.fanOutAny. No-op at scale.
+        .transform(Par.fanOutAny)
         .localCheckpoint()
       def qln(c: org.apache.spark.sql.Column) =
         floor(log(c) * 1e6 + 0.5).cast("long")
@@ -2960,6 +2966,13 @@ object LlmOps extends QueryModule {
             expr("repeat(' qa1 qa0 qsep', CAST(doc_id % 3 + 1 AS INT))"))))
         .select(col("doc_id"), col("pos"),
           TF.wordTokens(col("btext")).as("ws"))
+        // fanOutAny (round-robin): the feats map stage (tokenize + kgram
+        // explode + partial agg) ran 0.94 s in one task on the
+        // single-file scan (r17 profile); keyed-by-doc_id fanOut would
+        // kill the feats groupBy's own Exchange and pin 32 partitions
+        // onto the checkpoint every training step reads — see
+        // Par.fanOutAny. No-op at scale.
+        .transform(Par.fanOutAny)
       // per-doc bucket counts — the (doc, feature, count) triple table
       // with the appended bias pseudo-bucket (bk = B, cnt = 1);
       // checkpointed once, consumed 2× per training step (resid + grad)
@@ -2975,8 +2988,12 @@ object LlmOps extends QueryModule {
         // map-side, so each Exchange carries doc-keyed PARTIALS
         // (#docs × a few longs), never the feature triples
         .localCheckpoint()
-      val nDocs = math.max(1L,
-        feats.select(col("doc_id")).distinct().count())
+      // nDocs via the cheap count: the bias pseudo-bucket (bk = B,
+      // cnt = 1) is appended for EVERY doc, so distinct doc_id in feats
+      // equals the checkpointed row count grouped per doc — and equals
+      // docs.count() exactly; the distinct+count chain re-shuffled the
+      // checkpoint for the same number (r17)
+      val nDocs = math.max(1L, docs.count())
       // q6 fixed-point weights (index B = bias); lr = 4.0 scaled by
       // 1/nDocs inside the integer update (floorDiv — exact,
       // deterministic)
@@ -3058,14 +3075,18 @@ object LlmOps extends QueryModule {
             "CAST(doc_id % 3 + 1 AS INT))")))
         .select(col("doc_id"), col("label"),
           TF.wordTokens(col("btext")).as("ws"))
+        // fanOutAny: same single-task feats map stage as l69 (1.45 s,
+        // r17 profile), same keyed-fanOut trap — see Par.fanOutAny
+        .transform(Par.fanOutAny)
       val feats = docs.select(col("doc_id"), col("label"),
           explode(concat(transform(TF.kgramHashes(col("ws"), 2),
             h => pmod(h, lit(B.toLong))), array(lit(B.toLong)))).as("bk"))
         .groupBy(col("doc_id"), col("label"), col("bk"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      val nDocs = math.max(1L,
-        feats.select(col("doc_id")).distinct().count())
+      // docs.count() == distinct doc_id in feats (bias pseudo-bucket
+      // per doc) — same value, no distinct shuffle (r17, mirrors l69)
+      val nDocs = math.max(1L, docs.count())
       // per-class weights; index B = that class's bias
       val w = Array.ofDim[Long](K, B + 1)
       val lrNum = 4L

@@ -35,4 +35,20 @@ object Par {
     if (df.rdd.getNumPartitions >= p) df
     else df.repartition(p, keys: _*)
   }
+
+  /** Round-robin variant. Use instead of the keyed form when a
+    * downstream aggregation groups by a SUPERSET of the natural key:
+    * `repartition(p, key)` then satisfies the aggregate's clustering
+    * requirement, Catalyst drops the aggregate's own Exchange, and the
+    * (tiny) aggregate output inherits the pinned p partitions — every
+    * later consumer then runs p near-empty tasks per job (measured on
+    * l69: each training step went 40→400 ms that way, r17). Round-robin
+    * partitioning satisfies no clustering, so the aggregate keeps its
+    * own AQE-coalescable Exchange and its output stays small-partitioned
+    * while the map side still fans out. */
+  def fanOutAny(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
+  }
 }
