@@ -119,7 +119,13 @@ object Joins extends QueryModule {
     // J7: range join with equi component — event pairs within 5 minutes for
     // the same user (hash join on user_id, range as residual predicate).
     "j7_range" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      // fanOut by the join key: the user_id exchanges feeding the range
+      // join carry ~2 MB, so AQE coalesces the join to ONE partition
+      // while its within-5-min pair OUTPUT expands well beyond the input
+      // (628 ms 1-task merge stage, r17 profile). Pinning hash(user_id)
+      // partitioning here satisfies the join's clustering requirement —
+      // no extra Exchange, full parallelism; no-op at scale.
+      val e = Par.fanOut(Tables.events(s, d), col("user_id"))
       val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
       val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
       a.join(b,

@@ -1536,12 +1536,16 @@ object LlmOps extends QueryModule {
     // story. At 100 TB: corpus cost = one scan; shuffle carries ONLY
     // candidates; driver state = O(bench shingles) bits.
     "l63_bloom_decontaminate" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = Par.fanOut(Tables.documents(s, d)
         .filter(col("source").isin("src0", "src1"))
         .select(col("doc_id"), col("source"),
           array_distinct(TF.wordShingles(TF.wordTokens(col("text")), 4))
-            .as("sh"))
-        .localCheckpoint()
+            .as("sh")),
+        col("doc_id")).localCheckpoint()
+      // fanOut: the shingle kernel + the per-doc bloom probe (exists/
+      // transform HOF over ~250 shingles × 4 hashes) otherwise run on
+      // the single-file scan's one partition — 777 ms 1-task stage
+      // (r17 profile); no-op at scale, see Par.fanOut
       // localCheckpoint: the sizing count() and the bloom aggregation
       // both consume this distinct — without pinning it, the
       // explode+distinct shuffle runs twice (review finding r10)
