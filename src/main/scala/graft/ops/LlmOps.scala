@@ -3603,6 +3603,11 @@ object LlmOps extends QueryModule {
     // ones); scoring is two keyed passes, the rollup is |domains| rows,
     // and the softmax is k-row arithmetic — no window, no global sort.
     "l58_doremi_step" -> ((s, d) => {
+      // r17 note: fanOut was tried and REVERTED here — this frame feeds
+      // ~6 consumer subtrees and is deliberately NOT checkpointed (the
+      // scale design re-scans rather than materializing a tokenized
+      // corpus), so an un-checkpointed repartition re-executes per
+      // subtree and measured neutral-to-worse vs controls.
       val docs = Tables.documents(s, d)
         .select(col("source"), TF.wordTokens(col("text")).as("w"))
       // unigram (proxy) tables — the l25 recipe
