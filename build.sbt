@@ -43,4 +43,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC uniformly faster than the G1 default (~12% on the subset
   // sum, no query slower). Env-overridable for re-measurement.
   s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
-)
+) ++
+  // optional GC-thread cap for A/B runs (r18): on a contended 32-core VM
+  // the default ~23 parallel GC threads can add coordination overhead to
+  // the many tiny collections of job-chain queries; unset = JVM ergonomics
+  sys.env.get("SPARK_GRAFT_GC_THREADS").map(n => s"-XX:ParallelGCThreads=$n")

@@ -121,6 +121,12 @@ object GraftFunctions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpression].getName, "word_shingles"),
       (e: Seq[Expression]) => WordShinglesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("word_tokens"),
+      new ExpressionInfo(classOf[WordTokensExpression].getName, "word_tokens"),
+      (e: Seq[Expression]) => WordTokensExpression(e(0))),
+    (FunctionIdentifier("kgram_hashes"),
+      new ExpressionInfo(classOf[KGramHashesExpression].getName, "kgram_hashes"),
+      (e: Seq[Expression]) => KGramHashesExpression(e(0), litInt(e(1)))),
     (FunctionIdentifier("to_ieee754_64"),
       new ExpressionInfo(classOf[ToIeee754Expression].getName, "to_ieee754_64"),
       (e: Seq[Expression]) => ToIeee754Expression(

@@ -13,8 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace word tokens, empties dropped. */
+  /** Whitespace word tokens, empties dropped — the native codegen kernel
+    * (ShingleKernels.wordTokens), bit-identical to [[wordTokensRef]]
+    * (parity property-pinned in TextFunctionsSpec). Direct expression
+    * construction (GraftShim.exprCol), so no session registration is
+    * needed at any of the ~40 call sites. */
   def wordTokens(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.exprCol(
+      WordTokensExpression(
+        org.apache.spark.sql.graftshim.GraftShim.colExpr(text)))
+
+  /** The HOF reference form of [[wordTokens]] — kept as the parity
+    * oracle: the filter lambda evaluates interpreted per token, which is
+    * why the hot path uses the kernel (guide §4.1). */
+  def wordTokensRef(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
   /** Distinct character k-shingles of a string. */
@@ -93,6 +105,15 @@ object TextFunctions {
     * identical values (l9's equivalence: a first-element fold equals a
     * 0-initialized one under this hash). */
   def kgramHashes(words: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShim.exprCol(
+      KGramHashesExpression(
+        org.apache.spark.sql.graftshim.GraftShim.colExpr(words), k))
+
+  /** The HOF reference form of [[kgramHashes]] — kept as the parity
+    * oracle: the per-character fold evaluates interpreted (one boxed
+    * lambda call per char per gram), which is why the hot path uses the
+    * kernel (guide §4.1). */
+  def kgramHashesRef(words: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
       i => aggregate(

@@ -967,7 +967,19 @@ object Events extends QueryModule {
     // e18's no-lost-match argument: a view evicted at watermark
     // p_wm > v_ts + 1h has provably seen every purchase that could
     // still qualify. Oracle = the batch EXISTS semi join.
+    // r18 trigger-schedule audit: no-data batch disabled — semi-join
+    // emission is purely MATCH-ARRIVAL-driven (a view emits exactly once
+    // when its first qualifying purchase arrives; unmatched views never
+    // emit), so the watermark-advance batch can only evict state, never
+    // add a row — unlike e25/e27/e37/e38, whose NULL-flush rows REQUIRE
+    // it. StreamProfile: 3 → 2 triggers, warm wall 3.13 → 2.32 s,
+    // final table byte-identical (oracle re-verified). The same wrapper
+    // was TRIED on the complete-mode aggregates (e1b/e16/e20/e21/e29)
+    // and measured a NO-OP — complete-mode aggregation never schedules
+    // the no-data batch at all (triggers=2 with and without) — so those
+    // sites stay unwrapped.
     "e36_stream_stream_semi" -> ((s, d) => withStreamStateSizing(s) {
+      withoutNoDataBatches(s) {
       val batch = Tables.events(s, d).filter(col("user_id") < 100)
         .withColumn("ts", col("ts").cast("timestamp"))
       val base = streamJoinFixture(s, d, batch)
@@ -984,6 +996,7 @@ object Events extends QueryModule {
         .filter(col("user_id") < 100)
         .select(col("user_id"), col("view_id"))
         .orderBy(col("user_id"), col("view_id"))
+      }
     }),
 
     // E37 (r16): gated RIGHT OUTER stream-stream join — with e18

@@ -3004,12 +3004,22 @@ object LlmOps extends QueryModule {
       val w = new Array[Long](B + 1)
       val lrNum = 4L
       val steps = 5
-      def wDf = broadcast(
-        (0 to B).map(k => (k.toLong, w(k))).toDF("bk", "wq"))
+      // weights as an ARRAY LITERAL indexed by bk, not a broadcast-joined
+      // 8193-row table (r18, guide §2.4 "remove shuffles outright"): the
+      // per-step r17 plan built a LocalTableScan + BroadcastExchange +
+      // BroadcastHashJoin around what is a pure lookup — one extra job
+      // per step × (5 steps + final scoring). element_at(lit, bk+1) reads
+      // the SAME long for the same bk, so every downstream integer sum is
+      // bit-identical to the join form (inner join dropped nothing: wDf
+      // covered every bk in [0, B] by construction). The literal is one
+      // reference object in codegen — generated code is step-invariant,
+      // so the codegen cache still hits across steps.
+      def wq = element_at(typedlit(w.toSeq),
+        (col("bk") + 1).cast("int")).as("wq")
       for (_ <- 1 to steps) {
         // residual per doc: gq = round((σ(score) − y) · 1e6) — INTEGER;
         // sq includes the bias via the pseudo-bucket weight
-        val resid = feats.join(wDf, "bk")
+        val resid = feats.select(col("doc_id"), col("pos"), col("cnt"), wq)
           .groupBy(col("doc_id"), col("pos"))
           .agg(sum(col("cnt") * col("wq")).as("sq"))
           .select(col("doc_id"), col("pos"),
@@ -3029,7 +3039,7 @@ object LlmOps extends QueryModule {
           w(k) = w(k) - Math.floorDiv(r.getLong(1) * lrNum, nDocs)
         }
       }
-      feats.join(wDf, "bk")
+      feats.select(col("doc_id"), col("pos"), col("cnt"), wq)
         .groupBy(col("doc_id"), col("pos"))
         .agg(sum(col("cnt") * col("wq")).as("sq"))
         .select(col("doc_id"), col("pos"),
@@ -3095,10 +3105,22 @@ object LlmOps extends QueryModule {
       val w = Array.ofDim[Long](K, B + 1)
       val lrNum = 4L
       val steps = 5
-      def weightsDf = broadcast((for (k <- 0 until K; j <- 0 to B)
-        yield (k, j.toLong, w(k)(j))).toDF("k", "bk", "wq"))
+      // the (k, bk) weight table as a TRANSPOSED array literal (r18,
+      // mirrors l69): the r17 plan broadcast K·8193 rows and row-
+      // multiplied feats ×K through a BroadcastHashJoin every step;
+      // posexplode(element_at(lit, bk+1)) emits the identical (k, wq)
+      // pairs per feats row — pos IS the class index, in the same
+      // IntegerType the old tuple column carried — so every grouped
+      // integer sum is bit-identical, with one LocalTableScan +
+      // BroadcastExchange job per step removed.
+      def kw = {
+        val wt: Seq[Seq[Long]] =
+          (0 to B).map(j => (0 until K).map(k => w(k)(j)).toSeq)
+        posexplode(element_at(typedlit(wt), (col("bk") + 1).cast("int")))
+          .as(Seq("k", "wq"))
+      }
       for (_ <- 1 to steps) {
-        val resid = feats.join(weightsDf, "bk")
+        val resid = feats.select(col("doc_id"), col("label"), col("cnt"), kw)
           .groupBy(col("doc_id"), col("label"), col("k"))
           .agg(sum(col("cnt") * col("wq")).as("sq"))
           .select(col("doc_id"), col("k"),
@@ -3115,7 +3137,7 @@ object LlmOps extends QueryModule {
           w(k)(j) = w(k)(j) - Math.floorDiv(r.getLong(2) * lrNum, nDocs)
         }
       }
-      feats.join(weightsDf, "bk")
+      feats.select(col("doc_id"), col("label"), col("cnt"), kw)
         .groupBy(col("doc_id"), col("label"), col("k"))
         .agg(sum(col("cnt") * col("wq")).as("sq"))
         .select(col("doc_id"), col("label"), col("k"),

@@ -445,6 +445,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("native word_tokens == filter(split) HOF reference (r18)") {
+    // edge cases: empty, all-spaces, consecutive/leading/trailing spaces,
+    // non-space whitespace (stays INSIDE tokens — split cuts only 0x20),
+    // multi-byte UTF-8 (no space byte inside a multibyte sequence)
+    val edge = Seq("", "   ", "  a  b ", "a\tb\nc d", "héllo  wörld",
+      "日本語 テキスト", " x", "x ", "x").toDF("text")
+    val docs = Tables.documents(spark, sf).limit(80).select($"text")
+      .unionByName(edge)
+    val cmp = docs.select(
+      TF.wordTokens($"text").as("native"),
+      TF.wordTokensRef($"text").as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").count() == 0)
+  }
+
+  test("native kgram_hashes == transform/aggregate HOF reference (r18)") {
+    // edge cases: empty token array (one empty gram, hash 0), fewer
+    // tokens than k (clamped slice), exactly k, multi-byte UTF-8 chars
+    // (the fold is over UTF-16 units via split(gram, '') + ascii)
+    val edge = Seq("", "a", "a b", "a b c", "a b c d e",
+      "héllo wörld ünïcode tåkens", "日本語 の テキスト 例")
+      .toDF("text")
+    val docs = Tables.documents(spark, sf).limit(80).select($"text")
+      .unionByName(edge)
+    for (k <- Seq(2, 4)) {
+      val cmp = docs.select(
+        TF.kgramHashes(TF.wordTokens($"text"), k).as("native"),
+        TF.kgramHashesRef(TF.wordTokensRef($"text"), k).as("hof"))
+      assert(cmp.filter($"native" =!= $"hof").count() == 0, s"k=$k")
+    }
+  }
+
   test("native shingle kernels == higher-order reference implementations") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.{GraftFunctions => GF}
