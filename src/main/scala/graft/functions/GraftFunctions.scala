@@ -127,6 +127,9 @@ object GraftFunctions {
     (FunctionIdentifier("kgram_hashes"),
       new ExpressionInfo(classOf[KGramHashesExpression].getName, "kgram_hashes"),
       (e: Seq[Expression]) => KGramHashesExpression(e(0), litInt(e(1)))),
+    (FunctionIdentifier("unit_q3"),
+      new ExpressionInfo(classOf[UnitQ3Expression].getName, "unit_q3"),
+      (e: Seq[Expression]) => UnitQ3Expression(e(0))),
     (FunctionIdentifier("to_ieee754_64"),
       new ExpressionInfo(classOf[ToIeee754Expression].getName, "to_ieee754_64"),
       (e: Seq[Expression]) => ToIeee754Expression(

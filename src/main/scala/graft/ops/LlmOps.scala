@@ -1881,13 +1881,18 @@ object LlmOps extends QueryModule {
     // (≈10¹² rows per label at q3·64-dim — production widens to the
     // dsum DECIMAL-rollup pattern, like Q1's money sums).
     "l71_cluster_diversity" -> ((s, d) => {
+      GF.register(s)
+      // r18: the three-lambda quantize chain (nrm/q/qn2) evaluated
+      // interpreted per row and dominated BOTH single-task branches
+      // (profiled 0.6 s + 1.1 s concurrent stages at sf0.1); unit_q3 is
+      // the same fold element-for-element as one codegen kernel — see
+      // VectorQuantizeKernel (parity property-pinned). Plan shape
+      // (ScaleShapeSpec pins: ≤3 hash Exchanges, no embedding through
+      // any Exchange) is unchanged — this is per-row compute only.
       val emb = Tables.embeddings(s, d)
-        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-          "CAST(0.0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * " +
-          "CAST(y AS DOUBLE)))"))
-        .withColumn("q", expr("transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) / nrm * 1000 + 0.5) AS BIGINT))"))
-        .withColumn("qn2", expr("aggregate(q, 0L, (a, y) -> a + y * y)"))
+        .withColumn("u", expr("unit_q3(embedding)"))
+        .withColumn("q", col("u.q"))
+        .withColumn("qn2", col("u.qn2"))
       val perLabel = emb.groupBy(col("label"))
         .agg(count(lit(1)).as("n"), sum(col("qn2")).as("sum_qn2"))
       val comp = emb
@@ -1921,13 +1926,12 @@ object LlmOps extends QueryModule {
     // identity + decimal arithmetic agree with the pairwise
     // definition.
     "l71b_cluster_diversity_decimal" -> ((s, d) => {
+      GF.register(s)
+      // r18: unit_q3 kernel — the l71 note verbatim
       val emb = Tables.embeddings(s, d)
-        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-          "CAST(0.0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * " +
-          "CAST(y AS DOUBLE)))"))
-        .withColumn("q", expr("transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) / nrm * 1000 + 0.5) AS BIGINT))"))
-        .withColumn("qn2", expr("aggregate(q, 0L, (a, y) -> a + y * y)"))
+        .withColumn("u", expr("unit_q3(embedding)"))
+        .withColumn("q", col("u.q"))
+        .withColumn("qn2", col("u.qn2"))
       val perLabel = emb.groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
           sum(col("qn2").cast("decimal(38,0)")).as("sum_qn2"))

@@ -488,6 +488,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(cmp.filter($"native_cs" =!= $"hof_cs" || $"native_ws" =!= $"hof_ws").count() == 0)
   }
 
+  test("native unit_q3 == HOF quantize chain bit-for-bit (r18, l71)") {
+    graft.functions.GraftFunctions.register(spark)
+    // real embeddings plus edge vectors: negatives, tiny/large magnitudes,
+    // a one-dimensional vector (the fixture never has zero vectors — the
+    // HOF chain would ANSI-throw there, and so does the kernel)
+    val edge = Seq(Seq(-1.0f, 2.5f, -3.25f), Seq(1e-30f, 1e-30f),
+      Seq(42.0f), Seq(1e20f, -1e20f, 5.5f))
+      .toDF("embedding")
+    val docs = Tables.embeddings(spark, sf).limit(200).select($"embedding")
+      .unionByName(edge)
+    val cmp = docs
+      .withColumn("u", expr("unit_q3(embedding)"))
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+        "CAST(0.0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * " +
+        "CAST(y AS DOUBLE)))"))
+      .withColumn("q_ref", expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) / nrm * 1000 + 0.5) AS BIGINT))"))
+      .withColumn("qn2_ref", expr("aggregate(q_ref, 0L, (a, y) -> a + y * y)"))
+    assert(cmp.filter($"u.q" =!= $"q_ref" || $"u.qn2" =!= $"qn2_ref")
+      .count() == 0)
+  }
+
   test("native cosine_sim == higher-order cosine bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(100)
