@@ -158,6 +158,31 @@ object LlmOps extends QueryModule {
 
   private val Stopwords = Seq("the", "a", "of", "to", "in")
 
+  /** Scoped conf for the l69/l70 driver-state TRAINING loops (r18, guide
+    * §1.2 "per-job driver latency is the unit cost"): each gradient step
+    * is a tiny collect over the feats checkpoint, but under AQE every
+    * exchange materializes as its own stage-job (~3–4 jobs/step plus
+    * replan rounds) — profiled at ~0.37 s/step of outside-jobs driver
+    * time. Inside the loop AQE is off and shuffle parallelism derives
+    * from the CHECKPOINT's own partition count (scale-ADAPTIVE: 2 on the
+    * single-file bench corpus, thousands at production split counts —
+    * never a local[32] constant), so each step runs as ONE job. Integer
+    * sums are partitioning-independent, so results are bit-identical;
+    * the conf is restored before the final (AQE-planned) scoring pass. */
+  private def withTrainStepConf[T](s: org.apache.spark.sql.SparkSession,
+      feats: DataFrame)(f: => T): T = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val aKey = "spark.sql.adaptive.enabled"
+    val oldP = s.conf.get(pKey)
+    val oldA = s.conf.get(aKey)
+    s.conf.set(pKey, math.max(feats.rdd.getNumPartitions, 1).toString)
+    s.conf.set(aKey, "false")
+    try f finally {
+      s.conf.set(pKey, oldP)
+      s.conf.set(aKey, oldA)
+    }
+  }
+
   // ---- L12 shared: distributed connected components ---------------------
   /** HashMin label propagation (Pregel shape): each round every vertex
     * takes the min label over itself and its neighbors — one join + one
@@ -2996,12 +3021,14 @@ object LlmOps extends QueryModule {
         // map-side, so each Exchange carries doc-keyed PARTIALS
         // (#docs × a few longs), never the feature triples
         .localCheckpoint()
-      // nDocs via the cheap count: the bias pseudo-bucket (bk = B,
-      // cnt = 1) is appended for EVERY doc, so distinct doc_id in feats
-      // equals the checkpointed row count grouped per doc — and equals
-      // docs.count() exactly; the distinct+count chain re-shuffled the
-      // checkpoint for the same number (r17)
-      val nDocs = math.max(1L, docs.count())
+      // nDocs via the cheapest equal count (r17 distinct→count, r18
+      // base-table count): docs is a row-preserving projection chain
+      // over the documents table (no filter, no explode), so its count
+      // equals the table's — and counting the TABLE prunes to an
+      // empty-schema scan, where counting `docs` re-ran the tokenizer
+      // projection (column pruning does not cross the round-robin
+      // repartition; profiled 4.6 s task CPU for the same number)
+      val nDocs = math.max(1L, Tables.documents(s, d).count())
       // q6 fixed-point weights (index B = bias); lr = 4.0 scaled by
       // 1/nDocs inside the integer update (floorDiv — exact,
       // deterministic)
@@ -3020,6 +3047,7 @@ object LlmOps extends QueryModule {
       // so the codegen cache still hits across steps.
       def wq = element_at(typedlit(w.toSeq),
         (col("bk") + 1).cast("int")).as("wq")
+      withTrainStepConf(s, feats) {
       for (_ <- 1 to steps) {
         // residual per doc: gq = round((σ(score) − y) · 1e6) — INTEGER;
         // sq includes the bias via the pseudo-bucket weight
@@ -3042,6 +3070,7 @@ object LlmOps extends QueryModule {
           val k = r.getLong(0).toInt
           w(k) = w(k) - Math.floorDiv(r.getLong(1) * lrNum, nDocs)
         }
+      }
       }
       feats.select(col("doc_id"), col("pos"), col("cnt"), wq)
         .groupBy(col("doc_id"), col("pos"))
@@ -3102,9 +3131,10 @@ object LlmOps extends QueryModule {
         .groupBy(col("doc_id"), col("label"), col("bk"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      // docs.count() == distinct doc_id in feats (bias pseudo-bucket
-      // per doc) — same value, no distinct shuffle (r17, mirrors l69)
-      val nDocs = math.max(1L, docs.count())
+      // base-table count == docs count == distinct doc_id in feats
+      // (row-preserving chain + bias pseudo-bucket per doc) — the l69
+      // note verbatim (r18)
+      val nDocs = math.max(1L, Tables.documents(s, d).count())
       // per-class weights; index B = that class's bias
       val w = Array.ofDim[Long](K, B + 1)
       val lrNum = 4L
@@ -3123,6 +3153,7 @@ object LlmOps extends QueryModule {
         posexplode(element_at(typedlit(wt), (col("bk") + 1).cast("int")))
           .as(Seq("k", "wq"))
       }
+      withTrainStepConf(s, feats) {
       for (_ <- 1 to steps) {
         val resid = feats.select(col("doc_id"), col("label"), col("cnt"), kw)
           .groupBy(col("doc_id"), col("label"), col("k"))
@@ -3140,6 +3171,7 @@ object LlmOps extends QueryModule {
           val k = r.getInt(0); val j = r.getLong(1).toInt
           w(k)(j) = w(k)(j) - Math.floorDiv(r.getLong(2) * lrNum, nDocs)
         }
+      }
       }
       feats.select(col("doc_id"), col("label"), col("cnt"), kw)
         .groupBy(col("doc_id"), col("label"), col("k"))
