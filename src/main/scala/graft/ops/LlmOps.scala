@@ -170,12 +170,25 @@ object LlmOps extends QueryModule {
     * sums are partitioning-independent, so results are bit-identical;
     * the conf is restored before the final (AQE-planned) scoring pass. */
   private def withTrainStepConf[T](s: org.apache.spark.sql.SparkSession,
-      feats: DataFrame)(f: => T): T = {
+      feats: DataFrame)(f: => T): T =
+    withChainConf(s, feats.rdd.getNumPartitions)(f)
+
+  /** The underlying scoped conf, parallelism passed explicitly. `parts`
+    * must be INPUT-derived (a checkpoint's or the source scan's
+    * partition count), never a constant; only EAGER work inside `f`
+    * (driver `.head`s, collects, localCheckpoints) sees the scope —
+    * lazily returned frames plan at execution time under the restored
+    * session conf. Scope only SHALLOW per-step plans: on the deep
+    * semdedup two-level chain this measured WORSE (see the l26 note —
+    * AQE-less whole-tree planning costs more than the stage-jobs it
+    * saves). */
+  private def withChainConf[T](s: org.apache.spark.sql.SparkSession,
+      parts: Int)(f: => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
     val aKey = "spark.sql.adaptive.enabled"
     val oldP = s.conf.get(pKey)
     val oldA = s.conf.get(aKey)
-    s.conf.set(pKey, math.max(feats.rdd.getNumPartitions, 1).toString)
+    s.conf.set(pKey, math.max(parts, 1).toString)
     s.conf.set(aKey, "false")
     try f finally {
       s.conf.set(pKey, oldP)
@@ -1886,6 +1899,14 @@ object LlmOps extends QueryModule {
     // every natural vector survives. Cluster ids are algorithm-internal
     // and not exposed; the prune-rule MATH is independently re-derived by
     // the l26b oracle below.
+    // r18 note: withChainConf (AQE off + scan-derived parallelism, the
+    // l69/l70 training-loop cure) was TRIED around this chain and
+    // MEASURED WORSE on l26c (jobs 37→17 but wall 3.1→3.6+ s): without
+    // AQE the deep two-level assignment tree optimizes as one unit per
+    // eager action and single-threaded Catalyst planning grows past the
+    // stage-job latency it saves (outside-jobs 1.9→2.8 s, profiled).
+    // The training loops win because their per-step plans are shallow;
+    // this chain's job count is priced by plan depth — reverted.
     "l26_semdedup" -> ((s, d) =>
       semdedupPrune(semdedupAssigned(s, d))),
 
@@ -2047,6 +2068,7 @@ object LlmOps extends QueryModule {
     // oracle encodes the kept set exactly; any assignment that keeps an
     // ε-copy apart from its original, or drops a point through the
     // cell-existence invariant, fails the gate).
+    // r18: withChainConf tried and reverted — the l26 note verbatim
     "l26c_semdedup_twolevel" -> ((s, d) =>
       semdedupPrune(semdedupAssigned(s, d, twoLevelMin = 1))),
 
